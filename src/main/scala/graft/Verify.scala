@@ -12,6 +12,12 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // reference semantics are pre-ANSI PySpark: junk casts/parses → null
+      .config("spark.sql.ansi.enabled", "false")
+      // plain int64 micros so the driver's DuckDB/pyarrow compare reads
+      // timestamps without INT96 legacy handling
+      .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+      .config("spark.sql.adaptive.enabled", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

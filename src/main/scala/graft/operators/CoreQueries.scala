@@ -1,0 +1,352 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** The reference's relational operator surface (SURVEY.md §2), re-expressed
+  * Spark-first over the testdata star schema. Each method is one
+  * `SparkEntry.queries` entry with a DuckDB oracle.
+  *
+  * Design rules for 100 TB scale:
+  *  - dims (`nation`, `region`, `customer`-at-small-SF) joined via
+  *    `broadcast()` — no shuffle of the fact side;
+  *  - aggregates are plain `groupBy` so Catalyst does partial (map-side)
+  *    aggregation before the exchange;
+  *  - every output is deterministically ordered (hash-compared by the
+  *    driver) with a total tie-break — SURVEY.md §7.4 risk 5;
+  *  - money aggregates rounded to fixed decimals so double-summation order
+  *    (Spark partition order vs DuckDB) cannot flip the hash.
+  */
+object CoreQueries {
+
+  /** A1/A4-style full-scan aggregate: TPC-H Q1 pricing summary.
+    * Reference analog: per-table `count()` + min/max profiling
+    * (etl.py:528, Explore_using_PySpark.ipynb cells 25-27) generalized to a
+    * grouped scan aggregate. One shuffle on 2 low-cardinality keys;
+    * partial agg makes the exchange tiny at any scale.
+    */
+  def q01PricingSummary(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        round(sum(col("l_quantity")), 2).as("sum_qty"),
+        round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+        round(avg(col("l_quantity")), 4).as("avg_qty"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+
+  /** §7.2 flagship: snowflake join orders⋈customer⋈nation → top-5 nations by
+    * order count. customer/nation are broadcast — the orders side never
+    * shuffles for the join, only for the final tiny agg.
+    */
+  def q02TopNations(spark: SparkSession, dir: String): DataFrame = {
+    // customer is a real dim (huge at 100 TB) → shuffle join, let AQE
+    // downgrade to broadcast at small SF; nation (25 rows) always broadcast.
+    val o = Tables.orders(spark, dir)
+    val c = Tables.customer(spark, dir).select("c_custkey", "c_nationkey")
+    val n = Tables.nation(spark, dir).select("n_nationkey", "n_name")
+    o.join(c, o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(count(lit(1)).as("order_cnt"),
+        round(sum(col("o_totalprice")), 2).as("total_spend"))
+      .orderBy(col("order_cnt").desc, col("n_name"))
+      .limit(5)
+  }
+
+  /** U1: positional union-all fold (etl.py:97-108) — monthly-file
+    * concatenation re-expressed as a union of disjoint slices.
+    */
+  def q03UnionAll(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val lo = li.filter(col("l_orderkey") % 2 === 0)
+      .select(col("l_returnflag"), col("l_quantity"))
+    val hi = li.filter(col("l_orderkey") % 2 === 1)
+      .select(col("l_returnflag"), col("l_quantity"))
+    Seq(lo, hi).reduce(_ union _)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("cnt"), round(sum(col("l_quantity")), 2).as("qty"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  /** U2: union by name (Explore_using_PySpark.ipynb cell 3) — schemas in
+    * different column order, aligned by name not position.
+    */
+  def q04UnionByName(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val a = li.filter(col("l_linenumber") <= 3)
+      .select(col("l_returnflag"), col("l_linestatus"), col("l_extendedprice"))
+    val b = li.filter(col("l_linenumber") > 3)
+      .select(col("l_extendedprice"), col("l_returnflag"), col("l_linestatus"))
+    Seq(a, b).reduce(_ unionByName _)
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("cnt"),
+        round(sum(col("l_extendedprice")), 2).as("price"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+  }
+
+  /** P2/F1/F2: the reference's id-normalization cast chain
+    * `STRING(INT(cicid))` (etl.py:206-223) incl. the §7.4-1 `admnum`
+    * long-not-int overflow fix: big ids go through LongType.
+    */
+  def q05ProjectCast(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .select(
+        col("o_orderkey").cast("int").cast("string").as("order_id"),
+        (col("o_orderkey") * lit(1000000L) + col("o_custkey"))
+          .cast("long").cast("string").as("admission_id"),
+        col("o_totalprice").cast("int").as("price_int"),
+        col("o_orderdate").cast("date").as("order_date"))
+      .orderBy(col("order_id").cast("long"))
+
+  /** P5 filter-not-null + injected nulls (testdata has none): the
+    * `WHERE fltno IS NOT NULL` builder predicate (etl.py:274-275).
+    */
+  def q06FilterNotNull(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .withColumn("maybe_value",
+        when(col("value") >= 1.0, col("value")))
+      .filter(col("maybe_value").isNotNull && col("event_type") =!= "error")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("cnt"), round(sum(col("maybe_value")), 2).as("sum_value"))
+      .orderBy(col("event_type"))
+
+  /** P6 equality filter (notebook cell 69 `city == 'DALTONS CACHE'`). */
+  def q07FilterEq(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .filter(col("c_mktsegment") === lit("BUILDING"))
+      .select(col("c_custkey"), col("c_name"),
+        round(col("c_acctbal"), 2).as("acctbal"))
+      .orderBy(col("c_custkey"))
+
+  /** P7/F4/F5: `CASE WHEN x LIKE 'US-%' THEN SPLIT(x,'-')[1]` (etl.py:301)
+    * transposed onto customer names (`Customer#000000042`).
+    */
+  def q08CaseLikeSplit(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .select(
+        col("c_custkey"),
+        when(col("c_name").like("Customer#%"), split(col("c_name"), "#")(1))
+          .otherwise(lit(null)).as("name_digits"))
+      .orderBy(col("c_custkey"))
+
+  /** The i94_dates dim builder (etl.py:355-376): distinct dates with
+    * calendar attributes + weekend flag (P8/F7/F8/A2). Spark dayofweek is
+    * Sunday=1 — the reference's convention (SURVEY.md §2.8 F7).
+    */
+  def q09DatesDim(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .select(col("o_orderdate").cast("date").as("order_date"))
+      .dropDuplicates()
+      .select(
+        col("order_date"),
+        year(col("order_date")).as("year"),
+        month(col("order_date")).as("month"),
+        dayofmonth(col("order_date")).as("day"),
+        dayofweek(col("order_date")).as("dayofweek"),
+        when(dayofweek(col("order_date")) === 1 || dayofweek(col("order_date")) === 7,
+          lit("weekend")).otherwise(lit("weekday")).as("is_weekend"))
+      .orderBy(col("order_date"))
+
+  /** A3: SELECT DISTINCT projection (etl.py:208 etc.). */
+  def q10Distinct(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .select(col("l_returnflag"), col("l_linestatus"))
+      .distinct()
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+
+  /** A2: dropDuplicates over full rows (etl.py:172,203,374) on a
+    * projection that actually contains duplicates.
+    */
+  def q11DedupRows(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .select(col("l_returnflag"), col("l_linestatus"), col("l_quantity"))
+      .dropDuplicates()
+      .orderBy(col("l_returnflag"), col("l_linestatus"), col("l_quantity"))
+
+  /** A4: global min/max aggregate (notebook cells 25-27). */
+  def q12MinMax(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .agg(
+        min(col("o_orderdate")).cast("date").as("min_date"),
+        max(col("o_orderdate")).cast("date").as("max_date"),
+        round(min(col("o_totalprice")), 2).as("min_price"),
+        round(max(col("o_totalprice")), 2).as("max_price"),
+        count(lit(1)).as("n"))
+
+  /** A5: the DQ null-key check (i94_data_quality_check.py:89-107) —
+    * conditional count of null/NaN per key column, type-aware (`isnan`
+    * only on numerics, fixing the reference's crash path §7.4-6).
+    * Nulls injected since testdata is null-free.
+    */
+  def q13NullCounts(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .withColumn("v", when(col("value") < 2.0, lit(null).cast("double")).otherwise(col("value")))
+      .withColumn("p", when(col("event_type") === "error", lit(null).cast("string")).otherwise(col("props")))
+    ev.agg(
+      count(when(col("v").isNull || isnan(col("v")), lit(1))).as("null_v"),
+      count(when(col("p").isNull, lit(1))).as("null_p"),
+      count(when(col("user_id").isNull, lit(1))).as("null_user"),
+      count(lit(1)).as("total"))
+  }
+
+  /** A6: frequency / top-k profiling (value_counts → groupBy-count-sort). */
+  def q14TopkFreq(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("event_type"))
+      .limit(3)
+
+  /** A7: exact distinct cardinality (`admnum.nunique()`). */
+  def q15CountDistinct(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .agg(
+        countDistinct(col("o_custkey")).as("n_custs"),
+        countDistinct(col("o_orderpriority")).as("n_priorities"),
+        count(lit(1)).as("n_orders"))
+
+  /** A8: null-rate profile as percentages (Capstone Template cells 27, 61). */
+  def q16NullRate(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .withColumn("v", when(col("value") < 5.0, lit(null).cast("double")).otherwise(col("value")))
+    ev.agg(
+      round(count(when(col("v").isNull, lit(1))) * lit(100.0) / count(lit(1)), 4).as("pct_v"),
+      round(count(when(col("props").isNull, lit(1))) * lit(100.0) / count(lit(1)), 4).as("pct_props"))
+  }
+
+  /** §2.4 join layer: left outer fact⋈dim keeping empty dims. */
+  def q17JoinLeft(spark: SparkSession, dir: String): DataFrame = {
+    val n = Tables.nation(spark, dir)
+    val c = Tables.customer(spark, dir)
+    n.join(c, n("n_nationkey") === c("c_nationkey"), "left")
+      .groupBy(col("n_name"))
+      .agg(count(col("c_custkey")).as("n_customers"),
+        round(sum(coalesce(col("c_acctbal"), lit(0.0))), 2).as("total_bal"))
+      .orderBy(col("n_name"))
+  }
+
+  /** §2.4: left_semi — customers that have at least one urgent order
+    * (EXISTS). The semi-join never widens rows; Spark broadcasts the
+    * filtered orders key set when small.
+    */
+  def q18SemiJoin(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    val o = Tables.orders(spark, dir).filter(col("o_orderpriority") === "1-URGENT")
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_mktsegment"))
+      .orderBy(col("c_custkey"))
+  }
+
+  /** §2.4: left_anti — referential-integrity DQ: customers with no orders
+    * (the natural formulation of the reference's null-key intent).
+    */
+  def q19AntiJoin(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    val o = Tables.orders(spark, dir).filter(col("o_orderpriority") === "1-URGENT")
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy(col("c_custkey"))
+  }
+
+  /** §2.6: rank-per-group — README's "favourite mode per country" shape:
+    * top-3 spenders per nation via window rank with a total tie-break.
+    */
+  def q20WindowRank(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val c = Tables.customer(spark, dir).select("c_custkey", "c_nationkey")
+    val spend = o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .groupBy(col("c_nationkey"), col("c_custkey"))
+      .agg(round(sum(col("o_totalprice")), 2).as("spend"))
+    val w = Window.partitionBy(col("c_nationkey"))
+      .orderBy(col("spend").desc, col("c_custkey"))
+    spend.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .select(col("c_nationkey"), col("c_custkey"), col("spend"), col("rk"))
+      .orderBy(col("c_nationkey"), col("rk"))
+  }
+
+  /** P10 done right: deterministic surrogate key via row_number over an
+    * explicit total order (replaces monotonically_increasing_id —
+    * SURVEY.md §7.4-5).
+    */
+  def q21RowNumber(spark: SparkSession, dir: String): DataFrame = {
+    // NB: unpartitioned window = single partition; acceptable only because
+    // the selective filter runs first (top ~1% of orders).
+    val w = Window.orderBy(col("o_orderkey"))
+    Tables.orders(spark, dir)
+      .filter(col("o_totalprice") > 490000.0)
+      .select(col("o_orderkey"), round(col("o_totalprice"), 2).as("price"))
+      .withColumn("trip_id", row_number().over(w))
+      .orderBy(col("o_orderkey"))
+  }
+
+  /** UD1: SAS date conversion — days-since-1960-01-01 → DateType as a
+    * native expression, not a UDF (etl.py:130-140 → SURVEY.md §2.9).
+    */
+  def q22SasDate(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .select(graft.functions.Dates.sasDate(col("l_orderkey") % 20000).as("sas_date"))
+      .groupBy(col("sas_date"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("sas_date"))
+      .limit(100)
+
+  /** UD2: flexible 2-layout string→date parse with junk→null — the
+    * *intended* semantics of the reference's buggy change_date_format
+    * (etl.py:142-159; notebook cell 19), as native expressions.
+    */
+  def q23FlexDate(spark: SparkSession, dir: String): DataFrame = {
+    val raw = Tables.orders(spark, dir)
+      .withColumn("s",
+        when(col("o_orderkey") % 3 === 0, date_format(col("o_orderdate"), "yyyyMMdd"))
+          .when(col("o_orderkey") % 3 === 1, date_format(col("o_orderdate"), "MMddyyyy"))
+          .otherwise(lit("D/S")))
+    raw.select(col("o_orderkey"),
+        graft.functions.Dates.flexDate(col("s")).as("parsed"))
+      .groupBy(col("parsed"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("parsed").asc_nulls_first)
+  }
+
+  /** F3/F10: UPPER + split-city-from-state on 'CITY, ST'-shaped strings
+    * (etl.py:347, 559-562) — last-comma split handles embedded commas.
+    */
+  def q24PortSplit(spark: SparkSession, dir: String): DataFrame = {
+    val n = Tables.nation(spark, dir)
+    val r = Tables.region(spark, dir)
+    n.join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .select(concat(col("n_name"), lit(", "), col("r_name")).as("port"))
+      .select(
+        upper(trim(regexp_replace(col("port"), ",[^,]*$", ""))).as("city"),
+        upper(trim(regexp_extract(col("port"), "([^,]+)$", 1))).as("state"))
+      .orderBy(col("city"), col("state"))
+  }
+
+  /** Batch analog of the streaming surface (§2.10): tumbling 1-day window
+    * counts over events — date_trunc keeps the output hash-stable.
+    */
+  def q25EventsDaily(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(date_trunc("DAY", col("ts")).cast("date").as("day"),
+        col("event_type"))
+      .agg(count(lit(1)).as("cnt"), round(sum(col("value")), 2).as("sum_value"))
+      .orderBy(col("day"), col("event_type"))
+
+  /** README Q-style analytics: avg ship delay (datediff) per priority —
+    * the "average stay duration" shape (SURVEY.md §7.1-7).
+    */
+  def q26AvgDelay(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir).select(col("o_orderkey"), col("o_orderpriority"), col("o_orderdate"))
+    val l = Tables.lineitem(spark, dir).select(col("l_orderkey"), col("l_shipdate"))
+    l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        round(avg(datediff(col("l_shipdate").cast("date"), col("o_orderdate").cast("date"))), 4).as("avg_delay_days"),
+        count(lit(1)).as("n_lines"))
+      .orderBy(col("o_orderpriority"))
+  }
+}
