@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.CoreQueries
+import graft.operators.{CoreQueries, DedupOps, MultimodalOps, SimilarityOps, TextAnalysisOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -45,6 +45,22 @@ object SparkEntry {
     "q24_port_split"      -> (CoreQueries.q24PortSplit _),
     "q25_events_daily"    -> (CoreQueries.q25EventsDaily _),
     "q26_avg_delay"       -> (CoreQueries.q26AvgDelay _),
+    // training-data pipeline extensions (dedup / similarity / text / multimodal)
+    "q27_dedup_exact"     -> ((s, d) => DedupOps.exactDedup(s, d)),
+    "q28_word_jaccard"    -> ((s, d) => DedupOps.wordJaccardPairs(s, d)),
+    "q29_minhash_neardup" -> ((s, d) => DedupOps.minhashNearDup(s, d)),
+    "q30_simhash_neardup" -> ((s, d) => DedupOps.simhashNearDup(s, d)),
+    "q31_cosine_topk"     -> ((s, d) => SimilarityOps.bruteForceTopK(s, d)),
+    "q32_cosine_neardup"  -> ((s, d) => SimilarityOps.cosineNearDup(s, d)),
+    "q33_lsh_topk"        -> ((s, d) => SimilarityOps.lshTopK(s, d)),
+    "q34_lang_id"         -> ((s, d) => TextAnalysisOps.langId(s, d)),
+    "q35_quality_score"   -> ((s, d) => TextAnalysisOps.qualityScore(s, d)),
+    "q36_token_stats"     -> ((s, d) => TextAnalysisOps.tokenStats(s, d)),
+    "q37_fingerprints"    -> ((s, d) => TextAnalysisOps.fingerprints(s, d)),
+    "q38_rolling_fp"      -> ((s, d) => TextAnalysisOps.rollingFingerprints(s, d)),
+    "q39_media_meta"      -> ((s, d) => MultimodalOps.mediaMeta(s, d)),
+    "q40_media_features"  -> ((s, d) => MultimodalOps.featureSummary(s, d)),
+    "q41_frame_sample"    -> ((s, d) => MultimodalOps.frameSample(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -203,5 +219,119 @@ object SparkEntry {
          count(*) AS n_lines
          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
          GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+    // --- extensions. Norm = lower/trim/collapse-whitespace, identical on
+    // both sides (DuckDB regexp_replace needs the 'g' flag to match
+    // Spark's replace-all).
+    "q27_dedup_exact" ->
+      """SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,
+         min(doc_id) AS canonical_id, count(*) AS n_copies
+         FROM documents GROUP BY 1 ORDER BY canonical_id""",
+    "q28_word_jaccard" ->
+      """WITH docs AS (
+           SELECT doc_id, list_distinct(string_split(
+             regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS toks
+           FROM documents WHERE doc_id % 5 = 0),
+         tok AS (SELECT doc_id, len(toks) AS n, unnest(toks) AS tok FROM docs)
+         SELECT id_a, id_b, round(jaccard, 4) AS jaccard FROM (
+           SELECT l.doc_id AS id_a, r.doc_id AS id_b,
+             count(*) * 1.0 / (l.n + r.n - count(*)) AS jaccard
+           FROM tok l JOIN tok r ON l.tok = r.tok AND l.doc_id < r.doc_id
+           GROUP BY l.doc_id, r.doc_id, l.n, r.n)
+         WHERE jaccard >= 0.6 ORDER BY id_a, id_b""",
+    "q31_cosine_topk" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+                    FROM embeddings WHERE vec_id < 8),
+         c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         scored AS (
+           SELECT query_id, vec_id,
+             round(list_inner_product(qv, v) /
+               (sqrt(list_inner_product(qv, qv)) * sqrt(list_inner_product(v, v))), 4) AS cos
+           FROM q CROSS JOIN c WHERE vec_id <> query_id)
+         SELECT query_id, vec_id AS neighbor_id, cos, rk FROM (
+           SELECT query_id, vec_id, cos,
+             CAST(row_number() OVER (PARTITION BY query_id
+                  ORDER BY cos DESC, vec_id) AS INT) AS rk
+           FROM scored)
+         WHERE rk <= 5 ORDER BY query_id, rk""",
+    "q32_cosine_neardup" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
+                    FROM embeddings WHERE vec_id < 200)
+         SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_inner_product(a.v, b.v) /
+             (sqrt(list_inner_product(a.v, a.v)) * sqrt(list_inner_product(b.v, b.v))), 4) AS cos
+         FROM e a JOIN e b ON a.vec_id < b.vec_id
+         WHERE round(list_inner_product(a.v, b.v) /
+             (sqrt(list_inner_product(a.v, a.v)) * sqrt(list_inner_product(b.v, b.v))), 4) >= 0.35
+         ORDER BY id_a, id_b""",
+    "q34_lang_id" ->
+      """WITH t AS (SELECT doc_id, string_split(
+             regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS toks
+           FROM documents),
+         s AS (SELECT doc_id,
+           len(list_filter(toks, x -> x IN ('the','a','of','and','to','is'))) AS s_en,
+           len(list_filter(toks, x -> x IN ('el','la','de','y','que','es'))) AS s_es,
+           len(list_filter(toks, x -> x IN ('le','la','et','les','des','est'))) AS s_fr,
+           len(list_filter(toks, x -> x IN ('der','die','und','das','ist','ein'))) AS s_de,
+           len(list_filter(toks, x -> x IN ('的','是','了','在','我','有'))) AS s_zh
+           FROM t),
+         p AS (SELECT doc_id, CASE
+             WHEN greatest(s_en, s_es, s_fr, s_de, s_zh) <= 0 THEN 'und'
+             WHEN s_en = greatest(s_en, s_es, s_fr, s_de, s_zh) THEN 'en'
+             WHEN s_es = greatest(s_en, s_es, s_fr, s_de, s_zh) THEN 'es'
+             WHEN s_fr = greatest(s_en, s_es, s_fr, s_de, s_zh) THEN 'fr'
+             WHEN s_de = greatest(s_en, s_es, s_fr, s_de, s_zh) THEN 'de'
+             WHEN s_zh = greatest(s_en, s_es, s_fr, s_de, s_zh) THEN 'zh'
+             ELSE 'und' END AS lang_pred FROM s)
+         SELECT lang_pred, count(*) AS n_docs FROM p
+         GROUP BY lang_pred ORDER BY lang_pred""",
+    "q35_quality_score" ->
+      """WITH t AS (SELECT doc_id, text, string_split(
+             regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS toks
+           FROM documents),
+         m AS (SELECT doc_id, len(toks) AS n_tokens,
+           CASE WHEN len(toks) > 0
+                THEN CAST(floor(len(list_distinct(toks)) * 3000.0 / len(toks)) AS BIGINT)
+                ELSE 0 END AS diversity,
+           CASE WHEN len(toks) BETWEEN 20 AND 1000 THEN 400
+                WHEN len(toks) BETWEEN 5 AND 19 THEN 200 ELSE 0 END AS length_band,
+           CASE WHEN len(toks) > 0
+                THEN len(list_filter(toks, x -> x IN
+                  ('the','a','an','of','to','in','and','is','it','that'))) * 1.0 / len(toks)
+                ELSE 0.0 END AS sr,
+           CASE WHEN length(regexp_replace(text, '\s', '', 'g')) > 0
+                THEN length(regexp_replace(text, '[^!-/:-@\[-`{-~]', '', 'g')) * 1.0 /
+                     length(regexp_replace(text, '\s', '', 'g'))
+                ELSE 0.0 END AS pr
+           FROM t)
+         SELECT doc_id, CAST(n_tokens AS INT) AS n_tokens,
+           greatest(0, (length_band +
+             (CASE WHEN sr BETWEEN 0.01 AND 0.6 THEN 300 ELSE 0 END) -
+             (CASE WHEN pr > 0.2 THEN 200 ELSE 0 END)) * 10 + diversity) / 10000.0 AS quality
+         FROM m ORDER BY doc_id""",
+    "q36_token_stats" ->
+      """SELECT source,
+         CAST(sum(len(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' '))) AS BIGINT) AS total_ws_tokens,
+         CAST(sum(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]'))) AS BIGINT) AS total_bpe_tokens,
+         count(*) AS n_docs
+         FROM documents GROUP BY source ORDER BY source""",
+    "q37_fingerprints" ->
+      """SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+         FROM documents ORDER BY doc_id""",
+    "q39_media_meta" ->
+      """SELECT doc_id,
+         CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'wav' ELSE 'mp4' END AS format,
+         CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+         FROM documents ORDER BY doc_id""",
+    "q41_frame_sample" ->
+      """SELECT doc_id, format, CAST(i AS INT) AS frame_no,
+           CAST(greatest(0, least(frame_len, n_bytes - i * frame_len)) AS BIGINT) AS frame_bytes
+         FROM (SELECT doc_id,
+                 CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'wav' ELSE 'mp4' END AS format,
+                 octet_length(encode(text)) AS n_bytes,
+                 greatest(CAST(trunc(octet_length(encode(text)) / 4.0) AS INT), 1) AS frame_len
+               FROM documents)
+         CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS i)
+         WHERE greatest(0, least(frame_len, n_bytes - i * frame_len)) > 0
+         ORDER BY doc_id, frame_no""",
   )
 }

@@ -1,0 +1,66 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text primitives for the large-scale training-data pipeline operators
+  * (dedup / text analysis). All pure Catalyst expressions — codegen'd,
+  * no UDFs, so they stay inside whole-stage codegen at 100 TB.
+  */
+object Text {
+
+  /** Canonical form: lowercase, trim, collapse runs of whitespace. */
+  def normText(c: Column): Column =
+    regexp_replace(lower(trim(c)), "\\s+", " ")
+
+  /** Whitespace tokens of the normalized text. */
+  def tokens(c: Column): Column = split(normText(c), " ")
+
+  /** Whitespace token count. */
+  def tokenCount(c: Column): Column = size(tokens(c))
+
+  /** BPE-ish subword-atom count: word pieces + digits + punctuation as
+    * separate atoms (a cheap deterministic proxy for a real tokenizer).
+    */
+  def bpeishTokenCount(c: Column): Column =
+    size(regexp_extract_all(c, lit("[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]"), lit(0)))
+
+  /** Punctuation character ratio over all non-space characters. */
+  def punctRatio(c: Column): Column = {
+    val nonSpace = length(regexp_replace(c, "\\s", ""))
+    val punct = length(regexp_replace(c, "[^!-/:-@\\[-`{-~]", ""))
+    when(nonSpace > 0, punct.cast("double") / nonSpace.cast("double")).otherwise(lit(0.0))
+  }
+
+  /** Ratio of tokens that are English stopwords (tiny fixed list). */
+  val stopwords: Seq[String] =
+    Seq("the", "a", "an", "of", "to", "in", "and", "is", "it", "that")
+
+  def stopwordRatio(c: Column): Column = {
+    val toks = tokens(c)
+    val stops = filter(toks, t => t.isin(stopwords.map(lit(_)): _*))
+    when(size(toks) > 0, size(stops).cast("double") / size(toks).cast("double"))
+      .otherwise(lit(0.0))
+  }
+
+  /** Word n-gram shingles (distinct) of the normalized text. n >= 1. */
+  def wordShingles(c: Column, n: Int): Column = {
+    val toks = tokens(c)
+    array_distinct(
+      transform(sequence(lit(1), greatest(size(toks) - (n - 1), lit(0))),
+        i => concat_ws(" ", slice(toks, i, lit(n)))))
+  }
+
+  /** Content fingerprint: md5 of the canonical form — engine-portable
+    * (identical in any md5 implementation), the exact-dedup key.
+    */
+  def fingerprintMd5(c: Column): Column = md5(normText(c))
+
+  /** Rolling polynomial fingerprint over tokens (order-sensitive,
+    * xxhash64-based). Spark-deterministic; not portable across engines —
+    * used by the rows-only dedup path, never in an oracle query.
+    */
+  def rollingFingerprint(c: Column): Column =
+    aggregate(tokens(c), lit(0L),
+      (acc, t) => acc * lit(1000003L) + xxhash64(t))
+}
