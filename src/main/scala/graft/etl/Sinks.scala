@@ -1,0 +1,49 @@
+package graft.etl
+
+import org.apache.spark.sql.DataFrame
+
+/** Write-side registry (SURVEY.md §2.2 K1-K4): each output table routed to
+  * its format / partitioning / mode, mirroring the reference's dispatch
+  * (/root/reference/Capstone/scripts/etl.py:434-491, 754-841).
+  * `partitionBy(i94_year, i94_month)` is the data-model-level layout that
+  * makes month-scoped reads prune at 100 TB.
+  */
+object Sinks {
+
+  sealed trait Format
+  case object Parquet extends Format
+  case object Csv extends Format
+
+  case class TableSpec(name: String, format: Format,
+      partitionCols: Seq[String] = Nil, overwrite: Boolean = true)
+
+  /** The 13-table routing (etl.py:754-841): big SAS-derived tables →
+    * partitioned parquet; flights + CSV-derived + dictionary dims →
+    * unpartitioned CSV.
+    */
+  val registry: Seq[TableSpec] = Seq(
+    TableSpec("i94_immigrations", Parquet, Seq("i94_year", "i94_month")),
+    TableSpec("i94_trips", Parquet, Seq("i94_year", "i94_month")),
+    TableSpec("i94_visitors", Parquet, Seq("i94_year", "i94_month")),
+    TableSpec("i94_dates", Parquet, Seq("i94_year", "i94_month")),
+    TableSpec("i94_flights", Csv),
+    TableSpec("i94_airports", Csv),
+    TableSpec("i94_us_states_demographic", Csv),
+    TableSpec("i94_us_cities_demographic", Csv),
+    TableSpec("i94_countries", Csv),
+    TableSpec("i94_port_state_mapping", Csv),
+    TableSpec("i94_travel_mode", Csv),
+    TableSpec("i94_state_mapping", Csv),
+    TableSpec("i94_visa", Csv))
+
+  def write(df: DataFrame, spec: TableSpec, outputDir: String): Unit = {
+    val mode = if (spec.overwrite) "overwrite" else "append"
+    val w0 = df.write.option("header", "true").mode(mode)
+    val w = if (spec.partitionCols.nonEmpty) w0.partitionBy(spec.partitionCols: _*) else w0
+    val path = s"$outputDir/${spec.name}"
+    spec.format match {
+      case Parquet => w.parquet(path)
+      case Csv     => w.csv(path)
+    }
+  }
+}

@@ -43,12 +43,18 @@ object Text {
       .otherwise(lit(0.0))
   }
 
-  /** Word n-gram shingles (distinct) of the normalized text. n >= 1. */
+  /** Word n-gram shingles (distinct) of the normalized text. n >= 1.
+    * Texts shorter than n tokens yield an empty array (guard needed:
+    * Spark's sequence(1, 0) counts *down*, producing a 0 start that
+    * slice rejects).
+    */
   def wordShingles(c: Column, n: Int): Column = {
     val toks = tokens(c)
-    array_distinct(
-      transform(sequence(lit(1), greatest(size(toks) - (n - 1), lit(0))),
-        i => concat_ws(" ", slice(toks, i, lit(n)))))
+    when(size(toks) >= n,
+      array_distinct(
+        transform(sequence(lit(1), size(toks) - (n - 1)),
+          i => concat_ws(" ", slice(toks, i, lit(n))))))
+      .otherwise(array().cast("array<string>"))
   }
 
   /** Content fingerprint: md5 of the canonical form — engine-portable

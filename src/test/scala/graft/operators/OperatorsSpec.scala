@@ -1,0 +1,67 @@
+package graft.operators
+
+import graft.SparkSpecBase
+import org.apache.spark.sql.functions._
+
+class OperatorsSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("exactDedup collapses planted duplicates") {
+    val got = Seq((1L, "a b c"), (2L, "a  B   c"), (3L, "x y z"))
+      .toDF("doc_id", "text")
+      .groupBy(graft.functions.Text.fingerprintMd5(col("text")).as("fp"))
+      .agg(min(col("doc_id")).as("canonical_id"), count(lit(1)).as("n_copies"))
+    val byId = got.collect().map(r => r.getAs[Long]("canonical_id") -> r.getAs[Long]("n_copies")).toMap
+    assert(byId(1L) === 2) // whitespace/case variants collapse
+    assert(byId(3L) === 1)
+  }
+
+  test("minhash near-dup finds planted near-duplicates in testdata") {
+    val pairs = DedupOps.minhashNearDup(spark, sf0001).collect()
+    assert(pairs.nonEmpty)
+    assert(pairs.forall(_.getAs[Double]("jaccard") >= 0.5))
+  }
+
+  test("simhash: identical docs → distance 0; near docs small hamming") {
+    val sh = Seq("a b c d e f g h", "a b c d e f g h", "completely different words here")
+      .toDF("text").select(DedupOps.simhash(col("text")).as("s")).as[Long].collect()
+    assert(sh(0) === sh(1))
+    assert(java.lang.Long.bitCount(sh(0) ^ sh(2)) > 3)
+  }
+
+  test("brute-force topk: k neighbors per query, ranked by cosine") {
+    val got = SimilarityOps.bruteForceTopK(spark, sf0001, nQueries = 3, k = 4).collect()
+    val byQuery = got.groupBy(_.getAs[Long]("query_id"))
+    assert(byQuery.keySet === Set(0L, 1L, 2L))
+    byQuery.values.foreach { rows =>
+      assert(rows.map(_.getAs[Int]("rk")).sorted.toSeq === Seq(1, 2, 3, 4))
+      val cs = rows.sortBy(_.getAs[Int]("rk")).map(_.getAs[Double]("cos"))
+      assert(cs.zip(cs.tail).forall { case (a, b) => a >= b }) // descending
+    }
+  }
+
+  test("lsh topk is a subset-quality ANN: all results are true vectors") {
+    val ids = graft.Tables.embeddings(spark, sf0001).select("vec_id").as[Long].collect().toSet
+    val got = SimilarityOps.lshTopK(spark, sf0001, nQueries = 4, k = 3).collect()
+    assert(got.forall(r => ids(r.getAs[Long]("neighbor_id"))))
+    assert(got.nonEmpty)
+  }
+
+  test("langId deterministic with fixed tiebreak; quality in [0,1]") {
+    val l = TextAnalysisOps.langId(spark, sf0001).collect()
+    assert(l.map(_.getAs[Long]("n_docs")).sum === 500)
+    val q = TextAnalysisOps.qualityScore(spark, sf0001)
+      .select(min(col("quality")), max(col("quality"))).head()
+    assert(q.getDouble(0) >= 0.0 && q.getDouble(1) <= 1.0)
+  }
+
+  test("multimodal: stub decode preserves ids, batch shape, frame slicing") {
+    val feats = MultimodalOps.extractFeatures(spark, sf0001).collect()
+    assert(feats.length === 500)
+    assert(feats.forall(_.feature.length === 8))
+    val frames = MultimodalOps.frameSample(spark, sf0001, n = 4)
+    assert(frames.count() > 0)
+    val f0 = frames.filter(col("doc_id") === 0).collect()
+    assert(f0.map(_.getAs[Int]("frame_no")).toSeq === f0.map(_.getAs[Int]("frame_no")).sorted.toSeq)
+  }
+}
