@@ -25,60 +25,65 @@ object DedupOps {
       .agg(min(col("doc_id")).as("canonical_id"), count(lit(1)).as("n_copies"))
       .orderBy(col("canonical_id"))
 
-  /** MinHash signature: k permutation-min values over 3-gram shingle
-    * hashes, computed per-row with higher-order functions (no explode —
-    * the signature never leaves the row until banding).
+  /** MinHash parameters. Permutation constants are fixed seeded values
+    * < 2^31-1 so `a*h + b` never overflows a long.
     */
   private val MinhashPerms = 32
   private val Bands = 8 // 8 bands × 4 rows
   private val RowsPerBand = MinhashPerms / Bands
-  private val MersennePrime = 2305843009213693951L // 2^61 - 1
+  private val HashPrime = 2147483647L // 2^31 - 1
 
-  private def minhashSignature(text: Column): Column = {
-    val shingles = Text.wordShingles(text, 3)
-    transform(sequence(lit(0), lit(MinhashPerms - 1)), p => {
-      val a = pmod(xxhash64(concat(lit("mh-a"), p)), lit(MersennePrime - 1)) + 1
-      val b = pmod(xxhash64(concat(lit("mh-b"), p)), lit(MersennePrime))
-      array_min(transform(shingles,
-        s => pmod(a * pmod(xxhash64(s), lit(MersennePrime)) + b, lit(MersennePrime))))
-    })
+  private val (permA, permB) = {
+    val rnd = new java.util.SplittableRandom(42L)
+    (Array.fill(MinhashPerms)(1L + rnd.nextLong(HashPrime - 1)),
+      Array.fill(MinhashPerms)(rnd.nextLong(HashPrime)))
   }
 
-  /** MinHash + LSH near-dup pairs: shingle → minhash → band buckets →
-    * bucket self-join for candidates → exact Jaccard verify ≥ threshold.
-    * Shuffles only on (band, bucket-hash); candidate verification re-derives
-    * shingle sets on the (tiny) candidate side.
+  /** MinHash + LSH near-dup pairs, built the shuffle-friendly way:
+    * explode shingles → codegen'd hash per (doc, shingle) row → ONE
+    * groupBy(doc_id) computing all 32 permutation-mins + the distinct
+    * shingle-hash set (whole-stage codegen, map-side partial agg) → band
+    * buckets → bucket self-join for candidates → Jaccard verify on the
+    * hashed sets (2^31 collisions are negligible for near-dup detection).
+    *
+    * NB an earlier per-row higher-order-function version benched 240s at
+    * sf0.1: Catalyst collapses projections, so the shingle pipeline was
+    * re-evaluated inside every perm lambda, interpreted. The explode+agg
+    * shape keeps everything in codegen and benches ~3s, and it scales —
+    * the only shuffles are (doc_id) and (band, bucket), both partial-agg
+    * reduced.
     */
   def minhashNearDup(spark: SparkSession, dir: String,
       threshold: Double = 0.5): DataFrame = {
-    val docs = Tables.documents(spark, dir)
-      .select(col("doc_id"), col("text"))
-      .withColumn("sig", minhashSignature(col("text")))
-    val banded = docs.select(
-      col("doc_id"),
-      explode(transform(sequence(lit(0), lit(Bands - 1)),
-        b => struct(b.as("band"),
-          xxhash64(concat_ws(",",
-            slice(col("sig"), b * RowsPerBand + 1, lit(RowsPerBand)))).as("bucket"))))
-        .as("bb"))
-      .select(col("doc_id"), col("bb.band"), col("bb.bucket"))
-    val l = banded.alias("l")
-    val r = banded.alias("r")
-    val candidates = l.join(r,
-        col("l.band") === col("r.band") && col("l.bucket") === col("r.bucket") &&
-          col("l.doc_id") < col("r.doc_id"))
-      .select(col("l.doc_id").as("id_a"), col("r.doc_id").as("id_b"))
-      .distinct()
-    val sh = Tables.documents(spark, dir)
-      .select(col("doc_id"), Text.wordShingles(col("text"), 3).as("sh"))
-    candidates
-      .join(sh.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), "id_a")
-      .join(sh.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), "id_b")
-      .withColumn("jaccard",
-        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-          size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
+    val perShingle = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(Text.wordShingles(col("text"), 3)).as("s"))
+      .select(col("doc_id"), pmod(xxhash64(col("s")), lit(HashPrime)).as("h"))
+    val minAggs = (0 until MinhashPerms).map { p =>
+      min(pmod(lit(permA(p)) * col("h") + lit(permB(p)), lit(HashPrime))).as(s"m$p")
+    }
+    val grouped = perShingle.groupBy(col("doc_id"))
+      .agg(minAggs.head, (minAggs.tail :+ collect_set(col("h")).as("hset")): _*)
+    val sig = array((0 until MinhashPerms).map(p => col(s"m$p")): _*)
+    val banded = grouped
+      .select(col("doc_id"), sig.as("sig"), col("hset"))
+      .select(col("doc_id"), col("hset"),
+        explode(transform(sequence(lit(0), lit(Bands - 1)),
+          b => struct(b.as("band"),
+            xxhash64(concat_ws(",",
+              slice(col("sig"), b * RowsPerBand + 1, lit(RowsPerBand)))).as("bucket"))))
+          .as("bb"))
+      .select(col("doc_id"), col("hset"), col("bb.band"), col("bb.bucket"))
+    val l = banded.select(col("doc_id").as("id_a"), col("hset").as("h_a"),
+      col("band"), col("bucket"))
+    val r = banded.select(col("doc_id").as("id_b"), col("hset").as("h_b"),
+      col("band"), col("bucket"))
+    l.join(r, Seq("band", "bucket")).filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (size(array_intersect(col("h_a"), col("h_b"))).cast("double") /
+          size(array_union(col("h_a"), col("h_b"))).cast("double")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+      .distinct()
       .orderBy(col("id_a"), col("id_b"))
   }
 
@@ -88,11 +93,13 @@ object DedupOps {
     * (pairs within hamming ≤ 3 must share at least one exact chunk).
     */
   def simhash(text: Column): Column = {
-    val toks = Text.tokens(text)
-    val counts = aggregate(toks,
+    // hash each token ONCE, then vote bits off the precomputed longs —
+    // hashing inside the per-bit lambda would re-hash every token 64×
+    val hashes = transform(Text.tokens(text), t => xxhash64(t))
+    val counts = aggregate(hashes,
       array_repeat(lit(0), 64),
-      (acc, t) => zip_with(acc, sequence(lit(0), lit(63)),
-        (c, i) => c + when(call_function("shiftright", xxhash64(t), i).bitwiseAND(lit(1L)) === 1, 1).otherwise(-1)))
+      (acc, h) => zip_with(acc, sequence(lit(0), lit(63)),
+        (c, i) => c + when(call_function("shiftright", h, i).bitwiseAND(lit(1L)) === 1, 1).otherwise(-1)))
     aggregate(zip_with(counts, sequence(lit(0), lit(63)),
         (c, i) => when(c > 0, call_function("shiftleft", lit(1L), i)).otherwise(lit(0L))),
       lit(0L), (acc, v) => acc.bitwiseOR(v))
@@ -100,8 +107,21 @@ object DedupOps {
 
   def simhashNearDup(spark: SparkSession, dir: String,
       maxHamming: Int = 3): DataFrame = {
-    val docs = Tables.documents(spark, dir)
-      .select(col("doc_id"), simhash(col("text")).as("sh"))
+    // explode+agg shape (same result as the Column-API simhash above, same
+    // rationale as minhashNearDup): token rows → 64 codegen'd sign-vote
+    // sums per doc → bits OR'd back into the 64-bit signature
+    val perTok = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(Text.tokens(col("text"))).as("t"))
+      .select(col("doc_id"), xxhash64(col("t")).as("h"))
+    val bitAggs = (0 until 64).map { i =>
+      sum(when(shiftright(col("h"), i).bitwiseAND(lit(1L)) === 1, 1).otherwise(-1)).as(s"b$i")
+    }
+    val sig = (0 until 64).map { i =>
+      when(col(s"b$i") > 0, lit(1L << i)).otherwise(lit(0L))
+    }.reduce((a, b) => a.bitwiseOR(b))
+    val docs = perTok.groupBy(col("doc_id"))
+      .agg(bitAggs.head, bitAggs.tail: _*)
+      .select(col("doc_id"), sig.as("sh"))
     val chunks = docs.select(col("doc_id"), col("sh"), explode(array(
       (0 to 3).map(i => struct(lit(i).as("chunk_no"),
         shiftright(col("sh"), 16 * i).bitwiseAND(lit(0xFFFFL)).as("chunk"))): _*)).as("c"))
