@@ -61,6 +61,7 @@ object SparkEntry {
     "q39_media_meta"      -> ((s, d) => MultimodalOps.mediaMeta(s, d)),
     "q40_media_features"  -> ((s, d) => MultimodalOps.featureSummary(s, d)),
     "q41_frame_sample"    -> ((s, d) => MultimodalOps.frameSample(s, d)),
+    "q42_approx_distinct" -> (CoreQueries.q42ApproxDistinct _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -209,6 +209,17 @@ object CoreQueries {
         countDistinct(col("o_orderpriority")).as("n_priorities"),
         count(lit(1)).as("n_orders"))
 
+  /** A7 scale path: approximate distinct cardinality via HLL — at 100 TB
+    * exact countDistinct shuffles every key; HLL sketches merge in fixed
+    * space. Rows-only check (sketch internals differ across engines).
+    */
+  def q42ApproxDistinct(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .agg(
+        approx_count_distinct(col("l_orderkey"), 0.01).as("approx_orders"),
+        approx_count_distinct(col("l_partkey"), 0.01).as("approx_parts"),
+        count(lit(1)).as("n_rows"))
+
   /** A8: null-rate profile as percentages (Capstone Template cells 27, 61). */
   def q16NullRate(spark: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(spark, dir)
