@@ -62,6 +62,7 @@ object SparkEntry {
     "q40_media_features"  -> ((s, d) => MultimodalOps.featureSummary(s, d)),
     "q41_frame_sample"    -> ((s, d) => MultimodalOps.frameSample(s, d)),
     "q42_approx_distinct" -> (CoreQueries.q42ApproxDistinct _),
+    "q43_topk_aggregator" -> ((s, d) => SimilarityOps.topKViaAggregator(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -323,6 +324,23 @@ object SparkEntry {
          CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'wav' ELSE 'mp4' END AS format,
          CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
          FROM documents ORDER BY doc_id""",
+    // q43 shares q31's semantics (different physical operator: typed
+    // Aggregator instead of window sort) → same oracle
+    "q43_topk_aggregator" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+                    FROM embeddings WHERE vec_id < 8),
+         c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         scored AS (
+           SELECT query_id, vec_id,
+             round(list_inner_product(qv, v) /
+               (sqrt(list_inner_product(qv, qv)) * sqrt(list_inner_product(v, v))), 4) AS cos
+           FROM q CROSS JOIN c WHERE vec_id <> query_id)
+         SELECT query_id, vec_id AS neighbor_id, cos, rk FROM (
+           SELECT query_id, vec_id, cos,
+             CAST(row_number() OVER (PARTITION BY query_id
+                  ORDER BY cos DESC, vec_id) AS INT) AS rk
+           FROM scored)
+         WHERE rk <= 5 ORDER BY query_id, rk""",
     "q41_frame_sample" ->
       """SELECT doc_id, format, CAST(i AS INT) AS frame_no,
            CAST(greatest(0, least(frame_len, n_bytes - i * frame_len)) AS BIGINT) AS frame_bytes

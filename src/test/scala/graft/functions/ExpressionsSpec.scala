@@ -1,0 +1,63 @@
+package graft.functions
+
+import graft.SparkSpecBase
+import org.apache.spark.sql.functions._
+
+class ExpressionsSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("native cosine ≡ composed HOF formulation on real embeddings") {
+    val emb = graft.Tables.embeddings(spark, sf0001).limit(50)
+    val a = emb.select(col("vec_id").as("ia"), col("embedding").as("va"))
+    val b = graft.Tables.embeddings(spark, sf0001).limit(50)
+      .select(col("vec_id").as("ib"), col("embedding").as("vb"))
+    val pairs = a.join(b, col("ia") < col("ib"))
+    val diff = pairs.select(
+        Vectors.cosine(col("va"), col("vb")).as("fast"),
+        Vectors.cosineHof(col("va"), col("vb")).as("hof"))
+      .select(max(abs(col("fast") - col("hof"))).as("d")).head().getDouble(0)
+    assert(diff === 0.0) // bit-identical accumulation order
+  }
+
+  test("native cosine null/edge semantics") {
+    val df = Seq(
+      (Some(Array(1.0f, 0.0f)), Some(Array(0.0f, 0.0f))), // zero norm → 0.0
+      (None, Some(Array(1.0f, 0.0f))))                    // null → null
+      .toDF("a", "b")
+    val got = df.select(Vectors.cosine(col("a"), col("b"))).collect()
+    assert(got(0).getDouble(0) === 0.0)
+    assert(got(1).isNullAt(0))
+    // length mismatch → null
+    val mm = Seq((Array(1.0f), Array(1.0f, 2.0f))).toDF("a", "b")
+      .select(Vectors.cosine(col("a"), col("b"))).head()
+    assert(mm.isNullAt(0))
+  }
+
+  test("lsh bucket: deterministic, bounded, similar vectors collide") {
+    val v = Array(0.5f, -0.25f, 0.8f, 0.1f)
+    val nearly = v.map(_ * 1.001f) // same direction → same signs
+    val got = Seq(v, nearly, v.map(-_)).toDF("v")
+      .select(Vectors.lshBucket(col("v"), 10)).as[Long].collect()
+    assert(got(0) === got(1))
+    assert(got(0) !== got(2)) // antipodal → complement bucket
+    assert(got.forall(b => b >= 0 && b < 1024))
+  }
+
+  test("TopKAggregator: bounded buffer, ordering, merge") {
+    val agg = new TopKAggregator(3)
+    val items = Seq(ScoredId(1, 0.5), ScoredId(2, 0.9), ScoredId(3, 0.9),
+      ScoredId(4, 0.1), ScoredId(5, 0.7))
+    val buf = items.foldLeft(agg.zero)(agg.reduce)
+    assert(agg.finish(buf).map(_.id) === Seq(2, 3, 5)) // score desc, id asc tiebreak
+    val merged = agg.merge(
+      items.take(2).foldLeft(agg.zero)(agg.reduce),
+      items.drop(2).foldLeft(agg.zero)(agg.reduce))
+    assert(agg.finish(merged).map(_.id) === Seq(2, 3, 5))
+  }
+
+  test("q43 aggregator top-k ≡ q31 window top-k") {
+    val a = graft.operators.SimilarityOps.topKViaAggregator(spark, sf0001).collect()
+    val b = graft.operators.SimilarityOps.bruteForceTopK(spark, sf0001).collect()
+    assert(a.map(_.toSeq).toSeq === b.map(_.toSeq).toSeq)
+  }
+}
