@@ -1,0 +1,55 @@
+package graft.streaming
+
+import graft.SparkSpecBase
+
+class SessionizeSpec extends SparkSpecBase {
+
+  test("group logic: gap splits sessions, counts and bounds correct") {
+    import org.apache.spark.sql.streaming.GroupStateTimeout
+    def ts(min: Long) = new java.sql.Timestamp(min * 60000L)
+    val events = Iterator(
+      Sessionize.SessionEvent(7, ts(0), "view"),
+      Sessionize.SessionEvent(7, ts(10), "click"),
+      Sessionize.SessionEvent(7, ts(100), "view"), // > 30min gap → new session
+      Sessionize.SessionEvent(7, ts(105), "purchase"))
+    val state = new TestGroupState[Sessionize.SessionState]
+    val closed = Sessionize.sessionizeGroup(30 * 60000L)(7, events, state).toSeq
+    assert(closed.map(s => (s.session_start, s.session_end, s.n_events))
+      === Seq((ts(0), ts(10), 2)))
+    assert(state.updated.exists(_.n == 2)) // open session carried in state
+  }
+
+  test("streaming sessionization over events emits closed sessions") {
+    val got = Sessionize.runOnce(spark, sf0001).collect()
+    assert(got.nonEmpty) // inter-event gaps exceed 30min routinely
+    assert(got.forall(s => !s.session_end.before(s.session_start)))
+    assert(got.forall(_.n_events >= 1))
+    // sessions of one user never overlap
+    got.groupBy(_.user_id).values.foreach { ss =>
+      val sorted = ss.sortBy(_.session_start.getTime)
+      sorted.zip(sorted.tail).foreach { case (a, b) =>
+        assert(a.session_end.getTime < b.session_start.getTime)
+      }
+    }
+  }
+}
+
+/** Minimal GroupState stub for unit-testing the group function. */
+class TestGroupState[S] extends org.apache.spark.sql.streaming.GroupState[S] {
+  var updated: Option[S] = None
+  var timeout: Option[Long] = None
+  override def exists: Boolean = updated.isDefined
+  override def get: S = updated.get
+  override def getOption: Option[S] = updated
+  override def update(s: S): Unit = updated = Some(s)
+  override def remove(): Unit = updated = None
+  override def hasTimedOut: Boolean = false
+  override def setTimeoutDuration(d: Long): Unit = ()
+  override def setTimeoutDuration(d: String): Unit = ()
+  override def setTimeoutTimestamp(t: Long): Unit = timeout = Some(t)
+  override def setTimeoutTimestamp(t: Long, additional: String): Unit = ()
+  override def setTimeoutTimestamp(t: java.sql.Date): Unit = ()
+  override def setTimeoutTimestamp(t: java.sql.Date, additional: String): Unit = ()
+  override def getCurrentWatermarkMs(): Long = 0L
+  override def getCurrentProcessingTimeMs(): Long = 0L
+}
