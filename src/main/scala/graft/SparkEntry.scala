@@ -47,7 +47,7 @@ object SparkEntry {
     "q26_avg_delay"       -> (CoreQueries.q26AvgDelay _),
     // training-data pipeline extensions (dedup / similarity / text / multimodal)
     "q27_dedup_exact"     -> ((s, d) => DedupOps.exactDedup(s, d)),
-    "q28_word_jaccard"    -> ((s, d) => DedupOps.wordJaccardPairs(s, d)),
+    "q28_ngram_jaccard"   -> ((s, d) => DedupOps.ngramJaccardPairs(s, d)),
     "q29_minhash_neardup" -> ((s, d) => DedupOps.minhashNearDup(s, d)),
     "q30_simhash_neardup" -> ((s, d) => DedupOps.simhashNearDup(s, d)),
     "q31_cosine_topk"     -> ((s, d) => SimilarityOps.bruteForceTopK(s, d)),
@@ -228,18 +228,22 @@ object SparkEntry {
       """SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,
          min(doc_id) AS canonical_id, count(*) AS n_copies
          FROM documents GROUP BY 1 ORDER BY canonical_id""",
-    "q28_word_jaccard" ->
-      """WITH docs AS (
-           SELECT doc_id, list_distinct(string_split(
-             regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS toks
+    "q28_ngram_jaccard" ->
+      """WITH d0 AS (
+           SELECT doc_id, string_split(
+             regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS w
            FROM documents WHERE doc_id % 5 = 0),
+         docs AS (
+           SELECT doc_id, list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+             for i in range(1, greatest(len(w) - 1, 1))]) AS toks
+           FROM d0 WHERE len(w) >= 3),
          tok AS (SELECT doc_id, len(toks) AS n, unnest(toks) AS tok FROM docs)
          SELECT id_a, id_b, round(jaccard, 4) AS jaccard FROM (
            SELECT l.doc_id AS id_a, r.doc_id AS id_b,
              count(*) * 1.0 / (l.n + r.n - count(*)) AS jaccard
            FROM tok l JOIN tok r ON l.tok = r.tok AND l.doc_id < r.doc_id
            GROUP BY l.doc_id, r.doc_id, l.n, r.n)
-         WHERE jaccard >= 0.6 ORDER BY id_a, id_b""",
+         WHERE jaccard >= 0.5 ORDER BY id_a, id_b""",
     "q31_cosine_topk" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
                     FROM embeddings WHERE vec_id < 8),

@@ -216,8 +216,8 @@ object CoreQueries {
   def q42ApproxDistinct(spark: SparkSession, dir: String): DataFrame =
     Tables.lineitem(spark, dir)
       .agg(
-        approx_count_distinct(col("l_orderkey"), 0.01).as("approx_orders"),
-        approx_count_distinct(col("l_partkey"), 0.01).as("approx_parts"),
+        approx_count_distinct(col("l_orderkey"), 0.02).as("approx_orders"),
+        approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
         count(lit(1)).as("n_rows"))
 
   /** A8: null-rate profile as percentages (Capstone Template cells 27, 61). */

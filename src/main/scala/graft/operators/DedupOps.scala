@@ -137,16 +137,21 @@ object DedupOps {
       .orderBy(col("id_a"), col("id_b"))
   }
 
-  /** Exact word-set Jaccard over a deterministic sample of documents —
-    * the oracle-checkable near-dup variant (token-explode + equi-join +
-    * group, no cartesian: pairs only materialize when they share a token).
+  /** Exact 3-gram-shingle Jaccard over the full corpus — the
+    * oracle-checkable near-dup variant. Shingle-explode + equi-join +
+    * group: pairs only materialize when they share a shingle, and word
+    * 3-grams are discriminative enough that the join stays near-linear
+    * (word *unigrams* on a small vocabulary degrade to all-pairs —
+    * 282k pairs vs 25 on this corpus at sf0.01). Bounded to a
+    * deterministic 1-in-5 sample: this is the exact oracle baseline;
+    * the corpus-scale path is minhashNearDup's banded LSH.
     */
-  def wordJaccardPairs(spark: SparkSession, dir: String,
-      threshold: Double = 0.6): DataFrame = {
+  def ngramJaccardPairs(spark: SparkSession, dir: String,
+      threshold: Double = 0.5): DataFrame = {
     val docs = Tables.documents(spark, dir)
       .filter(col("doc_id") % 5 === 0)
-      .select(col("doc_id"),
-        array_distinct(Text.tokens(col("text"))).as("toks"))
+      .select(col("doc_id"), Text.wordShingles(col("text"), 3).as("toks"))
+      .filter(size(col("toks")) > 0)
     val toks = docs.select(col("doc_id"), size(col("toks")).as("n"),
       explode(col("toks")).as("tok"))
     val l = toks.alias("l")
