@@ -1,0 +1,26 @@
+package graft.operators
+
+import graft.SparkSpecBase
+import org.apache.spark.sql.functions._
+
+class BucketingSpec extends SparkSpecBase {
+
+  test("bucketed join plans with no shuffle exchange; plain join shuffles") {
+    val o = graft.Tables.orders(spark, sf0001)
+    val l = graft.Tables.lineitem(spark, sf0001)
+    Bucketing.writeBucketed(o, "b_orders", "o_orderkey", 8)
+    Bucketing.writeBucketed(l, "b_lineitem", "l_orderkey", 8)
+
+    val bucketed = Bucketing.bucketJoin(spark, "b_orders", "b_lineitem",
+      "o_orderkey", "l_orderkey")
+    assert(!Bucketing.hasShuffle(bucketed),
+      "bucket join must not shuffle:\n" + bucketed.queryExecution.executedPlan)
+
+    val plain = o.join(l, col("o_orderkey") === col("l_orderkey"))
+    assert(Bucketing.hasShuffle(plain) ||
+      plain.queryExecution.executedPlan.toString.contains("Broadcast"))
+
+    // same results either way
+    assert(bucketed.count() === plain.count())
+  }
+}
