@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{CoreQueries, DedupOps, MultimodalOps, SimilarityOps, TextAnalysisOps}
+import graft.operators.{CoreQueries, DedupOps, MultimodalOps, PipelineOps, SimilarityOps, TextAnalysisOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -63,6 +63,9 @@ object SparkEntry {
     "q41_frame_sample"    -> ((s, d) => MultimodalOps.frameSample(s, d)),
     "q42_approx_distinct" -> (CoreQueries.q42ApproxDistinct _),
     "q43_topk_aggregator" -> ((s, d) => SimilarityOps.topKViaAggregator(s, d)),
+    "q44_stratified_sample" -> ((s, d) => PipelineOps.stratifiedSample(s, d)),
+    "q45_shard_packing"   -> ((s, d) => PipelineOps.shardPacking(s, d)),
+    "q46_pii_scrub"       -> ((s, d) => PipelineOps.piiScrub(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -328,6 +331,35 @@ object SparkEntry {
          CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'wav' ELSE 'mp4' END AS format,
          CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
          FROM documents ORDER BY doc_id""",
+    "q44_stratified_sample" ->
+      """SELECT lang, count(*) AS n_sampled, CAST(sum(n_chars) AS BIGINT) AS chars
+         FROM (SELECT lang, n_chars,
+                 substr(md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')), 1, 2) AS bucket
+               FROM documents)
+         WHERE bucket < '40'
+         GROUP BY lang ORDER BY lang""",
+    "q45_shard_packing" ->
+      """SELECT doc_id, source, n_tokens, cum_tokens,
+           CAST(floor((cum_tokens - 1) / 5000.0) AS INT) AS shard_id
+         FROM (SELECT doc_id, source, n_tokens,
+                 CAST(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
+               FROM (SELECT doc_id, source,
+                       CAST(len(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS BIGINT) AS n_tokens
+                     FROM documents))
+         ORDER BY source, doc_id""",
+    "q46_pii_scrub" ->
+      """SELECT doc_id,
+           md5(regexp_replace(regexp_replace(t,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             '[0-9]{7,}', '<PHONE>', 'g')) AS scrubbed_fp,
+           CAST(length(t) - length(regexp_replace(regexp_replace(t,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             '[0-9]{7,}', '<PHONE>', 'g')) AS BIGINT) AS chars_removed
+         FROM (SELECT doc_id,
+                 text || ' contact user' || doc_id || '@example.com or call 5551234567' AS t
+               FROM documents)
+         ORDER BY doc_id""",
     // q43 shares q31's semantics (different physical operator: typed
     // Aggregator instead of window sort) → same oracle
     "q43_topk_aggregator" ->

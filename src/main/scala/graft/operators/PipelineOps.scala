@@ -1,0 +1,68 @@
+package graft.operators
+
+import graft.Tables
+import graft.functions.Text
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Corpus-assembly operators for the training-data pipeline: deterministic
+  * sampling, token-budget shard packing, PII scrubbing. All row-local or
+  * single-window — no driver-side loops, no RNG state to ship.
+  */
+object PipelineOps {
+
+  /** Deterministic stratified sample: keep a hash-fraction of documents
+    * per stratum (lang). Content-hash-based, so the sample is stable
+    * across runs, executors and engines — the reproducible data-mixing
+    * primitive (rate ≈ keepBelow/256 per stratum).
+    */
+  def stratifiedSample(spark: SparkSession, dir: String,
+      keepBelow: Int = 64): DataFrame = {
+    val thr = f"$keepBelow%02x"
+    Tables.documents(spark, dir)
+      .withColumn("bucket", substring(Text.fingerprintMd5(col("text")), 1, 2))
+      .filter(col("bucket") < lit(thr))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_sampled"), sum(col("n_chars")).as("chars"))
+      .orderBy(col("lang"))
+  }
+
+  /** Token-budget shard packing: assign documents to training shards by
+    * cumulative whitespace-token count per source (running sum window →
+    * floor-div by the budget). One shuffle on source; the window is
+    * per-stratum, never global.
+    */
+  def shardPacking(spark: SparkSession, dir: String,
+      tokensPerShard: Long = 5000): DataFrame = {
+    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"),
+        Text.tokenCount(col("text")).cast("long").as("n_tokens"))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .withColumn("shard_id",
+        floor((col("cum_tokens") - 1) / tokensPerShard).cast("int"))
+      .orderBy(col("source"), col("doc_id"))
+  }
+
+  /** PII scrub: mask email-shaped and long-digit-run tokens. Patterns are
+    * RE2-compatible so the oracle applies the identical regex. Documents
+    * get a synthetic email planted first (the corpus has none) so the
+    * scrub is actually exercised end-to-end.
+    */
+  def piiScrub(spark: SparkSession, dir: String): DataFrame = {
+    val planted = Tables.documents(spark, dir)
+      .withColumn("text_with_pii",
+        concat(col("text"), lit(" contact user"), col("doc_id"),
+          lit("@example.com or call 5551234567")))
+    val scrubbed = regexp_replace(
+      regexp_replace(col("text_with_pii"),
+        "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+      "[0-9]{7,}", "<PHONE>")
+    planted.select(col("doc_id"),
+        md5(scrubbed).as("scrubbed_fp"),
+        (length(col("text_with_pii")) - length(scrubbed)).cast("long").as("chars_removed"))
+      .orderBy(col("doc_id"))
+  }
+}
