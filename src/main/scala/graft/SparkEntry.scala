@@ -66,6 +66,7 @@ object SparkEntry {
     "q44_stratified_sample" -> ((s, d) => PipelineOps.stratifiedSample(s, d)),
     "q45_shard_packing"   -> ((s, d) => PipelineOps.shardPacking(s, d)),
     "q46_pii_scrub"       -> ((s, d) => PipelineOps.piiScrub(s, d)),
+    "q47_json_extract"    -> (CoreQueries.q47JsonExtract _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -360,6 +361,14 @@ object SparkEntry {
                  text || ' contact user' || doc_id || '@example.com or call 5551234567' AS t
                FROM documents)
          ORDER BY doc_id""",
+    "q47_json_extract" ->
+      """SELECT event_type, count(k) AS n_with_k,
+           CAST(sum(k) AS BIGINT) AS sum_k,
+           CAST(min(k) AS INT) AS min_k, CAST(max(k) AS INT) AS max_k
+         FROM (SELECT event_type,
+                 CAST(json_extract_string(props, '$.k') AS INT) AS k
+               FROM events)
+         GROUP BY event_type ORDER BY event_type""",
     // q43 shares q31's semantics (different physical operator: typed
     // Aggregator instead of window sort) → same oracle
     "q43_topk_aggregator" ->

@@ -347,6 +347,20 @@ object CoreQueries {
       .agg(count(lit(1)).as("cnt"), round(sum(col("value")), 2).as("sum_value"))
       .orderBy(col("day"), col("event_type"))
 
+  /** Semi-structured extraction: events.props is a JSON string column —
+    * pull a typed field out and aggregate (the kind of nested-payload
+    * work a real event pipeline does constantly; the reference has no
+    * nested data, so this is surface the engine adds).
+    */
+  def q47JsonExtract(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast("int").as("k"))
+      .groupBy(col("event_type"))
+      .agg(count(col("k")).as("n_with_k"), sum(col("k")).as("sum_k"),
+        min(col("k")).as("min_k"), max(col("k")).as("max_k"))
+      .orderBy(col("event_type"))
+
   /** README Q-style analytics: avg ship delay (datediff) per priority —
     * the "average stay duration" shape (SURVEY.md §7.1-7).
     */
