@@ -67,6 +67,7 @@ object SparkEntry {
     "q45_shard_packing"   -> ((s, d) => PipelineOps.shardPacking(s, d)),
     "q46_pii_scrub"       -> ((s, d) => PipelineOps.piiScrub(s, d)),
     "q47_json_extract"    -> (CoreQueries.q47JsonExtract _),
+    "q48_running_total"   -> (CoreQueries.q48RunningTotal _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -369,6 +370,20 @@ object SparkEntry {
                  CAST(json_extract_string(props, '$.k') AS INT) AS k
                FROM events)
          GROUP BY event_type ORDER BY event_type""",
+    "q48_running_total" ->
+      """SELECT o_custkey, o_orderkey, order_date, price,
+           round(sum(price) OVER (PARTITION BY o_custkey
+             ORDER BY order_date, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_spend,
+           CAST(date_diff('day',
+             lag(order_date, 1) OVER (PARTITION BY o_custkey
+               ORDER BY order_date, o_orderkey),
+             order_date) AS INT) AS days_since_prev
+         FROM (SELECT o_custkey, o_orderkey,
+                 CAST(o_orderdate AS DATE) AS order_date,
+                 round(o_totalprice, 2) AS price
+               FROM orders WHERE o_custkey % 100 = 0)
+         ORDER BY o_custkey, order_date, o_orderkey""",
     // q43 shares q31's semantics (different physical operator: typed
     // Aggregator instead of window sort) → same oracle
     "q43_topk_aggregator" ->

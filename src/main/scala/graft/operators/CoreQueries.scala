@@ -347,6 +347,26 @@ object CoreQueries {
       .agg(count(lit(1)).as("cnt"), round(sum(col("value")), 2).as("sum_value"))
       .orderBy(col("day"), col("event_type"))
 
+  /** §2.6 windows, analytic breadth: per-customer order history with
+    * running spend (cumulative window) and gap since the previous order
+    * (lag) — restricted to a deterministic customer slice to keep the
+    * dump small.
+    */
+  def q48RunningTotal(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("order_date"), col("o_orderkey"))
+    Tables.orders(spark, dir)
+      .filter(col("o_custkey") % 100 === 0)
+      .select(col("o_custkey"), col("o_orderkey"),
+        col("o_orderdate").cast("date").as("order_date"),
+        round(col("o_totalprice"), 2).as("price"))
+      .withColumn("running_spend",
+        round(sum(col("price")).over(w.rowsBetween(Window.unboundedPreceding, 0)), 2))
+      .withColumn("days_since_prev",
+        datediff(col("order_date"), lag(col("order_date"), 1).over(w)))
+      .orderBy(col("o_custkey"), col("order_date"), col("o_orderkey"))
+  }
+
   /** Semi-structured extraction: events.props is a JSON string column —
     * pull a typed field out and aggregate (the kind of nested-payload
     * work a real event pipeline does constantly; the reference has no
