@@ -1,0 +1,61 @@
+package graft
+
+/** Plan-quality regressions: the scale properties `.explain` shows —
+  * column pruning into the scan, filter pushdown, broadcast for small
+  * dims, semi/anti physical joins, codegen coverage — asserted so a
+  * refactor can't silently regress them into full scans or extra
+  * shuffles. Plans are stringified AFTER an action so AQE has finalized.
+  */
+class PlanSpec extends SparkSpecBase {
+
+  private def executed(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, sf0001)
+    df.collect()
+    df.queryExecution.executedPlan.toString
+  }
+
+  private def readSchemaLines(plan: String): String =
+    plan.linesIterator.filter(_.contains("ReadSchema")).mkString("\n")
+
+  test("q01: scan prunes to exactly the aggregated columns") {
+    val rs = readSchemaLines(executed("q01_pricing_summary"))
+    Seq("l_quantity", "l_extendedprice", "l_discount", "l_returnflag", "l_linestatus")
+      .foreach(c => assert(rs.contains(c), s"$c missing from scan: $rs"))
+    Seq("l_shipdate", "l_orderkey", "l_partkey", "l_tax")
+      .foreach(c => assert(!rs.contains(c), s"$c NOT pruned: $rs"))
+  }
+
+  test("q02: nation dim join is broadcast, no python/scala UDFs anywhere") {
+    val plan = executed("q02_top_nations")
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("BatchEvalPython") && !plan.contains("ScalaUDF"), plan)
+  }
+
+  test("q07: mktsegment filter is pushed to the parquet scan") {
+    val plan = executed("q07_filter_eq")
+    assert(plan.contains("EqualTo(c_mktsegment,BUILDING)"), plan)
+  }
+
+  test("q18/q19: semi and anti joins stay semi/anti physically") {
+    assert(executed("q18_semi_join").contains("LeftSemi"), "semi")
+    assert(executed("q19_anti_join").contains("LeftAnti"), "anti")
+  }
+
+  test("q26: join keys push IsNotNull to both scans") {
+    val plan = executed("q26_avg_delay")
+    assert(plan.contains("IsNotNull(l_orderkey)"), plan)
+    assert(plan.contains("IsNotNull(o_orderkey)"), plan)
+  }
+
+  test("q29: no cartesian product anywhere in the near-dup pipeline") {
+    val plan = executed("q29_minhash_neardup")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"), plan)
+  }
+
+  test("whole-stage codegen covers the q01 aggregate") {
+    // codegen'd stages print as `*(n) Operator` in the compact plan form
+    val plan = executed("q01_pricing_summary")
+    assert(plan.contains("*(1) HashAggregate") || plan.contains("*(1) ColumnarToRow"),
+      plan)
+  }
+}
