@@ -68,6 +68,7 @@ object SparkEntry {
     "q46_pii_scrub"       -> ((s, d) => PipelineOps.piiScrub(s, d)),
     "q47_json_extract"    -> (CoreQueries.q47JsonExtract _),
     "q48_running_total"   -> (CoreQueries.q48RunningTotal _),
+    "q49_asof_join"       -> (graft.operators.AsOfJoin.q49EventsAsOfOrders _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -384,6 +385,16 @@ object SparkEntry {
                  round(o_totalprice, 2) AS price
                FROM orders WHERE o_custkey % 100 = 0)
          ORDER BY o_custkey, order_date, o_orderkey""",
+    "q49_asof_join" ->
+      """WITH e AS (SELECT event_id, user_id AS k,
+             CAST(DATE '1995-01-01' + CAST(event_id % 2400 AS INT) AS TIMESTAMP) AS t
+           FROM events WHERE user_id < 20),
+         o AS (SELECT o_custkey AS k, o_orderdate AS t, max(o_orderkey) AS o_orderkey
+           FROM orders WHERE o_custkey < 20 GROUP BY 1, 2)
+         SELECT e.event_id, e.k AS user_id, CAST(e.t AS DATE) AS event_date,
+           o.o_orderkey
+         FROM e ASOF LEFT JOIN o ON e.k = o.k AND e.t >= o.t
+         ORDER BY event_id""",
     // q43 shares q31's semantics (different physical operator: typed
     // Aggregator instead of window sort) → same oracle
     "q43_topk_aggregator" ->
