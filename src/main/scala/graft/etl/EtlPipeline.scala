@@ -59,6 +59,7 @@ object EtlPipeline {
     }.toMap
 
     raw.unpersist()
+    trips.unpersist()
     EtlResult(tables, counts)
   }
 }

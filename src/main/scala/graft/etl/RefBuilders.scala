@@ -45,9 +45,13 @@ object RefBuilders {
 
   /** i94_trips — SQL builder (etl.py:195-228). The fact table. */
   def i94Trips(spark: SparkSession, df: DataFrame): DataFrame = {
+    // total order over every column: rows distinct after dropDuplicates
+    // can still tie on (cicid, admnum) alone, which would make trip_id
+    // partition-order-dependent again
+    val tieBreak = (Seq("cicid", "admnum") ++
+      df.columns.filterNot(Set("cicid", "admnum"))).map(col)
     val deduped = df.dropDuplicates()
-      .withColumn("trip_id",
-        row_number().over(Window.orderBy(col("cicid"), col("admnum"))))
+      .withColumn("trip_id", row_number().over(Window.orderBy(tieBreak: _*)))
     deduped.createOrReplaceTempView("i94_trips_raw")
     spark.sql("""
       SELECT DISTINCT

@@ -27,7 +27,7 @@ case class LshSignBucket(child: Expression, nPlanes: Int, seed: Long)
     z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
     z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
     z = z ^ (z >>> 31)
-    (z >>> 11).toDouble / (1L << 52).toDouble * 2.0 - 1.0
+    (z >>> 11).toDouble / (1L << 53).toDouble * 2.0 - 1.0
   }
 
   override def nullSafeEval(v: Any): Any = {

@@ -28,6 +28,9 @@ object AsOfJoin {
       key: String, time: String): DataFrame = {
     val leftPayload = left.columns.filterNot(c => c == key || c == time)
     val rightPayload = right.columns.filterNot(c => c == key || c == time)
+    val clash = leftPayload.toSet intersect rightPayload.toSet
+    require(clash.isEmpty,
+      s"asOf payload columns must not collide across sides: ${clash.mkString(",")}")
 
     val l = left.select(
       Seq(col(key), col(time).as("__t"), lit(1).as("__side")) ++

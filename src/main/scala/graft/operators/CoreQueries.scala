@@ -269,7 +269,7 @@ object CoreQueries {
   def q20WindowRank(spark: SparkSession, dir: String): DataFrame = {
     val o = Tables.orders(spark, dir)
     val c = Tables.customer(spark, dir).select("c_custkey", "c_nationkey")
-    val spend = o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+    val spend = o.join(c, o("o_custkey") === c("c_custkey"))
       .groupBy(col("c_nationkey"), col("c_custkey"))
       .agg(round(sum(col("o_totalprice")), 2).as("spend"))
     val w = Window.partitionBy(col("c_nationkey"))

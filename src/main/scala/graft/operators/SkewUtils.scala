@@ -19,6 +19,10 @@ object SkewUtils {
   def saltedJoin(fact: DataFrame, dim: DataFrame, key: String,
       nSalts: Int, joinType: String = "inner"): DataFrame = {
     require(nSalts > 0)
+    // outer types that preserve unmatched DIM rows would emit them once
+    // per salt replica — not expressible under salting without a dedupe
+    require(Set("inner", "left", "left_outer", "leftouter")(joinType.toLowerCase),
+      s"saltedJoin supports inner/left joins only, got $joinType")
     val saltExpr: Column =
       pmod(xxhash64(fact.columns.map(col).toSeq: _*), lit(nSalts))
     val saltedFact = fact.withColumn("__salt", saltExpr)

@@ -30,9 +30,12 @@ object EventsStream {
     // testdata table is a single file — stage it into a watch dir (this is
     // exactly the landing-zone shape a production stream would consume)
     val watchDir = java.nio.file.Files.createTempDirectory("graft-events-stream")
+    val staged = watchDir.resolve("events-000.parquet")
     java.nio.file.Files.copy(
-      java.nio.file.Paths.get(s"$dir/events.parquet"),
-      watchDir.resolve("events-000.parquet"))
+      java.nio.file.Paths.get(s"$dir/events.parquet"), staged)
+    // best-effort cleanup: a staged full-table copy per call would
+    // otherwise accumulate in /tmp across suite/bench runs
+    staged.toFile.deleteOnExit(); watchDir.toFile.deleteOnExit()
     val stream = spark.readStream
       .schema(eventsRawSchema)
       .parquet(watchDir.toString)

@@ -57,9 +57,12 @@ object Sessionize {
     import spark.implicits._
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val watchDir = java.nio.file.Files.createTempDirectory("graft-sessionize")
+    val staged = watchDir.resolve("events-000.parquet")
     java.nio.file.Files.copy(
-      java.nio.file.Paths.get(s"$dir/events.parquet"),
-      watchDir.resolve("events-000.parquet"))
+      java.nio.file.Paths.get(s"$dir/events.parquet"), staged)
+    // best-effort cleanup: a staged full-table copy per call would
+    // otherwise accumulate in /tmp across suite/bench runs
+    staged.toFile.deleteOnExit(); watchDir.toFile.deleteOnExit()
     spark.readStream
       .schema(EventsStream.eventsRawSchema)
       .parquet(watchDir.toString)
