@@ -69,6 +69,7 @@ object SparkEntry {
     "q47_json_extract"    -> (CoreQueries.q47JsonExtract _),
     "q48_running_total"   -> (CoreQueries.q48RunningTotal _),
     "q49_asof_join"       -> (graft.operators.AsOfJoin.q49EventsAsOfOrders _),
+    "q50_range_join"      -> (graft.operators.RangeJoin.q50RangeJoin _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -395,6 +396,18 @@ object SparkEntry {
            o.o_orderkey
          FROM e ASOF LEFT JOIN o ON e.k = o.k AND e.t >= o.t
          ORDER BY event_id""",
+    "q50_range_join" ->
+      """WITH e AS (SELECT event_id, user_id AS k,
+             CAST(DATE '1995-01-01' + CAST(event_id % 2400 AS INT) AS TIMESTAMP) AS t
+           FROM events WHERE user_id < 20),
+         o AS (SELECT o_custkey AS k, o_orderkey,
+             o_orderdate - INTERVAL 3 DAY AS w_start,
+             o_orderdate + INTERVAL 3 DAY AS w_end
+           FROM orders WHERE o_custkey < 20)
+         SELECT e.k AS user_id, count(*) AS n_pairs,
+           count(DISTINCT o_orderkey) AS n_orders
+         FROM e JOIN o ON e.k = o.k AND e.t BETWEEN o.w_start AND o.w_end
+         GROUP BY e.k ORDER BY user_id""",
     // q43 shares q31's semantics (different physical operator: typed
     // Aggregator instead of window sort) → same oracle
     "q43_topk_aggregator" ->
