@@ -70,6 +70,8 @@ object SparkEntry {
     "q48_running_total"   -> (CoreQueries.q48RunningTotal _),
     "q49_asof_join"       -> (graft.operators.AsOfJoin.q49EventsAsOfOrders _),
     "q50_range_join"      -> (graft.operators.RangeJoin.q50RangeJoin _),
+    "q51_top_ngrams"      -> ((s, d) => TextAnalysisOps.topNgrams(s, d)),
+    "q52_key_skew"        -> (CoreQueries.q52KeySkew _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -408,6 +410,29 @@ object SparkEntry {
            count(DISTINCT o_orderkey) AS n_orders
          FROM e JOIN o ON e.k = o.k AND e.t BETWEEN o.w_start AND o.w_end
          GROUP BY e.k ORDER BY user_id""",
+    "q51_top_ngrams" ->
+      """WITH d0 AS (SELECT lang, string_split(
+             regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS w
+           FROM documents),
+         sh AS (SELECT lang, unnest(list_distinct([w[i] || ' ' || w[i+1]
+             for i in range(1, greatest(len(w), 1))])) AS bigram
+           FROM d0 WHERE len(w) >= 2),
+         c AS (SELECT lang, bigram, count(*) AS n FROM sh GROUP BY 1, 2)
+         SELECT lang, bigram, n, rk FROM (
+           SELECT lang, bigram, n,
+             CAST(row_number() OVER (PARTITION BY lang
+                  ORDER BY n DESC, bigram) AS INT) AS rk
+           FROM c)
+         WHERE rk <= 5 ORDER BY lang, rk""",
+    "q52_key_skew" ->
+      """WITH pk AS (SELECT l_suppkey, count(*) AS n FROM lineitem GROUP BY 1),
+         tot AS (SELECT sum(n) * 1.0 / count(*) AS avg_n FROM pk)
+         SELECT count(*) AS n_keys, CAST(sum(n) AS BIGINT) AS n_rows,
+           CAST(max(n) AS BIGINT) AS max_key_rows,
+           round(any_value(avg_n), 4) AS avg_key_rows,
+           count(CASE WHEN n > 2 * avg_n THEN 1 END) AS n_hot_keys,
+           round(max(n) / any_value(avg_n), 4) AS max_over_avg
+         FROM pk, tot""",
     // q43 shares q31's semantics (different physical operator: typed
     // Aggregator instead of window sort) → same oracle
     "q43_topk_aggregator" ->

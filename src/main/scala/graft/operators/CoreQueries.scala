@@ -347,6 +347,26 @@ object CoreQueries {
       .agg(count(lit(1)).as("cnt"), round(sum(col("value")), 2).as("sum_value"))
       .orderBy(col("day"), col("event_type"))
 
+  /** Key-skew profile: per-key row counts summarized (max/avg/hot-key
+    * share) — the diagnostic that decides when a join needs salting
+    * (SkewUtils) or AQE skew splitting. Integer/exact-ratio output for
+    * hash stability.
+    */
+  def q52KeySkew(spark: SparkSession, dir: String): DataFrame = {
+    val perKey = Tables.lineitem(spark, dir)
+      .groupBy(col("l_suppkey")).agg(count(lit(1)).as("n"))
+    val avgN = perKey.agg(
+      (sum(col("n")).cast("double") / count(lit(1))).as("avg_n"))
+    perKey.crossJoin(broadcast(avgN))
+      .agg(
+        count(lit(1)).as("n_keys"),
+        sum(col("n")).as("n_rows"),
+        max(col("n")).as("max_key_rows"),
+        round(first(col("avg_n")), 4).as("avg_key_rows"),
+        count(when(col("n") > lit(2) * col("avg_n"), lit(1))).as("n_hot_keys"),
+        round(max(col("n")) / first(col("avg_n")), 4).as("max_over_avg"))
+  }
+
   /** §2.6 windows, analytic breadth: per-customer order history with
     * running spend (cumulative window) and gap since the previous order
     * (lag) — restricted to a deterministic customer slice to keep the

@@ -86,6 +86,23 @@ object TextAnalysisOps {
         count(lit(1)).as("n_docs"))
       .orderBy(col("source"))
 
+  /** Top word-bigrams per language: n-gram frequency ranking (the
+    * vocabulary-profiling pass of a corpus pipeline). Shingle-explode →
+    * count per (lang, bigram) → window rank with total tie-break.
+    */
+  def topNgrams(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = Tables.documents(spark, dir)
+      .select(col("lang"), explode(Text.wordShingles(col("text"), 2)).as("bigram"))
+      .groupBy(col("lang"), col("bigram"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col("lang")).orderBy(col("n").desc, col("bigram"))
+    counts.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("lang"), col("bigram"), col("n"), col("rk"))
+      .orderBy(col("lang"), col("rk"))
+  }
+
   /** Portable content fingerprints: md5 of canonical text. */
   def fingerprints(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
