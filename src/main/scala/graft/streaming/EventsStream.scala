@@ -48,6 +48,42 @@ object EventsStream {
         col("cnt"), col("sum_value"))
   }
 
+  /** Stream-static enrichment join: the events stream joined to a static
+    * user→segment dimension (derived from customer) before aggregating —
+    * the standard streaming enrichment shape (static side re-planned per
+    * micro-batch; no state store involved for the join itself).
+    */
+  def enrichedCounts(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val watchDir = java.nio.file.Files.createTempDirectory("graft-events-enrich")
+    val staged = watchDir.resolve("events-000.parquet")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/events.parquet"), staged)
+    staged.toFile.deleteOnExit(); watchDir.toFile.deleteOnExit()
+    val users = graft.Tables.customer(spark, dir)
+      .select(col("c_custkey").as("user_id"), col("c_mktsegment").as("segment"))
+    spark.readStream
+      .schema(eventsRawSchema)
+      .parquet(watchDir.toString)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .join(users, Seq("user_id"), "left")
+      .groupBy(col("segment"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  def runEnrichedOnce(spark: SparkSession, dir: String,
+      queryName: String = "events_enriched"): DataFrame = {
+    val q = enrichedCounts(spark, dir).writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(queryName)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(queryName)
+  }
+
   /** Drive the stream synchronously over the existing files (local smoke:
     * memory sink + processAllAvailable) and return the materialized result.
     */

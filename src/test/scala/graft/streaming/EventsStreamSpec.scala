@@ -14,4 +14,15 @@ class EventsStreamSpec extends SparkSpecBase {
     // stream (complete mode over all files) ≡ batch group-by
     assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
   }
+
+  test("stream-static enrichment join matches the batch equivalent") {
+    val streamed = EventsStream.runEnrichedOnce(spark, sf0001, "events_enriched_test")
+    val batch = graft.Tables.events(spark, sf0001)
+      .join(graft.Tables.customer(spark, sf0001)
+          .select(col("c_custkey").as("user_id"), col("c_mktsegment").as("segment")),
+        Seq("user_id"), "left")
+      .groupBy(col("segment")).agg(count(lit(1)).as("cnt"))
+    assert(streamed.count() > 0)
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+  }
 }
