@@ -34,12 +34,22 @@ object Sessionize {
     sorted.foreach { e =>
       val t = e.ts.getTime
       cur match {
-        case Some(s) if t - s.last <= gapMs =>
-          cur = Some(s.copy(last = math.max(s.last, t), n = s.n + 1))
-        case Some(s) =>
+        // within one gap of the session interval on either side: merge,
+        // extending the boundary (a late cross-batch event can legitimately
+        // precede session_start)
+        case Some(s) if t >= s.start - gapMs && t - s.last <= gapMs =>
+          cur = Some(SessionState(math.min(s.start, t), math.max(s.last, t), s.n + 1))
+        // after the gap: close the session, start a new one
+        case Some(s) if t - s.last > gapMs =>
           closed += UserSession(userId, new java.sql.Timestamp(s.start),
             new java.sql.Timestamp(s.last), s.n)
           cur = Some(SessionState(t, t, 1))
+        // late event more than a gap BEFORE the open session: it belongs
+        // to an already-gone earlier session — emit it as its own closed
+        // single-event session, keep the open one untouched
+        case Some(_) =>
+          closed += UserSession(userId, new java.sql.Timestamp(t),
+            new java.sql.Timestamp(t), 1)
         case None =>
           cur = Some(SessionState(t, t, 1))
       }
@@ -55,18 +65,7 @@ object Sessionize {
   def sessions(spark: SparkSession, dir: String,
       gapMinutes: Int = 30): Dataset[UserSession] = {
     import spark.implicits._
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val watchDir = java.nio.file.Files.createTempDirectory("graft-sessionize")
-    val staged = watchDir.resolve("events-000.parquet")
-    java.nio.file.Files.copy(
-      java.nio.file.Paths.get(s"$dir/events.parquet"), staged)
-    // best-effort cleanup: a staged full-table copy per call would
-    // otherwise accumulate in /tmp across suite/bench runs
-    staged.toFile.deleteOnExit(); watchDir.toFile.deleteOnExit()
-    spark.readStream
-      .schema(EventsStream.eventsRawSchema)
-      .parquet(watchDir.toString)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    EventsStream.stagedEventsStream(spark, dir, "graft-sessionize")
       .withWatermark("ts", "1 hour")
       .select(col("user_id"), col("ts"), col("event_type"))
       .as[SessionEvent]
@@ -79,14 +78,8 @@ object Sessionize {
   def runOnce(spark: SparkSession, dir: String, gapMinutes: Int = 30,
       queryName: String = "sessions"): Dataset[UserSession] = {
     import spark.implicits._
-    val q = sessions(spark, dir, gapMinutes).writeStream
-      .outputMode("append")
-      .format("memory")
-      .queryName(queryName)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.processAllAvailable()
-    q.stop()
-    spark.table(queryName).as[UserSession]
+    EventsStream.runToMemoryTable(spark,
+      sessions(spark, dir, gapMinutes).toDF(), queryName, "append")
+      .as[UserSession]
   }
 }

@@ -19,6 +19,20 @@ class SessionizeSpec extends SparkSpecBase {
     assert(state.updated.exists(_.n == 2)) // open session carried in state
   }
 
+  test("late cross-batch events: within-gap merges backwards, beyond-gap isolates") {
+    def ts(min: Long) = new java.sql.Timestamp(min * 60000L)
+    val state = new TestGroupState[Sessionize.SessionState]
+    state.update(Sessionize.SessionState(ts(100).getTime, ts(110).getTime, 3))
+    // one event 20min before start (within gap → merge + extend start),
+    // one event 90min before start (beyond gap → own closed session)
+    val closed = Sessionize.sessionizeGroup(30 * 60000L)(7, Iterator(
+      Sessionize.SessionEvent(7, ts(80), "late-merge"),
+      Sessionize.SessionEvent(7, ts(10), "late-isolated")), state).toSeq
+    assert(closed.map(s => (s.session_start, s.session_end, s.n_events))
+      === Seq((ts(10), ts(10), 1)))
+    assert(state.updated.contains(Sessionize.SessionState(ts(80).getTime, ts(110).getTime, 4)))
+  }
+
   test("streaming sessionization over events emits closed sessions") {
     val got = Sessionize.runOnce(spark, sf0001).collect()
     assert(got.nonEmpty) // inter-event gaps exceed 30min routinely
