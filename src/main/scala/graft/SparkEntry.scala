@@ -72,6 +72,7 @@ object SparkEntry {
     "q50_range_join"      -> (graft.operators.RangeJoin.q50RangeJoin _),
     "q51_top_ngrams"      -> ((s, d) => TextAnalysisOps.topNgrams(s, d)),
     "q52_key_skew"        -> (CoreQueries.q52KeySkew _),
+    "q53_dedup_clusters"  -> ((s, d) => DedupOps.nearDupClusters(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -433,6 +434,32 @@ object SparkEntry {
            count(CASE WHEN n > 2 * avg_n THEN 1 END) AS n_hot_keys,
            round(max(n) / any_value(avg_n), 4) AS max_over_avg
          FROM pk, tot""",
+    "q53_dedup_clusters" ->
+      """WITH RECURSIVE
+         d0 AS (
+           SELECT doc_id, string_split(
+             regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS w
+           FROM documents WHERE doc_id % 5 = 0),
+         docs AS (
+           SELECT doc_id, list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+             for i in range(1, greatest(len(w) - 1, 1))]) AS toks
+           FROM d0 WHERE len(w) >= 3),
+         tok AS (SELECT doc_id, len(toks) AS n, unnest(toks) AS tok FROM docs),
+         edges AS (
+           SELECT id_a, id_b FROM (
+             SELECT l.doc_id AS id_a, r.doc_id AS id_b,
+               count(*) * 1.0 / (l.n + r.n - count(*)) AS jaccard
+             FROM tok l JOIN tok r ON l.tok = r.tok AND l.doc_id < r.doc_id
+             GROUP BY l.doc_id, r.doc_id, l.n, r.n)
+           WHERE jaccard >= 0.5),
+         sym AS (SELECT id_a AS src, id_b AS dst FROM edges
+                 UNION ALL SELECT id_b, id_a FROM edges),
+         cc(id, label) AS (
+           SELECT DISTINCT src, src FROM sym
+           UNION
+           SELECT s.dst, c.label FROM cc c JOIN sym s ON s.src = c.id)
+         SELECT id AS doc_id, CAST(min(label) AS BIGINT) AS cluster_id
+         FROM cc GROUP BY id ORDER BY doc_id""",
     // q43 shares q31's semantics (different physical operator: typed
     // Aggregator instead of window sort) → same oracle
     "q43_topk_aggregator" ->

@@ -137,6 +137,44 @@ object DedupOps {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** Near-dup cluster resolution: connected components over a dedup pair
+    * graph via iterative min-label propagation (the small-star step of
+    * large-scale CC, run to fixpoint). Each doc gets the minimum doc_id
+    * reachable through near-dup edges — the canonical "keep" id. The loop
+    * is driver-side but each step is one distributed join+aggregate; the
+    * iteration count is bounded by the cluster diameter, which for
+    * near-dup graphs is tiny.
+    */
+  def connectedComponents(edges: DataFrame, maxIter: Int = 20): DataFrame = {
+    val sym = edges.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(edges.select(col("id_b").as("src"), col("id_a").as("dst")))
+    val nodes = sym.select(col("src").as("id")).distinct()
+    var labels = nodes.withColumn("label", col("id"))
+    var changed = 1L
+    var i = 0
+    while (changed > 0 && i < maxIter) {
+      val neighborMin = sym.join(labels, sym("src") === labels("id"))
+        .groupBy(col("dst").as("id2"))
+        .agg(min(col("label")).as("nlabel"))
+      val updated = labels.join(neighborMin, labels("id") === col("id2"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
+        .persist()
+      changed = updated.join(labels.withColumnRenamed("label", "old"), "id")
+        .filter(col("label") =!= col("old")).count()
+      labels.unpersist()
+      labels = updated
+      i += 1
+    }
+    labels
+  }
+
+  /** q53: cluster ids over the (oracle-expressible) n-gram Jaccard edges. */
+  def nearDupClusters(spark: SparkSession, dir: String): DataFrame =
+    connectedComponents(ngramJaccardPairs(spark, dir))
+      .select(col("id").as("doc_id"), col("label").as("cluster_id"))
+      .orderBy(col("doc_id"))
+
   /** Exact 3-gram-shingle Jaccard over the full corpus — the
     * oracle-checkable near-dup variant. Shingle-explode + equi-join +
     * group: pairs only materialize when they share a shingle, and word
