@@ -73,6 +73,9 @@ object SparkEntry {
     "q51_top_ngrams"      -> ((s, d) => TextAnalysisOps.topNgrams(s, d)),
     "q52_key_skew"        -> (CoreQueries.q52KeySkew _),
     "q53_dedup_clusters"  -> ((s, d) => DedupOps.nearDupClusters(s, d)),
+    "q54_rollup"          -> (CoreQueries.q54Rollup _),
+    "q55_pivot"           -> (CoreQueries.q55Pivot _),
+    "q56_percentiles"     -> (CoreQueries.q56Percentiles _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -460,6 +463,24 @@ object SparkEntry {
            SELECT s.dst, c.label FROM cc c JOIN sym s ON s.src = c.id)
          SELECT id AS doc_id, CAST(min(label) AS BIGINT) AS cluster_id
          FROM cc GROUP BY id ORDER BY doc_id""",
+    "q54_rollup" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS cnt,
+           round(sum(l_quantity), 2) AS qty
+         FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+         ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""",
+    "q55_pivot" ->
+      """SELECT o_orderpriority,
+           count(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS n_f,
+           count(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS n_o,
+           count(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS n_p
+         FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+    "q56_percentiles" ->
+      """SELECT o_orderpriority,
+           round(quantile_cont(o_totalprice, 0.5), 2) AS p50,
+           round(quantile_cont(o_totalprice, 0.9), 2) AS p90,
+           round(quantile_cont(o_totalprice, 0.99), 2) AS p99,
+           count(*) AS n
+         FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""",
     // q43 shares q31's semantics (different physical operator: typed
     // Aggregator instead of window sort) → same oracle
     "q43_topk_aggregator" ->

@@ -347,6 +347,41 @@ object CoreQueries {
       .agg(count(lit(1)).as("cnt"), round(sum(col("value")), 2).as("sum_value"))
       .orderBy(col("day"), col("event_type"))
 
+  /** Multi-level aggregation: ROLLUP over (returnflag, linestatus) —
+    * subtotals + grand total in one pass (beyond the reference's flat
+    * groupBys; Catalyst expands the grouping sets before the shuffle).
+    */
+  def q54Rollup(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("cnt"), round(sum(col("l_quantity")), 2).as("qty"))
+      .orderBy(col("l_returnflag").asc_nulls_first,
+        col("l_linestatus").asc_nulls_first)
+
+  /** Pivot: order counts by priority × status. Expressed as conditional
+    * aggregation in the oracle (the relational core of pivot).
+    */
+  def q55Pivot(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy(col("o_orderpriority"))
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(count(lit(1)))
+      .withColumnsRenamed(Map("F" -> "n_f", "O" -> "n_o", "P" -> "n_p"))
+      .orderBy(col("o_orderpriority"))
+
+  /** Exact interpolated percentiles of order totals per priority (the
+    * distribution profile; both engines use linear interpolation).
+    */
+  def q56Percentiles(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        round(expr("percentile(o_totalprice, 0.5)"), 2).as("p50"),
+        round(expr("percentile(o_totalprice, 0.9)"), 2).as("p90"),
+        round(expr("percentile(o_totalprice, 0.99)"), 2).as("p99"),
+        count(lit(1)).as("n"))
+      .orderBy(col("o_orderpriority"))
+
   /** Key-skew profile: per-key row counts summarized (max/avg/hot-key
     * share) — the diagnostic that decides when a join needs salting
     * (SkewUtils) or AQE skew splitting. Integer/exact-ratio output for
