@@ -38,9 +38,9 @@ object CoreQueries {
         count(lit(1)).as("count_order"))
       .orderBy(col("l_returnflag"), col("l_linestatus"))
 
-  /** §7.2 flagship: snowflake join orders⋈customer⋈nation → top-5 nations by
-    * order count. customer/nation are broadcast — the orders side never
-    * shuffles for the join, only for the final tiny agg.
+  /** §7.2 flagship: snowflake join orders⋈customer⋈nation → top-5 nations
+    * by order count. customer shuffle-joins (a real dim is huge at 100 TB;
+    * AQE downgrades to broadcast at small SF), nation always broadcasts.
     */
   def q02TopNations(spark: SparkSession, dir: String): DataFrame = {
     // customer is a real dim (huge at 100 TB) → shuffle join, let AQE

@@ -61,29 +61,41 @@ object DedupOps {
     val minAggs = (0 until MinhashPerms).map { p =>
       min(pmod(lit(permA(p)) * col("h") + lit(permB(p)), lit(HashPrime))).as(s"m$p")
     }
+    // grouped is read three times (banding + two hset lookups): persist it
+    // rather than recompute the shingle pipeline, and keep the wide hset
+    // arrays OUT of the 8-way band shuffle — bands carry only
+    // (doc_id, band, bucket); Jaccard is evaluated once per distinct
+    // candidate pair after the hset join-back.
+    // NOTE: the persist lives until the session evicts it; one-shot query
+    // runs (Verify/Bench) are fine, long-lived callers may unpersist.
     val grouped = perShingle.groupBy(col("doc_id"))
       .agg(minAggs.head, (minAggs.tail :+ collect_set(col("h")).as("hset")): _*)
+      .persist()
     val sig = array((0 until MinhashPerms).map(p => col(s"m$p")): _*)
     val banded = grouped
-      .select(col("doc_id"), sig.as("sig"), col("hset"))
-      .select(col("doc_id"), col("hset"),
+      .select(col("doc_id"), sig.as("sig"))
+      .select(col("doc_id"),
         explode(transform(sequence(lit(0), lit(Bands - 1)),
           b => struct(b.as("band"),
             xxhash64(concat_ws(",",
               slice(col("sig"), b * RowsPerBand + 1, lit(RowsPerBand)))).as("bucket"))))
           .as("bb"))
-      .select(col("doc_id"), col("hset"), col("bb.band"), col("bb.bucket"))
-    val l = banded.select(col("doc_id").as("id_a"), col("hset").as("h_a"),
-      col("band"), col("bucket"))
-    val r = banded.select(col("doc_id").as("id_b"), col("hset").as("h_b"),
-      col("band"), col("bucket"))
-    l.join(r, Seq("band", "bucket")).filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"),
-        (size(array_intersect(col("h_a"), col("h_b"))).cast("double") /
-          size(array_union(col("h_a"), col("h_b"))).cast("double")).as("jaccard"))
+      .select(col("doc_id"), col("bb.band"), col("bb.bucket"))
+    val candidates = banded.select(col("doc_id").as("id_a"), col("band"), col("bucket"))
+      .join(banded.select(col("doc_id").as("id_b"), col("band"), col("bucket")),
+        Seq("band", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+      .distinct()
+    val hsets = grouped.select(col("doc_id"), col("hset"))
+    candidates
+      .join(hsets.select(col("doc_id").as("id_a"), col("hset").as("h_a")), "id_a")
+      .join(hsets.select(col("doc_id").as("id_b"), col("hset").as("h_b")), "id_b")
+      .withColumn("jaccard",
+        size(array_intersect(col("h_a"), col("h_b"))).cast("double") /
+          size(array_union(col("h_a"), col("h_b"))).cast("double"))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
-      .distinct()
       .orderBy(col("id_a"), col("id_b"))
   }
 
@@ -171,6 +183,12 @@ object DedupOps {
       i += 1
     }
     sym.unpersist()
+    // refusing to return silently-wrong labels beats a quiet cap: a chain
+    // longer than maxIter hops would leave one component with several ids
+    require(changed == 0,
+      s"connectedComponents did not converge within $maxIter iterations")
+    // NOTE: the returned frame is persisted (it anchors the fixpoint);
+    // long-lived callers may unpersist() after their action.
     labels
   }
 
