@@ -245,12 +245,16 @@ object SparkEntry {
       """WITH d0 AS (
            SELECT doc_id, string_split(
              regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS w
-           FROM documents WHERE doc_id % 5 = 0),
+           FROM documents),
          docs AS (
            SELECT doc_id, list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
              for i in range(1, greatest(len(w) - 1, 1))]) AS toks
            FROM d0 WHERE len(w) >= 3),
-         tok AS (SELECT doc_id, len(toks) AS n, unnest(toks) AS tok FROM docs)
+         t0 AS (SELECT doc_id, unnest(toks) AS tok FROM docs),
+         rare AS (SELECT tok FROM t0 GROUP BY tok HAVING count(*) <= 50),
+         t1 AS (SELECT doc_id, tok FROM t0 JOIN rare USING (tok)),
+         tok AS (SELECT doc_id, tok,
+                   count(*) OVER (PARTITION BY doc_id) AS n FROM t1)
          SELECT id_a, id_b, round(jaccard, 4) AS jaccard FROM (
            SELECT l.doc_id AS id_a, r.doc_id AS id_b,
              count(*) * 1.0 / (l.n + r.n - count(*)) AS jaccard
@@ -442,12 +446,16 @@ object SparkEntry {
          d0 AS (
            SELECT doc_id, string_split(
              regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS w
-           FROM documents WHERE doc_id % 5 = 0),
+           FROM documents),
          docs AS (
            SELECT doc_id, list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
              for i in range(1, greatest(len(w) - 1, 1))]) AS toks
            FROM d0 WHERE len(w) >= 3),
-         tok AS (SELECT doc_id, len(toks) AS n, unnest(toks) AS tok FROM docs),
+         t0 AS (SELECT doc_id, unnest(toks) AS tok FROM docs),
+         rare AS (SELECT tok FROM t0 GROUP BY tok HAVING count(*) <= 50),
+         t1 AS (SELECT doc_id, tok FROM t0 JOIN rare USING (tok)),
+         tok AS (SELECT doc_id, tok,
+                   count(*) OVER (PARTITION BY doc_id) AS n FROM t1),
          edges AS (
            SELECT id_a, id_b FROM (
              SELECT l.doc_id AS id_a, r.doc_id AS id_b,

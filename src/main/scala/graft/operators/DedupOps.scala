@@ -55,9 +55,19 @@ object DedupOps {
     */
   def minhashNearDup(spark: SparkSession, dir: String,
       threshold: Double = 0.5): DataFrame = {
+    // 3-gram rows via posexplode + lead windows (codegen) rather than the
+    // per-row interpreted shingle transform; positional duplicates are
+    // harmless here (min-aggregates and collect_set both dedup)
+    val wDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("pos"))
     val perShingle = Tables.documents(spark, dir)
-      .select(col("doc_id"), explode(Text.wordShingles(col("text"), 3)).as("s"))
-      .select(col("doc_id"), pmod(xxhash64(col("s")), lit(HashPrime)).as("h"))
+      .select(col("doc_id"), posexplode(Text.tokens(col("text"))).as(Seq("pos", "tok")))
+      .withColumn("t1", lead(col("tok"), 1).over(wDoc))
+      .withColumn("t2", lead(col("tok"), 2).over(wDoc))
+      .filter(col("t2").isNotNull)
+      .select(col("doc_id"),
+        pmod(xxhash64(concat_ws(" ", col("tok"), col("t1"), col("t2"))),
+          lit(HashPrime)).as("h"))
     val minAggs = (0 until MinhashPerms).map { p =>
       min(pmod(lit(permA(p)) * col("h") + lit(permB(p)), lit(HashPrime))).as(s"m$p")
     }
@@ -208,13 +218,30 @@ object DedupOps {
     * the corpus-scale path is minhashNearDup's banded LSH.
     */
   def ngramJaccardPairs(spark: SparkSession, dir: String,
-      threshold: Double = 0.5): DataFrame = {
-    val docs = Tables.documents(spark, dir)
-      .filter(col("doc_id") % 5 === 0)
-      .select(col("doc_id"), Text.wordShingles(col("text"), 3).as("toks"))
-      .filter(size(col("toks")) > 0)
-    val toks = docs.select(col("doc_id"), size(col("toks")).as("n"),
-      explode(col("toks")).as("tok"))
+      threshold: Double = 0.5, maxDf: Int = 50): DataFrame = {
+    // distinct 3-gram rows via posexplode + lead (codegen); shingles with
+    // document frequency > maxDf are dropped on BOTH the postings and the
+    // per-doc set size (standard stop-shingle filtering): hot shingles are
+    // what makes the postings self-join quadratic, and they carry no
+    // near-dup signal. Jaccard is exact over the filtered sets.
+    val wDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("pos"))
+    val raw = Tables.documents(spark, dir)
+      .select(col("doc_id"), posexplode(Text.tokens(col("text"))).as(Seq("pos", "tok")))
+      .withColumn("t1", lead(col("tok"), 1).over(wDoc))
+      .withColumn("t2", lead(col("tok"), 2).over(wDoc))
+      .filter(col("t2").isNotNull)
+      .select(col("doc_id"), concat_ws(" ", col("tok"), col("t1"), col("t2")).as("tok"))
+      .dropDuplicates("doc_id", "tok")
+      // read twice (df counts + the postings join) — persist, same
+      // session-lifetime caveat as minhashNearDup's grouped relation
+      .persist()
+    val rare = raw.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf)
+      .select(col("tok"))
+    val toks = raw.join(rare, "tok")
+      .withColumn("n", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))))
     val l = toks.alias("l")
     val r = toks.alias("r")
     l.join(r, col("l.tok") === col("r.tok") && col("l.doc_id") < col("r.doc_id"))

@@ -92,8 +92,18 @@ object TextAnalysisOps {
     */
   def topNgrams(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // bigrams via posexplode + lead (whole-stage codegen) instead of the
+    // per-row interpreted shingle transform; distinct-per-doc matches the
+    // list_distinct semantics of wordShingles
+    val wDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
     val counts = Tables.documents(spark, dir)
-      .select(col("lang"), explode(Text.wordShingles(col("text"), 2)).as("bigram"))
+      .select(col("doc_id"), col("lang"),
+        posexplode(Text.tokens(col("text"))).as(Seq("pos", "tok")))
+      .withColumn("next_tok", lead(col("tok"), 1).over(wDoc))
+      .filter(col("next_tok").isNotNull)
+      .select(col("doc_id"), col("lang"),
+        concat_ws(" ", col("tok"), col("next_tok")).as("bigram"))
+      .dropDuplicates("doc_id", "bigram")
       .groupBy(col("lang"), col("bigram"))
       .agg(count(lit(1)).as("n"))
     val w = Window.partitionBy(col("lang")).orderBy(col("n").desc, col("bigram"))
