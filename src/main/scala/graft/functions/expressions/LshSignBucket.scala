@@ -1,7 +1,7 @@
 package graft.functions.expressions
 
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{DataType, LongType}
 
@@ -10,13 +10,13 @@ import org.apache.spark.sql.types.{DataType, LongType}
   *
   * Plane components come from a splitmix64-style mix of (plane, dim) —
   * data-independent, identical on every executor, no broadcast state.
-  * Replaces the nested higher-order-function formulation (one interpreted
-  * lambda per plane × dim) with a single eval; `CodegenFallback` is fine
-  * because the loop itself is compiled Scala, not per-element Catalyst
-  * dispatch.
+  * Codegen emits a call to [[computeBucket]] through a reference object,
+  * so the surrounding stage stays inside whole-stage codegen (no
+  * CodegenFallback row materialization) while the loop itself runs as
+  * compiled Scala.
   */
 case class LshSignBucket(child: Expression, nPlanes: Int, seed: Long)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   override def dataType: DataType = LongType
   override def prettyName: String = "lsh_sign_bucket"
@@ -30,8 +30,8 @@ case class LshSignBucket(child: Expression, nPlanes: Int, seed: Long)
     (z >>> 11).toDouble / (1L << 53).toDouble * 2.0 - 1.0
   }
 
-  override def nullSafeEval(v: Any): Any = {
-    val x = v.asInstanceOf[ArrayData]
+  /** The fused projection loop; public so generated code can call it. */
+  def computeBucket(x: ArrayData): Long = {
     val n = x.numElements()
     var bucket = 0L
     var p = 0
@@ -46,6 +46,13 @@ case class LshSignBucket(child: Expression, nPlanes: Int, seed: Long)
       p += 1
     }
     bucket
+  }
+
+  override def nullSafeEval(v: Any): Any = computeBucket(v.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("lshExpr", this, classOf[LshSignBucket].getName)
+    nullSafeCodeGen(ctx, ev, v => s"${ev.value} = $ref.computeBucket($v);")
   }
 
   override protected def withNewChildInternal(newChild: Expression): LshSignBucket =
