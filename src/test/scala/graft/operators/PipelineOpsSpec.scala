@@ -1,0 +1,50 @@
+package graft.operators
+
+import graft.SparkSpecBase
+import org.apache.spark.sql.functions._
+
+class PipelineOpsSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("stratified sample: content-hash stable, rate tracks threshold") {
+    val a = PipelineOps.stratifiedSample(spark, sf0001).collect()
+    val b = PipelineOps.stratifiedSample(spark, sf0001).collect()
+    assert(a.map(_.toSeq).toSeq === b.map(_.toSeq).toSeq) // rerun-stable
+    val sampled = a.map(_.getAs[Long]("n_sampled")).sum
+    // keepBelow=64 → expect ~25% of 500 docs; allow generous slack
+    assert(sampled > 60 && sampled < 200, s"sampled=$sampled")
+  }
+
+  test("shard packing: cumulative totals monotone, shard ids contiguous from 0") {
+    val rows = PipelineOps.shardPacking(spark, sf0001, tokensPerShard = 500)
+      .collect()
+    rows.groupBy(_.getAs[String]("source")).values.foreach { rs =>
+      val sorted = rs.sortBy(_.getAs[Long]("doc_id"))
+      val cums = sorted.map(_.getAs[Long]("cum_tokens"))
+      assert(cums.zip(cums.tail).forall { case (x, y) => y > x }) // strictly increasing
+      val shards = sorted.map(_.getAs[Int]("shard_id"))
+      assert(shards.head === 0)
+      assert(shards.zip(shards.tail).forall { case (x, y) => y == x || y == x + 1 })
+      // each doc's shard matches its cumulative budget bucket
+      sorted.foreach { r =>
+        assert(r.getAs[Int]("shard_id") === ((r.getAs[Long]("cum_tokens") - 1) / 500).toInt)
+      }
+    }
+  }
+
+  test("pii scrub masks emails and long digit runs, leaves short numbers") {
+    val df = Seq(
+      (1L, "write to jane.doe+x@sub.example.org today"),
+      (2L, "call 5551234567 or ext 123"),
+      (3L, "clean text, nothing to scrub"))
+      .toDF("doc_id", "text")
+    val scrubbed = df.select(col("doc_id"),
+      regexp_replace(regexp_replace(col("text"),
+        "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+        "[0-9]{7,}", "<PHONE>").as("t"))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("t")).toMap
+    assert(scrubbed(1L) === "write to <EMAIL> today")
+    assert(scrubbed(2L) === "call <PHONE> or ext 123") // 3-digit ext kept
+    assert(scrubbed(3L) === "clean text, nothing to scrub")
+  }
+}
