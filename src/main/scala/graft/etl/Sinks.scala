@@ -36,6 +36,25 @@ object Sinks {
     TableSpec("i94_state_mapping", Csv),
     TableSpec("i94_visa", Csv))
 
+  /** Small-files compaction: rewrite an unpartitioned parquet table into
+    * `targetFiles` files (stage to a sibling dir, then swap) — the
+    * operational fix for append-mode accumulation at scale. Returns the
+    * row count for verification.
+    */
+  def compact(spark: org.apache.spark.sql.SparkSession, path: String,
+      targetFiles: Int): Long = {
+    val tmp = path + "__compacting"
+    val df = spark.read.parquet(path)
+    df.coalesce(targetFiles).write.mode("overwrite").parquet(tmp)
+    val n = spark.read.parquet(tmp).count()
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val dst = new org.apache.hadoop.fs.Path(path)
+    fs.delete(dst, true)
+    fs.rename(new org.apache.hadoop.fs.Path(tmp), dst)
+    n
+  }
+
   def write(df: DataFrame, spec: TableSpec, outputDir: String): Unit = {
     val mode = if (spec.overwrite) "overwrite" else "append"
     val w0 = df.write.option("header", "true").mode(mode)
