@@ -76,6 +76,7 @@ object SparkEntry {
     "q54_rollup"          -> (CoreQueries.q54Rollup _),
     "q55_pivot"           -> (CoreQueries.q55Pivot _),
     "q56_percentiles"     -> (CoreQueries.q56Percentiles _),
+    "q57_centroid_assign" -> ((s, d) => SimilarityOps.centroidAssign(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -489,6 +490,29 @@ object SparkEntry {
            round(quantile_cont(o_totalprice, 0.99), 2) AS p99,
            count(*) AS n
          FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+    "q57_centroid_assign" ->
+      """WITH dims AS (
+           SELECT label, vec_id,
+             generate_subscripts(embedding, 1) AS d,
+             unnest(embedding::DOUBLE[]) AS x
+           FROM embeddings),
+         cent AS (SELECT label, d, round(avg(x), 6) AS c
+                  FROM dims GROUP BY label, d),
+         cvec AS (SELECT label AS clabel, list(c ORDER BY d) AS cv
+                  FROM cent GROUP BY label),
+         scored AS (
+           SELECT e.vec_id, e.label, c.clabel,
+             round(list_inner_product(e.embedding::DOUBLE[], c.cv) /
+               (sqrt(list_inner_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])) *
+                sqrt(list_inner_product(c.cv, c.cv))), 4) AS cos
+           FROM embeddings e CROSS JOIN cvec c),
+         best AS (SELECT vec_id, label, clabel,
+             row_number() OVER (PARTITION BY vec_id
+               ORDER BY cos DESC, clabel) AS rk
+           FROM scored)
+         SELECT label, clabel AS assigned_label, count(*) AS n
+         FROM best WHERE rk = 1
+         GROUP BY label, clabel ORDER BY label, assigned_label""",
     // q43 shares q31's semantics (different physical operator: typed
     // Aggregator instead of window sort) → same oracle
     "q43_topk_aggregator" ->

@@ -95,6 +95,31 @@ object SimilarityOps {
       .orderBy(col("query_id"), col("rk"))
   }
 
+  /** Per-label centroids + nearest-centroid assignment (one k-means-style
+    * assignment step over the labeled embeddings): centroid = per-dim mean
+    * (posexplode → groupBy, rounded at 6dp for cross-engine stability),
+    * assignment = argmax cosine over the broadcast centroids.
+    */
+  def centroidAssign(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val dims = e.select(col("label"), col("vec_id"),
+      posexplode(col("embedding")).as(Seq("d", "x")))
+    val cent = dims.groupBy(col("label"), col("d"))
+      .agg(round(avg(col("x").cast("double")), 6).as("c"))
+    val cvec = cent.groupBy(col("label").as("clabel"))
+      .agg(transform(array_sort(collect_list(struct(col("d"), col("c")))),
+        s => s.getField("c")).as("cv"))
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cos").desc, col("clabel"))
+    e.crossJoin(broadcast(cvec))
+      .withColumn("cos", round(Vectors.cosineHof(col("embedding"), col("cv")), 4))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .groupBy(col("label"), col("clabel").as("assigned_label"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("label"), col("assigned_label"))
+  }
+
   /** Embedding near-duplicate pairs (cosine ≥ threshold) over a bounded
     * id range — the oracle-checkable exact variant.
     */
