@@ -35,8 +35,24 @@ object GraftExtensions {
     ("lsh_bucket",
       info("lsh_bucket",
         "_FUNC_(v, nPlanes) - deterministic sign-LSH bucket of a float array"),
-      (es: Seq[Expression]) => LshSignBucket(es(0),
-        es(1).eval().asInstanceOf[Int], 42L)))
+      (es: Seq[Expression]) => {
+        if (es.length != 2)
+          throw new IllegalArgumentException(
+            s"lsh_bucket expects 2 arguments, got ${es.length}")
+        val planesExpr = es(1)
+        if (!planesExpr.foldable)
+          throw new IllegalArgumentException(
+            "lsh_bucket: nPlanes must be a literal integer")
+        val planes = planesExpr.eval() match {
+          case i: Int => i
+          case l: Long => l.toInt
+          case s: Short => s.toInt
+          case b: Byte => b.toInt
+          case other => throw new IllegalArgumentException(
+            s"lsh_bucket: nPlanes must be integral, got $other")
+        }
+        LshSignBucket(es(0), planes, 42L)
+      }))
 
   /** Register on a live session (tests / REPL convenience). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =

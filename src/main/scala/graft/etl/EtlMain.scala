@@ -27,9 +27,14 @@ object EtlMain {
     spark.sparkContext.setLogLevel("WARN")
 
     val t0 = System.nanoTime()
-    // skip-missing semantics of the reference's monthly loop (etl.py:736-748)
-    val monthly = rawPaths.filter(p => new java.io.File(p).exists())
-      .map(p => Readers.rawI94(spark, p))
+    // skip-missing semantics of the reference's monthly loop (etl.py:736-748);
+    // existence resolved through Hadoop FS so URI-form paths (file://, s3a://)
+    // work, not just bare local paths
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val monthly = rawPaths.filter { p =>
+      val hp = new org.apache.hadoop.fs.Path(p)
+      hp.getFileSystem(hconf).exists(hp)
+    }.map(p => Readers.rawI94(spark, p))
     require(monthly.nonEmpty, s"no raw inputs exist among: $rawPaths")
     val dict = new String(
       java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(dictPath)),

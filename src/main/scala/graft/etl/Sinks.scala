@@ -43,15 +43,21 @@ object Sinks {
     */
   def compact(spark: org.apache.spark.sql.SparkSession, path: String,
       targetFiles: Int): Long = {
-    val tmp = path + "__compacting"
-    val df = spark.read.parquet(path)
-    df.coalesce(targetFiles).write.mode("overwrite").parquet(tmp)
-    val n = spark.read.parquet(tmp).count()
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      spark.sparkContext.hadoopConfiguration)
     val dst = new org.apache.hadoop.fs.Path(path)
-    fs.delete(dst, true)
-    fs.rename(new org.apache.hadoop.fs.Path(tmp), dst)
+    // resolve the filesystem FROM the path (FileSystem.get(conf) would hit
+    // the default FS and fail or act on the wrong store for s3a/hdfs URIs)
+    val fs = dst.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new org.apache.hadoop.fs.Path(path + "__compacting")
+    val old = new org.apache.hadoop.fs.Path(path + "__precompact")
+    spark.read.parquet(path)
+      .coalesce(targetFiles).write.mode("overwrite").parquet(tmp.toString)
+    val n = spark.read.parquet(tmp.toString).count()
+    // swap without a window where the live table is missing: move the old
+    // data aside, move the compacted data in, only then drop the old copy
+    fs.delete(old, true)
+    require(fs.rename(dst, old), s"compact: failed to stage $dst aside")
+    require(fs.rename(tmp, dst), s"compact: failed to install $tmp at $dst")
+    fs.delete(old, true)
     n
   }
 

@@ -35,7 +35,9 @@ object SimilarityOps {
       .orderBy(col("query_id"), col("rk"))
   }
 
-  /** LSH-bucketed ANN: 12-plane sign buckets on both sides; candidates =
+  /** LSH-bucketed ANN: sign buckets (default 6 planes = 64 buckets,
+    * sized for the small test corpus; raise nPlanes with corpus size) on
+    * both sides; candidates =
     * same-bucket pairs, then exact cosine + per-query top-k. Recall < 1 by
     * construction (bucket collisions only) — the 100 TB path where
     * brute-force is a non-starter. Multi-probe: signatures for the bucket

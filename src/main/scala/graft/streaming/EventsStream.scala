@@ -28,6 +28,9 @@ object EventsStream {
     */
   def stagedEventsStream(spark: SparkSession, dir: String,
       prefix: String): DataFrame = {
+    // intentionally session-scoped (same flag graft.Tables.events sets):
+    // every events read in this project needs nano timestamps as longs,
+    // and the streaming source consults the conf beyond this call
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val watchDir = java.nio.file.Files.createTempDirectory(prefix)
     val staged = watchDir.resolve("events-000.parquet")
