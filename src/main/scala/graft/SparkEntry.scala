@@ -77,6 +77,7 @@ object SparkEntry {
     "q55_pivot"           -> (CoreQueries.q55Pivot _),
     "q56_percentiles"     -> (CoreQueries.q56Percentiles _),
     "q57_centroid_assign" -> ((s, d) => SimilarityOps.centroidAssign(s, d)),
+    "q58_sessions_batch"  -> ((s, d) => CoreQueries.q58SessionsBatch(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -513,6 +514,20 @@ object SparkEntry {
          SELECT label, clabel AS assigned_label, count(*) AS n
          FROM best WHERE rk = 1
          GROUP BY label, clabel ORDER BY label, assigned_label""",
+    "q58_sessions_batch" ->
+      """SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+           min(ts) AS session_start, max(ts) AS session_end,
+           count(*) AS n_events
+         FROM (
+           SELECT user_id, ts,
+             sum(CASE WHEN prev_ts IS NULL
+                       OR epoch_us(ts) - epoch_us(prev_ts) > 1800000000 THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY ts
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+           FROM (SELECT user_id, ts,
+                   lag(ts, 1) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts
+                 FROM events))
+         GROUP BY user_id, session_seq ORDER BY user_id, session_seq""",
     // q43 shares q31's semantics (different physical operator: typed
     // Aggregator instead of window sort) → same oracle
     "q43_topk_aggregator" ->

@@ -422,6 +422,30 @@ object CoreQueries {
       .orderBy(col("o_custkey"), col("order_date"), col("o_orderkey"))
   }
 
+  /** Batch gap-sessionization: the windowed ground truth the streaming
+    * sessionizer approximates — flag gap-starts with lag, running-sum the
+    * flags into session ids, aggregate per session. One shuffle on user_id.
+    */
+  def q58SessionsBatch(spark: SparkSession, dir: String,
+      gapMinutes: Int = 30): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"))
+    Tables.events(spark, dir)
+      .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+      .withColumn("new_session",
+        when(col("prev_ts").isNull ||
+          unix_micros(col("ts")) - unix_micros(col("prev_ts")) > gapMinutes * 60000000L,
+          lit(1)).otherwise(lit(0)))
+      .withColumn("session_seq",
+        sum(col("new_session")).over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("user_id"), col("session_seq"))
+      // NTZ so the parquet dump is a naive timestamp like the oracle's
+      // (TimestampType would write UTC-adjusted and read back tz-aware)
+      .agg(min(col("ts")).cast("timestamp_ntz").as("session_start"),
+        max(col("ts")).cast("timestamp_ntz").as("session_end"),
+        count(lit(1)).as("n_events"))
+      .orderBy(col("user_id"), col("session_seq"))
+  }
+
   /** Semi-structured extraction: events.props is a JSON string column —
     * pull a typed field out and aggregate (the kind of nested-payload
     * work a real event pipeline does constantly; the reference has no

@@ -14,49 +14,58 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
 object Sessionize {
 
   case class SessionEvent(user_id: Long, ts: java.sql.Timestamp, event_type: String)
+  /** start/last are epoch MICROSECONDS — ms-truncated `Timestamp.getTime`
+    * arithmetic would disagree with the batch q58 ground truth on
+    * exact-boundary gaps.
+    */
   case class SessionState(start: Long, last: Long, n: Int)
   case class UserSession(user_id: Long, session_start: java.sql.Timestamp,
       session_end: java.sql.Timestamp, n_events: Int)
 
-  def sessionizeGroup(gapMs: Long)(
+  private def micros(t: java.sql.Timestamp): Long =
+    Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+  private def toTs(us: Long): java.sql.Timestamp = {
+    val t = new java.sql.Timestamp(Math.floorDiv(us, 1000000L) * 1000L)
+    t.setNanos((Math.floorMod(us, 1000000L) * 1000L).toInt)
+    t
+  }
+
+  def sessionizeGroup(gapUs: Long)(
       userId: Long, events: Iterator[SessionEvent],
       state: GroupState[SessionState]): Iterator[UserSession] = {
     if (state.hasTimedOut) {
       val out = state.getOption.map(s =>
-        UserSession(userId, new java.sql.Timestamp(s.start),
-          new java.sql.Timestamp(s.last), s.n)).iterator
+        UserSession(userId, toTs(s.start), toTs(s.last), s.n)).iterator
       state.remove()
       return out
     }
-    val sorted = events.toSeq.sortBy(_.ts.getTime)
+    val sorted = events.toSeq.sortBy(e => micros(e.ts))
     val closed = Seq.newBuilder[UserSession]
     var cur = state.getOption
     sorted.foreach { e =>
-      val t = e.ts.getTime
+      val t = micros(e.ts)
       cur match {
         // within one gap of the session interval on either side: merge,
         // extending the boundary (a late cross-batch event can legitimately
         // precede session_start)
-        case Some(s) if t >= s.start - gapMs && t - s.last <= gapMs =>
+        case Some(s) if t >= s.start - gapUs && t - s.last <= gapUs =>
           cur = Some(SessionState(math.min(s.start, t), math.max(s.last, t), s.n + 1))
         // after the gap: close the session, start a new one
-        case Some(s) if t - s.last > gapMs =>
-          closed += UserSession(userId, new java.sql.Timestamp(s.start),
-            new java.sql.Timestamp(s.last), s.n)
+        case Some(s) if t - s.last > gapUs =>
+          closed += UserSession(userId, toTs(s.start), toTs(s.last), s.n)
           cur = Some(SessionState(t, t, 1))
         // late event more than a gap BEFORE the open session: it belongs
         // to an already-gone earlier session — emit it as its own closed
         // single-event session, keep the open one untouched
         case Some(_) =>
-          closed += UserSession(userId, new java.sql.Timestamp(t),
-            new java.sql.Timestamp(t), 1)
+          closed += UserSession(userId, toTs(t), toTs(t), 1)
         case None =>
           cur = Some(SessionState(t, t, 1))
       }
     }
     cur.foreach { s =>
       state.update(s)
-      state.setTimeoutTimestamp(s.last + gapMs)
+      state.setTimeoutTimestamp((s.last + gapUs) / 1000L) // timeout API is ms
     }
     closed.result().iterator
   }
@@ -71,7 +80,7 @@ object Sessionize {
       .as[SessionEvent]
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
-        sessionizeGroup(gapMinutes * 60000L))
+        sessionizeGroup(gapMinutes * 60000000L))
   }
 
   /** Drive synchronously over the staged files; returns closed sessions. */

@@ -13,7 +13,7 @@ class SessionizeSpec extends SparkSpecBase {
       Sessionize.SessionEvent(7, ts(100), "view"), // > 30min gap → new session
       Sessionize.SessionEvent(7, ts(105), "purchase"))
     val state = new TestGroupState[Sessionize.SessionState]
-    val closed = Sessionize.sessionizeGroup(30 * 60000L)(7, events, state).toSeq
+    val closed = Sessionize.sessionizeGroup(30 * 60000000L)(7, events, state).toSeq
     assert(closed.map(s => (s.session_start, s.session_end, s.n_events))
       === Seq((ts(0), ts(10), 2)))
     assert(state.updated.exists(_.n == 2)) // open session carried in state
@@ -21,16 +21,30 @@ class SessionizeSpec extends SparkSpecBase {
 
   test("late cross-batch events: within-gap merges backwards, beyond-gap isolates") {
     def ts(min: Long) = new java.sql.Timestamp(min * 60000L)
+    def us(min: Long) = min * 60000000L // state tracks epoch micros
     val state = new TestGroupState[Sessionize.SessionState]
-    state.update(Sessionize.SessionState(ts(100).getTime, ts(110).getTime, 3))
+    state.update(Sessionize.SessionState(us(100), us(110), 3))
     // one event 20min before start (within gap → merge + extend start),
     // one event 90min before start (beyond gap → own closed session)
-    val closed = Sessionize.sessionizeGroup(30 * 60000L)(7, Iterator(
+    val closed = Sessionize.sessionizeGroup(30 * 60000000L)(7, Iterator(
       Sessionize.SessionEvent(7, ts(80), "late-merge"),
       Sessionize.SessionEvent(7, ts(10), "late-isolated")), state).toSeq
     assert(closed.map(s => (s.session_start, s.session_end, s.n_events))
       === Seq((ts(10), ts(10), 1)))
-    assert(state.updated.contains(Sessionize.SessionState(ts(80).getTime, ts(110).getTime, 4)))
+    assert(state.updated.contains(Sessionize.SessionState(us(80), us(110), 4)))
+  }
+
+  test("streaming closed sessions ⊆ batch-windowed ground truth") {
+    import org.apache.spark.sql.functions._
+    val streamed = Sessionize.runOnce(spark, sf0001, queryName = "sess_vs_batch")
+      .toDF().select(col("user_id"), col("session_start").cast("timestamp_ntz"),
+        col("session_end").cast("timestamp_ntz"), col("n_events"))
+    val batch = graft.operators.CoreQueries.q58SessionsBatch(spark, sf0001)
+      .select(col("user_id"), col("session_start"), col("session_end"), col("n_events"))
+    // every closed streaming session must exist verbatim in the batch result
+    assert(streamed.count() > 0)
+    assert(streamed.exceptAll(batch).isEmpty,
+      "streaming emitted a session absent from the batch ground truth")
   }
 
   test("streaming sessionization over events emits closed sessions") {
