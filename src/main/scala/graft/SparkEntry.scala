@@ -78,6 +78,8 @@ object SparkEntry {
     "q56_percentiles"     -> (CoreQueries.q56Percentiles _),
     "q57_centroid_assign" -> ((s, d) => SimilarityOps.centroidAssign(s, d)),
     "q58_sessions_batch"  -> ((s, d) => CoreQueries.q58SessionsBatch(s, d)),
+    "q59_dedup_keeplist"  -> ((s, d) => DedupOps.dedupKeepList(s, d)),
+    "q60_weighted_mix"    -> ((s, d) => PipelineOps.weightedMix(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -528,6 +530,50 @@ object SparkEntry {
                    lag(ts, 1) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts
                  FROM events))
          GROUP BY user_id, session_seq ORDER BY user_id, session_seq""",
+    "q59_dedup_keeplist" ->
+      """WITH RECURSIVE
+         d0 AS (
+           SELECT doc_id, string_split(
+             regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS w
+           FROM documents),
+         docs AS (
+           SELECT doc_id, list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+             for i in range(1, greatest(len(w) - 1, 1))]) AS toks
+           FROM d0 WHERE len(w) >= 3),
+         t0 AS (SELECT doc_id, unnest(toks) AS tok FROM docs),
+         rare AS (SELECT tok FROM t0 GROUP BY tok HAVING count(*) <= 50),
+         t1 AS (SELECT doc_id, tok FROM t0 JOIN rare USING (tok)),
+         tok AS (SELECT doc_id, tok,
+                   count(*) OVER (PARTITION BY doc_id) AS n FROM t1),
+         edges AS (
+           SELECT id_a, id_b FROM (
+             SELECT l.doc_id AS id_a, r.doc_id AS id_b,
+               count(*) * 1.0 / (l.n + r.n - count(*)) AS jaccard
+             FROM tok l JOIN tok r ON l.tok = r.tok AND l.doc_id < r.doc_id
+             GROUP BY l.doc_id, r.doc_id, l.n, r.n)
+           WHERE jaccard >= 0.5),
+         sym AS (SELECT id_a AS src, id_b AS dst FROM edges
+                 UNION ALL SELECT id_b, id_a FROM edges),
+         cc(id, label) AS (
+           SELECT DISTINCT src, src FROM sym
+           UNION
+           SELECT s.dst, c.label FROM cc c JOIN sym s ON s.src = c.id),
+         drop_ids AS (SELECT id FROM (
+             SELECT id, min(label) AS cluster_id FROM cc GROUP BY id)
+           WHERE cluster_id <> id)
+         SELECT lang, count(*) AS n_kept,
+           CAST(sum(n_chars) AS BIGINT) AS kept_chars
+         FROM documents WHERE doc_id NOT IN (SELECT id FROM drop_ids)
+         GROUP BY lang ORDER BY lang""",
+    "q60_weighted_mix" ->
+      """SELECT source, count(*) AS n_kept
+         FROM (SELECT source,
+                 substr(md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')), 1, 2) AS bucket
+               FROM documents)
+         WHERE bucket < CASE WHEN source = 'src0' THEN 'e0'
+                             WHEN source IN ('src1', 'src2') THEN '80'
+                             ELSE '40' END
+         GROUP BY source ORDER BY source""",
     // q43 shares q31's semantics (different physical operator: typed
     // Aggregator instead of window sort) → same oracle
     "q43_topk_aggregator" ->

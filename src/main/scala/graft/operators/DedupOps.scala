@@ -208,6 +208,21 @@ object DedupOps {
       .select(col("id").as("doc_id"), col("label").as("cluster_id"))
       .orderBy(col("doc_id"))
 
+  /** q59: the dedup keep-list — every document minus non-canonical cluster
+    * members (left_anti against docs whose cluster label differs from
+    * their own id). This is the artifact a training pipeline consumes.
+    */
+  def dedupKeepList(spark: SparkSession, dir: String): DataFrame = {
+    val drop = nearDupClusters(spark, dir)
+      .filter(col("cluster_id") =!= col("doc_id"))
+      .select(col("doc_id"))
+    Tables.documents(spark, dir)
+      .join(drop, Seq("doc_id"), "left_anti")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_kept"), sum(col("n_chars")).as("kept_chars"))
+      .orderBy(col("lang"))
+  }
+
   /** Exact 3-gram-shingle Jaccard over the full corpus — the
     * oracle-checkable near-dup variant. Shingle-explode + equi-join +
     * group: pairs only materialize when they share a shingle, and word

@@ -46,6 +46,24 @@ object PipelineOps {
       .orderBy(col("source"), col("doc_id"))
   }
 
+  /** Weighted source mixing: per-source keep-rates via content-hash
+    * buckets (e.g. upsample src0, downsample the tail) — the data-mixture
+    * construction step of corpus assembly, reproducible with no RNG.
+    */
+  def weightedMix(spark: SparkSession, dir: String): DataFrame = {
+    // lexicographic compare on 2-char lowercase hex == numeric compare
+    // (same engine-portable trick as stratifiedSample)
+    val bucket = substring(Text.fingerprintMd5(col("text")), 1, 2)
+    val keepBelow = when(col("source") === "src0", lit("e0"))  // ~7/8
+      .when(col("source").isin("src1", "src2"), lit("80"))     // ~1/2
+      .otherwise(lit("40"))                                    // ~1/4
+    Tables.documents(spark, dir)
+      .filter(bucket < keepBelow)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_kept"))
+      .orderBy(col("source"))
+  }
+
   /** PII scrub: mask email-shaped and long-digit-run tokens. Patterns are
     * RE2-compatible so the oracle applies the identical regex. Documents
     * get a synthetic email planted first (the corpus has none) so the
