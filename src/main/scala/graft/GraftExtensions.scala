@@ -51,6 +51,11 @@ object GraftExtensions {
           case other => throw new IllegalArgumentException(
             s"lsh_bucket: nPlanes must be integral, got $other")
         }
+        // >63 overflows the Long bucket (silent plane aliasing); <1 is a
+        // constant bucket that degrades any bucket join to all-pairs
+        if (planes < 1 || planes > 63)
+          throw new IllegalArgumentException(
+            s"lsh_bucket: nPlanes must be in [1, 63], got $planes")
         LshSignBucket(es(0), planes, 42L)
       }))
 

@@ -82,6 +82,40 @@ object SparkEntry {
     "q60_weighted_mix"    -> ((s, d) => PipelineOps.weightedMix(s, d)),
   )
 
+  /** Shared CTE chain for the dedup-cluster oracles (q53/q59): shingles →
+    * df-capped postings → Jaccard edges → recursive min-label components.
+    * One copy so threshold/maxDf tuning cannot silently diverge between
+    * the two oracle entries (they gate the same DedupOps pipeline).
+    */
+  private val dedupCcCte: String =
+    """WITH RECURSIVE
+       d0 AS (
+         SELECT doc_id, string_split(
+           regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS w
+         FROM documents),
+       docs AS (
+         SELECT doc_id, list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+           for i in range(1, greatest(len(w) - 1, 1))]) AS toks
+         FROM d0 WHERE len(w) >= 3),
+       t0 AS (SELECT doc_id, unnest(toks) AS tok FROM docs),
+       rare AS (SELECT tok FROM t0 GROUP BY tok HAVING count(*) <= 50),
+       t1 AS (SELECT doc_id, tok FROM t0 JOIN rare USING (tok)),
+       tok AS (SELECT doc_id, tok,
+                 count(*) OVER (PARTITION BY doc_id) AS n FROM t1),
+       edges AS (
+         SELECT id_a, id_b FROM (
+           SELECT l.doc_id AS id_a, r.doc_id AS id_b,
+             count(*) * 1.0 / (l.n + r.n - count(*)) AS jaccard
+           FROM tok l JOIN tok r ON l.tok = r.tok AND l.doc_id < r.doc_id
+           GROUP BY l.doc_id, r.doc_id, l.n, r.n)
+         WHERE jaccard >= 0.5),
+       sym AS (SELECT id_a AS src, id_b AS dst FROM edges
+               UNION ALL SELECT id_b, id_a FROM edges),
+       cc(id, label) AS (
+         SELECT DISTINCT src, src FROM sym
+         UNION
+         SELECT s.dst, c.label FROM cc c JOIN sym s ON s.src = c.id)"""
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
     */
@@ -446,35 +480,9 @@ object SparkEntry {
            round(max(n) / any_value(avg_n), 4) AS max_over_avg
          FROM pk, tot""",
     "q53_dedup_clusters" ->
-      """WITH RECURSIVE
-         d0 AS (
-           SELECT doc_id, string_split(
-             regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS w
-           FROM documents),
-         docs AS (
-           SELECT doc_id, list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
-             for i in range(1, greatest(len(w) - 1, 1))]) AS toks
-           FROM d0 WHERE len(w) >= 3),
-         t0 AS (SELECT doc_id, unnest(toks) AS tok FROM docs),
-         rare AS (SELECT tok FROM t0 GROUP BY tok HAVING count(*) <= 50),
-         t1 AS (SELECT doc_id, tok FROM t0 JOIN rare USING (tok)),
-         tok AS (SELECT doc_id, tok,
-                   count(*) OVER (PARTITION BY doc_id) AS n FROM t1),
-         edges AS (
-           SELECT id_a, id_b FROM (
-             SELECT l.doc_id AS id_a, r.doc_id AS id_b,
-               count(*) * 1.0 / (l.n + r.n - count(*)) AS jaccard
-             FROM tok l JOIN tok r ON l.tok = r.tok AND l.doc_id < r.doc_id
-             GROUP BY l.doc_id, r.doc_id, l.n, r.n)
-           WHERE jaccard >= 0.5),
-         sym AS (SELECT id_a AS src, id_b AS dst FROM edges
-                 UNION ALL SELECT id_b, id_a FROM edges),
-         cc(id, label) AS (
-           SELECT DISTINCT src, src FROM sym
-           UNION
-           SELECT s.dst, c.label FROM cc c JOIN sym s ON s.src = c.id)
+      (dedupCcCte + """
          SELECT id AS doc_id, CAST(min(label) AS BIGINT) AS cluster_id
-         FROM cc GROUP BY id ORDER BY doc_id""",
+         FROM cc GROUP BY id ORDER BY doc_id"""),
     "q54_rollup" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS cnt,
            round(sum(l_quantity), 2) AS qty
@@ -531,40 +539,14 @@ object SparkEntry {
                  FROM events))
          GROUP BY user_id, session_seq ORDER BY user_id, session_seq""",
     "q59_dedup_keeplist" ->
-      """WITH RECURSIVE
-         d0 AS (
-           SELECT doc_id, string_split(
-             regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS w
-           FROM documents),
-         docs AS (
-           SELECT doc_id, list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
-             for i in range(1, greatest(len(w) - 1, 1))]) AS toks
-           FROM d0 WHERE len(w) >= 3),
-         t0 AS (SELECT doc_id, unnest(toks) AS tok FROM docs),
-         rare AS (SELECT tok FROM t0 GROUP BY tok HAVING count(*) <= 50),
-         t1 AS (SELECT doc_id, tok FROM t0 JOIN rare USING (tok)),
-         tok AS (SELECT doc_id, tok,
-                   count(*) OVER (PARTITION BY doc_id) AS n FROM t1),
-         edges AS (
-           SELECT id_a, id_b FROM (
-             SELECT l.doc_id AS id_a, r.doc_id AS id_b,
-               count(*) * 1.0 / (l.n + r.n - count(*)) AS jaccard
-             FROM tok l JOIN tok r ON l.tok = r.tok AND l.doc_id < r.doc_id
-             GROUP BY l.doc_id, r.doc_id, l.n, r.n)
-           WHERE jaccard >= 0.5),
-         sym AS (SELECT id_a AS src, id_b AS dst FROM edges
-                 UNION ALL SELECT id_b, id_a FROM edges),
-         cc(id, label) AS (
-           SELECT DISTINCT src, src FROM sym
-           UNION
-           SELECT s.dst, c.label FROM cc c JOIN sym s ON s.src = c.id),
+      (dedupCcCte + """,
          drop_ids AS (SELECT id FROM (
              SELECT id, min(label) AS cluster_id FROM cc GROUP BY id)
            WHERE cluster_id <> id)
          SELECT lang, count(*) AS n_kept,
            CAST(sum(n_chars) AS BIGINT) AS kept_chars
          FROM documents WHERE doc_id NOT IN (SELECT id FROM drop_ids)
-         GROUP BY lang ORDER BY lang""",
+         GROUP BY lang ORDER BY lang"""),
     "q60_weighted_mix" ->
       """SELECT source, count(*) AS n_kept
          FROM (SELECT source,

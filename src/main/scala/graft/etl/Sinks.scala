@@ -45,10 +45,12 @@ object Sinks {
       targetFiles: Int): Long = {
     val dst = new org.apache.hadoop.fs.Path(path)
     // resolve the filesystem FROM the path (FileSystem.get(conf) would hit
-    // the default FS and fail or act on the wrong store for s3a/hdfs URIs)
+    // the default FS and fail or act on the wrong store for s3a/hdfs URIs);
+    // derive staging paths from the NORMALIZED Path — string concat on a
+    // trailing-slash input would nest them inside the dataset
     val fs = dst.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val tmp = new org.apache.hadoop.fs.Path(path + "__compacting")
-    val old = new org.apache.hadoop.fs.Path(path + "__precompact")
+    val tmp = new org.apache.hadoop.fs.Path(dst.getParent, dst.getName + "__compacting")
+    val old = new org.apache.hadoop.fs.Path(dst.getParent, dst.getName + "__precompact")
     spark.read.parquet(path)
       .coalesce(targetFiles).write.mode("overwrite").parquet(tmp.toString)
     val n = spark.read.parquet(tmp.toString).count()
