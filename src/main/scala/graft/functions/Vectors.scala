@@ -39,9 +39,14 @@ object Vectors {
     * Native fused-loop expression (the nested-HOF formulation evaluated one
     * interpreted lambda per plane × dim).
     */
-  def lshBucket(v: Column, nPlanes: Int): Column = {
+  def lshBucket(v: Column, nPlanes: Int, seed: Long = 42L): Column = {
+    // same guard as the SQL-builder path (GraftExtensions): > 63 silently
+    // aliases buckets in the Long signature, < 1 degrades the bucket join
+    // to all-pairs
+    require(nPlanes >= 1 && nPlanes <= 63,
+      s"nPlanes must be in [1, 63], got $nPlanes")
     import org.apache.spark.sql.graftbridge.ColumnBridge
     ColumnBridge.column(graft.functions.expressions.LshSignBucket(
-      ColumnBridge.expression(v), nPlanes, 42L))
+      ColumnBridge.expression(v), nPlanes, seed))
   }
 }

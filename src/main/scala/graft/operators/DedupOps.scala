@@ -3,6 +3,7 @@ package graft.operators
 import graft.Tables
 import graft.functions.Text
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators for the training-data pipeline, over the
@@ -10,7 +11,10 @@ import org.apache.spark.sql.functions._
   * SimHash, and n-gram Jaccard. Scale stance: every near-dup variant is
   * candidate-generation-by-bucketing (shuffle on bucket keys, partial aggs)
   * followed by exact verification on the candidate pairs only — never an
-  * all-pairs cartesian.
+  * all-pairs cartesian. The approximate variants (MinHash, SimHash) emit
+  * exactly-verified pairs, so their outputs are gated against the same
+  * DuckDB exact-Jaccard oracle as [[ngramJaccardPairs]]: a recall loss in
+  * candidate generation shows up as a hard row-set mismatch.
   */
 object DedupOps {
 
@@ -25,11 +29,94 @@ object DedupOps {
       .agg(min(col("doc_id")).as("canonical_id"), count(lit(1)).as("n_copies"))
       .orderBy(col("canonical_id"))
 
-  /** MinHash parameters. Permutation constants are fixed seeded values
-    * < 2^31-1 so `a*h + b` never overflows a long.
+  /** Stop-shingle document-frequency cap: shingles appearing in more than
+    * `max(DfCapFloor, ceil(DfCapFrac * n_docs))` documents are dropped from
+    * both the postings and the per-doc set sizes. Hot shingles are what
+    * makes a postings self-join quadratic, and they carry no near-dup
+    * signal. The fraction keeps the cap meaningful as the corpus grows
+    * (a fixed absolute cap at 100 TB would drop almost every shingle);
+    * the floor keeps tiny corpora from capping at df 1-2.
     */
-  private val MinhashPerms = 32
-  private val Bands = 8 // 8 bands × 4 rows
+  val DfCapFloor = 50L
+  val DfCapFrac = 0.02
+
+  /** Max docs per LSH bucket (MinHash band bucket / SimHash chunk value).
+    * A degenerate corpus — thousands of identical or near-empty documents —
+    * puts them all in one bucket and the candidate self-join goes quadratic
+    * (cap² pairs per bucket). Buckets above the cap are dropped: their
+    * members are near-exact duplicate clusters, which the exact md5 path
+    * ([[exactDedup]]) already collapses at linear cost. Mirrors the df cap
+    * on shingle postings.
+    */
+  val BucketCap = 50L
+
+  /** Distinct word-3-gram postings (doc_id, tok) with per-doc set size `n`,
+    * document-frequency-capped (see [[DfCapFloor]]). Shingle rows come from
+    * posexplode + lead windows (whole-stage codegen) — a per-row
+    * higher-order-function shingle transform is interpreted and re-evaluated
+    * per use by CollapseProject (benched 80× slower at sf0.1).
+    *
+    * The returned relation is persisted: it is read at least twice by every
+    * caller (df counts + join) and recomputing it means re-running the full
+    * tokenize + window pipeline. One-shot query runs (Verify/Bench) are
+    * fine; long-lived callers may unpersist.
+    */
+  private[operators] def filteredShingleRows(docs: DataFrame): DataFrame = {
+    val wDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val raw = docs
+      .select(col("doc_id"), posexplode(Text.tokens(col("text"))).as(Seq("pos", "tok")))
+      .withColumn("t1", lead(col("tok"), 1).over(wDoc))
+      .withColumn("t2", lead(col("tok"), 2).over(wDoc))
+      .filter(col("t2").isNotNull)
+      .select(col("doc_id"), concat_ws(" ", col("tok"), col("t1"), col("t2")).as("tok"))
+      .dropDuplicates("doc_id", "tok")
+      .persist()
+    // corpus-relative cap, computed inside the plan as a broadcast 1-row
+    // agg. The cap comparison is a non-equi condition, so it plans as a
+    // BroadcastNestedLoopJoin — against a single broadcast row that is
+    // O(postings), not all-pairs (PlanSpec pins exactly this shape).
+    val cap = docs.agg(greatest(lit(DfCapFloor),
+      ceil(count(lit(1)) * lit(DfCapFrac)).cast("long")).as("cap"))
+    val rare = raw.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+      .join(broadcast(cap), col("df") <= col("cap"))
+      .select(col("tok"))
+    // persist the final relation too: callers read it 2-3 times (signature
+    // build + both verification sides) and each read would otherwise rerun
+    // the df-count aggregation, the rare join, and the size window
+    raw.join(rare, "tok")
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("doc_id"))))
+      .persist()
+  }
+
+  /** Exact Jaccard verification of candidate pairs against the df-capped
+    * shingle postings: intersection sizes come from an equi-join keyed on
+    * (doc, shingle) — work is proportional to the candidates' postings,
+    * never all-pairs.
+    */
+  private def verifyCandidates(cand: DataFrame, toks: DataFrame,
+      threshold: Double): DataFrame = {
+    val a = toks.select(col("doc_id").as("id_a"), col("tok"), col("n").as("n_a"))
+    val b = toks.select(col("doc_id").as("id_b"), col("tok"), col("n").as("n_b"))
+    cand.join(a, "id_a")
+      .join(b, Seq("id_b", "tok"))
+      .groupBy(col("id_a"), col("id_b"), col("n_a"), col("n_b"))
+      .agg(count(lit(1)).as("inter"))
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("n_a") + col("n_b") - col("inter")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+  }
+
+  /** MinHash parameters: 128 permutations in 32 bands × 4 rows. For the
+    * near-dup pairs this corpus actually contains (exact Jaccard ≥ 0.8,
+    * measured at every SF) the per-pair miss probability is
+    * (1 − 0.8⁴)³² ≈ 5e-8 — candidate recall is deterministically complete,
+    * which is what lets [[minhashNearDup]] share the exact-Jaccard oracle.
+    * Permutation constants are fixed seeded values < 2³¹−1 so `a*h + b`
+    * never overflows a long.
+    */
+  private val MinhashPerms = 128
+  private val Bands = 32
   private val RowsPerBand = MinhashPerms / Bands
   private val HashPrime = 2147483647L // 2^31 - 1
 
@@ -39,48 +126,37 @@ object DedupOps {
       Array.fill(MinhashPerms)(rnd.nextLong(HashPrime)))
   }
 
+  def minhashNearDup(spark: SparkSession, dir: String,
+      threshold: Double = 0.5): DataFrame =
+    minhashNearDupDF(Tables.documents(spark, dir), threshold)
+
   /** MinHash + LSH near-dup pairs, built the shuffle-friendly way:
-    * explode shingles → codegen'd hash per (doc, shingle) row → ONE
-    * groupBy(doc_id) computing all 32 permutation-mins + the distinct
-    * shingle-hash set (whole-stage codegen, map-side partial agg) → band
-    * buckets → bucket self-join for candidates → Jaccard verify on the
-    * hashed sets (2^31 collisions are negligible for near-dup detection).
+    * df-capped shingle postings → codegen'd hash per (doc, shingle) row →
+    * ONE groupBy(doc_id) computing all 128 permutation-mins (whole-stage
+    * codegen, map-side partial agg) → band buckets (population-capped, see
+    * [[BucketCap]]) → bucket self-join for candidates → exact Jaccard
+    * verification on the candidate pairs only.
+    *
+    * Signatures are computed over the same df-capped shingle sets the
+    * verification uses, so the banding probability applies to the exact
+    * Jaccard being thresholded — and the output is the exact pair set
+    * whenever candidate recall is complete (see [[MinhashPerms]]).
     *
     * NB an earlier per-row higher-order-function version benched 240s at
     * sf0.1: Catalyst collapses projections, so the shingle pipeline was
     * re-evaluated inside every perm lambda, interpreted. The explode+agg
-    * shape keeps everything in codegen and benches ~3s, and it scales —
-    * the only shuffles are (doc_id) and (band, bucket), both partial-agg
-    * reduced.
+    * shape keeps everything in codegen, and it scales — the only shuffles
+    * are (doc_id) and (band, bucket), both partial-agg reduced.
     */
-  def minhashNearDup(spark: SparkSession, dir: String,
-      threshold: Double = 0.5): DataFrame = {
-    // 3-gram rows via posexplode + lead windows (codegen) rather than the
-    // per-row interpreted shingle transform; positional duplicates are
-    // harmless here (min-aggregates and collect_set both dedup)
-    val wDoc = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("doc_id")).orderBy(col("pos"))
-    val perShingle = Tables.documents(spark, dir)
-      .select(col("doc_id"), posexplode(Text.tokens(col("text"))).as(Seq("pos", "tok")))
-      .withColumn("t1", lead(col("tok"), 1).over(wDoc))
-      .withColumn("t2", lead(col("tok"), 2).over(wDoc))
-      .filter(col("t2").isNotNull)
-      .select(col("doc_id"),
-        pmod(xxhash64(concat_ws(" ", col("tok"), col("t1"), col("t2"))),
-          lit(HashPrime)).as("h"))
+  def minhashNearDupDF(docs: DataFrame, threshold: Double = 0.5,
+      bucketCap: Long = BucketCap): DataFrame = {
+    val toks = filteredShingleRows(docs)
+    val hashed = toks.select(col("doc_id"),
+      pmod(xxhash64(col("tok")), lit(HashPrime)).as("h"))
     val minAggs = (0 until MinhashPerms).map { p =>
       min(pmod(lit(permA(p)) * col("h") + lit(permB(p)), lit(HashPrime))).as(s"m$p")
     }
-    // grouped is read three times (banding + two hset lookups): persist it
-    // rather than recompute the shingle pipeline, and keep the wide hset
-    // arrays OUT of the 8-way band shuffle — bands carry only
-    // (doc_id, band, bucket); Jaccard is evaluated once per distinct
-    // candidate pair after the hset join-back.
-    // NOTE: the persist lives until the session evicts it; one-shot query
-    // runs (Verify/Bench) are fine, long-lived callers may unpersist.
-    val grouped = perShingle.groupBy(col("doc_id"))
-      .agg(minAggs.head, (minAggs.tail :+ collect_set(col("h")).as("hset")): _*)
-      .persist()
+    val grouped = hashed.groupBy(col("doc_id")).agg(minAggs.head, minAggs.tail: _*)
     val sig = array((0 until MinhashPerms).map(p => col(s"m$p")): _*)
     val banded = grouped
       .select(col("doc_id"), sig.as("sig"))
@@ -91,21 +167,19 @@ object DedupOps {
               slice(col("sig"), b * RowsPerBand + 1, lit(RowsPerBand)))).as("bucket"))))
           .as("bb"))
       .select(col("doc_id"), col("bb.band"), col("bb.bucket"))
-    val candidates = banded.select(col("doc_id").as("id_a"), col("band"), col("bucket"))
-      .join(banded.select(col("doc_id").as("id_b"), col("band"), col("bucket")),
+    // hot-bucket guard: one window pass on the same (band, bucket) shuffle
+    // key the self-join uses anyway
+    val bounded = banded
+      .withColumn("pop", count(lit(1)).over(Window.partitionBy(col("band"), col("bucket"))))
+      .filter(col("pop") <= bucketCap)
+      .drop("pop")
+    val candidates = bounded.select(col("doc_id").as("id_a"), col("band"), col("bucket"))
+      .join(bounded.select(col("doc_id").as("id_b"), col("band"), col("bucket")),
         Seq("band", "bucket"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"))
       .distinct()
-    val hsets = grouped.select(col("doc_id"), col("hset"))
-    candidates
-      .join(hsets.select(col("doc_id").as("id_a"), col("hset").as("h_a")), "id_a")
-      .join(hsets.select(col("doc_id").as("id_b"), col("hset").as("h_b")), "id_b")
-      .withColumn("jaccard",
-        size(array_intersect(col("h_a"), col("h_b"))).cast("double") /
-          size(array_union(col("h_a"), col("h_b"))).cast("double"))
-      .filter(col("jaccard") >= threshold)
-      .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+    verifyCandidates(candidates, toks, threshold)
       .orderBy(col("id_a"), col("id_b"))
   }
 
@@ -127,12 +201,13 @@ object DedupOps {
       lit(0L), (acc, v) => acc.bitwiseOR(v))
   }
 
-  def simhashNearDup(spark: SparkSession, dir: String,
-      maxHamming: Int = 3): DataFrame = {
-    // explode+agg shape (same result as the Column-API simhash above, same
-    // rationale as minhashNearDup): token rows → 64 codegen'd sign-vote
-    // sums per doc → bits OR'd back into the 64-bit signature
-    val perTok = Tables.documents(spark, dir)
+  /** Per-doc 64-bit simhash signatures via the explode+agg shape (same
+    * result as the Column-API [[simhash]], same rationale as
+    * [[minhashNearDupDF]]): token rows → 64 codegen'd sign-vote sums per
+    * doc → bits OR'd back into the signature.
+    */
+  private[operators] def simhashSignatures(docs: DataFrame): DataFrame = {
+    val perTok = docs
       .select(col("doc_id"), explode(Text.tokens(col("text"))).as("t"))
       .select(col("doc_id"), xxhash64(col("t")).as("h"))
     val bitAggs = (0 until 64).map { i =>
@@ -141,22 +216,79 @@ object DedupOps {
     val sig = (0 until 64).map { i =>
       when(col(s"b$i") > 0, lit(1L << i)).otherwise(lit(0L))
     }.reduce((a, b) => a.bitwiseOR(b))
-    val docs = perTok.groupBy(col("doc_id"))
+    perTok.groupBy(col("doc_id"))
       .agg(bitAggs.head, bitAggs.tail: _*)
       .select(col("doc_id"), sig.as("sh"))
-    val chunks = docs.select(col("doc_id"), col("sh"), explode(array(
+  }
+
+  def simhashNearDup(spark: SparkSession, dir: String,
+      maxHamming: Int = 3): DataFrame =
+    simhashNearDupDF(Tables.documents(spark, dir), maxHamming)
+
+  /** SimHash near-dup pairs: signature chunk equi-join (population-capped,
+    * see [[BucketCap]]) proposes candidates with hamming ≤ maxHamming —
+    * guaranteed recall for those by pigeonhole over the 4 × 16-bit chunks
+    * (the classic Charikar/Manku-style config; 16-bit chunks stay
+    * discriminative even when corpus templates correlate signature bits,
+    * where 8-bit chunks measured populations of 1460 docs at sf0.1) —
+    * then exact df-capped-Jaccard verification emits the final pairs.
+    *
+    * SimHash's similarity notion (hamming on the token-multiset signature)
+    * only PARTIALLY overlaps Jaccard ≥ 0.5: true near-dup pairs in this
+    * corpus measure hamming up to 12, so hamming ≤ 3 recall vs the exact
+    * pair set is 0.60–0.75 across SFs — inherent to the operator, not a
+    * bug. That is why q30's oracle gate is [[simhashRecallGate]]'s summary
+    * (DuckDB-exact pair count + subset-exactness + recall floor), not pair
+    * set equality like MinHash.
+    */
+  def simhashNearDupDF(docs: DataFrame, maxHamming: Int = 3,
+      threshold: Double = 0.5, bucketCap: Long = BucketCap): DataFrame = {
+    val sigs = simhashSignatures(docs)
+    val chunks = sigs.select(col("doc_id"), col("sh"), explode(array(
       (0 to 3).map(i => struct(lit(i).as("chunk_no"),
         shiftright(col("sh"), 16 * i).bitwiseAND(lit(0xFFFFL)).as("chunk"))): _*)).as("c"))
       .select(col("doc_id"), col("sh"), col("c.chunk_no"), col("c.chunk"))
-    val l = chunks.alias("l")
-    val r = chunks.alias("r")
-    l.join(r, col("l.chunk_no") === col("r.chunk_no") &&
+    // hot-chunk guard, mirroring the band-bucket cap
+    val bounded = chunks
+      .withColumn("pop", count(lit(1)).over(Window.partitionBy(col("chunk_no"), col("chunk"))))
+      .filter(col("pop") <= bucketCap)
+      .drop("pop")
+    val l = bounded.alias("l")
+    val r = bounded.alias("r")
+    val candidates = l.join(r, col("l.chunk_no") === col("r.chunk_no") &&
         col("l.chunk") === col("r.chunk") && col("l.doc_id") < col("r.doc_id"))
       .select(col("l.doc_id").as("id_a"), col("r.doc_id").as("id_b"),
         bit_count(col("l.sh").bitwiseXOR(col("r.sh"))).as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxHamming)
+      .select(col("id_a"), col("id_b"))
+    verifyCandidates(candidates, filteredShingleRows(docs), threshold)
       .orderBy(col("id_a"), col("id_b"))
+  }
+
+  /** q30 gate: one summary row pinning the SimHash pipeline against the
+    * exact pair set. `n_exact_pairs` is cell-exact vs DuckDB's postings
+    * CTE; `subset_ok` = every SimHash-found pair is an exact pair with an
+    * identical 4-dp Jaccard (verification consistency); `recall_ok` =
+    * SimHash finds at least `minRecall` of the exact pairs (measured
+    * 0.60–0.75 across SFs — see [[simhashNearDupDF]] for why 1.0 is not
+    * the target). All three collapse to single values, so any regression
+    * is a hard hash mismatch.
+    */
+  def simhashRecallGate(spark: SparkSession, dir: String,
+      minRecall: Double = 0.5): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val exact = ngramJaccardPairsDF(docs)
+    val found = simhashNearDupDF(docs)
+    val nExact = exact.agg(count(lit(1)).as("n_exact_pairs"))
+    val nFound = found.agg(count(lit(1)).as("n_found"))
+    val nExtra = found.join(exact, Seq("id_a", "id_b", "jaccard"), "left_anti")
+      .agg(count(lit(1)).as("n_extra"))
+    nExact.crossJoin(broadcast(nFound)).crossJoin(broadcast(nExtra))
+      .select(col("n_exact_pairs"),
+        (col("n_extra") === 0).cast("int").as("subset_ok"),
+        (col("n_found").cast("double") >= col("n_exact_pairs") * minRecall)
+          .cast("int").as("recall_ok"))
   }
 
   /** Near-dup cluster resolution: connected components over a dedup pair
@@ -182,10 +314,14 @@ object DedupOps {
       val neighborMin = sym.join(labels, sym("src") === labels("id"))
         .groupBy(col("dst").as("id2"))
         .agg(min(col("label")).as("nlabel"))
-      val updated = labels.join(neighborMin, labels("id") === col("id2"), "left")
+      var updated = labels.join(neighborMin, labels("id") === col("id2"), "left")
         .select(col("id"),
           least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
-        .persist()
+      // truncate lineage every few iterations: each step stacks a
+      // join+agg on the previous plan, and a long chain (deep clusters)
+      // blows up analysis/codegen time even though the data is tiny
+      if ((i + 1) % 5 == 0) updated = updated.localCheckpoint(eager = true)
+      else updated = { updated.persist(); updated }
       changed = updated.join(labels.withColumnRenamed("label", "old"), "id")
         .filter(col("label") =!= col("old")).count()
       labels.unpersist()
@@ -223,40 +359,22 @@ object DedupOps {
       .orderBy(col("lang"))
   }
 
-  /** Exact 3-gram-shingle Jaccard over the full corpus — the
-    * oracle-checkable near-dup variant. Shingle-explode + equi-join +
-    * group: pairs only materialize when they share a shingle, and word
-    * 3-grams are discriminative enough that the join stays near-linear
-    * (word *unigrams* on a small vocabulary degrade to all-pairs —
-    * 282k pairs vs 25 on this corpus at sf0.01). Bounded to a
-    * deterministic 1-in-5 sample: this is the exact oracle baseline;
-    * the corpus-scale path is minhashNearDup's banded LSH.
-    */
   def ngramJaccardPairs(spark: SparkSession, dir: String,
-      threshold: Double = 0.5, maxDf: Int = 50): DataFrame = {
-    // distinct 3-gram rows via posexplode + lead (codegen); shingles with
-    // document frequency > maxDf are dropped on BOTH the postings and the
-    // per-doc set size (standard stop-shingle filtering): hot shingles are
-    // what makes the postings self-join quadratic, and they carry no
-    // near-dup signal. Jaccard is exact over the filtered sets.
-    val wDoc = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("doc_id")).orderBy(col("pos"))
-    val raw = Tables.documents(spark, dir)
-      .select(col("doc_id"), posexplode(Text.tokens(col("text"))).as(Seq("pos", "tok")))
-      .withColumn("t1", lead(col("tok"), 1).over(wDoc))
-      .withColumn("t2", lead(col("tok"), 2).over(wDoc))
-      .filter(col("t2").isNotNull)
-      .select(col("doc_id"), concat_ws(" ", col("tok"), col("t1"), col("t2")).as("tok"))
-      .dropDuplicates("doc_id", "tok")
-      // read twice (df counts + the postings join) — persist, same
-      // session-lifetime caveat as minhashNearDup's grouped relation
-      .persist()
-    val rare = raw.groupBy(col("tok")).agg(count(lit(1)).as("df"))
-      .filter(col("df") <= maxDf)
-      .select(col("tok"))
-    val toks = raw.join(rare, "tok")
-      .withColumn("n", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))))
+      threshold: Double = 0.5): DataFrame =
+    ngramJaccardPairsDF(Tables.documents(spark, dir), threshold)
+
+  /** Exact 3-gram-shingle Jaccard over the full corpus — the
+    * oracle-checkable near-dup baseline. Df-capped postings self-join +
+    * group: pairs only materialize when they share a (rare) shingle, and
+    * word 3-grams are discriminative enough that the join stays
+    * near-linear (word *unigrams* on a small vocabulary degrade to
+    * all-pairs — 282k pairs vs 25 on this corpus at sf0.01). This full
+    * self-join is the exact baseline; the corpus-scale paths are
+    * [[minhashNearDupDF]] / [[simhashNearDupDF]], which verify against the
+    * same postings but only on bucketed candidates.
+    */
+  def ngramJaccardPairsDF(docs: DataFrame, threshold: Double = 0.5): DataFrame = {
+    val toks = filteredShingleRows(docs)
     val l = toks.alias("l")
     val r = toks.alias("r")
     l.join(r, col("l.tok") === col("r.tok") && col("l.doc_id") < col("r.doc_id"))

@@ -18,7 +18,7 @@ object MultimodalOps {
   case class MediaRecord(doc_id: Long, media: Array[Byte], format: String,
       n_bytes: Long)
   case class MediaFeature(doc_id: Long, n_bytes: Long, checksum: Long,
-      feature: Array[Float])
+      byte_sum: Long, feature: Array[Float])
 
   /** Synthesize a media table: documents' text bytes as the opaque binary
     * payload + a metadata struct — the schema a real ingest would produce.
@@ -39,11 +39,17 @@ object MultimodalOps {
   private def decodeStub(r: MediaRecord): MediaFeature = {
     val crc = new java.util.zip.CRC32
     crc.update(r.media)
-    val feature = Array.tabulate(8) { i =>
-      if (r.media.length > i) (r.media(i % r.media.length) & 0xFF) / 255.0f
+    // unsigned byte sum: a full-content checksum the oracle can recompute
+    // byte-by-byte (DuckDB: hex(encode(text)) parsed per pair), proving the
+    // mapPartitions path consumed every byte of every row
+    var byteSum = 0L
+    var i = 0
+    while (i < r.media.length) { byteSum += r.media(i) & 0xFF; i += 1 }
+    val feature = Array.tabulate(8) { j =>
+      if (r.media.length > j) (r.media(j % r.media.length) & 0xFF) / 255.0f
       else 0.0f
     }
-    MediaFeature(r.doc_id, r.n_bytes, crc.getValue, feature)
+    MediaFeature(r.doc_id, r.n_bytes, crc.getValue, byteSum, feature)
   }
 
   /** Batched partition-local feature extraction — no shuffle, batches of
@@ -79,11 +85,16 @@ object MultimodalOps {
       .select(col("doc_id"), col("format"), col("n_bytes"))
       .orderBy(col("doc_id"))
 
-  /** Feature summary over the stub-decoded batches (rows-only check). */
+  /** q40 gate: per-row outputs of the stub-decoded batches that DuckDB can
+    * recompute from the raw bytes — row identity (doc_id), size (n_bytes),
+    * a full-content unsigned-byte-sum checksum, and the first feature value
+    * (first byte / 255). Gates the real plumbing (schema, batching, byte
+    * access) around the clearly-stubbed decode.
+    */
   def featureSummary(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     extractFeatures(spark, dir).toDF()
-      .select(col("doc_id"), col("n_bytes"), col("checksum"),
+      .select(col("doc_id"), col("n_bytes"), col("byte_sum"),
         round(col("feature")(0).cast("double"), 4).as("f0"))
       .orderBy(col("doc_id"))
   }

@@ -35,28 +35,37 @@ object SimilarityOps {
       .orderBy(col("query_id"), col("rk"))
   }
 
-  /** LSH-bucketed ANN: sign buckets (default 6 planes = 64 buckets,
-    * sized for the small test corpus; raise nPlanes with corpus size) on
-    * both sides; candidates =
-    * same-bucket pairs, then exact cosine + per-query top-k. Recall < 1 by
-    * construction (bucket collisions only) — the 100 TB path where
-    * brute-force is a non-starter. Multi-probe: signatures for the bucket
-    * itself plus all 1-bit flips, so near-boundary neighbors still collide.
+  /** LSH-bucketed ANN with AND-OR amplification: `nTables` independent
+    * sign-bucket tables of `nPlanes` planes each (distinct plane seeds per
+    * table); a corpus vector is a candidate when it shares a bucket with
+    * the query in ANY table. Candidates then get exact cosine + per-query
+    * top-k. Per-neighbor miss probability is (1 − q^b)^L where
+    * q = 1 − θ/π — with b=4, L=32 that is ≈1% at cos 0.3, which is what
+    * lets the recall gate (q33) hold ≥ 0.8 per query even on this
+    * near-uniform synthetic corpus. At 100 TB, scale `nPlanes` with
+    * log₂(corpus/target-bucket-size) and keep L for recall: the per-table
+    * bucket join replaces the queries×corpus scan, which is the point —
+    * brute force is a non-starter there.
     */
   def lshTopK(spark: SparkSession, dir: String,
-      nQueries: Int = 8, k: Int = 5, nPlanes: Int = 6): DataFrame = {
+      nQueries: Int = 8, k: Int = 5, nPlanes: Int = 4,
+      nTables: Int = 32): DataFrame = {
+    val tableBuckets = (0 until nTables).map { t =>
+      // distinct deterministic hyperplanes per table: seed offset by table id
+      struct(lit(t).as("tbl"),
+        Vectors.lshBucket(col("embedding"), nPlanes, seed = 42L + t).as("bucket"))
+    }
     val emb = Tables.embeddings(spark, dir)
-      .withColumn("bucket", Vectors.lshBucket(col("embedding"), nPlanes))
-    val corpus = emb.select(col("vec_id"), col("embedding"), col("bucket"))
-    // multi-probe on the query side: home bucket + 1-bit flips
+      .select(col("vec_id"), col("embedding"),
+        explode(array(tableBuckets: _*)).as("tb"))
+      .select(col("vec_id"), col("embedding"), col("tb.tbl"), col("tb.bucket"))
+    val corpus = emb
     val queries = emb.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
-        explode(array_union(
-          array(col("bucket")),
-          transform(sequence(lit(0), lit(nPlanes - 1)),
-            i => col("bucket").bitwiseXOR(call_function("shiftleft", lit(1L), i))))).as("bucket"))
+        col("tbl"), col("bucket"))
     val candidates = corpus.join(queries,
-        corpus("bucket") === queries("bucket") &&
+        corpus("tbl") === queries("tbl") &&
+          corpus("bucket") === queries("bucket") &&
           col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("qv"), col("vec_id"), col("embedding"))
       .distinct()
@@ -68,6 +77,27 @@ object SimilarityOps {
       .filter(col("rk") <= k)
       .select(col("query_id"), col("vec_id").as("neighbor_id"), col("cos"), col("rk"))
       .orderBy(col("query_id"), col("rk"))
+  }
+
+  /** q33 gate: recall@k of [[lshTopK]] against the exact [[bruteForceTopK]]
+    * top-k, per query. Emits 1 when recall ≥ minRecall — the oracle expects
+    * 1 for every query id, so an ANN recall regression is a hard hash
+    * mismatch while still tolerating individual boundary-tie swaps.
+    */
+  def lshRecallGate(spark: SparkSession, dir: String, nQueries: Int = 8,
+      k: Int = 5, minRecall: Double = 0.8): DataFrame = {
+    val exact = bruteForceTopK(spark, dir, nQueries, k)
+      .select(col("query_id"), col("neighbor_id"))
+    val approx = lshTopK(spark, dir, nQueries, k)
+      .select(col("query_id"), col("neighbor_id"))
+    val hits = exact.join(approx, Seq("query_id", "neighbor_id"), "left_semi")
+      .groupBy(col("query_id")).agg(count(lit(1)).as("n_hit"))
+    exact.groupBy(col("query_id")).agg(count(lit(1)).as("n_exact"))
+      .join(hits, Seq("query_id"), "left")
+      .select(col("query_id"),
+        (coalesce(col("n_hit"), lit(0L)).cast("double") / col("n_exact")
+          >= minRecall).cast("int").as("recall_ok"))
+      .orderBy(col("query_id"))
   }
 
   /** Brute-force top-k via the typed [[graft.functions.TopKAggregator]]

@@ -47,6 +47,13 @@ object TextAnalysisOps {
     * excess + token diversity. Computed in integer "decimillipoints" so no
     * floating-point rounding boundary exists (cross-engine hash-stable);
     * only the final /10000.0 touches doubles.
+    *
+    * Single-row Column-API formulation, kept as the semantic reference and
+    * for per-row callers. [[qualityScore]] does NOT use it: each
+    * sub-expression re-runs the tokenize regex (Catalyst does not CSE
+    * across interpreted HOF lambdas, and CollapseProject re-inlines
+    * "materialized" columns), which benched 5.3s vs 0.4s at sf0.1 for the
+    * whole-table query.
     */
   def qualityExpr(text: Column): Column = {
     val toks = Text.tokens(text)
@@ -65,12 +72,44 @@ object TextAnalysisOps {
     (scoreInt.cast("double") / lit(10000.0)).as("quality")
   }
 
-  def qualityScore(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir)
-      .select(col("doc_id"),
-        Text.tokenCount(col("text")).as("n_tokens"),
-        qualityExpr(col("text")).as("quality"))
+  /** Whole-table quality scoring in the explode+agg shape: tokenize ONCE
+    * per row, then all token-derived bands come from one groupBy(doc_id).
+    * Same result as [[qualityExpr]] per doc; one narrow shuffle on doc_id
+    * instead of 4-6 re-runs of the tokenize regex per row.
+    *
+    * The punct ratio is computed in its OWN row-local branch and equi-joined
+    * on doc_id: projecting it alongside the explode puts the projection
+    * above the Generate, where its two regexes re-run per TOKEN row
+    * (benched 14s vs 0.3s at sf0.1 — per-doc expressions must never share a
+    * projection with a generator output).
+    */
+  def qualityScore(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val textMetrics = docs.select(col("doc_id"), Text.punctRatio(col("text")).as("pr"))
+    val m = docs
+      .select(col("doc_id"), explode(Text.tokens(col("text"))).as("tok"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tok"),
+        countDistinct(col("tok")).as("n_distinct"),
+        count(when(col("tok").isin(Text.stopwords: _*), lit(1))).as("n_stop"))
+      .join(textMetrics, "doc_id")
+    // split() always yields >= 1 element, so every doc survives the explode
+    // and n_tok >= 1 — the nTok=0 guards of qualityExpr are vacuous here
+    val lengthBand = when(col("n_tok").between(20, 1000), lit(400))
+      .when(col("n_tok").between(5, 19), lit(200)).otherwise(lit(0))
+    val sr = col("n_stop").cast("double") / col("n_tok").cast("double")
+    val stopBand = when(sr.between(0.01, 0.6), lit(300)).otherwise(lit(0))
+    val punctPenalty = when(col("pr") > 0.2, lit(200)).otherwise(lit(0))
+    val diversity =
+      floor(col("n_distinct").cast("double") * 3000.0 / col("n_tok").cast("double"))
+        .cast("long")
+    val scoreInt = greatest(lit(0L),
+      (lengthBand + stopBand - punctPenalty).cast("long") * 10 + diversity)
+    m.select(col("doc_id"),
+        col("n_tok").cast("int").as("n_tokens"),
+        (scoreInt.cast("double") / lit(10000.0)).as("quality"))
       .orderBy(col("doc_id"))
+  }
 
   /** Token counting: whitespace tokens + BPE-ish subword atoms per doc,
     * plus corpus totals per source.
@@ -124,4 +163,21 @@ object TextAnalysisOps {
     Tables.documents(spark, dir)
       .select(col("doc_id"), Text.rollingFingerprint(col("text")).as("rfp"))
       .orderBy(col("doc_id"))
+
+  /** q38 gate: the rolling fingerprint's equivalence classes must be in
+    * bijection with the (engine-portable) md5 content classes — equal
+    * canonical content ⇔ equal rolling fp, and no 64-bit collisions across
+    * classes. The raw fp values aren't portable (xxhash64), but the class
+    * structure is: DuckDB supplies all four counts from md5 alone, so a
+    * collision (n_rolling < n_md5) or a split (n_joint > n_md5) is a hard
+    * hash mismatch.
+    */
+  def rollingFpGate(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(Text.fingerprintMd5(col("text")).as("fp"),
+        Text.rollingFingerprint(col("text")).as("rfp"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("fp")).as("n_md5_classes"),
+        countDistinct(col("rfp")).as("n_rolling_classes"),
+        countDistinct(col("fp"), col("rfp")).as("n_joint_classes"))
 }
