@@ -151,6 +151,18 @@ object DedupOps {
   def minhashNearDupDF(docs: DataFrame, threshold: Double = 0.5,
       bucketCap: Long = BucketCap): DataFrame = {
     val toks = filteredShingleRows(docs)
+    verifyCandidates(minhashBandCandidates(toks, bucketCap), toks, threshold)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  /** Candidate stage of [[minhashNearDupDF]], exposed for the adversarial
+    * boundedness spec. Note a structural invariant: with bucketCap equal to
+    * the shingle df cap, band-bucket population can't exceed the cap anyway
+    * (same-bucket docs share each band's argmin shingle, whose df is capped)
+    * — the explicit guard covers differing caps and hash-collision buckets.
+    */
+  private[operators] def minhashBandCandidates(toks: DataFrame,
+      bucketCap: Long = BucketCap): DataFrame = {
     val hashed = toks.select(col("doc_id"),
       pmod(xxhash64(col("tok")), lit(HashPrime)).as("h"))
     val minAggs = (0 until MinhashPerms).map { p =>
@@ -173,14 +185,12 @@ object DedupOps {
       .withColumn("pop", count(lit(1)).over(Window.partitionBy(col("band"), col("bucket"))))
       .filter(col("pop") <= bucketCap)
       .drop("pop")
-    val candidates = bounded.select(col("doc_id").as("id_a"), col("band"), col("bucket"))
+    bounded.select(col("doc_id").as("id_a"), col("band"), col("bucket"))
       .join(bounded.select(col("doc_id").as("id_b"), col("band"), col("bucket")),
         Seq("band", "bucket"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"))
       .distinct()
-    verifyCandidates(candidates, toks, threshold)
-      .orderBy(col("id_a"), col("id_b"))
   }
 
   /** 64-bit SimHash of the token multiset: per bit position, sum +1/-1
@@ -242,7 +252,19 @@ object DedupOps {
     * set equality like MinHash.
     */
   def simhashNearDupDF(docs: DataFrame, maxHamming: Int = 3,
-      threshold: Double = 0.5, bucketCap: Long = BucketCap): DataFrame = {
+      threshold: Double = 0.5, bucketCap: Long = BucketCap): DataFrame =
+    verifyCandidates(simhashChunkCandidates(docs, maxHamming, bucketCap),
+      filteredShingleRows(docs), threshold)
+      .orderBy(col("id_a"), col("id_b"))
+
+  /** Candidate stage of [[simhashNearDupDF]], exposed for the adversarial
+    * boundedness spec. Unlike the MinHash path, signatures here are built
+    * over ALL tokens (no df cap upstream), so the chunk-population cap is
+    * the only thing standing between a degenerate corpus (thousands of
+    * identical docs → one chunk value) and a quadratic self-join.
+    */
+  private[operators] def simhashChunkCandidates(docs: DataFrame,
+      maxHamming: Int = 3, bucketCap: Long = BucketCap): DataFrame = {
     val sigs = simhashSignatures(docs)
     val chunks = sigs.select(col("doc_id"), col("sh"), explode(array(
       (0 to 3).map(i => struct(lit(i).as("chunk_no"),
@@ -255,15 +277,13 @@ object DedupOps {
       .drop("pop")
     val l = bounded.alias("l")
     val r = bounded.alias("r")
-    val candidates = l.join(r, col("l.chunk_no") === col("r.chunk_no") &&
+    l.join(r, col("l.chunk_no") === col("r.chunk_no") &&
         col("l.chunk") === col("r.chunk") && col("l.doc_id") < col("r.doc_id"))
       .select(col("l.doc_id").as("id_a"), col("r.doc_id").as("id_b"),
         bit_count(col("l.sh").bitwiseXOR(col("r.sh"))).as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxHamming)
       .select(col("id_a"), col("id_b"))
-    verifyCandidates(candidates, filteredShingleRows(docs), threshold)
-      .orderBy(col("id_a"), col("id_b"))
   }
 
   /** q30 gate: one summary row pinning the SimHash pipeline against the
