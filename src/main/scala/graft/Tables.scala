@@ -30,7 +30,12 @@ object Tables {
     * what DuckDB does when it narrows nanos into its µs TIMESTAMP.
     */
   def events(s: SparkSession, d: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // nanosAsLong is an analyzer-level conf with no per-read equivalent, so
+    // loading this table requires the session-level setting. Only touch the
+    // conf when it is not already correct (avoid mutating on every call);
+    // the mutation is documented behavior of this loader.
+    if (s.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true")
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     load(s, d, "events").withColumn("ts",
       org.apache.spark.sql.functions.timestamp_micros(
         org.apache.spark.sql.functions.expr("ts div 1000")))

@@ -1,0 +1,57 @@
+package graft.etl
+
+import org.apache.spark.sql.SparkSession
+
+/** Catalog registration for the 13 output tables, the analog of the
+  * reference's Hive-enabled session + Athena/BigQuery-style
+  * query-over-named-tables model (`etl.py:88` `enableHiveSupport()`).
+  *
+  * [[register]] creates EXTERNAL tables over the Sinks registry's on-disk
+  * layout: with a Hive-backed session (see [[builder]]) the metadata lands
+  * in the Derby metastore and survives the session, so a later session on
+  * the same warehouse answers `spark.table("i94_trips")` with no
+  * re-registration; with the in-memory catalog the same call re-attaches
+  * the layout idempotently at session start. Partitioned tables get
+  * `recoverPartitions` (MSCK) so partition pruning works off catalog
+  * metadata, not directory listing, at query time.
+  */
+object Catalog {
+
+  /** Session builder with persistent catalog state rooted at `warehouseDir`
+    * (metastore_db + warehouse both under it — one directory to carry
+    * between sessions).
+    */
+  def builder(warehouseDir: String, cpus: Int): SparkSession.Builder =
+    SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.ansi.enabled", "false")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.warehouse.dir", s"$warehouseDir/warehouse")
+      .config("javax.jdo.option.ConnectionURL",
+        s"jdbc:derby:;databaseName=$warehouseDir/metastore_db;create=true")
+      .enableHiveSupport()
+
+  /** Register every written table from the registry as an external table.
+    * Idempotent: drops and re-creates the metadata, never touches data.
+    */
+  def register(spark: SparkSession, outputDir: String): Seq[String] =
+    Sinks.registry.filter(s => HadoopIo.exists(spark, s"$outputDir/${s.name}"))
+      .map { spec =>
+        spark.sql(s"DROP TABLE IF EXISTS ${spec.name}")
+        val (source, options) = spec.format match {
+          case Sinks.Parquet => ("parquet", Map.empty[String, String])
+          // header+inferSchema mirror Readers.parquetOrCsv's read options
+          case Sinks.Csv => ("csv", Map("header" -> "true", "inferSchema" -> "true"))
+        }
+        spark.catalog.createTable(spec.name, source,
+          options + ("path" -> s"$outputDir/${spec.name}"))
+        if (spec.partitionCols.nonEmpty) {
+          // partitioned external data: partitions are discovered from the
+          // layout once, then served from catalog metadata
+          spark.sql(s"ALTER TABLE ${spec.name} RECOVER PARTITIONS")
+        }
+        spec.name
+      }
+}

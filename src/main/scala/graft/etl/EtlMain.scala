@@ -7,46 +7,102 @@ import org.apache.spark.sql.SparkSession
   * raw I94 parquet (one path per month) + airports CSV + demographics CSV
   * + SAS dictionary text → the 13 output tables through the sink registry.
   *
-  * Usage: runMain graft.etl.EtlMain <outDir> <airportsCsv> <demographicsCsv>
-  *          <dictionaryFile> <rawMonthlyParquet> [more months ...]
+  * Two invocation forms, mirroring the reference's
+  * `--env {LOCAL,DOCKER,S3}` + configparser entry (`etl.py:591-652`):
+  *
+  *   runMain graft.etl.EtlMain --config <cfgFile> [--env LOCAL]
+  *   runMain graft.etl.EtlMain <outDir> <airportsCsv> <demographicsCsv>
+  *     <dictionaryFile> <rawMonthlyParquet> [more months ...]
+  *
+  * The env names a deployment profile like the reference's; all paths
+  * (config included) resolve through Hadoop FS, so profile differences are
+  * carried by the URIs in the config file rather than per-env client code.
   */
 object EtlMain {
-  def main(args: Array[String]): Unit = {
-    require(args.length >= 5,
-      "usage: EtlMain <outDir> <airportsCsv> <demographicsCsv> <dictFile> <raw...>")
-    val Array(outDir, airportsPath, demoPath, dictPath) = args.take(4)
-    val rawPaths = args.drop(4).toSeq
-    val spark = SparkSession.builder()
-      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")}]")
-      .config("spark.sql.shuffle.partitions",
-        sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
+
+  /** Shared flag parsing for the config-driven mains: returns
+    * (env, configPath) or None for legacy positional usage.
+    */
+  private[graft] def parseFlags(args: Array[String]): Option[(String, String)] =
+    if (!args.exists(_.startsWith("--"))) None
+    else {
+      val m = args.sliding(2, 2).collect {
+        case Array(k, v) if k.startsWith("--") => k.drop(2) -> v
+      }.toMap
+      val env = m.getOrElse("env", "LOCAL").toUpperCase
+      require(Seq("LOCAL", "DOCKER", "S3").contains(env),
+        s"--env must be one of LOCAL, DOCKER, S3; got $env")
+      Some(env -> m.getOrElse("config",
+        throw new IllegalArgumentException("--config <file> is required with flag usage")))
+    }
+
+  private[graft] def session(): SparkSession = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.ansi.enabled", "false")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+  }
 
-    val t0 = System.nanoTime()
-    // skip-missing semantics of the reference's monthly loop (etl.py:736-748);
-    // existence resolved through Hadoop FS so URI-form paths (file://, s3a://)
-    // work, not just bare local paths
-    val hconf = spark.sparkContext.hadoopConfiguration
-    val monthly = rawPaths.filter { p =>
-      val hp = new org.apache.hadoop.fs.Path(p)
-      hp.getFileSystem(hconf).exists(hp)
-    }.map(p => Readers.rawI94(spark, p))
-    require(monthly.nonEmpty, s"no raw inputs exist among: $rawPaths")
-    val dict = new String(
-      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(dictPath)),
-      java.nio.charset.StandardCharsets.UTF_8)
-    val res = EtlPipeline.runAll(spark, monthly,
-      Readers.airportsCsv(spark, airportsPath),
-      Readers.demographicsCsv(spark, demoPath),
-      dict, outDir)
-    res.rowCounts.toSeq.sortBy(_._1).foreach { case (t, n) =>
-      println(s"[etl] $t rows=$n")
+  /** Config-driven run: read every input named by the config, skip missing
+    * monthly files (the reference's monthly-loop semantics, etl.py:736-748),
+    * write the 13 tables, log to the dated log file. Returns row counts.
+    */
+  def runFromConfig(spark: SparkSession, cfg: EtlConfig): Map[String, Long] = {
+    val log = new RunLog(spark, cfg.logDir,
+      cfg.get("PATHS", "log_file").getOrElse("etl_logging_"))
+    try {
+      val t0 = System.nanoTime()
+      val present = cfg.inputFiles.filter(HadoopIo.exists(spark, _))
+      require(present.nonEmpty, s"no raw inputs exist among: ${cfg.inputFiles}")
+      (cfg.inputFiles.toSet -- present.toSet)
+        .foreach(p => log.info(s"skipping missing input $p"))
+      val res = EtlPipeline.runAll(spark,
+        present.map(Readers.rawI94(spark, _)),
+        Readers.airportsCsv(spark, cfg.airportsFile),
+        Readers.demographicsCsv(spark, cfg.demographicsFile),
+        HadoopIo.readUtf8(spark, cfg.dictionaryFile),
+        cfg.outputDir)
+      res.rowCounts.toSeq.sortBy(_._1)
+        .foreach { case (t, n) => log.info(s"$t rows=$n") }
+      log.info(f"etl completed in ${(System.nanoTime() - t0) / 6e10}%.2f minutes")
+      res.rowCounts
+    } finally log.close()
+  }
+
+  def main(args: Array[String]): Unit = {
+    val spark = session()
+    spark.sparkContext.setLogLevel("WARN")
+    parseFlags(args) match {
+      case Some((env, cfgPath)) =>
+        println(s"[etl] env=$env config=$cfgPath")
+        runFromConfig(spark, EtlConfig.load(spark, cfgPath))
+        spark.stop()
+      case None =>
+        require(args.length >= 5,
+          "usage: EtlMain --config <file> [--env LOCAL] | " +
+            "EtlMain <outDir> <airportsCsv> <demographicsCsv> <dictFile> <raw...>")
+        val Array(outDir, airportsPath, demoPath, dictPath) = args.take(4)
+        val rawPaths = args.drop(4).toSeq
+        val t0 = System.nanoTime()
+        val monthly = rawPaths.filter(HadoopIo.exists(spark, _))
+          .map(p => Readers.rawI94(spark, p))
+        require(monthly.nonEmpty, s"no raw inputs exist among: $rawPaths")
+        val res = EtlPipeline.runAll(spark, monthly,
+          Readers.airportsCsv(spark, airportsPath),
+          Readers.demographicsCsv(spark, demoPath),
+          // Hadoop FS, not java.nio: the dictionary accepts the same URI
+          // forms (file://, object stores) as every other input
+          HadoopIo.readUtf8(spark, dictPath),
+          outDir)
+        res.rowCounts.toSeq.sortBy(_._1).foreach { case (t, n) =>
+          println(s"[etl] $t rows=$n")
+        }
+        println(f"[etl] completed in ${(System.nanoTime() - t0) / 6e10}%.2f minutes")
+        spark.stop()
     }
-    println(f"[etl] completed in ${(System.nanoTime() - t0) / 6e10}%.2f minutes")
-    spark.stop()
   }
 }

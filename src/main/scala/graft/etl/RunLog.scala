@@ -1,0 +1,25 @@
+package graft.etl
+
+import org.apache.spark.sql.SparkSession
+
+/** Dated run-log sink, the analog of the reference's
+  * `log_file + datetime + .log` file handler (`etl.py:695-711`): lines go
+  * to stdout immediately and are flushed to `<dir>/<prefix><yyyyMMdd>.log`
+  * through Hadoop FS on close (object stores have no append, so the log
+  * accumulates in memory — run logs are small by construction).
+  */
+final class RunLog(spark: SparkSession, dir: String, prefix: String) {
+  private val buf = new StringBuilder
+  private val stamp = java.time.LocalDate.now(java.time.ZoneOffset.UTC)
+    .format(java.time.format.DateTimeFormatter.BASIC_ISO_DATE)
+  val path = s"$dir/$prefix$stamp.log"
+
+  def info(msg: String): Unit = {
+    val line = s"${java.time.Instant.now()} INFO $msg"
+    println(line)
+    buf.append(line).append('\n')
+  }
+
+  def close(): Unit =
+    HadoopIo.writeUtf8(spark, path, buf.toString)
+}

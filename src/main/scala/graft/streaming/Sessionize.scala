@@ -42,6 +42,12 @@ object Sessionize {
     val sorted = events.toSeq.sortBy(e => micros(e.ts))
     val closed = Seq.newBuilder[UserSession]
     var cur = state.getOption
+    // late events (more than a gap BEFORE the open session) are gap-
+    // sessionized among THEMSELVES before emission: two same-batch late
+    // events of one pre-watermark session must come out as one session,
+    // not two singletons (they still cannot merge with sessions emitted in
+    // earlier batches — inherent to append-mode streaming)
+    var lateCur: Option[SessionState] = None
     sorted.foreach { e =>
       val t = micros(e.ts)
       cur match {
@@ -49,19 +55,39 @@ object Sessionize {
         // extending the boundary (a late cross-batch event can legitimately
         // precede session_start)
         case Some(s) if t >= s.start - gapUs && t - s.last <= gapUs =>
-          cur = Some(SessionState(math.min(s.start, t), math.max(s.last, t), s.n + 1))
+          var ns = SessionState(math.min(s.start, t), math.max(s.last, t), s.n + 1)
+          // a late chain that reaches within one gap of the (possibly
+          // extended) session start belongs to the same batch session
+          lateCur match {
+            case Some(ls) if ns.start - ls.last <= gapUs =>
+              ns = SessionState(ls.start, ns.last, ns.n + ls.n)
+              lateCur = None
+            case _ => ()
+          }
+          cur = Some(ns)
         // after the gap: close the session, start a new one
         case Some(s) if t - s.last > gapUs =>
           closed += UserSession(userId, toTs(s.start), toTs(s.last), s.n)
           cur = Some(SessionState(t, t, 1))
-        // late event more than a gap BEFORE the open session: it belongs
-        // to an already-gone earlier session — emit it as its own closed
-        // single-event session, keep the open one untouched
+        // late event: accumulate into the open late mini-session, closing
+        // it whenever the within-late gap is exceeded
         case Some(_) =>
-          closed += UserSession(userId, toTs(t), toTs(t), 1)
+          lateCur match {
+            case Some(ls) if t - ls.last <= gapUs =>
+              lateCur = Some(SessionState(ls.start, math.max(ls.last, t), ls.n + 1))
+            case Some(ls) =>
+              closed += UserSession(userId, toTs(ls.start), toTs(ls.last), ls.n)
+              lateCur = Some(SessionState(t, t, 1))
+            case None =>
+              lateCur = Some(SessionState(t, t, 1))
+          }
         case None =>
           cur = Some(SessionState(t, t, 1))
       }
+    }
+    // flush any late mini-session that never reached the open session
+    lateCur.foreach { ls =>
+      closed += UserSession(userId, toTs(ls.start), toTs(ls.last), ls.n)
     }
     cur.foreach { s =>
       state.update(s)

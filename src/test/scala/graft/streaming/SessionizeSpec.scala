@@ -34,6 +34,37 @@ class SessionizeSpec extends SparkSpecBase {
     assert(state.updated.contains(Sessionize.SessionState(us(80), us(110), 4)))
   }
 
+  test("same-batch late events of one pre-watermark session emit as ONE session") {
+    def ts(min: Long) = new java.sql.Timestamp(min * 60000L)
+    def us(min: Long) = min * 60000000L
+    val state = new TestGroupState[Sessionize.SessionState]
+    state.update(Sessionize.SessionState(us(200), us(210), 3))
+    // three late events: 10 and 25 are one gap-chained session; 100 is a
+    // separate late singleton (75min after 25, >30min gap)
+    val closed = Sessionize.sessionizeGroup(30 * 60000000L)(7, Iterator(
+      Sessionize.SessionEvent(7, ts(25), "late-b"),
+      Sessionize.SessionEvent(7, ts(100), "late-solo"),
+      Sessionize.SessionEvent(7, ts(10), "late-a")), state).toSeq
+    assert(closed.map(s => (s.session_start, s.session_end, s.n_events)).toSet
+      === Set((ts(10), ts(25), 2), (ts(100), ts(100), 1)))
+    // open session untouched
+    assert(state.updated.contains(Sessionize.SessionState(us(200), us(210), 3)))
+  }
+
+  test("late chain reaching within one gap of the open session merges into it") {
+    def ts(min: Long) = new java.sql.Timestamp(min * 60000L)
+    def us(min: Long) = min * 60000000L
+    val state = new TestGroupState[Sessionize.SessionState]
+    state.update(Sessionize.SessionState(us(100), us(110), 2))
+    // 45 is >gap before start(100); 75 chains to 45 (30min) AND is within
+    // one gap of start → the whole chain belongs to the open session
+    val closed = Sessionize.sessionizeGroup(30 * 60000000L)(7, Iterator(
+      Sessionize.SessionEvent(7, ts(45), "chain-a"),
+      Sessionize.SessionEvent(7, ts(75), "chain-b")), state).toSeq
+    assert(closed.isEmpty, closed.mkString(","))
+    assert(state.updated.contains(Sessionize.SessionState(us(45), us(110), 4)))
+  }
+
   test("streaming closed sessions ⊆ batch-windowed ground truth") {
     import org.apache.spark.sql.functions._
     val streamed = Sessionize.runOnce(spark, sf0001, queryName = "sess_vs_batch")
