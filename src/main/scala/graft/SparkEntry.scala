@@ -80,6 +80,9 @@ object SparkEntry {
     "q58_sessions_batch"  -> ((s, d) => CoreQueries.q58SessionsBatch(s, d)),
     "q59_dedup_keeplist"  -> ((s, d) => DedupOps.dedupKeepList(s, d)),
     "q60_weighted_mix"    -> ((s, d) => PipelineOps.weightedMix(s, d)),
+    "q61_contamination"   -> ((s, d) => graft.operators.ContaminationOps.contamination(s, d)),
+    "q62_repetition"      -> ((s, d) => TextAnalysisOps.repetitionRatio(s, d)),
+    "q63_word_length"     -> ((s, d) => TextAnalysisOps.wordLengthProfile(s, d)),
   )
 
   /** Shared shingle→df-capped-postings CTE body for every exact-Jaccard
@@ -99,7 +102,8 @@ object SparkEntry {
          FROM d0 WHERE len(w) >= 3),
        t0 AS (SELECT doc_id, unnest(toks) AS tok FROM docs),
        rare AS (SELECT tok FROM t0 GROUP BY tok HAVING count(*) <=
-         greatest(50, CAST(ceil((SELECT count(*) FROM documents) * 0.02) AS BIGINT))),
+         least(200, greatest(50,
+           CAST(ceil((SELECT count(*) FROM documents) * 0.02) AS BIGINT)))),
        t1 AS (SELECT doc_id, tok FROM t0 JOIN rare USING (tok)),
        tok AS (SELECT doc_id, tok,
                  count(*) OVER (PARTITION BY doc_id) AS n FROM t1)"""
@@ -603,6 +607,49 @@ object SparkEntry {
                              WHEN source IN ('src1', 'src2') THEN '80'
                              ELSE '40' END
          GROUP BY source ORDER BY source""",
+    "q61_contamination" ->
+      """WITH d0 AS (
+           SELECT doc_id, string_split(
+             regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS w
+           FROM documents),
+         docs AS (
+           SELECT doc_id, list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+             for i in range(1, greatest(len(w) - 1, 1))]) AS toks
+           FROM d0 WHERE len(w) >= 3),
+         t0 AS (SELECT doc_id, unnest(toks) AS tok FROM docs),
+         bench AS (SELECT DISTINCT tok FROM t0 WHERE doc_id % 100 = 0),
+         corpus AS (SELECT doc_id, tok FROM t0 WHERE doc_id % 100 <> 0),
+         per AS (SELECT doc_id, count(*) AS n_shingles FROM corpus GROUP BY 1),
+         hits AS (SELECT doc_id, count(*) AS n_contaminated
+                  FROM corpus JOIN bench USING (tok) GROUP BY 1)
+         SELECT doc_id, n_shingles, n_contaminated,
+           round(n_contaminated * 1.0 / n_shingles, 4) AS ratio
+         FROM per JOIN hits USING (doc_id)
+         WHERE round(n_contaminated * 1.0 / n_shingles, 4) >= 0.5
+         ORDER BY doc_id""",
+    "q62_repetition" ->
+      """WITH d0 AS (
+           SELECT doc_id, string_split(
+             regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS w
+           FROM documents),
+         sh AS (SELECT doc_id, unnest([w[i] || ' ' || w[i+1]
+             for i in range(1, greatest(len(w), 1))]) AS bigram
+           FROM d0 WHERE len(w) >= 2)
+         SELECT doc_id, count(*) AS n_bigrams,
+           count(DISTINCT bigram) AS n_distinct,
+           round(1.0 - count(DISTINCT bigram) * 1.0 / count(*), 4) AS rep_ratio
+         FROM sh GROUP BY doc_id ORDER BY doc_id""",
+    "q63_word_length" ->
+      """SELECT doc_id, count(*) AS n_tokens,
+           CAST(sum(length(tok)) AS BIGINT) AS n_chars,
+           round(sum(length(tok)) * 1.0 / count(*), 4) AS mean_len,
+           CAST(CASE WHEN round(sum(length(tok)) * 1.0 / count(*), 4) < 3.0
+                       OR round(sum(length(tok)) * 1.0 / count(*), 4) > 10.0
+                     THEN 1 ELSE 0 END AS INT) AS flagged
+         FROM (SELECT doc_id, unnest(string_split(
+                 regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS tok
+               FROM documents)
+         GROUP BY doc_id ORDER BY doc_id""",
     // q43 shares q31's semantics (different physical operator: typed
     // Aggregator instead of window sort) → same oracle
     "q43_topk_aggregator" ->

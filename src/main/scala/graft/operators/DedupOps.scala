@@ -30,15 +30,23 @@ object DedupOps {
       .orderBy(col("canonical_id"))
 
   /** Stop-shingle document-frequency cap: shingles appearing in more than
-    * `max(DfCapFloor, ceil(DfCapFrac * n_docs))` documents are dropped from
-    * both the postings and the per-doc set sizes. Hot shingles are what
-    * makes a postings self-join quadratic, and they carry no near-dup
-    * signal. The fraction keeps the cap meaningful as the corpus grows
-    * (a fixed absolute cap at 100 TB would drop almost every shingle);
-    * the floor keeps tiny corpora from capping at df 1-2.
+    * `clamp(ceil(DfCapFrac * n_docs), DfCapFloor, DfCapCeil)` documents are
+    * dropped from both the postings and the per-doc set sizes. Hot shingles
+    * are what makes a postings self-join quadratic, and they carry no
+    * near-dup signal. Three-part design, each part load-bearing at a
+    * different scale:
+    *  - the fraction keeps the cap meaningful as the corpus grows;
+    *  - the floor keeps tiny corpora from capping at df 1-2;
+    *  - the CEILING bounds the join cost: every surviving shingle
+    *    contributes at most cap² candidate pairs, so total join work is
+    *    O(#shingles · cap²) — linear in corpus size. A purely
+    *    fraction-based cap admits shingles with df ≈ frac·N, whose pair
+    *    contributions grow as N² (ScalingBench measured slope 1.7 on an
+    *    8× corpus before the ceiling existed).
     */
   val DfCapFloor = 50L
   val DfCapFrac = 0.02
+  val DfCapCeil = 200L
 
   /** Max docs per LSH bucket (MinHash band bucket / SimHash chunk value).
     * A degenerate corpus — thousands of identical or near-empty documents —
@@ -75,8 +83,8 @@ object DedupOps {
     // agg. The cap comparison is a non-equi condition, so it plans as a
     // BroadcastNestedLoopJoin — against a single broadcast row that is
     // O(postings), not all-pairs (PlanSpec pins exactly this shape).
-    val cap = docs.agg(greatest(lit(DfCapFloor),
-      ceil(count(lit(1)) * lit(DfCapFrac)).cast("long")).as("cap"))
+    val cap = docs.agg(least(lit(DfCapCeil), greatest(lit(DfCapFloor),
+      ceil(count(lit(1)) * lit(DfCapFrac)).cast("long"))).as("cap"))
     val rare = raw.groupBy(col("tok")).agg(count(lit(1)).as("df"))
       .join(broadcast(cap), col("df") <= col("cap"))
       .select(col("tok"))

@@ -164,6 +164,45 @@ object TextAnalysisOps {
       .select(col("doc_id"), Text.rollingFingerprint(col("text")).as("rfp"))
       .orderBy(col("doc_id"))
 
+  /** Within-document repetition ratio (a Gopher-style corpus-filter
+    * signal): 1 − distinct_bigrams/total_bigrams per doc, high values =
+    * boilerplate/spam. Two-level aggregation — groupBy(doc_id, bigram)
+    * then groupBy(doc_id) — so the distinct count needs no Expand pass,
+    * and the per-doc division is the only floating-point step (rounded).
+    */
+  def repetitionRatio(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), posexplode(Text.tokens(col("text"))).as(Seq("pos", "tok")))
+      .withColumn("next_tok", lead(col("tok"), 1).over(wDoc))
+      .filter(col("next_tok").isNotNull)
+      .select(col("doc_id"), concat_ws(" ", col("tok"), col("next_tok")).as("bigram"))
+      .groupBy(col("doc_id"), col("bigram")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_bigrams"), count(lit(1)).as("n_distinct"))
+      .withColumn("rep_ratio", round(lit(1.0) -
+        col("n_distinct").cast("double") / col("n_bigrams").cast("double"), 4))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Word-length profile filter (Gopher rule analog): mean token length
+    * per doc, flagging docs whose mean falls outside [3, 10] — short means
+    * are symbol soup, long means are concatenated junk. Row-local explode
+    * + one groupBy; the division is rounded for cross-engine parity.
+    */
+  def wordLengthProfile(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(Text.tokens(col("text"))).as("tok"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(length(col("tok"))).as("n_chars"))
+      .withColumn("mean_len",
+        round(col("n_chars").cast("double") / col("n_tokens").cast("double"), 4))
+      .withColumn("flagged",
+        (col("mean_len") < 3.0 || col("mean_len") > 10.0).cast("int"))
+      .orderBy(col("doc_id"))
+
   /** q38 gate: the rolling fingerprint's equivalence classes must be in
     * bijection with the (engine-portable) md5 content classes — equal
     * canonical content ⇔ equal rolling fp, and no 64-bit collisions across
