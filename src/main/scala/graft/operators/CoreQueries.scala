@@ -217,13 +217,19 @@ object CoreQueries {
     */
   def q42ApproxDistinct(spark: SparkSession, dir: String): DataFrame = {
     val rsd = 0.02
-    Tables.lineitem(spark, dir)
-      .agg(
-        approx_count_distinct(col("l_orderkey"), rsd).as("approx_orders"),
-        approx_count_distinct(col("l_partkey"), rsd).as("approx_parts"),
-        countDistinct(col("l_orderkey")).as("exact_orders"),
-        countDistinct(col("l_partkey")).as("exact_parts"),
-        count(lit(1)).as("n_rows"))
+    val li = Tables.lineitem(spark, dir)
+    // two separate single-pass aggregates joined at one row each: mixing
+    // multi-column DISTINCT aggs with HLL sketches in one agg makes
+    // Catalyst Expand the scan per distinct group (benched 5.9s vs 1.6s
+    // at sf0.1 — the sketch updates run on every expanded copy)
+    val approx = li.agg(
+      approx_count_distinct(col("l_orderkey"), rsd).as("approx_orders"),
+      approx_count_distinct(col("l_partkey"), rsd).as("approx_parts"))
+    val exact = li.agg(
+      countDistinct(col("l_orderkey")).as("exact_orders"),
+      countDistinct(col("l_partkey")).as("exact_parts"),
+      count(lit(1)).as("n_rows"))
+    exact.crossJoin(broadcast(approx))
       .select(col("exact_orders"), col("exact_parts"), col("n_rows"),
         (abs(col("approx_orders") - col("exact_orders")).cast("double")
           <= lit(3 * rsd) * col("exact_orders")).cast("int").as("orders_within_bound"),

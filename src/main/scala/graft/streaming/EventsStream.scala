@@ -89,6 +89,24 @@ object EventsStream {
       queryName: String = "events_enriched"): DataFrame =
     runToMemoryTable(spark, enrichedCounts(spark, dir), queryName, "complete")
 
+  /** Streaming exact dedup: drop replayed events by event_id with
+    * watermark-bounded state (`dropDuplicatesWithinWatermark`) — the
+    * streaming face of the q27 exact-dedup family. State holds only keys
+    * younger than the watermark, so it is bounded at 100 TB/day ingest
+    * rates; an unbounded `dropDuplicates` on a stream would grow state
+    * forever. Emits the deduplicated event stream itself (append mode —
+    * downstream aggregation composes as a separate query).
+    */
+  def dedupedEvents(spark: SparkSession, dir: String): DataFrame =
+    stagedEventsStream(spark, dir, "graft-events-dedup")
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("event_id")
+      .select(col("event_id"), col("event_type"), col("user_id"))
+
+  def runDedupedOnce(spark: SparkSession, dir: String,
+      queryName: String = "events_deduped"): DataFrame =
+    runToMemoryTable(spark, dedupedEvents(spark, dir), queryName, "append")
+
   /** Drive the stream synchronously over the existing files (local smoke:
     * memory sink + processAllAvailable) and return the materialized result.
     */

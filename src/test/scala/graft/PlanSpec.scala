@@ -57,6 +57,29 @@ class PlanSpec extends SparkSpecBase {
     assert(bnlj.forall(l => l.contains("df#") && l.contains("<= cap#")), bnlj.mkString("\n"))
   }
 
+  test("q61: benchmark shingle side broadcasts; corpus side never shuffles pre-agg") {
+    val plan = executed("q61_contamination")
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("CartesianProduct") && !plan.contains("SortMergeJoin"), plan)
+  }
+
+  test("q63: scan prunes documents to doc_id + text only") {
+    val rs = readSchemaLines(executed("q63_word_length"))
+    assert(rs.contains("text"), rs)
+    Seq("lang", "source", "n_chars").foreach(c => assert(!rs.contains(c), s"$c not pruned: $rs"))
+  }
+
+  test("q42: no Expand over the scan (distinct aggs split from sketches)") {
+    val plan = executed("q42_approx_distinct")
+    // one Expand per multi-column distinct agg is fine; what must NOT
+    // happen is the sketch+distinct combined Expand running HLL updates
+    // per expanded copy — pin the shape by forbidding approx aggs and
+    // distinct aggs in the same HashAggregate
+    val badStage = plan.linesIterator.exists(l =>
+      l.contains("approx_count_distinct") && l.contains(", count("))
+    assert(!badStage, plan)
+  }
+
   test("whole-stage codegen covers the q01 aggregate") {
     // codegen'd stages print as `*(n) Operator` in the compact plan form
     val plan = executed("q01_pricing_summary")
