@@ -34,29 +34,34 @@ object GraftExtensions {
       (es: Seq[Expression]) => CosineSimilarity(es(0), es(1))),
     ("lsh_bucket",
       info("lsh_bucket",
-        "_FUNC_(v, nPlanes) - deterministic sign-LSH bucket of a float array"),
+        "_FUNC_(v, nPlanes[, seed]) - deterministic sign-LSH bucket of a float array"),
       (es: Seq[Expression]) => {
-        if (es.length != 2)
+        if (es.length < 2 || es.length > 3)
           throw new IllegalArgumentException(
-            s"lsh_bucket expects 2 arguments, got ${es.length}")
-        val planesExpr = es(1)
-        if (!planesExpr.foldable)
-          throw new IllegalArgumentException(
-            "lsh_bucket: nPlanes must be a literal integer")
-        val planes = planesExpr.eval() match {
-          case i: Int => i
-          case l: Long => l.toInt
-          case s: Short => s.toInt
-          case b: Byte => b.toInt
-          case other => throw new IllegalArgumentException(
-            s"lsh_bucket: nPlanes must be integral, got $other")
+            s"lsh_bucket expects 2 or 3 arguments, got ${es.length}")
+        def integral(e: Expression, what: String): Long = {
+          if (!e.foldable)
+            throw new IllegalArgumentException(
+              s"lsh_bucket: $what must be a literal integer")
+          e.eval() match {
+            case i: Int => i.toLong
+            case l: Long => l
+            case s: Short => s.toLong
+            case b: Byte => b.toLong
+            case other => throw new IllegalArgumentException(
+              s"lsh_bucket: $what must be integral, got $other")
+          }
         }
+        val planes = integral(es(1), "nPlanes").toInt
         // >63 overflows the Long bucket (silent plane aliasing); <1 is a
         // constant bucket that degrades any bucket join to all-pairs
         if (planes < 1 || planes > 63)
           throw new IllegalArgumentException(
             s"lsh_bucket: nPlanes must be in [1, 63], got $planes")
-        LshSignBucket(es(0), planes, 42L)
+        // optional table seed — the multi-table ANN path (SimilarityOps
+        // AND-OR amplification) needs distinct hyperplane sets per table
+        val seed = if (es.length == 3) integral(es(2), "seed") else 42L
+        LshSignBucket(es(0), planes, seed)
       }))
 
   /** Register on a live session (tests / REPL convenience). */

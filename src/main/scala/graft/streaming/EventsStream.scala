@@ -107,6 +107,36 @@ object EventsStream {
       queryName: String = "events_deduped"): DataFrame =
     runToMemoryTable(spark, dedupedEvents(spark, dir), queryName, "append")
 
+  /** Stream-stream interval join with watermarks on both sides: pair each
+    * user's 'click' with the 'view' that happened at most `windowMinutes`
+    * before it — the funnel/attribution shape. Both watermarks plus the
+    * time-bound condition let Spark expire join state, so state is bounded
+    * by (rate × window), not the whole history. Equality keys (user_id)
+    * shuffle both streams the same way; the interval condition is applied
+    * post-match, never as a cross product.
+    */
+  def viewToClickJoin(spark: SparkSession, dir: String,
+      windowMinutes: Int = 60): DataFrame = {
+    val src = stagedEventsStream(spark, dir, "graft-events-ssjoin")
+    val views = src.filter(col("event_type") === "view")
+      .select(col("user_id"), col("event_id").as("view_id"), col("ts").as("view_ts"))
+      .withWatermark("view_ts", "1 hour")
+    val clicks = src.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user_id"), col("event_id").as("click_id"),
+        col("ts").as("click_ts"))
+      .withWatermark("click_ts", "1 hour")
+    views.join(clicks,
+      col("user_id") === col("c_user_id") &&
+        col("click_ts") >= col("view_ts") &&
+        col("click_ts") <= col("view_ts") + expr(s"INTERVAL $windowMinutes MINUTES"))
+      .select(col("user_id"), col("view_id"), col("click_id"),
+        col("view_ts"), col("click_ts"))
+  }
+
+  def runViewToClickOnce(spark: SparkSession, dir: String,
+      queryName: String = "events_ssjoin"): DataFrame =
+    runToMemoryTable(spark, viewToClickJoin(spark, dir), queryName, "append")
+
   /** Drive the stream synchronously over the existing files (local smoke:
     * memory sink + processAllAvailable) and return the materialized result.
     */

@@ -22,4 +22,24 @@ class GraftExtensionsSpec extends SparkSpecBase {
       "SELECT vec_id, cosine_similarity(embedding, embedding) AS c FROM emb20")
     assert(viaSql.select(min(col("c"))).head().getDouble(0) > 0.999999)
   }
+
+  test("lsh_bucket optional seed arg gives distinct hash tables; bad args rejected") {
+    GraftExtensions.register(spark)
+    Tables.embeddings(spark, sf0001).limit(50).createOrReplaceTempView("emb50")
+    // different seeds must disagree on at least one vector (independent
+    // hyperplane sets — the multi-table ANN requirement)
+    val diff = spark.sql(
+      """SELECT count(*) AS n FROM emb50
+         WHERE lsh_bucket(embedding, 6) <> lsh_bucket(embedding, 6, 43)""")
+      .head().getLong(0)
+    assert(diff > 0)
+    // default seed = explicit 42
+    val same = spark.sql(
+      """SELECT count(*) AS n FROM emb50
+         WHERE lsh_bucket(embedding, 6) <> lsh_bucket(embedding, 6, 42)""")
+      .head().getLong(0)
+    assert(same === 0)
+    intercept[Exception](spark.sql("SELECT lsh_bucket(embedding, 64) FROM emb50").collect())
+    intercept[Exception](spark.sql("SELECT lsh_bucket(embedding, 0) FROM emb50").collect())
+  }
 }

@@ -29,6 +29,26 @@ class EventsStreamSpec extends SparkSpecBase {
     assert(s.sameElements(b), s"streaming dedup diverged: ${s.length} vs ${b.length}")
   }
 
+  test("stream-stream interval join matches the batch time-bounded join") {
+    val streamed = EventsStream.runViewToClickOnce(spark, sf0001, "events_ssjoin_test")
+    val ev = graft.Tables.events(spark, sf0001)
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("user_id"), col("event_id").as("view_id"), col("ts").as("view_ts"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user_id"), col("event_id").as("click_id"),
+        col("ts").as("click_ts"))
+    val batch = views.join(clicks,
+      col("user_id") === col("c_user_id") &&
+        col("click_ts") >= col("view_ts") &&
+        col("click_ts") <= col("view_ts") + expr("INTERVAL 60 MINUTES"))
+      .select(col("view_id"), col("click_id"))
+    val s = streamed.select(col("view_id"), col("click_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted
+    val b = batch.collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    assert(s.nonEmpty)
+    assert(s.sameElements(b), s"stream-stream join diverged: ${s.length} vs ${b.length}")
+  }
+
   test("stream-static enrichment join matches the batch equivalent") {
     val streamed = EventsStream.runEnrichedOnce(spark, sf0001, "events_enriched_test")
     val batch = graft.Tables.events(spark, sf0001)
