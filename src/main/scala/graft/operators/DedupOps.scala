@@ -96,6 +96,21 @@ object DedupOps {
       .persist()
   }
 
+  /** Session-scoped cache of the persisted postings relation per (session,
+    * table dir): within one session, q28/q29/q30/q53/q59 all consume the
+    * SAME df-capped postings — recomputing (and re-persisting) it per
+    * query is pure waste, exactly like re-scanning a shared dimension.
+    * The DataFrame-parameterized entry points bypass the cache (no
+    * identity to key on); invalidation = session end (the testdata tables
+    * are immutable inputs by contract).
+    */
+  private val postingsCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]
+
+  private def cachedShingleRows(spark: SparkSession, dir: String): DataFrame =
+    postingsCache.computeIfAbsent((spark, dir),
+      _ => filteredShingleRows(Tables.documents(spark, dir)))
+
   /** Exact Jaccard verification of candidate pairs against the df-capped
     * shingle postings: intersection sizes come from an equi-join keyed on
     * (doc, shingle) — work is proportional to the candidates' postings,
@@ -136,7 +151,7 @@ object DedupOps {
 
   def minhashNearDup(spark: SparkSession, dir: String,
       threshold: Double = 0.5): DataFrame =
-    minhashNearDupDF(Tables.documents(spark, dir), threshold)
+    minhashFromToks(cachedShingleRows(spark, dir), threshold, BucketCap)
 
   /** MinHash + LSH near-dup pairs, built the shuffle-friendly way:
     * df-capped shingle postings → codegen'd hash per (doc, shingle) row →
@@ -157,11 +172,13 @@ object DedupOps {
     * are (doc_id) and (band, bucket), both partial-agg reduced.
     */
   def minhashNearDupDF(docs: DataFrame, threshold: Double = 0.5,
-      bucketCap: Long = BucketCap): DataFrame = {
-    val toks = filteredShingleRows(docs)
+      bucketCap: Long = BucketCap): DataFrame =
+    minhashFromToks(filteredShingleRows(docs), threshold, bucketCap)
+
+  private def minhashFromToks(toks: DataFrame, threshold: Double,
+      bucketCap: Long): DataFrame =
     verifyCandidates(minhashBandCandidates(toks, bucketCap), toks, threshold)
       .orderBy(col("id_a"), col("id_b"))
-  }
 
   /** Candidate stage of [[minhashNearDupDF]], exposed for the adversarial
     * boundedness spec. Note a structural invariant: with bucketCap equal to
@@ -241,7 +258,10 @@ object DedupOps {
 
   def simhashNearDup(spark: SparkSession, dir: String,
       maxHamming: Int = 3): DataFrame =
-    simhashNearDupDF(Tables.documents(spark, dir), maxHamming)
+    verifyCandidates(
+      simhashChunkCandidates(Tables.documents(spark, dir), maxHamming),
+      cachedShingleRows(spark, dir), 0.5)
+      .orderBy(col("id_a"), col("id_b"))
 
   /** SimHash near-dup pairs: signature chunk equi-join (population-capped,
     * see [[BucketCap]]) proposes candidates with hamming ≤ maxHamming —
@@ -305,9 +325,8 @@ object DedupOps {
     */
   def simhashRecallGate(spark: SparkSession, dir: String,
       minRecall: Double = 0.5): DataFrame = {
-    val docs = Tables.documents(spark, dir)
-    val exact = ngramJaccardPairsDF(docs)
-    val found = simhashNearDupDF(docs)
+    val exact = ngramJaccardPairs(spark, dir)
+    val found = simhashNearDup(spark, dir)
     val nExact = exact.agg(count(lit(1)).as("n_exact_pairs"))
     val nFound = found.agg(count(lit(1)).as("n_found"))
     val nExtra = found.join(exact, Seq("id_a", "id_b", "jaccard"), "left_anti")
@@ -389,7 +408,7 @@ object DedupOps {
 
   def ngramJaccardPairs(spark: SparkSession, dir: String,
       threshold: Double = 0.5): DataFrame =
-    ngramJaccardPairsDF(Tables.documents(spark, dir), threshold)
+    pairsFromToks(cachedShingleRows(spark, dir), threshold)
 
   /** Exact 3-gram-shingle Jaccard over the full corpus — the
     * oracle-checkable near-dup baseline. Df-capped postings self-join +
@@ -401,8 +420,10 @@ object DedupOps {
     * [[minhashNearDupDF]] / [[simhashNearDupDF]], which verify against the
     * same postings but only on bucketed candidates.
     */
-  def ngramJaccardPairsDF(docs: DataFrame, threshold: Double = 0.5): DataFrame = {
-    val toks = filteredShingleRows(docs)
+  def ngramJaccardPairsDF(docs: DataFrame, threshold: Double = 0.5): DataFrame =
+    pairsFromToks(filteredShingleRows(docs), threshold)
+
+  private def pairsFromToks(toks: DataFrame, threshold: Double): DataFrame = {
     val l = toks.alias("l")
     val r = toks.alias("r")
     l.join(r, col("l.tok") === col("r.tok") && col("l.doc_id") < col("r.doc_id"))
