@@ -385,11 +385,19 @@ object DedupOps {
     labels
   }
 
-  /** q53: cluster ids over the (oracle-expressible) n-gram Jaccard edges. */
+  /** q53: cluster ids over the (oracle-expressible) n-gram Jaccard edges.
+    * Cached per (session, dir): q59's keep-list is a consumer of exactly
+    * this result, and the CC fixpoint behind it is a driver-side loop
+    * worth running once per session.
+    */
+  private val clustersCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]
+
   def nearDupClusters(spark: SparkSession, dir: String): DataFrame =
-    connectedComponents(ngramJaccardPairs(spark, dir))
-      .select(col("id").as("doc_id"), col("label").as("cluster_id"))
-      .orderBy(col("doc_id"))
+    clustersCache.computeIfAbsent((spark, dir),
+      _ => connectedComponents(ngramJaccardPairs(spark, dir))
+        .select(col("id").as("doc_id"), col("label").as("cluster_id"))
+        .orderBy(col("doc_id")))
 
   /** q59: the dedup keep-list — every document minus non-canonical cluster
     * members (left_anti against docs whose cluster label differs from
@@ -406,9 +414,20 @@ object DedupOps {
       .orderBy(col("lang"))
   }
 
+  /** Same session-scoped sharing one level up: the exact pair set (q28's
+    * output) is ALSO the verification target of q30's gate and the edge
+    * list of q53/q59 — cache the persisted pairs per (session, dir,
+    * threshold). Pair sets are tiny (near-dup pairs), so the persist is
+    * effectively free while the postings self-join behind it is the most
+    * expensive step in the family.
+    */
+  private val pairsCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, Double), DataFrame]
+
   def ngramJaccardPairs(spark: SparkSession, dir: String,
       threshold: Double = 0.5): DataFrame =
-    pairsFromToks(cachedShingleRows(spark, dir), threshold)
+    pairsCache.computeIfAbsent((spark, dir, threshold),
+      _ => pairsFromToks(cachedShingleRows(spark, dir), threshold).persist())
 
   /** Exact 3-gram-shingle Jaccard over the full corpus — the
     * oracle-checkable near-dup baseline. Df-capped postings self-join +
