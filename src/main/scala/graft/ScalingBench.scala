@@ -69,9 +69,15 @@ object ScalingBench {
 
     val nDocs = allDirs.map(d => d ->
       spark.read.parquet(s"$d/documents.parquet").count().toDouble).toMap
+    require(allDirs.size >= 2,
+      s"need at least 2 dirs to fit a scaling slope, got $allDirs")
     val rows = family.map { q =>
       val times = allDirs.map { d =>
-        spark.catalog.clearCache() // persists from prior runs must not help
+        // each timed run must measure the FULL pipeline: evict the dedup
+        // session caches properly (clearCache() alone would leave the
+        // cache maps serving unpersisted frames that silently recompute)
+        graft.operators.DedupOps.clearSessionCaches(spark)
+        spark.catalog.clearCache()
         val t0 = System.nanoTime()
         SparkEntry.queries(q)(spark, d).write.mode("overwrite").format("noop").save()
         d -> (System.nanoTime() - t0) / 1e9

@@ -10,8 +10,10 @@ import org.apache.spark.sql.SparkSession
   */
 final class RunLog(spark: SparkSession, dir: String, prefix: String) {
   private val buf = new StringBuilder
-  private val stamp = java.time.LocalDate.now(java.time.ZoneOffset.UTC)
-    .format(java.time.format.DateTimeFormatter.BASIC_ISO_DATE)
+  // date AND time: two runs on the same day must not overwrite each other
+  // (object-store create() replaces; there is no append)
+  private val stamp = java.time.LocalDateTime.now(java.time.ZoneOffset.UTC)
+    .format(java.time.format.DateTimeFormatter.ofPattern("yyyyMMdd_HHmmss"))
   val path = s"$dir/$prefix$stamp.log"
 
   def info(msg: String): Unit = {

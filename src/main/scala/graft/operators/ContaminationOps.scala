@@ -1,9 +1,7 @@
 package graft.operators
 
 import graft.Tables
-import graft.functions.Text
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Benchmark-contamination detection: flag corpus documents whose shingle
@@ -25,15 +23,10 @@ object ContaminationOps {
     */
   def contamination(spark: SparkSession, dir: String,
       benchMod: Int = 100, threshold: Double = 0.5): DataFrame = {
-    val docs = Tables.documents(spark, dir)
-    val wDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-    val shingles = docs
-      .select(col("doc_id"), posexplode(Text.tokens(col("text"))).as(Seq("pos", "tok")))
-      .withColumn("t1", lead(col("tok"), 1).over(wDoc))
-      .withColumn("t2", lead(col("tok"), 2).over(wDoc))
-      .filter(col("t2").isNotNull)
-      .select(col("doc_id"), concat_ws(" ", col("tok"), col("t1"), col("t2")).as("tok"))
-      .dropDuplicates("doc_id", "tok")
+    // the dedup family's shingle stage, WITHOUT the df cap: hot shingles
+    // are precisely the contamination signal here, and the benchmark join
+    // is bounded by the (small) benchmark side, not shingle frequency
+    val shingles = DedupOps.distinctShingleRows(Tables.documents(spark, dir))
     val benchShingles = shingles
       .filter(pmod(col("doc_id"), lit(benchMod)) === 0)
       .select(col("tok")).distinct()

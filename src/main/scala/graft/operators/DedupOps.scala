@@ -69,16 +69,24 @@ object DedupOps {
     * tokenize + window pipeline. One-shot query runs (Verify/Bench) are
     * fine; long-lived callers may unpersist.
     */
-  private[operators] def filteredShingleRows(docs: DataFrame): DataFrame = {
+  /** Distinct word-3-gram rows (doc_id, tok), no df cap — the shared
+    * shingle stage consumed (df-capped) by the dedup family and (uncapped)
+    * by [[ContaminationOps]]. One copy so tokenization/arity can't
+    * silently diverge between the pipelines and their shared oracle CTEs.
+    */
+  private[operators] def distinctShingleRows(docs: DataFrame): DataFrame = {
     val wDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-    val raw = docs
+    docs
       .select(col("doc_id"), posexplode(Text.tokens(col("text"))).as(Seq("pos", "tok")))
       .withColumn("t1", lead(col("tok"), 1).over(wDoc))
       .withColumn("t2", lead(col("tok"), 2).over(wDoc))
       .filter(col("t2").isNotNull)
       .select(col("doc_id"), concat_ws(" ", col("tok"), col("t1"), col("t2")).as("tok"))
       .dropDuplicates("doc_id", "tok")
-      .persist()
+  }
+
+  private[operators] def filteredShingleRows(docs: DataFrame): DataFrame = {
+    val raw = distinctShingleRows(docs).persist()
     // corpus-relative cap, computed inside the plan as a broadcast 1-row
     // agg. The cap comparison is a non-equi condition, so it plans as a
     // BroadcastNestedLoopJoin — against a single broadcast row that is
@@ -107,9 +115,43 @@ object DedupOps {
   private val postingsCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]
 
-  private def cachedShingleRows(spark: SparkSession, dir: String): DataFrame =
+  /** Drop entries whose session has been stopped — a module-level map
+    * would otherwise strongly reference dead sessions and their plans
+    * forever in a long-lived JVM that cycles sessions.
+    */
+  private def purgeStopped(): Unit = {
+    def purge[K <: Product](m: java.util.concurrent.ConcurrentHashMap[K, DataFrame]): Unit =
+      m.keySet.removeIf(k =>
+        k.productElement(0).asInstanceOf[SparkSession].sparkContext.isStopped)
+    purge(postingsCache); purge(pairsCache); purge(clustersCache)
+  }
+
+  private def cachedShingleRows(spark: SparkSession, dir: String): DataFrame = {
+    purgeStopped()
     postingsCache.computeIfAbsent((spark, dir),
       _ => filteredShingleRows(Tables.documents(spark, dir)))
+  }
+
+  /** Unpersist and forget every cached relation of this session — for
+    * callers (ScalingBench) that need each run to measure the full
+    * pipeline rather than a cache hit. `spark.catalog.clearCache()` is NOT
+    * equivalent: it unpersists the data but leaves the map returning the
+    * same now-unpersisted frames, which then silently recompute on every
+    * downstream read.
+    */
+  def clearSessionCaches(spark: SparkSession): Unit = {
+    def clear[K <: Product](m: java.util.concurrent.ConcurrentHashMap[K, DataFrame]): Unit = {
+      val it = m.entrySet.iterator
+      while (it.hasNext) {
+        val e = it.next()
+        if (e.getKey.productElement(0).asInstanceOf[SparkSession] eq spark) {
+          e.getValue.unpersist()
+          it.remove()
+        }
+      }
+    }
+    clear(postingsCache); clear(pairsCache); clear(clustersCache)
+  }
 
   /** Exact Jaccard verification of candidate pairs against the df-capped
     * shingle postings: intersection sizes come from an equi-join keyed on

@@ -86,12 +86,17 @@ object TextAnalysisOps {
   def qualityScore(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
     val textMetrics = docs.select(col("doc_id"), Text.punctRatio(col("text")).as("pr"))
+    // two-level aggregation (doc_id, tok) -> doc_id instead of
+    // countDistinct beside plain aggs, which would Expand every token row
+    // through the aggregation (the q42ApproxDistinct trap)
     val m = docs
       .select(col("doc_id"), explode(Text.tokens(col("text"))).as("tok"))
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("c"))
       .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_tok"),
-        countDistinct(col("tok")).as("n_distinct"),
-        count(when(col("tok").isin(Text.stopwords: _*), lit(1))).as("n_stop"))
+      .agg(sum(col("c")).as("n_tok"),
+        count(lit(1)).as("n_distinct"),
+        sum(when(col("tok").isin(Text.stopwords: _*), col("c"))
+          .otherwise(lit(0L))).as("n_stop"))
       .join(textMetrics, "doc_id")
     // split() always yields >= 1 element, so every doc survives the explode
     // and n_tok >= 1 — the nTok=0 guards of qualityExpr are vacuous here
