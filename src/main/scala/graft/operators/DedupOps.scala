@@ -397,9 +397,15 @@ object DedupOps {
       .persist()
     val nodes = sym.select(col("src").as("id")).distinct()
     var labels = nodes.withColumn("label", col("id"))
-    var changed = 1L
+    // min-label propagation is monotone non-increasing per node, so the
+    // fixpoint test is simply "sum(label) unchanged" — one cheap aggregate
+    // per iteration instead of a join back against the previous labels
+    def labelSum(df: DataFrame): Long =
+      df.agg(coalesce(sum(col("label")), lit(0L))).head().getLong(0)
+    var prevSum = Long.MinValue
+    var curSum = labelSum(labels)
     var i = 0
-    while (changed > 0 && i < maxIter) {
+    while (curSum != prevSum && i < maxIter) {
       val neighborMin = sym.join(labels, sym("src") === labels("id"))
         .groupBy(col("dst").as("id2"))
         .agg(min(col("label")).as("nlabel"))
@@ -411,8 +417,8 @@ object DedupOps {
       // blows up analysis/codegen time even though the data is tiny
       if ((i + 1) % 5 == 0) updated = updated.localCheckpoint(eager = true)
       else updated = { updated.persist(); updated }
-      changed = updated.join(labels.withColumnRenamed("label", "old"), "id")
-        .filter(col("label") =!= col("old")).count()
+      prevSum = curSum
+      curSum = labelSum(updated)
       labels.unpersist()
       labels = updated
       i += 1
@@ -420,7 +426,7 @@ object DedupOps {
     sym.unpersist()
     // refusing to return silently-wrong labels beats a quiet cap: a chain
     // longer than maxIter hops would leave one component with several ids
-    require(changed == 0,
+    require(curSum == prevSum,
       s"connectedComponents did not converge within $maxIter iterations")
     // NOTE: the returned frame is persisted (it anchors the fixpoint);
     // long-lived callers may unpersist() after their action.
