@@ -83,6 +83,7 @@ object SparkEntry {
     "q61_contamination"   -> ((s, d) => graft.operators.ContaminationOps.contamination(s, d)),
     "q62_repetition"      -> ((s, d) => TextAnalysisOps.repetitionRatio(s, d)),
     "q63_word_length"     -> ((s, d) => TextAnalysisOps.wordLengthProfile(s, d)),
+    "q64_lsh_neardup"     -> ((s, d) => SimilarityOps.lshNearDup(s, d)),
   )
 
   /** Shared shingle→df-capped-postings CTE body for every exact-Jaccard
@@ -366,6 +367,19 @@ object SparkEntry {
            FROM scored)
          WHERE rk <= 5 ORDER BY query_id, rk""",
     "q32_cosine_neardup" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
+                    FROM embeddings WHERE vec_id < 200)
+         SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_inner_product(a.v, b.v) /
+             (sqrt(list_inner_product(a.v, a.v)) * sqrt(list_inner_product(b.v, b.v))), 4) AS cos
+         FROM e a JOIN e b ON a.vec_id < b.vec_id
+         WHERE round(list_inner_product(a.v, b.v) /
+             (sqrt(list_inner_product(a.v, a.v)) * sqrt(list_inner_product(b.v, b.v))), 4) >= 0.35
+         ORDER BY id_a, id_b""",
+    // q64 emits exactly-verified pairs from complete-recall multi-table
+    // LSH bucketing (64 tables x 4 planes; per-pair miss ~5e-5 at the
+    // 0.35 threshold) -- same oracle as the exact q32
+    "q64_lsh_neardup" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
                     FROM embeddings WHERE vec_id < 200)
          SELECT a.vec_id AS id_a, b.vec_id AS id_b,

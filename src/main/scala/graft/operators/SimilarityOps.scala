@@ -152,6 +152,44 @@ object SimilarityOps {
       .orderBy(col("label"), col("assigned_label"))
   }
 
+  /** Embedding near-dup pairs via multi-table LSH bucketing — the scale
+    * path for [[cosineNearDup]]: candidates are same-(table, bucket) pairs
+    * across `nTables` independent hyperplane sets, then exact cosine
+    * verification. With 64 tables × 4 planes the per-pair miss at
+    * cos 0.35 is (1 − q⁴)⁶⁴ ≈ 5e-5 (q = 1 − θ/π), so the output equals
+    * the exact pair set on this data and shares q32's oracle — the same
+    * complete-recall-candidates + exact-verify contract as the MinHash
+    * dedup path. At scale the bucket join replaces the all-pairs cross
+    * product; raise nPlanes with corpus size to keep buckets small.
+    */
+  def lshNearDup(spark: SparkSession, dir: String,
+      threshold: Double = 0.35, maxId: Long = 200, nPlanes: Int = 4,
+      nTables: Int = 64): DataFrame = {
+    val tableBuckets = (0 until nTables).map { t =>
+      struct(lit(t).as("tbl"),
+        Vectors.lshBucket(col("embedding"), nPlanes, seed = 1042L + t).as("bucket"))
+    }
+    val emb = Tables.embeddings(spark, dir)
+      .filter(col("vec_id") < maxId)
+      .select(col("vec_id"), col("embedding"))
+    val banded = emb.select(col("vec_id"),
+        explode(array(tableBuckets: _*)).as("tb"))
+      .select(col("vec_id"), col("tb.tbl"), col("tb.bucket"))
+    val candidates = banded.select(col("vec_id").as("id_a"), col("tbl"), col("bucket"))
+      .join(banded.select(col("vec_id").as("id_b"), col("tbl"), col("bucket")),
+        Seq("tbl", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+      .distinct()
+    candidates
+      .join(emb.select(col("vec_id").as("id_a"), col("embedding").as("va")), "id_a")
+      .join(emb.select(col("vec_id").as("id_b"), col("embedding").as("vb")), "id_b")
+      .withColumn("cos", round(Vectors.cosine(col("va"), col("vb")), 4))
+      .filter(col("cos") >= threshold)
+      .select(col("id_a"), col("id_b"), col("cos"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
   /** Embedding near-duplicate pairs (cosine ≥ threshold) over a bounded
     * id range — the oracle-checkable exact variant.
     */
