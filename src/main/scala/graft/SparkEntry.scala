@@ -84,6 +84,7 @@ object SparkEntry {
     "q62_repetition"      -> ((s, d) => TextAnalysisOps.repetitionRatio(s, d)),
     "q63_word_length"     -> ((s, d) => TextAnalysisOps.wordLengthProfile(s, d)),
     "q64_lsh_neardup"     -> ((s, d) => SimilarityOps.lshNearDup(s, d)),
+    "q65_curated_corpus"  -> ((s, d) => PipelineOps.curatedCorpus(s, d)),
   )
 
   /** Shared shingle→df-capped-postings CTE body for every exact-Jaccard
@@ -664,6 +665,53 @@ object SparkEntry {
                  regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS tok
                FROM documents)
          GROUP BY doc_id ORDER BY doc_id""",
+    // q65: the full curation composition — keep-list minus contamination
+    // minus low quality, per-source doc/token counts
+    "q65_curated_corpus" ->
+      (dedupCcCte + """,
+         drop_ids AS (SELECT id FROM (
+             SELECT id, min(label) AS cluster_id FROM cc GROUP BY id)
+           WHERE cluster_id <> id),
+         bench AS (SELECT DISTINCT tok FROM t0 WHERE doc_id % 100 = 0),
+         corpus AS (SELECT doc_id, tok FROM t0 WHERE doc_id % 100 <> 0),
+         per AS (SELECT doc_id, count(*) AS n_shingles FROM corpus GROUP BY 1),
+         hits AS (SELECT doc_id, count(*) AS n_contaminated
+                  FROM corpus JOIN bench USING (tok) GROUP BY 1),
+         contaminated AS (SELECT doc_id FROM per JOIN hits USING (doc_id)
+           WHERE round(n_contaminated * 1.0 / n_shingles, 4) >= 0.5),
+         qt AS (SELECT doc_id, text, string_split(
+             regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS toks
+           FROM documents),
+         qm AS (SELECT doc_id, len(toks) AS n_tokens,
+           CASE WHEN len(toks) > 0
+                THEN CAST(floor(len(list_distinct(toks)) * 3000.0 / len(toks)) AS BIGINT)
+                ELSE 0 END AS diversity,
+           CASE WHEN len(toks) BETWEEN 20 AND 1000 THEN 400
+                WHEN len(toks) BETWEEN 5 AND 19 THEN 200 ELSE 0 END AS length_band,
+           CASE WHEN len(toks) > 0
+                THEN len(list_filter(toks, x -> x IN
+                  ('the','a','an','of','to','in','and','is','it','that'))) * 1.0 / len(toks)
+                ELSE 0.0 END AS sr,
+           CASE WHEN length(regexp_replace(text, '\s', '', 'g')) > 0
+                THEN length(regexp_replace(text, '[^!-/:-@\[-`{-~]', '', 'g')) * 1.0 /
+                     length(regexp_replace(text, '\s', '', 'g'))
+                ELSE 0.0 END AS pr
+           FROM qt),
+         qual AS (SELECT doc_id, n_tokens,
+           greatest(0, (length_band +
+             (CASE WHEN sr BETWEEN 0.01 AND 0.6 THEN 300 ELSE 0 END) -
+             (CASE WHEN pr > 0.2 THEN 200 ELSE 0 END)) * 10 + diversity) / 10000.0 AS quality
+           FROM qm),
+         kept AS (
+           SELECT d.source, q.n_tokens
+           FROM documents d JOIN qual q USING (doc_id)
+           WHERE d.doc_id % 100 <> 0
+             AND d.doc_id NOT IN (SELECT id FROM drop_ids)
+             AND d.doc_id NOT IN (SELECT doc_id FROM contaminated)
+             AND q.quality >= 0.5)
+         SELECT source, count(*) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+         FROM kept GROUP BY source ORDER BY source"""),
     // q43 shares q31's semantics (different physical operator: typed
     // Aggregator instead of window sort) → same oracle
     "q43_topk_aggregator" ->

@@ -83,4 +83,35 @@ object PipelineOps {
         (length(col("text_with_pii")) - length(scrubbed)).cast("long").as("chars_removed"))
       .orderBy(col("doc_id"))
   }
+
+  /** End-to-end corpus curation — the composition the individual operators
+    * exist for: the final training corpus is `documents` minus (a) the
+    * benchmark docs themselves, (b) non-canonical near-dup cluster members
+    * (q53/q59's keep-list), (c) benchmark-contaminated docs (q61's ratio ≥
+    * threshold), and (d) low-quality docs (q35's score < minQuality) —
+    * reported as per-source doc and token counts, the numbers a training
+    * run actually consumes. Every stage reuses the session-cached shared
+    * relations, so the composition costs little more than its most
+    * expensive member.
+    */
+  def curatedCorpus(spark: SparkSession, dir: String, benchMod: Int = 100,
+      contaminationThreshold: Double = 0.5, minQuality: Double = 0.5): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val dropDup = DedupOps.nearDupClusters(spark, dir)
+      .filter(col("cluster_id") =!= col("doc_id"))
+      .select(col("doc_id"))
+    val contaminated = ContaminationOps.contamination(spark, dir, benchMod,
+        contaminationThreshold)
+      .select(col("doc_id"))
+    val quality = TextAnalysisOps.qualityScore(spark, dir)
+    docs.filter(pmod(col("doc_id"), lit(benchMod)) =!= 0)
+      .join(dropDup, Seq("doc_id"), "left_anti")
+      .join(contaminated, Seq("doc_id"), "left_anti")
+      .join(quality, "doc_id")
+      .filter(col("quality") >= minQuality)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens").cast("long")).as("total_tokens"))
+      .orderBy(col("source"))
+  }
 }
