@@ -63,14 +63,15 @@ object ScalingBench {
       if (args.headOption.contains("synth"))
         Seq("/root/testdata/sf0.1") ++ synthDirs(spark, "/tmp/graft-scale")
       else dirs
+    // validate BEFORE the expensive warm-up/count work
+    require(allDirs.size >= 2,
+      s"need at least 2 dirs to fit a scaling slope, got $allDirs")
     // warm-up: JIT + codegen caches, untimed
     SparkEntry.queries("q27_dedup_exact")(spark, allDirs.head)
       .write.mode("overwrite").format("noop").save()
 
     val nDocs = allDirs.map(d => d ->
       spark.read.parquet(s"$d/documents.parquet").count().toDouble).toMap
-    require(allDirs.size >= 2,
-      s"need at least 2 dirs to fit a scaling slope, got $allDirs")
     val rows = family.map { q =>
       val times = allDirs.map { d =>
         // each timed run must measure the FULL pipeline: evict the dedup

@@ -10,10 +10,12 @@ import org.apache.spark.sql.SparkSession
   */
 final class RunLog(spark: SparkSession, dir: String, prefix: String) {
   private val buf = new StringBuilder
-  // date AND time: two runs on the same day must not overwrite each other
-  // (object-store create() replaces; there is no append)
+  // date + time + a nano-tick uniquifier: runs must never overwrite each
+  // other's log (object-store create() replaces; there is no append), and
+  // second granularity alone still collides for back-to-back/parallel runs
   private val stamp = java.time.LocalDateTime.now(java.time.ZoneOffset.UTC)
-    .format(java.time.format.DateTimeFormatter.ofPattern("yyyyMMdd_HHmmss"))
+    .format(java.time.format.DateTimeFormatter.ofPattern("yyyyMMdd_HHmmss")) +
+    "_" + java.lang.Long.toUnsignedString(System.nanoTime(), 36)
   val path = s"$dir/$prefix$stamp.log"
 
   def info(msg: String): Unit = {

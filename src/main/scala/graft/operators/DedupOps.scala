@@ -126,18 +126,40 @@ object DedupOps {
     purge(postingsCache); purge(pairsCache); purge(clustersCache)
   }
 
-  private def cachedShingleRows(spark: SparkSession, dir: String): DataFrame = {
+  /** get-then-putIfAbsent, NOT computeIfAbsent: the build functions of one
+    * cache read the other caches (clusters → pairs → postings) and run the
+    * purge, and ConcurrentHashMap forbids a mapping function from mutating
+    * the map it runs inside (bin corruption / lost updates). The benign
+    * race (two threads building the same value once each) is acceptable
+    * for a driver-side cache.
+    */
+  private def cached[K](m: java.util.concurrent.ConcurrentHashMap[K, DataFrame],
+      k: K)(build: => DataFrame): DataFrame = {
     purgeStopped()
-    postingsCache.computeIfAbsent((spark, dir),
-      _ => filteredShingleRows(Tables.documents(spark, dir)))
+    val existing = m.get(k)
+    if (existing != null) existing
+    else {
+      val v = build
+      val prev = m.putIfAbsent(k, v)
+      if (prev != null) prev else v
+    }
   }
+
+  private def cachedShingleRows(spark: SparkSession, dir: String): DataFrame =
+    cached(postingsCache, (spark, dir))(
+      filteredShingleRows(Tables.documents(spark, dir)))
 
   /** Unpersist and forget every cached relation of this session — for
     * callers (ScalingBench) that need each run to measure the full
-    * pipeline rather than a cache hit. `spark.catalog.clearCache()` is NOT
-    * equivalent: it unpersists the data but leaves the map returning the
-    * same now-unpersisted frames, which then silently recompute on every
-    * downstream read.
+    * pipeline rather than a cache hit. `spark.catalog.clearCache()` alone
+    * is NOT equivalent: it unpersists the data but leaves the maps
+    * returning the same now-unpersisted frames, which then silently
+    * recompute on every downstream read. Conversely, dropping only the map
+    * entries is not enough either: the INNER `raw` relation persisted by
+    * filteredShingleRows would stay in the CacheManager and plan-match a
+    * rebuilt pipeline — so this measurement utility clears the session's
+    * cache manager too (documented cost: unrelated persisted data of this
+    * session is also evicted).
     */
   def clearSessionCaches(spark: SparkSession): Unit = {
     def clear[K <: Product](m: java.util.concurrent.ConcurrentHashMap[K, DataFrame]): Unit = {
@@ -151,6 +173,7 @@ object DedupOps {
       }
     }
     clear(postingsCache); clear(pairsCache); clear(clustersCache)
+    spark.catalog.clearCache()
   }
 
   /** Exact Jaccard verification of candidate pairs against the df-capped
@@ -399,10 +422,15 @@ object DedupOps {
     var labels = nodes.withColumn("label", col("id"))
     // min-label propagation is monotone non-increasing per node, so the
     // fixpoint test is simply "sum(label) unchanged" — one cheap aggregate
-    // per iteration instead of a join back against the previous labels
-    def labelSum(df: DataFrame): Long =
-      df.agg(coalesce(sum(col("label")), lit(0L))).head().getLong(0)
-    var prevSum = Long.MinValue
+    // per iteration instead of a join back against the previous labels.
+    // Summed as DECIMAL(38,0): a 64-bit sum can WRAP (ids are arbitrary
+    // longs), and a wrapped sum colliding with the previous one would
+    // falsely report convergence
+    def labelSum(df: DataFrame): java.math.BigDecimal = {
+      val v = df.agg(sum(col("label").cast("decimal(38,0)"))).head().getDecimal(0)
+      if (v == null) java.math.BigDecimal.ZERO else v
+    }
+    var prevSum: java.math.BigDecimal = null // none yet — first iteration must run
     var curSum = labelSum(labels)
     var i = 0
     while (curSum != prevSum && i < maxIter) {
@@ -442,21 +470,27 @@ object DedupOps {
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]
 
   def nearDupClusters(spark: SparkSession, dir: String): DataFrame =
-    clustersCache.computeIfAbsent((spark, dir),
-      _ => connectedComponents(ngramJaccardPairs(spark, dir))
+    cached(clustersCache, (spark, dir))(
+      connectedComponents(ngramJaccardPairs(spark, dir))
         .select(col("id").as("doc_id"), col("label").as("cluster_id"))
         .orderBy(col("doc_id")))
+
+  /** Non-canonical near-dup cluster members — the shared drop-list behind
+    * q59's keep-list and q65's curation (one definition so canonical-member
+    * selection cannot silently diverge between them).
+    */
+  def nonCanonicalIds(spark: SparkSession, dir: String): DataFrame =
+    nearDupClusters(spark, dir)
+      .filter(col("cluster_id") =!= col("doc_id"))
+      .select(col("doc_id"))
 
   /** q59: the dedup keep-list — every document minus non-canonical cluster
     * members (left_anti against docs whose cluster label differs from
     * their own id). This is the artifact a training pipeline consumes.
     */
   def dedupKeepList(spark: SparkSession, dir: String): DataFrame = {
-    val drop = nearDupClusters(spark, dir)
-      .filter(col("cluster_id") =!= col("doc_id"))
-      .select(col("doc_id"))
     Tables.documents(spark, dir)
-      .join(drop, Seq("doc_id"), "left_anti")
+      .join(nonCanonicalIds(spark, dir), Seq("doc_id"), "left_anti")
       .groupBy(col("lang"))
       .agg(count(lit(1)).as("n_kept"), sum(col("n_chars")).as("kept_chars"))
       .orderBy(col("lang"))
@@ -474,8 +508,8 @@ object DedupOps {
 
   def ngramJaccardPairs(spark: SparkSession, dir: String,
       threshold: Double = 0.5): DataFrame =
-    pairsCache.computeIfAbsent((spark, dir, threshold),
-      _ => pairsFromToks(cachedShingleRows(spark, dir), threshold).persist())
+    cached(pairsCache, (spark, dir, threshold))(
+      pairsFromToks(cachedShingleRows(spark, dir), threshold).persist())
 
   /** Exact 3-gram-shingle Jaccard over the full corpus — the
     * oracle-checkable near-dup baseline. Df-capped postings self-join +

@@ -97,9 +97,7 @@ object PipelineOps {
   def curatedCorpus(spark: SparkSession, dir: String, benchMod: Int = 100,
       contaminationThreshold: Double = 0.5, minQuality: Double = 0.5): DataFrame = {
     val docs = Tables.documents(spark, dir)
-    val dropDup = DedupOps.nearDupClusters(spark, dir)
-      .filter(col("cluster_id") =!= col("doc_id"))
-      .select(col("doc_id"))
+    val dropDup = DedupOps.nonCanonicalIds(spark, dir)
     val contaminated = ContaminationOps.contamination(spark, dir, benchMod,
         contaminationThreshold)
       .select(col("doc_id"))
