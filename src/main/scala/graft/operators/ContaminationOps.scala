@@ -25,8 +25,9 @@ object ContaminationOps {
       benchMod: Int = 100, threshold: Double = 0.5): DataFrame = {
     // the dedup family's shingle stage, WITHOUT the df cap: hot shingles
     // are precisely the contamination signal here, and the benchmark join
-    // is bounded by the (small) benchmark side, not shingle frequency
-    val shingles = DedupOps.distinctShingleRows(Tables.documents(spark, dir))
+    // is bounded by the (small) benchmark side, not shingle frequency.
+    // Session-cached — q61 and q65 share it with the dedup pipelines.
+    val shingles = DedupOps.cachedDistinctShingles(spark, dir)
     val benchShingles = shingles
       .filter(pmod(col("doc_id"), lit(benchMod)) === 0)
       .select(col("tok")).distinct()

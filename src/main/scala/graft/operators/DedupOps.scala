@@ -85,8 +85,10 @@ object DedupOps {
       .dropDuplicates("doc_id", "tok")
   }
 
-  private[operators] def filteredShingleRows(docs: DataFrame): DataFrame = {
-    val raw = distinctShingleRows(docs).persist()
+  private[operators] def filteredShingleRows(docs: DataFrame): DataFrame =
+    filteredFromRaw(distinctShingleRows(docs).persist(), docs)
+
+  private def filteredFromRaw(raw: DataFrame, docs: DataFrame): DataFrame = {
     // corpus-relative cap, computed inside the plan as a broadcast 1-row
     // agg. The cap comparison is a non-equi condition, so it plans as a
     // BroadcastNestedLoopJoin — against a single broadcast row that is
@@ -123,7 +125,7 @@ object DedupOps {
     def purge[K <: Product](m: java.util.concurrent.ConcurrentHashMap[K, DataFrame]): Unit =
       m.keySet.removeIf(k =>
         k.productElement(0).asInstanceOf[SparkSession].sparkContext.isStopped)
-    purge(postingsCache); purge(pairsCache); purge(clustersCache)
+    purge(shinglesCache); purge(postingsCache); purge(pairsCache); purge(clustersCache)
   }
 
   /** get-then-putIfAbsent, NOT computeIfAbsent: the build functions of one
@@ -145,9 +147,22 @@ object DedupOps {
     }
   }
 
+  private val shinglesCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]
+
+  /** The uncapped distinct-shingle relation, session-cached: consumed
+    * df-capped by the dedup family and uncapped by ContaminationOps
+    * (q61/q65), so it is shared one level below the postings cache.
+    */
+  private[operators] def cachedDistinctShingles(spark: SparkSession,
+      dir: String): DataFrame =
+    cached(shinglesCache, (spark, dir))(
+      distinctShingleRows(Tables.documents(spark, dir)).persist())
+
   private def cachedShingleRows(spark: SparkSession, dir: String): DataFrame =
     cached(postingsCache, (spark, dir))(
-      filteredShingleRows(Tables.documents(spark, dir)))
+      filteredFromRaw(cachedDistinctShingles(spark, dir),
+        Tables.documents(spark, dir)))
 
   /** Unpersist and forget every cached relation of this session — for
     * callers (ScalingBench) that need each run to measure the full
@@ -172,7 +187,7 @@ object DedupOps {
         }
       }
     }
-    clear(postingsCache); clear(pairsCache); clear(clustersCache)
+    clear(shinglesCache); clear(postingsCache); clear(pairsCache); clear(clustersCache)
     spark.catalog.clearCache()
   }
 
