@@ -85,6 +85,8 @@ object SparkEntry {
     "q63_word_length"     -> ((s, d) => TextAnalysisOps.wordLengthProfile(s, d)),
     "q64_lsh_neardup"     -> ((s, d) => SimilarityOps.lshNearDup(s, d)),
     "q65_curated_corpus"  -> ((s, d) => PipelineOps.curatedCorpus(s, d)),
+    "q66_span_dup"        -> ((s, d) => DedupOps.spanDupStats(s, d)),
+    "q67_token_entropy"   -> ((s, d) => TextAnalysisOps.tokenEntropy(s, d)),
   )
 
   /** Shared shingle→df-capped-postings CTE body for every exact-Jaccard
@@ -712,6 +714,33 @@ object SparkEntry {
          SELECT source, count(*) AS n_docs,
            CAST(sum(n_tokens) AS BIGINT) AS total_tokens
          FROM kept GROUP BY source ORDER BY source"""),
+    "q66_span_dup" ->
+      """WITH d0 AS (
+           SELECT doc_id, string_split(
+             regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS w
+           FROM documents),
+         sp AS (SELECT doc_id, unnest(list_distinct(
+             [array_to_string(w[i:i+9], ' ')
+              for i in range(1, greatest(len(w) - 8, 1))])) AS span
+           FROM d0 WHERE len(w) >= 10),
+         dupset AS (SELECT span FROM sp GROUP BY span HAVING count(*) >= 2),
+         per AS (SELECT doc_id, count(*) AS n_spans FROM sp GROUP BY 1),
+         dup AS (SELECT doc_id, count(*) AS n_dup_spans
+                 FROM sp JOIN dupset USING (span) GROUP BY 1)
+         SELECT doc_id, n_spans, n_dup_spans,
+           round(n_dup_spans * 1.0 / n_spans, 4) AS dup_frac
+         FROM per JOIN dup USING (doc_id)
+         WHERE round(n_dup_spans * 1.0 / n_spans, 4) >= 0.3
+         ORDER BY doc_id""",
+    "q67_token_entropy" ->
+      """WITH t AS (SELECT doc_id, unnest(string_split(
+             regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS tok
+           FROM documents),
+         c AS (SELECT doc_id, tok, count(*) AS c FROM t GROUP BY 1, 2),
+         n AS (SELECT doc_id, c, sum(c) OVER (PARTITION BY doc_id) AS n FROM c)
+         SELECT doc_id, CAST(max(n) AS INT) AS n_tokens,
+           round(-sum((c * 1.0 / n) * log2(c * 1.0 / n)) + 0.0, 4) AS entropy_bits
+         FROM n GROUP BY doc_id ORDER BY doc_id""",
     // q43 shares q31's semantics (different physical operator: typed
     // Aggregator instead of window sort) → same oracle
     "q43_topk_aggregator" ->

@@ -476,6 +476,47 @@ object DedupOps {
     labels
   }
 
+  /** Span-level duplication stats (the substring-dedup signal of
+    * RefinedWeb/CCNet-style pipelines): for each doc, the fraction of its
+    * distinct `spanLen`-token windows that also occur in ANOTHER document.
+    * Docs at or above `minDupFrac` are the boilerplate/mirror suspects
+    * that document-level near-dup misses (partial copies, stitched pages).
+    * Shape: window spans via posexplode + lead chain (codegen) →
+    * per-(doc, span) dedup → span document-frequency → per-doc ratio. The
+    * span df join is an equi-join on the span hash — never all-pairs.
+    */
+  def spanDupStats(spark: SparkSession, dir: String, spanLen: Int = 10,
+      minDupFrac: Double = 0.3): DataFrame =
+    spanDupStatsDF(Tables.documents(spark, dir), spanLen, minDupFrac)
+
+  def spanDupStatsDF(docs: DataFrame, spanLen: Int = 10,
+      minDupFrac: Double = 0.3): DataFrame = {
+    require(spanLen >= 2, s"spanLen must be >= 2, got $spanLen")
+    val wDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val leads = (1 until spanLen).map(i => lead(col("tok"), i).over(wDoc).as(s"t$i"))
+    val spanCols = col("tok") +: (1 until spanLen).map(i => col(s"t$i"))
+    val spans = docs
+      .select(col("doc_id"), posexplode(Text.tokens(col("text"))).as(Seq("pos", "tok")))
+      .select((col("doc_id") +: col("tok") +: leads): _*)
+      .filter(col(s"t${spanLen - 1}").isNotNull)
+      .select(col("doc_id"), concat_ws(" ", spanCols: _*).as("span"))
+      .dropDuplicates("doc_id", "span")
+      .persist()
+    val dupSpans = spans.groupBy(col("span"))
+      .agg(count(lit(1)).as("docs_with_span"))
+      .filter(col("docs_with_span") >= 2)
+      .select(col("span"))
+    val perDoc = spans.groupBy(col("doc_id")).agg(count(lit(1)).as("n_spans"))
+    val dupPerDoc = spans.join(dupSpans, "span")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_dup_spans"))
+    perDoc.join(dupPerDoc, Seq("doc_id"))
+      .withColumn("dup_frac",
+        round(col("n_dup_spans").cast("double") / col("n_spans").cast("double"), 4))
+      .filter(col("dup_frac") >= minDupFrac)
+      .select(col("doc_id"), col("n_spans"), col("n_dup_spans"), col("dup_frac"))
+      .orderBy(col("doc_id"))
+  }
+
   /** q53: cluster ids over the (oracle-expressible) n-gram Jaccard edges.
     * Cached per (session, dir): q59's keep-list is a consumer of exactly
     * this result, and the CC fixpoint behind it is a driver-side loop

@@ -208,6 +208,28 @@ object TextAnalysisOps {
         (col("mean_len") < 3.0 || col("mean_len") > 10.0).cast("int"))
       .orderBy(col("doc_id"))
 
+  /** Token-distribution entropy per doc (in bits): −Σ (c/n)·log₂(c/n)
+    * over the token frequency distribution — the repetitiveness signal
+    * (spam/boilerplate sits at low entropy for its length). Two-level
+    * aggregation (no Expand); the only floating-point steps are the final
+    * per-token-type terms, summed then rounded.
+    */
+  def tokenEntropy(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(Text.tokens(col("text"))).as("tok"))
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("c"))
+      .withColumn("n", sum(col("c")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))))
+      .groupBy(col("doc_id"))
+      // + 0.0 normalizes the IEEE −0.0 a single-token doc produces
+      // (−sum(1·log₂1)) so both engines emit +0.0
+      .agg(max(col("n")).as("n_tokens"),
+        round(-sum((col("c") / col("n")) *
+          log(2.0, col("c") / col("n"))) + lit(0.0), 4).as("entropy_bits"))
+      .select(col("doc_id"), col("n_tokens").cast("int").as("n_tokens"),
+        col("entropy_bits"))
+      .orderBy(col("doc_id"))
+
   /** q38 gate: the rolling fingerprint's equivalence classes must be in
     * bijection with the (engine-portable) md5 content classes — equal
     * canonical content ⇔ equal rolling fp, and no 64-bit collisions across

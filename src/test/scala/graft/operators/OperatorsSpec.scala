@@ -29,6 +29,30 @@ class OperatorsSpec extends SparkSpecBase {
     assert(java.lang.Long.bitCount(sh(0) ^ sh(2)) > 3)
   }
 
+  test("spanDupStats flags a partial copy, not unrelated docs") {
+    val base = (1 to 30).map(i => s"w$i").mkString(" ")   // 30 distinct tokens
+    val partial = (1 to 15).map(i => s"w$i").mkString(" ") +
+      " " + (100 to 114).map(i => s"x$i").mkString(" ")   // first half copied
+    val other = (200 to 229).map(i => s"y$i").mkString(" ")
+    val docs = Seq((1L, base), (2L, partial), (3L, other)).toDF("doc_id", "text")
+    val got = DedupOps.spanDupStatsDF(docs, spanLen = 10, minDupFrac = 0.2)
+      .collect().map(r => r.getLong(0) -> r.getAs[Double]("dup_frac")).toMap
+    // docs 1 and 2 share the 6 ten-token windows inside w1..w15; doc 3 clean
+    assert(got.keySet === Set(1L, 2L))
+    assert(got(1L) > 0.2 && got(2L) > 0.2)
+  }
+
+  test("tokenEntropy: repeated-token doc scores 0, diverse doc > 3 bits") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-entropy").toString
+    Seq((1L, "same same same same same same"),
+        (2L, (1 to 32).map(i => s"t$i").mkString(" ")))
+      .toDF("doc_id", "text").write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = TextAnalysisOps.tokenEntropy(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getAs[Double]("entropy_bits")).toMap
+    assert(got(1L) === 0.0)           // zero entropy, +0.0 normalized
+    assert(got(2L) === 5.0)           // 32 equiprobable tokens = 5 bits
+  }
+
   test("brute-force topk: k neighbors per query, ranked by cosine") {
     val got = SimilarityOps.bruteForceTopK(spark, sf0001, nQueries = 3, k = 4).collect()
     val byQuery = got.groupBy(_.getAs[Long]("query_id"))
