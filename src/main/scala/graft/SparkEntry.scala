@@ -87,6 +87,7 @@ object SparkEntry {
     "q65_curated_corpus"  -> ((s, d) => PipelineOps.curatedCorpus(s, d)),
     "q66_span_dup"        -> ((s, d) => DedupOps.spanDupStats(s, d)),
     "q67_token_entropy"   -> ((s, d) => TextAnalysisOps.tokenEntropy(s, d)),
+    "q68_split_leakage"   -> ((s, d) => PipelineOps.trainValSplit(s, d)),
   )
 
   /** Shared shingle→df-capped-postings CTE body for every exact-Jaccard
@@ -741,6 +742,23 @@ object SparkEntry {
          SELECT doc_id, CAST(max(n) AS INT) AS n_tokens,
            round(-sum((c * 1.0 / n) * log2(c * 1.0 / n)) + 0.0, 4) AS entropy_bits
          FROM n GROUP BY doc_id ORDER BY doc_id""",
+    // q68: cluster-canonical split keys make cross-split near-dup pairs
+    // structurally zero — gated AT zero, so leakage regressions hash-fail
+    "q68_split_leakage" ->
+      (dedupCcCte + """,
+         canon AS (
+           SELECT d.doc_id,
+             coalesce((SELECT CAST(min(label) AS BIGINT) FROM cc
+                       WHERE cc.id = d.doc_id), d.doc_id) AS canonical
+           FROM documents d),
+         assigned AS (
+           SELECT doc_id,
+             CASE WHEN substr(md5(CAST(canonical AS VARCHAR)), 1, 2) < '1a'
+                  THEN 'val' ELSE 'train' END AS split
+           FROM canon)
+         SELECT split, count(*) AS n_docs,
+           CAST(0 AS BIGINT) AS cross_split_pairs
+         FROM assigned GROUP BY split ORDER BY split"""),
     // q43 shares q31's semantics (different physical operator: typed
     // Aggregator instead of window sort) → same oracle
     "q43_topk_aggregator" ->

@@ -84,6 +84,38 @@ object PipelineOps {
       .orderBy(col("doc_id"))
   }
 
+  /** Leakage-safe train/validation split: the split key is the md5 of the
+    * near-dup CLUSTER canonical id (own doc_id for singleton docs), so
+    * every member of a near-dup cluster lands in the same split — the
+    * structural guarantee that evaluation data never has a near-duplicate
+    * in training. Emits per-split counts plus the cross-split near-dup
+    * pair count, which is zero by construction and oracle-gated at zero:
+    * a regression in cluster resolution or split hashing becomes a hash
+    * mismatch, not silent eval contamination.
+    */
+  def trainValSplit(spark: SparkSession, dir: String,
+      valBucketBelow: String = "1a"): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val clusters = DedupOps.nearDupClusters(spark, dir) // only clustered docs
+    val assigned = docs.select(col("doc_id"))
+      .join(clusters, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cluster_id"), col("doc_id")).as("canonical"))
+      .withColumn("split",
+        when(substring(md5(col("canonical").cast("string")), 1, 2) < valBucketBelow,
+          lit("val")).otherwise(lit("train")))
+    val pairs = DedupOps.ngramJaccardPairs(spark, dir)
+    val leaked = pairs
+      .join(assigned.select(col("doc_id").as("id_a"), col("split").as("split_a")), "id_a")
+      .join(assigned.select(col("doc_id").as("id_b"), col("split").as("split_b")), "id_b")
+      .filter(col("split_a") =!= col("split_b"))
+      .agg(count(lit(1)).as("cross_split_pairs"))
+    assigned.groupBy(col("split")).agg(count(lit(1)).as("n_docs"))
+      .crossJoin(broadcast(leaked))
+      .select(col("split"), col("n_docs"), col("cross_split_pairs"))
+      .orderBy(col("split"))
+  }
+
   /** End-to-end corpus curation — the composition the individual operators
     * exist for: the final training corpus is `documents` minus (a) the
     * benchmark docs themselves, (b) non-canonical near-dup cluster members
