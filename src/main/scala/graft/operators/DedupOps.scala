@@ -58,21 +58,14 @@ object DedupOps {
     */
   val BucketCap = 50L
 
-  /** Distinct word-3-gram postings (doc_id, tok) with per-doc set size `n`,
-    * document-frequency-capped (see [[DfCapFloor]]). Shingle rows come from
-    * posexplode + lead windows (whole-stage codegen) — a per-row
-    * higher-order-function shingle transform is interpreted and re-evaluated
-    * per use by CollapseProject (benched 80× slower at sf0.1).
-    *
-    * The returned relation is persisted: it is read at least twice by every
-    * caller (df counts + join) and recomputing it means re-running the full
-    * tokenize + window pipeline. One-shot query runs (Verify/Bench) are
-    * fine; long-lived callers may unpersist.
-    */
   /** Distinct word-3-gram rows (doc_id, tok), no df cap — the shared
     * shingle stage consumed (df-capped) by the dedup family and (uncapped)
     * by [[ContaminationOps]]. One copy so tokenization/arity can't
     * silently diverge between the pipelines and their shared oracle CTEs.
+    * Shingle rows come from posexplode + lead windows (whole-stage
+    * codegen) — a per-row higher-order-function shingle transform is
+    * interpreted and re-evaluated per use by CollapseProject (benched 80×
+    * slower at sf0.1).
     */
   private[operators] def distinctShingleRows(docs: DataFrame): DataFrame = {
     val wDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
@@ -85,6 +78,12 @@ object DedupOps {
       .dropDuplicates("doc_id", "tok")
   }
 
+  /** Df-capped postings (doc_id, tok) + per-doc set size `n` (see
+    * [[DfCapFloor]]). Persisted: read at least twice by every caller
+    * (df counts + join) and recomputing it means re-running the full
+    * tokenize + window pipeline. One-shot query runs (Verify/Bench) are
+    * fine; long-lived callers may unpersist or use the session caches.
+    */
   private[operators] def filteredShingleRows(docs: DataFrame): DataFrame =
     filteredFromRaw(distinctShingleRows(docs).persist(), docs)
 
@@ -125,7 +124,8 @@ object DedupOps {
     def purge[K <: Product](m: java.util.concurrent.ConcurrentHashMap[K, DataFrame]): Unit =
       m.keySet.removeIf(k =>
         k.productElement(0).asInstanceOf[SparkSession].sparkContext.isStopped)
-    purge(shinglesCache); purge(postingsCache); purge(pairsCache); purge(clustersCache)
+    purge(shinglesCache); purge(postingsCache); purge(pairsCache)
+    purge(clustersCache); purge(spansCache)
   }
 
   /** get-then-putIfAbsent, NOT computeIfAbsent: the build functions of one
@@ -187,7 +187,8 @@ object DedupOps {
         }
       }
     }
-    clear(shinglesCache); clear(postingsCache); clear(pairsCache); clear(clustersCache)
+    clear(shinglesCache); clear(postingsCache); clear(pairsCache)
+    clear(clustersCache); clear(spansCache)
     spark.catalog.clearCache()
   }
 
@@ -482,26 +483,43 @@ object DedupOps {
     * Docs at or above `minDupFrac` are the boilerplate/mirror suspects
     * that document-level near-dup misses (partial copies, stitched pages).
     * Shape: window spans via posexplode + lead chain (codegen) →
-    * per-(doc, span) dedup → span document-frequency → per-doc ratio. The
-    * span df join is an equi-join on the span hash — never all-pairs.
+    * per-(doc, span) dedup → span document-frequency → per-doc ratio.
+    * The df aggregation and join key on the full span STRING — exactness
+    * is what lets the query share an oracle; at 100 TB, key the shuffle by
+    * xxhash64(span) instead (8 bytes vs ~80) and accept the ~2⁻⁶⁴
+    * collision odds. Never all-pairs either way.
     */
   def spanDupStats(spark: SparkSession, dir: String, spanLen: Int = 10,
-      minDupFrac: Double = 0.3): DataFrame =
-    spanDupStatsDF(Tables.documents(spark, dir), spanLen, minDupFrac)
+      minDupFrac: Double = 0.3): DataFrame = {
+    // session-cached like the shingle relations: the spans frame is
+    // corpus-scale and read three times per evaluation
+    val spans = cached(spansCache, (spark, dir, spanLen))(
+      spanRows(Tables.documents(spark, dir), spanLen).persist())
+    spanStatsFromSpans(spans, minDupFrac)
+  }
+
+  private val spansCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, Int), DataFrame]
 
   def spanDupStatsDF(docs: DataFrame, spanLen: Int = 10,
-      minDupFrac: Double = 0.3): DataFrame = {
+      minDupFrac: Double = 0.3): DataFrame =
+    // per-call persist, session-lifetime caveat as filteredShingleRows
+    spanStatsFromSpans(spanRows(docs, spanLen).persist(), minDupFrac)
+
+  private def spanRows(docs: DataFrame, spanLen: Int): DataFrame = {
     require(spanLen >= 2, s"spanLen must be >= 2, got $spanLen")
     val wDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
     val leads = (1 until spanLen).map(i => lead(col("tok"), i).over(wDoc).as(s"t$i"))
     val spanCols = col("tok") +: (1 until spanLen).map(i => col(s"t$i"))
-    val spans = docs
+    docs
       .select(col("doc_id"), posexplode(Text.tokens(col("text"))).as(Seq("pos", "tok")))
       .select((col("doc_id") +: col("tok") +: leads): _*)
       .filter(col(s"t${spanLen - 1}").isNotNull)
       .select(col("doc_id"), concat_ws(" ", spanCols: _*).as("span"))
       .dropDuplicates("doc_id", "span")
-      .persist()
+  }
+
+  private def spanStatsFromSpans(spans: DataFrame, minDupFrac: Double): DataFrame = {
     val dupSpans = spans.groupBy(col("span"))
       .agg(count(lit(1)).as("docs_with_span"))
       .filter(col("docs_with_span") >= 2)

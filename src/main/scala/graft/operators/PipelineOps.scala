@@ -104,6 +104,9 @@ object PipelineOps {
       .withColumn("split",
         when(substring(md5(col("canonical").cast("string")), 1, 2) < valBucketBelow,
           lit("val")).otherwise(lit("train")))
+    // read three times below (two pair joins + the count) — persist, same
+    // session-lifetime caveat as the dedup relations
+    assigned.persist()
     val pairs = DedupOps.ngramJaccardPairs(spark, dir)
     val leaked = pairs
       .join(assigned.select(col("doc_id").as("id_a"), col("split").as("split_a")), "id_a")
