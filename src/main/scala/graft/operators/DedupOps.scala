@@ -453,14 +453,14 @@ object DedupOps {
       val neighborMin = sym.join(labels, sym("src") === labels("id"))
         .groupBy(col("dst").as("id2"))
         .agg(min(col("label")).as("nlabel"))
-      var updated = labels.join(neighborMin, labels("id") === col("id2"), "left")
+      // truncate lineage EVERY iteration: each step embeds the previous
+      // labels plan twice (join + agg), so an unrolled chain doubles the
+      // plan tree per step and Catalyst planning time explodes long before
+      // the (tiny) data does. Checkpointing per step keeps planning O(1).
+      val updated = labels.join(neighborMin, labels("id") === col("id2"), "left")
         .select(col("id"),
           least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
-      // truncate lineage every few iterations: each step stacks a
-      // join+agg on the previous plan, and a long chain (deep clusters)
-      // blows up analysis/codegen time even though the data is tiny
-      if ((i + 1) % 5 == 0) updated = updated.localCheckpoint(eager = true)
-      else updated = { updated.persist(); updated }
+        .localCheckpoint(eager = true)
       prevSum = curSum
       curSum = labelSum(updated)
       labels.unpersist()
@@ -472,9 +472,16 @@ object DedupOps {
     // longer than maxIter hops would leave one component with several ids
     require(curSum == prevSum,
       s"connectedComponents did not converge within $maxIter iterations")
-    // NOTE: the returned frame is persisted (it anchors the fixpoint);
-    // long-lived callers may unpersist() after their action.
-    labels
+    // ALWAYS truncate the returned lineage, not just every 5th iteration:
+    // each fixpoint step embeds the previous labels plan TWICE
+    // (join(labels, agg(labels))), so the unrolled tree doubles per
+    // iteration — measured 130k plan lines after 4 iterations and 1.6M
+    // once embedded twice downstream (q68), which costs seconds of pure
+    // Catalyst planning even though every read hits the cache. The
+    // checkpointed frame is ~10 plan lines.
+    val result = labels.localCheckpoint(eager = true)
+    labels.unpersist()
+    result
   }
 
   /** Span-level duplication stats (the substring-dedup signal of
@@ -544,6 +551,8 @@ object DedupOps {
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]
 
   def nearDupClusters(spark: SparkSession, dir: String): DataFrame =
+    // the projection sits on connectedComponents' checkpointed (lineage-
+    // truncated) result, so repeated consumer reads are trivial
     cached(clustersCache, (spark, dir))(
       connectedComponents(ngramJaccardPairs(spark, dir))
         .select(col("id").as("doc_id"), col("label").as("cluster_id"))
