@@ -21,14 +21,29 @@ import org.apache.spark.sql.SparkSession
 object EtlMain {
 
   /** Shared flag parsing for the config-driven mains: returns
-    * (env, configPath) or None for legacy positional usage.
+    * (env, configPath) or None for legacy positional usage. Flags are
+    * scanned positionally-independent (`--k v` anywhere in argv) — the
+    * earlier `sliding(2,2)` pairing only saw flags at even offsets, so
+    * `EtlMain out --config c` silently dropped the flag. Unknown flags
+    * and flag/positional mixing are rejected loudly instead of ignored.
     */
   private[graft] def parseFlags(args: Array[String]): Option[(String, String)] =
     if (!args.exists(_.startsWith("--"))) None
     else {
-      val m = args.sliding(2, 2).collect {
-        case Array(k, v) if k.startsWith("--") => k.drop(2) -> v
-      }.toMap
+      val m = scala.collection.mutable.Map.empty[String, String]
+      var i = 0
+      while (i < args.length) {
+        val a = args(i)
+        require(a.startsWith("--"),
+          s"unexpected positional argument '$a' in flag usage " +
+            "(flag and positional forms cannot be mixed)")
+        val k = a.drop(2)
+        require(k == "config" || k == "env", s"unknown flag --$k")
+        require(i + 1 < args.length, s"--$k requires a value")
+        require(!m.contains(k), s"duplicate flag --$k")
+        m(k) = args(i + 1)
+        i += 2
+      }
       val env = m.getOrElse("env", "LOCAL").toUpperCase
       require(Seq("LOCAL", "DOCKER", "S3").contains(env),
         s"--env must be one of LOCAL, DOCKER, S3; got $env")

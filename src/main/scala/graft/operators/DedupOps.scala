@@ -110,45 +110,15 @@ object DedupOps {
     * SAME df-capped postings — recomputing (and re-persisting) it per
     * query is pure waste, exactly like re-scanning a shared dimension.
     * The DataFrame-parameterized entry points bypass the cache (no
-    * identity to key on); invalidation = session end (the testdata tables
-    * are immutable inputs by contract).
+    * identity to key on). Cache machinery lives in [[SessionCaches]] so
+    * eviction covers every operator family's maps, not just this file's.
     */
-  private val postingsCache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]
+  private val postingsCache = SessionCaches.newCache[(SparkSession, String)]()
 
-  /** Drop entries whose session has been stopped — a module-level map
-    * would otherwise strongly reference dead sessions and their plans
-    * forever in a long-lived JVM that cycles sessions.
-    */
-  private def purgeStopped(): Unit = {
-    def purge[K <: Product](m: java.util.concurrent.ConcurrentHashMap[K, DataFrame]): Unit =
-      m.keySet.removeIf(k =>
-        k.productElement(0).asInstanceOf[SparkSession].sparkContext.isStopped)
-    purge(shinglesCache); purge(postingsCache); purge(pairsCache)
-    purge(clustersCache); purge(spansCache)
-  }
+  private def cached[K <: Product](m: SessionCaches.Cache[K], k: K)(
+      build: => DataFrame): DataFrame = SessionCaches.cached(m, k)(build)
 
-  /** get-then-putIfAbsent, NOT computeIfAbsent: the build functions of one
-    * cache read the other caches (clusters → pairs → postings) and run the
-    * purge, and ConcurrentHashMap forbids a mapping function from mutating
-    * the map it runs inside (bin corruption / lost updates). The benign
-    * race (two threads building the same value once each) is acceptable
-    * for a driver-side cache.
-    */
-  private def cached[K](m: java.util.concurrent.ConcurrentHashMap[K, DataFrame],
-      k: K)(build: => DataFrame): DataFrame = {
-    purgeStopped()
-    val existing = m.get(k)
-    if (existing != null) existing
-    else {
-      val v = build
-      val prev = m.putIfAbsent(k, v)
-      if (prev != null) prev else v
-    }
-  }
-
-  private val shinglesCache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]
+  private val shinglesCache = SessionCaches.newCache[(SparkSession, String)]()
 
   /** The uncapped distinct-shingle relation, session-cached: consumed
     * df-capped by the dedup family and uncapped by ContaminationOps
@@ -164,33 +134,14 @@ object DedupOps {
       filteredFromRaw(cachedDistinctShingles(spark, dir),
         Tables.documents(spark, dir)))
 
-  /** Unpersist and forget every cached relation of this session — for
+  /** Unpersist and forget every cached relation of this session (ALL
+    * operator families' maps, via the [[SessionCaches]] registry) — for
     * callers (ScalingBench) that need each run to measure the full
-    * pipeline rather than a cache hit. `spark.catalog.clearCache()` alone
-    * is NOT equivalent: it unpersists the data but leaves the maps
-    * returning the same now-unpersisted frames, which then silently
-    * recompute on every downstream read. Conversely, dropping only the map
-    * entries is not enough either: the INNER `raw` relation persisted by
-    * filteredShingleRows would stay in the CacheManager and plan-match a
-    * rebuilt pipeline — so this measurement utility clears the session's
-    * cache manager too (documented cost: unrelated persisted data of this
-    * session is also evicted).
+    * pipeline rather than a cache hit. See [[SessionCaches.clear]] for
+    * why neither `catalog.clearCache()` alone nor map-dropping alone is
+    * sufficient.
     */
-  def clearSessionCaches(spark: SparkSession): Unit = {
-    def clear[K <: Product](m: java.util.concurrent.ConcurrentHashMap[K, DataFrame]): Unit = {
-      val it = m.entrySet.iterator
-      while (it.hasNext) {
-        val e = it.next()
-        if (e.getKey.productElement(0).asInstanceOf[SparkSession] eq spark) {
-          e.getValue.unpersist()
-          it.remove()
-        }
-      }
-    }
-    clear(shinglesCache); clear(postingsCache); clear(pairsCache)
-    clear(clustersCache); clear(spansCache)
-    spark.catalog.clearCache()
-  }
+  def clearSessionCaches(spark: SparkSession): Unit = SessionCaches.clear(spark)
 
   /** Exact Jaccard verification of candidate pairs against the df-capped
     * shingle postings: intersection sizes come from an equi-join keyed on
@@ -505,8 +456,7 @@ object DedupOps {
     spanStatsFromSpans(spans, minDupFrac)
   }
 
-  private val spansCache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, Int), DataFrame]
+  private val spansCache = SessionCaches.newCache[(SparkSession, String, Int)]()
 
   def spanDupStatsDF(docs: DataFrame, spanLen: Int = 10,
       minDupFrac: Double = 0.3): DataFrame =
@@ -547,8 +497,7 @@ object DedupOps {
     * this result, and the CC fixpoint behind it is a driver-side loop
     * worth running once per session.
     */
-  private val clustersCache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]
+  private val clustersCache = SessionCaches.newCache[(SparkSession, String)]()
 
   def nearDupClusters(spark: SparkSession, dir: String): DataFrame =
     // the projection sits on connectedComponents' checkpointed (lineage-
@@ -586,8 +535,7 @@ object DedupOps {
     * effectively free while the postings self-join behind it is the most
     * expensive step in the family.
     */
-  private val pairsCache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, Double), DataFrame]
+  private val pairsCache = SessionCaches.newCache[(SparkSession, String, Double)]()
 
   def ngramJaccardPairs(spark: SparkSession, dir: String,
       threshold: Double = 0.5): DataFrame =

@@ -93,20 +93,29 @@ object PipelineOps {
     * a regression in cluster resolution or split hashing becomes a hash
     * mismatch, not silent eval contamination.
     */
+  /** Session cache for the persisted split assignment: read three times
+    * per evaluation (two pair joins + the count) and repeated q68 runs in
+    * a long-lived session would otherwise accumulate one persisted copy
+    * per invocation. Enrolled in [[SessionCaches]], so
+    * `DedupOps.clearSessionCaches` releases it with the dedup relations.
+    */
+  private val assignedCache =
+    SessionCaches.newCache[(SparkSession, String, String)]()
+
   def trainValSplit(spark: SparkSession, dir: String,
       valBucketBelow: String = "1a"): DataFrame = {
-    val docs = Tables.documents(spark, dir)
-    val clusters = DedupOps.nearDupClusters(spark, dir) // only clustered docs
-    val assigned = docs.select(col("doc_id"))
-      .join(clusters, Seq("doc_id"), "left")
-      .select(col("doc_id"),
-        coalesce(col("cluster_id"), col("doc_id")).as("canonical"))
-      .withColumn("split",
-        when(substring(md5(col("canonical").cast("string")), 1, 2) < valBucketBelow,
-          lit("val")).otherwise(lit("train")))
-    // read three times below (two pair joins + the count) — persist, same
-    // session-lifetime caveat as the dedup relations
-    assigned.persist()
+    val assigned = SessionCaches.cached(assignedCache, (spark, dir, valBucketBelow)) {
+      val docs = Tables.documents(spark, dir)
+      val clusters = DedupOps.nearDupClusters(spark, dir) // only clustered docs
+      docs.select(col("doc_id"))
+        .join(clusters, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("cluster_id"), col("doc_id")).as("canonical"))
+        .withColumn("split",
+          when(substring(md5(col("canonical").cast("string")), 1, 2) < valBucketBelow,
+            lit("val")).otherwise(lit("train")))
+        .persist()
+    }
     val pairs = DedupOps.ngramJaccardPairs(spark, dir)
     val leaked = pairs
       .join(assigned.select(col("doc_id").as("id_a"), col("split").as("split_a")), "id_a")

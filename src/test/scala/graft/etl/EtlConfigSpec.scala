@@ -49,4 +49,25 @@ class EtlConfigSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](EtlConfig.parseList("not a list"))
     intercept[IllegalArgumentException](EtlConfig.parseTableMap("nope"))
   }
+
+  test("parseFlags finds flags at any argv position and rejects misuse") {
+    // pure positional → None (legacy form)
+    assert(EtlMain.parseFlags(Array("out", "a.csv")) === None)
+    // flags in either order, including the odd-offset positions the old
+    // sliding(2,2) pairing could not see
+    assert(EtlMain.parseFlags(Array("--config", "c.cfg")) === Some("LOCAL" -> "c.cfg"))
+    assert(EtlMain.parseFlags(Array("--env", "s3", "--config", "c.cfg"))
+      === Some("S3" -> "c.cfg"))
+    assert(EtlMain.parseFlags(Array("--config", "c.cfg", "--env", "docker"))
+      === Some("DOCKER" -> "c.cfg"))
+    // mixing positional with flags is an error, not a silent drop
+    intercept[IllegalArgumentException](EtlMain.parseFlags(Array("out", "--config", "c.cfg")))
+    // unknown flags, missing values, duplicates, bad env: loud
+    intercept[IllegalArgumentException](EtlMain.parseFlags(Array("--cfg", "c.cfg")))
+    intercept[IllegalArgumentException](EtlMain.parseFlags(Array("--config")))
+    intercept[IllegalArgumentException](
+      EtlMain.parseFlags(Array("--config", "a", "--config", "b")))
+    intercept[IllegalArgumentException](EtlMain.parseFlags(Array("--env", "PROD", "--config", "c")))
+    intercept[IllegalArgumentException](EtlMain.parseFlags(Array("--env", "LOCAL")))
+  }
 }

@@ -32,6 +32,26 @@ class PipelineOpsSpec extends SparkSpecBase {
     }
   }
 
+  test("trainValSplit's persisted assignment is session-cached and evicted") {
+    def run() = PipelineOps.trainValSplit(spark, sf0001).collect()
+    run()
+    // repeated invocations must NOT accumulate persisted relations: the
+    // assignment is served from the session cache, so the persistent-RDD
+    // census is stable across calls (the round-2 audit found one fresh
+    // persist per invocation here)
+    val afterFirst = spark.sparkContext.getPersistentRDDs.size
+    run(); run()
+    assert(spark.sparkContext.getPersistentRDDs.size === afterFirst)
+    // eviction releases it along with the dedup relations: every
+    // CacheManager-tracked relation of the session is gone (checkpoint
+    // RDDs from the CC fixpoint are RDD-level, not CacheManager, and are
+    // owned by their own lifecycle)
+    DedupOps.clearSessionCaches(spark)
+    assert(spark.sharedState.cacheManager.isEmpty)
+    // and the operator still works after eviction (cache rebuilds)
+    assert(run().nonEmpty)
+  }
+
   test("pii scrub masks emails and long digit runs, leaves short numbers") {
     val df = Seq(
       (1L, "write to jane.doe+x@sub.example.org today"),
