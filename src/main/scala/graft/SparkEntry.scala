@@ -88,6 +88,7 @@ object SparkEntry {
     "q66_span_dup"        -> ((s, d) => DedupOps.spanDupStats(s, d)),
     "q67_token_entropy"   -> ((s, d) => TextAnalysisOps.tokenEntropy(s, d)),
     "q68_split_leakage"   -> ((s, d) => PipelineOps.trainValSplit(s, d)),
+    "q69_vector_dedup"    -> ((s, d) => SimilarityOps.vectorExactDedup(s, d)),
   )
 
   /** Shared shingle→df-capped-postings CTE body for every exact-Jaccard
@@ -787,5 +788,11 @@ object SparkEntry {
          CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS i)
          WHERE greatest(0, least(frame_len, n_bytes - i * frame_len)) > 0
          ORDER BY doc_id, frame_no""",
+    // q69: exact-duplicate vector collapse — group by the embedding value
+    // itself (float lists group bitwise-exact in both engines); the
+    // linear-cost backstop behind the embedding-LSH bucket caps
+    "q69_vector_dedup" ->
+      """SELECT min(vec_id) AS canonical_id, count(*) AS n_copies
+         FROM embeddings GROUP BY embedding ORDER BY canonical_id""",
   )
 }

@@ -48,15 +48,33 @@ object DedupOps {
   val DfCapFrac = 0.02
   val DfCapCeil = 200L
 
-  /** Max docs per LSH bucket (MinHash band bucket / SimHash chunk value).
-    * A degenerate corpus — thousands of identical or near-empty documents —
-    * puts them all in one bucket and the candidate self-join goes quadratic
-    * (cap² pairs per bucket). Buckets above the cap are dropped: their
-    * members are near-exact duplicate clusters, which the exact md5 path
-    * ([[exactDedup]]) already collapses at linear cost. Mirrors the df cap
-    * on shingle postings.
+  /** Sentinel for bucket-cap parameters: follow the corpus-relative
+    * effective df cap (the [[effectiveDfCap]] clamp). A degenerate corpus —
+    * thousands of identical or near-empty documents — puts them all in one
+    * LSH bucket (MinHash band bucket / SimHash chunk value) and the
+    * candidate self-join goes quadratic (pop² pairs per bucket). Buckets
+    * above the cap are dropped: their members are near-exact duplicate
+    * clusters, which the exact md5 path ([[exactDedup]]) already collapses
+    * at linear cost. Tying the bucket cap to the SAME clamp as the shingle
+    * df cap (rather than a separate constant) keeps the two guards
+    * consistent: a cluster small enough to survive the df cap can never
+    * have its band buckets dropped by a smaller bucket cap — the round-2
+    * static 50 violated exactly that when the df cap exceeded 50.
     */
-  val BucketCap = 50L
+  val CapFromDf = -1L
+
+  /** The corpus-relative df-cap clamp as a 1-row frame, computed inside
+    * the plan and broadcast (the comparison is non-equi, so it plans as a
+    * BroadcastNestedLoopJoin against a single row — O(left side), not
+    * all-pairs; PlanSpec pins the shape).
+    */
+  private[operators] def effectiveDfCap(docs: DataFrame): DataFrame =
+    docs.agg(least(lit(DfCapCeil), greatest(lit(DfCapFloor),
+      ceil(count(lit(1)) * lit(DfCapFrac)).cast("long"))).as("cap"))
+
+  private def capFrame(docs: DataFrame, bucketCap: Long): DataFrame =
+    if (bucketCap == CapFromDf) effectiveDfCap(docs)
+    else docs.sparkSession.range(1).select(lit(bucketCap).as("cap"))
 
   /** Distinct word-3-gram rows (doc_id, tok), no df cap — the shared
     * shingle stage consumed (df-capped) by the dedup family and (uncapped)
@@ -88,12 +106,7 @@ object DedupOps {
     filteredFromRaw(distinctShingleRows(docs).persist(), docs)
 
   private def filteredFromRaw(raw: DataFrame, docs: DataFrame): DataFrame = {
-    // corpus-relative cap, computed inside the plan as a broadcast 1-row
-    // agg. The cap comparison is a non-equi condition, so it plans as a
-    // BroadcastNestedLoopJoin — against a single broadcast row that is
-    // O(postings), not all-pairs (PlanSpec pins exactly this shape).
-    val cap = docs.agg(least(lit(DfCapCeil), greatest(lit(DfCapFloor),
-      ceil(count(lit(1)) * lit(DfCapFrac)).cast("long"))).as("cap"))
+    val cap = effectiveDfCap(docs)
     val rare = raw.groupBy(col("tok")).agg(count(lit(1)).as("df"))
       .join(broadcast(cap), col("df") <= col("cap"))
       .select(col("tok"))
@@ -183,13 +196,14 @@ object DedupOps {
 
   def minhashNearDup(spark: SparkSession, dir: String,
       threshold: Double = 0.5): DataFrame =
-    minhashFromToks(cachedShingleRows(spark, dir), threshold, BucketCap)
+    minhashFromToks(cachedShingleRows(spark, dir), threshold,
+      effectiveDfCap(Tables.documents(spark, dir)))
 
   /** MinHash + LSH near-dup pairs, built the shuffle-friendly way:
     * df-capped shingle postings → codegen'd hash per (doc, shingle) row →
     * ONE groupBy(doc_id) computing all 128 permutation-mins (whole-stage
     * codegen, map-side partial agg) → band buckets (population-capped, see
-    * [[BucketCap]]) → bucket self-join for candidates → exact Jaccard
+    * [[CapFromDf]]) → bucket self-join for candidates → exact Jaccard
     * verification on the candidate pairs only.
     *
     * Signatures are computed over the same df-capped shingle sets the
@@ -204,31 +218,37 @@ object DedupOps {
     * are (doc_id) and (band, bucket), both partial-agg reduced.
     */
   def minhashNearDupDF(docs: DataFrame, threshold: Double = 0.5,
-      bucketCap: Long = BucketCap): DataFrame =
-    minhashFromToks(filteredShingleRows(docs), threshold, bucketCap)
+      bucketCap: Long = CapFromDf): DataFrame =
+    minhashFromToks(filteredShingleRows(docs), threshold,
+      capFrame(docs, bucketCap))
 
   private def minhashFromToks(toks: DataFrame, threshold: Double,
-      bucketCap: Long): DataFrame =
-    verifyCandidates(minhashBandCandidates(toks, bucketCap), toks, threshold)
+      capDf: DataFrame): DataFrame =
+    verifyCandidates(minhashBandCandidates(toks, capDf), toks, threshold)
       .orderBy(col("id_a"), col("id_b"))
 
   /** Candidate stage of [[minhashNearDupDF]], exposed for the adversarial
-    * boundedness spec. Note a structural invariant: with bucketCap equal to
-    * the shingle df cap, band-bucket population can't exceed the cap anyway
-    * (same-bucket docs share each band's argmin shingle, whose df is capped)
-    * — the explicit guard covers differing caps and hash-collision buckets.
+    * boundedness spec. Note a structural invariant: with the bucket cap
+    * tied to the shingle df cap (the default), band-bucket population
+    * can't exceed the cap anyway (same-bucket docs share each band's
+    * argmin shingle, whose df is capped) — the explicit guard covers
+    * hash-collision buckets and caller-supplied caps.
     */
   private[operators] def minhashBandCandidates(toks: DataFrame,
-      bucketCap: Long = BucketCap): DataFrame = {
+      capDf: DataFrame): DataFrame = {
+    val session = toks.sparkSession
+    import session.implicits._
+    // all 128 running minima live in ONE typed aggregation buffer (see
+    // MinhashSigAggregator) — 128 separate min(pmod(...)) aggregates are
+    // semantically identical but their giant codegen'd update method cost
+    // more to compile than to run at bench scale
     val hashed = toks.select(col("doc_id"),
-      pmod(xxhash64(col("tok")), lit(HashPrime)).as("h"))
-    val minAggs = (0 until MinhashPerms).map { p =>
-      min(pmod(lit(permA(p)) * col("h") + lit(permB(p)), lit(HashPrime))).as(s"m$p")
-    }
-    val grouped = hashed.groupBy(col("doc_id")).agg(minAggs.head, minAggs.tail: _*)
-    val sig = array((0 until MinhashPerms).map(p => col(s"m$p")): _*)
+        pmod(xxhash64(col("tok")), lit(HashPrime)).as("h"))
+      .as[(Long, Long)]
+    val sigAgg = new graft.functions.MinhashSigAggregator(
+      permA, permB, HashPrime).toColumn.name("sig")
+    val grouped = hashed.groupByKey(_._1).agg(sigAgg).toDF("doc_id", "sig")
     val banded = grouped
-      .select(col("doc_id"), sig.as("sig"))
       .select(col("doc_id"),
         explode(transform(sequence(lit(0), lit(Bands - 1)),
           b => struct(b.as("band"),
@@ -237,11 +257,12 @@ object DedupOps {
           .as("bb"))
       .select(col("doc_id"), col("bb.band"), col("bb.bucket"))
     // hot-bucket guard: one window pass on the same (band, bucket) shuffle
-    // key the self-join uses anyway
+    // key the self-join uses anyway; the cap is a broadcast 1-row frame
+    // (BNLJ against a single row — same pinned shape as the df cap)
     val bounded = banded
       .withColumn("pop", count(lit(1)).over(Window.partitionBy(col("band"), col("bucket"))))
-      .filter(col("pop") <= bucketCap)
-      .drop("pop")
+      .join(broadcast(capDf), col("pop") <= col("cap"))
+      .drop("pop", "cap")
     bounded.select(col("doc_id").as("id_a"), col("band"), col("bucket"))
       .join(bounded.select(col("doc_id").as("id_b"), col("band"), col("bucket")),
         Seq("band", "bucket"))
@@ -296,7 +317,7 @@ object DedupOps {
       .orderBy(col("id_a"), col("id_b"))
 
   /** SimHash near-dup pairs: signature chunk equi-join (population-capped,
-    * see [[BucketCap]]) proposes candidates with hamming ≤ maxHamming —
+    * see [[CapFromDf]]) proposes candidates with hamming ≤ maxHamming —
     * guaranteed recall for those by pigeonhole over the 4 × 16-bit chunks
     * (the classic Charikar/Manku-style config; 16-bit chunks stay
     * discriminative even when corpus templates correlate signature bits,
@@ -312,7 +333,7 @@ object DedupOps {
     * set equality like MinHash.
     */
   def simhashNearDupDF(docs: DataFrame, maxHamming: Int = 3,
-      threshold: Double = 0.5, bucketCap: Long = BucketCap): DataFrame =
+      threshold: Double = 0.5, bucketCap: Long = CapFromDf): DataFrame =
     verifyCandidates(simhashChunkCandidates(docs, maxHamming, bucketCap),
       filteredShingleRows(docs), threshold)
       .orderBy(col("id_a"), col("id_b"))
@@ -324,7 +345,7 @@ object DedupOps {
     * identical docs → one chunk value) and a quadratic self-join.
     */
   private[operators] def simhashChunkCandidates(docs: DataFrame,
-      maxHamming: Int = 3, bucketCap: Long = BucketCap): DataFrame = {
+      maxHamming: Int = 3, bucketCap: Long = CapFromDf): DataFrame = {
     val sigs = simhashSignatures(docs)
     val chunks = sigs.select(col("doc_id"), col("sh"), explode(array(
       (0 to 3).map(i => struct(lit(i).as("chunk_no"),
@@ -333,8 +354,8 @@ object DedupOps {
     // hot-chunk guard, mirroring the band-bucket cap
     val bounded = chunks
       .withColumn("pop", count(lit(1)).over(Window.partitionBy(col("chunk_no"), col("chunk"))))
-      .filter(col("pop") <= bucketCap)
-      .drop("pop")
+      .join(broadcast(capFrame(docs, bucketCap)), col("pop") <= col("cap"))
+      .drop("pop", "cap")
     val l = bounded.alias("l")
     val r = bounded.alias("r")
     l.join(r, col("l.chunk_no") === col("r.chunk_no") &&

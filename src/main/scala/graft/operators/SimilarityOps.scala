@@ -14,6 +14,63 @@ import org.apache.spark.sql.expressions.Window
   */
 object SimilarityOps {
 
+  /** Bucket-population cap for the embedding-LSH candidate joins, the
+    * counterpart of the dedup family's band/chunk cap: a corpus with
+    * mass-duplicated vectors (common in scraped data) concentrates them
+    * into ONE bucket per table and the candidate join goes quadratic.
+    * Unlike shingle buckets, sign buckets are only 2^nPlanes per table, so
+    * an absolute cap would fire on perfectly healthy data — the cap is
+    * relative to the EXPECTED uniform population instead:
+    * `max(BucketCapFloor, ceil(BucketCapMult × N / 2^nPlanes))`. Measured
+    * real-bucket skew on the testdata is ≤ 2.4× the mean (max/avg 207/125
+    * at sf0.1), so 4× passes healthy corpora untouched while a duplicated
+    * mass above ~3/16 of the corpus is dropped from the candidate join.
+    * Over-cap buckets' members are near-exact duplicate clusters:
+    * [[vectorExactDedup]] collapses those at linear cost (the same
+    * contract as exact md5 dedup backstopping the text LSH caps), and at
+    * scale `nPlanes` should grow with log₂(corpus/target-bucket-size)
+    * anyway, which shrinks every population including the capped ones.
+    */
+  val BucketCapMult = 4.0
+  val BucketCapFloor = 32L
+
+  /** The population cap as a broadcast 1-row frame computed from the
+    * corpus inside the plan (same BNLJ-against-one-row shape as the
+    * dedup df cap).
+    */
+  private def bucketCapFrame(emb: DataFrame, nPlanes: Int): DataFrame =
+    emb.agg(greatest(lit(BucketCapFloor),
+      ceil(count(lit(1)) * lit(BucketCapMult / (1L << nPlanes))).cast("long"))
+      .as("cap"))
+
+  /** Drop (tbl, bucket) groups above the population cap — one window pass
+    * on the SAME key the candidate join shuffles on, so the guard adds no
+    * extra exchange.
+    */
+  private def popCapped(banded: DataFrame, capDf: DataFrame): DataFrame =
+    banded
+      .withColumn("pop",
+        count(lit(1)).over(Window.partitionBy(col("tbl"), col("bucket"))))
+      .join(broadcast(capDf), col("pop") <= col("cap"))
+      .drop("pop", "cap")
+
+  /** Exact-duplicate vector collapse: group by the embedding value itself,
+    * keep the lowest vec_id — the linear-cost backstop for the capped LSH
+    * paths, exactly as [[DedupOps.exactDedup]] backstops the text caps.
+    * One shuffle with map-side partial agg; at scale, group by
+    * `xxhash64(embedding)` instead to shrink the shuffle key (documented
+    * trade: ~2⁻⁶⁴ collision odds).
+    */
+  def vectorExactDedup(spark: SparkSession, dir: String): DataFrame =
+    vectorExactDedupDF(Tables.embeddings(spark, dir))
+
+  def vectorExactDedupDF(emb: DataFrame): DataFrame =
+    emb
+      .groupBy(col("embedding"))
+      .agg(min(col("vec_id")).as("canonical_id"), count(lit(1)).as("n_copies"))
+      .select(col("canonical_id"), col("n_copies"))
+      .orderBy(col("canonical_id"))
+
   /** Brute-force cosine top-k: the query side is a small, explicitly
     * bounded set → broadcast; the corpus is scanned exactly once and never
     * shuffled until the per-query top-k aggregation. Scores rounded to 4
@@ -49,26 +106,12 @@ object SimilarityOps {
     */
   def lshTopK(spark: SparkSession, dir: String,
       nQueries: Int = 8, k: Int = 5, nPlanes: Int = 4,
-      nTables: Int = 32): DataFrame = {
-    val tableBuckets = (0 until nTables).map { t =>
-      // distinct deterministic hyperplanes per table: seed offset by table id
-      struct(lit(t).as("tbl"),
-        Vectors.lshBucket(col("embedding"), nPlanes, seed = 42L + t).as("bucket"))
-    }
-    val emb = Tables.embeddings(spark, dir)
-      .select(col("vec_id"), col("embedding"),
-        explode(array(tableBuckets: _*)).as("tb"))
-      .select(col("vec_id"), col("embedding"), col("tb.tbl"), col("tb.bucket"))
-    val corpus = emb
-    val queries = emb.filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
-        col("tbl"), col("bucket"))
-    val candidates = corpus.join(queries,
-        corpus("tbl") === queries("tbl") &&
-          corpus("bucket") === queries("bucket") &&
-          col("vec_id") =!= col("query_id"))
-      .select(col("query_id"), col("qv"), col("vec_id"), col("embedding"))
-      .distinct()
+      nTables: Int = 32): DataFrame =
+    lshTopKDF(Tables.embeddings(spark, dir), nQueries, k, nPlanes, nTables)
+
+  def lshTopKDF(emb: DataFrame, nQueries: Int = 8, k: Int = 5,
+      nPlanes: Int = 4, nTables: Int = 32): DataFrame = {
+    val candidates = lshTopKCandidates(emb, nQueries, nPlanes, nTables)
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("vec_id"))
     candidates
@@ -77,6 +120,36 @@ object SimilarityOps {
       .filter(col("rk") <= k)
       .select(col("query_id"), col("vec_id").as("neighbor_id"), col("cos"), col("rk"))
       .orderBy(col("query_id"), col("rk"))
+  }
+
+  /** Candidate stage of [[lshTopKDF]], exposed for the adversarial
+    * boundedness spec. The CORPUS side of the bucket join is
+    * population-capped ([[BucketCapMult]]); the query side is not — a
+    * query whose bucket is over-cap in one table still probes its buckets
+    * in the other tables, so the cap costs recall only for neighbors that
+    * hide exclusively in degenerate buckets (mass-duplicate clusters,
+    * which [[vectorExactDedup]] is for).
+    */
+  private[operators] def lshTopKCandidates(emb: DataFrame, nQueries: Int,
+      nPlanes: Int, nTables: Int): DataFrame = {
+    val tableBuckets = (0 until nTables).map { t =>
+      // distinct deterministic hyperplanes per table: seed offset by table id
+      struct(lit(t).as("tbl"),
+        Vectors.lshBucket(col("embedding"), nPlanes, seed = 42L + t).as("bucket"))
+    }
+    val banded = emb
+      .select(col("vec_id"), col("embedding"),
+        explode(array(tableBuckets: _*)).as("tb"))
+      .select(col("vec_id"), col("embedding"), col("tb.tbl"), col("tb.bucket"))
+    val corpus = popCapped(banded, bucketCapFrame(emb, nPlanes))
+    val queries = banded.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+        col("tbl").as("qtbl"), col("bucket").as("qbucket"))
+    corpus.join(queries,
+        col("tbl") === col("qtbl") && col("bucket") === col("qbucket") &&
+          col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("qv"), col("vec_id"), col("embedding"))
+      .distinct()
   }
 
   /** q33 gate: recall@k of [[lshTopK]] against the exact [[bruteForceTopK]]
@@ -164,30 +237,51 @@ object SimilarityOps {
     */
   def lshNearDup(spark: SparkSession, dir: String,
       threshold: Double = 0.35, maxId: Long = 200, nPlanes: Int = 4,
-      nTables: Int = 64): DataFrame = {
-    val tableBuckets = (0 until nTables).map { t =>
-      struct(lit(t).as("tbl"),
-        Vectors.lshBucket(col("embedding"), nPlanes, seed = 1042L + t).as("bucket"))
-    }
-    val emb = Tables.embeddings(spark, dir)
-      .filter(col("vec_id") < maxId)
-      .select(col("vec_id"), col("embedding"))
-    val banded = emb.select(col("vec_id"),
-        explode(array(tableBuckets: _*)).as("tb"))
-      .select(col("vec_id"), col("tb.tbl"), col("tb.bucket"))
-    val candidates = banded.select(col("vec_id").as("id_a"), col("tbl"), col("bucket"))
-      .join(banded.select(col("vec_id").as("id_b"), col("tbl"), col("bucket")),
-        Seq("tbl", "bucket"))
-      .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"))
-      .distinct()
-    candidates
+      nTables: Int = 64): DataFrame =
+    lshNearDupDF(Tables.embeddings(spark, dir).filter(col("vec_id") < maxId),
+      threshold, nPlanes, nTables)
+
+  def lshNearDupDF(emb0: DataFrame, threshold: Double = 0.35,
+      nPlanes: Int = 4, nTables: Int = 64): DataFrame = {
+    val emb = emb0.select(col("vec_id"), col("embedding"))
+    lshNearDupCandidates(emb, nPlanes, nTables)
       .join(emb.select(col("vec_id").as("id_a"), col("embedding").as("va")), "id_a")
       .join(emb.select(col("vec_id").as("id_b"), col("embedding").as("vb")), "id_b")
       .withColumn("cos", round(Vectors.cosine(col("va"), col("vb")), 4))
       .filter(col("cos") >= threshold)
       .select(col("id_a"), col("id_b"), col("cos"))
       .orderBy(col("id_a"), col("id_b"))
+  }
+
+  /** Candidate stage of [[lshNearDupDF]], exposed for the adversarial
+    * boundedness spec. Both sides of the self-join are population-capped
+    * (there is no query side to preserve here): a mass-duplicated cluster
+    * concentrates into one bucket per table, every one of them over-cap,
+    * so its quadratic pair set never materializes — those vectors are
+    * [[vectorExactDedup]]'s job, mirroring the dedup family's
+    * band/chunk-cap ↔ exact-md5 division of labor. `bucketCap` overrides
+    * the corpus-relative default (spec use only).
+    */
+  private[operators] def lshNearDupCandidates(emb: DataFrame,
+      nPlanes: Int = 4, nTables: Int = 64,
+      bucketCap: Long = DedupOps.CapFromDf): DataFrame = {
+    val tableBuckets = (0 until nTables).map { t =>
+      struct(lit(t).as("tbl"),
+        Vectors.lshBucket(col("embedding"), nPlanes, seed = 1042L + t).as("bucket"))
+    }
+    val banded = emb.select(col("vec_id"),
+        explode(array(tableBuckets: _*)).as("tb"))
+      .select(col("vec_id"), col("tb.tbl"), col("tb.bucket"))
+    val capDf =
+      if (bucketCap == DedupOps.CapFromDf) bucketCapFrame(emb, nPlanes)
+      else emb.sparkSession.range(1).select(lit(bucketCap).as("cap"))
+    val bounded = popCapped(banded, capDf)
+    bounded.select(col("vec_id").as("id_a"), col("tbl"), col("bucket"))
+      .join(bounded.select(col("vec_id").as("id_b"), col("tbl"), col("bucket")),
+        Seq("tbl", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+      .distinct()
   }
 
   /** Embedding near-duplicate pairs (cosine ≥ threshold) over a bounded

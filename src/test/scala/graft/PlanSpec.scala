@@ -50,11 +50,13 @@ class PlanSpec extends SparkSpecBase {
   test("q29: no cartesian product anywhere in the near-dup pipeline") {
     val plan = executed("q29_minhash_neardup")
     assert(!plan.contains("CartesianProduct"), plan)
-    // the only nested-loop joins allowed are the df-cap comparisons against
-    // a broadcast SINGLE-ROW aggregate (O(postings), not all-pairs): every
-    // BNLJ line must carry the `df <= cap` condition
+    // the only nested-loop joins allowed are the cap comparisons against a
+    // broadcast SINGLE-ROW aggregate (O(left side), not all-pairs): every
+    // BNLJ line must carry a `df <= cap` or `pop <= cap` condition
     val bnlj = plan.linesIterator.filter(_.contains("BroadcastNestedLoopJoin")).toSeq
-    assert(bnlj.forall(l => l.contains("df#") && l.contains("<= cap#")), bnlj.mkString("\n"))
+    assert(bnlj.forall(l =>
+      (l.contains("df#") || l.contains("pop#")) && l.contains("<= cap#")),
+      bnlj.mkString("\n"))
   }
 
   test("q61: benchmark shingle side broadcasts; corpus side never shuffles pre-agg") {
