@@ -40,13 +40,21 @@ object Catalog {
     Sinks.registry.filter(s => HadoopIo.exists(spark, s"$outputDir/${s.name}"))
       .map { spec =>
         spark.sql(s"DROP TABLE IF EXISTS ${spec.name}")
-        val (source, options) = spec.format match {
-          case Sinks.Parquet => ("parquet", Map.empty[String, String])
-          // header+inferSchema mirror Readers.parquetOrCsv's read options
-          case Sinks.Csv => ("csv", Map("header" -> "true", "inferSchema" -> "true"))
+        spec.format match {
+          // parquet is self-describing: schema comes from the footers
+          case Sinks.Parquet =>
+            spark.catalog.createTable(spec.name, "parquet",
+              Map("path" -> s"$outputDir/${spec.name}"))
+          // CSV loses types on disk — register through the pinned static
+          // schema (Schemas.csvOutputs), NOT inferSchema: inference
+          // silently retypes numeric-string ids to INT (SURVEY §7.4-7)
+          case Sinks.Csv =>
+            val schema = Schemas.csvOutputs.getOrElse(spec.name,
+              throw new IllegalStateException(
+                s"no static schema pinned for CSV table ${spec.name}"))
+            spark.catalog.createTable(spec.name, "csv", schema,
+              Map("header" -> "true", "path" -> s"$outputDir/${spec.name}"))
         }
-        spark.catalog.createTable(spec.name, source,
-          options + ("path" -> s"$outputDir/${spec.name}"))
         if (spec.partitionCols.nonEmpty) {
           // partitioned external data: partitions are discovered from the
           // layout once, then served from catalog metadata

@@ -31,9 +31,28 @@ object CatalogCheck {
         // metastore written by the previous JVM
         val n = spark.table(arg).count()
         require(n > 0, s"catalog table $arg resolved but is empty")
-        // partitioned-table pruning off catalog metadata
-        val parts = spark.sql(s"SHOW TABLES").count()
-        println(s"CATALOG_CHECK OK rows=$n tables=$parts")
+        // schema fidelity: CSV tables must resolve through the pinned
+        // static schema, not inference — the dictionary id columns are
+        // numeric STRINGS that inference would silently retype to INT
+        Schemas.csvOutputs.get(arg).foreach { expected =>
+          val got = spark.table(arg).schema
+          require(got == expected,
+            s"catalog schema for $arg diverged from the written schema:\n" +
+              s"  got      $got\n  expected $expected")
+        }
+        // partitioned tables: partitions must be served from catalog
+        // metadata (RECOVER PARTITIONS in the write phase), not inferred
+        // from directory listing at query time
+        val partCount = Sinks.registry
+          .find(s => s.name == arg && s.partitionCols.nonEmpty)
+          .map { _ =>
+            val c = spark.sql(s"SHOW PARTITIONS $arg").count()
+            require(c > 0, s"no partitions recovered for $arg")
+            c
+          }
+        val tables = spark.sql(s"SHOW TABLES").count()
+        println(s"CATALOG_CHECK OK rows=$n tables=$tables " +
+          s"partitions=${partCount.getOrElse(0L)}")
     }
     spark.stop()
   }
