@@ -36,6 +36,31 @@ object Sinks {
     TableSpec("i94_state_mapping", Csv),
     TableSpec("i94_visa", Csv))
 
+  /** Idempotent partition-scoped overwrite — the offline stand-in for a
+    * Delta-style `replaceWhere` (see WRITE_CONTRACT.md; no Delta jar
+    * exists in this environment). Dynamic partition-overwrite mode
+    * replaces EXACTLY the partitions present in `df` and leaves every
+    * other partition untouched, so re-running a month's load is
+    * idempotent: the partition's files are swapped as a unit, never
+    * appended to, and a failed attempt can simply be re-run. The mode is
+    * set as a per-write option, not session config — callers' unrelated
+    * overwrites keep static semantics.
+    */
+  def overwritePartitions(df: DataFrame, spec: TableSpec, outputDir: String): Unit = {
+    require(spec.partitionCols.nonEmpty,
+      s"${spec.name} is unpartitioned — partition-scoped overwrite needs partition columns")
+    val w = df.write
+      .option("partitionOverwriteMode", "dynamic")
+      .option("header", "true")
+      .mode("overwrite")
+      .partitionBy(spec.partitionCols: _*)
+    val path = s"$outputDir/${spec.name}"
+    spec.format match {
+      case Parquet => w.parquet(path)
+      case Csv     => w.csv(path)
+    }
+  }
+
   /** Small-files compaction: rewrite an unpartitioned parquet table into
     * `targetFiles` files (stage to a sibling dir, then swap) — the
     * operational fix for append-mode accumulation at scale. Returns the
