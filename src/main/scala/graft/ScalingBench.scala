@@ -1,35 +1,70 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
+import graft.operators.{DedupOps, SimilarityOps}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 
-/** Empirical scaling probe for the dedup family (q27-q30, q53, q59): runs
-  * each query across the available SF series and prints per-query times
-  * plus the fitted log-log slope vs document count. A near-dup pipeline
-  * that went quadratic shows a slope near 2 between the 10× steps; the
-  * df-capped/bucket-capped pipelines should stay near (or below) 1 once
-  * per-job fixed overhead is amortized. Results land in SCALING.md.
+/** Empirical scaling probe for the dedup, span-dup, and embedding
+  * families: runs each probe across an SF series (or 2×/4×/8× synthetic
+  * corpora) and prints per-probe times plus the fitted log-log slope vs
+  * the relevant table's row count. A pipeline that went quadratic shows a
+  * slope near 2 between the largest steps; the df-capped / bucket-capped
+  * pipelines should stay near (or below) 1 once per-job fixed overhead is
+  * amortized. Results land in SCALING.md.
   *
-  *   runMain graft.ScalingBench [sfDir ...]
+  *   runMain graft.ScalingBench [synth | sfDir ...]
   */
 object ScalingBench {
 
-  val family: Seq[String] = Seq("q27_dedup_exact", "q28_ngram_jaccard",
-    "q29_minhash_neardup", "q30_simhash_neardup", "q53_dedup_clusters",
-    "q59_dedup_keeplist")
+  /** One scaling probe: display name, the table whose row count anchors
+    * the slope fit, and the pipeline to time.
+    */
+  case class Probe(name: String, table: String,
+      fn: (SparkSession, String) => DataFrame)
 
-  /** Build k-times-scaled corpora from sf0.1: copy c suffixes every token
-    * with a copy marker, so each copy keeps the original's exact
-    * token/shingle frequency DISTRIBUTION (same workload shape) while
-    * sharing zero shingles across copies (no artificial cross-copy
-    * near-dup pairs, no artificial hot shingles — an earlier interleaving
-    * variant accidentally created unigram-like `cpN X cpN` shingles and
-    * measured the degenerate-postings case instead of scale-up).
-    * Scaling-probe artifacts only; correctness always runs on the
-    * driver-provided testdata.
+  val probes: Seq[Probe] =
+    Seq("q27_dedup_exact", "q28_ngram_jaccard", "q29_minhash_neardup",
+      "q30_simhash_neardup", "q53_dedup_clusters", "q59_dedup_keeplist")
+      .map(q => Probe(q, "documents", SparkEntry.queries(q))) ++ Seq(
+      // span family: exact (oracle-gated) keys and the hashed-key 100 TB
+      // variant (xxhash64 span keys on both span shuffles)
+      Probe("q66_span_dup", "documents",
+        (s, d) => DedupOps.spanDupStats(s, d)),
+      Probe("q66_span_dup_hashed", "documents",
+        (s, d) => DedupOps.spanDupStats(s, d, hashedKeys = true)),
+      // embedding family. Brute-force top-k is the linear baseline; the
+      // LSH probes run the planesFor-scaled configuration (the documented
+      // scale recipe — at fixed nPlanes the bucket join volume is
+      // n²/2^planes by construction, which is the thing the recipe fixes)
+      Probe("q31_cosine_topk", "embeddings",
+        SparkEntry.queries("q31_cosine_topk")),
+      Probe("q33_lsh_topk_ann", "embeddings", (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        SimilarityOps.lshTopKDF(emb,
+          nPlanes = SimilarityOps.planesFor(emb.count()))
+      }),
+      Probe("q64_lsh_neardup_full", "embeddings", (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        SimilarityOps.lshNearDupDF(emb,
+          nPlanes = SimilarityOps.planesFor(emb.count()))
+      }))
+
+  /** Build k-times-scaled corpora from sf0.1 (documents AND embeddings).
+    * Document copy c suffixes every token with a copy marker, so each
+    * copy keeps the original's exact token/shingle frequency DISTRIBUTION
+    * (same workload shape) while sharing zero shingles across copies (no
+    * artificial cross-copy near-dup pairs, no artificial hot shingles —
+    * an earlier interleaving variant accidentally created unigram-like
+    * `cpN X cpN` shingles and measured the degenerate-postings case
+    * instead of scale-up). Embedding copy c rotates the 64-dim vector by
+    * c positions: an orthogonal-ish remap that preserves every
+    * within-copy cosine (same near-dup structure per copy) without making
+    * copies near-duplicates of each other. Scaling-probe artifacts only;
+    * correctness always runs on the driver-provided testdata.
     */
   private def synthDirs(spark: SparkSession, base: String): Seq[String] = {
     import org.apache.spark.sql.functions._
     val src = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+    val esrc = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
     Seq(2, 4, 8).map { k =>
       val dir = s"$base/v2x$k"
       val out = s"$dir/documents.parquet"
@@ -42,6 +77,18 @@ object ScalingBench {
             col("lang"), col("source"), col("n_chars"))
         }
         copies.reduce(_ unionByName _).write.mode("overwrite").parquet(out)
+      }
+      val eout = s"$dir/embeddings.parquet"
+      if (!graft.etl.HadoopIo.exists(spark, eout)) {
+        val ecopies = (0 until k).map { c =>
+          esrc.select(
+            (col("vec_id") * k + c).as("vec_id"),
+            (if (c == 0) col("embedding")
+             else concat(slice(col("embedding"), c + 1, 64 - c),
+               slice(col("embedding"), 1, c))).as("embedding"),
+            col("label"))
+        }
+        ecopies.reduce(_ unionByName _).write.mode("overwrite").parquet(eout)
       }
       dir
     }
@@ -69,32 +116,39 @@ object ScalingBench {
     // warm-up: JIT + codegen caches, untimed
     SparkEntry.queries("q27_dedup_exact")(spark, allDirs.head)
       .write.mode("overwrite").format("noop").save()
+    SparkEntry.queries("q31_cosine_topk")(spark, allDirs.head)
+      .write.mode("overwrite").format("noop").save()
 
-    val nDocs = allDirs.map(d => d ->
-      spark.read.parquet(s"$d/documents.parquet").count().toDouble).toMap
-    val rows = family.map { q =>
+    val nRows: Map[(String, String), Double] = (for {
+      d <- allDirs
+      t <- Seq("documents", "embeddings")
+    } yield (d, t) -> spark.read.parquet(s"$d/$t.parquet").count().toDouble).toMap
+
+    val rows = probes.map { p =>
       val times = allDirs.map { d =>
-        // each timed run must measure the FULL pipeline: evict the dedup
+        // each timed run must measure the FULL pipeline: evict the
         // session caches properly (clearCache() alone would leave the
         // cache maps serving unpersisted frames that silently recompute)
-        graft.operators.DedupOps.clearSessionCaches(spark)
-        spark.catalog.clearCache()
+        DedupOps.clearSessionCaches(spark)
         val t0 = System.nanoTime()
-        SparkEntry.queries(q)(spark, d).write.mode("overwrite").format("noop").save()
+        p.fn(spark, d).write.mode("overwrite").format("noop").save()
         d -> (System.nanoTime() - t0) / 1e9
       }
-      // slope of log(time) vs log(n_docs) over the largest step (least
+      // slope of log(time) vs log(rows) over the largest step (least
       // fixed-overhead distortion)
       val (dA, tA) = times(times.length - 2)
       val (dB, tB) = times.last
-      val slope = math.log(tB / tA) / math.log(nDocs(dB) / nDocs(dA))
-      (q, times.map(_._2), slope)
+      val slope = math.log(tB / tA) /
+        math.log(nRows(dB -> p.table) / nRows(dA -> p.table))
+      (p, times.map(_._2), slope)
     }
-    val json = rows.map { case (q, ts, slope) =>
-      s""""$q":{"sec":[${ts.map(t => f"$t%.2f").mkString(",")}],"slope":${f"$slope%.2f"}}"""
+    val json = rows.map { case (p, ts, slope) =>
+      s""""${p.name}":{"table":"${p.table}","sec":[${ts.map(t => f"$t%.2f").mkString(",")}],"slope":${f"$slope%.2f"}}"""
     }.mkString("{", ",", "}")
-    val docsJson = allDirs.map(d => s""""$d":${nDocs(d).toLong}""").mkString("{", ",", "}")
-    println(s"""{"metric":"dedup_scaling","n_docs":$docsJson,"queries":$json}""")
+    val docsJson = allDirs.map(d =>
+      s""""$d":{"documents":${nRows(d -> "documents").toLong},"embeddings":${nRows(d -> "embeddings").toLong}}""")
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"family_scaling","n_rows":$docsJson,"probes":$json}""")
     spark.stop()
   }
 }

@@ -463,19 +463,28 @@ object DedupOps {
     * that document-level near-dup misses (partial copies, stitched pages).
     * Shape: window spans via posexplode + lead chain (codegen) →
     * per-(doc, span) dedup → span document-frequency → per-doc ratio.
-    * The df aggregation and join key on the full span STRING — exactness
-    * is what lets the query share an oracle; at 100 TB, key the shuffle by
-    * xxhash64(span) instead (8 bytes vs ~80) and accept the ~2⁻⁶⁴
-    * collision odds. Never all-pairs either way.
+    * With `hashedKeys=false` (the oracle-gated default) the df aggregation
+    * and join key on the full span STRING — exactness is what lets the
+    * query share an oracle. `hashedKeys=true` is the 100 TB path: the
+    * shuffle keys become `xxhash64(span)` (8 bytes vs ~80 per key, applied
+    * BEFORE both span shuffles), accepting ~2⁻⁶⁴ collision odds —
+    * ScalingBench probes this variant alongside the exact one. Never
+    * all-pairs either way.
     */
   def spanDupStats(spark: SparkSession, dir: String, spanLen: Int = 10,
-      minDupFrac: Double = 0.3): DataFrame = {
+      minDupFrac: Double = 0.3, hashedKeys: Boolean = false): DataFrame = {
     // session-cached like the shingle relations: the spans frame is
-    // corpus-scale and read three times per evaluation
+    // corpus-scale and read three times per evaluation (the hashed
+    // projection sits on top of the SAME cached string spans, so both
+    // variants share one cache entry)
     val spans = cached(spansCache, (spark, dir, spanLen))(
       spanRows(Tables.documents(spark, dir), spanLen).persist())
-    spanStatsFromSpans(spans, minDupFrac)
+    spanStatsFromSpans(spanKeyed(spans, hashedKeys), minDupFrac)
   }
+
+  private def spanKeyed(spans: DataFrame, hashedKeys: Boolean): DataFrame =
+    if (!hashedKeys) spans
+    else spans.select(col("doc_id"), xxhash64(col("span")).as("span"))
 
   private val spansCache = SessionCaches.newCache[(SparkSession, String, Int)]()
 

@@ -34,6 +34,21 @@ object SimilarityOps {
   val BucketCapMult = 4.0
   val BucketCapFloor = 32L
 
+  /** The scale recipe the scaladocs reference, as code: nPlanes sized so
+    * the EXPECTED bucket population stays near `targetBucket` —
+    * `log₂(n / targetBucket)` — which keeps the per-table bucket join
+    * linear in corpus size (pairs/bucket ≈ targetBucket²/2, buckets ∝ n).
+    * At a fixed nPlanes the join volume grows as n²/2^planes instead;
+    * ScalingBench probes the planesFor-scaled configuration. Recall
+    * trade: raising b = nPlanes lowers per-table hit probability q^b, so
+    * nTables must rise to hold the same (1 − q^b)^L miss bound — the
+    * production 4-plane configs are the oracle-gated operating points at
+    * test scale, this function is the knob that moves with the corpus.
+    */
+  def planesFor(n: Long, targetBucket: Long = 32L): Int =
+    math.min(63, math.max(4,
+      math.ceil(math.log((n.toDouble / targetBucket).max(1.0)) / math.log(2.0)).toInt))
+
   /** The population cap as a broadcast 1-row frame computed from the
     * corpus inside the plan (same BNLJ-against-one-row shape as the
     * dedup df cap).

@@ -42,6 +42,16 @@ class OperatorsSpec extends SparkSpecBase {
     assert(got(1L) > 0.2 && got(2L) > 0.2)
   }
 
+  test("spanDupStats hashed-key variant matches the exact string-key result") {
+    // the 100 TB path keys both span shuffles by xxhash64(span); absent a
+    // collision (~2^-64) the per-doc stats are identical to the exact keys
+    val exact = DedupOps.spanDupStats(spark, sf0001).collect().map(_.toSeq)
+    val hashed = DedupOps.spanDupStats(spark, sf0001, hashedKeys = true)
+      .collect().map(_.toSeq)
+    assert(exact.toSeq === hashed.toSeq)
+    assert(exact.nonEmpty)
+  }
+
   test("tokenEntropy: repeated-token doc scores 0, diverse doc > 3 bits") {
     val dir = java.nio.file.Files.createTempDirectory("graft-entropy").toString
     Seq((1L, "same same same same same same"),
