@@ -89,6 +89,7 @@ object SparkEntry {
     "q67_token_entropy"   -> ((s, d) => TextAnalysisOps.tokenEntropy(s, d)),
     "q68_split_leakage"   -> ((s, d) => PipelineOps.trainValSplit(s, d)),
     "q69_vector_dedup"    -> ((s, d) => SimilarityOps.vectorExactDedup(s, d)),
+    "q70_ivf_topk"        -> ((s, d) => SimilarityOps.ivfTopK(s, d)),
   )
 
   /** Shared shingle→df-capped-postings CTE body for every exact-Jaccard
@@ -794,5 +795,52 @@ object SparkEntry {
     "q69_vector_dedup" ->
       """SELECT min(vec_id) AS canonical_id, count(*) AS n_copies
          FROM embeddings GROUP BY embedding ORDER BY canonical_id""",
+    // q70: the ENTIRE IVF pipeline replicated in SQL — per-label centroid
+    // codebook (6dp), argmax-cosine list assignment (tie -> smaller
+    // label), top-2 probe lists per query, exact top-5 within the probed
+    // lists. Cell-exact, not a recall gate: these embeddings have no
+    // label-cosine structure, so a recall claim would gate a property the
+    // data cannot exhibit (see SimilarityOps.ivfTopK scaladoc).
+    "q70_ivf_topk" ->
+      """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v
+                    FROM embeddings),
+         dims AS (
+           SELECT label, i.range AS d, round(avg(v[i.range]), 6) AS c
+           FROM e, range(1, 65) i GROUP BY 1, 2),
+         cent AS (SELECT label AS clabel, list(c ORDER BY d) AS cv
+                  FROM dims GROUP BY 1),
+         asg AS (
+           SELECT vec_id, v, clabel AS ivf_list FROM (
+             SELECT e.vec_id, e.v, cent.clabel,
+               row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                 round(list_inner_product(e.v, cent.cv) /
+                   (sqrt(list_inner_product(e.v, e.v)) *
+                    sqrt(list_inner_product(cent.cv, cent.cv))), 4) DESC,
+                 cent.clabel) AS crk
+             FROM e CROSS JOIN cent)
+           WHERE crk = 1),
+         probes AS (
+           SELECT query_id, qv, clabel AS ivf_list FROM (
+             SELECT e.vec_id AS query_id, e.v AS qv, cent.clabel,
+               row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                 round(list_inner_product(e.v, cent.cv) /
+                   (sqrt(list_inner_product(e.v, e.v)) *
+                    sqrt(list_inner_product(cent.cv, cent.cv))), 4) DESC,
+                 cent.clabel) AS crk
+             FROM e CROSS JOIN cent WHERE e.vec_id < 8)
+           WHERE crk <= 2),
+         scored AS (
+           SELECT p.query_id, a.vec_id,
+             round(list_inner_product(p.qv, a.v) /
+               (sqrt(list_inner_product(p.qv, p.qv)) *
+                sqrt(list_inner_product(a.v, a.v))), 4) AS cos
+           FROM asg a JOIN probes p USING (ivf_list)
+           WHERE a.vec_id <> p.query_id)
+         SELECT query_id, vec_id AS neighbor_id, cos, rk FROM (
+           SELECT query_id, vec_id, cos,
+             CAST(row_number() OVER (PARTITION BY query_id
+                  ORDER BY cos DESC, vec_id) AS INT) AS rk
+           FROM scored)
+         WHERE rk <= 5 ORDER BY query_id, rk""",
   )
 }

@@ -107,13 +107,28 @@ object DedupOps {
 
   private def filteredFromRaw(raw: DataFrame, docs: DataFrame): DataFrame = {
     val cap = effectiveDfCap(docs)
-    val rare = raw.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    // shuffle-key narrowing: every downstream shuffle/join on the shingle
+    // key (df aggregation, postings self-join, candidate verification)
+    // carries xxhash64 longs (8 bytes) instead of ~20-80-byte 3-gram
+    // strings — the q66 hashedKeys trade applied to the whole postings
+    // family, with the same ~2⁻⁶⁴ per-pair collision odds. Outputs expose
+    // only doc ids and Jaccard values, never the key, and every consumer
+    // is still gated against the string-keyed DuckDB oracles (identical
+    // results absent a collision). Local honesty note: an interleaved
+    // same-JVM A/B at sf0.1 (ScratchAB) put the join section at 1.08s
+    // hashed vs 1.12s string — parity locally, where tokenization
+    // dominates; the narrowing is for shuffle BYTES at cluster scale,
+    // where the three key-bearing exchanges dominate. The uncapped STRING
+    // relation (`raw`) stays as-is — ContaminationOps joins it against
+    // benchmark shingle text.
+    val hashed = raw.select(col("doc_id"), xxhash64(col("tok")).as("tok"))
+    val rare = hashed.groupBy(col("tok")).agg(count(lit(1)).as("df"))
       .join(broadcast(cap), col("df") <= col("cap"))
       .select(col("tok"))
     // persist the final relation too: callers read it 2-3 times (signature
     // build + both verification sides) and each read would otherwise rerun
     // the df-count aggregation, the rare join, and the size window
-    raw.join(rare, "tok")
+    hashed.join(rare, "tok")
       .withColumn("n", count(lit(1)).over(Window.partitionBy(col("doc_id"))))
       .persist()
   }

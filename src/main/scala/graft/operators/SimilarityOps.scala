@@ -215,20 +215,27 @@ object SimilarityOps {
       .orderBy(col("query_id"), col("rk"))
   }
 
-  /** Per-label centroids + nearest-centroid assignment (one k-means-style
-    * assignment step over the labeled embeddings): centroid = per-dim mean
-    * (posexplode → groupBy, rounded at 6dp for cross-engine stability),
-    * assignment = argmax cosine over the broadcast centroids.
+  /** Per-label centroid vectors (label, cv): per-dim mean via posexplode →
+    * groupBy (rounded at 6dp for cross-engine stability) — the coarse
+    * codebook shared by [[centroidAssign]] and the IVF path ([[ivfTopK]]).
     */
-  def centroidAssign(spark: SparkSession, dir: String): DataFrame = {
-    val e = Tables.embeddings(spark, dir)
-    val dims = e.select(col("label"), col("vec_id"),
+  private[operators] def labelCentroids(emb: DataFrame): DataFrame = {
+    val dims = emb.select(col("label"), col("vec_id"),
       posexplode(col("embedding")).as(Seq("d", "x")))
     val cent = dims.groupBy(col("label"), col("d"))
       .agg(round(avg(col("x").cast("double")), 6).as("c"))
-    val cvec = cent.groupBy(col("label").as("clabel"))
+    cent.groupBy(col("label").as("clabel"))
       .agg(transform(array_sort(collect_list(struct(col("d"), col("c")))),
         s => s.getField("c")).as("cv"))
+  }
+
+  /** Per-label centroids + nearest-centroid assignment (one k-means-style
+    * assignment step over the labeled embeddings): assignment = argmax
+    * cosine over the broadcast centroids.
+    */
+  def centroidAssign(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val cvec = labelCentroids(e)
     val w = Window.partitionBy(col("vec_id"))
       .orderBy(col("cos").desc, col("clabel"))
     e.crossJoin(broadcast(cvec))
@@ -239,6 +246,63 @@ object SimilarityOps {
       .agg(count(lit(1)).as("n"))
       .orderBy(col("label"), col("assigned_label"))
   }
+
+  /** IVF-style ANN top-k — the OTHER classic scale path next to LSH
+    * ([[lshTopK]]): a coarse quantizer (the label centroids) partitions
+    * the corpus into inverted lists; each query scores only the lists of
+    * its `nProbe` nearest centroids instead of the whole corpus. Shapes:
+    * the codebook is tiny → broadcast twice (corpus assignment + query
+    * probe selection); the only corpus shuffle is the equi-join on the
+    * assigned centroid id. Expected scan fraction ≈ nProbe/k per query —
+    * at 100 TB, k grows with corpus size (√n is the classic choice) and
+    * the inverted lists become the partitioning key, so a query touches
+    * a bounded slice of the corpus regardless of n.
+    *
+    * Gate (q70): the ENTIRE pipeline — centroid codebook, argmax
+    * assignment, probe selection, probed top-k — is replicated in DuckDB
+    * SQL and compared cell-exact. A recall-vs-exact gate (the q33
+    * contract) is deliberately NOT used here: the synthetic embeddings
+    * carry no label-cosine structure (measured within-label avg cos
+    * 0.002 vs cross-label 0.0006), so centroid probing on THIS corpus is
+    * an honest uniform sample (recall ≈ nProbe/k — measured 15/40 at
+    * nProbe=2 of 10). On real clustered embeddings the same mechanism
+    * concentrates recall; claiming that here would gate a property the
+    * data cannot exhibit.
+    */
+  def ivfTopK(spark: SparkSession, dir: String, nQueries: Int = 8,
+      k: Int = 5, nProbe: Int = 2): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val cvec = labelCentroids(emb)
+    // corpus → inverted lists: argmin-centroid assignment, one row each
+    val wAssign = Window.partitionBy(col("vec_id"))
+      .orderBy(col("ccos").desc, col("clabel"))
+    val assigned = emb.crossJoin(broadcast(cvec))
+      .withColumn("ccos", round(Vectors.cosineHof(col("embedding"), col("cv")), 4))
+      .withColumn("crk", row_number().over(wAssign))
+      .filter(col("crk") === 1)
+      .select(col("vec_id"), col("embedding"), col("clabel").as("ivf_list"))
+    // queries → probe lists: the nProbe nearest centroids each
+    val queries = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val wProbe = Window.partitionBy(col("query_id"))
+      .orderBy(col("ccos").desc, col("clabel"))
+    val probes = queries.crossJoin(broadcast(cvec))
+      .withColumn("ccos", round(Vectors.cosineHof(col("qv"), col("cv")), 4))
+      .withColumn("crk", row_number().over(wProbe))
+      .filter(col("crk") <= nProbe)
+      .select(col("query_id"), col("qv"), col("clabel").as("ivf_list"))
+    // probe join: corpus side touched only where its list is probed
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    assigned.join(probes, Seq("ivf_list"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("cos", round(Vectors.cosine(col("qv"), col("embedding")), 4))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("cos"), col("rk"))
+      .orderBy(col("query_id"), col("rk"))
+  }
+
 
   /** Embedding near-dup pairs via multi-table LSH bucketing — the scale
     * path for [[cosineNearDup]]: candidates are same-(table, bucket) pairs
