@@ -46,7 +46,13 @@ object ScalingBench {
         val emb = Tables.embeddings(s, d)
         SimilarityOps.lshNearDupDF(emb,
           nPlanes = SimilarityOps.planesFor(emb.count()))
-      }))
+      }),
+      // IVF probes a fixed nProbe/#lists corpus fraction, so its cost is
+      // linear in corpus size by construction — the probe verifies the
+      // codebook/assignment stages (posexplode + crossJoin-broadcast)
+      // don't hide anything super-linear
+      Probe("q70_ivf_topk", "embeddings",
+        SparkEntry.queries("q70_ivf_topk")))
 
   /** Build k-times-scaled corpora from sf0.1 (documents AND embeddings).
     * Document copy c suffixes every token with a copy marker, so each

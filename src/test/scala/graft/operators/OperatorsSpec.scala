@@ -74,6 +74,28 @@ class OperatorsSpec extends SparkSpecBase {
     }
   }
 
+  test("ivf topk: probing every inverted list reproduces brute force exactly") {
+    // with nProbe = #lists the probed union IS the corpus, so the IVF
+    // pipeline must collapse to bruteForceTopK row-for-row (same rounding,
+    // same tie order) — the strongest mechanism check available on a
+    // corpus whose labels carry no cosine structure
+    val nLists = graft.Tables.embeddings(spark, sf0001)
+      .select("label").distinct().count().toInt
+    val ivf = SimilarityOps.ivfTopK(spark, sf0001, nProbe = nLists).collect()
+    val bf = SimilarityOps.bruteForceTopK(spark, sf0001).collect()
+    assert(ivf.toSeq === bf.toSeq)
+  }
+
+  test("ivf topk: fewer probes never invent neighbors outside the corpus") {
+    val ids = graft.Tables.embeddings(spark, sf0001).select("vec_id").as[Long].collect().toSet
+    val got = SimilarityOps.ivfTopK(spark, sf0001, nProbe = 1).collect()
+    assert(got.forall(r => ids(r.getAs[Long]("neighbor_id"))))
+    assert(got.nonEmpty)
+    // per-query result count never exceeds k
+    got.groupBy(_.getAs[Long]("query_id")).values
+      .foreach(rows => assert(rows.length <= 5))
+  }
+
   test("lsh topk is a subset-quality ANN: all results are true vectors") {
     val ids = graft.Tables.embeddings(spark, sf0001).select("vec_id").as[Long].collect().toSet
     val got = SimilarityOps.lshTopK(spark, sf0001, nQueries = 4, k = 3).collect()
