@@ -90,6 +90,8 @@ object SparkEntry {
     "q68_split_leakage"   -> ((s, d) => PipelineOps.trainValSplit(s, d)),
     "q69_vector_dedup"    -> ((s, d) => SimilarityOps.vectorExactDedup(s, d)),
     "q70_ivf_topk"        -> ((s, d) => SimilarityOps.ivfTopK(s, d)),
+    "q71_gopher_rules"    -> ((s, d) => TextAnalysisOps.gopherRules(s, d)),
+    "q72_bloom_novelty"   -> ((s, d) => PipelineOps.bloomNovelty(s, d)),
   )
 
   /** Shared shingle→df-capped-postings CTE body for every exact-Jaccard
@@ -842,5 +844,44 @@ object SparkEntry {
                   ORDER BY cos DESC, vec_id) AS INT) AS rk
            FROM scored)
          WHERE rk <= 5 ORDER BY query_id, rk""",
+    // q71: Gopher word-statistics rules — thresholds compared on the
+    // rounded values, exactly as the Spark side computes them
+    "q71_gopher_rules" ->
+      """SELECT doc_id, count(*) AS n_words,
+           round(sum(length(tok)) * 1.0 / count(*), 4) AS mean_word_len,
+           CAST(sum(CASE WHEN tok IN
+             ('the','be','to','of','and','that','have','with')
+             THEN 1 ELSE 0 END) AS BIGINT) AS stop_hits,
+           round(sum(CASE WHEN regexp_matches(tok, '[a-z]')
+             THEN 1 ELSE 0 END) * 1.0 / count(*), 4) AS alpha_frac,
+           CAST(CASE WHEN count(*) BETWEEN 50 AND 100000
+             AND round(sum(length(tok)) * 1.0 / count(*), 4)
+                 BETWEEN 3.0 AND 10.0
+             AND sum(CASE WHEN tok IN
+               ('the','be','to','of','and','that','have','with')
+               THEN 1 ELSE 0 END) >= 2
+             AND round(sum(CASE WHEN regexp_matches(tok, '[a-z]')
+               THEN 1 ELSE 0 END) * 1.0 / count(*), 4) >= 0.8
+             THEN 1 ELSE 0 END AS INT) AS passes
+         FROM (SELECT doc_id, unnest(string_split(
+                 regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS tok
+               FROM documents)
+         GROUP BY doc_id ORDER BY doc_id""",
+    // q72: bloom-novelty gate — n_shingles/n_exact_hits are DuckDB-exact
+    // from the same distinct-shingle CTE the postings oracles use (t0,
+    // pre-df-cap); no_false_neg/fp_ok are structural/bounded claims the
+    // Spark side must prove, so the oracle pins them at 1 (the q42
+    // error-bound gate pattern: approximate machinery, exact envelope)
+    "q72_bloom_novelty" ->
+      ("WITH " + shinglePostingsCte + """,
+         hist AS (SELECT DISTINCT tok FROM t0 WHERE doc_id % 5 <> 0),
+         batch AS (SELECT doc_id, tok FROM t0 WHERE doc_id % 5 = 0)
+         SELECT doc_id, count(*) AS n_shingles,
+           CAST(sum(CASE WHEN hist.tok IS NOT NULL THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_exact_hits,
+           CAST(1 AS INT) AS no_false_neg,
+           CAST(1 AS INT) AS fp_ok
+         FROM batch LEFT JOIN hist ON batch.tok = hist.tok
+         GROUP BY doc_id ORDER BY doc_id"""),
   )
 }

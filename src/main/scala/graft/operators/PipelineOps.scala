@@ -156,4 +156,68 @@ object PipelineOps {
         sum(col("n_tokens").cast("long")).as("total_tokens"))
       .orderBy(col("source"))
   }
+
+  /** Incremental-ingest novelty check via a RELATIONAL Bloom filter: how
+    * much of each new-batch document's shingle set is already in the
+    * historical corpus, answered without ever joining batch shingles
+    * against the (huge) history shingle relation. The filter is built as
+    * DataFrames end-to-end — no driver-side bitset, no UDF:
+    *
+    *   - m = `bitsPerItem` × |distinct history shingles| (1-row broadcast
+    *     frame, same shape as the dedup df cap);
+    *   - each shingle sets `k` positions `pmod(xxhash64(tok, seed), m)`;
+    *     the distinct set-bit positions form a ≤ k·n-row LONG relation —
+    *     the compressed stand-in for history (≈ 3 longs per item vs the
+    *     full string set), broadcast at test scale; at 100 TB drop the
+    *     broadcast hint and it shuffle-joins on `pos`, or shard the
+    *     filter by `pmod(pos, shards)`;
+    *   - a batch shingle is a member iff ALL k of its positions are set.
+    *
+    * Determinism: a Bloom bitset is the OR of per-item bit patterns, so
+    * it depends only on the item SET — never on partitioning or order —
+    * and xxhash64 is fixed; false positives are therefore reproducible,
+    * which is what makes the gate (q72) hashable. Gate design (the
+    * error-bound pattern of q42): per batch doc, `n_shingles` and
+    * `n_exact_hits` are DuckDB-exact; `no_false_neg` must be 1 (a Bloom
+    * filter cannot miss a true member — violation means the plumbing is
+    * broken); `fp_ok` bounds the false-positive excess per doc at
+    * max(5, 15% of lookups) — ~30× the expected FP count at
+    * bitsPerItem=16, k=3 (per-lookup fp ≈ (1−e^(−k/bits))^k ≈ 0.5%).
+    */
+  def bloomNovelty(spark: SparkSession, dir: String, k: Int = 3,
+      bitsPerItem: Long = 16L, batchMod: Long = 5L): DataFrame = {
+    val shingles = DedupOps.cachedDistinctShingles(spark, dir)
+    val hist = shingles.filter(pmod(col("doc_id"), lit(batchMod)) =!= 0)
+      .select(col("tok")).distinct()
+    val batch = shingles.filter(pmod(col("doc_id"), lit(batchMod)) === 0)
+      .select(col("doc_id"), col("tok"))
+    val mDf = broadcast(hist.agg((count(lit(1)) * bitsPerItem).as("m")))
+    def positions(df: DataFrame, keep: Seq[String]): DataFrame =
+      df.crossJoin(mDf).select(keep.map(col) :+
+        explode(array((0 until k).map(s =>
+          pmod(xxhash64(col("tok"), lit(s)), col("m"))): _*)).as("pos"): _*)
+    val setBits = positions(hist, Seq("tok")).select(col("pos")).distinct()
+    val probed = positions(batch, Seq("doc_id", "tok"))
+      .join(broadcast(setBits.withColumn("hit", lit(1))), Seq("pos"), "left")
+      .groupBy(col("doc_id"), col("tok"))
+      .agg((count(col("hit")) === k).cast("long").as("bloom_hit"))
+    // exact membership PER SHINGLE (the gate's ground truth — this join is
+    // exactly what the bloom path spares production callers; the gate pays
+    // it once to indict any per-shingle false negative, which a per-doc
+    // count comparison could mask behind an offsetting false positive)
+    val withTruth = probed.join(
+      hist.withColumn("is_member", lit(1L)), Seq("tok"), "left")
+      .na.fill(0L, Seq("is_member"))
+    withTruth.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(col("is_member")).as("n_exact_hits"),
+        sum(col("bloom_hit")).as("n_bloom_hits"),
+        sum(when(col("is_member") === 1L && col("bloom_hit") === 0L, 1L)
+          .otherwise(0L)).as("n_false_neg"))
+      .select(col("doc_id"), col("n_shingles"), col("n_exact_hits"),
+        (col("n_false_neg") === 0L).cast("int").as("no_false_neg"),
+        (col("n_bloom_hits") - col("n_exact_hits") <=
+          greatest(lit(5.0), col("n_shingles") * 0.15)).cast("int").as("fp_ok"))
+      .orderBy(col("doc_id"))
+  }
 }

@@ -230,6 +230,45 @@ object TextAnalysisOps {
         col("entropy_bits"))
       .orderBy(col("doc_id"))
 
+  /** Gopher-style rule-suite stopword list (Rae et al. 2021 §A1.1: a doc
+    * must contain ≥ 2 of these to pass the "stop word" rule).
+    */
+  val GopherStopwords: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** Gopher-style composite quality rules (the repetition rules live in
+    * [[repetitionRatio]]; this is the word-statistics suite): word-count
+    * band, mean-word-length band, minimum stopword hits, minimum
+    * alphabetic-word fraction — plus the conjunction verdict a filter
+    * stage consumes. One explode + one codegen'd groupBy (all four
+    * signals are conditional aggregates over the same token rows — no
+    * Expand, no second pass over the text). Thresholds are compared on
+    * the ROUNDED values so the verdict is reproducible cross-engine.
+    * Line-based Gopher rules (bullet/ellipsis lines) are omitted: the
+    * corpus has no line structure to exhibit them.
+    */
+  def gopherRules(spark: SparkSession, dir: String,
+      minWords: Long = 50, maxWords: Long = 100000,
+      minMeanLen: Double = 3.0, maxMeanLen: Double = 10.0,
+      minStopHits: Long = 2, minAlphaFrac: Double = 0.8): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(Text.tokens(col("text"))).as("tok"))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_words"),
+        round(sum(length(col("tok"))).cast("double") / count(lit(1)), 4)
+          .as("mean_word_len"),
+        sum(when(col("tok").isin(GopherStopwords.map(x => x: Any): _*), 1L)
+          .otherwise(0L)).as("stop_hits"),
+        round(sum(when(col("tok").rlike("[a-z]"), 1L).otherwise(0L))
+          .cast("double") / count(lit(1)), 4).as("alpha_frac"))
+      .withColumn("passes",
+        (col("n_words") >= minWords && col("n_words") <= maxWords &&
+          col("mean_word_len") >= minMeanLen && col("mean_word_len") <= maxMeanLen &&
+          col("stop_hits") >= minStopHits && col("alpha_frac") >= minAlphaFrac)
+          .cast("int"))
+      .orderBy(col("doc_id"))
+
   /** q38 gate: the rolling fingerprint's equivalence classes must be in
     * bijection with the (engine-portable) md5 content classes — equal
     * canonical content ⇔ equal rolling fp, and no 64-bit collisions across

@@ -65,6 +65,17 @@ class PlanSpec extends SparkSpecBase {
     assert(!plan.contains("CartesianProduct") && !plan.contains("SortMergeJoin"), plan)
   }
 
+  test("q72: bloom set-bit membership joins broadcast; no cartesian") {
+    val plan = executed("q72_bloom_novelty")
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    // the only nested-loop joins are the 1-row `m` frame crossed in to
+    // supply the modulus — conditionless BNLJ against a single-row
+    // broadcast aggregate, same O(n) shape as the dedup cap frames
+    val bnlj = plan.linesIterator.filter(_.contains("BroadcastNestedLoopJoin")).toSeq
+    assert(bnlj.forall(_.contains("Cross")), bnlj.mkString("\n"))
+  }
+
   test("q63: scan prunes documents to doc_id + text only") {
     val rs = readSchemaLines(executed("q63_word_length"))
     assert(rs.contains("text"), rs)

@@ -74,6 +74,46 @@ class OperatorsSpec extends SparkSpecBase {
     }
   }
 
+  test("gopherRules: each rule independently fails the right doc") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-gopher").toString
+    val pass60 = ((1 to 58).map(i => s"word$i") ++ Seq("the", "and")).mkString(" ")
+    val short10 = ((1 to 8).map(i => s"word$i") ++ Seq("the", "and")).mkString(" ")
+    val noStop60 = (1 to 60).map(i => s"word$i").mkString(" ")
+    val longWords = ((1 to 58).map(i => s"verylongtoken$i") ++ Seq("the", "and")).mkString(" ")
+    Seq((1L, pass60), (2L, short10), (3L, noStop60), (4L, longWords))
+      .toDF("doc_id", "text").write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = TextAnalysisOps.gopherRules(spark, dir)
+      .collect().map(r => r.getLong(0) ->
+        (r.getAs[Long]("n_words"), r.getAs[Long]("stop_hits"), r.getAs[Int]("passes"))).toMap
+    assert(got(1L)._3 === 1, got(1L).toString)             // all rules pass
+    assert(got(2L)._1 === 10L && got(2L)._3 === 0)         // word-count floor
+    assert(got(3L)._2 === 0L && got(3L)._3 === 0)          // stopword rule
+    assert(got(4L)._3 === 0)                               // mean-word-length cap
+  }
+
+  test("bloomNovelty: known member/novel split, no false negatives by construction") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-bloom").toString
+    val shared = "alpha beta gamma delta epsilon zeta"
+    // ids: %5==0 -> batch, else history. Doc 0 duplicates history doc 1;
+    // doc 5 is fully novel; docs 1-4 are history.
+    Seq((0L, shared), (5L, "nov1 nov2 nov3 nov4 nov5"),
+        (1L, shared), (2L, "one two three four five"),
+        (3L, "six seven eight nine ten"), (4L, "alpha beta gamma junk1 junk2"))
+      .toDF("doc_id", "text").write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    DedupOps.clearSessionCaches(spark)
+    val got = PipelineOps.bloomNovelty(spark, dir)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val dup = got(0L)
+    assert(dup.getAs[Long]("n_exact_hits") === dup.getAs[Long]("n_shingles"))
+    val novel = got(5L)
+    assert(novel.getAs[Long]("n_exact_hits") === 0L)
+    got.values.foreach { r =>
+      assert(r.getAs[Int]("no_false_neg") === 1, r.toString)
+      assert(r.getAs[Int]("fp_ok") === 1, r.toString)
+    }
+    DedupOps.clearSessionCaches(spark)
+  }
+
   test("ivf topk: probing every inverted list reproduces brute force exactly") {
     // with nProbe = #lists the probed union IS the corpus, so the IVF
     // pipeline must collapse to bruteForceTopK row-for-row (same rounding,
