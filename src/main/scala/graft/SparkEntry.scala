@@ -92,6 +92,7 @@ object SparkEntry {
     "q70_ivf_topk"        -> ((s, d) => SimilarityOps.ivfTopK(s, d)),
     "q71_gopher_rules"    -> ((s, d) => TextAnalysisOps.gopherRules(s, d)),
     "q72_bloom_novelty"   -> ((s, d) => PipelineOps.bloomNovelty(s, d)),
+    "q73_lm_perplexity"   -> ((s, d) => TextAnalysisOps.lmPerplexity(s, d)),
   )
 
   /** Shared shingle→df-capped-postings CTE body for every exact-Jaccard
@@ -883,5 +884,29 @@ object SparkEntry {
            CAST(1 AS INT) AS fp_ok
          FROM batch LEFT JOIN hist ON batch.tok = hist.tok
          GROUP BY doc_id ORDER BY doc_id"""),
+    // q73: add-one-smoothed corpus bigram LM, per-doc cross-entropy.
+    // Bigrams carried as "w1 w2" strings (tokens cannot contain spaces);
+    // prefix counts come from the same bigram rows grouped on w1
+    "q73_lm_perplexity" ->
+      """WITH d0 AS (
+           SELECT doc_id, string_split(
+             regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS w
+           FROM documents),
+         bg AS (
+           SELECT doc_id, unnest([w[i] || ' ' || w[i+1]
+             for i in range(1, greatest(len(w), 1))]) AS b
+           FROM d0 WHERE len(w) >= 2),
+         bgc AS (SELECT b, count(*) AS c12 FROM bg GROUP BY 1),
+         pfx AS (SELECT split_part(b, ' ', 1) AS w1, count(*) AS c1
+                 FROM bg GROUP BY 1),
+         v AS (SELECT count(DISTINCT tok) AS v
+               FROM (SELECT unnest(w) AS tok FROM d0))
+         SELECT doc_id, count(*) AS n_bigrams,
+           round(-sum(log2((c12 + 1) * 1.0 / (c1 + v.v))) / count(*), 4)
+             AS cross_entropy_bits
+         FROM bg JOIN bgc USING (b)
+           JOIN pfx ON split_part(bg.b, ' ', 1) = pfx.w1
+           CROSS JOIN v
+         GROUP BY doc_id ORDER BY doc_id""",
   )
 }

@@ -269,6 +269,47 @@ object TextAnalysisOps {
           .cast("int"))
       .orderBy(col("doc_id"))
 
+  /** Corpus-LM perplexity proxy (the CCNet-style typicality signal):
+    * score each document's cross-entropy under an add-one-smoothed BIGRAM
+    * model fit on the whole corpus — P(w₂|w₁) = (c(w₁w₂)+1)/(c(w₁·)+V).
+    * Low bits ≈ boilerplate/templated text, high bits ≈ atypical/noisy —
+    * the opposite axis from [[tokenEntropy]] (within-doc repetition):
+    * a doc of globally-common bigrams scores low here even if internally
+    * diverse. Shapes: bigram rows via the posexplode + lead window
+    * (codegen, same as [[repetitionRatio]]); model = two corpus-level
+    * groupBys (map-side combined); scoring joins shuffle on the bigram /
+    * prefix keys — never broadcast-forced, so the same plan works when
+    * the model outgrows one executor; V is a 1-row broadcast frame.
+    * Cross-engine determinism: per-doc sums are ≤ a few hundred log
+    * terms rounded at 4dp AFTER summation (the q67 contract).
+    */
+  def lmPerplexity(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val bigrams = Tables.documents(spark, dir)
+      .select(col("doc_id"), posexplode(Text.tokens(col("text"))).as(Seq("pos", "tok")))
+      .withColumn("w2", lead(col("tok"), 1).over(wDoc))
+      .filter(col("w2").isNotNull)
+      .select(col("doc_id"), col("tok").as("w1"), col("w2"))
+    val vDf = broadcast(Tables.documents(spark, dir)
+      .select(explode(Text.tokens(col("text"))).as("tok"))
+      .agg(countDistinct(col("tok")).as("v")))
+    val bigramCounts = bigrams.groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("c12"))
+    val prefixCounts = bigrams.groupBy(col("w1"))
+      .agg(count(lit(1)).as("c1"))
+    bigrams
+      .join(bigramCounts, Seq("w1", "w2"))
+      .join(prefixCounts, Seq("w1"))
+      .crossJoin(vDf)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(-sum(log(2.0,
+          (col("c12") + 1).cast("double") / (col("c1") + col("v")).cast("double")))
+          / count(lit(1)), 4).as("cross_entropy_bits"))
+      .orderBy(col("doc_id"))
+  }
+
   /** q38 gate: the rolling fingerprint's equivalence classes must be in
     * bijection with the (engine-portable) md5 content classes — equal
     * canonical content ⇔ equal rolling fp, and no 64-bit collisions across

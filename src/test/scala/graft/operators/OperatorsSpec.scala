@@ -91,6 +91,21 @@ class OperatorsSpec extends SparkSpecBase {
     assert(got(4L)._3 === 0)                               // mean-word-length cap
   }
 
+  test("lmPerplexity: corpus-typical docs score below novel-bigram docs") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-lm").toString
+    // docs 1-8 repeat the same phrasing (their bigrams are corpus-common);
+    // doc 9 is internally diverse but globally unseen bigrams
+    val common = (1 to 8).map(i => (i.toLong, "the quick brown fox jumps over the lazy dog"))
+    val novel = Seq((9L, "zeta omega kappa sigma lambda theta epsilon delta rho"))
+    (common ++ novel).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = TextAnalysisOps.lmPerplexity(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getAs[Double]("cross_entropy_bits")).toMap
+    assert(got(1L) < got(9L), got.toString)
+    // identical docs score identically
+    assert(got(1L) === got(8L))
+  }
+
   test("bloomNovelty: known member/novel split, no false negatives by construction") {
     val dir = java.nio.file.Files.createTempDirectory("graft-bloom").toString
     val shared = "alpha beta gamma delta epsilon zeta"
