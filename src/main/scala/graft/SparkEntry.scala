@@ -93,6 +93,7 @@ object SparkEntry {
     "q71_gopher_rules"    -> ((s, d) => TextAnalysisOps.gopherRules(s, d)),
     "q72_bloom_novelty"   -> ((s, d) => PipelineOps.bloomNovelty(s, d)),
     "q73_lm_perplexity"   -> ((s, d) => TextAnalysisOps.lmPerplexity(s, d)),
+    "q74_quantile_sketch" -> ((s, d) => CoreQueries.q74QuantileSketch(s, d)),
   )
 
   /** Shared shingle→df-capped-postings CTE body for every exact-Jaccard
@@ -908,5 +909,25 @@ object SparkEntry {
            JOIN pfx ON split_part(bg.b, ' ', 1) = pfx.w1
            CROSS JOIN v
          GROUP BY doc_id ORDER BY doc_id""",
+    // q74: discrete percentiles (element at rank ceil(p*n), ties broken
+    // by doc_id like the Spark window) are engine-portable; the sketch
+    // equality flag is pinned at 1 (accuracy >= group size => zero rank
+    // error)
+    "q74_quantile_sketch" ->
+      """WITH ranked AS (
+           SELECT lang, n_chars,
+             row_number() OVER (PARTITION BY lang
+               ORDER BY n_chars, doc_id) AS rk,
+             count(*) OVER (PARTITION BY lang) AS n
+           FROM documents)
+         SELECT lang, CAST(max(n) AS BIGINT) AS n_docs,
+           CAST(max(CASE WHEN rk = CAST(ceil(0.25 * n) AS INT)
+             THEN n_chars END) AS BIGINT) AS p25,
+           CAST(max(CASE WHEN rk = CAST(ceil(0.50 * n) AS INT)
+             THEN n_chars END) AS BIGINT) AS p50,
+           CAST(max(CASE WHEN rk = CAST(ceil(0.75 * n) AS INT)
+             THEN n_chars END) AS BIGINT) AS p75,
+           CAST(1 AS INT) AS approx_ok
+         FROM ranked GROUP BY lang ORDER BY lang""",
   )
 }

@@ -237,6 +237,43 @@ object CoreQueries {
           <= lit(3 * rsd) * col("exact_parts")).cast("int").as("parts_within_bound"))
   }
 
+  /** Quantile sketch with an exactness gate (q74) — the second sketch in
+    * the family next to q42's HLL: per-lang p25/p50/p75 of document
+    * length via `approx_percentile` (Greenwald-Khanna, mergeable partial
+    * sketches — the 100 TB path: one map-side sketch per partition,
+    * merged at the exchange, never a global sort), checked against the
+    * exact DISCRETE percentile (element at 1-based rank ceil(p·n),
+    * computed with one row_number window). At `accuracy` ≥ group size the
+    * GK rank error εn < 1, so the sketch must return exactly that
+    * element — `approx_ok` pins it; at real scale the same query reports
+    * the sketch with a rank-error bound instead of equality. Exact side
+    * uses DISC (both engines pick a real element) — interpolated
+    * percentiles differ across engines at half-ranks.
+    */
+  def q74QuantileSketch(spark: SparkSession, dir: String,
+      accuracy: Int = 100000): DataFrame = {
+    val docs = Tables.documents(spark, dir).select(col("lang"), col("n_chars"))
+    val w = Window.partitionBy(col("lang")).orderBy(col("n_chars"), col("doc_id"))
+    val ranked = Tables.documents(spark, dir)
+      .select(col("lang"), col("n_chars"), col("doc_id"))
+      .withColumn("rk", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("lang"))))
+    def disc(p: Double) = max(when(
+      col("rk") === ceil(lit(p) * col("n")).cast("int"), col("n_chars"))).cast("long")
+    val exact = ranked.groupBy(col("lang"))
+      .agg(max(col("n")).as("n_docs"),
+        disc(0.25).as("p25"), disc(0.50).as("p50"), disc(0.75).as("p75"))
+    val approx = docs.groupBy(col("lang"))
+      .agg(percentile_approx(col("n_chars"),
+        array(lit(0.25), lit(0.5), lit(0.75)), lit(accuracy)).as("ap"))
+    exact.join(approx, Seq("lang"))
+      .select(col("lang"), col("n_docs").cast("long").as("n_docs"),
+        col("p25"), col("p50"), col("p75"),
+        (col("ap")(0) === col("p25") && col("ap")(1) === col("p50") &&
+          col("ap")(2) === col("p75")).cast("int").as("approx_ok"))
+      .orderBy(col("lang"))
+  }
+
   /** A8: null-rate profile as percentages (Capstone Template cells 27, 61). */
   def q16NullRate(spark: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(spark, dir)

@@ -91,6 +91,16 @@ class OperatorsSpec extends SparkSpecBase {
     assert(got(4L)._3 === 0)                               // mean-word-length cap
   }
 
+  test("quantile sketch: percentiles ordered, sketch exact at test accuracy") {
+    val rows = CoreQueries.q74QuantileSketch(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("p25") <= r.getAs[Long]("p50"), r.toString)
+      assert(r.getAs[Long]("p50") <= r.getAs[Long]("p75"), r.toString)
+      assert(r.getAs[Int]("approx_ok") === 1, r.toString)
+    }
+  }
+
   test("lmPerplexity: corpus-typical docs score below novel-bigram docs") {
     val dir = java.nio.file.Files.createTempDirectory("graft-lm").toString
     // docs 1-8 repeat the same phrasing (their bigrams are corpus-common);
