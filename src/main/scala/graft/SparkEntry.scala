@@ -94,6 +94,7 @@ object SparkEntry {
     "q72_bloom_novelty"   -> ((s, d) => PipelineOps.bloomNovelty(s, d)),
     "q73_lm_perplexity"   -> ((s, d) => TextAnalysisOps.lmPerplexity(s, d)),
     "q74_quantile_sketch" -> ((s, d) => CoreQueries.q74QuantileSketch(s, d)),
+    "q75_semantic_dedup"  -> ((s, d) => SimilarityOps.semanticDedup(s, d)),
   )
 
   /** Shared shingle→df-capped-postings CTE body for every exact-Jaccard
@@ -118,6 +119,30 @@ object SparkEntry {
        t1 AS (SELECT doc_id, tok FROM t0 JOIN rare USING (tok)),
        tok AS (SELECT doc_id, tok,
                  count(*) OVER (PARTITION BY doc_id) AS n FROM t1)"""
+
+  /** Shared IVF codebook + inverted-list-assignment CTE body (e → dims →
+    * cent → asg) for the IVF oracles (q70 probing, q75 semantic dedup) —
+    * one copy so codebook rounding and the argmax tiebreak cannot diverge
+    * between them.
+    */
+  private val ivfAssignCte: String =
+    """e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v
+            FROM embeddings),
+       dims AS (
+         SELECT label, i.range AS d, round(avg(v[i.range]), 6) AS c
+         FROM e, range(1, 65) i GROUP BY 1, 2),
+       cent AS (SELECT label AS clabel, list(c ORDER BY d) AS cv
+                FROM dims GROUP BY 1),
+       asg AS (
+         SELECT vec_id, v, clabel AS ivf_list FROM (
+           SELECT e.vec_id, e.v, cent.clabel,
+             row_number() OVER (PARTITION BY e.vec_id ORDER BY
+               round(list_inner_product(e.v, cent.cv) /
+                 (sqrt(list_inner_product(e.v, e.v)) *
+                  sqrt(list_inner_product(cent.cv, cent.cv))), 4) DESC,
+               cent.clabel) AS crk
+           FROM e CROSS JOIN cent)
+         WHERE crk = 1)"""
 
   /** Exact near-dup pair SQL — the oracle for q28 AND for the approximate
     * variants q29 (MinHash+LSH) / q30 (SimHash): both emit
@@ -805,24 +830,9 @@ object SparkEntry {
     // lists. Cell-exact, not a recall gate: these embeddings have no
     // label-cosine structure, so a recall claim would gate a property the
     // data cannot exhibit (see SimilarityOps.ivfTopK scaladoc).
+    // The codebook + assignment CTEs are shared with q75 via ivfAssignCte.
     "q70_ivf_topk" ->
-      """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v
-                    FROM embeddings),
-         dims AS (
-           SELECT label, i.range AS d, round(avg(v[i.range]), 6) AS c
-           FROM e, range(1, 65) i GROUP BY 1, 2),
-         cent AS (SELECT label AS clabel, list(c ORDER BY d) AS cv
-                  FROM dims GROUP BY 1),
-         asg AS (
-           SELECT vec_id, v, clabel AS ivf_list FROM (
-             SELECT e.vec_id, e.v, cent.clabel,
-               row_number() OVER (PARTITION BY e.vec_id ORDER BY
-                 round(list_inner_product(e.v, cent.cv) /
-                   (sqrt(list_inner_product(e.v, e.v)) *
-                    sqrt(list_inner_product(cent.cv, cent.cv))), 4) DESC,
-                 cent.clabel) AS crk
-             FROM e CROSS JOIN cent)
-           WHERE crk = 1),
+      ("WITH " + ivfAssignCte + """,
          probes AS (
            SELECT query_id, qv, clabel AS ivf_list FROM (
              SELECT e.vec_id AS query_id, e.v AS qv, cent.clabel,
@@ -845,7 +855,21 @@ object SparkEntry {
              CAST(row_number() OVER (PARTITION BY query_id
                   ORDER BY cos DESC, vec_id) AS INT) AS rk
            FROM scored)
-         WHERE rk <= 5 ORDER BY query_id, rk""",
+         WHERE rk <= 5 ORDER BY query_id, rk"""),
+    // q75: SemDeDup replication — same assignment CTE, within-list pairs,
+    // drop = any smaller-id neighbor at cos >= 0.35 in the same list
+    "q75_semantic_dedup" ->
+      ("WITH " + ivfAssignCte + """,
+         drops AS (
+           SELECT DISTINCT b.vec_id FROM asg a JOIN asg b USING (ivf_list)
+           WHERE a.vec_id < b.vec_id AND
+             round(list_inner_product(a.v, b.v) /
+               (sqrt(list_inner_product(a.v, a.v)) *
+                sqrt(list_inner_product(b.v, b.v))), 4) >= 0.35)
+         SELECT vec_id, ivf_list,
+           CAST(CASE WHEN vec_id IN (SELECT vec_id FROM drops)
+             THEN 0 ELSE 1 END AS INT) AS kept
+         FROM asg ORDER BY vec_id"""),
     // q71: Gopher word-statistics rules — thresholds compared on the
     // rounded values, exactly as the Spark side computes them
     "q71_gopher_rules" ->

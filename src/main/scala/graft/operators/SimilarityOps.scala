@@ -269,18 +269,25 @@ object SimilarityOps {
     * concentrates recall; claiming that here would gate a property the
     * data cannot exhibit.
     */
-  def ivfTopK(spark: SparkSession, dir: String, nQueries: Int = 8,
-      k: Int = 5, nProbe: Int = 2): DataFrame = {
-    val emb = Tables.embeddings(spark, dir)
-    val cvec = labelCentroids(emb)
-    // corpus → inverted lists: argmin-centroid assignment, one row each
+  /** Corpus → inverted lists: argmax-cosine centroid assignment over the
+    * broadcast codebook, one row per vector — shared by [[ivfTopK]] and
+    * the SemDeDup-style [[semanticDedup]].
+    */
+  private[operators] def ivfAssign(emb: DataFrame, cvec: DataFrame): DataFrame = {
     val wAssign = Window.partitionBy(col("vec_id"))
       .orderBy(col("ccos").desc, col("clabel"))
-    val assigned = emb.crossJoin(broadcast(cvec))
+    emb.crossJoin(broadcast(cvec))
       .withColumn("ccos", round(Vectors.cosineHof(col("embedding"), col("cv")), 4))
       .withColumn("crk", row_number().over(wAssign))
       .filter(col("crk") === 1)
       .select(col("vec_id"), col("embedding"), col("clabel").as("ivf_list"))
+  }
+
+  def ivfTopK(spark: SparkSession, dir: String, nQueries: Int = 8,
+      k: Int = 5, nProbe: Int = 2): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val cvec = labelCentroids(emb)
+    val assigned = ivfAssign(emb, cvec)
     // queries → probe lists: the nProbe nearest centroids each
     val queries = emb.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
@@ -303,6 +310,34 @@ object SimilarityOps {
       .orderBy(col("query_id"), col("rk"))
   }
 
+
+  /** SemDeDup-style semantic dedup (q75): partition the corpus into the
+    * IVF inverted lists (the k-means-cluster stand-in), then drop every
+    * vector that has a smaller-id neighbor at cosine ≥ `threshold` WITHIN
+    * its list. Pairwise cost is per-list (Σ|list|²/2, never corpus²) —
+    * SemDeDup's own scaling argument: grow the cluster count with the
+    * corpus so list sizes stay bounded; cross-list near-dups are the
+    * method's documented recall loss, not a bug here. Output: every
+    * vector with its list and kept/dropped verdict, cell-exact vs the
+    * oracle's replication of assignment + within-list pairing.
+    */
+  def semanticDedup(spark: SparkSession, dir: String,
+      threshold: Double = 0.35): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val assigned = ivfAssign(emb, labelCentroids(emb))
+    val a = assigned.select(col("ivf_list"), col("vec_id").as("id_a"),
+      col("embedding").as("va"))
+    val b = assigned.select(col("ivf_list"), col("vec_id").as("id_b"),
+      col("embedding").as("vb"))
+    val drops = a.join(b, Seq("ivf_list"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(round(Vectors.cosine(col("va"), col("vb")), 4) >= threshold)
+      .select(col("id_b").as("vec_id")).distinct()
+    assigned.join(drops.withColumn("dropped", lit(1)), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("ivf_list"),
+        col("dropped").isNull.cast("int").as("kept"))
+      .orderBy(col("vec_id"))
+  }
 
   /** Embedding near-dup pairs via multi-table LSH bucketing — the scale
     * path for [[cosineNearDup]]: candidates are same-(table, bucket) pairs

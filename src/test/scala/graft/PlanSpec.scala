@@ -76,6 +76,23 @@ class PlanSpec extends SparkSpecBase {
     assert(bnlj.forall(_.contains("Cross")), bnlj.mkString("\n"))
   }
 
+  test("q70: IVF probe join broadcasts; codebook cross is BNLJ, never cartesian") {
+    val plan = executed("q70_ivf_topk")
+    assert(!plan.contains("CartesianProduct"), plan)
+    // codebook (≤ #labels rows) crossed in twice → conditionless BNLJ
+    val bnlj = plan.linesIterator.filter(_.contains("BroadcastNestedLoopJoin")).toSeq
+    assert(bnlj.forall(_.contains("Cross")), bnlj.mkString("\n"))
+  }
+
+  test("q73: LM scoring joins have no cartesian and no forced broadcast of the model") {
+    val plan = executed("q73_lm_perplexity")
+    assert(!plan.contains("CartesianProduct"), plan)
+    // the 1-row vocab frame is the only BNLJ; bigram/prefix joins are real
+    // equi-joins (hash or sort-merge — either is scale-legal)
+    val bnlj = plan.linesIterator.filter(_.contains("BroadcastNestedLoopJoin")).toSeq
+    assert(bnlj.forall(_.contains("Cross")), bnlj.mkString("\n"))
+  }
+
   test("q63: scan prunes documents to doc_id + text only") {
     val rs = readSchemaLines(executed("q63_word_length"))
     assert(rs.contains("text"), rs)

@@ -91,6 +91,20 @@ class OperatorsSpec extends SparkSpecBase {
     assert(got(4L)._3 === 0)                               // mean-word-length cap
   }
 
+  test("semanticDedup: within-list duplicate dropped (higher id), distinct vectors kept") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-semdedup").toString
+    val vA = Array(1.0f, 0.0f, 0.0f, 0.0f)
+    val vB = Array(0.0f, 1.0f, 0.0f, 0.0f)
+    // ids 1 and 2 are identical (cos 1.0, same list by construction);
+    // id 3 is orthogonal to both
+    Seq((1L, vA, 0), (2L, vA, 0), (3L, vB, 1))
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val got = SimilarityOps.semanticDedup(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getAs[Int]("kept")).toMap
+    assert(got === Map(1L -> 1, 2L -> 0, 3L -> 1), got.toString)
+  }
+
   test("quantile sketch: percentiles ordered, sketch exact at test accuracy") {
     val rows = CoreQueries.q74QuantileSketch(spark, sf0001).collect()
     assert(rows.nonEmpty)
