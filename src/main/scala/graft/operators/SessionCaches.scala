@@ -42,7 +42,9 @@ private[operators] object SessionCaches {
     * purge, and ConcurrentHashMap forbids a mapping function from mutating
     * the map it runs inside (bin corruption / lost updates). The benign
     * race (two threads building the same value once each) is acceptable
-    * for a driver-side cache.
+    * for a driver-side cache — but the loser's freshly persisted frame
+    * must be unpersisted, or it stays registered in the CacheManager as
+    * an orphan only a blanket clearCache() would reclaim.
     */
   def cached[K <: Product](m: Cache[K], k: K)(build: => DataFrame): DataFrame = {
     purgeStopped()
@@ -51,7 +53,7 @@ private[operators] object SessionCaches {
     else {
       val v = build
       val prev = m.putIfAbsent(k, v)
-      if (prev != null) prev else v
+      if (prev != null) { v.unpersist(); prev } else v
     }
   }
 

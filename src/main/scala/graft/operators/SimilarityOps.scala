@@ -324,7 +324,11 @@ object SimilarityOps {
   def semanticDedup(spark: SparkSession, dir: String,
       threshold: Double = 0.35): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
-    val assigned = ivfAssign(emb, labelCentroids(emb))
+    // persisted: read three times in one action (both pair sides + the
+    // kept/dropped join) and the assignment subtree is a corpus-scale
+    // crossJoin + argmax window — same per-call persist contract (and
+    // session-lifetime caveat) as filteredShingleRows
+    val assigned = ivfAssign(emb, labelCentroids(emb)).persist()
     val a = assigned.select(col("ivf_list"), col("vec_id").as("id_a"),
       col("embedding").as("va"))
     val b = assigned.select(col("ivf_list"), col("vec_id").as("id_b"),
