@@ -91,6 +91,19 @@ class OperatorsSpec extends SparkSpecBase {
     assert(got(4L)._3 === 0)                               // mean-word-length cap
   }
 
+  test("bloomNovelty: fp bound is a real tripwire, not a tautology") {
+    // deliberately undersize the filter 8x: false positives must trip
+    // fp_ok=0 on a meaningful fraction of docs (61/100 measured at
+    // sf0.01, deterministic — fixed corpus, fixed seeds) while the
+    // no-false-negative guarantee still holds on every doc
+    DedupOps.clearSessionCaches(spark)
+    val rows = PipelineOps.bloomNovelty(spark, "/root/testdata/sf0.01",
+      bitsPerItem = 2L).collect()
+    assert(rows.exists(_.getAs[Int]("fp_ok") === 0), "undersized bloom produced no FP trips")
+    assert(rows.forall(_.getAs[Int]("no_false_neg") === 1))
+    DedupOps.clearSessionCaches(spark)
+  }
+
   test("semanticDedup: within-list duplicate dropped (higher id), distinct vectors kept") {
     val dir = java.nio.file.Files.createTempDirectory("graft-semdedup").toString
     val vA = Array(1.0f, 0.0f, 0.0f, 0.0f)
