@@ -23,9 +23,13 @@ object ScalingBench {
 
   /** Per-dir embedding row counts, populated by main BEFORE the timed
     * loop so probe lambdas can size nPlanes without a scan job landing in
-    * the timed region.
+    * the timed region. [[embCount]] falls back to a live count for any
+    * caller invoking a probe outside main's pre-counted dirs.
     */
   private var embCounts: Map[String, Long] = Map.empty
+
+  private def embCount(s: SparkSession, d: String): Long =
+    embCounts.getOrElse(d, Tables.embeddings(s, d).count())
 
   val probes: Seq[Probe] =
     Seq("q27_dedup_exact", "q28_ngram_jaccard", "q29_minhash_neardup",
@@ -48,16 +52,23 @@ object ScalingBench {
       // would add a full scan job to the timed region and bias the slope
       Probe("q33_lsh_topk_ann", "embeddings", (s, d) =>
         SimilarityOps.lshTopKDF(Tables.embeddings(s, d),
-          nPlanes = SimilarityOps.planesFor(embCounts(d)))),
+          nPlanes = SimilarityOps.planesFor(embCount(s, d)))),
       Probe("q64_lsh_neardup_full", "embeddings", (s, d) =>
         SimilarityOps.lshNearDupDF(Tables.embeddings(s, d),
-          nPlanes = SimilarityOps.planesFor(embCounts(d)))),
+          nPlanes = SimilarityOps.planesFor(embCount(s, d)))),
       // IVF probes a fixed nProbe/#lists corpus fraction, so its cost is
       // linear in corpus size by construction — the probe verifies the
       // codebook/assignment stages (posexplode + crossJoin-broadcast)
       // don't hide anything super-linear
       Probe("q70_ivf_topk", "embeddings",
-        SparkEntry.queries("q70_ivf_topk")))
+        SparkEntry.queries("q70_ivf_topk")),
+      // round-3 corpus-level joins: bloom novelty (set-bit build + probe
+      // join) and the bigram LM (model groupBys + scoring joins) — both
+      // should be ~linear in document rows
+      Probe("q72_bloom_novelty", "documents",
+        SparkEntry.queries("q72_bloom_novelty")),
+      Probe("q73_lm_perplexity", "documents",
+        SparkEntry.queries("q73_lm_perplexity")))
 
   /** Build k-times-scaled corpora from sf0.1 (documents AND embeddings).
     * Document copy c suffixes every token with a copy marker, so each

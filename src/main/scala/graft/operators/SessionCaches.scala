@@ -42,9 +42,13 @@ private[operators] object SessionCaches {
     * purge, and ConcurrentHashMap forbids a mapping function from mutating
     * the map it runs inside (bin corruption / lost updates). The benign
     * race (two threads building the same value once each) is acceptable
-    * for a driver-side cache — but the loser's freshly persisted frame
-    * must be unpersisted, or it stays registered in the CacheManager as
-    * an orphan only a blanket clearCache() would reclaim.
+    * for a driver-side cache. The loser's frame is deliberately NOT
+    * unpersisted: CacheManager entries are keyed by logical-plan match,
+    * so both builds of the same deterministic plan share ONE cache entry
+    * (the second persist is a no-op) — unpersisting the loser would evict
+    * the winner's entry and leave the map serving a silently-recomputing
+    * frame, the exact failure [[clear]]'s scaladoc warns about. No orphan
+    * exists to clean up.
     */
   def cached[K <: Product](m: Cache[K], k: K)(build: => DataFrame): DataFrame = {
     purgeStopped()
@@ -53,7 +57,7 @@ private[operators] object SessionCaches {
     else {
       val v = build
       val prev = m.putIfAbsent(k, v)
-      if (prev != null) { v.unpersist(); prev } else v
+      if (prev != null) prev else v
     }
   }
 

@@ -321,14 +321,20 @@ object SimilarityOps {
     * vector with its list and kept/dropped verdict, cell-exact vs the
     * oracle's replication of assignment + within-list pairing.
     */
+  /** Session-scoped cache for the persisted IVF assignment — read three
+    * times per [[semanticDedup]] evaluation (both pair sides + the
+    * kept/dropped join) and the subtree is a corpus-scale crossJoin +
+    * argmax window. Routed through [[SessionCaches]] so
+    * `clearSessionCaches` releases it (a bare per-call persist is the
+    * leak class the registry exists to prevent).
+    */
+  private val ivfAssignCache = SessionCaches.newCache[(SparkSession, String)]()
+
   def semanticDedup(spark: SparkSession, dir: String,
       threshold: Double = 0.35): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
-    // persisted: read three times in one action (both pair sides + the
-    // kept/dropped join) and the assignment subtree is a corpus-scale
-    // crossJoin + argmax window — same per-call persist contract (and
-    // session-lifetime caveat) as filteredShingleRows
-    val assigned = ivfAssign(emb, labelCentroids(emb)).persist()
+    val assigned = SessionCaches.cached(ivfAssignCache, (spark, dir))(
+      ivfAssign(emb, labelCentroids(emb)).persist())
     val a = assigned.select(col("ivf_list"), col("vec_id").as("id_a"),
       col("embedding").as("va"))
     val b = assigned.select(col("ivf_list"), col("vec_id").as("id_b"),

@@ -23,20 +23,13 @@ object DocsStream {
     StructField("lang", StringType), StructField("source", StringType),
     StructField("n_chars", LongType)))
 
-  /** Stage the documents table into a fresh watch directory and open it
-    * as a file stream (same landing-zone shape as
-    * [[EventsStream.stagedEventsStream]]).
+  /** The documents table as a staged file stream (shared landing-zone
+    * staging: [[EventsStream.stageParquetStream]]).
     */
   def stagedDocumentsStream(spark: SparkSession, dir: String,
-      prefix: String): DataFrame = {
-    val watchDir = java.nio.file.Files.createTempDirectory(prefix)
-    val staged = watchDir.resolve("documents-000.parquet")
-    watchDir.toFile.deleteOnExit()
-    staged.toFile.deleteOnExit()
-    java.nio.file.Files.copy(
-      java.nio.file.Paths.get(s"$dir/documents.parquet"), staged)
-    spark.readStream.schema(documentsSchema).parquet(watchDir.toString)
-  }
+      prefix: String): DataFrame =
+    EventsStream.stageParquetStream(spark, s"$dir/documents.parquet",
+      prefix, documentsSchema)
 
   /** The row-local curation verdict shared by the stream and its batch
     * gate: quality score (single-row Column formulation — in a stream

@@ -21,10 +21,25 @@ object EventsStream {
     StructField("user_id", LongType), StructField("event_type", StringType),
     StructField("value", DoubleType), StructField("props", StringType)))
 
-  /** Stage the single-file events table into a fresh watch directory and
-    * open it as a file stream (the landing-zone shape a production stream
-    * consumes), with the ns→µs conversion applied. Shared by every
-    * streaming entry point here and by Sessionize.
+  /** Stage one parquet file into a fresh watch directory and open it as a
+    * schema-pinned file stream — the landing-zone shape a production
+    * stream consumes. Shared by the events entry points (here and
+    * Sessionize) and by [[DocsStream]].
+    */
+  private[streaming] def stageParquetStream(spark: SparkSession,
+      srcFile: String, prefix: String, schema: StructType): DataFrame = {
+    val watchDir = java.nio.file.Files.createTempDirectory(prefix)
+    val staged = watchDir.resolve("staged-000.parquet")
+    // DeleteOnExitHook runs in REVERSE registration order: register the
+    // directory first so the file inside it is deleted before it
+    watchDir.toFile.deleteOnExit()
+    staged.toFile.deleteOnExit()
+    java.nio.file.Files.copy(java.nio.file.Paths.get(srcFile), staged)
+    spark.readStream.schema(schema).parquet(watchDir.toString)
+  }
+
+  /** The events table as a staged file stream, with the ns→µs conversion
+    * applied.
     */
   def stagedEventsStream(spark: SparkSession, dir: String,
       prefix: String): DataFrame = {
@@ -32,17 +47,7 @@ object EventsStream {
     // every events read in this project needs nano timestamps as longs,
     // and the streaming source consults the conf beyond this call
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val watchDir = java.nio.file.Files.createTempDirectory(prefix)
-    val staged = watchDir.resolve("events-000.parquet")
-    // DeleteOnExitHook runs in REVERSE registration order: register the
-    // directory first so the file inside it is deleted before it
-    watchDir.toFile.deleteOnExit()
-    staged.toFile.deleteOnExit()
-    java.nio.file.Files.copy(
-      java.nio.file.Paths.get(s"$dir/events.parquet"), staged)
-    spark.readStream
-      .schema(eventsRawSchema)
-      .parquet(watchDir.toString)
+    stageParquetStream(spark, s"$dir/events.parquet", prefix, eventsRawSchema)
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
 
