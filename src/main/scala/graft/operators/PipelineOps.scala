@@ -196,9 +196,13 @@ object PipelineOps {
       df.crossJoin(mDf).select(keep.map(col) :+
         explode(array((0 until k).map(s =>
           pmod(xxhash64(col("tok"), lit(s)), col("m"))): _*)).as("pos"): _*)
+    // no broadcast HINT on the set-bits side: AQE broadcasts it while it
+    // fits (it does at test scale — PlanSpec pins the BroadcastHashJoin)
+    // and degrades to a shuffle join on `pos` when a 100 TB history's
+    // filter outgrows the driver, instead of OOMing on a forced hint
     val setBits = positions(hist, Seq("tok")).select(col("pos")).distinct()
     val probed = positions(batch, Seq("doc_id", "tok"))
-      .join(broadcast(setBits.withColumn("hit", lit(1))), Seq("pos"), "left")
+      .join(setBits.withColumn("hit", lit(1)), Seq("pos"), "left")
       .groupBy(col("doc_id"), col("tok"))
       .agg((count(col("hit")) === k).cast("long").as("bloom_hit"))
     // exact membership PER SHINGLE (the gate's ground truth — this join is
