@@ -49,8 +49,10 @@ object Bench {
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
     // compact summary AFTER the big per-query line: the driver captures the
     // TAIL of stdout, and round 2's full line was truncated mid-JSON,
-    // losing the total — the last bytes must always carry the headline
-    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${names.size},"n_failed":${failed.size},"sf":"$sfDir"}""")
+    // losing the total — the last bytes must always carry the headline.
+    // Distinct metric name so a consumer keying on "metric" never
+    // double-counts the total.
+    println(s"""{"metric":"total_summary","value":$total,"unit":"sec","n_queries":${names.size},"n_failed":${failed.size},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -46,7 +46,7 @@ object SimilarityOps {
     * test scale, this function is the knob that moves with the corpus.
     */
   def planesFor(n: Long, targetBucket: Long = 32L): Int =
-    math.min(63, math.max(4,
+    math.min(62, math.max(4,
       math.ceil(math.log((n.toDouble / targetBucket).max(1.0)) / math.log(2.0)).toInt))
 
   /** The population cap as a broadcast 1-row frame computed from the
@@ -54,8 +54,11 @@ object SimilarityOps {
     * dedup df cap).
     */
   private def bucketCapFrame(emb: DataFrame, nPlanes: Int): DataFrame =
+    // math.pow, not 1L << nPlanes: a Long shift at nPlanes >= 63 overflows
+    // negative and the cap would silently degrade to the floor (and
+    // planesFor is clamped to 62 for the same reason)
     emb.agg(greatest(lit(BucketCapFloor),
-      ceil(count(lit(1)) * lit(BucketCapMult / (1L << nPlanes))).cast("long"))
+      ceil(count(lit(1)) * lit(BucketCapMult / math.pow(2.0, nPlanes))).cast("long"))
       .as("cap"))
 
   /** Drop (tbl, bucket) groups above the population cap — one window pass
