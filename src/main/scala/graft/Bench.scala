@@ -1,9 +1,46 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
 object Bench {
+
+  /** Median of an arbitrary non-empty sample (lower-middle on even n) —
+    * the per-query statistic: single-run times swing up to ~3.7× across
+    * JVMs from GC/JIT noise with zero code change (VERDICT r4), which
+    * made round-over-round per-query deltas unreadable. 3 same-JVM reps
+    * with a median collapse that noise without letting one lucky run
+    * hide a regression.
+    */
+  def median(xs: Seq[Double]): Double = {
+    require(xs.nonEmpty, "median of empty sample")
+    val s = xs.sorted
+    s((s.size - 1) / 2)
+  }
+
+  /** Render the two stdout lines from the per-query medians. Contract
+    * (spec-pinned): EXACTLY one `"metric":"total"` line carrying the full
+    * per-query payload, then EXACTLY one compact `"metric":"total_summary"`
+    * line LAST — the driver captures the tail of stdout and round 2's big
+    * line was truncated mid-JSON, so the last bytes must always carry the
+    * headline. Failed queries appear as negative durations (never
+    * mistakable for a measurement) and are excluded from the total — a
+    * run with a broken expensive query must not look FASTER.
+    */
+  def renderLines(results: Map[String, Double], failed: Seq[String],
+      sf: String): Seq[String] = {
+    val qs = results.toSeq.sortBy(_._1)
+      .map { case (k, v) => s"\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    val total = results.values.filter(_ >= 0).sum
+    val failedJson = failed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
+    Seq(
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sf"}""",
+      s"""{"metric":"total_summary","value":$total,"unit":"sec","n_queries":${results.size},"n_failed":${failed.size},"sf":"$sf"}""")
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -22,37 +59,54 @@ object Bench {
         .foreach(_(spark, sfDir).write.mode("overwrite").format("noop").save())
     } catch { case _: Throwable => () }
     val names = SparkEntry.queries.keys.toSeq.sorted
+    // `reps` full passes in sorted order in ONE JVM; per-query median.
+    // Session caches are NOT cleared between passes on purpose: the
+    // per-round number measures the engine as a user sees it in a warm
+    // session, and every pass still pays each query's own execution
+    // (ScalingBench, which fits slopes, is the one that force-evicts).
+    val passes: Seq[Map[String, Double]] = (1 to reps).map { _ =>
+      names.map { name =>
+        val fn = SparkEntry.queries(name)
+        val t0 = System.nanoTime()
+        // noop sink forces full evaluation (count() would let Catalyst
+        // prune projections/ordering and under-measure the query)
+        val ok =
+          try { fn(spark, sfDir).write.mode("overwrite").format("noop").save(); true }
+          catch { case e: Throwable =>
+            System.err.println(s"BENCH FAIL $name: ${e.getClass.getSimpleName}: ${e.getMessage}")
+            false
+          }
+        val dt = (System.nanoTime() - t0) / 1e9
+        name -> (if (ok) dt else -dt)
+      }.toMap
+    }
     val failed = scala.collection.mutable.ArrayBuffer.empty[String]
     val results = names.map { name =>
-      val fn = SparkEntry.queries(name)
-      val t0 = System.nanoTime()
-      // noop sink forces full evaluation (count() would let Catalyst prune
-      // projections/ordering and under-measure the query)
-      val ok =
-        try { fn(spark, sfDir).write.mode("overwrite").format("noop").save(); true }
-        catch { case e: Throwable =>
-          System.err.println(s"BENCH FAIL $name: ${e.getClass.getSimpleName}: ${e.getMessage}")
-          failed += name
-          false
-        }
-      // a failing query reports a negative duration so it can never be
-      // mistaken for a plausible measurement
-      val dt = (System.nanoTime() - t0) / 1e9
-      name -> (if (ok) dt else -dt)
+      val ts = passes.map(_(name))
+      val good = ts.filter(_ >= 0)
+      // failed = no rep succeeded (a real break is deterministic); a
+      // query that succeeded at least once reports the median of its
+      // successful reps
+      name -> (if (good.nonEmpty) median(good)
+               else { failed += name; -median(ts.map(math.abs)) })
     }.toMap
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    // failed queries (negative markers) must not shrink the total — a run
-    // with a broken expensive query would otherwise look FASTER
-    val total = results.values.filter(_ >= 0).sum
-    val failedJson = failed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
-    // compact summary AFTER the big per-query line: the driver captures the
-    // TAIL of stdout, and round 2's full line was truncated mid-JSON,
-    // losing the total — the last bytes must always carry the headline.
-    // Distinct metric name so a consumer keying on "metric" never
-    // double-counts the total.
-    println(s"""{"metric":"total_summary","value":$total,"unit":"sec","n_queries":${names.size},"n_failed":${failed.size},"sf":"$sfDir"}""")
+    val lines = renderLines(results, failed.toSeq, sfDir)
+    // persist the full per-query history BEFORE printing: the driver's
+    // stdout tail truncates the big line (r2, r4 lost 17 queries' times),
+    // so the committed artifacts are the durable record
+    try {
+      import java.nio.file.{Files, Paths, StandardOpenOption => O}
+      import java.nio.charset.StandardCharsets.UTF_8
+      Files.write(Paths.get("BENCH_LOCAL.json"),
+        (lines.head + "\n").getBytes(UTF_8))
+      val round = sys.env.getOrElse("SPARK_GRAFT_ROUND", "local")
+      Files.write(Paths.get("bench_history.jsonl"),
+        (s"""{"round":"$round",${lines.head.stripPrefix("{")}""" + "\n").getBytes(UTF_8),
+        O.CREATE, O.APPEND)
+    } catch { case e: Throwable =>
+      System.err.println(s"BENCH HISTORY WRITE FAIL: ${e.getMessage}")
+    }
+    lines.foreach(println)
     spark.stop()
   }
 }

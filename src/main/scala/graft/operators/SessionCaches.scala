@@ -61,6 +61,24 @@ private[operators] object SessionCaches {
     }
   }
 
+  /** Live entry count owned by `spark` across every registered cache —
+    * the operator-scoped cache footprint. Specs assert THIS is stable
+    * across repeated operator calls (and zero after [[clear]]) instead of
+    * an equality over the context-global `getPersistentRDDs` census: that
+    * census also counts `localCheckpoint` RDDs from other suites' CC
+    * fixpoints, which Spark's ContextCleaner unpersists asynchronously
+    * when they become unreachable — an equality over it races the
+    * cleaner.
+    */
+  def entryCount(spark: SparkSession): Int = {
+    var n = 0
+    registry.forEach { m =>
+      m.forEach((k, _) =>
+        if (k.productElement(0).asInstanceOf[SparkSession] eq spark) n += 1)
+    }
+    n
+  }
+
   /** Unpersist and forget every cached relation of this session — for
     * callers (ScalingBench) that need each run to measure the full
     * pipeline rather than a cache hit. `spark.catalog.clearCache()` alone

@@ -49,11 +49,29 @@ object SimilarityOps {
     math.min(62, math.max(4,
       math.ceil(math.log((n.toDouble / targetBucket).max(1.0)) / math.log(2.0)).toInt))
 
+  /** The IVF-family counterpart of [[planesFor]]: a codebook SIZED to the
+    * corpus — ⌈n / targetList⌉ lists — so the expected inverted-list
+    * population stays near `targetList` as the corpus grows and
+    * [[semanticDedup]]'s within-list pairwise is O(n · targetList)
+    * instead of Σ|list|² at a fixed list count. The label codebook's
+    * cardinality is a property of the DATA (10 here), not a knob: at 100×
+    * data each label list grows 100×, pairwise cost 10,000× — this
+    * function is the knob that moves with the corpus (SemDeDup's own
+    * scaling argument: grow the cluster count, keep list sizes bounded).
+    * Clamped to [2, 2²⁰]: the codebook is broadcast for assignment, so it
+    * must stay executor-sized — at very large n pick `targetList` so k
+    * lands near √n (the classic IVF split of work between the probe and
+    * the list scan) rather than growing k without bound.
+    */
+  def kFor(n: Long, targetList: Long = 1000L): Int =
+    math.min(1 << 20,
+      math.max(2, math.ceil(n.toDouble / targetList.toDouble).toInt))
+
   /** The population cap as a broadcast 1-row frame computed from the
     * corpus inside the plan (same BNLJ-against-one-row shape as the
     * dedup df cap).
     */
-  private def bucketCapFrame(emb: DataFrame, nPlanes: Int): DataFrame =
+  private[operators] def bucketCapFrame(emb: DataFrame, nPlanes: Int): DataFrame =
     // math.pow, not 1L << nPlanes: a Long shift at nPlanes >= 63 overflows
     // negative and the cap would silently degrade to the floor (and
     // planesFor is clamped to 62 for the same reason)
@@ -232,6 +250,27 @@ object SimilarityOps {
         s => s.getField("c")).as("cv"))
   }
 
+  /** Deterministic corpus-sized coarse codebook — [[kFor]]'s companion:
+    * the k lowest-`xxhash64(vec_id, seed)` vectors become the centroids
+    * (a seeded uniform sample, i.e. the k-means init step; at scale, run
+    * Lloyd iterations over it with [[ivfAssign]] + a per-list mean — that
+    * moves the centroids but not any plan shape here). The selection is a
+    * distributed TakeOrdered top-k, never a full sort; the window that
+    * numbers the centroids runs over only k rows. Output schema matches
+    * [[labelCentroids]] (`(clabel, cv)`, cv in double), so every IVF
+    * consumer takes either codebook unchanged.
+    */
+  private[operators] def sampledCentroids(emb: DataFrame, k: Int,
+      seed: Long = 7L): DataFrame = {
+    val picked = emb
+      .select(col("vec_id"), col("embedding"),
+        xxhash64(col("vec_id"), lit(seed)).as("h"))
+      .orderBy(col("h"), col("vec_id")).limit(k)
+    val w = Window.orderBy(col("h"), col("vec_id"))
+    picked.withColumn("clabel", row_number().over(w).cast("long"))
+      .select(col("clabel"), col("embedding").cast("array<double>").as("cv"))
+  }
+
   /** Per-label centroids + nearest-centroid assignment (one k-means-style
     * assignment step over the labeled embeddings): assignment = argmax
     * cosine over the broadcast centroids.
@@ -257,9 +296,10 @@ object SimilarityOps {
     * the codebook is tiny → broadcast twice (corpus assignment + query
     * probe selection); the only corpus shuffle is the equi-join on the
     * assigned centroid id. Expected scan fraction ≈ nProbe/k per query —
-    * at 100 TB, k grows with corpus size (√n is the classic choice) and
-    * the inverted lists become the partitioning key, so a query touches
-    * a bounded slice of the corpus regardless of n.
+    * at 100 TB, k grows with corpus size ([[kFor]] is that knob as code;
+    * [[ivfTopKSized]] runs it) and the inverted lists become the
+    * partitioning key, so a query touches a bounded slice of the corpus
+    * regardless of n.
     *
     * Gate (q70): the ENTIRE pipeline — centroid codebook, argmax
     * assignment, probe selection, probed top-k — is replicated in DuckDB
@@ -289,7 +329,24 @@ object SimilarityOps {
   def ivfTopK(spark: SparkSession, dir: String, nQueries: Int = 8,
       k: Int = 5, nProbe: Int = 2): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
-    val cvec = labelCentroids(emb)
+    ivfTopKOn(emb, labelCentroids(emb), nQueries, k, nProbe)
+  }
+
+  /** [[ivfTopK]] with the corpus-sized [[sampledCentroids]] codebook —
+    * the 100 TB configuration ([[kFor]] picks `kLists`): probe cost per
+    * query is nProbe · n/kLists, bounded as the corpus grows because the
+    * list count grows with it. The label-codebook [[ivfTopK]] stays the
+    * oracle-gated operating point (q70 replicates its full pipeline in
+    * SQL); this variant is spec- and ScalingBench-gated.
+    */
+  def ivfTopKSized(spark: SparkSession, dir: String, kLists: Int,
+      nQueries: Int = 8, k: Int = 5, nProbe: Int = 2): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    ivfTopKOn(emb, sampledCentroids(emb, kLists), nQueries, k, nProbe)
+  }
+
+  private[operators] def ivfTopKOn(emb: DataFrame, cvec: DataFrame,
+      nQueries: Int, k: Int, nProbe: Int): DataFrame = {
     val assigned = ivfAssign(emb, cvec)
     // queries → probe lists: the nProbe nearest centroids each
     val queries = emb.filter(col("vec_id") < nQueries)
@@ -319,10 +376,11 @@ object SimilarityOps {
     * vector that has a smaller-id neighbor at cosine ≥ `threshold` WITHIN
     * its list. Pairwise cost is per-list (Σ|list|²/2, never corpus²) —
     * SemDeDup's own scaling argument: grow the cluster count with the
-    * corpus so list sizes stay bounded; cross-list near-dups are the
-    * method's documented recall loss, not a bug here. Output: every
-    * vector with its list and kept/dropped verdict, cell-exact vs the
-    * oracle's replication of assignment + within-list pairing.
+    * corpus so list sizes stay bounded ([[kFor]] + [[semanticDedupSized]]
+    * are that argument as code); cross-list near-dups are the method's
+    * documented recall loss, not a bug here. Output: every vector with
+    * its list and kept/dropped verdict, cell-exact vs the oracle's
+    * replication of assignment + within-list pairing.
     */
   /** Session-scoped cache for the persisted IVF assignment — read three
     * times per [[semanticDedup]] evaluation (both pair sides + the
@@ -333,23 +391,115 @@ object SimilarityOps {
     */
   private val ivfAssignCache = SessionCaches.newCache[(SparkSession, String)]()
 
+  /** Same contract for [[semanticDedupSized]]'s assignment, keyed by the
+    * codebook size as well (different k ⇒ different assignment plan).
+    */
+  private val ivfAssignSizedCache =
+    SessionCaches.newCache[(SparkSession, String, Int)]()
+
+  /** Inverted-list population cap for the within-list pairwise stage, the
+    * IVF counterpart of the LSH [[BucketCapMult]] guard: relative to the
+    * EXPECTED uniform list population n/k — `max(32, ceil(4n/k))` — so
+    * healthy assignments (measured list skew ≤ ~2× the mean on the
+    * testdata's 10 near-uniform lists) pass untouched, while a
+    * mass-duplicated cluster that swallows a list cannot send the
+    * pairwise join quadratic. `k` must be the CODEBOOK cardinality, not
+    * `countDistinct(ivf_list)` of the assignment: in the degenerate case
+    * (everything assigned to one list) the assigned-distinct count is 1
+    * and a cap derived from it would never fire — exactly when it must.
+    */
+  val ListCapMult = 4.0
+  val ListCapFloor = 32L
+
+  /** Assignment + list populations + the in/over-cap verdict. `kDf` is a
+    * 1-row `(k)` frame carrying the codebook cardinality; the population
+    * window runs on the SAME key the pairwise join shuffles on, so the
+    * guard adds no extra exchange. `listCap` overrides the corpus-relative
+    * default (spec use only).
+    */
+  private[operators] def semanticCapped(assigned: DataFrame, kDf: DataFrame,
+      listCap: Long = DedupOps.CapFromDf): DataFrame = {
+    val capDf =
+      if (listCap == DedupOps.CapFromDf)
+        assigned.agg(count(lit(1)).as("n")).crossJoin(broadcast(kDf))
+          .select(greatest(lit(ListCapFloor),
+            ceil(col("n") * lit(ListCapMult) / col("k"))).cast("long").as("cap"))
+      else assigned.sparkSession.range(1).select(lit(listCap).as("cap"))
+    assigned
+      .withColumn("pop",
+        count(lit(1)).over(Window.partitionBy(col("ivf_list"))))
+      .crossJoin(broadcast(capDf))
+      .withColumn("in_cap", col("pop") <= col("cap"))
+      .select(col("vec_id"), col("embedding"), col("ivf_list"), col("in_cap"))
+  }
+
+  /** Within-list candidate pairs over the in-cap lists only — exposed for
+    * the adversarial boundedness spec (the pre-cosine volume is the thing
+    * the cap bounds: ≤ cap²/2 per list, O(n · cap) total).
+    */
+  private[operators] def semanticListPairs(capped: DataFrame): DataFrame = {
+    val inCap = capped.filter(col("in_cap"))
+    inCap.select(col("ivf_list"), col("vec_id").as("id_a"),
+        col("embedding").as("va"))
+      .join(inCap.select(col("ivf_list"), col("vec_id").as("id_b"),
+        col("embedding").as("vb")), Seq("ivf_list"))
+      .filter(col("id_a") < col("id_b"))
+  }
+
+  /** Core of both semantic-dedup entries. Over-cap lists skip the
+    * pairwise stage and fall back to exact-duplicate collapse (q69's
+    * linear contract — a list that outgrew 4× the expected population is
+    * a mass-duplicate cluster in practice): only non-minimal exact copies
+    * are dropped there, and the forgone near-dup recall inside a capped
+    * list is the same documented trade as the LSH bucket caps. At the
+    * corpus-relative default no testdata list is anywhere near the cap,
+    * so the oracle-gated output is unchanged (pop ≈ n/k, cap = 4× that).
+    */
+  private[operators] def semanticDedupOn(assigned: DataFrame, kDf: DataFrame,
+      threshold: Double, listCap: Long = DedupOps.CapFromDf): DataFrame = {
+    val capped = semanticCapped(assigned, kDf, listCap)
+    val pairDrops = semanticListPairs(capped)
+      .filter(round(Vectors.cosine(col("va"), col("vb")), 4) >= threshold)
+      .select(col("id_b").as("vec_id"))
+    val exactDrops = capped.filter(!col("in_cap"))
+      .withColumn("keep_id", min(col("vec_id"))
+        .over(Window.partitionBy(col("ivf_list"), col("embedding"))))
+      .filter(col("vec_id") =!= col("keep_id"))
+      .select(col("vec_id"))
+    val drops = pairDrops.union(exactDrops).distinct()
+    capped.join(drops.withColumn("dropped", lit(1)), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("ivf_list"),
+        col("dropped").isNull.cast("int").as("kept"))
+      .orderBy(col("vec_id"))
+  }
+
   def semanticDedup(spark: SparkSession, dir: String,
       threshold: Double = 0.35): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
     val assigned = SessionCaches.cached(ivfAssignCache, (spark, dir))(
       ivfAssign(emb, labelCentroids(emb)).persist())
-    val a = assigned.select(col("ivf_list"), col("vec_id").as("id_a"),
-      col("embedding").as("va"))
-    val b = assigned.select(col("ivf_list"), col("vec_id").as("id_b"),
-      col("embedding").as("vb"))
-    val drops = a.join(b, Seq("ivf_list"))
-      .filter(col("id_a") < col("id_b"))
-      .filter(round(Vectors.cosine(col("va"), col("vb")), 4) >= threshold)
-      .select(col("id_b").as("vec_id")).distinct()
-    assigned.join(drops.withColumn("dropped", lit(1)), Seq("vec_id"), "left")
-      .select(col("vec_id"), col("ivf_list"),
-        col("dropped").isNull.cast("int").as("kept"))
-      .orderBy(col("vec_id"))
+    // k = the label codebook's cardinality, as a plan (one cheap column
+    // scan), never a driver-side collect
+    semanticDedupOn(assigned,
+      emb.agg(countDistinct(col("label")).as("k")), threshold)
+  }
+
+  /** [[semanticDedup]] with the corpus-sized [[sampledCentroids]]
+    * codebook — the scale configuration: callers size `kLists` with
+    * [[kFor]], which holds expected list population at `targetList` and
+    * the pairwise stage at O(n · targetList) as the corpus grows. The
+    * label-codebook entry stays the oracle-gated q75 operating point;
+    * this one is gated by SimilarityScaleSpec (same verdicts as an
+    * uncapped run on healthy data) and ScalingBench (slope ~1 where the
+    * fixed-k codebook shows its quadratic).
+    */
+  def semanticDedupSized(spark: SparkSession, dir: String, kLists: Int,
+      threshold: Double = 0.35): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val assigned = SessionCaches.cached(ivfAssignSizedCache, (spark, dir, kLists))(
+      ivfAssign(emb, sampledCentroids(emb, kLists)).persist())
+    semanticDedupOn(assigned,
+      spark.range(1).select(lit(kLists.toLong).as("k")), threshold)
   }
 
   /** Embedding near-dup pairs via multi-table LSH bucketing — the scale

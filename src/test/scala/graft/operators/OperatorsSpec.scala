@@ -178,6 +178,26 @@ class OperatorsSpec extends SparkSpecBase {
     assert(ivf.toSeq === bf.toSeq)
   }
 
+  test("ivf topk sized codebook: probing all kFor lists reproduces brute force exactly") {
+    // the same degenerate-probe identity as the label-codebook test, on
+    // the CORPUS-SIZED codebook (kFor + sampledCentroids) — proves the
+    // scale knob changes the partitioning, never the scoring
+    val k = SimilarityOps.kFor(500L, targetList = 100) // 5 lists at sf0.001
+    val ivf = SimilarityOps.ivfTopKSized(spark, sf0001, kLists = k, nProbe = k)
+      .collect()
+    val bf = SimilarityOps.bruteForceTopK(spark, sf0001).collect()
+    assert(ivf.toSeq === bf.toSeq)
+    // fewer probes: bounded per-query results, neighbors from the corpus
+    val ids = graft.Tables.embeddings(spark, sf0001)
+      .select("vec_id").as[Long].collect().toSet
+    val one = SimilarityOps.ivfTopKSized(spark, sf0001, kLists = k, nProbe = 1)
+      .collect()
+    assert(one.nonEmpty)
+    assert(one.forall(r => ids(r.getAs[Long]("neighbor_id"))))
+    one.groupBy(_.getAs[Long]("query_id")).values
+      .foreach(rows => assert(rows.length <= 5))
+  }
+
   test("ivf topk: fewer probes never invent neighbors outside the corpus") {
     val ids = graft.Tables.embeddings(spark, sf0001).select("vec_id").as[Long].collect().toSet
     val got = SimilarityOps.ivfTopK(spark, sf0001, nProbe = 1).collect()

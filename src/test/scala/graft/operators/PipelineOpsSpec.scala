@@ -36,17 +36,23 @@ class PipelineOpsSpec extends SparkSpecBase {
     def run() = PipelineOps.trainValSplit(spark, sf0001).collect()
     run()
     // repeated invocations must NOT accumulate persisted relations: the
-    // assignment is served from the session cache, so the persistent-RDD
-    // census is stable across calls (the round-2 audit found one fresh
-    // persist per invocation here)
-    val afterFirst = spark.sparkContext.getPersistentRDDs.size
+    // assignment is served from the session-cache registry, so the
+    // registry footprint is stable across calls (the round-2 audit found
+    // one fresh persist per invocation here). Deliberately NOT an
+    // equality over the global getPersistentRDDs census: that census
+    // shrinks asynchronously when ContextCleaner collects other suites'
+    // GC'd localCheckpoint RDDs, so asserting on it is a race (the
+    // round-4 flake)
+    val afterFirst = SessionCaches.entryCount(spark)
+    assert(afterFirst > 0)
     run(); run()
-    assert(spark.sparkContext.getPersistentRDDs.size === afterFirst)
-    // eviction releases it along with the dedup relations: every
-    // CacheManager-tracked relation of the session is gone (checkpoint
-    // RDDs from the CC fixpoint are RDD-level, not CacheManager, and are
-    // owned by their own lifecycle)
+    assert(SessionCaches.entryCount(spark) === afterFirst)
+    // eviction releases every registry entry and every CacheManager-
+    // tracked relation of the session (checkpoint RDDs from the CC
+    // fixpoint are RDD-level, not CacheManager, and are owned by their
+    // own lifecycle)
     DedupOps.clearSessionCaches(spark)
+    assert(SessionCaches.entryCount(spark) === 0)
     assert(spark.sharedState.cacheManager.isEmpty)
     // and the operator still works after eviction (cache rebuilds)
     assert(run().nonEmpty)

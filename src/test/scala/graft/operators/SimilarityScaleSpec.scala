@@ -71,6 +71,77 @@ class SimilarityScaleSpec extends SparkSpecBase {
     assert(perQuery.values.forall(_ > 0), perQuery.toMap.toString)
   }
 
+  test("semanticDedup list cap: mega-list skips pairwise, exact-collapse backstop still dedups it") {
+    // hand-built assignment isolating the cap mechanics from codebook
+    // choice: one mega list (the 1000-copy mass), the planted near-pair in
+    // list 1, backgrounds spread over lists 1-7; codebook cardinality 8
+    // ⇒ corpus-relative cap = max(32, ceil(4·1052/8)) = 526 < 1000, so
+    // ONLY the mass list is over cap
+    val assigned = adversarial.select(col("vec_id"), col("embedding"),
+      when(col("vec_id") >= 3000L, lit(0L))
+        .when(col("vec_id").isin(1000L, 1001L), lit(1L))
+        .otherwise(pmod(col("vec_id"), lit(7)) + 1).as("ivf_list"))
+    val kDf = spark.range(1).select(lit(8L).as("k"))
+    // uncapped: the mega list alone contributes C(1000,2) pairs
+    val uncapped = SimilarityOps.semanticListPairs(
+      SimilarityOps.semanticCapped(assigned, kDf, listCap = Long.MaxValue)).count()
+    assert(uncapped >= 1000L * 999 / 2, s"uncapped=$uncapped")
+    // corpus-relative cap: mass pairs never materialize
+    val capped = SimilarityOps.semanticListPairs(
+      SimilarityOps.semanticCapped(assigned, kDf)).collect()
+    assert(capped.length < uncapped / 100, s"capped=${capped.length}")
+    assert(!capped.exists(r =>
+      inMass(r.getAs[Long]("id_a")) && inMass(r.getAs[Long]("id_b"))))
+    // end-to-end verdicts: the mass still dedups (exact-collapse backstop
+    // keeps only its min id), the planted near-pair still resolves through
+    // the in-cap pairwise (1000 kept, 1001 dropped), backgrounds survive
+    val verdicts = SimilarityOps.semanticDedupOn(assigned, kDf, threshold = 0.9)
+      .collect().map(r => r.getAs[Long]("vec_id") -> r.getAs[Int]("kept")).toMap
+    assert(verdicts(3000L) === 1)
+    assert((3001L until 4000L).forall(verdicts(_) === 0))
+    assert(verdicts(1000L) === 1)
+    assert(verdicts(1001L) === 0)
+    assert((0L until 50L).forall(verdicts(_) === 1))
+  }
+
+  test("semanticDedup corpus-relative cap never fires on healthy testdata: capped == uncapped") {
+    // the q75 regression pin: at the default cap (4× expected list
+    // population) the oracle-gated label-codebook output is bit-identical
+    // to a fully uncapped run on the driver-provided testdata
+    val emb = graft.Tables.embeddings(spark, sf0001)
+    val assigned = SimilarityOps.ivfAssign(emb, SimilarityOps.labelCentroids(emb))
+    val kDf = emb.agg(countDistinct(col("label")).as("k"))
+    val capped = SimilarityOps.semanticDedupOn(assigned, kDf, 0.35).collect()
+    val uncapped = SimilarityOps.semanticDedupOn(assigned, kDf, 0.35,
+      listCap = Long.MaxValue).collect()
+    assert(capped.length > 0)
+    assert(capped.map(_.toSeq).toSeq === uncapped.map(_.toSeq).toSeq)
+  }
+
+  test("sized codebook (kFor + sampledCentroids): healthy corpus verdicts match uncapped; structure holds") {
+    // healthy corpus: the 50 distinct backgrounds + the planted near-pair
+    val healthy = adversarial.filter(col("vec_id") < 3000L)
+    val k = SimilarityOps.kFor(52, targetList = 16) // = 4 lists
+    assert(k === 4)
+    val cvec = SimilarityOps.sampledCentroids(healthy, k)
+    assert(cvec.count() === k)
+    val assigned = SimilarityOps.ivfAssign(healthy, cvec)
+    // every vector assigned exactly once, to a sampled centroid id
+    assert(assigned.count() === 52)
+    assert(assigned.agg(countDistinct(col("vec_id"))).head.getLong(0) === 52)
+    val kDf = spark.range(1).select(lit(k.toLong).as("k"))
+    val capped = SimilarityOps.semanticDedupOn(assigned, kDf, 0.9).collect()
+    val uncapped = SimilarityOps.semanticDedupOn(assigned, kDf, 0.9,
+      listCap = Long.MaxValue).collect()
+    assert(capped.map(_.toSeq).toSeq === uncapped.map(_.toSeq).toSeq)
+    // the planted near-pair shares a list (near-identical vectors argmax to
+    // the same centroid) and resolves: 1000 kept, 1001 dropped
+    val verdicts = capped.map(r =>
+      r.getAs[Long]("vec_id") -> r.getAs[Int]("kept")).toMap
+    assert(verdicts(1000L) === 1)
+    assert(verdicts(1001L) === 0)
+  }
+
   test("vectorExactDedup collapses the duplicated mass at linear cost") {
     val rows = SimilarityOps.vectorExactDedupDF(adversarial).collect()
     val mass = rows.find(_.getAs[Long]("canonical_id") == 3000L)
