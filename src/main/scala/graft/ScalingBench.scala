@@ -164,7 +164,13 @@ object ScalingBench {
     // probes jitter run-to-run (q66_hashed measured 0.39 and 1.12 across
     // two otherwise-identical runs) — the same protocol Bench uses
     val reps = sys.env.getOrElse("SPARK_GRAFT_SCALE_REPS", "3").toInt
-    val rows = probes.map { p =>
+    // optional comma-separated probe-name filter (iteration aid: re-run
+    // one family without paying the full matrix)
+    val selected = sys.env.get("SPARK_GRAFT_PROBES")
+      .map(_.split(',').map(_.trim).toSet)
+      .map(want => probes.filter(p => want(p.name)))
+      .getOrElse(probes)
+    val rows = selected.map { p =>
       val times = allDirs.map { d =>
         val ts = (1 to reps).map { _ =>
           // each timed run must measure the FULL pipeline: evict the
