@@ -95,6 +95,7 @@ object SparkEntry {
     "q73_lm_perplexity"   -> ((s, d) => TextAnalysisOps.lmPerplexity(s, d)),
     "q74_quantile_sketch" -> ((s, d) => CoreQueries.q74QuantileSketch(s, d)),
     "q75_semantic_dedup"  -> ((s, d) => SimilarityOps.semanticDedup(s, d)),
+    "q76_kmeans_refine"   -> ((s, d) => SimilarityOps.kMeansRefine(s, d)),
   )
 
   /** Shared shingle→df-capped-postings CTE body for every exact-Jaccard
@@ -143,6 +144,34 @@ object SparkEntry {
                cent.clabel) AS crk
            FROM e CROSS JOIN cent)
          WHERE crk = 1)"""
+
+  /** One Lloyd-chain assignment CTE: argmax-cosine (4dp, tie → smaller
+    * clabel) of every `e` vector against codebook `centName` — the same
+    * argmax body as [[ivfAssignCte]]'s `asg`, parameterized so the q76
+    * refinement chain can unroll it per iteration without copies drifting.
+    */
+  private def lloydAsgCte(name: String, centName: String): String =
+    s"""$name AS (
+         SELECT vec_id, v, clabel AS ivf_list FROM (
+           SELECT e.vec_id, e.v, $centName.clabel,
+             row_number() OVER (PARTITION BY e.vec_id ORDER BY
+               round(list_inner_product(e.v, $centName.cv) /
+                 (sqrt(list_inner_product(e.v, e.v)) *
+                  sqrt(list_inner_product($centName.cv, $centName.cv))), 4) DESC,
+               $centName.clabel) AS crk
+           FROM e CROSS JOIN $centName)
+         WHERE crk = 1)"""
+
+  /** One Lloyd-chain update CTE pair: per-dimension 6dp means of the
+    * vectors assigned in `srcAsg` → codebook `centName`.
+    */
+  private def lloydCentCte(dimsName: String, centName: String,
+      srcAsg: String): String =
+    s"""$dimsName AS (
+         SELECT ivf_list AS clabel, i.range AS d, round(avg(v[i.range]), 6) AS c
+         FROM $srcAsg, range(1, 65) i GROUP BY 1, 2),
+       $centName AS (SELECT clabel, list(c ORDER BY d) AS cv
+                     FROM $dimsName GROUP BY 1)"""
 
   /** Exact near-dup pair SQL — the oracle for q28 AND for the approximate
     * variants q29 (MinHash+LSH) / q30 (SimHash): both emit
@@ -870,6 +899,24 @@ object SparkEntry {
            CAST(CASE WHEN vec_id IN (SELECT vec_id FROM drops)
              THEN 0 ELSE 1 END AS INT) AS kept
          FROM asg ORDER BY vec_id"""),
+    // q76: the ENTIRE 2-iteration Lloyd chain replicated in SQL — label
+    // init codebook, twice (argmax re-assignment at 4dp + 6dp per-dim
+    // mean update), final assignment and the per-cluster spherical
+    // objective. The unrolled CTEs come from ONE parameterized body
+    // (lloydAsgCte/lloydCentCte), so a rounding or tiebreak tweak cannot
+    // diverge between iterations or from the q70/q75 assignment
+    "q76_kmeans_refine" ->
+      ("WITH " + ivfAssignCte + s""",
+         ${lloydCentCte("dims1", "cent1", "asg")},
+         ${lloydAsgCte("a2", "cent1")},
+         ${lloydCentCte("dims2", "cent2", "a2")},
+         ${lloydAsgCte("a3", "cent2")}
+         SELECT a3.ivf_list, count(*) AS n_members,
+           round(avg(round(list_inner_product(a3.v, cent2.cv) /
+             (sqrt(list_inner_product(a3.v, a3.v)) *
+              sqrt(list_inner_product(cent2.cv, cent2.cv))), 4)), 4) AS avg_cos
+         FROM a3 JOIN cent2 ON a3.ivf_list = cent2.clabel
+         GROUP BY 1 ORDER BY 1"""),
     // q71: Gopher word-statistics rules — thresholds compared on the
     // rounded values, exactly as the Spark side computes them
     "q71_gopher_rules" ->

@@ -271,6 +271,57 @@ object SimilarityOps {
       .select(col("clabel"), col("embedding").cast("array<double>").as("cv"))
   }
 
+  /** One Lloyd refinement step over a codebook: re-assign every vector to
+    * its argmax-cosine centroid ([[ivfAssign]]), then recompute each
+    * centroid as the per-dimension mean of its assigned vectors (6dp,
+    * the [[labelCentroids]] rounding, so chained steps stay cross-engine
+    * stable). A list that loses every member disappears — standard Lloyd
+    * without re-seeding; [[kFor]] callers re-seed by re-sampling if k
+    * must be held. Shapes: the corpus is shuffled once per step
+    * (posexplode → per-(list, dim) partial agg); the codebook stays a
+    * broadcast — iteration count is a constant, so the whole refinement
+    * is O(iters · n) with no driver-side state.
+    */
+  private[operators] def lloydStep(emb: DataFrame, cvec: DataFrame): DataFrame = {
+    val assigned = ivfAssign(emb, cvec)
+    assigned.select(col("ivf_list"),
+        posexplode(col("embedding")).as(Seq("d", "x")))
+      .groupBy(col("ivf_list"), col("d"))
+      .agg(round(avg(col("x").cast("double")), 6).as("c"))
+      .groupBy(col("ivf_list").as("clabel"))
+      .agg(transform(array_sort(collect_list(struct(col("d"), col("c")))),
+        s => s.getField("c")).as("cv"))
+  }
+
+  /** k-means codebook refinement (q76): `iters` Lloyd steps from the
+    * label codebook, then a per-cluster summary of the refined
+    * clustering — member count and mean member→centroid cosine (the
+    * spherical k-means objective, 4dp). This is how the IVF/SemDeDup
+    * codebook is actually built at scale (SemDeDup clusters with k-means;
+    * the label/sampled codebooks are its init step): each iteration is
+    * one corpus shuffle, the codebook never leaves broadcast range, and
+    * the iteration count is a fixed constant — no convergence loop on
+    * the driver deciding from collected data.
+    *
+    * Gate: the ENTIRE chain — init codebook, `iters` × (argmax
+    * re-assignment + 6dp mean update), final assignment + 4dp objective —
+    * is replicated in DuckDB SQL and compared cell-exact (the q70
+    * contract; recall-style claims are not available on structure-free
+    * synthetic embeddings).
+    */
+  def kMeansRefine(spark: SparkSession, dir: String,
+      iters: Int = 2): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    var cvec = labelCentroids(emb)
+    for (_ <- 1 to iters) cvec = lloydStep(emb, cvec)
+    ivfAssign(emb, cvec)
+      .join(broadcast(cvec), col("ivf_list") === col("clabel"))
+      .withColumn("cos", round(Vectors.cosineHof(col("embedding"), col("cv")), 4))
+      .groupBy(col("ivf_list"))
+      .agg(count(lit(1)).as("n_members"), round(avg(col("cos")), 4).as("avg_cos"))
+      .orderBy(col("ivf_list"))
+  }
+
   /** Per-label centroids + nearest-centroid assignment (one k-means-style
     * assignment step over the labeled embeddings): assignment = argmax
     * cosine over the broadcast centroids.
@@ -412,10 +463,15 @@ object SimilarityOps {
   val ListCapFloor = 32L
 
   /** Assignment + list populations + the in/over-cap verdict. `kDf` is a
-    * 1-row `(k)` frame carrying the codebook cardinality; the population
-    * window runs on the SAME key the pairwise join shuffles on, so the
-    * guard adds no extra exchange. `listCap` overrides the corpus-relative
-    * default (spec use only).
+    * 1-row `(k)` frame carrying the codebook cardinality. Populations are
+    * a k-row broadcast aggregate, NOT a window over ivf_list: the capped
+    * frame is consumed three times (both pair sides + the verdict join)
+    * and exchange reuse does not fire across separate reads of the cached
+    * assignment, so a window formulation re-shuffled the full corpus once
+    * per consumer (measured: 6 ivf_list exchanges at sf0.001) — the
+    * broadcast tag costs the corpus no shuffle at all; the pairwise join
+    * keeps the only corpus-scale ivf_list exchange. `listCap` overrides
+    * the corpus-relative default (spec use only).
     */
   private[operators] def semanticCapped(assigned: DataFrame, kDf: DataFrame,
       listCap: Long = DedupOps.CapFromDf): DataFrame = {
@@ -425,9 +481,9 @@ object SimilarityOps {
           .select(greatest(lit(ListCapFloor),
             ceil(col("n") * lit(ListCapMult) / col("k"))).cast("long").as("cap"))
       else assigned.sparkSession.range(1).select(lit(listCap).as("cap"))
+    val pops = assigned.groupBy(col("ivf_list")).agg(count(lit(1)).as("pop"))
     assigned
-      .withColumn("pop",
-        count(lit(1)).over(Window.partitionBy(col("ivf_list"))))
+      .join(broadcast(pops), Seq("ivf_list"))
       .crossJoin(broadcast(capDf))
       .withColumn("in_cap", col("pop") <= col("cap"))
       .select(col("vec_id"), col("embedding"), col("ivf_list"), col("in_cap"))

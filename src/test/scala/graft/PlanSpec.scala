@@ -84,6 +84,26 @@ class PlanSpec extends SparkSpecBase {
     assert(bnlj.forall(_.contains("Cross")), bnlj.mkString("\n"))
   }
 
+  test("q75: list-population tag is a broadcast join; no per-consumer corpus re-shuffle") {
+    val plan = executed("q75_semantic_dedup")
+    assert(!plan.contains("CartesianProduct"), plan)
+    // the population tag joins the k-row pops aggregate by broadcast — the
+    // corpus side of the tag is never exchanged
+    assert(plan.contains("BroadcastHashJoin [ivf_list"), plan)
+    // a regression back to `count().over(Window.partitionBy(ivf_list))`
+    // re-shuffles the FULL corpus once per consumer of the capped frame
+    // (exchange reuse does not fire across reads of the cached
+    // assignment); that shape prints as a windowspec over ivf_list alone —
+    // the exact-collapse window over (ivf_list, embedding) stays legal
+    val popWindow = """windowspecdefinition\(ivf_list#\d+L?, specifiedwindowframe""".r
+    assert(popWindow.findFirstIn(plan).isEmpty,
+      plan.linesIterator.filter(_.contains("windowspecdefinition"))
+        .mkString("\n"))
+    // cap comparison frames stay conditionless 1-row broadcast crosses
+    val bnlj = plan.linesIterator.filter(_.contains("BroadcastNestedLoopJoin")).toSeq
+    assert(bnlj.forall(_.contains("Cross")), bnlj.mkString("\n"))
+  }
+
   test("q73: LM scoring joins have no cartesian and no forced broadcast of the model") {
     val plan = executed("q73_lm_perplexity")
     assert(!plan.contains("CartesianProduct"), plan)

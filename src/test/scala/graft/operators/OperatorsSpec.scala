@@ -208,6 +208,30 @@ class OperatorsSpec extends SparkSpecBase {
       .foreach(rows => assert(rows.length <= 5))
   }
 
+  test("kMeansRefine: Lloyd iterations monotonically improve the spherical objective") {
+    def summary(iters: Int) =
+      SimilarityOps.kMeansRefine(spark, sf0001, iters = iters).collect()
+    def objective(rows: Array[org.apache.spark.sql.Row]): Double = {
+      val n = rows.map(_.getAs[Long]("n_members")).sum
+      rows.map(r => r.getAs[Long]("n_members") * r.getAs[Double]("avg_cos")).sum / n
+    }
+    val base = summary(0)
+    val one = summary(1)
+    val two = summary(2)
+    // every vector stays assigned, no cluster dies on this data
+    Seq(base, one, two).foreach { rows =>
+      assert(rows.map(_.getAs[Long]("n_members")).sum === 500)
+      assert(rows.length === 10)
+    }
+    // the refinement actually refines: mean member→centroid cosine climbs
+    // each step (0.2226 → 0.2627 → 0.2750 measured; deterministic inputs
+    // and rounding make this a stable pin, not a statistical hope)
+    assert(objective(one) > objective(base))
+    assert(objective(two) > objective(one))
+    // rerun-deterministic
+    assert(summary(2).map(_.toSeq).toSeq === two.map(_.toSeq).toSeq)
+  }
+
   test("lsh topk is a subset-quality ANN: all results are true vectors") {
     val ids = graft.Tables.embeddings(spark, sf0001).select("vec_id").as[Long].collect().toSet
     val got = SimilarityOps.lshTopK(spark, sf0001, nQueries = 4, k = 3).collect()
