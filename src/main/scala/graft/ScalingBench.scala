@@ -69,6 +69,11 @@ object ScalingBench {
       // grows with the corpus, expected population pinned at targetList)
       // and should hold ~linear — the measured pair is exactly the
       // quadratic VERDICT r4 flagged and the knob that fixes it
+      // PQ is linear by construction (m·n codes, broadcast LUT, one
+      // (query, vec) aggregation) — the probe verifies the encode and
+      // LUT stages hide nothing super-linear
+      Probe("q77_pq_topk", "embeddings",
+        SparkEntry.queries("q77_pq_topk")),
       Probe("q75_semantic_label", "embeddings",
         (s, d) => SimilarityOps.semanticDedup(s, d)),
       Probe("q75_semantic_sized", "embeddings", (s, d) =>

@@ -96,6 +96,7 @@ object SparkEntry {
     "q74_quantile_sketch" -> ((s, d) => CoreQueries.q74QuantileSketch(s, d)),
     "q75_semantic_dedup"  -> ((s, d) => SimilarityOps.semanticDedup(s, d)),
     "q76_kmeans_refine"   -> ((s, d) => SimilarityOps.kMeansRefine(s, d)),
+    "q77_pq_topk"         -> ((s, d) => SimilarityOps.pqTopK(s, d)),
   )
 
   /** Shared shingle→df-capped-postings CTE body for every exact-Jaccard
@@ -917,6 +918,49 @@ object SparkEntry {
               sqrt(list_inner_product(cent2.cv, cent2.cv))), 4)), 4) AS avg_cos
          FROM a3 JOIN cent2 ON a3.ivf_list = cent2.clabel
          GROUP BY 1 ORDER BY 1"""),
+    // q77: product quantization replicated end-to-end — subspace split,
+    // 6dp per-(subspace, label) codebooks, argmin-L2 encode (expanded-form
+    // distance, 6dp, code tiebreak — term-for-term the Spark expression),
+    // ADC lookup-table scoring at 4dp. Cell-exact like q70/q76, no recall
+    // claim on structure-free embeddings
+    "q77_pq_topk" ->
+      """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v
+                    FROM embeddings),
+         sub AS (SELECT vec_id, label, s.range AS s,
+                   v[s.range*8+1 : s.range*8+8] AS sv
+                 FROM e, range(0, 8) s),
+         cbd AS (SELECT label, s, i.range AS d, round(avg(sv[i.range]), 6) AS c
+                 FROM sub, range(1, 9) i GROUP BY 1, 2, 3),
+         cbn AS (SELECT s, code, cv, list_inner_product(cv, cv) AS cnorm2
+                 FROM (SELECT s, label AS code, list(c ORDER BY d) AS cv
+                       FROM cbd GROUP BY 1, 2)),
+         codes AS (
+           SELECT vec_id, s, code, cnorm2 FROM (
+             SELECT sub.vec_id, sub.s, cbn.code, cbn.cnorm2,
+               row_number() OVER (PARTITION BY sub.vec_id, sub.s ORDER BY
+                 round(list_inner_product(sub.sv, sub.sv)
+                   - 2.0 * list_inner_product(sub.sv, cbn.cv)
+                   + cbn.cnorm2, 6), cbn.code) AS rk
+             FROM sub JOIN cbn ON sub.s = cbn.s)
+           WHERE rk = 1),
+         lut AS (SELECT sub.vec_id AS query_id, sub.s, cbn.code,
+                   list_inner_product(sub.sv, cbn.cv) AS qdot
+                 FROM sub JOIN cbn ON sub.s = cbn.s WHERE sub.vec_id < 8),
+         qn AS (SELECT vec_id AS query_id, sqrt(list_inner_product(v, v)) AS qnorm
+                FROM e WHERE vec_id < 8),
+         sc AS (SELECT l.query_id, c.vec_id,
+                  sum(l.qdot) AS adc, sum(c.cnorm2) AS vnorm2
+                FROM codes c JOIN lut l ON c.s = l.s AND c.code = l.code
+                GROUP BY 1, 2)
+         SELECT query_id, vec_id AS neighbor_id, score, rk FROM (
+           SELECT sc.query_id, sc.vec_id,
+             round(sc.adc / (qn.qnorm * sqrt(sc.vnorm2)), 4) AS score,
+             CAST(row_number() OVER (PARTITION BY sc.query_id
+                  ORDER BY round(sc.adc / (qn.qnorm * sqrt(sc.vnorm2)), 4)
+                    DESC, sc.vec_id) AS INT) AS rk
+           FROM sc JOIN qn USING (query_id)
+           WHERE sc.vec_id <> sc.query_id)
+         WHERE rk <= 5 ORDER BY query_id, rk""",
     // q71: Gopher word-statistics rules — thresholds compared on the
     // rounded values, exactly as the Spark side computes them
     "q71_gopher_rules" ->

@@ -558,6 +558,89 @@ object SimilarityOps {
       spark.range(1).select(lit(kLists.toLong).as("k")), threshold)
   }
 
+  /** Product-quantization ANN top-k (q77) — the STORAGE-side scale path
+    * next to LSH (hashing) and IVF (partitioning): each 64-dim vector is
+    * quantized to `m` = 8 subspace codes (argmin-L2 against a per-subspace
+    * codebook), and queries score the corpus through a broadcast
+    * lookup table of query-subvector × codebook-centroid dot products —
+    * the classic asymmetric-distance computation. At 100 TB the corpus
+    * is carried as m small ints per vector (~8 bytes vs 256 for floats):
+    * the scan, the LUT join, and the (query, vec) partial-sum aggregation
+    * never touch raw embeddings, and the codebook/LUT stay broadcast.
+    * Shapes: codes = one argmin window per (vec, subspace) over the
+    * broadcast codebook; scoring = codes ⋈ broadcast LUT → one shuffle
+    * for the per-(query, vec) sum; reconstructed norms ride the same
+    * aggregation (cnorm2 summed next to the partial dots), so the codes
+    * relation is consumed once — no persist needed.
+    *
+    * Score = ADC cosine: Σ_s dot(q_s, c_{s,code}) / (|q| · |v̂|), v̂ the
+    * reconstruction — approximate by construction; the gate is the q70
+    * contract (the ENTIRE pipeline — subspace split, 6dp codebooks,
+    * argmin encode at 6dp with code tiebreak, LUT scoring at 4dp —
+    * replicated in DuckDB SQL, cell-exact), not a recall claim these
+    * structure-free embeddings cannot exhibit. The label-derived
+    * codebook (10 codes/subspace) is the oracle operating point; at
+    * scale the codebook comes from [[kFor]]-sized sampling exactly as
+    * the IVF family's.
+    */
+  def pqTopK(spark: SparkSession, dir: String, nQueries: Int = 8,
+      k: Int = 5, m: Int = 8): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val dim = 64
+    val w = dim / m
+    // (vec_id, label, s, sv): the m subvectors of every vector
+    val subs = emb.select(col("vec_id"), col("label"),
+        explode(array((0 until m).map(s =>
+          struct(lit(s).as("s"),
+            slice(col("embedding"), s * w + 1, w).cast("array<double>").as("sv"))): _*))
+          .as("sub"))
+      .select(col("vec_id"), col("label"), col("sub.s"), col("sub.sv"))
+    // per-(subspace, label) codebook centroid (6dp — the labelCentroids
+    // rounding) with its squared norm for reconstruction
+    val cb = subs.select(col("label"), col("s"), posexplode(col("sv")).as(Seq("d", "x")))
+      .groupBy(col("label"), col("s"), col("d"))
+      .agg(round(avg(col("x")), 6).as("c"))
+      .groupBy(col("s"), col("label").as("code"))
+      .agg(transform(array_sort(collect_list(struct(col("d"), col("c")))),
+        t => t.getField("c")).as("cv"))
+      .withColumn("cnorm2", Vectors.dot(col("cv"), col("cv")))
+    // encode: argmin L2 per (vec, subspace), expanded-form distance so the
+    // oracle's float path is identical term by term; 6dp + code tiebreak
+    val wEnc = Window.partitionBy(col("vec_id"), col("s"))
+      .orderBy(col("dist"), col("code"))
+    val codes = subs.join(broadcast(cb), Seq("s"))
+      .withColumn("dist", round(
+        Vectors.dot(col("sv"), col("sv")) - lit(2.0) * Vectors.dot(col("sv"), col("cv"))
+          + col("cnorm2"), 6))
+      .withColumn("rk", row_number().over(wEnc))
+      .filter(col("rk") === 1)
+      .select(col("vec_id"), col("s"), col("code"), col("cnorm2"))
+    // ADC lookup table: query subvector × every codebook centroid
+    // (nQueries · m · codes rows — broadcast-sized by construction)
+    val lut = subs.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("s"), col("sv").as("qsv"))
+      .join(broadcast(cb), Seq("s"))
+      .select(col("query_id"), col("s"), col("code"),
+        Vectors.dot(col("qsv"), col("cv")).as("qdot"))
+    val qnorms = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"),
+        Vectors.norm(col("embedding").cast("array<double>")).as("qnorm"))
+    val wTop = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("vec_id"))
+    codes.join(broadcast(lut), Seq("s", "code"))
+      .groupBy(col("query_id"), col("vec_id"))
+      .agg(sum(col("qdot")).as("adc"), sum(col("cnorm2")).as("vnorm2"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .join(broadcast(qnorms), Seq("query_id"))
+      .withColumn("score",
+        round(col("adc") / (col("qnorm") * sqrt(col("vnorm2"))), 4))
+      .withColumn("rk", row_number().over(wTop))
+      .filter(col("rk") <= k)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        col("score"), col("rk"))
+      .orderBy(col("query_id"), col("rk"))
+  }
+
   /** Embedding near-dup pairs via multi-table LSH bucketing — the scale
     * path for [[cosineNearDup]]: candidates are same-(table, bucket) pairs
     * across `nTables` independent hyperplane sets, then exact cosine

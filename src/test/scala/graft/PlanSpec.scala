@@ -104,6 +104,18 @@ class PlanSpec extends SparkSpecBase {
     assert(bnlj.forall(_.contains("Cross")), bnlj.mkString("\n"))
   }
 
+  test("q77: every PQ join is broadcast — the corpus is only ever shuffled for the final sum") {
+    val plan = executed("q77_pq_topk")
+    assert(!plan.contains("CartesianProduct"), plan)
+    // codebook, LUT, and query-norm joins are all broadcast-sized by
+    // construction; a SortMergeJoin or ShuffledHashJoin appearing here
+    // means the corpus started shuffle-joining against something that
+    // should have been broadcast
+    assert(!plan.contains("SortMergeJoin"), plan)
+    assert(!plan.contains("ShuffledHashJoin"), plan)
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
   test("q73: LM scoring joins have no cartesian and no forced broadcast of the model") {
     val plan = executed("q73_lm_perplexity")
     assert(!plan.contains("CartesianProduct"), plan)

@@ -232,6 +232,26 @@ class OperatorsSpec extends SparkSpecBase {
     assert(summary(2).map(_.toSeq).toSeq === two.map(_.toSeq).toSeq)
   }
 
+  test("pqTopK: ADC scores bounded by Cauchy-Schwarz, full result structure, deterministic") {
+    val ids = graft.Tables.embeddings(spark, sf0001)
+      .select("vec_id").as[Long].collect().toSet
+    val got = SimilarityOps.pqTopK(spark, sf0001).collect()
+    // 8 queries × top-5, ranks contiguous, neighbors real, never self
+    assert(got.length === 40)
+    got.groupBy(_.getAs[Long]("query_id")).foreach { case (q, rows) =>
+      assert(rows.map(_.getAs[Int]("rk")).sorted.toSeq === (1 to 5))
+      assert(rows.forall(r => ids(r.getAs[Long]("neighbor_id"))))
+      assert(rows.forall(_.getAs[Long]("neighbor_id") != q))
+    }
+    // score = dot(q, v̂)/(|q||v̂|) with v̂ the exact reconstruction, so
+    // Cauchy-Schwarz bounds it in [-1, 1] — a norm-bookkeeping bug
+    // (vnorm2 not summed over all m subspaces, wrong codebook row) breaks
+    // this before it breaks ordering
+    assert(got.forall(r => math.abs(r.getAs[Double]("score")) <= 1.0))
+    assert(SimilarityOps.pqTopK(spark, sf0001).collect().map(_.toSeq).toSeq
+      === got.map(_.toSeq).toSeq)
+  }
+
   test("lsh topk is a subset-quality ANN: all results are true vectors") {
     val ids = graft.Tables.embeddings(spark, sf0001).select("vec_id").as[Long].collect().toSet
     val got = SimilarityOps.lshTopK(spark, sf0001, nQueries = 4, k = 3).collect()
