@@ -84,6 +84,10 @@ object ScalingBench {
       // should be ~linear in document rows
       Probe("q72_bloom_novelty", "documents",
         SparkEntry.queries("q72_bloom_novelty")),
+      // MG sketch pass + capacity-bounded recount — linear by
+      // construction; the probe guards the recount staying semi-filtered
+      Probe("q78_heavy_hitters", "documents",
+        SparkEntry.queries("q78_heavy_hitters")),
       Probe("q73_lm_perplexity", "documents",
         SparkEntry.queries("q73_lm_perplexity")))
 

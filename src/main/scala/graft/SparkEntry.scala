@@ -97,6 +97,7 @@ object SparkEntry {
     "q75_semantic_dedup"  -> ((s, d) => SimilarityOps.semanticDedup(s, d)),
     "q76_kmeans_refine"   -> ((s, d) => SimilarityOps.kMeansRefine(s, d)),
     "q77_pq_topk"         -> ((s, d) => SimilarityOps.pqTopK(s, d)),
+    "q78_heavy_hitters"   -> ((s, d) => TextAnalysisOps.heavyHitters(s, d)),
   )
 
   /** Shared shingle→df-capped-postings CTE body for every exact-Jaccard
@@ -961,6 +962,19 @@ object SparkEntry {
            FROM sc JOIN qn USING (query_id)
            WHERE sc.vec_id <> sc.query_id)
          WHERE rk <= 5 ORDER BY query_id, rk""",
+    // q78: Misra-Gries heavy hitters — the emitted cells are EXACT
+    // recounts of the sketch's candidate set (estimates are merge-order
+    // dependent and never emitted), and at capacity 64 ≥ the corpus's 31
+    // distinct tokens the candidate set provably contains every token, so
+    // the oracle is the true top-k with the bound verdict pinned at 1.
+    // The approximation regime (capacity ≪ distinct) is spec-gated
+    // adversarially — this vocabulary cannot exhibit it
+    "q78_heavy_hitters" ->
+      """WITH t AS (SELECT unnest(string_split(
+             regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS tok
+           FROM documents)
+         SELECT tok, count(*) AS n, CAST(1 AS INT) AS within_bound
+         FROM t GROUP BY tok ORDER BY n DESC, tok LIMIT 10""",
     // q71: Gopher word-statistics rules — thresholds compared on the
     // rounded values, exactly as the Spark side computes them
     "q71_gopher_rules" ->

@@ -310,6 +310,49 @@ object TextAnalysisOps {
       .orderBy(col("doc_id"))
   }
 
+  /** Heavy-hitter tokens via the typed Misra-Gries sketch (q78) — the
+    * bounded-memory path to "top tokens over 100 TB": the sketch carries
+    * at most `capacity` counters per partial aggregation regardless of
+    * corpus size (vs an exact groupBy shuffling every distinct token),
+    * then ONLY the sketch's ≤ capacity candidates are exactly re-counted
+    * (a broadcast semi-filter before the groupBy, so the recount shuffles
+    * a capacity-bounded key set). Output: the top `k` candidates by exact
+    * count with the MG error-envelope verdict — exact counts, never raw
+    * estimates, because estimates depend on merge order (only the
+    * envelope is deterministic; see [[graft.functions
+    * .MisraGriesAggregator]]).
+    *
+    * Gate honesty (the q42/q72 pattern): this corpus has 31 distinct
+    * tokens, so at the default capacity 64 the sketch is in its EXACT
+    * regime (no decrement ever fires) and the oracle compares the true
+    * top-k cell-exact, `within_bound` pinned at 1. The approximation
+    * regime — decrements, trimming merges, the inclusion guarantee for
+    * freq > N/(capacity+1) — cannot be exhibited by this vocabulary and
+    * is proven instead by the adversarial spec (capacity ≪ distinct,
+    * forced multi-partition merges).
+    */
+  def heavyHitters(spark: SparkSession, dir: String, k: Int = 10,
+      capacity: Int = 64): DataFrame = {
+    import spark.implicits._
+    import graft.functions.MisraGriesAggregator
+    val toks = Tables.documents(spark, dir)
+      .select(explode(Text.tokens(col("text"))).as("tok"))
+    val sketch = toks.as[String]
+      .select(new MisraGriesAggregator(capacity).toColumn)
+      .toDF("m")
+      .select(explode(col("m")).as(Seq("tok", "est")))
+    val exact = toks.join(broadcast(sketch.select(col("tok"))), Seq("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("n"))
+    val total = toks.agg(count(lit(1)).as("total"))
+    sketch.join(exact, Seq("tok"))
+      .crossJoin(broadcast(total))
+      .select(col("tok"), col("n"),
+        (col("est") >= col("n") - floor(col("total") / (capacity + 1)) &&
+          col("est") <= col("n")).cast("int").as("within_bound"))
+      .orderBy(col("n").desc, col("tok"))
+      .limit(k)
+  }
+
   /** q38 gate: the rolling fingerprint's equivalence classes must be in
     * bijection with the (engine-portable) md5 content classes — equal
     * canonical content ⇔ equal rolling fp, and no 64-bit collisions across
