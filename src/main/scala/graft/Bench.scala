@@ -16,31 +16,43 @@ object Bench {
     s((s.size - 1) / 2)
   }
 
+  /** Minimal JSON string escape for interpolated values (paths, the
+    * round label) — a quote or backslash in an env var must not corrupt
+    * the append-only history file every later round parses.
+    */
+  def jsonStr(s: String): String =
+    s.replace("\\", "\\\\").replace("\"", "\\\"")
+
   /** Render the two stdout lines from the per-query medians. Contract
     * (spec-pinned): EXACTLY one `"metric":"total"` line carrying the full
     * per-query payload, then EXACTLY one compact `"metric":"total_summary"`
     * line LAST — the driver captures the tail of stdout and round 2's big
     * line was truncated mid-JSON, so the last bytes must always carry the
-    * headline. Failed queries appear as negative durations (never
-    * mistakable for a measurement) and are excluded from the total — a
-    * run with a broken expensive query must not look FASTER.
+    * headline. Failed queries (no rep succeeded) appear as negative
+    * durations (never mistakable for a measurement) and are excluded from
+    * the total — a run with a broken expensive query must not look
+    * FASTER. Queries that failed SOME reps report the median of their
+    * successful reps but are listed in `flaky` — intermittent breakage
+    * must stay visible in the durable record, not only on stderr.
     */
   def renderLines(results: Map[String, Double], failed: Seq[String],
-      sf: String): Seq[String] = {
+      sf: String, flaky: Seq[String] = Nil): Seq[String] = {
     val qs = results.toSeq.sortBy(_._1)
       .map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.values.filter(_ >= 0).sum
-    val failedJson = failed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
+    def names(xs: Seq[String]) =
+      xs.sorted.map("\"" + jsonStr(_) + "\"").mkString("[", ",", "]")
     Seq(
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sf"}""",
-      s"""{"metric":"total_summary","value":$total,"unit":"sec","n_queries":${results.size},"n_failed":${failed.size},"sf":"$sf"}""")
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":${names(failed)},"flaky":${names(flaky)},"sf":"${jsonStr(sf)}"}""",
+      s"""{"metric":"total_summary","value":$total,"unit":"sec","n_queries":${results.size},"n_failed":${failed.size},"n_flaky":${flaky.size},"sf":"${jsonStr(sf)}"}""")
   }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
+    require(reps >= 1, s"SPARK_GRAFT_BENCH_REPS must be >= 1, got $reps")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -81,16 +93,20 @@ object Bench {
       }.toMap
     }
     val failed = scala.collection.mutable.ArrayBuffer.empty[String]
+    val flaky = scala.collection.mutable.ArrayBuffer.empty[String]
     val results = names.map { name =>
       val ts = passes.map(_(name))
       val good = ts.filter(_ >= 0)
-      // failed = no rep succeeded (a real break is deterministic); a
-      // query that succeeded at least once reports the median of its
-      // successful reps
-      name -> (if (good.nonEmpty) median(good)
-               else { failed += name; -median(ts.map(math.abs)) })
+      // failed = no rep succeeded; a query that succeeded at least once
+      // reports the median of its successful reps but a PARTIAL failure
+      // is recorded as flaky — without that, an intermittent OOM/timeout
+      // would leave a clean-looking median and a stderr line the driver's
+      // stdout tail never captures
+      if (good.isEmpty) failed += name
+      else if (good.size < ts.size) flaky += name
+      name -> (if (good.nonEmpty) median(good) else -median(ts.map(math.abs)))
     }.toMap
-    val lines = renderLines(results, failed.toSeq, sfDir)
+    val lines = renderLines(results, failed.toSeq, sfDir, flaky.toSeq)
     // persist the full per-query history BEFORE printing: the driver's
     // stdout tail truncates the big line (r2, r4 lost 17 queries' times),
     // so the committed artifacts are the durable record
@@ -99,7 +115,7 @@ object Bench {
       import java.nio.charset.StandardCharsets.UTF_8
       Files.write(Paths.get("BENCH_LOCAL.json"),
         (lines.head + "\n").getBytes(UTF_8))
-      val round = sys.env.getOrElse("SPARK_GRAFT_ROUND", "local")
+      val round = jsonStr(sys.env.getOrElse("SPARK_GRAFT_ROUND", "local"))
       Files.write(Paths.get("bench_history.jsonl"),
         (s"""{"round":"$round",${lines.head.stripPrefix("{")}""" + "\n").getBytes(UTF_8),
         O.CREATE, O.APPEND)

@@ -174,11 +174,19 @@ object ScalingBench {
     // two otherwise-identical runs) — the same protocol Bench uses
     val reps = sys.env.getOrElse("SPARK_GRAFT_SCALE_REPS", "3").toInt
     // optional comma-separated probe-name filter (iteration aid: re-run
-    // one family without paying the full matrix)
+    // one family without paying the full matrix); unknown names fail
+    // fast — a typo must not "succeed" with an empty probe set
     val selected = sys.env.get("SPARK_GRAFT_PROBES")
-      .map(_.split(',').map(_.trim).toSet)
-      .map(want => probes.filter(p => want(p.name)))
+      .map { raw =>
+        val want = raw.split(',').map(_.trim).filter(_.nonEmpty).toSet
+        val unknown = want -- probes.map(_.name).toSet
+        require(unknown.isEmpty,
+          s"unknown SPARK_GRAFT_PROBES names: ${unknown.mkString(",")} " +
+            s"(known: ${probes.map(_.name).mkString(",")})")
+        probes.filter(p => want(p.name))
+      }
       .getOrElse(probes)
+    require(selected.nonEmpty, "SPARK_GRAFT_PROBES selected zero probes")
     val rows = selected.map { p =>
       val times = allDirs.map { d =>
         val ts = (1 to reps).map { _ =>

@@ -27,7 +27,7 @@ case class MGBuf(counters: Map[String, Long], processed: Long)
   * proven in specs.
   */
 class MisraGriesAggregator(capacity: Int)
-    extends Aggregator[String, MGBuf, Map[String, Long]] {
+    extends Aggregator[String, MGBuf, MGBuf] {
   require(capacity >= 1, s"capacity must be >= 1, got $capacity")
 
   override def zero: MGBuf = MGBuf(Map.empty, 0L)
@@ -60,10 +60,14 @@ class MisraGriesAggregator(capacity: Int)
     MGBuf(next, a.processed + b.processed)
   }
 
-  override def finish(r: MGBuf): Map[String, Long] = r.counters
+  /** The whole buffer is the result: `processed` IS the bound's N, and
+    * returning it spares callers a separate full-stream count pass just
+    * to evaluate the error envelope.
+    */
+  override def finish(r: MGBuf): MGBuf = r
 
   override def bufferEncoder: Encoder[MGBuf] =
     org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
-  override def outputEncoder: Encoder[Map[String, Long]] =
+  override def outputEncoder: Encoder[MGBuf] =
     org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
 }

@@ -309,11 +309,24 @@ object SimilarityOps {
     * contract; recall-style claims are not available on structure-free
     * synthetic embeddings).
     */
+  /** Session cache for the refined codebook: k rows, but its lineage is
+    * `iters` full-corpus shuffles and it has two consumers with DIFFERENT
+    * broadcast modes (the BHJ summary join hashes it, ivfAssign's BNLJ
+    * crossJoin broadcasts it identity-mode), so ReuseExchange cannot
+    * deduplicate them — uncached, every action ran the whole Lloyd chain
+    * twice. Registry-routed like every session persist.
+    */
+  private val kmCodebookCache =
+    SessionCaches.newCache[(SparkSession, String, Int)]()
+
   def kMeansRefine(spark: SparkSession, dir: String,
       iters: Int = 2): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
-    var cvec = labelCentroids(emb)
-    for (_ <- 1 to iters) cvec = lloydStep(emb, cvec)
+    val cvec = SessionCaches.cached(kmCodebookCache, (spark, dir, iters)) {
+      var cv = labelCentroids(emb)
+      for (_ <- 1 to iters) cv = lloydStep(emb, cv)
+      cv.persist()
+    }
     ivfAssign(emb, cvec)
       .join(broadcast(cvec), col("ivf_list") === col("clabel"))
       .withColumn("cos", round(Vectors.cosineHof(col("embedding"), col("cv")), 4))
@@ -583,6 +596,13 @@ object SimilarityOps {
     * scale the codebook comes from [[kFor]]-sized sampling exactly as
     * the IVF family's.
     */
+  /** Session cache for the PQ codebook: m·#labels rows, lineage one full
+    * corpus pass, two consumers (the encode join and the LUT build) whose
+    * broadcasts don't dedupe — the same shape as [[kmCodebookCache]].
+    */
+  private val pqCodebookCache =
+    SessionCaches.newCache[(SparkSession, String, Int)]()
+
   def pqTopK(spark: SparkSession, dir: String, nQueries: Int = 8,
       k: Int = 5, m: Int = 8): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
@@ -596,14 +616,19 @@ object SimilarityOps {
           .as("sub"))
       .select(col("vec_id"), col("label"), col("sub.s"), col("sub.sv"))
     // per-(subspace, label) codebook centroid (6dp — the labelCentroids
-    // rounding) with its squared norm for reconstruction
-    val cb = subs.select(col("label"), col("s"), posexplode(col("sv")).as(Seq("d", "x")))
-      .groupBy(col("label"), col("s"), col("d"))
-      .agg(round(avg(col("x")), 6).as("c"))
-      .groupBy(col("s"), col("label").as("code"))
-      .agg(transform(array_sort(collect_list(struct(col("d"), col("c")))),
-        t => t.getField("c")).as("cv"))
-      .withColumn("cnorm2", Vectors.dot(col("cv"), col("cv")))
+    // rounding) with its squared norm for reconstruction. Cached: the
+    // remaining corpus-scale work per action is the one encode pass
+    // (subs itself is corpus-sized and deliberately NOT persisted — at
+    // the design point it is larger than the parquet it came from)
+    val cb = SessionCaches.cached(pqCodebookCache, (spark, dir, m))(
+      subs.select(col("label"), col("s"), posexplode(col("sv")).as(Seq("d", "x")))
+        .groupBy(col("label"), col("s"), col("d"))
+        .agg(round(avg(col("x")), 6).as("c"))
+        .groupBy(col("s"), col("label").as("code"))
+        .agg(transform(array_sort(collect_list(struct(col("d"), col("c")))),
+          t => t.getField("c")).as("cv"))
+        .withColumn("cnorm2", Vectors.dot(col("cv"), col("cv")))
+        .persist())
     // encode: argmin L2 per (vec, subspace), expanded-form distance so the
     // oracle's float path is identical term by term; 6dp + code tiebreak
     val wEnc = Window.partitionBy(col("vec_id"), col("s"))

@@ -310,17 +310,27 @@ object TextAnalysisOps {
       .orderBy(col("doc_id"))
   }
 
+  /** Session cache for the q78 sketch: ≤ capacity+1 rows, but its
+    * lineage is a full corpus pass and the frame has two consumers (the
+    * recount's broadcast semi-filter + the verdict join) — uncached,
+    * each consumer re-runs the sketch aggregation. Registry-routed so
+    * `clearSessionCaches` releases it with everything else.
+    */
+  private val hhSketchCache =
+    SessionCaches.newCache[(SparkSession, String, Int)]()
+
   /** Heavy-hitter tokens via the typed Misra-Gries sketch (q78) — the
     * bounded-memory path to "top tokens over 100 TB": the sketch carries
     * at most `capacity` counters per partial aggregation regardless of
     * corpus size (vs an exact groupBy shuffling every distinct token),
     * then ONLY the sketch's ≤ capacity candidates are exactly re-counted
     * (a broadcast semi-filter before the groupBy, so the recount shuffles
-    * a capacity-bounded key set). Output: the top `k` candidates by exact
-    * count with the MG error-envelope verdict — exact counts, never raw
-    * estimates, because estimates depend on merge order (only the
-    * envelope is deterministic; see [[graft.functions
-    * .MisraGriesAggregator]]).
+    * a capacity-bounded key set). The bound's N rides out of the sketch
+    * itself (`MGBuf.processed`) — no separate corpus pass to count
+    * tokens. Output: the top `k` candidates by exact count with the MG
+    * error-envelope verdict — exact counts, never raw estimates, because
+    * estimates depend on merge order (only the envelope is
+    * deterministic; see [[graft.functions.MisraGriesAggregator]]).
     *
     * Gate honesty (the q42/q72 pattern): this corpus has 31 distinct
     * tokens, so at the default capacity 64 the sketch is in its EXACT
@@ -337,15 +347,15 @@ object TextAnalysisOps {
     import graft.functions.MisraGriesAggregator
     val toks = Tables.documents(spark, dir)
       .select(explode(Text.tokens(col("text"))).as("tok"))
-    val sketch = toks.as[String]
-      .select(new MisraGriesAggregator(capacity).toColumn)
-      .toDF("m")
-      .select(explode(col("m")).as(Seq("tok", "est")))
+    val sketch = SessionCaches.cached(hhSketchCache, (spark, dir, capacity))(
+      toks.as[String]
+        .select(new MisraGriesAggregator(capacity).toColumn)
+        .toDF("counters", "total") // case-class output flattens to 2 cols
+        .select(explode(col("counters")).as(Seq("tok", "est")), col("total"))
+        .persist())
     val exact = toks.join(broadcast(sketch.select(col("tok"))), Seq("tok"))
       .groupBy(col("tok")).agg(count(lit(1)).as("n"))
-    val total = toks.agg(count(lit(1)).as("total"))
     sketch.join(exact, Seq("tok"))
-      .crossJoin(broadcast(total))
       .select(col("tok"), col("n"),
         (col("est") >= col("n") - floor(col("total") / (capacity + 1)) &&
           col("est") <= col("n")).cast("int").as("within_bound"))

@@ -32,6 +32,21 @@ class BenchSpec extends AnyFunSuite {
     assert(lines.last.contains("\"n_failed\":1"))
   }
 
+  test("renderLines: partially-failed queries surface in flaky, not just stderr") {
+    val lines = Bench.renderLines(Map("q" -> 1.0), Nil, "sf", flaky = Seq("q"))
+    assert(lines.head.contains("\"flaky\":[\"q\"]"))
+    assert(lines.last.contains("\"n_flaky\":1"))
+    // absent when clean
+    val clean = Bench.renderLines(Map("q" -> 1.0), Nil, "sf")
+    assert(clean.head.contains("\"flaky\":[]"))
+  }
+
+  test("jsonStr: quotes and backslashes in interpolated values cannot corrupt the line") {
+    assert(Bench.jsonStr("""r5 "final" \x""") === """r5 \"final\" \\x""")
+    val lines = Bench.renderLines(Map("q" -> 1.0), Nil, "sf\"dir")
+    assert(lines.head.contains("\"sf\":\"sf\\\"dir\""))
+  }
+
   test("median: odd and even samples, order-insensitive") {
     assert(Bench.median(Seq(3.0, 1.0, 2.0)) === 2.0)
     assert(Bench.median(Seq(5.0)) === 5.0)

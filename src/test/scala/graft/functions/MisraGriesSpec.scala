@@ -46,12 +46,15 @@ class MisraGriesSpec extends SparkSpecBase {
     val noise = (0 until 3000).map(i => s"n$i")
     val stream = new scala.util.Random(11).shuffle((heavies ++ noise).toList)
     val n = stream.size.toLong
-    val sketch = stream.toDF("tok").repartition(7).as[String]
+    val rows = stream.toDF("tok").repartition(7).as[String]
       .select(new MisraGriesAggregator(capacity).toColumn)
-      .toDF("m")
-      .select(explode(col("m")).as(Seq("tok", "est")))
-      .collect().map(r => r.getAs[String]("tok") -> r.getAs[Long]("est")).toMap
+      .toDF("counters", "total") // case-class output flattens to 2 cols
+      .select(explode(col("counters")).as(Seq("tok", "est")), col("total"))
+      .collect()
+    val sketch = rows.map(r => r.getAs[String]("tok") -> r.getAs[Long]("est")).toMap
     assert(sketch.size <= capacity)
+    // the bound's N rides out of the sketch itself
+    assert(rows.forall(_.getAs[Long]("total") === n))
     // inclusion guarantee: freq > N/(capacity+1)
     assert(sketch.contains("h1"), sketch.toString)
     assert(sketch.contains("h2"), sketch.toString)
@@ -70,6 +73,7 @@ class MisraGriesSpec extends SparkSpecBase {
     var b = mg.zero
     val stream = Seq("a", "b", "a", "c", "a", "b")
     stream.foreach(t => b = mg.reduce(b, t))
-    assert(mg.finish(b) === Map("a" -> 3L, "b" -> 2L, "c" -> 1L))
+    assert(mg.finish(b).counters === Map("a" -> 3L, "b" -> 2L, "c" -> 1L))
+    assert(mg.finish(b).processed === 6L)
   }
 }

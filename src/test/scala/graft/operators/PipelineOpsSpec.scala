@@ -44,9 +44,16 @@ class PipelineOpsSpec extends SparkSpecBase {
     // GC'd localCheckpoint RDDs, so asserting on it is a race (the
     // round-4 flake)
     val afterFirst = SessionCaches.entryCount(spark)
+    val censusAfterFirst = spark.sparkContext.getPersistentRDDs.size
     assert(afterFirst > 0)
     run(); run()
     assert(SessionCaches.entryCount(spark) === afterFirst)
+    // and the GLOBAL census must not GROW — an unregistered per-call
+    // persist (the original round-2 leak) is invisible to the registry
+    // count but adds census entries; ≤ (not ==) because ContextCleaner
+    // may concurrently collect other suites' GC'd checkpoint RDDs
+    // (shrink is legal, growth is the leak)
+    assert(spark.sparkContext.getPersistentRDDs.size <= censusAfterFirst)
     // eviction releases every registry entry and every CacheManager-
     // tracked relation of the session (checkpoint RDDs from the CC
     // fixpoint are RDD-level, not CacheManager, and are owned by their
