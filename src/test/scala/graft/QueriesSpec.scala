@@ -15,6 +15,14 @@ class QueriesSpec extends SparkSpecBase {
     assert(missing.isEmpty, s"oracleSql without queries: $missing")
   }
 
+  test("every query has an oracle — no silent downgrade to rows-only checks") {
+    // the driver records only a weak rows>0 check for a query without an
+    // oracleSql entry; this repo's contract is that EVERY query is
+    // oracle-gated, so an omission is a build error, not a quiet default
+    val unorcled = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    assert(unorcled.isEmpty, s"queries without oracleSql: $unorcled")
+  }
+
   SparkEntry.queries.foreach { case (name, fn) =>
     test(s"$name: non-empty + deterministic on sf0.001") {
       val a = fn(spark, sf0001).collect()
