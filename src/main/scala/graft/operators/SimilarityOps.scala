@@ -329,7 +329,7 @@ object SimilarityOps {
     }
     ivfAssign(emb, cvec)
       .join(broadcast(cvec), col("ivf_list") === col("clabel"))
-      .withColumn("cos", round(Vectors.cosineHof(col("embedding"), col("cv")), 4))
+      .withColumn("cos", round(Vectors.cosine(col("embedding"), col("cv")), 4))
       .groupBy(col("ivf_list"))
       .agg(count(lit(1)).as("n_members"), round(avg(col("cos")), 4).as("avg_cos"))
       .orderBy(col("ivf_list"))
@@ -345,7 +345,7 @@ object SimilarityOps {
     val w = Window.partitionBy(col("vec_id"))
       .orderBy(col("cos").desc, col("clabel"))
     e.crossJoin(broadcast(cvec))
-      .withColumn("cos", round(Vectors.cosineHof(col("embedding"), col("cv")), 4))
+      .withColumn("cos", round(Vectors.cosine(col("embedding"), col("cv")), 4))
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") === 1)
       .groupBy(col("label"), col("clabel").as("assigned_label"))
@@ -384,7 +384,7 @@ object SimilarityOps {
     val wAssign = Window.partitionBy(col("vec_id"))
       .orderBy(col("ccos").desc, col("clabel"))
     emb.crossJoin(broadcast(cvec))
-      .withColumn("ccos", round(Vectors.cosineHof(col("embedding"), col("cv")), 4))
+      .withColumn("ccos", round(Vectors.cosine(col("embedding"), col("cv")), 4))
       .withColumn("crk", row_number().over(wAssign))
       .filter(col("crk") === 1)
       .select(col("vec_id"), col("embedding"), col("clabel").as("ivf_list"))
@@ -418,7 +418,7 @@ object SimilarityOps {
     val wProbe = Window.partitionBy(col("query_id"))
       .orderBy(col("ccos").desc, col("clabel"))
     val probes = queries.crossJoin(broadcast(cvec))
-      .withColumn("ccos", round(Vectors.cosineHof(col("qv"), col("cv")), 4))
+      .withColumn("ccos", round(Vectors.cosine(col("qv"), col("cv")), 4))
       .withColumn("crk", row_number().over(wProbe))
       .filter(col("crk") <= nProbe)
       .select(col("query_id"), col("qv"), col("clabel").as("ivf_list"))

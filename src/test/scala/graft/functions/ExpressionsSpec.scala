@@ -19,6 +19,28 @@ class ExpressionsSpec extends SparkSpecBase {
     assert(diff === 0.0) // bit-identical accumulation order
   }
 
+  test("native cosine ≡ HOF on double and MIXED float/double arrays (the IVF assignment shape)") {
+    // float corpus × double codebook is exactly ivfAssign's hot path —
+    // the expression must pick the element accessor per SIDE
+    val emb = graft.Tables.embeddings(spark, sf0001).limit(50)
+    val mixed = emb.select(col("vec_id").as("ia"), col("embedding").as("va"))
+      .join(graft.Tables.embeddings(spark, sf0001).limit(50)
+        .select(col("vec_id").as("ib"),
+          col("embedding").cast("array<double>").as("vb")),
+        col("ia") < col("ib"))
+    val dMixed = mixed.select(
+        Vectors.cosine(col("va"), col("vb")).as("fast"),
+        Vectors.cosineHof(col("va"), col("vb")).as("hof"))
+      .select(max(abs(col("fast") - col("hof"))).as("d")).head().getDouble(0)
+    assert(dMixed === 0.0)
+    val both = mixed.select(col("va").cast("array<double>").as("va"), col("vb"))
+    val dBoth = both.select(
+        Vectors.cosine(col("va"), col("vb")).as("fast"),
+        Vectors.cosineHof(col("va"), col("vb")).as("hof"))
+      .select(max(abs(col("fast") - col("hof"))).as("d")).head().getDouble(0)
+    assert(dBoth === 0.0)
+  }
+
   test("native cosine null/edge semantics") {
     val df = Seq(
       (Some(Array(1.0f, 0.0f)), Some(Array(0.0f, 0.0f))), // zero norm → 0.0
