@@ -9,10 +9,22 @@ import org.apache.spark.sql.functions._
   */
 object Vectors {
 
-  /** Dot product of two float-array columns, accumulated in double. */
+  /** Dot product of two float-array columns, accumulated in double —
+    * the composed HOF formulation (interpreted; kept as the cross-check
+    * baseline, the [[cosineHof]] role).
+    */
   def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, v) => acc + v)
+
+  /** Native codegen'd dot product (fused loop, float/double arrays per
+    * side) — bit-identical accumulation to [[dot]]; the hot-path form.
+    */
+  def dotNative(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(graft.functions.expressions.DotProduct(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
+  }
 
   /** L2 norm. */
   def norm(a: Column): Column = sqrt(dot(a, a))

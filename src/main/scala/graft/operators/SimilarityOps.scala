@@ -627,7 +627,7 @@ object SimilarityOps {
         .groupBy(col("s"), col("label").as("code"))
         .agg(transform(array_sort(collect_list(struct(col("d"), col("c")))),
           t => t.getField("c")).as("cv"))
-        .withColumn("cnorm2", Vectors.dot(col("cv"), col("cv")))
+        .withColumn("cnorm2", Vectors.dotNative(col("cv"), col("cv")))
         .persist())
     // encode: argmin L2 per (vec, subspace), expanded-form distance so the
     // oracle's float path is identical term by term; 6dp + code tiebreak
@@ -635,7 +635,7 @@ object SimilarityOps {
       .orderBy(col("dist"), col("code"))
     val codes = subs.join(broadcast(cb), Seq("s"))
       .withColumn("dist", round(
-        Vectors.dot(col("sv"), col("sv")) - lit(2.0) * Vectors.dot(col("sv"), col("cv"))
+        Vectors.dotNative(col("sv"), col("sv")) - lit(2.0) * Vectors.dotNative(col("sv"), col("cv"))
           + col("cnorm2"), 6))
       .withColumn("rk", row_number().over(wEnc))
       .filter(col("rk") === 1)
@@ -646,10 +646,10 @@ object SimilarityOps {
       .select(col("vec_id").as("query_id"), col("s"), col("sv").as("qsv"))
       .join(broadcast(cb), Seq("s"))
       .select(col("query_id"), col("s"), col("code"),
-        Vectors.dot(col("qsv"), col("cv")).as("qdot"))
+        Vectors.dotNative(col("qsv"), col("cv")).as("qdot"))
     val qnorms = emb.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"),
-        Vectors.norm(col("embedding").cast("array<double>")).as("qnorm"))
+        sqrt(Vectors.dotNative(col("embedding"), col("embedding"))).as("qnorm"))
     val wTop = Window.partitionBy(col("query_id"))
       .orderBy(col("score").desc, col("vec_id"))
     codes.join(broadcast(lut), Seq("s", "code"))

@@ -41,6 +41,27 @@ class ExpressionsSpec extends SparkSpecBase {
     assert(dBoth === 0.0)
   }
 
+  test("native dot ≡ HOF dot on float, double, and mixed arrays; null/mismatch semantics") {
+    val emb = graft.Tables.embeddings(spark, sf0001).limit(50)
+    val pairs = emb.select(col("vec_id").as("ia"), col("embedding").as("va"))
+      .join(graft.Tables.embeddings(spark, sf0001).limit(50)
+        .select(col("vec_id").as("ib"), col("embedding").as("vb")),
+        col("ia") < col("ib"))
+    def maxDiff(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      pairs.select(max(abs(Vectors.dotNative(a, b) - Vectors.dot(a, b))).as("d"))
+        .head().getDouble(0)
+    assert(maxDiff(col("va"), col("vb")) === 0.0)
+    assert(maxDiff(col("va").cast("array<double>"), col("vb")) === 0.0)
+    assert(maxDiff(col("va").cast("array<double>"),
+      col("vb").cast("array<double>")) === 0.0)
+    val edge = Seq((Some(Array(1.0f, 2.0f)), Some(Array(3.0f))),
+        (None, Some(Array(1.0f))))
+      .toDF("a", "b")
+      .select(Vectors.dotNative(col("a"), col("b"))).collect()
+    assert(edge(0).isNullAt(0)) // length mismatch
+    assert(edge(1).isNullAt(0)) // null side
+  }
+
   test("native cosine null/edge semantics") {
     val df = Seq(
       (Some(Array(1.0f, 0.0f)), Some(Array(0.0f, 0.0f))), // zero norm → 0.0
