@@ -98,6 +98,7 @@ object SparkEntry {
     "q76_kmeans_refine"   -> ((s, d) => SimilarityOps.kMeansRefine(s, d)),
     "q77_pq_topk"         -> ((s, d) => SimilarityOps.pqTopK(s, d)),
     "q78_heavy_hitters"   -> ((s, d) => TextAnalysisOps.heavyHitters(s, d)),
+    "q79_random_projection" -> ((s, d) => SimilarityOps.rpCosinePairs(s, d)),
   )
 
   /** Shared shingle→df-capped-postings CTE body for every exact-Jaccard
@@ -975,6 +976,35 @@ object SparkEntry {
            FROM documents)
          SELECT tok, count(*) AS n, CAST(1 AS INT) AS within_bound
          FROM t GROUP BY tok ORDER BY n DESC, tok LIMIT 10""",
+    // q79: random projection replicated end-to-end — the ±1 sign matrix
+    // comes from md5(i_j) (the one hash both engines share bit-for-bit),
+    // projection rounded 6dp, both cosines 4dp. Cell-exact; no JL
+    // tolerance gate (probabilistic per matrix — with a fixed matrix the
+    // distortion is a measured fact, pinned in the spec instead)
+    "q79_random_projection" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
+                    FROM embeddings WHERE vec_id < 40),
+         s AS (SELECT i.range AS i, j.range AS j,
+                 CASE WHEN substr(md5(i.range || '_' || j.range), 1, 1) < '8'
+                   THEN 1.0 ELSE -1.0 END AS sgn
+               FROM range(0, 64) i, range(0, 16) j),
+         dims AS (SELECT vec_id, i.range AS i, v[i.range + 1] AS x
+                  FROM e, range(0, 64) i),
+         proj AS (SELECT vec_id, j,
+                    round(sum(x * sgn) / sqrt(16.0), 6) AS p
+                  FROM dims JOIN s USING (i) GROUP BY 1, 2),
+         pv AS (SELECT vec_id, list(p ORDER BY j) AS pv FROM proj GROUP BY 1)
+         SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_inner_product(a.v, b.v) /
+             (sqrt(list_inner_product(a.v, a.v)) *
+              sqrt(list_inner_product(b.v, b.v))), 4) AS cos_orig,
+           round(list_inner_product(pa.pv, pb.pv) /
+             (sqrt(list_inner_product(pa.pv, pa.pv)) *
+              sqrt(list_inner_product(pb.pv, pb.pv))), 4) AS cos_proj
+         FROM e a JOIN e b ON a.vec_id < b.vec_id
+           JOIN pv pa ON pa.vec_id = a.vec_id
+           JOIN pv pb ON pb.vec_id = b.vec_id
+         ORDER BY id_a, id_b""",
     // q71: Gopher word-statistics rules — thresholds compared on the
     // rounded values, exactly as the Spark side computes them
     "q71_gopher_rules" ->

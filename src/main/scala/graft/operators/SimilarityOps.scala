@@ -666,6 +666,54 @@ object SimilarityOps {
       .orderBy(col("query_id"), col("rk"))
   }
 
+  /** Random-projection dimensionality reduction (q79) — the
+    * Johnson-Lindenstrauss-style 64 → `dOut` compression a pipeline runs
+    * before storing or pre-filtering embeddings: project through a ±1
+    * sign matrix and rescale by 1/√dOut, then report original vs
+    * projected cosine for a bounded pair sample. The sign matrix is
+    * derived from md5(i_j) — not a seeded PRNG — because md5 is the one
+    * hash both engines share bit-for-bit, which makes the ENTIRE
+    * pipeline (matrix, projection at 6dp, both cosines at 4dp)
+    * cell-exact replicable in DuckDB, the q70 contract. No JL tolerance
+    * claim is gated (the bound is probabilistic per matrix; with a fixed
+    * matrix the distortion is just a measured fact) — the spec pins the
+    * measured mean distortion instead.
+    *
+    * Shapes: the sign matrix is 64·dOut rows → broadcast; the projection
+    * is posexplode → broadcast join → one (vec, j) partial-agg shuffle —
+    * linear, no corpus self-join anywhere.
+    */
+  def rpCosinePairs(spark: SparkSession, dir: String, dOut: Int = 16,
+      maxId: Long = 40): DataFrame = {
+    val emb = Tables.embeddings(spark, dir).filter(col("vec_id") < maxId)
+      .select(col("vec_id"), col("embedding"))
+    val signs = spark.range(64).select(col("id").as("i"))
+      .crossJoin(spark.range(dOut).select(col("id").as("j")))
+      .select(col("i"), col("j"),
+        when(substring(md5(concat(col("i"), lit("_"), col("j"))), 1, 1) < "8",
+          lit(1.0)).otherwise(lit(-1.0)).as("sgn"))
+    val dims = emb.select(col("vec_id"),
+      posexplode(col("embedding")).as(Seq("i", "x")))
+    val pvec = dims.join(broadcast(signs), Seq("i"))
+      .groupBy(col("vec_id"), col("j"))
+      .agg(round(sum(col("x").cast("double") * col("sgn"))
+        / math.sqrt(dOut.toDouble), 6).as("p"))
+      .groupBy(col("vec_id"))
+      .agg(transform(array_sort(collect_list(struct(col("j"), col("p")))),
+        t => t.getField("p")).as("pv"))
+    val l = emb.join(pvec, Seq("vec_id"))
+      .select(col("vec_id").as("id_a"), col("embedding").as("va"),
+        col("pv").as("pa"))
+    val r = emb.join(pvec, Seq("vec_id"))
+      .select(col("vec_id").as("id_b"), col("embedding").as("vb"),
+        col("pv").as("pb"))
+    l.join(r, col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(Vectors.cosine(col("va"), col("vb")), 4).as("cos_orig"),
+        round(Vectors.cosine(col("pa"), col("pb")), 4).as("cos_proj"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
   /** Embedding near-dup pairs via multi-table LSH bucketing — the scale
     * path for [[cosineNearDup]]: candidates are same-(table, bucket) pairs
     * across `nTables` independent hyperplane sets, then exact cosine

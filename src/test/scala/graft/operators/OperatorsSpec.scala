@@ -252,6 +252,23 @@ class OperatorsSpec extends SparkSpecBase {
       === got.map(_.toSeq).toSeq)
   }
 
+  test("random projection: deterministic, and 4x compression preserves cosine in the aggregate") {
+    val got = SimilarityOps.rpCosinePairs(spark, sf0001).collect()
+    assert(got.length === 40 * 39 / 2)
+    // deterministic (fixed md5 sign matrix → rerun-identical)
+    assert(SimilarityOps.rpCosinePairs(spark, sf0001).collect().map(_.toSeq).toSeq
+      === got.map(_.toSeq).toSeq)
+    // distortion is a measured fact of the fixed matrix on this data
+    // (mean |Δcos| = 0.1989 at 64→16) — pinned with headroom so a matrix
+    // or scaling regression (wrong 1/√dOut, sign drift) trips it while
+    // run-to-run it cannot move at all
+    val ds = got.map(r =>
+      math.abs(r.getAs[Double]("cos_orig") - r.getAs[Double]("cos_proj")))
+    assert(ds.sum / ds.length < 0.25, s"mean distortion ${ds.sum / ds.length}")
+    // cosines stay cosines
+    assert(got.forall(r => math.abs(r.getAs[Double]("cos_proj")) <= 1.0))
+  }
+
   test("lsh topk is a subset-quality ANN: all results are true vectors") {
     val ids = graft.Tables.embeddings(spark, sf0001).select("vec_id").as[Long].collect().toSet
     val got = SimilarityOps.lshTopK(spark, sf0001, nQueries = 4, k = 3).collect()
