@@ -978,21 +978,26 @@ object SparkEntry {
          FROM t GROUP BY tok ORDER BY n DESC, tok LIMIT 10""",
     // q79: random projection replicated end-to-end — the ±1 sign matrix
     // comes from md5(i_j) (the one hash both engines share bit-for-bit),
-    // projection rounded 6dp, both cosines 4dp. Cell-exact; no JL
-    // tolerance gate (probabilistic per matrix — with a fixed matrix the
+    // projection rounded 6dp, both cosines 4dp. Cell-exact: each
+    // projected coordinate is list_inner_product over the i-ordered sign
+    // row — the same index-ordered double accumulation as the Spark
+    // side's codegen fused-loop dot (a shuffled groupBy sum is NOT
+    // order-stable; that was r5's one hash mismatch). No JL tolerance
+    // gate (probabilistic per matrix — with a fixed matrix the
     // distortion is a measured fact, pinned in the spec instead)
     "q79_random_projection" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
                     FROM embeddings WHERE vec_id < 40),
          s AS (SELECT i.range AS i, j.range AS j,
                  CASE WHEN substr(md5(i.range || '_' || j.range), 1, 1) < '8'
-                   THEN 1.0 ELSE -1.0 END AS sgn
+                   THEN CAST(1.0 AS DOUBLE) ELSE CAST(-1.0 AS DOUBLE)
+                 END AS sgn
                FROM range(0, 64) i, range(0, 16) j),
-         dims AS (SELECT vec_id, i.range AS i, v[i.range + 1] AS x
-                  FROM e, range(0, 64) i),
-         proj AS (SELECT vec_id, j,
-                    round(sum(x * sgn) / sqrt(16.0), 6) AS p
-                  FROM dims JOIN s USING (i) GROUP BY 1, 2),
+         srows AS (SELECT j, list(sgn ORDER BY i) AS srow
+                   FROM s GROUP BY j),
+         proj AS (SELECT e.vec_id, sr.j,
+                    round(list_inner_product(e.v, sr.srow) / sqrt(16.0), 6) AS p
+                  FROM e CROSS JOIN srows sr),
          pv AS (SELECT vec_id, list(p ORDER BY j) AS pv FROM proj GROUP BY 1)
          SELECT a.vec_id AS id_a, b.vec_id AS id_b,
            round(list_inner_product(a.v, b.v) /

@@ -1,6 +1,7 @@
 package graft.functions.expressions
 
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
@@ -22,6 +23,18 @@ case class DotProduct(left: Expression, right: Expression)
   override def dataType: DataType = DoubleType
   override def nullable: Boolean = true
   override def prettyName: String = "dot_product"
+
+  // reject non-numeric-array inputs at analysis time (an AnalysisException
+  // with the plan context) instead of an IllegalArgumentException from
+  // elemIsDouble mid-execution
+  override def checkInputDataTypes(): TypeCheckResult =
+    Seq(left, right).map(_.dataType).collectFirst {
+      case t if !t.isInstanceOf[ArrayType] ||
+          (t.asInstanceOf[ArrayType].elementType != DoubleType &&
+            t.asInstanceOf[ArrayType].elementType != FloatType) =>
+        TypeCheckResult.TypeCheckFailure(
+          s"$prettyName expects array<float|double> inputs, got ${t.sql}")
+    }.getOrElse(TypeCheckResult.TypeCheckSuccess)
 
   private def elemIsDouble(e: Expression): Boolean = e.dataType match {
     case ArrayType(DoubleType, _) => true

@@ -607,6 +607,9 @@ object SimilarityOps {
       k: Int = 5, m: Int = 8): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
     val dim = 64
+    require(m >= 1 && dim % m == 0,
+      s"pq subspace count m must divide dim=$dim (got m=$m) — a non-divisor " +
+        "would silently truncate the trailing dimensions from encode and ADC")
     val w = dim / m
     // (vec_id, label, s, sv): the m subvectors of every vector
     val subs = emb.select(col("vec_id"), col("label"),
@@ -671,42 +674,63 @@ object SimilarityOps {
     * before storing or pre-filtering embeddings: project through a ±1
     * sign matrix and rescale by 1/√dOut, then report original vs
     * projected cosine for a bounded pair sample. The sign matrix is
-    * derived from md5(i_j) — not a seeded PRNG — because md5 is the one
-    * hash both engines share bit-for-bit, which makes the ENTIRE
+    * derived from md5("i_j") — not a seeded PRNG — because md5 is the
+    * one hash both engines share bit-for-bit, which makes the ENTIRE
     * pipeline (matrix, projection at 6dp, both cosines at 4dp)
     * cell-exact replicable in DuckDB, the q70 contract. No JL tolerance
     * claim is gated (the bound is probabilistic per matrix; with a fixed
     * matrix the distortion is just a measured fact) — the spec pins the
     * measured mean distortion instead.
     *
-    * Shapes: the sign matrix is 64·dOut rows → broadcast; the projection
-    * is posexplode → broadcast join → one (vec, j) partial-agg shuffle —
-    * linear, no corpus self-join anywhere.
+    * Parity note (the r5 hash_match lesson): each projected coordinate
+    * MUST be a row-local, index-ordered sum. The first cut computed it
+    * as a shuffled `groupBy(vec_id, j).agg(sum(x·sgn))` — a 64-term
+    * double sum whose accumulation order was partial-agg dependent,
+    * while DuckDB summed in scan order; double addition is not
+    * associative, so a last-ulp difference at a `.0000005` boundary
+    * flipped the 6dp rounding and with it 4dp `cos_proj` cells. Now the
+    * sign rows are plan-time array literals and
+    * `p_j = round(dotNative(embedding, sgnRow_j)/√dOut, 6)` runs on the
+    * codegen fused loop — the same index-ordered accumulation as the
+    * oracle's `list_inner_product` — which also deletes the posexplode
+    * and both projection shuffles: zero exchanges before the pair stage.
     */
+  /** Sign row j of the projection matrix: sgn(i, j) = +1 iff the first
+    * hex digit of md5("i_j") is < '8' (i.e. the high nibble of byte 0 is
+    * in 0..7). Computed on the driver at plan-build time — 64 hashes per
+    * row, a plan constant exactly like the LSH hyperplanes — and
+    * injected as an array literal; the DuckDB oracle regenerates the
+    * identical matrix in SQL from `md5(i || '_' || j)`.
+    */
+  private[graft] def rpSignRow(j: Int, dIn: Int = 64): Array[Double] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    Array.tabulate(dIn) { i =>
+      val b0 = md.digest(s"${i}_${j}".getBytes("UTF-8"))(0)
+      if (((b0 & 0xf0) >>> 4) < 8) 1.0 else -1.0
+    }
+  }
+
   def rpCosinePairs(spark: SparkSession, dir: String, dOut: Int = 16,
       maxId: Long = 40): DataFrame = {
+    // the pair report is O(maxId²) BY DESIGN — a bounded diagnostic
+    // sample, not a scale path (the LSH family is the scale path). The
+    // same bound-or-bucket guard as the LSH caps keeps a caller from
+    // silently turning the sample into an n² corpus report.
+    require(maxId >= 2 && maxId <= 256,
+      s"rpCosinePairs emits a full O(maxId²) pair report — a diagnostic " +
+        s"sample capped at 256 vectors (got $maxId); use lshNearDup / " +
+        "lshTopK for corpus-scale similarity")
     val emb = Tables.embeddings(spark, dir).filter(col("vec_id") < maxId)
       .select(col("vec_id"), col("embedding"))
-    val signs = spark.range(64).select(col("id").as("i"))
-      .crossJoin(spark.range(dOut).select(col("id").as("j")))
-      .select(col("i"), col("j"),
-        when(substring(md5(concat(col("i"), lit("_"), col("j"))), 1, 1) < "8",
-          lit(1.0)).otherwise(lit(-1.0)).as("sgn"))
-    val dims = emb.select(col("vec_id"),
-      posexplode(col("embedding")).as(Seq("i", "x")))
-    val pvec = dims.join(broadcast(signs), Seq("i"))
-      .groupBy(col("vec_id"), col("j"))
-      .agg(round(sum(col("x").cast("double") * col("sgn"))
-        / math.sqrt(dOut.toDouble), 6).as("p"))
-      .groupBy(col("vec_id"))
-      .agg(transform(array_sort(collect_list(struct(col("j"), col("p")))),
-        t => t.getField("p")).as("pv"))
-    val l = emb.join(pvec, Seq("vec_id"))
-      .select(col("vec_id").as("id_a"), col("embedding").as("va"),
-        col("pv").as("pa"))
-    val r = emb.join(pvec, Seq("vec_id"))
-      .select(col("vec_id").as("id_b"), col("embedding").as("vb"),
-        col("pv").as("pb"))
+    val scale = lit(math.sqrt(dOut.toDouble))
+    val proj = emb.select(col("vec_id"), col("embedding"),
+      array((0 until dOut).map(j =>
+        round(Vectors.dotNative(col("embedding"), lit(rpSignRow(j))) / scale, 6)): _*)
+        .as("pv"))
+    val l = proj.select(col("vec_id").as("id_a"), col("embedding").as("va"),
+      col("pv").as("pa"))
+    val r = proj.select(col("vec_id").as("id_b"), col("embedding").as("vb"),
+      col("pv").as("pb"))
     l.join(r, col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
         round(Vectors.cosine(col("va"), col("vb")), 4).as("cos_orig"),

@@ -98,6 +98,34 @@ class ExpressionsSpec extends SparkSpecBase {
     assert(agg.finish(merged).map(_.id) === Seq(2, 3, 5))
   }
 
+  test("rp sign rows ≡ Spark-md5 SQL derivation; projection dot bit-equal fused-loop vs HOF") {
+    // the driver-computed sign matrix literal must equal the
+    // md5(i || '_' || j) SQL derivation — the exact expression the
+    // DuckDB oracle regenerates, and what the r5 shuffled formulation
+    // computed via Spark's md5 function
+    val fromSql = spark.range(64).select(col("id").as("i"))
+      .crossJoin(spark.range(16).select(col("id").as("j")))
+      .select(col("j"), col("i"),
+        when(substring(md5(concat(col("i"), lit("_"), col("j"))), 1, 1) < "8",
+          lit(1.0)).otherwise(lit(-1.0)).as("sgn"))
+      .as[(Long, Long, Double)].collect()
+      .groupBy(_._1).map { case (j, rows) =>
+        j -> rows.sortBy(_._2).map(_._3).toSeq }
+    (0 until 16).foreach { j =>
+      assert(fromSql(j.toLong) ===
+        graft.operators.SimilarityOps.rpSignRow(j).toSeq, s"sign row $j")
+    }
+    // each projected coordinate: codegen fused loop ≡ interpreted HOF —
+    // both accumulate in index order, so the difference is exactly 0 bits
+    // (this is the q79 parity contract on the Spark side)
+    val emb = graft.Tables.embeddings(spark, sf0001).limit(50)
+    val srow = lit(graft.operators.SimilarityOps.rpSignRow(0))
+    val d = emb.select(max(abs(
+        Vectors.dotNative(col("embedding"), srow) -
+          Vectors.dot(col("embedding"), srow))).as("d")).head().getDouble(0)
+    assert(d === 0.0)
+  }
+
   test("q43 aggregator top-k ≡ q31 window top-k") {
     val a = graft.operators.SimilarityOps.topKViaAggregator(spark, sf0001).collect()
     val b = graft.operators.SimilarityOps.bruteForceTopK(spark, sf0001).collect()
