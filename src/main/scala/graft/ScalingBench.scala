@@ -74,6 +74,13 @@ object ScalingBench {
       // LUT stages hide nothing super-linear
       Probe("q77_pq_topk", "embeddings",
         SparkEntry.queries("q77_pq_topk")),
+      // the kFor-sized sampled codebook (the 100 TB operating point):
+      // codebook rows grow as m·kFor(n) but stay broadcast; codes stay
+      // n·m and the LUT nQueries·m·kFor(n) — the probe verifies the
+      // growing codebook doesn't push any stage super-linear
+      Probe("q77_pq_sized", "embeddings", (s, d) =>
+        SimilarityOps.pqTopKSized(s, d,
+          SimilarityOps.kFor(embCount(s, d), targetList = 500L))),
       Probe("q75_semantic_label", "embeddings",
         (s, d) => SimilarityOps.semanticDedup(s, d)),
       Probe("q75_semantic_sized", "embeddings", (s, d) =>

@@ -99,6 +99,7 @@ object SparkEntry {
     "q77_pq_topk"         -> ((s, d) => SimilarityOps.pqTopK(s, d)),
     "q78_heavy_hitters"   -> ((s, d) => TextAnalysisOps.heavyHitters(s, d)),
     "q79_random_projection" -> ((s, d) => SimilarityOps.rpCosinePairs(s, d)),
+    "q80_ivf_sized_topk"  -> ((s, d) => SimilarityOps.ivfTopKAuto(s, d)),
   )
 
   /** Shared shingle→df-capped-postings CTE body for every exact-Jaccard
@@ -1010,6 +1011,48 @@ object SparkEntry {
            JOIN pv pa ON pa.vec_id = a.vec_id
            JOIN pv pb ON pb.vec_id = b.vec_id
          ORDER BY id_a, id_b""",
+    // q80: the SIZED IVF pipeline — the configuration that actually runs
+    // at scale (kFor-sized, md5-seeded sampled codebook instead of the
+    // label one) replicated end-to-end like q70: the SQL sizes its own
+    // codebook with the same greatest(2, ceil(n/1000)) formula,
+    // regenerates the md5(vec_id || '_' || 7) sample, and replays
+    // assignment, probe selection, and the probed top-5 cell-exact
+    "q80_ivf_sized_topk" ->
+      ("""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v
+                     FROM embeddings),
+         kk AS (SELECT greatest(2, least(1048576,
+                  CAST(ceil(count(*) / 1000.0) AS BIGINT))) AS k FROM e),
+         hs AS (SELECT vec_id, v, md5(vec_id || '_' || 7) AS h FROM e),
+         scent AS (
+           SELECT CAST(row_number() OVER (ORDER BY h, vec_id) AS BIGINT)
+                    AS clabel, v AS cv
+           FROM hs
+           QUALIFY row_number() OVER (ORDER BY h, vec_id)
+             <= (SELECT k FROM kk)),
+         """ + lloydAsgCte("sasg", "scent") + """,
+         probes AS (
+           SELECT query_id, qv, clabel AS ivf_list FROM (
+             SELECT e.vec_id AS query_id, e.v AS qv, scent.clabel,
+               row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                 round(list_inner_product(e.v, scent.cv) /
+                   (sqrt(list_inner_product(e.v, e.v)) *
+                    sqrt(list_inner_product(scent.cv, scent.cv))), 4) DESC,
+                 scent.clabel) AS crk
+             FROM e CROSS JOIN scent WHERE e.vec_id < 8)
+           WHERE crk <= 2),
+         scored AS (
+           SELECT p.query_id, a.vec_id,
+             round(list_inner_product(p.qv, a.v) /
+               (sqrt(list_inner_product(p.qv, p.qv)) *
+                sqrt(list_inner_product(a.v, a.v))), 4) AS cos
+           FROM sasg a JOIN probes p USING (ivf_list)
+           WHERE a.vec_id <> p.query_id)
+         SELECT query_id, vec_id AS neighbor_id, cos, rk FROM (
+           SELECT query_id, vec_id, cos,
+             CAST(row_number() OVER (PARTITION BY query_id
+                  ORDER BY cos DESC, vec_id) AS INT) AS rk
+           FROM scored)
+         WHERE rk <= 5 ORDER BY query_id, rk"""),
     // q71: Gopher word-statistics rules — thresholds compared on the
     // rounded values, exactly as the Spark side computes them
     "q71_gopher_rules" ->

@@ -251,12 +251,15 @@ object SimilarityOps {
   }
 
   /** Deterministic corpus-sized coarse codebook — [[kFor]]'s companion:
-    * the k lowest-`xxhash64(vec_id, seed)` vectors become the centroids
-    * (a seeded uniform sample, i.e. the k-means init step; at scale, run
-    * Lloyd iterations over it with [[ivfAssign]] + a per-list mean — that
-    * moves the centroids but not any plan shape here). The selection is a
-    * distributed TakeOrdered top-k, never a full sort; the window that
-    * numbers the centroids runs over only k rows. Output schema matches
+    * the k lowest-`md5(vec_id || "_" || seed)` vectors become the
+    * centroids (a seeded uniform sample, i.e. the k-means init step; at
+    * scale, run Lloyd iterations over it with [[ivfAssign]] + a per-list
+    * mean — that moves the centroids but not any plan shape here). The
+    * sampling hash is md5 over the same string both engines build — not
+    * xxhash64, which DuckDB lacks — so the sized pipeline is cell-exact
+    * replicable in SQL (the q80 gate). The selection is a distributed
+    * TakeOrdered top-k, never a full sort; the window that numbers the
+    * centroids runs over only k rows. Output schema matches
     * [[labelCentroids]] (`(clabel, cv)`, cv in double), so every IVF
     * consumer takes either codebook unchanged.
     */
@@ -264,7 +267,8 @@ object SimilarityOps {
       seed: Long = 7L): DataFrame = {
     val picked = emb
       .select(col("vec_id"), col("embedding"),
-        xxhash64(col("vec_id"), lit(seed)).as("h"))
+        md5(concat(col("vec_id").cast("string"), lit("_"),
+          lit(seed.toString))).as("h"))
       .orderBy(col("h"), col("vec_id")).limit(k)
     val w = Window.orderBy(col("h"), col("vec_id"))
     picked.withColumn("clabel", row_number().over(w).cast("long"))
@@ -407,6 +411,24 @@ object SimilarityOps {
       nQueries: Int = 8, k: Int = 5, nProbe: Int = 2): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
     ivfTopKOn(emb, sampledCentroids(emb, kLists), nQueries, k, nProbe)
+  }
+
+  /** [[ivfTopKSized]] at the [[kFor]] operating point, as one call —
+    * the configuration that actually runs at 100 TB (kLists grows with
+    * the corpus so probe cost per query stays bounded), and the q80
+    * oracle gate: the ENTIRE sized pipeline — md5-seeded centroid
+    * sample, argmax assignment, probe selection, probed top-k — is
+    * replicated in DuckDB SQL cell-exact, exactly as q70 gates the
+    * label-codebook operating point. The count here is one aggregation
+    * used only to size the knob; the SQL sizes itself with the same
+    * `greatest(2, ceil(n / targetList))` formula.
+    */
+  def ivfTopKAuto(spark: SparkSession, dir: String,
+      targetList: Long = 1000L, nQueries: Int = 8, k: Int = 5,
+      nProbe: Int = 2): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    ivfTopKOn(emb, sampledCentroids(emb, kFor(emb.count(), targetList)),
+      nQueries, k, nProbe)
   }
 
   private[operators] def ivfTopKOn(emb: DataFrame, cvec: DataFrame,
@@ -603,26 +625,38 @@ object SimilarityOps {
   private val pqCodebookCache =
     SessionCaches.newCache[(SparkSession, String, Int)]()
 
-  def pqTopK(spark: SparkSession, dir: String, nQueries: Int = 8,
-      k: Int = 5, m: Int = 8): DataFrame = {
-    val emb = Tables.embeddings(spark, dir)
+  /** Same contract for [[pqTopKSized]]'s codebook, keyed by the code
+    * count as well (different kCodes ⇒ different codebook plan).
+    */
+  private[operators] val pqCodebookSizedCache =
+    SessionCaches.newCache[(SparkSession, String, Int, Int)]()
+
+  /** The m per-vector subvectors, shared by the codebook builds, the
+    * encode pass, and the LUT build. Corpus-sized and deliberately NOT
+    * persisted — at the design point it is larger than the parquet it
+    * came from.
+    */
+  private[operators] def pqSubvectors(emb: DataFrame, m: Int): DataFrame = {
     val dim = 64
     require(m >= 1 && dim % m == 0,
       s"pq subspace count m must divide dim=$dim (got m=$m) — a non-divisor " +
         "would silently truncate the trailing dimensions from encode and ADC")
     val w = dim / m
-    // (vec_id, label, s, sv): the m subvectors of every vector
-    val subs = emb.select(col("vec_id"), col("label"),
+    emb.select(col("vec_id"), col("label"),
         explode(array((0 until m).map(s =>
           struct(lit(s).as("s"),
             slice(col("embedding"), s * w + 1, w).cast("array<double>").as("sv"))): _*))
           .as("sub"))
       .select(col("vec_id"), col("label"), col("sub.s"), col("sub.sv"))
+  }
+
+  def pqTopK(spark: SparkSession, dir: String, nQueries: Int = 8,
+      k: Int = 5, m: Int = 8): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val subs = pqSubvectors(emb, m)
     // per-(subspace, label) codebook centroid (6dp — the labelCentroids
     // rounding) with its squared norm for reconstruction. Cached: the
     // remaining corpus-scale work per action is the one encode pass
-    // (subs itself is corpus-sized and deliberately NOT persisted — at
-    // the design point it is larger than the parquet it came from)
     val cb = SessionCaches.cached(pqCodebookCache, (spark, dir, m))(
       subs.select(col("label"), col("s"), posexplode(col("sv")).as(Seq("d", "x")))
         .groupBy(col("label"), col("s"), col("d"))
@@ -632,6 +666,53 @@ object SimilarityOps {
           t => t.getField("c")).as("cv"))
         .withColumn("cnorm2", Vectors.dotNative(col("cv"), col("cv")))
         .persist())
+    pqTopKOn(emb, subs, cb, nQueries, k)
+  }
+
+  /** [[pqTopK]] with a [[kFor]]-sized sampled codebook per subspace — the
+    * 100 TB operating point (code count grows with the corpus instead of
+    * being pinned to the 10 labels): the per-subspace codes are the
+    * subvectors of the md5-sampled [[sampledCentroids]] vectors (the
+    * k-means init step; Lloyd-refine per subspace at scale exactly as the
+    * IVF family's). Codebook rows = m · kCodes — still broadcast-sized at
+    * any realistic kCodes — and every ADC volume bound scales as
+    * codes = n·m, LUT = nQueries·m·kCodes (spec-pinned). Gate: the same
+    * full-pipeline DuckDB replication contract as q77 is available via
+    * the md5 sample; this variant is spec- and ScalingBench-gated with
+    * q77 as the oracle-gated operating point.
+    */
+  def pqTopKSized(spark: SparkSession, dir: String, kCodes: Int,
+      nQueries: Int = 8, k: Int = 5, m: Int = 8): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val cb = SessionCaches.cached(
+      pqCodebookSizedCache, (spark, dir, m, kCodes))(
+      pqSizedCodebook(emb, kCodes, m).persist())
+    pqTopKOn(emb, pqSubvectors(emb, m), cb, nQueries, k)
+  }
+
+  /** The sampled per-subspace codebook (`(s, code, cv, cnorm2)`,
+    * m · kCodes rows) behind [[pqTopKSized]] — the subvector slices of
+    * the [[sampledCentroids]] vectors.
+    */
+  private[operators] def pqSizedCodebook(emb: DataFrame, kCodes: Int,
+      m: Int): DataFrame = {
+    val w = 64 / m
+    sampledCentroids(emb, kCodes)
+      .select(col("clabel").as("code"),
+        explode(array((0 until m).map(s =>
+          struct(lit(s).as("s"),
+            slice(col("cv"), s * w + 1, w).as("sv"))): _*)).as("sub"))
+      .select(col("sub.s").as("s"), col("code"), col("sub.sv").as("cv"))
+      .withColumn("cnorm2", Vectors.dotNative(col("cv"), col("cv")))
+  }
+
+  /** Encode + ADC scoring against a per-subspace codebook
+    * (`(s, code, cv, cnorm2)`) — shared by the label ([[pqTopK]]) and
+    * sampled ([[pqTopKSized]]) operating points so a rounding or
+    * tiebreak tweak cannot diverge between them.
+    */
+  private[operators] def pqTopKOn(emb: DataFrame, subs: DataFrame, cb: DataFrame,
+      nQueries: Int, k: Int): DataFrame = {
     // encode: argmin L2 per (vec, subspace), expanded-form distance so the
     // oracle's float path is identical term by term; 6dp + code tiebreak
     val wEnc = Window.partitionBy(col("vec_id"), col("s"))

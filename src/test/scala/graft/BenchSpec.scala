@@ -2,49 +2,68 @@ package graft
 
 import org.scalatest.funsuite.AnyFunSuite
 
-/** Pins Bench's output contract without spinning up a session: exactly
-  * one full per-query line keyed `"metric":"total"`, exactly one compact
-  * `"metric":"total_summary"` line LAST (the driver tails stdout, so the
-  * final bytes must always carry the headline), failed queries negative
-  * and excluded from the total, and the median statistic itself.
+/** Pins Bench's output contract without spinning up a session: the
+  * compact `"metric":"total_summary"` line printed FIRST and LAST
+  * (identical — the driver captures a stdout window and has truncated
+  * the big line mid-JSON from either edge), exactly one full per-query
+  * line keyed `"metric":"total"` between them, cold (rep-1) totals next
+  * to the warm medians, failed queries negative and excluded from the
+  * totals, 3dp durations, and the median statistic itself.
   */
 class BenchSpec extends AnyFunSuite {
 
-  test("renderLines: one total line, one trailing total_summary line") {
+  test("renderLines: summary first AND last, exactly one total line between") {
     val lines = Bench.renderLines(
-      Map("q1" -> 1.5, "q2" -> 2.5), Nil, "/root/testdata/sf0.1")
-    assert(lines.size === 2)
+      Map("q1" -> 1.5, "q2" -> 2.5), Nil, "/root/testdata/sf0.1",
+      cold = Map("q1" -> 2.0, "q2" -> 3.0))
+    assert(lines.size === 3)
     assert(lines.count(_.contains("\"metric\":\"total\"")) === 1)
-    assert(lines.count(_.contains("\"metric\":\"total_summary\"")) === 1)
-    assert(lines.last.contains("\"metric\":\"total_summary\""))
-    assert(lines.head.contains("\"queries\":{\"q1\":1.5,\"q2\":2.5}"))
-    assert(lines.head.contains("\"value\":4.0"))
+    assert(lines.count(_.contains("\"metric\":\"total_summary\"")) === 2)
+    assert(lines.head === lines.last) // identical bytes at both edges
+    assert(lines(1).contains("\"metric\":\"total\""))
+    assert(lines(1).contains("\"queries\":{\"q1\":1.5,\"q2\":2.5}"))
+    assert(lines(1).contains("\"queries_cold\":{\"q1\":2.0,\"q2\":3.0}"))
+    assert(lines(1).contains("\"value\":4.0"))
+    assert(lines.head.contains("\"total_cold\":5.0"))
+    assert(lines(1).contains("\"total_cold\":5.0"))
     assert(lines.last.contains("\"n_queries\":2"))
     assert(lines.last.contains("\"n_failed\":0"))
   }
 
-  test("renderLines: failed queries are negative markers, excluded from the total") {
+  test("renderLines: failed queries are negative markers, excluded from both totals") {
     val lines = Bench.renderLines(
-      Map("ok" -> 2.0, "broken" -> -3.0), Seq("broken"), "sf")
-    assert(lines.head.contains("\"broken\":-3.0"))
-    assert(lines.head.contains("\"value\":2.0")) // not shrunk, not inflated
-    assert(lines.head.contains("\"failed\":[\"broken\"]"))
+      Map("ok" -> 2.0, "broken" -> -3.0), Seq("broken"), "sf",
+      cold = Map("ok" -> 4.0, "broken" -> -3.0))
+    assert(lines(1).contains("\"broken\":-3.0"))
+    assert(lines(1).contains("\"value\":2.0")) // not shrunk, not inflated
+    assert(lines(1).contains("\"total_cold\":4.0"))
+    assert(lines(1).contains("\"failed\":[\"broken\"]"))
     assert(lines.last.contains("\"n_failed\":1"))
   }
 
   test("renderLines: partially-failed queries surface in flaky, not just stderr") {
     val lines = Bench.renderLines(Map("q" -> 1.0), Nil, "sf", flaky = Seq("q"))
-    assert(lines.head.contains("\"flaky\":[\"q\"]"))
+    assert(lines(1).contains("\"flaky\":[\"q\"]"))
     assert(lines.last.contains("\"n_flaky\":1"))
     // absent when clean
     val clean = Bench.renderLines(Map("q" -> 1.0), Nil, "sf")
-    assert(clean.head.contains("\"flaky\":[]"))
+    assert(clean(1).contains("\"flaky\":[]"))
+  }
+
+  test("r3: 3dp durations; a fast failure keeps its negative sentinel") {
+    assert(Bench.r3(52.46395232399998) === 52.464)
+    assert(Bench.r3(0.0004) === 0.0)    // sub-ms success rounds to zero
+    assert(Bench.r3(-0.0004) === -0.001) // failure sign must survive
+    val lines = Bench.renderLines(
+      Map("q" -> 1.23456789), Nil, "sf", cold = Map("q" -> 1.98765432))
+    assert(lines(1).contains("\"q\":1.235"))
+    assert(lines(1).contains("\"queries_cold\":{\"q\":1.988}"))
   }
 
   test("jsonStr: quotes and backslashes in interpolated values cannot corrupt the line") {
     assert(Bench.jsonStr("""r5 "final" \x""") === """r5 \"final\" \\x""")
     val lines = Bench.renderLines(Map("q" -> 1.0), Nil, "sf\"dir")
-    assert(lines.head.contains("\"sf\":\"sf\\\"dir\""))
+    assert(lines(1).contains("\"sf\":\"sf\\\"dir\""))
   }
 
   test("median: odd and even samples, order-insensitive") {

@@ -252,6 +252,39 @@ class OperatorsSpec extends SparkSpecBase {
       === got.map(_.toSeq).toSeq)
   }
 
+  test("pqTopKSized: kFor-sized sampled codebook — ADC volume bounds hold and structure matches q77's") {
+    val emb = graft.Tables.embeddings(spark, sf0001)
+    val n = emb.count()
+    val m = 8
+    val kCodes = SimilarityOps.kFor(n, targetList = 100) // 5 codes/subspace
+    assert(kCodes === 5)
+    // volume bounds of the actual ADC building blocks — the quantities
+    // that carry the 100 TB storage argument: the corpus rides as n·m
+    // code rows, the codebook is m·kCodes (broadcast-sized at any
+    // realistic kCodes), and the LUT join is nQueries·m·kCodes
+    val subs = SimilarityOps.pqSubvectors(emb, m)
+    assert(subs.count() === n * m)
+    val cb = SimilarityOps.pqSizedCodebook(emb, kCodes, m)
+    assert(cb.count() === m.toLong * kCodes)
+    assert(cb.select("s", "code").distinct().count() === m.toLong * kCodes)
+    val lutRows = subs.filter(col("vec_id") < 8)
+      .join(cb.withColumnRenamed("cv", "ccv"), Seq("s")).count()
+    assert(lutRows === 8L * m * kCodes)
+    // end-to-end: same result contract as the label operating point
+    val ids = emb.select("vec_id").as[Long].collect().toSet
+    val got = SimilarityOps.pqTopKSized(spark, sf0001, kCodes).collect()
+    assert(got.length === 40)
+    got.groupBy(_.getAs[Long]("query_id")).foreach { case (q, rows) =>
+      assert(rows.map(_.getAs[Int]("rk")).sorted.toSeq === (1 to 5))
+      assert(rows.forall(r => ids(r.getAs[Long]("neighbor_id"))))
+      assert(rows.forall(_.getAs[Long]("neighbor_id") != q))
+    }
+    // Cauchy-Schwarz bound on the reconstruction cosine, as in q77's spec
+    assert(got.forall(r => math.abs(r.getAs[Double]("score")) <= 1.0))
+    assert(SimilarityOps.pqTopKSized(spark, sf0001, kCodes).collect()
+      .map(_.toSeq).toSeq === got.map(_.toSeq).toSeq)
+  }
+
   test("random projection: deterministic, and 4x compression preserves cosine in the aggregate") {
     val got = SimilarityOps.rpCosinePairs(spark, sf0001).collect()
     assert(got.length === 40 * 39 / 2)
