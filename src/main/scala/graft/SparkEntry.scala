@@ -99,7 +99,8 @@ object SparkEntry {
     "q77_pq_topk"         -> ((s, d) => SimilarityOps.pqTopK(s, d)),
     "q78_heavy_hitters"   -> ((s, d) => TextAnalysisOps.heavyHitters(s, d)),
     "q79_random_projection" -> ((s, d) => SimilarityOps.rpCosinePairs(s, d)),
-    "q80_ivf_sized_topk"  -> ((s, d) => SimilarityOps.ivfTopKAuto(s, d)),
+    "q80_ivf_sized_topk"  -> ((s, d) => SimilarityOps.ivfTopKAuto(s, d, targetList = 100L)),
+    "q81_kmeans_sized"    -> ((s, d) => SimilarityOps.kMeansRefineSized(s, d, targetList = 100L)),
   )
 
   /** Shared shingle→df-capped-postings CTE body for every exact-Jaccard
@@ -148,6 +149,29 @@ object SparkEntry {
                cent.clabel) AS crk
            FROM e CROSS JOIN cent)
          WHERE crk = 1)"""
+
+  /** Shared CTE chain for the kFor-sized, md5-sampled codebook
+    * (q80/q81): `e` (double-cast corpus), `kk` (the kFor sizing formula
+    * in SQL), `hs` (the md5 sampling hash), `scent` (the k lowest-hash
+    * vectors, numbered 1..k) — one copy so the sizing formula, seed, and
+    * tiebreaks cannot diverge between the sized gates. The gates run at
+    * targetList = 100 (k = 5 lists on the 500-vector test corpora — a
+    * probe/assignment structure the production default of 1000 cannot
+    * exhibit at this scale: kFor would clamp to 2 lists and nProbe = 2
+    * would degenerate to scanning both).
+    */
+  private def sizedScentCte(targetList: Long): String =
+    s"""e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v
+            FROM embeddings),
+       kk AS (SELECT greatest(2, least(1048576,
+                CAST(ceil(count(*) / $targetList.0) AS BIGINT))) AS k FROM e),
+       hs AS (SELECT vec_id, v, md5(vec_id || '_' || 7) AS h FROM e),
+       scent AS (
+         SELECT CAST(row_number() OVER (ORDER BY h, vec_id) AS BIGINT)
+                  AS clabel, v AS cv
+         FROM hs
+         QUALIFY row_number() OVER (ORDER BY h, vec_id)
+           <= (SELECT k FROM kk))"""
 
   /** One Lloyd-chain assignment CTE: argmax-cosine (4dp, tie → smaller
     * clabel) of every `e` vector against codebook `centName` — the same
@@ -1018,18 +1042,8 @@ object SparkEntry {
     // regenerates the md5(vec_id || '_' || 7) sample, and replays
     // assignment, probe selection, and the probed top-5 cell-exact
     "q80_ivf_sized_topk" ->
-      ("""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v
-                     FROM embeddings),
-         kk AS (SELECT greatest(2, least(1048576,
-                  CAST(ceil(count(*) / 1000.0) AS BIGINT))) AS k FROM e),
-         hs AS (SELECT vec_id, v, md5(vec_id || '_' || 7) AS h FROM e),
-         scent AS (
-           SELECT CAST(row_number() OVER (ORDER BY h, vec_id) AS BIGINT)
-                    AS clabel, v AS cv
-           FROM hs
-           QUALIFY row_number() OVER (ORDER BY h, vec_id)
-             <= (SELECT k FROM kk)),
-         """ + lloydAsgCte("sasg", "scent") + """,
+      ("WITH " + sizedScentCte(100L) + ",\n         " +
+        lloydAsgCte("sasg", "scent") + """,
          probes AS (
            SELECT query_id, qv, clabel AS ivf_list FROM (
              SELECT e.vec_id AS query_id, e.v AS qv, scent.clabel,
@@ -1053,6 +1067,24 @@ object SparkEntry {
                   ORDER BY cos DESC, vec_id) AS INT) AS rk
            FROM scored)
          WHERE rk <= 5 ORDER BY query_id, rk"""),
+    // q81: the SIZED k-means build — q76's unrolled 2-iteration Lloyd
+    // chain seeded with q80's self-sized md5 sample instead of the label
+    // codebook (the codebook build that actually runs at scale, where
+    // labels don't exist). Same parameterized CTE bodies as q76, so a
+    // rounding or tiebreak tweak cannot diverge between the two gates
+    "q81_kmeans_sized" ->
+      ("WITH " + sizedScentCte(100L) + s""",
+         ${lloydAsgCte("a1", "scent")},
+         ${lloydCentCte("dims1", "cent1", "a1")},
+         ${lloydAsgCte("a2", "cent1")},
+         ${lloydCentCte("dims2", "cent2", "a2")},
+         ${lloydAsgCte("a3", "cent2")}
+         SELECT a3.ivf_list, count(*) AS n_members,
+           round(avg(round(list_inner_product(a3.v, cent2.cv) /
+             (sqrt(list_inner_product(a3.v, a3.v)) *
+              sqrt(list_inner_product(cent2.cv, cent2.cv))), 4)), 4) AS avg_cos
+         FROM a3 JOIN cent2 ON a3.ivf_list = cent2.clabel
+         GROUP BY 1 ORDER BY 1"""),
     // q71: Gopher word-statistics rules — thresholds compared on the
     // rounded values, exactly as the Spark side computes them
     "q71_gopher_rules" ->

@@ -331,13 +331,51 @@ object SimilarityOps {
       for (_ <- 1 to iters) cv = lloydStep(emb, cv)
       cv.persist()
     }
+    kMeansSummary(emb, cvec)
+  }
+
+  /** Same contract for [[kMeansRefineSized]]'s refined codebook, keyed by
+    * the list count as well.
+    */
+  private val kmCodebookSizedCache =
+    SessionCaches.newCache[(SparkSession, String, Int, Int)]()
+
+  /** [[kMeansRefine]] seeded from the [[kFor]]-sized md5 sample instead
+    * of the label codebook — the ACTUAL 100 TB codebook build (SemDeDup /
+    * IVF cluster with k-means from a uniform sample; labels don't exist
+    * at scale), and the q81 oracle gate: the ENTIRE chain — self-sized
+    * md5 sample, `iters` × (argmax re-assignment at 4dp + 6dp mean
+    * update), final assignment + per-cluster spherical objective — is
+    * replicated in DuckDB SQL cell-exact, the same unrolled
+    * lloydAsgCte/lloydCentCte bodies as q76 seeded with q80's sample
+    * CTE. Plan shape is identical to [[kMeansRefine]]: one corpus
+    * shuffle per iteration, codebook always broadcast, no driver
+    * convergence loop.
+    */
+  def kMeansRefineSized(spark: SparkSession, dir: String,
+      targetList: Long = 1000L, iters: Int = 2): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val kLists = kFor(emb.count(), targetList)
+    val cvec = SessionCaches.cached(
+      kmCodebookSizedCache, (spark, dir, iters, kLists)) {
+      var cv = sampledCentroids(emb, kLists)
+      for (_ <- 1 to iters) cv = lloydStep(emb, cv)
+      cv.persist()
+    }
+    kMeansSummary(emb, cvec)
+  }
+
+  /** Final assignment + per-cluster summary (member count, mean
+    * member→centroid cosine at 4dp — the spherical k-means objective)
+    * over a refined codebook; shared by both refinement operating points.
+    */
+  private def kMeansSummary(emb: DataFrame, cvec: DataFrame): DataFrame =
     ivfAssign(emb, cvec)
       .join(broadcast(cvec), col("ivf_list") === col("clabel"))
       .withColumn("cos", round(Vectors.cosine(col("embedding"), col("cv")), 4))
       .groupBy(col("ivf_list"))
       .agg(count(lit(1)).as("n_members"), round(avg(col("cos")), 4).as("avg_cos"))
       .orderBy(col("ivf_list"))
-  }
 
   /** Per-label centroids + nearest-centroid assignment (one k-means-style
     * assignment step over the labeled embeddings): assignment = argmax

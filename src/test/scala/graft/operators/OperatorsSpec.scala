@@ -232,6 +232,30 @@ class OperatorsSpec extends SparkSpecBase {
     assert(summary(2).map(_.toSeq).toSeq === two.map(_.toSeq).toSeq)
   }
 
+  test("kMeansRefineSized: sampled-init Lloyd improves the objective; mass conserved") {
+    // the sized build (md5-sampled init, kFor(500, 100) = 5 lists) — the
+    // same monotone-objective contract as the label-init spec; q81
+    // oracle-gates the full chain cell-exact
+    def summary(iters: Int) = SimilarityOps
+      .kMeansRefineSized(spark, sf0001, targetList = 100, iters = iters)
+      .collect()
+    def objective(rows: Array[org.apache.spark.sql.Row]): Double = {
+      val n = rows.map(_.getAs[Long]("n_members")).sum
+      rows.map(r => r.getAs[Long]("n_members") * r.getAs[Double]("avg_cos")).sum / n
+    }
+    val base = summary(0)
+    val two = summary(2)
+    // every vector stays assigned through the chain (lists may die —
+    // standard Lloyd — but mass cannot)
+    Seq(base, two).foreach { rows =>
+      assert(rows.map(_.getAs[Long]("n_members")).sum === 500)
+      assert(rows.length <= 5 && rows.nonEmpty)
+    }
+    assert(objective(two) > objective(base))
+    // rerun-deterministic
+    assert(summary(2).map(_.toSeq).toSeq === two.map(_.toSeq).toSeq)
+  }
+
   test("pqTopK: ADC scores bounded by Cauchy-Schwarz, full result structure, deterministic") {
     val ids = graft.Tables.embeddings(spark, sf0001)
       .select("vec_id").as[Long].collect().toSet
