@@ -482,10 +482,16 @@ object SimilarityOps {
       .withColumn("crk", row_number().over(wProbe))
       .filter(col("crk") <= nProbe)
       .select(col("query_id"), col("qv"), col("clabel").as("ivf_list"))
-    // probe join: corpus side touched only where its list is probed
+    // probe join: corpus side touched only where its list is probed.
+    // probes is nQueries·nProbe rows → broadcast, so the corpus-sized
+    // assignment never shuffles here at all (without the hint the tiny
+    // derived frame defeats size estimation and this lands as a
+    // SortMergeJoin that shuffles the WHOLE corpus on ivf_list — caught
+    // by the q80 plan pin); only the probed survivors shuffle, for the
+    // per-query top-k window
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("vec_id"))
-    assigned.join(probes, Seq("ivf_list"))
+    assigned.join(broadcast(probes), Seq("ivf_list"))
       .filter(col("vec_id") =!= col("query_id"))
       .withColumn("cos", round(Vectors.cosine(col("qv"), col("embedding")), 4))
       .withColumn("rk", row_number().over(w))

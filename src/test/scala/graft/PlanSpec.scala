@@ -82,6 +82,9 @@ class PlanSpec extends SparkSpecBase {
     // codebook (≤ #labels rows) crossed in twice → conditionless BNLJ
     val bnlj = plan.linesIterator.filter(_.contains("BroadcastNestedLoopJoin")).toSeq
     assert(bnlj.forall(_.contains("Cross")), bnlj.mkString("\n"))
+    // the probe join must broadcast its nQueries·nProbe-row side — as a
+    // SortMergeJoin it shuffles the WHOLE corpus assignment on ivf_list
+    assert(!plan.contains("SortMergeJoin"), plan)
   }
 
   test("q75: list-population tag is a broadcast join; no per-consumer corpus re-shuffle") {
@@ -111,6 +114,31 @@ class PlanSpec extends SparkSpecBase {
     // construction; a SortMergeJoin or ShuffledHashJoin appearing here
     // means the corpus started shuffle-joining against something that
     // should have been broadcast
+    assert(!plan.contains("SortMergeJoin"), plan)
+    assert(!plan.contains("ShuffledHashJoin"), plan)
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
+  test("q80/q81: sized codebook paths — codebook stays broadcast, corpus never shuffle-joins") {
+    // the sized gates run the SAME plan family as q70/q76: sampled
+    // codebook crossed in as a conditionless BNLJ, probe/summary joins
+    // broadcast; a SortMergeJoin here means the codebook (k rows) started
+    // shuffle-joining against the corpus
+    Seq("q80_ivf_sized_topk", "q81_kmeans_sized").foreach { q =>
+      val plan = executed(q)
+      assert(!plan.contains("CartesianProduct"), s"$q: $plan")
+      assert(!plan.contains("SortMergeJoin"), s"$q: $plan")
+      val bnlj = plan.linesIterator.filter(_.contains("BroadcastNestedLoopJoin")).toSeq
+      assert(bnlj.forall(_.contains("Cross")), s"$q: ${bnlj.mkString("\n")}")
+    }
+  }
+
+  test("q77 sized codebook: ADC joins stay broadcast like the label operating point") {
+    val df = graft.operators.SimilarityOps.pqTopKSized(spark, sf0001,
+      kCodes = graft.operators.SimilarityOps.kFor(500L, targetList = 100))
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
     assert(!plan.contains("SortMergeJoin"), plan)
     assert(!plan.contains("ShuffledHashJoin"), plan)
     assert(plan.contains("BroadcastHashJoin"), plan)
