@@ -101,6 +101,7 @@ object SparkEntry {
     "q79_random_projection" -> ((s, d) => SimilarityOps.rpCosinePairs(s, d)),
     "q80_ivf_sized_topk"  -> ((s, d) => SimilarityOps.ivfTopKAuto(s, d, targetList = 100L)),
     "q81_kmeans_sized"    -> ((s, d) => SimilarityOps.kMeansRefineSized(s, d, targetList = 100L)),
+    "q82_sq_topk"         -> ((s, d) => SimilarityOps.sqTopK(s, d)),
   )
 
   /** Shared shingle→df-capped-postings CTE body for every exact-Jaccard
@@ -1085,6 +1086,37 @@ object SparkEntry {
               sqrt(list_inner_product(cent2.cv, cent2.cv))), 4)), 4) AS avg_cos
          FROM a3 JOIN cent2 ON a3.ivf_list = cent2.clabel
          GROUP BY 1 ORDER BY 1"""),
+    // q82: int8 scalar quantization replicated end-to-end — per-dim
+    // min/max (ORDER-INDEPENDENT, so no accumulation hazard anywhere),
+    // affine encode with round-to-code + clamp, dequantized asymmetric
+    // cosine at 4dp. No intermediate rounding: every pre-score step is
+    // element-wise exact double arithmetic identical on both engines
+    "q82_sq_topk" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
+                    FROM embeddings),
+         dims AS (SELECT vec_id, i.range AS d, v[i.range + 1] AS x
+                  FROM e, range(0, 64) i),
+         st AS (SELECT d, min(x) AS mn, (max(x) - min(x)) / 255.0 AS s
+                FROM dims GROUP BY d),
+         codes AS (SELECT vec_id, d,
+                     CASE WHEN s = 0 THEN 0.0
+                       ELSE least(255.0, round((x - mn) / s, 0)) END AS c
+                   FROM dims JOIN st USING (d)),
+         deq AS (SELECT vec_id, list(mn + c * s ORDER BY d) AS vq
+                 FROM codes JOIN st USING (d) GROUP BY vec_id),
+         q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 8),
+         scored AS (
+           SELECT query_id, vec_id,
+             round(list_inner_product(qv, vq) /
+               (sqrt(list_inner_product(qv, qv)) *
+                sqrt(list_inner_product(vq, vq))), 4) AS score
+           FROM q CROSS JOIN deq WHERE vec_id <> query_id)
+         SELECT query_id, vec_id AS neighbor_id, score, rk FROM (
+           SELECT query_id, vec_id, score,
+             CAST(row_number() OVER (PARTITION BY query_id
+                  ORDER BY score DESC, vec_id) AS INT) AS rk
+           FROM scored)
+         WHERE rk <= 5 ORDER BY query_id, rk""",
     // q71: Gopher word-statistics rules — thresholds compared on the
     // rounded values, exactly as the Spark side computes them
     "q71_gopher_rules" ->

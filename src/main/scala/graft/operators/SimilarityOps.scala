@@ -794,6 +794,80 @@ object SimilarityOps {
       .orderBy(col("query_id"), col("rk"))
   }
 
+  /** Scalar (int8) quantization of the embedding column (q82) — the 4×
+    * storage path next to PQ's 32× ([[pqTopK]]) and the float baseline:
+    * per-dimension affine codes `c_d = round((x_d − mn_d) / s_d)` with
+    * `s_d = (mx_d − mn_d)/255`, scored asymmetrically (float query ×
+    * dequantized corpus) — the standard SQ8 recipe vector stores ship.
+    * At 100 TB the corpus rides as 64 bytes/vector instead of 256, the
+    * (mn, s) table is 64 rows → broadcast, and scoring is one corpus
+    * scan, so the only shuffles are the one stats pass (per-dim min/max,
+    * 64 groups) and the per-query top-k window over scored survivors.
+    *
+    * Parity (q70 contract): min/max are ORDER-INDEPENDENT — unlike a
+    * mean-based codebook there is no accumulation-order hazard anywhere
+    * before the final cosine, which runs the fused loop in index order
+    * on both engines. The affine chain (subtract, divide, round-to-code,
+    * clamp, `mn + c·s`) is element-wise exact-deterministic double
+    * arithmetic, so the ENTIRE pipeline replays in DuckDB cell-exact
+    * with no intermediate rounding at all; the score rounds at 4dp.
+    */
+  /** One-row per-dimension stats frame: `mns`/`scs` as 64-element arrays
+    * (min and (max−min)/255 per dim), index-aligned with the embedding.
+    */
+  private[operators] def sqStats(emb: DataFrame): DataFrame =
+    emb.select(posexplode(col("embedding")).as(Seq("d", "x")))
+      .groupBy(col("d"))
+      .agg(min(col("x").cast("double")).as("mn"),
+        max(col("x").cast("double")).as("mx"))
+      .select(col("d"), col("mn"), ((col("mx") - col("mn")) / lit(255.0)).as("s"))
+      .groupBy()
+      .agg(
+        transform(array_sort(collect_list(struct(col("d"), col("mn")))),
+          t => t.getField("mn")).as("mns"),
+        transform(array_sort(collect_list(struct(col("d"), col("s")))),
+          t => t.getField("s")).as("scs"))
+
+  /** Corpus + int8 codes + dequantized vectors, row-local against the
+    * broadcast stats row: `c` is the integral code array (every value in
+    * [0, 255] — the array<byte> storage contract, spec-pinned), `vq` the
+    * reconstruction `mn_d + c_d·s_d`. A constant dimension (s = 0)
+    * quantizes to code 0 and reconstructs exactly.
+    */
+  private[operators] def sqEncoded(emb: DataFrame): DataFrame =
+    emb.crossJoin(broadcast(sqStats(emb)))
+      .withColumn("c", zip_with(
+        zip_with(col("embedding").cast("array<double>"), col("mns"),
+          (x, m) => x - m),
+        col("scs"),
+        (y, s) => when(s === lit(0.0), lit(0.0))
+          .otherwise(least(lit(255.0), round(y / s, 0)))))
+      .withColumn("vq", zip_with(
+        zip_with(col("c"), col("scs"), (c, s) => c * s),
+        col("mns"), (p, m) => m + p))
+      .drop("mns", "scs")
+
+  /** Asymmetric SQ8 top-k: float queries against the dequantized corpus,
+    * the [[bruteForceTopK]] shape (broadcast queries, one corpus scan,
+    * per-query top-k window) over the quantized storage.
+    */
+  def sqTopK(spark: SparkSession, dir: String, nQueries: Int = 8,
+      k: Int = 5): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val queries = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("vec_id"))
+    sqEncoded(emb).select(col("vec_id"), col("vq"))
+      .join(broadcast(queries), col("vec_id") =!= col("query_id"))
+      .withColumn("score", round(Vectors.cosine(col("qv"), col("vq")), 4))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        col("score"), col("rk"))
+      .orderBy(col("query_id"), col("rk"))
+  }
+
   /** Random-projection dimensionality reduction (q79) — the
     * Johnson-Lindenstrauss-style 64 → `dOut` compression a pipeline runs
     * before storing or pre-filtering embeddings: project through a ±1

@@ -144,6 +144,16 @@ class PlanSpec extends SparkSpecBase {
     assert(plan.contains("BroadcastHashJoin"), plan)
   }
 
+  test("q82: SQ stats/queries stay broadcast; corpus scanned once, never shuffle-joined") {
+    val plan = executed("q82_sq_topk")
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+    assert(!plan.contains("ShuffledHashJoin"), plan)
+    // the 1-row stats cross and the non-equi query join are both BNLJ
+    // against broadcast-sized frames
+    assert(plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
   test("q73: LM scoring joins have no cartesian and no forced broadcast of the model") {
     val plan = executed("q73_lm_perplexity")
     assert(!plan.contains("CartesianProduct"), plan)

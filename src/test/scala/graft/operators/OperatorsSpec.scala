@@ -309,6 +309,43 @@ class OperatorsSpec extends SparkSpecBase {
       .map(_.toSeq).toSeq === got.map(_.toSeq).toSeq)
   }
 
+  test("sqTopK: int8 code contract, reconstruction error bound, exact-rank fidelity") {
+    val emb = graft.Tables.embeddings(spark, sf0001)
+    val enc = SimilarityOps.sqEncoded(emb)
+    // the array<byte> storage contract: every code integral in [0, 255]
+    val badCodes = enc.select(explode(col("c")).as("c"))
+      .filter(col("c") < 0 || col("c") > 255 || col("c") =!= floor(col("c")))
+      .count()
+    assert(badCodes === 0)
+    // quantization error ≤ half a step per dimension (round-to-nearest;
+    // tiny slack for the clamp ulp at the max edge)
+    val stats = SimilarityOps.sqStats(emb)
+    val overStep = enc.crossJoin(broadcast(stats))
+      .select(posexplode(
+        zip_with(
+          zip_with(col("embedding").cast("array<double>"), col("vq"),
+            (x, v) => abs(x - v)),
+          col("scs"), (e, s) => e - s * lit(0.5000001))).as(Seq("d", "over")))
+      .filter(col("over") > 1e-12).count()
+    assert(overStep === 0)
+    // int8 barely moves cosine on this data: top-5 sets match brute force
+    // exactly at sf0.001/sf0.01 (measured; pinned with headroom) and the
+    // result structure matches q31's
+    val sq = SimilarityOps.sqTopK(spark, sf0001).collect()
+    val bf = SimilarityOps.bruteForceTopK(spark, sf0001).collect()
+    assert(sq.length === 40)
+    val sqSets = sq.groupBy(_.getAs[Long]("query_id"))
+      .view.mapValues(_.map(_.getAs[Long]("neighbor_id")).toSet).toMap
+    val bfSets = bf.groupBy(_.getAs[Long]("query_id"))
+      .view.mapValues(_.map(_.getAs[Long]("neighbor_id")).toSet).toMap
+    val overlaps = bfSets.map { case (q, s) => sqSets(q).intersect(s).size / 5.0 }
+    assert(overlaps.sum / overlaps.size >= 0.8,
+      s"mean top-5 overlap ${overlaps.sum / overlaps.size}")
+    // rerun-deterministic
+    assert(SimilarityOps.sqTopK(spark, sf0001).collect().map(_.toSeq).toSeq
+      === sq.map(_.toSeq).toSeq)
+  }
+
   test("random projection: deterministic, and 4x compression preserves cosine in the aggregate") {
     val got = SimilarityOps.rpCosinePairs(spark, sf0001).collect()
     assert(got.length === 40 * 39 / 2)
