@@ -102,6 +102,7 @@ object SparkEntry {
     "q80_ivf_sized_topk"  -> ((s, d) => SimilarityOps.ivfTopKAuto(s, d, targetList = 100L)),
     "q81_kmeans_sized"    -> ((s, d) => SimilarityOps.kMeansRefineSized(s, d, targetList = 100L)),
     "q82_sq_topk"         -> ((s, d) => SimilarityOps.sqTopK(s, d)),
+    "q83_quality_classifier" -> ((s, d) => TextAnalysisOps.qualityClassifier(s, d)),
   )
 
   /** Shared shingle→df-capped-postings CTE body for every exact-Jaccard
@@ -1117,6 +1118,26 @@ object SparkEntry {
                   ORDER BY score DESC, vec_id) AS INT) AS rk
            FROM scored)
          WHERE rk <= 5 ORDER BY query_id, rk""",
+    // q83: hashed-linear classifier scoring — the md5 feature hash and
+    // the instr() hex decode are identical in both engines, and the
+    // dyadic weights make every per-doc sum exact (order-independent by
+    // construction), so the logit is cell-exact with rounding only at
+    // the final 6dp
+    "q83_quality_classifier" ->
+      """WITH t AS (SELECT doc_id, unnest(string_split(
+             regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS tok
+           FROM documents),
+         w AS (SELECT doc_id,
+                 ((instr('0123456789abcdef', substr(md5(tok), 1, 1)) - 1) * 256
+                  + (instr('0123456789abcdef', substr(md5(tok), 2, 1)) - 1) * 16
+                  + (instr('0123456789abcdef', substr(md5(tok), 3, 1)) - 1)
+                  - 2048) / 4096.0 AS wt
+               FROM t)
+         SELECT doc_id, count(*) AS n_tokens,
+           round(sum(wt) / count(*), 6) AS logit,
+           CAST(CASE WHEN round(sum(wt) / count(*), 6) > 0
+             THEN 1 ELSE 0 END AS INT) AS label
+         FROM w GROUP BY doc_id ORDER BY doc_id""",
     // q71: Gopher word-statistics rules — thresholds compared on the
     // rounded values, exactly as the Spark side computes them
     "q71_gopher_rules" ->

@@ -379,4 +379,42 @@ object TextAnalysisOps {
         countDistinct(col("fp")).as("n_md5_classes"),
         countDistinct(col("rfp")).as("n_rolling_classes"),
         countDistinct(col("fp"), col("rfp")).as("n_joint_classes"))
+
+  /** Hashed-bag-of-words linear classifier scoring (q83) — the
+    * model-inference-at-scale shape every corpus-quality pipeline runs
+    * (fastText-style: per-token feature weight, mean-pooled per doc,
+    * thresholded): one explode + one partial-agg groupBy, zero joins,
+    * everything codegen'd builtins. The per-token weight here is derived
+    * in-expression from md5 (the hashing-trick feature map with a
+    * deterministic stand-in "model"; a LEARNED model swaps in as a
+    * broadcast bucket→weight array without changing any plan shape — the
+    * weight lookup stays row-local either way).
+    *
+    * Parity (q70 contract): weights are DYADIC rationals —
+    * `(hex3(md5(tok)) − 2048) / 4096` with hex3 the first three hex
+    * digits via `instr('0123456789abcdef', c)` (identical in both
+    * engines) — so every per-doc sum is EXACT in double arithmetic
+    * (≤ 2^12 denominators over ≤ thousands of terms never round), which
+    * makes the shuffled partial-agg sum order-INDEPENDENT by
+    * construction: the one FP hazard class (q79's lesson) is designed
+    * out rather than ordered. The logit rounds at 6dp only after the
+    * exact sum; `label = logit > 0` (sigmoid is monotone — applying it
+    * would only add a cross-engine exp() hazard, so the gate emits the
+    * logit).
+    */
+  def qualityClassifier(spark: SparkSession, dir: String): DataFrame = {
+    val hexVal = (i: Int) =>
+      expr(s"instr('0123456789abcdef', substring(md5(tok), $i, 1)) - 1")
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(Text.tokens(col("text"))).as("tok"))
+      .withColumn("wt",
+        (hexVal(1) * lit(256) + hexVal(2) * lit(16) + hexVal(3) - lit(2048))
+          .cast("double") / lit(4096.0))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        round(sum(col("wt")) / count(lit(1)), 6).as("logit"))
+      .withColumn("label",
+        when(col("logit") > 0, lit(1)).otherwise(lit(0)).cast("int"))
+      .orderBy(col("doc_id"))
+  }
 }

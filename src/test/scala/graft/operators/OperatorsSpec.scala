@@ -370,6 +370,37 @@ class OperatorsSpec extends SparkSpecBase {
     assert(got.nonEmpty)
   }
 
+  test("qualityClassifier: dyadic sums are partitioning-independent; labels split; deterministic") {
+    val got = TextAnalysisOps.qualityClassifier(spark, sf0001).collect()
+    assert(got.length === 500)
+    // the parity design claim: per-doc weight sums are EXACT dyadic
+    // arithmetic, so the logit cannot depend on partial-agg order —
+    // recompute under a different partitioning and require bit equality
+    val repartitioned = graft.Tables.documents(spark, sf0001).repartition(13)
+    val alt = repartitioned
+      .select(col("doc_id"), explode(graft.functions.Text.tokens(col("text"))).as("tok"))
+      .withColumn("wt",
+        (expr("instr('0123456789abcdef', substring(md5(tok), 1, 1)) - 1") * lit(256)
+          + expr("instr('0123456789abcdef', substring(md5(tok), 2, 1)) - 1") * lit(16)
+          + expr("instr('0123456789abcdef', substring(md5(tok), 3, 1)) - 1")
+          - lit(2048)).cast("double") / lit(4096.0))
+      .groupBy(col("doc_id"))
+      .agg(round(sum(col("wt")) / count(lit(1)), 6).as("logit"))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("logit")).toMap
+    got.foreach { r =>
+      assert(r.getAs[Double]("logit") === alt(r.getAs[Long]("doc_id")))
+    }
+    // a mean of ~n symmetric hashed weights lands on both sides of 0
+    val labels = got.map(_.getAs[Int]("label")).toSet
+    assert(labels === Set(0, 1))
+    // label consistent with the logit sign
+    assert(got.forall(r =>
+      r.getAs[Int]("label") === (if (r.getAs[Double]("logit") > 0) 1 else 0)))
+    // rerun-deterministic
+    assert(TextAnalysisOps.qualityClassifier(spark, sf0001).collect()
+      .map(_.toSeq).toSeq === got.map(_.toSeq).toSeq)
+  }
+
   test("langId deterministic with fixed tiebreak; quality in [0,1]") {
     val l = TextAnalysisOps.langId(spark, sf0001).collect()
     assert(l.map(_.getAs[Long]("n_docs")).sum === 500)
