@@ -103,6 +103,7 @@ object SparkEntry {
     "q81_kmeans_sized"    -> ((s, d) => SimilarityOps.kMeansRefineSized(s, d, targetList = 100L)),
     "q82_sq_topk"         -> ((s, d) => SimilarityOps.sqTopK(s, d)),
     "q83_quality_classifier" -> ((s, d) => TextAnalysisOps.qualityClassifier(s, d)),
+    "q84_sequence_packing" -> ((s, d) => PipelineOps.sequencePacking(s, d)),
   )
 
   /** Shared shingle→df-capped-postings CTE body for every exact-Jaccard
@@ -1138,6 +1139,35 @@ object SparkEntry {
            CAST(CASE WHEN round(sum(wt) / count(*), 6) > 0
              THEN 1 ELSE 0 END AS INT) AS label
          FROM w GROUP BY doc_id ORDER BY doc_id""",
+    // q84: sequence packing — per-shard token cumsum, fixed-256 chunk
+    // cuts, one provenance row per (doc, chunk) span. Pure integer
+    // arithmetic end to end; generate_series mirrors Spark's sequence()
+    // (both inclusive), // is BIGINT floor division on the non-negative
+    // offsets
+    "q84_sequence_packing" ->
+      """WITH d AS (SELECT doc_id, CAST(len(string_split(
+             regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' '))
+             AS BIGINT) AS n_tokens
+           FROM documents),
+         s AS (SELECT doc_id, n_tokens, CAST(doc_id % 8 AS INT) AS shard
+               FROM d WHERE n_tokens > 0),
+         c AS (SELECT doc_id, n_tokens, shard,
+                 CAST(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS end_tok
+               FROM s),
+         spans AS (SELECT shard, doc_id, end_tok - n_tokens AS start_tok,
+                     end_tok FROM c),
+         x AS (SELECT shard, doc_id, start_tok, end_tok,
+                 unnest(generate_series(CAST(start_tok // 256 AS BIGINT),
+                   CAST((end_tok - 1) // 256 AS BIGINT))) AS chunk_id
+               FROM spans)
+         SELECT shard, chunk_id, doc_id,
+           greatest(start_tok, chunk_id * 256) - start_tok AS doc_off,
+           greatest(start_tok, chunk_id * 256) - chunk_id * 256 AS chunk_off,
+           least(end_tok, (chunk_id + 1) * 256)
+             - greatest(start_tok, chunk_id * 256) AS len
+         FROM x ORDER BY shard, chunk_id, doc_id""",
     // q71: Gopher word-statistics rules — thresholds compared on the
     // rounded values, exactly as the Spark side computes them
     "q71_gopher_rules" ->

@@ -46,6 +46,47 @@ object PipelineOps {
       .orderBy(col("source"), col("doc_id"))
   }
 
+  /** Sequence packing (q84) — the concat-and-chunk layout step a
+    * pretraining pipeline runs AFTER curation: within each shard,
+    * concatenate documents in deterministic order and cut the token
+    * stream into fixed `seqLen` chunks, splitting documents across chunk
+    * boundaries and emitting one provenance row per (doc, chunk) span
+    * (`doc_off`/`chunk_off`/`len`). [[shardPacking]] (q45) assigns WHOLE
+    * docs to elastic shards; this is the training-batch layout where
+    * every chunk is exactly seqLen tokens (each shard's tail chunk may be
+    * short) and attention masks need the span boundaries — which is
+    * exactly what the provenance rows carry.
+    *
+    * Shapes: one cumsum window per shard (shard count scales with the
+    * corpus, so no single-partition window at scale — the shard is the
+    * unit of parallelism exactly as in production packers), then a
+    * row-local `sequence()` explode over each doc's chunk range. All
+    * integer arithmetic → cell-exact oracle with no FP anywhere. Sharding
+    * here is `doc_id % nShards` (engine-portable, balanced on dense ids);
+    * a content-hash shard key swaps in without changing any shape.
+    */
+  def sequencePacking(spark: SparkSession, dir: String,
+      seqLen: Long = 256L, nShards: Int = 8): DataFrame = {
+    val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), Text.tokenCount(col("text")).cast("long").as("n_tokens"))
+      .filter(col("n_tokens") > 0)
+      .withColumn("shard", pmod(col("doc_id"), lit(nShards.toLong)).cast("int"))
+      .withColumn("end_tok", sum(col("n_tokens")).over(w))
+      .withColumn("start_tok", col("end_tok") - col("n_tokens"))
+      .withColumn("chunk_id", explode(sequence(
+        floor(col("start_tok") / seqLen),
+        floor((col("end_tok") - 1) / seqLen))))
+      .withColumn("seg_start", greatest(col("start_tok"), col("chunk_id") * seqLen))
+      .withColumn("seg_end", least(col("end_tok"), (col("chunk_id") + 1) * seqLen))
+      .select(col("shard"), col("chunk_id"), col("doc_id"),
+        (col("seg_start") - col("start_tok")).as("doc_off"),
+        (col("seg_start") - col("chunk_id") * seqLen).as("chunk_off"),
+        (col("seg_end") - col("seg_start")).as("len"))
+      .orderBy(col("shard"), col("chunk_id"), col("doc_id"))
+  }
+
   /** Weighted source mixing: per-source keep-rates via content-hash
     * buckets (e.g. upsample src0, downsample the tail) — the data-mixture
     * construction step of corpus assembly, reproducible with no RNG.

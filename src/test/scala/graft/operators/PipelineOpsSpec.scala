@@ -32,6 +32,44 @@ class PipelineOpsSpec extends SparkSpecBase {
     }
   }
 
+  test("sequence packing: full chunks exactly seqLen, per-doc spans cover and stay contiguous") {
+    val seqLen = 256L
+    val got = PipelineOps.sequencePacking(spark, sf0001, seqLen = seqLen).collect()
+    assert(got.nonEmpty)
+    // chunk_off + len never exceeds the chunk, offsets non-negative
+    assert(got.forall { r =>
+      val co = r.getAs[Long]("chunk_off"); val l = r.getAs[Long]("len")
+      co >= 0 && l > 0 && co + l <= seqLen && r.getAs[Long]("doc_off") >= 0
+    })
+    // every chunk except each shard's LAST packs exactly seqLen tokens —
+    // the training-batch invariant the layout exists for
+    val byChunk = got.groupBy(r => (r.getAs[Int]("shard"), r.getAs[Long]("chunk_id")))
+      .view.mapValues(_.map(_.getAs[Long]("len")).sum).toMap
+    val lastChunk = byChunk.keys.groupBy(_._1).view.mapValues(_.map(_._2).max).toMap
+    byChunk.foreach { case ((sh, ch), tot) =>
+      if (ch == lastChunk(sh)) assert(tot <= seqLen, s"shard $sh tail overfull: $tot")
+      else assert(tot === seqLen, s"shard $sh chunk $ch has $tot tokens")
+    }
+    // per-doc spans: contiguous from 0 in chunk order and covering the
+    // doc's full token count
+    val nTokens = graft.Tables.documents(spark, sf0001)
+      .select(col("doc_id"), graft.functions.Text.tokenCount(col("text")).cast("long").as("n"))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n")).toMap
+    got.groupBy(_.getAs[Long]("doc_id")).foreach { case (doc, rows) =>
+      val spans = rows.sortBy(_.getAs[Long]("chunk_id"))
+        .map(r => (r.getAs[Long]("doc_off"), r.getAs[Long]("len")))
+      assert(spans.head._1 === 0L)
+      spans.sliding(2).foreach {
+        case Array((o1, l1), (o2, _)) => assert(o2 === o1 + l1, s"doc $doc gap")
+        case _ =>
+      }
+      assert(spans.map(_._2).sum === nTokens(doc), s"doc $doc coverage")
+    }
+    // rerun-deterministic
+    assert(PipelineOps.sequencePacking(spark, sf0001).collect().map(_.toSeq).toSeq
+      === got.map(_.toSeq).toSeq)
+  }
+
   test("trainValSplit's persisted assignment is session-cached and evicted") {
     def run() = PipelineOps.trainValSplit(spark, sf0001).collect()
     run()
