@@ -104,6 +104,7 @@ object SparkEntry {
     "q82_sq_topk"         -> ((s, d) => SimilarityOps.sqTopK(s, d)),
     "q83_quality_classifier" -> ((s, d) => TextAnalysisOps.qualityClassifier(s, d)),
     "q84_sequence_packing" -> ((s, d) => PipelineOps.sequencePacking(s, d)),
+    "q85_pq_sized"        -> ((s, d) => SimilarityOps.pqTopKAuto(s, d, targetList = 100L)),
   )
 
   /** Shared shingle→df-capped-postings CTE body for every exact-Jaccard
@@ -991,6 +992,48 @@ object SparkEntry {
            FROM sc JOIN qn USING (query_id)
            WHERE sc.vec_id <> sc.query_id)
          WHERE rk <= 5 ORDER BY query_id, rk""",
+    // q85: SIZED product quantization — q77's full ADC chain (subspace
+    // split, argmin encode with 6dp expanded-form distance + code
+    // tiebreak, LUT scoring at 4dp) over the self-sized md5-sampled
+    // codebook's subvector slices instead of the label means. Completes
+    // the oracle coverage of all three sized ANN families (q80/q81/q85)
+    "q85_pq_sized" ->
+      ("WITH " + sizedScentCte(100L) + """,
+         sub AS (SELECT vec_id, s.range AS s,
+                   v[s.range*8+1 : s.range*8+8] AS sv
+                 FROM e, range(0, 8) s),
+         cbn AS (SELECT s.range AS s, scent.clabel AS code,
+                   scent.cv[s.range*8+1 : s.range*8+8] AS cv,
+                   list_inner_product(scent.cv[s.range*8+1 : s.range*8+8],
+                     scent.cv[s.range*8+1 : s.range*8+8]) AS cnorm2
+                 FROM scent, range(0, 8) s),
+         codes AS (
+           SELECT vec_id, s, code, cnorm2 FROM (
+             SELECT sub.vec_id, sub.s, cbn.code, cbn.cnorm2,
+               row_number() OVER (PARTITION BY sub.vec_id, sub.s ORDER BY
+                 round(list_inner_product(sub.sv, sub.sv)
+                   - 2.0 * list_inner_product(sub.sv, cbn.cv)
+                   + cbn.cnorm2, 6), cbn.code) AS rk
+             FROM sub JOIN cbn ON sub.s = cbn.s)
+           WHERE rk = 1),
+         lut AS (SELECT sub.vec_id AS query_id, sub.s, cbn.code,
+                   list_inner_product(sub.sv, cbn.cv) AS qdot
+                 FROM sub JOIN cbn ON sub.s = cbn.s WHERE sub.vec_id < 8),
+         qn AS (SELECT vec_id AS query_id, sqrt(list_inner_product(v, v)) AS qnorm
+                FROM e WHERE vec_id < 8),
+         sc AS (SELECT l.query_id, c.vec_id,
+                  sum(l.qdot) AS adc, sum(c.cnorm2) AS vnorm2
+                FROM codes c JOIN lut l ON c.s = l.s AND c.code = l.code
+                GROUP BY 1, 2)
+         SELECT query_id, vec_id AS neighbor_id, score, rk FROM (
+           SELECT sc.query_id, sc.vec_id,
+             round(sc.adc / (qn.qnorm * sqrt(sc.vnorm2)), 4) AS score,
+             CAST(row_number() OVER (PARTITION BY sc.query_id
+                  ORDER BY round(sc.adc / (qn.qnorm * sqrt(sc.vnorm2)), 4)
+                    DESC, sc.vec_id) AS INT) AS rk
+           FROM sc JOIN qn USING (query_id)
+           WHERE sc.vec_id <> sc.query_id)
+         WHERE rk <= 5 ORDER BY query_id, rk"""),
     // q78: Misra-Gries heavy hitters — the emitted cells are EXACT
     // recounts of the sketch's candidate set (estimates are merge-order
     // dependent and never emitted), and at capacity 64 ≥ the corpus's 31

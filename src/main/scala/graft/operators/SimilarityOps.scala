@@ -734,6 +734,19 @@ object SimilarityOps {
     pqTopKOn(emb, pqSubvectors(emb, m), cb, nQueries, k)
   }
 
+  /** [[pqTopKSized]] at the [[kFor]] operating point, as one call — and
+    * the q85 oracle gate: with the md5 sample the ENTIRE sized ADC
+    * pipeline (self-sized codebook slices, argmin encode, LUT scoring)
+    * replays in DuckDB cell-exact, closing the oracle coverage of all
+    * three sized ANN families (IVF q80, k-means q81, PQ q85).
+    */
+  def pqTopKAuto(spark: SparkSession, dir: String,
+      targetList: Long = 1000L, nQueries: Int = 8, k: Int = 5,
+      m: Int = 8): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    pqTopKSized(spark, dir, kFor(emb.count(), targetList), nQueries, k, m)
+  }
+
   /** The sampled per-subspace codebook (`(s, code, cv, cnorm2)`,
     * m · kCodes rows) behind [[pqTopKSized]] — the subvector slices of
     * the [[sampledCentroids]] vectors.
