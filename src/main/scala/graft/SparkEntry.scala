@@ -105,6 +105,7 @@ object SparkEntry {
     "q83_quality_classifier" -> ((s, d) => TextAnalysisOps.qualityClassifier(s, d)),
     "q84_sequence_packing" -> ((s, d) => PipelineOps.sequencePacking(s, d)),
     "q85_pq_sized"        -> ((s, d) => SimilarityOps.pqTopKAuto(s, d, targetList = 100L)),
+    "q86_pq_fused"        -> ((s, d) => SimilarityOps.pqTopKFused(s, d)),
   )
 
   /** Shared shingle→df-capped-postings CTE body for every exact-Jaccard
@@ -1034,6 +1035,53 @@ object SparkEntry {
            FROM sc JOIN qn USING (query_id)
            WHERE sc.vec_id <> sc.query_id)
          WHERE rk <= 5 ORDER BY query_id, rk"""),
+    // q86: the fused PQ scorer — same codebook/encode/LUT semantics as
+    // q77, but the ADC accumulation is INDEX-ORDERED on both engines
+    // (Spark: the fused expression's s-ascending loop; here: each
+    // (query, vec) group's terms collected ORDER BY s and dotted with a
+    // ones vector — list_inner_product sums in list order), so the
+    // shuffled-sum rounding hazard is designed out rather than survived
+    "q86_pq_fused" ->
+      """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v
+                    FROM embeddings),
+         sub AS (SELECT vec_id, label, s.range AS s,
+                   v[s.range*8+1 : s.range*8+8] AS sv
+                 FROM e, range(0, 8) s),
+         cbd AS (SELECT label, s, i.range AS d, round(avg(sv[i.range]), 6) AS c
+                 FROM sub, range(1, 9) i GROUP BY 1, 2, 3),
+         cbn AS (SELECT s, code, cv, list_inner_product(cv, cv) AS cnorm2
+                 FROM (SELECT s, label AS code, list(c ORDER BY d) AS cv
+                       FROM cbd GROUP BY 1, 2)),
+         codes AS (
+           SELECT vec_id, s, code, cnorm2 FROM (
+             SELECT sub.vec_id, sub.s, cbn.code, cbn.cnorm2,
+               row_number() OVER (PARTITION BY sub.vec_id, sub.s ORDER BY
+                 round(list_inner_product(sub.sv, sub.sv)
+                   - 2.0 * list_inner_product(sub.sv, cbn.cv)
+                   + cbn.cnorm2, 6), cbn.code) AS rk
+             FROM sub JOIN cbn ON sub.s = cbn.s)
+           WHERE rk = 1),
+         lut AS (SELECT sub.vec_id AS query_id, sub.s, cbn.code,
+                   list_inner_product(sub.sv, cbn.cv) AS qdot
+                 FROM sub JOIN cbn ON sub.s = cbn.s WHERE sub.vec_id < 8),
+         qn AS (SELECT vec_id AS query_id, sqrt(list_inner_product(v, v)) AS qnorm
+                FROM e WHERE vec_id < 8),
+         sc AS (SELECT l.query_id, c.vec_id,
+                  list_inner_product(list(l.qdot ORDER BY l.s),
+                    [1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0]) AS adc,
+                  list_inner_product(list(c.cnorm2 ORDER BY c.s),
+                    [1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0]) AS vnorm2
+                FROM codes c JOIN lut l ON c.s = l.s AND c.code = l.code
+                GROUP BY 1, 2)
+         SELECT query_id, vec_id AS neighbor_id, score, rk FROM (
+           SELECT sc.query_id, sc.vec_id,
+             round(sc.adc / (qn.qnorm * sqrt(sc.vnorm2)), 4) AS score,
+             CAST(row_number() OVER (PARTITION BY sc.query_id
+                  ORDER BY round(sc.adc / (qn.qnorm * sqrt(sc.vnorm2)), 4)
+                    DESC, sc.vec_id) AS INT) AS rk
+           FROM sc JOIN qn USING (query_id)
+           WHERE sc.vec_id <> sc.query_id)
+         WHERE rk <= 5 ORDER BY query_id, rk""",
     // q78: Misra-Gries heavy hitters — the emitted cells are EXACT
     // recounts of the sketch's candidate set (estimates are merge-order
     // dependent and never emitted), and at capacity 64 ≥ the corpus's 31

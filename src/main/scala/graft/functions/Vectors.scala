@@ -44,6 +44,18 @@ object Vectors {
     */
   def cosineHof(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
+  /** Fused PQ encode + ADC scoring against broadcast flat codebook/LUT
+    * arrays — see [[graft.functions.expressions.PqAdcScores]].
+    */
+  def pqAdcScores(v: Column, cbFlat: Column, cnorm2Flat: Column,
+      lutFlat: Column, m: Int, k: Int): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(graft.functions.expressions.PqAdcScores(
+      ColumnBridge.expression(v), ColumnBridge.expression(cbFlat),
+      ColumnBridge.expression(cnorm2Flat), ColumnBridge.expression(lutFlat),
+      m, k))
+  }
+
   /** Sign-bit signature of `v` against `nPlanes` deterministic random
     * hyperplanes → a compact bucket id (random-hyperplane LSH for cosine).
     * Vectors with high cosine land in the same bucket with high probability;

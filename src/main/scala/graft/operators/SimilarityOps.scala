@@ -694,15 +694,17 @@ object SimilarityOps {
       .select(col("vec_id"), col("label"), col("sub.s"), col("sub.sv"))
   }
 
-  def pqTopK(spark: SparkSession, dir: String, nQueries: Int = 8,
-      k: Int = 5, m: Int = 8): DataFrame = {
-    val emb = Tables.embeddings(spark, dir)
-    val subs = pqSubvectors(emb, m)
-    // per-(subspace, label) codebook centroid (6dp — the labelCentroids
-    // rounding) with its squared norm for reconstruction. Cached: the
-    // remaining corpus-scale work per action is the one encode pass
-    val cb = SessionCaches.cached(pqCodebookCache, (spark, dir, m))(
-      subs.select(col("label"), col("s"), posexplode(col("sv")).as(Seq("d", "x")))
+  /** The per-(subspace, label) codebook (6dp centroid means — the
+    * labelCentroids rounding — with squared norms for reconstruction),
+    * session-cached: the remaining corpus-scale work per action is the
+    * one encode pass. Shared by [[pqTopK]], [[pqTopKFused]], and the
+    * fused-encode spec hook.
+    */
+  private def pqLabelCodebook(spark: SparkSession, dir: String,
+      m: Int): DataFrame =
+    SessionCaches.cached(pqCodebookCache, (spark, dir, m))(
+      pqSubvectors(Tables.embeddings(spark, dir), m)
+        .select(col("label"), col("s"), posexplode(col("sv")).as(Seq("d", "x")))
         .groupBy(col("label"), col("s"), col("d"))
         .agg(round(avg(col("x")), 6).as("c"))
         .groupBy(col("s"), col("label").as("code"))
@@ -710,7 +712,25 @@ object SimilarityOps {
           t => t.getField("c")).as("cv"))
         .withColumn("cnorm2", Vectors.dotNative(col("cv"), col("cv")))
         .persist())
-    pqTopKOn(emb, subs, cb, nQueries, k)
+
+  /** The codebook as one broadcastable row of flat arrays in (s, code)
+    * order — [[graft.functions.expressions.PqAdcScores]]'s input layout.
+    */
+  private def pqFlatModel(cb: DataFrame): DataFrame =
+    cb.groupBy()
+      .agg(
+        flatten(transform(
+          array_sort(collect_list(struct(col("s"), col("code"), col("cv")))),
+          t => t.getField("cv"))).as("cb_flat"),
+        transform(
+          array_sort(collect_list(struct(col("s"), col("code"), col("cnorm2")))),
+          t => t.getField("cnorm2")).as("cnorm2_flat"))
+
+  def pqTopK(spark: SparkSession, dir: String, nQueries: Int = 8,
+      k: Int = 5, m: Int = 8): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    pqTopKOn(emb, pqSubvectors(emb, m), pqLabelCodebook(spark, dir, m),
+      nQueries, k)
   }
 
   /** [[pqTopK]] with a [[kFor]]-sized sampled codebook per subspace — the
@@ -732,6 +752,90 @@ object SimilarityOps {
       pqCodebookSizedCache, (spark, dir, m, kCodes))(
       pqSizedCodebook(emb, kCodes, m).persist())
     pqTopKOn(emb, pqSubvectors(emb, m), cb, nQueries, k)
+  }
+
+  /** Fused-scorer PQ top-k (q86): the same codebook, encode semantics
+    * (6dp expanded-form argmin, smaller-code tiebreak), and ADC scoring
+    * as [[pqTopK]], but with encode + scoring fused into one row-local
+    * codegen expression ([[graft.functions.expressions.PqAdcScores]])
+    * against plan-time broadcast flat arrays. The relational pipeline
+    * pays two corpus-scale shuffles — the encode window over n·m·k rows
+    * and the (query, vec) ADC aggregation over n·m·nQ rows; here the
+    * ONLY shuffle is the final per-query top-k over n·nQ rows (map-side
+    * group-limited), which is the plan you want at 100 TB. The ADC sum
+    * runs in subspace index order on both engines (the q86 oracle
+    * aggregates `ORDER BY s` into a list and dots it with a ones
+    * vector) — the shuffled-sum rounding hazard class is designed out,
+    * not survived. The spec pins the fused encode's codes bit-equal to
+    * the relational window encode.
+    */
+  def pqTopKFused(spark: SparkSession, dir: String, nQueries: Int = 8,
+      kTop: Int = 5, m: Int = 8): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    // the SAME cached codebook as pqTopK (identical key) — the fused
+    // path changes the scorer, never the model
+    val cb = pqLabelCodebook(spark, dir, m)
+    val kCodes = (cb.count() / m).toInt
+    val cbRow = pqFlatModel(cb)
+    // LUT in (query, s, code) order — query subvectors against every code
+    val lutRow = pqSubvectors(emb.filter(col("vec_id") < nQueries), m)
+      .select(col("vec_id").as("query_id"), col("s"), col("sv").as("qsv"))
+      .join(broadcast(cb), Seq("s"))
+      .select(col("query_id"), col("s"), col("code"),
+        Vectors.dotNative(col("qsv"), col("cv")).as("qdot"))
+      .groupBy()
+      .agg(transform(
+        array_sort(collect_list(struct(col("query_id"), col("s"), col("code"),
+          col("qdot")))),
+        t => t.getField("qdot")).as("lut_flat"))
+    val qRow = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id"),
+        sqrt(Vectors.dotNative(col("embedding"), col("embedding"))).as("qnorm"))
+      .groupBy()
+      .agg(
+        transform(array_sort(collect_list(struct(col("vec_id"), col("qnorm")))),
+          t => t.getField("vec_id")).as("qid_arr"),
+        transform(array_sort(collect_list(struct(col("vec_id"), col("qnorm")))),
+          t => t.getField("qnorm")).as("qnorm_arr"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("vec_id"))
+    emb.crossJoin(broadcast(cbRow)).crossJoin(broadcast(lutRow))
+      .crossJoin(broadcast(qRow))
+      .withColumn("sc", Vectors.pqAdcScores(col("embedding"), col("cb_flat"),
+        col("cnorm2_flat"), col("lut_flat"), m, kCodes))
+      .select(col("vec_id"), col("qid_arr"), col("qnorm_arr"),
+        element_at(col("sc"), nQueries + 1).as("vnorm2"),
+        posexplode(slice(col("sc"), 1, nQueries)).as(Seq("qi", "adc")))
+      .withColumn("query_id",
+        element_at(col("qid_arr"), col("qi") + 1).cast("long"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("score", round(col("adc") /
+        (element_at(col("qnorm_arr"), col("qi") + 1) * sqrt(col("vnorm2"))), 4))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= kTop)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        col("score"), col("rk"))
+      .orderBy(col("query_id"), col("rk"))
+  }
+
+  /** The fused scorer's per-vector code assignments (the trailing m
+    * slots of [[graft.functions.expressions.PqAdcScores]]'s output as
+    * 0-based indices in (s, code) order) — exposed for the
+    * fused≡relational encode spec.
+    */
+  private[graft] def pqFusedCodes(spark: SparkSession, dir: String,
+      m: Int = 8): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val cb = pqLabelCodebook(spark, dir, m)
+    val kCodes = (cb.count() / m).toInt
+    // a 1-query dummy LUT of zeros (nQ = 0 is not representable: the lut
+    // length must be a positive multiple of m·k), so the output layout
+    // is [adc_0, vnorm2, code_0 … code_{m−1}] — codes start at slot 3
+    val zeroLut = array((0 until m * kCodes).map(_ => lit(0.0)): _*)
+    emb.crossJoin(broadcast(pqFlatModel(cb)))
+      .withColumn("sc", Vectors.pqAdcScores(col("embedding"), col("cb_flat"),
+        col("cnorm2_flat"), zeroLut, m, kCodes))
+      .select(col("vec_id"), slice(col("sc"), 3, m).as("code_idx"))
   }
 
   /** [[pqTopKSized]] at the [[kFor]] operating point, as one call — and

@@ -154,6 +154,18 @@ class PlanSpec extends SparkSpecBase {
     assert(plan.contains("BroadcastNestedLoopJoin"), plan)
   }
 
+  test("q86: fused PQ scorer — no corpus shuffle before the top-k window") {
+    val plan = executed("q86_pq_fused")
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+    // the relational PQ's encode window shuffled the corpus on
+    // (vec_id, s); the fused scorer must have NO vec_id-keyed exchange —
+    // its only corpus shuffle is the per-query top-k
+    assert(!plan.contains("hashpartitioning(vec_id"), plan)
+    val bnlj = plan.linesIterator.filter(_.contains("BroadcastNestedLoopJoin")).toSeq
+    assert(bnlj.nonEmpty && bnlj.forall(_.contains("Cross")), bnlj.mkString("\n"))
+  }
+
   test("q73: LM scoring joins have no cartesian and no forced broadcast of the model") {
     val plan = executed("q73_lm_perplexity")
     assert(!plan.contains("CartesianProduct"), plan)

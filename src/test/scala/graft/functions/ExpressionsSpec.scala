@@ -126,6 +126,30 @@ class ExpressionsSpec extends SparkSpecBase {
     assert(d === 0.0)
   }
 
+  test("pqAdcScores: output layout, null/mismatch semantics, hand-checked tiny case") {
+    // m=2, k=2, w=2, one query. Codebook: s0 -> {(1,0),(0,1)}, s1 -> {(1,1),(2,2)}
+    val cbFlat = Array(1.0, 0.0, 0.0, 1.0, 1.0, 1.0, 2.0, 2.0)
+    val cnorm2 = Array(1.0, 1.0, 2.0, 8.0)
+    // lut[(q*m+s)*k+c] for q=0: s0 codes -> (10, 20), s1 codes -> (30, 40)
+    val lut = Array(10.0, 20.0, 30.0, 40.0)
+    val df = Seq((Some(Array(1.0f, 0.1f, 1.2f, 1.1f)), 1),
+        (None, 2)).toDF("v", "tag")
+      .select(col("tag"), Vectors.pqAdcScores(col("v"), lit(cbFlat),
+        lit(cnorm2), lit(lut), 2, 2).as("sc"))
+      .collect().map(r => r.getInt(0) ->
+        (if (r.isNullAt(1)) null else r.getSeq[Double](1))).toMap
+    // s0: sv=(1, .1): dist to (1,0)=.01, to (0,1)=1.81 -> code 0
+    // s1: sv=(1.2,1.1): dist to (1,1)=.05, to (2,2)=1.45 -> code 0
+    // layout [adc_0, vnorm2, code_0, code_1] = [10+30, 1+2, 0, 0]
+    assert(df(1) === Seq(40.0, 3.0, 0.0, 0.0))
+    assert(df(2) === null) // null vector
+    // dim not divisible by m -> null
+    val bad = Seq(Array(1.0f, 2.0f, 3.0f)).toDF("v")
+      .select(Vectors.pqAdcScores(col("v"), lit(cbFlat), lit(cnorm2),
+        lit(lut), 2, 2)).head()
+    assert(bad.isNullAt(0))
+  }
+
   test("q43 aggregator top-k ≡ q31 window top-k") {
     val a = graft.operators.SimilarityOps.topKViaAggregator(spark, sf0001).collect()
     val b = graft.operators.SimilarityOps.bruteForceTopK(spark, sf0001).collect()

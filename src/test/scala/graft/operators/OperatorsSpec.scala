@@ -346,6 +346,56 @@ class OperatorsSpec extends SparkSpecBase {
       === sq.map(_.toSeq).toSeq)
   }
 
+  test("pqTopKFused: fused encode ≡ relational window encode; fused scorer structure + determinism") {
+    val emb = graft.Tables.embeddings(spark, sf0001)
+    val m = 8
+    // relational encode: the q77 window argmin, mapped to 0-based
+    // per-subspace code indices via rank within s — must equal the fused
+    // expression's emitted codes BIT-EXACTLY (same 6dp rounding, same
+    // tiebreak) for every (vec, subspace)
+    val subs = SimilarityOps.pqSubvectors(emb, m)
+    val rel = {
+      import org.apache.spark.sql.expressions.Window
+      val cbl = subs
+        .select(col("label"), col("s"), posexplode(col("sv")).as(Seq("d", "x")))
+        .groupBy(col("label"), col("s"), col("d"))
+        .agg(round(avg(col("x")), 6).as("c"))
+        .groupBy(col("s"), col("label").as("code"))
+        .agg(transform(array_sort(collect_list(struct(col("d"), col("c")))),
+          t => t.getField("c")).as("cv"))
+        .withColumn("cnorm2",
+          graft.functions.Vectors.dotNative(col("cv"), col("cv")))
+        .withColumn("idx",
+          row_number().over(Window.partitionBy(col("s")).orderBy(col("code"))) - 1)
+      val wEnc = Window.partitionBy(col("vec_id"), col("s"))
+        .orderBy(col("dist"), col("code"))
+      subs.join(broadcast(cbl), Seq("s"))
+        .withColumn("dist", round(
+          graft.functions.Vectors.dotNative(col("sv"), col("sv"))
+            - lit(2.0) * graft.functions.Vectors.dotNative(col("sv"), col("cv"))
+            + col("cnorm2"), 6))
+        .withColumn("rk", row_number().over(wEnc))
+        .filter(col("rk") === 1)
+        .groupBy(col("vec_id"))
+        .agg(transform(array_sort(collect_list(struct(col("s"), col("idx")))),
+          t => t.getField("idx").cast("double")).as("rel_codes"))
+    }
+    val fused = SimilarityOps.pqFusedCodes(spark, sf0001, m)
+    val joined = fused.join(rel, Seq("vec_id"))
+      .filter(col("code_idx") =!= col("rel_codes")).count()
+    assert(joined === 0, "fused encode diverged from the relational window encode")
+    // fused scorer: q31-shaped result, never self, deterministic
+    val got = SimilarityOps.pqTopKFused(spark, sf0001).collect()
+    assert(got.length === 40)
+    got.groupBy(_.getAs[Long]("query_id")).foreach { case (q, rows) =>
+      assert(rows.map(_.getAs[Int]("rk")).sorted.toSeq === (1 to 5))
+      assert(rows.forall(_.getAs[Long]("neighbor_id") != q))
+    }
+    assert(got.forall(r => math.abs(r.getAs[Double]("score")) <= 1.0))
+    assert(SimilarityOps.pqTopKFused(spark, sf0001).collect().map(_.toSeq).toSeq
+      === got.map(_.toSeq).toSeq)
+  }
+
   test("random projection: deterministic, and 4x compression preserves cosine in the aggregate") {
     val got = SimilarityOps.rpCosinePairs(spark, sf0001).collect()
     assert(got.length === 40 * 39 / 2)
