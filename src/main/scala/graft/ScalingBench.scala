@@ -81,6 +81,15 @@ object ScalingBench {
       Probe("q77_pq_sized", "embeddings", (s, d) =>
         SimilarityOps.pqTopKSized(s, d,
           SimilarityOps.kFor(embCount(s, d), targetList = 500L))),
+      // the fused scorer (q86): same model, zero corpus shuffles — the
+      // probe pins that removing the encode window/ADC aggregation
+      // keeps the whole path flat like the scan it now is
+      Probe("q86_pq_fused", "embeddings",
+        SparkEntry.queries("q86_pq_fused")),
+      // SQ8 (q82): one stats pass + row-local encode + brute-force-shaped
+      // scoring — linear by construction
+      Probe("q82_sq_topk", "embeddings",
+        SparkEntry.queries("q82_sq_topk")),
       Probe("q75_semantic_label", "embeddings",
         (s, d) => SimilarityOps.semanticDedup(s, d)),
       Probe("q75_semantic_sized", "embeddings", (s, d) =>

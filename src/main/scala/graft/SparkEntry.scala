@@ -106,6 +106,7 @@ object SparkEntry {
     "q84_sequence_packing" -> ((s, d) => PipelineOps.sequencePacking(s, d)),
     "q85_pq_sized"        -> ((s, d) => SimilarityOps.pqTopKAuto(s, d, targetList = 100L)),
     "q86_pq_fused"        -> ((s, d) => SimilarityOps.pqTopKFused(s, d)),
+    "q87_span_scrub"      -> ((s, d) => DedupOps.spanScrub(s, d)),
   )
 
   /** Shared shingle→df-capped-postings CTE body for every exact-Jaccard
@@ -1082,6 +1083,40 @@ object SparkEntry {
            FROM sc JOIN qn USING (query_id)
            WHERE sc.vec_id <> sc.query_id)
          WHERE rk <= 5 ORDER BY query_id, rk""",
+    // q87: span-dedup apply — duplicated-span ownership (min doc_id),
+    // covered-position explode, anti-join, per-doc rebuild ORDER BY pos.
+    // All string/integer ops, no FP anywhere; list slicing replicates the
+    // Spark side's lead-window span strings
+    "q87_span_scrub" ->
+      """WITH d AS (SELECT doc_id, string_split(
+             regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS toks
+           FROM documents),
+         tp AS (SELECT doc_id, toks, unnest(generate_series(
+                  CAST(0 AS BIGINT), CAST(len(toks) AS BIGINT) - 1)) AS pos
+                FROM d),
+         t AS (SELECT doc_id, pos, toks[pos + 1] AS tok FROM tp),
+         op AS (SELECT doc_id, toks, unnest(generate_series(
+                  CAST(0 AS BIGINT), CAST(len(toks) AS BIGINT) - 10)) AS pos
+                FROM d WHERE len(toks) >= 10),
+         occ AS (SELECT doc_id, pos,
+                   array_to_string(toks[pos + 1 : pos + 10], ' ') AS span
+                 FROM op),
+         own AS (SELECT span, min(doc_id) AS owner FROM occ
+                 GROUP BY span HAVING count(DISTINCT doc_id) >= 2),
+         cov AS (SELECT DISTINCT doc_id, pos FROM (
+                   SELECT o.doc_id,
+                     unnest(generate_series(o.pos, o.pos + 9)) AS pos
+                   FROM occ o JOIN own ON o.span = own.span
+                   WHERE o.doc_id <> own.owner)),
+         kept AS (SELECT t.doc_id, t.pos, t.tok
+                  FROM t ANTI JOIN cov USING (doc_id, pos)),
+         reb AS (SELECT doc_id, count(*) AS n_kept,
+                   string_agg(tok, ' ' ORDER BY pos) AS text_scrubbed
+                 FROM kept GROUP BY doc_id)
+         SELECT d.doc_id, CAST(len(d.toks) AS BIGINT) AS n_tokens,
+           coalesce(reb.n_kept, 0) AS n_kept,
+           coalesce(reb.text_scrubbed, '') AS text_scrubbed
+         FROM d LEFT JOIN reb USING (doc_id) ORDER BY doc_id""",
     // q78: Misra-Gries heavy hitters — the emitted cells are EXACT
     // recounts of the sketch's candidate set (estimates are merge-order
     // dependent and never emitted), and at capacity 64 ≥ the corpus's 31

@@ -537,6 +537,64 @@ object DedupOps {
       .orderBy(col("doc_id"))
   }
 
+  /** Span-level dedup APPLY (q87) — the rewrite step behind
+    * [[spanDupStats]]'s diagnosis (the Lee-et-al-style "deduplicate
+    * repeated substrings" pass a pretraining corpus runs): every token
+    * covered by a cross-document duplicated span occurrence is dropped
+    * from every NON-canonical document (canonical = the smallest doc_id
+    * containing the span, which keeps exactly one copy of the repeated
+    * material corpus-wide), and each document is rebuilt from its
+    * surviving tokens with before/after token counts. Within-doc
+    * repetition in the canonical owner is deliberately kept — that is
+    * q62's signal, not cross-doc duplication.
+    *
+    * Shapes: the span-occurrence aggregation shuffles on the span string
+    * (the exact, oracle-gated path — swap `xxhash64(span)` keys at 100 TB
+    * exactly as [[spanDupStats]]'s `hashedKeys` documents), the covered
+    * positions explode is bounded by spanLen × duplicated occurrences,
+    * and the rebuild is one per-doc sorted aggregation. Never all-pairs.
+    * All string/integer ops — cell-exact oracle, no FP anywhere.
+    */
+  def spanScrub(spark: SparkSession, dir: String,
+      spanLen: Int = 10): DataFrame =
+    spanScrubDF(Tables.documents(spark, dir), spanLen)
+
+  def spanScrubDF(docs: DataFrame, spanLen: Int = 10): DataFrame = {
+    require(spanLen >= 2, s"spanLen must be >= 2, got $spanLen")
+    val toks = docs.select(col("doc_id"),
+      posexplode(Text.tokens(col("text"))).as(Seq("pos", "tok")))
+    val wDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val leads = (1 until spanLen).map(i =>
+      lead(col("tok"), i).over(wDoc).as(s"t$i"))
+    val spanCols = col("tok") +: (1 until spanLen).map(i => col(s"t$i"))
+    val occ = toks
+      .select((col("doc_id") +: col("pos") +: col("tok") +: leads): _*)
+      .filter(col(s"t${spanLen - 1}").isNotNull)
+      .select(col("doc_id"), col("pos"), concat_ws(" ", spanCols: _*).as("span"))
+    val dupOwners = occ.groupBy(col("span"))
+      .agg(countDistinct(col("doc_id")).as("nd"), min(col("doc_id")).as("owner"))
+      .filter(col("nd") >= 2)
+      .select(col("span"), col("owner"))
+    val covered = occ.join(dupOwners, "span")
+      .filter(col("doc_id") =!= col("owner"))
+      .select(col("doc_id"),
+        explode(sequence(col("pos"), col("pos") + lit(spanLen - 1))).as("pos"))
+      .distinct()
+    val rebuilt = toks.join(covered, Seq("doc_id", "pos"), "left_anti")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_kept"),
+        concat_ws(" ",
+          transform(array_sort(collect_list(struct(col("pos"), col("tok")))),
+            t => t.getField("tok"))).as("text_scrubbed"))
+    docs.select(col("doc_id"),
+        Text.tokenCount(col("text")).cast("long").as("n_tokens"))
+      .join(rebuilt, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("text_scrubbed"), lit("")).as("text_scrubbed"))
+      .orderBy(col("doc_id"))
+  }
+
   /** q53: cluster ids over the (oracle-expressible) n-gram Jaccard edges.
     * Cached per (session, dir): q59's keep-list is a consumer of exactly
     * this result, and the CC fixpoint behind it is a driver-side loop

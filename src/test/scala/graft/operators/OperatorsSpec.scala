@@ -451,6 +451,38 @@ class OperatorsSpec extends SparkSpecBase {
       .map(_.toSeq).toSeq === got.map(_.toSeq).toSeq)
   }
 
+  test("spanScrub: planted cross-doc span removed from the non-owner only; counts consistent") {
+    val run = (1 to 12).map(i => s"w$i").mkString(" ") // a 12-token run
+    val docs = Seq(
+      (1L, s"alpha beta $run gamma"),          // owner of the run (min id)
+      (2L, s"$run tail one two three"),        // non-owner: run scrubbed
+      (3L, "totally unrelated text with no duplicate spans at all here"))
+      .toDF("doc_id", "text")
+    val got = DedupOps.spanScrubDF(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    // owner keeps everything
+    assert(got(1L).getAs[Long]("n_kept") === got(1L).getAs[Long]("n_tokens"))
+    assert(got(1L).getAs[String]("text_scrubbed") === s"alpha beta $run gamma")
+    // non-owner loses exactly the covered positions of the duplicated
+    // spans (the 12-token run = three overlapping 10-token spans whose
+    // union covers tokens 0..11) and keeps its own tail
+    assert(got(2L).getAs[String]("text_scrubbed") === "tail one two three")
+    assert(got(2L).getAs[Long]("n_kept") === 4L)
+    // untouched doc unchanged
+    assert(got(3L).getAs[Long]("n_kept") === got(3L).getAs[Long]("n_tokens"))
+    // corpus run: counts consistent (scrubbed token count == n_kept) and
+    // deterministic
+    val full = DedupOps.spanScrub(spark, sf0001).collect()
+    assert(full.forall { r =>
+      val n = r.getAs[Long]("n_kept")
+      val txt = r.getAs[String]("text_scrubbed")
+      n <= r.getAs[Long]("n_tokens") &&
+        (if (n == 0) txt.isEmpty else txt.split(" ").length.toLong == n)
+    })
+    assert(DedupOps.spanScrub(spark, sf0001).collect().map(_.toSeq).toSeq
+      === full.map(_.toSeq).toSeq)
+  }
+
   test("langId deterministic with fixed tiebreak; quality in [0,1]") {
     val l = TextAnalysisOps.langId(spark, sf0001).collect()
     assert(l.map(_.getAs[Long]("n_docs")).sum === 500)
