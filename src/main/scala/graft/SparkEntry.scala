@@ -107,6 +107,7 @@ object SparkEntry {
     "q85_pq_sized"        -> ((s, d) => SimilarityOps.pqTopKAuto(s, d, targetList = 100L)),
     "q86_pq_fused"        -> ((s, d) => SimilarityOps.pqTopKFused(s, d)),
     "q87_span_scrub"      -> ((s, d) => DedupOps.spanScrub(s, d)),
+    "q88_ivfpq_topk"      -> ((s, d) => SimilarityOps.ivfPqTopK(s, d)),
   )
 
   /** Shared shingle→df-capped-postings CTE body for every exact-Jaccard
@@ -1117,6 +1118,95 @@ object SparkEntry {
            coalesce(reb.n_kept, 0) AS n_kept,
            coalesce(reb.text_scrubbed, '') AS text_scrubbed
          FROM d LEFT JOIN reb USING (doc_id) ORDER BY doc_id""",
+    // q88: IVF-PQ — the full production index replayed: coarse
+    // assignment (q70's CTEs), residuals per dimension, residual PQ
+    // codebook + argmin encode (q77's recipe on residuals), probe
+    // selection, and the corrected ADC cosine
+    // (qc + adcq) / (qnorm · sqrt(|c|² + 2·adcc + |r̂|²)) with every
+    // multi-term sum in the ordered-list formulation (the q86 contract)
+    "q88_ivfpq_topk" ->
+      ("WITH " + ivfAssignCte + """,
+         rdim AS (SELECT a.vec_id, a.ivf_list, i.range AS d,
+                    a.v[i.range] - cent.cv[i.range] AS x
+                  FROM asg a JOIN cent ON a.ivf_list = cent.clabel,
+                    range(1, 65) i),
+         r AS (SELECT vec_id, ivf_list, list(x ORDER BY d) AS rv
+               FROM rdim GROUP BY 1, 2),
+         rsub AS (SELECT vec_id, s.range AS s,
+                    rv[s.range*8+1 : s.range*8+8] AS sv
+                  FROM r, range(0, 8) s),
+         rcbd AS (SELECT e.label, rs.s, i.range AS d,
+                    round(avg(rs.sv[i.range]), 6) AS c
+                  FROM rsub rs JOIN e ON rs.vec_id = e.vec_id,
+                    range(1, 9) i GROUP BY 1, 2, 3),
+         rcbn AS (SELECT s, code, cv, list_inner_product(cv, cv) AS cnorm2
+                  FROM (SELECT s, label AS code, list(c ORDER BY d) AS cv
+                        FROM rcbd GROUP BY 1, 2)),
+         codes AS (
+           SELECT vec_id, s, code, cnorm2 FROM (
+             SELECT rs.vec_id, rs.s, rcbn.code, rcbn.cnorm2,
+               row_number() OVER (PARTITION BY rs.vec_id, rs.s ORDER BY
+                 round(list_inner_product(rs.sv, rs.sv)
+                   - 2.0 * list_inner_product(rs.sv, rcbn.cv)
+                   + rcbn.cnorm2, 6), rcbn.code) AS rk
+             FROM rsub rs JOIN rcbn ON rs.s = rcbn.s)
+           WHERE rk = 1),
+         qsub AS (SELECT vec_id, s.range AS s,
+                    v[s.range*8+1 : s.range*8+8] AS qsv
+                  FROM e, range(0, 8) s WHERE vec_id < 8),
+         lutq AS (SELECT q.vec_id AS query_id, rcbn.s, rcbn.code,
+                    list_inner_product(q.qsv, rcbn.cv) AS qdot
+                  FROM qsub q JOIN rcbn ON q.s = rcbn.s),
+         csub AS (SELECT cent.clabel, s.range AS s,
+                    cent.cv[s.range*8+1 : s.range*8+8] AS csv
+                  FROM cent, range(0, 8) s),
+         lutc AS (SELECT c.clabel, rcbn.s, rcbn.code,
+                    list_inner_product(c.csv, rcbn.cv) AS cdot
+                  FROM csub c JOIN rcbn ON c.s = rcbn.s),
+         scq AS (SELECT l.query_id, c.vec_id,
+                   list_inner_product(list(l.qdot ORDER BY l.s),
+                     [1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0]) AS adcq
+                 FROM codes c JOIN lutq l ON c.s = l.s AND c.code = l.code
+                 GROUP BY 1, 2),
+         scc AS (SELECT l.clabel, c.vec_id,
+                   list_inner_product(list(l.cdot ORDER BY l.s),
+                     [1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0]) AS adcc
+                 FROM codes c JOIN lutc l ON c.s = l.s AND c.code = l.code
+                 GROUP BY 1, 2),
+         rn AS (SELECT vec_id,
+                  list_inner_product(list(cnorm2 ORDER BY s),
+                    [1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0]) AS rnorm2
+                FROM codes GROUP BY 1),
+         probes AS (
+           SELECT query_id, ivf_list, qc, cnorm2l, qnorm FROM (
+             SELECT e.vec_id AS query_id, cent.clabel AS ivf_list,
+               list_inner_product(e.v, cent.cv) AS qc,
+               list_inner_product(cent.cv, cent.cv) AS cnorm2l,
+               sqrt(list_inner_product(e.v, e.v)) AS qnorm,
+               row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                 round(list_inner_product(e.v, cent.cv) /
+                   (sqrt(list_inner_product(e.v, e.v)) *
+                    sqrt(list_inner_product(cent.cv, cent.cv))), 4) DESC,
+                 cent.clabel) AS crk
+             FROM e CROSS JOIN cent WHERE e.vec_id < 8)
+           WHERE crk <= 2),
+         scored AS (
+           SELECT p.query_id, a.vec_id,
+             round((p.qc + scq.adcq) /
+               (p.qnorm * sqrt(p.cnorm2l + 2.0 * scc.adcc + rn.rnorm2)),
+               4) AS score
+           FROM asg a
+             JOIN probes p ON a.ivf_list = p.ivf_list
+               AND a.vec_id <> p.query_id
+             JOIN scq ON scq.query_id = p.query_id AND scq.vec_id = a.vec_id
+             JOIN scc ON scc.clabel = a.ivf_list AND scc.vec_id = a.vec_id
+             JOIN rn ON rn.vec_id = a.vec_id)
+         SELECT query_id, vec_id AS neighbor_id, score, rk FROM (
+           SELECT query_id, vec_id, score,
+             CAST(row_number() OVER (PARTITION BY query_id
+                  ORDER BY score DESC, vec_id) AS INT) AS rk
+           FROM scored)
+         WHERE rk <= 5 ORDER BY query_id, rk"""),
     // q78: Misra-Gries heavy hitters — the emitted cells are EXACT
     // recounts of the sketch's candidate set (estimates are merge-order
     // dependent and never emitted), and at capacity 64 ≥ the corpus's 31

@@ -754,6 +754,130 @@ object SimilarityOps {
     pqTopKOn(emb, pqSubvectors(emb, m), cb, nQueries, k)
   }
 
+  /** IVF-PQ top-k (q88) — the canonical production ANN index (the
+    * FAISS-style composition): the coarse quantizer ([[labelCentroids]],
+    * the q70 codebook) partitions the corpus into inverted lists; each
+    * vector stores only the PQ codes of its RESIDUAL (v − c_list); a
+    * query scores only its `nProbe` probed lists via
+    * `dot(q, v̂) = dot(q, c_list) + dot(q, r̂)` with the reconstruction
+    * norm `|v̂|² = |c_list|² + 2·dot(c_list, r̂) + |r̂|²`. At 100 TB the
+    * corpus rides as (list id + m codes) per vector, every codebook/LUT
+    * is broadcast, and a query touches nProbe/k of the data — this is
+    * the architecture production vector stores actually ship.
+    *
+    * Plan: residuals are row-local (zip_with after the broadcast
+    * assignment join); encode + BOTH ADC sums run in the fused
+    * [[graft.functions.expressions.PqAdcScores]] expression — the real
+    * queries and the k coarse centroids ride the SAME flat LUT as
+    * nQ + k pseudo-queries, so one pass yields `dot(q_s, r̂_s)` sums for
+    * every query AND the `dot(c_list, r̂)` norm correction — then the
+    * probe join is broadcast and the only corpus shuffle is the final
+    * per-query top-k (the q86 contract, composed). All sums index-
+    * ordered on both engines; the oracle replays the whole thing with
+    * the ordered-list formulation.
+    */
+  def ivfPqTopK(spark: SparkSession, dir: String, nQueries: Int = 8,
+      kTop: Int = 5, nProbe: Int = 2, m: Int = 8): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val cvec = labelCentroids(emb)          // coarse codebook (clabel, cv)
+    val assigned = ivfAssign(emb, cvec)     // (vec_id, embedding, ivf_list)
+    // residual corpus: r = v − c_list, row-local against the broadcast
+    // coarse codebook
+    val resid = assigned
+      .join(broadcast(cvec), col("ivf_list") === col("clabel"))
+      .withColumn("r", zip_with(col("embedding").cast("array<double>"),
+        col("cv"), (x, c) => x - c))
+      .select(col("vec_id"), col("ivf_list"), col("r"))
+    // residual PQ codebook: per-(subspace, label) means of residual
+    // subvectors (6dp — the q77 recipe on residuals). label here is the
+    // data attribute, exactly as in pqTopK.
+    val rsubs = resid
+      .join(emb.select(col("vec_id"), col("label")), "vec_id")
+      .select(col("vec_id"), col("label"),
+        explode(array((0 until m).map(s =>
+          struct(lit(s).as("s"),
+            slice(col("r"), s * (64 / m) + 1, 64 / m).as("sv"))): _*)).as("sub"))
+      .select(col("vec_id"), col("label"), col("sub.s"), col("sub.sv"))
+    val rcb = SessionCaches.cached(ivfPqCodebookCache, (spark, dir, m))(
+      rsubs.select(col("label"), col("s"), posexplode(col("sv")).as(Seq("d", "x")))
+        .groupBy(col("label"), col("s"), col("d"))
+        .agg(round(avg(col("x")), 6).as("c"))
+        .groupBy(col("s"), col("label").as("code"))
+        .agg(transform(array_sort(collect_list(struct(col("d"), col("c")))),
+          t => t.getField("c")).as("cv"))
+        .withColumn("cnorm2", Vectors.dotNative(col("cv"), col("cv")))
+        .persist())
+    val kCodes = (rcb.count() / m).toInt
+    val kCoarse = cvec.count().toInt
+    val cbRow = pqFlatModel(rcb)
+    // pseudo-query LUT: the nQ real queries (qkey = query index, sorted
+    // vec_id order = vec_id for dense ids) followed by the k coarse
+    // centroids (qkey = nQ + rank of clabel) — one flat array drives
+    // both the scoring sums and the norm correction
+    val queries = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qv_id"), col("embedding").cast("array<double>").as("qv"))
+    val wClabel = Window.orderBy(col("clabel"))
+    val centKeyed = cvec
+      .withColumn("crank", row_number().over(wClabel) - 1)
+      .select((col("crank") + lit(nQueries)).as("qkey"), col("cv").as("qv"),
+        col("clabel"))
+    val wQ = Window.orderBy(col("qv_id"))
+    val qKeyed = queries
+      .withColumn("qkey", row_number().over(wQ) - 1)
+      .select(col("qkey"), col("qv"))
+    val pseudo = qKeyed.unionByName(centKeyed.select(col("qkey"), col("qv")))
+    val lutRow = pseudo
+      .select(col("qkey"),
+        explode(array((0 until m).map(s =>
+          struct(lit(s).as("s"),
+            slice(col("qv"), s * (64 / m) + 1, 64 / m).as("qsv"))): _*)).as("sub"))
+      .select(col("qkey"), col("sub.s"), col("sub.qsv"))
+      .join(broadcast(rcb), Seq("s"))
+      .select(col("qkey"), col("s"), col("code"),
+        Vectors.dotNative(col("qsv"), col("cv")).as("qdot"))
+      .groupBy()
+      .agg(transform(array_sort(collect_list(
+        struct(col("qkey"), col("s"), col("code"), col("qdot")))),
+        t => t.getField("qdot")).as("lut_flat"))
+    // probes: per query, the nProbe best lists, carrying the raw
+    // query·centroid dot, the centroid norm, and the centroid rank
+    val wProbe = Window.partitionBy(col("qv_id"))
+      .orderBy(col("ccos").desc, col("clabel"))
+    val probes = queries.crossJoin(broadcast(
+        cvec.withColumn("crank", row_number().over(wClabel) - 1)))
+      .withColumn("ccos", round(Vectors.cosine(col("qv"), col("cv")), 4))
+      .withColumn("crk", row_number().over(wProbe))
+      .filter(col("crk") <= nProbe)
+      .select(col("qv_id").as("query_id"), col("clabel").as("ivf_list"),
+        col("crank"),
+        Vectors.dotNative(col("qv"), col("cv")).as("qc"),
+        Vectors.dotNative(col("cv"), col("cv")).as("cnorm2l"),
+        sqrt(Vectors.dotNative(col("qv"), col("qv"))).as("qnorm"))
+    // fused residual encode + all pseudo-query ADC sums, one corpus pass
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("vec_id"))
+    resid.crossJoin(broadcast(cbRow)).crossJoin(broadcast(lutRow))
+      .withColumn("sc", Vectors.pqAdcScores(col("r"), col("cb_flat"),
+        col("cnorm2_flat"), col("lut_flat"), m, kCodes))
+      .join(broadcast(probes), Seq("ivf_list"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("adcq", element_at(col("sc"), col("query_id").cast("int") + 1))
+      .withColumn("adcc",
+        element_at(col("sc"), col("crank").cast("int") + lit(nQueries) + 1))
+      .withColumn("rnorm2", element_at(col("sc"), lit(nQueries + kCoarse + 1)))
+      .withColumn("score", round((col("qc") + col("adcq")) /
+        (col("qnorm") * sqrt(col("cnorm2l") + lit(2.0) * col("adcc")
+          + col("rnorm2"))), 4))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= kTop)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        col("score"), col("rk"))
+      .orderBy(col("query_id"), col("rk"))
+  }
+
+  private val ivfPqCodebookCache =
+    SessionCaches.newCache[(SparkSession, String, Int)]()
+
   /** Fused-scorer PQ top-k (q86): the same codebook, encode semantics
     * (6dp expanded-form argmin, smaller-code tiebreak), and ADC scoring
     * as [[pqTopK]], but with encode + scoring fused into one row-local

@@ -166,6 +166,17 @@ class PlanSpec extends SparkSpecBase {
     assert(bnlj.nonEmpty && bnlj.forall(_.contains("Cross")), bnlj.mkString("\n"))
   }
 
+  test("q88: IVF-PQ — probe join broadcast, no cartesian in the composed index") {
+    val plan = executed("q88_ivfpq_topk")
+    assert(!plan.contains("CartesianProduct"), plan)
+    // the scoring-path probe join must be a broadcast hash join on the
+    // list id (the corpus side is the assignment, never re-shuffled for
+    // the 16-row probes frame)
+    assert(plan.contains("BroadcastHashJoin [ivf_list"), plan)
+    val bnlj = plan.linesIterator.filter(_.contains("BroadcastNestedLoopJoin")).toSeq
+    assert(bnlj.nonEmpty && bnlj.forall(_.contains("Cross")), bnlj.mkString("\n"))
+  }
+
   test("q73: LM scoring joins have no cartesian and no forced broadcast of the model") {
     val plan = executed("q73_lm_perplexity")
     assert(!plan.contains("CartesianProduct"), plan)

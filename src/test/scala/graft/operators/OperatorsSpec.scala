@@ -396,6 +396,26 @@ class OperatorsSpec extends SparkSpecBase {
       === got.map(_.toSeq).toSeq)
   }
 
+  test("ivfPqTopK: composed index structure — bounded scores, real neighbors, deterministic") {
+    val ids = graft.Tables.embeddings(spark, sf0001)
+      .select("vec_id").as[Long].collect().toSet
+    val got = SimilarityOps.ivfPqTopK(spark, sf0001).collect()
+    // 8 queries × top-5 within probed lists; ranks contiguous, no self
+    assert(got.length === 40)
+    got.groupBy(_.getAs[Long]("query_id")).foreach { case (q, rows) =>
+      assert(rows.map(_.getAs[Int]("rk")).sorted.toSeq === (1 to 5))
+      assert(rows.forall(r => ids(r.getAs[Long]("neighbor_id"))))
+      assert(rows.forall(_.getAs[Long]("neighbor_id") != q))
+    }
+    // score = dot(q, v̂)/(|q|·|v̂|) with |v̂|² assembled EXACTLY
+    // (|c|² + 2·dot(c, r̂) + |r̂|²) — Cauchy-Schwarz bounds it; a broken
+    // norm correction (wrong pseudo-query slot, missing 2×) breaks this
+    // before it breaks ordering
+    assert(got.forall(r => math.abs(r.getAs[Double]("score")) <= 1.0001))
+    assert(SimilarityOps.ivfPqTopK(spark, sf0001).collect().map(_.toSeq).toSeq
+      === got.map(_.toSeq).toSeq)
+  }
+
   test("random projection: deterministic, and 4x compression preserves cosine in the aggregate") {
     val got = SimilarityOps.rpCosinePairs(spark, sf0001).collect()
     assert(got.length === 40 * 39 / 2)
