@@ -86,6 +86,12 @@ object ScalingBench {
       // keeps the whole path flat like the scan it now is
       Probe("q86_pq_fused", "embeddings",
         SparkEntry.queries("q86_pq_fused")),
+      // the composed IVF-PQ index (q88): assignment + residual encode +
+      // probed ADC — the probe pins the composition stays near-linear
+      // (codebook training is the only super-constant stage and is
+      // cached per session; each rep pays it after eviction)
+      Probe("q88_ivfpq_topk", "embeddings",
+        SparkEntry.queries("q88_ivfpq_topk")),
       // SQ8 (q82): one stats pass + row-local encode + brute-force-shaped
       // scoring — linear by construction
       Probe("q82_sq_topk", "embeddings",

@@ -240,6 +240,21 @@ object SimilarityOps {
     * groupBy (rounded at 6dp for cross-engine stability) — the coarse
     * codebook shared by [[centroidAssign]] and the IVF path ([[ivfTopK]]).
     */
+  /** Session-cached [[labelCentroids]] — the coarse codebook is a
+    * corpus-scale aggregation with MANY consumers (assignment crossJoin,
+    * probe selection, residual join, centroid pseudo-queries …; q88
+    * alone reads it four times per action, and exchange reuse does not
+    * fire across separate broadcasts), so every (session, dir) pays the
+    * corpus pass exactly once.
+    */
+  private val labelCentroidsCache =
+    SessionCaches.newCache[(SparkSession, String)]()
+
+  private[operators] def labelCentroidsCached(spark: SparkSession,
+      dir: String): DataFrame =
+    SessionCaches.cached(labelCentroidsCache, (spark, dir))(
+      labelCentroids(Tables.embeddings(spark, dir)).persist())
+
   private[operators] def labelCentroids(emb: DataFrame): DataFrame = {
     val dims = emb.select(col("label"), col("vec_id"),
       posexplode(col("embedding")).as(Seq("d", "x")))
@@ -383,7 +398,7 @@ object SimilarityOps {
     */
   def centroidAssign(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(spark, dir)
-    val cvec = labelCentroids(e)
+    val cvec = labelCentroidsCached(spark, dir)
     val w = Window.partitionBy(col("vec_id"))
       .orderBy(col("cos").desc, col("clabel"))
     e.crossJoin(broadcast(cvec))
@@ -435,7 +450,7 @@ object SimilarityOps {
   def ivfTopK(spark: SparkSession, dir: String, nQueries: Int = 8,
       k: Int = 5, nProbe: Int = 2): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
-    ivfTopKOn(emb, labelCentroids(emb), nQueries, k, nProbe)
+    ivfTopKOn(emb, labelCentroidsCached(spark, dir), nQueries, k, nProbe)
   }
 
   /** [[ivfTopK]] with the corpus-sized [[sampledCentroids]] codebook —
@@ -612,7 +627,7 @@ object SimilarityOps {
       threshold: Double = 0.35): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
     val assigned = SessionCaches.cached(ivfAssignCache, (spark, dir))(
-      ivfAssign(emb, labelCentroids(emb)).persist())
+      ivfAssign(emb, labelCentroidsCached(spark, dir)).persist())
     // k = the label codebook's cardinality, as a plan (one cheap column
     // scan), never a driver-side collect
     semanticDedupOn(assigned,
@@ -779,7 +794,7 @@ object SimilarityOps {
   def ivfPqTopK(spark: SparkSession, dir: String, nQueries: Int = 8,
       kTop: Int = 5, nProbe: Int = 2, m: Int = 8): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
-    val cvec = labelCentroids(emb)          // coarse codebook (clabel, cv)
+    val cvec = labelCentroidsCached(spark, dir) // coarse codebook (clabel, cv)
     val assigned = ivfAssign(emb, cvec)     // (vec_id, embedding, ivf_list)
     // residual corpus: r = v − c_list, row-local against the broadcast
     // coarse codebook
