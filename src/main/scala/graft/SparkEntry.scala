@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{CoreQueries, DedupOps, MultimodalOps, PipelineOps, SimilarityOps, TextAnalysisOps}
+import graft.operators.{CoreQueries, DedupOps, MultimodalOps, PipelineOps, RetrievalOps, SimilarityOps, TextAnalysisOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -108,6 +108,7 @@ object SparkEntry {
     "q86_pq_fused"        -> ((s, d) => SimilarityOps.pqTopKFused(s, d)),
     "q87_span_scrub"      -> ((s, d) => DedupOps.spanScrub(s, d)),
     "q88_ivfpq_topk"      -> ((s, d) => SimilarityOps.ivfPqTopK(s, d)),
+    "q89_bm25_topk"       -> ((s, d) => RetrievalOps.bm25TopK(s, d)),
   )
 
   /** Shared shingle→df-capped-postings CTE body for every exact-Jaccard
@@ -1467,5 +1468,55 @@ object SparkEntry {
              THEN n_chars END) AS BIGINT) AS p75,
            CAST(1 AS INT) AS approx_ok
          FROM ranked GROUP BY lang ORDER BY lang""",
+    // q89: BM25 retrieval — corpus stats are exact ints (avgdl enters as
+    // one deterministic division), every FP constant appears as the SAME
+    // literal expression both engines constant-fold identically
+    // (1.2 + 1.0, 1.0 - 0.75 + 0.75 * norm), idf rounds 6dp at its stage
+    // boundary, and the per-(query, doc) score is a fixed-order
+    // c1 + c2 + c3 fold over term-rank slots — never a shuffled float sum
+    "q89_bm25_topk" ->
+      """WITH d0 AS (
+           SELECT doc_id, string_split(
+             regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS w
+           FROM documents),
+         post AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS dl,
+                    unnest(w) AS tok FROM d0),
+         tfp AS (SELECT doc_id, dl, tok, count(*) AS tf
+                 FROM post GROUP BY 1, 2, 3),
+         st AS (SELECT count(*) AS n_docs,
+                  sum(CAST(len(w) AS BIGINT)) AS sum_dl FROM d0),
+         qt AS (
+           SELECT doc_id AS qid, tok,
+             CAST(row_number() OVER (PARTITION BY doc_id
+               ORDER BY tf DESC, tok) AS INT) AS t_rank
+           FROM tfp WHERE doc_id < 5
+           QUALIFY row_number() OVER (PARTITION BY doc_id
+             ORDER BY tf DESC, tok) <= 3),
+         cand AS (SELECT qt.qid, qt.t_rank, tfp.doc_id, tfp.dl,
+                    tfp.tok, tfp.tf
+                  FROM tfp JOIN qt USING (tok)),
+         dfc AS (SELECT tok, count(*) AS df FROM
+                   (SELECT DISTINCT tok, doc_id FROM cand) GROUP BY 1),
+         contrib AS (
+           SELECT cand.qid, cand.doc_id, cand.t_rank,
+             round(
+               round(ln((CAST(st.n_docs AS DOUBLE) - CAST(dfc.df AS DOUBLE)
+                   + 0.5) / (CAST(dfc.df AS DOUBLE) + 0.5) + 1.0), 6)
+               * (CAST(cand.tf AS DOUBLE) * (1.2 + 1.0) /
+                  (CAST(cand.tf AS DOUBLE) + 1.2 * (1.0 - 0.75 + 0.75 *
+                    (CAST(cand.dl * st.n_docs AS DOUBLE) /
+                     CAST(st.sum_dl AS DOUBLE))))), 6) AS c
+           FROM cand JOIN dfc USING (tok) CROSS JOIN st)
+         SELECT qid, hit_id, score, rk FROM (
+           SELECT qid, doc_id AS hit_id, score,
+             CAST(row_number() OVER (PARTITION BY qid
+               ORDER BY score DESC, doc_id) AS INT) AS rk
+           FROM (SELECT qid, doc_id,
+                   round(coalesce(max(CASE WHEN t_rank = 1 THEN c END), 0.0)
+                       + coalesce(max(CASE WHEN t_rank = 2 THEN c END), 0.0)
+                       + coalesce(max(CASE WHEN t_rank = 3 THEN c END), 0.0),
+                     4) AS score
+                 FROM contrib GROUP BY 1, 2))
+         WHERE rk <= 5 ORDER BY qid, rk""",
   )
 }

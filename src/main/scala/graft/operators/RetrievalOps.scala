@@ -1,0 +1,117 @@
+package graft.operators
+
+import graft.Tables
+import graft.functions.Text
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Full-text retrieval over `documents`: BM25 scoring against the
+  * corpus-built inverted index (the reference's SQL surface has no
+  * retrieval operator; this is the training-data-pipeline extension a
+  * quality/curation stack runs to find near-benchmark or topical docs —
+  * reference context `Capstone/scripts/etl.py:583-847` ends at SQL
+  * aggregation, so the index build here is new surface).
+  *
+  * Scale shape (the 100 TB contract):
+  *  - the ONE corpus-scale shuffle is the postings build
+  *    (`groupBy(doc_id, tok)`) — exactly the inverted-index
+  *    materialization a production deployment runs once and reuses
+  *    across query batches (it would be a bucketed table on `tok`);
+  *  - the query side (query terms, per-term df, idf, corpus stats) is
+  *    broadcast end-to-end — candidate generation is a broadcast hash
+  *    join postings⋈terms, never a corpus⋈corpus shuffle;
+  *  - per-query candidate sets are bounded by Σ df(term); a production
+  *    config prunes stopword-grade terms (df cap) before scoring —
+  *    this corpus's 31-token vocabulary makes every term stopword-grade,
+  *    so the gate deliberately scores unpruned.
+  *
+  * Cross-engine parity (the q70/q83 contract): corpus stats are EXACT
+  * integers (N, Σdl), so `avgdl` enters as one deterministic double
+  * division; every FP constant is written as the SAME literal expression
+  * on both engines (`1.2 + 1.0`, `1.0 - 0.75 + 0.75 * norm` — identical
+  * IEEE op sequence, no Scala-side pre-folding: `k1 + 1` pre-computed in
+  * Scala would differ from DuckDB's constant-fold by one ulp); idf
+  * rounds 6dp at its stage boundary; and the per-(query, doc) score is a
+  * FIXED-ORDER fold `c1 + c2 + c3` over term-rank slots (max-CASE
+  * pivot), not a shuffled SUM — the q79 lesson designed out.
+  */
+object RetrievalOps {
+
+  /** BM25 top-k: the `nQueries` lowest-id docs act as queries, each
+    * represented by its `nTerms` strongest tokens (tf desc, token asc —
+    * deterministic); every corpus doc is scored with Lucene-style BM25
+    * (k1 = 1.2, b = 0.75, idf = ln((N − df + ½)/(df + ½) + 1)) and the
+    * top `k` hits per query are returned.
+    */
+  def bm25TopK(spark: SparkSession, dir: String, nQueries: Int = 5,
+      nTerms: Int = 3, k: Int = 5): DataFrame =
+    bm25TopKOn(Tables.documents(spark, dir), nQueries, nTerms, k)
+
+  /** [[bm25TopK]] over an explicit `(doc_id, text)` frame — the spec
+    * surface for adversarial corpora with known ranking structure.
+    */
+  private[graft] def bm25TopKOn(docs0: DataFrame, nQueries: Int = 5,
+      nTerms: Int = 3, k: Int = 5): DataFrame = {
+    val docs = docs0
+      .select(col("doc_id"), Text.tokens(col("text")).as("toks"))
+      .select(col("doc_id"), size(col("toks")).cast("long").as("dl"),
+        col("toks"))
+
+    // postings (doc_id, dl, tok, tf): dl rides the groupBy key (it is
+    // functionally dependent on doc_id) so no second corpus pass or join
+    // is needed to recover document length at scoring time
+    val postings = docs
+      .select(col("doc_id"), col("dl"), explode(col("toks")).as("tok"))
+      .groupBy(col("doc_id"), col("dl"), col("tok"))
+      .agg(count(lit(1)).as("tf"))
+
+    // corpus stats: exact ints -> avgdl is one deterministic division
+    val stats = docs.agg(count(lit(1)).as("n_docs"),
+      sum(col("dl")).as("sum_dl"))
+
+    // query terms: per query doc, top-nTerms tokens (tf desc, tok asc)
+    val wq = Window.partitionBy(col("qid"))
+      .orderBy(col("tf").desc, col("tok"))
+    val queryTerms = postings.filter(col("doc_id") < nQueries)
+      .select(col("doc_id").as("qid"), col("tok"), col("tf"))
+      .withColumn("t_rank", row_number().over(wq))
+      .filter(col("t_rank") <= nTerms)
+      .select(col("qid"), col("tok"), col("t_rank"))
+
+    // candidates: postings restricted to query terms (broadcast join);
+    // df per term computed over the candidates themselves (every doc
+    // containing the term is a candidate, so this IS the corpus df)
+    val cand = postings.join(broadcast(queryTerms), Seq("tok"))
+    val dfPerTok = cand.select(col("tok"), col("doc_id")).distinct()
+      .groupBy(col("tok")).agg(count(lit(1)).as("df"))
+
+    val norm = (col("dl") * col("n_docs")).cast("double") /
+      col("sum_dl").cast("double")
+    val idf = round(
+      log((col("n_docs").cast("double") - col("df").cast("double") +
+        lit(0.5)) / (col("df").cast("double") + lit(0.5)) + lit(1.0)), 6)
+    val tfw = col("tf").cast("double") * (lit(1.2) + lit(1.0)) /
+      (col("tf").cast("double") +
+        lit(1.2) * (lit(1.0) - lit(0.75) + lit(0.75) * norm))
+    val contrib = cand
+      .join(broadcast(dfPerTok), Seq("tok"))
+      .crossJoin(broadcast(stats))
+      .select(col("qid"), col("doc_id"), col("t_rank"),
+        round(idf * tfw, 6).as("c"))
+
+    // fixed-order fold over term-rank slots: c1 + c2 + c3 evaluates in
+    // the written order on both engines — no shuffled float sum
+    val slots = (1 to nTerms).map(i =>
+      coalesce(max(when(col("t_rank") === i, col("c"))), lit(0.0)))
+    val wk = Window.partitionBy(col("qid"))
+      .orderBy(col("score").desc, col("hit_id"))
+    contrib.groupBy(col("qid"), col("doc_id"))
+      .agg(round(slots.reduceLeft(_ + _), 4).as("score"))
+      .withColumnRenamed("doc_id", "hit_id")
+      .withColumn("rk", row_number().over(wk))
+      .filter(col("rk") <= k)
+      .select(col("qid"), col("hit_id"), col("score"), col("rk"))
+      .orderBy(col("qid"), col("rk"))
+  }
+}

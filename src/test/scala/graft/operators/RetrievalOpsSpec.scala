@@ -1,0 +1,78 @@
+package graft.operators
+
+import graft.SparkSpecBase
+import org.apache.spark.sql.functions._
+
+/** BM25 retrieval (q89): ranking structure on a constructed corpus where
+  * the correct ordering is known from the scoring function's shape —
+  * idf discrimination (rare term beats stopword-grade term), tf
+  * saturation direction, and length normalization — plus the output
+  * contract on the real testdata corpus.
+  */
+class RetrievalOpsSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def run(rows: Seq[(Long, String)], nQueries: Int = 1,
+      nTerms: Int = 3, k: Int = 10) =
+    RetrievalOps.bm25TopKOn(rows.toDF("doc_id", "text"),
+      nQueries, nTerms, k)
+
+  test("idf discrimination: matching a rare term outranks matching a ubiquitous one") {
+    // query doc 0 = "rare common": 'common' is in every doc (df = 6,
+    // idf ~ 0), 'rare' only in docs 0 and 3. Doc 3 (rare hit) must beat
+    // docs 4/5 (common-only hits) despite identical lengths.
+    val corpus = Seq[(Long, String)](
+      (0L, "rare common"),
+      (3L, "rare common filler filler"),
+      (4L, "common filler filler filler"),
+      (5L, "common filler filler filler"))
+    val hits = run(corpus).where(col("qid") === 0).orderBy(col("rk"))
+      .select(col("hit_id")).as[Long].collect()
+    assert(hits.head === 0L) // the query doc itself: both terms, shortest
+    assert(hits(1) === 3L)   // rare-term match beats common-only matches
+  }
+
+  test("tf direction: more occurrences of the query term rank higher at equal length") {
+    val corpus = Seq[(Long, String)](
+      (0L, "target"),
+      (1L, "target target target pad"),
+      (2L, "target pad pad pad"))
+    val hits = run(corpus).where(col("qid") === 0).orderBy(col("rk"))
+      .select(col("hit_id")).as[Long].collect()
+    // doc 1 (tf = 3, dl = 4) over doc 2 (tf = 1, dl = 4)
+    assert(hits.indexOf(1L) < hits.indexOf(2L))
+  }
+
+  test("length normalization: same tf, shorter doc ranks higher") {
+    val corpus = Seq[(Long, String)](
+      (0L, "target"),
+      (1L, "target pad"),
+      (2L, "target pad pad pad pad pad pad pad"))
+    val hits = run(corpus).where(col("qid") === 0).orderBy(col("rk"))
+      .select(col("hit_id")).as[Long].collect()
+    assert(hits.indexOf(1L) < hits.indexOf(2L))
+  }
+
+  test("output contract on testdata: 5 queries x top-5, scores non-increasing, rk dense") {
+    val out = RetrievalOps.bm25TopK(spark, sf0001).cache()
+    assert(out.count() === 25)
+    assert(out.groupBy("qid").count().where(col("count") =!= 5).count() === 0)
+    // rk dense 1..5 and scores non-increasing within each query
+    val bad = out.selectExpr("qid", "score", "rk",
+        "lag(score) over (partition by qid order by rk) as prev")
+      .where(col("prev").isNotNull && col("score") > col("prev"))
+    assert(bad.count() === 0)
+    assert(out.agg(min("rk"), max("rk")).as[(Int, Int)].head() === ((1, 5)))
+    out.unpersist()
+  }
+
+  test("plan: query-side joins broadcast, no cartesian over the corpus") {
+    val plan = RetrievalOps.bm25TopK(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") ||
+      plan.contains("BroadcastNestedLoopJoin"))
+    // the only corpus-scale exchange is the postings groupBy; the
+    // candidate join against query terms must not sort-merge the corpus
+    assert(!plan.contains("CartesianProduct"))
+  }
+}
