@@ -109,6 +109,7 @@ object SparkEntry {
     "q87_span_scrub"      -> ((s, d) => DedupOps.spanScrub(s, d)),
     "q88_ivfpq_topk"      -> ((s, d) => SimilarityOps.ivfPqTopK(s, d)),
     "q89_bm25_topk"       -> ((s, d) => RetrievalOps.bm25TopK(s, d)),
+    "q90_cms_profile"     -> ((s, d) => TextAnalysisOps.cmsProfile(s, d)),
   )
 
   /** Shared shingle→df-capped-postings CTE body for every exact-Jaccard
@@ -1518,5 +1519,31 @@ object SparkEntry {
                      4) AS score
                  FROM contrib GROUP BY 1, 2))
          WHERE rk <= 5 ORDER BY qid, rk""",
+    // q90: Count-Min sketch — cells are order-independent integer sums
+    // and the md5 bucket decode is the q83 instr pattern, so the sketch
+    // the typed Aggregator builds is replayed relationally cell-exact:
+    // RAW estimates hash-gate (deterministic, unlike Misra-Gries q78)
+    "q90_cms_profile" ->
+      """WITH t AS (SELECT unnest(string_split(
+             regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS tok
+           FROM documents),
+         tc AS (SELECT tok, count(*) AS n FROM t GROUP BY 1),
+         b AS (SELECT tok, n, i.range AS i,
+                 ((instr('0123456789abcdef',
+                     substr(md5(tok || '_' || i.range), 1, 1)) - 1) * 256
+                  + (instr('0123456789abcdef',
+                      substr(md5(tok || '_' || i.range), 2, 1)) - 1) * 16
+                  + (instr('0123456789abcdef',
+                      substr(md5(tok || '_' || i.range), 3, 1)) - 1)) % 64
+                   AS bkt
+               FROM tc, range(0, 4) i),
+         cells AS (SELECT i, bkt, CAST(sum(n) AS BIGINT) AS cnt
+                   FROM b GROUP BY 1, 2),
+         est AS (SELECT b.tok, min(c.cnt) AS est
+                 FROM b JOIN cells c ON b.i = c.i AND b.bkt = c.bkt
+                 GROUP BY 1)
+         SELECT tok, n, est, CAST(est >= n AS INT) AS overest_ok
+         FROM tc JOIN est USING (tok)
+         ORDER BY n DESC, tok LIMIT 10""",
   )
 }

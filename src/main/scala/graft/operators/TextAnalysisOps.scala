@@ -380,6 +380,54 @@ object TextAnalysisOps {
         countDistinct(col("rfp")).as("n_rolling_classes"),
         countDistinct(col("fp"), col("rfp")).as("n_joint_classes"))
 
+  /** Count-Min sketch point-query profile (q90) — the other half of the
+    * bounded-memory counting pair: [[heavyHitters]] (Misra-Gries, q78)
+    * finds WHICH tokens are heavy; this answers "how often did token x
+    * occur" for any x from a `d × w` cell grid that never grows with the
+    * corpus. One corpus pass builds the sketch (mergeable partial
+    * buffers, any merge order — see [[graft.functions
+    * .CountMinAggregator]]); the probe stage reads estimates for the
+    * top-`k` exact tokens by joining the probe frame against the
+    * broadcast 1-row sketch and decoding the md5 bucket per row
+    * in-expression (the q83 instr hex decode — identical in DuckDB, so
+    * the RAW estimates hash-gate: CMS cells are order-independent
+    * integer sums, deterministic where MG's estimates are not).
+    *
+    * Gate honesty (the q78 pattern): this corpus's 31-token vocabulary
+    * at w = 64 exhibits few or no collisions, so the gate pins mostly
+    * `est = n` plus the deterministic `est ≥ n` side of the CMS
+    * guarantee; the collision/approximation regime (distinct ≫ w) and
+    * merge-order determinism are spec-gated adversarially.
+    */
+  def cmsProfile(spark: SparkSession, dir: String, d: Int = 4,
+      w: Int = 64, k: Int = 10): DataFrame = {
+    import spark.implicits._
+    import graft.functions.CountMinAggregator
+    val toks = Tables.documents(spark, dir)
+      .select(explode(Text.tokens(col("text"))).as("tok"))
+    val sketch = SessionCaches.cached(cmsSketchCache, (spark, dir, d, w))(
+      toks.as[String]
+        .select(new CountMinAggregator(d, w).toColumn)
+        .toDF("cells", "total") // case-class output flattens to 2 cols
+        .persist())
+    val probes = toks.groupBy(col("tok")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("tok")).limit(k)
+    val bucketAt = (i: Int) =>
+      (expr(s"(instr('0123456789abcdef', substring(md5(concat(tok, '_', $i)), 1, 1)) - 1)") * lit(256)
+        + expr(s"(instr('0123456789abcdef', substring(md5(concat(tok, '_', $i)), 2, 1)) - 1)") * lit(16)
+        + expr(s"(instr('0123456789abcdef', substring(md5(concat(tok, '_', $i)), 3, 1)) - 1)")) % lit(w)
+    val est = (0 until d)
+      .map(i => element_at(col("cells"), (lit(i * w) + bucketAt(i) + lit(1)).cast("int")))
+      .reduceLeft((a, b) => least(a, b))
+    probes.crossJoin(broadcast(sketch))
+      .select(col("tok"), col("n"), est.as("est"))
+      .withColumn("overest_ok", (col("est") >= col("n")).cast("int"))
+      .orderBy(col("n").desc, col("tok"))
+  }
+
+  private val cmsSketchCache =
+    SessionCaches.newCache[(SparkSession, String, Int, Int)]()
+
   /** Hashed-bag-of-words linear classifier scoring (q83) — the
     * model-inference-at-scale shape every corpus-quality pipeline runs
     * (fastText-style: per-token feature weight, mean-pooled per doc,
