@@ -110,6 +110,7 @@ object SparkEntry {
     "q88_ivfpq_topk"      -> ((s, d) => SimilarityOps.ivfPqTopK(s, d)),
     "q89_bm25_topk"       -> ((s, d) => RetrievalOps.bm25TopK(s, d)),
     "q90_cms_profile"     -> ((s, d) => TextAnalysisOps.cmsProfile(s, d)),
+    "q91_snapshot_diff"   -> ((s, d) => graft.operators.IncrementalOps.q91SnapshotDiff(s, d)),
   )
 
   /** Shared shingle→df-capped-postings CTE body for every exact-Jaccard
@@ -1545,5 +1546,30 @@ object SparkEntry {
          SELECT tok, n, est, CAST(est >= n AS INT) AS overest_ok
          FROM tc JOIN est USING (tok)
          ORDER BY n DESC, tok LIMIT 10""",
+    // q91: snapshot diff — v2 derived by a deterministic edit script,
+    // manifest is pure md5-string/int comparison (no FP anywhere); the
+    // unchanged mass never leaves the join
+    "q91_snapshot_diff" ->
+      """WITH v1 AS (SELECT doc_id, text FROM documents),
+         v2 AS (
+           SELECT doc_id,
+             CASE WHEN doc_id % 10 = 0 THEN text || ' [rev2]'
+                  ELSE text END AS text
+           FROM v1 WHERE doc_id % 13 <> 0
+           UNION ALL
+           SELECT doc_id + 1000000 AS doc_id, text
+           FROM v1 WHERE doc_id % 17 = 0),
+         j AS (
+           SELECT coalesce(a.doc_id, b.doc_id) AS doc_id,
+             CASE WHEN b.doc_id IS NULL THEN 'removed'
+                  WHEN a.doc_id IS NULL THEN 'added'
+                  WHEN md5(a.text) <> md5(b.text) THEN 'changed'
+             END AS status,
+             CAST(coalesce(length(b.text), length(a.text)) AS BIGINT)
+               AS n_chars
+           FROM v1 a FULL OUTER JOIN v2 b ON a.doc_id = b.doc_id)
+         SELECT doc_id, status, n_chars FROM j
+         WHERE status IS NOT NULL
+         ORDER BY doc_id, status""",
   )
 }

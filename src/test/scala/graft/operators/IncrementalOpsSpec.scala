@@ -1,0 +1,60 @@
+package graft.operators
+
+import graft.SparkSpecBase
+import org.apache.spark.sql.functions._
+
+/** Snapshot diff (q91): status assignment per category, idempotence,
+  * add/remove duality under snapshot swap, and the delta-only output
+  * contract (unchanged mass never reaches the manifest).
+  */
+class IncrementalOpsSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def df(rows: (Long, String)*) = rows.toDF("doc_id", "text")
+
+  test("statuses: added / removed / changed classified, unchanged absent") {
+    val v1 = df((1L, "alpha"), (2L, "beta"), (3L, "gamma"))
+    val v2 = df((1L, "alpha"), (2L, "beta prime"), (4L, "delta"))
+    val out = IncrementalOps.snapshotDiff(v1, v2)
+      .select("doc_id", "status").as[(Long, String)].collect().toSeq
+    assert(out === Seq((2L, "changed"), (3L, "removed"), (4L, "added")))
+  }
+
+  test("n_chars reports the surviving side") {
+    val v1 = df((1L, "aa"), (2L, "bbbb"))
+    val v2 = df((1L, "cccccc"))
+    val out = IncrementalOps.snapshotDiff(v1, v2)
+      .select("doc_id", "n_chars").as[(Long, Long)].collect().toMap
+    assert(out === Map(1L -> 6L, 2L -> 4L)) // changed -> v2 len, removed -> v1 len
+  }
+
+  test("idempotence: diff of a snapshot with itself is empty") {
+    val v = df((1L, "x"), (2L, "y"), (3L, "z"))
+    assert(IncrementalOps.snapshotDiff(v, v).count() === 0)
+  }
+
+  test("duality: swapping snapshots flips added/removed, keeps changed") {
+    val v1 = df((1L, "a"), (2L, "b"))
+    val v2 = df((2L, "b2"), (3L, "c"))
+    val fwd = IncrementalOps.snapshotDiff(v1, v2)
+      .select("doc_id", "status").as[(Long, String)].collect().toMap
+    val rev = IncrementalOps.snapshotDiff(v2, v1)
+      .select("doc_id", "status").as[(Long, String)].collect().toMap
+    assert(fwd === Map(1L -> "removed", 2L -> "changed", 3L -> "added"))
+    assert(rev === Map(1L -> "added", 2L -> "changed", 3L -> "removed"))
+  }
+
+  test("q91 manifest on testdata: statuses partition the edit script") {
+    val out = IncrementalOps.q91SnapshotDiff(spark, sf0001)
+    val byStatus = out.groupBy("status").count()
+      .as[(String, Long)].collect().toMap
+    // edit script over doc_id 0..499: removed = %13 (39 ids), added =
+    // %17 re-keyed (30 ids), changed = %10 minus the %13 overlap
+    assert(byStatus("removed") === 39)
+    assert(byStatus("added") === 30)
+    assert(byStatus("changed") === 46)
+    // re-keyed ids land beyond the v1 id space
+    assert(out.where(col("status") === "added" && col("doc_id") < 1000000L)
+      .count() === 0)
+  }
+}
