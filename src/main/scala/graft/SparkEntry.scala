@@ -111,6 +111,7 @@ object SparkEntry {
     "q89_bm25_topk"       -> ((s, d) => RetrievalOps.bm25TopK(s, d)),
     "q90_cms_profile"     -> ((s, d) => TextAnalysisOps.cmsProfile(s, d)),
     "q91_snapshot_diff"   -> ((s, d) => graft.operators.IncrementalOps.q91SnapshotDiff(s, d)),
+    "q92_ivf_upsert"      -> ((s, d) => SimilarityOps.ivfUpsert(s, d)),
   )
 
   /** Shared shingle→df-capped-postings CTE body for every exact-Jaccard
@@ -1571,5 +1572,54 @@ object SparkEntry {
          SELECT doc_id, status, n_chars FROM j
          WHERE status IS NOT NULL
          ORDER BY doc_id, status""",
+    // q92: IVF upsert — codebook trained on the base partition only,
+    // batch assigned against the frozen codebook; min/max over the
+    // 4dp-rounded assignment cosines are order-independent and growth is
+    // one exact-int division, so the report is cell-exact (q70 contract)
+    "q92_ivf_upsert" ->
+      """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v
+            FROM embeddings),
+         eb AS (SELECT * FROM e WHERE vec_id % 5 <> 0),
+         en AS (SELECT * FROM e WHERE vec_id % 5 = 0),
+         dims AS (
+           SELECT label, i.range AS d, round(avg(v[i.range]), 6) AS c
+           FROM eb, range(1, 65) i GROUP BY 1, 2),
+         cent AS (SELECT label AS clabel, list(c ORDER BY d) AS cv
+                  FROM dims GROUP BY 1),
+         basg AS (
+           SELECT vec_id, clabel AS ivf_list FROM (
+             SELECT eb.vec_id, cent.clabel,
+               row_number() OVER (PARTITION BY eb.vec_id ORDER BY
+                 round(list_inner_product(eb.v, cent.cv) /
+                   (sqrt(list_inner_product(eb.v, eb.v)) *
+                    sqrt(list_inner_product(cent.cv, cent.cv))), 4) DESC,
+                 cent.clabel) AS crk
+             FROM eb CROSS JOIN cent)
+           WHERE crk = 1),
+         nasg AS (
+           SELECT vec_id, clabel AS ivf_list, ccos FROM (
+             SELECT en.vec_id, cent.clabel,
+               round(list_inner_product(en.v, cent.cv) /
+                 (sqrt(list_inner_product(en.v, en.v)) *
+                  sqrt(list_inner_product(cent.cv, cent.cv))), 4) AS ccos,
+               row_number() OVER (PARTITION BY en.vec_id ORDER BY
+                 round(list_inner_product(en.v, cent.cv) /
+                   (sqrt(list_inner_product(en.v, en.v)) *
+                    sqrt(list_inner_product(cent.cv, cent.cv))), 4) DESC,
+                 cent.clabel) AS crk
+             FROM en CROSS JOIN cent)
+           WHERE crk = 1),
+         bc AS (SELECT ivf_list, count(*) AS n_base FROM basg GROUP BY 1),
+         nc AS (SELECT ivf_list, count(*) AS n_new,
+                  min(ccos) AS min_cos_new, max(ccos) AS max_cos_new
+                FROM nasg GROUP BY 1)
+         SELECT coalesce(bc.ivf_list, nc.ivf_list) AS ivf_list,
+           coalesce(n_base, 0) AS n_base, coalesce(n_new, 0) AS n_new,
+           min_cos_new, max_cos_new,
+           round(CAST(coalesce(n_new, 0) AS DOUBLE) /
+             CAST(coalesce(n_base, 0) + coalesce(n_new, 0) AS DOUBLE), 4)
+             AS growth
+         FROM bc FULL OUTER JOIN nc ON bc.ivf_list = nc.ivf_list
+         ORDER BY 1""",
   )
 }

@@ -1268,4 +1268,57 @@ object SimilarityOps {
       .select(col("id_a"), col("id_b"), col("cos"))
       .orderBy(col("id_a"), col("id_b"))
   }
+
+  /** IVF index maintenance (q92): upsert a new vector batch into an
+    * EXISTING index without retraining — the operation a 100 TB ANN
+    * deployment runs on every ingest cycle (retraining the coarse
+    * quantizer per batch would re-shuffle the whole corpus; production
+    * indexes retrain only when drift demands it). The batch is assigned
+    * to the frozen codebook (broadcast, one batch-sized pass — the
+    * corpus is NOT touched), and the per-list report joins the stored
+    * list sizes with the new-member stats:
+    *
+    *  - `growth` = n_new / (n_base + n_new) — a list growing
+    *    disproportionately is the re-split candidate;
+    *  - `min/max_cos_new` — the assignment-fit envelope (min/max are
+    *    order-INDEPENDENT over the 4dp-rounded assignment cosines, the
+    *    memory-recipe alternative to ordered sums): a falling min says
+    *    new data lands far from every centroid, i.e. retrain time.
+    *
+    * Gate: codebook trained on the base partition only (`vec_id % 5 ≠
+    * 0`), batch = the rest; DuckDB replays codebook, both assignments,
+    * and the stats join cell-exact (q70 contract). The base-side list
+    * sizes come from the stored index in production; the gate
+    * materializes them with [[ivfAssign]] for replayability.
+    */
+  def ivfUpsert(spark: SparkSession, dir: String,
+      batchMod: Int = 5): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val base = emb.filter(col("vec_id") % batchMod =!= 0)
+    val batch = emb.filter(col("vec_id") % batchMod === 0)
+    val cvec = labelCentroids(base)
+    val wAssign = Window.partitionBy(col("vec_id"))
+      .orderBy(col("ccos").desc, col("clabel"))
+    val newAsg = batch.crossJoin(broadcast(cvec))
+      .withColumn("ccos",
+        round(Vectors.cosine(col("embedding"), col("cv")), 4))
+      .withColumn("crk", row_number().over(wAssign))
+      .filter(col("crk") === 1)
+      .select(col("vec_id"), col("clabel").as("ivf_list"), col("ccos"))
+    val baseCounts = ivfAssign(base, cvec)
+      .groupBy(col("ivf_list")).agg(count(lit(1)).as("n_base"))
+    val newStats = newAsg.groupBy(col("ivf_list"))
+      .agg(count(lit(1)).as("n_new"),
+        min(col("ccos")).as("min_cos_new"),
+        max(col("ccos")).as("max_cos_new"))
+    baseCounts.join(newStats, Seq("ivf_list"), "full_outer")
+      .select(col("ivf_list"),
+        coalesce(col("n_base"), lit(0L)).as("n_base"),
+        coalesce(col("n_new"), lit(0L)).as("n_new"),
+        col("min_cos_new"), col("max_cos_new"),
+        round(coalesce(col("n_new"), lit(0L)).cast("double") /
+          (coalesce(col("n_base"), lit(0L)) +
+            coalesce(col("n_new"), lit(0L))).cast("double"), 4).as("growth"))
+      .orderBy(col("ivf_list"))
+  }
 }

@@ -208,6 +208,29 @@ class OperatorsSpec extends SparkSpecBase {
       .foreach(rows => assert(rows.length <= 5))
   }
 
+  test("ivfUpsert: mass conserved on both sides, growth arithmetic, fit envelope sane") {
+    val out = SimilarityOps.ivfUpsert(spark, sf0001).collect()
+    val emb = graft.Tables.embeddings(spark, sf0001)
+    // every base and every batch vector lands in exactly one list
+    assert(out.map(_.getAs[Long]("n_base")).sum ===
+      emb.filter(col("vec_id") % 5 =!= 0).count())
+    assert(out.map(_.getAs[Long]("n_new")).sum ===
+      emb.filter(col("vec_id") % 5 === 0).count())
+    out.foreach { r =>
+      val nb = r.getAs[Long]("n_base"); val nn = r.getAs[Long]("n_new")
+      val g = r.getAs[Double]("growth")
+      assert(math.abs(g - nn.toDouble / (nb + nn)) <= 5e-5, s"growth off: $r")
+      if (nn > 0) {
+        val lo = r.getAs[Double]("min_cos_new")
+        val hi = r.getAs[Double]("max_cos_new")
+        assert(lo <= hi && lo >= -1.0 && hi <= 1.0, s"fit envelope: $r")
+      }
+    }
+    // deterministic under re-execution (window tiebreaks fully ordered)
+    assert(SimilarityOps.ivfUpsert(spark, sf0001).collect().toSeq ===
+      out.toSeq)
+  }
+
   test("kMeansRefine: Lloyd iterations monotonically improve the spherical objective") {
     def summary(iters: Int) =
       SimilarityOps.kMeansRefine(spark, sf0001, iters = iters).collect()
