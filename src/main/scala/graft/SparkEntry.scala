@@ -112,6 +112,7 @@ object SparkEntry {
     "q90_cms_profile"     -> ((s, d) => TextAnalysisOps.cmsProfile(s, d)),
     "q91_snapshot_diff"   -> ((s, d) => graft.operators.IncrementalOps.q91SnapshotDiff(s, d)),
     "q92_ivf_upsert"      -> ((s, d) => SimilarityOps.ivfUpsert(s, d)),
+    "q93_incr_agg"        -> ((s, d) => graft.operators.IncrementalOps.q93IncrAggRefresh(s, d)),
   )
 
   /** Shared shingle→df-capped-postings CTE body for every exact-Jaccard
@@ -1621,5 +1622,22 @@ object SparkEntry {
              AS growth
          FROM bc FULL OUTER JOIN nc ON bc.ivf_list = nc.ivf_list
          ORDER BY 1""",
+    // q93: incremental aggregate refresh — the oracle is the FULL
+    // RECOMPUTE over v2, so the gate is self-verifying: any error in the
+    // Spark-side delta fold (missed status, sign flip, dropped group) is
+    // a hard mismatch against the recomputed truth
+    "q93_incr_agg" ->
+      """WITH v1 AS (SELECT doc_id, source, text FROM documents),
+         v2 AS (
+           SELECT doc_id, source,
+             CASE WHEN doc_id % 10 = 0 THEN text || ' [rev2]'
+                  ELSE text END AS text
+           FROM v1 WHERE doc_id % 13 <> 0
+           UNION ALL
+           SELECT doc_id + 1000000 AS doc_id, source, text
+           FROM v1 WHERE doc_id % 17 = 0)
+         SELECT source, count(*) AS n_docs,
+           CAST(sum(length(text)) AS BIGINT) AS total_chars
+         FROM v2 GROUP BY 1 ORDER BY 1""",
   )
 }

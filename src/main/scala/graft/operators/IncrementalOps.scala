@@ -42,19 +42,87 @@ object IncrementalOps {
       .orderBy(col("doc_id"), col("status"))
   }
 
-  /** q91 gate: v2 is derived from the same `documents` table with a
-    * deterministic edit script (drop `% 13`, revise `% 10`, re-key
-    * `% 17` as new ids) so both engines construct identical snapshots
-    * and the manifest is pure string/integer comparison — no FP anywhere.
+  /** The deterministic v2-derivation shared by the q91/q93 gates: drop
+    * `% 13`, revise `% 10`, re-key `% 17` as new ids — both engines
+    * construct identical snapshots, so the gates are pure
+    * string/integer comparison.
     */
-  def q91SnapshotDiff(spark: SparkSession, dir: String): DataFrame = {
-    val v1 = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+  private[operators] def deriveV2(v1: DataFrame): DataFrame = {
     val revised = v1.filter(col("doc_id") % 13 =!= 0)
       .withColumn("text",
         when(col("doc_id") % 10 === 0, concat(col("text"), lit(" [rev2]")))
           .otherwise(col("text")))
     val added = v1.filter(col("doc_id") % 17 === 0)
-      .select((col("doc_id") + lit(1000000L)).as("doc_id"), col("text"))
-    snapshotDiff(v1, revised.unionByName(added))
+      .withColumn("doc_id", col("doc_id") + lit(1000000L))
+    revised.unionByName(added)
+  }
+
+  /** q91 gate over the [[deriveV2]] edit script. */
+  def q91SnapshotDiff(spark: SparkSession, dir: String): DataFrame = {
+    val v1 = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    snapshotDiff(v1, deriveV2(v1))
+  }
+
+  /** Incremental aggregate refresh (q93): maintain a grouped aggregate
+    * (`n_docs`, `total_chars` per `key`) across a snapshot transition by
+    * folding the DELTA into the stored aggregate instead of recomputing
+    * over v2 — the materialized-view-maintenance move that turns an
+    * O(corpus) nightly rebuild into an O(delta) one. The refresh
+    * arithmetic is pure signed-integer fold (added → +1/+len, removed →
+    * −1/−len, changed → ±char delta), so it is exact, order-independent,
+    * and associative — partial aggregation and AQE can do anything they
+    * like to it.
+    *
+    * The gate is SELF-VERIFYING: the oracle computes the v2 aggregate by
+    * full recompute, so any error in the delta fold (a missed status, a
+    * sign flip, a dropped group) is a hard mismatch. Groups whose count
+    * reaches zero leave the aggregate (the recompute would not have
+    * them).
+    *
+    * Scale shape: the base aggregate is group-cardinality-sized (stored;
+    * tiny next to the corpus), the delta join is the [[snapshotDiff]]
+    * sort-merge over bucketed ids, and the fold shuffles only
+    * delta-sized data on the group key.
+    */
+  def incrementalAggRefresh(v1: DataFrame, v2: DataFrame,
+      key: String): DataFrame = {
+    val baseAgg = v1.groupBy(col(key))
+      .agg(count(lit(1)).as("b_docs"),
+        sum(length(col("text")).cast("long")).as("b_chars"))
+    val a = v1.select(col("doc_id"), col(key).as("k1"),
+      md5(col("text")).as("fp1"), length(col("text")).cast("long").as("len1"))
+    val b = v2.select(col("doc_id"), col(key).as("k2"),
+      md5(col("text")).as("fp2"), length(col("text")).cast("long").as("len2"))
+    val delta = a.join(b, Seq("doc_id"), "full_outer")
+      .filter(col("fp1").isNull || col("fp2").isNull ||
+        col("fp1") =!= col("fp2"))
+      .select(coalesce(col("k2"), col("k1")).as(key),
+        when(col("fp1").isNull, lit(1L))
+          .when(col("fp2").isNull, lit(-1L)).otherwise(lit(0L)).as("d_docs"),
+        (coalesce(col("len2"), lit(0L)) - coalesce(col("len1"), lit(0L)))
+          .as("d_chars"))
+      .groupBy(col(key))
+      .agg(sum(col("d_docs")).as("d_docs"), sum(col("d_chars")).as("d_chars"))
+    baseAgg.join(delta, Seq(key), "full_outer")
+      .select(col(key),
+        (coalesce(col("b_docs"), lit(0L)) + coalesce(col("d_docs"), lit(0L)))
+          .as("n_docs"),
+        (coalesce(col("b_chars"), lit(0L)) + coalesce(col("d_chars"), lit(0L)))
+          .as("total_chars"))
+      .filter(col("n_docs") > 0)
+      .orderBy(col(key))
+  }
+
+  /** q93 gate: refresh the per-`source` aggregate across the
+    * [[deriveV2]] transition. NOTE the gate's oracle recomputes over v2
+    * directly — the incremental path must land on the recompute answer.
+    * Key-changing updates would decompose into remove+add; the edit
+    * script keeps keys stable (a `changed` row keeps its source), which
+    * is the case the ±delta arm covers.
+    */
+  def q93IncrAggRefresh(spark: SparkSession, dir: String): DataFrame = {
+    val v1 = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), col("text"))
+    incrementalAggRefresh(v1, deriveV2(v1), "source")
   }
 }

@@ -44,6 +44,44 @@ class IncrementalOpsSpec extends SparkSpecBase {
     assert(rev === Map(1L -> "added", 2L -> "changed", 3L -> "removed"))
   }
 
+  private def kdf(rows: (Long, String, String)*) =
+    rows.toDF("doc_id", "source", "text")
+
+  private def recompute(v: org.apache.spark.sql.DataFrame) =
+    v.groupBy("source").agg(count(lit(1)).as("n_docs"),
+        sum(length(col("text")).cast("long")).as("total_chars"))
+      .orderBy("source")
+
+  test("incrementalAggRefresh: delta fold lands exactly on the full recompute") {
+    val v1 = kdf((1L, "a", "xx"), (2L, "a", "yyy"), (3L, "b", "zzzz"),
+      (4L, "c", "w"))
+    // changed 1 (a), removed 3 (b: group empties), added 5 (d: new group),
+    // unchanged 2/4
+    val v2 = kdf((1L, "a", "xxxxxx"), (2L, "a", "yyy"), (4L, "c", "w"),
+      (5L, "d", "vv"))
+    val incr = IncrementalOps.incrementalAggRefresh(v1, v2, "source")
+      .as[(String, Long, Long)].collect().toSeq
+    val full = recompute(v2).as[(String, Long, Long)].collect().toSeq
+    assert(incr === full)
+    assert(!incr.exists(_._1 == "b")) // emptied group left the aggregate
+  }
+
+  test("incrementalAggRefresh: empty delta returns the base aggregate unchanged") {
+    val v = kdf((1L, "a", "xx"), (2L, "b", "yy"))
+    val incr = IncrementalOps.incrementalAggRefresh(v, v, "source")
+      .as[(String, Long, Long)].collect().toSeq
+    assert(incr === recompute(v).as[(String, Long, Long)].collect().toSeq)
+  }
+
+  test("q93 on testdata: incremental refresh equals v2 recompute per source") {
+    val v1 = graft.Tables.documents(spark, sf0001)
+      .select(col("doc_id"), col("source"), col("text"))
+    val v2 = IncrementalOps.deriveV2(v1)
+    val incr = IncrementalOps.q93IncrAggRefresh(spark, sf0001)
+      .as[(String, Long, Long)].collect().toSeq
+    assert(incr === recompute(v2).as[(String, Long, Long)].collect().toSeq)
+  }
+
   test("q91 manifest on testdata: statuses partition the edit script") {
     val out = IncrementalOps.q91SnapshotDiff(spark, sf0001)
     val byStatus = out.groupBy("status").count()
