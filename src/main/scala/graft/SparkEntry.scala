@@ -113,6 +113,7 @@ object SparkEntry {
     "q91_snapshot_diff"   -> ((s, d) => graft.operators.IncrementalOps.q91SnapshotDiff(s, d)),
     "q92_ivf_upsert"      -> ((s, d) => SimilarityOps.ivfUpsert(s, d)),
     "q93_incr_agg"        -> ((s, d) => graft.operators.IncrementalOps.q93IncrAggRefresh(s, d)),
+    "q94_prefix_rerank"   -> ((s, d) => SimilarityOps.truncatedRerank(s, d)),
   )
 
   /** Shared shingle→df-capped-postings CTE body for every exact-Jaccard
@@ -1639,5 +1640,39 @@ object SparkEntry {
          SELECT source, count(*) AS n_docs,
            CAST(sum(length(text)) AS BIGINT) AS total_chars
          FROM v2 GROUP BY 1 ORDER BY 1""",
+    // q94: truncated-prefix rerank — the funnel (prefix coarse scan →
+    // shortlist → exact rerank) is replayed stage-for-stage; prefix
+    // slices are float→double exact on both engines, both cosines round
+    // 4dp with the standard vec_id tiebreaks
+    "q94_prefix_rerank" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
+            FROM embeddings),
+         q AS (SELECT vec_id AS query_id, v AS qv FROM e
+               WHERE vec_id < 8),
+         coarse AS (
+           SELECT q.query_id, e.vec_id, e.v, q.qv,
+             round(list_inner_product(qv[1:16], v[1:16]) /
+               (sqrt(list_inner_product(qv[1:16], qv[1:16])) *
+                sqrt(list_inner_product(v[1:16], v[1:16]))), 4) AS pcos
+           FROM e CROSS JOIN q WHERE e.vec_id <> q.query_id),
+         cand AS (
+           SELECT query_id, vec_id, v, qv FROM (
+             SELECT query_id, vec_id, v, qv,
+               row_number() OVER (PARTITION BY query_id
+                 ORDER BY pcos DESC, vec_id) AS prk
+             FROM coarse)
+           WHERE prk <= 20),
+         scored AS (
+           SELECT query_id, vec_id,
+             round(list_inner_product(qv, v) /
+               (sqrt(list_inner_product(qv, qv)) *
+                sqrt(list_inner_product(v, v))), 4) AS cos
+           FROM cand)
+         SELECT query_id, vec_id AS neighbor_id, cos, rk FROM (
+           SELECT query_id, vec_id, cos,
+             CAST(row_number() OVER (PARTITION BY query_id
+               ORDER BY cos DESC, vec_id) AS INT) AS rk
+           FROM scored)
+         WHERE rk <= 5 ORDER BY query_id, rk""",
   )
 }

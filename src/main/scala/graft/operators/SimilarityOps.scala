@@ -1321,4 +1321,43 @@ object SimilarityOps {
             coalesce(col("n_new"), lit(0L))).cast("double"), 4).as("growth"))
       .orderBy(col("ivf_list"))
   }
+
+  /** Truncated-prefix rerank funnel (q94): coarse-score every corpus
+    * vector on the first `prefixDims` dimensions, shortlist the top
+    * `shortlist` per query, then rerank the shortlist with the exact
+    * full-dimension cosine — the Matryoshka-representation retrieval
+    * pattern (Kusupati et al., NeurIPS 2022: prefixes of trained
+    * embeddings are usable low-dim embeddings). At 100 TB the prefix
+    * lives as its OWN parquet column, so the coarse scan reads
+    * `prefixDims/dim` of the vector bytes (here 1/4) with column
+    * pruning doing the work, and the exact pass touches only
+    * `shortlist · nQueries` rows re-fetched by id. The funnel is
+    * deliberately approximate (a true neighbor outside the prefix
+    * shortlist is missed); the gate replays the SAME funnel, so the
+    * approximation is deterministic, and the spec pins the recall
+    * relation against brute force.
+    */
+  def truncatedRerank(spark: SparkSession, dir: String, nQueries: Int = 8,
+      prefixDims: Int = 16, shortlist: Int = 20, k: Int = 5): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val queries = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val coarse = emb
+      .join(broadcast(queries), col("vec_id") =!= col("query_id"))
+      .withColumn("pcos", round(Vectors.cosine(
+        slice(col("qv"), 1, prefixDims),
+        slice(col("embedding"), 1, prefixDims)), 4))
+    val wShort = Window.partitionBy(col("query_id"))
+      .orderBy(col("pcos").desc, col("vec_id"))
+    val wFinal = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    coarse.withColumn("prk", row_number().over(wShort))
+      .filter(col("prk") <= shortlist)
+      .withColumn("cos", round(Vectors.cosine(col("qv"), col("embedding")), 4))
+      .withColumn("rk", row_number().over(wFinal))
+      .filter(col("rk") <= k)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        col("cos"), col("rk"))
+      .orderBy(col("query_id"), col("rk"))
+  }
 }

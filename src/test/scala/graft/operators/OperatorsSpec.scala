@@ -231,6 +231,32 @@ class OperatorsSpec extends SparkSpecBase {
       out.toSeq)
   }
 
+  test("truncatedRerank: full shortlist collapses to brute force; narrow funnel never invents") {
+    val n = graft.Tables.embeddings(spark, sf0001).count().toInt
+    // shortlist = corpus ⇒ the coarse stage prunes nothing and the exact
+    // rerank IS bruteForceTopK (same rounding, same tiebreaks)
+    val full = SimilarityOps.truncatedRerank(spark, sf0001, shortlist = n)
+      .collect()
+    val bf = SimilarityOps.bruteForceTopK(spark, sf0001).collect()
+    assert(full.toSeq === bf.toSeq)
+    // narrow funnel: per (query, neighbor) the exact cosine must agree
+    // with brute force (the funnel may MISS a true neighbor, never
+    // mis-score one), and ranks stay dense 1..k
+    val bfCos = bf.map(r => (r.getAs[Long]("query_id"),
+      r.getAs[Long]("neighbor_id")) -> r.getAs[Double]("cos")).toMap
+    val narrow = SimilarityOps.truncatedRerank(spark, sf0001).collect()
+    narrow.foreach { r =>
+      val key = (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))
+      bfCos.get(key).foreach(c => assert(c === r.getAs[Double]("cos")))
+    }
+    assert(narrow.groupBy(_.getAs[Long]("query_id"))
+      .forall { case (_, rs) => rs.map(_.getAs[Int]("rk")).sorted ===
+        (1 to rs.length) })
+    // deterministic under re-execution
+    assert(SimilarityOps.truncatedRerank(spark, sf0001).collect().toSeq ===
+      narrow.toSeq)
+  }
+
   test("kMeansRefine: Lloyd iterations monotonically improve the spherical objective") {
     def summary(iters: Int) =
       SimilarityOps.kMeansRefine(spark, sf0001, iters = iters).collect()
