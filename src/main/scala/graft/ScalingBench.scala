@@ -111,7 +111,33 @@ object ScalingBench {
       Probe("q78_heavy_hitters", "documents",
         SparkEntry.queries("q78_heavy_hitters")),
       Probe("q73_lm_perplexity", "documents",
-        SparkEntry.queries("q73_lm_perplexity")))
+        SparkEntry.queries("q73_lm_perplexity")),
+      // round-6 additions. BM25 (q89): the postings groupBy is the one
+      // corpus shuffle; candidates are df-bounded and this vocabulary is
+      // all stopword-grade, so candidate volume grows linearly with the
+      // corpus — the probe pins the whole funnel staying ~linear
+      Probe("q89_bm25_topk", "documents",
+        SparkEntry.queries("q89_bm25_topk")),
+      // CMS (q90): one sketch pass (fixed d·w buffer) + top-k probe —
+      // linear by construction; the probe guards the probe join staying
+      // broadcast as the corpus grows
+      Probe("q90_cms_profile", "documents",
+        SparkEntry.queries("q90_cms_profile")),
+      // incremental family: the snapshot-diff join and the delta fold
+      // are both ~linear in rows (delta size is a fixed fraction under
+      // the synthetic edit script)
+      Probe("q91_snapshot_diff", "documents",
+        SparkEntry.queries("q91_snapshot_diff")),
+      Probe("q93_incr_agg", "documents",
+        SparkEntry.queries("q93_incr_agg")),
+      // IVF upsert (q92): codebook + both assignments are linear corpus
+      // passes; the report join is list-cardinality-sized
+      Probe("q92_ivf_upsert", "embeddings",
+        SparkEntry.queries("q92_ivf_upsert")),
+      // prefix rerank (q94): coarse pass is brute-force-shaped over 1/4
+      // of the vector bytes; rerank is shortlist-sized
+      Probe("q94_prefix_rerank", "embeddings",
+        SparkEntry.queries("q94_prefix_rerank")))
 
   /** Build k-times-scaled corpora from sf0.1 (documents AND embeddings).
     * Document copy c suffixes every token with a copy marker, so each

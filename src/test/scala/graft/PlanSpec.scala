@@ -177,6 +177,49 @@ class PlanSpec extends SparkSpecBase {
     assert(bnlj.nonEmpty && bnlj.forall(_.contains("Cross")), bnlj.mkString("\n"))
   }
 
+  test("q89: BM25 — query-side joins broadcast, corpus shuffled only for postings") {
+    val plan = executed("q89_bm25_topk")
+    assert(!plan.contains("CartesianProduct"), plan)
+    // candidate generation (postings x query terms) and df/stats
+    // attachment must be broadcast hash joins / BNLJ-cross of tiny
+    // frames, never a corpus-vs-corpus sort-merge
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+    val bnlj = plan.linesIterator.filter(_.contains("BroadcastNestedLoopJoin")).toSeq
+    assert(bnlj.forall(_.contains("Cross")), bnlj.mkString("\n"))
+  }
+
+  test("q90: CMS probe join broadcasts the 1-row sketch; scan prunes to text") {
+    val plan = executed("q90_cms_profile")
+    assert(!plan.contains("CartesianProduct"), plan)
+    val bnlj = plan.linesIterator.filter(_.contains("BroadcastNestedLoopJoin")).toSeq
+    assert(bnlj.nonEmpty && bnlj.forall(_.contains("Cross")), bnlj.mkString("\n"))
+    val rs = readSchemaLines(plan)
+    Seq("lang", "source", "n_chars").foreach(c =>
+      assert(!rs.contains(c), s"$c not pruned: $rs"))
+  }
+
+  test("q91/q93: incremental family — id-equi-joins only, no broadcast of a corpus side") {
+    Seq("q91_snapshot_diff", "q93_incr_agg").foreach { q =>
+      val plan = executed(q)
+      assert(!plan.contains("CartesianProduct"), s"$q: $plan")
+      assert(!plan.contains("BroadcastNestedLoopJoin"), s"$q: $plan")
+      // the full-outer diff join must be an equi-join on doc_id (hash or
+      // sort-merge both scale-legal over bucketed snapshots)
+      assert(plan.contains("FullOuter"), s"$q: $plan")
+    }
+  }
+
+  test("q92/q94: codebook/query sides broadcast; corpus never shuffle-joined") {
+    Seq("q92_ivf_upsert", "q94_prefix_rerank").foreach { q =>
+      val plan = executed(q)
+      assert(!plan.contains("CartesianProduct"), s"$q: $plan")
+      val bnlj = plan.linesIterator.filter(_.contains("BroadcastNestedLoopJoin")).toSeq
+      assert(bnlj.forall(l => l.contains("Cross") || l.contains("Inner")),
+        s"$q: ${bnlj.mkString("\n")}")
+    }
+  }
+
   test("q73: LM scoring joins have no cartesian and no forced broadcast of the model") {
     val plan = executed("q73_lm_perplexity")
     assert(!plan.contains("CartesianProduct"), plan)
