@@ -137,7 +137,11 @@ object ScalingBench {
       // prefix rerank (q94): coarse pass is brute-force-shaped over 1/4
       // of the vector bytes; rerank is shortlist-sized
       Probe("q94_prefix_rerank", "embeddings",
-        SparkEntry.queries("q94_prefix_rerank")))
+        SparkEntry.queries("q94_prefix_rerank")),
+      // PCA power iteration (q95): iters linear corpus passes, a 64-cell
+      // shuffle each — the probe pins the matrix-free shape staying flat
+      Probe("q95_pca_power", "embeddings",
+        SparkEntry.queries("q95_pca_power")))
 
   /** Build k-times-scaled corpora from sf0.1 (documents AND embeddings).
     * Document copy c suffixes every token with a copy marker, so each

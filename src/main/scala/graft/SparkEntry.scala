@@ -114,6 +114,7 @@ object SparkEntry {
     "q92_ivf_upsert"      -> ((s, d) => SimilarityOps.ivfUpsert(s, d)),
     "q93_incr_agg"        -> ((s, d) => graft.operators.IncrementalOps.q93IncrAggRefresh(s, d)),
     "q94_prefix_rerank"   -> ((s, d) => SimilarityOps.truncatedRerank(s, d)),
+    "q95_pca_power"       -> ((s, d) => graft.operators.PcaOps.powerIteration(s, d)),
   )
 
   /** Shared shingle→df-capped-postings CTE body for every exact-Jaccard
@@ -1674,5 +1675,48 @@ object SparkEntry {
                ORDER BY cos DESC, vec_id) AS INT) AS rk
            FROM scored)
          WHERE rk <= 5 ORDER BY query_id, rk""",
+    // q95: PCA power iteration — the fixed-point corpus-sum device:
+    // quantized centered coordinates and direction make s, s·x_d, and
+    // every per-dim corpus sum exact BIGINT/HUGEINT arithmetic
+    // (order-independent); FP only at the two normalization boundaries
+    // (index-ordered norm dot, 6dp components), both replayed here
+    "q95_pca_power" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
+            FROM embeddings),
+         xq AS (SELECT vec_id, list_transform(v,
+                  x -> CAST(round(x * 1024) AS BIGINT)) AS q FROM e),
+         mud AS (SELECT i.range AS d, CAST(round(avg(q[i.range])) AS BIGINT)
+                   AS mu
+                 FROM xq, range(1, 65) i GROUP BY 1),
+         muv AS (SELECT list(mu ORDER BY d) AS m FROM mud),
+         xc AS (SELECT vec_id, [q[i] - m[i] for i in range(1, 65)] AS c
+                FROM xq CROSS JOIN muv),
+         v0 AS (SELECT [CAST(128 AS BIGINT) for i in range(1, 65)] AS vq),
+         s1 AS (SELECT c, CAST(list_inner_product(c::DOUBLE[],
+                  vq::DOUBLE[]) AS BIGINT) AS s
+                FROM xc CROSS JOIN v0),
+         w1 AS (SELECT i.range AS d, CAST(sum(s * c[i.range]) AS BIGINT)
+                  AS w
+                FROM s1, range(1, 65) i GROUP BY 1),
+         n1 AS (SELECT wv, sqrt(list_inner_product(wv::DOUBLE[],
+                  wv::DOUBLE[])) AS nrm
+                FROM (SELECT list(w ORDER BY d) AS wv FROM w1)),
+         v1 AS (SELECT [round(wv[i] / nrm, 6) for i in range(1, 65)] AS v
+                FROM n1),
+         v1q AS (SELECT [CAST(round(v[i] * 1024) AS BIGINT)
+                  for i in range(1, 65)] AS vq FROM v1),
+         s2 AS (SELECT c, CAST(list_inner_product(c::DOUBLE[],
+                  vq::DOUBLE[]) AS BIGINT) AS s
+                FROM xc CROSS JOIN v1q),
+         w2 AS (SELECT i.range AS d, CAST(sum(s * c[i.range]) AS BIGINT)
+                  AS w
+                FROM s2, range(1, 65) i GROUP BY 1),
+         n2 AS (SELECT wv, sqrt(list_inner_product(wv::DOUBLE[],
+                  wv::DOUBLE[])) AS nrm
+                FROM (SELECT list(w ORDER BY d) AS wv FROM w2)),
+         v2 AS (SELECT [round(wv[i] / nrm, 6) for i in range(1, 65)] AS v
+                FROM n2)
+         SELECT CAST(i.range AS BIGINT) AS d, v[i.range] AS loading
+         FROM v2, range(1, 65) i ORDER BY 1""",
   )
 }

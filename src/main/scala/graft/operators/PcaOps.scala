@@ -1,0 +1,101 @@
+package graft.operators
+
+import graft.Tables
+import graft.functions.Vectors
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Distributed PCA over the embedding corpus: the top principal
+  * component via power iteration — the preprocessing step behind
+  * embedding whitening / common-component removal ("all-but-the-top",
+  * Mu & Viswanath, ICLR 2018) that corpus pipelines run before
+  * similarity search. Matrix-free: each iteration is ONE corpus pass
+  * (s = x·v row-local against the broadcast direction, then a per-dim
+  * partial-agg sum of s·x), so the plan is `iters` linear passes with a
+  * 64-cell shuffle each — no Gram matrix, no driver-side linear algebra.
+  *
+  * Cross-engine parity — the FIXED-POINT CORPUS SUM device (a
+  * generalization of q83's dyadic-weights recipe to corpus-scale
+  * accumulations): centered coordinates and the direction are quantized
+  * to an integer 2^10 grid, so `s`, `s·x_d`, and every per-dim corpus
+  * sum are EXACT integer arithmetic — order-independent under any
+  * shuffle/partial-agg schedule, replayed in DuckDB as BIGINT/HUGEINT
+  * sums. Floating point appears only at the two per-iteration
+  * normalization boundaries (norm via the index-ordered fused-loop dot,
+  * the q70 contract; components rounded 6dp) and a `(2k+1)/2048`
+  * argument can never hit a 6dp-rounded value, so re-quantization has
+  * no .5 boundary. Bounds at grid 2^10 with |x| ≲ 1: per-dim sums <
+  * n·2^38 — exact for n ≤ 2^25 in the long path (Spark) and any n in
+  * HUGEINT (DuckDB); a 100 TB corpus (n ≈ 2^40) keeps Spark exact by
+  * summing per-dim in DECIMAL(38,0) or widening the partial-agg to
+  * two-level (per-shard longs, shard sums in decimal) — the grid and
+  * plan shape do not change.
+  *
+  * Convergence is NOT gated (2 iterations from the deterministic
+  * uniform start is an estimate, not the eigenvector); what the q95
+  * oracle replays cell-exact is the computation — quantization,
+  * centering, both iterations, both normalizations. The spec gates the
+  * math: the iteration must increase the Rayleigh quotient on a corpus
+  * with a planted dominant direction and recover that direction.
+  */
+object PcaOps {
+
+  private val Grid = 1024
+
+  /** Quantized centered corpus: `(vec_id, xc: array<long>)` on the 2^10
+    * grid, centered by the rounded per-dim integer mean.
+    */
+  private def centeredQuantized(emb: DataFrame): DataFrame = {
+    val xq = emb.select(col("vec_id"),
+      transform(col("embedding"),
+        x => round(x.cast("double") * lit(Grid)).cast("long")).as("xq"))
+    val muArr = xq.select(posexplode(col("xq")).as(Seq("d", "x")))
+      .groupBy(col("d")).agg(round(avg(col("x"))).cast("long").as("mu"))
+      .agg(transform(array_sort(collect_list(struct(col("d"), col("mu")))),
+        t => t.getField("mu")).as("muv"))
+    xq.crossJoin(broadcast(muArr))
+      .select(col("vec_id"),
+        zip_with(col("xq"), col("muv"), (a, b) => a - b).as("xc"))
+  }
+
+  /** One power-iteration step: w_d = Σ_x (x·v) x_d in exact integer
+    * arithmetic, then normalize (index-ordered dot), round 6dp, and
+    * re-quantize. `vqDf` is a 1-row `(vq: array<long>)` frame; returns
+    * the next `(v: array<double>, vq: array<long>)` 1-row frame.
+    */
+  private def step(xc: DataFrame, vqDf: DataFrame): DataFrame = {
+    val s = xc.crossJoin(broadcast(vqDf.select(col("vq"))))
+      .select(col("xc"),
+        aggregate(zip_with(col("xc"), col("vq"), (a, b) => a * b),
+          lit(0L), (acc, x) => acc + x).as("s"))
+    val w = s.select(col("s"), posexplode(col("xc")).as(Seq("d", "x")))
+      .groupBy(col("d")).agg(sum(col("x") * col("s")).as("w"))
+    w.agg(transform(array_sort(collect_list(struct(col("d"), col("w")))),
+        t => t.getField("w")).as("wv"))
+      .withColumn("wd", transform(col("wv"), x => x.cast("double")))
+      .withColumn("nrm", sqrt(Vectors.dotNative(col("wd"), col("wd"))))
+      .select(transform(col("wd"), x => round(x / col("nrm"), 6)).as("v"))
+      .withColumn("vq",
+        transform(col("v"), x => round(x * lit(Grid)).cast("long")))
+  }
+
+  /** Top-component estimate after `iters` power iterations from the
+    * deterministic uniform start (v₀ = 1/8 per dim — exactly 128 on the
+    * grid). Output: `(d, loading)`, d = 1..64, loadings 6dp.
+    */
+  def powerIterationOn(emb: DataFrame, iters: Int = 2): DataFrame = {
+    require(iters >= 1 && iters <= 8, s"iters must be in [1, 8], got $iters")
+    val xc = centeredQuantized(emb)
+    val spark = emb.sparkSession
+    val v0 = spark.range(1).select(
+      array_repeat(lit(Grid.toLong / 8), 64).as("vq"))
+    val vFinal = (1 to iters).foldLeft(v0)((vq, _) => step(xc, vq))
+    vFinal.select(posexplode(col("v")).as(Seq("d", "loading")))
+      .select((col("d") + 1).cast("long").as("d"), col("loading"))
+      .orderBy(col("d"))
+  }
+
+  def powerIteration(spark: SparkSession, dir: String,
+      iters: Int = 2): DataFrame =
+    powerIterationOn(Tables.embeddings(spark, dir), iters)
+}
