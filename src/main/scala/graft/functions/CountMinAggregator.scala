@@ -37,12 +37,16 @@ case class CMSBuf(cells: Array[Long], total: Long)
 class CountMinAggregator(d: Int, w: Int)
     extends Aggregator[String, CMSBuf, CMSBuf] {
   require(d >= 1 && d <= 16, s"d must be in [1, 16], got $d")
-  require(w >= 2, s"w must be >= 2, got $w")
+  // the bucket decode yields 12 bits (0..4095): w > 4096 leaves cells
+  // unreachable, and a non-divisor w biases low buckets (pigeonhole over
+  // the 2^12 range) — breaking the eps = e/w bound silently
+  require(w >= 2 && w <= 4096 && 4096 % w == 0,
+    s"w must be a divisor of 4096 in [2, 4096], got $w")
 
   override def zero: CMSBuf = CMSBuf(new Array[Long](d * w), 0L)
 
   override def reduce(b: CMSBuf, tok: String): CMSBuf = {
-    val md = MessageDigest.getInstance("MD5")
+    val md = CountMinAggregator.threadDigest.get()
     var i = 0
     while (i < d) {
       b.cells(i * w + CountMinAggregator.bucket(md, tok, i, w)) += 1L
@@ -67,7 +71,12 @@ class CountMinAggregator(d: Int, w: Int)
 }
 
 object CountMinAggregator {
-  private val HexDigits = "0123456789abcdef"
+  /** One digest per thread — reduce runs once per corpus token, and a
+    * per-row getInstance allocation is measurable on the sketch's one
+    * hot path. bucket() resets before every use, so reuse is safe.
+    */
+  private val threadDigest: ThreadLocal[MessageDigest] =
+    ThreadLocal.withInitial(() => MessageDigest.getInstance("MD5"))
 
   /** Row-i bucket of `tok`: decode the first three hex digits of
     * md5(tok || "_" || i) — identical to the `instr('0123456789abcdef',

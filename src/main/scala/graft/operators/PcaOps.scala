@@ -82,11 +82,19 @@ object PcaOps {
   /** Top-component estimate after `iters` power iterations from the
     * deterministic uniform start (v₀ = 1/8 per dim — exactly 128 on the
     * grid). Output: `(d, loading)`, d = 1..64, loadings 6dp.
+    *
+    * NOTE: every iteration's broadcast side embeds the `xc` lineage, so
+    * an UNPERSISTED xc re-scans and re-centers the corpus per iteration
+    * — callers with a reusable source go through [[powerIteration]],
+    * which session-caches the centered corpus; this surface takes the
+    * frame as given (the spec's constructed corpora are cheap).
     */
-  def powerIterationOn(emb: DataFrame, iters: Int = 2): DataFrame = {
+  def powerIterationOn(emb: DataFrame, iters: Int = 2): DataFrame =
+    powerIterationFrom(centeredQuantized(emb), emb.sparkSession, iters)
+
+  private def powerIterationFrom(xc: DataFrame, spark: SparkSession,
+      iters: Int): DataFrame = {
     require(iters >= 1 && iters <= 8, s"iters must be in [1, 8], got $iters")
-    val xc = centeredQuantized(emb)
-    val spark = emb.sparkSession
     val v0 = spark.range(1).select(
       array_repeat(lit(Grid.toLong / 8), 64).as("vq"))
     val vFinal = (1 to iters).foldLeft(v0)((vq, _) => step(xc, vq))
@@ -95,7 +103,12 @@ object PcaOps {
       .orderBy(col("d"))
   }
 
+  private val xcCache = SessionCaches.newCache[(SparkSession, String)]()
+
   def powerIteration(spark: SparkSession, dir: String,
       iters: Int = 2): DataFrame =
-    powerIterationOn(Tables.embeddings(spark, dir), iters)
+    powerIterationFrom(
+      SessionCaches.cached(xcCache, (spark, dir))(
+        centeredQuantized(Tables.embeddings(spark, dir)).persist()),
+      spark, iters)
 }

@@ -1291,12 +1291,19 @@ object SimilarityOps {
     * sizes come from the stored index in production; the gate
     * materializes them with [[ivfAssign]] for replayability.
     */
+  private val upsertCodebookCache =
+    SessionCaches.newCache[(SparkSession, String, Int)]()
+
   def ivfUpsert(spark: SparkSession, dir: String,
       batchMod: Int = 5): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
     val base = emb.filter(col("vec_id") % batchMod =!= 0)
     val batch = emb.filter(col("vec_id") % batchMod === 0)
-    val cvec = labelCentroids(base)
+    // the base codebook has two broadcast consumers (batch assignment +
+    // stored-list materialization) and exchange reuse does not fire
+    // across separate broadcasts — same rationale as labelCentroidsCached
+    val cvec = SessionCaches.cached(upsertCodebookCache,
+      (spark, dir, batchMod))(labelCentroids(base).persist())
     val wAssign = Window.partitionBy(col("vec_id"))
       .orderBy(col("ccos").desc, col("clabel"))
     val newAsg = batch.crossJoin(broadcast(cvec))

@@ -66,6 +66,18 @@ class IncrementalOpsSpec extends SparkSpecBase {
     assert(!incr.exists(_._1 == "b")) // emptied group left the aggregate
   }
 
+  test("incrementalAggRefresh: key migrations fold as remove+add on both groups") {
+    // doc 1 migrates a→b with identical text (the case a naive
+    // fp-only delta filter drops entirely); doc 2 migrates a→c WITH a
+    // text change; doc 3 stays put. Incremental must equal recompute.
+    val v1 = kdf((1L, "a", "xx"), (2L, "a", "yyyy"), (3L, "b", "zzz"))
+    val v2 = kdf((1L, "b", "xx"), (2L, "c", "yyyyyy"), (3L, "b", "zzz"))
+    val incr = IncrementalOps.incrementalAggRefresh(v1, v2, "source")
+      .as[(String, Long, Long)].collect().toSeq
+    assert(incr === recompute(v2).as[(String, Long, Long)].collect().toSeq)
+    assert(!incr.exists(_._1 == "a")) // group 'a' emptied by migrations
+  }
+
   test("incrementalAggRefresh: empty delta returns the base aggregate unchanged") {
     val v = kdf((1L, "a", "xx"), (2L, "b", "yy"))
     val incr = IncrementalOps.incrementalAggRefresh(v, v, "source")

@@ -66,13 +66,4 @@ class RetrievalOpsSpec extends SparkSpecBase {
     out.unpersist()
   }
 
-  test("plan: query-side joins broadcast, no cartesian over the corpus") {
-    val plan = RetrievalOps.bm25TopK(spark, sf0001)
-      .queryExecution.executedPlan.toString
-    assert(plan.contains("BroadcastHashJoin") ||
-      plan.contains("BroadcastNestedLoopJoin"))
-    // the only corpus-scale exchange is the postings groupBy; the
-    // candidate join against query terms must not sort-merge the corpus
-    assert(!plan.contains("CartesianProduct"))
-  }
 }
