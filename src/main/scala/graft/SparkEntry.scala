@@ -115,6 +115,7 @@ object SparkEntry {
     "q93_incr_agg"        -> ((s, d) => graft.operators.IncrementalOps.q93IncrAggRefresh(s, d)),
     "q94_prefix_rerank"   -> ((s, d) => SimilarityOps.truncatedRerank(s, d)),
     "q95_pca_power"       -> ((s, d) => graft.operators.PcaOps.powerIteration(s, d)),
+    "q96_abtt_removal"    -> ((s, d) => graft.operators.PcaOps.commonComponentRemoved(s, d)),
   )
 
   /** Shared shingle→df-capped-postings CTE body for every exact-Jaccard
@@ -1681,7 +1682,34 @@ object SparkEntry {
     // (order-independent); FP only at the two normalization boundaries
     // (index-ordered norm dot, 6dp components), both replayed here
     "q95_pca_power" ->
-      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
+      ("WITH " + pcaPowerCte + """
+         SELECT CAST(i.range AS BIGINT) AS d, v[i.range] AS loading
+         FROM v2, range(1, 65) i ORDER BY 1"""),
+    // q96: common-component removal — the q95 chain feeds a row-local
+    // projection x' = x - (x·v)v; per-label min/max corrected norms are
+    // order-independent over a deterministic row-local op sequence
+    "q96_abtt_removal" ->
+      ("WITH " + pcaPowerCte + """,
+         corr AS (
+           SELECT e.label,
+             round(sqrt(list_inner_product(
+               [e.v[i] - list_inner_product(e.v, v2.v) * v2.v[i]
+                  for i in range(1, 65)],
+               [e.v[i] - list_inner_product(e.v, v2.v) * v2.v[i]
+                  for i in range(1, 65)])), 4) AS nrm
+           FROM e CROSS JOIN v2)
+         SELECT label, count(*) AS n, min(nrm) AS min_norm,
+           max(nrm) AS max_norm
+         FROM corr GROUP BY 1 ORDER BY 1"""),
+  )
+
+  /** The q95 power-iteration CTE chain (quantize → center → two exact
+    * fixed-point iterations), ending at `v2 (v: DOUBLE[])` — shared by
+    * the q95 and q96 oracles so the grid, rounding stages, and unroll
+    * cannot drift apart.
+    */
+  private val pcaPowerCte: String =
+      """e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v
             FROM embeddings),
          xq AS (SELECT vec_id, list_transform(v,
                   x -> CAST(round(x * 1024) AS BIGINT)) AS q FROM e),
@@ -1715,8 +1743,5 @@ object SparkEntry {
                   wv::DOUBLE[])) AS nrm
                 FROM (SELECT list(w ORDER BY d) AS wv FROM w2)),
          v2 AS (SELECT [round(wv[i] / nrm, 6) for i in range(1, 65)] AS v
-                FROM n2)
-         SELECT CAST(i.range AS BIGINT) AS d, v[i.range] AS loading
-         FROM v2, range(1, 65) i ORDER BY 1""",
-  )
+                FROM n2)"""
 }

@@ -90,25 +90,58 @@ object PcaOps {
     * frame as given (the spec's constructed corpora are cheap).
     */
   def powerIterationOn(emb: DataFrame, iters: Int = 2): DataFrame =
-    powerIterationFrom(centeredQuantized(emb), emb.sparkSession, iters)
+    format(componentFrom(centeredQuantized(emb), emb.sparkSession, iters))
 
-  private def powerIterationFrom(xc: DataFrame, spark: SparkSession,
+  /** The final 1-row `(v: array<double>, vq: array<long>)` frame. */
+  private def componentFrom(xc: DataFrame, spark: SparkSession,
       iters: Int): DataFrame = {
     require(iters >= 1 && iters <= 8, s"iters must be in [1, 8], got $iters")
     val v0 = spark.range(1).select(
       array_repeat(lit(Grid.toLong / 8), 64).as("vq"))
-    val vFinal = (1 to iters).foldLeft(v0)((vq, _) => step(xc, vq))
+    (1 to iters).foldLeft(v0)((vq, _) => step(xc, vq))
+  }
+
+  private def format(vFinal: DataFrame): DataFrame =
     vFinal.select(posexplode(col("v")).as(Seq("d", "loading")))
       .select((col("d") + 1).cast("long").as("d"), col("loading"))
       .orderBy(col("d"))
-  }
 
   private val xcCache = SessionCaches.newCache[(SparkSession, String)]()
 
+  private def xcCached(spark: SparkSession, dir: String): DataFrame =
+    SessionCaches.cached(xcCache, (spark, dir))(
+      centeredQuantized(Tables.embeddings(spark, dir)).persist())
+
   def powerIteration(spark: SparkSession, dir: String,
       iters: Int = 2): DataFrame =
-    powerIterationFrom(
-      SessionCaches.cached(xcCache, (spark, dir))(
-        centeredQuantized(Tables.embeddings(spark, dir)).persist()),
-      spark, iters)
+    format(componentFrom(xcCached(spark, dir), spark, iters))
+
+  /** Common-component removal (q96) — the second ABTT step: project the
+    * top component out of every embedding, `x′ = x − (x·v)v`, entirely
+    * row-local against the broadcast 1-row component frame (at 100 TB
+    * this is a map-only rewrite pass — the only aggregations are the
+    * [[powerIteration]] build, amortized across the corpus, and the
+    * summary). Output: per-label count plus the min/max corrected norm
+    * (4dp) — order-independent stats over a row-local deterministic
+    * chain (index-ordered dots, identical op sequence both engines), the
+    * q92 envelope pattern. A post-removal norm far below ‖x‖ flags
+    * labels dominated by the common component (the anisotropy ABTT
+    * exists to remove).
+    */
+  def commonComponentRemoved(spark: SparkSession, dir: String,
+      iters: Int = 2): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val vf = componentFrom(xcCached(spark, dir), spark, iters)
+    emb.crossJoin(broadcast(vf.select(col("v"))))
+      .withColumn("xd", transform(col("embedding"), x => x.cast("double")))
+      .withColumn("s", Vectors.dotNative(col("xd"), col("v")))
+      .withColumn("xp",
+        zip_with(col("xd"), col("v"), (x, v) => x - col("s") * v))
+      .withColumn("nrm",
+        round(sqrt(Vectors.dotNative(col("xp"), col("xp"))), 4))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n"),
+        min(col("nrm")).as("min_norm"), max(col("nrm")).as("max_norm"))
+      .orderBy(col("label"))
+  }
 }

@@ -60,6 +60,28 @@ class PcaOpsSpec extends SparkSpecBase {
       s"Rayleigh decreased: $r")
   }
 
+  test("ABTT removal: corrected rows orthogonal to the component, norms never grow") {
+    val v = PcaOps.powerIteration(spark, sf0001)
+      .orderBy("d").select("loading").as[Double].collect()
+    val data = graft.Tables.embeddings(spark, sf0001)
+      .select("vec_id", "embedding").as[(Long, Array[Float])]
+      .collect().map(_._2.map(_.toDouble))
+    data.foreach { x =>
+      val s = (0 until 64).map(d => x(d) * v(d)).sum
+      val xp = Array.tabulate(64)(d => x(d) - s * v(d))
+      // x'·v = s(1 − ‖v‖²): ‖v‖ = 1 up to 6dp rounding ⇒ near-zero
+      assert(math.abs((0 until 64).map(d => xp(d) * v(d)).sum) < 0.01)
+      val n0 = math.sqrt(x.map(a => a * a).sum)
+      val n1 = math.sqrt(xp.map(a => a * a).sum)
+      assert(n1 <= n0 + 1e-9, s"projection removal grew a norm: $n1 > $n0")
+    }
+    // the summary frame partitions the corpus and envelopes are ordered
+    val stats = PcaOps.commonComponentRemoved(spark, sf0001).collect()
+    assert(stats.map(_.getAs[Long]("n")).sum === data.length.toLong)
+    stats.foreach(r => assert(
+      r.getAs[Double]("min_norm") <= r.getAs[Double]("max_norm")))
+  }
+
   test("testdata component is deterministic and unit-norm") {
     val a = PcaOps.powerIteration(spark, sf0001).collect()
     val b = PcaOps.powerIteration(spark, sf0001).collect()
