@@ -141,7 +141,15 @@ object ScalingBench {
       // PCA power iteration (q95): iters linear corpus passes, a 64-cell
       // shuffle each — the probe pins the matrix-free shape staying flat
       Probe("q95_pca_power", "embeddings",
-        SparkEntry.queries("q95_pca_power")))
+        SparkEntry.queries("q95_pca_power")),
+      // span scrub (q87) post-rewrite: row-local span build + rebuild,
+      // one span-key shuffle + one delta-sized covered aggregation
+      Probe("q87_span_scrub", "documents",
+        SparkEntry.queries("q87_span_scrub")),
+      // ABTT removal (q96): map-only projection over the cached
+      // component — should track the scan like q82
+      Probe("q96_abtt_removal", "embeddings",
+        SparkEntry.queries("q96_abtt_removal")))
 
   /** Build k-times-scaled corpora from sf0.1 (documents AND embeddings).
     * Document copy c suffixes every token with a copy marker, so each

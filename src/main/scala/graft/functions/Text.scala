@@ -57,6 +57,17 @@ object Text {
       .otherwise(array().cast("array<string>"))
   }
 
+  /** Positional token n-grams (codegen'd): n-gram at index i covers
+    * tokens [i, i+n) of the given token-array column; empty below n.
+    * The fused-loop span builder behind the span-dedup family — see
+    * [[graft.functions.expressions.TokenNgrams]] for why not a HOF.
+    */
+  def tokenNgramsNative(toksCol: Column, n: Int): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(graft.functions.expressions.TokenNgrams(
+      ColumnBridge.expression(toksCol), n))
+  }
+
   /** Content fingerprint: md5 of the canonical form — engine-portable
     * (identical in any md5 implementation), the exact-dedup key.
     */

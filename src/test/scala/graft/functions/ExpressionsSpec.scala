@@ -150,6 +150,39 @@ class ExpressionsSpec extends SparkSpecBase {
     assert(bad.isNullAt(0))
   }
 
+  test("tokenNgrams: ≡ HOF formulation on real docs; index provenance; edge cases") {
+    val n = 10
+    val docs = graft.Tables.documents(spark, sf0001).limit(100)
+      .select(col("doc_id"), Text.tokens(col("text")).as("toks"))
+    val hof = transform(
+      when(size(col("toks")) >= n,
+        sequence(lit(0), size(col("toks")) - n))
+        .otherwise(array().cast("array<int>")),
+      i => concat_ws(" ", slice(col("toks"), i + 1, lit(n))))
+    val diff = docs.select(
+        Text.tokenNgramsNative(col("toks"), n).as("fast"), hof.as("ref"))
+      .filter(col("fast") =!= col("ref"))
+    assert(diff.count() === 0)
+    // index provenance + edges on constructed rows: exactly-n tokens
+    // (one span), n-1 (none), nulls inside tokens skipped like concat_ws
+    val tiny = Seq(
+      (1L, Seq("a", "b", "c")),
+      (2L, Seq("a", "b")),
+      (3L, Seq.empty[String])).toDF("doc_id", "toks")
+    val out = tiny.select(col("doc_id"),
+      Text.tokenNgramsNative(col("toks"), 3).as("g")).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Seq[String]]("g")).toMap
+    assert(out(1L) === Seq("a b c"))
+    assert(out(2L) === Seq.empty)
+    assert(out(3L) === Seq.empty)
+    // bigram index i covers tokens [i, i+2)
+    val bi = tiny.filter(col("doc_id") === 1)
+      .select(posexplode(Text.tokenNgramsNative(col("toks"), 2))
+        .as(Seq("pos", "g"))).collect()
+      .map(r => r.getInt(0) -> r.getString(1)).toMap
+    assert(bi === Map(0 -> "a b", 1 -> "b c"))
+  }
+
   test("q43 aggregator top-k ≡ q31 window top-k") {
     val a = graft.operators.SimilarityOps.topKViaAggregator(spark, sf0001).collect()
     val b = graft.operators.SimilarityOps.bruteForceTopK(spark, sf0001).collect()
