@@ -44,18 +44,15 @@ object Text {
   }
 
   /** Word n-gram shingles (distinct) of the normalized text. n >= 1.
-    * Texts shorter than n tokens yield an empty array (guard needed:
-    * Spark's sequence(1, 0) counts *down*, producing a 0 start that
-    * slice rejects).
+    * Texts shorter than n tokens yield an empty array. Built on the
+    * codegen [[tokenNgramsNative]] fused loop — the transform/slice/
+    * concat_ws HOF formulation this replaces is CodegenFallback
+    * (interpreted per token), and every shingle consumer (q28/q29/q30/
+    * q53/q59/q61) pays it once per corpus token. `array_distinct` keeps
+    * first-occurrence order, identical to the HOF form.
     */
-  def wordShingles(c: Column, n: Int): Column = {
-    val toks = tokens(c)
-    when(size(toks) >= n,
-      array_distinct(
-        transform(sequence(lit(1), size(toks) - (n - 1)),
-          i => concat_ws(" ", slice(toks, i, lit(n))))))
-      .otherwise(array().cast("array<string>"))
-  }
+  def wordShingles(c: Column, n: Int): Column =
+    array_distinct(tokenNgramsNative(tokens(c), n))
 
   /** Positional token n-grams (codegen'd): n-gram at index i covers
     * tokens [i, i+n) of the given token-array column; empty below n.
