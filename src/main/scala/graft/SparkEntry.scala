@@ -116,6 +116,7 @@ object SparkEntry {
     "q94_prefix_rerank"   -> ((s, d) => SimilarityOps.truncatedRerank(s, d)),
     "q95_pca_power"       -> ((s, d) => graft.operators.PcaOps.powerIteration(s, d)),
     "q96_abtt_removal"    -> ((s, d) => graft.operators.PcaOps.commonComponentRemoved(s, d)),
+    "q97_mix_weights"     -> ((s, d) => PipelineOps.mixtureWeights(s, d)),
   )
 
   /** Shared shingle→df-capped-postings CTE body for every exact-Jaccard
@@ -1701,6 +1702,23 @@ object SparkEntry {
          SELECT label, count(*) AS n, min(nrm) AS min_norm,
            max(nrm) AS max_norm
          FROM corr GROUP BY 1 ORDER BY 1"""),
+    // q97: temperature mixture weights at alpha = 1/2 — sqrt is
+    // correctly rounded (bit-identical cross-engine), counts are exact
+    // ints, and the normalizer is an index-ordered fold over the
+    // source-sorted weight list on both sides
+    "q97_mix_weights" ->
+      """WITH t AS (
+           SELECT source, CAST(sum(len(string_split(
+             regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')))
+             AS BIGINT) AS n_tokens
+           FROM documents GROUP BY 1),
+         w AS (SELECT source, n_tokens,
+                 round(sqrt(CAST(n_tokens AS DOUBLE)), 6) AS w FROM t),
+         z AS (SELECT list_inner_product(ws,
+                 list_transform(ws, x -> 1.0)) AS z
+               FROM (SELECT list(w ORDER BY source) AS ws FROM w))
+         SELECT source, n_tokens, round(w / z, 6) AS weight
+         FROM w CROSS JOIN z ORDER BY source""",
   )
 
   /** The q95 power-iteration CTE chain (quantize → center → two exact

@@ -105,6 +105,40 @@ object PipelineOps {
       .orderBy(col("source"))
   }
 
+  /** Temperature-scaled mixture weights (q97): the sampling-weight
+    * computation behind every multi-source/multilingual pretraining mix
+    * (w_i = n_i^α / Σ_j n_j^α — α < 1 upsamples the tail, the
+    * mBERT/XLM-R exponent-smoothing recipe). Runs at α = ½, where the
+    * power is `sqrt` — correctly rounded in IEEE 754, hence bit-identical
+    * across engines; arbitrary α needs libm `pow`, whose last-ulp
+    * behavior is engine-specific, so a generalized variant would be
+    * rows-only-gated (the q38 pattern), not cell-exact.
+    *
+    * Parity: per-source token counts are exact ints (one corpus
+    * shuffle); each w_i rounds 6dp at its stage boundary; the
+    * normalizer Σ w_i is an INDEX-ORDERED fold over the source-sorted
+    * weight list (group cardinality is tiny — the list lives in one
+    * row), mirrored by DuckDB's `list_inner_product` over
+    * `list(w ORDER BY source)`. The final weight is one double division
+    * rounded 6dp. At 100 TB only the token-count aggregation touches
+    * the corpus; everything after is group-cardinality-sized.
+    */
+  def mixtureWeights(spark: SparkSession, dir: String): DataFrame = {
+    val counts = Tables.documents(spark, dir)
+      .select(col("source"), Text.tokenCount(col("text")).cast("long").as("nt"))
+      .groupBy(col("source")).agg(sum(col("nt")).as("n_tokens"))
+    val ws = counts.withColumn("w",
+      round(sqrt(col("n_tokens").cast("double")), 6))
+    val z = ws.agg(aggregate(
+      transform(array_sort(collect_list(struct(col("source"), col("w")))),
+        t => t.getField("w")),
+      lit(0.0), (acc, x) => acc + x).as("z"))
+    ws.crossJoin(broadcast(z))
+      .select(col("source"), col("n_tokens"),
+        round(col("w") / col("z"), 6).as("weight"))
+      .orderBy(col("source"))
+  }
+
   /** PII scrub: mask email-shaped and long-digit-run tokens. Patterns are
     * RE2-compatible so the oracle applies the identical regex. Documents
     * get a synthetic email planted first (the corpus has none) so the

@@ -118,4 +118,23 @@ class PipelineOpsSpec extends SparkSpecBase {
     assert(scrubbed(2L) === "call <PHONE> or ext 123") // 3-digit ext kept
     assert(scrubbed(3L) === "clean text, nothing to scrub")
   }
+
+  test("mixtureWeights: distribution valid, monotone, alpha<1 upsamples the tail") {
+    val rows = PipelineOps.mixtureWeights(spark, sf0001).collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[Long]("n_tokens"),
+        r.getAs[Double]("weight")))
+    val totalW = rows.map(_._3).sum
+    assert(math.abs(totalW - 1.0) < 1e-4, s"weights sum to $totalW")
+    // weight order tracks token-count order (sqrt is monotone)
+    val byTokens = rows.sortBy(_._2).map(_._3)
+    assert(byTokens === byTokens.sorted)
+    // temperature smoothing: the smallest source's weight share exceeds
+    // its raw token share, the largest source's is below it
+    val totalT = rows.map(_._2).sum.toDouble
+    val smallest = rows.minBy(_._2); val largest = rows.maxBy(_._2)
+    assert(smallest._3 > smallest._2 / totalT,
+      s"tail not upsampled: $smallest")
+    assert(largest._3 < largest._2 / totalT,
+      s"head not downsampled: $largest")
+  }
 }
