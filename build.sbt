@@ -11,6 +11,14 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The forked program's stdout goes straight to the real stdout instead
+// of sbt's logger — no "[info] " prefix on Bench/Verify JSON lines, so
+// the driver's line-level json parse of the stdout tail succeeds.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+// ...and no trailing "[success] Total time" footer after the final
+// summary line (the driver parses from the end of the tail).
+Global / showSuccess := false
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

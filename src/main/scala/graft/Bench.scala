@@ -34,29 +34,60 @@ object Bench {
     if (v < 0 && r == 0.0) -0.001 else r
   }
 
-  /** Render the three stdout lines. Contract (spec-pinned): the compact
+  /** Queries whose warm median exceeds their successful cold (rep-1)
+    * time by more than 2× — a physically-backwards inversion (warm reps
+    * re-use session caches rep 1 built, so warm ≫ cold means reps 2+
+    * caught an ambient load spike, not a code regression; BENCH_r06's
+    * q65 measured warm 5.08 s vs cold 1.53 s exactly this way). Flagged
+    * in the artifact so a round-over-round reader can discount them.
+    */
+  def suspects(results: Map[String, Double],
+      cold: Map[String, Double]): Seq[String] =
+    results.collect { case (name, warm)
+      if warm > 0 && cold.getOrElse(name, -1.0) > 0 &&
+        warm > 2.0 * cold(name) => name
+    }.toSeq.sorted
+
+  /** 1-minute system load average (from /proc/loadavg; MXBean fallback)
+    * — recorded at run start and end so an ambient-load-inflated number
+    * is self-describing (r6's driver run carried ~1.4× uniform inflation
+    * that took a judge session to attribute).
+    */
+  def loadAvg(): Double =
+    try {
+      val src = scala.io.Source.fromFile("/proc/loadavg")
+      try src.getLines().next().split(" ")(0).toDouble finally src.close()
+    } catch { case _: Throwable =>
+      java.lang.management.ManagementFactory
+        .getOperatingSystemMXBean.getSystemLoadAverage
+    }
+
+  /** Render the stdout lines. Contract (spec-pinned): the compact
     * `"metric":"total_summary"` line is printed FIRST and LAST (identical
-    * bytes) around EXACTLY one `"metric":"total"` line carrying the full
-    * per-query payload — the driver captures a window of stdout and has
-    * truncated the big line mid-JSON in past rounds, so the headline must
-    * sit at BOTH edges of the output. Failed queries (no rep succeeded)
-    * appear as negative durations (never mistakable for a measurement)
-    * and are excluded from the totals — a run with a broken expensive
-    * query must not look FASTER. Queries that failed SOME reps report the
-    * median of their successful reps but are listed in `flaky` —
-    * intermittent breakage must stay visible in the durable record, not
-    * only on stderr.
+    * bytes) around EXACTLY one `"metric":"total"` line carrying the warm
+    * per-query payload and one `"metric":"total_cold"` line carrying the
+    * rep-1 payload — the per-query map is split across two lines so each
+    * stays well inside the driver's stdout tail window (the single
+    * combined line was truncated mid-JSON in r2/r4/r6). Failed queries
+    * (no rep succeeded) appear as negative durations (never mistakable
+    * for a measurement) and are excluded from the totals — a run with a
+    * broken expensive query must not look FASTER. Queries that failed
+    * SOME reps report the median of their successful reps but are listed
+    * in `flaky` — intermittent breakage must stay visible in the durable
+    * record, not only on stderr. `suspect` lists warm≫cold inversions
+    * (see [[suspects]]); `load` carries the 1-min load average at run
+    * start/end (see [[loadAvg]]).
     *
     * `cold` is the rep-1 per-query map: rep 1 is the pass that pays every
     * session-cache build, so its times are the cold-session cost the warm
     * medians deliberately exclude (the r5 lesson: with medians alone, a
     * regression in a cached query's BUILD cost moved no committed
-    * number). `total_cold` rides both line shapes; per-query cold times
-    * ride the big line as `queries_cold`.
+    * number). `total_cold` rides every line shape.
     */
   def renderLines(results: Map[String, Double], failed: Seq[String],
       sf: String, flaky: Seq[String] = Nil,
-      cold: Map[String, Double] = Map.empty): Seq[String] = {
+      cold: Map[String, Double] = Map.empty,
+      load: (Double, Double) = (-1.0, -1.0)): Seq[String] = {
     def qmap(m: Map[String, Double]) = m.toSeq.sortBy(_._1)
       .map { case (k, v) => s"\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
@@ -64,10 +95,13 @@ object Bench {
     val totalCold = r3(cold.values.filter(_ >= 0).sum)
     def names(xs: Seq[String]) =
       xs.sorted.map("\"" + jsonStr(_) + "\"").mkString("[", ",", "]")
+    val sus = suspects(results, cold)
+    val loadJson = s"""{"start":${r3(load._1)},"end":${r3(load._2)}}"""
     val summary =
-      s"""{"metric":"total_summary","value":$total,"unit":"sec","total_cold":$totalCold,"n_queries":${results.size},"n_failed":${failed.size},"n_flaky":${flaky.size},"sf":"${jsonStr(sf)}"}"""
+      s"""{"metric":"total_summary","value":$total,"unit":"sec","total_cold":$totalCold,"n_queries":${results.size},"n_failed":${failed.size},"n_flaky":${flaky.size},"n_suspect":${sus.size},"load":$loadJson,"sf":"${jsonStr(sf)}"}"""
     Seq(summary,
-      s"""{"metric":"total","value":$total,"unit":"sec","total_cold":$totalCold,"queries":${qmap(results)},"queries_cold":${qmap(cold)},"failed":${names(failed)},"flaky":${names(flaky)},"sf":"${jsonStr(sf)}"}""",
+      s"""{"metric":"total","value":$total,"unit":"sec","total_cold":$totalCold,"queries":${qmap(results)},"failed":${names(failed)},"flaky":${names(flaky)},"suspect":${names(sus)},"load":$loadJson,"sf":"${jsonStr(sf)}"}""",
+      s"""{"metric":"total_cold","value":$totalCold,"unit":"sec","queries_cold":${qmap(cold)},"sf":"${jsonStr(sf)}"}""",
       summary)
   }
 
@@ -76,6 +110,7 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
     require(reps >= 1, s"SPARK_GRAFT_BENCH_REPS must be >= 1, got $reps")
+    val loadStart = loadAvg()
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -132,8 +167,13 @@ object Bench {
     // rep 1 pays every session-cache build — its per-query times are the
     // cold-session cost the warm medians exclude
     val lines = renderLines(results, failed.toSeq, sfDir, flaky.toSeq,
-      cold = passes.head)
-    val big = lines(1)
+      cold = passes.head, load = (loadStart, loadAvg()))
+    // the committed durable record stays ONE combined line per round
+    // (warm + cold in one object, splicing the cold map into the warm
+    // line) even though stdout splits them across two lines for the tail
+    val coldMap = lines(2).split("\"queries_cold\":", 2)(1)
+      .split(",\"sf\":", 2)(0)
+    val big = lines(1).stripSuffix("}") + s""","queries_cold":$coldMap}"""
     // persist the full per-query history BEFORE printing: the driver's
     // stdout tail truncates the big line (r2, r4 lost 17 queries' times),
     // so the committed artifacts are the durable record

@@ -1237,7 +1237,12 @@ object SparkEntry {
     // side's codegen fused-loop dot (a shuffled groupBy sum is NOT
     // order-stable; that was r5's one hash mismatch). No JL tolerance
     // gate (probabilistic per matrix — with a fixed matrix the
-    // distortion is a measured fact, pinned in the spec instead)
+    // distortion is a measured fact, pinned in the spec instead).
+    // Both cosines are `round(...) + 0.0`: DuckDB's round preserves IEEE
+    // -0.0 (one sf0.01 cos_orig cell rounds to zero from below) while
+    // Spark's Catalyst Round goes through BigDecimal, which has no
+    // negative zero — `+ 0.0` canonicalizes (-0.0 + 0.0 == +0.0) so the
+    // driver's value hash agrees bit-for-bit (r6's one hash mismatch)
     "q79_random_projection" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
                     FROM embeddings WHERE vec_id < 40),
@@ -1255,10 +1260,10 @@ object SparkEntry {
          SELECT a.vec_id AS id_a, b.vec_id AS id_b,
            round(list_inner_product(a.v, b.v) /
              (sqrt(list_inner_product(a.v, a.v)) *
-              sqrt(list_inner_product(b.v, b.v))), 4) AS cos_orig,
+              sqrt(list_inner_product(b.v, b.v))), 4) + 0.0 AS cos_orig,
            round(list_inner_product(pa.pv, pb.pv) /
              (sqrt(list_inner_product(pa.pv, pa.pv)) *
-              sqrt(list_inner_product(pb.pv, pb.pv))), 4) AS cos_proj
+              sqrt(list_inner_product(pb.pv, pb.pv))), 4) + 0.0 AS cos_proj
          FROM e a JOIN e b ON a.vec_id < b.vec_id
            JOIN pv pa ON pa.vec_id = a.vec_id
            JOIN pv pb ON pb.vec_id = b.vec_id
@@ -1481,9 +1486,14 @@ object SparkEntry {
     // literal expression both engines constant-fold identically
     // (1.2 + 1.0, 1.0 - 0.75 + 0.75 * norm), idf rounds 6dp at its stage
     // boundary, and the per-(query, doc) score is a fixed-order
-    // c1 + c2 + c3 fold over term-rank slots — never a shuffled float sum
+    // c1 + c2 + … fold over term-rank slots — never a shuffled float
+    // sum. The operating point (nQueries/nTerms/k) and the slot list are
+    // interpolated from RetrievalOps' constants — the SAME values that
+    // parameterize bm25TopK's defaults — so implementation and oracle
+    // cannot silently diverge on nTerms (raw interpolator: \s must
+    // survive verbatim).
     "q89_bm25_topk" ->
-      """WITH d0 AS (
+      raw"""WITH d0 AS (
            SELECT doc_id, string_split(
              regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS w
            FROM documents),
@@ -1497,9 +1507,9 @@ object SparkEntry {
            SELECT doc_id AS qid, tok,
              CAST(row_number() OVER (PARTITION BY doc_id
                ORDER BY tf DESC, tok) AS INT) AS t_rank
-           FROM tfp WHERE doc_id < 5
+           FROM tfp WHERE doc_id < ${RetrievalOps.DefaultNQueries}
            QUALIFY row_number() OVER (PARTITION BY doc_id
-             ORDER BY tf DESC, tok) <= 3),
+             ORDER BY tf DESC, tok) <= ${RetrievalOps.DefaultNTerms}),
          cand AS (SELECT qt.qid, qt.t_rank, tfp.doc_id, tfp.dl,
                     tfp.tok, tfp.tf
                   FROM tfp JOIN qt USING (tok)),
@@ -1520,12 +1530,10 @@ object SparkEntry {
              CAST(row_number() OVER (PARTITION BY qid
                ORDER BY score DESC, doc_id) AS INT) AS rk
            FROM (SELECT qid, doc_id,
-                   round(coalesce(max(CASE WHEN t_rank = 1 THEN c END), 0.0)
-                       + coalesce(max(CASE WHEN t_rank = 2 THEN c END), 0.0)
-                       + coalesce(max(CASE WHEN t_rank = 3 THEN c END), 0.0),
+                   round(${RetrievalOps.oracleSlotSql(RetrievalOps.DefaultNTerms)},
                      4) AS score
                  FROM contrib GROUP BY 1, 2))
-         WHERE rk <= 5 ORDER BY qid, rk""",
+         WHERE rk <= ${RetrievalOps.DefaultK} ORDER BY qid, rk""",
     // q90: Count-Min sketch — cells are order-independent integer sums
     // and the md5 bucket decode is the q83 instr pattern, so the sketch
     // the typed Aggregator builds is replayed relationally cell-exact:

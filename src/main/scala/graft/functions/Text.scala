@@ -49,10 +49,14 @@ object Text {
     * concat_ws HOF formulation this replaces is CodegenFallback
     * (interpreted per token), and every shingle consumer (q28/q29/q30/
     * q53/q59/q61) pays it once per corpus token. `array_distinct` keeps
-    * first-occurrence order, identical to the HOF form.
+    * first-occurrence order, identical to the HOF form. NULL text maps
+    * to an empty array (the pre-codegen contract; TokenNgrams is
+    * null-propagating, so coalesce restores it — size()/explode
+    * consumers over a corpus with null-text rows see 0/[], not null).
     */
   def wordShingles(c: Column, n: Int): Column =
-    array_distinct(tokenNgramsNative(tokens(c), n))
+    coalesce(array_distinct(tokenNgramsNative(tokens(c), n)),
+      array().cast("array<string>"))
 
   /** Positional token n-grams (codegen'd): n-gram at index i covers
     * tokens [i, i+n) of the given token-array column; empty below n.

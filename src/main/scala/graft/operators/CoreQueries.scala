@@ -431,6 +431,17 @@ object CoreQueries {
 
   /** Exact interpolated percentiles of order totals per priority (the
     * distribution profile; both engines use linear interpolation).
+    *
+    * Division of labor with q74 (`PipelineOps.quantileSketch`): this is
+    * the EXACT path — `percentile` buffers every value per group, so its
+    * memory is O(group size) and it is only safe where groups are
+    * bounded (here: 5 priorities whose per-group totals fit an executor
+    * comfortably at any SF, since the buffer is per-group per-partition
+    * before merge). q74's Greenwald–Khanna sketch is the 100 TB path for
+    * UNBOUNDED groups: O(1/ε log εn) memory per group regardless of
+    * cardinality, mergeable map-side, at ε-rank error. Keep both: exact
+    * where the group contract allows it (and as the oracle anchor GK is
+    * judged against in q74's spec), sketch where it doesn't.
     */
   def q56Percentiles(spark: SparkSession, dir: String): DataFrame =
     Tables.orders(spark, dir)

@@ -38,14 +38,34 @@ import org.apache.spark.sql.functions._
   */
 object RetrievalOps {
 
+  /** The q89 gate's operating point — the ONE source of truth shared by
+    * [[bm25TopK]]'s defaults and the DuckDB oracle SQL (SparkEntry
+    * interpolates these plus [[oracleSlotSql]] into q89), so changing
+    * the default here regenerates the oracle's QUALIFY bound and its
+    * fixed-order CASE slots in lockstep — they cannot silently diverge.
+    */
+  private[graft] val DefaultNQueries = 5
+  private[graft] val DefaultNTerms = 3
+  private[graft] val DefaultK = 5
+
+  /** The oracle-side rendering of the fixed-order term-rank fold: one
+    * `coalesce(max(CASE …))` slot per rank, summed in written order —
+    * the same slot list [[bm25TopKOn]] folds, rendered as SQL.
+    */
+  private[graft] def oracleSlotSql(nTerms: Int): String =
+    (1 to nTerms)
+      .map(i => s"coalesce(max(CASE WHEN t_rank = $i THEN c END), 0.0)")
+      .mkString("\n                       + ")
+
   /** BM25 top-k: the `nQueries` lowest-id docs act as queries, each
     * represented by its `nTerms` strongest tokens (tf desc, token asc —
     * deterministic); every corpus doc is scored with Lucene-style BM25
     * (k1 = 1.2, b = 0.75, idf = ln((N − df + ½)/(df + ½) + 1)) and the
     * top `k` hits per query are returned.
     */
-  def bm25TopK(spark: SparkSession, dir: String, nQueries: Int = 5,
-      nTerms: Int = 3, k: Int = 5): DataFrame =
+  def bm25TopK(spark: SparkSession, dir: String,
+      nQueries: Int = DefaultNQueries, nTerms: Int = DefaultNTerms,
+      k: Int = DefaultK): DataFrame =
     bm25TopKOn(Tables.documents(spark, dir), nQueries, nTerms, k)
 
   /** [[bm25TopK]] over an explicit `(doc_id, text)` frame — the spec

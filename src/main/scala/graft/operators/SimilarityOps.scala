@@ -825,22 +825,26 @@ object SimilarityOps {
     val kCodes = (rcb.count() / m).toInt
     val kCoarse = cvec.count().toInt
     val cbRow = pqFlatModel(rcb)
-    // pseudo-query LUT: the nQ real queries (qkey = query index, sorted
-    // vec_id order = vec_id for dense ids) followed by the k coarse
-    // centroids (qkey = nQ + rank of clabel) — one flat array drives
-    // both the scoring sums and the norm correction
+    // pseudo-query LUT: the nQ real queries (qkey = RANK over qv_id —
+    // equal to vec_id only for dense 0..nQ−1 ids) followed by the k
+    // coarse centroids (qkey = nQ + rank of clabel) — one flat array
+    // drives both the scoring sums and the norm correction. nQ is the
+    // ACTUAL query count, not the `vec_id < nQueries` filter bound: with
+    // sparse ids the two differ, and slot offsets built from the bound
+    // would read past the flat array (null scores — the r7 ADVICE find)
     val queries = emb.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("qv_id"), col("embedding").cast("array<double>").as("qv"))
+    val nQ = queries.count().toInt
     val wClabel = Window.orderBy(col("clabel"))
     val centKeyed = cvec
       .withColumn("crank", row_number().over(wClabel) - 1)
-      .select((col("crank") + lit(nQueries)).as("qkey"), col("cv").as("qv"),
+      .select((col("crank") + lit(nQ)).as("qkey"), col("cv").as("qv"),
         col("clabel"))
     val wQ = Window.orderBy(col("qv_id"))
     val qKeyed = queries
       .withColumn("qkey", row_number().over(wQ) - 1)
-      .select(col("qkey"), col("qv"))
-    val pseudo = qKeyed.unionByName(centKeyed.select(col("qkey"), col("qv")))
+    val pseudo = qKeyed.select(col("qkey"), col("qv"))
+      .unionByName(centKeyed.select(col("qkey"), col("qv")))
     val lutRow = pseudo
       .select(col("qkey"),
         explode(array((0 until m).map(s =>
@@ -855,16 +859,20 @@ object SimilarityOps {
         struct(col("qkey"), col("s"), col("code"), col("qdot")))),
         t => t.getField("qdot")).as("lut_flat"))
     // probes: per query, the nProbe best lists, carrying the raw
-    // query·centroid dot, the centroid norm, and the centroid rank
+    // query·centroid dot, the centroid norm, the centroid rank, AND the
+    // query's LUT slot (qkey) — slots are assigned by rank over qv_id,
+    // so indexing the ADC array with the raw vec_id would only work for
+    // dense 0..nQ-1 ids; the rank mapping is id-layout-independent
     val wProbe = Window.partitionBy(col("qv_id"))
       .orderBy(col("ccos").desc, col("clabel"))
-    val probes = queries.crossJoin(broadcast(
+    val probes = qKeyed
+      .crossJoin(broadcast(
         cvec.withColumn("crank", row_number().over(wClabel) - 1)))
       .withColumn("ccos", round(Vectors.cosine(col("qv"), col("cv")), 4))
       .withColumn("crk", row_number().over(wProbe))
       .filter(col("crk") <= nProbe)
-      .select(col("qv_id").as("query_id"), col("clabel").as("ivf_list"),
-        col("crank"),
+      .select(col("qv_id").as("query_id"), col("qkey"),
+        col("clabel").as("ivf_list"), col("crank"),
         Vectors.dotNative(col("qv"), col("cv")).as("qc"),
         Vectors.dotNative(col("cv"), col("cv")).as("cnorm2l"),
         sqrt(Vectors.dotNative(col("qv"), col("qv"))).as("qnorm"))
@@ -876,10 +884,10 @@ object SimilarityOps {
         col("cnorm2_flat"), col("lut_flat"), m, kCodes))
       .join(broadcast(probes), Seq("ivf_list"))
       .filter(col("vec_id") =!= col("query_id"))
-      .withColumn("adcq", element_at(col("sc"), col("query_id").cast("int") + 1))
+      .withColumn("adcq", element_at(col("sc"), col("qkey").cast("int") + 1))
       .withColumn("adcc",
-        element_at(col("sc"), col("crank").cast("int") + lit(nQueries) + 1))
-      .withColumn("rnorm2", element_at(col("sc"), lit(nQueries + kCoarse + 1)))
+        element_at(col("sc"), col("crank").cast("int") + lit(nQ) + 1))
+      .withColumn("rnorm2", element_at(col("sc"), lit(nQ + kCoarse + 1)))
       .withColumn("score", round((col("qc") + col("adcq")) /
         (col("qnorm") * sqrt(col("cnorm2l") + lit(2.0) * col("adcc")
           + col("rnorm2"))), 4))
@@ -916,6 +924,10 @@ object SimilarityOps {
     val cb = pqLabelCodebook(spark, dir, m)
     val kCodes = (cb.count() / m).toInt
     val cbRow = pqFlatModel(cb)
+    // the ACTUAL query count — `vec_id < nQueries` is a filter bound,
+    // equal to the count only for dense ids; slot offsets must use the
+    // count (the ivfPqTopK r7 lesson applied to the fused path too)
+    val nQ = emb.filter(col("vec_id") < nQueries).count().toInt
     // LUT in (query, s, code) order — query subvectors against every code
     val lutRow = pqSubvectors(emb.filter(col("vec_id") < nQueries), m)
       .select(col("vec_id").as("query_id"), col("s"), col("sv").as("qsv"))
@@ -943,8 +955,8 @@ object SimilarityOps {
       .withColumn("sc", Vectors.pqAdcScores(col("embedding"), col("cb_flat"),
         col("cnorm2_flat"), col("lut_flat"), m, kCodes))
       .select(col("vec_id"), col("qid_arr"), col("qnorm_arr"),
-        element_at(col("sc"), nQueries + 1).as("vnorm2"),
-        posexplode(slice(col("sc"), 1, nQueries)).as(Seq("qi", "adc")))
+        element_at(col("sc"), nQ + 1).as("vnorm2"),
+        posexplode(slice(col("sc"), 1, nQ)).as(Seq("qi", "adc")))
       .withColumn("query_id",
         element_at(col("qid_arr"), col("qi") + 1).cast("long"))
       .filter(col("vec_id") =!= col("query_id"))

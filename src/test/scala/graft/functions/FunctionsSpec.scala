@@ -62,6 +62,12 @@ class FunctionsSpec extends SparkSpecBase {
     assert(sh.toSet === Set("the quick", "quick brown", "brown fox"))
     val one = Seq("word").toDF("t").select(Text.wordShingles(col("t"), 3)).head().getSeq[String](0)
     assert(one.isEmpty) // shorter than n → no shingles
+    // NULL text → empty array, not null (the pre-codegen contract: the
+    // r6 TokenNgrams rewrite was null-propagating until the r7 coalesce;
+    // size()/explode consumers must see 0/[], never a null hole)
+    val nt = Seq[Option[String]](None).toDF("t")
+      .select(Text.wordShingles(col("t"), 2)).head()
+    assert(!nt.isNullAt(0) && nt.getSeq[String](0).isEmpty)
     val pr = Seq("ab!!").toDF("t").select(Text.punctRatio(col("t"))).head().getDouble(0)
     assert(math.abs(pr - 0.5) < 1e-12)
     val sr = Seq("the cat the dog").toDF("t").select(Text.stopwordRatio(col("t"))).head().getDouble(0)
@@ -89,5 +95,24 @@ class FunctionsSpec extends SparkSpecBase {
       .select(Vectors.lshBucket(col("v"), 8)).as[Long].collect()
     assert(b(0) === b(1))
     assert(b(0) >= 0 && b(0) < 256)
+  }
+
+  test("round: a negative value that rounds to zero yields POSITIVE zero") {
+    // The q79/r6 hazard class, pinned: Catalyst's Round goes through
+    // BigDecimal, which cannot represent -0.0, so round(-1e-9, 4) is
+    // +0.0 — while DuckDB's round preserves the IEEE sign. Every oracle
+    // rounding boundary that can produce a zero from below must
+    // normalize with `round(...) + 0.0` (tools/sweep_negzero.py scans
+    // for violations). If this assertion ever flips, that normalization
+    // strategy must be revisited.
+    val z = Seq(-1e-9, -0.00004).toDF("x")
+      .select(round(col("x"), 4).as("r")).as[Double].collect()
+    z.foreach { v =>
+      assert(v === 0.0)
+      assert(java.lang.Double.doubleToRawLongBits(v) === 0L,
+        "Spark round must emit +0.0, not -0.0, for negative-tiny input")
+    }
+    // and the fold identity the oracles rely on: -0.0 + 0.0 == +0.0
+    assert(java.lang.Double.doubleToRawLongBits(-0.0 + 0.0) === 0L)
   }
 }

@@ -53,6 +53,40 @@ class RetrievalOpsSpec extends SparkSpecBase {
     assert(hits.indexOf(1L) < hits.indexOf(2L))
   }
 
+  test("oracle operating point: q89 SQL is generated from bm25TopK's own defaults") {
+    // the r7 ADVICE guard: the oracle's QUALIFY bound and its fixed-order
+    // CASE slots interpolate from RetrievalOps' constants, so a default
+    // change regenerates both sides together — pinned by checking the
+    // rendered SQL embeds the generated slot list and the bounds
+    val sql = graft.SparkEntry.oracleSql("q89_bm25_topk")
+    assert(sql.contains(
+      RetrievalOps.oracleSlotSql(RetrievalOps.DefaultNTerms)))
+    assert(sql.contains(s"doc_id < ${RetrievalOps.DefaultNQueries}"))
+    assert(sql.contains(s"tok) <= ${RetrievalOps.DefaultNTerms}"))
+    assert(sql.contains(s"rk <= ${RetrievalOps.DefaultK}"))
+    // the slot renderer itself: one slot per rank, written order
+    val s4 = RetrievalOps.oracleSlotSql(4)
+    assert((1 to 4).forall(i => s4.contains(s"t_rank = $i")))
+    assert(!s4.contains("t_rank = 5"))
+  }
+
+  test("non-default nTerms: fold covers all ranks (runs, rk dense, no oracle claim)") {
+    // nTerms != default diverges from the q89 oracle BY DESIGN; what must
+    // hold is the Spark-side contract alone — it runs, and widening the
+    // term set can only add score mass (more candidate terms per query)
+    val corpus = Seq[(Long, String)](
+      (0L, "alpha beta gamma delta alpha beta gamma alpha beta alpha"),
+      (1L, "alpha beta gamma delta"), (2L, "alpha beta"), (3L, "gamma delta"),
+      (4L, "delta epsilon"), (5L, "epsilon zeta"))
+    val k2 = RetrievalOps.bm25TopKOn(corpus.toDF("doc_id", "text"),
+      nQueries = 1, nTerms = 2, k = 3).collect()
+    val k5 = RetrievalOps.bm25TopKOn(corpus.toDF("doc_id", "text"),
+      nQueries = 1, nTerms = 5, k = 3).collect()
+    assert(k2.nonEmpty && k5.nonEmpty)
+    assert(k2.map(_.getInt(3)).toSeq === (1 to k2.length))
+    assert(k5.map(_.getInt(3)).toSeq === (1 to k5.length))
+  }
+
   test("output contract on testdata: 5 queries x top-5, scores non-increasing, rk dense") {
     val out = RetrievalOps.bm25TopK(spark, sf0001).cache()
     assert(out.count() === 25)

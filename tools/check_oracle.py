@@ -25,6 +25,11 @@ def norm_cell(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
+        # sign-of-zero aware: the driver's hash distinguishes -0.0 from
+        # +0.0 (DuckDB round() preserves IEEE sign; Spark's BigDecimal
+        # Round cannot), so the pre-flight must too — int(v) would erase it
+        if v == 0.0:
+            return "-0.0" if math.copysign(1.0, v) < 0 else "0.0"
         if v == int(v) and abs(v) < 1e15:
             return repr(int(v) * 1.0)
         return repr(v)
@@ -47,11 +52,19 @@ def main():
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_pass = n_fail = 0
-    # a SPARK_GRAFT_QUERIES-filtered Verify run dumps a subset — check
-    # only what was dumped
-    oracle = {k: v for k, v in oracle.items()
-              if os.path.isdir(f"{out_dir}/{k}")}
+    # Verify writes attempted.json listing every query it tried to dump.
+    # A SPARK_GRAFT_QUERIES-filtered run legitimately omits the rest, but
+    # an ATTEMPTED query with no dump dir means it crashed inside Verify
+    # — that must be a FAIL, not a silent skip (the gate must not shrink).
+    manifest_path = f"{out_dir}/attempted.json"
+    attempted = set(json.load(open(manifest_path))) \
+        if os.path.exists(manifest_path) else set(oracle)
+    oracle = {k: v for k, v in oracle.items() if k in attempted}
     for name in sorted(oracle):
+        if not os.path.isdir(f"{out_dir}/{name}"):
+            print(f"FAIL {name}: attempted but no dump dir (crashed in Verify)")
+            n_fail += 1
+            continue
         sql = oracle[name]
         try:
             got = con.execute(
