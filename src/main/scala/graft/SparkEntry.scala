@@ -117,6 +117,16 @@ object SparkEntry {
     "q95_pca_power"       -> ((s, d) => graft.operators.PcaOps.powerIteration(s, d)),
     "q96_abtt_removal"    -> ((s, d) => graft.operators.PcaOps.commonComponentRemoved(s, d)),
     "q97_mix_weights"     -> ((s, d) => PipelineOps.mixtureWeights(s, d)),
+    "q98_bpe_merge"       -> ((s, d) => TextAnalysisOps.bpePairMerge(s, d)),
+    "q99_tfidf_terms"     -> ((s, d) => TextAnalysisOps.tfidfTerms(s, d)),
+    "q100_dup_inflation"  -> ((s, d) => DedupOps.dupInflation(s, d)),
+    "q101_ann_recall"     -> ((s, d) => SimilarityOps.annRecall(s, d)),
+    "q102_hamming_topk"   -> ((s, d) => SimilarityOps.binaryHammingTopK(s, d)),
+    "q103_funnel"         -> ((s, d) => graft.operators.EventOps.funnel(s, d)),
+    "q104_cohort_retention" -> ((s, d) =>
+      graft.operators.EventOps.cohortRetention(s, d)),
+    "q105_importance_weights" -> ((s, d) =>
+      PipelineOps.importanceWeights(s, d)),
   )
 
   /** Shared shingle→df-capped-postings CTE body for every exact-Jaccard
@@ -1727,6 +1737,198 @@ object SparkEntry {
                FROM (SELECT list(w ORDER BY source) AS ws FROM w))
          SELECT source, n_tokens, round(w / z, 6) AS weight
          FROM w CROSS JOIN z ORDER BY source""",
+    // q98: one BPE merge step — adjacent char-pair counts over every
+    // word occurrence; pure integer counts and a TOTAL (n DESC, pair)
+    // order, so LIMIT k is deterministic on both engines
+    "q98_bpe_merge" ->
+      """WITH w AS (SELECT unnest(string_split(
+             regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS w
+           FROM documents),
+         p AS (SELECT substr(w, CAST(unnest(range(1, len(w))) AS INT), 2)
+                 AS pair
+               FROM w WHERE len(w) >= 2)
+         SELECT pair, count(*) AS n FROM p
+         GROUP BY 1 ORDER BY n DESC, pair LIMIT 10""",
+    // q99: per-doc TF-IDF keywords — idf = ln(N/df) rounds 6dp at its
+    // stage boundary, then ONE multiply by the integer tf (no sum
+    // anywhere); rank over (score DESC, tok) is total within a doc
+    "q99_tfidf_terms" ->
+      """WITH t AS (SELECT doc_id, unnest(string_split(
+             regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS tok
+           FROM documents),
+         tf AS (SELECT doc_id, tok, count(*) AS tf FROM t GROUP BY 1, 2),
+         dfc AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1),
+         st AS (SELECT count(*) AS n_docs FROM documents)
+         SELECT doc_id, tok, score, rk FROM (
+           SELECT tf.doc_id, tf.tok,
+             round(CAST(tf.tf AS DOUBLE) *
+               round(ln(CAST(st.n_docs AS DOUBLE) /
+                 CAST(dfc.df AS DOUBLE)), 6), 6) AS score,
+             CAST(row_number() OVER (PARTITION BY tf.doc_id ORDER BY
+               round(CAST(tf.tf AS DOUBLE) *
+                 round(ln(CAST(st.n_docs AS DOUBLE) /
+                   CAST(dfc.df AS DOUBLE)), 6), 6) DESC,
+               tf.tok) AS INT) AS rk
+           FROM tf JOIN dfc USING (tok) CROSS JOIN st
+           WHERE tf.doc_id < 20)
+         WHERE rk <= 3 ORDER BY doc_id, rk""",
+    // q100: duplication-inflation histogram — md5 content-fingerprint
+    // cluster sizes rolled up; all integers, fully order-independent
+    "q100_dup_inflation" ->
+      """WITH fp AS (SELECT md5(regexp_replace(lower(trim(text)),
+             '\s+', ' ', 'g')) AS fp
+           FROM documents),
+         cl AS (SELECT fp, count(*) AS cluster_size FROM fp GROUP BY 1)
+         SELECT cluster_size, count(*) AS n_clusters,
+           CAST(cluster_size * count(*) AS BIGINT) AS n_docs,
+           CAST((cluster_size - 1) * count(*) AS BIGINT) AS n_redundant
+         FROM cl GROUP BY 1 ORDER BY 1""",
+    // q101: ANN recall@5 of the probed IVF index vs exact brute force —
+    // both top-k pipelines replicated via the shared assignment CTE
+    // (the q70/q31 formulations verbatim), then an integer intersection
+    // count and ONE division by the constant k
+    "q101_ann_recall" ->
+      ("WITH " + ivfAssignCte + """,
+         probes AS (
+           SELECT query_id, qv, clabel AS ivf_list FROM (
+             SELECT e.vec_id AS query_id, e.v AS qv, cent.clabel,
+               row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                 round(list_inner_product(e.v, cent.cv) /
+                   (sqrt(list_inner_product(e.v, e.v)) *
+                    sqrt(list_inner_product(cent.cv, cent.cv))), 4) DESC,
+                 cent.clabel) AS crk
+             FROM e CROSS JOIN cent WHERE e.vec_id < 8)
+           WHERE crk <= 2),
+         iv AS (SELECT query_id, vec_id FROM (
+             SELECT p.query_id, a.vec_id,
+               row_number() OVER (PARTITION BY p.query_id ORDER BY
+                 round(list_inner_product(p.qv, a.v) /
+                   (sqrt(list_inner_product(p.qv, p.qv)) *
+                    sqrt(list_inner_product(a.v, a.v))), 4) DESC,
+                 a.vec_id) AS rk
+             FROM asg a JOIN probes p USING (ivf_list)
+             WHERE a.vec_id <> p.query_id)
+           WHERE rk <= 5),
+         q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 8),
+         bf AS (SELECT query_id, vec_id FROM (
+             SELECT q.query_id, e.vec_id,
+               row_number() OVER (PARTITION BY q.query_id ORDER BY
+                 round(list_inner_product(q.qv, e.v) /
+                   (sqrt(list_inner_product(q.qv, q.qv)) *
+                    sqrt(list_inner_product(e.v, e.v))), 4) DESC,
+                 e.vec_id) AS rk
+             FROM q CROSS JOIN e WHERE e.vec_id <> q.query_id)
+           WHERE rk <= 5),
+         hits AS (SELECT query_id, count(*) AS n_hits
+                  FROM iv JOIN bf USING (query_id, vec_id) GROUP BY 1)
+         SELECT qq.query_id, CAST(coalesce(h.n_hits, 0) AS BIGINT)
+             AS n_hits,
+           round(CAST(coalesce(h.n_hits, 0) AS DOUBLE) / 5.0, 4) AS recall
+         FROM (SELECT DISTINCT query_id FROM bf) qq
+         LEFT JOIN hits h USING (query_id) ORDER BY query_id"""),
+    // q102: binary-quantization Hamming top-k — sign bits packed into
+    // two BIGINT words (distinct powers of two, so list_sum == bit-or),
+    // XOR + popcount distance; pure integers, total (hamming, vec_id)
+    // order
+    "q102_hamming_topk" ->
+      """WITH e AS (SELECT vec_id, embedding AS v FROM embeddings),
+         c AS (SELECT vec_id,
+             CAST(list_sum([CASE WHEN v[i + 1] > 0
+                 THEN (1::BIGINT << i) ELSE 0::BIGINT END
+               for i in range(0, 32)]) AS BIGINT) AS b_lo,
+             CAST(list_sum([CASE WHEN v[i + 33] > 0
+                 THEN (1::BIGINT << i) ELSE 0::BIGINT END
+               for i in range(0, 32)]) AS BIGINT) AS b_hi
+           FROM e),
+         q AS (SELECT vec_id AS query_id, b_lo AS q_lo, b_hi AS q_hi
+               FROM c WHERE vec_id < 8)
+         SELECT query_id, neighbor_id, hamming, rk FROM (
+           SELECT q.query_id, c.vec_id AS neighbor_id,
+             CAST(bit_count(xor(c.b_lo, q.q_lo))
+                + bit_count(xor(c.b_hi, q.q_hi)) AS INT) AS hamming,
+             CAST(row_number() OVER (PARTITION BY q.query_id ORDER BY
+                 bit_count(xor(c.b_lo, q.q_lo))
+                 + bit_count(xor(c.b_hi, q.q_hi)), c.vec_id) AS INT) AS rk
+           FROM c CROSS JOIN q WHERE c.vec_id <> q.query_id)
+         WHERE rk <= 5 ORDER BY query_id, rk""",
+    // q103: ordered conversion funnel — stage n = earliest stage-n event
+    // strictly after the user's stage-(n-1) time; integer counts, one
+    // 4dp division by the stage-1 count
+    "q103_funnel" ->
+      """WITH s1 AS (SELECT user_id, min(ts) AS t FROM events
+                     WHERE event_type = 'signup' GROUP BY 1),
+         s2 AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+                JOIN s1 ON e.user_id = s1.user_id
+                WHERE e.event_type = 'view' AND e.ts > s1.t GROUP BY 1),
+         s3 AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+                JOIN s2 ON e.user_id = s2.user_id
+                WHERE e.event_type = 'click' AND e.ts > s2.t GROUP BY 1),
+         s4 AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+                JOIN s3 ON e.user_id = s3.user_id
+                WHERE e.event_type = 'purchase' AND e.ts > s3.t GROUP BY 1),
+         c AS (
+           SELECT 1 AS stage, 'signup' AS event_type, count(*) AS n_users
+             FROM s1
+           UNION ALL SELECT 2, 'view', count(*) FROM s2
+           UNION ALL SELECT 3, 'click', count(*) FROM s3
+           UNION ALL SELECT 4, 'purchase', count(*) FROM s4)
+         SELECT CAST(stage AS INT) AS stage, event_type, n_users,
+           round(CAST(n_users AS DOUBLE) / t.n_top, 4) AS pct_of_top
+         FROM c CROSS JOIN
+           (SELECT n_users AS n_top FROM c WHERE stage = 1) t
+         ORDER BY stage""",
+    // q104: weekly cohort retention — day arithmetic on DATEs, integer
+    // floor-div weeks (non-negative), one 4dp division per cell
+    "q104_cohort_retention" ->
+      """WITH wk AS (SELECT DISTINCT user_id,
+             CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))
+               // 7 AS INT) AS week
+           FROM events),
+         co AS (SELECT user_id, min(week) AS cohort_week
+                FROM wk GROUP BY 1),
+         sz AS (SELECT cohort_week, count(*) AS cohort_users
+                FROM co GROUP BY 1),
+         act AS (SELECT co.cohort_week,
+                   CAST(wk.week - co.cohort_week AS INT) AS week_offset,
+                   count(*) AS n_active
+                 FROM wk JOIN co ON wk.user_id = co.user_id GROUP BY 1, 2)
+         SELECT act.cohort_week, act.week_offset, act.n_active,
+           round(CAST(act.n_active AS DOUBLE) / sz.cohort_users, 4)
+             AS retention
+         FROM act JOIN sz ON act.cohort_week = sz.cohort_week
+         ORDER BY 1, 2""",
+    // q105: DSIR importance weights — md5-bucket counts, add-one
+    // smoothed log-ratio rounded 6dp then quantized to integer
+    // millionths (exact any-order sums; the q83/q95 playbook), FP only
+    // at the final divide
+    "q105_importance_weights" ->
+      """WITH t AS (SELECT doc_id, source, unnest(string_split(
+             regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS tok
+           FROM documents),
+         b AS (SELECT doc_id, source,
+             ((instr('0123456789abcdef', substr(md5(tok), 1, 1)) - 1) * 256
+              + (instr('0123456789abcdef', substr(md5(tok), 2, 1)) - 1) * 16
+              + (instr('0123456789abcdef', substr(md5(tok), 3, 1)) - 1))
+             % 256 AS bucket
+           FROM t),
+         r AS (SELECT bucket, count(*) AS cnt_r FROM b GROUP BY 1),
+         g AS (SELECT bucket, count(*) AS cnt_t FROM b
+               WHERE source IN ('src0', 'src1', 'src2', 'src3') GROUP BY 1),
+         st AS (SELECT count(*) AS n_r,
+                  sum(CASE WHEN source IN ('src0', 'src1', 'src2', 'src3')
+                      THEN 1 ELSE 0 END) AS n_t
+                FROM b),
+         lam AS (SELECT r.bucket,
+             CAST(round(round(ln(
+                 ((coalesce(g.cnt_t, 0) + 1.0) / (st.n_t + 256.0)) /
+                 ((r.cnt_r + 1.0) / (st.n_r + 256.0))), 6) * 1000000.0, 0)
+               AS BIGINT) AS lam_q
+           FROM r LEFT JOIN g ON r.bucket = g.bucket CROSS JOIN st)
+         SELECT b.doc_id, count(*) AS n_tokens,
+           round(CAST(sum(lam.lam_q) AS DOUBLE) / 1000000.0, 6)
+             AS log_weight
+         FROM b JOIN lam ON b.bucket = lam.bucket
+         GROUP BY 1 ORDER BY 1""",
   )
 
   /** The q95 power-iteration CTE chain (quantize → center → two exact

@@ -663,6 +663,40 @@ object DedupOps {
   def ngramJaccardPairsDF(docs: DataFrame, threshold: Double = 0.5): DataFrame =
     pairsFromToks(filteredShingleRows(docs), threshold)
 
+  /** Duplication-inflation histogram (q100): exact-duplicate cluster
+    * sizes (md5 content fingerprint) rolled up into (cluster_size →
+    * n_clusters, n_docs, n_redundant) — the dedup-economics report a
+    * curation pipeline reads to decide whether exact dedup is worth a
+    * pass (n_redundant is exactly the row count that pass would delete).
+    *
+    * Scale shape: fingerprint is row-local codegen (md5 over the
+    * canonical text); the cluster-size aggregate is the same single
+    * corpus shuffle exact dedup itself pays (partial-agg collapses
+    * per-partition duplicates first); the histogram aggregate is over
+    * |distinct fingerprints| rows and the output over |distinct sizes|
+    * — broadcast scale. All integers; arithmetic (`size·count`) beats a
+    * second sum over the clusters relation.
+    */
+  def dupInflation(spark: SparkSession, dir: String): DataFrame =
+    dupInflationOn(Tables.documents(spark, dir))
+
+  /** [[dupInflation]] over an explicit `(…, text)` frame — the spec
+    * surface for corpora with constructed duplicate structure (the
+    * sf0.01 gate corpus has no exact dupes, so its histogram is the
+    * single all-unique row; sf0.1 has size-2 clusters).
+    */
+  private[graft] def dupInflationOn(docs: DataFrame): DataFrame =
+    docs
+      .select(Text.fingerprintMd5(col("text")).as("fp"))
+      .groupBy(col("fp")).agg(count(lit(1)).as("cluster_size"))
+      .groupBy(col("cluster_size"))
+      .agg(count(lit(1)).as("n_clusters"))
+      .select(col("cluster_size"),
+        col("n_clusters"),
+        (col("cluster_size") * col("n_clusters")).as("n_docs"),
+        ((col("cluster_size") - 1) * col("n_clusters")).as("n_redundant"))
+      .orderBy(col("cluster_size"))
+
   private def pairsFromToks(toks: DataFrame, threshold: Double): DataFrame = {
     val l = toks.alias("l")
     val r = toks.alias("r")

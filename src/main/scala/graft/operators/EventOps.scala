@@ -1,0 +1,118 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Event-funnel and cohort analytics over the `events` stream table —
+  * the behavioral-analytics layer a product pipeline runs next to the
+  * curation stack (reference analogue: the per-day event rollups the
+  * reference's notebooks sketch; these are the two reports every
+  * event warehouse ships beyond daily counts).
+  */
+object EventOps {
+
+  private val FunnelStages = Seq("signup", "view", "click", "purchase")
+
+  /** Ordered conversion funnel (q103): per user, the earliest `signup`,
+    * then the earliest `view` strictly AFTER it, then the earliest
+    * `click` after that, then the earliest `purchase` — a user counts
+    * toward stage n only if they completed stages 1..n-1 first, in
+    * order (the classic ordered-funnel semantics, NOT a bag-of-events
+    * count). Output: one row per stage with the surviving user count
+    * and its fraction of stage 1.
+    *
+    * Scale shape: every aggregate and join is keyed on `user_id`, so
+    * the whole funnel is one logical hash-partitioning of the events
+    * scan reused across stages (exchange reuse; no broadcast of the
+    * user frame — at web scale the per-stage user set is NOT small,
+    * and the monotone shrinkage stage→stage is exactly what the
+    * shuffle-join plan exploits). The stage outputs are single-row
+    * aggregates; only the 4-row union and the one division touch the
+    * driver-scale plan.
+    *
+    * Parity: timestamps compare at the µs the nanos narrow to on both
+    * engines (see [[graft.Tables.events]]); counts are integers; the
+    * only FP cell is ONE division by the stage-1 count, rounded 4dp.
+    */
+  def funnel(spark: SparkSession, dir: String): DataFrame =
+    funnelOn(Tables.events(spark, dir))
+
+  private[graft] def funnelOn(ev: DataFrame): DataFrame = {
+    val base = ev.select(col("user_id"), col("event_type"), col("ts"))
+    // Stage 1: earliest signup per user; stage n: earliest stage-n event
+    // strictly after the user's stage-(n-1) time.
+    val stageTimes = FunnelStages.tail.foldLeft(
+      base.filter(col("event_type") === FunnelStages.head)
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t")) :: Nil) {
+      (acc, stage) =>
+        val prev = acc.head
+        val next = base.filter(col("event_type") === stage)
+          .join(prev.select(col("user_id"), col("t").as("t_prev")), Seq("user_id"))
+          .filter(col("ts") > col("t_prev"))
+          .groupBy(col("user_id")).agg(min(col("ts")).as("t"))
+        next :: acc
+    }.reverse
+    val counts = stageTimes.zip(FunnelStages).zipWithIndex.map {
+      case ((df, stage), i) =>
+        df.agg(count(lit(1)).as("n_users"))
+          .select(lit(i + 1).cast("int").as("stage"),
+            lit(stage).as("event_type"), col("n_users"))
+    }.reduce(_.union(_))
+    val top = counts.filter(col("stage") === 1)
+      .select(col("n_users").as("n_top"))
+    counts
+      .crossJoin(broadcast(top))
+      .withColumn("pct_of_top",
+        round(col("n_users").cast("double") / col("n_top"), 4))
+      .select(col("stage"), col("event_type"), col("n_users"),
+        col("pct_of_top"))
+      .orderBy(col("stage"))
+  }
+
+  /** Weekly cohort retention (q104): users are cohorted by the week of
+    * their first activity (weeks indexed from the corpus epoch
+    * 2024-01-01), and each (cohort, offset) cell counts the cohort
+    * members active `offset` weeks later. The denominator is the
+    * cohort size, so `week_offset = 0` rows read exactly 1.0 — the
+    * standard triangular retention report.
+    *
+    * Scale shape: the per-user-week activity grid is the one corpus
+    * shuffle (distinct on (user, week) with map-side partial
+    * collapse); cohort assignment is a per-user min; the
+    * cohort-size frame is |weeks| rows → broadcast back onto the
+    * cell aggregate. Nothing driver-side, nothing quadratic.
+    *
+    * Parity: day arithmetic on DATE values under the UTC session;
+    * integer `div 7` on non-negative days (truncation = floor on both
+    * engines); the only FP cell is the final division, rounded 4dp —
+    * n_active ≥ 1 so no negative-zero hazard.
+    */
+  def cohortRetention(spark: SparkSession, dir: String): DataFrame =
+    cohortRetentionOn(Tables.events(spark, dir))
+
+  private[graft] def cohortRetentionOn(ev: DataFrame): DataFrame = {
+    val weeks = ev
+      .select(col("user_id"),
+        datediff(col("ts").cast("date"), lit("2024-01-01").cast("date"))
+          .as("day"))
+      .select(col("user_id"), expr("CAST(day div 7 AS INT)").as("week"))
+      .distinct()
+    val cohort = weeks.groupBy(col("user_id"))
+      .agg(min(col("week")).as("cohort_week"))
+    val sizes = cohort.groupBy(col("cohort_week"))
+      .agg(count(lit(1)).as("cohort_users"))
+    weeks
+      .join(cohort, Seq("user_id"))
+      .withColumn("week_offset", (col("week") - col("cohort_week")).cast("int"))
+      .groupBy(col("cohort_week"), col("week_offset"))
+      .agg(count(lit(1)).as("n_active"))
+      .join(broadcast(sizes), Seq("cohort_week"))
+      .withColumn("retention",
+        round(col("n_active").cast("double") / col("cohort_users"), 4))
+      .select(col("cohort_week"), col("week_offset"), col("n_active"),
+        col("retention"))
+      .orderBy(col("cohort_week"), col("week_offset"))
+  }
+}

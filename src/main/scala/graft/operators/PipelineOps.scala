@@ -299,4 +299,68 @@ object PipelineOps {
           greatest(lit(5.0), col("n_shingles") * 0.15)).cast("int").as("fp_ok"))
       .orderBy(col("doc_id"))
   }
+
+  /** DSIR-style hashed importance weights (q105): per-document
+    * log-likelihood ratio between a TARGET distribution (here: the
+    * `src0`–`src3` slice, standing in for "looks like the quality
+    * domain") and the RAW corpus, over md5-hashed unigram buckets with
+    * add-one smoothing — the data-selection score behind
+    * importance-resampled pretraining mixes (Xie et al., DSIR): rank
+    * raw documents by how target-like their token distribution is.
+    *
+    * Scale shape: one corpus tokenize feeds BOTH bucket counts
+    * (map-side partial agg onto ≤ `nBuckets` keys — broadcast scale),
+    * the λ table is `nBuckets` rows broadcast back onto the token
+    * stream, and the per-doc score is a second keyed aggregate of the
+    * same exploded relation. At 100 TB: two linear passes, no
+    * corpus⋈corpus anywhere, model state O(nBuckets).
+    *
+    * Parity (the q83/q95 playbook): bucket = 3-hex-digit md5 decode
+    * mod `nBuckets` (identical in both engines); λ rounds 6dp at its
+    * stage boundary then QUANTIZES to integer millionths, so the
+    * per-doc sum is exact integer math under any shuffle order; FP
+    * reappears only at the final divide-and-round. |Σλ_q| ≥ 1 ⇒ the
+    * rounded score is never a signed zero.
+    */
+  def importanceWeights(spark: SparkSession, dir: String,
+      nBuckets: Int = 256): DataFrame =
+    importanceWeightsOn(Tables.documents(spark, dir), nBuckets)
+
+  private[graft] def importanceWeightsOn(docs: DataFrame,
+      nBuckets: Int = 256): DataFrame = {
+    val isTarget = col("source").isin("src0", "src1", "src2", "src3")
+    val toks = docs
+      .select(col("doc_id"), col("source"),
+        explode(Text.tokens(col("text"))).as("tok"))
+      .withColumn("bucket",
+        ((expr("instr('0123456789abcdef', substring(md5(tok), 1, 1)) - 1")
+            * lit(256)
+          + expr("instr('0123456789abcdef', substring(md5(tok), 2, 1)) - 1")
+            * lit(16)
+          + expr("instr('0123456789abcdef', substring(md5(tok), 3, 1)) - 1"))
+          % lit(nBuckets)))
+    val raw = toks.groupBy(col("bucket")).agg(count(lit(1)).as("cnt_r"))
+    val tgt = toks.filter(isTarget)
+      .groupBy(col("bucket")).agg(count(lit(1)).as("cnt_t"))
+    val totals = toks.agg(count(lit(1)).as("n_r"),
+      sum(when(isTarget, lit(1L)).otherwise(lit(0L))).as("n_t"))
+    val lam = raw
+      .join(tgt, Seq("bucket"), "left")
+      .crossJoin(broadcast(totals))
+      .select(col("bucket"),
+        round(
+          round(log(
+            ((coalesce(col("cnt_t"), lit(0L)) + lit(1.0)) /
+              (col("n_t") + lit(nBuckets.toDouble))) /
+            ((col("cnt_r") + lit(1.0)) /
+              (col("n_r") + lit(nBuckets.toDouble)))), 6) * lit(1000000.0),
+          0).cast("long").as("lam_q"))
+    toks
+      .join(broadcast(lam), Seq("bucket"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("lam_q")).as("wq"))
+      .select(col("doc_id"), col("n_tokens"),
+        round(col("wq").cast("double") / lit(1000000.0), 6).as("log_weight"))
+      .orderBy(col("doc_id"))
+  }
 }

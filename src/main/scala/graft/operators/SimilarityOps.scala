@@ -2,7 +2,7 @@ package graft.operators
 
 import graft.Tables
 import graft.functions.Vectors
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
@@ -451,6 +451,91 @@ object SimilarityOps {
       k: Int = 5, nProbe: Int = 2): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
     ivfTopKOn(emb, labelCentroidsCached(spark, dir), nQueries, k, nProbe)
+  }
+
+  /** ANN recall@k evaluation (q101): per query, how many of the probed
+    * IVF index's top-k ([[ivfTopK]]) appear in the exact brute-force
+    * top-k ([[bruteForceTopK]]) — THE metric an ANN deployment monitors
+    * (every index knob trades recall for probe cost; this operator is
+    * the measurement side of that trade).
+    *
+    * Scale shape: both inputs are already per-query top-k relations
+    * (nQueries·k rows — broadcast scale regardless of corpus size), so
+    * the intersection is a broadcast left_semi join and the per-query
+    * count a tiny aggregate; the corpus-scale work happens once inside
+    * the two inputs, whose plans are their own operators' contract. The
+    * left join from the distinct query list keeps 0-overlap queries in
+    * the output (a recall report that silently drops its failures is
+    * not a recall report).
+    *
+    * Parity: n_hits is an integer; recall is ONE division by the
+    * constant k, rounded 4dp — no sum ordering anywhere.
+    */
+  def annRecall(spark: SparkSession, dir: String, nQueries: Int = 8,
+      k: Int = 5): DataFrame = {
+    val bf = bruteForceTopK(spark, dir, nQueries, k)
+    val iv = ivfTopK(spark, dir, nQueries, k)
+    val hits = iv
+      .join(broadcast(bf.select(col("query_id"), col("neighbor_id"))),
+        Seq("query_id", "neighbor_id"), "left_semi")
+      .groupBy(col("query_id")).agg(count(lit(1)).as("n_hits"))
+    bf.select(col("query_id")).distinct()
+      .join(broadcast(hits), Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"))
+      .withColumn("recall",
+        round(col("n_hits").cast("double") / lit(k.toDouble), 4))
+      .orderBy(col("query_id"))
+  }
+
+  /** Binary (sign-bit) quantization + Hamming top-k (q102): each 64-dim
+    * vector compresses to TWO longs (bit i of the low/high word = sign
+    * of component i / i+32), and neighbors rank by Hamming distance
+    * `bit_count(lo ⊕ lo') + bit_count(hi ⊕ hi')` — the cheapest
+    * re-rankable ANN code there is (32× smaller than float32, distance
+    * in ~4 instructions), the binary-quantization path modern vector
+    * stores ship next to PQ.
+    *
+    * Scale shape: packing is a row-local map (64-element fold, one pass,
+    * same bounded-HOF budget as [[PcaOps]]); the packed corpus is 16
+    * bytes/vector + id, so the scored scan moves integers only, the
+    * query side is explicitly broadcast, and the per-query top-k is the
+    * standard window — corpus scanned once, shuffled only for the final
+    * nQueries·k rows. At 100 TB the packed representation IS the index:
+    * a full Hamming scan reads 1/32nd of the raw bytes, and the codes
+    * compose with any bucketing upstream.
+    *
+    * Parity: pure integer end to end (no FP anywhere — sign bits, XOR,
+    * popcount); ranking (hamming ASC, vec_id) is total, so LIMIT k is
+    * deterministic on both engines.
+    */
+  def binaryHammingTopK(spark: SparkSession, dir: String,
+      nQueries: Int = 8, k: Int = 5): DataFrame =
+    binaryHammingTopKDF(Tables.embeddings(spark, dir), nQueries, k)
+
+  private[graft] def binaryHammingTopKDF(emb: DataFrame, nQueries: Int = 8,
+      k: Int = 5): DataFrame = {
+    def packBits(lo: Int): Column = expr(
+      s"""aggregate(sequence(0, 31), 0L,
+         |  (acc, i) -> acc | IF(element_at(embedding, i + $lo + 1) >
+         |    CAST(0 AS FLOAT), shiftleft(1L, i), 0L))""".stripMargin)
+    val coded = emb.select(col("vec_id"),
+      packBits(0).as("b_lo"), packBits(32).as("b_hi"))
+    val queries = coded.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"),
+        col("b_lo").as("q_lo"), col("b_hi").as("q_hi"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("hamming"), col("vec_id"))
+    coded
+      .join(broadcast(queries), col("vec_id") =!= col("query_id"))
+      .withColumn("hamming",
+        (bit_count(expr("b_lo ^ q_lo")) + bit_count(expr("b_hi ^ q_hi")))
+          .cast("int"))
+      .withColumn("rk", row_number().over(w).cast("int"))
+      .filter(col("rk") <= k)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        col("hamming"), col("rk"))
+      .orderBy(col("query_id"), col("rk"))
   }
 
   /** [[ivfTopK]] with the corpus-sized [[sampledCentroids]] codebook —

@@ -465,4 +465,71 @@ object TextAnalysisOps {
         when(col("logit") > 0, lit(1)).otherwise(lit(0)).cast("int"))
       .orderBy(col("doc_id"))
   }
+
+  /** One BPE merge step (q98): adjacent character-pair frequencies over
+    * every corpus word occurrence, top `k` — the statistic a subword
+    * vocabulary build computes per merge iteration (the pair with the
+    * highest count becomes the next merge rule).
+    *
+    * Scale shape: the explode is linear in corpus characters and stays
+    * row-local inside whole-stage codegen (`substring(w, i, 2)` over a
+    * `sequence` explode — no UDF); the aggregate's key space is the
+    * character-bigram alphabet (≤ |Σ|², thousands), so map-side partial
+    * aggregation collapses the corpus before the one tiny shuffle, and
+    * the top-k is a broadcast-scale sort. At 100 TB this is a full-scan,
+    * near-zero-shuffle job — exactly how a production BPE trainer's
+    * count step behaves. Ranking is (count DESC, pair ASC): a TOTAL
+    * order, so LIMIT k is deterministic on both engines. Counts are
+    * integers — no FP anywhere.
+    */
+  def bpePairMerge(spark: SparkSession, dir: String, k: Int = 10): DataFrame =
+    Tables.documents(spark, dir)
+      .select(explode(Text.tokens(col("text"))).as("w"))
+      .filter(length(col("w")) >= 2)
+      .select(col("w"),
+        explode(sequence(lit(1), length(col("w")) - 1)).as("i"))
+      .select(expr("substring(w, i, 2)").as("pair"))
+      .groupBy(col("pair")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("pair"))
+      .limit(k)
+
+  /** Per-document TF-IDF keywords (q99): the `k` highest tf·idf tokens
+    * per document (restricted to `doc_id < nDocs` to bound the gate's
+    * dump), with df computed over the FULL corpus — the keyword
+    * extraction step behind topical routing / cluster labeling in a
+    * curation pipeline.
+    *
+    * Scale shape: tf is the postings aggregate (the one corpus-scale
+    * shuffle, same relation the retrieval stack builds anyway); df
+    * aggregates the postings to vocabulary scale and BROADCASTS back —
+    * a vocabulary is ≪ corpus at any SF, so the scoring join is
+    * broadcast-hash, never corpus⋈corpus.
+    *
+    * Parity: idf = ln(N/df) rounds 6dp at its boundary, then ONE
+    * multiply by the integer tf, rounded 6dp — a single product per
+    * cell, no cross-engine sum ordering anywhere (the q79 lesson:
+    * don't order the hazard, design it out).
+    */
+  def tfidfTerms(spark: SparkSession, dir: String, nDocs: Int = 20,
+      k: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, dir)
+    val tf = docs
+      .select(col("doc_id"), explode(Text.tokens(col("text"))).as("tok"))
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+    val dfc = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val nDocsRow = docs.agg(count(lit(1)).as("n_docs"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("tok"))
+    tf.filter(col("doc_id") < nDocs)
+      .join(broadcast(dfc), Seq("tok"))
+      .crossJoin(broadcast(nDocsRow))
+      .withColumn("score", round(col("tf").cast("double") *
+        round(log(col("n_docs").cast("double") / col("df").cast("double")),
+          6), 6))
+      .withColumn("rk", row_number().over(w).cast("int"))
+      .filter(col("rk") <= k)
+      .select(col("doc_id"), col("tok"), col("score"), col("rk"))
+      .orderBy(col("doc_id"), col("rk"))
+  }
 }
