@@ -127,6 +127,12 @@ object SparkEntry {
       graft.operators.EventOps.cohortRetention(s, d)),
     "q105_importance_weights" -> ((s, d) =>
       PipelineOps.importanceWeights(s, d)),
+    "q106_attribution"    -> ((s, d) =>
+      graft.operators.EventOps.lastTouchAttribution(s, d)),
+    "q107_item_pmi"       -> ((s, d) =>
+      graft.operators.EventOps.itemCooccurrence(s, d)),
+    "q108_ship_priority"  -> (CoreQueries.q108ShipPriority _),
+    "q109_regional_revenue" -> (CoreQueries.q109RegionalRevenue _),
   )
 
   /** Shared shingle→df-capped-postings CTE body for every exact-Jaccard
@@ -1929,6 +1935,79 @@ object SparkEntry {
              AS log_weight
          FROM b JOIN lam ON b.bucket = lam.bucket
          GROUP BY 1 ORDER BY 1""",
+    // q106: last-touch attribution — running last-click window per user
+    // ((ts, event_id) total order), µs-epoch integer latency, null
+    // attribution kept for click-less purchases
+    "q106_attribution" ->
+      """SELECT event_id AS purchase_id, user_id, click_id,
+           epoch_us(ts) - epoch_us(click_ts) AS latency_us
+         FROM (
+           SELECT event_id, user_id, event_type, ts,
+             last_value(CASE WHEN event_type = 'click' THEN event_id END
+               IGNORE NULLS) OVER w AS click_id,
+             last_value(CASE WHEN event_type = 'click' THEN ts END
+               IGNORE NULLS) OVER w AS click_ts
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+         WHERE event_type = 'purchase' ORDER BY purchase_id""",
+    // q107: item co-occurrence PMI — integer user-set counts, ln of an
+    // integer-valued double ratio rounded 6dp, total (pmi, i, j) order
+    "q107_item_pmi" ->
+      """WITH ui AS (SELECT DISTINCT user_id,
+             CAST(json_extract_string(props, '$.k') AS INT) AS item
+           FROM events WHERE json_extract_string(props, '$.k') IS NOT NULL),
+         pairs AS (SELECT a.item AS item_i, b.item AS item_j,
+             count(*) AS n_ij
+           FROM ui a JOIN ui b ON a.user_id = b.user_id
+             AND a.item < b.item
+           GROUP BY 1, 2 HAVING count(*) >= 5),
+         marg AS (SELECT item, count(*) AS n_u FROM ui GROUP BY 1),
+         st AS (SELECT count(DISTINCT user_id) AS n_users FROM ui)
+         SELECT item_i, item_j, n_ij,
+           round(ln((CAST(n_ij AS DOUBLE) * CAST(st.n_users AS DOUBLE)) /
+             (CAST(mi.n_u AS DOUBLE) * CAST(mj.n_u AS DOUBLE))), 6) + 0.0
+             AS pmi
+         FROM pairs
+         JOIN marg mi ON pairs.item_i = mi.item
+         JOIN marg mj ON pairs.item_j = mj.item
+         CROSS JOIN st
+         ORDER BY pmi DESC, item_i, item_j LIMIT 25""",
+    // q108: TPC-H Q3 shape — revenue summed as exact cent·percent
+    // BIGINTs (price is cents-precision, discount percent-precision),
+    // FP only at the final /1e4; (revenue DESC, orderkey) total order
+    "q108_ship_priority" ->
+      """SELECT o_orderkey, CAST(o_orderdate AS DATE) AS order_date,
+           o_orderpriority,
+           round(CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+             * (100 - CAST(round(l_discount * 100, 0) AS BIGINT)))
+             AS DOUBLE) / 10000.0, 2) AS revenue
+         FROM lineitem
+         JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         WHERE c_mktsegment = 'BUILDING'
+           AND o_orderdate < TIMESTAMP '1998-01-01'
+           AND l_shipdate > TIMESTAMP '1998-01-01'
+         GROUP BY 1, 2, 3
+         ORDER BY revenue DESC, o_orderkey LIMIT 10""",
+    // q109: TPC-H Q5 shape — supplier-local revenue per nation in one
+    // region/year; same exact integer revenue quantization
+    "q109_regional_revenue" ->
+      """SELECT n_name,
+           round(CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+             * (100 - CAST(round(l_discount * 100, 0) AS BIGINT)))
+             AS DOUBLE) / 10000.0, 2) AS revenue
+         FROM lineitem
+         JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         JOIN supplier ON l_suppkey = s_suppkey
+           AND c_nationkey = s_nationkey
+         JOIN nation ON s_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         WHERE r_name = 'ASIA'
+           AND o_orderdate >= TIMESTAMP '1996-01-01'
+           AND o_orderdate < TIMESTAMP '1997-01-01'
+         GROUP BY 1 ORDER BY revenue DESC, n_name""",
   )
 
   /** The q95 power-iteration CTE chain (quantize → center → two exact

@@ -544,4 +544,92 @@ object CoreQueries {
         count(lit(1)).as("n_lines"))
       .orderBy(col("o_orderpriority"))
   }
+
+  /** Exact-integer revenue expression shared by the TPC-H-shaped rollups
+    * (q108/q109): `l_extendedprice` is cents-precision and `l_discount`
+    * percent-precision in this schema, so revenue quantizes LOSSLESSLY
+    * to cent·percent units — `round(price·100)·(100 − round(disc·100))`
+    * — and every revenue sum is exact BIGINT math under any shuffle
+    * order (the q95 integer-grid playbook, except here the grid is not
+    * an approximation: it is the data's own precision). FP reappears
+    * only at the final ÷10⁴ display boundary.
+    */
+  private def revenueCentPct =
+    round(col("l_extendedprice") * 100, 0).cast("long") *
+      (lit(100L) - round(col("l_discount") * 100, 0).cast("long"))
+
+  /** Shipping-priority revenue (q108, the TPC-H Q3 shape): top open
+    * orders by revenue — customers in one segment, orders placed before
+    * the cutoff, lines still shipping after it.
+    *
+    * Scale shape: lineitem⋈orders shuffles on the order key with both
+    * date filters pushed to the scans; the segment-filtered customer
+    * side joins on the customer key (at 100 TB customer is NOT
+    * broadcastable — the shuffle-hash plan is the honest one, and AQE
+    * broadcasts it at small SF). The per-order aggregate is exact
+    * integer cents·pct; the top-10 sort is on (revenue DESC, orderkey)
+    * — total, so LIMIT is deterministic.
+    */
+  def q108ShipPriority(spark: SparkSession, dir: String): DataFrame = {
+    val cutoff = "1998-01-01"
+    val cust = Tables.customer(spark, dir)
+      .filter(col("c_mktsegment") === "BUILDING").select(col("c_custkey"))
+    val ord = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") < lit(cutoff))
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"),
+        col("o_orderpriority"))
+    val line = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") > lit(cutoff))
+      .select(col("l_orderkey"), revenueCentPct.as("rev_cp"))
+    line
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .groupBy(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .agg(sum(col("rev_cp")).as("rev_cp"))
+      .select(col("o_orderkey"), col("o_orderdate").cast("date").as("order_date"),
+        col("o_orderpriority"),
+        round(col("rev_cp").cast("double") / lit(10000.0), 2).as("revenue"))
+      .orderBy(col("revenue").desc, col("o_orderkey"))
+      .limit(10)
+  }
+
+  /** Regional supplier-local revenue (q109, the TPC-H Q5 shape): revenue
+    * per nation for one region and one order year, counting only lines
+    * where the supplier is in the customer's nation (the "local
+    * fulfilment" constraint that makes Q5 a 6-way join).
+    *
+    * Scale shape: the two fact-side joins (orders on orderkey, supplier
+    * on suppkey) shuffle; nation and region are always-tiny dims →
+    * explicit broadcast; the customer⋈supplier nation equality is an
+    * equi-condition inside the join, not a post-filter. Revenue is the
+    * exact cents·pct integer sum; output order (revenue DESC, n_name)
+    * is total.
+    */
+  def q109RegionalRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val ord = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= lit("1996-01-01") &&
+        col("o_orderdate") < lit("1997-01-01"))
+      .select(col("o_orderkey"), col("o_custkey"))
+    val cust = Tables.customer(spark, dir)
+      .select(col("c_custkey"), col("c_nationkey"))
+    val supp = Tables.supplier(spark, dir)
+      .select(col("s_suppkey"), col("s_nationkey"))
+    val nat = Tables.nation(spark, dir)
+      .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+    val reg = Tables.region(spark, dir)
+      .filter(col("r_name") === "ASIA").select(col("r_regionkey"))
+    Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_suppkey"), revenueCentPct.as("rev_cp"))
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .join(supp, col("l_suppkey") === col("s_suppkey") &&
+        col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("n_name"))
+      .agg(sum(col("rev_cp")).as("rev_cp"))
+      .select(col("n_name"),
+        round(col("rev_cp").cast("double") / lit(10000.0), 2).as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
 }

@@ -115,4 +115,93 @@ object EventOps {
         col("retention"))
       .orderBy(col("cohort_week"), col("week_offset"))
   }
+
+  /** Last-touch attribution (q106): for every purchase, the most recent
+    * click by the same user that happened strictly before it, and the
+    * click→purchase latency — the conversion-attribution join every
+    * event warehouse runs. Purchases with no prior click keep a null
+    * attribution (dropping them would overstate attributed revenue).
+    *
+    * Scale shape: NOT a join — one window over (user_id, ts, event_id)
+    * carries the running "last click seen" forward, so the whole
+    * operator is a single hash-partition of the events scan plus a
+    * row-local filter. The per-user ordering key includes event_id, so
+    * the order is total even under timestamp ties.
+    *
+    * Parity: ids and µs-epoch differences are integers; timestamps
+    * compare at the µs both engines narrow nanos to. No FP anywhere.
+    */
+  def lastTouchAttribution(spark: SparkSession, dir: String): DataFrame =
+    lastTouchAttributionOn(Tables.events(spark, dir))
+
+  private[graft] def lastTouchAttributionOn(ev: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    ev.select(col("event_id"), col("user_id"), col("event_type"), col("ts"))
+      .withColumn("click_id",
+        last(when(col("event_type") === "click", col("event_id")),
+          ignoreNulls = true).over(w))
+      .withColumn("click_ts",
+        last(when(col("event_type") === "click", col("ts")),
+          ignoreNulls = true).over(w))
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("click_id"),
+        (unix_micros(col("ts")) - unix_micros(col("click_ts")))
+          .as("latency_us"))
+      .orderBy(col("purchase_id"))
+  }
+
+  /** Item co-occurrence with PMI (q107): item pairs interacted with by
+    * the same user, scored by pointwise mutual information over user
+    * sets — the collocation statistic behind "frequently bought
+    * together" and behind keyphrase mining when run over token
+    * windows. Output: top `k` pairs with support ≥ `minSupport`.
+    *
+    * Scale shape: the (user, item) distinct grid is one corpus shuffle
+    * with map-side collapse; the pair expansion is a per-user-key
+    * self-join, quadratic ONLY in per-user distinct items (bounded by
+    * per-user activity; at 100 TB cap each user's item set to its
+    * top-m before pairing — the standard market-basket guard, same
+    * cap family as the dedup postings). Item marginals and the user
+    * count are broadcast-scale.
+    *
+    * Parity: all counts are integers; PMI = ln of an integer-valued
+    * double product ratio, rounded 6dp at the only FP boundary, and
+    * the (pmi DESC, i, j) order is total so LIMIT k is deterministic.
+    */
+  def itemCooccurrence(spark: SparkSession, dir: String, k: Int = 25,
+      minSupport: Int = 5): DataFrame =
+    itemCooccurrenceOn(Tables.events(spark, dir), k, minSupport)
+
+  private[graft] def itemCooccurrenceOn(ev: DataFrame, k: Int = 25,
+      minSupport: Int = 5): DataFrame = {
+    val ui = ev
+      .select(col("user_id"),
+        get_json_object(col("props"), "$.k").cast("int").as("item"))
+      .filter(col("item").isNotNull)
+      .distinct()
+    val pairs = ui.as("a")
+      .join(ui.as("b"), col("a.user_id") === col("b.user_id") &&
+        col("a.item") < col("b.item"))
+      .groupBy(col("a.item").as("item_i"), col("b.item").as("item_j"))
+      .agg(count(lit(1)).as("n_ij"))
+      .filter(col("n_ij") >= minSupport)
+    val marg = ui.groupBy(col("item")).agg(count(lit(1)).as("n_u"))
+    val nUsers = ui.select(col("user_id")).distinct()
+      .agg(count(lit(1)).as("n_users"))
+    pairs
+      .join(broadcast(marg.select(col("item").as("item_i"),
+        col("n_u").as("n_i"))), Seq("item_i"))
+      .join(broadcast(marg.select(col("item").as("item_j"),
+        col("n_u").as("n_j"))), Seq("item_j"))
+      .crossJoin(broadcast(nUsers))
+      .select(col("item_i"), col("item_j"), col("n_ij"),
+        round(log((col("n_ij").cast("double") * col("n_users").cast("double"))
+          / (col("n_i").cast("double") * col("n_j").cast("double"))), 6)
+          .as("pmi"))
+      .orderBy(col("pmi").desc, col("item_i"), col("item_j"))
+      .limit(k)
+  }
 }

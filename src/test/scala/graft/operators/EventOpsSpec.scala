@@ -77,4 +77,62 @@ class EventOpsSpec extends SparkSpecBase {
       col("week_offset") < 0).count() === 0)
     out.unpersist()
   }
+
+  test("lastTouchAttribution: running last-click, nulls kept, exact µs") {
+    val events = Seq(
+      (10L, 1L, "click", "2024-01-01 00:00:01"),
+      (11L, 1L, "view", "2024-01-01 00:00:02"),
+      (12L, 1L, "purchase", "2024-01-01 00:00:03"), // -> click 10, 2s
+      (13L, 1L, "click", "2024-01-01 00:00:04"),
+      (14L, 1L, "purchase", "2024-01-01 00:00:05"), // -> click 13, 1s
+      (20L, 2L, "purchase", "2024-01-01 00:00:01")) // no click -> nulls
+      .toDF("event_id", "user_id", "event_type", "s")
+      .withColumn("ts", to_timestamp(col("s"))).drop("s")
+    val got = EventOps.lastTouchAttributionOn(events).collect().map(r =>
+      (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3)))
+    assert(got.toSeq === Seq(
+      (12L, 1L, 10L, 2000000L),
+      (14L, 1L, 13L, 1000000L),
+      (20L, 2L, -1L, -1L)))
+  }
+
+  test("itemCooccurrence: support gate and a hand-zero PMI") {
+    // 5 users share items {1,2}; one user has {1,3}. With minSupport=5
+    // only (1,2) survives; n_1=6, n_2=5, n_12=5, N=6 users ->
+    // pmi = ln(5*6 / (6*5)) = 0 exactly
+    val rows = (1 to 5).flatMap(u => Seq(
+        (u.toLong, """{"k": 1}"""), (u.toLong, """{"k": 2}"""))) ++
+      Seq((6L, """{"k": 1}"""), (6L, """{"k": 3}"""))
+    val ev = rows.toDF("user_id", "props")
+    val got = EventOps.itemCooccurrenceOn(ev).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    assert(got.toSeq === Seq((1, 2, 5L, 0.0)))
+  }
+
+  test("q108/q109: exact integer revenue matches a double recompute") {
+    val out108 = CoreQueries.q108ShipPriority(spark, sf0001).collect()
+    assert(out108.length <= 10 && out108.nonEmpty)
+    val revs = out108.map(_.getDouble(3))
+    revs.sliding(2).foreach { case Array(a, b) => assert(a >= b); case _ => }
+    // independent double-arithmetic recompute of the top order's revenue
+    val top = out108.head
+    val l = graft.Tables.lineitem(spark, sf0001)
+      .filter(col("l_orderkey") === top.getLong(0) &&
+        col("l_shipdate") > lit("1998-01-01"))
+      .select(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
+      .head().getDouble(0)
+    assert(math.abs(l - top.getDouble(3)) < 0.01)
+
+    val out109 = CoreQueries.q109RegionalRevenue(spark, sf0001).collect()
+    assert(out109.nonEmpty)
+    // every nation reported is in ASIA
+    val asia = graft.Tables.nation(spark, sf0001)
+      .join(graft.Tables.region(spark, sf0001)
+        .filter(col("r_name") === "ASIA"),
+        col("n_regionkey") === col("r_regionkey"))
+      .select("n_name").collect().map(_.getString(0)).toSet
+    out109.foreach(r => assert(asia.contains(r.getString(0))))
+  }
 }
