@@ -33,7 +33,13 @@ object ScalingBench {
 
   val probes: Seq[Probe] =
     Seq("q27_dedup_exact", "q28_ngram_jaccard", "q29_minhash_neardup",
-      "q30_simhash_neardup", "q53_dedup_clusters", "q59_dedup_keeplist")
+      "q30_simhash_neardup", "q53_dedup_clusters", "q59_dedup_keeplist",
+      // round-7 corpus ops, all designed linear: q98 is a row-local
+      // explode onto an alphabet²-bounded agg, q100 the exact-dedup
+      // shuffle + histogram, q105 two linear passes with a broadcast
+      // λ-table — the probes verify none of them hides a super-linear
+      // stage (e.g. a skewed bucket or an unbounded key space)
+      "q98_bpe_merge", "q100_dup_inflation", "q105_importance_weights")
       .map(q => Probe(q, "documents", SparkEntry.queries(q))) ++ Seq(
       // span family: exact (oracle-gated) keys and the hashed-key 100 TB
       // variant (xxhash64 span keys on both span shuffles)

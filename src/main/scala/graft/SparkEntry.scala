@@ -133,6 +133,10 @@ object SparkEntry {
       graft.operators.EventOps.itemCooccurrence(s, d)),
     "q108_ship_priority"  -> (CoreQueries.q108ShipPriority _),
     "q109_regional_revenue" -> (CoreQueries.q109RegionalRevenue _),
+    "q110_rolling_active" -> ((s, d) =>
+      graft.operators.EventOps.rollingActiveUsers(s, d)),
+    "q111_scd2_delta"     -> ((s, d) =>
+      graft.operators.IncrementalOps.q111Scd2(s, d)),
   )
 
   /** Shared shingle→df-capped-postings CTE body for every exact-Jaccard
@@ -2008,6 +2012,51 @@ object SparkEntry {
            AND o_orderdate >= TIMESTAMP '1996-01-01'
            AND o_orderdate < TIMESTAMP '1997-01-01'
          GROUP BY 1 ORDER BY revenue DESC, n_name""",
+    // q110: rolling 7-day active users — the sliding DISTINCT expressed
+    // as a ≤7-day fan-out then plain per-day distinct counts; integer
+    // day arithmetic, one 4dp division
+    "q110_rolling_active" ->
+      """WITH act AS (SELECT DISTINCT user_id,
+             CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))
+               AS INT) AS day
+           FROM events),
+         con AS (SELECT user_id,
+             CAST(unnest(range(day, day + 7)) AS INT) AS wday FROM act),
+         wau AS (SELECT wday, count(DISTINCT user_id) AS wau7
+                 FROM con GROUP BY 1),
+         dau AS (SELECT day, count(DISTINCT user_id) AS dau
+                 FROM act GROUP BY 1)
+         SELECT dau.day, dau.dau, wau.wau7,
+           round(CAST(dau.dau AS DOUBLE) / wau.wau7, 4) AS stickiness
+         FROM dau JOIN wau ON dau.day = wau.wday ORDER BY 1""",
+    // q111: SCD2 merge delta over the q91 edit script — close rows for
+    // removed/changed keys, open rows for added/changed keys, unchanged
+    // mass never materialized; md5 content fingerprints, integer
+    // versions, null valid_to only on still-current opens
+    "q111_scd2_delta" ->
+      """WITH v1 AS (SELECT doc_id, text FROM documents),
+         v2 AS (
+           SELECT doc_id,
+             CASE WHEN doc_id % 10 = 0 THEN text || ' [rev2]'
+                  ELSE text END AS text
+           FROM v1 WHERE doc_id % 13 <> 0
+           UNION ALL
+           SELECT doc_id + 1000000 AS doc_id, text
+           FROM v1 WHERE doc_id % 17 = 0),
+         j AS (SELECT coalesce(a.doc_id, b.doc_id) AS doc_id,
+                 md5(a.text) AS fp1, md5(b.text) AS fp2,
+                 a.doc_id IS NOT NULL AS in1, b.doc_id IS NOT NULL AS in2
+               FROM v1 a FULL OUTER JOIN v2 b ON a.doc_id = b.doc_id)
+         SELECT doc_id, fp1 AS fp, CAST(1 AS INT) AS valid_from,
+           CAST(2 AS INT) AS valid_to, CAST(0 AS INT) AS is_current,
+           'close' AS action
+         FROM j WHERE in1 AND (NOT in2 OR fp1 <> fp2)
+         UNION ALL
+         SELECT doc_id, fp2 AS fp, CAST(2 AS INT) AS valid_from,
+           CAST(NULL AS INT) AS valid_to, CAST(1 AS INT) AS is_current,
+           'open' AS action
+         FROM j WHERE in2 AND (NOT in1 OR fp1 <> fp2)
+         ORDER BY doc_id, action""",
   )
 
   /** The q95 power-iteration CTE chain (quantize → center → two exact

@@ -39,11 +39,15 @@ object EventOps {
   def funnel(spark: SparkSession, dir: String): DataFrame =
     funnelOn(Tables.events(spark, dir))
 
-  private[graft] def funnelOn(ev: DataFrame): DataFrame = {
+  /** Per-stage earliest-achievement times (user_id, t) in stage order —
+    * the funnel's intermediate truth, shared with the streaming
+    * funnel's stream≡batch gate.
+    */
+  private[graft] def funnelStageTimes(ev: DataFrame): Seq[(String, DataFrame)] = {
     val base = ev.select(col("user_id"), col("event_type"), col("ts"))
     // Stage 1: earliest signup per user; stage n: earliest stage-n event
     // strictly after the user's stage-(n-1) time.
-    val stageTimes = FunnelStages.tail.foldLeft(
+    FunnelStages.tail.foldLeft(
       base.filter(col("event_type") === FunnelStages.head)
         .groupBy(col("user_id")).agg(min(col("ts")).as("t")) :: Nil) {
       (acc, stage) =>
@@ -53,7 +57,11 @@ object EventOps {
           .filter(col("ts") > col("t_prev"))
           .groupBy(col("user_id")).agg(min(col("ts")).as("t"))
         next :: acc
-    }.reverse
+    }.reverse.zip(FunnelStages).map { case (df, s) => (s, df) }
+  }
+
+  private[graft] def funnelOn(ev: DataFrame): DataFrame = {
+    val stageTimes = funnelStageTimes(ev).map(_._2)
     val counts = stageTimes.zip(FunnelStages).zipWithIndex.map {
       case ((df, stage), i) =>
         df.agg(count(lit(1)).as("n_users"))
@@ -203,5 +211,44 @@ object EventOps {
           .as("pmi"))
       .orderBy(col("pmi").desc, col("item_i"), col("item_j"))
       .limit(k)
+  }
+
+  /** Rolling 7-day active users (q110): per observed day, the distinct
+    * users active that day (DAU), in the trailing 7-day window (WAU7),
+    * and the DAU/WAU7 stickiness ratio — the engagement triple every
+    * product dashboard plots.
+    *
+    * Scale shape: a sliding DISTINCT cannot be windowed directly, so
+    * each (user, day) activity cell FANS OUT to the ≤7 window days it
+    * contributes to (`explode(sequence(day, day+6))` — row-local,
+    * codegen) and the window count becomes a plain per-day distinct
+    * aggregate: two shuffles total (activity grid, per-day distinct),
+    * each with map-side collapse, nothing quadratic in days or users.
+    * The exact path is deliberate — the approximate dual is the q42
+    * HLL family; at 100 TB swap `countDistinct` for
+    * `approx_count_distinct` and keep the identical fan-out shape.
+    *
+    * Parity: integer day arithmetic (UTC dates), integer counts, one
+    * 4dp division; DAU ≥ 1 on observed days so no signed-zero hazard.
+    */
+  def rollingActiveUsers(spark: SparkSession, dir: String): DataFrame =
+    rollingActiveUsersOn(Tables.events(spark, dir))
+
+  private[graft] def rollingActiveUsersOn(ev: DataFrame): DataFrame = {
+    val act = ev
+      .select(col("user_id"),
+        datediff(col("ts").cast("date"), lit("2024-01-01").cast("date"))
+          .as("day"))
+      .distinct()
+    val wau = act
+      .select(col("user_id"),
+        explode(sequence(col("day"), col("day") + 6)).as("wday"))
+      .groupBy(col("wday"))
+      .agg(countDistinct(col("user_id")).as("wau7"))
+    act.groupBy(col("day")).agg(countDistinct(col("user_id")).as("dau"))
+      .join(wau, col("day") === col("wday"))
+      .select(col("day"), col("dau"), col("wau7"),
+        round(col("dau").cast("double") / col("wau7"), 4).as("stickiness"))
+      .orderBy(col("day"))
   }
 }

@@ -142,4 +142,44 @@ object IncrementalOps {
       .select(col("doc_id"), col("source"), col("text"))
     incrementalAggRefresh(v1, deriveV2(v1), "source")
   }
+
+  /** SCD type-2 merge delta (q111): the rows a slowly-changing-dimension
+    * merge WRITES when snapshot `v` arrives — a `close` row (valid_to =
+    * v, no longer current) for every removed or changed key, and an
+    * `open` row (valid_from = v, current) for every added or changed
+    * key. Unchanged keys produce nothing, by the same doctrine as
+    * [[snapshotDiff]]: at 100 TB the unchanged mass must never be
+    * rewritten, which is exactly what makes SCD2 the
+    * history-preserving alternative to overwrite.
+    *
+    * Scale shape: one full-outer join on the bucketed snapshot key
+    * (zero-shuffle in production), delta-sized output, row-local
+    * everything else. Versions are integers; the content fingerprint
+    * is md5 (the cross-engine hash); nulls only in `valid_to` of open
+    * rows — the SCD2 "still current" contract.
+    */
+  def scd2Delta(v1: DataFrame, v2: DataFrame, version: Int = 2): DataFrame = {
+    val a = v1.select(col("doc_id"), md5(col("text")).as("fp1"))
+    val b = v2.select(col("doc_id"), md5(col("text")).as("fp2"))
+    val j = a.join(b, Seq("doc_id"), "full_outer")
+    val closes = j
+      .filter(col("fp1").isNotNull &&
+        (col("fp2").isNull || col("fp1") =!= col("fp2")))
+      .select(col("doc_id"), col("fp1").as("fp"),
+        lit(1).as("valid_from"), lit(version).as("valid_to"),
+        lit(0).as("is_current"), lit("close").as("action"))
+    val opens = j
+      .filter(col("fp2").isNotNull &&
+        (col("fp1").isNull || col("fp1") =!= col("fp2")))
+      .select(col("doc_id"), col("fp2").as("fp"),
+        lit(version).as("valid_from"), lit(null).cast("int").as("valid_to"),
+        lit(1).as("is_current"), lit("open").as("action"))
+    closes.unionByName(opens).orderBy(col("doc_id"), col("action"))
+  }
+
+  /** q111 gate over the [[deriveV2]] edit script. */
+  def q111Scd2(spark: SparkSession, dir: String): DataFrame = {
+    val v1 = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    scd2Delta(v1, deriveV2(v1))
+  }
 }

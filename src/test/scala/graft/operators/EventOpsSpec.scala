@@ -111,6 +111,22 @@ class EventOpsSpec extends SparkSpecBase {
     assert(got.toSeq === Seq((1, 2, 5L, 0.0)))
   }
 
+  test("rollingActiveUsers: hand-computed DAU/WAU7 on a tiny log") {
+    // day 0: users {1,2}; day 3: {2}; day 8: {1,3}
+    val events = ev(
+      (1L, "view", "2024-01-01 05:00:00"),
+      (2L, "view", "2024-01-01 06:00:00"),
+      (2L, "view", "2024-01-04 05:00:00"),
+      (1L, "view", "2024-01-09 05:00:00"),
+      (3L, "view", "2024-01-09 06:00:00"))
+    val got = EventOps.rollingActiveUsersOn(events).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    // wau7(day d) counts users active in [d-6, d]: day 0 -> {1,2};
+    // day 3 -> {1,2}; day 8 -> {1,2,3} (day 3 within window, day 0 not)
+    assert(got.toSeq === Seq(
+      (0, 2L, 2L, 1.0), (3, 1L, 2L, 0.5), (8, 2L, 3L, 0.6667)))
+  }
+
   test("q108/q109: exact integer revenue matches a double recompute") {
     val out108 = CoreQueries.q108ShipPriority(spark, sf0001).collect()
     assert(out108.length <= 10 && out108.nonEmpty)

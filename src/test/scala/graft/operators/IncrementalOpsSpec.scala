@@ -107,4 +107,33 @@ class IncrementalOpsSpec extends SparkSpecBase {
     assert(out.where(col("status") === "added" && col("doc_id") < 1000000L)
       .count() === 0)
   }
+
+  test("scd2Delta: constructed transition writes exactly the merge rows") {
+    val v1 = Seq((1L, "keep"), (2L, "old"), (3L, "gone")).toDF("doc_id", "text")
+    val v2 = Seq((1L, "keep"), (2L, "new"), (4L, "born")).toDF("doc_id", "text")
+    val got = IncrementalOps.scd2Delta(v1, v2).collect()
+      .map(r => (r.getLong(0), r.getInt(2),
+        if (r.isNullAt(3)) -1 else r.getInt(3), r.getInt(4), r.getString(5)))
+    // unchanged key 1 absent; changed 2 -> close+open; removed 3 ->
+    // close; added 4 -> open
+    assert(got.toSeq === Seq(
+      (2L, 1, 2, 0, "close"), (2L, 2, -1, 1, "open"),
+      (3L, 1, 2, 0, "close"),
+      (4L, 2, -1, 1, "open")))
+  }
+
+  test("q111 on testdata: row counts tie to the q91 manifest") {
+    val diff = IncrementalOps.q91SnapshotDiff(spark, sf0001)
+      .groupBy("status").count().as[(String, Long)].collect().toMap
+    val scd = IncrementalOps.q111Scd2(spark, sf0001)
+    val byAction = scd.groupBy("action").count()
+      .as[(String, Long)].collect().toMap
+    assert(byAction("close") === diff("removed") + diff("changed"))
+    assert(byAction("open") === diff("added") + diff("changed"))
+    // open rows are current with null valid_to; close rows the inverse
+    assert(scd.where(col("action") === "open" &&
+      (col("valid_to").isNotNull || col("is_current") =!= 1)).count() === 0)
+    assert(scd.where(col("action") === "close" &&
+      (col("valid_to").isNull || col("is_current") =!= 0)).count() === 0)
+  }
 }
