@@ -137,6 +137,10 @@ object SparkEntry {
       graft.operators.EventOps.rollingActiveUsers(s, d)),
     "q111_scd2_delta"     -> ((s, d) =>
       graft.operators.IncrementalOps.q111Scd2(s, d)),
+    "q112_daily_anomaly"  -> ((s, d) =>
+      graft.operators.EventOps.dailyAnomalies(s, d)),
+    "q113_pagerank"       -> ((s, d) =>
+      graft.operators.GraphOps.pageRank(s, d)),
   )
 
   /** Shared shingle→df-capped-postings CTE body for every exact-Jaccard
@@ -2057,6 +2061,69 @@ object SparkEntry {
            'open' AS action
          FROM j WHERE in2 AND (NOT in1 OR fp1 <> fp2)
          ORDER BY doc_id, action""",
+    // q112: daily-volume anomaly z-scores — integer window sums only
+    // (order-free), closed-form mean/variance, correctly-rounded sqrt,
+    // 4dp round with the signed-zero normalization; null z on
+    // zero-variance baselines
+    "q112_daily_anomaly" ->
+      """WITH daily AS (SELECT
+             CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))
+               AS INT) AS day, count(*) AS n
+           FROM events GROUP BY 1),
+         w AS (SELECT day, n,
+             count(n) OVER win AS cnt7,
+             CAST(sum(n) OVER win AS BIGINT) AS sum7,
+             CAST(sum(n * n) OVER win AS BIGINT) AS sumsq7
+           FROM daily
+           WINDOW win AS (ORDER BY day
+             ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING))
+         SELECT day, n, z,
+           CASE WHEN z IS NULL THEN CAST(NULL AS INT)
+                WHEN abs(z) > 2.0 THEN 1 ELSE 0 END AS is_anomaly
+         FROM (
+           SELECT day, n,
+             CASE WHEN 7 * sumsq7 - sum7 * sum7 = 0 THEN NULL
+               ELSE round((CAST(n AS DOUBLE) - CAST(sum7 AS DOUBLE) / 7.0) /
+                 sqrt(CAST(7 * sumsq7 - sum7 * sum7 AS DOUBLE) / 42.0), 4)
+                 + 0.0 END AS z
+           FROM w WHERE cnt7 = 7)
+         ORDER BY day""",
+    // q113: fixed-point integer PageRank, 3 unrolled damped iterations —
+    // floor-division billionths everywhere, so every cell is exact
+    // integer math on both engines; (rank_q DESC, item) total order
+    "q113_pagerank" -> {
+      def iter(prev: String, cur: String) =
+        s"""$cur AS (SELECT n.item, n.n_nodes,
+             CAST((15 * (1000000000 // n.n_nodes)) // 100
+               + (85 * coalesce(s.c, 0)) // 100 AS BIGINT) AS r
+           FROM nn n LEFT JOIN (
+             SELECT e.dst AS item,
+               CAST(sum($prev.r // deg.d) AS BIGINT) AS c
+             FROM edges e JOIN $prev ON e.src = $prev.item
+             JOIN deg ON e.src = deg.src GROUP BY 1) s
+           ON n.item = s.item)"""
+      s"""WITH ui AS (SELECT DISTINCT user_id,
+             CAST(json_extract_string(props, '$$.k') AS INT) AS item
+           FROM events
+           WHERE json_extract_string(props, '$$.k') IS NOT NULL),
+         pairs AS (SELECT a.item AS i, b.item AS j FROM ui a JOIN ui b
+           ON a.user_id = b.user_id AND a.item < b.item
+           GROUP BY 1, 2 HAVING count(*) >= 5),
+         edges AS (SELECT i AS src, j AS dst FROM pairs
+           UNION ALL SELECT j, i FROM pairs),
+         deg AS (SELECT src, count(*) AS d FROM edges GROUP BY 1),
+         nodes AS (SELECT DISTINCT src AS item FROM edges),
+         st AS (SELECT count(*) AS n_nodes FROM nodes),
+         nn AS (SELECT item, n_nodes FROM nodes CROSS JOIN st),
+         r0 AS (SELECT item, n_nodes,
+           CAST(1000000000 // n_nodes AS BIGINT) AS r FROM nn),
+         ${iter("r0", "r1")},
+         ${iter("r1", "r2")},
+         ${iter("r2", "r3")}
+         SELECT item, r AS rank_q,
+           round(CAST(r AS DOUBLE) / 1000000000.0, 6) AS rank
+         FROM r3 ORDER BY rank_q DESC, item"""
+    },
   )
 
   /** The q95 power-iteration CTE chain (quantize → center → two exact

@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 
 import graft.Tables
 
@@ -233,6 +234,51 @@ object EventOps {
     */
   def rollingActiveUsers(spark: SparkSession, dir: String): DataFrame =
     rollingActiveUsersOn(Tables.events(spark, dir))
+
+  /** Daily-volume anomaly detection (q112): z-score of each day's event
+    * count against the TRAILING 7 days (excluding the day itself — the
+    * day under test must not contaminate its own baseline), flagging
+    * |z| > 2 — the alerting primitive every metrics pipeline runs over
+    * its daily rollups.
+    *
+    * Scale shape: the corpus collapses to one row per day first (the
+    * only corpus-scale shuffle); the window then runs over the daily
+    * SERIES — series length = days observed, independent of corpus
+    * size, so the unpartitioned window is a non-issue at any SF (same
+    * argument as q48's running total).
+    *
+    * Parity: the window carries integer sum / sum-of-squares only, so
+    * frame accumulation order cannot matter; mean and variance come
+    * out of the integers in ONE closed-form expression per cell
+    * (`(n·Σx² − (Σx)²) / (n(n−1))`), sqrt is correctly rounded on both
+    * engines (the q97 contract), and the z rounds 4dp with the
+    * signed-zero normalization on the oracle side. Zero-variance
+    * windows yield null z (no fabricated infinities).
+    */
+  def dailyAnomalies(spark: SparkSession, dir: String): DataFrame =
+    dailyAnomaliesOn(Tables.events(spark, dir))
+
+  private[graft] def dailyAnomaliesOn(ev: DataFrame): DataFrame = {
+    val daily = ev
+      .select(datediff(col("ts").cast("date"), lit("2024-01-01").cast("date"))
+        .as("day"))
+      .groupBy(col("day")).agg(count(lit(1)).as("n"))
+    val w = Window.orderBy(col("day")).rowsBetween(-7, -1)
+    daily
+      .withColumn("cnt7", count(col("n")).over(w))
+      .withColumn("sum7", sum(col("n")).over(w))
+      .withColumn("sumsq7", sum(col("n") * col("n")).over(w))
+      .filter(col("cnt7") === 7)
+      .withColumn("num", lit(7L) * col("sumsq7") - col("sum7") * col("sum7"))
+      .withColumn("z",
+        when(col("num") === 0, lit(null).cast("double"))
+          .otherwise(round(
+            (col("n").cast("double") - col("sum7").cast("double") / 7.0) /
+              sqrt(col("num").cast("double") / 42.0), 4)))
+      .withColumn("is_anomaly", (abs(col("z")) > 2.0).cast("int"))
+      .select(col("day"), col("n"), col("z"), col("is_anomaly"))
+      .orderBy(col("day"))
+  }
 
   private[graft] def rollingActiveUsersOn(ev: DataFrame): DataFrame = {
     val act = ev

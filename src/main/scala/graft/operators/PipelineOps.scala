@@ -339,18 +339,20 @@ object PipelineOps {
             * lit(16)
           + expr("instr('0123456789abcdef', substring(md5(tok), 3, 1)) - 1"))
           % lit(nBuckets)))
-    val raw = toks.groupBy(col("bucket")).agg(count(lit(1)).as("cnt_r"))
-    val tgt = toks.filter(isTarget)
-      .groupBy(col("bucket")).agg(count(lit(1)).as("cnt_t"))
-    val totals = toks.agg(count(lit(1)).as("n_r"),
-      sum(when(isTarget, lit(1L)).otherwise(lit(0L))).as("n_t"))
-    val lam = raw
-      .join(tgt, Seq("bucket"), "left")
+    // ONE pass builds raw + target counts per bucket (conditional agg);
+    // totals fold from the ≤nBuckets frame, not from a corpus re-scan —
+    // two corpus passes total (this one + the scoring join), not four
+    val bucketCounts = toks.groupBy(col("bucket"))
+      .agg(count(lit(1)).as("cnt_r"),
+        sum(when(isTarget, lit(1L)).otherwise(lit(0L))).as("cnt_t"))
+    val totals = bucketCounts
+      .agg(sum(col("cnt_r")).as("n_r"), sum(col("cnt_t")).as("n_t"))
+    val lam = bucketCounts
       .crossJoin(broadcast(totals))
       .select(col("bucket"),
         round(
           round(log(
-            ((coalesce(col("cnt_t"), lit(0L)) + lit(1.0)) /
+            ((col("cnt_t") + lit(1.0)) /
               (col("n_t") + lit(nBuckets.toDouble))) /
             ((col("cnt_r") + lit(1.0)) /
               (col("n_r") + lit(nBuckets.toDouble)))), 6) * lit(1000000.0),

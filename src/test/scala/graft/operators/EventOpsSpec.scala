@@ -127,6 +127,26 @@ class EventOpsSpec extends SparkSpecBase {
       (0, 2L, 2L, 1.0), (3, 1L, 2L, 0.5), (8, 2L, 3L, 0.6667)))
   }
 
+  test("dailyAnomalies: hand-computed z, zero-variance yields null") {
+    // days 0..6 counts (8,9,10,11,12,9,11): sum=70, sumsq=712,
+    // num = 7*712-4900 = 84, var = 2, std = sqrt(2);
+    // day 7 count 20 -> z = 10/sqrt(2) = 7.0711, anomaly
+    val counts = Seq(8, 9, 10, 11, 12, 9, 11, 20)
+    val events = counts.zipWithIndex.flatMap { case (n, d) =>
+      (1 to n).map(i => (i.toLong, "view", f"2024-01-${d + 1}%02d 05:00:00"))
+    }
+    val out = EventOps.dailyAnomaliesOn(ev(events: _*)).collect()
+    assert(out.length === 1) // only day 7 has a full 7-day baseline
+    val r = out.head
+    assert(r.getInt(0) === 7 && r.getLong(1) === 20L)
+    assert(r.getDouble(2) === 7.0711 && r.getInt(3) === 1)
+    // constant baseline -> zero variance -> null z, null flag
+    val flat = (0 to 7).flatMap(d =>
+      (1 to 10).map(i => (i.toLong, "view", f"2024-01-${d + 1}%02d 05:00:00")))
+    val fr = EventOps.dailyAnomaliesOn(ev(flat: _*)).collect().head
+    assert(fr.isNullAt(2) && fr.isNullAt(3))
+  }
+
   test("q108/q109: exact integer revenue matches a double recompute") {
     val out108 = CoreQueries.q108ShipPriority(spark, sf0001).collect()
     assert(out108.length <= 10 && out108.nonEmpty)

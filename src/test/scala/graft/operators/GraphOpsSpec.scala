@@ -1,0 +1,61 @@
+package graft.operators
+
+import graft.SparkSpecBase
+import org.apache.spark.sql.functions._
+
+class GraphOpsSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  /** Path graph 1–2–3: five users share items {1,2}, five share {2,3},
+    * so both pairs clear minSupport=5. N=3, U/N=333333333, deg(2)=2.
+    */
+  private def pathGraphEvents = {
+    val rows = (1 to 5).flatMap(u => Seq(
+        (u.toLong, """{"k": 1}"""), (u.toLong, """{"k": 2}"""))) ++
+      (6 to 10).flatMap(u => Seq(
+        (u.toLong, """{"k": 2}"""), (u.toLong, """{"k": 3}""")))
+    rows.toDF("user_id", "props")
+  }
+
+  test("pageRank: one iteration on the path graph, hand-computed cells") {
+    // contrib to 2: 333333333/1 from each end -> 666666666;
+    // contrib to 1 and 3: 333333333 div 2 = 166666666
+    // r1(center) = (15*333333333) div 100 + (85*666666666) div 100
+    //            = 49999999 + 566666666 = 616666665
+    // r1(ends)   = 49999999 + (85*166666666) div 100 = 191666665
+    val got = GraphOps.pageRankOn(pathGraphEvents, iters = 1).collect()
+      .map(r => (r.getInt(0), r.getLong(1)))
+    assert(got.toSeq === Seq(
+      (2, 616666665L), (1, 191666665L), (3, 191666665L)))
+  }
+
+  test("pageRank: fixed-point mass never exceeds the unit, determinism") {
+    val r3 = GraphOps.pageRankOn(pathGraphEvents, iters = 3)
+    val total = r3.agg(sum("rank_q")).head().getLong(0)
+    // floor division only sheds mass — never creates it
+    assert(total <= 1000000000L && total > 0L)
+    // symmetric ends stay exactly tied at every depth
+    val byItem = r3.collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(byItem(1) === byItem(3))
+    assert(byItem(2) > byItem(1))
+    // bit-identical across runs (integer math has no order sensitivity)
+    val again = GraphOps.pageRankOn(pathGraphEvents, iters = 3).collect()
+      .map(r => (r.getInt(0), r.getLong(1)))
+    assert(again.toSeq === r3.collect().map(r => (r.getInt(0), r.getLong(1))).toSeq)
+  }
+
+  test("pageRank on the real events table: structural invariants") {
+    val out = GraphOps.pageRank(spark, sf0001).cache()
+    assert(out.count() > 0)
+    assert(out.agg(sum("rank_q")).head().getLong(0) <= 1000000000L)
+    assert(out.filter(col("rank_q") < 0).count() === 0)
+    // descending by rank_q with (rank_q, item) as total order
+    val ranks = out.collect().map(r => (r.getLong(1), r.getInt(0)))
+    ranks.sliding(2).foreach {
+      case Array((ra, ia), (rb, ib)) =>
+        assert(ra > rb || (ra == rb && ia < ib))
+      case _ => ()
+    }
+    out.unpersist()
+  }
+}
