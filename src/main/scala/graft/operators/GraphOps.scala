@@ -53,17 +53,24 @@ object GraphOps {
       .filter(col("n_ij") >= minSupport)
     val edges = pairs.select(col("i").as("src"), col("j").as("dst"))
       .union(pairs.select(col("j").as("src"), col("i").as("dst")))
-    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("d"))
-    val nodes = edges.select(col("src").as("item")).distinct()
+    // the src out-degree rides ON the edge rows (one window over the
+    // src partitioning), so the per-iteration plan is ONE ranks⋈edges
+    // join — not ranks⋈edges⋈deg; persist: the edge relation is fed by
+    // the expensive per-user pair expansion and is read every iteration
+    // (the q30/q53 persist-the-iterated-relation rule)
+    val edgesD = edges
+      .withColumn("d", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("src"))))
+      .persist()
+    val nodes = edgesD.select(col("src").as("item")).distinct()
     val nNodes = nodes.crossJoin(broadcast(
       nodes.agg(count(lit(1)).as("n_nodes"))))
     // init: U/N each; teleport term: (15·(U/N)) div 100, both floor
     val init = nNodes.select(col("item"), col("n_nodes"),
       expr(s"CAST($Unit9 div n_nodes AS BIGINT)").as("r"))
     val ranks = (1 to iters).foldLeft(init) { (r, _) =>
-      val contrib = edges
+      val contrib = edgesD
         .join(r.select(col("item").as("src"), col("r")), Seq("src"))
-        .join(deg, Seq("src"))
         .groupBy(col("dst"))
         .agg(sum(expr("r div d")).as("c"))
       r.select(col("item"), col("n_nodes"))
@@ -72,9 +79,12 @@ object GraphOps {
           (expr(s"(15 * ($Unit9 div n_nodes)) div 100") +
             expr("(85 * coalesce(c, 0L)) div 100")).as("r"))
     }
-    ranks
+    val out = ranks
       .select(col("item"), col("r").as("rank_q"),
         round(col("r").cast("double") / lit(Unit9.toDouble), 6).as("rank"))
       .orderBy(col("rank_q").desc, col("item"))
+      .localCheckpoint(eager = true)
+    edgesD.unpersist()
+    out
   }
 }
