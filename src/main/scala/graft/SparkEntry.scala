@@ -141,6 +141,12 @@ object SparkEntry {
       graft.operators.EventOps.dailyAnomalies(s, d)),
     "q113_pagerank"       -> ((s, d) =>
       graft.operators.GraphOps.pageRank(s, d)),
+    "q114_doc_chunks"     -> ((s, d) =>
+      graft.operators.PipelineOps.docChunks(s, d)),
+    "q115_hard_negatives" -> ((s, d) =>
+      graft.operators.SimilarityOps.hardNegatives(s, d)),
+    "q116_vocab_coverage" -> ((s, d) =>
+      graft.operators.TextAnalysisOps.vocabCoverage(s, d)),
   )
 
   /** Shared shingle→df-capped-postings CTE body for every exact-Jaccard
@@ -2124,6 +2130,57 @@ object SparkEntry {
            round(CAST(r AS DOUBLE) / 1000000000.0, 6) AS rank
          FROM r3 ORDER BY rank_q DESC, item"""
     },
+    // q114: sliding-window chunking — start lattice 0,48,96… < n_tok,
+    // 64-token windows, md5 of the space-joined slice (list_slice is
+    // 1-based inclusive, matching Spark's slice(start+1, len))
+    "q114_doc_chunks" ->
+      """WITH t AS (SELECT doc_id,
+             string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'),
+               ' ') AS toks
+           FROM documents),
+         s AS (SELECT doc_id, toks, len(toks) AS n_tok FROM t)
+         SELECT doc_id,
+           CAST(gs // 48 AS INT) AS chunk_idx,
+           CAST(gs AS INT) AS start_tok,
+           CAST(least(64, n_tok - gs) AS INT) AS n_chunk_toks,
+           md5(array_to_string(
+             list_slice(toks, gs + 1, least(gs + 64, n_tok)), ' ')) AS chunk_md5
+         FROM s, unnest(generate_series(0, n_tok - 1, 48)) AS u(gs)
+         ORDER BY doc_id, chunk_idx""",
+    // q115: hard negatives — q31's brute cosine with the band filter on
+    // the ROUNDED score (the q32 threshold rule)
+    "q115_hard_negatives" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+                    FROM embeddings WHERE vec_id < 8),
+         c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         scored AS (
+           SELECT query_id, vec_id,
+             round(list_inner_product(qv, v) /
+               (sqrt(list_inner_product(qv, qv)) * sqrt(list_inner_product(v, v))), 4) AS cos
+           FROM q CROSS JOIN c WHERE vec_id <> query_id)
+         SELECT query_id, vec_id AS neighbor_id, cos, rk FROM (
+           SELECT query_id, vec_id, cos,
+             CAST(row_number() OVER (PARTITION BY query_id
+                  ORDER BY cos DESC, vec_id) AS INT) AS rk
+           FROM scored WHERE cos >= 0.20 AND cos < 0.45)
+         WHERE rk <= 5 ORDER BY query_id, rk""",
+    // q116: top-1000 vocab (cnt desc, tok asc — total order at the V-th
+    // slot), per-source OOV profile; single division then 6dp round
+    "q116_vocab_coverage" ->
+      """WITH tk AS (SELECT source,
+             unnest(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'),
+               ' ')) AS tok
+           FROM documents),
+         v AS (SELECT tok, 1 AS in_v FROM (
+             SELECT tok, count(*) AS cnt FROM tk GROUP BY 1
+             ORDER BY cnt DESC, tok LIMIT 1000))
+         SELECT source,
+           count(*) AS n_tokens,
+           CAST(sum(CASE WHEN v.in_v IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+           round(CAST(sum(CASE WHEN v.in_v IS NULL THEN 1 ELSE 0 END) AS DOUBLE) /
+             CAST(count(*) AS DOUBLE), 6) AS oov_rate
+         FROM tk LEFT JOIN v ON tk.tok = v.tok
+         GROUP BY source ORDER BY source""",
   )
 
   /** The q95 power-iteration CTE chain (quantize → center → two exact

@@ -365,4 +365,44 @@ object PipelineOps {
         round(col("wq").cast("double") / lit(1000000.0), 6).as("log_weight"))
       .orderBy(col("doc_id"))
   }
+
+  /** Sliding-window document chunking (q114): split each document into
+    * overlapping `chunkSize`-token windows every `stride` tokens — the
+    * RAG / context-window preprocessing step — with full provenance
+    * (chunk index, start offset, token count) and a content digest per
+    * chunk. Unlike [[sequencePacking]] (q84), which concatenates ACROSS
+    * documents to fill fixed training sequences, chunking stays WITHIN
+    * a document and overlaps windows so no boundary context is lost.
+    *
+    * Scale shape: map-only — tokenize once, explode the per-doc start
+    * lattice, slice row-locally; no shuffle at all until the output
+    * sort (which production callers drop). Chunk count per doc is
+    * ⌈n_tok/stride⌉, so output size is a fixed ~(chunkSize/stride)×
+    * token multiple of the input, independent of corpus size.
+    */
+  def docChunks(spark: SparkSession, dir: String, chunkSize: Int = 64,
+      stride: Int = 48): DataFrame =
+    docChunksOn(Tables.documents(spark, dir), chunkSize, stride)
+
+  private[graft] def docChunksOn(docs: DataFrame, chunkSize: Int = 64,
+      stride: Int = 48): DataFrame = {
+    require(chunkSize >= stride && stride > 0,
+      s"need chunkSize >= stride > 0, got $chunkSize/$stride")
+    docs
+      .select(col("doc_id"), Text.tokens(col("text")).as("toks"))
+      .withColumn("n_tok", size(col("toks")))
+      // tokens() never yields an empty array (empty text -> [""]), so
+      // the start lattice 0, stride, 2·stride, … < n_tok is non-empty
+      // and every chunk holds >= 1 token
+      .select(col("doc_id"), col("toks"), col("n_tok"),
+        posexplode(sequence(lit(0), col("n_tok") - 1, lit(stride))))
+      .select(col("doc_id"),
+        col("pos").cast("int").as("chunk_idx"),
+        col("col").cast("int").as("start_tok"),
+        least(lit(chunkSize), col("n_tok") - col("col")).cast("int")
+          .as("n_chunk_toks"),
+        md5(concat_ws(" ", slice(col("toks"), col("col") + 1, lit(chunkSize))))
+          .as("chunk_md5"))
+      .orderBy(col("doc_id"), col("chunk_idx"))
+  }
 }

@@ -128,6 +128,40 @@ object SimilarityOps {
       .orderBy(col("query_id"), col("rk"))
   }
 
+  /** Hard-negative mining (q115): for each query vector, the top-k
+    * candidates whose cosine falls in the [lo, hi) band — similar enough
+    * to be confusable, dissimilar enough to be true negatives. This is
+    * the contrastive-training data miner (the triplet/InfoNCE negative
+    * sampler); the band is applied to the 4dp-ROUNDED score so the
+    * boundary is reproducible across engines (the q32 threshold rule).
+    *
+    * Plan: identical shape to [[bruteForceTopK]] — broadcast query side,
+    * one corpus scan through the fused codegen cosine, band filter
+    * BEFORE the per-query top-k shuffle (the band prunes ~95% of rows,
+    * so the window input is small). At 100 TB swap the scan for any of
+    * the ANN index paths (IVF/PQ) with the band as a post-filter —
+    * mining composes with whatever index already exists.
+    */
+  def hardNegatives(spark: SparkSession, dir: String, nQueries: Int = 8,
+      k: Int = 5, lo: Double = 0.20, hi: Double = 0.45): DataFrame =
+    hardNegativesOn(Tables.embeddings(spark, dir), nQueries, k, lo, hi)
+
+  private[graft] def hardNegativesOn(emb: DataFrame, nQueries: Int,
+      k: Int, lo: Double, hi: Double): DataFrame = {
+    val queries = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val scored = emb.join(broadcast(queries), col("vec_id") =!= col("query_id"))
+      .withColumn("cos", round(Vectors.cosine(col("qv"), col("embedding")), 4))
+      .filter(col("cos") >= lo && col("cos") < hi)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("cos"),
+        col("rk"))
+      .orderBy(col("query_id"), col("rk"))
+  }
+
   /** LSH-bucketed ANN with AND-OR amplification: `nTables` independent
     * sign-bucket tables of `nPlanes` planes each (distinct plane seeds per
     * table); a corpus vector is a candidate when it shares a bucket with

@@ -532,4 +532,41 @@ object TextAnalysisOps {
       .select(col("doc_id"), col("tok"), col("score"), col("rk"))
       .orderBy(col("doc_id"), col("rk"))
   }
+
+  /** Vocabulary-coverage / OOV profile (q116): build the top-`vocabSize`
+    * corpus vocabulary by token frequency (ties broken token-asc — a
+    * total order, so the V-th slot is engine-independent), then report
+    * per source the token total, out-of-vocabulary count, and OOV rate —
+    * the tokenizer-fit diagnostic run before committing a vocab to a
+    * training run.
+    *
+    * Scale shape: two corpus passes. Pass 1 is the token-count shuffle
+    * (map-side combine) feeding a top-V via orderBy+limit — the partial
+    * top-V is taken per partition before the single-reduce, so only
+    * V·partitions rows move. Pass 2 re-scans with the vocab BROADCAST
+    * as a left join (V rows, never corpus⋈corpus) into a per-source agg.
+    * OOV rate is one division then a 6dp round — no cross-engine sum
+    * hazard (rates are non-negative, so no signed-zero exposure).
+    */
+  def vocabCoverage(spark: SparkSession, dir: String,
+      vocabSize: Int = 1000): DataFrame =
+    vocabCoverageOn(Tables.documents(spark, dir), vocabSize)
+
+  private[graft] def vocabCoverageOn(docs: DataFrame,
+      vocabSize: Int): DataFrame = {
+    val toks = docs
+      .select(col("source"), explode(Text.tokens(col("text"))).as("tok"))
+    val vocab = toks.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("tok")).limit(vocabSize)
+      .select(col("tok"), lit(1L).as("in_v"))
+    toks
+      .join(broadcast(vocab), Seq("tok"), "left")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("in_v").isNull, lit(1L)).otherwise(lit(0L))).as("n_oov"))
+      .select(col("source"), col("n_tokens"), col("n_oov"),
+        round(col("n_oov").cast("double") / col("n_tokens").cast("double"), 6)
+          .as("oov_rate"))
+      .orderBy(col("source"))
+  }
 }

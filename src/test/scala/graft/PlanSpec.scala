@@ -252,4 +252,27 @@ class PlanSpec extends SparkSpecBase {
     assert(plan.contains("*(1) HashAggregate") || plan.contains("*(1) ColumnarToRow"),
       plan)
   }
+
+  test("q114: chunking is map-only — the only exchange is the output sort") {
+    val plan = executed("q114_doc_chunks")
+    // AQE stringifies Final + Initial plans; count the final one only
+    val finalPlan = plan.split("== Initial Plan ==").head
+    val exchanges = finalPlan.linesIterator.count(_.contains("Exchange"))
+    // one rangepartitioning exchange for the presentation orderBy; no
+    // hash shuffle anywhere (tokenize/lattice/slice are all row-local)
+    assert(exchanges <= 1, plan)
+    assert(!plan.contains("hashpartitioning"), plan)
+    val rs = readSchemaLines(plan)
+    assert(rs.contains("doc_id") && rs.contains("text") && !rs.contains("lang"), rs)
+  }
+
+  test("q115/q116: query and vocab sides broadcast; no cartesian, no UDFs") {
+    Seq("q115_hard_negatives", "q116_vocab_coverage").foreach { q =>
+      val plan = executed(q)
+      assert(plan.contains("BroadcastHashJoin") ||
+        plan.contains("BroadcastNestedLoopJoin"), s"$q: $plan")
+      assert(!plan.contains("CartesianProduct"), s"$q: $plan")
+      assert(!plan.contains("ScalaUDF"), s"$q: $plan")
+    }
+  }
 }
