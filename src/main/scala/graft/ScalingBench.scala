@@ -39,7 +39,12 @@ object ScalingBench {
       // shuffle + histogram, q105 two linear passes with a broadcast
       // λ-table — the probes verify none of them hides a super-linear
       // stage (e.g. a skewed bucket or an unbounded key space)
-      "q98_bpe_merge", "q100_dup_inflation", "q105_importance_weights")
+      "q98_bpe_merge", "q100_dup_inflation", "q105_importance_weights",
+      // q114 is map-only (chunk count is a fixed multiple of tokens);
+      // q116 is two linear passes onto a V-bounded vocab — the probes
+      // verify neither hides a super-linear stage (an unbounded vocab
+      // broadcast would bend q116's curve)
+      "q114_doc_chunks", "q116_vocab_coverage")
       .map(q => Probe(q, "documents", SparkEntry.queries(q))) ++ Seq(
       // span family: exact (oracle-gated) keys and the hashed-key 100 TB
       // variant (xxhash64 span keys on both span shuffles)
