@@ -16,7 +16,22 @@ object Tables {
     "orders", "lineitem", "events", "documents", "embeddings")
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+    normalizeNtz(spark.read.parquet(s"$dir/$name.parquet"))
+
+  /** The testdata parquet marks timestamps `isAdjustedToUTC=false`; our
+    * sessions disable `spark.sql.parquet.inferTimestampNTZ.enabled` so the
+    * scan natively yields TIMESTAMP (keeping filter pushdown). If a caller
+    * brings a session with NTZ inference on, rescue the semantics here:
+    * with a UTC session the NTZ→TIMESTAMP cast is wall-clock-preserving
+    * and a no-op when the conf is already off.
+    */
+  private def normalizeNtz(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
+    df.schema.fields.collect {
+      case f if f.dataType == TimestampNTZType => f.name
+    }.foldLeft(df)((d, c) => d.withColumn(c, col(c).cast(TimestampType)))
+  }
 
   def region(s: SparkSession, d: String): DataFrame    = load(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame    = load(s, d, "nation")
@@ -25,20 +40,31 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = load(s, d, "lineitem")
-  /** events.ts is parquet TIMESTAMP(NANOS), which Spark has no native type
-    * for: read it as a long (legacy conf) and floor-convert ns→µs, exactly
-    * what DuckDB does when it narrows nanos into its µs TIMESTAMP.
+  /** events.ts has shipped in two physical layouts across testdata
+    * generations: parquet TIMESTAMP(NANOS) (no native Spark type — read as
+    * long via the legacy conf and floor-convert ns→µs, exactly what DuckDB
+    * does when it narrows nanos into its µs TIMESTAMP) and plain
+    * TIMESTAMP(MICROS). Dispatch on the footer schema so either reads as a
+    * µs TIMESTAMP column.
     */
   def events(s: SparkSession, d: String): DataFrame = {
-    // nanosAsLong is an analyzer-level conf with no per-read equivalent, so
-    // loading this table requires the session-level setting. Only touch the
-    // conf when it is not already correct (avoid mutating on every call);
-    // the mutation is documented behavior of this loader.
-    if (s.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true")
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load(s, d, "events").withColumn("ts",
-      org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts div 1000")))
+    import org.apache.spark.sql.functions.{expr, timestamp_micros}
+    import org.apache.spark.sql.types.LongType
+    val raw =
+      try load(s, d, "events")
+      catch {
+        // nanosAsLong is an analyzer-level conf with no per-read
+        // equivalent; only the NANOS layout needs it
+        case e: Exception if e.getMessage != null &&
+            e.getMessage.contains("NANOS") =>
+          s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+          load(s, d, "events")
+      }
+    raw.schema("ts").dataType match {
+      case LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _ => raw // MICROS layout: load() already normalized any NTZ
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")

@@ -57,6 +57,9 @@ object EtlMain {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      // testdata parquet marks timestamps isAdjustedToUTC=false; read them as
+      // TIMESTAMP (UTC session) like every engine-side consumer expects
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .config("spark.sql.ansi.enabled", "false")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

@@ -13,13 +13,16 @@ import org.apache.spark.sql.streaming.Trigger
   */
 object EventsStream {
 
-  /** events schema as the file stream source sees it (ts read as raw
-    * nanos long — see graft.Tables.events).
+  /** events schema as the file stream source sees it. The physical type
+    * of `ts` depends on the testdata generation (raw nanos long vs µs
+    * timestamp — see graft.Tables.events), so the pinned stream schema is
+    * parameterized on it.
     */
-  val eventsRawSchema: StructType = StructType(Seq(
-    StructField("event_id", LongType), StructField("ts", LongType),
-    StructField("user_id", LongType), StructField("event_type", StringType),
-    StructField("value", DoubleType), StructField("props", StringType)))
+  def eventsRawSchema(tsType: org.apache.spark.sql.types.DataType): StructType =
+    StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", tsType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
 
   /** Stage one parquet file into a fresh watch directory and open it as a
     * schema-pinned file stream — the landing-zone shape a production
@@ -43,12 +46,29 @@ object EventsStream {
     */
   def stagedEventsStream(spark: SparkSession, dir: String,
       prefix: String): DataFrame = {
-    // intentionally session-scoped (same flag graft.Tables.events sets):
-    // every events read in this project needs nano timestamps as longs,
-    // and the streaming source consults the conf beyond this call
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    stageParquetStream(spark, s"$dir/events.parquet", prefix, eventsRawSchema)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    // Probe the batch-side footer once so the pinned stream schema matches
+    // the file's physical layout (same dispatch as graft.Tables.events;
+    // the legacy NANOS layout needs the session-scoped nanosAsLong conf,
+    // which the streaming source consults beyond this call).
+    val tsType =
+      try spark.read.parquet(s"$dir/events.parquet").schema("ts").dataType
+      catch {
+        case e: Exception if e.getMessage != null &&
+            e.getMessage.contains("NANOS") =>
+          spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+          LongType
+      }
+    val stream = stageParquetStream(spark, s"$dir/events.parquet", prefix,
+      eventsRawSchema(tsType))
+    tsType match {
+      case LongType => // raw nanos: floor-convert ns→µs like DuckDB does
+        stream.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        // wall-clock-preserving under the project's UTC sessions
+        stream.withColumn("ts",
+          col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      case _ => stream
+    }
   }
 
   /** Drive any streaming DataFrame into a memory sink synchronously. */

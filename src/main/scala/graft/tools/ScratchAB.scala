@@ -16,6 +16,9 @@ object ScratchAB {
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
+      // testdata parquet marks timestamps isAdjustedToUTC=false; read them as
+      // TIMESTAMP (UTC session) like every engine-side consumer expects
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .config("spark.sql.ansi.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")

@@ -17,6 +17,9 @@ object SparkSpecBase {
     .appName("graft-tests")
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.sql.session.timeZone", "UTC")
+    // testdata parquet marks timestamps isAdjustedToUTC=false; read them as
+    // TIMESTAMP (UTC session) like every engine-side consumer expects
+    .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     .config("spark.sql.ansi.enabled", "false")
     .config("spark.ui.enabled", "false")
     .getOrCreate()
