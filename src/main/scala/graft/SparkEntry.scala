@@ -147,6 +147,12 @@ object SparkEntry {
       graft.operators.SimilarityOps.hardNegatives(s, d)),
     "q116_vocab_coverage" -> ((s, d) =>
       graft.operators.TextAnalysisOps.vocabCoverage(s, d)),
+    "q117_domain_cap"     -> ((s, d) => PipelineOps.domainCap(s, d)),
+    "q118_table_fingerprint" -> ((s, d) =>
+      graft.operators.IncrementalOps.tableFingerprint(s, d)),
+    "q119_source_overlap" -> ((s, d) => DedupOps.sourceSpanOverlap(s, d)),
+    "q120_fuzzy_linkage"  -> ((s, d) =>
+      graft.operators.LinkageOps.nameLinkage(s, d)),
   )
 
   /** Shared shingle→df-capped-postings CTE body for every exact-Jaccard
@@ -2181,6 +2187,58 @@ object SparkEntry {
              CAST(count(*) AS DOUBLE), 6) AS oov_rate
          FROM tk LEFT JOIN v ON tk.tok = v.tok
          GROUP BY source ORDER BY source""",
+    // q117: per-source quota — longest-first rank, tie on doc_id; the
+    // grouped CASE sums are exact integers
+    "q117_domain_cap" ->
+      """WITH r AS (SELECT doc_id, source, n_chars,
+             row_number() OVER (PARTITION BY source
+               ORDER BY n_chars DESC, doc_id) AS rk
+           FROM documents)
+         SELECT source, count(*) AS n_docs,
+           CAST(sum(CASE WHEN rk <= 50 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           CAST(sum(CASE WHEN rk <= 50 THEN n_chars END) AS BIGINT) AS chars_kept
+         FROM r GROUP BY source ORDER BY source""",
+    // q118: 60-bit row digest = low 15 hex digits of the payload md5
+    // (big-endian positional fold), XOR-folded per group — XOR is
+    // order-independent, so both engines agree under any plan
+    "q118_table_fingerprint" ->
+      """WITH p AS (SELECT l_returnflag,
+             md5(concat_ws('|', l_orderkey, l_partkey, l_suppkey,
+               l_linenumber, CAST(CAST(l_shipdate AS DATE) AS VARCHAR))) AS h
+           FROM lineitem),
+         f AS (SELECT l_returnflag,
+             list_sum([(strpos('0123456789abcdef', h[17+i]) - 1)::BIGINT
+                        * (1::BIGINT << (4*(15-i))) for i in range(1, 16)]) AS fp
+           FROM p)
+         SELECT l_returnflag, count(*) AS n_rows,
+           CAST(bit_xor(fp) AS BIGINT) AS fingerprint
+         FROM f GROUP BY l_returnflag ORDER BY l_returnflag""",
+    // q119: distinct (source, 16-gram md5) pairs, then a self-join on the
+    // hash — counts are exact integers; tokenization mirrors q114/q116
+    "q119_source_overlap" ->
+      """WITH t AS (SELECT source,
+             string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'),
+               ' ') AS toks
+           FROM documents),
+         sh AS (SELECT DISTINCT source,
+             md5(array_to_string(list_slice(toks, i, i + 15), ' ')) AS h
+           FROM t, unnest(generate_series(1, len(toks) - 15, 1)) AS u(i)),
+         p AS (SELECT a.source AS source_a, b.source AS source_b
+           FROM sh a JOIN sh b ON a.h = b.h AND a.source < b.source)
+         SELECT source_a, source_b, count(*) AS n_shared
+         FROM p GROUP BY 1, 2 ORDER BY source_a, source_b""",
+    // q120: blocked Levenshtein linkage over DISTINCT part names (block =
+    // last name token); integer distances, deterministic total order
+    "q120_fuzzy_linkage" ->
+      """WITH n AS (SELECT p_name AS name, count(*) AS n_parts,
+             string_split(p_name, ' ')[-1] AS block
+           FROM part GROUP BY p_name)
+         SELECT a.block AS block, a.name AS name_a, b.name AS name_b,
+           CAST(levenshtein(a.name, b.name) AS INT) AS dist,
+           a.n_parts AS n_a, b.n_parts AS n_b
+         FROM n a JOIN n b ON a.block = b.block AND a.name < b.name
+         WHERE levenshtein(a.name, b.name) <= 4
+         ORDER BY block, name_a, name_b""",
   )
 
   /** The q95 power-iteration CTE chain (quantize → center → two exact

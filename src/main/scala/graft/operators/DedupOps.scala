@@ -710,4 +710,31 @@ object DedupOps {
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
       .orderBy(col("id_a"), col("id_b"))
   }
+
+  /** Cross-source span contamination matrix (q119): for every source
+    * pair, the number of DISTINCT `n`-token shingles they share — the
+    * curation diagnostic for template/boilerplate leakage between
+    * domains (exact-duplicate overlap is blind to it: identical spans
+    * embedded in otherwise-different documents).
+    *
+    * Scale shape: one corpus pass builds distinct (source, shingle-md5)
+    * pairs — the same materialization cost as the dedup postings build —
+    * then a self equi-join on the hash. Fan-out per shingle is bounded
+    * by the SOURCE count (≤ S² pair rows per hash after the per-source
+    * distinct), not by document frequency, so a boilerplate span in
+    * every document cannot make the join quadratic in the corpus.
+    */
+  def sourceSpanOverlap(spark: SparkSession, dir: String,
+      n: Int = 16): DataFrame = {
+    val sh = Tables.documents(spark, dir)
+      .select(col("source"),
+        explode(Text.wordShingles(col("text"), n)).as("g"))
+      .select(col("source"), md5(col("g")).as("h"))
+      .distinct()
+    sh.as("a").join(sh.as("b"),
+        col("a.h") === col("b.h") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("source_a"), col("b.source").as("source_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .orderBy(col("source_a"), col("source_b"))
+  }
 }

@@ -182,4 +182,29 @@ object IncrementalOps {
     val v1 = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
     scd2Delta(v1, deriveV2(v1))
   }
+
+  /** Order-independent table fingerprint (q118): per-row 60-bit digest
+    * (low 15 hex digits of the key-payload md5) folded per group with
+    * XOR — the snapshot-integrity primitive that lets two 100 TB copies
+    * of a table be compared without sorting either: XOR is commutative/
+    * associative, so partial aggregation is exact under ANY partitioning
+    * and shuffle order, and a single flipped row flips the group
+    * fingerprint. The hashed payload carries only integer/date columns —
+    * float formatting is engine-specific and has no place in a portable
+    * digest.
+    *
+    * Scale shape: map-side partial XOR then a tiny per-group exchange;
+    * the scan never materializes more than (group key, 8-byte digest).
+    */
+  def tableFingerprint(spark: SparkSession, dir: String): DataFrame = {
+    val payload = concat_ws("|",
+      col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+      col("l_linenumber"), col("l_shipdate").cast("date"))
+    Tables.lineitem(spark, dir)
+      .select(col("l_returnflag"),
+        conv(substring(md5(payload), 18, 15), 16, 10).cast("long").as("fp"))
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_rows"), expr("bit_xor(fp)").as("fingerprint"))
+      .orderBy(col("l_returnflag"))
+  }
 }

@@ -405,4 +405,29 @@ object PipelineOps {
           .as("chunk_md5"))
       .orderBy(col("doc_id"), col("chunk_idx"))
   }
+
+  /** Per-domain quota cap (q117): keep at most `cap` documents per
+    * source, preferring the longest (ties broken by doc_id), and report
+    * the kept share per source — the C4/RefinedWeb-style guard against a
+    * single domain flooding the mixture.
+    *
+    * Scale shape: the row_number window partitions by source and the
+    * follow-up groupBy keys on source too, so Catalyst reuses ONE
+    * hash-partitioning for both — a single shuffle of (doc_id, source,
+    * n_chars) triples, never the text. Per-source skew is bounded by the
+    * window being a streaming rank (no per-group buffer beyond the sort
+    * spill, which is disk-backed).
+    */
+  def domainCap(spark: SparkSession, dir: String, cap: Int = 50): DataFrame = {
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("n_chars").desc, col("doc_id"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), col("n_chars"))
+      .withColumn("rk", row_number().over(w))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("rk") <= cap, 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("rk") <= cap, col("n_chars"))).as("chars_kept"))
+      .orderBy(col("source"))
+  }
 }
