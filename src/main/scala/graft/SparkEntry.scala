@@ -153,6 +153,10 @@ object SparkEntry {
     "q119_source_overlap" -> ((s, d) => DedupOps.sourceSpanOverlap(s, d)),
     "q120_fuzzy_linkage"  -> ((s, d) =>
       graft.operators.LinkageOps.nameLinkage(s, d)),
+    "q121_prefix_join"    -> ((s, d) => DedupOps.prefixJaccardJoin(s, d)),
+    "q122_fold_assign"    -> ((s, d) => PipelineOps.leakageSafeFolds(s, d)),
+    "q123_score_deciles"  -> ((s, d) =>
+      TextAnalysisOps.scoreCalibration(s, d)),
   )
 
   /** Shared shingle→df-capped-postings CTE body for every exact-Jaccard
@@ -161,6 +165,35 @@ object SparkEntry {
     * threshold/cap tuning cannot silently diverge between the oracle
     * entries (they all gate the same postings pipeline).
     */
+  /** The q35 per-doc quality formula as a CTE chain ending at
+    * `qdoc (doc_id, n_tokens INT, quality DOUBLE)` — shared by the q35
+    * and q123 oracles so the banded scoring cannot drift between them.
+    */
+  private val qualityDocCte: String =
+    """q35t AS (SELECT doc_id, text, string_split(
+             regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS toks
+           FROM documents),
+         q35m AS (SELECT doc_id, len(toks) AS n_tokens,
+           CASE WHEN len(toks) > 0
+                THEN CAST(floor(len(list_distinct(toks)) * 3000.0 / len(toks)) AS BIGINT)
+                ELSE 0 END AS diversity,
+           CASE WHEN len(toks) BETWEEN 20 AND 1000 THEN 400
+                WHEN len(toks) BETWEEN 5 AND 19 THEN 200 ELSE 0 END AS length_band,
+           CASE WHEN len(toks) > 0
+                THEN len(list_filter(toks, x -> x IN
+                  ('the','a','an','of','to','in','and','is','it','that'))) * 1.0 / len(toks)
+                ELSE 0.0 END AS sr,
+           CASE WHEN length(regexp_replace(text, '\s', '', 'g')) > 0
+                THEN length(regexp_replace(text, '[^!-/:-@\[-`{-~]', '', 'g')) * 1.0 /
+                     length(regexp_replace(text, '\s', '', 'g'))
+                ELSE 0.0 END AS pr
+           FROM q35t),
+         qdoc AS (SELECT doc_id, CAST(n_tokens AS INT) AS n_tokens,
+           greatest(0, (length_band +
+             (CASE WHEN sr BETWEEN 0.01 AND 0.6 THEN 300 ELSE 0 END) -
+             (CASE WHEN pr > 0.2 THEN 200 ELSE 0 END)) * 10 + diversity) / 10000.0 AS quality
+           FROM q35m)"""
+
   private val shinglePostingsCte: String =
     """d0 AS (
          SELECT doc_id, string_split(
@@ -555,29 +588,8 @@ object SparkEntry {
          SELECT lang_pred, count(*) AS n_docs FROM p
          GROUP BY lang_pred ORDER BY lang_pred""",
     "q35_quality_score" ->
-      """WITH t AS (SELECT doc_id, text, string_split(
-             regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS toks
-           FROM documents),
-         m AS (SELECT doc_id, len(toks) AS n_tokens,
-           CASE WHEN len(toks) > 0
-                THEN CAST(floor(len(list_distinct(toks)) * 3000.0 / len(toks)) AS BIGINT)
-                ELSE 0 END AS diversity,
-           CASE WHEN len(toks) BETWEEN 20 AND 1000 THEN 400
-                WHEN len(toks) BETWEEN 5 AND 19 THEN 200 ELSE 0 END AS length_band,
-           CASE WHEN len(toks) > 0
-                THEN len(list_filter(toks, x -> x IN
-                  ('the','a','an','of','to','in','and','is','it','that'))) * 1.0 / len(toks)
-                ELSE 0.0 END AS sr,
-           CASE WHEN length(regexp_replace(text, '\s', '', 'g')) > 0
-                THEN length(regexp_replace(text, '[^!-/:-@\[-`{-~]', '', 'g')) * 1.0 /
-                     length(regexp_replace(text, '\s', '', 'g'))
-                ELSE 0.0 END AS pr
-           FROM t)
-         SELECT doc_id, CAST(n_tokens AS INT) AS n_tokens,
-           greatest(0, (length_band +
-             (CASE WHEN sr BETWEEN 0.01 AND 0.6 THEN 300 ELSE 0 END) -
-             (CASE WHEN pr > 0.2 THEN 200 ELSE 0 END)) * 10 + diversity) / 10000.0 AS quality
-         FROM m ORDER BY doc_id""",
+      ("WITH " + qualityDocCte + """
+         SELECT doc_id, n_tokens, quality FROM qdoc ORDER BY doc_id"""),
     "q36_token_stats" ->
       """SELECT source,
          CAST(sum(len(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' '))) AS BIGINT) AS total_ws_tokens,
@@ -2239,6 +2251,69 @@ object SparkEntry {
          FROM n a JOIN n b ON a.block = b.block AND a.name < b.name
          WHERE levenshtein(a.name, b.name) <= 4
          ORDER BY block, name_a, name_b""",
+    // q121: lossless AllPairs/PPJoin prefix filter at t = 3/5 — prefix
+    // length n - ceil(3n/5) + 1 in pure integer arithmetic; candidates
+    // verified with exact list_intersect; threshold on the ROUNDED score
+    "q121_prefix_join" ->
+      """WITH t AS (SELECT doc_id,
+             string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'),
+               ' ') AS toks
+           FROM documents),
+         sh AS (SELECT DISTINCT doc_id,
+             md5(array_to_string(list_slice(toks, i, i + 7), ' ')) AS h
+           FROM t, unnest(generate_series(1, len(toks) - 7, 1)) AS u(i)),
+         dfreq AS (SELECT h, count(*) AS df FROM sh GROUP BY 1),
+         rk AS (SELECT s.doc_id, s.h,
+             row_number() OVER (PARTITION BY s.doc_id
+               ORDER BY dfreq.df, s.h) AS rk,
+             count(*) OVER (PARTITION BY s.doc_id) AS n
+           FROM sh s JOIN dfreq ON s.h = dfreq.h),
+         pref AS (SELECT doc_id, h FROM rk
+           WHERE rk <= n - (3 * n + 4) // 5 + 1),
+         cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+           FROM pref a JOIN pref b ON a.h = b.h AND a.doc_id < b.doc_id),
+         sets AS (SELECT doc_id, list(h ORDER BY h) AS s, count(*) AS n
+           FROM sh GROUP BY 1),
+         v AS (SELECT id_a, id_b,
+             len(list_intersect(sa.s, sb.s)) AS inter,
+             round(len(list_intersect(sa.s, sb.s))::DOUBLE /
+               (sa.n + sb.n - len(list_intersect(sa.s, sb.s))), 4) AS jaccard
+           FROM cand JOIN sets sa ON id_a = sa.doc_id
+                     JOIN sets sb ON id_b = sb.doc_id)
+         SELECT id_a, id_b, CAST(inter AS BIGINT) AS inter, jaccard
+         FROM v WHERE jaccard >= 0.6 ORDER BY id_a, id_b""",
+    // q122: fold = first-8-hex-digit fold of md5(canonical_id) mod 5;
+    // canonical = min doc_id per content hash, so dup clusters co-assign
+    "q122_fold_assign" ->
+      """WITH d AS (SELECT doc_id, n_chars,
+             md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+           FROM documents),
+         c AS (SELECT fp, min(doc_id) AS canonical_id FROM d GROUP BY 1),
+         f AS (SELECT d.doc_id, d.n_chars, d.fp,
+             CAST(list_sum([(strpos('0123456789abcdef',
+                 md5(CAST(c.canonical_id AS VARCHAR))[i]) - 1)::BIGINT
+                 * (1::BIGINT << (4 * (8 - i))) for i in range(1, 9)]) % 5
+               AS INT) AS fold
+           FROM d JOIN c ON d.fp = c.fp),
+         g AS (SELECT fold, fp, count(*) AS nd, sum(n_chars) AS ch
+           FROM f GROUP BY 1, 2)
+         SELECT fold, CAST(sum(nd) AS BIGINT) AS n_docs,
+           count(*) AS n_clusters, CAST(sum(ch) AS BIGINT) AS chars
+         FROM g GROUP BY fold ORDER BY fold""",
+    // q123: per-source decile of the q35 quality score — integer-exact
+    // bucket arithmetic ((rk-1)*10 // n); min/max are order-independent
+    "q123_score_deciles" ->
+      ("WITH " + qualityDocCte + """,
+         j AS (SELECT q.doc_id, q.quality, d.source
+           FROM qdoc q JOIN documents d ON q.doc_id = d.doc_id),
+         r AS (SELECT source, quality, doc_id,
+             row_number() OVER (PARTITION BY source
+               ORDER BY quality, doc_id) AS rk,
+             count(*) OVER (PARTITION BY source) AS n
+           FROM j)
+         SELECT source, CAST((rk - 1) * 10 // n AS INT) AS decile,
+           count(*) AS n_docs, min(quality) AS min_q, max(quality) AS max_q
+         FROM r GROUP BY 1, 2 ORDER BY source, decile"""),
   )
 
   /** The q95 power-iteration CTE chain (quantize → center → two exact

@@ -711,6 +711,60 @@ object DedupOps {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** Exact set-similarity self-join via AllPairs/PPJoin prefix filtering
+    * (q121): all document pairs with shingle-set Jaccard ≥ 0.6, found
+    * WITHOUT the lossy df-cap of the q28 family — prefix filtering is
+    * LOSSLESS (Bayardo et al., WWW'07): under a global rare-first order,
+    * any pair with J ≥ t must share an element inside both prefixes of
+    * length n − ⌈t·n⌉ + 1, so joining prefixes finds every qualifying
+    * pair and the exact verify only runs on candidates.
+    *
+    * t is fixed at 3/5 so the prefix arithmetic stays integer-exact on
+    * both engines (⌈3n/5⌉ = (3n+4) div 5). Scale shape: the prefix join
+    * touches only the RAREST ~40 % of each doc's shingles (fan-out per
+    * shingle = df², and the global order puts df=1 shingles first);
+    * per-doc sets ride along as row-local arrays, so verification is a
+    * map-side array_intersect, never a postings re-join.
+    */
+  def prefixJaccardJoin(spark: SparkSession, dir: String,
+      n: Int = 8): DataFrame =
+    prefixJaccardJoinOn(Tables.documents(spark, dir), n)
+
+  private[graft] def prefixJaccardJoinOn(docs: DataFrame,
+      n: Int = 8): DataFrame = {
+    val sh = docs
+      .select(col("doc_id"), explode(Text.wordShingles(col("text"), n)).as("g"))
+      .select(col("doc_id"), md5(col("g")).as("h"))
+    val dfreq = sh.groupBy(col("h")).agg(count(lit(1)).as("df"))
+    val wDoc = Window.partitionBy(col("doc_id")).orderBy(col("df"), col("h"))
+    val ranked = sh.join(dfreq, "h")
+      .withColumn("rk", row_number().over(wDoc))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("doc_id"))))
+    val pref = ranked
+      .filter(col("rk") <= col("n") - expr("(3 * n + 4) div 5") + 1)
+      .select(col("doc_id"), col("h"))
+    val cand = pref.as("a").join(pref.as("b"),
+        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .distinct()
+    val sets = sh.groupBy(col("doc_id"))
+      .agg(sort_array(collect_set(col("h"))).as("s"), count(lit(1)).as("n"))
+    val sa = sets.select(col("doc_id").as("id_a"), col("s").as("sa"),
+      col("n").as("na"))
+    val sb = sets.select(col("doc_id").as("id_b"), col("s").as("sb"),
+      col("n").as("nb"))
+    cand.join(sa, "id_a").join(sb, "id_b")
+      .withColumn("inter",
+        size(array_intersect(col("sa"), col("sb"))).cast("long"))
+      // threshold on the ROUNDED score (the q32 rule) so both engines
+      // cut the same pairs at the boundary
+      .withColumn("jaccard", round(col("inter").cast("double") /
+        (col("na") + col("nb") - col("inter")).cast("double"), 4))
+      .filter(col("jaccard") >= 0.6)
+      .select(col("id_a"), col("id_b"), col("inter"), col("jaccard"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
   /** Cross-source span contamination matrix (q119): for every source
     * pair, the number of DISTINCT `n`-token shingles they share — the
     * curation diagnostic for template/boilerplate leakage between

@@ -430,4 +430,40 @@ object PipelineOps {
         sum(when(col("rk") <= cap, col("n_chars"))).as("chars_kept"))
       .orderBy(col("source"))
   }
+
+  /** Leakage-safe cross-validation folds (q122): fold assignment keyed on
+    * the EXACT-DUP CANONICAL id (min doc_id per content hash), so every
+    * copy of a duplicated document lands in the same fold — the split
+    * discipline that keeps train/val Jaccard leakage at zero for exact
+    * dups (q68 checks the leakage; this prevents it at assignment time).
+    * The fold hash is md5-based, portable across engines and runs.
+    *
+    * Scale shape: one content-hash aggregation (the q27 pass), a
+    * canonical-id equi-join back, then a two-level rollup — no window,
+    * no skew (content hashes are uniform).
+    */
+  def leakageSafeFolds(spark: SparkSession, dir: String,
+      k: Int = 5): DataFrame =
+    leakageSafeFoldsOn(Tables.documents(spark, dir), k)
+
+  private[graft] def leakageSafeFoldsOn(documents: DataFrame,
+      k: Int = 5): DataFrame = {
+    val docs = documents
+      .select(col("doc_id"), col("n_chars"),
+        Text.fingerprintMd5(col("text")).as("fp"))
+    val canon = docs.groupBy(col("fp"))
+      .agg(min(col("doc_id")).as("canonical_id"))
+    docs.join(canon, "fp")
+      .withColumn("fold",
+        (conv(substring(md5(col("canonical_id").cast("string")), 1, 8),
+          16, 10).cast("long") % k).cast("int"))
+      // two-level rollup: (fold, fp) then fold — a distinct-count beside
+      // plain aggs would Expand every row (the q42ApproxDistinct trap)
+      .groupBy(col("fold"), col("fp"))
+      .agg(count(lit(1)).as("nd"), sum(col("n_chars")).as("ch"))
+      .groupBy(col("fold"))
+      .agg(sum(col("nd")).as("n_docs"), count(lit(1)).as("n_clusters"),
+        sum(col("ch")).as("chars"))
+      .orderBy(col("fold"))
+  }
 }

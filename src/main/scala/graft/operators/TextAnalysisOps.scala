@@ -569,4 +569,33 @@ object TextAnalysisOps {
           .as("oov_rate"))
       .orderBy(col("source"))
   }
+
+  /** Per-source quality-score calibration deciles (q123): rank each
+    * document's [[qualityScore]] within its source and bucket into
+    * deciles with PURE INTEGER arithmetic — `decile = ((rk−1)·10) div n`
+    * — so the bucket boundary can never drift between engines the way a
+    * float percent_rank·10 floor could. Per (source, decile): doc count
+    * and the score range. This is the cross-domain score-comparability
+    * diagnostic: a classifier threshold tuned on one domain transfers
+    * via these per-domain quantile maps.
+    *
+    * Scale shape: the corpus-sized work is the quality pass itself; the
+    * window is per-source (streaming rank over a disk-backed sort) and
+    * the rollup reuses the same source partitioning.
+    */
+  def scoreCalibration(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val q = qualityScore(spark, dir)
+    val src = Tables.documents(spark, dir).select(col("doc_id"), col("source"))
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("quality"), col("doc_id"))
+    q.join(src, "doc_id")
+      .withColumn("rk", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("source"))))
+      .withColumn("decile", expr("((rk - 1) * 10) div n").cast("int"))
+      .groupBy(col("source"), col("decile"))
+      .agg(count(lit(1)).as("n_docs"), min(col("quality")).as("min_q"),
+        max(col("quality")).as("max_q"))
+      .orderBy(col("source"), col("decile"))
+  }
 }
