@@ -157,6 +157,10 @@ object SparkEntry {
     "q122_fold_assign"    -> ((s, d) => PipelineOps.leakageSafeFolds(s, d)),
     "q123_score_deciles"  -> ((s, d) =>
       TextAnalysisOps.scoreCalibration(s, d)),
+    "q124_containment"    -> ((s, d) => DedupOps.containmentJoin(s, d)),
+    "q125_ri_profile"     -> ((s, d) => graft.dq.DataQuality.riProfile(s, d)),
+    "q126_transitions"    -> ((s, d) =>
+      graft.operators.EventOps.eventTransitions(s, d)),
   )
 
   /** Shared shingle→df-capped-postings CTE body for every exact-Jaccard
@@ -2314,6 +2318,84 @@ object SparkEntry {
          SELECT source, CAST((rk - 1) * 10 // n AS INT) AS decile,
            count(*) AS n_docs, min(quality) AS min_q, max(quality) AS max_q
          FROM r GROUP BY 1, 2 ORDER BY source, decile"""),
+    // q124: lossless containment at t = 4/5 — each doc's rare-first
+    // prefix (n - ceil(4n/5) + 1) joined against the FULL posting side
+    // covers both directions; verify on the rounded min-side containment
+    "q124_containment" ->
+      """WITH t AS (SELECT doc_id,
+             string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'),
+               ' ') AS toks
+           FROM documents),
+         sh AS (SELECT DISTINCT doc_id,
+             md5(array_to_string(list_slice(toks, i, i + 7), ' ')) AS h
+           FROM t, unnest(generate_series(1, len(toks) - 7, 1)) AS u(i)),
+         dfreq AS (SELECT h, count(*) AS df FROM sh GROUP BY 1),
+         rk AS (SELECT s.doc_id, s.h,
+             row_number() OVER (PARTITION BY s.doc_id
+               ORDER BY dfreq.df, s.h) AS rk,
+             count(*) OVER (PARTITION BY s.doc_id) AS n
+           FROM sh s JOIN dfreq ON s.h = dfreq.h),
+         pref AS (SELECT doc_id, h FROM rk
+           WHERE rk <= n - (4 * n + 4) // 5 + 1),
+         cand AS (SELECT DISTINCT least(a.doc_id, b.doc_id) AS id_a,
+             greatest(a.doc_id, b.doc_id) AS id_b
+           FROM pref a JOIN sh b ON a.h = b.h AND a.doc_id <> b.doc_id),
+         sets AS (SELECT doc_id, list(h ORDER BY h) AS s, count(*) AS n
+           FROM sh GROUP BY 1),
+         v AS (SELECT id_a, id_b,
+             len(list_intersect(sa.s, sb.s)) AS inter,
+             round(len(list_intersect(sa.s, sb.s))::DOUBLE /
+               least(sa.n, sb.n), 4) AS containment
+           FROM cand JOIN sets sa ON id_a = sa.doc_id
+                     JOIN sets sb ON id_b = sb.doc_id)
+         SELECT id_a, id_b, CAST(inter AS BIGINT) AS inter, containment
+         FROM v WHERE containment >= 0.8 ORDER BY id_a, id_b""",
+    // q125: the whole-star FK sweep — one row per edge, orphan counts
+    // via NOT EXISTS; integers only
+    "q125_ri_profile" ->
+      """SELECT * FROM (
+           SELECT 'customer->nation' AS edge,
+             (SELECT count(*) FROM customer) AS n_child,
+             (SELECT count(*) FROM customer c WHERE NOT EXISTS
+               (SELECT 1 FROM nation n WHERE c.c_nationkey = n.n_nationkey))
+               AS n_orphans
+           UNION ALL SELECT 'lineitem->orders',
+             (SELECT count(*) FROM lineitem),
+             (SELECT count(*) FROM lineitem l WHERE NOT EXISTS
+               (SELECT 1 FROM orders o WHERE l.l_orderkey = o.o_orderkey))
+           UNION ALL SELECT 'lineitem->part',
+             (SELECT count(*) FROM lineitem),
+             (SELECT count(*) FROM lineitem l WHERE NOT EXISTS
+               (SELECT 1 FROM part p WHERE l.l_partkey = p.p_partkey))
+           UNION ALL SELECT 'lineitem->supplier',
+             (SELECT count(*) FROM lineitem),
+             (SELECT count(*) FROM lineitem l WHERE NOT EXISTS
+               (SELECT 1 FROM supplier s WHERE l.l_suppkey = s.s_suppkey))
+           UNION ALL SELECT 'nation->region',
+             (SELECT count(*) FROM nation),
+             (SELECT count(*) FROM nation n WHERE NOT EXISTS
+               (SELECT 1 FROM region r WHERE n.n_regionkey = r.r_regionkey))
+           UNION ALL SELECT 'orders->customer',
+             (SELECT count(*) FROM orders),
+             (SELECT count(*) FROM orders o WHERE NOT EXISTS
+               (SELECT 1 FROM customer c WHERE o.o_custkey = c.c_custkey))
+           UNION ALL SELECT 'supplier->nation',
+             (SELECT count(*) FROM supplier),
+             (SELECT count(*) FROM supplier s WHERE NOT EXISTS
+               (SELECT 1 FROM nation n WHERE s.s_nationkey = n.n_nationkey))
+         ) ORDER BY edge""",
+    // q126: per-user lag under the (ts, event_id) total order, then the
+    // |types|² transition rollup; p = exact integer ratio, 6dp round
+    "q126_transitions" ->
+      """WITH o AS (SELECT user_id, event_type,
+             lag(event_type) OVER (PARTITION BY user_id
+               ORDER BY ts, event_id) AS prev_type
+           FROM events),
+         c AS (SELECT prev_type, event_type, count(*) AS n
+           FROM o WHERE prev_type IS NOT NULL GROUP BY 1, 2)
+         SELECT prev_type, event_type, n,
+           round(n::DOUBLE / sum(n) OVER (PARTITION BY prev_type), 6) AS p
+         FROM c ORDER BY prev_type, event_type""",
   )
 
   /** The q95 power-iteration CTE chain (quantize → center → two exact

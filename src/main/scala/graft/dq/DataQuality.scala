@@ -52,4 +52,49 @@ object DataQuality {
     val n = df.count()
     DqReport(table, n, n > 0, nullKeys(df, keyCols))
   }
+
+  /** Schema-wide referential-integrity profile (q125): one row per FK
+    * edge of the star schema with child row count and orphan count —
+    * [[fkViolations]] widened from a single scalar check to the
+    * whole-schema sweep a nightly 100 TB DQ run wants, and kept LAZY
+    * (one composed DataFrame, no driver-side counts) so all seven
+    * anti-joins run in one job.
+    *
+    * Scale shape: each edge is a single-column anti-join; dim parents
+    * broadcast, fact-sized parents (orders at 100 TB) degrade to a
+    * shuffle anti-join under AQE. The per-edge aggregates are 1-row
+    * frames, so the assembling cross-joins are broadcast by
+    * construction.
+    */
+  def riProfile(spark: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame = {
+    import graft.Tables
+    def edge(name: String, child: DataFrame, childKey: String,
+        parent: DataFrame, parentKey: String): DataFrame = {
+      val orphans = child.select(col(childKey))
+        .join(parent.select(col(parentKey)),
+          col(childKey) === col(parentKey), "left_anti")
+        .agg(count(lit(1)).as("n_orphans"))
+      child.agg(count(lit(1)).as("n_child"))
+        .crossJoin(broadcast(orphans))
+        .select(lit(name).as("edge"), col("n_child"), col("n_orphans"))
+    }
+    val li = Tables.lineitem(spark, dir)
+    val o = Tables.orders(spark, dir)
+    val c = Tables.customer(spark, dir)
+    val s = Tables.supplier(spark, dir)
+    val p = Tables.part(spark, dir)
+    val n = Tables.nation(spark, dir)
+    val r = Tables.region(spark, dir)
+    Seq(
+      edge("customer->nation", c, "c_nationkey", n, "n_nationkey"),
+      edge("lineitem->orders", li, "l_orderkey", o, "o_orderkey"),
+      edge("lineitem->part", li, "l_partkey", p, "p_partkey"),
+      edge("lineitem->supplier", li, "l_suppkey", s, "s_suppkey"),
+      edge("nation->region", n, "n_regionkey", r, "r_regionkey"),
+      edge("orders->customer", o, "o_custkey", c, "c_custkey"),
+      edge("supplier->nation", s, "s_nationkey", n, "n_nationkey"))
+      .reduce(_.unionByName(_))
+      .orderBy(col("edge"))
+  }
 }

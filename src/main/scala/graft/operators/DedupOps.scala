@@ -765,6 +765,60 @@ object DedupOps {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** Lossless containment join (q124): all unordered document pairs whose
+    * smaller shingle set is ≥ 80 % contained in the other —
+    * |A∩B| / min(|A|,|B|) ≥ 4/5 — the subset-duplicate detector Jaccard
+    * misses (a paragraph quoted whole inside a long document scores low
+    * J but full containment).
+    *
+    * Candidate rule: if |X∩Y| ≥ ⌈t·|X|⌉ then Y shares an element with
+    * X's rare-first prefix of length |X| − ⌈t·|X|⌉ + 1, so joining each
+    * doc's prefix against the FULL posting side covers both containment
+    * directions losslessly (⌈4n/5⌉ = (4n+4) div 5, integer-exact).
+    * Prefix elements are by construction each doc's globally RAREST
+    * shingles, so the full-side postings met by the join are short —
+    * the fan-out is df² of rare elements, like q121. Verification is
+    * the same row-local array_intersect.
+    */
+  def containmentJoin(spark: SparkSession, dir: String,
+      n: Int = 8): DataFrame =
+    containmentJoinOn(Tables.documents(spark, dir), n)
+
+  private[graft] def containmentJoinOn(docs: DataFrame,
+      n: Int = 8): DataFrame = {
+    val sh = docs
+      .select(col("doc_id"), explode(Text.wordShingles(col("text"), n)).as("g"))
+      .select(col("doc_id"), md5(col("g")).as("h"))
+    val wDoc = Window.partitionBy(col("doc_id"))
+      .orderBy(col("df"), col("h"))
+    val ranked = sh
+      .join(sh.groupBy(col("h")).agg(count(lit(1)).as("df")), "h")
+      .withColumn("rk", row_number().over(wDoc))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("doc_id"))))
+    val pref = ranked
+      .filter(col("rk") <= col("n") - expr("(4 * n + 4) div 5") + 1)
+      .select(col("doc_id"), col("h"))
+    val cand = pref.as("a").join(sh.as("b"),
+        col("a.h") === col("b.h") && col("a.doc_id") =!= col("b.doc_id"))
+      .select(least(col("a.doc_id"), col("b.doc_id")).as("id_a"),
+        greatest(col("a.doc_id"), col("b.doc_id")).as("id_b"))
+      .distinct()
+    val sets = sh.groupBy(col("doc_id"))
+      .agg(sort_array(collect_set(col("h"))).as("s"), count(lit(1)).as("n"))
+    val sa = sets.select(col("doc_id").as("id_a"), col("s").as("sa"),
+      col("n").as("na"))
+    val sb = sets.select(col("doc_id").as("id_b"), col("s").as("sb"),
+      col("n").as("nb"))
+    cand.join(sa, "id_a").join(sb, "id_b")
+      .withColumn("inter",
+        size(array_intersect(col("sa"), col("sb"))).cast("long"))
+      .withColumn("containment", round(col("inter").cast("double") /
+        least(col("na"), col("nb")).cast("double"), 4))
+      .filter(col("containment") >= 0.8)
+      .select(col("id_a"), col("id_b"), col("inter"), col("containment"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
   /** Cross-source span contamination matrix (q119): for every source
     * pair, the number of DISTINCT `n`-token shingles they share — the
     * curation diagnostic for template/boilerplate leakage between

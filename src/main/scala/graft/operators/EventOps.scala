@@ -280,6 +280,32 @@ object EventOps {
       .orderBy(col("day"))
   }
 
+  /** Event-type transition matrix (q126): per-user consecutive event
+    * pairs (total order: ts then event_id) rolled into global Markov
+    * transition counts and probabilities — the behavioral sequence-
+    * mining primitive behind session modeling and anomaly scoring.
+    *
+    * Scale shape: one shuffle on user_id for the lag window, then a
+    * transition-matrix-sized (|types|²) aggregation; the probability is
+    * an exact integer ratio — one division, then the 6dp round — and
+    * the normalizing sum is a window over ≤ |types| rows.
+    */
+  def eventTransitions(spark: SparkSession, dir: String): DataFrame =
+    eventTransitionsOn(Tables.events(spark, dir))
+
+  private[graft] def eventTransitionsOn(ev: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val wPrev = Window.partitionBy(col("prev_type"))
+    ev.select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+      .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+      .filter(col("prev_type").isNotNull)
+      .groupBy(col("prev_type"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("p",
+        round(col("n").cast("double") / sum(col("n")).over(wPrev), 6))
+      .orderBy(col("prev_type"), col("event_type"))
+  }
+
   private[graft] def rollingActiveUsersOn(ev: DataFrame): DataFrame = {
     val act = ev
       .select(col("user_id"),
