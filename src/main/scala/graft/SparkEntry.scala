@@ -161,6 +161,11 @@ object SparkEntry {
     "q125_ri_profile"     -> ((s, d) => graft.dq.DataQuality.riProfile(s, d)),
     "q126_transitions"    -> ((s, d) =>
       graft.operators.EventOps.eventTransitions(s, d)),
+    "q127_vocab_growth"   -> ((s, d) => TextAnalysisOps.vocabGrowth(s, d)),
+    "q128_fp_diff"        -> ((s, d) =>
+      graft.operators.IncrementalOps.fingerprintDiff(s, d)),
+    "q129_length_hist"    -> ((s, d) =>
+      TextAnalysisOps.lengthHistogram(s, d)),
   )
 
   /** Shared shingle→df-capped-postings CTE body for every exact-Jaccard
@@ -2396,6 +2401,73 @@ object SparkEntry {
          SELECT prev_type, event_type, n,
            round(n::DOUBLE / sum(n) OVER (PARTITION BY prev_type), 6) AS p
          FROM c ORDER BY prev_type, event_type""",
+    // q127: Heaps-law growth — first-occurrence doc of each distinct
+    // 8-gram per source, bucketed by integer-exact ingest quartile
+    "q127_vocab_growth" ->
+      """WITH t AS (SELECT source, doc_id,
+             string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'),
+               ' ') AS toks
+           FROM documents),
+         raw AS (SELECT source, doc_id,
+             md5(array_to_string(list_slice(toks, i, i + 7), ' ')) AS h
+           FROM t, unnest(generate_series(1, len(toks) - 7, 1)) AS u(i)),
+         fo AS (SELECT source, h, min(doc_id) AS first_doc
+           FROM raw GROUP BY 1, 2),
+         r AS (SELECT source, doc_id AS first_doc,
+             row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rk,
+             count(*) OVER (PARTITION BY source) AS nd
+           FROM documents),
+         g AS (SELECT fo.source,
+             CAST((r.rk - 1) * 4 // r.nd AS INT) AS quartile,
+             count(*) AS n_new
+           FROM fo JOIN r ON fo.source = r.source
+             AND fo.first_doc = r.first_doc
+           GROUP BY 1, 2)
+         SELECT source, quartile, n_new,
+           CAST(sum(n_new) OVER (PARTITION BY source ORDER BY quartile
+             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_distinct
+         FROM g ORDER BY source, quartile""",
+    // q128: per-bucket XOR fingerprints of v1 vs the q91 v2 mutation;
+    // only differing buckets survive — the repair manifest
+    "q128_fp_diff" ->
+      """WITH v1 AS (SELECT doc_id, text FROM documents),
+         v2 AS (
+           SELECT doc_id,
+             CASE WHEN doc_id % 10 = 0 THEN text || ' [rev2]'
+                  ELSE text END AS text
+           FROM v1 WHERE doc_id % 13 <> 0
+           UNION ALL
+           SELECT doc_id + 1000000 AS doc_id, text
+           FROM v1 WHERE doc_id % 17 = 0),
+         f1 AS (SELECT CAST(doc_id % 64 AS INT) AS bucket,
+             count(*) AS n1, bit_xor(list_sum([
+               (strpos('0123456789abcdef',
+                  md5(concat_ws('|', doc_id, text))[17 + i]) - 1)::BIGINT
+               * (1::BIGINT << (4 * (15 - i))) for i in range(1, 16)])) AS fp1
+           FROM v1 GROUP BY 1),
+         f2 AS (SELECT CAST(doc_id % 64 AS INT) AS bucket,
+             count(*) AS n2, bit_xor(list_sum([
+               (strpos('0123456789abcdef',
+                  md5(concat_ws('|', doc_id, text))[17 + i]) - 1)::BIGINT
+               * (1::BIGINT << (4 * (15 - i))) for i in range(1, 16)])) AS fp2
+           FROM v2 GROUP BY 1)
+         SELECT coalesce(f1.bucket, f2.bucket) AS bucket,
+           CAST(coalesce(n1, 0) AS BIGINT) AS n1,
+           CAST(coalesce(n2, 0) AS BIGINT) AS n2,
+           CAST(coalesce(fp1, 0) AS BIGINT) AS fp1,
+           CAST(coalesce(fp2, 0) AS BIGINT) AS fp2
+         FROM f1 FULL OUTER JOIN f2 ON f1.bucket = f2.bucket
+         WHERE coalesce(fp1, 0) <> coalesce(fp2, 0)
+            OR coalesce(n1, 0) <> coalesce(n2, 0)
+         ORDER BY bucket""",
+    // q129: integer-exact log2 length bands — length(bin(x)) - 1, no
+    // float log at the power-of-two boundary
+    "q129_length_hist" ->
+      """SELECT lang, CAST(length(bin(n_chars)) - 1 AS INT) AS log2_bucket,
+           count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS chars,
+           CAST(min(n_chars) AS BIGINT) AS min_chars,
+           CAST(max(n_chars) AS BIGINT) AS max_chars
+         FROM documents GROUP BY 1, 2 ORDER BY lang, log2_bucket""",
   )
 
   /** The q95 power-iteration CTE chain (quantize → center → two exact

@@ -183,6 +183,38 @@ object IncrementalOps {
     scd2Delta(v1, deriveV2(v1))
   }
 
+  /** Anti-entropy repair manifest (q128): bucket both snapshots by
+    * `doc_id mod buckets`, XOR-fingerprint each bucket (the q118 fold
+    * over a doc_id|content payload), and emit only the buckets whose
+    * fingerprint or count differs — the Merkle-style comparison that
+    * lets two 100 TB replicas agree on WHICH partitions to re-sync
+    * while exchanging only `buckets` rows of state each.
+    *
+    * Scale shape: one map-side partial XOR per side, a `buckets`-row
+    * full-outer join, delta-sized output. The v2 snapshot is the
+    * deterministic [[deriveV2]] mutation shared with q91/q93.
+    */
+  def fingerprintDiff(spark: SparkSession, dir: String,
+      buckets: Int = 64): DataFrame = {
+    val v1 = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    val v2 = deriveV2(v1)
+    def bucketFp(df: DataFrame, nCol: String, fpCol: String): DataFrame =
+      df.select((col("doc_id") % buckets).cast("int").as("bucket"),
+          conv(substring(md5(concat_ws("|", col("doc_id"), col("text"))),
+            18, 15), 16, 10).cast("long").as("fp"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as(nCol), expr("bit_xor(fp)").as(fpCol))
+    bucketFp(v1, "n1", "fp1")
+      .join(bucketFp(v2, "n2", "fp2"), Seq("bucket"), "full_outer")
+      .filter(coalesce(col("fp1"), lit(0L)) =!= coalesce(col("fp2"), lit(0L)) ||
+        coalesce(col("n1"), lit(0L)) =!= coalesce(col("n2"), lit(0L)))
+      .select(col("bucket"), coalesce(col("n1"), lit(0L)).as("n1"),
+        coalesce(col("n2"), lit(0L)).as("n2"),
+        coalesce(col("fp1"), lit(0L)).as("fp1"),
+        coalesce(col("fp2"), lit(0L)).as("fp2"))
+      .orderBy(col("bucket"))
+  }
+
   /** Order-independent table fingerprint (q118): per-row 60-bit digest
     * (low 15 hex digits of the key-payload md5) folded per group with
     * XOR — the snapshot-integrity primitive that lets two 100 TB copies

@@ -583,6 +583,56 @@ object TextAnalysisOps {
     * window is per-source (streaming rank over a disk-backed sort) and
     * the rollup reuses the same source partitioning.
     */
+  /** Vocabulary growth curve (q127): per source, how many NEW distinct
+    * 8-gram shingles each ingest quartile contributes (first-occurrence
+    * doc bucketed by integer-exact quartile of the source's doc order) —
+    * the Heaps-law saturation diagnostic that tells a crawl pipeline
+    * when a domain stops yielding novel text and can be down-weighted.
+    *
+    * Scale shape: the corpus pass is the shingle build (q28-family
+    * cost); first-occurrence is a min() aggregate (map-side partial),
+    * and everything after is (source × shingle)-then-(source × 4)
+    * sized. The cumulative sum is a 4-row window per source.
+    */
+  def vocabGrowth(spark: SparkSession, dir: String, n: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, dir)
+    val wSrc = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+    val ranked = docs.select(col("source"), col("doc_id"))
+      .withColumn("rk", row_number().over(wSrc))
+      .withColumn("nd", count(lit(1)).over(Window.partitionBy(col("source"))))
+      .withColumnRenamed("doc_id", "first_doc")
+    val first = docs
+      .select(col("source"), col("doc_id"),
+        explode(Text.wordShingles(col("text"), n)).as("g"))
+      .groupBy(col("source"), md5(col("g")).as("h"))
+      .agg(min(col("doc_id")).as("first_doc"))
+    first.join(ranked, Seq("source", "first_doc"))
+      .withColumn("quartile", expr("((rk - 1) * 4) div nd").cast("int"))
+      .groupBy(col("source"), col("quartile"))
+      .agg(count(lit(1)).as("n_new"))
+      .withColumn("cum_distinct", sum(col("n_new")).over(
+        Window.partitionBy(col("source")).orderBy(col("quartile"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .orderBy(col("source"), col("quartile"))
+  }
+
+  /** Log2-bucketed length histogram (q129): per lang, document counts
+    * and char mass by power-of-two length band. The bucket is
+    * `length(bin(n_chars)) − 1` = ⌊log2⌋ computed on the INTEGER bit
+    * pattern — no float log whose boundary cell (log2(1024) ↦
+    * 9.999…) could land either side of floor() depending on libm.
+    */
+  def lengthHistogram(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("lang"),
+        (length(bin(col("n_chars"))) - 1).cast("int").as("log2_bucket"),
+        col("n_chars"))
+      .groupBy(col("lang"), col("log2_bucket"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("chars"),
+        min(col("n_chars")).as("min_chars"), max(col("n_chars")).as("max_chars"))
+      .orderBy(col("lang"), col("log2_bucket"))
+
   def scoreCalibration(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val q = qualityScore(spark, dir)
