@@ -602,10 +602,9 @@ object TextAnalysisOps {
       .withColumn("rk", row_number().over(wSrc))
       .withColumn("nd", count(lit(1)).over(Window.partitionBy(col("source"))))
       .withColumnRenamed("doc_id", "first_doc")
-    val first = docs
-      .select(col("source"), col("doc_id"),
-        explode(Text.wordShingles(col("text"), n)).as("g"))
-      .groupBy(col("source"), md5(col("g")).as("h"))
+    val first = DedupOps.cachedNgramHashes(spark, dir, n)
+      .join(docs.select(col("doc_id"), col("source")), "doc_id")
+      .groupBy(col("source"), col("h"))
       .agg(min(col("doc_id")).as("first_doc"))
     first.join(ranked, Seq("source", "first_doc"))
       .withColumn("quartile", expr("((rk - 1) * 4) div nd").cast("int"))
