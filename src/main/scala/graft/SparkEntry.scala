@@ -166,6 +166,9 @@ object SparkEntry {
       graft.operators.IncrementalOps.fingerprintDiff(s, d)),
     "q129_length_hist"    -> ((s, d) =>
       TextAnalysisOps.lengthHistogram(s, d)),
+    "q130_dense_ids"      -> (CoreQueries.q130DenseIds(_, _)),
+    "q131_exact_ols"      -> (CoreQueries.q131ExactOls _),
+    "q132_zorder_layout"  -> (CoreQueries.q132ZorderLayout(_, _)),
   )
 
   /** Shared shingle→df-capped-postings CTE body for every exact-Jaccard
@@ -202,6 +205,14 @@ object SparkEntry {
              (CASE WHEN sr BETWEEN 0.01 AND 0.6 THEN 300 ELSE 0 END) -
              (CASE WHEN pr > 0.2 THEN 200 ELSE 0 END)) * 10 + diversity) / 10000.0 AS quality
            FROM q35m)"""
+
+  /** The q132 Morton interleave as DuckDB bit arithmetic — generated so
+    * the 32 terms cannot be hand-mistyped; mirrors the shiftleft/
+    * shiftright/bitwiseAND fold in CoreQueries.q132ZorderLayout.
+    */
+  private val mortonSql: String = (0 until 16).map(i =>
+    s"(((l_partkey >> $i) & 1) << ${2 * i}) + " +
+      s"(((l_suppkey >> $i) & 1) << ${2 * i + 1})").mkString(" + ")
 
   private val shinglePostingsCte: String =
     """d0 AS (
@@ -2468,6 +2479,45 @@ object SparkEntry {
            CAST(min(n_chars) AS BIGINT) AS min_chars,
            CAST(max(n_chars) AS BIGINT) AS max_chars
          FROM documents GROUP BY 1, 2 ORDER BY lang, log2_bucket""",
+    // q130: the oracle is the NAIVE global row_number — the Spark side's
+    // two-phase bucket/offset formulation must equal it exactly
+    "q130_dense_ids" ->
+      """SELECT vec_id,
+           CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS dense_id
+         FROM embeddings ORDER BY vec_id""",
+    // q131: six exact HUGEINT moments (cents fixed-point), closed forms
+    // with one cast/sqrt/division/round per output; `+ 0.0` normalizes
+    // any negative-tiny rounding to +0.0 (PARITY.md hazard 2)
+    "q131_exact_ols" ->
+      """WITH b AS (SELECT l_returnflag,
+             CAST(round(l_quantity * 100) AS HUGEINT) AS x,
+             CAST(round(l_extendedprice * 100) AS HUGEINT) AS y
+           FROM lineitem),
+         m AS (SELECT l_returnflag, CAST(count(*) AS HUGEINT) AS n,
+             sum(x) AS sx, sum(y) AS sy, sum(x*y) AS sxy,
+             sum(x*x) AS sxx, sum(y*y) AS syy
+           FROM b GROUP BY 1)
+         SELECT l_returnflag, CAST(n AS BIGINT) AS n,
+           round((n*sxy - sx*sy)::DOUBLE / (n*sxx - sx*sx)::DOUBLE, 6) + 0.0
+             AS slope,
+           round((sy*sxx - sx*sxy)::DOUBLE / (n*sxx - sx*sx)::DOUBLE, 6) + 0.0
+             AS intercept,
+           round((n*sxy - sx*sy)::DOUBLE /
+             (sqrt((n*sxx - sx*sx)::DOUBLE) * sqrt((n*syy - sy*sy)::DOUBLE)),
+             6) + 0.0 AS r
+         FROM m ORDER BY l_returnflag""",
+    // q132: Morton interleave in pure bit arithmetic (32 shift/mask
+    // terms, generated); coarse z-ranges profiled by 2-D key bounds
+    "q132_zorder_layout" ->
+      s"""WITH z AS (SELECT l_partkey, l_suppkey,
+             ($mortonSql) AS z
+           FROM lineitem)
+         SELECT z // 16384 AS zrange, count(*) AS n_rows,
+           CAST(min(l_partkey) AS BIGINT) AS min_part,
+           CAST(max(l_partkey) AS BIGINT) AS max_part,
+           CAST(min(l_suppkey) AS BIGINT) AS min_supp,
+           CAST(max(l_suppkey) AS BIGINT) AS max_supp
+         FROM z GROUP BY 1 ORDER BY zrange""",
   )
 
   /** The q95 power-iteration CTE chain (quantize → center → two exact

@@ -632,4 +632,94 @@ object CoreQueries {
         round(col("rev_cp").cast("double") / lit(10000.0), 2).as("revenue"))
       .orderBy(col("revenue").desc, col("n_name"))
   }
+
+  /** Scalable dense-ID assignment (q130): global 0..n−1 sequence over
+    * vec_id order WITHOUT a global-order window — the naive
+    * `row_number() OVER (ORDER BY …)` moves the whole table to ONE
+    * partition (the WindowExec warning), which is the canonical
+    * 100 TB scale-killer. Two-phase instead: key-range buckets get a
+    * per-bucket streaming rank (partitioned window), and bucket OFFSETS
+    * come from a cumulative sum over the bucket-COUNT frame — a window
+    * over #buckets rows, not over the data. dense_id = offset + intra − 1
+    * equals the naive global row_number exactly (the oracle computes the
+    * naive form).
+    */
+  def q130DenseIds(spark: SparkSession, dir: String,
+      bucketWidth: Long = 256): DataFrame = {
+    val e = Tables.embeddings(spark, dir).select(col("vec_id"))
+      .withColumn("bucket", expr(s"vec_id div $bucketWidth"))
+    val offsets = e.groupBy(col("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("offset", coalesce(sum(col("cnt")).over(
+        Window.orderBy(col("bucket"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("bucket"), col("offset"))
+    e.withColumn("intra", row_number().over(
+        Window.partitionBy(col("bucket")).orderBy(col("vec_id"))))
+      .join(broadcast(offsets), "bucket")
+      .select(col("vec_id"),
+        (col("offset") + col("intra") - 1).cast("long").as("dense_id"))
+      .orderBy(col("vec_id"))
+  }
+
+  /** Exact-moment grouped OLS + correlation (q131): slope, intercept and
+    * Pearson r of extendedprice~quantity per return flag, with EVERY
+    * cross-engine-hazardous sum done in fixed-point integers
+    * (cents × cents as DECIMAL(38,0) ≙ DuckDB HUGEINT — exact under any
+    * shuffle order, the q95 discipline applied to second moments). Floats
+    * appear only at the closed-form endpoints: one decimal→double cast
+    * per factor, IEEE sqrt (correctly rounded by the standard), one
+    * division, one 6dp round.
+    *
+    * Scale shape: a single map-side-partial aggregation of six moments —
+    * the textbook "sufficient statistics beat row shipping" pattern; the
+    * closed forms are per-group scalar math.
+    */
+  def q131ExactOls(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.lineitem(spark, dir).select(col("l_returnflag"),
+      round(col("l_quantity") * 100, 0).cast("decimal(38,0)").as("x"),
+      round(col("l_extendedprice") * 100, 0).cast("decimal(38,0)").as("y"))
+    val m = base
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).cast("decimal(38,0)").as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"))
+    val varX = (col("n") * col("sxx") - col("sx") * col("sx")).cast("double")
+    val varY = (col("n") * col("syy") - col("sy") * col("sy")).cast("double")
+    val cov = (col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
+    m.select(col("l_returnflag"), col("n").cast("long").as("n"),
+        round(cov / varX, 6).as("slope"),
+        round((col("sy") * col("sxx") - col("sx") * col("sxy")).cast("double")
+          / varX, 6).as("intercept"),
+        round(cov / (sqrt(varX) * sqrt(varY)), 6).as("r"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  /** Z-order layout profile (q132): Morton-interleave (l_partkey,
+    * l_suppkey) into a space-filling key, bucket into coarse z-ranges,
+    * and report each range's min/max along BOTH dimensions — the
+    * locality evidence behind ZORDER-style layout optimization: a file
+    * per z-range covers a narrow rectangle of the key space, so a
+    * predicate on EITHER column prunes most ranges (1-D clustering can
+    * only prune on its sort column). Pure integer bit arithmetic, no
+    * UDF — the interleave is 32 shift/mask terms inside one codegen
+    * projection.
+    */
+  def q132ZorderLayout(spark: SparkSession, dir: String,
+      rangeShift: Int = 14): DataFrame = {
+    val morton = (0 until 16).map { i =>
+      shiftleft(shiftright(col("l_partkey"), i).bitwiseAND(lit(1L)), 2 * i) +
+        shiftleft(shiftright(col("l_suppkey"), i).bitwiseAND(lit(1L)), 2 * i + 1)
+    }.reduce(_ + _)
+    Tables.lineitem(spark, dir)
+      .select(col("l_partkey"), col("l_suppkey"), morton.as("z"))
+      .withColumn("zrange", expr(s"z div ${1L << rangeShift}"))
+      .groupBy(col("zrange"))
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("l_partkey")).as("min_part"), max(col("l_partkey")).as("max_part"),
+        min(col("l_suppkey")).as("min_supp"), max(col("l_suppkey")).as("max_supp"))
+      .orderBy(col("zrange"))
+  }
 }
