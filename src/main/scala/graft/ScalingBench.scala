@@ -160,7 +160,25 @@ object ScalingBench {
       // ABTT removal (q96): map-only projection over the cached
       // component — should track the scan like q82
       Probe("q96_abtt_removal", "embeddings",
-        SparkEntry.queries("q96_abtt_removal")))
+        SparkEntry.queries("q96_abtt_removal")),
+      // prefix join (q121) / containment (q124): the quadratic hazard is
+      // the prefix-element posting join — rare-first ordering bounds
+      // fan-out at df² of LOW-df elements, so the probes verify the
+      // candidate stage tracks the corpus, not its square (the synth
+      // corpora share zero shingles across copies, so candidates scale
+      // with the per-copy structure exactly k×)
+      Probe("q121_prefix_join", "documents",
+        SparkEntry.queries("q121_prefix_join")),
+      Probe("q124_containment", "documents",
+        SparkEntry.queries("q124_containment")),
+      // source overlap (q119): distinct (source, 16-gram) then an
+      // S²-bounded hash join — linear build, vocabulary-sized join
+      Probe("q119_source_overlap", "documents",
+        SparkEntry.queries("q119_source_overlap")),
+      // vocab growth (q127): shingle build + min() partial agg; the
+      // quartile stage is (source × 4)-sized
+      Probe("q127_vocab_growth", "documents",
+        SparkEntry.queries("q127_vocab_growth")))
 
   /** Build k-times-scaled corpora from sf0.1 (documents AND embeddings).
     * Document copy c suffixes every token with a copy marker, so each

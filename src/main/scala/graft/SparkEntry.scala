@@ -169,6 +169,7 @@ object SparkEntry {
     "q130_dense_ids"      -> (CoreQueries.q130DenseIds(_, _)),
     "q131_exact_ols"      -> (CoreQueries.q131ExactOls _),
     "q132_zorder_layout"  -> (CoreQueries.q132ZorderLayout(_, _)),
+    "q133_delete_cascade" -> (CoreQueries.q133DeleteCascade(_, _)),
   )
 
   /** Shared shingle→df-capped-postings CTE body for every exact-Jaccard
@@ -2518,6 +2519,23 @@ object SparkEntry {
            CAST(min(l_suppkey) AS BIGINT) AS min_supp,
            CAST(max(l_suppkey) AS BIGINT) AS max_supp
          FROM z GROUP BY 1 ORDER BY zrange""",
+    // q133: customer -> orders -> lineitem cascade counts via IN-chains
+    // (the semi-join shape); integers only
+    "q133_delete_cascade" ->
+      """SELECT * FROM (
+           SELECT 'customer' AS tbl, count(*) AS n_rows,
+             count(DISTINCT c_custkey) AS n_keys
+           FROM customer WHERE c_custkey % 97 = 0
+           UNION ALL
+           SELECT 'lineitem', count(*), count(DISTINCT l_orderkey)
+           FROM lineitem WHERE l_orderkey IN
+             (SELECT o_orderkey FROM orders WHERE o_custkey IN
+               (SELECT c_custkey FROM customer WHERE c_custkey % 97 = 0))
+           UNION ALL
+           SELECT 'orders', count(*), count(DISTINCT o_custkey)
+           FROM orders WHERE o_custkey IN
+             (SELECT c_custkey FROM customer WHERE c_custkey % 97 = 0)
+         ) ORDER BY tbl""",
   )
 
   /** The q95 power-iteration CTE chain (quantize → center → two exact

@@ -697,6 +697,39 @@ object CoreQueries {
       .orderBy(col("l_returnflag"))
   }
 
+  /** Deletion-cascade impact manifest (q133): given a deletion list of
+    * customers (key % mod = 0 — the GDPR erasure-request stand-in),
+    * count the rows each downstream table loses when the delete cascades
+    * customer → orders → lineitem, plus the distinct cascade keys — the
+    * blast-radius report a compliance pipeline runs BEFORE rewriting
+    * 100 TB of partitions.
+    *
+    * Scale shape: each level is one left-semi join on the parent's
+    * surviving keys (semi-joins never materialize payload columns);
+    * the delete-list side broadcasts. Output is 3 rows.
+    */
+  def q133DeleteCascade(spark: SparkSession, dir: String,
+      mod: Int = 97): DataFrame = {
+    val delCust = Tables.customer(spark, dir).select(col("c_custkey"))
+      .filter(col("c_custkey") % mod === 0)
+    val delOrders = Tables.orders(spark, dir)
+      .join(broadcast(delCust), col("o_custkey") === col("c_custkey"),
+        "left_semi")
+    val delLi = Tables.lineitem(spark, dir)
+      .join(delOrders.select(col("o_orderkey")),
+        col("l_orderkey") === col("o_orderkey"), "left_semi")
+    val c = delCust.agg(count(lit(1)).as("n_rows"),
+      countDistinct(col("c_custkey")).as("n_keys"))
+      .select(lit("customer").as("tbl"), col("n_rows"), col("n_keys"))
+    val o = delOrders.agg(count(lit(1)).as("n_rows"),
+      countDistinct(col("o_custkey")).as("n_keys"))
+      .select(lit("orders").as("tbl"), col("n_rows"), col("n_keys"))
+    val l = delLi.agg(count(lit(1)).as("n_rows"),
+      countDistinct(col("l_orderkey")).as("n_keys"))
+      .select(lit("lineitem").as("tbl"), col("n_rows"), col("n_keys"))
+    c.unionByName(l).unionByName(o).orderBy(col("tbl"))
+  }
+
   /** Z-order layout profile (q132): Morton-interleave (l_partkey,
     * l_suppkey) into a space-filling key, bucket into coarse z-ranges,
     * and report each range's min/max along BOTH dimensions — the
