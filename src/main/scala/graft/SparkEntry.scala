@@ -170,6 +170,9 @@ object SparkEntry {
     "q131_exact_ols"      -> (CoreQueries.q131ExactOls _),
     "q132_zorder_layout"  -> (CoreQueries.q132ZorderLayout(_, _)),
     "q133_delete_cascade" -> (CoreQueries.q133DeleteCascade(_, _)),
+    "q134_user_paths"     -> ((s, d) =>
+      graft.operators.EventOps.userPaths(s, d)),
+    "q135_media_dedup"    -> ((s, d) => MultimodalOps.mediaDedup(s, d)),
   )
 
   /** Shared shingle→df-capped-postings CTE body for every exact-Jaccard
@@ -2536,6 +2539,31 @@ object SparkEntry {
            FROM orders WHERE o_custkey IN
              (SELECT c_custkey FROM customer WHERE c_custkey % 97 = 0)
          ) ORDER BY tbl""",
+    // q134: per-user ordered path signature (string_agg under the
+    // (ts, event_id) total order ≙ Spark's sort_array'd struct list),
+    // then the top-k journeys with a total tie order
+    "q134_user_paths" ->
+      """WITH p AS (SELECT user_id,
+             string_agg(event_type, '->' ORDER BY ts, event_id) AS path
+           FROM events GROUP BY 1)
+         SELECT path, count(*) AS n_users FROM p
+         GROUP BY 1 ORDER BY n_users DESC, path LIMIT 10""",
+    // q135: md5 of the UTF-8 payload bytes == md5 of the text on both
+    // engines; wasted bytes are exact integers
+    "q135_media_dedup" ->
+      """WITH m AS (SELECT
+             CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'wav'
+                  ELSE 'mp4' END AS format,
+             md5(text) AS fp,
+             octet_length(encode(text)) AS n_bytes
+           FROM documents),
+         g AS (SELECT format, fp, count(*) AS n_copies,
+             min(n_bytes) AS n_bytes
+           FROM m GROUP BY 1, 2)
+         SELECT format, count(*) AS n_distinct,
+           CAST(sum(n_copies) AS BIGINT) AS n_total,
+           CAST(sum((n_copies - 1) * n_bytes) AS BIGINT) AS wasted_bytes
+         FROM g GROUP BY format ORDER BY format""",
   )
 
   /** The q95 power-iteration CTE chain (quantize → center → two exact

@@ -306,6 +306,32 @@ object EventOps {
       .orderBy(col("prev_type"), col("event_type"))
   }
 
+  /** User journey paths (q134): each user's full event-type sequence
+    * under the (ts, event_id) total order collapsed to a path signature
+    * ("signup->view->click"), then the most common journeys — the
+    * funnel-path-mining rollup product teams run over months of events.
+    *
+    * Scale shape: one shuffle on user_id; the per-user path is built
+    * row-locally from a sort_array'd struct list (no window), and the
+    * path rollup is journey-cardinality-sized. Per-user event counts
+    * bound the array (sessions at 100 TB would pre-split by day); the
+    * top-k cut is a count-ordered limit with a total tie order.
+    */
+  def userPaths(spark: SparkSession, dir: String, k: Int = 10): DataFrame =
+    userPathsOn(Tables.events(spark, dir), k)
+
+  private[graft] def userPathsOn(ev: DataFrame, k: Int = 10): DataFrame =
+    ev.select(col("user_id"),
+        struct(col("ts"), col("event_id"), col("event_type")).as("e"))
+      .groupBy(col("user_id"))
+      .agg(sort_array(collect_list(col("e"))).as("es"))
+      .select(concat_ws("->", expr("transform(es, x -> x.event_type)"))
+        .as("path"))
+      .groupBy(col("path"))
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy(col("n_users").desc, col("path"))
+      .limit(k)
+
   private[graft] def rollingActiveUsersOn(ev: DataFrame): DataFrame = {
     val act = ev
       .select(col("user_id"),

@@ -98,4 +98,24 @@ object MultimodalOps {
         round(col("feature")(0).cast("double"), 4).as("f0"))
       .orderBy(col("doc_id"))
   }
+
+  /** Binary media dedup (q135): exact duplicate detection on the OPAQUE
+    * payload — md5 of the raw bytes, grouped per format, reporting dup
+    * clusters and the storage the duplicates waste. The multimodal twin
+    * of q27: a crawl's image/audio dedup never looks inside the bytes,
+    * so content-hash grouping is the whole operator and it works at any
+    * payload size (the hash is computed streaming over the binary, the
+    * bytes are never shuffled — only (hash, format, n_bytes) triples
+    * move).
+    */
+  def mediaDedup(spark: SparkSession, dir: String): DataFrame =
+    mediaTable(spark, dir)
+      .select(col("format"), md5(col("media")).as("fp"), col("n_bytes"))
+      .groupBy(col("format"), col("fp"))
+      .agg(count(lit(1)).as("n_copies"), min(col("n_bytes")).as("n_bytes"))
+      .groupBy(col("format"))
+      .agg(count(lit(1)).as("n_distinct"),
+        sum(col("n_copies")).as("n_total"),
+        sum((col("n_copies") - 1) * col("n_bytes")).as("wasted_bytes"))
+      .orderBy(col("format"))
 }
