@@ -275,4 +275,62 @@ class PlanSpec extends SparkSpecBase {
       assert(!plan.contains("ScalaUDF"), s"$q: $plan")
     }
   }
+
+  test("q117: window and rollup share ONE data shuffle on source") {
+    val plan = executed("q117_domain_cap")
+    val finalPlan = plan.split("== Initial Plan ==").head
+    // exchanges: one hashpartitioning(source) feeding window+agg, one
+    // rangepartitioning for the presentation sort — nothing else
+    val hashEx = finalPlan.linesIterator
+      .count(l => l.contains("Exchange hashpartitioning"))
+    assert(hashEx <= 1, plan)
+    val rs = readSchemaLines(plan)
+    assert(!rs.contains("text"), s"text not pruned: $rs") // triples only
+  }
+
+  test("q118/q128: fingerprint aggs are map-side partial, no UDFs") {
+    Seq("q118_table_fingerprint", "q128_fp_diff").foreach { q =>
+      val plan = executed(q)
+      // partial-then-final HashAggregate pairs around the exchange
+      assert(plan.contains("HashAggregate"), s"$q: $plan")
+      assert(!plan.contains("ScalaUDF") && !plan.contains("CartesianProduct"),
+        s"$q: $plan")
+    }
+  }
+
+  test("q120/q125: linkage and RI profile broadcast their small sides") {
+    Seq("q120_fuzzy_linkage", "q125_ri_profile").foreach { q =>
+      val plan = executed(q)
+      assert(plan.contains("Broadcast"), s"$q: $plan")
+      assert(!plan.contains("CartesianProduct"), s"$q: $plan")
+    }
+    // RI profile's anti-joins stay anti physically
+    assert(executed("q125_ri_profile").contains("LeftAnti"))
+  }
+
+  test("q130: no unpartitioned window over the data side") {
+    val plan = executed("q130_dense_ids")
+    // the per-bucket rank window must be hash-partitioned; the only
+    // global-order artifacts allowed are over the bucket-count frame
+    // (broadcast-joined back) and the presentation sort
+    assert(plan.contains("Exchange hashpartitioning"), plan)
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
+  test("q132: morton interleave stays inside whole-stage codegen") {
+    val plan = executed("q132_zorder_layout")
+    // codegen'd stages print as `*(n) Operator` in the compact plan form
+    assert(plan.contains("*(1) HashAggregate") ||
+      plan.contains("*(2) HashAggregate"), plan)
+    assert(!plan.contains("ScalaUDF"), plan)
+    val rs = readSchemaLines(plan)
+    assert(rs.contains("l_partkey") && rs.contains("l_suppkey") &&
+      !rs.contains("l_extendedprice"), rs)
+  }
+
+  test("q133: cascade levels are physical semi-joins") {
+    val plan = executed("q133_delete_cascade")
+    assert(plan.contains("LeftSemi"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
 }
