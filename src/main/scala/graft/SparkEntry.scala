@@ -173,6 +173,11 @@ object SparkEntry {
     "q134_user_paths"     -> ((s, d) =>
       graft.operators.EventOps.userPaths(s, d)),
     "q135_media_dedup"    -> ((s, d) => MultimodalOps.mediaDedup(s, d)),
+    "q136_time_travel"    -> ((s, d) =>
+      graft.operators.IncrementalOps.q136TimeTravel(s, d)),
+    "q137_fusion_bands"   -> ((s, d) => PipelineOps.fusionBands(s, d)),
+    "q138_partition_stats" -> ((s, d) =>
+      graft.operators.EventOps.partitionStats(s, d)),
   )
 
   /** Shared shingle→df-capped-postings CTE body for every exact-Jaccard
@@ -2564,6 +2569,51 @@ object SparkEntry {
            CAST(sum(n_copies) AS BIGINT) AS n_total,
            CAST(sum((n_copies - 1) * n_bytes) AS BIGINT) AS wasted_bytes
          FROM g GROUP BY format ORDER BY format""",
+    // q136: the oracle profiles v1/v2 DIRECTLY — a hash match proves the
+    // Spark side's SCD2-history reconstruction equals the materialized
+    // snapshots
+    "q136_time_travel" ->
+      """WITH v1 AS (SELECT doc_id, text FROM documents),
+         v2 AS (
+           SELECT doc_id,
+             CASE WHEN doc_id % 10 = 0 THEN text || ' [rev2]'
+                  ELSE text END AS text
+           FROM v1 WHERE doc_id % 13 <> 0
+           UNION ALL
+           SELECT doc_id + 1000000 AS doc_id, text
+           FROM v1 WHERE doc_id % 17 = 0)
+         SELECT * FROM (
+           SELECT 1 AS version, count(*) AS n_docs,
+             CAST(sum(length(text)) AS BIGINT) AS n_chars FROM v1
+           UNION ALL
+           SELECT 2, count(*), CAST(sum(length(text)) AS BIGINT) FROM v2
+         ) ORDER BY version""",
+    // q137: integer band edges on both axes — (k*4)//10000 quality
+    // quarters, log2-of-quantized-norm² via length(bin(x))-1
+    "q137_fusion_bands" ->
+      ("WITH " + qualityDocCte + """,
+         k AS (SELECT doc_id,
+             CAST(round(quality * 10000) AS BIGINT) AS k FROM qdoc),
+         nm AS (SELECT vec_id AS doc_id,
+             list_sum(list_transform(embedding::DOUBLE[],
+               x -> CAST(round(x * 1024) AS BIGINT)
+                    * CAST(round(x * 1024) AS BIGINT))) AS norm2q
+           FROM embeddings)
+         SELECT CAST(k * 4 // 10000 AS INT) AS quality_band,
+           CAST(length(bin(norm2q)) - 1 AS INT) AS norm_band,
+           count(*) AS n_docs
+         FROM k JOIN nm ON k.doc_id = nm.doc_id
+         GROUP BY 1, 2 ORDER BY quality_band, norm_band"""),
+    // q138: per-day manifest row — counts, key bounds, type cardinality
+    "q138_partition_stats" ->
+      """WITH g AS (SELECT CAST(ts AS DATE) AS day, event_type,
+             count(*) AS n, min(user_id) AS mnu, max(user_id) AS mxu
+           FROM events GROUP BY 1, 2)
+         SELECT day, CAST(sum(n) AS BIGINT) AS n_rows,
+           CAST(min(mnu) AS BIGINT) AS min_user,
+           CAST(max(mxu) AS BIGINT) AS max_user,
+           count(*) AS n_types
+         FROM g GROUP BY day ORDER BY day""",
   )
 
   /** The q95 power-iteration CTE chain (quantize → center → two exact

@@ -332,6 +332,24 @@ object EventOps {
       .orderBy(col("n_users").desc, col("path"))
       .limit(k)
 
+  /** Partition-stats manifest (q138): per event day — the natural write
+    * partition — row count, user-key bounds, and type cardinality: the
+    * Iceberg/Delta-style manifest row that lets a planner prune
+    * partitions by key range before touching data. Two-level aggregation
+    * so the distinct-type count never Expands the row stream (the
+    * q42ApproxDistinct trap).
+    */
+  def partitionStats(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(to_date(col("ts")).as("day"), col("user_id"), col("event_type"))
+      .groupBy(col("day"), col("event_type"))
+      .agg(count(lit(1)).as("n"), min(col("user_id")).as("mnu"),
+        max(col("user_id")).as("mxu"))
+      .groupBy(col("day"))
+      .agg(sum(col("n")).as("n_rows"), min(col("mnu")).as("min_user"),
+        max(col("mxu")).as("max_user"), count(lit(1)).as("n_types"))
+      .orderBy(col("day"))
+
   private[graft] def rollingActiveUsersOn(ev: DataFrame): DataFrame = {
     val act = ev
       .select(col("user_id"),

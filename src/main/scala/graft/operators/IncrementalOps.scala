@@ -183,6 +183,47 @@ object IncrementalOps {
     scd2Delta(v1, deriveV2(v1))
   }
 
+  /** Time-travel reconstruction (q136): rebuild BOTH snapshot versions
+    * from the SCD2 history (base rows + the q111 edit script) and report
+    * each version's row count and char mass — the correctness proof that
+    * the history table can answer "the corpus as of version v" without
+    * keeping full copies. The oracle computes the same profile DIRECTLY
+    * from v1/v2, so a hash match proves reconstruction ≡ materialized
+    * snapshot.
+    *
+    * Scale shape: history = v1 ∪ delta (delta-sized growth per version);
+    * each snapshot read is one validity-interval filter — a partition
+    * prune on (valid_from, valid_to) in a production layout.
+    */
+  def q136TimeTravel(spark: SparkSession, dir: String): DataFrame = {
+    val v1 = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    val v2 = deriveV2(v1)
+    val edits = scd2Delta(v1, v2)
+    // base intervals: every v1 row opens at version 1; it closes at 2
+    // exactly when the edit script closed it
+    val closed = edits.filter(col("action") === "close")
+      .select(col("doc_id"), lit(2).as("valid_to"))
+    val base = v1
+      .select(col("doc_id"), length(col("text")).cast("long").as("len"))
+      .join(closed, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), col("len"), lit(1).as("valid_from"),
+        col("valid_to"))
+    // opened intervals carry v2's content; join back for the new length
+    val opened = edits.filter(col("action") === "open")
+      .select(col("doc_id"), col("valid_from"),
+        lit(null).cast("int").as("valid_to"))
+      .join(v2.select(col("doc_id"),
+        length(col("text")).cast("long").as("len")), "doc_id")
+      .select(col("doc_id"), col("len"), col("valid_from"), col("valid_to"))
+    val history = base.unionByName(opened)
+    def snapshot(v: Int): DataFrame = history
+      .filter(col("valid_from") <= v &&
+        (col("valid_to").isNull || col("valid_to") > v))
+      .agg(count(lit(1)).as("n_docs"), sum(col("len")).as("n_chars"))
+      .select(lit(v).as("version"), col("n_docs"), col("n_chars"))
+    snapshot(1).unionByName(snapshot(2)).orderBy(col("version"))
+  }
+
   /** Anti-entropy repair manifest (q128): bucket both snapshots by
     * `doc_id mod buckets`, XOR-fingerprint each bucket (the q118 fold
     * over a doc_id|content payload), and emit only the buckets whose

@@ -466,4 +466,33 @@ object PipelineOps {
         sum(col("ch")).as("chars"))
       .orderBy(col("fold"))
   }
+
+  /** Cross-modal fusion bands (q137): join the text-quality signal (q35)
+    * with the embedding-norm signal for the docs that have embeddings
+    * (vec_id ≙ doc_id) and profile the 2-D band matrix — the curation
+    * view that catches "high text quality but degenerate embedding" rows
+    * before they poison contrastive training.
+    *
+    * Both band edges are integer-exact: quality k/10000 bands at
+    * (k·4) div 10000; the norm band is ⌊log2⌋ of the 1024-grid quantized
+    * norm² via the q129 `length(bin(x))−1` bit trick — no float
+    * boundary can flip a row's cell.
+    */
+  def fusionBands(spark: SparkSession, dir: String): DataFrame = {
+    val q = TextAnalysisOps.qualityScore(spark, dir)
+      .select(col("doc_id"),
+        round(col("quality") * 10000, 0).cast("long").as("k"))
+    val norms = Tables.embeddings(spark, dir)
+      .select(col("vec_id").as("doc_id"),
+        posexplode(col("embedding")).as(Seq("i", "x")))
+      .select(col("doc_id"), round(col("x") * 1024, 0).cast("long").as("xq"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("xq") * col("xq")).as("norm2q"))
+    q.join(norms, "doc_id")
+      .select(expr("(k * 4) div 10000").cast("int").as("quality_band"),
+        (length(bin(col("norm2q"))) - 1).cast("int").as("norm_band"))
+      .groupBy(col("quality_band"), col("norm_band"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy(col("quality_band"), col("norm_band"))
+  }
 }
