@@ -178,6 +178,8 @@ object SparkEntry {
     "q137_fusion_bands"   -> ((s, d) => PipelineOps.fusionBands(s, d)),
     "q138_partition_stats" -> ((s, d) =>
       graft.operators.EventOps.partitionStats(s, d)),
+    "q139_kn_bigram"      -> ((s, d) => TextAnalysisOps.knBigramLm(s, d)),
+    "q140_budget_select"  -> ((s, d) => PipelineOps.budgetSelect(s, d)),
   )
 
   /** Shared shingle→df-capped-postings CTE body for every exact-Jaccard
@@ -2614,6 +2616,42 @@ object SparkEntry {
            CAST(max(mxu) AS BIGINT) AS max_user,
            count(*) AS n_types
          FROM g GROUP BY day ORDER BY day""",
+    // q139: Kneser-Ney d=0.75 — integer counts, ONE fixed float
+    // expression tree per row (mirrored exactly on the Spark side)
+    "q139_kn_bigram" ->
+      """WITH t AS (SELECT
+             string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'),
+               ' ') AS toks
+           FROM documents),
+         raw AS (SELECT toks[i] AS w1, toks[i + 1] AS w2
+           FROM t, unnest(generate_series(1, len(toks) - 1, 1)) AS u(i)),
+         c12 AS (SELECT w1, w2, count(*) AS c12 FROM raw GROUP BY 1, 2),
+         c1 AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1,
+             count(*) AS nfw FROM c12 GROUP BY 1),
+         nb AS (SELECT w2, count(*) AS nbw FROM c12 GROUP BY 1),
+         nt AS (SELECT count(*) AS ntot FROM c12)
+         SELECT w1, w2, c12,
+           round((greatest(c12::DOUBLE - 0.75, 0.0) / c1::DOUBLE) +
+             ((0.75 * nfw::DOUBLE) / c1::DOUBLE) *
+             (nbw::DOUBLE / ntot::DOUBLE), 6) AS pkn
+         FROM c12 JOIN c1 USING (w1) JOIN nb USING (w2) CROSS JOIN nt
+         ORDER BY c12 DESC, w1, w2 LIMIT 20""",
+    // q140: the oracle is the NAIVE global budget window — the Spark
+    // side's two-phase bucket/offset cut must equal it exactly
+    "q140_budget_select" ->
+      ("WITH " + qualityDocCte + """,
+         qk AS (SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+             CAST(round(quality * 10000) AS BIGINT) AS k FROM qdoc),
+         r AS (SELECT doc_id, n_tokens,
+             coalesce(sum(n_tokens) OVER (ORDER BY k DESC, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS cum_excl
+           FROM qk)
+         SELECT d.source, count(*) AS n_kept,
+           CAST(sum(r.n_tokens) AS BIGINT) AS tokens_kept
+         FROM r JOIN documents d ON r.doc_id = d.doc_id
+         WHERE r.cum_excl < 100000
+         GROUP BY d.source ORDER BY d.source"""),
   )
 
   /** The q95 power-iteration CTE chain (quantize → center → two exact

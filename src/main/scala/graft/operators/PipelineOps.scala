@@ -467,6 +467,44 @@ object PipelineOps {
       .orderBy(col("fold"))
   }
 
+  /** Budget-constrained greedy selection (q140): fill a global token
+    * budget with the highest-quality documents first (quality desc,
+    * doc_id tiebreak) and report the kept share per source — the
+    * "best N tokens for this training run" cut, which is a GLOBAL
+    * cumulative sum and therefore the q130 scale problem: a naive
+    * `sum() OVER (ORDER BY quality DESC)` is a one-partition window.
+    * Two-phase instead: per-quality-value token totals give bucket
+    * OFFSETS (a window over the distinct-score frame, which is
+    * score-cardinality-sized — the integer q35 score has few distinct
+    * values); the per-bucket running sum is a partitioned window. A doc
+    * is kept when its exclusive prefix is still under budget (the last
+    * kept doc may overflow — greedy fill semantics, documented).
+    */
+  def budgetSelect(spark: SparkSession, dir: String,
+      budget: Long = 100000): DataFrame = {
+    val q = TextAnalysisOps.qualityScore(spark, dir)
+      .select(col("doc_id"), col("n_tokens").cast("long").as("n_tokens"),
+        round(col("quality") * 10000, 0).cast("long").as("k"))
+    val offsets = q.groupBy(col("k"))
+      .agg(sum(col("n_tokens")).as("bucket_tokens"))
+      .withColumn("offset", coalesce(sum(col("bucket_tokens")).over(
+        Window.orderBy(col("k").desc)
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("k"), col("offset"))
+    val wIntra = Window.partitionBy(col("k")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val kept = q
+      .withColumn("intra_excl",
+        coalesce(sum(col("n_tokens")).over(wIntra), lit(0L)))
+      .join(broadcast(offsets), "k")
+      .filter(col("offset") + col("intra_excl") < budget)
+    kept.join(Tables.documents(spark, dir).select(col("doc_id"),
+        col("source")), "doc_id")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_kept"), sum(col("n_tokens")).as("tokens_kept"))
+      .orderBy(col("source"))
+  }
+
   /** Cross-modal fusion bands (q137): join the text-quality signal (q35)
     * with the embedding-norm signal for the docs that have embeddings
     * (vec_id ≙ doc_id) and profile the 2-D band matrix — the curation

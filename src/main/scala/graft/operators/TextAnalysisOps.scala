@@ -616,6 +616,40 @@ object TextAnalysisOps {
       .orderBy(col("source"), col("quartile"))
   }
 
+  /** Kneser-Ney smoothed bigram LM (q139): absolute discounting d=0.75
+    * with the continuation-probability backoff — the LM-quality step up
+    * from q73's add-k bigram model, and the classic data-quality scorer
+    * (KenLM-style) a curation pipeline trains on its own corpus. Reports
+    * the top-k bigrams by count with their smoothed probability.
+    *
+    * Every aggregate is an INTEGER count (occurrence, left/right
+    * continuation types, total bigram types); the float work is one
+    * fixed expression tree per output row —
+    * `max(c12−d,0)/c1 + (d·Nfw/c1)·(Nbw/Ntot)` — evaluated identically
+    * by both engines (scalar IEEE ops on exact integer inputs commute
+    * with nothing, so there is no order hazard), then one 6dp round.
+    */
+  def knBigramLm(spark: SparkSession, dir: String, k: Int = 20): DataFrame = {
+    val bi = Tables.documents(spark, dir)
+      .select(explode(
+        Text.tokenNgramsNative(Text.tokens(col("text")), 2)).as("g"))
+      .select(split(col("g"), " ").getItem(0).as("w1"),
+        split(col("g"), " ").getItem(1).as("w2"))
+    val c12 = bi.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+    val c1 = c12.groupBy(col("w1")).agg(sum(col("c12")).as("c1"),
+      count(lit(1)).as("nfw")) // distinct continuations of w1
+    val nbw = c12.groupBy(col("w2")).agg(count(lit(1)).as("nbw"))
+    val ntot = c12.agg(count(lit(1)).as("ntot"))
+    val pkn = (greatest(col("c12").cast("double") - 0.75, lit(0.0)) /
+        col("c1").cast("double")) +
+      ((lit(0.75) * col("nfw").cast("double")) / col("c1").cast("double")) *
+        (col("nbw").cast("double") / col("ntot").cast("double"))
+    c12.join(c1, "w1").join(nbw, "w2").crossJoin(broadcast(ntot))
+      .select(col("w1"), col("w2"), col("c12"), round(pkn, 6).as("pkn"))
+      .orderBy(col("c12").desc, col("w1"), col("w2"))
+      .limit(k)
+  }
+
   /** Log2-bucketed length histogram (q129): per lang, document counts
     * and char mass by power-of-two length band. The bucket is
     * `length(bin(n_chars)) − 1` = ⌊log2⌋ computed on the INTEGER bit
