@@ -180,6 +180,10 @@ object SparkEntry {
       graft.operators.EventOps.partitionStats(s, d)),
     "q139_kn_bigram"      -> ((s, d) => TextAnalysisOps.knBigramLm(s, d)),
     "q140_budget_select"  -> ((s, d) => PipelineOps.budgetSelect(s, d)),
+    "q141_drift_report"   -> ((s, d) =>
+      graft.operators.IncrementalOps.q141DriftReport(s, d)),
+    "q142_uncertainty"    -> ((s, d) =>
+      TextAnalysisOps.uncertaintySample(s, d)),
   )
 
   /** Shared shingle→df-capped-postings CTE body for every exact-Jaccard
@@ -2652,6 +2656,53 @@ object SparkEntry {
          FROM r JOIN documents d ON r.doc_id = d.doc_id
          WHERE r.cum_excl < 100000
          GROUP BY d.source ORDER BY d.source"""),
+    // q141: per-metric v1/v2 column profiles with drift flags; integers
+    // only
+    "q141_drift_report" ->
+      """WITH v1 AS (SELECT doc_id, text FROM documents),
+         v2 AS (
+           SELECT doc_id,
+             CASE WHEN doc_id % 10 = 0 THEN text || ' [rev2]'
+                  ELSE text END AS text
+           FROM v1 WHERE doc_id % 13 <> 0
+           UNION ALL
+           SELECT doc_id + 1000000 AS doc_id, text
+           FROM v1 WHERE doc_id % 17 = 0),
+         p1 AS (SELECT count(*) AS n_rows,
+             CAST(sum(length(text)) AS BIGINT) AS chars,
+             count(DISTINCT md5(text)) AS nd FROM v1),
+         p2 AS (SELECT count(*) AS n_rows,
+             CAST(sum(length(text)) AS BIGINT) AS chars,
+             count(DISTINCT md5(text)) AS nd FROM v2)
+         SELECT * FROM (
+           SELECT 'chars' AS metric, p1.chars AS v1_value,
+             p2.chars AS v2_value,
+             CAST(CASE WHEN p1.chars <> p2.chars THEN 1 ELSE 0 END AS INT)
+               AS drifted
+           FROM p1, p2
+           UNION ALL SELECT 'distinct_texts', p1.nd, p2.nd,
+             CAST(CASE WHEN p1.nd <> p2.nd THEN 1 ELSE 0 END AS INT)
+           FROM p1, p2
+           UNION ALL SELECT 'n_rows', p1.n_rows, p2.n_rows,
+             CAST(CASE WHEN p1.n_rows <> p2.n_rows THEN 1 ELSE 0 END AS INT)
+           FROM p1, p2
+         ) ORDER BY metric""",
+    // q142: smallest |logit| — margin sampling over the q83 classifier;
+    // abs of an already-rounded value, total (margin, doc_id) order
+    "q142_uncertainty" ->
+      """WITH t AS (SELECT doc_id, unnest(string_split(
+             regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS tok
+           FROM documents),
+         w AS (SELECT doc_id,
+                 ((instr('0123456789abcdef', substr(md5(tok), 1, 1)) - 1) * 256
+                  + (instr('0123456789abcdef', substr(md5(tok), 2, 1)) - 1) * 16
+                  + (instr('0123456789abcdef', substr(md5(tok), 3, 1)) - 1)
+                  - 2048) / 4096.0 AS wt
+               FROM t),
+         lg AS (SELECT doc_id, round(sum(wt) / count(*), 6) + 0.0 AS logit
+           FROM w GROUP BY doc_id)
+         SELECT doc_id, logit, abs(logit) AS margin
+         FROM lg ORDER BY margin, doc_id LIMIT 25""",
   )
 
   /** The q95 power-iteration CTE chain (quantize → center → two exact

@@ -183,6 +183,34 @@ object IncrementalOps {
     scd2Delta(v1, deriveV2(v1))
   }
 
+  /** Snapshot drift report (q141): column-profile comparison between two
+    * snapshot versions — row count, char mass, distinct contents — one
+    * row per metric with a drift flag: the monitor a nightly ingest runs
+    * to catch silent upstream changes (a crawler regression shows up as
+    * a distinct-count cliff long before anyone reads the data).
+    *
+    * Scale shape: one aggregation pass per side (the distinct count is
+    * over content hashes, map-side partially aggregated); the report
+    * assembly is 1-row frames cross-joined broadcast.
+    */
+  def q141DriftReport(spark: SparkSession, dir: String): DataFrame = {
+    val v1 = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    val v2 = deriveV2(v1)
+    def profile(df: DataFrame, suffix: String): DataFrame =
+      df.agg(count(lit(1)).as(s"n_rows$suffix"),
+        sum(length(col("text"))).cast("long").as(s"chars$suffix"),
+        countDistinct(md5(col("text"))).as(s"nd$suffix"))
+    val j = profile(v1, "1").crossJoin(broadcast(profile(v2, "2")))
+    def metric(name: String, a: String, b: String): DataFrame =
+      j.select(lit(name).as("metric"), col(a).as("v1_value"),
+        col(b).as("v2_value"),
+        when(col(a) =!= col(b), 1).otherwise(0).cast("int").as("drifted"))
+    metric("chars", "chars1", "chars2")
+      .unionByName(metric("distinct_texts", "nd1", "nd2"))
+      .unionByName(metric("n_rows", "n_rows1", "n_rows2"))
+      .orderBy(col("metric"))
+  }
+
   /** Time-travel reconstruction (q136): rebuild BOTH snapshot versions
     * from the SCD2 history (base rows + the q111 edit script) and report
     * each version's row count and char mass — the correctness proof that

@@ -466,6 +466,23 @@ object TextAnalysisOps {
       .orderBy(col("doc_id"))
   }
 
+  /** Active-learning uncertainty sample (q142): the k documents whose
+    * classifier logit (q83 — exact dyadic sums, 6dp round) sits nearest
+    * the decision boundary, i.e. smallest |logit| — the margin-sampling
+    * batch a labeling loop sends for human annotation. `abs` of an
+    * already-rounded value adds no FP hazard; (margin asc, doc_id) is a
+    * total order so the LIMIT is deterministic.
+    *
+    * Scale shape: reuses q83's single corpus pass; the top-k is a
+    * count-bounded sort over per-doc rows.
+    */
+  def uncertaintySample(spark: SparkSession, dir: String,
+      k: Int = 25): DataFrame =
+    qualityClassifier(spark, dir)
+      .select(col("doc_id"), col("logit"), abs(col("logit")).as("margin"))
+      .orderBy(col("margin"), col("doc_id"))
+      .limit(k)
+
   /** One BPE merge step (q98): adjacent character-pair frequencies over
     * every corpus word occurrence, top `k` — the statistic a subword
     * vocabulary build computes per merge iteration (the pair with the
