@@ -184,6 +184,7 @@ object SparkEntry {
       graft.operators.IncrementalOps.q141DriftReport(s, d)),
     "q142_uncertainty"    -> ((s, d) =>
       TextAnalysisOps.uncertaintySample(s, d)),
+    "q143_zorder_pruning" -> (CoreQueries.q143ZorderPruning _),
   )
 
   /** Shared shingle→df-capped-postings CTE body for every exact-Jaccard
@@ -2703,6 +2704,38 @@ object SparkEntry {
            FROM w GROUP BY doc_id)
          SELECT doc_id, logit, abs(logit) AS margin
          FROM lg ORDER BY margin, doc_id LIMIT 25""",
+    // q143: interval-intersection file-skip test against the q132
+    // manifest — integers plus one division/round per row
+    "q143_zorder_pruning" ->
+      (s"""WITH z AS (SELECT l_partkey, l_suppkey,
+             ($mortonSql) AS z
+           FROM lineitem),
+         pr AS (SELECT z // 16384 AS zrange,
+             min(l_partkey) AS min_part, max(l_partkey) AS max_part,
+             min(l_suppkey) AS min_supp, max(l_suppkey) AS max_supp
+           FROM z GROUP BY 1),
+         f AS (SELECT
+             NOT (max_part < 100 OR min_part > 159) AS tp,
+             NOT (max_supp < 10 OR min_supp > 19) AS ts
+           FROM pr)
+         SELECT * FROM (
+           SELECT 'part_100_159' AS predicate, count(*) AS n_ranges,
+             CAST(sum(CASE WHEN tp THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_touched,
+             round(sum(CASE WHEN tp THEN 1 ELSE 0 END)::DOUBLE /
+               count(*), 4) AS selectivity
+           FROM f
+           UNION ALL SELECT 'part_and_supp', count(*),
+             CAST(sum(CASE WHEN tp AND ts THEN 1 ELSE 0 END) AS BIGINT),
+             round(sum(CASE WHEN tp AND ts THEN 1 ELSE 0 END)::DOUBLE /
+               count(*), 4)
+           FROM f
+           UNION ALL SELECT 'supp_10_19', count(*),
+             CAST(sum(CASE WHEN ts THEN 1 ELSE 0 END) AS BIGINT),
+             round(sum(CASE WHEN ts THEN 1 ELSE 0 END)::DOUBLE /
+               count(*), 4)
+           FROM f
+         ) ORDER BY predicate"""),
   )
 
   /** The q95 power-iteration CTE chain (quantize → center → two exact

@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
@@ -728,6 +728,31 @@ object CoreQueries {
       countDistinct(col("l_orderkey")).as("n_keys"))
       .select(lit("lineitem").as("tbl"), col("n_rows"), col("n_keys"))
     c.unionByName(l).unionByName(o).orderBy(col("tbl"))
+  }
+
+  /** Z-order pruning simulation (q143): evaluate how many q132 z-ranges
+    * three predicates would actually touch — the payoff metric of the
+    * layout: because every z-range covers a ≤128-wide window in BOTH key
+    * dimensions, a selective predicate on EITHER column (or both) skips
+    * most ranges; a 1-D sort layout could only prune on its sort column.
+    * A range is touched when its [min,max] interval intersects the
+    * predicate's — exactly the file-skipping test a lakehouse planner
+    * runs against manifest stats.
+    */
+  def q143ZorderPruning(spark: SparkSession, dir: String): DataFrame = {
+    val profile = q132ZorderLayout(spark, dir)
+    def sim(name: String, touched: Column): DataFrame =
+      profile.agg(count(lit(1)).as("n_ranges"),
+          sum(when(touched, 1L).otherwise(0L)).as("n_touched"))
+        .select(lit(name).as("predicate"), col("n_ranges"), col("n_touched"),
+          round(col("n_touched").cast("double") /
+            col("n_ranges").cast("double"), 4).as("selectivity"))
+    val partPred = !(col("max_part") < 100 || col("min_part") > 159)
+    val suppPred = !(col("max_supp") < 10 || col("min_supp") > 19)
+    sim("part_100_159", partPred)
+      .unionByName(sim("part_and_supp", partPred && suppPred))
+      .unionByName(sim("supp_10_19", suppPred))
+      .orderBy(col("predicate"))
   }
 
   /** Z-order layout profile (q132): Morton-interleave (l_partkey,
