@@ -96,6 +96,23 @@ object EventsStream {
       .select(col("window.start").cast("date").as("day"), col("event_type"),
         col("cnt"), col("sum_value"))
 
+  /** Native session-window streaming aggregation: Spark's built-in
+    * `session_window` (gap-merged event-time sessions in the state
+    * store) over the staged events stream — the declarative counterpart
+    * of the custom [[Sessionize]] flatMapGroupsWithState sessionizer.
+    * The spec gates it against the BATCH session_window over the same
+    * landed file (exact), and CascadeSessionSpec separately pins batch
+    * session_window ≡ the q58 window formulation — closing the triangle
+    * custom-state ↔ native-streaming ↔ relational.
+    */
+  def sessionCounts(spark: SparkSession, dir: String,
+      gap: String = "30 minutes"): DataFrame =
+    stagedEventsStream(spark, dir, "graft-events-sessionwin")
+      .withWatermark("ts", "1 day")
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), min(col("ts")).as("session_start"))
+      .select(col("user_id"), col("session_start"), col("n_events"))
+
   /** Stream-static enrichment join: the events stream joined to a static
     * user→segment dimension (derived from customer) before aggregating —
     * the standard streaming enrichment shape (static side re-planned per
