@@ -185,6 +185,8 @@ object SparkEntry {
     "q142_uncertainty"    -> ((s, d) =>
       TextAnalysisOps.uncertaintySample(s, d)),
     "q143_zorder_pruning" -> (CoreQueries.q143ZorderPruning _),
+    "q144_weighted_jaccard" -> ((s, d) => DedupOps.weightedJaccard(s, d)),
+    "q145_rank_corr"      -> ((s, d) => SimilarityOps.rankCorrelation(s, d)),
   )
 
   /** Shared shingle→df-capped-postings CTE body for every exact-Jaccard
@@ -229,6 +231,37 @@ object SparkEntry {
   private val mortonSql: String = (0 until 16).map(i =>
     s"(((l_partkey >> $i) & 1) << ${2 * i}) + " +
       s"(((l_suppkey >> $i) & 1) << ${2 * i + 1})").mkString(" + ")
+
+  /** The q121 AllPairs/PPJoin chain ending at
+    * `v (id_a, id_b, inter, jaccard)` — shared by the q121 and q144
+    * oracles so the prefix arithmetic and verification cannot drift.
+    */
+  private val prefixPairsCte: String =
+    """ppt AS (SELECT doc_id,
+             string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'),
+               ' ') AS toks
+           FROM documents),
+         ppsh AS (SELECT DISTINCT doc_id,
+             md5(array_to_string(list_slice(toks, i, i + 7), ' ')) AS h
+           FROM ppt, unnest(generate_series(1, len(toks) - 7, 1)) AS u(i)),
+         ppdf AS (SELECT h, count(*) AS df FROM ppsh GROUP BY 1),
+         pprk AS (SELECT s.doc_id, s.h,
+             row_number() OVER (PARTITION BY s.doc_id
+               ORDER BY ppdf.df, s.h) AS rk,
+             count(*) OVER (PARTITION BY s.doc_id) AS n
+           FROM ppsh s JOIN ppdf ON s.h = ppdf.h),
+         pppref AS (SELECT doc_id, h FROM pprk
+           WHERE rk <= n - (3 * n + 4) // 5 + 1),
+         ppcand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+           FROM pppref a JOIN pppref b ON a.h = b.h AND a.doc_id < b.doc_id),
+         ppsets AS (SELECT doc_id, list(h ORDER BY h) AS s, count(*) AS n
+           FROM ppsh GROUP BY 1),
+         v AS (SELECT id_a, id_b,
+             len(list_intersect(sa.s, sb.s)) AS inter,
+             round(len(list_intersect(sa.s, sb.s))::DOUBLE /
+               (sa.n + sb.n - len(list_intersect(sa.s, sb.s))), 4) AS jaccard
+           FROM ppcand JOIN ppsets sa ON id_a = sa.doc_id
+                       JOIN ppsets sb ON id_b = sb.doc_id)"""
 
   private val shinglePostingsCte: String =
     """d0 AS (
@@ -2291,33 +2324,9 @@ object SparkEntry {
     // length n - ceil(3n/5) + 1 in pure integer arithmetic; candidates
     // verified with exact list_intersect; threshold on the ROUNDED score
     "q121_prefix_join" ->
-      """WITH t AS (SELECT doc_id,
-             string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'),
-               ' ') AS toks
-           FROM documents),
-         sh AS (SELECT DISTINCT doc_id,
-             md5(array_to_string(list_slice(toks, i, i + 7), ' ')) AS h
-           FROM t, unnest(generate_series(1, len(toks) - 7, 1)) AS u(i)),
-         dfreq AS (SELECT h, count(*) AS df FROM sh GROUP BY 1),
-         rk AS (SELECT s.doc_id, s.h,
-             row_number() OVER (PARTITION BY s.doc_id
-               ORDER BY dfreq.df, s.h) AS rk,
-             count(*) OVER (PARTITION BY s.doc_id) AS n
-           FROM sh s JOIN dfreq ON s.h = dfreq.h),
-         pref AS (SELECT doc_id, h FROM rk
-           WHERE rk <= n - (3 * n + 4) // 5 + 1),
-         cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-           FROM pref a JOIN pref b ON a.h = b.h AND a.doc_id < b.doc_id),
-         sets AS (SELECT doc_id, list(h ORDER BY h) AS s, count(*) AS n
-           FROM sh GROUP BY 1),
-         v AS (SELECT id_a, id_b,
-             len(list_intersect(sa.s, sb.s)) AS inter,
-             round(len(list_intersect(sa.s, sb.s))::DOUBLE /
-               (sa.n + sb.n - len(list_intersect(sa.s, sb.s))), 4) AS jaccard
-           FROM cand JOIN sets sa ON id_a = sa.doc_id
-                     JOIN sets sb ON id_b = sb.doc_id)
+      ("WITH " + prefixPairsCte + """
          SELECT id_a, id_b, CAST(inter AS BIGINT) AS inter, jaccard
-         FROM v WHERE jaccard >= 0.6 ORDER BY id_a, id_b""",
+         FROM v WHERE jaccard >= 0.6 ORDER BY id_a, id_b"""),
     // q122: fold = first-8-hex-digit fold of md5(canonical_id) mod 5;
     // canonical = min doc_id per content hash, so dup clusters co-assign
     "q122_fold_assign" ->
@@ -2736,6 +2745,75 @@ object SparkEntry {
                count(*), 4)
            FROM f
          ) ORDER BY predicate"""),
+    // q144: q121's pairs rescored on token multisets — Σmin/Σmax over
+    // occurrence counts; integers + one division/round per pair
+    "q144_weighted_jaccard" ->
+      ("WITH " + prefixPairsCte + """,
+         pairs AS (SELECT id_a, id_b FROM v WHERE jaccard >= 0.6),
+         tc AS (SELECT doc_id, tok, count(*) AS c FROM (
+             SELECT doc_id, unnest(string_split(
+               regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' '))
+               AS tok
+             FROM documents) GROUP BY 1, 2),
+         au AS (SELECT id_a, id_b, tok, c AS ca
+           FROM pairs JOIN tc ON tc.doc_id = pairs.id_a),
+         bu AS (SELECT id_a, id_b, tok, c AS cb
+           FROM pairs JOIN tc ON tc.doc_id = pairs.id_b)
+         SELECT id_a, id_b,
+           round(sum(least(coalesce(ca, 0), coalesce(cb, 0)))::DOUBLE /
+             sum(greatest(coalesce(ca, 0), coalesce(cb, 0))), 4)
+             AS wjaccard
+         FROM au FULL JOIN bu USING (id_a, id_b, tok)
+         GROUP BY id_a, id_b ORDER BY id_a, id_b"""),
+    // q145: Kendall tau over the COMMON neighbors of the exact-cosine
+    // and Hamming-sketch top-20 rankings — integer pair counts, one
+    // division/round per query
+    "q145_rank_corr" ->
+      """WITH e AS (SELECT vec_id, embedding AS v FROM embeddings),
+         c AS (SELECT vec_id,
+             CAST(list_sum([CASE WHEN v[i + 1] > 0
+                 THEN (1::BIGINT << i) ELSE 0::BIGINT END
+               for i in range(0, 32)]) AS BIGINT) AS b_lo,
+             CAST(list_sum([CASE WHEN v[i + 33] > 0
+                 THEN (1::BIGINT << i) ELSE 0::BIGINT END
+               for i in range(0, 32)]) AS BIGINT) AS b_hi
+           FROM e),
+         q AS (SELECT vec_id AS query_id, b_lo AS q_lo, b_hi AS q_hi
+               FROM c WHERE vec_id < 8),
+         hb AS (SELECT query_id, neighbor_id, rk AS rb FROM (
+           SELECT q.query_id, c.vec_id AS neighbor_id,
+             row_number() OVER (PARTITION BY q.query_id ORDER BY
+               bit_count(xor(c.b_lo, q.q_lo))
+                 + bit_count(xor(c.b_hi, q.q_hi)), c.vec_id) AS rk
+           FROM c JOIN q ON c.vec_id <> q.query_id) WHERE rk <= 20),
+         qa AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+                FROM embeddings WHERE vec_id < 8),
+         ca2 AS (SELECT vec_id, embedding::DOUBLE[] AS vv FROM embeddings),
+         ea AS (SELECT query_id, neighbor_id, rk AS ra FROM (
+           SELECT query_id, vec_id AS neighbor_id,
+             row_number() OVER (PARTITION BY query_id ORDER BY
+               round(list_inner_product(qv, vv) /
+                 (sqrt(list_inner_product(qv, qv)) *
+                  sqrt(list_inner_product(vv, vv))), 4) DESC, vec_id) AS rk
+           FROM qa CROSS JOIN ca2 WHERE vec_id <> query_id) WHERE rk <= 20),
+         com AS (SELECT ea.query_id, ea.neighbor_id, ra, rb
+           FROM ea JOIN hb USING (query_id, neighbor_id)),
+         p AS (SELECT x.query_id,
+             ((x.ra - y.ra) * (x.rb - y.rb) > 0) AS conc
+           FROM com x JOIN com y ON x.query_id = y.query_id
+             AND x.neighbor_id < y.neighbor_id),
+         ag AS (SELECT query_id,
+             CAST(sum(CASE WHEN conc THEN 1 ELSE 0 END) AS BIGINT)
+               AS concordant,
+             CAST(sum(CASE WHEN conc THEN 0 ELSE 1 END) AS BIGINT)
+               AS discordant
+           FROM p GROUP BY 1),
+         nc AS (SELECT query_id, count(*) AS n_common FROM com GROUP BY 1)
+         SELECT ag.query_id, nc.n_common, ag.concordant, ag.discordant,
+           round((ag.concordant - ag.discordant)::DOUBLE /
+             (nc.n_common * (nc.n_common - 1) / 2), 4) AS tau
+         FROM ag JOIN nc USING (query_id) WHERE nc.n_common >= 2
+         ORDER BY query_id""",
   )
 
   /** The q95 power-iteration CTE chain (quantize → center → two exact

@@ -785,6 +785,46 @@ object DedupOps {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** Weighted-Jaccard rescoring (q144): the q121 near-dup pairs rescored
+    * on token MULTISETS — Σ min(cₐ,c_b) / Σ max(cₐ,c_b) over per-token
+    * occurrence counts. Set-Jaccard saturates on documents that repeat
+    * the same spans; the weighted form penalizes count mismatches, so a
+    * doc that quotes another once scores lower than a true near-copy —
+    * the standard refinement pass after candidate generation.
+    *
+    * Scale shape: candidates come from the LOSSLESS q121 prefix join
+    * (never all-pairs); the rescoring joins each pair against two
+    * token-count vectors — candidate-bounded work. All sums are exact
+    * integers; one division + 4dp round per pair.
+    */
+  def weightedJaccard(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = prefixJaccardJoin(spark, dir).select(col("id_a"), col("id_b"))
+    val counts = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(Text.tokens(col("text"))).as("tok"))
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("c"))
+    val ca = counts.select(col("doc_id").as("id_a"), col("tok"),
+      col("c").as("ca"))
+    val cb = counts.select(col("doc_id").as("id_b"), col("tok"),
+      col("c").as("cb"))
+    // per-pair token vectors for each side, then a full outer on the
+    // (pair, token) key — tokens absent on one side contribute min 0 /
+    // max c; both sides are already restricted to candidate pair ids
+    val au = pairs.join(ca, "id_a")
+      .select(col("id_a"), col("id_b"), col("tok"), col("ca"))
+    val bu = pairs.join(cb, "id_b")
+      .select(col("id_a"), col("id_b"), col("tok"), col("cb"))
+    au.join(bu, Seq("id_a", "id_b", "tok"), "full_outer")
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(sum(least(coalesce(col("ca"), lit(0L)),
+          coalesce(col("cb"), lit(0L)))).as("smin"),
+        sum(greatest(coalesce(col("ca"), lit(0L)),
+          coalesce(col("cb"), lit(0L)))).as("smax"))
+      .select(col("id_a"), col("id_b"),
+        round(col("smin").cast("double") / col("smax").cast("double"), 4)
+          .as("wjaccard"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
   /** Lossless containment join (q124): all unordered document pairs whose
     * smaller shingle set is ≥ 80 % contained in the other —
     * |A∩B| / min(|A|,|B|) ≥ 4/5 — the subset-duplicate detector Jaccard

@@ -572,6 +572,43 @@ object SimilarityOps {
       .orderBy(col("query_id"), col("rk"))
   }
 
+  /** Rank-correlation report between two ANN rankings (q145): Kendall
+    * tau over the COMMON neighbors of the exact cosine top-k (q31) and
+    * the 64-bit sign-sketch Hamming top-k (q102), per query — the
+    * index-quality diagnostic that says how much ordering the binary
+    * compression loses, not just how much recall (q101's question).
+    *
+    * All counting is integer (concordant/discordant pairs over common
+    * items under a total order); tau is one division + 4dp round. The
+    * pair stage is k²-bounded per query — never corpus-sized.
+    */
+  def rankCorrelation(spark: SparkSession, dir: String,
+      nQueries: Int = 8, k: Int = 20): DataFrame = {
+    val a = bruteForceTopK(spark, dir, nQueries, k)
+      .select(col("query_id"), col("neighbor_id"), col("rk").as("ra"))
+    val b = binaryHammingTopK(spark, dir, nQueries, k)
+      .select(col("query_id"), col("neighbor_id"), col("rk").as("rb"))
+    val common = a.join(b, Seq("query_id", "neighbor_id"))
+    val p = common.as("x").join(common.as("y"),
+        col("x.query_id") === col("y.query_id") &&
+          col("x.neighbor_id") < col("y.neighbor_id"))
+      .select(col("x.query_id").as("query_id"),
+        ((col("x.ra") - col("y.ra")) * (col("x.rb") - col("y.rb")) > 0)
+          .as("conc"))
+    p.groupBy(col("query_id"))
+      .agg(sum(when(col("conc"), 1L).otherwise(0L)).as("concordant"),
+        sum(when(col("conc"), 0L).otherwise(1L)).as("discordant"))
+      .join(common.groupBy(col("query_id"))
+        .agg(count(lit(1)).as("n_common")), "query_id")
+      .filter(col("n_common") >= 2)
+      .select(col("query_id"), col("n_common"), col("concordant"),
+        col("discordant"),
+        round((col("concordant") - col("discordant")).cast("double") /
+          (col("n_common") * (col("n_common") - 1) / 2).cast("double"), 4)
+          .as("tau"))
+      .orderBy(col("query_id"))
+  }
+
   /** [[ivfTopK]] with the corpus-sized [[sampledCentroids]] codebook —
     * the 100 TB configuration ([[kFor]] picks `kLists`): probe cost per
     * query is nProbe · n/kLists, bounded as the corpus grows because the
