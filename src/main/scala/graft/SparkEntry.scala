@@ -187,6 +187,8 @@ object SparkEntry {
     "q143_zorder_pruning" -> (CoreQueries.q143ZorderPruning _),
     "q144_weighted_jaccard" -> ((s, d) => DedupOps.weightedJaccard(s, d)),
     "q145_rank_corr"      -> ((s, d) => SimilarityOps.rankCorrelation(s, d)),
+    "q146_source_gini"    -> ((s, d) => PipelineOps.sourceGini(s, d)),
+    "q147_dedup_savings"  -> ((s, d) => DedupOps.dedupSavings(s, d)),
   )
 
   /** Shared shingle→df-capped-postings CTE body for every exact-Jaccard
@@ -2814,6 +2816,49 @@ object SparkEntry {
              (nc.n_common * (nc.n_common - 1) / 2), 4) AS tau
          FROM ag JOIN nc USING (query_id) WHERE nc.n_common >= 2
          ORDER BY query_id""",
+    // q146: Gini over source char mass — rank asc by (chars, source),
+    // G = 2·Σi·x / (n·Σx) − (n+1)/n; integers until the closed form
+    "q146_source_gini" ->
+      """WITH per AS (SELECT source, CAST(sum(n_chars) AS BIGINT) AS x
+           FROM documents GROUP BY source),
+         r AS (SELECT x, row_number() OVER (ORDER BY x, source) AS i
+           FROM per)
+         SELECT CAST(count(*) AS INT) AS n_sources,
+           CAST(sum(x) AS BIGINT) AS total_chars,
+           round((2.0 * CAST(sum(i * x) AS DOUBLE)) /
+             (CAST(count(*) AS DOUBLE) * CAST(sum(x) AS DOUBLE)) -
+             CAST(count(*) + 1 AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
+             AS gini
+         FROM r""",
+    // q147: raw vs exact-dedup canonical corpus size; per-hash min
+    // aggregation first so each distinct content counts once
+    "q147_dedup_savings" ->
+      """WITH d AS (SELECT doc_id,
+             md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,
+             n_chars,
+             CAST(len(string_split(regexp_replace(lower(trim(text)),
+               '\s+', ' ', 'g'), ' ')) AS BIGINT) AS n_tok
+           FROM documents),
+         raw AS (SELECT count(*) AS n_docs,
+             CAST(sum(n_chars) AS BIGINT) AS n_chars,
+             CAST(sum(n_tok) AS BIGINT) AS n_tokens FROM d),
+         ch AS (SELECT fp, min(n_chars) AS c, min(n_tok) AS t
+           FROM d GROUP BY fp),
+         canon AS (SELECT count(*) AS n_docs,
+             CAST(sum(c) AS BIGINT) AS n_chars,
+             CAST(sum(t) AS BIGINT) AS n_tokens FROM ch)
+         SELECT * FROM (
+           SELECT 'exact_dedup' AS stage, canon.n_docs, canon.n_chars,
+             canon.n_tokens,
+             round(1.0 - CAST(canon.n_tokens AS DOUBLE) /
+               CAST(raw.n_tokens AS DOUBLE), 6) AS saved_frac
+           FROM canon, raw
+           UNION ALL
+           SELECT 'raw', raw.n_docs, raw.n_chars, raw.n_tokens,
+             round(1.0 - CAST(raw.n_tokens AS DOUBLE) /
+               CAST(raw.n_tokens AS DOUBLE), 6)
+           FROM raw
+         ) ORDER BY stage""",
   )
 
   /** The q95 power-iteration CTE chain (quantize → center → two exact

@@ -785,6 +785,39 @@ object DedupOps {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** Dedup-savings report (q147): the headline "what does dedup buy"
+    * table — corpus size raw vs after exact-dedup canonicalization, in
+    * docs, chars and whitespace tokens, with the saved fraction. Stage
+    * rows so downstream dashboards diff stages, not columns.
+    *
+    * Scale shape: one content-hash aggregation (the q27 pass) feeding
+    * both stage rows; integers except the one rounded ratio.
+    */
+  def dedupSavings(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), Text.fingerprintMd5(col("text")).as("fp"),
+        col("n_chars"), Text.tokenCount(col("text")).cast("long").as("n_tok"))
+    val raw = docs.agg(count(lit(1)).as("n_docs"),
+      sum(col("n_chars")).as("n_chars"), sum(col("n_tok")).as("n_tokens"))
+    // canonical = min doc_id per content hash (the q27 rule): aggregate
+    // per hash FIRST so each distinct content counts once
+    val canon = docs.groupBy(col("fp"))
+      .agg(min(col("n_chars")).as("c"), min(col("n_tok")).as("t"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("c")).as("n_chars"),
+        sum(col("t")).as("n_tokens"))
+    val r = raw.select(lit("raw").as("stage"), col("n_docs"),
+      col("n_chars"), col("n_tokens"))
+    val c = canon.select(lit("exact_dedup").as("stage"), col("n_docs"),
+      col("n_chars"), col("n_tokens"))
+    val rawTok = raw.select(col("n_tokens").as("raw_tokens"))
+    c.unionByName(r)
+      .crossJoin(broadcast(rawTok))
+      .select(col("stage"), col("n_docs"), col("n_chars"), col("n_tokens"),
+        round(lit(1.0) - col("n_tokens").cast("double") /
+          col("raw_tokens").cast("double"), 6).as("saved_frac"))
+      .orderBy(col("stage"))
+  }
+
   /** Weighted-Jaccard rescoring (q144): the q121 near-dup pairs rescored
     * on token MULTISETS — Σ min(cₐ,c_b) / Σ max(cₐ,c_b) over per-token
     * occurrence counts. Set-Jaccard saturates on documents that repeat

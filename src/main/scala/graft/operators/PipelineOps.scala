@@ -505,6 +505,33 @@ object PipelineOps {
       .orderBy(col("source"))
   }
 
+  /** Source-concentration Gini (q146): how unevenly corpus char mass is
+    * spread across sources — the data-mixing health metric (a Gini near
+    * 1 means one domain dominates and the q97/q117 re-weighting has
+    * work to do). Computed on the SOURCE-cardinality frame: rank sources
+    * by (chars, source) ascending, then
+    * `G = (2·Σ i·xᵢ) / (n·Σ xᵢ) − (n+1)/n` — integer sums throughout,
+    * three exact-int casts, two divisions and one subtraction at the
+    * end, 6dp round.
+    *
+    * Scale shape: one corpus aggregation to per-source totals; the Gini
+    * math runs on #sources rows.
+    */
+  def sourceGini(spark: SparkSession, dir: String): DataFrame = {
+    val per = Tables.documents(spark, dir)
+      .groupBy(col("source")).agg(sum(col("n_chars")).as("x"))
+    val ranked = per.withColumn("i",
+      row_number().over(Window.orderBy(col("x"), col("source"))))
+    ranked.agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+        sum(col("i") * col("x")).as("six"))
+      .select(col("n").cast("int").as("n_sources"),
+        col("sx").as("total_chars"),
+        round((lit(2.0) * col("six").cast("double")) /
+          (col("n").cast("double") * col("sx").cast("double")) -
+          (col("n") + 1).cast("double") / col("n").cast("double"), 6)
+          .as("gini"))
+  }
+
   /** Cross-modal fusion bands (q137): join the text-quality signal (q35)
     * with the embedding-norm signal for the docs that have embeddings
     * (vec_id ≙ doc_id) and profile the 2-D band matrix — the curation
