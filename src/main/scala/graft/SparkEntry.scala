@@ -2055,11 +2055,20 @@ object SparkEntry {
              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
          WHERE event_type = 'purchase' ORDER BY purchase_id""",
     // q107: item co-occurrence PMI — integer user-set counts, ln of an
-    // integer-valued double ratio rounded 6dp, total (pmi, i, j) order
+    // integer-valued double ratio rounded 6dp, total (pmi, i, j) order.
+    // The grid replays the engine's deterministic per-user top-500 item
+    // cap (rank by event count DESC, item ASC — lossless here: sf0.1
+    // max per-user activity is 67)
     "q107_item_pmi" ->
-      """WITH ui AS (SELECT DISTINCT user_id,
-             CAST(json_extract_string(props, '$.k') AS INT) AS item
-           FROM events WHERE json_extract_string(props, '$.k') IS NOT NULL),
+      """WITH grid AS (SELECT user_id,
+             CAST(json_extract_string(props, '$.k') AS INT) AS item,
+             count(*) AS n_ev
+           FROM events WHERE json_extract_string(props, '$.k') IS NOT NULL
+           GROUP BY 1, 2),
+         ui AS (SELECT user_id, item FROM (
+             SELECT user_id, item, row_number() OVER (PARTITION BY user_id
+               ORDER BY n_ev DESC, item) AS rk FROM grid)
+           WHERE rk <= 500),
          pairs AS (SELECT a.item AS item_i, b.item AS item_j,
              count(*) AS n_ij
            FROM ui a JOIN ui b ON a.user_id = b.user_id
@@ -2197,10 +2206,15 @@ object SparkEntry {
              FROM edges e JOIN $prev ON e.src = $prev.item
              JOIN deg ON e.src = deg.src GROUP BY 1) s
            ON n.item = s.item)"""
-      s"""WITH ui AS (SELECT DISTINCT user_id,
-             CAST(json_extract_string(props, '$$.k') AS INT) AS item
-           FROM events
-           WHERE json_extract_string(props, '$$.k') IS NOT NULL),
+      s"""WITH grid AS (SELECT user_id,
+             CAST(json_extract_string(props, '$$.k') AS INT) AS item,
+             count(*) AS n_ev
+           FROM events WHERE json_extract_string(props, '$$.k') IS NOT NULL
+           GROUP BY 1, 2),
+         ui AS (SELECT user_id, item FROM (
+             SELECT user_id, item, row_number() OVER (PARTITION BY user_id
+               ORDER BY n_ev DESC, item) AS rk FROM grid)
+           WHERE rk <= 500),
          pairs AS (SELECT a.item AS i, b.item AS j FROM ui a JOIN ui b
            ON a.user_id = b.user_id AND a.item < b.item
            GROUP BY 1, 2 HAVING count(*) >= 5),

@@ -162,35 +162,82 @@ object EventOps {
       .orderBy(col("purchase_id"))
   }
 
+  /** Default per-user distinct-item cap for the pair-expanding
+    * operators (q107 item-PMI, q113 PageRank edge build). 500 is far
+    * above the sf0.1 max per-user activity (67 distinct items), so the
+    * cap is LOSSLESS at every test scale (the q121 pick-the-bound-
+    * above-the-data trick) while bounding the worst per-user pair
+    * fan-out to cap²/2 ≈ 125k rows — a single task's worth — no matter
+    * how pathological one bot account gets at 100 TB.
+    */
+  private[graft] val DefaultUserItemCap = 500
+
+  /** The (user, item) interaction grid with a DETERMINISTIC per-user
+    * item cap — the market-basket fan-out guard shared by q107's PMI
+    * pairing and q113's PageRank edge build (the `effectiveDfCap`
+    * playbook from the dedup postings, applied to users).
+    *
+    * Per user, items are ranked by (event count DESC, item ASC) — a
+    * total order, so the kept set is engine-independent — and only the
+    * top `cap` survive to the downstream self-join. Without this, one
+    * power user with n distinct items produces n² pair rows inside a
+    * single user_id key: a hot-key quadratic task no salting can split
+    * (the pairs all carry the same join key). With it, per-user output
+    * is ≤ cap(cap−1)/2 rows, period.
+    *
+    * Scale shape: one corpus shuffle for the (user, item) count grid
+    * (map-side partial agg collapses duplicate events first), then a
+    * per-user row_number — window input is DISTINCT items per user
+    * (linear, already collapsed), not raw events. Loss contract: items
+    * beyond a user's top-`cap` are dropped from pairing AND from the
+    * marginals, so every downstream statistic is computed over one
+    * consistent bounded universe (documented, deterministic loss —
+    * same trade as the df-capped dedup postings).
+    */
+  private[graft] def cappedUserItems(ev: DataFrame,
+      cap: Int = DefaultUserItemCap): DataFrame = {
+    val counted = ev
+      .select(col("user_id"),
+        get_json_object(col("props"), "$.k").cast("int").as("item"))
+      .filter(col("item").isNotNull)
+      .groupBy(col("user_id"), col("item"))
+      .agg(count(lit(1)).as("n_ev"))
+    counted
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("user_id"))
+          .orderBy(col("n_ev").desc, col("item"))))
+      .filter(col("rk") <= cap)
+      .select(col("user_id"), col("item"))
+  }
+
   /** Item co-occurrence with PMI (q107): item pairs interacted with by
     * the same user, scored by pointwise mutual information over user
     * sets — the collocation statistic behind "frequently bought
     * together" and behind keyphrase mining when run over token
     * windows. Output: top `k` pairs with support ≥ `minSupport`.
     *
-    * Scale shape: the (user, item) distinct grid is one corpus shuffle
-    * with map-side collapse; the pair expansion is a per-user-key
-    * self-join, quadratic ONLY in per-user distinct items (bounded by
-    * per-user activity; at 100 TB cap each user's item set to its
-    * top-m before pairing — the standard market-basket guard, same
-    * cap family as the dedup postings). Item marginals and the user
-    * count are broadcast-scale.
+    * Scale shape: the (user, item) grid is one corpus shuffle with
+    * map-side collapse, then [[cappedUserItems]] bounds each user to
+    * their top-`userItemCap` items (deterministic, lossless at test
+    * scale) so the per-user-key self-join is quadratic only in the CAP,
+    * never in raw activity — the standard market-basket guard, same
+    * cap family as the dedup postings. Item marginals and the user
+    * count are broadcast-scale and computed over the same capped grid
+    * (one consistent universe for the PMI denominator).
     *
     * Parity: all counts are integers; PMI = ln of an integer-valued
     * double product ratio, rounded 6dp at the only FP boundary, and
     * the (pmi DESC, i, j) order is total so LIMIT k is deterministic.
+    * The oracle replays the identical cap rule.
     */
   def itemCooccurrence(spark: SparkSession, dir: String, k: Int = 25,
       minSupport: Int = 5): DataFrame =
     itemCooccurrenceOn(Tables.events(spark, dir), k, minSupport)
 
   private[graft] def itemCooccurrenceOn(ev: DataFrame, k: Int = 25,
-      minSupport: Int = 5): DataFrame = {
-    val ui = ev
-      .select(col("user_id"),
-        get_json_object(col("props"), "$.k").cast("int").as("item"))
-      .filter(col("item").isNotNull)
-      .distinct()
+      minSupport: Int = 5,
+      userItemCap: Int = DefaultUserItemCap): DataFrame = {
+    val ui = cappedUserItems(ev, userItemCap)
     val pairs = ui.as("a")
       .join(ui.as("b"), col("a.user_id") === col("b.user_id") &&
         col("a.item") < col("b.item"))

@@ -30,7 +30,12 @@ object GraphOps {
     * iterations are a FIXED count, no driver-side convergence loop, no
     * collect. At 100 TB the edges relation is the big side and is
     * hash-partitioned once; the per-iteration shuffle moves only
-    * node-scale data.
+    * node-scale data. The edge BUILD shares q107's
+    * [[graft.operators.EventOps.cappedUserItems]] guard: each user is
+    * bounded to their top-`userItemCap` items before pairing, so no
+    * single hot user can emit a quadratic pair blow-up inside one
+    * task (lossless at test scale — cap 500 vs sf0.1 max activity 67;
+    * the oracle replays the same cap).
     */
   def pageRank(spark: SparkSession, dir: String, iters: Int = 3,
       minSupport: Int = 5): DataFrame =
@@ -39,12 +44,9 @@ object GraphOps {
   private val Unit9 = 1000000000L
 
   private[graft] def pageRankOn(ev: DataFrame, iters: Int = 3,
-      minSupport: Int = 5): DataFrame = {
-    val ui = ev
-      .select(col("user_id"),
-        get_json_object(col("props"), "$.k").cast("int").as("item"))
-      .filter(col("item").isNotNull)
-      .distinct()
+      minSupport: Int = 5,
+      userItemCap: Int = EventOps.DefaultUserItemCap): DataFrame = {
+    val ui = EventOps.cappedUserItems(ev, userItemCap)
     val pairs = ui.as("a")
       .join(ui.as("b"), col("a.user_id") === col("b.user_id") &&
         col("a.item") < col("b.item"))

@@ -111,6 +111,47 @@ class EventOpsSpec extends SparkSpecBase {
     assert(got.toSeq === Seq((1, 2, 5L, 0.0)))
   }
 
+  test("cappedUserItems: hot user is bounded, cap is deterministic") {
+    // hot user 99 touches 30 distinct items; item 7 three times, item 3
+    // twice, everything else once — the (n_ev DESC, item ASC) rank must
+    // keep exactly {7, 3, 1, 2, 4} at cap=5
+    val hot = (1 to 30).map(i => (99L, s"""{"k": $i}""")) ++
+      Seq((99L, """{"k": 7}"""), (99L, """{"k": 7}"""),
+        (99L, """{"k": 3}""")) ++
+      (1 to 5).map(u => (u.toLong, """{"k": 1}"""))
+    val ev = hot.toDF("user_id", "props")
+    val capped = EventOps.cappedUserItems(ev, cap = 5)
+    val hotItems = capped.filter(col("user_id") === 99L)
+      .collect().map(_.getInt(1)).sorted
+    assert(hotItems.toSeq === Seq(1, 2, 3, 4, 7))
+    // cold users untouched
+    assert(capped.filter(col("user_id") === 1L).count() === 1L)
+    // a cap at-or-above activity is lossless: identical grid
+    val full = EventOps.cappedUserItems(ev, cap = 30).collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toSet
+    val naive = ev.select(col("user_id"),
+        get_json_object(col("props"), "$.k").cast("int").as("item"))
+      .distinct().collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(full === naive)
+  }
+
+  test("itemCooccurrence: hot-user pair fan-out is bounded by the cap") {
+    // one bot with 40 items would emit C(40,2)=780 pairs uncapped; at
+    // cap=5 it emits exactly C(5,2)=10 — and 5 normal users still push
+    // their shared pair over minSupport
+    val rows = (1 to 40).map(i => (999L, s"""{"k": $i}""")) ++
+      (1 to 5).flatMap(u => Seq(
+        (u.toLong, """{"k": 1}"""), (u.toLong, """{"k": 2}""")))
+    val ev = rows.toDF("user_id", "props")
+    // minSupport=1 exposes every generated pair; the bot contributes
+    // only pairs among its top-5 items {1..5}
+    val pairs = EventOps.itemCooccurrenceOn(ev, k = 1000, minSupport = 1,
+      userItemCap = 5)
+    val maxItem = pairs.agg(max(col("item_j"))).head().getInt(0)
+    assert(maxItem <= 5, "pairs must only involve capped top-5 items")
+    assert(pairs.count() === 10L)
+  }
+
   test("rollingActiveUsers: hand-computed DAU/WAU7 on a tiny log") {
     // day 0: users {1,2}; day 3: {2}; day 8: {1,3}
     val events = ev(

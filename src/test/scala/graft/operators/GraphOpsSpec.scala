@@ -44,6 +44,29 @@ class GraphOpsSpec extends SparkSpecBase {
     assert(again.toSeq === r3.collect().map(r => (r.getInt(0), r.getLong(1))).toSeq)
   }
 
+  test("pageRank: hot-user edge build is bounded by the item cap") {
+    // a 50-item bot alone (minSupport=1) uncapped would induce
+    // C(50,2)=1225 undirected pairs; at cap=4 the graph is K4 on the
+    // bot's top items {1,2,3,4}: 6 pairs -> 12 directed edges, 4 nodes
+    val rows = (1 to 50).map(i => (7L, s"""{"k": $i}"""))
+    val ev = rows.toDF("user_id", "props")
+    val out = GraphOps.pageRankOn(ev, iters = 1, minSupport = 1,
+      userItemCap = 4).collect()
+    assert(out.length === 4)
+    assert(out.map(_.getInt(0)).sorted.toSeq === Seq(1, 2, 3, 4))
+    // K4 is symmetric: all four ranks exactly tied
+    assert(out.map(_.getLong(1)).distinct.length === 1)
+  }
+
+  test("pageRank: default cap is lossless on the path graph") {
+    // per-user activity (2 items) is far below DefaultUserItemCap, so
+    // capped output must equal the hand-computed uncapped cells
+    val got = GraphOps.pageRankOn(pathGraphEvents, iters = 1).collect()
+      .map(r => (r.getInt(0), r.getLong(1)))
+    assert(got.toSeq === Seq(
+      (2, 616666665L), (1, 191666665L), (3, 191666665L)))
+  }
+
   test("pageRank on the real events table: structural invariants") {
     val out = GraphOps.pageRank(spark, sf0001).cache()
     assert(out.count() > 0)
