@@ -43,15 +43,57 @@ object RefBuilders {
       .withColumn("i94_entry_date", Dates.flexDate(col("dtadfile"))).drop("dtadfile")
       .withColumn("i94_valid_till", Dates.flexDate(col("dtaddto"))).drop("dtaddto")
 
-  /** i94_trips — SQL builder (etl.py:195-228). The fact table. */
+  /** cicid range covered by one trip_id bucket. The fact table is the
+    * one surface guaranteed to see full-corpus volume, so its surrogate
+    * key CANNOT be a global-order window (`row_number().over(
+    * Window.orderBy(...))` moves the whole table to ONE partition — the
+    * canonical 100 TB scale-killer). 4096 keeps per-bucket row counts
+    * task-sized at any SF while the bucket-count frame (rows ÷ 4096)
+    * stays driver-trivial.
+    */
+  private[etl] val TripIdBucketWidth = 4096L
+
+  /** i94_trips — SQL builder (etl.py:195-228). The fact table.
+    *
+    * trip_id is the global 1..n rank over the (cicid, admnum, <all
+    * remaining columns>) total order, assigned WITHOUT a global-order
+    * window via the q130 two-phase pattern
+    * ([[graft.operators.CoreQueries.q130DenseIds]]): cicid-range
+    * buckets get a per-bucket streaming rank (hash-partitioned window
+    * over the full tie-break), and bucket OFFSETS come from a
+    * cumulative sum over the bucket-COUNT frame — a window over
+    * #buckets rows, not over the data. Because `floor(cicid / width)`
+    * is monotone in the LEADING sort key (nulls bucket to null, which
+    * sorts first exactly like cicid's nulls-first position), offset +
+    * intra-rank equals the naive global row_number exactly
+    * (RefBuildersSpec proves the equivalence on tied fixtures).
+    */
   def i94Trips(spark: SparkSession, df: DataFrame): DataFrame = {
     // total order over every column: rows distinct after dropDuplicates
     // can still tie on (cicid, admnum) alone, which would make trip_id
     // partition-order-dependent again
     val tieBreak = (Seq("cicid", "admnum") ++
       df.columns.filterNot(Set("cicid", "admnum"))).map(col)
-    val deduped = df.dropDuplicates()
-      .withColumn("trip_id", row_number().over(Window.orderBy(tieBreak: _*)))
+    // null cicid buckets to Long.MinValue (a plain null bucket would NOT
+    // survive the equi-join below — NULL = NULL is false — silently
+    // dropping those rows); MinValue sorts before every real bucket,
+    // exactly the nulls-first position cicid holds in the naive order
+    val bucketed = df.dropDuplicates()
+      .withColumn("trip_bucket",
+        coalesce(floor(col("cicid") / lit(TripIdBucketWidth)).cast("long"),
+          lit(Long.MinValue)))
+    val offsets = bucketed.groupBy(col("trip_bucket"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("offset", coalesce(sum(col("cnt")).over(
+        Window.orderBy(col("trip_bucket"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("trip_bucket"), col("offset"))
+    val deduped = bucketed
+      .withColumn("intra", row_number().over(
+        Window.partitionBy(col("trip_bucket")).orderBy(tieBreak: _*)))
+      .join(broadcast(offsets), Seq("trip_bucket"))
+      .withColumn("trip_id", (col("offset") + col("intra")).cast("int"))
+      .drop("trip_bucket", "intra", "offset")
     deduped.createOrReplaceTempView("i94_trips_raw")
     spark.sql("""
       SELECT DISTINCT

@@ -17,6 +17,7 @@ object RunAll {
     */
   def run(spark: SparkSession, cfg: EtlConfig):
       (Map[String, Long], Seq[graft.dq.DataQuality.DqReport], Seq[String]) = {
+    val t0 = System.nanoTime()
     // stage 1: the input-existence gate (the DAG's bucket-check branch:
     // missing inputs fail the run before any write)
     require(cfg.inputFiles.exists(HadoopIo.exists(spark, _)),
@@ -28,6 +29,11 @@ object RunAll {
     val registered = Catalog.register(spark, cfg.outputDir)
     // stage 4: DQ over the written tables
     val reports = graft.dq.DqMain.runChecks(spark, cfg.outputDir, cfg.dqSpecs)
+    // stage 5: the auditable end-to-end artifact — per-table rows/bytes/
+    // files/partitions + wall-clock, written next to the tables
+    RunManifest.write(spark, cfg.outputDir, counts,
+      (System.nanoTime() - t0) / 1e9,
+      cfg.get("PATHS", "sf_label").getOrElse("fixture"))
     (counts, reports, registered)
   }
 

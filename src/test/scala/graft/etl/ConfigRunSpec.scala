@@ -67,6 +67,19 @@ class ConfigRunSpec extends SparkSpecBase {
     assert(spark.table("i94_visa").count() > 0)
     assert(reports.map(_.table) === Seq("i94_visa", "i94_travel_mode", "i94_trips"))
     assert(reports.forall(_.passed), reports.mkString(","))
+    // the run manifest is written next to the tables with per-table
+    // rows/bytes/files/partitions that agree with the ETL's own counts
+    val manifest = HadoopIo.readUtf8(spark, s"${cfg.outputDir}/ETL_RUN.json")
+    assert(manifest.contains("\"n_tables\": 13"), manifest)
+    assert(manifest.contains(
+      s""""i94_trips": {"format": "parquet", "rows": ${counts("i94_trips")}"""),
+      manifest)
+    val stats = RunManifest.stats(spark, cfg.outputDir, counts)
+    assert(stats.size === 13)
+    assert(stats.forall(s => s.bytes > 0 && s.files > 0), stats)
+    // partitioned parquet tables report their leaf partition dirs
+    assert(stats.find(_.name == "i94_trips").get.partitionDirs > 0)
+    assert(stats.find(_.name == "i94_visa").get.partitionDirs === 0)
   }
 
   test("RunAll input gate fails fast when no configured input exists") {

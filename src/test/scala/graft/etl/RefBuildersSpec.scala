@@ -39,6 +39,61 @@ class RefBuildersSpec extends SparkSpecBase {
     assert(t.collect().map(_.getAs[String]("trip_id")).sorted.toSeq === Seq("1", "2", "3"))
   }
 
+  test("i94_trips: two-phase trip_id equals the naive global row_number") {
+    import org.apache.spark.sql.{Row, functions => F}
+    import org.apache.spark.sql.expressions.Window
+    // cicids spanning several 4096-wide buckets (incl. exact boundaries),
+    // a null cicid (buckets to null, sorts first like the naive form),
+    // and duplicate (cicid, admnum) pairs tied until the fltno column
+    val cases = Seq(
+      (null.asInstanceOf[java.lang.Double], 1.0d, "N1"),
+      (java.lang.Double.valueOf(1.0), 10.0d, "A"),
+      (java.lang.Double.valueOf(1.0), 10.0d, "B"),   // tie on (cicid, admnum)
+      (java.lang.Double.valueOf(1.0), 11.0d, "C"),
+      (java.lang.Double.valueOf(4095.0), 20.0d, "D"), // last row of bucket 0
+      (java.lang.Double.valueOf(4096.0), 20.0d, "E"), // first row of bucket 1
+      (java.lang.Double.valueOf(4097.0), 20.0d, "F"),
+      (java.lang.Double.valueOf(4097.0), 20.0d, "G"), // tie in bucket 1
+      (java.lang.Double.valueOf(50000.0), 30.0d, "H"),
+      (java.lang.Double.valueOf(123456.0), 30.0d, "I"))
+    val rows = cases.map { case (cicid, admnum, flt) =>
+      Row(cicid, 2016.0d, 4.0d, 101.0d, 102.0d, "NYC", 20545.0d, 1.0d, "NY",
+        null, 30.0d, 2.0d, 1.0d, "20160401", null, null, null, null, null,
+        null, 1986.0d, "04152016", "F", null, "AA",
+        java.lang.Double.valueOf(admnum), flt, "B2")
+    }
+    val raw = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows), Schemas.rawI94)
+    // the pre-round-8 builder: one global-order window over every column
+    val tieBreak = (Seq("cicid", "admnum") ++
+      raw.columns.filterNot(Set("cicid", "admnum"))).map(F.col)
+    val naive = raw.dropDuplicates()
+      .withColumn("trip_id", F.row_number().over(Window.orderBy(tieBreak: _*)))
+      .select(F.col("trip_id").cast("string"),
+        F.expr("STRING(BIGINT(admnum))").as("adm"), F.col("fltno"))
+      .collect().map(r => (r.getString(1), r.getString(2)) -> r.getString(0))
+      .toMap
+    val got = RefBuilders.i94Trips(spark, raw)
+      .select(F.col("trip_id"), F.col("admissions_number"), F.col("flight_id"))
+      .collect().map(r => (r.getString(1), r.getString(2)) -> r.getString(0))
+      .toMap
+    assert(got === naive)
+    assert(got.values.map(_.toInt).toSeq.sorted === (1 to cases.size).toSeq)
+  }
+
+  test("i94_trips: the trip_id window is hash-partitioned, offsets broadcast") {
+    val plan = RefBuilders.i94Trips(spark, raw)
+      .queryExecution.executedPlan.toString
+    // the per-bucket rank window must be hash-partitioned on the bucket;
+    // the only global-order artifact allowed is the bucket-COUNT frame,
+    // which comes back via a broadcast join (the q130 PlanSpec pin,
+    // applied to the ETL fact builder — the one surface guaranteed to
+    // see full-corpus volume)
+    assert(plan.contains("Exchange hashpartitioning"), plan)
+    assert(plan.contains("BroadcastHashJoin") ||
+      plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
   test("i94_visitors + i94_flights: projections and not-null filter") {
     val v = RefBuilders.i94Visitors(spark, raw)
     assert(v.count() === 3)
