@@ -227,10 +227,11 @@ object SparkEntry {
            FROM q35m)"""
 
   /** The q132 Morton interleave as DuckDB bit arithmetic — generated so
-    * the 32 terms cannot be hand-mistyped; mirrors the shiftleft/
-    * shiftright/bitwiseAND fold in CoreQueries.q132ZorderLayout.
+    * the 62 terms cannot be hand-mistyped; mirrors the shiftleft/
+    * shiftright/bitwiseAND fold in CoreQueries.q132ZorderLayout
+    * (31 bits per dimension).
     */
-  private val mortonSql: String = (0 until 16).map(i =>
+  private val mortonSql: String = (0 until 31).map(i =>
     s"(((l_partkey >> $i) & 1) << ${2 * i}) + " +
       s"(((l_suppkey >> $i) & 1) << ${2 * i + 1})").mkString(" + ")
 
@@ -258,7 +259,7 @@ object SparkEntry {
            FROM pppref a JOIN pppref b ON a.h = b.h AND a.doc_id < b.doc_id),
          ppsets AS (SELECT doc_id, list(h ORDER BY h) AS s, count(*) AS n
            FROM ppsh GROUP BY 1),
-         v AS (SELECT id_a, id_b,
+         v AS (SELECT id_a, id_b, sa.n AS na, sb.n AS nb,
              len(list_intersect(sa.s, sb.s)) AS inter,
              round(len(list_intersect(sa.s, sb.s))::DOUBLE /
                (sa.n + sb.n - len(list_intersect(sa.s, sb.s))), 4) AS jaccard
@@ -2338,11 +2339,13 @@ object SparkEntry {
          ORDER BY block, name_a, name_b""",
     // q121: lossless AllPairs/PPJoin prefix filter at t = 3/5 — prefix
     // length n - ceil(3n/5) + 1 in pure integer arithmetic; candidates
-    // verified with exact list_intersect; threshold on the ROUNDED score
+    // verified with exact list_intersect; INTEGER-exact threshold
+    // (5·inter >= 3·union — no float/rounding boundary)
     "q121_prefix_join" ->
       ("WITH " + prefixPairsCte + """
          SELECT id_a, id_b, CAST(inter AS BIGINT) AS inter, jaccard
-         FROM v WHERE jaccard >= 0.6 ORDER BY id_a, id_b"""),
+         FROM v WHERE 5 * inter >= 3 * (na + nb - inter)
+         ORDER BY id_a, id_b"""),
     // q122: fold = first-8-hex-digit fold of md5(canonical_id) mod 5;
     // canonical = min doc_id per content hash, so dup clusters co-assign
     "q122_fold_assign" ->
@@ -2399,14 +2402,15 @@ object SparkEntry {
            FROM pref a JOIN sh b ON a.h = b.h AND a.doc_id <> b.doc_id),
          sets AS (SELECT doc_id, list(h ORDER BY h) AS s, count(*) AS n
            FROM sh GROUP BY 1),
-         v AS (SELECT id_a, id_b,
+         v AS (SELECT id_a, id_b, sa.n AS na, sb.n AS nb,
              len(list_intersect(sa.s, sb.s)) AS inter,
              round(len(list_intersect(sa.s, sb.s))::DOUBLE /
                least(sa.n, sb.n), 4) AS containment
            FROM cand JOIN sets sa ON id_a = sa.doc_id
                      JOIN sets sb ON id_b = sb.doc_id)
          SELECT id_a, id_b, CAST(inter AS BIGINT) AS inter, containment
-         FROM v WHERE containment >= 0.8 ORDER BY id_a, id_b""",
+         FROM v WHERE 5 * inter >= 4 * least(na, nb)
+         ORDER BY id_a, id_b""",
     // q125: the whole-star FK sweep — one row per edge, orphan counts
     // via NOT EXISTS; integers only
     "q125_ri_profile" ->
@@ -2547,8 +2551,9 @@ object SparkEntry {
              (sqrt((n*sxx - sx*sx)::DOUBLE) * sqrt((n*syy - sy*sy)::DOUBLE)),
              6) + 0.0 AS r
          FROM m ORDER BY l_returnflag""",
-    // q132: Morton interleave in pure bit arithmetic (32 shift/mask
-    // terms, generated); coarse z-ranges profiled by 2-D key bounds
+    // q132: Morton interleave in pure bit arithmetic (62 shift/mask
+    // terms, generated; 31 bits/dim so 2^31-1 keys never alias);
+    // coarse z-ranges profiled by 2-D key bounds
     "q132_zorder_layout" ->
       s"""WITH z AS (SELECT l_partkey, l_suppkey,
              ($mortonSql) AS z
@@ -2765,7 +2770,8 @@ object SparkEntry {
     // occurrence counts; integers + one division/round per pair
     "q144_weighted_jaccard" ->
       ("WITH " + prefixPairsCte + """,
-         pairs AS (SELECT id_a, id_b FROM v WHERE jaccard >= 0.6),
+         pairs AS (SELECT id_a, id_b FROM v
+           WHERE 5 * inter >= 3 * (na + nb - inter)),
          tc AS (SELECT doc_id, tok, count(*) AS c FROM (
              SELECT doc_id, unnest(string_split(
                regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' '))

@@ -40,6 +40,41 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = load(s, d, "lineitem")
+  /** True when `path`'s parquet footer declares column `colName` as
+    * TIMESTAMP(NANOS). Reads the footer directly (one metadata read of
+    * one file — a directory probes its first part file) instead of
+    * pattern-matching Spark's version-dependent error text, so the
+    * dispatch survives error-message changes and exception wrapping.
+    */
+  private[graft] def footerSaysNanos(spark: SparkSession, path: String,
+      colName: String): Boolean = {
+    import org.apache.hadoop.fs.Path
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    import org.apache.parquet.schema.LogicalTypeAnnotation
+    val conf = spark.sessionState.newHadoopConf()
+    val p = new Path(path)
+    val fs = p.getFileSystem(conf)
+    val file =
+      if (fs.getFileStatus(p).isDirectory)
+        fs.listStatus(p).map(_.getPath)
+          .filter(f => f.getName.endsWith(".parquet"))
+          .sortBy(_.getName).headOption.getOrElse(p)
+      else p
+    val reader = ParquetFileReader.open(HadoopInputFile.fromPath(file, conf))
+    try {
+      val schema = reader.getFooter.getFileMetaData.getSchema
+      schema.containsField(colName) && {
+        val t = schema.getType(Seq(colName): _*)
+        t.isPrimitive && (t.asPrimitiveType().getLogicalTypeAnnotation match {
+          case ts: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation =>
+            ts.getUnit == LogicalTypeAnnotation.TimeUnit.NANOS
+          case _ => false
+        })
+      }
+    } finally reader.close()
+  }
+
   /** events.ts has shipped in two physical layouts across testdata
     * generations: parquet TIMESTAMP(NANOS) (no native Spark type — read as
     * long via the legacy conf and floor-convert ns→µs, exactly what DuckDB
@@ -50,16 +85,12 @@ object Tables {
   def events(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.functions.{expr, timestamp_micros}
     import org.apache.spark.sql.types.LongType
-    val raw =
-      try load(s, d, "events")
-      catch {
-        // nanosAsLong is an analyzer-level conf with no per-read
-        // equivalent; only the NANOS layout needs it
-        case e: Exception if e.getMessage != null &&
-            e.getMessage.contains("NANOS") =>
-          s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-          load(s, d, "events")
-      }
+    // nanosAsLong is an analyzer-level conf with no per-read equivalent;
+    // only the NANOS layout needs it — probe the footer, don't sniff
+    // error messages
+    if (footerSaysNanos(s, s"$d/events.parquet", "ts"))
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = load(s, d, "events")
     raw.schema("ts").dataType match {
       case LongType =>
         raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))

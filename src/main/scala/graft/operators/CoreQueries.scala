@@ -762,15 +762,25 @@ object CoreQueries {
     * per z-range covers a narrow rectangle of the key space, so a
     * predicate on EITHER column prunes most ranges (1-D clustering can
     * only prune on its sort column). Pure integer bit arithmetic, no
-    * UDF — the interleave is 32 shift/mask terms inside one codegen
-    * projection.
+    * UDF — the interleave is 62 shift/mask terms inside one codegen
+    * projection. 31 bits per dimension (z <= 2^62, safely inside a
+    * signed long), so keys up to 2^31-1 interleave without aliasing —
+    * TPC-H partkey reaches ~2e7 at SF 100, far beyond the 16-bit
+    * domain a narrower fold would silently alias.
     */
+  /** 31-bit-per-dimension Morton interleave of two non-negative key
+    * columns (z occupies bits 0..61 of a signed long, so no key
+    * aliasing up to 2^31-1 and no sign-bit hazard).
+    */
+  def mortonCol(p: Column, s: Column): Column =
+    (0 until 31).map { i =>
+      shiftleft(shiftright(p, i).bitwiseAND(lit(1L)), 2 * i) +
+        shiftleft(shiftright(s, i).bitwiseAND(lit(1L)), 2 * i + 1)
+    }.reduce(_ + _)
+
   def q132ZorderLayout(spark: SparkSession, dir: String,
       rangeShift: Int = 14): DataFrame = {
-    val morton = (0 until 16).map { i =>
-      shiftleft(shiftright(col("l_partkey"), i).bitwiseAND(lit(1L)), 2 * i) +
-        shiftleft(shiftright(col("l_suppkey"), i).bitwiseAND(lit(1L)), 2 * i + 1)
-    }.reduce(_ + _)
+    val morton = mortonCol(col("l_partkey"), col("l_suppkey"))
     Tables.lineitem(spark, dir)
       .select(col("l_partkey"), col("l_suppkey"), morton.as("z"))
       .withColumn("zrange", expr(s"z div ${1L << rangeShift}"))

@@ -776,11 +776,13 @@ object DedupOps {
     cand.join(sa, "id_a").join(sb, "id_b")
       .withColumn("inter",
         size(array_intersect(col("sa"), col("sb"))).cast("long"))
-      // threshold on the ROUNDED score (the q32 rule) so both engines
-      // cut the same pairs at the boundary
+      // integer-exact threshold: J >= 3/5 ⟺ 5·inter >= 3·union — no
+      // float boundary, so "LOSSLESS" holds exactly (a 4dp-rounded cut
+      // would admit pairs in [0.59995, 0.6) that prefix filtering never
+      // guarantees candidates for); round only for display
+      .filter(col("inter") * 5 >= (col("na") + col("nb") - col("inter")) * 3)
       .withColumn("jaccard", round(col("inter").cast("double") /
         (col("na") + col("nb") - col("inter")).cast("double"), 4))
-      .filter(col("jaccard") >= 0.6)
       .select(col("id_a"), col("id_b"), col("inter"), col("jaccard"))
       .orderBy(col("id_a"), col("id_b"))
   }
@@ -907,9 +909,11 @@ object DedupOps {
     cand.join(sa, "id_a").join(sb, "id_b")
       .withColumn("inter",
         size(array_intersect(col("sa"), col("sb"))).cast("long"))
+      // integer-exact threshold: C >= 4/5 ⟺ 5·inter >= 4·min(na,nb)
+      // (same rationale as prefixJaccardJoinFromSh — round for display)
+      .filter(col("inter") * 5 >= least(col("na"), col("nb")) * 4)
       .withColumn("containment", round(col("inter").cast("double") /
         least(col("na"), col("nb")).cast("double"), 4))
-      .filter(col("containment") >= 0.8)
       .select(col("id_a"), col("id_b"), col("inter"), col("containment"))
       .orderBy(col("id_a"), col("id_b"))
   }

@@ -587,19 +587,6 @@ object TextAnalysisOps {
       .orderBy(col("source"))
   }
 
-  /** Per-source quality-score calibration deciles (q123): rank each
-    * document's [[qualityScore]] within its source and bucket into
-    * deciles with PURE INTEGER arithmetic — `decile = ((rk−1)·10) div n`
-    * — so the bucket boundary can never drift between engines the way a
-    * float percent_rank·10 floor could. Per (source, decile): doc count
-    * and the score range. This is the cross-domain score-comparability
-    * diagnostic: a classifier threshold tuned on one domain transfers
-    * via these per-domain quantile maps.
-    *
-    * Scale shape: the corpus-sized work is the quality pass itself; the
-    * window is per-source (streaming rank over a disk-backed sort) and
-    * the rollup reuses the same source partitioning.
-    */
   /** Vocabulary growth curve (q127): per source, how many NEW distinct
     * 8-gram shingles each ingest quartile contributes (first-occurrence
     * doc bucketed by integer-exact quartile of the source's doc order) —
@@ -683,6 +670,19 @@ object TextAnalysisOps {
         min(col("n_chars")).as("min_chars"), max(col("n_chars")).as("max_chars"))
       .orderBy(col("lang"), col("log2_bucket"))
 
+  /** Per-source quality-score calibration deciles (q123): rank each
+    * document's [[qualityScore]] within its source and bucket into
+    * deciles with PURE INTEGER arithmetic — `decile = ((rk−1)·10) div n`
+    * — so the bucket boundary can never drift between engines the way a
+    * float percent_rank·10 floor could. Per (source, decile): doc count
+    * and the score range. This is the cross-domain score-comparability
+    * diagnostic: a classifier threshold tuned on one domain transfers
+    * via these per-domain quantile maps.
+    *
+    * Scale shape: the corpus-sized work is the quality pass itself; the
+    * window is per-source (streaming rank over a disk-backed sort) and
+    * the rollup reuses the same source partitioning.
+    */
   def scoreCalibration(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val q = qualityScore(spark, dir)

@@ -47,17 +47,15 @@ object EventsStream {
   def stagedEventsStream(spark: SparkSession, dir: String,
       prefix: String): DataFrame = {
     // Probe the batch-side footer once so the pinned stream schema matches
-    // the file's physical layout (same dispatch as graft.Tables.events;
-    // the legacy NANOS layout needs the session-scoped nanosAsLong conf,
-    // which the streaming source consults beyond this call).
+    // the file's physical layout (same footer-based dispatch as
+    // graft.Tables.events — no error-message sniffing; the legacy NANOS
+    // layout needs the session-scoped nanosAsLong conf, which the
+    // streaming source consults beyond this call).
     val tsType =
-      try spark.read.parquet(s"$dir/events.parquet").schema("ts").dataType
-      catch {
-        case e: Exception if e.getMessage != null &&
-            e.getMessage.contains("NANOS") =>
-          spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-          LongType
-      }
+      if (graft.Tables.footerSaysNanos(spark, s"$dir/events.parquet", "ts")) {
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        LongType
+      } else spark.read.parquet(s"$dir/events.parquet").schema("ts").dataType
     val stream = stageParquetStream(spark, s"$dir/events.parquet", prefix,
       eventsRawSchema(tsType))
     tsType match {

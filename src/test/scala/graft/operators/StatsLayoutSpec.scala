@@ -54,8 +54,18 @@ class StatsLayoutSpec extends SparkSpecBase {
 
   test("zorder: interleave is exact and ranges are 2-D local") {
     def morton(p: Long, s: Long): Long =
-      (0 until 16).map(i =>
+      (0 until 31).map(i =>
         (((p >> i) & 1L) << (2 * i)) | (((s >> i) & 1L) << (2 * i + 1))).sum
+    // keys above 16 bits must NOT alias (the 31-bit widening's point):
+    // interleave some >65535 keys through the column expression and
+    // compare bit-exactly against the reference fold
+    val bigKeys = Seq((100000L, 70000L), (1L << 30, (1L << 30) - 1),
+      (2147483647L, 2147483647L), (65536L, 0L), (0L, 65536L))
+    val viaExpr = bigKeys.toDF("p", "s")
+      .select(CoreQueries.mortonCol($"p", $"s").as("z"))
+      .as[Long].collect()
+    assert(viaExpr.toSeq === bigKeys.map { case (p, s) => morton(p, s) })
+    assert(morton(65536L, 0L) != morton(0L, 0L)) // no 16-bit wraparound
     // spot-check the column expression against the reference interleave
     val sample = graft.Tables.lineitem(spark, sf0001)
       .select($"l_partkey", $"l_suppkey").limit(50)
