@@ -100,7 +100,7 @@ object Bench {
     val summary =
       s"""{"metric":"total_summary","value":$total,"unit":"sec","total_cold":$totalCold,"n_queries":${results.size},"n_failed":${failed.size},"n_flaky":${flaky.size},"n_suspect":${sus.size},"load":$loadJson,"sf":"${jsonStr(sf)}"}"""
     Seq(summary,
-      s"""{"metric":"total","value":$total,"unit":"sec","total_cold":$totalCold,"queries":${qmap(results)},"failed":${names(failed)},"flaky":${names(flaky)},"suspect":${names(sus)},"load":$loadJson,"sf":"${jsonStr(sf)}"}""",
+      s"""{"metric":"total","value":$total,"unit":"sec","total_cold":$totalCold,"queries":${qmap(results)},"failed":${names(failed)},"flaky":${names(flaky)},"suspect":${names(sus)},"n_suspect":${sus.size},"load":$loadJson,"sf":"${jsonStr(sf)}"}""",
       s"""{"metric":"total_cold","value":$totalCold,"unit":"sec","queries_cold":${qmap(cold)},"sf":"${jsonStr(sf)}"}""",
       summary)
   }

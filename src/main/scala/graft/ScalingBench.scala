@@ -169,6 +169,12 @@ object ScalingBench {
       // with the per-copy structure exactly k×)
       Probe("q121_prefix_join", "documents",
         SparkEntry.queries("q121_prefix_join")),
+      // A/B: identical pipeline with the candidate-join payload kept as
+      // md5-hex strings (~32B) instead of the default xxhash64 longs
+      // (8B) — the VERDICT r7 probe that made hashed the default
+      // (measured: 4.3 s vs 11.4 s at the 8× synth corpus)
+      Probe("q121_prefix_md5", "documents",
+        (s, d) => DedupOps.prefixJaccardJoin(s, d, hashedPayload = false)),
       Probe("q124_containment", "documents",
         SparkEntry.queries("q124_containment")),
       // source overlap (q119): distinct (source, 16-gram) then an

@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{CoreQueries, DedupOps, MultimodalOps, PipelineOps, RetrievalOps, SimilarityOps, TextAnalysisOps}
+import graft.operators.{Bucketing, CoreQueries, DedupOps, MultimodalOps, PipelineOps, RetrievalOps, SimilarityOps, TextAnalysisOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -189,6 +189,7 @@ object SparkEntry {
     "q145_rank_corr"      -> ((s, d) => SimilarityOps.rankCorrelation(s, d)),
     "q146_source_gini"    -> ((s, d) => PipelineOps.sourceGini(s, d)),
     "q147_dedup_savings"  -> ((s, d) => DedupOps.dedupSavings(s, d)),
+    "q148_bucketed_join"  -> ((s, d) => Bucketing.q148BucketedJoin(s, d)),
   )
 
   /** Shared shingle→df-capped-postings CTE body for every exact-Jaccard
@@ -2879,6 +2880,14 @@ object SparkEntry {
                CAST(raw.n_tokens AS DOUBLE), 6)
            FROM raw
          ) ORDER BY stage""",
+    // q148: the bucketed co-located join — bucketing is physical layout,
+    // so the oracle is the plain join+rollup (BucketingSpec pins the
+    // Exchange-free plan; this gate pins the answer)
+    "q148_bucketed_join" ->
+      """SELECT o_orderpriority, count(*) AS n_items,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+         FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+         GROUP BY o_orderpriority ORDER BY o_orderpriority""",
   )
 
   /** The q95 power-iteration CTE chain (quantize → center → two exact

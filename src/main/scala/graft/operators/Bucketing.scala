@@ -35,6 +35,46 @@ object Bucketing {
     l.join(r, col(s"l.$leftKey") === col(s"r.$rightKey"))
   }
 
+  /** Bucketed fact⋈fact revenue rollup (q148): write orders and lineitem
+    * bucketed on the join key, bucket-join them Exchange-free, then roll
+    * up revenue per order priority. The oracle sees only the join's
+    * RESULT (bucketing is a physical layout choice, invisible to
+    * semantics), which is exactly the point: same answer, one fewer
+    * shuffle every time the tables are joined again.
+    *
+    * Scale shape: each side pays its bucket shuffle ONCE at write; the
+    * join itself is a co-located SortMergeJoin with no Exchange on
+    * either side (pinned by BucketingSpec via [[hasShuffle]]); the
+    * rollup shuffle moves |priorities|·partitions pre-aggregated rows.
+    */
+  def q148BucketedJoin(spark: SparkSession, dir: String,
+      nBuckets: Int = 8): DataFrame = {
+    // the in-memory catalog forgets tables between JVMs but their
+    // warehouse dirs survive — clear both so a fresh-session run can't
+    // trip over a stale directory
+    Seq("graft_q148_orders", "graft_q148_lineitem").foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val wh = new java.io.File(s"spark-warehouse/$t")
+      if (wh.exists()) {
+        wh.listFiles().foreach(_.delete())
+        wh.delete()
+      }
+    }
+    writeBucketed(graft.Tables.orders(spark, dir)
+        .select(col("o_orderkey"), col("o_orderpriority")),
+      "graft_q148_orders", "o_orderkey", nBuckets)
+    writeBucketed(graft.Tables.lineitem(spark, dir)
+        .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount")),
+      "graft_q148_lineitem", "l_orderkey", nBuckets)
+    bucketJoin(spark, "graft_q148_orders", "graft_q148_lineitem",
+        "o_orderkey", "l_orderkey")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_items"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .as("revenue"))
+      .orderBy(col("o_orderpriority"))
+  }
+
   /** True if the executed plan contains a shuffle exchange. AQE-aware:
     * AdaptiveSparkPlanExec is a leaf node, so a naive collect never looks
     * inside it — recurse through adaptive wrappers and query stages.

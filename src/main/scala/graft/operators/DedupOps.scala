@@ -745,8 +745,24 @@ object DedupOps {
     * map-side array_intersect, never a postings re-join.
     */
   def prefixJaccardJoin(spark: SparkSession, dir: String,
-      n: Int = 8): DataFrame =
-    prefixJaccardJoinFromSh(cachedNgramHashes(spark, dir, n))
+      n: Int = 8, hashedPayload: Boolean = true): DataFrame =
+    prefixJaccardJoinFromSh(
+      maybeHashPayload(cachedNgramHashes(spark, dir, n), hashedPayload))
+
+  /** Payload re-key for the q121/q124 family (DEFAULT since round 8):
+    * `xxhash64(h)` LONGS (8 bytes) instead of md5-hex 32-char strings
+    * through the rank window, prefix join and row-local set arrays. The
+    * FINAL output is hash-function-independent — id pairs, intersection
+    * sizes and set sizes count distinct shingles, not hash values — so
+    * the md5 oracle still gates it exactly (collision odds at any
+    * realistic corpus: ~n²/2⁶⁵); only the candidate SET (a lossless
+    * superset either way) may differ. Measured in ScalingBench
+    * (`q121_prefix_hashed`): 4.3 s vs 11.4 s at the 8× synth corpus,
+    * slope −0.17 vs 1.53 — and pinned ≡ the md5 path by spec
+    * (PrefixJoinSpec).
+    */
+  private def maybeHashPayload(sh: DataFrame, hashed: Boolean): DataFrame =
+    if (hashed) sh.select(col("doc_id"), xxhash64(col("h")).as("h")) else sh
 
   private[graft] def prefixJaccardJoinOn(docs: DataFrame,
       n: Int = 8): DataFrame =
@@ -876,8 +892,9 @@ object DedupOps {
     * the same row-local array_intersect.
     */
   def containmentJoin(spark: SparkSession, dir: String,
-      n: Int = 8): DataFrame =
-    containmentJoinFromSh(cachedNgramHashes(spark, dir, n))
+      n: Int = 8, hashedPayload: Boolean = true): DataFrame =
+    containmentJoinFromSh(
+      maybeHashPayload(cachedNgramHashes(spark, dir, n), hashedPayload))
 
   private[graft] def containmentJoinOn(docs: DataFrame,
       n: Int = 8): DataFrame =

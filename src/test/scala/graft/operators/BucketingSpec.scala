@@ -4,6 +4,7 @@ import graft.SparkSpecBase
 import org.apache.spark.sql.functions._
 
 class BucketingSpec extends SparkSpecBase {
+  import spark.implicits._
 
   test("bucketed join plans with no shuffle exchange; plain join shuffles") {
     val o = graft.Tables.orders(spark, sf0001)
@@ -32,5 +33,25 @@ class BucketingSpec extends SparkSpecBase {
 
     // same results either way
     assert(bucketed.count() === plain.count())
+  }
+
+  test("q148: bucketed rollup ≡ plain-join rollup; join stage shuffle-free") {
+    val got = Bucketing.q148BucketedJoin(spark, sf0001)
+      .as[(String, Long, Double)].collect().toSeq
+    val want = graft.Tables.orders(spark, sf0001)
+      .join(graft.Tables.lineitem(spark, sf0001),
+        col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_items"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .as("revenue"))
+      .orderBy(col("o_orderpriority"))
+      .as[(String, Long, Double)].collect().toSeq
+    assert(got === want)
+    assert(got.nonEmpty)
+    // the underlying bucket join itself plans without an Exchange
+    val join = Bucketing.bucketJoin(spark, "graft_q148_orders",
+      "graft_q148_lineitem", "o_orderkey", "l_orderkey")
+    assert(!Bucketing.hasShuffle(join))
   }
 }

@@ -19,12 +19,14 @@ class ContainmentSpec extends SparkSpecBase {
     val sets = docs.select($"doc_id",
         graft.functions.Text.wordShingles($"text", 8).as("s"))
       .as[(Long, Seq[String])].collect()
+    // INTEGER-exact rule (5·inter >= 4·min — the engine's filter);
+    // rounded score only for display
     val brute = (for {
       (ia, sa) <- sets; (ib, sb) <- sets if ia < ib
       inter = sa.toSet.intersect(sb.toSet).size
-      c = BigDecimal(inter.toDouble / math.min(sa.size, sb.size))
+      if 5 * inter >= 4 * math.min(sa.toSet.size, sb.toSet.size)
+      c = BigDecimal(inter.toDouble / math.min(sa.toSet.size, sb.toSet.size))
         .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
-      if c >= 0.8
     } yield (ia, ib, c)).toSet
     assert(got === brute)
     assert(got.nonEmpty)

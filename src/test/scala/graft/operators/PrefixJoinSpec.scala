@@ -17,20 +17,39 @@ class PrefixJoinSpec extends SparkSpecBase {
     val got = DedupOps.prefixJaccardJoinOn(docs)
       .select("id_a", "id_b", "jaccard").as[(Long, Long, Double)]
       .collect().toSet
-    // brute force: exact Jaccard >= 0.6 (on the rounded score) over the
-    // same 8-gram shingle sets, no prefix filter
+    // brute force: exact Jaccard >= 3/5 via the INTEGER-exact rule
+    // (5·inter >= 3·union — the engine's filter) over the same 8-gram
+    // shingle sets, no prefix filter; rounded score only for display
     val sets = docs.select($"doc_id",
         graft.functions.Text.wordShingles($"text", 8).as("s"))
       .as[(Long, Seq[String])].collect()
+      .map { case (id, s) => (id, s.toSet) }
     val brute = (for {
       (ia, sa) <- sets; (ib, sb) <- sets if ia < ib
-      inter = sa.toSet.intersect(sb.toSet).size
+      inter = sa.intersect(sb).size
+      if 5 * inter >= 3 * (sa.size + sb.size - inter)
       j = BigDecimal(inter.toDouble / (sa.size + sb.size - inter))
         .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
-      if j >= 0.6
     } yield (ia, ib, j)).toSet
     assert(got === brute)
     assert(got.nonEmpty) // the slice must actually contain near-dups
+  }
+
+  test("prefixJoin: xxhash64 payload default ≡ md5 payload, exactly") {
+    val md5Out = DedupOps.prefixJaccardJoin(spark, sf0001,
+        hashedPayload = false)
+      .as[(Long, Long, Long, Double)].collect().toSet
+    val hashedOut = DedupOps.prefixJaccardJoin(spark, sf0001)
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(hashedOut === md5Out)
+    assert(md5Out.nonEmpty)
+    val md5C = DedupOps.containmentJoin(spark, sf0001,
+        hashedPayload = false)
+      .as[(Long, Long, Long, Double)].collect().toSet
+    val hashedC = DedupOps.containmentJoin(spark, sf0001)
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(hashedC === md5C)
+    assert(md5C.nonEmpty)
   }
 
   test("prefixJoin: planted near-dup pair survives, distant pair does not") {
