@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{Bucketing, CoreQueries, DedupOps, MultimodalOps, PipelineOps, RetrievalOps, SimilarityOps, TextAnalysisOps}
+import graft.operators.{Bucketing, CoreQueries, DedupOps, EventOps, MultimodalOps, PipelineOps, RetrievalOps, SimilarityOps, TextAnalysisOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -190,6 +190,10 @@ object SparkEntry {
     "q146_source_gini"    -> ((s, d) => PipelineOps.sourceGini(s, d)),
     "q147_dedup_savings"  -> ((s, d) => DedupOps.dedupSavings(s, d)),
     "q148_bucketed_join"  -> ((s, d) => Bucketing.q148BucketedJoin(s, d)),
+    "q149_rfm_segments"   -> ((s, d) => EventOps.rfmSegments(s, d)),
+    "q150_interarrival"   -> ((s, d) => EventOps.interArrival(s, d)),
+    "q151_ewma_daily"     -> ((s, d) => EventOps.ewmaDaily(s, d)),
+    "q152_dow_profile"    -> ((s, d) => EventOps.dowProfile(s, d)),
   )
 
   /** Shared shingle→df-capped-postings CTE body for every exact-Jaccard
@@ -232,6 +236,16 @@ object SparkEntry {
     * shiftright/bitwiseAND fold in CoreQueries.q132ZorderLayout
     * (31 bits per dimension).
     */
+  /** The q151 EWMA as a generated 16-term lag sum — exact dyadic weight
+    * literals (BigDecimal 0.5^k, full decimal expansion) in the same
+    * left-associated addition order as EventOps.ewmaDailyOn's expression
+    * tree.
+    */
+  private val ewmaTermsSql: String = (0 until 16).map(k =>
+    s"coalesce(CAST(lag(cnt, $k) OVER w AS DOUBLE), 0.0) * " +
+      java.math.BigDecimal.valueOf(0.5).pow(k + 1).toPlainString)
+    .mkString(" + ")
+
   private val mortonSql: String = (0 until 31).map(i =>
     s"(((l_partkey >> $i) & 1) << ${2 * i}) + " +
       s"(((l_suppkey >> $i) & 1) << ${2 * i + 1})").mkString(" + ")
@@ -2888,6 +2902,53 @@ object SparkEntry {
            round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
          FROM orders JOIN lineitem ON o_orderkey = l_orderkey
          GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+    // q149: RFM log2 bands — integer cents, bin()-length bands, one
+    // user-keyed agg + 1-row corpus max
+    "q149_rfm_segments" ->
+      """WITH pu AS (SELECT user_id, max(CAST(ts AS DATE)) AS last_day,
+             count(*) AS freq,
+             sum(CAST(round(value * 100) AS BIGINT)) AS cents
+           FROM events GROUP BY 1),
+         mx AS (SELECT max(CAST(ts AS DATE)) AS corpus_max_day FROM events)
+         SELECT CAST(length(bin(datediff('day', last_day, corpus_max_day)
+             + 1)) - 1 AS INT) AS r_band,
+           CAST(length(bin(freq)) - 1 AS INT) AS f_band,
+           CAST(length(bin(coalesce(cents, 0) + 1)) - 1 AS INT) AS m_band,
+           count(*) AS n_users
+         FROM pu, mx GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""",
+    // q150: consecutive-event gaps in integer microseconds; the later
+    // event's type claims the gap; one float division per output row
+    "q150_interarrival" ->
+      """WITH g AS (SELECT event_type,
+             epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id
+               ORDER BY ts, event_id) AS gap_us
+           FROM events)
+         SELECT event_type, count(*) AS n_gaps, min(gap_us) AS min_gap_us,
+           max(gap_us) AS max_gap_us,
+           round(CAST(sum(gap_us) AS DOUBLE) / count(*) / 1000000.0, 3)
+             AS avg_gap_s
+         FROM g WHERE gap_us IS NOT NULL GROUP BY 1 ORDER BY 1""",
+    // q151: dyadic 16-term EWMA (α = 1/2) — generated term list so the
+    // exact weights and addition order mirror the engine's expression
+    // tree term for term (all arithmetic exact; no decimal ties exist)
+    "q151_ewma_daily" ->
+      s"""WITH d AS (SELECT event_type, CAST(ts AS DATE) AS day,
+             count(*) AS cnt FROM events GROUP BY 1, 2)
+         SELECT event_type, day, cnt, round($ewmaTermsSql, 6) AS ewma16
+         FROM d WINDOW w AS (PARTITION BY event_type ORDER BY day)
+         ORDER BY event_type, day""",
+    // q152: weekday via pure integer epoch-day arithmetic (0 = Sunday)
+    // — no engine dayofweek() convention in play
+    "q152_dow_profile" ->
+      """WITH c AS (SELECT event_type,
+             CAST((datediff('day', DATE '1970-01-01', CAST(ts AS DATE))
+               + 4) % 7 AS INT) AS dow,
+             count(*) AS n_events
+           FROM events GROUP BY 1, 2)
+         SELECT event_type, dow, n_events,
+           round(CAST(n_events AS DOUBLE) /
+             sum(n_events) OVER (PARTITION BY event_type), 6) AS share
+         FROM c ORDER BY event_type, dow""",
   )
 
   /** The q95 power-iteration CTE chain (quantize → center → two exact

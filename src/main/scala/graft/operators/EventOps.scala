@@ -397,6 +397,127 @@ object EventOps {
         max(col("mxu")).as("max_user"), count(lit(1)).as("n_types"))
       .orderBy(col("day"))
 
+  /** RFM segmentation (q149): per user — Recency (days since the user's
+    * last event, vs the corpus max day), Frequency (event count),
+    * Monetary (value summed in integer CENTS) — each folded into a log2
+    * band via `length(bin(x)) − 1` (the q129 idiom), then segment counts
+    * per (r, f, m) band triple. Fixed log2 boundaries instead of
+    * rank-based terciles on purpose: banding is map-side arithmetic with
+    * no global sort/NTILE (which would need a full-corpus window at
+    * 100 TB), and the bands are stable across runs/engines.
+    *
+    * Scale shape: ONE user-keyed aggregation (map-side partial), a
+    * 1-row broadcast for the corpus max day, then a ≤(bands³)-key
+    * rollup. Monetary is `sum(round(value·100)::long)` — integer-exact,
+    * no float-sum ordering hazard.
+    */
+  def rfmSegments(spark: SparkSession, dir: String): DataFrame =
+    rfmSegmentsOn(Tables.events(spark, dir))
+
+  private[graft] def rfmSegmentsOn(ev: DataFrame): DataFrame = {
+    val perUser = ev.groupBy(col("user_id"))
+      .agg(max(to_date(col("ts"))).as("last_day"),
+        count(lit(1)).as("freq"),
+        sum(round(col("value") * 100).cast("long")).as("cents"))
+    val maxDay = ev.agg(max(to_date(col("ts"))).as("corpus_max_day"))
+    perUser.crossJoin(broadcast(maxDay))
+      .select(
+        (length(bin(datediff(col("corpus_max_day"), col("last_day")) + 1)) - 1)
+          .cast("int").as("r_band"),
+        (length(bin(col("freq"))) - 1).cast("int").as("f_band"),
+        (length(bin(coalesce(col("cents"), lit(0L)) + 1)) - 1)
+          .cast("int").as("m_band"))
+      .groupBy(col("r_band"), col("f_band"), col("m_band"))
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy(col("r_band"), col("f_band"), col("m_band"))
+  }
+
+  /** Inter-arrival gap stats (q150): per event type, the distribution of
+    * time gaps between each user's CONSECUTIVE events (the later event's
+    * type claims the gap) — the load-model statistic behind session
+    * timeout tuning and bot detection (humans have heavy-tailed gaps;
+    * scripts are metronomes).
+    *
+    * Scale shape: one per-user window (hash-partitioned by user_id —
+    * never a global sort), gaps in integer MICROSECONDS end to end;
+    * the only float is the final avg division, one per output row.
+    */
+  def interArrival(spark: SparkSession, dir: String): DataFrame =
+    interArrivalOn(Tables.events(spark, dir))
+
+  private[graft] def interArrivalOn(ev: DataFrame): DataFrame = {
+    // order by the micros projection itself (ts is projected away)
+    val w = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+    ev.select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+      .withColumn("gap_us", col("us") - lag(col("us"), 1).over(w))
+      .filter(col("gap_us").isNotNull)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_gaps"),
+        min(col("gap_us")).as("min_gap_us"),
+        max(col("gap_us")).as("max_gap_us"),
+        round(sum(col("gap_us")).cast("double") / count(lit(1)) / lit(1e6), 3)
+          .as("avg_gap_s"))
+      .orderBy(col("event_type"))
+  }
+
+  /** Dyadic EWMA of daily counts (q151): per event type, the daily event
+    * count plus a 16-term exponentially-weighted moving average with
+    * α = 1/2 — `Σ_{k=0..15} cnt(day−k)·2^−(k+1)` as a FIXED expression
+    * tree of lag() terms. α = 1/2 is deliberate: every weight is dyadic,
+    * every product of an integer count is exactly representable, and the
+    * 16-term span keeps all partial sums inside 53 mantissa bits — the
+    * sum is EXACT, order-independent, and can never hit a decimal
+    * rounding tie (a dyadic value's decimal tail cannot be exactly 5),
+    * so both engines produce bit-identical 6dp rounds. The same trick as
+    * q83's dyadic classifier weights, applied to smoothing.
+    *
+    * Scale shape: daily rollup first (events → |types|·|days| rows), so
+    * the window runs over a tiny per-type frame regardless of corpus
+    * size.
+    */
+  def ewmaDaily(spark: SparkSession, dir: String): DataFrame =
+    ewmaDailyOn(Tables.events(spark, dir))
+
+  private[graft] def ewmaDailyOn(ev: DataFrame): DataFrame = {
+    val daily = ev
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+    val ewma = (0 until 16).map(k =>
+        coalesce(lag(col("cnt"), k).over(w).cast("double"), lit(0.0)) *
+          lit(math.pow(0.5, k + 1)))
+      .reduce(_ + _)
+    daily
+      .withColumn("ewma16", round(ewma, 6))
+      .select(col("event_type"), col("day"), col("cnt"), col("ewma16"))
+      .orderBy(col("event_type"), col("day"))
+  }
+
+  /** Day-of-week seasonality profile (q152): per event type, event count
+    * and share by day of week. The weekday comes from pure integer date
+    * arithmetic — `(days_since_epoch + 4) mod 7` (1970-01-01 was a
+    * Thursday; 0 = Sunday) — instead of engine dayofweek() functions,
+    * whose numbering conventions differ (Spark 1-7 Sun-first, DuckDB
+    * 0-6). Map-side banding, one |types|·7-key rollup, one division per
+    * output row.
+    */
+  def dowProfile(spark: SparkSession, dir: String): DataFrame =
+    dowProfileOn(Tables.events(spark, dir))
+
+  private[graft] def dowProfileOn(ev: DataFrame): DataFrame = {
+    val counts = ev
+      .select(col("event_type"),
+        pmod(datediff(to_date(col("ts")), lit("1970-01-01").cast("date")) + 4,
+          lit(7)).cast("int").as("dow"))
+      .groupBy(col("event_type"), col("dow"))
+      .agg(count(lit(1)).as("n_events"))
+    counts
+      .withColumn("share", round(col("n_events").cast("double") /
+        sum(col("n_events")).over(Window.partitionBy(col("event_type"))), 6))
+      .orderBy(col("event_type"), col("dow"))
+  }
+
   private[graft] def rollingActiveUsersOn(ev: DataFrame): DataFrame = {
     val act = ev
       .select(col("user_id"),
