@@ -194,6 +194,8 @@ object SparkEntry {
     "q150_interarrival"   -> ((s, d) => EventOps.interArrival(s, d)),
     "q151_ewma_daily"     -> ((s, d) => EventOps.ewmaDaily(s, d)),
     "q152_dow_profile"    -> ((s, d) => EventOps.dowProfile(s, d)),
+    "q153_triangles"      -> ((s, d) => graft.operators.GraphOps.triangleCount(s, d)),
+    "q154_degree_hist"    -> ((s, d) => graft.operators.GraphOps.degreeHistogram(s, d)),
   )
 
   /** Shared shingle→df-capped-postings CTE body for every exact-Jaccard
@@ -236,6 +238,28 @@ object SparkEntry {
     * shiftright/bitwiseAND fold in CoreQueries.q132ZorderLayout
     * (31 bits per dimension).
     */
+  /** The capped co-occurrence pair/degree CTE chain shared by the q153
+    * and q154 oracles — replays EventOps.cappedUserItems (top-500 per
+    * user by (n_ev DESC, item)) and GraphOps.coPairsOn (support ≥ 5)
+    * exactly, ending at `cpairs (i < j)` and `cdeg (item, degree)`.
+    */
+  private val coPairsCte: String =
+    """grid AS (SELECT user_id,
+         CAST(json_extract_string(props, '$.k') AS INT) AS item,
+         count(*) AS n_ev
+       FROM events WHERE json_extract_string(props, '$.k') IS NOT NULL
+       GROUP BY 1, 2),
+     ui AS (SELECT user_id, item FROM (
+         SELECT user_id, item, row_number() OVER (PARTITION BY user_id
+           ORDER BY n_ev DESC, item) AS rk FROM grid)
+       WHERE rk <= 500),
+     cpairs AS (SELECT a.item AS i, b.item AS j
+       FROM ui a JOIN ui b ON a.user_id = b.user_id AND a.item < b.item
+       GROUP BY 1, 2 HAVING count(*) >= 5),
+     cdeg AS (SELECT item, count(*) AS degree FROM (
+         SELECT i AS item FROM cpairs UNION ALL SELECT j AS item FROM cpairs)
+       GROUP BY 1)"""
+
   /** The q151 EWMA as a generated 16-term lag sum — exact dyadic weight
     * literals (BigDecimal 0.5^k, full decimal expansion) in the same
     * left-associated addition order as EventOps.ewmaDailyOn's expression
@@ -2949,6 +2973,30 @@ object SparkEntry {
            round(CAST(n_events AS DOUBLE) /
              sum(n_events) OVER (PARTITION BY event_type), 6) AS share
          FROM c ORDER BY event_type, dow""",
+    // q153: triangle participation — the oracle uses the SIMPLE
+    // id-ordered formulation (a<b, b<c wedges closed by (a,c)); the
+    // engine's degree-ordered orientation must yield the identical
+    // triangle set (orientation is a physical choice, like q148's
+    // bucketing)
+    "q153_triangles" ->
+      ("WITH " + coPairsCte + """,
+         tri AS (SELECT e1.i AS a, e1.j AS b, e2.j AS c
+           FROM cpairs e1 JOIN cpairs e2 ON e1.j = e2.i
+           JOIN cpairs e3 ON e3.i = e1.i AND e3.j = e2.j),
+         pn AS (SELECT item, count(*) AS n_triangles FROM (
+             SELECT a AS item FROM tri UNION ALL SELECT b AS item FROM tri
+             UNION ALL SELECT c AS item FROM tri)
+           GROUP BY 1)
+         SELECT d.item, d.degree, coalesce(pn.n_triangles, 0) AS n_triangles
+         FROM cdeg d LEFT JOIN pn USING (item)
+         ORDER BY n_triangles DESC, item LIMIT 20"""),
+    // q154: log2-banded degree histogram over the same capped graph
+    "q154_degree_hist" ->
+      ("WITH " + coPairsCte + """
+         SELECT CAST(length(bin(degree)) - 1 AS INT) AS log2_degree,
+           count(*) AS n_items, min(degree) AS min_degree,
+           max(degree) AS max_degree
+         FROM cdeg GROUP BY 1 ORDER BY 1"""),
   )
 
   /** The q95 power-iteration CTE chain (quantize → center → two exact

@@ -43,16 +43,28 @@ object GraphOps {
 
   private val Unit9 = 1000000000L
 
-  private[graft] def pageRankOn(ev: DataFrame, iters: Int = 3,
-      minSupport: Int = 5,
-      userItemCap: Int = EventOps.DefaultUserItemCap): DataFrame = {
+  /** Undirected co-occurrence pairs `(i < j, n_ij)` with support ≥
+    * `minSupport`, built over [[EventOps.cappedUserItems]] — the shared
+    * edge builder for the graph family (q113 PageRank, q153 triangles,
+    * q154 degree histogram). The cap bounds per-user pair fan-out at
+    * C(cap,2) regardless of bot activity; support filtering happens in
+    * the same aggregation.
+    */
+  private[graft] def coPairsOn(ev: DataFrame, minSupport: Int,
+      userItemCap: Int): DataFrame = {
     val ui = EventOps.cappedUserItems(ev, userItemCap)
-    val pairs = ui.as("a")
+    ui.as("a")
       .join(ui.as("b"), col("a.user_id") === col("b.user_id") &&
         col("a.item") < col("b.item"))
       .groupBy(col("a.item").as("i"), col("b.item").as("j"))
       .agg(count(lit(1)).as("n_ij"))
       .filter(col("n_ij") >= minSupport)
+  }
+
+  private[graft] def pageRankOn(ev: DataFrame, iters: Int = 3,
+      minSupport: Int = 5,
+      userItemCap: Int = EventOps.DefaultUserItemCap): DataFrame = {
+    val pairs = coPairsOn(ev, minSupport, userItemCap)
     val edges = pairs.select(col("i").as("src"), col("j").as("dst"))
       .union(pairs.select(col("j").as("src"), col("i").as("dst")))
     // the src out-degree rides ON the edge rows (one window over the
@@ -88,5 +100,93 @@ object GraphOps {
       .localCheckpoint(eager = true)
     edgesD.unpersist()
     out
+  }
+
+  /** Triangle participation (q153): for the top-`k` items, how many
+    * triangles (mutually co-occurring item triples) each sits in, plus
+    * its degree — the clustering-structure diagnostic behind community
+    * detection and recommender diversity checks.
+    *
+    * Scale shape: the classic degree-ordered orientation (each edge
+    * points from its lower-(degree, id) endpoint to the higher), so
+    * wedges are generated ONLY at each triangle's minimum-degree vertex
+    * — the wedge join fans out as Σ min-deg², bounded O(m^1.5) on any
+    * graph instead of Σ deg² (one celebrity node would otherwise emit
+    * deg² wedges). Closure is an id-ordered equi-join back to the
+    * undirected pair set. The edge build itself rides the capped grid
+    * ([[coPairsOn]]), so no hot user inflates the graph. The oracle
+    * replays the SIMPLE id-ordered formulation — the triangle SET is
+    * orientation-invariant, so both pipelines must produce identical
+    * rows (same trick as the q148 layout/semantics split).
+    *
+    * Parity: pure integer counting; ordering (n_triangles DESC, item)
+    * is total under LIMIT k.
+    */
+  def triangleCount(spark: SparkSession, dir: String, k: Int = 20,
+      minSupport: Int = 5): DataFrame =
+    triangleCountOn(Tables.events(spark, dir), k, minSupport)
+
+  private[graft] def triangleCountOn(ev: DataFrame, k: Int = 20,
+      minSupport: Int = 5,
+      userItemCap: Int = EventOps.DefaultUserItemCap): DataFrame = {
+    val pairs = coPairsOn(ev, minSupport, userItemCap)
+      .select(col("i"), col("j")).persist()
+    val deg = pairs.select(col("i").as("item"))
+      .union(pairs.select(col("j").as("item")))
+      .groupBy(col("item")).agg(count(lit(1)).as("degree"))
+    // orient each edge low-(degree, id) → high-(degree, id)
+    val di = deg.select(col("item").as("i"), col("degree").as("dg_i"))
+    val dj = deg.select(col("item").as("j"), col("degree").as("dg_j"))
+    val ori = pairs.join(di, "i").join(dj, "j")
+      .select(
+        when(col("dg_i") < col("dg_j") ||
+          (col("dg_i") === col("dg_j") && col("i") < col("j")),
+          col("i")).otherwise(col("j")).as("src"),
+        when(col("dg_i") < col("dg_j") ||
+          (col("dg_i") === col("dg_j") && col("i") < col("j")),
+          col("j")).otherwise(col("i")).as("dst"))
+    val wedges = ori.as("e1")
+      .join(ori.as("e2"), col("e1.src") === col("e2.src") &&
+        col("e1.dst") < col("e2.dst"))
+      .select(col("e1.src").as("u"), col("e1.dst").as("v"),
+        col("e2.dst").as("w"))
+    // closure: (v, w) with v < w by id is exactly the pair-set key
+    val tris = wedges.join(pairs,
+      col("v") === col("i") && col("w") === col("j"), "left_semi")
+    val perNode = tris
+      .select(explode(array(col("u"), col("v"), col("w"))).as("item"))
+      .groupBy(col("item")).agg(count(lit(1)).as("n_triangles"))
+    val out = deg.join(perNode, Seq("item"), "left")
+      .select(col("item"), col("degree"),
+        coalesce(col("n_triangles"), lit(0L)).as("n_triangles"))
+      .orderBy(col("n_triangles").desc, col("item"))
+      .limit(k)
+      .localCheckpoint(eager = true)
+    pairs.unpersist()
+    out
+  }
+
+  /** Degree distribution (q154): log2-banded histogram of item degrees
+    * in the co-occurrence graph — the power-law health check run before
+    * any per-node graph computation is budgeted. One pair build (shared
+    * [[coPairsOn]] shape), one node-keyed count, one ≤64-key rollup.
+    */
+  def degreeHistogram(spark: SparkSession, dir: String,
+      minSupport: Int = 5): DataFrame =
+    degreeHistogramOn(Tables.events(spark, dir), minSupport)
+
+  private[graft] def degreeHistogramOn(ev: DataFrame, minSupport: Int = 5,
+      userItemCap: Int = EventOps.DefaultUserItemCap): DataFrame = {
+    val pairs = coPairsOn(ev, minSupport, userItemCap)
+    pairs.select(col("i").as("item"))
+      .union(pairs.select(col("j").as("item")))
+      .groupBy(col("item")).agg(count(lit(1)).as("degree"))
+      .select((length(bin(col("degree"))) - 1).cast("int").as("log2_degree"),
+        col("degree"))
+      .groupBy(col("log2_degree"))
+      .agg(count(lit(1)).as("n_items"),
+        min(col("degree")).as("min_degree"),
+        max(col("degree")).as("max_degree"))
+      .orderBy(col("log2_degree"))
   }
 }

@@ -67,6 +67,37 @@ class GraphOpsSpec extends SparkSpecBase {
       (2, 616666665L), (1, 191666665L), (3, 191666665L)))
   }
 
+  /** K4 minus edge (3,4): edges (1,2),(1,3),(2,3),(1,4),(2,4) — one
+    * user per edge, minSupport=1. Triangles: (1,2,3) and (1,2,4).
+    * Degrees: 1→3, 2→3, 3→2, 4→2.
+    */
+  private def diamondGraphEvents = {
+    val edges = Seq((1, 2), (1, 3), (2, 3), (1, 4), (2, 4))
+    edges.zipWithIndex.flatMap { case ((i, j), u) =>
+      Seq((u.toLong, s"""{"k": $i}"""), (u.toLong, s"""{"k": $j}"""))
+    }.toDF("user_id", "props")
+  }
+
+  test("triangles: degree-ordered counting matches hand enumeration") {
+    val got = GraphOps.triangleCountOn(diamondGraphEvents, minSupport = 1)
+      .as[(Int, Long, Long)].collect().toSeq
+    // order: n_triangles DESC, item ASC
+    assert(got === Seq((1, 3L, 2L), (2, 3L, 2L), (3, 2L, 1L), (4, 2L, 1L)))
+  }
+
+  test("triangles: triangle-free path graph reports all zeros") {
+    val got = GraphOps.triangleCountOn(pathGraphEvents)
+      .as[(Int, Long, Long)].collect().toSeq
+    assert(got === Seq((1, 1L, 0L), (2, 2L, 0L), (3, 1L, 0L)))
+  }
+
+  test("degree histogram: log2 bands on the diamond graph") {
+    val got = GraphOps.degreeHistogramOn(diamondGraphEvents, minSupport = 1)
+      .as[(Int, Long, Long, Long)].collect().toSeq
+    // degrees 3,3,2,2 -> all in band 1 (bin(2)='10', bin(3)='11')
+    assert(got === Seq((1, 4L, 2L, 3L)))
+  }
+
   test("pageRank on the real events table: structural invariants") {
     val out = GraphOps.pageRank(spark, sf0001).cache()
     assert(out.count() > 0)
