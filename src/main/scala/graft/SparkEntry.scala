@@ -196,6 +196,9 @@ object SparkEntry {
     "q152_dow_profile"    -> ((s, d) => EventOps.dowProfile(s, d)),
     "q153_triangles"      -> ((s, d) => graft.operators.GraphOps.triangleCount(s, d)),
     "q154_degree_hist"    -> ((s, d) => graft.operators.GraphOps.degreeHistogram(s, d)),
+    "q155_lang_confusion" -> ((s, d) => TextAnalysisOps.langConfusion(s, d)),
+    "q156_encoding_scan"  -> ((s, d) => TextAnalysisOps.encodingScan(s, d)),
+    "q157_collocations"   -> ((s, d) => TextAnalysisOps.collocations(s, d)),
   )
 
   /** Shared shingle→df-capped-postings CTE body for every exact-Jaccard
@@ -238,6 +241,31 @@ object SparkEntry {
     * shiftright/bitwiseAND fold in CoreQueries.q132ZorderLayout
     * (31 bits per dimension).
     */
+  /** The stopword-argmax language prediction chain shared by the q34
+    * and q155 oracles — mirrors TextAnalysisOps.langIdExpr (scores,
+    * argmax with the en>es>fr>de>zh tiebreak, 'und' fallback), ending
+    * at `p (doc_id, lang, lang_pred)`.
+    */
+  private val langPredCte: String =
+    """t AS (SELECT doc_id, lang, string_split(
+             regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS toks
+           FROM documents),
+         s AS (SELECT doc_id, lang,
+           len(list_filter(toks, x -> x IN ('the','a','of','and','to','is'))) AS s_en,
+           len(list_filter(toks, x -> x IN ('el','la','de','y','que','es'))) AS s_es,
+           len(list_filter(toks, x -> x IN ('le','la','et','les','des','est'))) AS s_fr,
+           len(list_filter(toks, x -> x IN ('der','die','und','das','ist','ein'))) AS s_de,
+           len(list_filter(toks, x -> x IN ('的','是','了','在','我','有'))) AS s_zh
+           FROM t),
+         p AS (SELECT doc_id, lang, CASE
+             WHEN greatest(s_en, s_es, s_fr, s_de, s_zh) <= 0 THEN 'und'
+             WHEN s_en = greatest(s_en, s_es, s_fr, s_de, s_zh) THEN 'en'
+             WHEN s_es = greatest(s_en, s_es, s_fr, s_de, s_zh) THEN 'es'
+             WHEN s_fr = greatest(s_en, s_es, s_fr, s_de, s_zh) THEN 'fr'
+             WHEN s_de = greatest(s_en, s_es, s_fr, s_de, s_zh) THEN 'de'
+             WHEN s_zh = greatest(s_en, s_es, s_fr, s_de, s_zh) THEN 'zh'
+             ELSE 'und' END AS lang_pred FROM s)"""
+
   /** The capped co-occurrence pair/degree CTE chain shared by the q153
     * and q154 oracles — replays EventOps.cappedUserItems (top-500 per
     * user by (n_ev DESC, item)) and GraphOps.coPairsOn (support ≥ 5)
@@ -678,26 +706,9 @@ object SparkEntry {
              (sqrt(list_inner_product(a.v, a.v)) * sqrt(list_inner_product(b.v, b.v))), 4) >= 0.35
          ORDER BY id_a, id_b""",
     "q34_lang_id" ->
-      """WITH t AS (SELECT doc_id, string_split(
-             regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS toks
-           FROM documents),
-         s AS (SELECT doc_id,
-           len(list_filter(toks, x -> x IN ('the','a','of','and','to','is'))) AS s_en,
-           len(list_filter(toks, x -> x IN ('el','la','de','y','que','es'))) AS s_es,
-           len(list_filter(toks, x -> x IN ('le','la','et','les','des','est'))) AS s_fr,
-           len(list_filter(toks, x -> x IN ('der','die','und','das','ist','ein'))) AS s_de,
-           len(list_filter(toks, x -> x IN ('的','是','了','在','我','有'))) AS s_zh
-           FROM t),
-         p AS (SELECT doc_id, CASE
-             WHEN greatest(s_en, s_es, s_fr, s_de, s_zh) <= 0 THEN 'und'
-             WHEN s_en = greatest(s_en, s_es, s_fr, s_de, s_zh) THEN 'en'
-             WHEN s_es = greatest(s_en, s_es, s_fr, s_de, s_zh) THEN 'es'
-             WHEN s_fr = greatest(s_en, s_es, s_fr, s_de, s_zh) THEN 'fr'
-             WHEN s_de = greatest(s_en, s_es, s_fr, s_de, s_zh) THEN 'de'
-             WHEN s_zh = greatest(s_en, s_es, s_fr, s_de, s_zh) THEN 'zh'
-             ELSE 'und' END AS lang_pred FROM s)
+      ("WITH " + langPredCte + """
          SELECT lang_pred, count(*) AS n_docs FROM p
-         GROUP BY lang_pred ORDER BY lang_pred""",
+         GROUP BY lang_pred ORDER BY lang_pred"""),
     "q35_quality_score" ->
       ("WITH " + qualityDocCte + """
          SELECT doc_id, n_tokens, quality FROM qdoc ORDER BY doc_id"""),
@@ -2997,6 +3008,50 @@ object SparkEntry {
            count(*) AS n_items, min(degree) AS min_degree,
            max(degree) AS max_degree
          FROM cdeg GROUP BY 1 ORDER BY 1"""),
+    // q155: declared × predicted language confusion — same prediction
+    // chain as q34 (shared CTE)
+    "q155_lang_confusion" ->
+      ("WITH " + langPredCte + """
+         SELECT lang, lang_pred, count(*) AS n_docs FROM p
+         GROUP BY lang, lang_pred ORDER BY lang, lang_pred"""),
+    // q156: replacement-char / control-byte / non-ASCII scan; integer
+    // counts, one division per source
+    "q156_encoding_scan" ->
+      """WITH m AS (SELECT source, length(text) AS n_chars_t,
+             length(text) - length(regexp_replace(text, '[^\x00-\x7F]',
+               '', 'g')) AS n_nonascii,
+             CASE WHEN contains(text, chr(65533)) THEN 1 ELSE 0 END
+               AS has_repl,
+             CASE WHEN regexp_matches(text, '[\x00-\x08\x0e-\x1f]')
+               THEN 1 ELSE 0 END AS has_ctrl
+           FROM documents)
+         SELECT source, count(*) AS n_docs,
+           CAST(sum(has_repl) AS BIGINT) AS n_repl_docs,
+           CAST(sum(has_ctrl) AS BIGINT) AS n_ctrl_docs,
+           CAST(sum(n_nonascii) AS BIGINT) AS n_nonascii_chars,
+           round(1.0 - CAST(sum(n_nonascii) AS DOUBLE) /
+             CAST(sum(n_chars_t) AS DOUBLE), 6) AS ascii_ratio
+         FROM m GROUP BY 1 ORDER BY 1""",
+    // q157: top-V-vocabulary collocation PMI — integer products inside
+    // ONE division then ln + 6dp round (the q107 contract)
+    "q157_collocations" ->
+      """WITH pres AS (SELECT DISTINCT doc_id, tok FROM (
+             SELECT doc_id, unnest(string_split(regexp_replace(
+               lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS tok
+             FROM documents)),
+         vocab AS (SELECT tok, count(*) AS df FROM pres GROUP BY 1
+           ORDER BY df DESC, tok LIMIT 200),
+         nd AS (SELECT count(*) AS n_corpus FROM documents),
+         iv AS (SELECT p.doc_id, p.tok, v.df FROM pres p
+           JOIN vocab v USING (tok)),
+         pairs AS (SELECT a.tok AS ta, b.tok AS tb, a.df AS df_a,
+             b.df AS df_b, count(*) AS n_ab
+           FROM iv a JOIN iv b ON a.doc_id = b.doc_id AND a.tok < b.tok
+           GROUP BY 1, 2, 3, 4 HAVING count(*) >= 5)
+         SELECT ta, tb, n_ab,
+           round(ln(CAST(n_ab * n_corpus AS DOUBLE) /
+             CAST(df_a * df_b AS DOUBLE)), 6) AS pmi
+         FROM pairs, nd ORDER BY pmi DESC, ta, tb LIMIT 25""",
   )
 
   /** The q95 power-iteration CTE chain (quantize → center → two exact

@@ -698,4 +698,93 @@ object TextAnalysisOps {
         max(col("quality")).as("max_q"))
       .orderBy(col("source"), col("decile"))
   }
+
+  /** Language-ID confusion matrix (q155): declared `lang` × predicted
+    * [[langIdExpr]] label with doc counts — the calibration view of the
+    * q34 classifier (the marginal q34 reports hides WHICH languages
+    * leak into which). Row-local prediction + one (|langs|²)-key
+    * rollup; no new corpus pass beyond q34's.
+    */
+  def langConfusion(spark: SparkSession, dir: String): DataFrame =
+    langConfusionOn(Tables.documents(spark, dir))
+
+  private[graft] def langConfusionOn(docs: DataFrame): DataFrame =
+    docs
+      .select(col("lang"), langIdExpr(col("text")).as("lang_pred"))
+      .groupBy(col("lang"), col("lang_pred"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy(col("lang"), col("lang_pred"))
+
+  /** Encoding-health scan (q156): per source — docs containing the
+    * U+FFFD replacement char (the mojibake tombstone), docs containing
+    * C0 control bytes (binary contamination), total non-ASCII
+    * codepoints, and the ASCII ratio. The standard first-pass filter a
+    * crawl pipeline runs before tokenization: mojibake and binary spill
+    * poison every downstream text statistic. Row-local regex counting
+    * (codegen'd), one source-keyed rollup; counts are integers, the
+    * ratio is one division + 6dp round.
+    */
+  def encodingScan(spark: SparkSession, dir: String): DataFrame =
+    encodingScanOn(Tables.documents(spark, dir))
+
+  private[graft] def encodingScanOn(docs: DataFrame): DataFrame =
+    docs
+      .select(col("source"),
+        length(col("text")).as("n_chars_t"),
+        (length(col("text")) -
+          length(regexp_replace(col("text"), "[^\\x00-\\x7F]", "")))
+          .as("n_nonascii"),
+        when(col("text").contains("�"), 1L).otherwise(0L).as("has_repl"),
+        when(col("text").rlike("[\\x00-\\x08\\x0E-\\x1F]"), 1L).otherwise(0L)
+          .as("has_ctrl"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("has_repl")).as("n_repl_docs"),
+        sum(col("has_ctrl")).as("n_ctrl_docs"),
+        sum(col("n_nonascii")).as("n_nonascii_chars"),
+        round(lit(1.0) - sum(col("n_nonascii")).cast("double") /
+          sum(col("n_chars_t")).cast("double"), 6).as("ascii_ratio"))
+      .orderBy(col("source"))
+
+  /** Token collocation mining via PMI (q157): restrict to the top-`v`
+    * tokens by document frequency (the VOCABULARY bound — the q120
+    * playbook), take doc-level presence, pair tokens co-present in a
+    * document, and score `ln(n_ab·N / (n_a·n_b))` — the q107 PMI math
+    * at token level, which is how collocations/keyphrases are mined
+    * from a corpus without a quadratic token-pair space.
+    *
+    * Scale shape: the vocab is a top-`v` broadcast (one corpus pass);
+    * per-doc pair fan-out is C(min(doc_vocab_hits, v), 2) — bounded by
+    * the VOCAB, never by corpus size; marginals ride on the broadcast
+    * vocab rows. Parity: integer products inside ONE division, then
+    * ln + 6dp round (the q107 contract); (pmi DESC, ta, tb) is total
+    * under LIMIT.
+    */
+  def collocations(spark: SparkSession, dir: String, v: Int = 200,
+      k: Int = 25, minSupport: Int = 5): DataFrame =
+    collocationsOn(Tables.documents(spark, dir), v, k, minSupport)
+
+  private[graft] def collocationsOn(docs: DataFrame, v: Int = 200,
+      k: Int = 25, minSupport: Int = 5): DataFrame = {
+    val pres = docs
+      .select(col("doc_id"), explode(Text.tokens(col("text"))).as("tok"))
+      .distinct()
+    val vocab = pres.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+      .orderBy(col("df").desc, col("tok")).limit(v)
+    val nDocs = docs.agg(count(lit(1)).as("n_corpus"))
+    val inV = pres.join(broadcast(vocab), "tok")
+    val pairs = inV.as("a")
+      .join(inV.as("b"), col("a.doc_id") === col("b.doc_id") &&
+        col("a.tok") < col("b.tok"))
+      .groupBy(col("a.tok").as("ta"), col("b.tok").as("tb"),
+        col("a.df").as("df_a"), col("b.df").as("df_b"))
+      .agg(count(lit(1)).as("n_ab"))
+      .filter(col("n_ab") >= minSupport)
+    pairs.crossJoin(broadcast(nDocs))
+      .select(col("ta"), col("tb"), col("n_ab"),
+        round(log((col("n_ab") * col("n_corpus")).cast("double") /
+          (col("df_a") * col("df_b")).cast("double")), 6).as("pmi"))
+      .orderBy(col("pmi").desc, col("ta"), col("tb"))
+      .limit(k)
+  }
 }
