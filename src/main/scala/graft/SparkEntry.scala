@@ -199,6 +199,20 @@ object SparkEntry {
     "q155_lang_confusion" -> ((s, d) => TextAnalysisOps.langConfusion(s, d)),
     "q156_encoding_scan"  -> ((s, d) => TextAnalysisOps.encodingScan(s, d)),
     "q157_collocations"   -> ((s, d) => TextAnalysisOps.collocations(s, d)),
+    "q158_market_share"   -> (CoreQueries.q158MarketShare _),
+    "q159_returned_rev"   -> (CoreQueries.q159ReturnedRevenue _),
+    "q160_promo_share"    -> (CoreQueries.q160PromoShare _),
+    "q161_small_qty"      -> (CoreQueries.q161SmallQtyRevenue _),
+    "q162_ttr_bands"      -> ((s, d) => TextAnalysisOps.ttrBands(s, d)),
+    "q163_readability"    -> ((s, d) => TextAnalysisOps.readability(s, d)),
+    "q164_case_profile"   -> ((s, d) => TextAnalysisOps.caseProfile(s, d)),
+    "q165_hapax_rate"     -> ((s, d) => TextAnalysisOps.hapaxRate(s, d)),
+    "q166_centroid_dists" -> ((s, d) =>
+      graft.operators.EmbedHealthOps.centroidDistances(s, d)),
+    "q167_norm_bands"     -> ((s, d) =>
+      graft.operators.EmbedHealthOps.normBands(s, d)),
+    "q168_label_cohesion" -> ((s, d) =>
+      graft.operators.EmbedHealthOps.labelCohesion(s, d)),
   )
 
   /** Shared shingle→df-capped-postings CTE body for every exact-Jaccard
@@ -265,6 +279,22 @@ object SparkEntry {
              WHEN s_de = greatest(s_en, s_es, s_fr, s_de, s_zh) THEN 'de'
              WHEN s_zh = greatest(s_en, s_es, s_fr, s_de, s_zh) THEN 'zh'
              ELSE 'und' END AS lang_pred FROM s)"""
+
+  /** The quantize→per-label-integer-centroid CTE chain shared by the
+    * q166 and q168 oracles — mirrors EmbedHealthOps.quantized/centroids
+    * (2^10 grid, per-dim rounded integer mean), ending at
+    * `xq (vec_id, label, q)` and `cent (label, cq)`.
+    */
+  private val embedCentroidCte: String =
+    """e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v
+           FROM embeddings),
+       xq AS (SELECT vec_id, label, list_transform(v,
+           x -> CAST(round(x * 1024) AS BIGINT)) AS q FROM e),
+       mud AS (SELECT label, i.range AS d,
+           CAST(round(avg(q[i.range])) AS BIGINT) AS mu
+         FROM xq, range(1, 65) i GROUP BY 1, 2),
+       cent AS (SELECT label, list(mu ORDER BY d) AS cq FROM mud
+         GROUP BY label)"""
 
   /** The capped co-occurrence pair/degree CTE chain shared by the q153
     * and q154 oracles — replays EventOps.cappedUserItems (top-500 per
@@ -3052,6 +3082,199 @@ object SparkEntry {
            round(ln(CAST(n_ab * n_corpus AS DOUBLE) /
              CAST(df_a * df_b AS DOUBLE)), 6) AS pmi
          FROM pairs, nd ORDER BY pmi DESC, ta, tb LIMIT 25""",
+    // q158: TPC-H Q8 shape — yearly NATION_2 supplier share of
+    // ASIA-customer revenue; exact cents·pct integer sums, FP only in
+    // the final share division (6dp)
+    "q158_market_share" ->
+      """WITH asia_cust AS (
+           SELECT c_custkey FROM customer
+           JOIN nation ON c_nationkey = n_nationkey
+           JOIN region ON n_regionkey = r_regionkey
+           WHERE r_name = 'ASIA'),
+         f AS (SELECT year(o_orderdate) AS o_year,
+             CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+               * (100 - CAST(round(l_discount * 100, 0) AS BIGINT)) AS rev_cp,
+             sn.n_name AS supp_nation
+           FROM lineitem
+           JOIN orders ON l_orderkey = o_orderkey
+           JOIN asia_cust ON o_custkey = c_custkey
+           JOIN supplier ON l_suppkey = s_suppkey
+           JOIN nation sn ON s_nationkey = sn.n_nationkey)
+         SELECT o_year,
+           round(CAST(sum(rev_cp) AS DOUBLE) / 10000.0, 2) AS total_revenue,
+           round(CAST(sum(CASE WHEN supp_nation = 'NATION_2' THEN rev_cp
+               ELSE 0 END) AS DOUBLE) / CAST(sum(rev_cp) AS DOUBLE), 6)
+             AS mkt_share
+         FROM f GROUP BY o_year ORDER BY o_year""",
+    // q159: TPC-H Q10 shape — top-20 customers by returned revenue in
+    // order-year 1997; aggregate before the dim joins
+    "q159_returned_rev" ->
+      """WITH pc AS (SELECT o_custkey,
+             sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+               * (100 - CAST(round(l_discount * 100, 0) AS BIGINT))) AS rev_cp,
+             count(*) AS n_lines
+           FROM lineitem
+           JOIN orders ON l_orderkey = o_orderkey
+           WHERE l_returnflag = 'R'
+             AND o_orderdate >= TIMESTAMP '1997-01-01'
+             AND o_orderdate < TIMESTAMP '1998-01-01'
+           GROUP BY o_custkey)
+         SELECT c_custkey, c_name, n_name, n_lines,
+           round(CAST(rev_cp AS DOUBLE) / 10000.0, 2) AS returned_revenue
+         FROM pc
+         JOIN customer ON o_custkey = c_custkey
+         JOIN nation ON c_nationkey = n_nationkey
+         ORDER BY returned_revenue DESC, c_custkey LIMIT 20""",
+    // q160: TPC-H Q14 shape — monthly PROMO revenue percentage over
+    // ship-year 1997; one aggregate carries both sums
+    "q160_promo_share" ->
+      """WITH f AS (SELECT month(l_shipdate) AS ship_month,
+             CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+               * (100 - CAST(round(l_discount * 100, 0) AS BIGINT)) AS rev_cp,
+             CASE WHEN p_type = 'PROMO' THEN 1 ELSE 0 END AS is_promo
+           FROM lineitem JOIN part ON l_partkey = p_partkey
+           WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+             AND l_shipdate < TIMESTAMP '1998-01-01')
+         SELECT ship_month,
+           round(CAST(sum(CASE WHEN is_promo = 1 THEN rev_cp ELSE 0 END)
+               AS DOUBLE) * 100.0 / CAST(sum(rev_cp) AS DOUBLE), 4)
+             AS promo_pct
+         FROM f GROUP BY ship_month ORDER BY ship_month""",
+    // q161: TPC-H Q17 shape — per-brand revenue of lines under 20% of
+    // the part's average quantity; integer cross-multiplied threshold
+    // (5·qty·cnt < sum_qty) so no float boundary
+    "q161_small_qty" ->
+      """WITH li AS (SELECT l_partkey,
+             CAST(round(l_quantity, 0) AS BIGINT) AS qty_i,
+             CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+               * (100 - CAST(round(l_discount * 100, 0) AS BIGINT)) AS rev_cp
+           FROM lineitem),
+         st AS (SELECT l_partkey AS sp_partkey, sum(qty_i) AS sum_qty,
+             count(*) AS cnt_qty
+           FROM li GROUP BY 1)
+         SELECT p_brand, count(*) AS n_small_lines,
+           round(CAST(sum(rev_cp) AS DOUBLE) / 10000.0, 2)
+             AS small_qty_revenue
+         FROM li
+         JOIN st ON l_partkey = sp_partkey
+         JOIN part ON l_partkey = p_partkey
+         WHERE qty_i * 5 * cnt_qty < sum_qty
+         GROUP BY p_brand ORDER BY p_brand""",
+    // q162: TTR bands — integer band rule min(9, 10·d/t), micro-avg
+    // ratio from exact integer sums
+    "q162_ttr_bands" ->
+      """WITH t AS (SELECT string_split(regexp_replace(lower(trim(text)),
+             '\s+', ' ', 'g'), ' ') AS toks FROM documents),
+         c AS (SELECT CAST(len(toks) AS BIGINT) AS n_tok,
+             CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct
+           FROM t),
+         b AS (SELECT least(9, (n_distinct * 10) // n_tok) AS ttr_band,
+             n_tok, n_distinct FROM c)
+         SELECT ttr_band, count(*) AS n_docs,
+           CAST(sum(n_tok) AS BIGINT) AS sum_tokens,
+           CAST(sum(n_distinct) AS BIGINT) AS sum_distinct,
+           round(CAST(sum(n_distinct) AS DOUBLE) /
+             CAST(sum(n_tok) AS DOUBLE), 4) AS micro_ttr
+         FROM b GROUP BY ttr_band ORDER BY ttr_band""",
+    // q163: Flesch-style reading ease per source — integer corpus sums,
+    // one mirrored float expression tree
+    "q163_readability" ->
+      """WITH m AS (SELECT source,
+             CAST(len(string_split(regexp_replace(lower(trim(text)),
+               '\s+', ' ', 'g'), ' ')) AS BIGINT) AS n_words,
+             greatest(CAST(1 AS BIGINT),
+               CAST(len(regexp_extract_all(text, '[.!?]+')) AS BIGINT))
+               AS n_sents,
+             CAST(len(regexp_extract_all(lower(text), '[aeiouy]+'))
+               AS BIGINT) AS n_syll
+           FROM documents)
+         SELECT source, count(*) AS n_docs,
+           CAST(sum(n_words) AS BIGINT) AS sum_words,
+           CAST(sum(n_sents) AS BIGINT) AS sum_sents,
+           CAST(sum(n_syll) AS BIGINT) AS sum_syll,
+           round(206.835 -
+             1.015 * (CAST(sum(n_words) AS DOUBLE) /
+               CAST(sum(n_sents) AS DOUBLE)) -
+             84.6 * (CAST(sum(n_syll) AS DOUBLE) /
+               CAST(sum(n_words) AS DOUBLE)), 4) AS reading_ease
+         FROM m GROUP BY source ORDER BY source""",
+    // q164: casing profile — integer letter/upper masses, SHOUTING via
+    // the integer rule 10·upper > 3·letters
+    "q164_case_profile" ->
+      """WITH m AS (SELECT source,
+             CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+               AS BIGINT) AS n_letters,
+             CAST(length(regexp_replace(text, '[^A-Z]', '', 'g'))
+               AS BIGINT) AS n_upper
+           FROM documents)
+         SELECT source, count(*) AS n_docs,
+           CAST(sum(n_letters) AS BIGINT) AS n_letters,
+           CAST(sum(n_upper) AS BIGINT) AS n_upper,
+           CAST(sum(CASE WHEN n_upper * 10 > n_letters * 3 THEN 1
+             ELSE 0 END) AS BIGINT) AS n_shouting_docs,
+           CAST(sum(CASE WHEN n_upper = 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_nocase_docs,
+           round(CAST(sum(n_upper) AS DOUBLE) /
+             CAST(sum(n_letters) AS DOUBLE), 6) AS upper_ratio
+         FROM m GROUP BY source ORDER BY source""",
+    // q165: hapax-legomena rate per source — (source, token) counts
+    // then a two-integer rollup
+    "q165_hapax_rate" ->
+      """WITH t AS (SELECT source, unnest(string_split(regexp_replace(
+             lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS tok
+           FROM documents),
+         c AS (SELECT source, tok, count(*) AS n_occ FROM t GROUP BY 1, 2)
+         SELECT source, count(*) AS n_vocab,
+           CAST(sum(CASE WHEN n_occ = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_hapax,
+           round(CAST(sum(CASE WHEN n_occ = 1 THEN 1 ELSE 0 END)
+             AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS hapax_rate
+         FROM c GROUP BY source ORDER BY source""",
+    // q166: pairwise label-centroid L2 on the 2^10 integer grid (the
+    // q95 quantize/centroid contract); d2 exact BIGINT, one sqrt/÷2^10
+    "q166_centroid_dists" ->
+      ("WITH " + embedCentroidCte + """
+         SELECT a.label AS label_a, b.label AS label_b,
+           CAST(list_sum([(a.cq[i] - b.cq[i]) * (a.cq[i] - b.cq[i])
+             for i in range(1, 65)]) AS BIGINT) AS d2,
+           round(sqrt(CAST(list_sum([(a.cq[i] - b.cq[i]) *
+             (a.cq[i] - b.cq[i]) for i in range(1, 65)]) AS DOUBLE))
+             / 1024.0, 4) AS dist
+         FROM cent a JOIN cent b ON a.label < b.label
+         ORDER BY label_a, label_b"""),
+    // q167: log2 histogram of exact integer squared norms per label
+    // (the q129 bin-length band)
+    "q167_norm_bands" ->
+      """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v
+             FROM embeddings),
+         xq AS (SELECT vec_id, label, list_transform(v,
+             x -> CAST(round(x * 1024) AS BIGINT)) AS q FROM e),
+         n2 AS (SELECT label, CAST(list_sum([q[i] * q[i]
+             for i in range(1, 65)]) AS BIGINT) AS q2 FROM xq)
+         SELECT label,
+           CAST(CASE WHEN q2 <= 0 THEN 0
+             ELSE length(bin(q2)) - 1 END AS BIGINT) AS norm2_band,
+           count(*) AS n_vecs
+         FROM n2 GROUP BY label, norm2_band
+         ORDER BY label, norm2_band""",
+    // q168: intra-label cohesion with NO floats — cos ≥ 0.5 via
+    // 4·dot² ≥ |q|²·|c|² ∧ dot ≥ 0; cos < 0 via dot < 0
+    "q168_label_cohesion" ->
+      ("WITH " + embedCentroidCte + """,
+         j AS (SELECT x.label,
+             CAST(list_sum([x.q[i] * c.cq[i] for i in range(1, 65)])
+               AS BIGINT) AS dp,
+             CAST(list_sum([x.q[i] * x.q[i] for i in range(1, 65)])
+               AS BIGINT) AS q2,
+             CAST(list_sum([c.cq[i] * c.cq[i] for i in range(1, 65)])
+               AS BIGINT) AS c2
+           FROM xq x JOIN cent c ON x.label = c.label)
+         SELECT label, count(*) AS n_vecs,
+           CAST(sum(CASE WHEN dp >= 0 AND dp * dp * 4 >= q2 * c2
+             THEN 1 ELSE 0 END) AS BIGINT) AS n_close,
+           CAST(sum(CASE WHEN dp < 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_neg
+         FROM j GROUP BY label ORDER BY label"""),
   )
 
   /** The q95 power-iteration CTE chain (quantize → center → two exact

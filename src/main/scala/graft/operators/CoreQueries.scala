@@ -790,4 +790,155 @@ object CoreQueries {
         min(col("l_suppkey")).as("min_supp"), max(col("l_suppkey")).as("max_supp"))
       .orderBy(col("zrange"))
   }
+
+  /** National market share (q158, the TPC-H Q8 shape): within the
+    * revenue that ASIA-region customers spend, the yearly share
+    * fulfilled by NATION_2 suppliers. The single aggregate carries BOTH
+    * sums (total and target-nation, the latter a `when`-guarded partial)
+    * so the share needs no second pass and no self-join — one fact
+    * pipeline, one shuffle per join key, one final one-row-per-year agg.
+    *
+    * Scale shape: orders joins on the order key and customer on the
+    * customer key (both fact-sized at 100 TB → shuffle-hash, AQE
+    * broadcasts at small SF); supplier joins on the supp key; nation ×2
+    * and region are always-tiny → explicit broadcast. Revenue is the
+    * exact cents·pct integer sum (`revenueCentPct`); FP appears only in
+    * the final share division, rounded to 6dp.
+    */
+  def q158MarketShare(spark: SparkSession, dir: String): DataFrame = {
+    val nat = Tables.nation(spark, dir)
+      .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+    val reg = Tables.region(spark, dir)
+      .filter(col("r_name") === "ASIA").select(col("r_regionkey"))
+    val cust = Tables.customer(spark, dir)
+      .select(col("c_custkey"), col("c_nationkey"))
+      .join(broadcast(nat.select(col("n_nationkey"), col("n_regionkey"))),
+        col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
+      .select(col("c_custkey"))
+    val ord = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_custkey"),
+        year(col("o_orderdate")).as("o_year"))
+    val supp = Tables.supplier(spark, dir)
+      .select(col("s_suppkey"), col("s_nationkey"))
+      .join(broadcast(nat.select(col("n_nationkey"),
+        col("n_name").as("supp_nation"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("supp_nation"))
+    Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_suppkey"), revenueCentPct.as("rev_cp"))
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .join(supp, col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("o_year"))
+      .agg(sum(col("rev_cp")).as("total_cp"),
+        sum(when(col("supp_nation") === "NATION_2", col("rev_cp"))
+          .otherwise(lit(0L))).as("nation_cp"))
+      .select(col("o_year"),
+        round(col("total_cp").cast("double") / lit(10000.0), 2).as("total_revenue"),
+        round(col("nation_cp").cast("double") / col("total_cp").cast("double"), 6)
+          .as("mkt_share"))
+      .orderBy(col("o_year"))
+  }
+
+  /** Returned-item ranking (q159, the TPC-H Q10 shape): customers who
+    * returned the most revenue in one order year, with their nation.
+    *
+    * Scale shape: the `l_returnflag = 'R'` filter and the order-year
+    * filter are both pushed to the scans before the orderkey shuffle;
+    * the per-customer aggregate happens BEFORE the name/nation joins,
+    * so only the aggregated (customer, revenue) rows — not fact rows —
+    * join against customer, and nation stays broadcast. Top-20 sort is
+    * on (revenue DESC, custkey) — total, so LIMIT is deterministic.
+    */
+  def q159ReturnedRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val ord = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= lit("1997-01-01") &&
+        col("o_orderdate") < lit("1998-01-01"))
+      .select(col("o_orderkey"), col("o_custkey"))
+    val perCust = Tables.lineitem(spark, dir)
+      .filter(col("l_returnflag") === "R")
+      .select(col("l_orderkey"), revenueCentPct.as("rev_cp"))
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_custkey"))
+      .agg(sum(col("rev_cp")).as("rev_cp"), count(lit(1)).as("n_lines"))
+    val cust = Tables.customer(spark, dir)
+      .select(col("c_custkey"), col("c_name"), col("c_nationkey"))
+    val nat = Tables.nation(spark, dir)
+      .select(col("n_nationkey"), col("n_name"))
+    perCust
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("c_name"), col("n_name"),
+        col("n_lines"),
+        round(col("rev_cp").cast("double") / lit(10000.0), 2).as("returned_revenue"))
+      .orderBy(col("returned_revenue").desc, col("c_custkey"))
+      .limit(20)
+  }
+
+  /** Promotion revenue share (q160, the TPC-H Q14 shape): per ship
+    * month of 1997, the percentage of revenue from PROMO-type parts.
+    * Same single-aggregate-two-sums trick as q158 — the promo sum is a
+    * `when`-guarded partial of the same integer revenue, so no
+    * self-join and no second scan.
+    *
+    * Scale shape: the ship-date window prunes the fact scan; part joins
+    * on the part key (part scales with SF — at 100 TB it is NOT
+    * broadcastable, so the shuffle-hash plan is honest and AQE
+    * broadcasts it at small SF) carrying only (partkey, is-promo).
+    */
+  def q160PromoShare(spark: SparkSession, dir: String): DataFrame = {
+    val part = Tables.part(spark, dir)
+      .select(col("p_partkey"),
+        (col("p_type") === "PROMO").cast("int").as("is_promo"))
+    Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("1997-01-01") &&
+        col("l_shipdate") < lit("1998-01-01"))
+      .select(col("l_partkey"), month(col("l_shipdate")).as("ship_month"),
+        revenueCentPct.as("rev_cp"))
+      .join(part, col("l_partkey") === col("p_partkey"))
+      .groupBy(col("ship_month"))
+      .agg(sum(col("rev_cp")).as("total_cp"),
+        sum(when(col("is_promo") === 1, col("rev_cp")).otherwise(lit(0L)))
+          .as("promo_cp"))
+      .select(col("ship_month"),
+        round(col("promo_cp").cast("double") * lit(100.0) /
+          col("total_cp").cast("double"), 4).as("promo_pct"))
+      .orderBy(col("ship_month"))
+  }
+
+  /** Small-quantity revenue (q161, the TPC-H Q17 shape): per brand, the
+    * revenue locked in lines ordering LESS THAN 20% of that part's
+    * average quantity. The correlated `avg` subquery becomes a per-part
+    * aggregate joined back to the fact — and the `qty < 0.2·avg`
+    * comparison is integer cross-multiplied (`5·qty·cnt < sum_qty`, the
+    * quantity grid is integral in this schema) so no float boundary can
+    * flip a row between engines.
+    *
+    * Scale shape: both sides of the stats join hash on `l_partkey` —
+    * ONE shuffle key reused by the aggregate and the join (co-location,
+    * no second exchange of the fact side); the per-part stats side is
+    * |part|-sized, not |lineitem|-sized. Brand rollup joins part on the
+    * part key and aggregates to ~25 rows.
+    */
+  def q161SmallQtyRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val line = Tables.lineitem(spark, dir)
+      .select(col("l_partkey"),
+        round(col("l_quantity"), 0).cast("long").as("qty_i"),
+        revenueCentPct.as("rev_cp"))
+    val stats = line.groupBy(col("l_partkey").as("sp_partkey"))
+      .agg(sum(col("qty_i")).as("sum_qty"), count(lit(1)).as("cnt_qty"))
+    val part = Tables.part(spark, dir)
+      .select(col("p_partkey"), col("p_brand"))
+    line
+      .join(stats, col("l_partkey") === col("sp_partkey"))
+      .filter(col("qty_i") * lit(5L) * col("cnt_qty") < col("sum_qty"))
+      .join(part, col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("n_small_lines"),
+        sum(col("rev_cp")).as("rev_cp"))
+      .select(col("p_brand"), col("n_small_lines"),
+        round(col("rev_cp").cast("double") / lit(10000.0), 2).as("small_qty_revenue"))
+      .orderBy(col("p_brand"))
+  }
 }

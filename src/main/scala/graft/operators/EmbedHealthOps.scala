@@ -1,0 +1,123 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Embedding-space health reports over `embeddings`: inter-label
+  * centroid geometry (q166), norm distribution (q167), and intra-label
+  * cohesion (q168). The diagnostics a pipeline runs on a new embedding
+  * model/batch before trusting ANN indexes built on it — collapsed
+  * centroids, norm drift, or low cohesion all predict bad retrieval.
+  *
+  * Cross-engine parity: everything rides the q95 fixed-point device —
+  * vectors quantized to the 2^10 integer grid, per-label centroids as
+  * rounded integer means, every accumulated quantity (squared
+  * distances, dot products, squared norms) EXACT BIGINT arithmetic
+  * under any shuffle order. Floating point appears only at display
+  * boundaries (one sqrt/division + round per output row) and in q168
+  * not at all — the cosine thresholds are integer cross-multiplied.
+  */
+object EmbedHealthOps {
+
+  private val Grid = 1024
+
+  /** `(vec_id, label, q: array<long>)` on the 2^10 grid. */
+  private def quantized(emb: DataFrame): DataFrame =
+    emb.select(col("vec_id"), col("label"),
+      transform(col("embedding"),
+        x => round(x.cast("double") * lit(Grid)).cast("long")).as("q"))
+
+  /** `(label, cq: array<long>)` integer centroids: per-dim
+    * `round(avg(q_d))` — exact rational mean rounded once, the
+    * [[PcaOps]] centering contract. (label × dim) keys ≈ 640 rows at
+    * any corpus size, so the regroup-to-array step is always tiny.
+    */
+  private def centroids(qdf: DataFrame): DataFrame =
+    qdf.select(col("label"), posexplode(col("q")).as(Seq("d", "x")))
+      .groupBy(col("label"), col("d"))
+      .agg(round(avg(col("x"))).cast("long").as("mu"))
+      .groupBy(col("label"))
+      .agg(transform(array_sort(collect_list(struct(col("d"), col("mu")))),
+        t => t.getField("mu")).as("cq"))
+
+  /** Exact integer dot of two long arrays (index-ordered fold). */
+  private def dotL(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
+
+  /** Inter-label centroid distances (q166): pairwise L2 between label
+    * centroids. Labels whose centroids sit close together are the
+    * classes ANN retrieval will confuse. |labels|² pairs (≈45 rows) —
+    * the quadratic step is LABEL-bounded, never corpus-bounded; the
+    * corpus contributes one (label, dim)-keyed aggregate pass.
+    * `dist` is sqrt(exact-integer d²)/2^10 — one float op per row.
+    */
+  def centroidDistances(spark: SparkSession, dir: String): DataFrame =
+    centroidDistancesOn(Tables.embeddings(spark, dir))
+
+  private[graft] def centroidDistancesOn(emb: DataFrame): DataFrame = {
+    val c = centroids(quantized(emb))
+    val a = c.select(col("label").as("label_a"), col("cq").as("cq_a"))
+    val b = c.select(col("label").as("label_b"), col("cq").as("cq_b"))
+    a.join(broadcast(b), col("label_a") < col("label_b"))
+      .select(col("label_a"), col("label_b"),
+        aggregate(zip_with(col("cq_a"), col("cq_b"),
+          (x, y) => (x - y) * (x - y)), lit(0L), (acc, x) => acc + x)
+          .as("d2"))
+      .select(col("label_a"), col("label_b"), col("d2"),
+        round(sqrt(col("d2").cast("double")) / lit(Grid.toDouble), 4)
+          .as("dist"))
+      .orderBy(col("label_a"), col("label_b"))
+  }
+
+  /** Norm distribution (q167): per label, a log2 histogram of squared
+    * vector norms (the q129 `length(bin(x))-1` integer band — no float
+    * log). A label whose norms sit in different bands than the rest
+    * signals scale drift in the encoder or a bad ingest batch.
+    * Row-local squared norm, (label × ~8 bands) rollup.
+    */
+  def normBands(spark: SparkSession, dir: String): DataFrame =
+    normBandsOn(Tables.embeddings(spark, dir))
+
+  private[graft] def normBandsOn(emb: DataFrame): DataFrame =
+    quantized(emb)
+      .select(col("label"), dotL(col("q"), col("q")).as("q2"))
+      .select(col("label"),
+        when(col("q2") <= 0L, lit(0L))
+          .otherwise((length(bin(col("q2"))) - 1).cast("long"))
+          .as("norm2_band"))
+      .groupBy(col("label"), col("norm2_band"))
+      .agg(count(lit(1)).as("n_vecs"))
+      .orderBy(col("label"), col("norm2_band"))
+
+  /** Intra-label cohesion (q168): per label — members with cosine ≥ 0.5
+    * to their own centroid (`n_close`) and members pointing AWAY from
+    * it (`n_neg`, cosine < 0). The class-quality score: a label with
+    * many far/negative members is mislabeled or multi-modal and will
+    * poison classifier training and hard-negative mining.
+    *
+    * NO floating point anywhere: cos ≥ 0.5 ⇔ dot ≥ 0 ∧ 4·dot² ≥
+    * |q|²·|c|² (exact cross-multiplied squares; dot ≤ 2^31 and norms ≤
+    * 2^26 on this grid, so the products fit a long for d=64 — the
+    * bound is asserted in the spec), cos < 0 ⇔ dot < 0.
+    */
+  def labelCohesion(spark: SparkSession, dir: String): DataFrame =
+    labelCohesionOn(Tables.embeddings(spark, dir))
+
+  private[graft] def labelCohesionOn(emb: DataFrame): DataFrame = {
+    val q = quantized(emb)
+    val c = centroids(q)
+    q.join(broadcast(c), "label")
+      .select(col("label"),
+        dotL(col("q"), col("cq")).as("dp"),
+        dotL(col("q"), col("q")).as("q2"),
+        dotL(col("cq"), col("cq")).as("c2"))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(when(col("dp") >= 0L &&
+          col("dp") * col("dp") * 4L >= col("q2") * col("c2"), 1L)
+          .otherwise(0L)).as("n_close"),
+        sum(when(col("dp") < 0L, 1L).otherwise(0L)).as("n_neg"))
+      .orderBy(col("label"))
+  }
+}

@@ -787,4 +787,134 @@ object TextAnalysisOps {
       .orderBy(col("pmi").desc, col("ta"), col("tb"))
       .limit(k)
   }
+
+  /** Type-token-ratio bands (q162): per-doc lexical diversity
+    * (distinct/total tokens) bucketed into 10 bands, with a
+    * micro-averaged per-band ratio. Repetitive machine-generated text
+    * and template spam sit in the low bands — the cheap lexical
+    * complement to the q62 repetition score.
+    *
+    * Scale shape: `array_distinct` makes the distinct-count ROW-LOCAL
+    * (no per-doc explode+shuffle); the only exchange is the 10-key band
+    * rollup. Parity: the band is the INTEGER rule `min(9, 10·d/t)`
+    * (integer division — no float boundary), and the per-band ratio is
+    * exact integer sums into one division + 4dp round.
+    */
+  def ttrBands(spark: SparkSession, dir: String): DataFrame =
+    ttrBandsOn(Tables.documents(spark, dir))
+
+  private[graft] def ttrBandsOn(docs: DataFrame): DataFrame =
+    docs
+      .select(size(Text.tokens(col("text"))).cast("long").as("n_tok"),
+        size(array_distinct(Text.tokens(col("text")))).cast("long")
+          .as("n_distinct"))
+      .select(least(lit(9L), expr("(n_distinct * 10) div n_tok"))
+        .as("ttr_band"), col("n_tok"), col("n_distinct"))
+      .groupBy(col("ttr_band"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).as("sum_tokens"),
+        sum(col("n_distinct")).as("sum_distinct"),
+        round(sum(col("n_distinct")).cast("double") /
+          sum(col("n_tok")).cast("double"), 4).as("micro_ttr"))
+      .orderBy(col("ttr_band"))
+
+  /** Readability report (q163): per source, a Flesch-style reading-ease
+    * score from three corpus integers — words (tokens), sentences
+    * (`[.!?]+` runs, floored at 1 per doc), and pseudo-syllables
+    * (`[aeiouy]+` vowel runs). Low-readability sources are candidates
+    * for boilerplate/code contamination review.
+    *
+    * Scale shape: all three counts are row-local codegen'd regex
+    * counts; the rollup is |sources| keys with map-side partials.
+    * Parity: integer sums are exact under any shuffle order; the score
+    * is ONE fixed float expression (two divisions + linear combine +
+    * 4dp round) evaluated per source row, mirrored verbatim in the
+    * oracle — the q139 "integer counts, one mirrored float tree" rule.
+    */
+  def readability(spark: SparkSession, dir: String): DataFrame =
+    readabilityOn(Tables.documents(spark, dir))
+
+  private[graft] def readabilityOn(docs: DataFrame): DataFrame =
+    docs
+      .select(col("source"),
+        size(Text.tokens(col("text"))).cast("long").as("n_words"),
+        greatest(lit(1L),
+          regexp_count(col("text"), lit("[.!?]+")).cast("long"))
+          .as("n_sents"),
+        regexp_count(lower(col("text")), lit("[aeiouy]+")).cast("long")
+          .as("n_syll"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_words")).as("sum_words"),
+        sum(col("n_sents")).as("sum_sents"),
+        sum(col("n_syll")).as("sum_syll"))
+      .select(col("source"), col("n_docs"), col("sum_words"),
+        col("sum_sents"), col("sum_syll"),
+        round(lit(206.835) -
+          lit(1.015) * (col("sum_words").cast("double") /
+            col("sum_sents").cast("double")) -
+          lit(84.6) * (col("sum_syll").cast("double") /
+            col("sum_words").cast("double")), 4).as("reading_ease"))
+      .orderBy(col("source"))
+
+  /** Casing profile (q164): per source — letter mass, uppercase mass,
+    * docs that are SHOUTING (>30% of letters uppercase, integer rule
+    * `10·upper > 3·letters`), and docs with no uppercase at all
+    * (lowercased/normalized provenance). Casing damage is a cheap
+    * provenance signal: OCR dumps shout, some scrapes lowercase
+    * everything.
+    *
+    * Scale shape: row-local `regexp_replace` length deltas, |sources|
+    * rollup. Parity: all counts integral; the single ratio is one
+    * division + 6dp round.
+    */
+  def caseProfile(spark: SparkSession, dir: String): DataFrame =
+    caseProfileOn(Tables.documents(spark, dir))
+
+  private[graft] def caseProfileOn(docs: DataFrame): DataFrame =
+    docs
+      .select(col("source"),
+        length(regexp_replace(col("text"), "[^A-Za-z]", "")).cast("long")
+          .as("n_letters"),
+        length(regexp_replace(col("text"), "[^A-Z]", "")).cast("long")
+          .as("n_upper"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_letters")).as("n_letters"),
+        sum(col("n_upper")).as("n_upper"),
+        sum(when(col("n_upper") * 10L > col("n_letters") * 3L, 1L)
+          .otherwise(0L)).as("n_shouting_docs"),
+        sum(when(col("n_upper") === 0L, 1L).otherwise(0L))
+          .as("n_nocase_docs"))
+      .select(col("source"), col("n_docs"), col("n_letters"),
+        col("n_upper"), col("n_shouting_docs"), col("n_nocase_docs"),
+        round(col("n_upper").cast("double") /
+          col("n_letters").cast("double"), 6).as("upper_ratio"))
+      .orderBy(col("source"))
+
+  /** Hapax-legomena rate (q165): per source, the fraction of the
+    * source's vocabulary that occurs exactly once. High hapax rate ⇒
+    * long-tail-rich natural text; low ⇒ templated/repetitive content.
+    * Complements Heaps' law (q127) with a point-in-time tail measure.
+    *
+    * Scale shape: one (source, token) count with map-side partials —
+    * the same shuffle shape as every vocabulary pass — then a
+    * |sources|-key rollup of two integers. Parity: integer counts, one
+    * division + 6dp round.
+    */
+  def hapaxRate(spark: SparkSession, dir: String): DataFrame =
+    hapaxRateOn(Tables.documents(spark, dir))
+
+  private[graft] def hapaxRateOn(docs: DataFrame): DataFrame =
+    docs
+      .select(col("source"), explode(Text.tokens(col("text"))).as("tok"))
+      .groupBy(col("source"), col("tok"))
+      .agg(count(lit(1)).as("n_occ"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_vocab"),
+        sum(when(col("n_occ") === 1L, 1L).otherwise(0L)).as("n_hapax"))
+      .select(col("source"), col("n_vocab"), col("n_hapax"),
+        round(col("n_hapax").cast("double") /
+          col("n_vocab").cast("double"), 6).as("hapax_rate"))
+      .orderBy(col("source"))
 }

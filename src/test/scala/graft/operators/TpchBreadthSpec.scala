@@ -1,0 +1,130 @@
+package graft.operators
+
+import graft.SparkSpecBase
+import org.apache.spark.sql.functions._
+
+/** Round-8 TPC-H breadth batch: market share (q158, Q8 shape), returned
+  * revenue (q159, Q10 shape), promo share (q160, Q14 shape),
+  * small-quantity revenue (q161, Q17 shape). Each query is checked
+  * against an independent recompute on sf0.001 — different arithmetic
+  * path (double, or a hand-rolled integer rule) over the same data.
+  */
+class TpchBreadthSpec extends SparkSpecBase {
+
+  test("q158: shares in [0,1], years ascending, one year recomputed") {
+    val out = CoreQueries.q158MarketShare(spark, sf0001).collect()
+    assert(out.nonEmpty)
+    val years = out.map(_.getInt(0))
+    assert(years.sorted.sameElements(years))
+    out.foreach { r =>
+      assert(r.getDouble(1) > 0.0)
+      assert(r.getDouble(2) >= 0.0 && r.getDouble(2) <= 1.0)
+    }
+    // independent double-arithmetic recompute of one year's share
+    val y = years.head
+    val nat = graft.Tables.nation(spark, sf0001)
+    val asiaCust = graft.Tables.customer(spark, sf0001)
+      .join(nat, col("c_nationkey") === col("n_nationkey"))
+      .join(graft.Tables.region(spark, sf0001)
+        .filter(col("r_name") === "ASIA"),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("c_custkey"))
+    val suppN2 = graft.Tables.supplier(spark, sf0001)
+      .join(nat.filter(col("n_name") === "NATION_2")
+        .select(col("n_nationkey").as("nk2")),
+        col("s_nationkey") === col("nk2"))
+      .select(col("s_suppkey"))
+    val base = graft.Tables.lineitem(spark, sf0001)
+      .join(graft.Tables.orders(spark, sf0001)
+        .filter(year(col("o_orderdate")) === y),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(asiaCust, col("o_custkey") === col("c_custkey"))
+      .select(col("l_suppkey"),
+        (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("rev"))
+    val total = base.agg(sum(col("rev"))).head().getDouble(0)
+    val n2 = base.join(suppN2, col("l_suppkey") === col("s_suppkey"))
+      .agg(sum(col("rev"))).head() match {
+        case r if r.isNullAt(0) => 0.0
+        case r => r.getDouble(0)
+      }
+    val got = out.find(_.getInt(0) == y).get
+    assert(math.abs(got.getDouble(1) - total) < 0.01)
+    assert(math.abs(got.getDouble(2) - n2 / total) < 1e-5)
+  }
+
+  test("q159: top-20 desc with custkey tiebreak; top row recomputed") {
+    val out = CoreQueries.q159ReturnedRevenue(spark, sf0001).collect()
+    assert(out.nonEmpty && out.length <= 20)
+    out.sliding(2).foreach {
+      case Array(a, b) =>
+        val (ra, rb) = (a.getDouble(4), b.getDouble(4))
+        assert(ra > rb || (ra == rb && a.getLong(0) < b.getLong(0)))
+      case _ =>
+    }
+    val top = out.head
+    val rev = graft.Tables.lineitem(spark, sf0001)
+      .filter(col("l_returnflag") === "R")
+      .join(graft.Tables.orders(spark, sf0001)
+        .filter(col("o_orderdate") >= lit("1997-01-01") &&
+          col("o_orderdate") < lit("1998-01-01") &&
+          col("o_custkey") === top.getLong(0)),
+        col("l_orderkey") === col("o_orderkey"))
+      .agg(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
+      .head().getDouble(0)
+    assert(math.abs(rev - top.getDouble(4)) < 0.01)
+  }
+
+  test("q160: promo pct in [0,100]; one month recomputed") {
+    val out = CoreQueries.q160PromoShare(spark, sf0001).collect()
+    assert(out.nonEmpty)
+    out.foreach(r => assert(r.getDouble(1) >= 0.0 && r.getDouble(1) <= 100.0))
+    val m = out.head.getInt(0)
+    val base = graft.Tables.lineitem(spark, sf0001)
+      .filter(col("l_shipdate") >= lit("1997-01-01") &&
+        col("l_shipdate") < lit("1998-01-01") &&
+        month(col("l_shipdate")) === m)
+      .join(graft.Tables.part(spark, sf0001),
+        col("l_partkey") === col("p_partkey"))
+      .select((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+        .as("rev"), col("p_type"))
+    val total = base.agg(sum(col("rev"))).head().getDouble(0)
+    val promo = base.filter(col("p_type") === "PROMO")
+      .agg(sum(col("rev"))).head() match {
+        case r if r.isNullAt(0) => 0.0
+        case r => r.getDouble(0)
+      }
+    assert(math.abs(out.head.getDouble(1) - 100.0 * promo / total) < 1e-3)
+  }
+
+  test("q161: integer threshold rule matches an independent recompute") {
+    val out = CoreQueries.q161SmallQtyRevenue(spark, sf0001).collect()
+    assert(out.nonEmpty)
+    // independent recompute: per-part integer stats via a different
+    // aggregation path (window instead of groupBy+join)
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("l_partkey"))
+    val flagged = graft.Tables.lineitem(spark, sf0001)
+      .select(col("l_partkey"),
+        round(col("l_quantity"), 0).cast("long").as("qty_i"),
+        (round(col("l_extendedprice") * 100, 0).cast("long") *
+          (lit(100L) - round(col("l_discount") * 100, 0).cast("long")))
+          .as("rev_cp"))
+      .withColumn("sum_qty", sum(col("qty_i")).over(w))
+      .withColumn("cnt_qty", count(lit(1)).over(w))
+      .filter(col("qty_i") * lit(5L) * col("cnt_qty") < col("sum_qty"))
+      .join(graft.Tables.part(spark, sf0001),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("n"), sum(col("rev_cp")).as("cp"))
+      .collect()
+      .map(r => (r.getString(0), (r.getLong(1),
+        BigDecimal(r.getLong(2)) / 10000)))
+      .toMap
+    out.foreach { r =>
+      val (n, cp) = flagged(r.getString(0))
+      assert(r.getLong(1) === n)
+      assert((BigDecimal(r.getDouble(2)) - cp).abs < BigDecimal("0.01"))
+    }
+    assert(out.length === flagged.size)
+  }
+}
