@@ -213,6 +213,10 @@ object SparkEntry {
       graft.operators.EmbedHealthOps.normBands(s, d)),
     "q168_label_cohesion" -> ((s, d) =>
       graft.operators.EmbedHealthOps.labelCohesion(s, d)),
+    "q169_basket_bands"   -> (CoreQueries.q169BasketBands _),
+    "q170_truncation_loss" -> ((s, d) => PipelineOps.truncationLoss(s, d)),
+    "q171_quality_curve"  -> ((s, d) => PipelineOps.qualityTokenCurve(s, d)),
+    "q172_cluster_sizes"  -> ((s, d) => DedupOps.clusterSizeHist(s, d)),
   )
 
   /** Shared shingle→df-capped-postings CTE body for every exact-Jaccard
@@ -3275,6 +3279,77 @@ object SparkEntry {
            CAST(sum(CASE WHEN dp < 0 THEN 1 ELSE 0 END) AS BIGINT)
              AS n_neg
          FROM j GROUP BY label ORDER BY label"""),
+    // q169: lines-per-order bands — per-order rollup then a band rollup;
+    // exact cents·pct integer revenue
+    "q169_basket_bands" ->
+      """WITH po AS (SELECT l_orderkey, count(*) AS n_lines,
+             sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+               * (100 - CAST(round(l_discount * 100, 0) AS BIGINT)))
+               AS rev_cp
+           FROM lineitem GROUP BY 1)
+         SELECT n_lines, count(*) AS n_orders,
+           round(CAST(sum(rev_cp) AS DOUBLE) / 10000.0, 2) AS revenue
+         FROM po GROUP BY n_lines ORDER BY n_lines""",
+    // q170: truncation loss at three context lengths — one aggregate
+    // carries every length's kept/over sums; the oracle unpivots by
+    // UNION ALL over the same single-row aggregate
+    "q170_truncation_loss" ->
+      """WITH m AS (SELECT CAST(len(string_split(regexp_replace(
+             lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS BIGINT)
+             AS n_tok FROM documents),
+         a AS (SELECT count(*) AS n_docs,
+             CAST(sum(n_tok) AS BIGINT) AS sum_tokens,
+             CAST(sum(least(n_tok, 128)) AS BIGINT) AS k128,
+             CAST(sum(CASE WHEN n_tok > 128 THEN 1 ELSE 0 END) AS BIGINT)
+               AS o128,
+             CAST(sum(least(n_tok, 512)) AS BIGINT) AS k512,
+             CAST(sum(CASE WHEN n_tok > 512 THEN 1 ELSE 0 END) AS BIGINT)
+               AS o512,
+             CAST(sum(least(n_tok, 2048)) AS BIGINT) AS k2048,
+             CAST(sum(CASE WHEN n_tok > 2048 THEN 1 ELSE 0 END) AS BIGINT)
+               AS o2048
+           FROM m)
+         SELECT 128 AS max_len, n_docs, o128 AS n_docs_over, sum_tokens,
+           k128 AS sum_kept, round(1.0 - CAST(k128 AS DOUBLE) /
+             CAST(sum_tokens AS DOUBLE), 6) AS trunc_frac FROM a
+         UNION ALL
+         SELECT 512, n_docs, o512, sum_tokens, k512,
+           round(1.0 - CAST(k512 AS DOUBLE) /
+             CAST(sum_tokens AS DOUBLE), 6) FROM a
+         UNION ALL
+         SELECT 2048, n_docs, o2048, sum_tokens, k2048,
+           round(1.0 - CAST(k2048 AS DOUBLE) /
+             CAST(sum_tokens AS DOUBLE), 6) FROM a
+         ORDER BY max_len""",
+    // q171: token survival per distinct quality score (descending) —
+    // the cumulative window runs on the bounded distinct-score frame
+    "q171_quality_curve" ->
+      ("WITH " + qualityDocCte + """,
+         qk AS (SELECT CAST(round(quality * 10000) AS BIGINT) AS k,
+             CAST(n_tokens AS BIGINT) AS n_tok FROM qdoc),
+         ps AS (SELECT k, count(*) AS n_docs,
+             CAST(sum(n_tok) AS BIGINT) AS n_tokens FROM qk GROUP BY 1),
+         c AS (SELECT k, n_docs, n_tokens,
+             CAST(sum(n_docs) OVER (ORDER BY k DESC) AS BIGINT)
+               AS cum_docs,
+             CAST(sum(n_tokens) OVER (ORDER BY k DESC) AS BIGINT)
+               AS cum_tokens FROM ps),
+         t AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+           FROM ps)
+         SELECT CAST(k AS DOUBLE) / 10000.0 AS quality, n_docs, n_tokens,
+           cum_docs, cum_tokens,
+           round(CAST(cum_tokens AS DOUBLE) /
+             CAST(total_tokens AS DOUBLE), 6) AS cum_token_frac
+         FROM c, t ORDER BY quality DESC"""),
+    // q172: exact-dup cluster-size histogram — the q27 content-hash
+    // shuffle then a multiplicity rollup
+    "q172_cluster_sizes" ->
+      """WITH c AS (SELECT md5(regexp_replace(lower(trim(text)), '\s+',
+             ' ', 'g')) AS fp, count(*) AS cluster_size
+           FROM documents GROUP BY 1)
+         SELECT cluster_size, count(*) AS n_clusters,
+           CAST(cluster_size * count(*) AS BIGINT) AS n_docs
+         FROM c GROUP BY cluster_size ORDER BY cluster_size""",
   )
 
   /** The q95 power-iteration CTE chain (quantize → center → two exact

@@ -941,4 +941,22 @@ object CoreQueries {
         round(col("rev_cp").cast("double") / lit(10000.0), 2).as("small_qty_revenue"))
       .orderBy(col("p_brand"))
   }
+
+  /** Basket-size bands (q169): order count and revenue per
+    * lines-per-order band — the order-composition profile that sizes
+    * downstream per-order processing. Two-level aggregate: the
+    * per-order count/sum shuffles ONCE on the order key (map-side
+    * partials), then rolls up to ≤ |max lines| bands. Revenue stays in
+    * the exact cents·pct integer grid until the final display division.
+    */
+  def q169BasketBands(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), revenueCentPct.as("rev_cp"))
+      .groupBy(col("l_orderkey"))
+      .agg(count(lit(1)).as("n_lines"), sum(col("rev_cp")).as("rev_cp"))
+      .groupBy(col("n_lines"))
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum(col("rev_cp")).cast("double") / lit(10000.0), 2)
+          .as("revenue"))
+      .orderBy(col("n_lines"))
 }

@@ -961,4 +961,24 @@ object DedupOps {
       .agg(count(lit(1)).as("n_shared"))
       .orderBy(col("source_a"), col("source_b"))
   }
+
+  /** Duplicate-cluster size histogram (q172): how many exact-dup
+    * clusters exist at each multiplicity — the shape behind q147's
+    * headline savings number (two clusters of 500 copies and 499
+    * singletons dedup very differently from 999 pairs, at identical
+    * savings). Same single content-hash shuffle as q27, then a
+    * ≤|max multiplicity|-key rollup.
+    */
+  def clusterSizeHist(spark: SparkSession, dir: String): DataFrame =
+    clusterSizeHistOn(Tables.documents(spark, dir))
+
+  private[graft] def clusterSizeHistOn(docs: DataFrame): DataFrame =
+    docs
+      .groupBy(Text.fingerprintMd5(col("text")).as("fp"))
+      .agg(count(lit(1)).as("cluster_size"))
+      .groupBy(col("cluster_size"))
+      .agg(count(lit(1)).as("n_clusters"))
+      .select(col("cluster_size"), col("n_clusters"),
+        (col("cluster_size") * col("n_clusters")).as("n_docs"))
+      .orderBy(col("cluster_size"))
 }

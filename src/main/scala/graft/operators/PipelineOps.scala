@@ -560,4 +560,76 @@ object PipelineOps {
       .agg(count(lit(1)).as("n_docs"))
       .orderBy(col("quality_band"), col("norm_band"))
   }
+
+  /** Truncation-loss report (q170): for each candidate context length,
+    * how many documents overflow it and what fraction of corpus tokens
+    * a hard truncation at that length discards. The capacity-planning
+    * number behind choosing max_seq_len: the complement of the q84
+    * packing view (q84 asks how to pack what fits; this asks what
+    * DOESN'T fit).
+    *
+    * Scale shape: ONE corpus pass computes all lengths' conditional
+    * sums side by side in a single aggregate (map-side partials); the
+    * 3-row unpivot (`stack`) runs on the one aggregated row. Parity:
+    * kept/over sums are exact integers; one division + 6dp round per
+    * output row.
+    */
+  def truncationLoss(spark: SparkSession, dir: String,
+      lens: Seq[Int] = Seq(128, 512, 2048)): DataFrame =
+    truncationLossOn(Tables.documents(spark, dir), lens)
+
+  private[graft] def truncationLossOn(docs: DataFrame,
+      lens: Seq[Int] = Seq(128, 512, 2048)): DataFrame = {
+    val m = docs.select(Text.tokenCount(col("text")).cast("long").as("n_tok"))
+    val aggs =
+      Seq(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("sum_tokens")) ++
+      lens.flatMap { l =>
+        Seq(sum(least(col("n_tok"), lit(l.toLong))).as(s"kept_$l"),
+          sum(when(col("n_tok") > l.toLong, 1L).otherwise(0L)).as(s"over_$l"))
+      }
+    val one = m.agg(aggs.head, aggs.tail: _*)
+    val stackArgs = lens
+      .map(l => s"$l, kept_$l, over_$l").mkString(", ")
+    one
+      .select(col("n_docs"), col("sum_tokens"),
+        expr(s"stack(${lens.size}, $stackArgs) as (max_len, sum_kept, n_docs_over)"))
+      .select(col("max_len"), col("n_docs"), col("n_docs_over"),
+        col("sum_tokens"), col("sum_kept"),
+        round(lit(1.0) - col("sum_kept").cast("double") /
+          col("sum_tokens").cast("double"), 6).as("trunc_frac"))
+      .orderBy(col("max_len"))
+  }
+
+  /** Quality-token survival curve (q171): for every distinct quality
+    * score (descending), the cumulative documents and tokens that
+    * survive a cut at that score — the curve a curation pipeline reads
+    * to pick its quality threshold for a target token budget (the
+    * inverse of q140's "best N tokens" query).
+    *
+    * Scale shape: the corpus aggregates to ONE row per distinct score
+    * first (the score lives on an integer grid, so the distinct-score
+    * frame is bounded by the scoring function's range — NOT by corpus
+    * size); the unpartitioned cumulative window runs on that bounded
+    * frame only, the q140/q130 two-phase contract. Parity: integer
+    * doc/token sums; quality re-derived as k/10⁴; one division + 6dp.
+    */
+  def qualityTokenCurve(spark: SparkSession, dir: String): DataFrame = {
+    val perScore = TextAnalysisOps.qualityScore(spark, dir)
+      .select(expr("CAST(round(quality * 10000) AS BIGINT)").as("k"),
+        col("n_tokens").cast("long").as("n_tok"))
+      .groupBy(col("k"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
+    val w = Window.orderBy(col("k").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = perScore.agg(sum(col("n_tokens")).as("total_tokens"))
+    perScore
+      .withColumn("cum_docs", sum(col("n_docs")).over(w))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .crossJoin(broadcast(tot))
+      .select((col("k").cast("double") / lit(10000.0)).as("quality"),
+        col("n_docs"), col("n_tokens"), col("cum_docs"), col("cum_tokens"),
+        round(col("cum_tokens").cast("double") /
+          col("total_tokens").cast("double"), 6).as("cum_token_frac"))
+      .orderBy(col("quality").desc)
+  }
 }
