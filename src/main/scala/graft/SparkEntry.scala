@@ -217,6 +217,13 @@ object SparkEntry {
     "q170_truncation_loss" -> ((s, d) => PipelineOps.truncationLoss(s, d)),
     "q171_quality_curve"  -> ((s, d) => PipelineOps.qualityTokenCurve(s, d)),
     "q172_cluster_sizes"  -> ((s, d) => DedupOps.clusterSizeHist(s, d)),
+    "q173_kcore"          -> ((s, d) => graft.operators.GraphOps.kCore(s, d)),
+    "q174_session_stats"  -> ((s, d) => CoreQueries.q174SessionStats(s, d)),
+    "q175_mad_outliers"   -> (CoreQueries.q175MadOutliers _),
+    "q176_daily_ohlc"     -> ((s, d) =>
+      graft.operators.EventOps.dailyOhlc(s, d)),
+    "q177_latency_bands"  -> (CoreQueries.q177LatencyBands _),
+    "q178_percent_rank"   -> (CoreQueries.q178PercentRank _),
   )
 
   /** Shared shingle→df-capped-postings CTE body for every exact-Jaccard
@@ -305,6 +312,46 @@ object SparkEntry {
     * user by (n_ev DESC, item)) and GraphOps.coPairsOn (support ≥ 5)
     * exactly, ending at `cpairs (i < j)` and `cdeg (item, degree)`.
     */
+  /** The q58 gap-sessionization CTE (30-minute gap), ending at
+    * `sess (user_id, session_seq, session_start, session_end,
+    * n_events)` — shared by the q58 and q174 oracles so the session
+    * definition cannot drift.
+    */
+  private val sessionsCte: String =
+    """sess AS (SELECT user_id, session_seq,
+         min(ts) AS session_start, max(ts) AS session_end,
+         count(*) AS n_events
+       FROM (
+         SELECT user_id, ts,
+           sum(CASE WHEN prev_ts IS NULL
+                     OR epoch_us(ts) - epoch_us(prev_ts) > 1800000000 THEN 1 ELSE 0 END)
+             OVER (PARTITION BY user_id ORDER BY ts
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+         FROM (SELECT user_id, ts,
+                 lag(ts, 1) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts
+               FROM events))
+       GROUP BY user_id, session_seq)"""
+
+  /** The q173 k-core peel chain, generated so the `peels` unrolled
+    * rounds cannot be hand-mistyped: e0 = the capped co-occurrence
+    * edges, each round drops nodes of degree < k and their edges.
+    * MATERIALIZED is load-bearing: each e_p is referenced three times
+    * by round p+1, so an inlining optimizer would re-expand the chain
+    * exponentially (observed as a DuckDB OOM at sf0.1) — exactly the
+    * re-evaluation the Spark side prevents with per-round
+    * localCheckpoint.
+    */
+  private def kCorePeelSql(k: Int, peels: Int): String =
+    (1 to peels).map { p =>
+      s"""d$p AS MATERIALIZED (SELECT node, count(*) AS d FROM (
+           SELECT i AS node FROM e${p - 1}
+           UNION ALL SELECT j FROM e${p - 1}) GROUP BY 1),
+         k$p AS MATERIALIZED (SELECT node FROM d$p WHERE d >= $k),
+         e$p AS MATERIALIZED (SELECT i, j FROM e${p - 1}
+           WHERE i IN (SELECT node FROM k$p)
+             AND j IN (SELECT node FROM k$p))"""
+    }.mkString(",\n         ")
+
   private val coPairsCte: String =
     """grid AS (SELECT user_id,
          CAST(json_extract_string(props, '$.k') AS INT) AS item,
@@ -902,19 +949,10 @@ object SparkEntry {
          FROM best WHERE rk = 1
          GROUP BY label, clabel ORDER BY label, assigned_label""",
     "q58_sessions_batch" ->
-      """SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
-           min(ts) AS session_start, max(ts) AS session_end,
-           count(*) AS n_events
-         FROM (
-           SELECT user_id, ts,
-             sum(CASE WHEN prev_ts IS NULL
-                       OR epoch_us(ts) - epoch_us(prev_ts) > 1800000000 THEN 1 ELSE 0 END)
-               OVER (PARTITION BY user_id ORDER BY ts
-                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
-           FROM (SELECT user_id, ts,
-                   lag(ts, 1) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts
-                 FROM events))
-         GROUP BY user_id, session_seq ORDER BY user_id, session_seq""",
+      ("WITH " + sessionsCte + """
+         SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+           session_start, session_end, n_events
+         FROM sess ORDER BY user_id, session_seq"""),
     "q59_dedup_keeplist" ->
       (dedupCcCte + """,
          drop_ids AS (SELECT id FROM (
@@ -3350,6 +3388,95 @@ object SparkEntry {
          SELECT cluster_size, count(*) AS n_clusters,
            CAST(cluster_size * count(*) AS BIGINT) AS n_docs
          FROM c GROUP BY cluster_size ORDER BY cluster_size""",
+    // q173: 4 unrolled k-core peels (k=3) over the capped co-occurrence
+    // edges; generated chain, pure integer counting
+    "q173_kcore" ->
+      ("WITH " + coPairsCte + """,
+         e0 AS MATERIALIZED (SELECT i, j FROM cpairs),
+         """ + kCorePeelSql(k = 3, peels = 4) + """
+         SELECT item, count(*) AS core_degree FROM (
+           SELECT i AS item FROM e4 UNION ALL SELECT j FROM e4)
+         GROUP BY item ORDER BY item"""),
+    // q174: session-length profile over the shared q58 sessionization —
+    // integer micros durations, one mirrored division chain
+    "q174_session_stats" ->
+      ("WITH " + sessionsCte + """
+         SELECT n_events, count(*) AS n_sessions,
+           CAST(sum(epoch_us(session_end) - epoch_us(session_start))
+             AS BIGINT) AS sum_duration_us,
+           round(CAST(sum(epoch_us(session_end) - epoch_us(session_start))
+               AS DOUBLE) / count(*) / 1000000.0, 6) AS avg_duration_s
+         FROM sess GROUP BY n_events ORDER BY n_events"""),
+    // q175: exact integer median/MAD per segment — doubled-unit rank
+    // picks on the value HISTOGRAM, outliers via 2·dev > 3·mad4
+    "q175_mad_outliers" ->
+      """WITH seg AS (SELECT c_mktsegment AS seg,
+             CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents
+           FROM orders JOIN customer ON o_custkey = c_custkey),
+         h AS (SELECT seg, cents, count(*) AS cnt FROM seg GROUP BY 1, 2),
+         c AS (SELECT seg, cents, cnt,
+             sum(cnt) OVER (PARTITION BY seg ORDER BY cents) AS cum,
+             sum(cnt) OVER (PARTITION BY seg) AS n FROM h),
+         m AS (SELECT seg, min(n) AS n,
+             CAST(min(CASE WHEN cum >= (n + 1) // 2 THEN cents END) +
+               min(CASE WHEN cum >= (n + 2) // 2 THEN cents END)
+               AS BIGINT) AS med2
+           FROM c GROUP BY seg),
+         dv AS (SELECT s.seg, abs(2 * s.cents - m.med2) AS dev
+           FROM seg s JOIN m ON s.seg = m.seg),
+         dh AS (SELECT seg, dev, count(*) AS cnt FROM dv GROUP BY 1, 2),
+         dc AS (SELECT seg, dev, cnt,
+             sum(cnt) OVER (PARTITION BY seg ORDER BY dev) AS cum,
+             sum(cnt) OVER (PARTITION BY seg) AS n FROM dh),
+         dm AS (SELECT seg,
+             CAST(min(CASE WHEN cum >= (n + 1) // 2 THEN dev END) +
+               min(CASE WHEN cum >= (n + 2) // 2 THEN dev END)
+               AS BIGINT) AS mad4
+           FROM dc GROUP BY seg),
+         o AS (SELECT dv.seg,
+             CAST(sum(CASE WHEN 2 * dv.dev > 3 * dm.mad4 THEN 1 ELSE 0
+               END) AS BIGINT) AS n_outliers
+           FROM dv JOIN dm ON dv.seg = dm.seg GROUP BY dv.seg)
+         SELECT m.seg AS segment, CAST(m.n AS BIGINT) AS n_orders,
+           round(CAST(m.med2 AS DOUBLE) / 200.0, 4) AS median_price,
+           round(CAST(dm.mad4 AS DOUBLE) / 400.0, 4) AS mad,
+           o.n_outliers
+         FROM m JOIN dm ON m.seg = dm.seg JOIN o ON m.seg = o.seg
+         ORDER BY segment""",
+    // q176: OHLC bars — open/close SELECTED by lexicographic struct
+    // min/max on (ts, event_id, value); no float accumulates
+    "q176_daily_ohlc" ->
+      """SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+           (min(struct_pack(ts := ts, eid := event_id, v := value))).v
+             AS open,
+           (max(struct_pack(ts := ts, eid := event_id, v := value))).v
+             AS close,
+           min(value) AS low, max(value) AS high, count(*) AS n_events
+         FROM events GROUP BY event_type, day
+         ORDER BY event_type, day""",
+    // q177: ship-latency week bands per priority — integer day diff,
+    // integer div-7 banding
+    "q177_latency_bands" ->
+      """SELECT o_orderpriority,
+           CAST(datediff('day', CAST(o_orderdate AS DATE),
+             CAST(l_shipdate AS DATE)) AS BIGINT) // 7 AS week_band,
+           count(*) AS n_lines
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         GROUP BY 1, 2 ORDER BY 1, 2""",
+    // q178: top-decile-by-nation suppliers with percent_rank/cume_dist
+    // over the total (acctbal, suppkey) order
+    "q178_percent_rank" ->
+      """WITH r AS (SELECT c_nationkey, c_custkey, c_acctbal,
+             percent_rank() OVER (PARTITION BY c_nationkey
+               ORDER BY c_acctbal, c_custkey) AS pr,
+             cume_dist() OVER (PARTITION BY c_nationkey
+               ORDER BY c_acctbal, c_custkey) AS cd
+           FROM customer)
+         SELECT n_name, c_custkey, c_acctbal,
+           round(pr, 6) AS pct_rank, round(cd, 6) AS cume_dist
+         FROM r JOIN nation ON c_nationkey = n_nationkey
+         WHERE pr >= 0.9
+         ORDER BY n_name, c_custkey""",
   )
 
   /** The q95 power-iteration CTE chain (quantize → center → two exact

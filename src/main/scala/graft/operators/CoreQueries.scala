@@ -498,9 +498,22 @@ object CoreQueries {
     * flags into session ids, aggregate per session. One shuffle on user_id.
     */
   def q58SessionsBatch(spark: SparkSession, dir: String,
-      gapMinutes: Int = 30): DataFrame = {
+      gapMinutes: Int = 30): DataFrame =
+    sessionsOn(Tables.events(spark, dir), gapMinutes)
+      // NTZ so the parquet dump is a naive timestamp like the oracle's
+      // (TimestampType would write UTC-adjusted and read back tz-aware)
+      .select(col("user_id"), col("session_seq"),
+        col("session_start").cast("timestamp_ntz").as("session_start"),
+        col("session_end").cast("timestamp_ntz").as("session_end"),
+        col("n_events"))
+      .orderBy(col("user_id"), col("session_seq"))
+
+  /** The q58 gap-sessionization assembly, shared with q174's rollup so
+    * the session definition cannot drift between the two.
+    */
+  private[graft] def sessionsOn(ev: DataFrame, gapMinutes: Int): DataFrame = {
     val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"))
-    Tables.events(spark, dir)
+    ev
       .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
       .withColumn("new_session",
         when(col("prev_ts").isNull ||
@@ -509,12 +522,9 @@ object CoreQueries {
       .withColumn("session_seq",
         sum(col("new_session")).over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
       .groupBy(col("user_id"), col("session_seq"))
-      // NTZ so the parquet dump is a naive timestamp like the oracle's
-      // (TimestampType would write UTC-adjusted and read back tz-aware)
-      .agg(min(col("ts")).cast("timestamp_ntz").as("session_start"),
-        max(col("ts")).cast("timestamp_ntz").as("session_end"),
+      .agg(min(col("ts")).as("session_start"),
+        max(col("ts")).as("session_end"),
         count(lit(1)).as("n_events"))
-      .orderBy(col("user_id"), col("session_seq"))
   }
 
   /** Semi-structured extraction: events.props is a JSON string column —
@@ -959,4 +969,138 @@ object CoreQueries {
         round(sum(col("rev_cp")).cast("double") / lit(10000.0), 2)
           .as("revenue"))
       .orderBy(col("n_lines"))
+
+  /** Session-length profile (q174): sessions-per-event-count bands with
+    * total and average duration — the engagement distribution (band 1 is
+    * the bounce count) over the q58 gap sessionization, via the SHARED
+    * [[sessionsOn]] assembly so the session definition cannot drift.
+    * One user-keyed window pass (q58's own shape), then a ≤|max
+    * session-length|-key rollup. Durations are exact integer
+    * microseconds; the average is one mirrored division chain + 6dp.
+    */
+  def q174SessionStats(spark: SparkSession, dir: String,
+      gapMinutes: Int = 30): DataFrame =
+    sessionsOn(Tables.events(spark, dir), gapMinutes)
+      .select(col("n_events"),
+        (unix_micros(col("session_end")) - unix_micros(col("session_start")))
+          .as("dur_us"))
+      .groupBy(col("n_events"))
+      .agg(count(lit(1)).as("n_sessions"), sum(col("dur_us")).as("sum_duration_us"))
+      .select(col("n_events"), col("n_sessions"), col("sum_duration_us"),
+        round(col("sum_duration_us").cast("double") /
+          col("n_sessions").cast("double") / lit(1000000.0), 6)
+          .as("avg_duration_s"))
+      .orderBy(col("n_events"))
+
+  /** Robust price outliers (q175): per market segment — EXACT median,
+    * median-absolute-deviation, and the |x − med| > 3·MAD outlier count
+    * over order totals, with NO floating point anywhere in the
+    * statistics. The even-count median is kept integral by working in
+    * DOUBLED units (`med2 = v_lo + v_hi` in cents ⇒ 2·median;
+    * deviations `dev = |2x − med2|` ⇒ 2·|x−med|; `mad4 = d_lo + d_hi`
+    * ⇒ 4·MAD), so the outlier rule is the integer comparison
+    * `2·dev > 3·mad4`. Floats appear only in the two display divisions
+    * (med2/200, mad4/400 — both land on ≤4-decimal values, so the 4dp
+    * round is boundary-free).
+    *
+    * Scale shape: exact medians WITHOUT a per-segment row sort — both
+    * rank selections run on the (segment, value)-HISTOGRAM frame
+    * (bounded by the price domain, not the row count), with cumulative
+    * windows over that histogram only (the q123/q171 two-phase
+    * contract). The fact rows are touched by two scans (cents, then
+    * deviations) and the tiny per-segment stats broadcast back.
+    */
+  def q175MadOutliers(spark: SparkSession, dir: String): DataFrame = {
+    val seg = Tables.orders(spark, dir)
+      .join(Tables.customer(spark, dir)
+        .select(col("c_custkey"), col("c_mktsegment")),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_mktsegment").as("seg"),
+        round(col("o_totalprice") * 100, 0).cast("long").as("cents"))
+    // lower/upper middle pick over the per-segment value histogram:
+    // v_lo at rank (n+1) div 2, v_hi at rank (n+2) div 2
+    def rankPick(vals: DataFrame, valueCol: String): DataFrame = {
+      val h = vals.groupBy(col("seg"), col(valueCol))
+        .agg(count(lit(1)).as("cnt"))
+      val c = h
+        .withColumn("cum", sum(col("cnt")).over(
+          Window.partitionBy(col("seg")).orderBy(col(valueCol))))
+        .withColumn("n", sum(col("cnt")).over(
+          Window.partitionBy(col("seg"))))
+      c.groupBy(col("seg"))
+        .agg(min(when(col("cum") >= expr("(n + 1) div 2"), col(valueCol)))
+          .as("v_lo"),
+          min(when(col("cum") >= expr("(n + 2) div 2"), col(valueCol)))
+            .as("v_hi"),
+          min(col("n")).as("n"))
+    }
+    val m = rankPick(seg, "cents")
+      .select(col("seg"), col("n"), (col("v_lo") + col("v_hi")).as("med2"))
+    val dev = seg.join(broadcast(m.select(col("seg"), col("med2"))), "seg")
+      .select(col("seg"),
+        abs(lit(2L) * col("cents") - col("med2")).as("dev"))
+    val dm = rankPick(dev, "dev")
+      .select(col("seg"), (col("v_lo") + col("v_hi")).as("mad4"))
+    val outliers = dev
+      .join(broadcast(dm), "seg")
+      .groupBy(col("seg"))
+      .agg(sum(when(lit(2L) * col("dev") > lit(3L) * col("mad4"), 1L)
+        .otherwise(0L)).as("n_outliers"))
+    m.join(broadcast(dm), "seg")
+      .join(broadcast(outliers), "seg")
+      .select(col("seg").as("segment"), col("n").as("n_orders"),
+        round(col("med2").cast("double") / lit(200.0), 4).as("median_price"),
+        round(col("mad4").cast("double") / lit(400.0), 4).as("mad"),
+        col("n_outliers"))
+      .orderBy(col("segment"))
+  }
+
+  /** Ship-latency distribution (q177): lines per (priority, weeks-to-
+    * ship) band — the SLA histogram behind q26's single average (an
+    * average hides the tail the SLA cares about). Integer day diff,
+    * integer `div 7` banding, |priorities|·|weeks| rollup keys with
+    * map-side partials.
+    */
+  def q177LatencyBands(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+    Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_shipdate"))
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_orderpriority"),
+        (datediff(col("l_shipdate").cast("date"),
+          col("o_orderdate").cast("date")).cast("long")).as("lat_days"))
+      .select(col("o_orderpriority"), expr("lat_days div 7").as("week_band"))
+      .groupBy(col("o_orderpriority"), col("week_band"))
+      .agg(count(lit(1)).as("n_lines"))
+      .orderBy(col("o_orderpriority"), col("week_band"))
+  }
+
+  /** Distribution-position window functions (q178): customers in the
+    * top decile of account balance WITHIN their nation, with their
+    * percent_rank and cume_dist — the relative-position window family
+    * (P6-adjacent surface the rank/row_number demos don't cover).
+    * Parity: the window order (acctbal, custkey) is total, so rank
+    * positions are exact integers and both position measures are the
+    * same two-integer division in either engine; the ≥ 0.9 cut
+    * compares identically-computed doubles.
+    * Nation-partitioned windows — no global sort; a nation's customer
+    * set is the natural per-key frame (the q123 per-source precedent;
+    * at extreme per-nation volume the q175 histogram two-phase is the
+    * escape hatch).
+    */
+  def q178PercentRank(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("c_nationkey"))
+      .orderBy(col("c_acctbal"), col("c_custkey"))
+    Tables.customer(spark, dir)
+      .withColumn("pr", percent_rank().over(w))
+      .withColumn("cd", cume_dist().over(w))
+      .filter(col("pr") >= 0.9)
+      .join(broadcast(Tables.nation(spark, dir)
+        .select(col("n_nationkey"), col("n_name"))),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("n_name"), col("c_custkey"), col("c_acctbal"),
+        round(col("pr"), 6).as("pct_rank"), round(col("cd"), 6).as("cume_dist"))
+      .orderBy(col("n_name"), col("c_custkey"))
+  }
 }

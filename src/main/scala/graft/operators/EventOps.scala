@@ -535,4 +535,29 @@ object EventOps {
         round(col("dau").cast("double") / col("wau7"), 4).as("stickiness"))
       .orderBy(col("day"))
   }
+
+  /** Daily OHLC bars (q176): per (event_type, day) — opening and
+    * closing `value` plus low/high/count, the time-series compaction
+    * behind any metric dashboard. Open/close are SELECTED by a
+    * lexicographic struct min/max on (ts, event_id, value) — a plain
+    * aggregate with map-side partials (NOT a per-partition window sort),
+    * deterministic because event_id breaks ts ties, and fp-safe because
+    * no float is ever accumulated: every output is one of the input
+    * doubles, bit-for-bit.
+    */
+  def dailyOhlc(spark: SparkSession, dir: String): DataFrame =
+    dailyOhlcOn(Tables.events(spark, dir))
+
+  private[graft] def dailyOhlcOn(ev: DataFrame): DataFrame =
+    ev
+      .select(col("event_type"), to_date(col("ts")).as("day"),
+        struct(col("ts"), col("event_id").as("eid"), col("value").as("v"))
+          .as("rec"),
+        col("value"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(min(col("rec")).getField("v").as("open"),
+        max(col("rec")).getField("v").as("close"),
+        min(col("value")).as("low"), max(col("value")).as("high"),
+        count(lit(1)).as("n_events"))
+      .orderBy(col("event_type"), col("day"))
 }

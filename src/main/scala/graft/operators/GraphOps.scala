@@ -189,4 +189,45 @@ object GraphOps {
         max(col("degree")).as("max_degree"))
       .orderBy(col("log2_degree"))
   }
+
+  /** k-core peeling (q173): items surviving `peels` rounds of
+    * remove-degree-<k over the co-occurrence graph, with their residual
+    * degree — the dense-subgraph filter that strips hangers-on before
+    * community/recommender analysis. A FIXED peel count (not
+    * run-to-fixpoint) keeps the plan static and the oracle replayable;
+    * each round that removes nothing is a no-op, so on graphs that
+    * stabilize within `peels` rounds the result IS the exact k-core
+    * (the spec pins a fixture that needs cascading peels).
+    *
+    * Scale shape: per round, ONE degree aggregate over the surviving
+    * edges and two semi-joins against the keep-set — all keyed on item
+    * ids; `localCheckpoint` cuts the per-round lineage (the q53
+    * iteration rule). The edge relation itself rides the capped grid
+    * ([[coPairsOn]]), so no hot user inflates any round. Pure integer
+    * counting; (item) order is total.
+    */
+  def kCore(spark: SparkSession, dir: String, k: Int = 3, peels: Int = 4,
+      minSupport: Int = 5): DataFrame =
+    kCoreOn(Tables.events(spark, dir), k, peels, minSupport)
+
+  private[graft] def kCoreOn(ev: DataFrame, k: Int = 3, peels: Int = 4,
+      minSupport: Int = 5,
+      userItemCap: Int = EventOps.DefaultUserItemCap): DataFrame = {
+    var edges = coPairsOn(ev, minSupport, userItemCap)
+      .select(col("i"), col("j")).localCheckpoint(eager = true)
+    (1 to peels).foreach { _ =>
+      val keep = edges.select(col("i").as("node"))
+        .union(edges.select(col("j").as("node")))
+        .groupBy(col("node")).agg(count(lit(1)).as("d"))
+        .filter(col("d") >= k).select(col("node"))
+      edges = edges
+        .join(keep.select(col("node").as("i")), Seq("i"), "left_semi")
+        .join(keep.select(col("node").as("j")), Seq("j"), "left_semi")
+        .localCheckpoint(eager = true)
+    }
+    edges.select(col("i").as("item"))
+      .union(edges.select(col("j").as("item")))
+      .groupBy(col("item")).agg(count(lit(1)).as("core_degree"))
+      .orderBy(col("item"))
+  }
 }
