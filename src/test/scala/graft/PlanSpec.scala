@@ -333,4 +333,50 @@ class PlanSpec extends SparkSpecBase {
     assert(plan.contains("LeftSemi"), plan)
     assert(!plan.contains("CartesianProduct"), plan)
   }
+
+  test("q161: Q17 stats join — no cartesian, scans prune to join+agg columns") {
+    val plan = executed("q161_small_qty")
+    assert(!plan.contains("CartesianProduct"), plan)
+    val rs = readSchemaLines(plan)
+    assert(!rs.contains("l_shipdate") && !rs.contains("l_tax"), rs)
+    assert(rs.contains("p_brand"), rs)
+  }
+
+  test("q162: TTR distinct is row-local — no explode before the band rollup") {
+    val plan = executed("q162_ttr_bands")
+    assert(!plan.contains("Generate"), plan) // array_distinct, not explode
+  }
+
+  test("q163/q164: quality scans prune documents to text + source") {
+    Seq("q163_readability", "q164_case_profile").foreach { q =>
+      val rs = readSchemaLines(executed(q))
+      assert(rs.contains("source") && rs.contains("text"), s"$q: $rs")
+      assert(!rs.contains("n_chars") && !rs.contains("lang"), s"$q: $rs")
+    }
+  }
+
+  test("q166/q168: centroid pair/cohesion joins are broadcast, never cartesian") {
+    Seq("q166_centroid_dists", "q168_label_cohesion").foreach { q =>
+      val plan = executed(q)
+      assert(!plan.contains("CartesianProduct"), s"$q: $plan")
+      assert(plan.contains("Broadcast"), s"$q: $plan")
+    }
+  }
+
+  test("q176: OHLC is a plain aggregate — no window sort, no UDFs") {
+    val plan = executed("q176_daily_ohlc")
+    assert(!plan.contains("Window"), plan)
+    assert(!plan.contains("BatchEvalPython") && !plan.contains("ScalaUDF"),
+      plan)
+  }
+
+  test("q175: every rank window is segment-partitioned (histogram frame)") {
+    val plan = executed("q175_mad_outliers")
+    val windowLines = plan.linesIterator
+      .filter(_.contains("Window")).mkString("\n")
+    // each Window carries the seg partition spec — no global-order sort
+    windowLines.linesIterator.filter(_.trim.nonEmpty).foreach { l =>
+      assert(l.contains("seg"), l)
+    }
+  }
 }
