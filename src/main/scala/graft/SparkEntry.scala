@@ -224,6 +224,10 @@ object SparkEntry {
       graft.operators.EventOps.dailyOhlc(s, d)),
     "q177_latency_bands"  -> (CoreQueries.q177LatencyBands _),
     "q178_percent_rank"   -> (CoreQueries.q178PercentRank _),
+    "q179_selfjoin_sketch" -> ((s, d) => CoreQueries.q179SelfJoinSketch(s, d)),
+    "q180_peak_concurrency" -> ((s, d) =>
+      graft.operators.EventOps.peakConcurrency(s, d)),
+    "q181_cube"           -> (CoreQueries.q181Cube _),
   )
 
   /** Shared shingle→df-capped-postings CTE body for every exact-Jaccard
@@ -3477,6 +3481,59 @@ object SparkEntry {
          FROM r JOIN nation ON c_nationkey = n_nationkey
          WHERE pr >= 0.9
          ORDER BY n_name, c_custkey""",
+    // q179: exact F2 vs the CMS inner-product estimate (same md5 bucket
+    // decode as q90, w=1024); integer everywhere but the inflation
+    "q179_selfjoin_sketch" ->
+      """WITH t AS (SELECT CAST(l_partkey AS VARCHAR) AS tok FROM lineitem),
+         tc AS (SELECT tok, count(*) AS n FROM t GROUP BY 1),
+         b AS (SELECT tok, n, i.range AS i,
+                 ((instr('0123456789abcdef',
+                     substr(md5(tok || '_' || i.range), 1, 1)) - 1) * 256
+                  + (instr('0123456789abcdef',
+                      substr(md5(tok || '_' || i.range), 2, 1)) - 1) * 16
+                  + (instr('0123456789abcdef',
+                      substr(md5(tok || '_' || i.range), 3, 1)) - 1)) % 1024
+                   AS bkt
+               FROM tc, range(0, 4) i),
+         cells AS (SELECT i, bkt, CAST(sum(n) AS BIGINT) AS cnt
+                   FROM b GROUP BY 1, 2),
+         ests AS (SELECT i, CAST(sum(cnt * cnt) AS BIGINT) AS e
+                  FROM cells GROUP BY 1),
+         est AS (SELECT CAST(min(e) AS BIGINT) AS est_f2 FROM ests),
+         ex AS (SELECT count(*) AS n_keys,
+                  CAST(sum(n * n) AS BIGINT) AS exact_f2 FROM tc)
+         SELECT n_keys, exact_f2, est_f2,
+           CAST(est_f2 >= exact_f2 AS INT) AS overest_ok,
+           round(CAST(est_f2 AS DOUBLE) / CAST(exact_f2 AS DOUBLE), 4)
+             AS inflation
+         FROM ex, est""",
+    // q180: daily peak concurrency — oracle uses the naive GLOBAL
+    // running sum (provably equal to the engine's two-phase form);
+    // starts sort before ends at an instant (delta DESC)
+    "q180_peak_concurrency" ->
+      ("WITH " + sessionsCte + """,
+         b AS (SELECT user_id, session_seq,
+             epoch_us(session_start) AS ts_us, 1 AS delta FROM sess
+           UNION ALL SELECT user_id, session_seq,
+             epoch_us(session_end), -1 FROM sess),
+         r AS (SELECT CAST(make_timestamp(ts_us) AS DATE) AS day, delta,
+             sum(delta) OVER (ORDER BY ts_us, delta DESC, user_id,
+               session_seq ROWS BETWEEN UNBOUNDED PRECEDING AND
+               CURRENT ROW) AS run
+           FROM b)
+         SELECT day, CAST(max(run) AS BIGINT) AS peak_concurrency,
+           CAST(sum(CASE WHEN delta = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_starts,
+           CAST(sum(CASE WHEN delta = -1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_ends
+         FROM r GROUP BY day ORDER BY day"""),
+    // q181: CUBE over (returnflag, linestatus) — q54's ROLLUP completed
+    // to the grouping power set
+    "q181_cube" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS cnt,
+           round(sum(l_quantity), 2) AS qty
+         FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+         ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""",
   )
 
   /** The q95 power-iteration CTE chain (quantize → center → two exact

@@ -1103,4 +1103,56 @@ object CoreQueries {
         round(col("pr"), 6).as("pct_rank"), round(col("cd"), 6).as("cume_dist"))
       .orderBy(col("n_name"), col("c_custkey"))
   }
+
+  /** Self-join-size sketch (q179): the exact second frequency moment
+    * F2 = Σ_k cnt(k)² of `l_partkey` (= the self-join cardinality a
+    * cost-based planner needs for the q161-style stats join) next to
+    * the Count-Min INNER-PRODUCT estimate of the same quantity
+    * (AMS/CMS join-size estimation: min over depth rows of Σ_j c[i][j]²)
+    * — the sketch the planner would actually ship at 100 TB, where the
+    * exact per-key histogram is itself big data. CMS inner product
+    * provably over-estimates, so `overest_ok` is a deterministic gate,
+    * and all arithmetic is integer (cells and their squares) until the
+    * one inflation division.
+    *
+    * Scale shape: the sketch is one corpus pass into a d×w cell grid
+    * (mergeable partial buffers, any merge order); the exact side is
+    * the key-histogram aggregate. Both outputs are single rows.
+    */
+  def q179SelfJoinSketch(spark: SparkSession, dir: String, d: Int = 4,
+      w: Int = 1024): DataFrame = {
+    import spark.implicits._
+    val keys = Tables.lineitem(spark, dir)
+      .select(col("l_partkey").cast("string").as("tok"))
+    val sketch = keys.as[String]
+      .select(new graft.functions.CountMinAggregator(d, w).toColumn)
+      .toDF("cells", "total")
+    val exact = keys.groupBy(col("tok")).agg(count(lit(1)).as("n"))
+      .agg(count(lit(1)).as("n_keys"),
+        sum(col("n") * col("n")).as("exact_f2"))
+    val est = (0 until d).map { i =>
+      expr(s"aggregate(transform(slice(cells, ${i * w + 1}, $w), " +
+        "x -> x * x), 0L, (a, x) -> a + x)")
+    }.reduceLeft(least(_, _))
+    exact.crossJoin(broadcast(sketch))
+      .select(col("n_keys"), col("exact_f2"), est.as("est_f2"))
+      .select(col("n_keys"), col("exact_f2"), col("est_f2"),
+        (col("est_f2") >= col("exact_f2")).cast("int").as("overest_ok"),
+        round(col("est_f2").cast("double") /
+          col("exact_f2").cast("double"), 4).as("inflation"))
+  }
+
+  /** CUBE rollup (q181): revenue-quantity aggregate over every subset
+    * of (returnflag, linestatus) — the U3-adjacent grouping-sets
+    * surface (q54 covers ROLLUP's prefix lattice; CUBE completes the
+    * power set, which is what OLAP dashboards actually page through).
+    * One shuffle; Spark expands grouping sets map-side.
+    */
+  def q181Cube(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("cnt"),
+        round(sum(col("l_quantity")), 2).as("qty"))
+      .orderBy(col("l_returnflag").asc_nulls_first,
+        col("l_linestatus").asc_nulls_first)
 }

@@ -560,4 +560,54 @@ object EventOps {
         min(col("value")).as("low"), max(col("value")).as("high"),
         count(lit(1)).as("n_events"))
       .orderBy(col("event_type"), col("day"))
+
+  /** Daily peak session concurrency (q180): the interval-counting
+    * classic — +1 at each session start, −1 at each end, running sum,
+    * per-day max — WITHOUT a global-order window: within-day running
+    * sums run in day-partitioned windows, and the cross-day carry (the
+    * sessions still open at midnight) is a cumulative sum of per-day
+    * nets over the bounded |days| frame — the q130/q140 two-phase
+    * pattern applied to interval counting. The spec proves two-phase ≡
+    * the naive global running sum.
+    *
+    * Determinism at timestamp ties: boundaries order by (ts, delta
+    * DESC, user, seq) — all starts before all ends at an instant
+    * (inclusive-interval convention), and the per-day MAX of the
+    * running sum is invariant to permutations inside those tie groups.
+    * Pure integer counting throughout. Output covers days that have at
+    * least one boundary.
+    */
+  def peakConcurrency(spark: SparkSession, dir: String,
+      gapMinutes: Int = 30): DataFrame =
+    peakConcurrencyOn(Tables.events(spark, dir), gapMinutes)
+
+  private[graft] def peakConcurrencyOn(ev: DataFrame,
+      gapMinutes: Int = 30): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sess = CoreQueries.sessionsOn(ev, gapMinutes)
+    val bounds = sess.select(col("user_id"), col("session_seq"),
+        unix_micros(col("session_start")).as("ts_us"), lit(1L).as("delta"))
+      .union(sess.select(col("user_id"), col("session_seq"),
+        unix_micros(col("session_end")).as("ts_us"), lit(-1L).as("delta")))
+      .withColumn("day", to_date(timestamp_micros(col("ts_us"))))
+    val wIn = Window.partitionBy(col("day"))
+      .orderBy(col("ts_us"), col("delta").desc, col("user_id"),
+        col("session_seq"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val perDay = bounds
+      .withColumn("run", sum(col("delta")).over(wIn))
+      .groupBy(col("day"))
+      .agg(max(col("run")).as("peak_in"), sum(col("delta")).as("net"),
+        sum(when(col("delta") === 1L, 1L).otherwise(0L)).as("n_starts"),
+        sum(when(col("delta") === -1L, 1L).otherwise(0L)).as("n_ends"))
+    // cross-day carry over the bounded per-day frame only
+    val wOff = Window.orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    perDay
+      .withColumn("carry", coalesce(sum(col("net")).over(wOff), lit(0L)))
+      .select(col("day"),
+        (col("carry") + col("peak_in")).as("peak_concurrency"),
+        col("n_starts"), col("n_ends"))
+      .orderBy(col("day"))
+  }
 }
