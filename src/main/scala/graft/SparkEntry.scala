@@ -228,6 +228,9 @@ object SparkEntry {
     "q180_peak_concurrency" -> ((s, d) =>
       graft.operators.EventOps.peakConcurrency(s, d)),
     "q181_cube"           -> (CoreQueries.q181Cube _),
+    "q182_vocab_budget"   -> ((s, d) => TextAnalysisOps.vocabBudgetCurve(s, d)),
+    "q183_source_novelty" -> ((s, d) => TextAnalysisOps.sourceNovelty(s, d)),
+    "q184_threshold_sweep" -> ((s, d) => DedupOps.thresholdSweep(s, d)),
   )
 
   /** Shared shingle→df-capped-postings CTE body for every exact-Jaccard
@@ -388,12 +391,14 @@ object SparkEntry {
       s"(((l_suppkey >> $i) & 1) << ${2 * i + 1})").mkString(" + ")
 
   /** The q121 AllPairs/PPJoin chain ending at
-    * `v (id_a, id_b, inter, jaccard)` — shared by the q121 and q144
-    * oracles so the prefix arithmetic and verification cannot drift.
+    * `v (id_a, id_b, na, nb, inter, jaccard)`, generalized to a
+    * rational prefix threshold p/q — shared by the q121/q144 (3/5) and
+    * q184 (1/2) oracles so the prefix arithmetic and verification
+    * cannot drift.
     */
-  private val prefixPairsCte: String =
-    """ppt AS (SELECT doc_id,
-             string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'),
+  private def prefixPairsCteFor(p: Int, q: Int): String =
+    s"""ppt AS (SELECT doc_id,
+             string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'),
                ' ') AS toks
            FROM documents),
          ppsh AS (SELECT DISTINCT doc_id,
@@ -406,7 +411,7 @@ object SparkEntry {
              count(*) OVER (PARTITION BY s.doc_id) AS n
            FROM ppsh s JOIN ppdf ON s.h = ppdf.h),
          pppref AS (SELECT doc_id, h FROM pprk
-           WHERE rk <= n - (3 * n + 4) // 5 + 1),
+           WHERE rk <= n - ($p * n + ${q - 1}) // $q + 1),
          ppcand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
            FROM pppref a JOIN pppref b ON a.h = b.h AND a.doc_id < b.doc_id),
          ppsets AS (SELECT doc_id, list(h ORDER BY h) AS s, count(*) AS n
@@ -417,6 +422,8 @@ object SparkEntry {
                (sa.n + sb.n - len(list_intersect(sa.s, sb.s))), 4) AS jaccard
            FROM ppcand JOIN ppsets sa ON id_a = sa.doc_id
                        JOIN ppsets sb ON id_b = sb.doc_id)"""
+
+  private val prefixPairsCte: String = prefixPairsCteFor(3, 5)
 
   private val shinglePostingsCte: String =
     """d0 AS (
@@ -3534,6 +3541,71 @@ object SparkEntry {
            round(sum(l_quantity), 2) AS qty
          FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
          ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""",
+    // q182: OOV rate per vocab budget — rank over the vocabulary frame,
+    // all budgets in one aggregate, UNION-ALL unpivot
+    "q182_vocab_budget" ->
+      """WITH t AS (SELECT unnest(string_split(regexp_replace(
+             lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS tok
+           FROM documents),
+         tc AS (SELECT tok, count(*) AS cnt FROM t GROUP BY 1),
+         r AS (SELECT cnt, row_number() OVER (ORDER BY cnt DESC, tok)
+             AS rk FROM tc),
+         a AS (SELECT count(*) AS n_vocab,
+             CAST(sum(cnt) AS BIGINT) AS total_occ,
+             CAST(sum(CASE WHEN rk <= 100 THEN cnt ELSE 0 END) AS BIGINT)
+               AS c100,
+             CAST(sum(CASE WHEN rk <= 500 THEN cnt ELSE 0 END) AS BIGINT)
+               AS c500,
+             CAST(sum(CASE WHEN rk <= 2000 THEN cnt ELSE 0 END) AS BIGINT)
+               AS c2000
+           FROM r)
+         SELECT 100 AS vocab_budget, n_vocab, total_occ,
+           c100 AS covered_occ, round(1.0 - CAST(c100 AS DOUBLE) /
+             CAST(total_occ AS DOUBLE), 6) AS oov_rate FROM a
+         UNION ALL
+         SELECT 500, n_vocab, total_occ, c500,
+           round(1.0 - CAST(c500 AS DOUBLE) /
+             CAST(total_occ AS DOUBLE), 6) FROM a
+         UNION ALL
+         SELECT 2000, n_vocab, total_occ, c2000,
+           round(1.0 - CAST(c2000 AS DOUBLE) /
+             CAST(total_occ AS DOUBLE), 6) FROM a
+         ORDER BY vocab_budget""",
+    // q183: per-source unique-3-gram fraction — DISTINCT (source, gram)
+    // postings, gram-keyed source counts, |sources| rollup
+    "q183_source_novelty" ->
+      """WITH d0 AS (SELECT source, string_split(regexp_replace(
+             lower(trim(text)), '\s+', ' ', 'g'), ' ') AS w
+           FROM documents),
+         sg AS (SELECT DISTINCT source,
+             w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS g
+           FROM d0, unnest(generate_series(1, len(w) - 2, 1)) AS u(i)
+           WHERE len(w) >= 3),
+         gs AS (SELECT g, count(*) AS n_sources FROM sg GROUP BY 1)
+         SELECT source, count(*) AS n_grams,
+           CAST(sum(CASE WHEN n_sources = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_unique,
+           round(CAST(sum(CASE WHEN n_sources = 1 THEN 1 ELSE 0 END)
+             AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS novelty
+         FROM sg JOIN gs USING (g) GROUP BY source ORDER BY source""",
+    // q184: pair counts at four thresholds from the t=1/2 lossless
+    // candidate generation; integer cross-multiplied cuts on shared v
+    "q184_threshold_sweep" ->
+      ("WITH " + prefixPairsCteFor(1, 2) + """
+         SELECT threshold, CAST(sum(hit) AS BIGINT) AS n_pairs FROM (
+           SELECT '0.5' AS threshold,
+             CASE WHEN inter * 2 >= (na + nb - inter) * 1 THEN 1 ELSE 0
+               END AS hit FROM v
+           UNION ALL SELECT '0.6',
+             CASE WHEN inter * 5 >= (na + nb - inter) * 3 THEN 1 ELSE 0
+               END FROM v
+           UNION ALL SELECT '0.7',
+             CASE WHEN inter * 10 >= (na + nb - inter) * 7 THEN 1 ELSE 0
+               END FROM v
+           UNION ALL SELECT '0.8',
+             CASE WHEN inter * 5 >= (na + nb - inter) * 4 THEN 1 ELSE 0
+               END FROM v)
+         GROUP BY threshold ORDER BY threshold"""),
   )
 
   /** The q95 power-iteration CTE chain (quantize → center → two exact

@@ -770,14 +770,26 @@ object DedupOps {
       .select(col("doc_id"), explode(Text.wordShingles(col("text"), n)).as("g"))
       .select(col("doc_id"), md5(col("g")).as("h")))
 
-  private def prefixJaccardJoinFromSh(sh: DataFrame): DataFrame = {
+  private def prefixJaccardJoinFromSh(sh: DataFrame): DataFrame =
+    prefixVerified(sh, 3, 5)
+      .withColumn("jaccard", round(col("inter").cast("double") /
+        (col("na") + col("nb") - col("inter")).cast("double"), 4))
+      .select(col("id_a"), col("id_b"), col("inter"), col("jaccard"))
+      .orderBy(col("id_a"), col("id_b"))
+
+  /** The AllPairs/PPJoin candidate+verify pipeline generalized to a
+    * rational threshold t = p/q: prefix length `n − ceil(p·n/q) + 1`
+    * (lossless for J ≥ p/q), integer-exact verification
+    * `q·inter ≥ p·union`. Returns `(id_a, id_b, na, nb, inter)`.
+    */
+  private def prefixVerified(sh: DataFrame, p: Int, q: Int): DataFrame = {
     val dfreq = sh.groupBy(col("h")).agg(count(lit(1)).as("df"))
     val wDoc = Window.partitionBy(col("doc_id")).orderBy(col("df"), col("h"))
     val ranked = sh.join(dfreq, "h")
       .withColumn("rk", row_number().over(wDoc))
       .withColumn("n", count(lit(1)).over(Window.partitionBy(col("doc_id"))))
     val pref = ranked
-      .filter(col("rk") <= col("n") - expr("(3 * n + 4) div 5") + 1)
+      .filter(col("rk") <= col("n") - expr(s"($p * n + ${q - 1}) div $q") + 1)
       .select(col("doc_id"), col("h"))
     val cand = pref.as("a").join(pref.as("b"),
         col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
@@ -792,16 +804,45 @@ object DedupOps {
     cand.join(sa, "id_a").join(sb, "id_b")
       .withColumn("inter",
         size(array_intersect(col("sa"), col("sb"))).cast("long"))
-      // integer-exact threshold: J >= 3/5 ⟺ 5·inter >= 3·union — no
+      // integer-exact threshold: J >= p/q ⟺ q·inter >= p·union — no
       // float boundary, so "LOSSLESS" holds exactly (a 4dp-rounded cut
-      // would admit pairs in [0.59995, 0.6) that prefix filtering never
+      // would admit boundary pairs that prefix filtering never
       // guarantees candidates for); round only for display
-      .filter(col("inter") * 5 >= (col("na") + col("nb") - col("inter")) * 3)
-      .withColumn("jaccard", round(col("inter").cast("double") /
-        (col("na") + col("nb") - col("inter")).cast("double"), 4))
-      .select(col("id_a"), col("id_b"), col("inter"), col("jaccard"))
-      .orderBy(col("id_a"), col("id_b"))
+      .filter(col("inter") * q >= (col("na") + col("nb") - col("inter")) * p)
+      .select(col("id_a"), col("id_b"), col("na"), col("nb"), col("inter"))
   }
+
+  /** Dedup threshold sensitivity (q184): near-dup pair counts at four
+    * Jaccard thresholds from ONE candidate generation at the lowest
+    * (t = 1/2, lossless there, hence lossless at every higher cut) —
+    * the sweep a curation team reads before committing to a dedup
+    * threshold, where each point is the pair volume that t would
+    * delete. All four cuts are integer cross-multiplied comparisons on
+    * the same verified (inter, union) pairs; no second corpus pass.
+    */
+  def thresholdSweep(spark: SparkSession, dir: String,
+      n: Int = 8): DataFrame =
+    thresholdSweepFromSh(
+      maybeHashPayload(cachedNgramHashes(spark, dir, n), hashed = true))
+
+  private[graft] def thresholdSweepOn(docs: DataFrame,
+      n: Int = 8): DataFrame =
+    thresholdSweepFromSh(docs
+      .select(col("doc_id"), explode(Text.wordShingles(col("text"), n)).as("g"))
+      .select(col("doc_id"), md5(col("g")).as("h")))
+
+  private def thresholdSweepFromSh(sh: DataFrame): DataFrame =
+    prefixVerified(sh, 1, 2)
+      .withColumn("u", col("na") + col("nb") - col("inter"))
+      .select(expr(
+        """stack(4,
+             '0.5', CAST(inter * 2 >= u * 1 AS INT),
+             '0.6', CAST(inter * 5 >= u * 3 AS INT),
+             '0.7', CAST(inter * 10 >= u * 7 AS INT),
+             '0.8', CAST(inter * 5 >= u * 4 AS INT)) AS (threshold, hit)"""))
+      .groupBy(col("threshold"))
+      .agg(sum(col("hit")).cast("long").as("n_pairs"))
+      .orderBy(col("threshold"))
 
   /** Dedup-savings report (q147): the headline "what does dedup buy"
     * table — corpus size raw vs after exact-dedup canonicalization, in

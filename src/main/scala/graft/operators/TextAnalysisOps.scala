@@ -917,4 +917,72 @@ object TextAnalysisOps {
         round(col("n_hapax").cast("double") /
           col("n_vocab").cast("double"), 6).as("hapax_rate"))
       .orderBy(col("source"))
+
+  /** Vocabulary budget curve (q182): for each candidate vocabulary size
+    * V, the fraction of corpus token OCCURRENCES left out-of-vocabulary
+    * when keeping only the top-V tokens by frequency — the tokenizer-
+    * sizing curve (the q116 coverage question swept over budgets, the
+    * way q170 sweeps context lengths).
+    *
+    * Scale shape: one token-count pass; the global rank window runs on
+    * the VOCABULARY frame (bounded by distinct tokens, not corpus
+    * rows — the q171 contract), and all budgets' conditional sums ride
+    * ONE aggregate, unpivoted by stack(). Parity: integer sums, rank
+    * tiebreak (cnt DESC, tok), one division + 6dp per row.
+    */
+  def vocabBudgetCurve(spark: SparkSession, dir: String,
+      budgets: Seq[Int] = Seq(100, 500, 2000)): DataFrame =
+    vocabBudgetCurveOn(Tables.documents(spark, dir), budgets)
+
+  private[graft] def vocabBudgetCurveOn(docs: DataFrame,
+      budgets: Seq[Int] = Seq(100, 500, 2000)): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ranked = docs
+      .select(explode(Text.tokens(col("text"))).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("cnt").desc, col("tok"))))
+    val aggs =
+      Seq(count(lit(1)).as("n_vocab"), sum(col("cnt")).as("total_occ")) ++
+      budgets.map(v =>
+        sum(when(col("rk") <= v, col("cnt")).otherwise(0L)).as(s"cov_$v"))
+    val one = ranked.agg(aggs.head, aggs.tail: _*)
+    val stackArgs = budgets.map(v => s"$v, cov_$v").mkString(", ")
+    one
+      .select(col("n_vocab"), col("total_occ"),
+        expr(s"stack(${budgets.size}, $stackArgs) AS (vocab_budget, covered_occ)"))
+      .select(col("vocab_budget"), col("n_vocab"), col("total_occ"),
+        col("covered_occ"),
+        round(lit(1.0) - col("covered_occ").cast("double") /
+          col("total_occ").cast("double"), 6).as("oov_rate"))
+      .orderBy(col("vocab_budget"))
+  }
+
+  /** Source novelty (q183): per source, the fraction of its distinct
+    * word 3-grams that appear in NO other source — the per-source
+    * uniqueness profile complementing q119's pairwise overlap view
+    * (q119 says who shares with whom; this says how much of each
+    * source would be lost if dropped).
+    *
+    * Scale shape: DISTINCT (source, gram) then a gram-keyed
+    * source-count — the standard postings shuffle — joined back and
+    * rolled up to |sources| rows. Integer counts, one division.
+    */
+  def sourceNovelty(spark: SparkSession, dir: String, n: Int = 3): DataFrame =
+    sourceNoveltyOn(Tables.documents(spark, dir), n)
+
+  private[graft] def sourceNoveltyOn(docs: DataFrame, n: Int = 3): DataFrame = {
+    val sg = docs
+      .select(col("source"), explode(Text.wordShingles(col("text"), n)).as("g"))
+      .distinct()
+    val gs = sg.groupBy(col("g")).agg(count(lit(1)).as("n_sources"))
+    sg.join(gs, "g")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("n_sources") === 1L, 1L).otherwise(0L)).as("n_unique"))
+      .select(col("source"), col("n_grams"), col("n_unique"),
+        round(col("n_unique").cast("double") /
+          col("n_grams").cast("double"), 6).as("novelty"))
+      .orderBy(col("source"))
+  }
 }
