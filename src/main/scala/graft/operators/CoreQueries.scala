@@ -1011,12 +1011,19 @@ object CoreQueries {
     * deviations) and the tiny per-segment stats broadcast back.
     */
   def q175MadOutliers(spark: SparkSession, dir: String): DataFrame = {
-    val seg = Tables.orders(spark, dir)
-      .join(Tables.customer(spark, dir)
-        .select(col("c_custkey"), col("c_mktsegment")),
-        col("o_custkey") === col("c_custkey"))
-      .select(col("c_mktsegment").as("seg"),
-        round(col("o_totalprice") * 100, 0).cast("long").as("cents"))
+    // session-cache the fact join: it feeds multiple consumers (median
+    // pick, deviation build, MAD pick, outlier count, final report), so
+    // uncached the orders⋈customer subtree is re-evaluated ~7× across
+    // the plan tree — the SessionCaches pattern every multi-consumer
+    // family uses
+    val seg = SessionCaches.cached(segCentsCache, (spark, dir))(
+      Tables.orders(spark, dir)
+        .join(Tables.customer(spark, dir)
+          .select(col("c_custkey"), col("c_mktsegment")),
+          col("o_custkey") === col("c_custkey"))
+        .select(col("c_mktsegment").as("seg"),
+          round(col("o_totalprice") * 100, 0).cast("long").as("cents"))
+        .persist())
     // lower/upper middle pick over the per-segment value histogram:
     // v_lo at rank (n+1) div 2, v_hi at rank (n+2) div 2
     def rankPick(vals: DataFrame, valueCol: String): DataFrame = {
@@ -1054,6 +1061,9 @@ object CoreQueries {
         col("n_outliers"))
       .orderBy(col("segment"))
   }
+
+  private val segCentsCache =
+    graft.operators.SessionCaches.newCache[(SparkSession, String)]()
 
   /** Ship-latency distribution (q177): lines per (priority, weeks-to-
     * ship) band — the SLA histogram behind q26's single average (an
