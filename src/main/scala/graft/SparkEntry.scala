@@ -231,6 +231,9 @@ object SparkEntry {
     "q182_vocab_budget"   -> ((s, d) => TextAnalysisOps.vocabBudgetCurve(s, d)),
     "q183_source_novelty" -> ((s, d) => TextAnalysisOps.sourceNovelty(s, d)),
     "q184_threshold_sweep" -> ((s, d) => DedupOps.thresholdSweep(s, d)),
+    "q185_daily_reconcile" -> (CoreQueries.q185DailyReconcile _),
+    "q186_churn_setops"   -> (CoreQueries.q186ChurnSetops _),
+    "q187_rolling_revenue" -> (CoreQueries.q187RollingRevenue _),
   )
 
   /** Shared shingle→df-capped-postings CTE body for every exact-Jaccard
@@ -3606,6 +3609,64 @@ object SparkEntry {
              CASE WHEN inter * 5 >= (na + nb - inter) * 4 THEN 1 ELSE 0
                END FROM v)
          GROUP BY threshold ORDER BY threshold"""),
+    // q185: FULL OUTER day reconciliation of two independent daily
+    // summaries, status-tagged
+    "q185_daily_reconcile" ->
+      """WITH o AS (SELECT CAST(o_orderdate AS DATE) AS day,
+             count(*) AS n_orders FROM orders GROUP BY 1),
+         s AS (SELECT CAST(l_shipdate AS DATE) AS day,
+             sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+               * (100 - CAST(round(l_discount * 100, 0) AS BIGINT)))
+               AS rev_cp
+           FROM lineitem GROUP BY 1)
+         SELECT coalesce(o.day, s.day) AS day,
+           coalesce(o.n_orders, 0) AS n_orders,
+           CAST(coalesce(s.rev_cp, 0) // 100 AS DOUBLE) / 100.0
+             AS shipped_revenue,
+           CASE WHEN o.n_orders IS NULL THEN 'ship_only'
+                WHEN s.rev_cp IS NULL THEN 'orders_only'
+                ELSE 'both' END AS status
+         FROM o FULL OUTER JOIN s ON o.day = s.day
+         ORDER BY day""",
+    // q186: INTERSECT/EXCEPT churn cohorts over 1996 vs 1997 buyers
+    "q186_churn_setops" ->
+      """WITH y96 AS (SELECT DISTINCT o_custkey FROM orders
+           WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+             AND o_orderdate < TIMESTAMP '1997-01-01'),
+         y97 AS (SELECT DISTINCT o_custkey FROM orders
+           WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+             AND o_orderdate < TIMESTAMP '1998-01-01')
+         SELECT 'acquired' AS cohort, CAST(count(*) AS BIGINT)
+           AS n_customers
+         FROM (SELECT o_custkey FROM y97 EXCEPT SELECT o_custkey FROM y96)
+         UNION ALL
+         SELECT 'churned', CAST(count(*) AS BIGINT)
+         FROM (SELECT o_custkey FROM y96 EXCEPT SELECT o_custkey FROM y97)
+         UNION ALL
+         SELECT 'retained', CAST(count(*) AS BIGINT)
+         FROM (SELECT o_custkey FROM y96
+               INTERSECT SELECT o_custkey FROM y97)
+         ORDER BY cohort""",
+    // q187: trailing 7-day revenue via a RANGE frame over the integer
+    // day number; the bounded daily frame carries the window
+    "q187_rolling_revenue" ->
+      """WITH d AS (SELECT CAST(l_shipdate AS DATE) AS day,
+             sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+               * (100 - CAST(round(l_discount * 100, 0) AS BIGINT)))
+               AS rev_cp
+           FROM lineitem GROUP BY 1),
+         n AS (SELECT day, rev_cp,
+             CAST(datediff('day', DATE '1995-01-01', day) AS BIGINT)
+               AS day_num FROM d)
+         SELECT day,
+           CAST(rev_cp // 100 AS DOUBLE) / 100.0 AS revenue,
+           CAST(sum(rev_cp) OVER w // 100 AS DOUBLE) / 100.0
+             AS revenue_7d,
+           count(*) OVER w AS n_days_in_window
+         FROM n
+         WINDOW w AS (ORDER BY day_num
+           RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+         ORDER BY day""",
   )
 
   /** The q95 power-iteration CTE chain (quantize → center → two exact

@@ -1065,6 +1065,88 @@ object CoreQueries {
   private val segCentsCache =
     graft.operators.SessionCaches.newCache[(SparkSession, String)]()
 
+  /** Daily order/shipment reconciliation (q185): FULL OUTER join of two
+    * independently-derived daily summaries — orders placed per order
+    * date vs revenue shipped per ship date — with a status tag for
+    * days present on only one side. The missing join flavor in the
+    * surface (inner/left/semi/anti are q02/q17/q18/q19): full outer is
+    * how reconciliation reports keep BOTH sides' unmatched days
+    * visible. Both inputs pre-aggregate to |days| rows before the
+    * join, so the full-outer shuffle moves day-level rows only.
+    */
+  def q185DailyReconcile(spark: SparkSession, dir: String): DataFrame = {
+    val ord = Tables.orders(spark, dir)
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(count(lit(1)).as("n_orders"))
+    val ship = Tables.lineitem(spark, dir)
+      .select(to_date(col("l_shipdate")).as("day"), revenueCentPct.as("rev_cp"))
+      .groupBy(col("day"))
+      .agg(sum(col("rev_cp")).as("rev_cp"))
+    ord.join(ship, Seq("day"), "full_outer")
+      .select(col("day"),
+        coalesce(col("n_orders"), lit(0L)).as("n_orders"),
+        // truncate cents·pct to whole cents FIRST (integer div, exact in
+        // both engines), so the display division yields a ≤2-decimal
+        // value and cannot hit a .005 rounding boundary (daily sums DO
+        // land on exact .xx5 — observed in the pre-flight)
+        (expr("coalesce(rev_cp, 0L) div 100").cast("double") / lit(100.0))
+          .as("shipped_revenue"),
+        when(col("n_orders").isNull, lit("ship_only"))
+          .when(col("rev_cp").isNull, lit("orders_only"))
+          .otherwise(lit("both")).as("status"))
+      .orderBy(col("day"))
+  }
+
+  /** Customer churn via set operators (q186): INTERSECT / EXCEPT over
+    * the 1996 vs 1997 purchaser sets — retained, churned, acquired
+    * cohort counts. Spark's `intersect`/`except` compile to
+    * aggregate+join plans (distinct semantics), the relational set
+    * surface the union family (q03/q04) doesn't cover.
+    */
+  def q186ChurnSetops(spark: SparkSession, dir: String): DataFrame = {
+    def buyers(year: Int) = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= lit(s"$year-01-01") &&
+        col("o_orderdate") < lit(s"${year + 1}-01-01"))
+      .select(col("o_custkey"))
+    val y96 = buyers(1996)
+    val y97 = buyers(1997)
+    val retained = y96.intersect(y97).count()
+    val churned = y96.except(y97).count()
+    val acquired = y97.except(y96).count()
+    import spark.implicits._
+    Seq(("acquired", acquired), ("churned", churned), ("retained", retained))
+      .toDF("cohort", "n_customers")
+      .orderBy(col("cohort"))
+  }
+
+  /** Trailing 7-day revenue (q187): a RANGE-frame window (`RANGE
+    * BETWEEN 6 PRECEDING AND CURRENT ROW` over the integer day number)
+    * — the value-based frame semantics the ROWS-frame family
+    * (q48/q110/q130/q180) doesn't exercise: a calendar gap narrows the
+    * window automatically, which a ROWS frame gets wrong. The fact
+    * table pre-aggregates to |days| integer-cent rows, so the
+    * unpartitioned window runs on the bounded day frame only (the q140
+    * contract).
+    */
+  def q187RollingRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.lineitem(spark, dir)
+      .select(to_date(col("l_shipdate")).as("day"), revenueCentPct.as("rev_cp"))
+      .groupBy(col("day"))
+      .agg(sum(col("rev_cp")).as("rev_cp"))
+      .withColumn("day_num", datediff(col("day"), lit("1995-01-01").cast("date")).cast("long"))
+    val w = Window.orderBy(col("day_num")).rangeBetween(-6, 0)
+    daily
+      .withColumn("rev7_cp", sum(col("rev_cp")).over(w))
+      .withColumn("n_days_in_window", count(lit(1)).over(w))
+      // whole-cent truncation before the display division (the q185
+      // boundary-free rule)
+      .select(col("day"),
+        (expr("rev_cp div 100").cast("double") / lit(100.0)).as("revenue"),
+        (expr("rev7_cp div 100").cast("double") / lit(100.0)).as("revenue_7d"),
+        col("n_days_in_window"))
+      .orderBy(col("day"))
+  }
+
   /** Ship-latency distribution (q177): lines per (priority, weeks-to-
     * ship) band — the SLA histogram behind q26's single average (an
     * average hides the tail the SLA cares about). Integer day diff,
