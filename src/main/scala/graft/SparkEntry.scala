@@ -234,6 +234,10 @@ object SparkEntry {
     "q185_daily_reconcile" -> (CoreQueries.q185DailyReconcile _),
     "q186_churn_setops"   -> (CoreQueries.q186ChurnSetops _),
     "q187_rolling_revenue" -> (CoreQueries.q187RollingRevenue _),
+    "q188_column_profile" -> ((s, d) =>
+      graft.dq.DataQuality.columnProfile(s, d)),
+    "q189_fk_cardinality" -> ((s, d) =>
+      graft.dq.DataQuality.fkCardinality(s, d)),
   )
 
   /** Shared shingle→df-capped-postings CTE body for every exact-Jaccard
@@ -3667,6 +3671,47 @@ object SparkEntry {
          WINDOW w AS (ORDER BY day_num
            RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
          ORDER BY day""",
+    // q188: describe-style column profile — one stacked (column, value)
+    // frame, single distinct shuffle, |columns| rollup
+    "q188_column_profile" ->
+      """WITH st AS (
+           SELECT 'o_orderkey' AS col_name, CAST(o_orderkey AS VARCHAR)
+             AS val FROM orders
+           UNION ALL SELECT 'o_custkey', CAST(o_custkey AS VARCHAR)
+             FROM orders
+           UNION ALL SELECT 'o_orderstatus', o_orderstatus FROM orders
+           UNION ALL SELECT 'o_orderdate', CAST(o_orderdate AS VARCHAR)
+             FROM orders
+           UNION ALL SELECT 'o_orderpriority', o_orderpriority
+             FROM orders),
+         h AS (SELECT col_name, val, count(*) AS cnt FROM st
+           GROUP BY 1, 2)
+         SELECT col_name, CAST(sum(cnt) AS BIGINT) AS n_rows,
+           CAST(sum(CASE WHEN val IS NULL THEN cnt ELSE 0 END) AS BIGINT)
+             AS n_nulls,
+           CAST(sum(CASE WHEN val IS NOT NULL THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_distinct,
+           min(val) AS min_val, max(val) AS max_val
+         FROM h GROUP BY col_name ORDER BY col_name""",
+    // q189: per-edge FK cardinality class from the child-side key
+    // histogram only
+    "q189_fk_cardinality" ->
+      """WITH
+         e1 AS (SELECT l_orderkey AS k FROM lineitem),
+         e2 AS (SELECT l_partkey AS k FROM lineitem),
+         e3 AS (SELECT l_suppkey AS k FROM lineitem),
+         e4 AS (SELECT o_custkey AS k FROM orders),
+         sh AS (
+           SELECT 'lineitem->orders' AS edge, k FROM e1
+           UNION ALL SELECT 'lineitem->part', k FROM e2
+           UNION ALL SELECT 'lineitem->supplier', k FROM e3
+           UNION ALL SELECT 'orders->customer', k FROM e4),
+         h AS (SELECT edge, k, count(*) AS per_key FROM sh GROUP BY 1, 2)
+         SELECT edge, CAST(sum(per_key) AS BIGINT) AS n_child,
+           count(*) AS n_keys,
+           CAST(max(per_key) AS BIGINT) AS max_per_key,
+           CASE WHEN max(per_key) = 1 THEN '1:1' ELSE 'N:1' END AS class
+         FROM h GROUP BY edge ORDER BY edge""",
   )
 
   /** The q95 power-iteration CTE chain (quantize → center → two exact

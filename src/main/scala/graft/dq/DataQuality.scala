@@ -1,5 +1,6 @@
 package graft.dq
 
+import graft.Tables
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.NumericType
@@ -94,6 +95,62 @@ object DataQuality {
       edge("nation->region", n, "n_regionkey", r, "r_regionkey"),
       edge("orders->customer", o, "o_custkey", c, "c_custkey"),
       edge("supplier->nation", s, "s_nationkey", n, "n_nationkey"))
+      .reduce(_.unionByName(_))
+      .orderBy(col("edge"))
+  }
+
+  /** Generic column profile (q188): the `describe`-style per-column
+    * report every ingest runs first — row count, null count, exact
+    * distinct count, lexicographic min/max — over orders' non-float
+    * columns. All columns stack into ONE (column, value-string) frame:
+    * a single shuffle keyed on (column, value) computes the distinct
+    * side, then a |columns|-key rollup; no per-column pass. Float
+    * columns are deliberately excluded: double→string formatting is
+    * engine-specific (scientific-notation thresholds), and the numeric
+    * min/max surface is q12's.
+    */
+  def columnProfile(spark: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame = {
+    val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
+      "o_orderdate", "o_orderpriority")
+    val stackArgs = cols.map(c => s"'$c', CAST($c AS STRING)").mkString(", ")
+    val stacked = Tables.orders(spark, dir)
+      .select(expr(s"stack(${cols.size}, $stackArgs) AS (col_name, val)"))
+    stacked
+      .groupBy(col("col_name"), col("val"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy(col("col_name"))
+      .agg(sum(col("cnt")).as("n_rows"),
+        sum(when(col("val").isNull, col("cnt")).otherwise(lit(0L)))
+          .as("n_nulls"),
+        sum(when(col("val").isNotNull, 1L).otherwise(0L)).as("n_distinct"),
+        min(col("val")).as("min_val"), max(col("val")).as("max_val"))
+      .orderBy(col("col_name"))
+  }
+
+  /** FK cardinality classes (q189): for each star edge, the observed
+    * relationship shape — child rows, distinct FK values, max child
+    * rows per key, and the inferred class (`1:1` vs `N:1`) — the
+    * schema-inference companion to [[riProfile]]'s orphan counts.
+    * Each edge is one child-side key histogram (map-side partials);
+    * parents are never scanned.
+    */
+  def fkCardinality(spark: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame = {
+    def shape(name: String, child: DataFrame, key: String): DataFrame =
+      child.groupBy(col(key)).agg(count(lit(1)).as("per_key"))
+        .agg(sum(col("per_key")).as("n_child"),
+          count(lit(1)).as("n_keys"),
+          max(col("per_key")).as("max_per_key"))
+        .select(lit(name).as("edge"), col("n_child"), col("n_keys"),
+          col("max_per_key"),
+          when(col("max_per_key") === 1L, lit("1:1")).otherwise(lit("N:1"))
+            .as("class"))
+    Seq(
+      shape("lineitem->orders", Tables.lineitem(spark, dir), "l_orderkey"),
+      shape("lineitem->part", Tables.lineitem(spark, dir), "l_partkey"),
+      shape("lineitem->supplier", Tables.lineitem(spark, dir), "l_suppkey"),
+      shape("orders->customer", Tables.orders(spark, dir), "o_custkey"))
       .reduce(_.unionByName(_))
       .orderBy(col("edge"))
   }
