@@ -238,6 +238,7 @@ object SparkEntry {
       graft.dq.DataQuality.columnProfile(s, d)),
     "q189_fk_cardinality" -> ((s, d) =>
       graft.dq.DataQuality.fkCardinality(s, d)),
+    "q190_probe_curve"    -> ((s, d) => SimilarityOps.probeRecallCurve(s, d)),
   )
 
   /** Shared shingle→df-capped-postings CTE body for every exact-Jaccard
@@ -3712,7 +3713,60 @@ object SparkEntry {
            CAST(max(per_key) AS BIGINT) AS max_per_key,
            CASE WHEN max(per_key) = 1 THEN '1:1' ELSE 'N:1' END AS class
          FROM h GROUP BY edge ORDER BY edge""",
+    // q190: recall@k at nprobe 1/2/4 vs brute force — the q101 chain
+    // swept over the probe knob; one shared assignment + bf
+    "q190_probe_curve" ->
+      ("WITH " + ivfAssignCte + ",\n         " +
+        Seq(1, 2, 4).map(probeIvSql).mkString(",\n         ") + """,
+         q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 8),
+         bf AS (SELECT query_id, vec_id FROM (
+             SELECT q.query_id, e.vec_id,
+               row_number() OVER (PARTITION BY q.query_id ORDER BY
+                 round(list_inner_product(q.qv, e.v) /
+                   (sqrt(list_inner_product(q.qv, q.qv)) *
+                    sqrt(list_inner_product(e.v, e.v))), 4) DESC,
+                 e.vec_id) AS rk
+             FROM q CROSS JOIN e WHERE e.vec_id <> q.query_id)
+           WHERE rk <= 5)
+         SELECT nprobe, n_hits,
+           round(CAST(n_hits AS DOUBLE) / 40.0, 4) AS recall_at_k
+         FROM (
+           SELECT 1 AS nprobe, CAST(count(*) AS BIGINT) AS n_hits
+           FROM iv1 JOIN bf USING (query_id, vec_id)
+           UNION ALL
+           SELECT 2, CAST(count(*) AS BIGINT)
+           FROM iv2 JOIN bf USING (query_id, vec_id)
+           UNION ALL
+           SELECT 4, CAST(count(*) AS BIGINT)
+           FROM iv4 JOIN bf USING (query_id, vec_id))
+         ORDER BY nprobe"""),
   )
+
+  /** One nprobe point of the q190 probe-recall oracle: the q101
+    * probes/iv chain parameterized by probe count (names suffixed so
+    * the three points share one WITH).
+    */
+  private def probeIvSql(np: Int): String =
+    s"""probes$np AS (
+           SELECT query_id, qv, clabel AS ivf_list FROM (
+             SELECT e.vec_id AS query_id, e.v AS qv, cent.clabel,
+               row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                 round(list_inner_product(e.v, cent.cv) /
+                   (sqrt(list_inner_product(e.v, e.v)) *
+                    sqrt(list_inner_product(cent.cv, cent.cv))), 4) DESC,
+                 cent.clabel) AS crk
+             FROM e CROSS JOIN cent WHERE e.vec_id < 8)
+           WHERE crk <= $np),
+         iv$np AS (SELECT query_id, vec_id FROM (
+             SELECT p.query_id, a.vec_id,
+               row_number() OVER (PARTITION BY p.query_id ORDER BY
+                 round(list_inner_product(p.qv, a.v) /
+                   (sqrt(list_inner_product(p.qv, p.qv)) *
+                    sqrt(list_inner_product(a.v, a.v))), 4) DESC,
+                 a.vec_id) AS rk
+             FROM asg a JOIN probes$np p USING (ivf_list)
+             WHERE a.vec_id <> p.query_id)
+           WHERE rk <= 5)"""
 
   /** The q95 power-iteration CTE chain (quantize → center → two exact
     * fixed-point iterations), ending at `v2 (v: DOUBLE[])` — shared by

@@ -543,6 +543,33 @@ object SimilarityOps {
     * popcount); ranking (hamming ASC, vec_id) is total, so LIMIT k is
     * deterministic on both engines.
     */
+  /** IVF probe-recall curve (q190): aggregate recall@k at nprobe ∈
+    * {1, 2, 4} against the exact brute-force top-k — the operating-
+    * point curve behind every IVF deployment decision (q101 measures
+    * ONE point; this sweeps the probe knob so the recall-vs-scan-cost
+    * trade is visible as data). One brute-force pass is shared by all
+    * points; each point re-probes the same cached centroid index, so
+    * the added cost per point is the probed-lists scan only.
+    *
+    * Parity: total hits are integers; recall is one division by the
+    * constant nQueries·k, rounded 4dp.
+    */
+  def probeRecallCurve(spark: SparkSession, dir: String,
+      nQueries: Int = 8, k: Int = 5,
+      probes: Seq[Int] = Seq(1, 2, 4)): DataFrame = {
+    val bf = bruteForceTopK(spark, dir, nQueries, k)
+      .select(col("query_id"), col("neighbor_id"))
+    probes.map { np =>
+      ivfTopK(spark, dir, nQueries, k, np)
+        .select(col("query_id"), col("neighbor_id"))
+        .join(broadcast(bf), Seq("query_id", "neighbor_id"), "left_semi")
+        .agg(count(lit(1)).as("n_hits"))
+        .select(lit(np).as("nprobe"), col("n_hits"),
+          round(col("n_hits").cast("double") /
+            lit((nQueries * k).toDouble), 4).as("recall_at_k"))
+    }.reduce(_.unionByName(_)).orderBy(col("nprobe"))
+  }
+
   def binaryHammingTopK(spark: SparkSession, dir: String,
       nQueries: Int = 8, k: Int = 5): DataFrame =
     binaryHammingTopKDF(Tables.embeddings(spark, dir), nQueries, k)
