@@ -239,6 +239,8 @@ object SparkEntry {
     "q189_fk_cardinality" -> ((s, d) =>
       graft.dq.DataQuality.fkCardinality(s, d)),
     "q190_probe_curve"    -> ((s, d) => SimilarityOps.probeRecallCurve(s, d)),
+    "q191_pii_density"    -> ((s, d) => PipelineOps.piiDensity(s, d)),
+    "q192_langid_margin"  -> ((s, d) => TextAnalysisOps.langMargins(s, d)),
   )
 
   /** Shared shingle→df-capped-postings CTE body for every exact-Jaccard
@@ -3740,6 +3742,41 @@ object SparkEntry {
            SELECT 4, CAST(count(*) AS BIGINT)
            FROM iv4 JOIN bf USING (query_id, vec_id))
          ORDER BY nprobe"""),
+    // q191: per-source PII hit density over the q46 planted convention
+    "q191_pii_density" ->
+      """WITH m AS (SELECT source,
+             text || ' contact user' || doc_id ||
+               '@example.com or call 5551234567' AS t
+           FROM documents),
+         c AS (SELECT source, CAST(length(t) AS BIGINT) AS n_chars_t,
+             CAST(len(regexp_extract_all(t,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+               AS BIGINT) AS n_emails,
+             CAST(len(regexp_extract_all(t, '[0-9]{7,}')) AS BIGINT)
+               AS n_digitruns
+           FROM m)
+         SELECT source, count(*) AS n_docs,
+           CAST(sum(n_emails) AS BIGINT) AS n_emails,
+           CAST(sum(n_digitruns) AS BIGINT) AS n_digitruns,
+           round(CAST(sum(n_emails) + sum(n_digitruns) AS DOUBLE)
+             * 10000.0 / CAST(sum(n_chars_t) AS DOUBLE), 6)
+             AS hits_per_10k_chars
+         FROM c GROUP BY source ORDER BY source""",
+    // q192: best-vs-second language score margin bands over the shared
+    // q34/q155 prediction chain
+    "q192_langid_margin" ->
+      ("WITH " + langPredCte + """,
+         m AS (SELECT p.lang_pred,
+             CASE WHEN greatest(s.s_en, s.s_es, s.s_fr, s.s_de, s.s_zh)
+                 <= 0 THEN 0
+               ELSE least(4,
+                 greatest(s.s_en, s.s_es, s.s_fr, s.s_de, s.s_zh) -
+                 list_sort([s.s_en, s.s_es, s.s_fr, s.s_de, s.s_zh])[4])
+               END AS margin_band
+           FROM s JOIN p USING (doc_id))
+         SELECT lang_pred, CAST(margin_band AS BIGINT) AS margin_band,
+           count(*) AS n_docs
+         FROM m GROUP BY 1, 2 ORDER BY 1, 2"""),
   )
 
   /** One nprobe point of the q190 probe-recall oracle: the q101

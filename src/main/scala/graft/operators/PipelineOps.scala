@@ -159,6 +159,39 @@ object PipelineOps {
       .orderBy(col("doc_id"))
   }
 
+  /** PII density report (q191): per source — email / long-digit-run hit
+    * counts and hits per 10k chars, the privacy-risk triage view that
+    * decides which sources need the q46 scrub pass at all. Inputs use
+    * the q46 planted-PII convention (the synthetic corpus has no real
+    * PII, so each doc gets one email + one phone planted — the
+    * MEASUREMENT plumbing is what's real and gated). Row-local
+    * codegen'd regex counts, |sources| rollup, one division + 6dp.
+    */
+  def piiDensity(spark: SparkSession, dir: String): DataFrame =
+    piiDensityOn(Tables.documents(spark, dir))
+
+  private[graft] def piiDensityOn(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("t",
+        concat(col("text"), lit(" contact user"), col("doc_id"),
+          lit("@example.com or call 5551234567")))
+      .select(col("source"), length(col("t")).cast("long").as("n_chars_t"),
+        regexp_count(col("t"),
+          lit("[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"))
+          .cast("long").as("n_emails"),
+        regexp_count(col("t"), lit("[0-9]{7,}")).cast("long").as("n_digitruns"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_emails")).as("n_emails"),
+        sum(col("n_digitruns")).as("n_digitruns"),
+        sum(col("n_chars_t")).as("n_chars"))
+      .select(col("source"), col("n_docs"), col("n_emails"),
+        col("n_digitruns"),
+        round((col("n_emails") + col("n_digitruns")).cast("double") *
+          lit(10000.0) / col("n_chars").cast("double"), 6)
+          .as("hits_per_10k_chars"))
+      .orderBy(col("source"))
+
   /** Leakage-safe train/validation split: the split key is the md5 of the
     * near-dup CLUSTER canonical id (own doc_id for singleton docs), so
     * every member of a near-dup cluster lands in the same split — the

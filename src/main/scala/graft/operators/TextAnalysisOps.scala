@@ -971,6 +971,34 @@ object TextAnalysisOps {
   def sourceNovelty(spark: SparkSession, dir: String, n: Int = 3): DataFrame =
     sourceNoveltyOn(Tables.documents(spark, dir), n)
 
+  /** Language-ID confidence margins (q192): the integer score gap
+    * between the best and second-best language per doc, banded — the
+    * calibration view that says how DECISIVE q34's argmax was (q155
+    * shows where it lands; this shows how close the call was; margin-0
+    * docs are coin flips a pipeline should route to a better model).
+    * Row-local integer arithmetic (scores, array_sort, one
+    * subtraction), |langs|·|bands| rollup.
+    */
+  def langMargins(spark: SparkSession, dir: String): DataFrame =
+    langMarginsOn(Tables.documents(spark, dir))
+
+  private[graft] def langMarginsOn(docs: DataFrame): DataFrame = {
+    val toks = Text.tokens(col("text"))
+    val scores = Seq("en", "es", "fr", "de", "zh")
+      .map(l => size(filter(toks, t => t.isin(lexica(l).map(lit(_)): _*)))
+        .cast("long"))
+    val arr = array_sort(array(scores: _*))
+    val best = element_at(arr, 5)
+    val second = element_at(arr, 4)
+    docs
+      .select(langIdExpr(col("text")).as("lang_pred"),
+        when(best <= 0L, lit(0L))
+          .otherwise(least(lit(4L), best - second)).as("margin_band"))
+      .groupBy(col("lang_pred"), col("margin_band"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy(col("lang_pred"), col("margin_band"))
+  }
+
   private[graft] def sourceNoveltyOn(docs: DataFrame, n: Int = 3): DataFrame = {
     val sg = docs
       .select(col("source"), explode(Text.wordShingles(col("text"), n)).as("g"))
