@@ -241,6 +241,9 @@ object SparkEntry {
     "q190_probe_curve"    -> ((s, d) => SimilarityOps.probeRecallCurve(s, d)),
     "q191_pii_density"    -> ((s, d) => PipelineOps.piiDensity(s, d)),
     "q192_langid_margin"  -> ((s, d) => TextAnalysisOps.langMargins(s, d)),
+    "q193_shingle_df"     -> ((s, d) => DedupOps.shingleDfProfile(s, d)),
+    "q194_ivf_balance"    -> ((s, d) => SimilarityOps.ivfListBalance(s, d)),
+    "q195_quality_by_lang" -> ((s, d) => TextAnalysisOps.qualityByLang(s, d)),
   )
 
   /** Shared shingle→df-capped-postings CTE body for every exact-Jaccard
@@ -3777,6 +3780,43 @@ object SparkEntry {
          SELECT lang_pred, CAST(margin_band AS BIGINT) AS margin_band,
            count(*) AS n_docs
          FROM m GROUP BY 1, 2 ORDER BY 1, 2"""),
+    // q193: log2-banded shingle df distribution (the effectiveDfCap
+    // tuning diagnostic) over the 8-gram space
+    "q193_shingle_df" ->
+      """WITH ppt AS (SELECT doc_id,
+             string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'),
+               ' ') AS toks
+           FROM documents),
+         ppsh AS (SELECT DISTINCT doc_id,
+             md5(array_to_string(list_slice(toks, i, i + 7), ' ')) AS h
+           FROM ppt, unnest(generate_series(1, len(toks) - 7, 1)) AS u(i)),
+         df AS (SELECT h, count(*) AS df FROM ppsh GROUP BY 1)
+         SELECT CAST(length(bin(df)) - 1 AS BIGINT) AS log2_df_band,
+           count(*) AS n_shingles, CAST(sum(df) AS BIGINT) AS n_postings
+         FROM df GROUP BY 1 ORDER BY 1""",
+    // q194: IVF inverted-list balance from the shared assignment chain;
+    // integer imbalance = 1000·max/mean
+    "q194_ivf_balance" ->
+      ("WITH " + ivfAssignCte + """,
+         sz AS (SELECT ivf_list, count(*) AS sz FROM asg GROUP BY 1)
+         SELECT count(*) AS n_lists, CAST(sum(sz) AS BIGINT) AS n_vecs,
+           CAST(min(sz) AS BIGINT) AS min_size,
+           CAST(max(sz) AS BIGINT) AS max_size,
+           CAST((max(sz) * count(*) * 1000) // sum(sz) AS BIGINT)
+             AS imbalance_x1000
+         FROM sz"""),
+    // q195: quality bands × declared language with token mass — the
+    // per-language threshold calibration matrix (q137's band rule)
+    "q195_quality_by_lang" ->
+      ("WITH " + qualityDocCte + """,
+         j AS (SELECT d.lang,
+             (CAST(round(q.quality * 10000) AS BIGINT) * 4) // 10000
+               AS quality_band,
+             CAST(q.n_tokens AS BIGINT) AS n_tok
+           FROM qdoc q JOIN documents d ON q.doc_id = d.doc_id)
+         SELECT lang, quality_band, count(*) AS n_docs,
+           CAST(sum(n_tok) AS BIGINT) AS n_tokens
+         FROM j GROUP BY 1, 2 ORDER BY 1, 2"""),
   )
 
   /** One nprobe point of the q190 probe-recall oracle: the q101

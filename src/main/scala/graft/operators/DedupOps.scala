@@ -831,6 +831,23 @@ object DedupOps {
       .select(col("doc_id"), explode(Text.wordShingles(col("text"), n)).as("g"))
       .select(col("doc_id"), md5(col("g")).as("h")))
 
+  /** Shingle document-frequency profile (q193): the log2-banded df
+    * distribution of the 8-gram shingle space — the tuning diagnostic
+    * behind `effectiveDfCap` (how much posting mass sits in hot
+    * shingles decides the cap's cost/benefit; a corpus whose mass is
+    * all df=1 needs no cap, one with heavy bands is quadratic without
+    * it). One df aggregate over the shared n-gram cache, band rollup.
+    */
+  def shingleDfProfile(spark: SparkSession, dir: String,
+      n: Int = 8): DataFrame =
+    cachedNgramHashes(spark, dir, n)
+      .groupBy(col("h")).agg(count(lit(1)).as("df"))
+      .select((length(bin(col("df"))) - 1).cast("long").as("log2_df_band"),
+        col("df"))
+      .groupBy(col("log2_df_band"))
+      .agg(count(lit(1)).as("n_shingles"), sum(col("df")).as("n_postings"))
+      .orderBy(col("log2_df_band"))
+
   private def thresholdSweepFromSh(sh: DataFrame): DataFrame =
     prefixVerified(sh, 1, 2)
       .withColumn("u", col("na") + col("nb") - col("inter"))

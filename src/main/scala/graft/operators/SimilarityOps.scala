@@ -481,6 +481,24 @@ object SimilarityOps {
       .select(col("vec_id"), col("embedding"), col("clabel").as("ivf_list"))
   }
 
+  /** IVF list-balance report (q194): list count, corpus size, min/max
+    * list sizes and the integer imbalance ratio (max·lists·1000 div
+    * vecs = 1000·max/mean) of the inverted index — the load-skew
+    * diagnostic for ANN serving: a 10× imbalance means the hot list
+    * bounds probe latency regardless of nprobe, and re-clustering (q76)
+    * or splitting is due. One assignment pass, one k-row rollup.
+    */
+  def ivfListBalance(spark: SparkSession, dir: String): DataFrame =
+    ivfAssign(Tables.embeddings(spark, dir),
+        labelCentroidsCached(spark, dir))
+      .groupBy(col("ivf_list")).agg(count(lit(1)).as("sz"))
+      .agg(count(lit(1)).as("n_lists"), sum(col("sz")).as("n_vecs"),
+        min(col("sz")).as("min_size"), max(col("sz")).as("max_size"))
+      .select(col("n_lists"), col("n_vecs"), col("min_size"),
+        col("max_size"),
+        expr("(max_size * n_lists * 1000) div n_vecs")
+          .as("imbalance_x1000"))
+
   def ivfTopK(spark: SparkSession, dir: String, nQueries: Int = 8,
       k: Int = 5, nProbe: Int = 2): DataFrame = {
     val emb = Tables.embeddings(spark, dir)

@@ -971,6 +971,27 @@ object TextAnalysisOps {
   def sourceNovelty(spark: SparkSession, dir: String, n: Int = 3): DataFrame =
     sourceNoveltyOn(Tables.documents(spark, dir), n)
 
+  /** Quality-by-language matrix (q195): quality-score bands crossed
+    * with declared language — the calibration view that decides
+    * PER-LANGUAGE quality thresholds (one global cutoff silently
+    * filters out languages the scorer under-rates). Bands use the
+    * integer rule `(k·4) div 10000` on the score's own integer grid
+    * (the q137 band); integer token sums ride along.
+    */
+  def qualityByLang(spark: SparkSession, dir: String): DataFrame = {
+    val q = qualityScore(spark, dir)
+      .select(col("doc_id"),
+        expr("CAST(round(quality * 10000) AS BIGINT)").as("k"),
+        col("n_tokens").cast("long").as("n_tok"))
+    val langs = Tables.documents(spark, dir).select(col("doc_id"), col("lang"))
+    q.join(langs, "doc_id")
+      .select(col("lang"), expr("(k * 4) div 10000").as("quality_band"),
+        col("n_tok"))
+      .groupBy(col("lang"), col("quality_band"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
+      .orderBy(col("lang"), col("quality_band"))
+  }
+
   /** Language-ID confidence margins (q192): the integer score gap
     * between the best and second-best language per doc, banded — the
     * calibration view that says how DECISIVE q34's argmax was (q155
