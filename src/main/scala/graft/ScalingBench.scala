@@ -184,7 +184,18 @@ object ScalingBench {
       // vocab growth (q127): shingle build + min() partial agg; the
       // quartile stage is (source × 4)-sized
       Probe("q127_vocab_growth", "documents",
-        SparkEntry.queries("q127_vocab_growth")))
+        SparkEntry.queries("q127_vocab_growth")),
+      // round-8 additions. threshold sweep (q184): the q121 pipeline at
+      // t = 1/2 — the LONGEST lossless prefix this family ships (half
+      // of each doc's shingles), so its candidate volume bounds every
+      // other operating point; the probe verifies the lowest-threshold
+      // sweep stays in the q121 scaling class, not its square
+      Probe("q184_threshold_sweep", "documents",
+        SparkEntry.queries("q184_threshold_sweep")),
+      // shingle df profile (q193): one df aggregate over the shared
+      // n-gram cache + an ~8-band rollup — should track the cache build
+      Probe("q193_shingle_df", "documents",
+        SparkEntry.queries("q193_shingle_df")))
 
   /** Build k-times-scaled corpora from sf0.1 (documents AND embeddings).
     * Document copy c suffixes every token with a copy marker, so each

@@ -244,6 +244,9 @@ object SparkEntry {
     "q193_shingle_df"     -> ((s, d) => DedupOps.shingleDfProfile(s, d)),
     "q194_ivf_balance"    -> ((s, d) => SimilarityOps.ivfListBalance(s, d)),
     "q195_quality_by_lang" -> ((s, d) => TextAnalysisOps.qualityByLang(s, d)),
+    "q196_value_quartiles" -> ((s, d) =>
+      graft.operators.EventOps.valueQuartiles(s, d)),
+    "q197_basket_lift"    -> ((s, d) => CoreQueries.q197BasketLift(s, d)),
   )
 
   /** Shared shingle→df-capped-postings CTE body for every exact-Jaccard
@@ -3817,6 +3820,56 @@ object SparkEntry {
          SELECT lang, quality_band, count(*) AS n_docs,
            CAST(sum(n_tok) AS BIGINT) AS n_tokens
          FROM j GROUP BY 1, 2 ORDER BY 1, 2"""),
+    // q196: exact p25/p50/p75 per event type via histogram rank picks
+    // in doubled units (the q175 med2 rule generalized)
+    "q196_value_quartiles" ->
+      """WITH h AS (SELECT event_type,
+             CAST(round(value * 100, 0) AS BIGINT) AS cents,
+             count(*) AS cnt
+           FROM events GROUP BY 1, 2),
+         c AS (SELECT event_type, cents, cnt,
+             sum(cnt) OVER (PARTITION BY event_type ORDER BY cents)
+               AS cum,
+             sum(cnt) OVER (PARTITION BY event_type) AS n FROM h),
+         a AS (SELECT event_type, min(n) AS n,
+             min(CASE WHEN cum * 4 >= n * 1 THEN cents END) AS lo1,
+             min(CASE WHEN cum * 4 >= n * 1 + 4 THEN cents END) AS hi1,
+             min(CASE WHEN cum * 4 >= n * 2 THEN cents END) AS lo2,
+             min(CASE WHEN cum * 4 >= n * 2 + 4 THEN cents END) AS hi2,
+             min(CASE WHEN cum * 4 >= n * 3 THEN cents END) AS lo3,
+             min(CASE WHEN cum * 4 >= n * 3 + 4 THEN cents END) AS hi3
+           FROM c GROUP BY event_type)
+         SELECT event_type, CAST(n AS BIGINT) AS n_events,
+           round(CAST(CASE WHEN (n * 1) % 4 = 0
+             THEN lo1 + coalesce(hi1, lo1) ELSE lo1 * 2 END AS DOUBLE)
+             / 200.0, 4) AS p25,
+           round(CAST(CASE WHEN (n * 2) % 4 = 0
+             THEN lo2 + coalesce(hi2, lo2) ELSE lo2 * 2 END AS DOUBLE)
+             / 200.0, 4) AS p50,
+           round(CAST(CASE WHEN (n * 3) % 4 = 0
+             THEN lo3 + coalesce(hi3, lo3) ELSE lo3 * 2 END AS DOUBLE)
+             / 200.0, 4) AS p75
+         FROM a ORDER BY event_type""",
+    // q197: brand-pair lift — integer products inside one division
+    // (the q107 PMI contract without the log)
+    "q197_basket_lift" ->
+      """WITH ob AS (SELECT DISTINCT l_orderkey, p_brand
+           FROM lineitem JOIN part ON l_partkey = p_partkey),
+         n AS (SELECT count(*) AS n_orders FROM orders),
+         marg AS (SELECT p_brand, count(*) AS n_b FROM ob GROUP BY 1),
+         pairs AS (SELECT a.p_brand AS brand_a, b.p_brand AS brand_b,
+             count(*) AS n_ab
+           FROM ob a JOIN ob b ON a.l_orderkey = b.l_orderkey
+             AND a.p_brand < b.p_brand
+           GROUP BY 1, 2 HAVING count(*) >= 20)
+         SELECT brand_a, brand_b, n_ab,
+           round(CAST(n_ab * n_orders AS DOUBLE) /
+             CAST(ma.n_b * mb.n_b AS DOUBLE), 6) AS lift
+         FROM pairs
+         JOIN marg ma ON brand_a = ma.p_brand
+         JOIN marg mb ON brand_b = mb.p_brand
+         CROSS JOIN n
+         ORDER BY lift DESC, brand_a, brand_b LIMIT 20""",
   )
 
   /** One nprobe point of the q190 probe-recall oracle: the q101

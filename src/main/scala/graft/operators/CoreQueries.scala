@@ -1247,4 +1247,40 @@ object CoreQueries {
         round(sum(col("l_quantity")), 2).as("qty"))
       .orderBy(col("l_returnflag").asc_nulls_first,
         col("l_linestatus").asc_nulls_first)
+
+  /** Brand-affinity lift (q197): market-basket lift over brands
+    * co-ordered in one order — `lift(A,B) = P(A,B)/(P(A)·P(B))` as the
+    * integer-product-inside-one-division q107 contract. The pair
+    * fan-out is naturally bounded: per order it is C(distinct brands,
+    * 2) ≤ C(|brands|, 2) — the BRAND rollup makes the item domain a
+    * 25-value dimension, so no per-order cap is needed (the
+    * bounded-domain alternative to q107's top-N cap).
+    */
+  def q197BasketLift(spark: SparkSession, dir: String,
+      minSupport: Int = 20, k: Int = 20): DataFrame = {
+    val ob = Tables.lineitem(spark, dir)
+      .join(Tables.part(spark, dir).select(col("p_partkey"), col("p_brand")),
+        col("l_partkey") === col("p_partkey"))
+      .select(col("l_orderkey"), col("p_brand")).distinct()
+    val nOrders = Tables.orders(spark, dir)
+      .agg(count(lit(1)).as("n_orders"))
+    val marg = ob.groupBy(col("p_brand")).agg(count(lit(1)).as("n_b"))
+    val pairs = ob.as("a")
+      .join(ob.as("b"), col("a.l_orderkey") === col("b.l_orderkey") &&
+        col("a.p_brand") < col("b.p_brand"))
+      .groupBy(col("a.p_brand").as("brand_a"), col("b.p_brand").as("brand_b"))
+      .agg(count(lit(1)).as("n_ab"))
+      .filter(col("n_ab") >= minSupport)
+    pairs
+      .join(broadcast(marg.select(col("p_brand").as("brand_a"),
+        col("n_b").as("n_a"))), "brand_a")
+      .join(broadcast(marg.select(col("p_brand").as("brand_b"),
+        col("n_b").as("n_bb"))), "brand_b")
+      .crossJoin(broadcast(nOrders))
+      .select(col("brand_a"), col("brand_b"), col("n_ab"),
+        round((col("n_ab") * col("n_orders")).cast("double") /
+          (col("n_a") * col("n_bb")).cast("double"), 6).as("lift"))
+      .orderBy(col("lift").desc, col("brand_a"), col("brand_b"))
+      .limit(k)
+  }
 }

@@ -581,6 +581,56 @@ object EventOps {
       gapMinutes: Int = 30): DataFrame =
     peakConcurrencyOn(Tables.events(spark, dir), gapMinutes)
 
+  /** Exact value quartiles per event type (q196): p25/p50/p75 of the
+    * cent-quantized `value` WITHOUT a per-group row sort — the q175
+    * doubled-unit rank-pick generalized from the median to all three
+    * quartiles: rank r(p) = ⌈p·(n+1)/4⌉-style lower/upper picks,
+    * summed in doubled units so every statistic stays integral until
+    * one display division per cell. The scale-honest exact complement
+    * to q56's sort-based percentiles and q74's GK sketch: the
+    * cumulative windows run on the (type, cents)-HISTOGRAM frame
+    * (bounded by the value domain), never on event rows.
+    */
+  def valueQuartiles(spark: SparkSession, dir: String): DataFrame =
+    valueQuartilesOn(Tables.events(spark, dir))
+
+  private[graft] def valueQuartilesOn(ev: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val h = ev
+      .select(col("event_type"),
+        round(col("value") * 100, 0).cast("long").as("cents"))
+      .groupBy(col("event_type"), col("cents"))
+      .agg(count(lit(1)).as("cnt"))
+    val c = h
+      .withColumn("cum", sum(col("cnt")).over(
+        Window.partitionBy(col("event_type")).orderBy(col("cents"))))
+      .withColumn("n", sum(col("cnt")).over(
+        Window.partitionBy(col("event_type"))))
+    // doubled-unit rank picks per quartile q/4: lo = v[ceil(q·n/4)]
+    // (smallest value with 4·cum ≥ q·n); when q·n divides by 4 the
+    // quantile averages ranks r and r+1, so hi = v[r+1] (smallest with
+    // 4·cum ≥ q·n + 4) — the summed pair is 2× the quartile either way
+    // (the q175 med2 rule generalized; q=2 reproduces it exactly)
+    val agg = c.groupBy(col("event_type")).agg(
+      min(col("n")).as("n"),
+      min(when(col("cum") * 4L >= col("n") * 1L, col("cents"))).as("lo1"),
+      min(when(col("cum") * 4L >= col("n") * 1L + 4L, col("cents"))).as("hi1"),
+      min(when(col("cum") * 4L >= col("n") * 2L, col("cents"))).as("lo2"),
+      min(when(col("cum") * 4L >= col("n") * 2L + 4L, col("cents"))).as("hi2"),
+      min(when(col("cum") * 4L >= col("n") * 3L, col("cents"))).as("lo3"),
+      min(when(col("cum") * 4L >= col("n") * 3L + 4L, col("cents"))).as("hi3"))
+    def q2(q: Int) =
+      when(col("n") * q % 4 === 0L,
+        col(s"lo$q") + coalesce(col(s"hi$q"), col(s"lo$q")))
+        .otherwise(col(s"lo$q") * 2L)
+    agg
+      .select(col("event_type"), col("n").as("n_events"),
+        round(q2(1).cast("double") / lit(200.0), 4).as("p25"),
+        round(q2(2).cast("double") / lit(200.0), 4).as("p50"),
+        round(q2(3).cast("double") / lit(200.0), 4).as("p75"))
+      .orderBy(col("event_type"))
+  }
+
   private[graft] def peakConcurrencyOn(ev: DataFrame,
       gapMinutes: Int = 30): DataFrame = {
     import org.apache.spark.sql.expressions.Window
