@@ -247,6 +247,11 @@ object SparkEntry {
     "q196_value_quartiles" -> ((s, d) =>
       graft.operators.EventOps.valueQuartiles(s, d)),
     "q197_basket_lift"    -> ((s, d) => CoreQueries.q197BasketLift(s, d)),
+    "q198_pca_variance"   -> ((s, d) =>
+      graft.operators.PcaOps.varianceExplained(s, d)),
+    "q199_supply_conc"    -> (CoreQueries.q199SupplyConcentration _),
+    "q200_journey_entropy" -> ((s, d) =>
+      graft.operators.EventOps.journeyEntropy(s, d)),
   )
 
   /** Shared shingle→df-capped-postings CTE body for every exact-Jaccard
@@ -3870,6 +3875,50 @@ object SparkEntry {
          JOIN marg mb ON brand_b = mb.p_brand
          CROSS JOIN n
          ORDER BY lift DESC, brand_a, brand_b LIMIT 20""",
+    // q198: Rayleigh quotient of the q95 component over total centered
+    // variance — exact integer/HUGEINT sums, one mirrored division
+    "q198_pca_variance" ->
+      ("WITH " + pcaPowerCte + """,
+         vqf AS (SELECT list_transform(v,
+             x -> CAST(round(x * 1024) AS BIGINT)) AS vq FROM v2),
+         sc AS (SELECT
+             CAST(list_inner_product(xc.c::DOUBLE[], vqf.vq::DOUBLE[])
+               AS BIGINT) AS s,
+             CAST(list_inner_product(xc.c::DOUBLE[], xc.c::DOUBLE[])
+               AS BIGINT) AS c2
+           FROM xc CROSS JOIN vqf),
+         st AS (SELECT count(*) AS n,
+             CAST(sum(CAST(s AS HUGEINT) * s) AS HUGEINT) AS s2,
+             CAST(sum(CAST(c2 AS HUGEINT)) AS HUGEINT) AS xc2 FROM sc),
+         vn AS (SELECT CAST(list_inner_product(vq::DOUBLE[], vq::DOUBLE[])
+             AS BIGINT) AS vq2 FROM vqf)
+         SELECT CAST(n AS BIGINT) AS n_vecs,
+           round(CAST(s2 AS DOUBLE) /
+             (CAST(vq2 AS DOUBLE) * CAST(xc2 AS DOUBLE)), 6)
+             AS var_explained
+         FROM st, vn"""),
+    // q199: supplier-concentration bands — integer (10·top) div total
+    "q199_supply_conc" ->
+      """WITH h AS (SELECT l_partkey, l_suppkey, count(*) AS cnt
+           FROM lineitem GROUP BY 1, 2),
+         p AS (SELECT l_partkey, CAST(sum(cnt) AS BIGINT) AS n_lines,
+             CAST(max(cnt) AS BIGINT) AS top FROM h GROUP BY 1)
+         SELECT (10 * top) // n_lines AS conc_band, count(*) AS n_parts,
+           CAST(sum(n_lines) AS BIGINT) AS n_lines
+         FROM p GROUP BY 1 ORDER BY 1""",
+    // q200: Shannon entropy of the full path distribution (q134's
+    // assembly; the q67 sum-then-round contract)
+    "q200_journey_entropy" ->
+      """WITH p AS (SELECT user_id,
+             string_agg(event_type, '->' ORDER BY ts, event_id) AS path
+           FROM events GROUP BY 1),
+         pc AS (SELECT path, count(*) AS c FROM p GROUP BY 1),
+         t AS (SELECT CAST(sum(c) AS DOUBLE) AS nd,
+             CAST(sum(c) AS BIGINT) AS nb FROM pc)
+         SELECT t.nb AS n_users, count(*) AS n_paths,
+           round(-sum((c / t.nd) * log2(c / t.nd)) + 0.0, 4)
+             AS entropy_bits
+         FROM pc CROSS JOIN t GROUP BY t.nb, t.nd""",
   )
 
   /** One nprobe point of the q190 probe-recall oracle: the q101

@@ -1256,6 +1256,26 @@ object CoreQueries {
     * 25-value dimension, so no per-order cap is needed (the
     * bounded-domain alternative to q107's top-N cap).
     */
+  /** Supply-concentration bands (q199): per part, the share of its
+    * lineitems sourced from its single largest supplier, banded by the
+    * integer rule `(10·top) div total` — the supply-chain-risk
+    * histogram (band 10 = single-sourced parts). Two aggregations:
+    * one (part, supp)-keyed histogram with map-side partials, then a
+    * |part|-keyed max/sum rollup and a 10-key band rollup — no windows,
+    * no joins.
+    */
+  def q199SupplyConcentration(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy(col("l_partkey"))
+      .agg(sum(col("cnt")).as("n_lines"), max(col("cnt")).as("top"))
+      .select(expr("(10 * top) div n_lines").as("conc_band"),
+        col("n_lines"))
+      .groupBy(col("conc_band"))
+      .agg(count(lit(1)).as("n_parts"), sum(col("n_lines")).as("n_lines"))
+      .orderBy(col("conc_band"))
+
   def q197BasketLift(spark: SparkSession, dir: String,
       minSupport: Int = 20, k: Int = 20): DataFrame = {
     val ob = Tables.lineitem(spark, dir)

@@ -368,6 +368,15 @@ object EventOps {
     userPathsOn(Tables.events(spark, dir), k)
 
   private[graft] def userPathsOn(ev: DataFrame, k: Int = 10): DataFrame =
+    pathCountsOn(ev)
+      .orderBy(col("n_users").desc, col("path"))
+      .limit(k)
+
+  /** The full (path, n_users) distribution shared by q134's top-k view
+    * and q200's entropy — one assembly so the path definition cannot
+    * drift.
+    */
+  private[graft] def pathCountsOn(ev: DataFrame): DataFrame =
     ev.select(col("user_id"),
         struct(col("ts"), col("event_id"), col("event_type")).as("e"))
       .groupBy(col("user_id"))
@@ -376,8 +385,28 @@ object EventOps {
         .as("path"))
       .groupBy(col("path"))
       .agg(count(lit(1)).as("n_users"))
-      .orderBy(col("n_users").desc, col("path"))
-      .limit(k)
+
+  /** Journey-diversity entropy (q200): Shannon entropy of the full
+    * user-path distribution — one number separating "everyone walks the
+    * same funnel" (≈0 bits) from "every user is unique" (log₂ n bits),
+    * the diversity complement of q134's top-k view. Integer path
+    * counts; the entropy sum follows the q67 contract (float terms,
+    * round AFTER summation, +0.0 for the single-path −0.0 case).
+    */
+  def journeyEntropy(spark: SparkSession, dir: String): DataFrame =
+    journeyEntropyOn(Tables.events(spark, dir))
+
+  private[graft] def journeyEntropyOn(ev: DataFrame): DataFrame =
+    pathCountsOn(ev)
+      .withColumn("n", sum(col("n_users")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy()))
+      .groupBy()
+      .agg(max(col("n")).as("n_users"),
+        count(lit(1)).as("n_paths"),
+        round(-sum((col("n_users") / col("n")) *
+          log(2.0, col("n_users") / col("n"))) + lit(0.0), 4)
+          .as("entropy_bits"))
+      .select(col("n_users"), col("n_paths"), col("entropy_bits"))
 
   /** Partition-stats manifest (q138): per event day — the natural write
     * partition — row count, user-key bounds, and type cardinality: the

@@ -116,6 +116,39 @@ object PcaOps {
       iters: Int = 2): DataFrame =
     format(componentFrom(xcCached(spark, dir), spark, iters))
 
+  /** Variance explained by the top component (q198): the Rayleigh
+    * quotient of the estimated component over the total centered
+    * variance — the one number that says whether ABTT (q96) is even
+    * worth running (a corpus whose PC1 carries 2% of variance has no
+    * common component to remove; one at 30% is anisotropic). Exact
+    * arithmetic end-to-end: per-row projections and squared norms are
+    * longs on the 2^10 grid, corpus sums widen to DECIMAL(38,0) (the
+    * q131 moment rule — at 100 TB the long path would overflow), and
+    * ONE mirrored division chain produces the ratio.
+    */
+  def varianceExplained(spark: SparkSession, dir: String,
+      iters: Int = 2): DataFrame = {
+    val xc = xcCached(spark, dir)
+    val vf = componentFrom(xc, spark, iters)
+    val stats = xc.crossJoin(broadcast(vf.select(col("vq"))))
+      .select(
+        aggregate(zip_with(col("xc"), col("vq"), (a, b) => a * b),
+          lit(0L), (acc, x) => acc + x).as("s"),
+        aggregate(transform(col("xc"), x => x * x),
+          lit(0L), (acc, x) => acc + x).as("c2"))
+      .agg(count(lit(1)).as("n_vecs"),
+        sum((col("s") * col("s")).cast("decimal(38,0)")).as("s2"),
+        sum(col("c2").cast("decimal(38,0)")).as("xc2"))
+    val vq2 = vf.select(
+      aggregate(transform(col("vq"), x => x * x), lit(0L),
+        (acc, x) => acc + x).as("vq2"))
+    stats.crossJoin(broadcast(vq2))
+      .select(col("n_vecs"),
+        round(col("s2").cast("double") /
+          (col("vq2").cast("double") * col("xc2").cast("double")), 6)
+          .as("var_explained"))
+  }
+
   /** Common-component removal (q96) — the second ABTT step: project the
     * top component out of every embedding, `x′ = x − (x·v)v`, entirely
     * row-local against the broadcast 1-row component frame (at 100 TB
