@@ -252,6 +252,10 @@ object SparkEntry {
     "q199_supply_conc"    -> (CoreQueries.q199SupplyConcentration _),
     "q200_journey_entropy" -> ((s, d) =>
       graft.operators.EventOps.journeyEntropy(s, d)),
+    "q201_session_conversion" -> ((s, d) =>
+      graft.operators.EventOps.sessionConversion(s, d)),
+    "q202_item_adoption"  -> ((s, d) =>
+      graft.operators.EventOps.itemAdoption(s, d)),
   )
 
   /** Shared shingle→df-capped-postings CTE body for every exact-Jaccard
@@ -340,24 +344,25 @@ object SparkEntry {
     * user by (n_ev DESC, item)) and GraphOps.coPairsOn (support ≥ 5)
     * exactly, ending at `cpairs (i < j)` and `cdeg (item, degree)`.
     */
-  /** The q58 gap-sessionization CTE (30-minute gap), ending at
-    * `sess (user_id, session_seq, session_start, session_end,
-    * n_events)` — shared by the q58 and q174 oracles so the session
+  /** The q58 gap-sessionization chain (30-minute gap): `sessev` keeps
+    * every event with its session assignment, `sess` is the per-session
+    * rollup — shared by the q58/q174/q201 oracles so the session
     * definition cannot drift.
     */
   private val sessionsCte: String =
-    """sess AS (SELECT user_id, session_seq,
-         min(ts) AS session_start, max(ts) AS session_end,
-         count(*) AS n_events
-       FROM (
-         SELECT user_id, ts,
+    """sessev AS (
+         SELECT user_id, ts, event_type,
            sum(CASE WHEN prev_ts IS NULL
                      OR epoch_us(ts) - epoch_us(prev_ts) > 1800000000 THEN 1 ELSE 0 END)
              OVER (PARTITION BY user_id ORDER BY ts
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
-         FROM (SELECT user_id, ts,
+         FROM (SELECT user_id, ts, event_type,
                  lag(ts, 1) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts
-               FROM events))
+               FROM events)),
+       sess AS (SELECT user_id, session_seq,
+         min(ts) AS session_start, max(ts) AS session_end,
+         count(*) AS n_events
+       FROM sessev
        GROUP BY user_id, session_seq)"""
 
   /** The q173 k-core peel chain, generated so the `peels` unrolled
@@ -3919,6 +3924,46 @@ object SparkEntry {
            round(-sum((c / t.nd) * log2(c / t.nd)) + 0.0, 4)
              AS entropy_bits
          FROM pc CROSS JOIN t GROUP BY t.nb, t.nd""",
+    // q201: in-session conversion over the shared sessev assignment —
+    // purchase strictly after the session's first click
+    "q201_session_conversion" ->
+      ("WITH " + sessionsCte + """,
+         per AS (SELECT user_id, session_seq,
+             min(CASE WHEN event_type = 'click' THEN ts END)
+               AS first_click
+           FROM sessev GROUP BY 1, 2),
+         conv AS (SELECT s.user_id, s.session_seq,
+             max(CASE WHEN p.first_click IS NOT NULL THEN 1 ELSE 0 END)
+               AS has_click,
+             max(CASE WHEN s.event_type = 'purchase'
+               AND s.ts > p.first_click THEN 1 ELSE 0 END) AS converted
+           FROM sessev s JOIN per p
+             ON s.user_id = p.user_id AND s.session_seq = p.session_seq
+           GROUP BY 1, 2)
+         SELECT count(*) AS n_sessions,
+           CAST(sum(has_click) AS BIGINT) AS n_with_click,
+           CAST(sum(converted) AS BIGINT) AS n_converted,
+           round(CAST(sum(converted) AS DOUBLE) /
+             CAST(sum(has_click) AS DOUBLE), 4) AS conversion_rate
+         FROM conv"""),
+    // q202: item-age activity profile — first week per item, events
+    // and active items per age-in-weeks (two-level distinct)
+    "q202_item_adoption" ->
+      """WITH grid AS (SELECT
+             CAST(json_extract_string(props, '$.k') AS INT) AS item,
+             CAST(datediff('day', DATE '2024-01-01', CAST(ts AS DATE))
+               AS INT) // 7 AS week
+           FROM events
+           WHERE json_extract_string(props, '$.k') IS NOT NULL),
+         f AS (SELECT item, min(week) AS first_week FROM grid
+           GROUP BY 1),
+         a AS (SELECT g.week - f.first_week AS age_weeks, g.item,
+             count(*) AS c
+           FROM grid g JOIN f ON g.item = f.item GROUP BY 1, 2)
+         SELECT CAST(age_weeks AS INT) AS age_weeks,
+           CAST(sum(c) AS BIGINT) AS n_events,
+           count(*) AS n_items_active
+         FROM a GROUP BY 1 ORDER BY 1""",
   )
 
   /** One nprobe point of the q190 probe-recall oracle: the q101

@@ -511,7 +511,19 @@ object CoreQueries {
   /** The q58 gap-sessionization assembly, shared with q174's rollup so
     * the session definition cannot drift between the two.
     */
-  private[graft] def sessionsOn(ev: DataFrame, gapMinutes: Int): DataFrame = {
+  private[graft] def sessionsOn(ev: DataFrame, gapMinutes: Int): DataFrame =
+    sessionEventsOn(ev, gapMinutes)
+      .groupBy(col("user_id"), col("session_seq"))
+      .agg(min(col("ts")).as("session_start"),
+        max(col("ts")).as("session_end"),
+        count(lit(1)).as("n_events"))
+
+  /** Per-event session assignment — the inner truth of the q58 gap
+    * sessionization, shared by [[sessionsOn]]'s rollup and q201's
+    * in-session conversion so the session definition cannot drift.
+    */
+  private[graft] def sessionEventsOn(ev: DataFrame,
+      gapMinutes: Int): DataFrame = {
     val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"))
     ev
       .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
@@ -521,10 +533,6 @@ object CoreQueries {
           lit(1)).otherwise(lit(0)))
       .withColumn("session_seq",
         sum(col("new_session")).over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
-      .groupBy(col("user_id"), col("session_seq"))
-      .agg(min(col("ts")).as("session_start"),
-        max(col("ts")).as("session_end"),
-        count(lit(1)).as("n_events"))
   }
 
   /** Semi-structured extraction: events.props is a JSON string column —

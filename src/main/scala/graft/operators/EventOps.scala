@@ -386,6 +386,73 @@ object EventOps {
       .groupBy(col("path"))
       .agg(count(lit(1)).as("n_users"))
 
+  /** In-session conversion (q201): of the sessions that contain a
+    * click, how many also contain a purchase STRICTLY AFTER the
+    * session's first click — conversion measured inside the q58
+    * session boundary (the funnel q103 measures lifetime conversion;
+    * this measures "did they buy in the same visit", the number
+    * product teams actually page on). Built on the SHARED
+    * [[CoreQueries.sessionEventsOn]] assignment so the session
+    * definition cannot drift from q58/q174. One user-keyed window
+    * (q58's own shape) then a per-session aggregate carrying min click
+    * ts and the converted flag in one pass; final rollup is one row.
+    * Integers + one division.
+    */
+  def sessionConversion(spark: SparkSession, dir: String,
+      gapMinutes: Int = 30): DataFrame =
+    sessionConversionOn(Tables.events(spark, dir), gapMinutes)
+
+  private[graft] def sessionConversionOn(ev: DataFrame,
+      gapMinutes: Int = 30): DataFrame = {
+    val se = CoreQueries.sessionEventsOn(ev, gapMinutes)
+    val per = se.groupBy(col("user_id"), col("session_seq"))
+      .agg(min(when(col("event_type") === "click", col("ts")))
+        .as("first_click"))
+    val conv = se
+      .join(per, Seq("user_id", "session_seq"))
+      .groupBy(col("user_id"), col("session_seq"))
+      .agg(max(col("first_click").isNotNull.cast("int")).as("has_click"),
+        // when() so a clickless session scores 0, not a null max
+        max(when(col("event_type") === "purchase" &&
+          col("ts") > col("first_click"), 1).otherwise(0)).as("converted"))
+    conv.agg(count(lit(1)).as("n_sessions"),
+        sum(col("has_click")).cast("long").as("n_with_click"),
+        sum(col("converted")).cast("long").as("n_converted"))
+      .select(col("n_sessions"), col("n_with_click"), col("n_converted"),
+        round(col("n_converted").cast("double") /
+          col("n_with_click").cast("double"), 4).as("conversion_rate"))
+  }
+
+  /** Item-adoption age profile (q202): events per item-age-in-weeks
+    * (weeks since the item's first appearance) with the active-item
+    * count per age — the cold-start curve that says how fast new items
+    * pick up activity and how long it persists. Two week-keyed
+    * aggregates (first-week per item is a min with map-side partials),
+    * one broadcast-scale join back; all integers.
+    */
+  def itemAdoption(spark: SparkSession, dir: String): DataFrame =
+    itemAdoptionOn(Tables.events(spark, dir))
+
+  private[graft] def itemAdoptionOn(ev: DataFrame): DataFrame = {
+    val grid = ev
+      .select(get_json_object(col("props"), "$.k").cast("int").as("item"),
+        expr("CAST(datediff(CAST(ts AS DATE), DATE '2024-01-01') div 7 AS INT)")
+          .as("week"))
+      .filter(col("item").isNotNull)
+    val first = grid.groupBy(col("item"))
+      .agg(min(col("week")).as("first_week"))
+    grid.join(first, "item")
+      .select(col("item"), (col("week") - col("first_week")).as("age_weeks"))
+      // two-level so the distinct-item count never Expands the event
+      // stream through the aggregation (the q42ApproxDistinct trap)
+      .groupBy(col("age_weeks"), col("item"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("age_weeks"))
+      .agg(sum(col("c")).as("n_events"),
+        count(lit(1)).as("n_items_active"))
+      .orderBy(col("age_weeks"))
+  }
+
   /** Journey-diversity entropy (q200): Shannon entropy of the full
     * user-path distribution — one number separating "everyone walks the
     * same funnel" (≈0 bits) from "every user is unique" (log₂ n bits),
