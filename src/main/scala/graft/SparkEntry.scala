@@ -256,6 +256,8 @@ object SparkEntry {
       graft.operators.EventOps.sessionConversion(s, d)),
     "q202_item_adoption"  -> ((s, d) =>
       graft.operators.EventOps.itemAdoption(s, d)),
+    "q203_fulfillment_span" -> (CoreQueries.q203FulfillmentSpan _),
+    "q204_cluster_purity" -> ((s, d) => DedupOps.clusterPurity(s, d)),
   )
 
   /** Shared shingle→df-capped-postings CTE body for every exact-Jaccard
@@ -3964,6 +3966,28 @@ object SparkEntry {
            CAST(sum(c) AS BIGINT) AS n_events,
            count(*) AS n_items_active
          FROM a GROUP BY 1 ORDER BY 1""",
+    // q203: order fulfillment-span week bands — integer day span per
+    // order, div-7 banding
+    "q203_fulfillment_span" ->
+      """WITH s AS (SELECT l_orderkey,
+             CAST(datediff('day', CAST(min(l_shipdate) AS DATE),
+               CAST(max(l_shipdate) AS DATE)) AS BIGINT) AS span_days
+           FROM lineitem GROUP BY 1)
+         SELECT span_days // 7 AS span_weeks, count(*) AS n_orders
+         FROM s GROUP BY 1 ORDER BY 1""",
+    // q204: q53 cluster language purity — min-label membership (the
+    // q59 reduction) joined to langs, two rollups
+    "q204_cluster_purity" ->
+      (dedupCcCte + """,
+         mem AS (SELECT id, min(label) AS cluster_id FROM cc GROUP BY id),
+         pl AS (SELECT m.cluster_id, d.lang, count(*) AS c
+           FROM mem m JOIN documents d ON m.id = d.doc_id GROUP BY 1, 2),
+         per AS (SELECT cluster_id, CAST(sum(c) AS BIGINT) AS n_docs,
+             count(*) AS n_langs FROM pl GROUP BY 1)
+         SELECT n_docs AS cluster_size, count(*) AS n_clusters,
+           CAST(sum(CASE WHEN n_langs = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_pure_lang
+         FROM per GROUP BY 1 ORDER BY 1"""),
   )
 
   /** One nprobe point of the q190 probe-recall oracle: the q101

@@ -1284,6 +1284,22 @@ object CoreQueries {
       .agg(count(lit(1)).as("n_parts"), sum(col("n_lines")).as("n_lines"))
       .orderBy(col("conc_band"))
 
+  /** Fulfillment-span bands (q203): weeks between an order's first and
+    * last line shipment, banded — the order-completion-window histogram
+    * behind SLA design (q177 measures per-line latency; this measures
+    * how long the ORDER stays open). One orderkey rollup with map-side
+    * partials, then a tiny band rollup; all integer day arithmetic.
+    */
+  def q203FulfillmentSpan(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_orderkey"))
+      .agg(datediff(max(col("l_shipdate")).cast("date"),
+        min(col("l_shipdate")).cast("date")).cast("long").as("span_days"))
+      .select(expr("span_days div 7").as("span_weeks"))
+      .groupBy(col("span_weeks"))
+      .agg(count(lit(1)).as("n_orders"))
+      .orderBy(col("span_weeks"))
+
   def q197BasketLift(spark: SparkSession, dir: String,
       minSupport: Int = 20, k: Int = 20): DataFrame = {
     val ob = Tables.lineitem(spark, dir)

@@ -633,6 +633,27 @@ object DedupOps {
         .select(col("id").as("doc_id"), col("label").as("cluster_id"))
         .orderBy(col("doc_id")))
 
+  /** Near-dup cluster language purity (q204): per cluster size, how
+    * many q53 clusters are language-uniform — the dedup-quality audit
+    * (a near-dup cluster spanning languages usually means the shingle
+    * threshold is clustering boilerplate, not content). Rides the
+    * cached cluster assignment; two tiny rollups on top.
+    */
+  def clusterPurity(spark: SparkSession, dir: String): DataFrame = {
+    val mem = nearDupClusters(spark, dir)
+    val langs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"))
+    mem.join(langs, "doc_id")
+      .groupBy(col("cluster_id"), col("lang")).agg(count(lit(1)).as("c"))
+      .groupBy(col("cluster_id"))
+      .agg(sum(col("c")).as("n_docs"), count(lit(1)).as("n_langs"))
+      .groupBy(col("n_docs").as("cluster_size"))
+      .agg(count(lit(1)).as("n_clusters"),
+        sum(when(col("n_langs") === 1L, 1L).otherwise(0L))
+          .as("n_pure_lang"))
+      .orderBy(col("cluster_size"))
+  }
+
   /** Non-canonical near-dup cluster members — the shared drop-list behind
     * q59's keep-list and q65's curation (one definition so canonical-member
     * selection cannot silently diverge between them).
