@@ -379,4 +379,31 @@ class PlanSpec extends SparkSpecBase {
       assert(l.contains("seg"), l)
     }
   }
+
+  test("q185/q197: reconcile and lift joins never go cartesian") {
+    Seq("q185_daily_reconcile", "q197_basket_lift").foreach { q =>
+      val plan = executed(q)
+      assert(!plan.contains("CartesianProduct"), s"$q: $plan")
+    }
+  }
+
+  test("q196/q199: histogram statistics carry no windows over raw rows") {
+    // q199 is pure two-level aggregation — no Window at all; q196's
+    // cumulative windows run on the (type, cents) histogram and must be
+    // event_type-partitioned
+    val p199 = executed("q199_supply_conc")
+    assert(!p199.contains("Window"), p199)
+    val p196 = executed("q196_value_quartiles")
+    p196.linesIterator.filter(_.contains("Window"))
+      .filter(_.trim.nonEmpty)
+      .foreach(l => assert(l.contains("event_type"), l))
+  }
+
+  test("q201: session assignment is ONE user-partitioned window chain") {
+    val plan = executed("q201_session_conversion")
+    plan.linesIterator.filter(_.contains("Window"))
+      .filter(_.trim.nonEmpty)
+      .foreach(l => assert(l.contains("user_id"), l))
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
 }
