@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{DedupOps, SimilarityOps}
+import graft.operators.{DedupOps, GraphOps, SimilarityOps}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Empirical scaling probe for the dedup, span-dup, and embedding
@@ -195,7 +195,31 @@ object ScalingBench {
       // shingle df profile (q193): one df aggregate over the shared
       // n-gram cache + an ~8-band rollup — should track the cache build
       Probe("q193_shingle_df", "documents",
-        SparkEntry.queries("q193_shingle_df")))
+        SparkEntry.queries("q193_shingle_df")),
+      // round-9 additions. q182 post-two-phase: the token-count pass is
+      // the only corpus-tracking stage; the rank window sees ONLY the
+      // top-max(budgets) frame (a constant), so the probe pins the curve
+      // staying linear as the suffix-synth vocabulary grows ~k×
+      Probe("q182_vocab_budget", "documents",
+        SparkEntry.queries("q182_vocab_budget")),
+      // graph family over the user-scaled events synth (users grow k×,
+      // item domain FIXED — the verdict-r8 probe). The per-user pair
+      // expansion is the corpus-tracking stage (C(items_u,2) rows per
+      // user); the wedge join runs on the support-filtered co-occurrence
+      // graph, whose edge set saturates at C(|items|,2) — so the whole
+      // pipeline should track users ~linearly, and a slope bending
+      // toward 2 would mean the pair stage (the capped one) went hot
+      Probe("q153_triangles", "events",
+        SparkEntry.queries("q153_triangles")),
+      Probe("q173_kcore", "events",
+        SparkEntry.queries("q173_kcore")),
+      Probe("q113_pagerank", "events",
+        SparkEntry.queries("q113_pagerank")),
+      // q200 post-scalar-total: the path build is one user_id shuffle;
+      // the entropy rollup is journey-cardinality-sized with the user
+      // total crossed in broadcast (no empty-partition window)
+      Probe("q200_journey_entropy", "events",
+        SparkEntry.queries("q200_journey_entropy")))
 
   /** Build k-times-scaled corpora from sf0.1 (documents AND embeddings).
     * Document copy c suffixes every token with a copy marker, so each
@@ -239,8 +263,54 @@ object ScalingBench {
         }
         ecopies.reduce(_ unionByName _).write.mode("overwrite").parquet(eout)
       }
+      // events copy c remaps users (and event ids) to fresh values but
+      // keeps item domain, timestamps, and per-user activity shape — the
+      // graph-family scale axis is MORE USERS over the SAME items: the
+      // per-user pair expansion grows k× while the support-filtered edge
+      // set saturates at C(|items|,2), exactly the dense-graph regime
+      // the degree-ordered wedge join must survive
+      val evout = s"$dir/events.parquet"
+      if (!graft.etl.HadoopIo.exists(spark, evout)) {
+        val evsrc = Tables.events(spark, "/root/testdata/sf0.1")
+        val evcopies = (0 until k).map { c =>
+          evsrc.select(
+            (col("event_id") * k + c).as("event_id"), col("ts"),
+            (col("user_id") * k + c).as("user_id"),
+            col("event_type"), col("value"), col("props"))
+        }
+        evcopies.reduce(_ unionByName _).write.mode("overwrite").parquet(evout)
+      }
       dir
     }
+  }
+
+  /** Hot-user cap fixture: sf0.1 events plus ONE synthetic bot account
+    * touching `hotItems` distinct items (far past the 500-item cap).
+    * Uncapped, that single user key emits C(hotItems,2) pair rows inside
+    * one task — the quadratic hot-key blow-up no salting can split;
+    * capped, it is bounded at C(cap,2) like everyone else. [[main]]
+    * times the triangle pipeline both ways and prints the ratio — the
+    * measured proof the [[graft.operators.EventOps.cappedUserItems]]
+    * guard flattens the curve.
+    */
+  private def hotUserDir(spark: SparkSession, base: String,
+      hotItems: Int): String = {
+    import org.apache.spark.sql.functions._
+    val dir = s"$base/hotuser"
+    val out = s"$dir/events.parquet"
+    if (!graft.etl.HadoopIo.exists(spark, out)) {
+      val evsrc = Tables.events(spark, "/root/testdata/sf0.1")
+      val hot = spark.range(hotItems.toLong).select(
+        (col("id") + 10000000L).as("event_id"),
+        to_timestamp(lit("2024-01-01 00:00:00")).as("ts"),
+        lit(9999999L).as("user_id"),
+        lit("view").as("event_type"),
+        lit(1.0).as("value"),
+        concat(lit("""{"k": """), (col("id") + 1000).cast("string"),
+          lit("}")).as("props"))
+      evsrc.unionByName(hot).write.mode("overwrite").parquet(out)
+    }
+    dir
   }
 
   def main(args: Array[String]): Unit = {
@@ -273,7 +343,7 @@ object ScalingBench {
 
     val nRows: Map[(String, String), Double] = (for {
       d <- allDirs
-      t <- Seq("documents", "embeddings")
+      t <- Seq("documents", "embeddings", "events")
     } yield (d, t) -> spark.read.parquet(s"$d/$t.parquet").count().toDouble).toMap
     embCounts = allDirs.map(d => d -> nRows(d -> "embeddings").toLong).toMap
 
@@ -321,9 +391,25 @@ object ScalingBench {
       s""""${p.name}":{"table":"${p.table}","sec":[${ts.map(t => f"$t%.2f").mkString(",")}],"slope":${f"$slope%.2f"}}"""
     }.mkString("{", ",", "}")
     val docsJson = allDirs.map(d =>
-      s""""$d":{"documents":${nRows(d -> "documents").toLong},"embeddings":${nRows(d -> "embeddings").toLong}}""")
+      s""""$d":{"documents":${nRows(d -> "documents").toLong},"embeddings":${nRows(d -> "embeddings").toLong},"events":${nRows(d -> "events").toLong}}""")
       .mkString("{", ",", "}")
     println(s"""{"metric":"family_scaling","n_rows":$docsJson,"probes":$json}""")
+    // hot-user cap A/B (synth mode only): same graph pipeline, one bot
+    // account with 5000 distinct items — capped vs effectively-uncapped
+    if (args.headOption.contains("synth") &&
+        selected.exists(_.table == "events")) {
+      val hd = hotUserDir(spark, "/tmp/graft-scale", hotItems = 5000)
+      val ev = Tables.events(spark, hd)
+      def timeCap(cap: Int): Double = Bench.median((1 to reps).map { _ =>
+        val t0 = System.nanoTime()
+        GraphOps.triangleCountOn(ev, userItemCap = cap)
+          .write.mode("overwrite").format("noop").save()
+        (System.nanoTime() - t0) / 1e9
+      })
+      val capped = timeCap(graft.operators.EventOps.DefaultUserItemCap)
+      val uncapped = timeCap(1000000)
+      println(f"""{"metric":"hot_user_cap","hot_items":5000,"capped_sec":$capped%.2f,"uncapped_sec":$uncapped%.2f,"ratio":${uncapped / capped}%.1f}""")
+    }
     spark.stop()
   }
 }

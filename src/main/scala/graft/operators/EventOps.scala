@@ -459,14 +459,20 @@ object EventOps {
     * the diversity complement of q134's top-k view. Integer path
     * counts; the entropy sum follows the q67 contract (float terms,
     * round AFTER summation, +0.0 for the single-path −0.0 case).
+    *
+    * Scale shape: the global user total rides in as a broadcast 1-row
+    * scalar (the house crossJoin pattern), NEVER an empty-partition
+    * window — distinct journeys approach user cardinality in the worst
+    * case, and an unpartitioned frame would funnel all of them through
+    * one task.
     */
   def journeyEntropy(spark: SparkSession, dir: String): DataFrame =
     journeyEntropyOn(Tables.events(spark, dir))
 
-  private[graft] def journeyEntropyOn(ev: DataFrame): DataFrame =
-    pathCountsOn(ev)
-      .withColumn("n", sum(col("n_users")).over(
-        org.apache.spark.sql.expressions.Window.partitionBy()))
+  private[graft] def journeyEntropyOn(ev: DataFrame): DataFrame = {
+    val pc = pathCountsOn(ev)
+    val tot = pc.agg(sum(col("n_users")).as("n"))
+    pc.crossJoin(broadcast(tot))
       .groupBy()
       .agg(max(col("n")).as("n_users"),
         count(lit(1)).as("n_paths"),
@@ -474,6 +480,7 @@ object EventOps {
           log(2.0, col("n_users") / col("n"))) + lit(0.0), 4)
           .as("entropy_bits"))
       .select(col("n_users"), col("n_paths"), col("entropy_bits"))
+  }
 
   /** Partition-stats manifest (q138): per event day — the natural write
     * partition — row count, user-key bounds, and type cardinality: the

@@ -924,11 +924,17 @@ object TextAnalysisOps {
     * sizing curve (the q116 coverage question swept over budgets, the
     * way q170 sweeps context lengths).
     *
-    * Scale shape: one token-count pass; the global rank window runs on
-    * the VOCABULARY frame (bounded by distinct tokens, not corpus
-    * rows — the q171 contract), and all budgets' conditional sums ride
-    * ONE aggregate, unpivoted by stack(). Parity: integer sums, rank
-    * tiebreak (cnt DESC, tok), one division + 6dp per row.
+    * Scale shape: one token-count pass. Coverage sums only need ranks
+    * ≤ max(budgets), so the top-max(budgets) tokens are taken via
+    * orderBy+limit (TakeOrderedAndProject: per-partition top-k, then a
+    * k·partitions merge) and the ONLY frame a global rank window ever
+    * sees is bounded by that CONSTANT — never the unbounded vocabulary
+    * (the q116 shape; vocabulary grows Heaps-law with the corpus, q127's
+    * own premise). `n_vocab`/`total_occ` ride a separate scalar agg,
+    * crossed in broadcast. All budgets' conditional sums ride ONE
+    * aggregate, unpivoted by stack(). Parity: integer sums, rank
+    * tiebreak (cnt DESC, tok — the same total order as the limit), one
+    * division + 6dp per row.
     */
   def vocabBudgetCurve(spark: SparkSession, dir: String,
       budgets: Seq[Int] = Seq(100, 500, 2000)): DataFrame =
@@ -937,16 +943,19 @@ object TextAnalysisOps {
   private[graft] def vocabBudgetCurveOn(docs: DataFrame,
       budgets: Seq[Int] = Seq(100, 500, 2000)): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val ranked = docs
+    val counts = docs
       .select(explode(Text.tokens(col("text"))).as("tok"))
       .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+    val totals = counts.agg(count(lit(1)).as("n_vocab"),
+      sum(col("cnt")).as("total_occ"))
+    val top = counts
+      .orderBy(col("cnt").desc, col("tok")).limit(budgets.max)
       .withColumn("rk", row_number().over(
         Window.orderBy(col("cnt").desc, col("tok"))))
-    val aggs =
-      Seq(count(lit(1)).as("n_vocab"), sum(col("cnt")).as("total_occ")) ++
-      budgets.map(v =>
-        sum(when(col("rk") <= v, col("cnt")).otherwise(0L)).as(s"cov_$v"))
-    val one = ranked.agg(aggs.head, aggs.tail: _*)
+    val aggs = budgets.map(v =>
+      sum(when(col("rk") <= v, col("cnt")).otherwise(0L)).as(s"cov_$v"))
+    val one = top.agg(aggs.head, aggs.tail: _*)
+      .crossJoin(broadcast(totals))
     val stackArgs = budgets.map(v => s"$v, cov_$v").mkString(", ")
     one
       .select(col("n_vocab"), col("total_occ"),

@@ -406,4 +406,28 @@ class PlanSpec extends SparkSpecBase {
       .foreach(l => assert(l.contains("user_id"), l))
     assert(!plan.contains("CartesianProduct"), plan)
   }
+
+  test("q200: entropy total is a broadcast scalar — no window anywhere") {
+    // the global user total must ride a crossJoin(broadcast(agg)) — a
+    // regression back to sum().over(Window.partitionBy()) would funnel
+    // the whole distinct-path frame through one task
+    val plan = executed("q200_journey_entropy")
+    assert(!plan.contains("Window"), plan)
+    val bnlj = plan.linesIterator.filter(_.contains("BroadcastNestedLoopJoin")).toSeq
+    assert(bnlj.nonEmpty && bnlj.forall(_.contains("Cross")), bnlj.mkString("\n"))
+  }
+
+  test("q182: the rank window only ever sees the top-max(budget) frame") {
+    val plan = executed("q182_vocab_budget")
+    // the bounded TakeOrdered limit must sit BELOW the rank window (a
+    // parent prints before its child), so the window frame is capped at
+    // the constant max(budgets) — never the full Heaps-law vocabulary
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    val wIdx = plan.indexOf("Window")
+    val tIdx = plan.indexOf("TakeOrderedAndProject")
+    assert(wIdx >= 0 && tIdx > wIdx,
+      s"window not above the bounded limit (wIdx=$wIdx tIdx=$tIdx):\n$plan")
+    // totals ride in as a broadcast 1-row scalar, not a second window pass
+    assert(plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
 }
