@@ -412,10 +412,7 @@ object TextAnalysisOps {
         .persist())
     val probes = toks.groupBy(col("tok")).agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("tok")).limit(k)
-    val bucketAt = (i: Int) =>
-      (expr(s"(instr('0123456789abcdef', substring(md5(concat(tok, '_', $i)), 1, 1)) - 1)") * lit(256)
-        + expr(s"(instr('0123456789abcdef', substring(md5(concat(tok, '_', $i)), 2, 1)) - 1)") * lit(16)
-        + expr(s"(instr('0123456789abcdef', substring(md5(concat(tok, '_', $i)), 3, 1)) - 1)")) % lit(w)
+    val bucketAt = (i: Int) => cmsBucketAt(i, w)
     val est = (0 until d)
       .map(i => element_at(col("cells"), (lit(i * w) + bucketAt(i) + lit(1)).cast("int")))
       .reduceLeft((a, b) => least(a, b))
@@ -427,6 +424,17 @@ object TextAnalysisOps {
 
   private val cmsSketchCache =
     SessionCaches.newCache[(SparkSession, String, Int, Int)]()
+
+  /** Row `i`'s CMS bucket for the token in column `tok` — the
+    * relational mirror of [[graft.functions.CountMinAggregator]]'s
+    * md5 bucket rule (first 3 hex chars of md5(tok + "_" + i) mod w),
+    * shared by the q90 probe side and the windowed streaming sketch
+    * ([[graft.streaming.SketchStream.cmsDailyCells]]).
+    */
+  private[graft] def cmsBucketAt(i: Int, w: Int): Column =
+    (expr(s"(instr('0123456789abcdef', substring(md5(concat(tok, '_', $i)), 1, 1)) - 1)") * lit(256)
+      + expr(s"(instr('0123456789abcdef', substring(md5(concat(tok, '_', $i)), 2, 1)) - 1)") * lit(16)
+      + expr(s"(instr('0123456789abcdef', substring(md5(concat(tok, '_', $i)), 3, 1)) - 1)")) % lit(w)
 
   /** Hashed-bag-of-words linear classifier scoring (q83) — the
     * model-inference-at-scale shape every corpus-quality pipeline runs

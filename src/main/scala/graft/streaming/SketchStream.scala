@@ -48,4 +48,55 @@ object SketchStream {
       .select(new CountMinAggregator(d, w).toColumn)
       .toDF("cells", "total")
   }
+
+  /** Watermarked per-day sparse CMS cells over an events frame's item
+    * keys (`props.$.k`) — the live item-frequency sketch, one grid per
+    * event-time day. Same md5 bucket rule as the q90 sketch
+    * ([[graft.operators.TextAnalysisOps.cmsBucketAt]]), in the SPARSE
+    * `(day, row, col, cnt)` representation: cell sums are pure
+    * commutative counts, so the grid is microbatch-placement-exact,
+    * and keying by the event-time window lets the state store EVICT
+    * closed days once the watermark passes — bounded state where the
+    * global [[cmsStream]] grid lives forever.
+    *
+    * Late-data contract: rows behind the watermark are DROPPED — an
+    * evicted day's grid is immutable, so a straggler can never bump a
+    * published cell. SketchStreamSpec feeds a late fixture and pins
+    * both dispositions against the unwatermarked batch cells.
+    */
+  def cmsDailyCells(events: DataFrame, delay: String = "1 day",
+      d: Int = 4, w: Int = 64): DataFrame = {
+    import graft.operators.TextAnalysisOps
+    val buckets = array((0 until d).map(i =>
+      TextAnalysisOps.cmsBucketAt(i, w).cast("int")): _*)
+    events
+      .withWatermark("ts", delay)
+      .select(col("ts"),
+        get_json_object(col("props"), "$.k").as("tok"))
+      .filter(col("tok").isNotNull)
+      .select(window(col("ts"), "1 day").as("wnd"),
+        posexplode(buckets).as(Seq("r", "c")))
+      .groupBy(col("wnd"), col("r"), col("c"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("wnd.start").cast("date").as("day"), col("r"),
+        col("c"), col("cnt"))
+  }
+
+  /** The unwatermarked batch reference for [[cmsDailyCells]] over the
+    * identical rows — every row counts, however late it arrived.
+    */
+  def cmsDailyCellsBatch(events: DataFrame, d: Int = 4,
+      w: Int = 64): DataFrame = {
+    import graft.operators.TextAnalysisOps
+    val buckets = array((0 until d).map(i =>
+      TextAnalysisOps.cmsBucketAt(i, w).cast("int")): _*)
+    events
+      .select(col("ts"),
+        get_json_object(col("props"), "$.k").as("tok"))
+      .filter(col("tok").isNotNull)
+      .select(to_date(col("ts")).as("day"),
+        posexplode(buckets).as(Seq("r", "c")))
+      .groupBy(col("day"), col("r"), col("c"))
+      .agg(count(lit(1)).as("cnt"))
+  }
 }
