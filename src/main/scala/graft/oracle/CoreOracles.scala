@@ -1,0 +1,773 @@
+package graft.oracle
+
+import OracleCtes._
+
+/** DuckDB oracle SQL — relational core: TPC-H-ish aggregates, joins, windows, set ops, layout (z-order/bucketed), DQ profiles. One entry per SparkEntry.queries
+  * key in this family; strings byte-identical to the pre-split
+  * SparkEntry registry (round-9 reviewability split).
+  */
+private[graft] object CoreOracles {
+  val sql: Map[String, String] = Map(
+    "q01_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+         round(sum(l_quantity), 2) AS sum_qty,
+         round(sum(l_extendedprice), 2) AS sum_base_price,
+         round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+         round(avg(l_quantity), 4) AS avg_qty,
+         count(*) AS count_order
+         FROM lineitem GROUP BY l_returnflag, l_linestatus
+         ORDER BY l_returnflag, l_linestatus""",
+    "q02_top_nations" ->
+      """SELECT n_name, count(*) AS order_cnt,
+         round(sum(o_totalprice), 2) AS total_spend
+         FROM orders JOIN customer ON o_custkey = c_custkey
+         JOIN nation ON c_nationkey = n_nationkey
+         GROUP BY n_name ORDER BY order_cnt DESC, n_name LIMIT 5""",
+    "q03_union_all" ->
+      """SELECT l_returnflag, count(*) AS cnt, round(sum(l_quantity), 2) AS qty
+         FROM (
+           SELECT l_returnflag, l_quantity FROM lineitem WHERE l_orderkey % 2 = 0
+           UNION ALL
+           SELECT l_returnflag, l_quantity FROM lineitem WHERE l_orderkey % 2 = 1
+         ) GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "q04_union_by_name" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS cnt,
+         round(sum(l_extendedprice), 2) AS price
+         FROM (
+           SELECT l_returnflag, l_linestatus, l_extendedprice FROM lineitem WHERE l_linenumber <= 3
+           UNION ALL
+           SELECT l_returnflag, l_linestatus, l_extendedprice FROM lineitem WHERE l_linenumber > 3
+         ) GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""",
+    "q05_project_cast" ->
+      """SELECT CAST(CAST(o_orderkey AS INT) AS VARCHAR) AS order_id,
+         CAST(CAST(o_orderkey * 1000000 + o_custkey AS BIGINT) AS VARCHAR) AS admission_id,
+         CAST(trunc(o_totalprice) AS INT) AS price_int,
+         CAST(o_orderdate AS DATE) AS order_date
+         FROM orders ORDER BY CAST(order_id AS BIGINT)""",
+    "q06_filter_notnull" ->
+      """SELECT event_type, count(*) AS cnt, round(sum(maybe_value), 2) AS sum_value
+         FROM (SELECT event_type,
+                 CASE WHEN value >= 1.0 THEN value END AS maybe_value
+               FROM events)
+         WHERE maybe_value IS NOT NULL AND event_type <> 'error'
+         GROUP BY event_type ORDER BY event_type""",
+    "q07_filter_eq" ->
+      """SELECT c_custkey, c_name, round(c_acctbal, 2) AS acctbal
+         FROM customer WHERE c_mktsegment = 'BUILDING' ORDER BY c_custkey""",
+    "q08_case_like_split" ->
+      """SELECT c_custkey,
+         CASE WHEN c_name LIKE 'Customer#%' THEN split_part(c_name, '#', 2) END AS name_digits
+         FROM customer ORDER BY c_custkey""",
+    "q09_dates_dim" ->
+      """SELECT order_date,
+         CAST(year(order_date) AS INT) AS year,
+         CAST(month(order_date) AS INT) AS month,
+         CAST(day(order_date) AS INT) AS day,
+         CAST(dayofweek(order_date) + 1 AS INT) AS dayofweek,
+         CASE WHEN dayofweek(order_date) + 1 IN (1, 7) THEN 'weekend' ELSE 'weekday' END AS is_weekend
+         FROM (SELECT DISTINCT CAST(o_orderdate AS DATE) AS order_date FROM orders)
+         ORDER BY order_date""",
+    "q10_distinct" ->
+      """SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+         ORDER BY l_returnflag, l_linestatus""",
+    "q11_dedup_rows" ->
+      """SELECT DISTINCT l_returnflag, l_linestatus, l_quantity FROM lineitem
+         ORDER BY l_returnflag, l_linestatus, l_quantity""",
+    "q12_minmax" ->
+      """SELECT CAST(min(o_orderdate) AS DATE) AS min_date,
+         CAST(max(o_orderdate) AS DATE) AS max_date,
+         round(min(o_totalprice), 2) AS min_price,
+         round(max(o_totalprice), 2) AS max_price,
+         count(*) AS n FROM orders""",
+    "q13_null_counts" ->
+      """SELECT count(CASE WHEN v IS NULL OR isnan(v) THEN 1 END) AS null_v,
+         count(CASE WHEN p IS NULL THEN 1 END) AS null_p,
+         count(CASE WHEN user_id IS NULL THEN 1 END) AS null_user,
+         count(*) AS total
+         FROM (SELECT user_id,
+                 CASE WHEN value < 2.0 THEN NULL ELSE value END AS v,
+                 CASE WHEN event_type = 'error' THEN NULL ELSE props END AS p
+               FROM events)""",
+    "q14_topk_freq" ->
+      """SELECT event_type, count(*) AS cnt FROM events
+         GROUP BY event_type ORDER BY cnt DESC, event_type LIMIT 3""",
+    "q15_count_distinct" ->
+      """SELECT count(DISTINCT o_custkey) AS n_custs,
+         count(DISTINCT o_orderpriority) AS n_priorities,
+         count(*) AS n_orders FROM orders""",
+    "q16_null_rate" ->
+      """SELECT round(count(CASE WHEN v IS NULL THEN 1 END) * 100.0 / count(*), 4) AS pct_v,
+         round(count(CASE WHEN props IS NULL THEN 1 END) * 100.0 / count(*), 4) AS pct_props
+         FROM (SELECT props,
+                 CASE WHEN value < 5.0 THEN NULL ELSE value END AS v
+               FROM events)""",
+    "q17_join_left" ->
+      """SELECT n_name, count(c_custkey) AS n_customers,
+         round(sum(coalesce(c_acctbal, 0.0)), 2) AS total_bal
+         FROM nation LEFT JOIN customer ON n_nationkey = c_nationkey
+         GROUP BY n_name ORDER BY n_name""",
+    "q18_semi_join" ->
+      """SELECT c_custkey, c_mktsegment FROM customer
+         WHERE EXISTS (SELECT 1 FROM orders
+                       WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+         ORDER BY c_custkey""",
+    "q19_anti_join" ->
+      """SELECT c_custkey, c_name FROM customer
+         WHERE NOT EXISTS (SELECT 1 FROM orders
+                           WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+         ORDER BY c_custkey""",
+    "q20_window_rank" ->
+      """SELECT c_nationkey, c_custkey, spend, rk FROM (
+           SELECT c_nationkey, c_custkey, spend,
+             CAST(row_number() OVER (PARTITION BY c_nationkey
+                  ORDER BY spend DESC, c_custkey) AS INT) AS rk
+           FROM (SELECT c_nationkey, c_custkey,
+                   round(sum(o_totalprice), 2) AS spend
+                 FROM orders JOIN customer ON o_custkey = c_custkey
+                 GROUP BY c_nationkey, c_custkey))
+         WHERE rk <= 3 ORDER BY c_nationkey, rk""",
+    "q21_row_number" ->
+      """SELECT o_orderkey, price, CAST(row_number() OVER (ORDER BY o_orderkey) AS INT) AS trip_id
+         FROM (SELECT o_orderkey, round(o_totalprice, 2) AS price
+               FROM orders WHERE o_totalprice > 490000.0)
+         ORDER BY o_orderkey""",
+    "q22_sas_date" ->
+      """SELECT sas_date, count(*) AS cnt
+         FROM (SELECT DATE '1960-01-01' + CAST(l_orderkey % 20000 AS INT) AS sas_date
+               FROM lineitem)
+         GROUP BY sas_date ORDER BY sas_date LIMIT 100""",
+    "q23_flex_date" ->
+      """SELECT parsed, count(*) AS cnt FROM (
+           SELECT CAST(coalesce(try_strptime(s, '%Y%m%d'), try_strptime(s, '%m%d%Y')) AS DATE) AS parsed
+           FROM (SELECT CASE WHEN o_orderkey % 3 = 0 THEN strftime(o_orderdate, '%Y%m%d')
+                             WHEN o_orderkey % 3 = 1 THEN strftime(o_orderdate, '%m%d%Y')
+                             ELSE 'D/S' END AS s
+                 FROM orders))
+         GROUP BY parsed ORDER BY parsed ASC NULLS FIRST""",
+    "q24_port_split" ->
+      """SELECT upper(trim(regexp_replace(port, ',[^,]*$', ''))) AS city,
+         upper(trim(regexp_extract(port, '([^,]+)$', 1))) AS state
+         FROM (SELECT n_name || ', ' || r_name AS port
+               FROM nation JOIN region ON n_regionkey = r_regionkey)
+         ORDER BY city, state""",
+    "q25_events_daily" ->
+      """SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,
+         count(*) AS cnt, round(sum(value), 2) AS sum_value
+         FROM events GROUP BY 1, 2 ORDER BY day, event_type""",
+    "q26_avg_delay" ->
+      """SELECT o_orderpriority,
+         round(avg(date_diff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE))), 4) AS avg_delay_days,
+         count(*) AS n_lines
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+    // --- extensions. Norm = lower/trim/collapse-whitespace, identical on
+    // both sides (DuckDB regexp_replace needs the 'g' flag to match
+    // Spark's replace-all).
+    "q42_approx_distinct" ->
+      """SELECT count(DISTINCT l_orderkey) AS exact_orders,
+           count(DISTINCT l_partkey) AS exact_parts,
+           count(*) AS n_rows,
+           CAST(1 AS INT) AS orders_within_bound,
+           CAST(1 AS INT) AS parts_within_bound
+         FROM lineitem""",
+    "q47_json_extract" ->
+      """SELECT event_type, count(k) AS n_with_k,
+           CAST(sum(k) AS BIGINT) AS sum_k,
+           CAST(min(k) AS INT) AS min_k, CAST(max(k) AS INT) AS max_k
+         FROM (SELECT event_type,
+                 CAST(json_extract_string(props, '$.k') AS INT) AS k
+               FROM events)
+         GROUP BY event_type ORDER BY event_type""",
+    "q48_running_total" ->
+      """SELECT o_custkey, o_orderkey, order_date, price,
+           round(sum(price) OVER (PARTITION BY o_custkey
+             ORDER BY order_date, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_spend,
+           CAST(date_diff('day',
+             lag(order_date, 1) OVER (PARTITION BY o_custkey
+               ORDER BY order_date, o_orderkey),
+             order_date) AS INT) AS days_since_prev
+         FROM (SELECT o_custkey, o_orderkey,
+                 CAST(o_orderdate AS DATE) AS order_date,
+                 round(o_totalprice, 2) AS price
+               FROM orders WHERE o_custkey % 100 = 0)
+         ORDER BY o_custkey, order_date, o_orderkey""",
+    "q49_asof_join" ->
+      """WITH e AS (SELECT event_id, user_id AS k,
+             CAST(DATE '1995-01-01' + CAST(event_id % 2400 AS INT) AS TIMESTAMP) AS t
+           FROM events WHERE user_id < 20),
+         o AS (SELECT o_custkey AS k, o_orderdate AS t, max(o_orderkey) AS o_orderkey
+           FROM orders WHERE o_custkey < 20 GROUP BY 1, 2)
+         SELECT e.event_id, e.k AS user_id, CAST(e.t AS DATE) AS event_date,
+           o.o_orderkey
+         FROM e ASOF LEFT JOIN o ON e.k = o.k AND e.t >= o.t
+         ORDER BY event_id""",
+    "q50_range_join" ->
+      """WITH e AS (SELECT event_id, user_id AS k,
+             CAST(DATE '1995-01-01' + CAST(event_id % 2400 AS INT) AS TIMESTAMP) AS t
+           FROM events WHERE user_id < 20),
+         o AS (SELECT o_custkey AS k, o_orderkey,
+             o_orderdate - INTERVAL 3 DAY AS w_start,
+             o_orderdate + INTERVAL 3 DAY AS w_end
+           FROM orders WHERE o_custkey < 20)
+         SELECT e.k AS user_id, count(*) AS n_pairs,
+           count(DISTINCT o_orderkey) AS n_orders
+         FROM e JOIN o ON e.k = o.k AND e.t BETWEEN o.w_start AND o.w_end
+         GROUP BY e.k ORDER BY user_id""",
+    "q52_key_skew" ->
+      """WITH pk AS (SELECT l_suppkey, count(*) AS n FROM lineitem GROUP BY 1),
+         tot AS (SELECT sum(n) * 1.0 / count(*) AS avg_n FROM pk)
+         SELECT count(*) AS n_keys, CAST(sum(n) AS BIGINT) AS n_rows,
+           CAST(max(n) AS BIGINT) AS max_key_rows,
+           round(any_value(avg_n), 4) AS avg_key_rows,
+           count(CASE WHEN n > 2 * avg_n THEN 1 END) AS n_hot_keys,
+           round(max(n) / any_value(avg_n), 4) AS max_over_avg
+         FROM pk, tot""",
+    "q54_rollup" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS cnt,
+           round(sum(l_quantity), 2) AS qty
+         FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+         ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""",
+    "q55_pivot" ->
+      """SELECT o_orderpriority,
+           count(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS n_f,
+           count(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS n_o,
+           count(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS n_p
+         FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+    "q56_percentiles" ->
+      """SELECT o_orderpriority,
+           round(quantile_cont(o_totalprice, 0.5), 2) AS p50,
+           round(quantile_cont(o_totalprice, 0.9), 2) AS p90,
+           round(quantile_cont(o_totalprice, 0.99), 2) AS p99,
+           count(*) AS n
+         FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+    "q58_sessions_batch" ->
+      ("WITH " + sessionsCte + """
+         SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+           session_start, session_end, n_events
+         FROM sess ORDER BY user_id, session_seq"""),
+    "q74_quantile_sketch" ->
+      """WITH ranked AS (
+           SELECT lang, n_chars,
+             row_number() OVER (PARTITION BY lang
+               ORDER BY n_chars, doc_id) AS rk,
+             count(*) OVER (PARTITION BY lang) AS n
+           FROM documents)
+         SELECT lang, CAST(max(n) AS BIGINT) AS n_docs,
+           CAST(max(CASE WHEN rk = CAST(ceil(0.25 * n) AS INT)
+             THEN n_chars END) AS BIGINT) AS p25,
+           CAST(max(CASE WHEN rk = CAST(ceil(0.50 * n) AS INT)
+             THEN n_chars END) AS BIGINT) AS p50,
+           CAST(max(CASE WHEN rk = CAST(ceil(0.75 * n) AS INT)
+             THEN n_chars END) AS BIGINT) AS p75,
+           CAST(1 AS INT) AS approx_ok
+         FROM ranked GROUP BY lang ORDER BY lang""",
+    // q89: BM25 retrieval — corpus stats are exact ints (avgdl enters as
+    // one deterministic division), every FP constant appears as the SAME
+    // literal expression both engines constant-fold identically
+    // (1.2 + 1.0, 1.0 - 0.75 + 0.75 * norm), idf rounds 6dp at its stage
+    // boundary, and the per-(query, doc) score is a fixed-order
+    // c1 + c2 + … fold over term-rank slots — never a shuffled float
+    // sum. The operating point (nQueries/nTerms/k) and the slot list are
+    // interpolated from RetrievalOps' constants — the SAME values that
+    // parameterize bm25TopK's defaults — so implementation and oracle
+    // cannot silently diverge on nTerms (raw interpolator: \s must
+    // survive verbatim).
+    "q108_ship_priority" ->
+      """SELECT o_orderkey, CAST(o_orderdate AS DATE) AS order_date,
+           o_orderpriority,
+           round(CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+             * (100 - CAST(round(l_discount * 100, 0) AS BIGINT)))
+             AS DOUBLE) / 10000.0, 2) AS revenue
+         FROM lineitem
+         JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         WHERE c_mktsegment = 'BUILDING'
+           AND o_orderdate < TIMESTAMP '1998-01-01'
+           AND l_shipdate > TIMESTAMP '1998-01-01'
+         GROUP BY 1, 2, 3
+         ORDER BY revenue DESC, o_orderkey LIMIT 10""",
+    // q109: TPC-H Q5 shape — supplier-local revenue per nation in one
+    // region/year; same exact integer revenue quantization
+    "q109_regional_revenue" ->
+      """SELECT n_name,
+           round(CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+             * (100 - CAST(round(l_discount * 100, 0) AS BIGINT)))
+             AS DOUBLE) / 10000.0, 2) AS revenue
+         FROM lineitem
+         JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         JOIN supplier ON l_suppkey = s_suppkey
+           AND c_nationkey = s_nationkey
+         JOIN nation ON s_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         WHERE r_name = 'ASIA'
+           AND o_orderdate >= TIMESTAMP '1996-01-01'
+           AND o_orderdate < TIMESTAMP '1997-01-01'
+         GROUP BY 1 ORDER BY revenue DESC, n_name""",
+    // q110: rolling 7-day active users — the sliding DISTINCT expressed
+    // as a ≤7-day fan-out then plain per-day distinct counts; integer
+    // day arithmetic, one 4dp division
+    "q125_ri_profile" ->
+      """SELECT * FROM (
+           SELECT 'customer->nation' AS edge,
+             (SELECT count(*) FROM customer) AS n_child,
+             (SELECT count(*) FROM customer c WHERE NOT EXISTS
+               (SELECT 1 FROM nation n WHERE c.c_nationkey = n.n_nationkey))
+               AS n_orphans
+           UNION ALL SELECT 'lineitem->orders',
+             (SELECT count(*) FROM lineitem),
+             (SELECT count(*) FROM lineitem l WHERE NOT EXISTS
+               (SELECT 1 FROM orders o WHERE l.l_orderkey = o.o_orderkey))
+           UNION ALL SELECT 'lineitem->part',
+             (SELECT count(*) FROM lineitem),
+             (SELECT count(*) FROM lineitem l WHERE NOT EXISTS
+               (SELECT 1 FROM part p WHERE l.l_partkey = p.p_partkey))
+           UNION ALL SELECT 'lineitem->supplier',
+             (SELECT count(*) FROM lineitem),
+             (SELECT count(*) FROM lineitem l WHERE NOT EXISTS
+               (SELECT 1 FROM supplier s WHERE l.l_suppkey = s.s_suppkey))
+           UNION ALL SELECT 'nation->region',
+             (SELECT count(*) FROM nation),
+             (SELECT count(*) FROM nation n WHERE NOT EXISTS
+               (SELECT 1 FROM region r WHERE n.n_regionkey = r.r_regionkey))
+           UNION ALL SELECT 'orders->customer',
+             (SELECT count(*) FROM orders),
+             (SELECT count(*) FROM orders o WHERE NOT EXISTS
+               (SELECT 1 FROM customer c WHERE o.o_custkey = c.c_custkey))
+           UNION ALL SELECT 'supplier->nation',
+             (SELECT count(*) FROM supplier),
+             (SELECT count(*) FROM supplier s WHERE NOT EXISTS
+               (SELECT 1 FROM nation n WHERE s.s_nationkey = n.n_nationkey))
+         ) ORDER BY edge""",
+    // q126: per-user lag under the (ts, event_id) total order, then the
+    // |types|² transition rollup; p = exact integer ratio, 6dp round
+    "q130_dense_ids" ->
+      """SELECT vec_id,
+           CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS dense_id
+         FROM embeddings ORDER BY vec_id""",
+    // q131: six exact HUGEINT moments (cents fixed-point), closed forms
+    // with one cast/sqrt/division/round per output; `+ 0.0` normalizes
+    // any negative-tiny rounding to +0.0 (PARITY.md hazard 2)
+    "q131_exact_ols" ->
+      """WITH b AS (SELECT l_returnflag,
+             CAST(round(l_quantity * 100) AS HUGEINT) AS x,
+             CAST(round(l_extendedprice * 100) AS HUGEINT) AS y
+           FROM lineitem),
+         m AS (SELECT l_returnflag, CAST(count(*) AS HUGEINT) AS n,
+             sum(x) AS sx, sum(y) AS sy, sum(x*y) AS sxy,
+             sum(x*x) AS sxx, sum(y*y) AS syy
+           FROM b GROUP BY 1)
+         SELECT l_returnflag, CAST(n AS BIGINT) AS n,
+           round((n*sxy - sx*sy)::DOUBLE / (n*sxx - sx*sx)::DOUBLE, 6) + 0.0
+             AS slope,
+           round((sy*sxx - sx*sxy)::DOUBLE / (n*sxx - sx*sx)::DOUBLE, 6) + 0.0
+             AS intercept,
+           round((n*sxy - sx*sy)::DOUBLE /
+             (sqrt((n*sxx - sx*sx)::DOUBLE) * sqrt((n*syy - sy*sy)::DOUBLE)),
+             6) + 0.0 AS r
+         FROM m ORDER BY l_returnflag""",
+    // q132: Morton interleave in pure bit arithmetic (62 shift/mask
+    // terms, generated; 31 bits/dim so 2^31-1 keys never alias);
+    // coarse z-ranges profiled by 2-D key bounds
+    "q132_zorder_layout" ->
+      s"""WITH z AS (SELECT l_partkey, l_suppkey,
+             ($mortonSql) AS z
+           FROM lineitem)
+         SELECT z // 16384 AS zrange, count(*) AS n_rows,
+           CAST(min(l_partkey) AS BIGINT) AS min_part,
+           CAST(max(l_partkey) AS BIGINT) AS max_part,
+           CAST(min(l_suppkey) AS BIGINT) AS min_supp,
+           CAST(max(l_suppkey) AS BIGINT) AS max_supp
+         FROM z GROUP BY 1 ORDER BY zrange""",
+    // q133: customer -> orders -> lineitem cascade counts via IN-chains
+    // (the semi-join shape); integers only
+    "q133_delete_cascade" ->
+      """SELECT * FROM (
+           SELECT 'customer' AS tbl, count(*) AS n_rows,
+             count(DISTINCT c_custkey) AS n_keys
+           FROM customer WHERE c_custkey % 97 = 0
+           UNION ALL
+           SELECT 'lineitem', count(*), count(DISTINCT l_orderkey)
+           FROM lineitem WHERE l_orderkey IN
+             (SELECT o_orderkey FROM orders WHERE o_custkey IN
+               (SELECT c_custkey FROM customer WHERE c_custkey % 97 = 0))
+           UNION ALL
+           SELECT 'orders', count(*), count(DISTINCT o_custkey)
+           FROM orders WHERE o_custkey IN
+             (SELECT c_custkey FROM customer WHERE c_custkey % 97 = 0)
+         ) ORDER BY tbl""",
+    // q134: per-user ordered path signature (string_agg under the
+    // (ts, event_id) total order ≙ Spark's sort_array'd struct list),
+    // then the top-k journeys with a total tie order
+    "q143_zorder_pruning" ->
+      (s"""WITH z AS (SELECT l_partkey, l_suppkey,
+             ($mortonSql) AS z
+           FROM lineitem),
+         pr AS (SELECT z // 16384 AS zrange,
+             min(l_partkey) AS min_part, max(l_partkey) AS max_part,
+             min(l_suppkey) AS min_supp, max(l_suppkey) AS max_supp
+           FROM z GROUP BY 1),
+         f AS (SELECT
+             NOT (max_part < 100 OR min_part > 159) AS tp,
+             NOT (max_supp < 10 OR min_supp > 19) AS ts
+           FROM pr)
+         SELECT * FROM (
+           SELECT 'part_100_159' AS predicate, count(*) AS n_ranges,
+             CAST(sum(CASE WHEN tp THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_touched,
+             round(sum(CASE WHEN tp THEN 1 ELSE 0 END)::DOUBLE /
+               count(*), 4) AS selectivity
+           FROM f
+           UNION ALL SELECT 'part_and_supp', count(*),
+             CAST(sum(CASE WHEN tp AND ts THEN 1 ELSE 0 END) AS BIGINT),
+             round(sum(CASE WHEN tp AND ts THEN 1 ELSE 0 END)::DOUBLE /
+               count(*), 4)
+           FROM f
+           UNION ALL SELECT 'supp_10_19', count(*),
+             CAST(sum(CASE WHEN ts THEN 1 ELSE 0 END) AS BIGINT),
+             round(sum(CASE WHEN ts THEN 1 ELSE 0 END)::DOUBLE /
+               count(*), 4)
+           FROM f
+         ) ORDER BY predicate"""),
+    // q144: q121's pairs rescored on token multisets — Σmin/Σmax over
+    // occurrence counts; integers + one division/round per pair
+    "q148_bucketed_join" ->
+      """SELECT o_orderpriority, count(*) AS n_items,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+         FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+         GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+    // q149: RFM log2 bands — integer cents, bin()-length bands, one
+    // user-keyed agg + 1-row corpus max
+    "q158_market_share" ->
+      """WITH asia_cust AS (
+           SELECT c_custkey FROM customer
+           JOIN nation ON c_nationkey = n_nationkey
+           JOIN region ON n_regionkey = r_regionkey
+           WHERE r_name = 'ASIA'),
+         f AS (SELECT year(o_orderdate) AS o_year,
+             CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+               * (100 - CAST(round(l_discount * 100, 0) AS BIGINT)) AS rev_cp,
+             sn.n_name AS supp_nation
+           FROM lineitem
+           JOIN orders ON l_orderkey = o_orderkey
+           JOIN asia_cust ON o_custkey = c_custkey
+           JOIN supplier ON l_suppkey = s_suppkey
+           JOIN nation sn ON s_nationkey = sn.n_nationkey)
+         SELECT o_year,
+           round(CAST(sum(rev_cp) AS DOUBLE) / 10000.0, 2) AS total_revenue,
+           round(CAST(sum(CASE WHEN supp_nation = 'NATION_2' THEN rev_cp
+               ELSE 0 END) AS DOUBLE) / CAST(sum(rev_cp) AS DOUBLE), 6)
+             AS mkt_share
+         FROM f GROUP BY o_year ORDER BY o_year""",
+    // q159: TPC-H Q10 shape — top-20 customers by returned revenue in
+    // order-year 1997; aggregate before the dim joins
+    "q159_returned_rev" ->
+      """WITH pc AS (SELECT o_custkey,
+             sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+               * (100 - CAST(round(l_discount * 100, 0) AS BIGINT))) AS rev_cp,
+             count(*) AS n_lines
+           FROM lineitem
+           JOIN orders ON l_orderkey = o_orderkey
+           WHERE l_returnflag = 'R'
+             AND o_orderdate >= TIMESTAMP '1997-01-01'
+             AND o_orderdate < TIMESTAMP '1998-01-01'
+           GROUP BY o_custkey)
+         SELECT c_custkey, c_name, n_name, n_lines,
+           round(CAST(rev_cp AS DOUBLE) / 10000.0, 2) AS returned_revenue
+         FROM pc
+         JOIN customer ON o_custkey = c_custkey
+         JOIN nation ON c_nationkey = n_nationkey
+         ORDER BY returned_revenue DESC, c_custkey LIMIT 20""",
+    // q160: TPC-H Q14 shape — monthly PROMO revenue percentage over
+    // ship-year 1997; one aggregate carries both sums
+    "q160_promo_share" ->
+      """WITH f AS (SELECT month(l_shipdate) AS ship_month,
+             CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+               * (100 - CAST(round(l_discount * 100, 0) AS BIGINT)) AS rev_cp,
+             CASE WHEN p_type = 'PROMO' THEN 1 ELSE 0 END AS is_promo
+           FROM lineitem JOIN part ON l_partkey = p_partkey
+           WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+             AND l_shipdate < TIMESTAMP '1998-01-01')
+         SELECT ship_month,
+           round(CAST(sum(CASE WHEN is_promo = 1 THEN rev_cp ELSE 0 END)
+               AS DOUBLE) * 100.0 / CAST(sum(rev_cp) AS DOUBLE), 4)
+             AS promo_pct
+         FROM f GROUP BY ship_month ORDER BY ship_month""",
+    // q161: TPC-H Q17 shape — per-brand revenue of lines under 20% of
+    // the part's average quantity; integer cross-multiplied threshold
+    // (5·qty·cnt < sum_qty) so no float boundary
+    "q161_small_qty" ->
+      """WITH li AS (SELECT l_partkey,
+             CAST(round(l_quantity, 0) AS BIGINT) AS qty_i,
+             CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+               * (100 - CAST(round(l_discount * 100, 0) AS BIGINT)) AS rev_cp
+           FROM lineitem),
+         st AS (SELECT l_partkey AS sp_partkey, sum(qty_i) AS sum_qty,
+             count(*) AS cnt_qty
+           FROM li GROUP BY 1)
+         SELECT p_brand, count(*) AS n_small_lines,
+           round(CAST(sum(rev_cp) AS DOUBLE) / 10000.0, 2)
+             AS small_qty_revenue
+         FROM li
+         JOIN st ON l_partkey = sp_partkey
+         JOIN part ON l_partkey = p_partkey
+         WHERE qty_i * 5 * cnt_qty < sum_qty
+         GROUP BY p_brand ORDER BY p_brand""",
+    // q162: TTR bands — integer band rule min(9, 10·d/t), micro-avg
+    // ratio from exact integer sums
+    "q169_basket_bands" ->
+      """WITH po AS (SELECT l_orderkey, count(*) AS n_lines,
+             sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+               * (100 - CAST(round(l_discount * 100, 0) AS BIGINT)))
+               AS rev_cp
+           FROM lineitem GROUP BY 1)
+         SELECT n_lines, count(*) AS n_orders,
+           round(CAST(sum(rev_cp) AS DOUBLE) / 10000.0, 2) AS revenue
+         FROM po GROUP BY n_lines ORDER BY n_lines""",
+    // q170: truncation loss at three context lengths — one aggregate
+    // carries every length's kept/over sums; the oracle unpivots by
+    // UNION ALL over the same single-row aggregate
+    "q174_session_stats" ->
+      ("WITH " + sessionsCte + """
+         SELECT n_events, count(*) AS n_sessions,
+           CAST(sum(epoch_us(session_end) - epoch_us(session_start))
+             AS BIGINT) AS sum_duration_us,
+           round(CAST(sum(epoch_us(session_end) - epoch_us(session_start))
+               AS DOUBLE) / count(*) / 1000000.0, 6) AS avg_duration_s
+         FROM sess GROUP BY n_events ORDER BY n_events"""),
+    // q175: exact integer median/MAD per segment — doubled-unit rank
+    // picks on the value HISTOGRAM, outliers via 2·dev > 3·mad4
+    "q175_mad_outliers" ->
+      """WITH seg AS (SELECT c_mktsegment AS seg,
+             CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents
+           FROM orders JOIN customer ON o_custkey = c_custkey),
+         h AS (SELECT seg, cents, count(*) AS cnt FROM seg GROUP BY 1, 2),
+         c AS (SELECT seg, cents, cnt,
+             sum(cnt) OVER (PARTITION BY seg ORDER BY cents) AS cum,
+             sum(cnt) OVER (PARTITION BY seg) AS n FROM h),
+         m AS (SELECT seg, min(n) AS n,
+             CAST(min(CASE WHEN cum >= (n + 1) // 2 THEN cents END) +
+               min(CASE WHEN cum >= (n + 2) // 2 THEN cents END)
+               AS BIGINT) AS med2
+           FROM c GROUP BY seg),
+         dv AS (SELECT s.seg, abs(2 * s.cents - m.med2) AS dev
+           FROM seg s JOIN m ON s.seg = m.seg),
+         dh AS (SELECT seg, dev, count(*) AS cnt FROM dv GROUP BY 1, 2),
+         dc AS (SELECT seg, dev, cnt,
+             sum(cnt) OVER (PARTITION BY seg ORDER BY dev) AS cum,
+             sum(cnt) OVER (PARTITION BY seg) AS n FROM dh),
+         dm AS (SELECT seg,
+             CAST(min(CASE WHEN cum >= (n + 1) // 2 THEN dev END) +
+               min(CASE WHEN cum >= (n + 2) // 2 THEN dev END)
+               AS BIGINT) AS mad4
+           FROM dc GROUP BY seg),
+         o AS (SELECT dv.seg,
+             CAST(sum(CASE WHEN 2 * dv.dev > 3 * dm.mad4 THEN 1 ELSE 0
+               END) AS BIGINT) AS n_outliers
+           FROM dv JOIN dm ON dv.seg = dm.seg GROUP BY dv.seg)
+         SELECT m.seg AS segment, CAST(m.n AS BIGINT) AS n_orders,
+           round(CAST(m.med2 AS DOUBLE) / 200.0, 4) AS median_price,
+           round(CAST(dm.mad4 AS DOUBLE) / 400.0, 4) AS mad,
+           o.n_outliers
+         FROM m JOIN dm ON m.seg = dm.seg JOIN o ON m.seg = o.seg
+         ORDER BY segment""",
+    // q176: OHLC bars — open/close SELECTED by lexicographic struct
+    // min/max on (ts, event_id, value); no float accumulates
+    "q177_latency_bands" ->
+      """SELECT o_orderpriority,
+           CAST(datediff('day', CAST(o_orderdate AS DATE),
+             CAST(l_shipdate AS DATE)) AS BIGINT) // 7 AS week_band,
+           count(*) AS n_lines
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         GROUP BY 1, 2 ORDER BY 1, 2""",
+    // q178: top-decile-by-nation suppliers with percent_rank/cume_dist
+    // over the total (acctbal, suppkey) order
+    "q178_percent_rank" ->
+      """WITH r AS (SELECT c_nationkey, c_custkey, c_acctbal,
+             percent_rank() OVER (PARTITION BY c_nationkey
+               ORDER BY c_acctbal, c_custkey) AS pr,
+             cume_dist() OVER (PARTITION BY c_nationkey
+               ORDER BY c_acctbal, c_custkey) AS cd
+           FROM customer)
+         SELECT n_name, c_custkey, c_acctbal,
+           round(pr, 6) AS pct_rank, round(cd, 6) AS cume_dist
+         FROM r JOIN nation ON c_nationkey = n_nationkey
+         WHERE pr >= 0.9
+         ORDER BY n_name, c_custkey""",
+    // q179: exact F2 vs the CMS inner-product estimate (same md5 bucket
+    // decode as q90, w=1024); integer everywhere but the inflation
+    "q179_selfjoin_sketch" ->
+      """WITH t AS (SELECT CAST(l_partkey AS VARCHAR) AS tok FROM lineitem),
+         tc AS (SELECT tok, count(*) AS n FROM t GROUP BY 1),
+         b AS (SELECT tok, n, i.range AS i,
+                 ((instr('0123456789abcdef',
+                     substr(md5(tok || '_' || i.range), 1, 1)) - 1) * 256
+                  + (instr('0123456789abcdef',
+                      substr(md5(tok || '_' || i.range), 2, 1)) - 1) * 16
+                  + (instr('0123456789abcdef',
+                      substr(md5(tok || '_' || i.range), 3, 1)) - 1)) % 1024
+                   AS bkt
+               FROM tc, range(0, 4) i),
+         cells AS (SELECT i, bkt, CAST(sum(n) AS BIGINT) AS cnt
+                   FROM b GROUP BY 1, 2),
+         ests AS (SELECT i, CAST(sum(cnt * cnt) AS BIGINT) AS e
+                  FROM cells GROUP BY 1),
+         est AS (SELECT CAST(min(e) AS BIGINT) AS est_f2 FROM ests),
+         ex AS (SELECT count(*) AS n_keys,
+                  CAST(sum(n * n) AS BIGINT) AS exact_f2 FROM tc)
+         SELECT n_keys, exact_f2, est_f2,
+           CAST(est_f2 >= exact_f2 AS INT) AS overest_ok,
+           round(CAST(est_f2 AS DOUBLE) / CAST(exact_f2 AS DOUBLE), 4)
+             AS inflation
+         FROM ex, est""",
+    // q180: daily peak concurrency — oracle uses the naive GLOBAL
+    // running sum (provably equal to the engine's two-phase form);
+    // starts sort before ends at an instant (delta DESC)
+    "q181_cube" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS cnt,
+           round(sum(l_quantity), 2) AS qty
+         FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+         ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""",
+    // q182: OOV rate per vocab budget — rank over the vocabulary frame,
+    // all budgets in one aggregate, UNION-ALL unpivot
+    "q185_daily_reconcile" ->
+      """WITH o AS (SELECT CAST(o_orderdate AS DATE) AS day,
+             count(*) AS n_orders FROM orders GROUP BY 1),
+         s AS (SELECT CAST(l_shipdate AS DATE) AS day,
+             sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+               * (100 - CAST(round(l_discount * 100, 0) AS BIGINT)))
+               AS rev_cp
+           FROM lineitem GROUP BY 1)
+         SELECT coalesce(o.day, s.day) AS day,
+           coalesce(o.n_orders, 0) AS n_orders,
+           CAST(coalesce(s.rev_cp, 0) // 100 AS DOUBLE) / 100.0
+             AS shipped_revenue,
+           CASE WHEN o.n_orders IS NULL THEN 'ship_only'
+                WHEN s.rev_cp IS NULL THEN 'orders_only'
+                ELSE 'both' END AS status
+         FROM o FULL OUTER JOIN s ON o.day = s.day
+         ORDER BY day""",
+    // q186: INTERSECT/EXCEPT churn cohorts over 1996 vs 1997 buyers
+    "q186_churn_setops" ->
+      """WITH y96 AS (SELECT DISTINCT o_custkey FROM orders
+           WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+             AND o_orderdate < TIMESTAMP '1997-01-01'),
+         y97 AS (SELECT DISTINCT o_custkey FROM orders
+           WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+             AND o_orderdate < TIMESTAMP '1998-01-01')
+         SELECT 'acquired' AS cohort, CAST(count(*) AS BIGINT)
+           AS n_customers
+         FROM (SELECT o_custkey FROM y97 EXCEPT SELECT o_custkey FROM y96)
+         UNION ALL
+         SELECT 'churned', CAST(count(*) AS BIGINT)
+         FROM (SELECT o_custkey FROM y96 EXCEPT SELECT o_custkey FROM y97)
+         UNION ALL
+         SELECT 'retained', CAST(count(*) AS BIGINT)
+         FROM (SELECT o_custkey FROM y96
+               INTERSECT SELECT o_custkey FROM y97)
+         ORDER BY cohort""",
+    // q187: trailing 7-day revenue via a RANGE frame over the integer
+    // day number; the bounded daily frame carries the window
+    "q187_rolling_revenue" ->
+      """WITH d AS (SELECT CAST(l_shipdate AS DATE) AS day,
+             sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+               * (100 - CAST(round(l_discount * 100, 0) AS BIGINT)))
+               AS rev_cp
+           FROM lineitem GROUP BY 1),
+         n AS (SELECT day, rev_cp,
+             CAST(datediff('day', DATE '1995-01-01', day) AS BIGINT)
+               AS day_num FROM d)
+         SELECT day,
+           CAST(rev_cp // 100 AS DOUBLE) / 100.0 AS revenue,
+           CAST(sum(rev_cp) OVER w // 100 AS DOUBLE) / 100.0
+             AS revenue_7d,
+           count(*) OVER w AS n_days_in_window
+         FROM n
+         WINDOW w AS (ORDER BY day_num
+           RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+         ORDER BY day""",
+    // q188: describe-style column profile — one stacked (column, value)
+    // frame, single distinct shuffle, |columns| rollup
+    "q188_column_profile" ->
+      """WITH st AS (
+           SELECT 'o_orderkey' AS col_name, CAST(o_orderkey AS VARCHAR)
+             AS val FROM orders
+           UNION ALL SELECT 'o_custkey', CAST(o_custkey AS VARCHAR)
+             FROM orders
+           UNION ALL SELECT 'o_orderstatus', o_orderstatus FROM orders
+           UNION ALL SELECT 'o_orderdate', CAST(o_orderdate AS VARCHAR)
+             FROM orders
+           UNION ALL SELECT 'o_orderpriority', o_orderpriority
+             FROM orders),
+         h AS (SELECT col_name, val, count(*) AS cnt FROM st
+           GROUP BY 1, 2)
+         SELECT col_name, CAST(sum(cnt) AS BIGINT) AS n_rows,
+           CAST(sum(CASE WHEN val IS NULL THEN cnt ELSE 0 END) AS BIGINT)
+             AS n_nulls,
+           CAST(sum(CASE WHEN val IS NOT NULL THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_distinct,
+           min(val) AS min_val, max(val) AS max_val
+         FROM h GROUP BY col_name ORDER BY col_name""",
+    // q189: per-edge FK cardinality class from the child-side key
+    // histogram only
+    "q189_fk_cardinality" ->
+      """WITH
+         e1 AS (SELECT l_orderkey AS k FROM lineitem),
+         e2 AS (SELECT l_partkey AS k FROM lineitem),
+         e3 AS (SELECT l_suppkey AS k FROM lineitem),
+         e4 AS (SELECT o_custkey AS k FROM orders),
+         sh AS (
+           SELECT 'lineitem->orders' AS edge, k FROM e1
+           UNION ALL SELECT 'lineitem->part', k FROM e2
+           UNION ALL SELECT 'lineitem->supplier', k FROM e3
+           UNION ALL SELECT 'orders->customer', k FROM e4),
+         h AS (SELECT edge, k, count(*) AS per_key FROM sh GROUP BY 1, 2)
+         SELECT edge, CAST(sum(per_key) AS BIGINT) AS n_child,
+           count(*) AS n_keys,
+           CAST(max(per_key) AS BIGINT) AS max_per_key,
+           CASE WHEN max(per_key) = 1 THEN '1:1' ELSE 'N:1' END AS class
+         FROM h GROUP BY edge ORDER BY edge""",
+    // q190: recall@k at nprobe 1/2/4 vs brute force — the q101 chain
+    // swept over the probe knob; one shared assignment + bf
+    "q197_basket_lift" ->
+      """WITH ob AS (SELECT DISTINCT l_orderkey, p_brand
+           FROM lineitem JOIN part ON l_partkey = p_partkey),
+         n AS (SELECT count(*) AS n_orders FROM orders),
+         marg AS (SELECT p_brand, count(*) AS n_b FROM ob GROUP BY 1),
+         pairs AS (SELECT a.p_brand AS brand_a, b.p_brand AS brand_b,
+             count(*) AS n_ab
+           FROM ob a JOIN ob b ON a.l_orderkey = b.l_orderkey
+             AND a.p_brand < b.p_brand
+           GROUP BY 1, 2 HAVING count(*) >= 20)
+         SELECT brand_a, brand_b, n_ab,
+           round(CAST(n_ab * n_orders AS DOUBLE) /
+             CAST(ma.n_b * mb.n_b AS DOUBLE), 6) AS lift
+         FROM pairs
+         JOIN marg ma ON brand_a = ma.p_brand
+         JOIN marg mb ON brand_b = mb.p_brand
+         CROSS JOIN n
+         ORDER BY lift DESC, brand_a, brand_b LIMIT 20""",
+    // q198: Rayleigh quotient of the q95 component over total centered
+    // variance — exact integer/HUGEINT sums, one mirrored division
+    "q199_supply_conc" ->
+      """WITH h AS (SELECT l_partkey, l_suppkey, count(*) AS cnt
+           FROM lineitem GROUP BY 1, 2),
+         p AS (SELECT l_partkey, CAST(sum(cnt) AS BIGINT) AS n_lines,
+             CAST(max(cnt) AS BIGINT) AS top FROM h GROUP BY 1)
+         SELECT (10 * top) // n_lines AS conc_band, count(*) AS n_parts,
+           CAST(sum(n_lines) AS BIGINT) AS n_lines
+         FROM p GROUP BY 1 ORDER BY 1""",
+    // q200: Shannon entropy of the full path distribution (q134's
+    // assembly; the q67 sum-then-round contract)
+    "q203_fulfillment_span" ->
+      """WITH s AS (SELECT l_orderkey,
+             CAST(datediff('day', CAST(min(l_shipdate) AS DATE),
+               CAST(max(l_shipdate) AS DATE)) AS BIGINT) AS span_days
+           FROM lineitem GROUP BY 1)
+         SELECT span_days // 7 AS span_weeks, count(*) AS n_orders
+         FROM s GROUP BY 1 ORDER BY 1""",
+    // q204: q53 cluster language purity — min-label membership (the
+    // q59 reduction) joined to langs, two rollups
+  )
+}

@@ -1,0 +1,309 @@
+package graft.oracle
+
+import graft.operators.DedupOps
+import OracleCtes._
+
+/** DuckDB oracle SQL — dedup family: exact/MinHash/SimHash/LSH/prefix-join near-dup, spans, contamination, linkage. One entry per SparkEntry.queries
+  * key in this family; strings byte-identical to the pre-split
+  * SparkEntry registry (round-9 reviewability split).
+  */
+private[graft] object DedupOracles {
+  val sql: Map[String, String] = Map(
+    "q27_dedup_exact" ->
+      """SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,
+         min(doc_id) AS canonical_id, count(*) AS n_copies
+         FROM documents GROUP BY 1 ORDER BY canonical_id""",
+    "q28_ngram_jaccard" -> exactJaccardPairsSql,
+    // q29 emits exactly-verified pairs from complete-recall MinHash
+    // banding — a recall loss in candidate generation is a hard row-set
+    // mismatch vs the exact oracle
+    "q29_minhash_neardup" -> exactJaccardPairsSql,
+    // q30: SimHash hamming ≤ 3 only partially overlaps Jaccard ≥ 0.5
+    // (see DedupOps.simhashNearDupDF), so the gate is a summary row:
+    // DuckDB-exact pair count + subset-exactness + recall ≥ 0.5
+    "q30_simhash_neardup" ->
+      ("WITH " + shinglePostingsCte + """,
+         pairs AS (
+           SELECT id_a, id_b FROM (
+             SELECT l.doc_id AS id_a, r.doc_id AS id_b,
+               count(*) * 1.0 / (l.n + r.n - count(*)) AS jaccard
+             FROM tok l JOIN tok r ON l.tok = r.tok AND l.doc_id < r.doc_id
+             GROUP BY l.doc_id, r.doc_id, l.n, r.n)
+           WHERE jaccard >= 0.5)
+         SELECT count(*) AS n_exact_pairs,
+           CAST(1 AS INT) AS subset_ok,
+           CAST(1 AS INT) AS recall_ok
+         FROM pairs"""),
+    "q53_dedup_clusters" ->
+      (dedupCcCte + """
+         SELECT id AS doc_id, CAST(min(label) AS BIGINT) AS cluster_id
+         FROM cc GROUP BY id ORDER BY doc_id"""),
+    "q59_dedup_keeplist" ->
+      (dedupCcCte + """,
+         drop_ids AS (SELECT id FROM (
+             SELECT id, min(label) AS cluster_id FROM cc GROUP BY id)
+           WHERE cluster_id <> id)
+         SELECT lang, count(*) AS n_kept,
+           CAST(sum(n_chars) AS BIGINT) AS kept_chars
+         FROM documents WHERE doc_id NOT IN (SELECT id FROM drop_ids)
+         GROUP BY lang ORDER BY lang"""),
+    "q61_contamination" ->
+      """WITH d0 AS (
+           SELECT doc_id, string_split(
+             regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS w
+           FROM documents),
+         docs AS (
+           SELECT doc_id, list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+             for i in range(1, greatest(len(w) - 1, 1))]) AS toks
+           FROM d0 WHERE len(w) >= 3),
+         t0 AS (SELECT doc_id, unnest(toks) AS tok FROM docs),
+         bench AS (SELECT DISTINCT tok FROM t0 WHERE doc_id % 100 = 0),
+         corpus AS (SELECT doc_id, tok FROM t0 WHERE doc_id % 100 <> 0),
+         per AS (SELECT doc_id, count(*) AS n_shingles FROM corpus GROUP BY 1),
+         hits AS (SELECT doc_id, count(*) AS n_contaminated
+                  FROM corpus JOIN bench USING (tok) GROUP BY 1)
+         SELECT doc_id, n_shingles, n_contaminated,
+           round(n_contaminated * 1.0 / n_shingles, 4) AS ratio
+         FROM per JOIN hits USING (doc_id)
+         WHERE round(n_contaminated * 1.0 / n_shingles, 4) >= 0.5
+         ORDER BY doc_id""",
+    "q66_span_dup" ->
+      """WITH d0 AS (
+           SELECT doc_id, string_split(
+             regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS w
+           FROM documents),
+         sp AS (SELECT doc_id, unnest(list_distinct(
+             [array_to_string(w[i:i+9], ' ')
+              for i in range(1, greatest(len(w) - 8, 1))])) AS span
+           FROM d0 WHERE len(w) >= 10),
+         dupset AS (SELECT span FROM sp GROUP BY span HAVING count(*) >= 2),
+         per AS (SELECT doc_id, count(*) AS n_spans FROM sp GROUP BY 1),
+         dup AS (SELECT doc_id, count(*) AS n_dup_spans
+                 FROM sp JOIN dupset USING (span) GROUP BY 1)
+         SELECT doc_id, n_spans, n_dup_spans,
+           round(n_dup_spans * 1.0 / n_spans, 4) AS dup_frac
+         FROM per JOIN dup USING (doc_id)
+         WHERE round(n_dup_spans * 1.0 / n_spans, 4) >= 0.3
+         ORDER BY doc_id""",
+    "q87_span_scrub" ->
+      """WITH d AS (SELECT doc_id, string_split(
+             regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS toks
+           FROM documents),
+         tp AS (SELECT doc_id, toks, unnest(generate_series(
+                  CAST(0 AS BIGINT), CAST(len(toks) AS BIGINT) - 1)) AS pos
+                FROM d),
+         t AS (SELECT doc_id, pos, toks[pos + 1] AS tok FROM tp),
+         op AS (SELECT doc_id, toks, unnest(generate_series(
+                  CAST(0 AS BIGINT), CAST(len(toks) AS BIGINT) - 10)) AS pos
+                FROM d WHERE len(toks) >= 10),
+         occ AS (SELECT doc_id, pos,
+                   array_to_string(toks[pos + 1 : pos + 10], ' ') AS span
+                 FROM op),
+         own AS (SELECT span, min(doc_id) AS owner FROM occ
+                 GROUP BY span HAVING count(DISTINCT doc_id) >= 2),
+         cov AS (SELECT DISTINCT doc_id, pos FROM (
+                   SELECT o.doc_id,
+                     unnest(generate_series(o.pos, o.pos + 9)) AS pos
+                   FROM occ o JOIN own ON o.span = own.span
+                   WHERE o.doc_id <> own.owner)),
+         kept AS (SELECT t.doc_id, t.pos, t.tok
+                  FROM t ANTI JOIN cov USING (doc_id, pos)),
+         reb AS (SELECT doc_id, count(*) AS n_kept,
+                   string_agg(tok, ' ' ORDER BY pos) AS text_scrubbed
+                 FROM kept GROUP BY doc_id)
+         SELECT d.doc_id, CAST(len(d.toks) AS BIGINT) AS n_tokens,
+           coalesce(reb.n_kept, 0) AS n_kept,
+           coalesce(reb.text_scrubbed, '') AS text_scrubbed
+         FROM d LEFT JOIN reb USING (doc_id) ORDER BY doc_id""",
+    // q88: IVF-PQ — the full production index replayed: coarse
+    // assignment (q70's CTEs), residuals per dimension, residual PQ
+    // codebook + argmin encode (q77's recipe on residuals), probe
+    // selection, and the corrected ADC cosine
+    // (qc + adcq) / (qnorm · sqrt(|c|² + 2·adcc + |r̂|²)) with every
+    // multi-term sum in the ordered-list formulation (the q86 contract)
+    "q100_dup_inflation" ->
+      """WITH fp AS (SELECT md5(regexp_replace(lower(trim(text)),
+             '\s+', ' ', 'g')) AS fp
+           FROM documents),
+         cl AS (SELECT fp, count(*) AS cluster_size FROM fp GROUP BY 1)
+         SELECT cluster_size, count(*) AS n_clusters,
+           CAST(cluster_size * count(*) AS BIGINT) AS n_docs,
+           CAST((cluster_size - 1) * count(*) AS BIGINT) AS n_redundant
+         FROM cl GROUP BY 1 ORDER BY 1""",
+    // q101: ANN recall@5 of the probed IVF index vs exact brute force —
+    // both top-k pipelines replicated via the shared assignment CTE
+    // (the q70/q31 formulations verbatim), then an integer intersection
+    // count and ONE division by the constant k
+    "q119_source_overlap" ->
+      """WITH t AS (SELECT source,
+             string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'),
+               ' ') AS toks
+           FROM documents),
+         sh AS (SELECT DISTINCT source,
+             md5(array_to_string(list_slice(toks, i, i + 15), ' ')) AS h
+           FROM t, unnest(generate_series(1, len(toks) - 15, 1)) AS u(i)),
+         p AS (SELECT a.source AS source_a, b.source AS source_b
+           FROM sh a JOIN sh b ON a.h = b.h AND a.source < b.source)
+         SELECT source_a, source_b, count(*) AS n_shared
+         FROM p GROUP BY 1, 2 ORDER BY source_a, source_b""",
+    // q120: blocked Levenshtein linkage over DISTINCT part names (block =
+    // last name token); integer distances, deterministic total order
+    "q120_fuzzy_linkage" ->
+      """WITH n AS (SELECT p_name AS name, count(*) AS n_parts,
+             string_split(p_name, ' ')[-1] AS block
+           FROM part GROUP BY p_name)
+         SELECT a.block AS block, a.name AS name_a, b.name AS name_b,
+           CAST(levenshtein(a.name, b.name) AS INT) AS dist,
+           a.n_parts AS n_a, b.n_parts AS n_b
+         FROM n a JOIN n b ON a.block = b.block AND a.name < b.name
+         WHERE levenshtein(a.name, b.name) <= 4
+         ORDER BY block, name_a, name_b""",
+    // q121: lossless AllPairs/PPJoin prefix filter at t = 3/5 — prefix
+    // length n - ceil(3n/5) + 1 in pure integer arithmetic; candidates
+    // verified with exact list_intersect; INTEGER-exact threshold
+    // (5·inter >= 3·union — no float/rounding boundary)
+    "q121_prefix_join" ->
+      ("WITH " + prefixPairsCte + """
+         SELECT id_a, id_b, CAST(inter AS BIGINT) AS inter, jaccard
+         FROM v WHERE 5 * inter >= 3 * (na + nb - inter)
+         ORDER BY id_a, id_b"""),
+    // q122: fold = first-8-hex-digit fold of md5(canonical_id) mod 5;
+    // canonical = min doc_id per content hash, so dup clusters co-assign
+    "q124_containment" ->
+      """WITH t AS (SELECT doc_id,
+             string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'),
+               ' ') AS toks
+           FROM documents),
+         sh AS (SELECT DISTINCT doc_id,
+             md5(array_to_string(list_slice(toks, i, i + 7), ' ')) AS h
+           FROM t, unnest(generate_series(1, len(toks) - 7, 1)) AS u(i)),
+         dfreq AS (SELECT h, count(*) AS df FROM sh GROUP BY 1),
+         rk AS (SELECT s.doc_id, s.h,
+             row_number() OVER (PARTITION BY s.doc_id
+               ORDER BY dfreq.df, s.h) AS rk,
+             count(*) OVER (PARTITION BY s.doc_id) AS n
+           FROM sh s JOIN dfreq ON s.h = dfreq.h),
+         pref AS (SELECT doc_id, h FROM rk
+           WHERE rk <= n - (4 * n + 4) // 5 + 1),
+         cand AS (SELECT DISTINCT least(a.doc_id, b.doc_id) AS id_a,
+             greatest(a.doc_id, b.doc_id) AS id_b
+           FROM pref a JOIN sh b ON a.h = b.h AND a.doc_id <> b.doc_id),
+         sets AS (SELECT doc_id, list(h ORDER BY h) AS s, count(*) AS n
+           FROM sh GROUP BY 1),
+         v AS (SELECT id_a, id_b, sa.n AS na, sb.n AS nb,
+             len(list_intersect(sa.s, sb.s)) AS inter,
+             round(len(list_intersect(sa.s, sb.s))::DOUBLE /
+               least(sa.n, sb.n), 4) AS containment
+           FROM cand JOIN sets sa ON id_a = sa.doc_id
+                     JOIN sets sb ON id_b = sb.doc_id)
+         SELECT id_a, id_b, CAST(inter AS BIGINT) AS inter, containment
+         FROM v WHERE 5 * inter >= 4 * least(na, nb)
+         ORDER BY id_a, id_b""",
+    // q125: the whole-star FK sweep — one row per edge, orphan counts
+    // via NOT EXISTS; integers only
+    "q144_weighted_jaccard" ->
+      ("WITH " + prefixPairsCte + """,
+         pairs AS (SELECT id_a, id_b FROM v
+           WHERE 5 * inter >= 3 * (na + nb - inter)),
+         tc AS (SELECT doc_id, tok, count(*) AS c FROM (
+             SELECT doc_id, unnest(string_split(
+               regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' '))
+               AS tok
+             FROM documents) GROUP BY 1, 2),
+         au AS (SELECT id_a, id_b, tok, c AS ca
+           FROM pairs JOIN tc ON tc.doc_id = pairs.id_a),
+         bu AS (SELECT id_a, id_b, tok, c AS cb
+           FROM pairs JOIN tc ON tc.doc_id = pairs.id_b)
+         SELECT id_a, id_b,
+           round(sum(least(coalesce(ca, 0), coalesce(cb, 0)))::DOUBLE /
+             sum(greatest(coalesce(ca, 0), coalesce(cb, 0))), 4)
+             AS wjaccard
+         FROM au FULL JOIN bu USING (id_a, id_b, tok)
+         GROUP BY id_a, id_b ORDER BY id_a, id_b"""),
+    // q145: Kendall tau over the COMMON neighbors of the exact-cosine
+    // and Hamming-sketch top-20 rankings — integer pair counts, one
+    // division/round per query
+    "q147_dedup_savings" ->
+      """WITH d AS (SELECT doc_id,
+             md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,
+             n_chars,
+             CAST(len(string_split(regexp_replace(lower(trim(text)),
+               '\s+', ' ', 'g'), ' ')) AS BIGINT) AS n_tok
+           FROM documents),
+         raw AS (SELECT count(*) AS n_docs,
+             CAST(sum(n_chars) AS BIGINT) AS n_chars,
+             CAST(sum(n_tok) AS BIGINT) AS n_tokens FROM d),
+         ch AS (SELECT fp, min(n_chars) AS c, min(n_tok) AS t
+           FROM d GROUP BY fp),
+         canon AS (SELECT count(*) AS n_docs,
+             CAST(sum(c) AS BIGINT) AS n_chars,
+             CAST(sum(t) AS BIGINT) AS n_tokens FROM ch)
+         SELECT * FROM (
+           SELECT 'exact_dedup' AS stage, canon.n_docs, canon.n_chars,
+             canon.n_tokens,
+             round(1.0 - CAST(canon.n_tokens AS DOUBLE) /
+               CAST(raw.n_tokens AS DOUBLE), 6) AS saved_frac
+           FROM canon, raw
+           UNION ALL
+           SELECT 'raw', raw.n_docs, raw.n_chars, raw.n_tokens,
+             round(1.0 - CAST(raw.n_tokens AS DOUBLE) /
+               CAST(raw.n_tokens AS DOUBLE), 6)
+           FROM raw
+         ) ORDER BY stage""",
+    // q148: the bucketed co-located join — bucketing is physical layout,
+    // so the oracle is the plain join+rollup (BucketingSpec pins the
+    // Exchange-free plan; this gate pins the answer)
+    "q172_cluster_sizes" ->
+      """WITH c AS (SELECT md5(regexp_replace(lower(trim(text)), '\s+',
+             ' ', 'g')) AS fp, count(*) AS cluster_size
+           FROM documents GROUP BY 1)
+         SELECT cluster_size, count(*) AS n_clusters,
+           CAST(cluster_size * count(*) AS BIGINT) AS n_docs
+         FROM c GROUP BY cluster_size ORDER BY cluster_size""",
+    // q173: 4 unrolled k-core peels (k=3) over the capped co-occurrence
+    // edges; generated chain, pure integer counting
+    "q184_threshold_sweep" ->
+      ("WITH " + prefixPairsCteFor(1, 2) + """
+         SELECT threshold, CAST(sum(hit) AS BIGINT) AS n_pairs FROM (
+           SELECT '0.5' AS threshold,
+             CASE WHEN inter * 2 >= (na + nb - inter) * 1 THEN 1 ELSE 0
+               END AS hit FROM v
+           UNION ALL SELECT '0.6',
+             CASE WHEN inter * 5 >= (na + nb - inter) * 3 THEN 1 ELSE 0
+               END FROM v
+           UNION ALL SELECT '0.7',
+             CASE WHEN inter * 10 >= (na + nb - inter) * 7 THEN 1 ELSE 0
+               END FROM v
+           UNION ALL SELECT '0.8',
+             CASE WHEN inter * 5 >= (na + nb - inter) * 4 THEN 1 ELSE 0
+               END FROM v)
+         GROUP BY threshold ORDER BY threshold"""),
+    // q185: FULL OUTER day reconciliation of two independent daily
+    // summaries, status-tagged
+    "q193_shingle_df" ->
+      """WITH ppt AS (SELECT doc_id,
+             string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'),
+               ' ') AS toks
+           FROM documents),
+         ppsh AS (SELECT DISTINCT doc_id,
+             md5(array_to_string(list_slice(toks, i, i + 7), ' ')) AS h
+           FROM ppt, unnest(generate_series(1, len(toks) - 7, 1)) AS u(i)),
+         df AS (SELECT h, count(*) AS df FROM ppsh GROUP BY 1)
+         SELECT CAST(length(bin(df)) - 1 AS BIGINT) AS log2_df_band,
+           count(*) AS n_shingles, CAST(sum(df) AS BIGINT) AS n_postings
+         FROM df GROUP BY 1 ORDER BY 1""",
+    // q194: IVF inverted-list balance from the shared assignment chain;
+    // integer imbalance = 1000·max/mean
+    "q204_cluster_purity" ->
+      (dedupCcCte + """,
+         mem AS (SELECT id, min(label) AS cluster_id FROM cc GROUP BY id),
+         pl AS (SELECT m.cluster_id, d.lang, count(*) AS c
+           FROM mem m JOIN documents d ON m.id = d.doc_id GROUP BY 1, 2),
+         per AS (SELECT cluster_id, CAST(sum(c) AS BIGINT) AS n_docs,
+             count(*) AS n_langs FROM pl GROUP BY 1)
+         SELECT n_docs AS cluster_size, count(*) AS n_clusters,
+           CAST(sum(CASE WHEN n_langs = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_pure_lang
+         FROM per GROUP BY 1 ORDER BY 1""")
+  )
+}

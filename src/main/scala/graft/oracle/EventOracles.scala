@@ -1,0 +1,415 @@
+package graft.oracle
+
+import OracleCtes._
+
+/** DuckDB oracle SQL — events + graph: funnels, sessions, cohorts, OHLC, PMI/PageRank/triangles/k-core. One entry per SparkEntry.queries
+  * key in this family; strings byte-identical to the pre-split
+  * SparkEntry registry (round-9 reviewability split).
+  */
+private[graft] object EventOracles {
+  val sql: Map[String, String] = Map(
+    "q103_funnel" ->
+      """WITH s1 AS (SELECT user_id, min(ts) AS t FROM events
+                     WHERE event_type = 'signup' GROUP BY 1),
+         s2 AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+                JOIN s1 ON e.user_id = s1.user_id
+                WHERE e.event_type = 'view' AND e.ts > s1.t GROUP BY 1),
+         s3 AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+                JOIN s2 ON e.user_id = s2.user_id
+                WHERE e.event_type = 'click' AND e.ts > s2.t GROUP BY 1),
+         s4 AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+                JOIN s3 ON e.user_id = s3.user_id
+                WHERE e.event_type = 'purchase' AND e.ts > s3.t GROUP BY 1),
+         c AS (
+           SELECT 1 AS stage, 'signup' AS event_type, count(*) AS n_users
+             FROM s1
+           UNION ALL SELECT 2, 'view', count(*) FROM s2
+           UNION ALL SELECT 3, 'click', count(*) FROM s3
+           UNION ALL SELECT 4, 'purchase', count(*) FROM s4)
+         SELECT CAST(stage AS INT) AS stage, event_type, n_users,
+           round(CAST(n_users AS DOUBLE) / t.n_top, 4) AS pct_of_top
+         FROM c CROSS JOIN
+           (SELECT n_users AS n_top FROM c WHERE stage = 1) t
+         ORDER BY stage""",
+    // q104: weekly cohort retention — day arithmetic on DATEs, integer
+    // floor-div weeks (non-negative), one 4dp division per cell
+    "q104_cohort_retention" ->
+      """WITH wk AS (SELECT DISTINCT user_id,
+             CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))
+               // 7 AS INT) AS week
+           FROM events),
+         co AS (SELECT user_id, min(week) AS cohort_week
+                FROM wk GROUP BY 1),
+         sz AS (SELECT cohort_week, count(*) AS cohort_users
+                FROM co GROUP BY 1),
+         act AS (SELECT co.cohort_week,
+                   CAST(wk.week - co.cohort_week AS INT) AS week_offset,
+                   count(*) AS n_active
+                 FROM wk JOIN co ON wk.user_id = co.user_id GROUP BY 1, 2)
+         SELECT act.cohort_week, act.week_offset, act.n_active,
+           round(CAST(act.n_active AS DOUBLE) / sz.cohort_users, 4)
+             AS retention
+         FROM act JOIN sz ON act.cohort_week = sz.cohort_week
+         ORDER BY 1, 2""",
+    // q105: DSIR importance weights — md5-bucket counts, add-one
+    // smoothed log-ratio rounded 6dp then quantized to integer
+    // millionths (exact any-order sums; the q83/q95 playbook), FP only
+    // at the final divide
+    "q106_attribution" ->
+      """SELECT event_id AS purchase_id, user_id, click_id,
+           epoch_us(ts) - epoch_us(click_ts) AS latency_us
+         FROM (
+           SELECT event_id, user_id, event_type, ts,
+             last_value(CASE WHEN event_type = 'click' THEN event_id END
+               IGNORE NULLS) OVER w AS click_id,
+             last_value(CASE WHEN event_type = 'click' THEN ts END
+               IGNORE NULLS) OVER w AS click_ts
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+         WHERE event_type = 'purchase' ORDER BY purchase_id""",
+    // q107: item co-occurrence PMI — integer user-set counts, ln of an
+    // integer-valued double ratio rounded 6dp, total (pmi, i, j) order.
+    // The grid replays the engine's deterministic per-user top-500 item
+    // cap (rank by event count DESC, item ASC — lossless here: sf0.1
+    // max per-user activity is 67)
+    "q107_item_pmi" ->
+      """WITH grid AS (SELECT user_id,
+             CAST(json_extract_string(props, '$.k') AS INT) AS item,
+             count(*) AS n_ev
+           FROM events WHERE json_extract_string(props, '$.k') IS NOT NULL
+           GROUP BY 1, 2),
+         ui AS (SELECT user_id, item FROM (
+             SELECT user_id, item, row_number() OVER (PARTITION BY user_id
+               ORDER BY n_ev DESC, item) AS rk FROM grid)
+           WHERE rk <= 500),
+         pairs AS (SELECT a.item AS item_i, b.item AS item_j,
+             count(*) AS n_ij
+           FROM ui a JOIN ui b ON a.user_id = b.user_id
+             AND a.item < b.item
+           GROUP BY 1, 2 HAVING count(*) >= 5),
+         marg AS (SELECT item, count(*) AS n_u FROM ui GROUP BY 1),
+         st AS (SELECT count(DISTINCT user_id) AS n_users FROM ui)
+         SELECT item_i, item_j, n_ij,
+           round(ln((CAST(n_ij AS DOUBLE) * CAST(st.n_users AS DOUBLE)) /
+             (CAST(mi.n_u AS DOUBLE) * CAST(mj.n_u AS DOUBLE))), 6) + 0.0
+             AS pmi
+         FROM pairs
+         JOIN marg mi ON pairs.item_i = mi.item
+         JOIN marg mj ON pairs.item_j = mj.item
+         CROSS JOIN st
+         ORDER BY pmi DESC, item_i, item_j LIMIT 25""",
+    // q108: TPC-H Q3 shape — revenue summed as exact cent·percent
+    // BIGINTs (price is cents-precision, discount percent-precision),
+    // FP only at the final /1e4; (revenue DESC, orderkey) total order
+    "q110_rolling_active" ->
+      """WITH act AS (SELECT DISTINCT user_id,
+             CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))
+               AS INT) AS day
+           FROM events),
+         con AS (SELECT user_id,
+             CAST(unnest(range(day, day + 7)) AS INT) AS wday FROM act),
+         wau AS (SELECT wday, count(DISTINCT user_id) AS wau7
+                 FROM con GROUP BY 1),
+         dau AS (SELECT day, count(DISTINCT user_id) AS dau
+                 FROM act GROUP BY 1)
+         SELECT dau.day, dau.dau, wau.wau7,
+           round(CAST(dau.dau AS DOUBLE) / wau.wau7, 4) AS stickiness
+         FROM dau JOIN wau ON dau.day = wau.wday ORDER BY 1""",
+    // q111: SCD2 merge delta over the q91 edit script — close rows for
+    // removed/changed keys, open rows for added/changed keys, unchanged
+    // mass never materialized; md5 content fingerprints, integer
+    // versions, null valid_to only on still-current opens
+    "q112_daily_anomaly" ->
+      """WITH daily AS (SELECT
+             CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))
+               AS INT) AS day, count(*) AS n
+           FROM events GROUP BY 1),
+         w AS (SELECT day, n,
+             count(n) OVER win AS cnt7,
+             CAST(sum(n) OVER win AS BIGINT) AS sum7,
+             CAST(sum(n * n) OVER win AS BIGINT) AS sumsq7
+           FROM daily
+           WINDOW win AS (ORDER BY day
+             ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING))
+         SELECT day, n, z,
+           CASE WHEN z IS NULL THEN CAST(NULL AS INT)
+                WHEN abs(z) > 2.0 THEN 1 ELSE 0 END AS is_anomaly
+         FROM (
+           SELECT day, n,
+             CASE WHEN 7 * sumsq7 - sum7 * sum7 = 0 THEN NULL
+               ELSE round((CAST(n AS DOUBLE) - CAST(sum7 AS DOUBLE) / 7.0) /
+                 sqrt(CAST(7 * sumsq7 - sum7 * sum7 AS DOUBLE) / 42.0), 4)
+                 + 0.0 END AS z
+           FROM w WHERE cnt7 = 7)
+         ORDER BY day""",
+    // q113: fixed-point integer PageRank, 3 unrolled damped iterations —
+    // floor-division billionths everywhere, so every cell is exact
+    // integer math on both engines; (rank_q DESC, item) total order
+    "q113_pagerank" -> {
+      def iter(prev: String, cur: String) =
+        s"""$cur AS (SELECT n.item, n.n_nodes,
+             CAST((15 * (1000000000 // n.n_nodes)) // 100
+               + (85 * coalesce(s.c, 0)) // 100 AS BIGINT) AS r
+           FROM nn n LEFT JOIN (
+             SELECT e.dst AS item,
+               CAST(sum($prev.r // deg.d) AS BIGINT) AS c
+             FROM edges e JOIN $prev ON e.src = $prev.item
+             JOIN deg ON e.src = deg.src GROUP BY 1) s
+           ON n.item = s.item)"""
+      s"""WITH grid AS (SELECT user_id,
+             CAST(json_extract_string(props, '$$.k') AS INT) AS item,
+             count(*) AS n_ev
+           FROM events WHERE json_extract_string(props, '$$.k') IS NOT NULL
+           GROUP BY 1, 2),
+         ui AS (SELECT user_id, item FROM (
+             SELECT user_id, item, row_number() OVER (PARTITION BY user_id
+               ORDER BY n_ev DESC, item) AS rk FROM grid)
+           WHERE rk <= 500),
+         pairs AS (SELECT a.item AS i, b.item AS j FROM ui a JOIN ui b
+           ON a.user_id = b.user_id AND a.item < b.item
+           GROUP BY 1, 2 HAVING count(*) >= 5),
+         edges AS (SELECT i AS src, j AS dst FROM pairs
+           UNION ALL SELECT j, i FROM pairs),
+         deg AS (SELECT src, count(*) AS d FROM edges GROUP BY 1),
+         nodes AS (SELECT DISTINCT src AS item FROM edges),
+         st AS (SELECT count(*) AS n_nodes FROM nodes),
+         nn AS (SELECT item, n_nodes FROM nodes CROSS JOIN st),
+         r0 AS (SELECT item, n_nodes,
+           CAST(1000000000 // n_nodes AS BIGINT) AS r FROM nn),
+         ${iter("r0", "r1")},
+         ${iter("r1", "r2")},
+         ${iter("r2", "r3")}
+         SELECT item, r AS rank_q,
+           round(CAST(r AS DOUBLE) / 1000000000.0, 6) AS rank
+         FROM r3 ORDER BY rank_q DESC, item"""
+    },
+    // q114: sliding-window chunking — start lattice 0,48,96… < n_tok,
+    // 64-token windows, md5 of the space-joined slice (list_slice is
+    // 1-based inclusive, matching Spark's slice(start+1, len))
+    "q126_transitions" ->
+      """WITH o AS (SELECT user_id, event_type,
+             lag(event_type) OVER (PARTITION BY user_id
+               ORDER BY ts, event_id) AS prev_type
+           FROM events),
+         c AS (SELECT prev_type, event_type, count(*) AS n
+           FROM o WHERE prev_type IS NOT NULL GROUP BY 1, 2)
+         SELECT prev_type, event_type, n,
+           round(n::DOUBLE / sum(n) OVER (PARTITION BY prev_type), 6) AS p
+         FROM c ORDER BY prev_type, event_type""",
+    // q127: Heaps-law growth — first-occurrence doc of each distinct
+    // 8-gram per source, bucketed by integer-exact ingest quartile
+    "q134_user_paths" ->
+      """WITH p AS (SELECT user_id,
+             string_agg(event_type, '->' ORDER BY ts, event_id) AS path
+           FROM events GROUP BY 1)
+         SELECT path, count(*) AS n_users FROM p
+         GROUP BY 1 ORDER BY n_users DESC, path LIMIT 10""",
+    // q135: md5 of the UTF-8 payload bytes == md5 of the text on both
+    // engines; wasted bytes are exact integers
+    "q138_partition_stats" ->
+      """WITH g AS (SELECT CAST(ts AS DATE) AS day, event_type,
+             count(*) AS n, min(user_id) AS mnu, max(user_id) AS mxu
+           FROM events GROUP BY 1, 2)
+         SELECT day, CAST(sum(n) AS BIGINT) AS n_rows,
+           CAST(min(mnu) AS BIGINT) AS min_user,
+           CAST(max(mxu) AS BIGINT) AS max_user,
+           count(*) AS n_types
+         FROM g GROUP BY day ORDER BY day""",
+    // q139: Kneser-Ney d=0.75 — integer counts, ONE fixed float
+    // expression tree per row (mirrored exactly on the Spark side)
+    "q149_rfm_segments" ->
+      """WITH pu AS (SELECT user_id, max(CAST(ts AS DATE)) AS last_day,
+             count(*) AS freq,
+             sum(CAST(round(value * 100) AS BIGINT)) AS cents
+           FROM events GROUP BY 1),
+         mx AS (SELECT max(CAST(ts AS DATE)) AS corpus_max_day FROM events)
+         SELECT CAST(length(bin(datediff('day', last_day, corpus_max_day)
+             + 1)) - 1 AS INT) AS r_band,
+           CAST(length(bin(freq)) - 1 AS INT) AS f_band,
+           CAST(length(bin(coalesce(cents, 0) + 1)) - 1 AS INT) AS m_band,
+           count(*) AS n_users
+         FROM pu, mx GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""",
+    // q150: consecutive-event gaps in integer microseconds; the later
+    // event's type claims the gap; one float division per output row
+    "q150_interarrival" ->
+      """WITH g AS (SELECT event_type,
+             epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id
+               ORDER BY ts, event_id) AS gap_us
+           FROM events)
+         SELECT event_type, count(*) AS n_gaps, min(gap_us) AS min_gap_us,
+           max(gap_us) AS max_gap_us,
+           round(CAST(sum(gap_us) AS DOUBLE) / count(*) / 1000000.0, 3)
+             AS avg_gap_s
+         FROM g WHERE gap_us IS NOT NULL GROUP BY 1 ORDER BY 1""",
+    // q151: dyadic 16-term EWMA (α = 1/2) — generated term list so the
+    // exact weights and addition order mirror the engine's expression
+    // tree term for term (all arithmetic exact; no decimal ties exist)
+    "q151_ewma_daily" ->
+      s"""WITH d AS (SELECT event_type, CAST(ts AS DATE) AS day,
+             count(*) AS cnt FROM events GROUP BY 1, 2)
+         SELECT event_type, day, cnt, round($ewmaTermsSql, 6) AS ewma16
+         FROM d WINDOW w AS (PARTITION BY event_type ORDER BY day)
+         ORDER BY event_type, day""",
+    // q152: weekday via pure integer epoch-day arithmetic (0 = Sunday)
+    // — no engine dayofweek() convention in play
+    "q152_dow_profile" ->
+      """WITH c AS (SELECT event_type,
+             CAST((datediff('day', DATE '1970-01-01', CAST(ts AS DATE))
+               + 4) % 7 AS INT) AS dow,
+             count(*) AS n_events
+           FROM events GROUP BY 1, 2)
+         SELECT event_type, dow, n_events,
+           round(CAST(n_events AS DOUBLE) /
+             sum(n_events) OVER (PARTITION BY event_type), 6) AS share
+         FROM c ORDER BY event_type, dow""",
+    // q153: triangle participation — the oracle uses the SIMPLE
+    // id-ordered formulation (a<b, b<c wedges closed by (a,c)); the
+    // engine's degree-ordered orientation must yield the identical
+    // triangle set (orientation is a physical choice, like q148's
+    // bucketing)
+    "q153_triangles" ->
+      ("WITH " + coPairsCte + """,
+         tri AS (SELECT e1.i AS a, e1.j AS b, e2.j AS c
+           FROM cpairs e1 JOIN cpairs e2 ON e1.j = e2.i
+           JOIN cpairs e3 ON e3.i = e1.i AND e3.j = e2.j),
+         pn AS (SELECT item, count(*) AS n_triangles FROM (
+             SELECT a AS item FROM tri UNION ALL SELECT b AS item FROM tri
+             UNION ALL SELECT c AS item FROM tri)
+           GROUP BY 1)
+         SELECT d.item, d.degree, coalesce(pn.n_triangles, 0) AS n_triangles
+         FROM cdeg d LEFT JOIN pn USING (item)
+         ORDER BY n_triangles DESC, item LIMIT 20"""),
+    // q154: log2-banded degree histogram over the same capped graph
+    "q154_degree_hist" ->
+      ("WITH " + coPairsCte + """
+         SELECT CAST(length(bin(degree)) - 1 AS INT) AS log2_degree,
+           count(*) AS n_items, min(degree) AS min_degree,
+           max(degree) AS max_degree
+         FROM cdeg GROUP BY 1 ORDER BY 1"""),
+    // q155: declared × predicted language confusion — same prediction
+    // chain as q34 (shared CTE)
+    "q173_kcore" ->
+      ("WITH " + coPairsCte + """,
+         e0 AS MATERIALIZED (SELECT i, j FROM cpairs),
+         """ + kCorePeelSql(k = 3, peels = 4) + """
+         SELECT item, count(*) AS core_degree FROM (
+           SELECT i AS item FROM e4 UNION ALL SELECT j FROM e4)
+         GROUP BY item ORDER BY item"""),
+    // q174: session-length profile over the shared q58 sessionization —
+    // integer micros durations, one mirrored division chain
+    "q176_daily_ohlc" ->
+      """SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+           (min(struct_pack(ts := ts, eid := event_id, v := value))).v
+             AS open,
+           (max(struct_pack(ts := ts, eid := event_id, v := value))).v
+             AS close,
+           min(value) AS low, max(value) AS high, count(*) AS n_events
+         FROM events GROUP BY event_type, day
+         ORDER BY event_type, day""",
+    // q177: ship-latency week bands per priority — integer day diff,
+    // integer div-7 banding
+    "q180_peak_concurrency" ->
+      ("WITH " + sessionsCte + """,
+         b AS (SELECT user_id, session_seq,
+             epoch_us(session_start) AS ts_us, 1 AS delta FROM sess
+           UNION ALL SELECT user_id, session_seq,
+             epoch_us(session_end), -1 FROM sess),
+         r AS (SELECT CAST(make_timestamp(ts_us) AS DATE) AS day, delta,
+             sum(delta) OVER (ORDER BY ts_us, delta DESC, user_id,
+               session_seq ROWS BETWEEN UNBOUNDED PRECEDING AND
+               CURRENT ROW) AS run
+           FROM b)
+         SELECT day, CAST(max(run) AS BIGINT) AS peak_concurrency,
+           CAST(sum(CASE WHEN delta = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_starts,
+           CAST(sum(CASE WHEN delta = -1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_ends
+         FROM r GROUP BY day ORDER BY day"""),
+    // q181: CUBE over (returnflag, linestatus) — q54's ROLLUP completed
+    // to the grouping power set
+    "q196_value_quartiles" ->
+      """WITH h AS (SELECT event_type,
+             CAST(round(value * 100, 0) AS BIGINT) AS cents,
+             count(*) AS cnt
+           FROM events GROUP BY 1, 2),
+         c AS (SELECT event_type, cents, cnt,
+             sum(cnt) OVER (PARTITION BY event_type ORDER BY cents)
+               AS cum,
+             sum(cnt) OVER (PARTITION BY event_type) AS n FROM h),
+         a AS (SELECT event_type, min(n) AS n,
+             min(CASE WHEN cum * 4 >= n * 1 THEN cents END) AS lo1,
+             min(CASE WHEN cum * 4 >= n * 1 + 4 THEN cents END) AS hi1,
+             min(CASE WHEN cum * 4 >= n * 2 THEN cents END) AS lo2,
+             min(CASE WHEN cum * 4 >= n * 2 + 4 THEN cents END) AS hi2,
+             min(CASE WHEN cum * 4 >= n * 3 THEN cents END) AS lo3,
+             min(CASE WHEN cum * 4 >= n * 3 + 4 THEN cents END) AS hi3
+           FROM c GROUP BY event_type)
+         SELECT event_type, CAST(n AS BIGINT) AS n_events,
+           round(CAST(CASE WHEN (n * 1) % 4 = 0
+             THEN lo1 + coalesce(hi1, lo1) ELSE lo1 * 2 END AS DOUBLE)
+             / 200.0, 4) AS p25,
+           round(CAST(CASE WHEN (n * 2) % 4 = 0
+             THEN lo2 + coalesce(hi2, lo2) ELSE lo2 * 2 END AS DOUBLE)
+             / 200.0, 4) AS p50,
+           round(CAST(CASE WHEN (n * 3) % 4 = 0
+             THEN lo3 + coalesce(hi3, lo3) ELSE lo3 * 2 END AS DOUBLE)
+             / 200.0, 4) AS p75
+         FROM a ORDER BY event_type""",
+    // q197: brand-pair lift — integer products inside one division
+    // (the q107 PMI contract without the log)
+    "q200_journey_entropy" ->
+      """WITH p AS (SELECT user_id,
+             string_agg(event_type, '->' ORDER BY ts, event_id) AS path
+           FROM events GROUP BY 1),
+         pc AS (SELECT path, count(*) AS c FROM p GROUP BY 1),
+         t AS (SELECT CAST(sum(c) AS DOUBLE) AS nd,
+             CAST(sum(c) AS BIGINT) AS nb FROM pc)
+         SELECT t.nb AS n_users, count(*) AS n_paths,
+           round(-sum((c / t.nd) * log2(c / t.nd)) + 0.0, 4)
+             AS entropy_bits
+         FROM pc CROSS JOIN t GROUP BY t.nb, t.nd""",
+    // q201: in-session conversion over the shared sessev assignment —
+    // purchase strictly after the session's first click
+    "q201_session_conversion" ->
+      ("WITH " + sessionsCte + """,
+         per AS (SELECT user_id, session_seq,
+             min(CASE WHEN event_type = 'click' THEN ts END)
+               AS first_click
+           FROM sessev GROUP BY 1, 2),
+         conv AS (SELECT s.user_id, s.session_seq,
+             max(CASE WHEN p.first_click IS NOT NULL THEN 1 ELSE 0 END)
+               AS has_click,
+             max(CASE WHEN s.event_type = 'purchase'
+               AND s.ts > p.first_click THEN 1 ELSE 0 END) AS converted
+           FROM sessev s JOIN per p
+             ON s.user_id = p.user_id AND s.session_seq = p.session_seq
+           GROUP BY 1, 2)
+         SELECT count(*) AS n_sessions,
+           CAST(sum(has_click) AS BIGINT) AS n_with_click,
+           CAST(sum(converted) AS BIGINT) AS n_converted,
+           round(CAST(sum(converted) AS DOUBLE) /
+             CAST(sum(has_click) AS DOUBLE), 4) AS conversion_rate
+         FROM conv"""),
+    // q202: item-age activity profile — first week per item, events
+    // and active items per age-in-weeks (two-level distinct)
+    "q202_item_adoption" ->
+      """WITH grid AS (SELECT
+             CAST(json_extract_string(props, '$.k') AS INT) AS item,
+             CAST(datediff('day', DATE '2024-01-01', CAST(ts AS DATE))
+               AS INT) // 7 AS week
+           FROM events
+           WHERE json_extract_string(props, '$.k') IS NOT NULL),
+         f AS (SELECT item, min(week) AS first_week FROM grid
+           GROUP BY 1),
+         a AS (SELECT g.week - f.first_week AS age_weeks, g.item,
+             count(*) AS c
+           FROM grid g JOIN f ON g.item = f.item GROUP BY 1, 2)
+         SELECT CAST(age_weeks AS INT) AS age_weeks,
+           CAST(sum(c) AS BIGINT) AS n_events,
+           count(*) AS n_items_active
+         FROM a GROUP BY 1 ORDER BY 1""",
+    // q203: order fulfillment-span week bands — integer day span per
+    // order, div-7 banding
+  )
+}

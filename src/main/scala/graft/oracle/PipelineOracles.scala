@@ -1,0 +1,572 @@
+package graft.oracle
+
+import OracleCtes._
+
+/** DuckDB oracle SQL — pipeline ops: packing, sampling, folds, budgets, incremental/table-format, multimodal. One entry per SparkEntry.queries
+  * key in this family; strings byte-identical to the pre-split
+  * SparkEntry registry (round-9 reviewability split).
+  */
+private[graft] object PipelineOracles {
+  val sql: Map[String, String] = Map(
+    "q40_media_features" ->
+      """SELECT doc_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           CAST(list_sum([CAST(('0x' || substr(h, 2*i-1, 2)) AS INT)
+             for i in range(1, octet_length(encode(text)) + 1)]) AS BIGINT) AS byte_sum,
+           round(CAST(('0x' || substr(h, 1, 2)) AS INT) / 255.0, 4) AS f0
+         FROM (SELECT doc_id, text, hex(encode(text)) AS h FROM documents)
+         ORDER BY doc_id""",
+    "q39_media_meta" ->
+      """SELECT doc_id,
+         CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'wav' ELSE 'mp4' END AS format,
+         CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+         FROM documents ORDER BY doc_id""",
+    "q44_stratified_sample" ->
+      """SELECT lang, count(*) AS n_sampled, CAST(sum(n_chars) AS BIGINT) AS chars
+         FROM (SELECT lang, n_chars,
+                 substr(md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')), 1, 2) AS bucket
+               FROM documents)
+         WHERE bucket < '40'
+         GROUP BY lang ORDER BY lang""",
+    "q45_shard_packing" ->
+      """SELECT doc_id, source, n_tokens, cum_tokens,
+           CAST(floor((cum_tokens - 1) / 5000.0) AS INT) AS shard_id
+         FROM (SELECT doc_id, source, n_tokens,
+                 CAST(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
+               FROM (SELECT doc_id, source,
+                       CAST(len(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS BIGINT) AS n_tokens
+                     FROM documents))
+         ORDER BY source, doc_id""",
+    "q46_pii_scrub" ->
+      """SELECT doc_id,
+           md5(regexp_replace(regexp_replace(t,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             '[0-9]{7,}', '<PHONE>', 'g')) AS scrubbed_fp,
+           CAST(length(t) - length(regexp_replace(regexp_replace(t,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             '[0-9]{7,}', '<PHONE>', 'g')) AS BIGINT) AS chars_removed
+         FROM (SELECT doc_id,
+                 text || ' contact user' || doc_id || '@example.com or call 5551234567' AS t
+               FROM documents)
+         ORDER BY doc_id""",
+    "q60_weighted_mix" ->
+      """SELECT source, count(*) AS n_kept
+         FROM (SELECT source,
+                 substr(md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')), 1, 2) AS bucket
+               FROM documents)
+         WHERE bucket < CASE WHEN source = 'src0' THEN 'e0'
+                             WHEN source IN ('src1', 'src2') THEN '80'
+                             ELSE '40' END
+         GROUP BY source ORDER BY source""",
+    "q65_curated_corpus" ->
+      (dedupCcCte + """,
+         drop_ids AS (SELECT id FROM (
+             SELECT id, min(label) AS cluster_id FROM cc GROUP BY id)
+           WHERE cluster_id <> id),
+         bench AS (SELECT DISTINCT tok FROM t0 WHERE doc_id % 100 = 0),
+         corpus AS (SELECT doc_id, tok FROM t0 WHERE doc_id % 100 <> 0),
+         per AS (SELECT doc_id, count(*) AS n_shingles FROM corpus GROUP BY 1),
+         hits AS (SELECT doc_id, count(*) AS n_contaminated
+                  FROM corpus JOIN bench USING (tok) GROUP BY 1),
+         contaminated AS (SELECT doc_id FROM per JOIN hits USING (doc_id)
+           WHERE round(n_contaminated * 1.0 / n_shingles, 4) >= 0.5),
+         qt AS (SELECT doc_id, text, string_split(
+             regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS toks
+           FROM documents),
+         qm AS (SELECT doc_id, len(toks) AS n_tokens,
+           CASE WHEN len(toks) > 0
+                THEN CAST(floor(len(list_distinct(toks)) * 3000.0 / len(toks)) AS BIGINT)
+                ELSE 0 END AS diversity,
+           CASE WHEN len(toks) BETWEEN 20 AND 1000 THEN 400
+                WHEN len(toks) BETWEEN 5 AND 19 THEN 200 ELSE 0 END AS length_band,
+           CASE WHEN len(toks) > 0
+                THEN len(list_filter(toks, x -> x IN
+                  ('the','a','an','of','to','in','and','is','it','that'))) * 1.0 / len(toks)
+                ELSE 0.0 END AS sr,
+           CASE WHEN length(regexp_replace(text, '\s', '', 'g')) > 0
+                THEN length(regexp_replace(text, '[^!-/:-@\[-`{-~]', '', 'g')) * 1.0 /
+                     length(regexp_replace(text, '\s', '', 'g'))
+                ELSE 0.0 END AS pr
+           FROM qt),
+         qual AS (SELECT doc_id, n_tokens,
+           greatest(0, (length_band +
+             (CASE WHEN sr BETWEEN 0.01 AND 0.6 THEN 300 ELSE 0 END) -
+             (CASE WHEN pr > 0.2 THEN 200 ELSE 0 END)) * 10 + diversity) / 10000.0 AS quality
+           FROM qm),
+         kept AS (
+           SELECT d.source, q.n_tokens
+           FROM documents d JOIN qual q USING (doc_id)
+           WHERE d.doc_id % 100 <> 0
+             AND d.doc_id NOT IN (SELECT id FROM drop_ids)
+             AND d.doc_id NOT IN (SELECT doc_id FROM contaminated)
+             AND q.quality >= 0.5)
+         SELECT source, count(*) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+         FROM kept GROUP BY source ORDER BY source"""),
+    "q68_split_leakage" ->
+      (dedupCcCte + """,
+         canon AS (
+           SELECT d.doc_id,
+             coalesce((SELECT CAST(min(label) AS BIGINT) FROM cc
+                       WHERE cc.id = d.doc_id), d.doc_id) AS canonical
+           FROM documents d),
+         assigned AS (
+           SELECT doc_id,
+             CASE WHEN substr(md5(CAST(canonical AS VARCHAR)), 1, 2) < '1a'
+                  THEN 'val' ELSE 'train' END AS split
+           FROM canon)
+         SELECT split, count(*) AS n_docs,
+           CAST(0 AS BIGINT) AS cross_split_pairs
+         FROM assigned GROUP BY split ORDER BY split"""),
+    // q43 shares q31's semantics (different physical operator: typed
+    // Aggregator instead of window sort) → same oracle
+    "q41_frame_sample" ->
+      """SELECT doc_id, format, CAST(i AS INT) AS frame_no,
+           CAST(greatest(0, least(frame_len, n_bytes - i * frame_len)) AS BIGINT) AS frame_bytes
+         FROM (SELECT doc_id,
+                 CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'wav' ELSE 'mp4' END AS format,
+                 octet_length(encode(text)) AS n_bytes,
+                 greatest(CAST(trunc(octet_length(encode(text)) / 4.0) AS INT), 1) AS frame_len
+               FROM documents)
+         CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS i)
+         WHERE greatest(0, least(frame_len, n_bytes - i * frame_len)) > 0
+         ORDER BY doc_id, frame_no""",
+    // q69: exact-duplicate vector collapse — group by the embedding value
+    // itself (float lists group bitwise-exact in both engines); the
+    // linear-cost backstop behind the embedding-LSH bucket caps
+    "q84_sequence_packing" ->
+      """WITH d AS (SELECT doc_id, CAST(len(string_split(
+             regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' '))
+             AS BIGINT) AS n_tokens
+           FROM documents),
+         s AS (SELECT doc_id, n_tokens, CAST(doc_id % 8 AS INT) AS shard
+               FROM d WHERE n_tokens > 0),
+         c AS (SELECT doc_id, n_tokens, shard,
+                 CAST(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS end_tok
+               FROM s),
+         spans AS (SELECT shard, doc_id, end_tok - n_tokens AS start_tok,
+                     end_tok FROM c),
+         x AS (SELECT shard, doc_id, start_tok, end_tok,
+                 unnest(generate_series(CAST(start_tok // 256 AS BIGINT),
+                   CAST((end_tok - 1) // 256 AS BIGINT))) AS chunk_id
+               FROM spans)
+         SELECT shard, chunk_id, doc_id,
+           greatest(start_tok, chunk_id * 256) - start_tok AS doc_off,
+           greatest(start_tok, chunk_id * 256) - chunk_id * 256 AS chunk_off,
+           least(end_tok, (chunk_id + 1) * 256)
+             - greatest(start_tok, chunk_id * 256) AS len
+         FROM x ORDER BY shard, chunk_id, doc_id""",
+    // q71: Gopher word-statistics rules — thresholds compared on the
+    // rounded values, exactly as the Spark side computes them
+    "q72_bloom_novelty" ->
+      ("WITH " + shinglePostingsCte + """,
+         hist AS (SELECT DISTINCT tok FROM t0 WHERE doc_id % 5 <> 0),
+         batch AS (SELECT doc_id, tok FROM t0 WHERE doc_id % 5 = 0)
+         SELECT doc_id, count(*) AS n_shingles,
+           CAST(sum(CASE WHEN hist.tok IS NOT NULL THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_exact_hits,
+           CAST(1 AS INT) AS no_false_neg,
+           CAST(1 AS INT) AS fp_ok
+         FROM batch LEFT JOIN hist ON batch.tok = hist.tok
+         GROUP BY doc_id ORDER BY doc_id"""),
+    // q73: add-one-smoothed corpus bigram LM, per-doc cross-entropy.
+    // Bigrams carried as "w1 w2" strings (tokens cannot contain spaces);
+    // prefix counts come from the same bigram rows grouped on w1
+    "q91_snapshot_diff" ->
+      """WITH v1 AS (SELECT doc_id, text FROM documents),
+         v2 AS (
+           SELECT doc_id,
+             CASE WHEN doc_id % 10 = 0 THEN text || ' [rev2]'
+                  ELSE text END AS text
+           FROM v1 WHERE doc_id % 13 <> 0
+           UNION ALL
+           SELECT doc_id + 1000000 AS doc_id, text
+           FROM v1 WHERE doc_id % 17 = 0),
+         j AS (
+           SELECT coalesce(a.doc_id, b.doc_id) AS doc_id,
+             CASE WHEN b.doc_id IS NULL THEN 'removed'
+                  WHEN a.doc_id IS NULL THEN 'added'
+                  WHEN md5(a.text) <> md5(b.text) THEN 'changed'
+             END AS status,
+             CAST(coalesce(length(b.text), length(a.text)) AS BIGINT)
+               AS n_chars
+           FROM v1 a FULL OUTER JOIN v2 b ON a.doc_id = b.doc_id)
+         SELECT doc_id, status, n_chars FROM j
+         WHERE status IS NOT NULL
+         ORDER BY doc_id, status""",
+    // q92: IVF upsert — codebook trained on the base partition only,
+    // batch assigned against the frozen codebook; min/max over the
+    // 4dp-rounded assignment cosines are order-independent and growth is
+    // one exact-int division, so the report is cell-exact (q70 contract)
+    "q93_incr_agg" ->
+      """WITH v1 AS (SELECT doc_id, source, text FROM documents),
+         v2 AS (
+           SELECT doc_id, source,
+             CASE WHEN doc_id % 10 = 0 THEN text || ' [rev2]'
+                  ELSE text END AS text
+           FROM v1 WHERE doc_id % 13 <> 0
+           UNION ALL
+           SELECT doc_id + 1000000 AS doc_id, source, text
+           FROM v1 WHERE doc_id % 17 = 0)
+         SELECT source, count(*) AS n_docs,
+           CAST(sum(length(text)) AS BIGINT) AS total_chars
+         FROM v2 GROUP BY 1 ORDER BY 1""",
+    // q94: truncated-prefix rerank — the funnel (prefix coarse scan →
+    // shortlist → exact rerank) is replayed stage-for-stage; prefix
+    // slices are float→double exact on both engines, both cosines round
+    // 4dp with the standard vec_id tiebreaks
+    "q97_mix_weights" ->
+      """WITH t AS (
+           SELECT source, CAST(sum(len(string_split(
+             regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')))
+             AS BIGINT) AS n_tokens
+           FROM documents GROUP BY 1),
+         w AS (SELECT source, n_tokens,
+                 round(sqrt(CAST(n_tokens AS DOUBLE)), 6) AS w FROM t),
+         z AS (SELECT list_inner_product(ws,
+                 list_transform(ws, x -> 1.0)) AS z
+               FROM (SELECT list(w ORDER BY source) AS ws FROM w))
+         SELECT source, n_tokens, round(w / z, 6) AS weight
+         FROM w CROSS JOIN z ORDER BY source""",
+    // q98: one BPE merge step — adjacent char-pair counts over every
+    // word occurrence; pure integer counts and a TOTAL (n DESC, pair)
+    // order, so LIMIT k is deterministic on both engines
+    "q105_importance_weights" ->
+      """WITH t AS (SELECT doc_id, source, unnest(string_split(
+             regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS tok
+           FROM documents),
+         b AS (SELECT doc_id, source,
+             ((instr('0123456789abcdef', substr(md5(tok), 1, 1)) - 1) * 256
+              + (instr('0123456789abcdef', substr(md5(tok), 2, 1)) - 1) * 16
+              + (instr('0123456789abcdef', substr(md5(tok), 3, 1)) - 1))
+             % 256 AS bucket
+           FROM t),
+         r AS (SELECT bucket, count(*) AS cnt_r FROM b GROUP BY 1),
+         g AS (SELECT bucket, count(*) AS cnt_t FROM b
+               WHERE source IN ('src0', 'src1', 'src2', 'src3') GROUP BY 1),
+         st AS (SELECT count(*) AS n_r,
+                  sum(CASE WHEN source IN ('src0', 'src1', 'src2', 'src3')
+                      THEN 1 ELSE 0 END) AS n_t
+                FROM b),
+         lam AS (SELECT r.bucket,
+             CAST(round(round(ln(
+                 ((coalesce(g.cnt_t, 0) + 1.0) / (st.n_t + 256.0)) /
+                 ((r.cnt_r + 1.0) / (st.n_r + 256.0))), 6) * 1000000.0, 0)
+               AS BIGINT) AS lam_q
+           FROM r LEFT JOIN g ON r.bucket = g.bucket CROSS JOIN st)
+         SELECT b.doc_id, count(*) AS n_tokens,
+           round(CAST(sum(lam.lam_q) AS DOUBLE) / 1000000.0, 6)
+             AS log_weight
+         FROM b JOIN lam ON b.bucket = lam.bucket
+         GROUP BY 1 ORDER BY 1""",
+    // q106: last-touch attribution — running last-click window per user
+    // ((ts, event_id) total order), µs-epoch integer latency, null
+    // attribution kept for click-less purchases
+    "q111_scd2_delta" ->
+      """WITH v1 AS (SELECT doc_id, text FROM documents),
+         v2 AS (
+           SELECT doc_id,
+             CASE WHEN doc_id % 10 = 0 THEN text || ' [rev2]'
+                  ELSE text END AS text
+           FROM v1 WHERE doc_id % 13 <> 0
+           UNION ALL
+           SELECT doc_id + 1000000 AS doc_id, text
+           FROM v1 WHERE doc_id % 17 = 0),
+         j AS (SELECT coalesce(a.doc_id, b.doc_id) AS doc_id,
+                 md5(a.text) AS fp1, md5(b.text) AS fp2,
+                 a.doc_id IS NOT NULL AS in1, b.doc_id IS NOT NULL AS in2
+               FROM v1 a FULL OUTER JOIN v2 b ON a.doc_id = b.doc_id)
+         SELECT doc_id, fp1 AS fp, CAST(1 AS INT) AS valid_from,
+           CAST(2 AS INT) AS valid_to, CAST(0 AS INT) AS is_current,
+           'close' AS action
+         FROM j WHERE in1 AND (NOT in2 OR fp1 <> fp2)
+         UNION ALL
+         SELECT doc_id, fp2 AS fp, CAST(2 AS INT) AS valid_from,
+           CAST(NULL AS INT) AS valid_to, CAST(1 AS INT) AS is_current,
+           'open' AS action
+         FROM j WHERE in2 AND (NOT in1 OR fp1 <> fp2)
+         ORDER BY doc_id, action""",
+    // q112: daily-volume anomaly z-scores — integer window sums only
+    // (order-free), closed-form mean/variance, correctly-rounded sqrt,
+    // 4dp round with the signed-zero normalization; null z on
+    // zero-variance baselines
+    "q114_doc_chunks" ->
+      """WITH t AS (SELECT doc_id,
+             string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'),
+               ' ') AS toks
+           FROM documents),
+         s AS (SELECT doc_id, toks, len(toks) AS n_tok FROM t)
+         SELECT doc_id,
+           CAST(gs // 48 AS INT) AS chunk_idx,
+           CAST(gs AS INT) AS start_tok,
+           CAST(least(64, n_tok - gs) AS INT) AS n_chunk_toks,
+           md5(array_to_string(
+             list_slice(toks, gs + 1, least(gs + 64, n_tok)), ' ')) AS chunk_md5
+         FROM s, unnest(generate_series(0, n_tok - 1, 48)) AS u(gs)
+         ORDER BY doc_id, chunk_idx""",
+    // q115: hard negatives — q31's brute cosine with the band filter on
+    // the ROUNDED score (the q32 threshold rule)
+    "q117_domain_cap" ->
+      """WITH r AS (SELECT doc_id, source, n_chars,
+             row_number() OVER (PARTITION BY source
+               ORDER BY n_chars DESC, doc_id) AS rk
+           FROM documents)
+         SELECT source, count(*) AS n_docs,
+           CAST(sum(CASE WHEN rk <= 50 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           CAST(sum(CASE WHEN rk <= 50 THEN n_chars END) AS BIGINT) AS chars_kept
+         FROM r GROUP BY source ORDER BY source""",
+    // q118: 60-bit row digest = low 15 hex digits of the payload md5
+    // (big-endian positional fold), XOR-folded per group — XOR is
+    // order-independent, so both engines agree under any plan
+    "q118_table_fingerprint" ->
+      """WITH p AS (SELECT l_returnflag,
+             md5(concat_ws('|', l_orderkey, l_partkey, l_suppkey,
+               l_linenumber, CAST(CAST(l_shipdate AS DATE) AS VARCHAR))) AS h
+           FROM lineitem),
+         f AS (SELECT l_returnflag,
+             list_sum([(strpos('0123456789abcdef', h[17+i]) - 1)::BIGINT
+                        * (1::BIGINT << (4*(15-i))) for i in range(1, 16)]) AS fp
+           FROM p)
+         SELECT l_returnflag, count(*) AS n_rows,
+           CAST(bit_xor(fp) AS BIGINT) AS fingerprint
+         FROM f GROUP BY l_returnflag ORDER BY l_returnflag""",
+    // q119: distinct (source, 16-gram md5) pairs, then a self-join on the
+    // hash — counts are exact integers; tokenization mirrors q114/q116
+    "q122_fold_assign" ->
+      """WITH d AS (SELECT doc_id, n_chars,
+             md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+           FROM documents),
+         c AS (SELECT fp, min(doc_id) AS canonical_id FROM d GROUP BY 1),
+         f AS (SELECT d.doc_id, d.n_chars, d.fp,
+             CAST(list_sum([(strpos('0123456789abcdef',
+                 md5(CAST(c.canonical_id AS VARCHAR))[i]) - 1)::BIGINT
+                 * (1::BIGINT << (4 * (8 - i))) for i in range(1, 9)]) % 5
+               AS INT) AS fold
+           FROM d JOIN c ON d.fp = c.fp),
+         g AS (SELECT fold, fp, count(*) AS nd, sum(n_chars) AS ch
+           FROM f GROUP BY 1, 2)
+         SELECT fold, CAST(sum(nd) AS BIGINT) AS n_docs,
+           count(*) AS n_clusters, CAST(sum(ch) AS BIGINT) AS chars
+         FROM g GROUP BY fold ORDER BY fold""",
+    // q123: per-source decile of the q35 quality score — integer-exact
+    // bucket arithmetic ((rk-1)*10 // n); min/max are order-independent
+    "q128_fp_diff" ->
+      """WITH v1 AS (SELECT doc_id, text FROM documents),
+         v2 AS (
+           SELECT doc_id,
+             CASE WHEN doc_id % 10 = 0 THEN text || ' [rev2]'
+                  ELSE text END AS text
+           FROM v1 WHERE doc_id % 13 <> 0
+           UNION ALL
+           SELECT doc_id + 1000000 AS doc_id, text
+           FROM v1 WHERE doc_id % 17 = 0),
+         f1 AS (SELECT CAST(doc_id % 64 AS INT) AS bucket,
+             count(*) AS n1, bit_xor(list_sum([
+               (strpos('0123456789abcdef',
+                  md5(concat_ws('|', doc_id, text))[17 + i]) - 1)::BIGINT
+               * (1::BIGINT << (4 * (15 - i))) for i in range(1, 16)])) AS fp1
+           FROM v1 GROUP BY 1),
+         f2 AS (SELECT CAST(doc_id % 64 AS INT) AS bucket,
+             count(*) AS n2, bit_xor(list_sum([
+               (strpos('0123456789abcdef',
+                  md5(concat_ws('|', doc_id, text))[17 + i]) - 1)::BIGINT
+               * (1::BIGINT << (4 * (15 - i))) for i in range(1, 16)])) AS fp2
+           FROM v2 GROUP BY 1)
+         SELECT coalesce(f1.bucket, f2.bucket) AS bucket,
+           CAST(coalesce(n1, 0) AS BIGINT) AS n1,
+           CAST(coalesce(n2, 0) AS BIGINT) AS n2,
+           CAST(coalesce(fp1, 0) AS BIGINT) AS fp1,
+           CAST(coalesce(fp2, 0) AS BIGINT) AS fp2
+         FROM f1 FULL OUTER JOIN f2 ON f1.bucket = f2.bucket
+         WHERE coalesce(fp1, 0) <> coalesce(fp2, 0)
+            OR coalesce(n1, 0) <> coalesce(n2, 0)
+         ORDER BY bucket""",
+    // q129: integer-exact log2 length bands — length(bin(x)) - 1, no
+    // float log at the power-of-two boundary
+    "q135_media_dedup" ->
+      """WITH m AS (SELECT
+             CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'wav'
+                  ELSE 'mp4' END AS format,
+             md5(text) AS fp,
+             octet_length(encode(text)) AS n_bytes
+           FROM documents),
+         g AS (SELECT format, fp, count(*) AS n_copies,
+             min(n_bytes) AS n_bytes
+           FROM m GROUP BY 1, 2)
+         SELECT format, count(*) AS n_distinct,
+           CAST(sum(n_copies) AS BIGINT) AS n_total,
+           CAST(sum((n_copies - 1) * n_bytes) AS BIGINT) AS wasted_bytes
+         FROM g GROUP BY format ORDER BY format""",
+    // q136: the oracle profiles v1/v2 DIRECTLY — a hash match proves the
+    // Spark side's SCD2-history reconstruction equals the materialized
+    // snapshots
+    "q136_time_travel" ->
+      """WITH v1 AS (SELECT doc_id, text FROM documents),
+         v2 AS (
+           SELECT doc_id,
+             CASE WHEN doc_id % 10 = 0 THEN text || ' [rev2]'
+                  ELSE text END AS text
+           FROM v1 WHERE doc_id % 13 <> 0
+           UNION ALL
+           SELECT doc_id + 1000000 AS doc_id, text
+           FROM v1 WHERE doc_id % 17 = 0)
+         SELECT * FROM (
+           SELECT 1 AS version, count(*) AS n_docs,
+             CAST(sum(length(text)) AS BIGINT) AS n_chars FROM v1
+           UNION ALL
+           SELECT 2, count(*), CAST(sum(length(text)) AS BIGINT) FROM v2
+         ) ORDER BY version""",
+    // q137: integer band edges on both axes — (k*4)//10000 quality
+    // quarters, log2-of-quantized-norm² via length(bin(x))-1
+    "q137_fusion_bands" ->
+      ("WITH " + qualityDocCte + """,
+         k AS (SELECT doc_id,
+             CAST(round(quality * 10000) AS BIGINT) AS k FROM qdoc),
+         nm AS (SELECT vec_id AS doc_id,
+             list_sum(list_transform(embedding::DOUBLE[],
+               x -> CAST(round(x * 1024) AS BIGINT)
+                    * CAST(round(x * 1024) AS BIGINT))) AS norm2q
+           FROM embeddings)
+         SELECT CAST(k * 4 // 10000 AS INT) AS quality_band,
+           CAST(length(bin(norm2q)) - 1 AS INT) AS norm_band,
+           count(*) AS n_docs
+         FROM k JOIN nm ON k.doc_id = nm.doc_id
+         GROUP BY 1, 2 ORDER BY quality_band, norm_band"""),
+    // q138: per-day manifest row — counts, key bounds, type cardinality
+    "q140_budget_select" ->
+      ("WITH " + qualityDocCte + """,
+         qk AS (SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+             CAST(round(quality * 10000) AS BIGINT) AS k FROM qdoc),
+         r AS (SELECT doc_id, n_tokens,
+             coalesce(sum(n_tokens) OVER (ORDER BY k DESC, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS cum_excl
+           FROM qk)
+         SELECT d.source, count(*) AS n_kept,
+           CAST(sum(r.n_tokens) AS BIGINT) AS tokens_kept
+         FROM r JOIN documents d ON r.doc_id = d.doc_id
+         WHERE r.cum_excl < 100000
+         GROUP BY d.source ORDER BY d.source"""),
+    // q141: per-metric v1/v2 column profiles with drift flags; integers
+    // only
+    "q141_drift_report" ->
+      """WITH v1 AS (SELECT doc_id, text FROM documents),
+         v2 AS (
+           SELECT doc_id,
+             CASE WHEN doc_id % 10 = 0 THEN text || ' [rev2]'
+                  ELSE text END AS text
+           FROM v1 WHERE doc_id % 13 <> 0
+           UNION ALL
+           SELECT doc_id + 1000000 AS doc_id, text
+           FROM v1 WHERE doc_id % 17 = 0),
+         p1 AS (SELECT count(*) AS n_rows,
+             CAST(sum(length(text)) AS BIGINT) AS chars,
+             count(DISTINCT md5(text)) AS nd FROM v1),
+         p2 AS (SELECT count(*) AS n_rows,
+             CAST(sum(length(text)) AS BIGINT) AS chars,
+             count(DISTINCT md5(text)) AS nd FROM v2)
+         SELECT * FROM (
+           SELECT 'chars' AS metric, p1.chars AS v1_value,
+             p2.chars AS v2_value,
+             CAST(CASE WHEN p1.chars <> p2.chars THEN 1 ELSE 0 END AS INT)
+               AS drifted
+           FROM p1, p2
+           UNION ALL SELECT 'distinct_texts', p1.nd, p2.nd,
+             CAST(CASE WHEN p1.nd <> p2.nd THEN 1 ELSE 0 END AS INT)
+           FROM p1, p2
+           UNION ALL SELECT 'n_rows', p1.n_rows, p2.n_rows,
+             CAST(CASE WHEN p1.n_rows <> p2.n_rows THEN 1 ELSE 0 END AS INT)
+           FROM p1, p2
+         ) ORDER BY metric""",
+    // q142: smallest |logit| — margin sampling over the q83 classifier;
+    // abs of an already-rounded value, total (margin, doc_id) order
+    "q146_source_gini" ->
+      """WITH per AS (SELECT source, CAST(sum(n_chars) AS BIGINT) AS x
+           FROM documents GROUP BY source),
+         r AS (SELECT x, row_number() OVER (ORDER BY x, source) AS i
+           FROM per)
+         SELECT CAST(count(*) AS INT) AS n_sources,
+           CAST(sum(x) AS BIGINT) AS total_chars,
+           round((2.0 * CAST(sum(i * x) AS DOUBLE)) /
+             (CAST(count(*) AS DOUBLE) * CAST(sum(x) AS DOUBLE)) -
+             CAST(count(*) + 1 AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
+             AS gini
+         FROM r""",
+    // q147: raw vs exact-dedup canonical corpus size; per-hash min
+    // aggregation first so each distinct content counts once
+    "q170_truncation_loss" ->
+      """WITH m AS (SELECT CAST(len(string_split(regexp_replace(
+             lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS BIGINT)
+             AS n_tok FROM documents),
+         a AS (SELECT count(*) AS n_docs,
+             CAST(sum(n_tok) AS BIGINT) AS sum_tokens,
+             CAST(sum(least(n_tok, 128)) AS BIGINT) AS k128,
+             CAST(sum(CASE WHEN n_tok > 128 THEN 1 ELSE 0 END) AS BIGINT)
+               AS o128,
+             CAST(sum(least(n_tok, 512)) AS BIGINT) AS k512,
+             CAST(sum(CASE WHEN n_tok > 512 THEN 1 ELSE 0 END) AS BIGINT)
+               AS o512,
+             CAST(sum(least(n_tok, 2048)) AS BIGINT) AS k2048,
+             CAST(sum(CASE WHEN n_tok > 2048 THEN 1 ELSE 0 END) AS BIGINT)
+               AS o2048
+           FROM m)
+         SELECT 128 AS max_len, n_docs, o128 AS n_docs_over, sum_tokens,
+           k128 AS sum_kept, round(1.0 - CAST(k128 AS DOUBLE) /
+             CAST(sum_tokens AS DOUBLE), 6) AS trunc_frac FROM a
+         UNION ALL
+         SELECT 512, n_docs, o512, sum_tokens, k512,
+           round(1.0 - CAST(k512 AS DOUBLE) /
+             CAST(sum_tokens AS DOUBLE), 6) FROM a
+         UNION ALL
+         SELECT 2048, n_docs, o2048, sum_tokens, k2048,
+           round(1.0 - CAST(k2048 AS DOUBLE) /
+             CAST(sum_tokens AS DOUBLE), 6) FROM a
+         ORDER BY max_len""",
+    // q171: token survival per distinct quality score (descending) —
+    // the cumulative window runs on the bounded distinct-score frame
+    "q171_quality_curve" ->
+      ("WITH " + qualityDocCte + """,
+         qk AS (SELECT CAST(round(quality * 10000) AS BIGINT) AS k,
+             CAST(n_tokens AS BIGINT) AS n_tok FROM qdoc),
+         ps AS (SELECT k, count(*) AS n_docs,
+             CAST(sum(n_tok) AS BIGINT) AS n_tokens FROM qk GROUP BY 1),
+         c AS (SELECT k, n_docs, n_tokens,
+             CAST(sum(n_docs) OVER (ORDER BY k DESC) AS BIGINT)
+               AS cum_docs,
+             CAST(sum(n_tokens) OVER (ORDER BY k DESC) AS BIGINT)
+               AS cum_tokens FROM ps),
+         t AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+           FROM ps)
+         SELECT CAST(k AS DOUBLE) / 10000.0 AS quality, n_docs, n_tokens,
+           cum_docs, cum_tokens,
+           round(CAST(cum_tokens AS DOUBLE) /
+             CAST(total_tokens AS DOUBLE), 6) AS cum_token_frac
+         FROM c, t ORDER BY quality DESC"""),
+    // q172: exact-dup cluster-size histogram — the q27 content-hash
+    // shuffle then a multiplicity rollup
+    "q191_pii_density" ->
+      """WITH m AS (SELECT source,
+             text || ' contact user' || doc_id ||
+               '@example.com or call 5551234567' AS t
+           FROM documents),
+         c AS (SELECT source, CAST(length(t) AS BIGINT) AS n_chars_t,
+             CAST(len(regexp_extract_all(t,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+               AS BIGINT) AS n_emails,
+             CAST(len(regexp_extract_all(t, '[0-9]{7,}')) AS BIGINT)
+               AS n_digitruns
+           FROM m)
+         SELECT source, count(*) AS n_docs,
+           CAST(sum(n_emails) AS BIGINT) AS n_emails,
+           CAST(sum(n_digitruns) AS BIGINT) AS n_digitruns,
+           round(CAST(sum(n_emails) + sum(n_digitruns) AS DOUBLE)
+             * 10000.0 / CAST(sum(n_chars_t) AS DOUBLE), 6)
+             AS hits_per_10k_chars
+         FROM c GROUP BY source ORDER BY source""",
+    // q192: best-vs-second language score margin bands over the shared
+    // q34/q155 prediction chain
+  )
+}

@@ -1,0 +1,885 @@
+package graft.oracle
+
+import graft.operators.{RetrievalOps, SimilarityOps}
+import OracleCtes._
+
+/** DuckDB oracle SQL — embedding family: brute/LSH/IVF/PQ/SQ ANN, k-means, PCA, recall/eval, embed health. One entry per SparkEntry.queries
+  * key in this family; strings byte-identical to the pre-split
+  * SparkEntry registry (round-9 reviewability split).
+  */
+private[graft] object SimilarityOracles {
+  val sql: Map[String, String] = Map(
+    "q33_lsh_topk" ->
+      """SELECT vec_id AS query_id, CAST(1 AS INT) AS recall_ok
+         FROM embeddings WHERE vec_id < 8 ORDER BY query_id""",
+    "q31_cosine_topk" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+                    FROM embeddings WHERE vec_id < 8),
+         c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         scored AS (
+           SELECT query_id, vec_id,
+             round(list_inner_product(qv, v) /
+               (sqrt(list_inner_product(qv, qv)) * sqrt(list_inner_product(v, v))), 4) AS cos
+           FROM q CROSS JOIN c WHERE vec_id <> query_id)
+         SELECT query_id, vec_id AS neighbor_id, cos, rk FROM (
+           SELECT query_id, vec_id, cos,
+             CAST(row_number() OVER (PARTITION BY query_id
+                  ORDER BY cos DESC, vec_id) AS INT) AS rk
+           FROM scored)
+         WHERE rk <= 5 ORDER BY query_id, rk""",
+    "q32_cosine_neardup" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
+                    FROM embeddings WHERE vec_id < 200)
+         SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_inner_product(a.v, b.v) /
+             (sqrt(list_inner_product(a.v, a.v)) * sqrt(list_inner_product(b.v, b.v))), 4) AS cos
+         FROM e a JOIN e b ON a.vec_id < b.vec_id
+         WHERE round(list_inner_product(a.v, b.v) /
+             (sqrt(list_inner_product(a.v, a.v)) * sqrt(list_inner_product(b.v, b.v))), 4) >= 0.35
+         ORDER BY id_a, id_b""",
+    // q64 emits exactly-verified pairs from complete-recall multi-table
+    // LSH bucketing (64 tables x 4 planes; per-pair miss ~5e-5 at the
+    // 0.35 threshold) -- same oracle as the exact q32
+    "q64_lsh_neardup" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
+                    FROM embeddings WHERE vec_id < 200)
+         SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_inner_product(a.v, b.v) /
+             (sqrt(list_inner_product(a.v, a.v)) * sqrt(list_inner_product(b.v, b.v))), 4) AS cos
+         FROM e a JOIN e b ON a.vec_id < b.vec_id
+         WHERE round(list_inner_product(a.v, b.v) /
+             (sqrt(list_inner_product(a.v, a.v)) * sqrt(list_inner_product(b.v, b.v))), 4) >= 0.35
+         ORDER BY id_a, id_b""",
+    "q57_centroid_assign" ->
+      """WITH dims AS (
+           SELECT label, vec_id,
+             generate_subscripts(embedding, 1) AS d,
+             unnest(embedding::DOUBLE[]) AS x
+           FROM embeddings),
+         cent AS (SELECT label, d, round(avg(x), 6) AS c
+                  FROM dims GROUP BY label, d),
+         cvec AS (SELECT label AS clabel, list(c ORDER BY d) AS cv
+                  FROM cent GROUP BY label),
+         scored AS (
+           SELECT e.vec_id, e.label, c.clabel,
+             round(list_inner_product(e.embedding::DOUBLE[], c.cv) /
+               (sqrt(list_inner_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])) *
+                sqrt(list_inner_product(c.cv, c.cv))), 4) AS cos
+           FROM embeddings e CROSS JOIN cvec c),
+         best AS (SELECT vec_id, label, clabel,
+             row_number() OVER (PARTITION BY vec_id
+               ORDER BY cos DESC, clabel) AS rk
+           FROM scored)
+         SELECT label, clabel AS assigned_label, count(*) AS n
+         FROM best WHERE rk = 1
+         GROUP BY label, clabel ORDER BY label, assigned_label""",
+    "q43_topk_aggregator" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+                    FROM embeddings WHERE vec_id < 8),
+         c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         scored AS (
+           SELECT query_id, vec_id,
+             round(list_inner_product(qv, v) /
+               (sqrt(list_inner_product(qv, qv)) * sqrt(list_inner_product(v, v))), 4) AS cos
+           FROM q CROSS JOIN c WHERE vec_id <> query_id)
+         SELECT query_id, vec_id AS neighbor_id, cos, rk FROM (
+           SELECT query_id, vec_id, cos,
+             CAST(row_number() OVER (PARTITION BY query_id
+                  ORDER BY cos DESC, vec_id) AS INT) AS rk
+           FROM scored)
+         WHERE rk <= 5 ORDER BY query_id, rk""",
+    "q69_vector_dedup" ->
+      """SELECT min(vec_id) AS canonical_id, count(*) AS n_copies
+         FROM embeddings GROUP BY embedding ORDER BY canonical_id""",
+    // q70: the ENTIRE IVF pipeline replicated in SQL — per-label centroid
+    // codebook (6dp), argmax-cosine list assignment (tie -> smaller
+    // label), top-2 probe lists per query, exact top-5 within the probed
+    // lists. Cell-exact, not a recall gate: these embeddings have no
+    // label-cosine structure, so a recall claim would gate a property the
+    // data cannot exhibit (see SimilarityOps.ivfTopK scaladoc).
+    // The codebook + assignment CTEs are shared with q75 via ivfAssignCte.
+    "q70_ivf_topk" ->
+      ("WITH " + ivfAssignCte + """,
+         probes AS (
+           SELECT query_id, qv, clabel AS ivf_list FROM (
+             SELECT e.vec_id AS query_id, e.v AS qv, cent.clabel,
+               row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                 round(list_inner_product(e.v, cent.cv) /
+                   (sqrt(list_inner_product(e.v, e.v)) *
+                    sqrt(list_inner_product(cent.cv, cent.cv))), 4) DESC,
+                 cent.clabel) AS crk
+             FROM e CROSS JOIN cent WHERE e.vec_id < 8)
+           WHERE crk <= 2),
+         scored AS (
+           SELECT p.query_id, a.vec_id,
+             round(list_inner_product(p.qv, a.v) /
+               (sqrt(list_inner_product(p.qv, p.qv)) *
+                sqrt(list_inner_product(a.v, a.v))), 4) AS cos
+           FROM asg a JOIN probes p USING (ivf_list)
+           WHERE a.vec_id <> p.query_id)
+         SELECT query_id, vec_id AS neighbor_id, cos, rk FROM (
+           SELECT query_id, vec_id, cos,
+             CAST(row_number() OVER (PARTITION BY query_id
+                  ORDER BY cos DESC, vec_id) AS INT) AS rk
+           FROM scored)
+         WHERE rk <= 5 ORDER BY query_id, rk"""),
+    // q75: SemDeDup replication — same assignment CTE, within-list pairs,
+    // drop = any smaller-id neighbor at cos >= 0.35 in the same list
+    "q75_semantic_dedup" ->
+      ("WITH " + ivfAssignCte + """,
+         drops AS (
+           SELECT DISTINCT b.vec_id FROM asg a JOIN asg b USING (ivf_list)
+           WHERE a.vec_id < b.vec_id AND
+             round(list_inner_product(a.v, b.v) /
+               (sqrt(list_inner_product(a.v, a.v)) *
+                sqrt(list_inner_product(b.v, b.v))), 4) >= 0.35)
+         SELECT vec_id, ivf_list,
+           CAST(CASE WHEN vec_id IN (SELECT vec_id FROM drops)
+             THEN 0 ELSE 1 END AS INT) AS kept
+         FROM asg ORDER BY vec_id"""),
+    // q76: the ENTIRE 2-iteration Lloyd chain replicated in SQL — label
+    // init codebook, twice (argmax re-assignment at 4dp + 6dp per-dim
+    // mean update), final assignment and the per-cluster spherical
+    // objective. The unrolled CTEs come from ONE parameterized body
+    // (lloydAsgCte/lloydCentCte), so a rounding or tiebreak tweak cannot
+    // diverge between iterations or from the q70/q75 assignment
+    "q76_kmeans_refine" ->
+      ("WITH " + ivfAssignCte + s""",
+         ${lloydCentCte("dims1", "cent1", "asg")},
+         ${lloydAsgCte("a2", "cent1")},
+         ${lloydCentCte("dims2", "cent2", "a2")},
+         ${lloydAsgCte("a3", "cent2")}
+         SELECT a3.ivf_list, count(*) AS n_members,
+           round(avg(round(list_inner_product(a3.v, cent2.cv) /
+             (sqrt(list_inner_product(a3.v, a3.v)) *
+              sqrt(list_inner_product(cent2.cv, cent2.cv))), 4)), 4) AS avg_cos
+         FROM a3 JOIN cent2 ON a3.ivf_list = cent2.clabel
+         GROUP BY 1 ORDER BY 1"""),
+    // q77: product quantization replicated end-to-end — subspace split,
+    // 6dp per-(subspace, label) codebooks, argmin-L2 encode (expanded-form
+    // distance, 6dp, code tiebreak — term-for-term the Spark expression),
+    // ADC lookup-table scoring at 4dp. Cell-exact like q70/q76, no recall
+    // claim on structure-free embeddings
+    "q77_pq_topk" ->
+      """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v
+                    FROM embeddings),
+         sub AS (SELECT vec_id, label, s.range AS s,
+                   v[s.range*8+1 : s.range*8+8] AS sv
+                 FROM e, range(0, 8) s),
+         cbd AS (SELECT label, s, i.range AS d, round(avg(sv[i.range]), 6) AS c
+                 FROM sub, range(1, 9) i GROUP BY 1, 2, 3),
+         cbn AS (SELECT s, code, cv, list_inner_product(cv, cv) AS cnorm2
+                 FROM (SELECT s, label AS code, list(c ORDER BY d) AS cv
+                       FROM cbd GROUP BY 1, 2)),
+         codes AS (
+           SELECT vec_id, s, code, cnorm2 FROM (
+             SELECT sub.vec_id, sub.s, cbn.code, cbn.cnorm2,
+               row_number() OVER (PARTITION BY sub.vec_id, sub.s ORDER BY
+                 round(list_inner_product(sub.sv, sub.sv)
+                   - 2.0 * list_inner_product(sub.sv, cbn.cv)
+                   + cbn.cnorm2, 6), cbn.code) AS rk
+             FROM sub JOIN cbn ON sub.s = cbn.s)
+           WHERE rk = 1),
+         lut AS (SELECT sub.vec_id AS query_id, sub.s, cbn.code,
+                   list_inner_product(sub.sv, cbn.cv) AS qdot
+                 FROM sub JOIN cbn ON sub.s = cbn.s WHERE sub.vec_id < 8),
+         qn AS (SELECT vec_id AS query_id, sqrt(list_inner_product(v, v)) AS qnorm
+                FROM e WHERE vec_id < 8),
+         sc AS (SELECT l.query_id, c.vec_id,
+                  sum(l.qdot) AS adc, sum(c.cnorm2) AS vnorm2
+                FROM codes c JOIN lut l ON c.s = l.s AND c.code = l.code
+                GROUP BY 1, 2)
+         SELECT query_id, vec_id AS neighbor_id, score, rk FROM (
+           SELECT sc.query_id, sc.vec_id,
+             round(sc.adc / (qn.qnorm * sqrt(sc.vnorm2)), 4) AS score,
+             CAST(row_number() OVER (PARTITION BY sc.query_id
+                  ORDER BY round(sc.adc / (qn.qnorm * sqrt(sc.vnorm2)), 4)
+                    DESC, sc.vec_id) AS INT) AS rk
+           FROM sc JOIN qn USING (query_id)
+           WHERE sc.vec_id <> sc.query_id)
+         WHERE rk <= 5 ORDER BY query_id, rk""",
+    // q85: SIZED product quantization — q77's full ADC chain (subspace
+    // split, argmin encode with 6dp expanded-form distance + code
+    // tiebreak, LUT scoring at 4dp) over the self-sized md5-sampled
+    // codebook's subvector slices instead of the label means. Completes
+    // the oracle coverage of all three sized ANN families (q80/q81/q85)
+    "q85_pq_sized" ->
+      ("WITH " + sizedScentCte(100L) + """,
+         sub AS (SELECT vec_id, s.range AS s,
+                   v[s.range*8+1 : s.range*8+8] AS sv
+                 FROM e, range(0, 8) s),
+         cbn AS (SELECT s.range AS s, scent.clabel AS code,
+                   scent.cv[s.range*8+1 : s.range*8+8] AS cv,
+                   list_inner_product(scent.cv[s.range*8+1 : s.range*8+8],
+                     scent.cv[s.range*8+1 : s.range*8+8]) AS cnorm2
+                 FROM scent, range(0, 8) s),
+         codes AS (
+           SELECT vec_id, s, code, cnorm2 FROM (
+             SELECT sub.vec_id, sub.s, cbn.code, cbn.cnorm2,
+               row_number() OVER (PARTITION BY sub.vec_id, sub.s ORDER BY
+                 round(list_inner_product(sub.sv, sub.sv)
+                   - 2.0 * list_inner_product(sub.sv, cbn.cv)
+                   + cbn.cnorm2, 6), cbn.code) AS rk
+             FROM sub JOIN cbn ON sub.s = cbn.s)
+           WHERE rk = 1),
+         lut AS (SELECT sub.vec_id AS query_id, sub.s, cbn.code,
+                   list_inner_product(sub.sv, cbn.cv) AS qdot
+                 FROM sub JOIN cbn ON sub.s = cbn.s WHERE sub.vec_id < 8),
+         qn AS (SELECT vec_id AS query_id, sqrt(list_inner_product(v, v)) AS qnorm
+                FROM e WHERE vec_id < 8),
+         sc AS (SELECT l.query_id, c.vec_id,
+                  sum(l.qdot) AS adc, sum(c.cnorm2) AS vnorm2
+                FROM codes c JOIN lut l ON c.s = l.s AND c.code = l.code
+                GROUP BY 1, 2)
+         SELECT query_id, vec_id AS neighbor_id, score, rk FROM (
+           SELECT sc.query_id, sc.vec_id,
+             round(sc.adc / (qn.qnorm * sqrt(sc.vnorm2)), 4) AS score,
+             CAST(row_number() OVER (PARTITION BY sc.query_id
+                  ORDER BY round(sc.adc / (qn.qnorm * sqrt(sc.vnorm2)), 4)
+                    DESC, sc.vec_id) AS INT) AS rk
+           FROM sc JOIN qn USING (query_id)
+           WHERE sc.vec_id <> sc.query_id)
+         WHERE rk <= 5 ORDER BY query_id, rk"""),
+    // q86: the fused PQ scorer — same codebook/encode/LUT semantics as
+    // q77, but the ADC accumulation is INDEX-ORDERED on both engines
+    // (Spark: the fused expression's s-ascending loop; here: each
+    // (query, vec) group's terms collected ORDER BY s and dotted with a
+    // ones vector — list_inner_product sums in list order), so the
+    // shuffled-sum rounding hazard is designed out rather than survived
+    "q86_pq_fused" ->
+      """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v
+                    FROM embeddings),
+         sub AS (SELECT vec_id, label, s.range AS s,
+                   v[s.range*8+1 : s.range*8+8] AS sv
+                 FROM e, range(0, 8) s),
+         cbd AS (SELECT label, s, i.range AS d, round(avg(sv[i.range]), 6) AS c
+                 FROM sub, range(1, 9) i GROUP BY 1, 2, 3),
+         cbn AS (SELECT s, code, cv, list_inner_product(cv, cv) AS cnorm2
+                 FROM (SELECT s, label AS code, list(c ORDER BY d) AS cv
+                       FROM cbd GROUP BY 1, 2)),
+         codes AS (
+           SELECT vec_id, s, code, cnorm2 FROM (
+             SELECT sub.vec_id, sub.s, cbn.code, cbn.cnorm2,
+               row_number() OVER (PARTITION BY sub.vec_id, sub.s ORDER BY
+                 round(list_inner_product(sub.sv, sub.sv)
+                   - 2.0 * list_inner_product(sub.sv, cbn.cv)
+                   + cbn.cnorm2, 6), cbn.code) AS rk
+             FROM sub JOIN cbn ON sub.s = cbn.s)
+           WHERE rk = 1),
+         lut AS (SELECT sub.vec_id AS query_id, sub.s, cbn.code,
+                   list_inner_product(sub.sv, cbn.cv) AS qdot
+                 FROM sub JOIN cbn ON sub.s = cbn.s WHERE sub.vec_id < 8),
+         qn AS (SELECT vec_id AS query_id, sqrt(list_inner_product(v, v)) AS qnorm
+                FROM e WHERE vec_id < 8),
+         sc AS (SELECT l.query_id, c.vec_id,
+                  list_inner_product(list(l.qdot ORDER BY l.s),
+                    [1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0]) AS adc,
+                  list_inner_product(list(c.cnorm2 ORDER BY c.s),
+                    [1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0]) AS vnorm2
+                FROM codes c JOIN lut l ON c.s = l.s AND c.code = l.code
+                GROUP BY 1, 2)
+         SELECT query_id, vec_id AS neighbor_id, score, rk FROM (
+           SELECT sc.query_id, sc.vec_id,
+             round(sc.adc / (qn.qnorm * sqrt(sc.vnorm2)), 4) AS score,
+             CAST(row_number() OVER (PARTITION BY sc.query_id
+                  ORDER BY round(sc.adc / (qn.qnorm * sqrt(sc.vnorm2)), 4)
+                    DESC, sc.vec_id) AS INT) AS rk
+           FROM sc JOIN qn USING (query_id)
+           WHERE sc.vec_id <> sc.query_id)
+         WHERE rk <= 5 ORDER BY query_id, rk""",
+    // q87: span-dedup apply — duplicated-span ownership (min doc_id),
+    // covered-position explode, anti-join, per-doc rebuild ORDER BY pos.
+    // All string/integer ops, no FP anywhere; list slicing replicates the
+    // Spark side's lead-window span strings
+    "q88_ivfpq_topk" ->
+      ("WITH " + ivfAssignCte + """,
+         rdim AS (SELECT a.vec_id, a.ivf_list, i.range AS d,
+                    a.v[i.range] - cent.cv[i.range] AS x
+                  FROM asg a JOIN cent ON a.ivf_list = cent.clabel,
+                    range(1, 65) i),
+         r AS (SELECT vec_id, ivf_list, list(x ORDER BY d) AS rv
+               FROM rdim GROUP BY 1, 2),
+         rsub AS (SELECT vec_id, s.range AS s,
+                    rv[s.range*8+1 : s.range*8+8] AS sv
+                  FROM r, range(0, 8) s),
+         rcbd AS (SELECT e.label, rs.s, i.range AS d,
+                    round(avg(rs.sv[i.range]), 6) AS c
+                  FROM rsub rs JOIN e ON rs.vec_id = e.vec_id,
+                    range(1, 9) i GROUP BY 1, 2, 3),
+         rcbn AS (SELECT s, code, cv, list_inner_product(cv, cv) AS cnorm2
+                  FROM (SELECT s, label AS code, list(c ORDER BY d) AS cv
+                        FROM rcbd GROUP BY 1, 2)),
+         codes AS (
+           SELECT vec_id, s, code, cnorm2 FROM (
+             SELECT rs.vec_id, rs.s, rcbn.code, rcbn.cnorm2,
+               row_number() OVER (PARTITION BY rs.vec_id, rs.s ORDER BY
+                 round(list_inner_product(rs.sv, rs.sv)
+                   - 2.0 * list_inner_product(rs.sv, rcbn.cv)
+                   + rcbn.cnorm2, 6), rcbn.code) AS rk
+             FROM rsub rs JOIN rcbn ON rs.s = rcbn.s)
+           WHERE rk = 1),
+         qsub AS (SELECT vec_id, s.range AS s,
+                    v[s.range*8+1 : s.range*8+8] AS qsv
+                  FROM e, range(0, 8) s WHERE vec_id < 8),
+         lutq AS (SELECT q.vec_id AS query_id, rcbn.s, rcbn.code,
+                    list_inner_product(q.qsv, rcbn.cv) AS qdot
+                  FROM qsub q JOIN rcbn ON q.s = rcbn.s),
+         csub AS (SELECT cent.clabel, s.range AS s,
+                    cent.cv[s.range*8+1 : s.range*8+8] AS csv
+                  FROM cent, range(0, 8) s),
+         lutc AS (SELECT c.clabel, rcbn.s, rcbn.code,
+                    list_inner_product(c.csv, rcbn.cv) AS cdot
+                  FROM csub c JOIN rcbn ON c.s = rcbn.s),
+         scq AS (SELECT l.query_id, c.vec_id,
+                   list_inner_product(list(l.qdot ORDER BY l.s),
+                     [1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0]) AS adcq
+                 FROM codes c JOIN lutq l ON c.s = l.s AND c.code = l.code
+                 GROUP BY 1, 2),
+         scc AS (SELECT l.clabel, c.vec_id,
+                   list_inner_product(list(l.cdot ORDER BY l.s),
+                     [1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0]) AS adcc
+                 FROM codes c JOIN lutc l ON c.s = l.s AND c.code = l.code
+                 GROUP BY 1, 2),
+         rn AS (SELECT vec_id,
+                  list_inner_product(list(cnorm2 ORDER BY s),
+                    [1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0]) AS rnorm2
+                FROM codes GROUP BY 1),
+         probes AS (
+           SELECT query_id, ivf_list, qc, cnorm2l, qnorm FROM (
+             SELECT e.vec_id AS query_id, cent.clabel AS ivf_list,
+               list_inner_product(e.v, cent.cv) AS qc,
+               list_inner_product(cent.cv, cent.cv) AS cnorm2l,
+               sqrt(list_inner_product(e.v, e.v)) AS qnorm,
+               row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                 round(list_inner_product(e.v, cent.cv) /
+                   (sqrt(list_inner_product(e.v, e.v)) *
+                    sqrt(list_inner_product(cent.cv, cent.cv))), 4) DESC,
+                 cent.clabel) AS crk
+             FROM e CROSS JOIN cent WHERE e.vec_id < 8)
+           WHERE crk <= 2),
+         scored AS (
+           SELECT p.query_id, a.vec_id,
+             round((p.qc + scq.adcq) /
+               (p.qnorm * sqrt(p.cnorm2l + 2.0 * scc.adcc + rn.rnorm2)),
+               4) AS score
+           FROM asg a
+             JOIN probes p ON a.ivf_list = p.ivf_list
+               AND a.vec_id <> p.query_id
+             JOIN scq ON scq.query_id = p.query_id AND scq.vec_id = a.vec_id
+             JOIN scc ON scc.clabel = a.ivf_list AND scc.vec_id = a.vec_id
+             JOIN rn ON rn.vec_id = a.vec_id)
+         SELECT query_id, vec_id AS neighbor_id, score, rk FROM (
+           SELECT query_id, vec_id, score,
+             CAST(row_number() OVER (PARTITION BY query_id
+                  ORDER BY score DESC, vec_id) AS INT) AS rk
+           FROM scored)
+         WHERE rk <= 5 ORDER BY query_id, rk"""),
+    // q78: Misra-Gries heavy hitters — the emitted cells are EXACT
+    // recounts of the sketch's candidate set (estimates are merge-order
+    // dependent and never emitted), and at capacity 64 ≥ the corpus's 31
+    // distinct tokens the candidate set provably contains every token, so
+    // the oracle is the true top-k with the bound verdict pinned at 1.
+    // The approximation regime (capacity ≪ distinct) is spec-gated
+    // adversarially — this vocabulary cannot exhibit it
+    "q79_random_projection" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
+                    FROM embeddings WHERE vec_id < 40),
+         s AS (SELECT i.range AS i, j.range AS j,
+                 CASE WHEN substr(md5(i.range || '_' || j.range), 1, 1) < '8'
+                   THEN CAST(1.0 AS DOUBLE) ELSE CAST(-1.0 AS DOUBLE)
+                 END AS sgn
+               FROM range(0, 64) i, range(0, 16) j),
+         srows AS (SELECT j, list(sgn ORDER BY i) AS srow
+                   FROM s GROUP BY j),
+         proj AS (SELECT e.vec_id, sr.j,
+                    round(list_inner_product(e.v, sr.srow) / sqrt(16.0), 6) AS p
+                  FROM e CROSS JOIN srows sr),
+         pv AS (SELECT vec_id, list(p ORDER BY j) AS pv FROM proj GROUP BY 1)
+         SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_inner_product(a.v, b.v) /
+             (sqrt(list_inner_product(a.v, a.v)) *
+              sqrt(list_inner_product(b.v, b.v))), 4) + 0.0 AS cos_orig,
+           round(list_inner_product(pa.pv, pb.pv) /
+             (sqrt(list_inner_product(pa.pv, pa.pv)) *
+              sqrt(list_inner_product(pb.pv, pb.pv))), 4) + 0.0 AS cos_proj
+         FROM e a JOIN e b ON a.vec_id < b.vec_id
+           JOIN pv pa ON pa.vec_id = a.vec_id
+           JOIN pv pb ON pb.vec_id = b.vec_id
+         ORDER BY id_a, id_b""",
+    // q80: the SIZED IVF pipeline — the configuration that actually runs
+    // at scale (kFor-sized, md5-seeded sampled codebook instead of the
+    // label one) replicated end-to-end like q70: the SQL sizes its own
+    // codebook with the same greatest(2, ceil(n/1000)) formula,
+    // regenerates the md5(vec_id || '_' || 7) sample, and replays
+    // assignment, probe selection, and the probed top-5 cell-exact
+    "q80_ivf_sized_topk" ->
+      ("WITH " + sizedScentCte(100L) + ",\n         " +
+        lloydAsgCte("sasg", "scent") + """,
+         probes AS (
+           SELECT query_id, qv, clabel AS ivf_list FROM (
+             SELECT e.vec_id AS query_id, e.v AS qv, scent.clabel,
+               row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                 round(list_inner_product(e.v, scent.cv) /
+                   (sqrt(list_inner_product(e.v, e.v)) *
+                    sqrt(list_inner_product(scent.cv, scent.cv))), 4) DESC,
+                 scent.clabel) AS crk
+             FROM e CROSS JOIN scent WHERE e.vec_id < 8)
+           WHERE crk <= 2),
+         scored AS (
+           SELECT p.query_id, a.vec_id,
+             round(list_inner_product(p.qv, a.v) /
+               (sqrt(list_inner_product(p.qv, p.qv)) *
+                sqrt(list_inner_product(a.v, a.v))), 4) AS cos
+           FROM sasg a JOIN probes p USING (ivf_list)
+           WHERE a.vec_id <> p.query_id)
+         SELECT query_id, vec_id AS neighbor_id, cos, rk FROM (
+           SELECT query_id, vec_id, cos,
+             CAST(row_number() OVER (PARTITION BY query_id
+                  ORDER BY cos DESC, vec_id) AS INT) AS rk
+           FROM scored)
+         WHERE rk <= 5 ORDER BY query_id, rk"""),
+    // q81: the SIZED k-means build — q76's unrolled 2-iteration Lloyd
+    // chain seeded with q80's self-sized md5 sample instead of the label
+    // codebook (the codebook build that actually runs at scale, where
+    // labels don't exist). Same parameterized CTE bodies as q76, so a
+    // rounding or tiebreak tweak cannot diverge between the two gates
+    "q81_kmeans_sized" ->
+      ("WITH " + sizedScentCte(100L) + s""",
+         ${lloydAsgCte("a1", "scent")},
+         ${lloydCentCte("dims1", "cent1", "a1")},
+         ${lloydAsgCte("a2", "cent1")},
+         ${lloydCentCte("dims2", "cent2", "a2")},
+         ${lloydAsgCte("a3", "cent2")}
+         SELECT a3.ivf_list, count(*) AS n_members,
+           round(avg(round(list_inner_product(a3.v, cent2.cv) /
+             (sqrt(list_inner_product(a3.v, a3.v)) *
+              sqrt(list_inner_product(cent2.cv, cent2.cv))), 4)), 4) AS avg_cos
+         FROM a3 JOIN cent2 ON a3.ivf_list = cent2.clabel
+         GROUP BY 1 ORDER BY 1"""),
+    // q82: int8 scalar quantization replicated end-to-end — per-dim
+    // min/max (ORDER-INDEPENDENT, so no accumulation hazard anywhere),
+    // affine encode with round-to-code + clamp, dequantized asymmetric
+    // cosine at 4dp. No intermediate rounding: every pre-score step is
+    // element-wise exact double arithmetic identical on both engines
+    "q82_sq_topk" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
+                    FROM embeddings),
+         dims AS (SELECT vec_id, i.range AS d, v[i.range + 1] AS x
+                  FROM e, range(0, 64) i),
+         st AS (SELECT d, min(x) AS mn, (max(x) - min(x)) / 255.0 AS s
+                FROM dims GROUP BY d),
+         codes AS (SELECT vec_id, d,
+                     CASE WHEN s = 0 THEN 0.0
+                       ELSE least(255.0, round((x - mn) / s, 0)) END AS c
+                   FROM dims JOIN st USING (d)),
+         deq AS (SELECT vec_id, list(mn + c * s ORDER BY d) AS vq
+                 FROM codes JOIN st USING (d) GROUP BY vec_id),
+         q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 8),
+         scored AS (
+           SELECT query_id, vec_id,
+             round(list_inner_product(qv, vq) /
+               (sqrt(list_inner_product(qv, qv)) *
+                sqrt(list_inner_product(vq, vq))), 4) AS score
+           FROM q CROSS JOIN deq WHERE vec_id <> query_id)
+         SELECT query_id, vec_id AS neighbor_id, score, rk FROM (
+           SELECT query_id, vec_id, score,
+             CAST(row_number() OVER (PARTITION BY query_id
+                  ORDER BY score DESC, vec_id) AS INT) AS rk
+           FROM scored)
+         WHERE rk <= 5 ORDER BY query_id, rk""",
+    // q83: hashed-linear classifier scoring — the md5 feature hash and
+    // the instr() hex decode are identical in both engines, and the
+    // dyadic weights make every per-doc sum exact (order-independent by
+    // construction), so the logit is cell-exact with rounding only at
+    // the final 6dp
+    "q89_bm25_topk" ->
+      raw"""WITH d0 AS (
+           SELECT doc_id, string_split(
+             regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS w
+           FROM documents),
+         post AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS dl,
+                    unnest(w) AS tok FROM d0),
+         tfp AS (SELECT doc_id, dl, tok, count(*) AS tf
+                 FROM post GROUP BY 1, 2, 3),
+         st AS (SELECT count(*) AS n_docs,
+                  sum(CAST(len(w) AS BIGINT)) AS sum_dl FROM d0),
+         qt AS (
+           SELECT doc_id AS qid, tok,
+             CAST(row_number() OVER (PARTITION BY doc_id
+               ORDER BY tf DESC, tok) AS INT) AS t_rank
+           FROM tfp WHERE doc_id < ${RetrievalOps.DefaultNQueries}
+           QUALIFY row_number() OVER (PARTITION BY doc_id
+             ORDER BY tf DESC, tok) <= ${RetrievalOps.DefaultNTerms}),
+         cand AS (SELECT qt.qid, qt.t_rank, tfp.doc_id, tfp.dl,
+                    tfp.tok, tfp.tf
+                  FROM tfp JOIN qt USING (tok)),
+         dfc AS (SELECT tok, count(*) AS df FROM
+                   (SELECT DISTINCT tok, doc_id FROM cand) GROUP BY 1),
+         contrib AS (
+           SELECT cand.qid, cand.doc_id, cand.t_rank,
+             round(
+               round(ln((CAST(st.n_docs AS DOUBLE) - CAST(dfc.df AS DOUBLE)
+                   + 0.5) / (CAST(dfc.df AS DOUBLE) + 0.5) + 1.0), 6)
+               * (CAST(cand.tf AS DOUBLE) * (1.2 + 1.0) /
+                  (CAST(cand.tf AS DOUBLE) + 1.2 * (1.0 - 0.75 + 0.75 *
+                    (CAST(cand.dl * st.n_docs AS DOUBLE) /
+                     CAST(st.sum_dl AS DOUBLE))))), 6) AS c
+           FROM cand JOIN dfc USING (tok) CROSS JOIN st)
+         SELECT qid, hit_id, score, rk FROM (
+           SELECT qid, doc_id AS hit_id, score,
+             CAST(row_number() OVER (PARTITION BY qid
+               ORDER BY score DESC, doc_id) AS INT) AS rk
+           FROM (SELECT qid, doc_id,
+                   round(${RetrievalOps.oracleSlotSql(RetrievalOps.DefaultNTerms)},
+                     4) AS score
+                 FROM contrib GROUP BY 1, 2))
+         WHERE rk <= ${RetrievalOps.DefaultK} ORDER BY qid, rk""",
+    // q90: Count-Min sketch — cells are order-independent integer sums
+    // and the md5 bucket decode is the q83 instr pattern, so the sketch
+    // the typed Aggregator builds is replayed relationally cell-exact:
+    // RAW estimates hash-gate (deterministic, unlike Misra-Gries q78)
+    "q92_ivf_upsert" ->
+      """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v
+            FROM embeddings),
+         eb AS (SELECT * FROM e WHERE vec_id % 5 <> 0),
+         en AS (SELECT * FROM e WHERE vec_id % 5 = 0),
+         dims AS (
+           SELECT label, i.range AS d, round(avg(v[i.range]), 6) AS c
+           FROM eb, range(1, 65) i GROUP BY 1, 2),
+         cent AS (SELECT label AS clabel, list(c ORDER BY d) AS cv
+                  FROM dims GROUP BY 1),
+         basg AS (
+           SELECT vec_id, clabel AS ivf_list FROM (
+             SELECT eb.vec_id, cent.clabel,
+               row_number() OVER (PARTITION BY eb.vec_id ORDER BY
+                 round(list_inner_product(eb.v, cent.cv) /
+                   (sqrt(list_inner_product(eb.v, eb.v)) *
+                    sqrt(list_inner_product(cent.cv, cent.cv))), 4) DESC,
+                 cent.clabel) AS crk
+             FROM eb CROSS JOIN cent)
+           WHERE crk = 1),
+         nasg AS (
+           SELECT vec_id, clabel AS ivf_list, ccos FROM (
+             SELECT en.vec_id, cent.clabel,
+               round(list_inner_product(en.v, cent.cv) /
+                 (sqrt(list_inner_product(en.v, en.v)) *
+                  sqrt(list_inner_product(cent.cv, cent.cv))), 4) AS ccos,
+               row_number() OVER (PARTITION BY en.vec_id ORDER BY
+                 round(list_inner_product(en.v, cent.cv) /
+                   (sqrt(list_inner_product(en.v, en.v)) *
+                    sqrt(list_inner_product(cent.cv, cent.cv))), 4) DESC,
+                 cent.clabel) AS crk
+             FROM en CROSS JOIN cent)
+           WHERE crk = 1),
+         bc AS (SELECT ivf_list, count(*) AS n_base FROM basg GROUP BY 1),
+         nc AS (SELECT ivf_list, count(*) AS n_new,
+                  min(ccos) AS min_cos_new, max(ccos) AS max_cos_new
+                FROM nasg GROUP BY 1)
+         SELECT coalesce(bc.ivf_list, nc.ivf_list) AS ivf_list,
+           coalesce(n_base, 0) AS n_base, coalesce(n_new, 0) AS n_new,
+           min_cos_new, max_cos_new,
+           round(CAST(coalesce(n_new, 0) AS DOUBLE) /
+             CAST(coalesce(n_base, 0) + coalesce(n_new, 0) AS DOUBLE), 4)
+             AS growth
+         FROM bc FULL OUTER JOIN nc ON bc.ivf_list = nc.ivf_list
+         ORDER BY 1""",
+    // q93: incremental aggregate refresh — the oracle is the FULL
+    // RECOMPUTE over v2, so the gate is self-verifying: any error in the
+    // Spark-side delta fold (missed status, sign flip, dropped group) is
+    // a hard mismatch against the recomputed truth
+    "q94_prefix_rerank" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
+            FROM embeddings),
+         q AS (SELECT vec_id AS query_id, v AS qv FROM e
+               WHERE vec_id < 8),
+         coarse AS (
+           SELECT q.query_id, e.vec_id, e.v, q.qv,
+             round(list_inner_product(qv[1:16], v[1:16]) /
+               (sqrt(list_inner_product(qv[1:16], qv[1:16])) *
+                sqrt(list_inner_product(v[1:16], v[1:16]))), 4) AS pcos
+           FROM e CROSS JOIN q WHERE e.vec_id <> q.query_id),
+         cand AS (
+           SELECT query_id, vec_id, v, qv FROM (
+             SELECT query_id, vec_id, v, qv,
+               row_number() OVER (PARTITION BY query_id
+                 ORDER BY pcos DESC, vec_id) AS prk
+             FROM coarse)
+           WHERE prk <= 20),
+         scored AS (
+           SELECT query_id, vec_id,
+             round(list_inner_product(qv, v) /
+               (sqrt(list_inner_product(qv, qv)) *
+                sqrt(list_inner_product(v, v))), 4) AS cos
+           FROM cand)
+         SELECT query_id, vec_id AS neighbor_id, cos, rk FROM (
+           SELECT query_id, vec_id, cos,
+             CAST(row_number() OVER (PARTITION BY query_id
+               ORDER BY cos DESC, vec_id) AS INT) AS rk
+           FROM scored)
+         WHERE rk <= 5 ORDER BY query_id, rk""",
+    // q95: PCA power iteration — the fixed-point corpus-sum device:
+    // quantized centered coordinates and direction make s, s·x_d, and
+    // every per-dim corpus sum exact BIGINT/HUGEINT arithmetic
+    // (order-independent); FP only at the two normalization boundaries
+    // (index-ordered norm dot, 6dp components), both replayed here
+    "q95_pca_power" ->
+      ("WITH " + pcaPowerCte + """
+         SELECT CAST(i.range AS BIGINT) AS d, v[i.range] AS loading
+         FROM v2, range(1, 65) i ORDER BY 1"""),
+    // q96: common-component removal — the q95 chain feeds a row-local
+    // projection x' = x - (x·v)v; per-label min/max corrected norms are
+    // order-independent over a deterministic row-local op sequence
+    "q96_abtt_removal" ->
+      ("WITH " + pcaPowerCte + """,
+         corr AS (
+           SELECT e.label,
+             round(sqrt(list_inner_product(
+               [e.v[i] - list_inner_product(e.v, v2.v) * v2.v[i]
+                  for i in range(1, 65)],
+               [e.v[i] - list_inner_product(e.v, v2.v) * v2.v[i]
+                  for i in range(1, 65)])), 4) AS nrm
+           FROM e CROSS JOIN v2)
+         SELECT label, count(*) AS n, min(nrm) AS min_norm,
+           max(nrm) AS max_norm
+         FROM corr GROUP BY 1 ORDER BY 1"""),
+    // q97: temperature mixture weights at alpha = 1/2 — sqrt is
+    // correctly rounded (bit-identical cross-engine), counts are exact
+    // ints, and the normalizer is an index-ordered fold over the
+    // source-sorted weight list on both sides
+    "q101_ann_recall" ->
+      ("WITH " + ivfAssignCte + """,
+         probes AS (
+           SELECT query_id, qv, clabel AS ivf_list FROM (
+             SELECT e.vec_id AS query_id, e.v AS qv, cent.clabel,
+               row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                 round(list_inner_product(e.v, cent.cv) /
+                   (sqrt(list_inner_product(e.v, e.v)) *
+                    sqrt(list_inner_product(cent.cv, cent.cv))), 4) DESC,
+                 cent.clabel) AS crk
+             FROM e CROSS JOIN cent WHERE e.vec_id < 8)
+           WHERE crk <= 2),
+         iv AS (SELECT query_id, vec_id FROM (
+             SELECT p.query_id, a.vec_id,
+               row_number() OVER (PARTITION BY p.query_id ORDER BY
+                 round(list_inner_product(p.qv, a.v) /
+                   (sqrt(list_inner_product(p.qv, p.qv)) *
+                    sqrt(list_inner_product(a.v, a.v))), 4) DESC,
+                 a.vec_id) AS rk
+             FROM asg a JOIN probes p USING (ivf_list)
+             WHERE a.vec_id <> p.query_id)
+           WHERE rk <= 5),
+         q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 8),
+         bf AS (SELECT query_id, vec_id FROM (
+             SELECT q.query_id, e.vec_id,
+               row_number() OVER (PARTITION BY q.query_id ORDER BY
+                 round(list_inner_product(q.qv, e.v) /
+                   (sqrt(list_inner_product(q.qv, q.qv)) *
+                    sqrt(list_inner_product(e.v, e.v))), 4) DESC,
+                 e.vec_id) AS rk
+             FROM q CROSS JOIN e WHERE e.vec_id <> q.query_id)
+           WHERE rk <= 5),
+         hits AS (SELECT query_id, count(*) AS n_hits
+                  FROM iv JOIN bf USING (query_id, vec_id) GROUP BY 1)
+         SELECT qq.query_id, CAST(coalesce(h.n_hits, 0) AS BIGINT)
+             AS n_hits,
+           round(CAST(coalesce(h.n_hits, 0) AS DOUBLE) / 5.0, 4) AS recall
+         FROM (SELECT DISTINCT query_id FROM bf) qq
+         LEFT JOIN hits h USING (query_id) ORDER BY query_id"""),
+    // q102: binary-quantization Hamming top-k — sign bits packed into
+    // two BIGINT words (distinct powers of two, so list_sum == bit-or),
+    // XOR + popcount distance; pure integers, total (hamming, vec_id)
+    // order
+    "q102_hamming_topk" ->
+      """WITH e AS (SELECT vec_id, embedding AS v FROM embeddings),
+         c AS (SELECT vec_id,
+             CAST(list_sum([CASE WHEN v[i + 1] > 0
+                 THEN (1::BIGINT << i) ELSE 0::BIGINT END
+               for i in range(0, 32)]) AS BIGINT) AS b_lo,
+             CAST(list_sum([CASE WHEN v[i + 33] > 0
+                 THEN (1::BIGINT << i) ELSE 0::BIGINT END
+               for i in range(0, 32)]) AS BIGINT) AS b_hi
+           FROM e),
+         q AS (SELECT vec_id AS query_id, b_lo AS q_lo, b_hi AS q_hi
+               FROM c WHERE vec_id < 8)
+         SELECT query_id, neighbor_id, hamming, rk FROM (
+           SELECT q.query_id, c.vec_id AS neighbor_id,
+             CAST(bit_count(xor(c.b_lo, q.q_lo))
+                + bit_count(xor(c.b_hi, q.q_hi)) AS INT) AS hamming,
+             CAST(row_number() OVER (PARTITION BY q.query_id ORDER BY
+                 bit_count(xor(c.b_lo, q.q_lo))
+                 + bit_count(xor(c.b_hi, q.q_hi)), c.vec_id) AS INT) AS rk
+           FROM c CROSS JOIN q WHERE c.vec_id <> q.query_id)
+         WHERE rk <= 5 ORDER BY query_id, rk""",
+    // q103: ordered conversion funnel — stage n = earliest stage-n event
+    // strictly after the user's stage-(n-1) time; integer counts, one
+    // 4dp division by the stage-1 count
+    "q115_hard_negatives" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+                    FROM embeddings WHERE vec_id < 8),
+         c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         scored AS (
+           SELECT query_id, vec_id,
+             round(list_inner_product(qv, v) /
+               (sqrt(list_inner_product(qv, qv)) * sqrt(list_inner_product(v, v))), 4) AS cos
+           FROM q CROSS JOIN c WHERE vec_id <> query_id)
+         SELECT query_id, vec_id AS neighbor_id, cos, rk FROM (
+           SELECT query_id, vec_id, cos,
+             CAST(row_number() OVER (PARTITION BY query_id
+                  ORDER BY cos DESC, vec_id) AS INT) AS rk
+           FROM scored WHERE cos >= 0.20 AND cos < 0.45)
+         WHERE rk <= 5 ORDER BY query_id, rk""",
+    // q116: top-1000 vocab (cnt desc, tok asc — total order at the V-th
+    // slot), per-source OOV profile; single division then 6dp round
+    "q145_rank_corr" ->
+      """WITH e AS (SELECT vec_id, embedding AS v FROM embeddings),
+         c AS (SELECT vec_id,
+             CAST(list_sum([CASE WHEN v[i + 1] > 0
+                 THEN (1::BIGINT << i) ELSE 0::BIGINT END
+               for i in range(0, 32)]) AS BIGINT) AS b_lo,
+             CAST(list_sum([CASE WHEN v[i + 33] > 0
+                 THEN (1::BIGINT << i) ELSE 0::BIGINT END
+               for i in range(0, 32)]) AS BIGINT) AS b_hi
+           FROM e),
+         q AS (SELECT vec_id AS query_id, b_lo AS q_lo, b_hi AS q_hi
+               FROM c WHERE vec_id < 8),
+         hb AS (SELECT query_id, neighbor_id, rk AS rb FROM (
+           SELECT q.query_id, c.vec_id AS neighbor_id,
+             row_number() OVER (PARTITION BY q.query_id ORDER BY
+               bit_count(xor(c.b_lo, q.q_lo))
+                 + bit_count(xor(c.b_hi, q.q_hi)), c.vec_id) AS rk
+           FROM c JOIN q ON c.vec_id <> q.query_id) WHERE rk <= 20),
+         qa AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+                FROM embeddings WHERE vec_id < 8),
+         ca2 AS (SELECT vec_id, embedding::DOUBLE[] AS vv FROM embeddings),
+         ea AS (SELECT query_id, neighbor_id, rk AS ra FROM (
+           SELECT query_id, vec_id AS neighbor_id,
+             row_number() OVER (PARTITION BY query_id ORDER BY
+               round(list_inner_product(qv, vv) /
+                 (sqrt(list_inner_product(qv, qv)) *
+                  sqrt(list_inner_product(vv, vv))), 4) DESC, vec_id) AS rk
+           FROM qa CROSS JOIN ca2 WHERE vec_id <> query_id) WHERE rk <= 20),
+         com AS (SELECT ea.query_id, ea.neighbor_id, ra, rb
+           FROM ea JOIN hb USING (query_id, neighbor_id)),
+         p AS (SELECT x.query_id,
+             ((x.ra - y.ra) * (x.rb - y.rb) > 0) AS conc
+           FROM com x JOIN com y ON x.query_id = y.query_id
+             AND x.neighbor_id < y.neighbor_id),
+         ag AS (SELECT query_id,
+             CAST(sum(CASE WHEN conc THEN 1 ELSE 0 END) AS BIGINT)
+               AS concordant,
+             CAST(sum(CASE WHEN conc THEN 0 ELSE 1 END) AS BIGINT)
+               AS discordant
+           FROM p GROUP BY 1),
+         nc AS (SELECT query_id, count(*) AS n_common FROM com GROUP BY 1)
+         SELECT ag.query_id, nc.n_common, ag.concordant, ag.discordant,
+           round((ag.concordant - ag.discordant)::DOUBLE /
+             (nc.n_common * (nc.n_common - 1) / 2), 4) AS tau
+         FROM ag JOIN nc USING (query_id) WHERE nc.n_common >= 2
+         ORDER BY query_id""",
+    // q146: Gini over source char mass — rank asc by (chars, source),
+    // G = 2·Σi·x / (n·Σx) − (n+1)/n; integers until the closed form
+    "q166_centroid_dists" ->
+      ("WITH " + embedCentroidCte + """
+         SELECT a.label AS label_a, b.label AS label_b,
+           CAST(list_sum([(a.cq[i] - b.cq[i]) * (a.cq[i] - b.cq[i])
+             for i in range(1, 65)]) AS BIGINT) AS d2,
+           round(sqrt(CAST(list_sum([(a.cq[i] - b.cq[i]) *
+             (a.cq[i] - b.cq[i]) for i in range(1, 65)]) AS DOUBLE))
+             / 1024.0, 4) AS dist
+         FROM cent a JOIN cent b ON a.label < b.label
+         ORDER BY label_a, label_b"""),
+    // q167: log2 histogram of exact integer squared norms per label
+    // (the q129 bin-length band)
+    "q167_norm_bands" ->
+      """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v
+             FROM embeddings),
+         xq AS (SELECT vec_id, label, list_transform(v,
+             x -> CAST(round(x * 1024) AS BIGINT)) AS q FROM e),
+         n2 AS (SELECT label, CAST(list_sum([q[i] * q[i]
+             for i in range(1, 65)]) AS BIGINT) AS q2 FROM xq)
+         SELECT label,
+           CAST(CASE WHEN q2 <= 0 THEN 0
+             ELSE length(bin(q2)) - 1 END AS BIGINT) AS norm2_band,
+           count(*) AS n_vecs
+         FROM n2 GROUP BY label, norm2_band
+         ORDER BY label, norm2_band""",
+    // q168: intra-label cohesion with NO floats — cos ≥ 0.5 via
+    // 4·dot² ≥ |q|²·|c|² ∧ dot ≥ 0; cos < 0 via dot < 0
+    "q168_label_cohesion" ->
+      ("WITH " + embedCentroidCte + """,
+         j AS (SELECT x.label,
+             CAST(list_sum([x.q[i] * c.cq[i] for i in range(1, 65)])
+               AS BIGINT) AS dp,
+             CAST(list_sum([x.q[i] * x.q[i] for i in range(1, 65)])
+               AS BIGINT) AS q2,
+             CAST(list_sum([c.cq[i] * c.cq[i] for i in range(1, 65)])
+               AS BIGINT) AS c2
+           FROM xq x JOIN cent c ON x.label = c.label)
+         SELECT label, count(*) AS n_vecs,
+           CAST(sum(CASE WHEN dp >= 0 AND dp * dp * 4 >= q2 * c2
+             THEN 1 ELSE 0 END) AS BIGINT) AS n_close,
+           CAST(sum(CASE WHEN dp < 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_neg
+         FROM j GROUP BY label ORDER BY label"""),
+    // q169: lines-per-order bands — per-order rollup then a band rollup;
+    // exact cents·pct integer revenue
+    "q190_probe_curve" ->
+      ("WITH " + ivfAssignCte + ",\n         " +
+        Seq(1, 2, 4).map(probeIvSql).mkString(",\n         ") + """,
+         q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 8),
+         bf AS (SELECT query_id, vec_id FROM (
+             SELECT q.query_id, e.vec_id,
+               row_number() OVER (PARTITION BY q.query_id ORDER BY
+                 round(list_inner_product(q.qv, e.v) /
+                   (sqrt(list_inner_product(q.qv, q.qv)) *
+                    sqrt(list_inner_product(e.v, e.v))), 4) DESC,
+                 e.vec_id) AS rk
+             FROM q CROSS JOIN e WHERE e.vec_id <> q.query_id)
+           WHERE rk <= 5)
+         SELECT nprobe, n_hits,
+           round(CAST(n_hits AS DOUBLE) / 40.0, 4) AS recall_at_k
+         FROM (
+           SELECT 1 AS nprobe, CAST(count(*) AS BIGINT) AS n_hits
+           FROM iv1 JOIN bf USING (query_id, vec_id)
+           UNION ALL
+           SELECT 2, CAST(count(*) AS BIGINT)
+           FROM iv2 JOIN bf USING (query_id, vec_id)
+           UNION ALL
+           SELECT 4, CAST(count(*) AS BIGINT)
+           FROM iv4 JOIN bf USING (query_id, vec_id))
+         ORDER BY nprobe"""),
+    // q191: per-source PII hit density over the q46 planted convention
+    "q194_ivf_balance" ->
+      ("WITH " + ivfAssignCte + """,
+         sz AS (SELECT ivf_list, count(*) AS sz FROM asg GROUP BY 1)
+         SELECT count(*) AS n_lists, CAST(sum(sz) AS BIGINT) AS n_vecs,
+           CAST(min(sz) AS BIGINT) AS min_size,
+           CAST(max(sz) AS BIGINT) AS max_size,
+           CAST((max(sz) * count(*) * 1000) // sum(sz) AS BIGINT)
+             AS imbalance_x1000
+         FROM sz"""),
+    // q195: quality bands × declared language with token mass — the
+    // per-language threshold calibration matrix (q137's band rule)
+    "q198_pca_variance" ->
+      ("WITH " + pcaPowerCte + """,
+         vqf AS (SELECT list_transform(v,
+             x -> CAST(round(x * 1024) AS BIGINT)) AS vq FROM v2),
+         sc AS (SELECT
+             CAST(list_inner_product(xc.c::DOUBLE[], vqf.vq::DOUBLE[])
+               AS BIGINT) AS s,
+             CAST(list_inner_product(xc.c::DOUBLE[], xc.c::DOUBLE[])
+               AS BIGINT) AS c2
+           FROM xc CROSS JOIN vqf),
+         st AS (SELECT count(*) AS n,
+             CAST(sum(CAST(s AS HUGEINT) * s) AS HUGEINT) AS s2,
+             CAST(sum(CAST(c2 AS HUGEINT)) AS HUGEINT) AS xc2 FROM sc),
+         vn AS (SELECT CAST(list_inner_product(vq::DOUBLE[], vq::DOUBLE[])
+             AS BIGINT) AS vq2 FROM vqf)
+         SELECT CAST(n AS BIGINT) AS n_vecs,
+           round(CAST(s2 AS DOUBLE) /
+             (CAST(vq2 AS DOUBLE) * CAST(xc2 AS DOUBLE)), 6)
+             AS var_explained
+         FROM st, vn"""),
+    // q199: supplier-concentration bands — integer (10·top) div total
+  )
+}
