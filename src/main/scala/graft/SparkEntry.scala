@@ -258,6 +258,11 @@ object SparkEntry {
       graft.operators.EventOps.itemAdoption(s, d)),
     "q203_fulfillment_span" -> (CoreQueries.q203FulfillmentSpan _),
     "q204_cluster_purity" -> ((s, d) => DedupOps.clusterPurity(s, d)),
+    "q205_winnowing"      -> ((s, d) => DedupOps.winnowing(s, d)),
+    "q206_prefix_boilerplate" -> ((s, d) =>
+      DedupOps.prefixBoilerplate(s, d)),
+    "q207_ndcg_label"     -> ((s, d) => SimilarityOps.ndcgByLabel(s, d)),
+    "q208_code_detect"    -> ((s, d) => TextAnalysisOps.codeDetect(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -1060,4 +1060,93 @@ object DedupOps {
       .select(col("cluster_size"), col("n_clusters"),
         (col("cluster_size") * col("n_clusters")).as("n_docs"))
       .orderBy(col("cluster_size"))
+
+  /** Winnowing fingerprint profile (q205): the MOSS local-fingerprint
+    * scheme (Schleimer/Wilkerson/Aiken '03) — per doc, hash every
+    * positional `k`-token gram, slide a `w`-hash window, keep each
+    * window's MINIMUM hash; the distinct kept set is the doc's winnowed
+    * sketch. Guarantee: any shared run of ≥ w+k−1 tokens between two
+    * docs shares at least one selected fingerprint — the partial-copy
+    * detector that whole-doc fingerprints (q27) and random shingle
+    * sampling both miss. Output: per source, sketch totals and the
+    * fraction of distinct fingerprints appearing in ≥ 2 docs (the
+    * intra-source boilerplate signal q206 then localizes to prefixes).
+    *
+    * Scale shape: the gram build is the q66 codegen fused loop; the
+    * window min runs per-doc (doc_id-partitioned frame over that doc's
+    * grams — never a global frame), and the rollup shuffles only the
+    * DISTINCT (doc, fp) sketch rows, which winnowing bounds at ~2/(w+1)
+    * of gram count. Parity: md5 gram hashes compared as hex strings
+    * (lexicographic min is engine-portable), integer counts, one
+    * division + 6dp round.
+    */
+  def winnowing(spark: SparkSession, dir: String, k: Int = 4,
+      w: Int = 5): DataFrame =
+    winnowingOn(Tables.documents(spark, dir), k, w)
+
+  private[graft] def winnowingOn(docs: DataFrame, k: Int = 4,
+      w: Int = 5): DataFrame = {
+    val grams = docs
+      .select(col("doc_id"), col("source"),
+        posexplode(Text.tokenNgramsNative(Text.tokens(col("text")), k))
+          .as(Seq("pos", "gram")))
+      .select(col("doc_id"), col("source"), col("pos"),
+        md5(col("gram")).as("h"))
+    val perDoc = Window.partitionBy(col("doc_id"))
+    val frame = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      .rowsBetween(Window.currentRow, w - 1)
+    val sketch = grams
+      .withColumn("n_g", count(lit(1)).over(perDoc))
+      .withColumn("fp", min(col("h")).over(frame))
+      // windows that are full (or the single truncated window of a
+      // short doc at pos 0 — winnowing still selects its global min)
+      .filter(col("pos") <= greatest(lit(0), col("n_g") - lit(w)))
+      .select(col("doc_id"), col("source"), col("fp")).distinct()
+    sketch
+      .groupBy(col("source"), col("fp"))
+      .agg(countDistinct(col("doc_id")).as("n_docs_fp"),
+        count(lit(1)).as("c"))
+      .groupBy(col("source"))
+      .agg(sum(col("c")).as("n_selected"),
+        count(lit(1)).as("n_distinct_fp"),
+        sum(when(col("n_docs_fp") >= 2, 1L).otherwise(0L)).as("n_shared_fp"))
+      .select(col("source"), col("n_selected"), col("n_distinct_fp"),
+        col("n_shared_fp"),
+        round(col("n_shared_fp").cast("double") /
+          col("n_distinct_fp").cast("double"), 6).as("shared_rate"))
+      .orderBy(col("source"))
+  }
+
+  /** Shared-prefix boilerplate (q206): docs grouped by the md5 of their
+    * first `p` tokens (whole doc when shorter) — the crawl-pipeline
+    * detector for templated page heads (cookie banners, nav headers,
+    * license preambles) that exact dedup misses because the tails
+    * differ. Per source: doc count, prefix-group count, docs sitting in
+    * a shared prefix group, and that share.
+    *
+    * Scale shape: one row-local prefix hash (slice + md5 — no explode,
+    * the gram loop never runs), one (source, prefix) count, one
+    * |sources| rollup. Integer counts, one division + 6dp.
+    */
+  def prefixBoilerplate(spark: SparkSession, dir: String,
+      p: Int = 16): DataFrame =
+    prefixBoilerplateOn(Tables.documents(spark, dir), p)
+
+  private[graft] def prefixBoilerplateOn(docs: DataFrame,
+      p: Int = 16): DataFrame =
+    docs
+      .select(col("source"),
+        md5(concat_ws(" ", slice(Text.tokens(col("text")), 1, p)))
+          .as("pfx"))
+      .groupBy(col("source"), col("pfx"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy(col("source"))
+      .agg(sum(col("n")).as("n_docs"),
+        count(lit(1)).as("n_groups"),
+        sum(when(col("n") >= 2, col("n")).otherwise(0L)).as("n_docs_shared"))
+      .select(col("source"), col("n_docs"), col("n_groups"),
+        col("n_docs_shared"),
+        round(col("n_docs_shared").cast("double") /
+          col("n_docs").cast("double"), 6).as("shared_rate"))
+      .orderBy(col("source"))
 }

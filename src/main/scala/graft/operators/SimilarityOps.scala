@@ -1580,4 +1580,64 @@ object SimilarityOps {
         col("cos"), col("rk"))
       .orderBy(col("query_id"), col("rk"))
   }
+
+  /** Graded retrieval quality — nDCG@10 by label relevance (q207): per
+    * query, rank the corpus by exact cosine, mark neighbors sharing the
+    * query's label as relevant, and score the top-10 with
+    * position-discounted gain against the ideal ordering — the metric
+    * that (unlike q101's recall) rewards putting relevant hits HIGH,
+    * not merely somewhere in the cut. Labels stand in for graded
+    * judgments the way q168's cohesion uses them.
+    *
+    * Parity: the whole computation is INTEGER once ranks exist —
+    * discounts are the literal millionths table 1e6/log2(rk+1)
+    * (hardcoded on BOTH engines, so no cross-engine log), DCG/IDCG are
+    * integer sums of table entries, and nDCG is the one division,
+    * rounded 6dp. IDCG truncates at min(10, n_relevant) via the
+    * cumulative table; a query with zero relevant corpus vectors
+    * reports 0 (a report that drops its failures is not a report —
+    * the q101 rule).
+    *
+    * Scale shape: one broadcast-query corpus scan (the q31 plan) into a
+    * per-query top-10 window; the label marginals ride a broadcast
+    * |labels|-row aggregate. Nothing after the scan is corpus-scale.
+    */
+  def ndcgByLabel(spark: SparkSession, dir: String,
+      nQueries: Int = 8, k: Int = 10): DataFrame = {
+    require(k <= 10, "discount table covers ranks 1..10")
+    val emb = Tables.embeddings(spark, dir)
+    val discount = array(Seq(1000000L, 630930L, 500000L, 430677L,
+      386853L, 356207L, 333333L, 315465L, 301030L, 289065L).map(lit): _*)
+    val idcgCum = array(Seq(1000000L, 1630930L, 2130930L, 2561607L,
+      2948460L, 3304667L, 3638000L, 3953465L, 4254495L, 4543560L)
+      .map(lit): _*)
+    val queries = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+        col("label").as("qlabel"))
+    val scored = emb.join(broadcast(queries),
+        col("vec_id") =!= col("query_id"))
+      .withColumn("cos", round(Vectors.cosine(col("qv"), col("embedding")), 4))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    val dcg = scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .groupBy(col("query_id"))
+      .agg(sum(when(col("label") === col("qlabel"),
+        element_at(discount, col("rk").cast("int"))).otherwise(0L))
+        .as("dcg_e6"))
+    // total relevant per query = corpus count of its label minus itself
+    val labelCounts = emb.groupBy(col("label")).agg(count(lit(1)).as("n_lab"))
+    queries
+      .join(broadcast(labelCounts), col("qlabel") === col("label"), "left")
+      .select(col("query_id"),
+        (coalesce(col("n_lab"), lit(1L)) - 1L).as("n_rel"))
+      .join(broadcast(dcg), Seq("query_id"), "left")
+      .select(col("query_id"), col("n_rel"),
+        coalesce(col("dcg_e6"), lit(0L)).as("dcg_e6"),
+        when(col("n_rel") <= 0L, lit(0.0)).otherwise(
+          round(coalesce(col("dcg_e6"), lit(0L)).cast("double") /
+            element_at(idcgCum, least(col("n_rel"), lit(10L)).cast("int"))
+              .cast("double"), 6)).as("ndcg"))
+      .orderBy(col("query_id"))
+  }
 }

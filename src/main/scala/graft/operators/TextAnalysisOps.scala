@@ -1051,4 +1051,38 @@ object TextAnalysisOps {
           col("n_grams").cast("double"), 6).as("novelty"))
       .orderBy(col("source"))
   }
+
+  /** Code-vs-prose signal (q208): per (source, band), how much of the
+    * corpus LOOKS like source code — the curation filter every
+    * text-pretraining pipeline runs before language-ID (code crashes
+    * prose quality scorers, and mixing it unlabeled skews both
+    * distributions). The signal is the density of code-syntax
+    * characters `;{}()=<>[]` per RAW character, on the q137 integer
+    * grid: `ratio_x10000 = (codey · 10000) div n_chars`, banded in
+    * 0.5% steps capped at band 4 — integer-exact, no tokenizer, no
+    * model, deterministic on any engine.
+    *
+    * Scale shape: one row-local regexp count per doc (codegen'd, no
+    * explode — the whole classifier is a map), then the (source, band)
+    * partial-agg rollup. Integer counts and sums; one 6dp division.
+    */
+  def codeDetect(spark: SparkSession, dir: String): DataFrame =
+    codeDetectOn(Tables.documents(spark, dir))
+
+  private[graft] def codeDetectOn(docs: DataFrame): DataFrame = {
+    val codey = length(regexp_replace(col("text"), "[^;{}()=<>\\[\\]]", ""))
+    val nChars = length(col("text"))
+    docs
+      .select(col("source"), codey.as("codey"), nChars.as("nc"))
+      .filter(col("nc") > 0)
+      .withColumn("band",
+        least(lit(4L), expr("(codey * 10000) div nc div 50")))
+      .groupBy(col("source"), col("band"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("codey")).as("n_codey"),
+        sum(col("nc")).as("n_chars"))
+      .select(col("source"), col("band"), col("n_docs"), col("n_codey"),
+        round(col("n_codey").cast("double") /
+          col("n_chars").cast("double"), 6).as("codey_rate"))
+      .orderBy(col("source"), col("band"))
+  }
 }

@@ -246,6 +246,10 @@ private[graft] object CoreOracles {
          SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
            session_start, session_end, n_events
          FROM sess ORDER BY user_id, session_seq"""),
+    // q74: discrete percentiles (element at rank ceil(p*n), ties broken
+    // by doc_id like the Spark window) are engine-portable; the sketch
+    // equality flag is pinned at 1 (accuracy >= group size => zero rank
+    // error)
     "q74_quantile_sketch" ->
       """WITH ranked AS (
            SELECT lang, n_chars,
@@ -262,17 +266,9 @@ private[graft] object CoreOracles {
              THEN n_chars END) AS BIGINT) AS p75,
            CAST(1 AS INT) AS approx_ok
          FROM ranked GROUP BY lang ORDER BY lang""",
-    // q89: BM25 retrieval — corpus stats are exact ints (avgdl enters as
-    // one deterministic division), every FP constant appears as the SAME
-    // literal expression both engines constant-fold identically
-    // (1.2 + 1.0, 1.0 - 0.75 + 0.75 * norm), idf rounds 6dp at its stage
-    // boundary, and the per-(query, doc) score is a fixed-order
-    // c1 + c2 + … fold over term-rank slots — never a shuffled float
-    // sum. The operating point (nQueries/nTerms/k) and the slot list are
-    // interpolated from RetrievalOps' constants — the SAME values that
-    // parameterize bm25TopK's defaults — so implementation and oracle
-    // cannot silently diverge on nTerms (raw interpolator: \s must
-    // survive verbatim).
+    // q108: TPC-H Q3 shape — revenue summed as exact cent·percent
+    // BIGINTs (price is cents-precision, discount percent-precision),
+    // FP only at the final /1e4; (revenue DESC, orderkey) total order
     "q108_ship_priority" ->
       """SELECT o_orderkey, CAST(o_orderdate AS DATE) AS order_date,
            o_orderpriority,
@@ -305,9 +301,8 @@ private[graft] object CoreOracles {
            AND o_orderdate >= TIMESTAMP '1996-01-01'
            AND o_orderdate < TIMESTAMP '1997-01-01'
          GROUP BY 1 ORDER BY revenue DESC, n_name""",
-    // q110: rolling 7-day active users — the sliding DISTINCT expressed
-    // as a ≤7-day fan-out then plain per-day distinct counts; integer
-    // day arithmetic, one 4dp division
+    // q125: the whole-star FK sweep — one row per edge, orphan counts
+    // via NOT EXISTS; integers only
     "q125_ri_profile" ->
       """SELECT * FROM (
            SELECT 'customer->nation' AS edge,
@@ -340,8 +335,8 @@ private[graft] object CoreOracles {
              (SELECT count(*) FROM supplier s WHERE NOT EXISTS
                (SELECT 1 FROM nation n WHERE s.s_nationkey = n.n_nationkey))
          ) ORDER BY edge""",
-    // q126: per-user lag under the (ts, event_id) total order, then the
-    // |types|² transition rollup; p = exact integer ratio, 6dp round
+    // q130: the oracle is the NAIVE global row_number — the Spark side's
+    // two-phase bucket/offset formulation must equal it exactly
     "q130_dense_ids" ->
       """SELECT vec_id,
            CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS dense_id
@@ -397,9 +392,8 @@ private[graft] object CoreOracles {
            FROM orders WHERE o_custkey IN
              (SELECT c_custkey FROM customer WHERE c_custkey % 97 = 0)
          ) ORDER BY tbl""",
-    // q134: per-user ordered path signature (string_agg under the
-    // (ts, event_id) total order ≙ Spark's sort_array'd struct list),
-    // then the top-k journeys with a total tie order
+    // q143: interval-intersection file-skip test against the q132
+    // manifest — integers plus one division/round per row
     "q143_zorder_pruning" ->
       (s"""WITH z AS (SELECT l_partkey, l_suppkey,
              ($mortonSql) AS z
@@ -430,15 +424,17 @@ private[graft] object CoreOracles {
                count(*), 4)
            FROM f
          ) ORDER BY predicate"""),
-    // q144: q121's pairs rescored on token multisets — Σmin/Σmax over
-    // occurrence counts; integers + one division/round per pair
+    // q148: the bucketed co-located join — bucketing is physical layout,
+    // so the oracle is the plain join+rollup (BucketingSpec pins the
+    // Exchange-free plan; this gate pins the answer)
     "q148_bucketed_join" ->
       """SELECT o_orderpriority, count(*) AS n_items,
            round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
          FROM orders JOIN lineitem ON o_orderkey = l_orderkey
          GROUP BY o_orderpriority ORDER BY o_orderpriority""",
-    // q149: RFM log2 bands — integer cents, bin()-length bands, one
-    // user-keyed agg + 1-row corpus max
+    // q158: TPC-H Q8 shape — yearly NATION_2 supplier share of
+    // ASIA-customer revenue; exact cents·pct integer sums, FP only in
+    // the final share division (6dp)
     "q158_market_share" ->
       """WITH asia_cust AS (
            SELECT c_custkey FROM customer
@@ -514,8 +510,8 @@ private[graft] object CoreOracles {
          JOIN part ON l_partkey = p_partkey
          WHERE qty_i * 5 * cnt_qty < sum_qty
          GROUP BY p_brand ORDER BY p_brand""",
-    // q162: TTR bands — integer band rule min(9, 10·d/t), micro-avg
-    // ratio from exact integer sums
+    // q169: lines-per-order bands — per-order rollup then a band rollup;
+    // exact cents·pct integer revenue
     "q169_basket_bands" ->
       """WITH po AS (SELECT l_orderkey, count(*) AS n_lines,
              sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)
@@ -525,9 +521,8 @@ private[graft] object CoreOracles {
          SELECT n_lines, count(*) AS n_orders,
            round(CAST(sum(rev_cp) AS DOUBLE) / 10000.0, 2) AS revenue
          FROM po GROUP BY n_lines ORDER BY n_lines""",
-    // q170: truncation loss at three context lengths — one aggregate
-    // carries every length's kept/over sums; the oracle unpivots by
-    // UNION ALL over the same single-row aggregate
+    // q174: session-length profile over the shared q58 sessionization —
+    // integer micros durations, one mirrored division chain
     "q174_session_stats" ->
       ("WITH " + sessionsCte + """
          SELECT n_events, count(*) AS n_sessions,
@@ -572,8 +567,8 @@ private[graft] object CoreOracles {
            o.n_outliers
          FROM m JOIN dm ON m.seg = dm.seg JOIN o ON m.seg = o.seg
          ORDER BY segment""",
-    // q176: OHLC bars — open/close SELECTED by lexicographic struct
-    // min/max on (ts, event_id, value); no float accumulates
+    // q177: ship-latency week bands per priority — integer day diff,
+    // integer div-7 banding
     "q177_latency_bands" ->
       """SELECT o_orderpriority,
            CAST(datediff('day', CAST(o_orderdate AS DATE),
@@ -621,16 +616,15 @@ private[graft] object CoreOracles {
            round(CAST(est_f2 AS DOUBLE) / CAST(exact_f2 AS DOUBLE), 4)
              AS inflation
          FROM ex, est""",
-    // q180: daily peak concurrency — oracle uses the naive GLOBAL
-    // running sum (provably equal to the engine's two-phase form);
-    // starts sort before ends at an instant (delta DESC)
+    // q181: CUBE over (returnflag, linestatus) — q54's ROLLUP completed
+    // to the grouping power set
     "q181_cube" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS cnt,
            round(sum(l_quantity), 2) AS qty
          FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
          ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""",
-    // q182: OOV rate per vocab budget — rank over the vocabulary frame,
-    // all budgets in one aggregate, UNION-ALL unpivot
+    // q185: FULL OUTER day reconciliation of two independent daily
+    // summaries, status-tagged
     "q185_daily_reconcile" ->
       """WITH o AS (SELECT CAST(o_orderdate AS DATE) AS day,
              count(*) AS n_orders FROM orders GROUP BY 1),
@@ -728,8 +722,8 @@ private[graft] object CoreOracles {
            CAST(max(per_key) AS BIGINT) AS max_per_key,
            CASE WHEN max(per_key) = 1 THEN '1:1' ELSE 'N:1' END AS class
          FROM h GROUP BY edge ORDER BY edge""",
-    // q190: recall@k at nprobe 1/2/4 vs brute force — the q101 chain
-    // swept over the probe knob; one shared assignment + bf
+    // q197: brand-pair lift — integer products inside one division
+    // (the q107 PMI contract without the log)
     "q197_basket_lift" ->
       """WITH ob AS (SELECT DISTINCT l_orderkey, p_brand
            FROM lineitem JOIN part ON l_partkey = p_partkey),
@@ -748,8 +742,7 @@ private[graft] object CoreOracles {
          JOIN marg mb ON brand_b = mb.p_brand
          CROSS JOIN n
          ORDER BY lift DESC, brand_a, brand_b LIMIT 20""",
-    // q198: Rayleigh quotient of the q95 component over total centered
-    // variance — exact integer/HUGEINT sums, one mirrored division
+    // q199: supplier-concentration bands — integer (10·top) div total
     "q199_supply_conc" ->
       """WITH h AS (SELECT l_partkey, l_suppkey, count(*) AS cnt
            FROM lineitem GROUP BY 1, 2),
@@ -758,8 +751,8 @@ private[graft] object CoreOracles {
          SELECT (10 * top) // n_lines AS conc_band, count(*) AS n_parts,
            CAST(sum(n_lines) AS BIGINT) AS n_lines
          FROM p GROUP BY 1 ORDER BY 1""",
-    // q200: Shannon entropy of the full path distribution (q134's
-    // assembly; the q67 sum-then-round contract)
+    // q203: order fulfillment-span week bands — integer day span per
+    // order, div-7 banding
     "q203_fulfillment_span" ->
       """WITH s AS (SELECT l_orderkey,
              CAST(datediff('day', CAST(min(l_shipdate) AS DATE),
@@ -767,7 +760,5 @@ private[graft] object CoreOracles {
            FROM lineitem GROUP BY 1)
          SELECT span_days // 7 AS span_weeks, count(*) AS n_orders
          FROM s GROUP BY 1 ORDER BY 1""",
-    // q204: q53 cluster language purity — min-label membership (the
-    // q59 reduction) joined to langs, two rollups
   )
 }

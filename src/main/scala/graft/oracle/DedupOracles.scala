@@ -85,6 +85,10 @@ private[graft] object DedupOracles {
          FROM per JOIN dup USING (doc_id)
          WHERE round(n_dup_spans * 1.0 / n_spans, 4) >= 0.3
          ORDER BY doc_id""",
+    // q87: span-dedup apply — duplicated-span ownership (min doc_id),
+    // covered-position explode, anti-join, per-doc rebuild ORDER BY pos.
+    // All string/integer ops, no FP anywhere; list slicing replicates the
+    // Spark side's lead-window span strings
     "q87_span_scrub" ->
       """WITH d AS (SELECT doc_id, string_split(
              regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS toks
@@ -115,12 +119,8 @@ private[graft] object DedupOracles {
            coalesce(reb.n_kept, 0) AS n_kept,
            coalesce(reb.text_scrubbed, '') AS text_scrubbed
          FROM d LEFT JOIN reb USING (doc_id) ORDER BY doc_id""",
-    // q88: IVF-PQ — the full production index replayed: coarse
-    // assignment (q70's CTEs), residuals per dimension, residual PQ
-    // codebook + argmin encode (q77's recipe on residuals), probe
-    // selection, and the corrected ADC cosine
-    // (qc + adcq) / (qnorm · sqrt(|c|² + 2·adcc + |r̂|²)) with every
-    // multi-term sum in the ordered-list formulation (the q86 contract)
+    // q100: duplication-inflation histogram — md5 content-fingerprint
+    // cluster sizes rolled up; all integers, fully order-independent
     "q100_dup_inflation" ->
       """WITH fp AS (SELECT md5(regexp_replace(lower(trim(text)),
              '\s+', ' ', 'g')) AS fp
@@ -130,10 +130,8 @@ private[graft] object DedupOracles {
            CAST(cluster_size * count(*) AS BIGINT) AS n_docs,
            CAST((cluster_size - 1) * count(*) AS BIGINT) AS n_redundant
          FROM cl GROUP BY 1 ORDER BY 1""",
-    // q101: ANN recall@5 of the probed IVF index vs exact brute force —
-    // both top-k pipelines replicated via the shared assignment CTE
-    // (the q70/q31 formulations verbatim), then an integer intersection
-    // count and ONE division by the constant k
+    // q119: distinct (source, 16-gram md5) pairs, then a self-join on the
+    // hash — counts are exact integers; tokenization mirrors q114/q116
     "q119_source_overlap" ->
       """WITH t AS (SELECT source,
              string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'),
@@ -167,8 +165,9 @@ private[graft] object DedupOracles {
          SELECT id_a, id_b, CAST(inter AS BIGINT) AS inter, jaccard
          FROM v WHERE 5 * inter >= 3 * (na + nb - inter)
          ORDER BY id_a, id_b"""),
-    // q122: fold = first-8-hex-digit fold of md5(canonical_id) mod 5;
-    // canonical = min doc_id per content hash, so dup clusters co-assign
+    // q124: lossless containment at t = 4/5 — each doc's rare-first
+    // prefix (n - ceil(4n/5) + 1) joined against the FULL posting side
+    // covers both directions; verify on the rounded min-side containment
     "q124_containment" ->
       """WITH t AS (SELECT doc_id,
              string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'),
@@ -199,8 +198,8 @@ private[graft] object DedupOracles {
          SELECT id_a, id_b, CAST(inter AS BIGINT) AS inter, containment
          FROM v WHERE 5 * inter >= 4 * least(na, nb)
          ORDER BY id_a, id_b""",
-    // q125: the whole-star FK sweep — one row per edge, orphan counts
-    // via NOT EXISTS; integers only
+    // q144: q121's pairs rescored on token multisets — Σmin/Σmax over
+    // occurrence counts; integers + one division/round per pair
     "q144_weighted_jaccard" ->
       ("WITH " + prefixPairsCte + """,
          pairs AS (SELECT id_a, id_b FROM v
@@ -220,9 +219,8 @@ private[graft] object DedupOracles {
              AS wjaccard
          FROM au FULL JOIN bu USING (id_a, id_b, tok)
          GROUP BY id_a, id_b ORDER BY id_a, id_b"""),
-    // q145: Kendall tau over the COMMON neighbors of the exact-cosine
-    // and Hamming-sketch top-20 rankings — integer pair counts, one
-    // division/round per query
+    // q147: raw vs exact-dedup canonical corpus size; per-hash min
+    // aggregation first so each distinct content counts once
     "q147_dedup_savings" ->
       """WITH d AS (SELECT doc_id,
              md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,
@@ -250,9 +248,8 @@ private[graft] object DedupOracles {
                CAST(raw.n_tokens AS DOUBLE), 6)
            FROM raw
          ) ORDER BY stage""",
-    // q148: the bucketed co-located join — bucketing is physical layout,
-    // so the oracle is the plain join+rollup (BucketingSpec pins the
-    // Exchange-free plan; this gate pins the answer)
+    // q172: exact-dup cluster-size histogram — the q27 content-hash
+    // shuffle then a multiplicity rollup
     "q172_cluster_sizes" ->
       """WITH c AS (SELECT md5(regexp_replace(lower(trim(text)), '\s+',
              ' ', 'g')) AS fp, count(*) AS cluster_size
@@ -260,8 +257,8 @@ private[graft] object DedupOracles {
          SELECT cluster_size, count(*) AS n_clusters,
            CAST(cluster_size * count(*) AS BIGINT) AS n_docs
          FROM c GROUP BY cluster_size ORDER BY cluster_size""",
-    // q173: 4 unrolled k-core peels (k=3) over the capped co-occurrence
-    // edges; generated chain, pure integer counting
+    // q184: pair counts at four thresholds from the t=1/2 lossless
+    // candidate generation; integer cross-multiplied cuts on shared v
     "q184_threshold_sweep" ->
       ("WITH " + prefixPairsCteFor(1, 2) + """
          SELECT threshold, CAST(sum(hit) AS BIGINT) AS n_pairs FROM (
@@ -278,8 +275,8 @@ private[graft] object DedupOracles {
              CASE WHEN inter * 5 >= (na + nb - inter) * 4 THEN 1 ELSE 0
                END FROM v)
          GROUP BY threshold ORDER BY threshold"""),
-    // q185: FULL OUTER day reconciliation of two independent daily
-    // summaries, status-tagged
+    // q193: log2-banded shingle df distribution (the effectiveDfCap
+    // tuning diagnostic) over the 8-gram space
     "q193_shingle_df" ->
       """WITH ppt AS (SELECT doc_id,
              string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'),
@@ -292,8 +289,8 @@ private[graft] object DedupOracles {
          SELECT CAST(length(bin(df)) - 1 AS BIGINT) AS log2_df_band,
            count(*) AS n_shingles, CAST(sum(df) AS BIGINT) AS n_postings
          FROM df GROUP BY 1 ORDER BY 1""",
-    // q194: IVF inverted-list balance from the shared assignment chain;
-    // integer imbalance = 1000·max/mean
+    // q204: q53 cluster language purity — min-label membership (the
+    // q59 reduction) joined to langs, two rollups
     "q204_cluster_purity" ->
       (dedupCcCte + """,
          mem AS (SELECT id, min(label) AS cluster_id FROM cc GROUP BY id),
@@ -304,6 +301,57 @@ private[graft] object DedupOracles {
          SELECT n_docs AS cluster_size, count(*) AS n_clusters,
            CAST(sum(CASE WHEN n_langs = 1 THEN 1 ELSE 0 END) AS BIGINT)
              AS n_pure_lang
-         FROM per GROUP BY 1 ORDER BY 1""")
+         FROM per GROUP BY 1 ORDER BY 1"""),
+    // q205: winnowing (k=4 token grams, w=5 hash windows) — positional
+    // grams (1-based i covers w[i..i+3], count n_g = len-3), windowed
+    // min over ROWS (0, 4) frames, keep full windows plus the single
+    // truncated window of a short doc (i <= max(1, n_g-4) mirrors the
+    // engine's 0-based p <= max(0, n_g-5))
+    "q205_winnowing" ->
+      """WITH d0 AS (
+           SELECT doc_id, source, string_split(
+             regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS w
+           FROM documents),
+         g AS (
+           SELECT doc_id, source, i AS pos,
+             md5(array_to_string(w[i:i+3], ' ')) AS h,
+             len(w) - 3 AS n_g
+           FROM d0, unnest(generate_series(1, len(w) - 3, 1)) AS u(i)
+           WHERE len(w) >= 4),
+         sel AS (
+           SELECT doc_id, source, pos, n_g,
+             min(h) OVER (PARTITION BY doc_id ORDER BY pos
+               ROWS BETWEEN CURRENT ROW AND 4 FOLLOWING) AS fp
+           FROM g),
+         keep AS (
+           SELECT DISTINCT doc_id, source, fp FROM sel
+           WHERE pos <= greatest(1, n_g - 4)),
+         per AS (
+           SELECT source, fp, count(*) AS n_docs_fp
+           FROM keep GROUP BY 1, 2)
+         SELECT source, CAST(sum(n_docs_fp) AS BIGINT) AS n_selected,
+           count(*) AS n_distinct_fp,
+           CAST(sum(CASE WHEN n_docs_fp >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_shared_fp,
+           round(CAST(sum(CASE WHEN n_docs_fp >= 2 THEN 1 ELSE 0 END)
+             AS DOUBLE) / count(*), 6) AS shared_rate
+         FROM per GROUP BY source ORDER BY source""",
+    // q206: first-16-token prefix groups (whole doc when shorter —
+    // DuckDB list slicing clamps exactly like Spark's slice)
+    "q206_prefix_boilerplate" ->
+      """WITH d0 AS (
+           SELECT source, string_split(
+             regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS w
+           FROM documents),
+         g AS (SELECT source, md5(array_to_string(w[1:16], ' ')) AS pfx
+               FROM d0),
+         grp AS (SELECT source, pfx, count(*) AS n FROM g GROUP BY 1, 2)
+         SELECT source, CAST(sum(n) AS BIGINT) AS n_docs,
+           count(*) AS n_groups,
+           CAST(sum(CASE WHEN n >= 2 THEN n ELSE 0 END) AS BIGINT)
+             AS n_docs_shared,
+           round(CAST(sum(CASE WHEN n >= 2 THEN n ELSE 0 END) AS DOUBLE) /
+             sum(n), 6) AS shared_rate
+         FROM grp GROUP BY source ORDER BY source"""
   )
 }

@@ -8,6 +8,9 @@ import OracleCtes._
   */
 private[graft] object EventOracles {
   val sql: Map[String, String] = Map(
+    // q103: ordered conversion funnel — stage n = earliest stage-n event
+    // strictly after the user's stage-(n-1) time; integer counts, one
+    // 4dp division by the stage-1 count
     "q103_funnel" ->
       """WITH s1 AS (SELECT user_id, min(ts) AS t FROM events
                      WHERE event_type = 'signup' GROUP BY 1),
@@ -51,10 +54,9 @@ private[graft] object EventOracles {
              AS retention
          FROM act JOIN sz ON act.cohort_week = sz.cohort_week
          ORDER BY 1, 2""",
-    // q105: DSIR importance weights — md5-bucket counts, add-one
-    // smoothed log-ratio rounded 6dp then quantized to integer
-    // millionths (exact any-order sums; the q83/q95 playbook), FP only
-    // at the final divide
+    // q106: last-touch attribution — running last-click window per user
+    // ((ts, event_id) total order), µs-epoch integer latency, null
+    // attribution kept for click-less purchases
     "q106_attribution" ->
       """SELECT event_id AS purchase_id, user_id, click_id,
            epoch_us(ts) - epoch_us(click_ts) AS latency_us
@@ -99,9 +101,9 @@ private[graft] object EventOracles {
          JOIN marg mj ON pairs.item_j = mj.item
          CROSS JOIN st
          ORDER BY pmi DESC, item_i, item_j LIMIT 25""",
-    // q108: TPC-H Q3 shape — revenue summed as exact cent·percent
-    // BIGINTs (price is cents-precision, discount percent-precision),
-    // FP only at the final /1e4; (revenue DESC, orderkey) total order
+    // q110: rolling 7-day active users — the sliding DISTINCT expressed
+    // as a ≤7-day fan-out then plain per-day distinct counts; integer
+    // day arithmetic, one 4dp division
     "q110_rolling_active" ->
       """WITH act AS (SELECT DISTINCT user_id,
              CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))
@@ -116,10 +118,10 @@ private[graft] object EventOracles {
          SELECT dau.day, dau.dau, wau.wau7,
            round(CAST(dau.dau AS DOUBLE) / wau.wau7, 4) AS stickiness
          FROM dau JOIN wau ON dau.day = wau.wday ORDER BY 1""",
-    // q111: SCD2 merge delta over the q91 edit script — close rows for
-    // removed/changed keys, open rows for added/changed keys, unchanged
-    // mass never materialized; md5 content fingerprints, integer
-    // versions, null valid_to only on still-current opens
+    // q112: daily-volume anomaly z-scores — integer window sums only
+    // (order-free), closed-form mean/variance, correctly-rounded sqrt,
+    // 4dp round with the signed-zero normalization; null z on
+    // zero-variance baselines
     "q112_daily_anomaly" ->
       """WITH daily AS (SELECT
              CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))
@@ -184,9 +186,8 @@ private[graft] object EventOracles {
            round(CAST(r AS DOUBLE) / 1000000000.0, 6) AS rank
          FROM r3 ORDER BY rank_q DESC, item"""
     },
-    // q114: sliding-window chunking — start lattice 0,48,96… < n_tok,
-    // 64-token windows, md5 of the space-joined slice (list_slice is
-    // 1-based inclusive, matching Spark's slice(start+1, len))
+    // q126: per-user lag under the (ts, event_id) total order, then the
+    // |types|² transition rollup; p = exact integer ratio, 6dp round
     "q126_transitions" ->
       """WITH o AS (SELECT user_id, event_type,
              lag(event_type) OVER (PARTITION BY user_id
@@ -197,16 +198,16 @@ private[graft] object EventOracles {
          SELECT prev_type, event_type, n,
            round(n::DOUBLE / sum(n) OVER (PARTITION BY prev_type), 6) AS p
          FROM c ORDER BY prev_type, event_type""",
-    // q127: Heaps-law growth — first-occurrence doc of each distinct
-    // 8-gram per source, bucketed by integer-exact ingest quartile
+    // q134: per-user ordered path signature (string_agg under the
+    // (ts, event_id) total order ≙ Spark's sort_array'd struct list),
+    // then the top-k journeys with a total tie order
     "q134_user_paths" ->
       """WITH p AS (SELECT user_id,
              string_agg(event_type, '->' ORDER BY ts, event_id) AS path
            FROM events GROUP BY 1)
          SELECT path, count(*) AS n_users FROM p
          GROUP BY 1 ORDER BY n_users DESC, path LIMIT 10""",
-    // q135: md5 of the UTF-8 payload bytes == md5 of the text on both
-    // engines; wasted bytes are exact integers
+    // q138: per-day manifest row — counts, key bounds, type cardinality
     "q138_partition_stats" ->
       """WITH g AS (SELECT CAST(ts AS DATE) AS day, event_type,
              count(*) AS n, min(user_id) AS mnu, max(user_id) AS mxu
@@ -216,8 +217,8 @@ private[graft] object EventOracles {
            CAST(max(mxu) AS BIGINT) AS max_user,
            count(*) AS n_types
          FROM g GROUP BY day ORDER BY day""",
-    // q139: Kneser-Ney d=0.75 — integer counts, ONE fixed float
-    // expression tree per row (mirrored exactly on the Spark side)
+    // q149: RFM log2 bands — integer cents, bin()-length bands, one
+    // user-keyed agg + 1-row corpus max
     "q149_rfm_segments" ->
       """WITH pu AS (SELECT user_id, max(CAST(ts AS DATE)) AS last_day,
              count(*) AS freq,
@@ -287,8 +288,8 @@ private[graft] object EventOracles {
            count(*) AS n_items, min(degree) AS min_degree,
            max(degree) AS max_degree
          FROM cdeg GROUP BY 1 ORDER BY 1"""),
-    // q155: declared × predicted language confusion — same prediction
-    // chain as q34 (shared CTE)
+    // q173: 4 unrolled k-core peels (k=3) over the capped co-occurrence
+    // edges; generated chain, pure integer counting
     "q173_kcore" ->
       ("WITH " + coPairsCte + """,
          e0 AS MATERIALIZED (SELECT i, j FROM cpairs),
@@ -296,8 +297,8 @@ private[graft] object EventOracles {
          SELECT item, count(*) AS core_degree FROM (
            SELECT i AS item FROM e4 UNION ALL SELECT j FROM e4)
          GROUP BY item ORDER BY item"""),
-    // q174: session-length profile over the shared q58 sessionization —
-    // integer micros durations, one mirrored division chain
+    // q176: OHLC bars — open/close SELECTED by lexicographic struct
+    // min/max on (ts, event_id, value); no float accumulates
     "q176_daily_ohlc" ->
       """SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
            (min(struct_pack(ts := ts, eid := event_id, v := value))).v
@@ -307,8 +308,9 @@ private[graft] object EventOracles {
            min(value) AS low, max(value) AS high, count(*) AS n_events
          FROM events GROUP BY event_type, day
          ORDER BY event_type, day""",
-    // q177: ship-latency week bands per priority — integer day diff,
-    // integer div-7 banding
+    // q180: daily peak concurrency — oracle uses the naive GLOBAL
+    // running sum (provably equal to the engine's two-phase form);
+    // starts sort before ends at an instant (delta DESC)
     "q180_peak_concurrency" ->
       ("WITH " + sessionsCte + """,
          b AS (SELECT user_id, session_seq,
@@ -326,8 +328,8 @@ private[graft] object EventOracles {
            CAST(sum(CASE WHEN delta = -1 THEN 1 ELSE 0 END) AS BIGINT)
              AS n_ends
          FROM r GROUP BY day ORDER BY day"""),
-    // q181: CUBE over (returnflag, linestatus) — q54's ROLLUP completed
-    // to the grouping power set
+    // q196: exact p25/p50/p75 per event type via histogram rank picks
+    // in doubled units (the q175 med2 rule generalized)
     "q196_value_quartiles" ->
       """WITH h AS (SELECT event_type,
              CAST(round(value * 100, 0) AS BIGINT) AS cents,
@@ -356,8 +358,8 @@ private[graft] object EventOracles {
              THEN lo3 + coalesce(hi3, lo3) ELSE lo3 * 2 END AS DOUBLE)
              / 200.0, 4) AS p75
          FROM a ORDER BY event_type""",
-    // q197: brand-pair lift — integer products inside one division
-    // (the q107 PMI contract without the log)
+    // q200: Shannon entropy of the full path distribution (q134's
+    // assembly; the q67 sum-then-round contract)
     "q200_journey_entropy" ->
       """WITH p AS (SELECT user_id,
              string_agg(event_type, '->' ORDER BY ts, event_id) AS path
@@ -409,7 +411,5 @@ private[graft] object EventOracles {
            CAST(sum(c) AS BIGINT) AS n_events,
            count(*) AS n_items_active
          FROM a GROUP BY 1 ORDER BY 1""",
-    // q203: order fulfillment-span week bands — integer day span per
-    // order, div-7 banding
   )
 }

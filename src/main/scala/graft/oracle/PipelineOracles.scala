@@ -59,6 +59,8 @@ private[graft] object PipelineOracles {
                              WHEN source IN ('src1', 'src2') THEN '80'
                              ELSE '40' END
          GROUP BY source ORDER BY source""",
+    // q65: the full curation composition — keep-list minus contamination
+    // minus low quality, per-source doc/token counts
     "q65_curated_corpus" ->
       (dedupCcCte + """,
          drop_ids AS (SELECT id FROM (
@@ -104,6 +106,8 @@ private[graft] object PipelineOracles {
          SELECT source, count(*) AS n_docs,
            CAST(sum(n_tokens) AS BIGINT) AS total_tokens
          FROM kept GROUP BY source ORDER BY source"""),
+    // q68: cluster-canonical split keys make cross-split near-dup pairs
+    // structurally zero — gated AT zero, so leakage regressions hash-fail
     "q68_split_leakage" ->
       (dedupCcCte + """,
          canon AS (
@@ -132,9 +136,11 @@ private[graft] object PipelineOracles {
          CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS i)
          WHERE greatest(0, least(frame_len, n_bytes - i * frame_len)) > 0
          ORDER BY doc_id, frame_no""",
-    // q69: exact-duplicate vector collapse — group by the embedding value
-    // itself (float lists group bitwise-exact in both engines); the
-    // linear-cost backstop behind the embedding-LSH bucket caps
+    // q84: sequence packing — per-shard token cumsum, fixed-256 chunk
+    // cuts, one provenance row per (doc, chunk) span. Pure integer
+    // arithmetic end to end; generate_series mirrors Spark's sequence()
+    // (both inclusive), // is BIGINT floor division on the non-negative
+    // offsets
     "q84_sequence_packing" ->
       """WITH d AS (SELECT doc_id, CAST(len(string_split(
              regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' '))
@@ -159,8 +165,11 @@ private[graft] object PipelineOracles {
            least(end_tok, (chunk_id + 1) * 256)
              - greatest(start_tok, chunk_id * 256) AS len
          FROM x ORDER BY shard, chunk_id, doc_id""",
-    // q71: Gopher word-statistics rules — thresholds compared on the
-    // rounded values, exactly as the Spark side computes them
+    // q72: bloom-novelty gate — n_shingles/n_exact_hits are DuckDB-exact
+    // from the same distinct-shingle CTE the postings oracles use (t0,
+    // pre-df-cap); no_false_neg/fp_ok are structural/bounded claims the
+    // Spark side must prove, so the oracle pins them at 1 (the q42
+    // error-bound gate pattern: approximate machinery, exact envelope)
     "q72_bloom_novelty" ->
       ("WITH " + shinglePostingsCte + """,
          hist AS (SELECT DISTINCT tok FROM t0 WHERE doc_id % 5 <> 0),
@@ -172,9 +181,9 @@ private[graft] object PipelineOracles {
            CAST(1 AS INT) AS fp_ok
          FROM batch LEFT JOIN hist ON batch.tok = hist.tok
          GROUP BY doc_id ORDER BY doc_id"""),
-    // q73: add-one-smoothed corpus bigram LM, per-doc cross-entropy.
-    // Bigrams carried as "w1 w2" strings (tokens cannot contain spaces);
-    // prefix counts come from the same bigram rows grouped on w1
+    // q91: snapshot diff — v2 derived by a deterministic edit script,
+    // manifest is pure md5-string/int comparison (no FP anywhere); the
+    // unchanged mass never leaves the join
     "q91_snapshot_diff" ->
       """WITH v1 AS (SELECT doc_id, text FROM documents),
          v2 AS (
@@ -197,10 +206,10 @@ private[graft] object PipelineOracles {
          SELECT doc_id, status, n_chars FROM j
          WHERE status IS NOT NULL
          ORDER BY doc_id, status""",
-    // q92: IVF upsert — codebook trained on the base partition only,
-    // batch assigned against the frozen codebook; min/max over the
-    // 4dp-rounded assignment cosines are order-independent and growth is
-    // one exact-int division, so the report is cell-exact (q70 contract)
+    // q93: incremental aggregate refresh — the oracle is the FULL
+    // RECOMPUTE over v2, so the gate is self-verifying: any error in the
+    // Spark-side delta fold (missed status, sign flip, dropped group) is
+    // a hard mismatch against the recomputed truth
     "q93_incr_agg" ->
       """WITH v1 AS (SELECT doc_id, source, text FROM documents),
          v2 AS (
@@ -214,10 +223,10 @@ private[graft] object PipelineOracles {
          SELECT source, count(*) AS n_docs,
            CAST(sum(length(text)) AS BIGINT) AS total_chars
          FROM v2 GROUP BY 1 ORDER BY 1""",
-    // q94: truncated-prefix rerank — the funnel (prefix coarse scan →
-    // shortlist → exact rerank) is replayed stage-for-stage; prefix
-    // slices are float→double exact on both engines, both cosines round
-    // 4dp with the standard vec_id tiebreaks
+    // q97: temperature mixture weights at alpha = 1/2 — sqrt is
+    // correctly rounded (bit-identical cross-engine), counts are exact
+    // ints, and the normalizer is an index-ordered fold over the
+    // source-sorted weight list on both sides
     "q97_mix_weights" ->
       """WITH t AS (
            SELECT source, CAST(sum(len(string_split(
@@ -231,9 +240,10 @@ private[graft] object PipelineOracles {
                FROM (SELECT list(w ORDER BY source) AS ws FROM w))
          SELECT source, n_tokens, round(w / z, 6) AS weight
          FROM w CROSS JOIN z ORDER BY source""",
-    // q98: one BPE merge step — adjacent char-pair counts over every
-    // word occurrence; pure integer counts and a TOTAL (n DESC, pair)
-    // order, so LIMIT k is deterministic on both engines
+    // q105: DSIR importance weights — md5-bucket counts, add-one
+    // smoothed log-ratio rounded 6dp then quantized to integer
+    // millionths (exact any-order sums; the q83/q95 playbook), FP only
+    // at the final divide
     "q105_importance_weights" ->
       """WITH t AS (SELECT doc_id, source, unnest(string_split(
              regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS tok
@@ -262,9 +272,10 @@ private[graft] object PipelineOracles {
              AS log_weight
          FROM b JOIN lam ON b.bucket = lam.bucket
          GROUP BY 1 ORDER BY 1""",
-    // q106: last-touch attribution — running last-click window per user
-    // ((ts, event_id) total order), µs-epoch integer latency, null
-    // attribution kept for click-less purchases
+    // q111: SCD2 merge delta over the q91 edit script — close rows for
+    // removed/changed keys, open rows for added/changed keys, unchanged
+    // mass never materialized; md5 content fingerprints, integer
+    // versions, null valid_to only on still-current opens
     "q111_scd2_delta" ->
       """WITH v1 AS (SELECT doc_id, text FROM documents),
          v2 AS (
@@ -289,10 +300,9 @@ private[graft] object PipelineOracles {
            'open' AS action
          FROM j WHERE in2 AND (NOT in1 OR fp1 <> fp2)
          ORDER BY doc_id, action""",
-    // q112: daily-volume anomaly z-scores — integer window sums only
-    // (order-free), closed-form mean/variance, correctly-rounded sqrt,
-    // 4dp round with the signed-zero normalization; null z on
-    // zero-variance baselines
+    // q114: sliding-window chunking — start lattice 0,48,96… < n_tok,
+    // 64-token windows, md5 of the space-joined slice (list_slice is
+    // 1-based inclusive, matching Spark's slice(start+1, len))
     "q114_doc_chunks" ->
       """WITH t AS (SELECT doc_id,
              string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'),
@@ -307,8 +317,8 @@ private[graft] object PipelineOracles {
              list_slice(toks, gs + 1, least(gs + 64, n_tok)), ' ')) AS chunk_md5
          FROM s, unnest(generate_series(0, n_tok - 1, 48)) AS u(gs)
          ORDER BY doc_id, chunk_idx""",
-    // q115: hard negatives — q31's brute cosine with the band filter on
-    // the ROUNDED score (the q32 threshold rule)
+    // q117: per-source quota — longest-first rank, tie on doc_id; the
+    // grouped CASE sums are exact integers
     "q117_domain_cap" ->
       """WITH r AS (SELECT doc_id, source, n_chars,
              row_number() OVER (PARTITION BY source
@@ -333,8 +343,8 @@ private[graft] object PipelineOracles {
          SELECT l_returnflag, count(*) AS n_rows,
            CAST(bit_xor(fp) AS BIGINT) AS fingerprint
          FROM f GROUP BY l_returnflag ORDER BY l_returnflag""",
-    // q119: distinct (source, 16-gram md5) pairs, then a self-join on the
-    // hash — counts are exact integers; tokenization mirrors q114/q116
+    // q122: fold = first-8-hex-digit fold of md5(canonical_id) mod 5;
+    // canonical = min doc_id per content hash, so dup clusters co-assign
     "q122_fold_assign" ->
       """WITH d AS (SELECT doc_id, n_chars,
              md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
@@ -351,8 +361,8 @@ private[graft] object PipelineOracles {
          SELECT fold, CAST(sum(nd) AS BIGINT) AS n_docs,
            count(*) AS n_clusters, CAST(sum(ch) AS BIGINT) AS chars
          FROM g GROUP BY fold ORDER BY fold""",
-    // q123: per-source decile of the q35 quality score — integer-exact
-    // bucket arithmetic ((rk-1)*10 // n); min/max are order-independent
+    // q128: per-bucket XOR fingerprints of v1 vs the q91 v2 mutation;
+    // only differing buckets survive — the repair manifest
     "q128_fp_diff" ->
       """WITH v1 AS (SELECT doc_id, text FROM documents),
          v2 AS (
@@ -384,8 +394,8 @@ private[graft] object PipelineOracles {
          WHERE coalesce(fp1, 0) <> coalesce(fp2, 0)
             OR coalesce(n1, 0) <> coalesce(n2, 0)
          ORDER BY bucket""",
-    // q129: integer-exact log2 length bands — length(bin(x)) - 1, no
-    // float log at the power-of-two boundary
+    // q135: md5 of the UTF-8 payload bytes == md5 of the text on both
+    // engines; wasted bytes are exact integers
     "q135_media_dedup" ->
       """WITH m AS (SELECT
              CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'wav'
@@ -435,7 +445,8 @@ private[graft] object PipelineOracles {
            count(*) AS n_docs
          FROM k JOIN nm ON k.doc_id = nm.doc_id
          GROUP BY 1, 2 ORDER BY quality_band, norm_band"""),
-    // q138: per-day manifest row — counts, key bounds, type cardinality
+    // q140: the oracle is the NAIVE global budget window — the Spark
+    // side's two-phase bucket/offset cut must equal it exactly
     "q140_budget_select" ->
       ("WITH " + qualityDocCte + """,
          qk AS (SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
@@ -481,8 +492,8 @@ private[graft] object PipelineOracles {
              CAST(CASE WHEN p1.n_rows <> p2.n_rows THEN 1 ELSE 0 END AS INT)
            FROM p1, p2
          ) ORDER BY metric""",
-    // q142: smallest |logit| — margin sampling over the q83 classifier;
-    // abs of an already-rounded value, total (margin, doc_id) order
+    // q146: Gini over source char mass — rank asc by (chars, source),
+    // G = 2·Σi·x / (n·Σx) − (n+1)/n; integers until the closed form
     "q146_source_gini" ->
       """WITH per AS (SELECT source, CAST(sum(n_chars) AS BIGINT) AS x
            FROM documents GROUP BY source),
@@ -495,8 +506,9 @@ private[graft] object PipelineOracles {
              CAST(count(*) + 1 AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
              AS gini
          FROM r""",
-    // q147: raw vs exact-dedup canonical corpus size; per-hash min
-    // aggregation first so each distinct content counts once
+    // q170: truncation loss at three context lengths — one aggregate
+    // carries every length's kept/over sums; the oracle unpivots by
+    // UNION ALL over the same single-row aggregate
     "q170_truncation_loss" ->
       """WITH m AS (SELECT CAST(len(string_split(regexp_replace(
              lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS BIGINT)
@@ -545,8 +557,7 @@ private[graft] object PipelineOracles {
            round(CAST(cum_tokens AS DOUBLE) /
              CAST(total_tokens AS DOUBLE), 6) AS cum_token_frac
          FROM c, t ORDER BY quality DESC"""),
-    // q172: exact-dup cluster-size histogram — the q27 content-hash
-    // shuffle then a multiplicity rollup
+    // q191: per-source PII hit density over the q46 planted convention
     "q191_pii_density" ->
       """WITH m AS (SELECT source,
              text || ' contact user' || doc_id ||
@@ -566,7 +577,5 @@ private[graft] object PipelineOracles {
              * 10000.0 / CAST(sum(n_chars_t) AS DOUBLE), 6)
              AS hits_per_10k_chars
          FROM c GROUP BY source ORDER BY source""",
-    // q192: best-vs-second language score margin bands over the shared
-    // q34/q155 prediction chain
   )
 }

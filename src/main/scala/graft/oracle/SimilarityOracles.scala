@@ -88,6 +88,9 @@ private[graft] object SimilarityOracles {
                   ORDER BY cos DESC, vec_id) AS INT) AS rk
            FROM scored)
          WHERE rk <= 5 ORDER BY query_id, rk""",
+    // q69: exact-duplicate vector collapse — group by the embedding value
+    // itself (float lists group bitwise-exact in both engines); the
+    // linear-cost backstop behind the embedding-LSH bucket caps
     "q69_vector_dedup" ->
       """SELECT min(vec_id) AS canonical_id, count(*) AS n_copies
          FROM embeddings GROUP BY embedding ORDER BY canonical_id""",
@@ -287,10 +290,12 @@ private[graft] object SimilarityOracles {
            FROM sc JOIN qn USING (query_id)
            WHERE sc.vec_id <> sc.query_id)
          WHERE rk <= 5 ORDER BY query_id, rk""",
-    // q87: span-dedup apply — duplicated-span ownership (min doc_id),
-    // covered-position explode, anti-join, per-doc rebuild ORDER BY pos.
-    // All string/integer ops, no FP anywhere; list slicing replicates the
-    // Spark side's lead-window span strings
+    // q88: IVF-PQ — the full production index replayed: coarse
+    // assignment (q70's CTEs), residuals per dimension, residual PQ
+    // codebook + argmin encode (q77's recipe on residuals), probe
+    // selection, and the corrected ADC cosine
+    // (qc + adcq) / (qnorm · sqrt(|c|² + 2·adcc + |r̂|²)) with every
+    // multi-term sum in the ordered-list formulation (the q86 contract)
     "q88_ivfpq_topk" ->
       ("WITH " + ivfAssignCte + """,
          rdim AS (SELECT a.vec_id, a.ivf_list, i.range AS d,
@@ -374,13 +379,20 @@ private[graft] object SimilarityOracles {
                   ORDER BY score DESC, vec_id) AS INT) AS rk
            FROM scored)
          WHERE rk <= 5 ORDER BY query_id, rk"""),
-    // q78: Misra-Gries heavy hitters — the emitted cells are EXACT
-    // recounts of the sketch's candidate set (estimates are merge-order
-    // dependent and never emitted), and at capacity 64 ≥ the corpus's 31
-    // distinct tokens the candidate set provably contains every token, so
-    // the oracle is the true top-k with the bound verdict pinned at 1.
-    // The approximation regime (capacity ≪ distinct) is spec-gated
-    // adversarially — this vocabulary cannot exhibit it
+    // q79: random projection replicated end-to-end — the ±1 sign matrix
+    // comes from md5(i_j) (the one hash both engines share bit-for-bit),
+    // projection rounded 6dp, both cosines 4dp. Cell-exact: each
+    // projected coordinate is list_inner_product over the i-ordered sign
+    // row — the same index-ordered double accumulation as the Spark
+    // side's codegen fused-loop dot (a shuffled groupBy sum is NOT
+    // order-stable; that was r5's one hash mismatch). No JL tolerance
+    // gate (probabilistic per matrix — with a fixed matrix the
+    // distortion is a measured fact, pinned in the spec instead).
+    // Both cosines are `round(...) + 0.0`: DuckDB's round preserves IEEE
+    // -0.0 (one sf0.01 cos_orig cell rounds to zero from below) while
+    // Spark's Catalyst Round goes through BigDecimal, which has no
+    // negative zero — `+ 0.0` canonicalizes (-0.0 + 0.0 == +0.0) so the
+    // driver's value hash agrees bit-for-bit (r6's one hash mismatch)
     "q79_random_projection" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
                     FROM embeddings WHERE vec_id < 40),
@@ -487,11 +499,17 @@ private[graft] object SimilarityOracles {
                   ORDER BY score DESC, vec_id) AS INT) AS rk
            FROM scored)
          WHERE rk <= 5 ORDER BY query_id, rk""",
-    // q83: hashed-linear classifier scoring — the md5 feature hash and
-    // the instr() hex decode are identical in both engines, and the
-    // dyadic weights make every per-doc sum exact (order-independent by
-    // construction), so the logit is cell-exact with rounding only at
-    // the final 6dp
+    // q89: BM25 retrieval — corpus stats are exact ints (avgdl enters as
+    // one deterministic division), every FP constant appears as the SAME
+    // literal expression both engines constant-fold identically
+    // (1.2 + 1.0, 1.0 - 0.75 + 0.75 * norm), idf rounds 6dp at its stage
+    // boundary, and the per-(query, doc) score is a fixed-order
+    // c1 + c2 + … fold over term-rank slots — never a shuffled float
+    // sum. The operating point (nQueries/nTerms/k) and the slot list are
+    // interpolated from RetrievalOps' constants — the SAME values that
+    // parameterize bm25TopK's defaults — so implementation and oracle
+    // cannot silently diverge on nTerms (raw interpolator: \s must
+    // survive verbatim).
     "q89_bm25_topk" ->
       raw"""WITH d0 AS (
            SELECT doc_id, string_split(
@@ -534,10 +552,10 @@ private[graft] object SimilarityOracles {
                      4) AS score
                  FROM contrib GROUP BY 1, 2))
          WHERE rk <= ${RetrievalOps.DefaultK} ORDER BY qid, rk""",
-    // q90: Count-Min sketch — cells are order-independent integer sums
-    // and the md5 bucket decode is the q83 instr pattern, so the sketch
-    // the typed Aggregator builds is replayed relationally cell-exact:
-    // RAW estimates hash-gate (deterministic, unlike Misra-Gries q78)
+    // q92: IVF upsert — codebook trained on the base partition only,
+    // batch assigned against the frozen codebook; min/max over the
+    // 4dp-rounded assignment cosines are order-independent and growth is
+    // one exact-int division, so the report is cell-exact (q70 contract)
     "q92_ivf_upsert" ->
       """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v
             FROM embeddings),
@@ -583,10 +601,10 @@ private[graft] object SimilarityOracles {
              AS growth
          FROM bc FULL OUTER JOIN nc ON bc.ivf_list = nc.ivf_list
          ORDER BY 1""",
-    // q93: incremental aggregate refresh — the oracle is the FULL
-    // RECOMPUTE over v2, so the gate is self-verifying: any error in the
-    // Spark-side delta fold (missed status, sign flip, dropped group) is
-    // a hard mismatch against the recomputed truth
+    // q94: truncated-prefix rerank — the funnel (prefix coarse scan →
+    // shortlist → exact rerank) is replayed stage-for-stage; prefix
+    // slices are float→double exact on both engines, both cosines round
+    // 4dp with the standard vec_id tiebreaks
     "q94_prefix_rerank" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
             FROM embeddings),
@@ -642,10 +660,10 @@ private[graft] object SimilarityOracles {
          SELECT label, count(*) AS n, min(nrm) AS min_norm,
            max(nrm) AS max_norm
          FROM corr GROUP BY 1 ORDER BY 1"""),
-    // q97: temperature mixture weights at alpha = 1/2 — sqrt is
-    // correctly rounded (bit-identical cross-engine), counts are exact
-    // ints, and the normalizer is an index-ordered fold over the
-    // source-sorted weight list on both sides
+    // q101: ANN recall@5 of the probed IVF index vs exact brute force —
+    // both top-k pipelines replicated via the shared assignment CTE
+    // (the q70/q31 formulations verbatim), then an integer intersection
+    // count and ONE division by the constant k
     "q101_ann_recall" ->
       ("WITH " + ivfAssignCte + """,
          probes AS (
@@ -710,9 +728,8 @@ private[graft] object SimilarityOracles {
                  + bit_count(xor(c.b_hi, q.q_hi)), c.vec_id) AS INT) AS rk
            FROM c CROSS JOIN q WHERE c.vec_id <> q.query_id)
          WHERE rk <= 5 ORDER BY query_id, rk""",
-    // q103: ordered conversion funnel — stage n = earliest stage-n event
-    // strictly after the user's stage-(n-1) time; integer counts, one
-    // 4dp division by the stage-1 count
+    // q115: hard negatives — q31's brute cosine with the band filter on
+    // the ROUNDED score (the q32 threshold rule)
     "q115_hard_negatives" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
                     FROM embeddings WHERE vec_id < 8),
@@ -728,8 +745,9 @@ private[graft] object SimilarityOracles {
                   ORDER BY cos DESC, vec_id) AS INT) AS rk
            FROM scored WHERE cos >= 0.20 AND cos < 0.45)
          WHERE rk <= 5 ORDER BY query_id, rk""",
-    // q116: top-1000 vocab (cnt desc, tok asc — total order at the V-th
-    // slot), per-source OOV profile; single division then 6dp round
+    // q145: Kendall tau over the COMMON neighbors of the exact-cosine
+    // and Hamming-sketch top-20 rankings — integer pair counts, one
+    // division/round per query
     "q145_rank_corr" ->
       """WITH e AS (SELECT vec_id, embedding AS v FROM embeddings),
          c AS (SELECT vec_id,
@@ -776,8 +794,8 @@ private[graft] object SimilarityOracles {
              (nc.n_common * (nc.n_common - 1) / 2), 4) AS tau
          FROM ag JOIN nc USING (query_id) WHERE nc.n_common >= 2
          ORDER BY query_id""",
-    // q146: Gini over source char mass — rank asc by (chars, source),
-    // G = 2·Σi·x / (n·Σx) − (n+1)/n; integers until the closed form
+    // q166: pairwise label-centroid L2 on the 2^10 integer grid (the
+    // q95 quantize/centroid contract); d2 exact BIGINT, one sqrt/÷2^10
     "q166_centroid_dists" ->
       ("WITH " + embedCentroidCte + """
          SELECT a.label AS label_a, b.label AS label_b,
@@ -821,8 +839,8 @@ private[graft] object SimilarityOracles {
            CAST(sum(CASE WHEN dp < 0 THEN 1 ELSE 0 END) AS BIGINT)
              AS n_neg
          FROM j GROUP BY label ORDER BY label"""),
-    // q169: lines-per-order bands — per-order rollup then a band rollup;
-    // exact cents·pct integer revenue
+    // q190: recall@k at nprobe 1/2/4 vs brute force — the q101 chain
+    // swept over the probe knob; one shared assignment + bf
     "q190_probe_curve" ->
       ("WITH " + ivfAssignCte + ",\n         " +
         Seq(1, 2, 4).map(probeIvSql).mkString(",\n         ") + """,
@@ -848,7 +866,8 @@ private[graft] object SimilarityOracles {
            SELECT 4, CAST(count(*) AS BIGINT)
            FROM iv4 JOIN bf USING (query_id, vec_id))
          ORDER BY nprobe"""),
-    // q191: per-source PII hit density over the q46 planted convention
+    // q194: IVF inverted-list balance from the shared assignment chain;
+    // integer imbalance = 1000·max/mean
     "q194_ivf_balance" ->
       ("WITH " + ivfAssignCte + """,
          sz AS (SELECT ivf_list, count(*) AS sz FROM asg GROUP BY 1)
@@ -858,8 +877,8 @@ private[graft] object SimilarityOracles {
            CAST((max(sz) * count(*) * 1000) // sum(sz) AS BIGINT)
              AS imbalance_x1000
          FROM sz"""),
-    // q195: quality bands × declared language with token mass — the
-    // per-language threshold calibration matrix (q137's band rule)
+    // q198: Rayleigh quotient of the q95 component over total centered
+    // variance — exact integer/HUGEINT sums, one mirrored division
     "q198_pca_variance" ->
       ("WITH " + pcaPowerCte + """,
          vqf AS (SELECT list_transform(v,
@@ -880,6 +899,46 @@ private[graft] object SimilarityOracles {
              (CAST(vq2 AS DOUBLE) * CAST(xc2 AS DOUBLE)), 6)
              AS var_explained
          FROM st, vn"""),
-    // q199: supplier-concentration bands — integer (10·top) div total
+    // q207: label-relevance nDCG@10 — discounts are the literal
+    // millionths table 1e6/log2(rk+1) on BOTH engines (no cross-engine
+    // log); DCG/IDCG integer sums, one 6dp division; IDCG truncates at
+    // min(10, n_rel) via the cumulative table
+    "q207_ndcg_label" ->
+      """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v
+                    FROM embeddings),
+         q AS (SELECT vec_id AS query_id, v AS qv, label AS qlabel
+               FROM e WHERE vec_id < 8),
+         sc AS (SELECT q.query_id, q.qlabel, e.vec_id, e.label,
+             round(list_inner_product(q.qv, e.v) /
+               (sqrt(list_inner_product(q.qv, q.qv)) *
+                sqrt(list_inner_product(e.v, e.v))), 4) AS cos
+           FROM e CROSS JOIN q WHERE e.vec_id <> q.query_id),
+         rk AS (SELECT query_id, qlabel, label,
+             row_number() OVER (PARTITION BY query_id
+               ORDER BY cos DESC, vec_id) AS rnk
+           FROM sc),
+         dt AS (SELECT * FROM (VALUES (1, 1000000), (2, 630930),
+             (3, 500000), (4, 430677), (5, 386853), (6, 356207),
+             (7, 333333), (8, 315465), (9, 301030), (10, 289065))
+           AS t(rnk, d)),
+         ic AS (SELECT * FROM (VALUES (1, 1000000), (2, 1630930),
+             (3, 2130930), (4, 2561607), (5, 2948460), (6, 3304667),
+             (7, 3638000), (8, 3953465), (9, 4254495), (10, 4543560))
+           AS t(j, cum)),
+         dcg AS (SELECT query_id,
+             CAST(sum(CASE WHEN label = qlabel THEN d ELSE 0 END)
+               AS BIGINT) AS dcg_e6
+           FROM rk JOIN dt USING (rnk) WHERE rnk <= 10 GROUP BY 1),
+         lc AS (SELECT label, count(*) AS n_lab FROM e GROUP BY 1),
+         base AS (SELECT q.query_id,
+             CAST(coalesce(lc.n_lab, 1) - 1 AS BIGINT) AS n_rel
+           FROM q LEFT JOIN lc ON q.qlabel = lc.label)
+         SELECT b.query_id, b.n_rel,
+           coalesce(dcg.dcg_e6, 0) AS dcg_e6,
+           CASE WHEN b.n_rel <= 0 THEN 0.0
+                ELSE round(CAST(coalesce(dcg.dcg_e6, 0) AS DOUBLE) /
+                  (SELECT cum FROM ic WHERE j = least(b.n_rel, 10)), 6)
+           END AS ndcg
+         FROM base b LEFT JOIN dcg USING (query_id) ORDER BY query_id"""
   )
 }

@@ -68,8 +68,6 @@ private[graft] object TextOracles {
                  regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS tok
                FROM documents)
          GROUP BY doc_id ORDER BY doc_id""",
-    // q65: the full curation composition — keep-list minus contamination
-    // minus low quality, per-source doc/token counts
     "q67_token_entropy" ->
       """WITH t AS (SELECT doc_id, unnest(string_split(
              regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS tok
@@ -79,28 +77,24 @@ private[graft] object TextOracles {
          SELECT doc_id, CAST(max(n) AS INT) AS n_tokens,
            round(-sum((c * 1.0 / n) * log2(c * 1.0 / n)) + 0.0, 4) AS entropy_bits
          FROM n GROUP BY doc_id ORDER BY doc_id""",
-    // q68: cluster-canonical split keys make cross-split near-dup pairs
-    // structurally zero — gated AT zero, so leakage regressions hash-fail
+    // q78: Misra-Gries heavy hitters — the emitted cells are EXACT
+    // recounts of the sketch's candidate set (estimates are merge-order
+    // dependent and never emitted), and at capacity 64 ≥ the corpus's 31
+    // distinct tokens the candidate set provably contains every token, so
+    // the oracle is the true top-k with the bound verdict pinned at 1.
+    // The approximation regime (capacity ≪ distinct) is spec-gated
+    // adversarially — this vocabulary cannot exhibit it
     "q78_heavy_hitters" ->
       """WITH t AS (SELECT unnest(string_split(
              regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS tok
            FROM documents)
          SELECT tok, count(*) AS n, CAST(1 AS INT) AS within_bound
          FROM t GROUP BY tok ORDER BY n DESC, tok LIMIT 10""",
-    // q79: random projection replicated end-to-end — the ±1 sign matrix
-    // comes from md5(i_j) (the one hash both engines share bit-for-bit),
-    // projection rounded 6dp, both cosines 4dp. Cell-exact: each
-    // projected coordinate is list_inner_product over the i-ordered sign
-    // row — the same index-ordered double accumulation as the Spark
-    // side's codegen fused-loop dot (a shuffled groupBy sum is NOT
-    // order-stable; that was r5's one hash mismatch). No JL tolerance
-    // gate (probabilistic per matrix — with a fixed matrix the
-    // distortion is a measured fact, pinned in the spec instead).
-    // Both cosines are `round(...) + 0.0`: DuckDB's round preserves IEEE
-    // -0.0 (one sf0.01 cos_orig cell rounds to zero from below) while
-    // Spark's Catalyst Round goes through BigDecimal, which has no
-    // negative zero — `+ 0.0` canonicalizes (-0.0 + 0.0 == +0.0) so the
-    // driver's value hash agrees bit-for-bit (r6's one hash mismatch)
+    // q83: hashed-linear classifier scoring — the md5 feature hash and
+    // the instr() hex decode are identical in both engines, and the
+    // dyadic weights make every per-doc sum exact (order-independent by
+    // construction), so the logit is cell-exact with rounding only at
+    // the final 6dp
     "q83_quality_classifier" ->
       """WITH t AS (SELECT doc_id, unnest(string_split(
              regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS tok
@@ -116,11 +110,8 @@ private[graft] object TextOracles {
            CAST(CASE WHEN round(sum(wt) / count(*), 6) > 0
              THEN 1 ELSE 0 END AS INT) AS label
          FROM w GROUP BY doc_id ORDER BY doc_id""",
-    // q84: sequence packing — per-shard token cumsum, fixed-256 chunk
-    // cuts, one provenance row per (doc, chunk) span. Pure integer
-    // arithmetic end to end; generate_series mirrors Spark's sequence()
-    // (both inclusive), // is BIGINT floor division on the non-negative
-    // offsets
+    // q71: Gopher word-statistics rules — thresholds compared on the
+    // rounded values, exactly as the Spark side computes them
     "q71_gopher_rules" ->
       """SELECT doc_id, count(*) AS n_words,
            round(sum(length(tok)) * 1.0 / count(*), 4) AS mean_word_len,
@@ -142,11 +133,9 @@ private[graft] object TextOracles {
                  regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS tok
                FROM documents)
          GROUP BY doc_id ORDER BY doc_id""",
-    // q72: bloom-novelty gate — n_shingles/n_exact_hits are DuckDB-exact
-    // from the same distinct-shingle CTE the postings oracles use (t0,
-    // pre-df-cap); no_false_neg/fp_ok are structural/bounded claims the
-    // Spark side must prove, so the oracle pins them at 1 (the q42
-    // error-bound gate pattern: approximate machinery, exact envelope)
+    // q73: add-one-smoothed corpus bigram LM, per-doc cross-entropy.
+    // Bigrams carried as "w1 w2" strings (tokens cannot contain spaces);
+    // prefix counts come from the same bigram rows grouped on w1
     "q73_lm_perplexity" ->
       """WITH d0 AS (
            SELECT doc_id, string_split(
@@ -168,10 +157,10 @@ private[graft] object TextOracles {
            JOIN pfx ON split_part(bg.b, ' ', 1) = pfx.w1
            CROSS JOIN v
          GROUP BY doc_id ORDER BY doc_id""",
-    // q74: discrete percentiles (element at rank ceil(p*n), ties broken
-    // by doc_id like the Spark window) are engine-portable; the sketch
-    // equality flag is pinned at 1 (accuracy >= group size => zero rank
-    // error)
+    // q90: Count-Min sketch — cells are order-independent integer sums
+    // and the md5 bucket decode is the q83 instr pattern, so the sketch
+    // the typed Aggregator builds is replayed relationally cell-exact:
+    // RAW estimates hash-gate (deterministic, unlike Misra-Gries q78)
     "q90_cms_profile" ->
       """WITH t AS (SELECT unnest(string_split(
              regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS tok
@@ -194,9 +183,9 @@ private[graft] object TextOracles {
          SELECT tok, n, est, CAST(est >= n AS INT) AS overest_ok
          FROM tc JOIN est USING (tok)
          ORDER BY n DESC, tok LIMIT 10""",
-    // q91: snapshot diff — v2 derived by a deterministic edit script,
-    // manifest is pure md5-string/int comparison (no FP anywhere); the
-    // unchanged mass never leaves the join
+    // q98: one BPE merge step — adjacent char-pair counts over every
+    // word occurrence; pure integer counts and a TOTAL (n DESC, pair)
+    // order, so LIMIT k is deterministic on both engines
     "q98_bpe_merge" ->
       """WITH w AS (SELECT unnest(string_split(
              regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS w
@@ -229,8 +218,8 @@ private[graft] object TextOracles {
            FROM tf JOIN dfc USING (tok) CROSS JOIN st
            WHERE tf.doc_id < 20)
          WHERE rk <= 3 ORDER BY doc_id, rk""",
-    // q100: duplication-inflation histogram — md5 content-fingerprint
-    // cluster sizes rolled up; all integers, fully order-independent
+    // q116: top-1000 vocab (cnt desc, tok asc — total order at the V-th
+    // slot), per-source OOV profile; single division then 6dp round
     "q116_vocab_coverage" ->
       """WITH tk AS (SELECT source,
              unnest(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'),
@@ -246,8 +235,8 @@ private[graft] object TextOracles {
              CAST(count(*) AS DOUBLE), 6) AS oov_rate
          FROM tk LEFT JOIN v ON tk.tok = v.tok
          GROUP BY source ORDER BY source""",
-    // q117: per-source quota — longest-first rank, tie on doc_id; the
-    // grouped CASE sums are exact integers
+    // q123: per-source decile of the q35 quality score — integer-exact
+    // bucket arithmetic ((rk-1)*10 // n); min/max are order-independent
     "q123_score_deciles" ->
       ("WITH " + qualityDocCte + """,
          j AS (SELECT q.doc_id, q.quality, d.source
@@ -260,9 +249,8 @@ private[graft] object TextOracles {
          SELECT source, CAST((rk - 1) * 10 // n AS INT) AS decile,
            count(*) AS n_docs, min(quality) AS min_q, max(quality) AS max_q
          FROM r GROUP BY 1, 2 ORDER BY source, decile"""),
-    // q124: lossless containment at t = 4/5 — each doc's rare-first
-    // prefix (n - ceil(4n/5) + 1) joined against the FULL posting side
-    // covers both directions; verify on the rounded min-side containment
+    // q127: Heaps-law growth — first-occurrence doc of each distinct
+    // 8-gram per source, bucketed by integer-exact ingest quartile
     "q127_vocab_growth" ->
       """WITH t AS (SELECT source, doc_id,
              string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'),
@@ -287,16 +275,16 @@ private[graft] object TextOracles {
            CAST(sum(n_new) OVER (PARTITION BY source ORDER BY quartile
              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_distinct
          FROM g ORDER BY source, quartile""",
-    // q128: per-bucket XOR fingerprints of v1 vs the q91 v2 mutation;
-    // only differing buckets survive — the repair manifest
+    // q129: integer-exact log2 length bands — length(bin(x)) - 1, no
+    // float log at the power-of-two boundary
     "q129_length_hist" ->
       """SELECT lang, CAST(length(bin(n_chars)) - 1 AS INT) AS log2_bucket,
            count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS chars,
            CAST(min(n_chars) AS BIGINT) AS min_chars,
            CAST(max(n_chars) AS BIGINT) AS max_chars
          FROM documents GROUP BY 1, 2 ORDER BY lang, log2_bucket""",
-    // q130: the oracle is the NAIVE global row_number — the Spark side's
-    // two-phase bucket/offset formulation must equal it exactly
+    // q139: Kneser-Ney d=0.75 — integer counts, ONE fixed float
+    // expression tree per row (mirrored exactly on the Spark side)
     "q139_kn_bigram" ->
       """WITH t AS (SELECT
              string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'),
@@ -315,8 +303,8 @@ private[graft] object TextOracles {
              (nbw::DOUBLE / ntot::DOUBLE), 6) AS pkn
          FROM c12 JOIN c1 USING (w1) JOIN nb USING (w2) CROSS JOIN nt
          ORDER BY c12 DESC, w1, w2 LIMIT 20""",
-    // q140: the oracle is the NAIVE global budget window — the Spark
-    // side's two-phase bucket/offset cut must equal it exactly
+    // q142: smallest |logit| — margin sampling over the q83 classifier;
+    // abs of an already-rounded value, total (margin, doc_id) order
     "q142_uncertainty" ->
       """WITH t AS (SELECT doc_id, unnest(string_split(
              regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS tok
@@ -331,8 +319,8 @@ private[graft] object TextOracles {
            FROM w GROUP BY doc_id)
          SELECT doc_id, logit, abs(logit) AS margin
          FROM lg ORDER BY margin, doc_id LIMIT 25""",
-    // q143: interval-intersection file-skip test against the q132
-    // manifest — integers plus one division/round per row
+    // q155: declared × predicted language confusion — same prediction
+    // chain as q34 (shared CTE)
     "q155_lang_confusion" ->
       ("WITH " + langPredCte + """
          SELECT lang, lang_pred, count(*) AS n_docs FROM p
@@ -375,9 +363,8 @@ private[graft] object TextOracles {
            round(ln(CAST(n_ab * n_corpus AS DOUBLE) /
              CAST(df_a * df_b AS DOUBLE)), 6) AS pmi
          FROM pairs, nd ORDER BY pmi DESC, ta, tb LIMIT 25""",
-    // q158: TPC-H Q8 shape — yearly NATION_2 supplier share of
-    // ASIA-customer revenue; exact cents·pct integer sums, FP only in
-    // the final share division (6dp)
+    // q162: TTR bands — integer band rule min(9, 10·d/t), micro-avg
+    // ratio from exact integer sums
     "q162_ttr_bands" ->
       """WITH t AS (SELECT string_split(regexp_replace(lower(trim(text)),
              '\s+', ' ', 'g'), ' ') AS toks FROM documents),
@@ -446,8 +433,8 @@ private[graft] object TextOracles {
            round(CAST(sum(CASE WHEN n_occ = 1 THEN 1 ELSE 0 END)
              AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS hapax_rate
          FROM c GROUP BY source ORDER BY source""",
-    // q166: pairwise label-centroid L2 on the 2^10 integer grid (the
-    // q95 quantize/centroid contract); d2 exact BIGINT, one sqrt/÷2^10
+    // q182: OOV rate per vocab budget — rank over the vocabulary frame,
+    // all budgets in one aggregate, UNION-ALL unpivot
     "q182_vocab_budget" ->
       """WITH t AS (SELECT unnest(string_split(regexp_replace(
              lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS tok
@@ -493,8 +480,8 @@ private[graft] object TextOracles {
            round(CAST(sum(CASE WHEN n_sources = 1 THEN 1 ELSE 0 END)
              AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS novelty
          FROM sg JOIN gs USING (g) GROUP BY source ORDER BY source""",
-    // q184: pair counts at four thresholds from the t=1/2 lossless
-    // candidate generation; integer cross-multiplied cuts on shared v
+    // q192: best-vs-second language score margin bands over the shared
+    // q34/q155 prediction chain
     "q192_langid_margin" ->
       ("WITH " + langPredCte + """,
          m AS (SELECT p.lang_pred,
@@ -508,8 +495,8 @@ private[graft] object TextOracles {
          SELECT lang_pred, CAST(margin_band AS BIGINT) AS margin_band,
            count(*) AS n_docs
          FROM m GROUP BY 1, 2 ORDER BY 1, 2"""),
-    // q193: log2-banded shingle df distribution (the effectiveDfCap
-    // tuning diagnostic) over the 8-gram space
+    // q195: quality bands × declared language with token mass — the
+    // per-language threshold calibration matrix (q137's band rule)
     "q195_quality_by_lang" ->
       ("WITH " + qualityDocCte + """,
          j AS (SELECT d.lang,
@@ -520,7 +507,19 @@ private[graft] object TextOracles {
          SELECT lang, quality_band, count(*) AS n_docs,
            CAST(sum(n_tok) AS BIGINT) AS n_tokens
          FROM j GROUP BY 1, 2 ORDER BY 1, 2"""),
-    // q196: exact p25/p50/p75 per event type via histogram rank picks
-    // in doubled units (the q175 med2 rule generalized)
+    // q208: code-syntax character density on the raw text, banded on
+    // the q137 integer grid ((codey*10000) div nc div 50, capped 4)
+    "q208_code_detect" ->
+      """WITH d AS (SELECT source,
+             length(regexp_replace(text, '[^;{}()=<>\[\]]', '', 'g'))
+               AS codey,
+             length(text) AS nc
+           FROM documents WHERE length(text) > 0)
+         SELECT source,
+           least(4, (codey * 10000) // nc // 50) AS band,
+           count(*) AS n_docs,
+           CAST(sum(codey) AS BIGINT) AS n_codey,
+           round(CAST(sum(codey) AS DOUBLE) / sum(nc), 6) AS codey_rate
+         FROM d GROUP BY 1, 2 ORDER BY 1, 2"""
   )
 }
