@@ -219,7 +219,20 @@ object ScalingBench {
       // the entropy rollup is journey-cardinality-sized with the user
       // total crossed in broadcast (no empty-partition window)
       Probe("q200_journey_entropy", "events",
-        SparkEntry.queries("q200_journey_entropy")))
+        SparkEntry.queries("q200_journey_entropy")),
+      // q205 winnowing: gram build + per-doc window min — the sketch the
+      // rollup shuffles is ~2/(w+1) of gram count, so the whole path
+      // should track the corpus like the other gram passes
+      Probe("q205_winnowing", "documents",
+        SparkEntry.queries("q205_winnowing")),
+      // q209 upsert: the q29 pipeline + a pair filter — the probe pins
+      // the incremental path staying in the q29 scaling class
+      Probe("q209_minhash_upsert", "documents",
+        SparkEntry.queries("q209_minhash_upsert")),
+      // q210 bot burst: one user_id shuffle + per-user RANGE frames —
+      // linear in events by construction
+      Probe("q210_bot_burst", "events",
+        SparkEntry.queries("q210_bot_burst")))
 
   /** Build k-times-scaled corpora from sf0.1 (documents AND embeddings).
     * Document copy c suffixes every token with a copy marker, so each

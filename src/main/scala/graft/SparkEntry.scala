@@ -263,6 +263,10 @@ object SparkEntry {
       DedupOps.prefixBoilerplate(s, d)),
     "q207_ndcg_label"     -> ((s, d) => SimilarityOps.ndcgByLabel(s, d)),
     "q208_code_detect"    -> ((s, d) => TextAnalysisOps.codeDetect(s, d)),
+    "q209_minhash_upsert" -> ((s, d) => DedupOps.minhashUpsert(s, d)),
+    "q210_bot_burst"      -> ((s, d) =>
+      graft.operators.EventOps.botBurst(s, d)),
+    "q211_idf_drift"      -> ((s, d) => TextAnalysisOps.idfDrift(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -1117,6 +1117,37 @@ object DedupOps {
       .orderBy(col("source"))
   }
 
+  /** Incremental near-dup upsert (q209): the MinHash/LSH pipeline
+    * restricted to CROSS pairs between a delta batch (doc_id ≡ `rem`
+    * mod `mod` — the staged-ingest stand-in) and the existing base —
+    * "which incoming docs near-duplicate something we already have",
+    * the admission check an ingest pipeline runs per batch. Output:
+    * (delta_id, base_id, jaccard ≥ threshold), exactly verified.
+    *
+    * Scale shape: at 100 TB the base's band buckets are a STORED index
+    * (the q92 IVF-upsert pattern applied to LSH): the per-batch cost is
+    * delta-sized signature computation plus a bucket equi-join into the
+    * stored postings — never a base re-scan. The batch replay here
+    * computes both sides from the shared cached postings (testdata has
+    * no stored index) with the identical join shape; delta membership
+    * only filters the verified pair set, so the oracle is the exact
+    * Jaccard pair list restricted to base×delta pairs (complete banding
+    * recall per [[MinhashPerms]], same argument as q29).
+    */
+  def minhashUpsert(spark: SparkSession, dir: String,
+      threshold: Double = 0.5, mod: Int = 10, rem: Int = 7): DataFrame = {
+    val isDeltaA = pmod(col("id_a"), lit(mod.toLong)) === rem
+    val isDeltaB = pmod(col("id_b"), lit(mod.toLong)) === rem
+    minhashFromToks(cachedShingleRows(spark, dir), threshold,
+      effectiveDfCap(Tables.documents(spark, dir)))
+      .filter(isDeltaA =!= isDeltaB)
+      .select(
+        when(isDeltaA, col("id_a")).otherwise(col("id_b")).as("delta_id"),
+        when(isDeltaA, col("id_b")).otherwise(col("id_a")).as("base_id"),
+        col("jaccard"))
+      .orderBy(col("delta_id"), col("base_id"))
+  }
+
   /** Shared-prefix boilerplate (q206): docs grouped by the md5 of their
     * first `p` tokens (whole doc when shorter) — the crawl-pipeline
     * detector for templated page heads (cookie banners, nav headers,

@@ -482,6 +482,39 @@ object EventOps {
       .select(col("n_users"), col("n_paths"), col("entropy_bits"))
   }
 
+  /** Bot-burst screening (q210): per user, the PEAK number of events
+    * inside any rolling 10-minute event-time window, banded — the
+    * activity-burst complement of the [[cappedUserItems]] fan-out guard
+    * (the cap bounds what a bot can do to downstream joins; this finds
+    * the bots). Bands: ≤2, 3–5, 6–10, 11–20, >20 events/10 min.
+    *
+    * Scale shape: one user_id shuffle; the RANGE frame orders each
+    * USER's events by epoch second (per-user partitioned — never a
+    * global frame) and counts peers in [t, t+600], so the frame is
+    * bounded by per-user activity. Integer counts end to end; the
+    * RANGE-on-seconds formulation is tie-stable (peers at the same
+    * second are all included, so row order within a second is
+    * irrelevant — the q58 determinism rule for time frames).
+    */
+  def botBurst(spark: SparkSession, dir: String): DataFrame =
+    botBurstOn(Tables.events(spark, dir))
+
+  private[graft] def botBurstOn(ev: DataFrame): DataFrame = {
+    val frame = Window.partitionBy(col("user_id"))
+      .orderBy(col("sec")).rangeBetween(0, 600)
+    ev.select(col("user_id"), unix_timestamp(col("ts")).as("sec"))
+      .withColumn("in_win", count(lit(1)).over(frame))
+      .groupBy(col("user_id"))
+      .agg(max(col("in_win")).as("peak"))
+      .select(col("user_id"),
+        when(col("peak") <= 2, 0L).when(col("peak") <= 5, 1L)
+          .when(col("peak") <= 10, 2L).when(col("peak") <= 20, 3L)
+          .otherwise(4L).as("burst_band"), col("peak"))
+      .groupBy(col("burst_band"))
+      .agg(count(lit(1)).as("n_users"), max(col("peak")).as("max_peak"))
+      .orderBy(col("burst_band"))
+  }
+
   /** Partition-stats manifest (q138): per event day — the natural write
     * partition — row count, user-key bounds, and type cardinality: the
     * Iceberg/Delta-style manifest row that lets a planner prune

@@ -1052,6 +1052,39 @@ object TextAnalysisOps {
       .orderBy(col("source"))
   }
 
+  /** Document-frequency drift (q211): tokens whose df moved most
+    * between the even-id and odd-id corpus halves (the two-snapshot
+    * stand-in) — the index-maintenance signal that tells a BM25/TF-IDF
+    * deployment when cached IDF weights have gone stale (q89/q99 score
+    * with a frozen df table; this measures how fast it rots). Top 10
+    * risers by the integer ratio (df_b·10⁶) div df_a over tokens with
+    * df ≥ 5 in BOTH halves (rare-token noise excluded), tie-broken by
+    * token — a total order, integer-exact end to end.
+    *
+    * Scale shape: one (half, token) count with map-side partials (the
+    * standard vocabulary shuffle), self-joined on token at
+    * vocabulary scale, then a top-k limit. No FP anywhere.
+    */
+  def idfDrift(spark: SparkSession, dir: String, minDf: Long = 5L,
+      k: Int = 10): DataFrame =
+    idfDriftOn(Tables.documents(spark, dir), minDf, k)
+
+  private[graft] def idfDriftOn(docs: DataFrame, minDf: Long = 5L,
+      k: Int = 10): DataFrame = {
+    val df = docs
+      .select((pmod(col("doc_id"), lit(2L)) === 0L).as("even"),
+        col("doc_id"), explode(array_distinct(Text.tokens(col("text"))))
+          .as("tok"))
+      .groupBy(col("tok"))
+      .agg(sum(when(col("even"), 1L).otherwise(0L)).as("df_a"),
+        sum(when(col("even"), 0L).otherwise(1L)).as("df_b"))
+      .filter(col("df_a") >= minDf && col("df_b") >= minDf)
+    df.select(col("tok"), col("df_a"), col("df_b"),
+        expr("(df_b * 1000000) div df_a").as("ratio_e6"))
+      .orderBy(col("ratio_e6").desc, col("tok"))
+      .limit(k)
+  }
+
   /** Code-vs-prose signal (q208): per (source, band), how much of the
     * corpus LOOKS like source code — the curation filter every
     * text-pretraining pipeline runs before language-ID (code crashes

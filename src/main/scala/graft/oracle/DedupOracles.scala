@@ -352,6 +352,21 @@ private[graft] object DedupOracles {
              AS n_docs_shared,
            round(CAST(sum(CASE WHEN n >= 2 THEN n ELSE 0 END) AS DOUBLE) /
              sum(n), 6) AS shared_rate
-         FROM grp GROUP BY source ORDER BY source"""
+         FROM grp GROUP BY source ORDER BY source""",
+    // q209: the exact-Jaccard pair oracle restricted to cross pairs
+    // between the delta batch (doc_id % 10 = 7) and the base — complete
+    // banding recall makes the LSH pipeline's verified output exactly
+    // this set (the q29 argument)
+    "q209_minhash_upsert" ->
+      ("WITH " + shinglePostingsCte + """
+         SELECT CASE WHEN id_a % 10 = 7 THEN id_a ELSE id_b END AS delta_id,
+           CASE WHEN id_a % 10 = 7 THEN id_b ELSE id_a END AS base_id,
+           round(jaccard, 4) AS jaccard FROM (
+           SELECT l.doc_id AS id_a, r.doc_id AS id_b,
+             count(*) * 1.0 / (l.n + r.n - count(*)) AS jaccard
+           FROM tok l JOIN tok r ON l.tok = r.tok AND l.doc_id < r.doc_id
+           GROUP BY l.doc_id, r.doc_id, l.n, r.n)
+         WHERE jaccard >= 0.5 AND ((id_a % 10 = 7) <> (id_b % 10 = 7))
+         ORDER BY delta_id, base_id""")
   )
 }

@@ -411,5 +411,24 @@ private[graft] object EventOracles {
            CAST(sum(c) AS BIGINT) AS n_events,
            count(*) AS n_items_active
          FROM a GROUP BY 1 ORDER BY 1""",
+    // q210: rolling 10-minute burst peaks — RANGE frame on epoch
+    // seconds per user (tie-stable: peers at a second all included),
+    // integer counts, fixed band edges
+    "q210_bot_burst" ->
+      """WITH s AS (SELECT user_id,
+             CAST(floor(epoch(ts)) AS BIGINT) AS sec FROM events),
+         w AS (SELECT user_id, count(*) OVER (PARTITION BY user_id
+                 ORDER BY sec RANGE BETWEEN CURRENT ROW AND 600 FOLLOWING)
+                 AS in_win
+               FROM s),
+         p AS (SELECT user_id, max(in_win) AS peak FROM w GROUP BY 1),
+         b AS (SELECT user_id, peak,
+                 CASE WHEN peak <= 2 THEN 0 WHEN peak <= 5 THEN 1
+                      WHEN peak <= 10 THEN 2 WHEN peak <= 20 THEN 3
+                      ELSE 4 END AS burst_band
+               FROM p)
+         SELECT burst_band, count(*) AS n_users,
+           CAST(max(peak) AS BIGINT) AS max_peak
+         FROM b GROUP BY 1 ORDER BY 1""",
   )
 }

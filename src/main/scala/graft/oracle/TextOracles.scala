@@ -520,6 +520,22 @@ private[graft] object TextOracles {
            count(*) AS n_docs,
            CAST(sum(codey) AS BIGINT) AS n_codey,
            round(CAST(sum(codey) AS DOUBLE) / sum(nc), 6) AS codey_rate
-         FROM d GROUP BY 1, 2 ORDER BY 1, 2"""
+         FROM d GROUP BY 1, 2 ORDER BY 1, 2""",
+    // q211: df drift between even/odd corpus halves — integer ratio
+    // (df_b*1e6) div df_a, both-halves df >= 5 floor, total tie order
+    "q211_idf_drift" ->
+      """WITH t AS (SELECT doc_id, unnest(list_distinct(string_split(
+             regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')))
+             AS tok
+           FROM documents),
+         d AS (SELECT tok,
+             CAST(sum(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END)
+               AS BIGINT) AS df_a,
+             CAST(sum(CASE WHEN doc_id % 2 = 0 THEN 0 ELSE 1 END)
+               AS BIGINT) AS df_b
+           FROM t GROUP BY tok
+           HAVING df_a >= 5 AND df_b >= 5)
+         SELECT tok, df_a, df_b, (df_b * 1000000) // df_a AS ratio_e6
+         FROM d ORDER BY ratio_e6 DESC, tok LIMIT 10"""
   )
 }

@@ -417,6 +417,24 @@ class PlanSpec extends SparkSpecBase {
     assert(bnlj.nonEmpty && bnlj.forall(_.contains("Cross")), bnlj.mkString("\n"))
   }
 
+  test("q205/q210: winnowing and burst windows are per-key partitioned") {
+    // every Window in both plans carries its partition key (doc_id /
+    // user_id) — the winnowing frame and the burst RANGE frame must
+    // never collapse to a global one-partition sort
+    val p205 = executed("q205_winnowing")
+    p205.linesIterator.filter(_.contains("windowspecdefinition"))
+      .foreach(l => assert(l.contains("doc_id"), l))
+    val p210 = executed("q210_bot_burst")
+    p210.linesIterator.filter(_.contains("windowspecdefinition"))
+      .foreach(l => assert(l.contains("user_id"), l))
+  }
+
+  test("q207: nDCG is one broadcast-query corpus scan, no cartesian") {
+    val plan = executed("q207_ndcg_label")
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(plan.contains("Broadcast"), plan)
+  }
+
   test("q182: the rank window only ever sees the top-max(budget) frame") {
     val plan = executed("q182_vocab_budget")
     // the bounded TakeOrdered limit must sit BELOW the rank window (a
