@@ -267,6 +267,8 @@ object SparkEntry {
     "q210_bot_burst"      -> ((s, d) =>
       graft.operators.EventOps.botBurst(s, d)),
     "q211_idf_drift"      -> ((s, d) => TextAnalysisOps.idfDrift(s, d)),
+    "q212_sliding_load"   -> ((s, d) =>
+      graft.operators.EventOps.slidingLoad(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

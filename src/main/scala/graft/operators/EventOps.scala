@@ -515,6 +515,40 @@ object EventOps {
       .orderBy(col("burst_band"))
   }
 
+  /** Shared sliding-window count frame (10-minute span, 5-minute
+    * slide): each event belongs to exactly TWO windows determined by
+    * its own event time, so counts are commutative sums and the SAME
+    * expression tree serves the batch query (q212) and the streaming
+    * operator ([[graft.streaming.BurstStream]]) — the stream ≡ batch
+    * gate compares this very plan against itself over a landed file.
+    */
+  private[graft] def slidingCountsOn(ev: DataFrame,
+      span: String = "10 minutes", slide: String = "5 minutes"): DataFrame =
+    ev.groupBy(window(col("ts"), span, slide), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("window.start").as("win_start"),
+        col("n_events"))
+
+  /** Peak sliding-window load (q212): the top-k hottest (user, 10-min
+    * window) cells under a 5-minute slide — q210 reports each user's
+    * lifetime peak band; this names WHEN and WHO, the page an on-call
+    * abuse rotation actually opens. Total order (n_events DESC,
+    * user_id, win_start) so LIMIT k is deterministic.
+    *
+    * Scale shape: the slide multiplies rows 2× (span/slide) before ONE
+    * (window, user) count with map-side partials; the top-k is a
+    * TakeOrdered. Integer counts end to end.
+    */
+  def slidingLoad(spark: SparkSession, dir: String, k: Int = 10): DataFrame =
+    slidingCountsOn(Tables.events(spark, dir))
+      .orderBy(col("n_events").desc, col("user_id"), col("win_start"))
+      .limit(k)
+      // the q58 emit rule: NTZ on the oracle boundary (wall-clock equal
+      // under the UTC session; DuckDB compares naive timestamps)
+      .select(col("user_id"),
+        col("win_start").cast("timestamp_ntz").as("win_start"),
+        col("n_events"))
+
   /** Partition-stats manifest (q138): per event day — the natural write
     * partition — row count, user-key bounds, and type cardinality: the
     * Iceberg/Delta-style manifest row that lets a planner prune

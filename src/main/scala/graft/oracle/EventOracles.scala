@@ -430,5 +430,19 @@ private[graft] object EventOracles {
          SELECT burst_band, count(*) AS n_users,
            CAST(max(peak) AS BIGINT) AS max_peak
          FROM b GROUP BY 1 ORDER BY 1""",
+    // q212: 10-min/5-min sliding windows — each event maps to exactly
+    // two epoch-aligned starts (b*300, b*300-300); make_timestamp
+    // rebuilds Spark's window.start under the UTC session
+    "q212_sliding_load" ->
+      """WITH s AS (SELECT user_id,
+             CAST(floor(epoch(ts)) AS BIGINT) AS sec FROM events),
+         w AS (SELECT user_id, unnest([(sec // 300) * 300,
+                 (sec // 300) * 300 - 300]) AS ws
+               FROM s),
+         c AS (SELECT user_id, ws, count(*) AS n_events
+               FROM w GROUP BY 1, 2)
+         SELECT user_id, make_timestamp(ws * 1000000) AS win_start,
+           n_events
+         FROM c ORDER BY n_events DESC, user_id, ws LIMIT 10""",
   )
 }
