@@ -269,6 +269,8 @@ object SparkEntry {
     "q211_idf_drift"      -> ((s, d) => TextAnalysisOps.idfDrift(s, d)),
     "q212_sliding_load"   -> ((s, d) =>
       graft.operators.EventOps.slidingLoad(s, d)),
+    "q213_dormant_balance" -> ((s, d) => CoreQueries.q213DormantBalance(s, d)),
+    "q214_top_supplier"   -> ((s, d) => CoreQueries.q214TopSupplier(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -1327,4 +1327,71 @@ object CoreQueries {
       .orderBy(col("lift").desc, col("brand_a"), col("brand_b"))
       .limit(k)
   }
+
+  /** Dormant high-balance customers (q213, the TPC-H Q22 shape): per
+    * country band, customers with NO ORDERS SINCE the cutoff whose
+    * balance exceeds the average POSITIVE balance — the scalar-subquery
+    * + NOT EXISTS plan shape (testdata's customer has no phone column,
+    * so the country code is the nationkey band; and every customer has
+    * SOME order, so dormancy is recency-scoped). Balances ride the
+    * q108 integer-cents grid and the threshold is cross-multiplied
+    * (`bal·cnt > sum` — the q161 boundary-free rule), so no FP
+    * comparison anywhere; the display sum is the one rounded division.
+    *
+    * Scale shape: the positive-balance average is a broadcast 1-row
+    * scalar; the NOT EXISTS is a left_anti on the date-filtered order
+    * customer keys (never a NOT IN that re-shuffles orders per row);
+    * final rollup is |bands|-sized. At 100 TB the anti join shuffles
+    * customer against the date-pruned o_custkey projection — both
+    * key-pruned scans.
+    */
+  def q213DormantBalance(spark: SparkSession, dir: String,
+      cutoff: String = "1998-06-01"): DataFrame = {
+    val cust = Tables.customer(spark, dir)
+      .select(col("c_custkey"), pmod(col("c_nationkey"), lit(5)).as("cntry"),
+        round(col("c_acctbal") * 100, 0).cast("long").as("bal_c"))
+    val posAvg = cust.filter(col("bal_c") > 0L)
+      .agg(sum(col("bal_c")).as("sum_c"), count(lit(1)).as("cnt_c"))
+    val recent = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= lit(cutoff))
+      .select(col("o_custkey"))
+    cust
+      .crossJoin(broadcast(posAvg))
+      .filter(col("bal_c") * col("cnt_c") > col("sum_c"))
+      .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("cntry"))
+      .agg(count(lit(1)).as("n_cust"), sum(col("bal_c")).as("bal_sum_c"))
+      .select(col("cntry"), col("n_cust"),
+        round(col("bal_sum_c").cast("double") / 100.0, 2).as("total_bal"))
+      .orderBy(col("cntry"))
+  }
+
+  /** Top revenue supplier (q214, the TPC-H Q15 view shape): quarterly
+    * revenue per supplier, then the supplier(s) whose revenue EQUALS
+    * the maximum — the create-view + scalar-max join plan (ties kept,
+    * which is what makes the equality join deterministic where a
+    * LIMIT 1 would not be). Revenue on the exact cents·pct integer
+    * grid; the max rides a broadcast 1-row scalar.
+    *
+    * Scale shape: one lineitem shuffle on l_suppkey with the date
+    * filter pushed to the scan; supplier joins broadcast; the scalar
+    * max is a second pass over the AGGREGATED per-supplier frame
+    * (|suppliers| rows), never over lineitem.
+    */
+  def q214TopSupplier(spark: SparkSession, dir: String,
+      qStart: String = "1996-01-01", qEnd: String = "1996-04-01"): DataFrame = {
+    val rev = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit(qStart) && col("l_shipdate") < lit(qEnd))
+      .groupBy(col("l_suppkey"))
+      .agg(sum(revenueCentPct).as("rev_cp"))
+    val top = rev.agg(max(col("rev_cp")).as("max_cp"))
+    rev.crossJoin(broadcast(top))
+      .filter(col("rev_cp") === col("max_cp"))
+      .join(broadcast(Tables.supplier(spark, dir)
+        .select(col("s_suppkey"), col("s_name"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"),
+        round(col("rev_cp").cast("double") / 10000.0, 2).as("revenue"))
+      .orderBy(col("s_suppkey"))
+  }
 }

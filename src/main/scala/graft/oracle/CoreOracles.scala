@@ -760,5 +760,43 @@ private[graft] object CoreOracles {
            FROM lineitem GROUP BY 1)
          SELECT span_days // 7 AS span_weeks, count(*) AS n_orders
          FROM s GROUP BY 1 ORDER BY 1""",
+    // q213: TPC-H Q22 shape — integer-cents balances, cross-multiplied
+    // positive-average threshold (no FP compare), NOT EXISTS on the
+    // date-filtered orders (dormant = no orders since the cutoff)
+    "q213_dormant_balance" ->
+      """WITH cust AS (SELECT c_custkey, c_nationkey % 5 AS cntry,
+             CAST(round(c_acctbal * 100, 0) AS BIGINT) AS bal_c
+           FROM customer),
+         pa AS (SELECT CAST(sum(bal_c) AS BIGINT) AS sum_c,
+                  count(*) AS cnt_c
+                FROM cust WHERE bal_c > 0),
+         cand AS (SELECT c.cntry, c.bal_c FROM cust c CROSS JOIN pa
+                  WHERE c.bal_c * pa.cnt_c > pa.sum_c
+                    AND NOT EXISTS (SELECT 1 FROM orders o
+                                    WHERE o.o_custkey = c.c_custkey
+                                      AND o.o_orderdate >=
+                                        TIMESTAMP '1998-06-01'))
+         SELECT cntry, count(*) AS n_cust,
+           round(CAST(sum(bal_c) AS DOUBLE) / 100.0, 2) AS total_bal
+         FROM cand GROUP BY 1 ORDER BY 1""",
+    // q214: TPC-H Q15 shape — per-supplier quarterly revenue on the
+    // exact cents·pct grid, suppliers matching the scalar max (ties
+    // kept, so the equality join is deterministic)
+    "q214_top_supplier" ->
+      """WITH rev AS (SELECT l_suppkey,
+             CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+               * (100 - CAST(round(l_discount * 100, 0) AS BIGINT)))
+               AS BIGINT) AS rev_cp
+           FROM lineitem
+           WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+             AND l_shipdate < TIMESTAMP '1996-04-01'
+           GROUP BY 1),
+         top AS (SELECT max(rev_cp) AS max_cp FROM rev)
+         SELECT s_suppkey, s_name,
+           round(CAST(rev_cp AS DOUBLE) / 10000.0, 2) AS revenue
+         FROM rev CROSS JOIN top
+         JOIN supplier ON l_suppkey = s_suppkey
+         WHERE rev_cp = max_cp
+         ORDER BY s_suppkey""",
   )
 }

@@ -429,6 +429,14 @@ class PlanSpec extends SparkSpecBase {
       .foreach(l => assert(l.contains("user_id"), l))
   }
 
+  test("q213: dormancy is a physical anti join with the date filter pushed") {
+    val plan = executed("q213_dormant_balance")
+    assert(plan.contains("LeftAnti"), plan)
+    // the recency filter must reach the orders scan, so at 100 TB the
+    // anti join's build side is the date-pruned key projection
+    assert(plan.contains("GreaterThanOrEqual(o_orderdate"), plan)
+  }
+
   test("q207: nDCG is one broadcast-query corpus scan, no cartesian") {
     val plan = executed("q207_ndcg_label")
     assert(!plan.contains("CartesianProduct"), plan)
