@@ -271,6 +271,7 @@ object SparkEntry {
       graft.operators.EventOps.slidingLoad(s, d)),
     "q213_dormant_balance" -> ((s, d) => CoreQueries.q213DormantBalance(s, d)),
     "q214_top_supplier"   -> ((s, d) => CoreQueries.q214TopSupplier(s, d)),
+    "q215_custdist"       -> (CoreQueries.q215CustDist _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

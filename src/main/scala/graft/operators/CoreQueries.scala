@@ -1378,6 +1378,31 @@ object CoreQueries {
     * max is a second pass over the AGGREGATED per-supplier frame
     * (|suppliers| rows), never over lineitem.
     */
+  /** Customer order-count distribution (q215, the TPC-H Q13 shape):
+    * how many customers placed exactly k non-priority orders — the
+    * LEFT OUTER join whose filter lives in the ON clause (an order
+    * predicate in WHERE would silently turn the join inner and drop
+    * the zero-order customers, which are the point), then the
+    * two-level count-of-counts rollup.
+    *
+    * Scale shape: one customer⋈orders shuffle on the customer key with
+    * the priority filter applied to the orders SIDE before the join
+    * (pushed to its scan); level 2 is |distinct counts|-sized. Pure
+    * integers.
+    */
+  def q215CustDist(spark: SparkSession, dir: String): DataFrame = {
+    val ord = Tables.orders(spark, dir)
+      .filter(col("o_orderpriority") =!= "1-URGENT")
+      .select(col("o_custkey"), col("o_orderkey"))
+    Tables.customer(spark, dir).select(col("c_custkey"))
+      .join(ord, col("c_custkey") === col("o_custkey"), "left")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy(col("c_count"))
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
+  }
+
   def q214TopSupplier(spark: SparkSession, dir: String,
       qStart: String = "1996-01-01", qEnd: String = "1996-04-01"): DataFrame = {
     val rev = Tables.lineitem(spark, dir)

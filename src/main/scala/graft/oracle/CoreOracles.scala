@@ -798,5 +798,16 @@ private[graft] object CoreOracles {
          JOIN supplier ON l_suppkey = s_suppkey
          WHERE rev_cp = max_cp
          ORDER BY s_suppkey""",
+    // q215: TPC-H Q13 shape — the filter must live in the ON clause so
+    // zero-order customers survive the outer join
+    "q215_custdist" ->
+      """WITH co AS (
+           SELECT c_custkey, count(o_orderkey) AS c_count
+           FROM customer LEFT JOIN orders
+             ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+           GROUP BY c_custkey)
+         SELECT c_count, count(*) AS custdist
+         FROM co GROUP BY c_count
+         ORDER BY custdist DESC, c_count DESC""",
   )
 }
