@@ -1138,9 +1138,15 @@ object DedupOps {
       threshold: Double = 0.5, mod: Int = 10, rem: Int = 7): DataFrame = {
     val isDeltaA = pmod(col("id_a"), lit(mod.toLong)) === rem
     val isDeltaB = pmod(col("id_b"), lit(mod.toLong)) === rem
-    minhashFromToks(cachedShingleRows(spark, dir), threshold,
-      effectiveDfCap(Tables.documents(spark, dir)))
+    val toks = cachedShingleRows(spark, dir)
+    // the delta scope cuts at the CANDIDATE stage, before exact
+    // verification — base×base bucket pairs (the overwhelming majority
+    // at scale) are never Jaccard-verified, only the cross pairs the
+    // admission check actually asks about
+    val cand = minhashBandCandidates(toks,
+        effectiveDfCap(Tables.documents(spark, dir)))
       .filter(isDeltaA =!= isDeltaB)
+    verifyCandidates(cand, toks, threshold)
       .select(
         when(isDeltaA, col("id_a")).otherwise(col("id_b")).as("delta_id"),
         when(isDeltaA, col("id_b")).otherwise(col("id_a")).as("base_id"),

@@ -429,6 +429,16 @@ class PlanSpec extends SparkSpecBase {
       .foreach(l => assert(l.contains("user_id"), l))
   }
 
+  test("q214/q215: date filter pushed to the quarter scan; outer join stays outer") {
+    val p214 = executed("q214_top_supplier")
+    assert(p214.contains("GreaterThanOrEqual(l_shipdate"), p214)
+    assert(p214.contains("LessThan(l_shipdate"), p214)
+    val p215 = executed("q215_custdist")
+    // the ON-clause filter must NOT degrade the join to inner — the
+    // zero-order customers are the point of Q13
+    assert(p215.contains("LeftOuter"), p215)
+  }
+
   test("q213: dormancy is a physical anti join with the date filter pushed") {
     val plan = executed("q213_dormant_balance")
     assert(plan.contains("LeftAnti"), plan)
