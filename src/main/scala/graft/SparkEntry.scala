@@ -272,6 +272,7 @@ object SparkEntry {
     "q213_dormant_balance" -> ((s, d) => CoreQueries.q213DormantBalance(s, d)),
     "q214_top_supplier"   -> ((s, d) => CoreQueries.q214TopSupplier(s, d)),
     "q215_custdist"       -> (CoreQueries.q215CustDist _),
+    "q216_big_orders"     -> ((s, d) => CoreQueries.q216BigOrders(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -1403,6 +1403,42 @@ object CoreQueries {
       .orderBy(col("custdist").desc, col("c_count").desc)
   }
 
+  /** Large-volume orders (q216, the TPC-H Q18 shape): orders whose
+    * total line quantity exceeds the threshold — the GROUP BY + HAVING
+    * relation used as a join input (the "find the whales" report).
+    * Quantities ride the integer grid; the money display is integer
+    * cents divided once (boundary-free per the PARITY rule-8 lesson —
+    * round(·,2) on a raw double can straddle a .005 boundary between
+    * engines).
+    *
+    * Scale shape: the HAVING aggregation is one l_orderkey shuffle with
+    * map-side partials; only the qualifying order keys (a tiny
+    * fraction) join onward to orders and customer on their natural
+    * keys. The top-k compares integer cents, so LIMIT k is total.
+    */
+  def q216BigOrders(spark: SparkSession, dir: String, minQty: Long = 250L,
+      k: Int = 10): DataFrame = {
+    val heavy = Tables.lineitem(spark, dir)
+      .groupBy(col("l_orderkey"))
+      .agg(sum(round(col("l_quantity"), 0).cast("long")).as("sum_qty"))
+      .filter(col("sum_qty") > minQty)
+    Tables.orders(spark, dir)
+      .join(heavy, col("o_orderkey") === col("l_orderkey"))
+      .join(Tables.customer(spark, dir)
+        .select(col("c_custkey"), col("c_name")),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+        col("o_orderdate").cast("date").as("order_date"),
+        round(col("o_totalprice") * 100, 0).cast("long").as("price_c"),
+        col("sum_qty"))
+      .orderBy(col("price_c").desc, col("o_orderkey"))
+      .limit(k)
+      .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+        col("order_date"),
+        (col("price_c").cast("double") / 100.0).as("total_price"),
+        col("sum_qty"))
+  }
+
   def q214TopSupplier(spark: SparkSession, dir: String,
       qStart: String = "1996-01-01", qEnd: String = "1996-04-01"): DataFrame = {
     val rev = Tables.lineitem(spark, dir)

@@ -809,5 +809,26 @@ private[graft] object CoreOracles {
          SELECT c_count, count(*) AS custdist
          FROM co GROUP BY c_count
          ORDER BY custdist DESC, c_count DESC""",
+    // q216: TPC-H Q18 shape — HAVING relation as a join input; money
+    // compared and displayed via integer cents (boundary-free)
+    "q216_big_orders" ->
+      """WITH heavy AS (
+           SELECT l_orderkey,
+             CAST(sum(CAST(round(l_quantity, 0) AS BIGINT)) AS BIGINT)
+               AS sum_qty
+           FROM lineitem GROUP BY 1
+           HAVING sum(CAST(round(l_quantity, 0) AS BIGINT)) > 250)
+         SELECT c_custkey, c_name, o_orderkey,
+           CAST(o_orderdate AS DATE) AS order_date,
+           CAST(price_c AS DOUBLE) / 100.0 AS total_price, sum_qty
+         FROM (
+           SELECT c_custkey, c_name, o_orderkey, o_orderdate,
+             CAST(round(o_totalprice * 100, 0) AS BIGINT) AS price_c,
+             sum_qty
+           FROM orders
+           JOIN heavy ON o_orderkey = l_orderkey
+           JOIN customer ON o_custkey = c_custkey
+           ORDER BY price_c DESC, o_orderkey LIMIT 10)
+         ORDER BY price_c DESC, o_orderkey""",
   )
 }
