@@ -273,6 +273,7 @@ object SparkEntry {
     "q214_top_supplier"   -> ((s, d) => CoreQueries.q214TopSupplier(s, d)),
     "q215_custdist"       -> (CoreQueries.q215CustDist _),
     "q216_big_orders"     -> ((s, d) => CoreQueries.q216BigOrders(s, d)),
+    "q217_winnow_matches" -> ((s, d) => DedupOps.winnowMatches(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

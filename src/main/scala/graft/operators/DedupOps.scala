@@ -1084,7 +1084,11 @@ object DedupOps {
       w: Int = 5): DataFrame =
     winnowingOn(Tables.documents(spark, dir), k, w)
 
-  private[graft] def winnowingOn(docs: DataFrame, k: Int = 4,
+  /** The distinct per-doc winnowed sketch `(doc_id, source, fp)` —
+    * shared by the q205 profile and the q217 match pairs so the
+    * selection rule cannot drift.
+    */
+  private[graft] def winnowSketchOn(docs: DataFrame, k: Int = 4,
       w: Int = 5): DataFrame = {
     val grams = docs
       .select(col("doc_id"), col("source"),
@@ -1095,13 +1099,48 @@ object DedupOps {
     val perDoc = Window.partitionBy(col("doc_id"))
     val frame = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
       .rowsBetween(Window.currentRow, w - 1)
-    val sketch = grams
+    grams
       .withColumn("n_g", count(lit(1)).over(perDoc))
       .withColumn("fp", min(col("h")).over(frame))
       // windows that are full (or the single truncated window of a
       // short doc at pos 0 — winnowing still selects its global min)
       .filter(col("pos") <= greatest(lit(0), col("n_g") - lit(w)))
       .select(col("doc_id"), col("source"), col("fp")).distinct()
+  }
+
+  /** Winnowing match pairs (q217): doc pairs sharing ≥ `minShared`
+    * df-capped winnowed fingerprints — the partial-copy DETECTOR built
+    * on the q205 sketch (MOSS's actual use: a shared fingerprint
+    * witnesses a shared ≥k-token region, so two shared fingerprints is
+    * strong overlap evidence even when whole-doc Jaccard is low —
+    * the case the q28/q29 families under-weigh).
+    *
+    * Scale shape: the standard capped-postings funnel on an ALREADY
+    * thinned relation — the winnowed sketch is ~2/(w+1) of gram count,
+    * then the fp-keyed self-join is bounded by the same effectiveDfCap
+    * clamp as the shingle postings (cap² per fingerprint, boilerplate
+    * fps dropped). Integer counts end to end.
+    */
+  def winnowMatches(spark: SparkSession, dir: String, k: Int = 4,
+      w: Int = 5, minShared: Long = 2L): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val sk = winnowSketchOn(docs, k, w).select(col("doc_id"), col("fp"))
+    val rare = sk.groupBy(col("fp")).agg(count(lit(1)).as("df"))
+      .join(broadcast(effectiveDfCap(docs)), col("df") <= col("cap"))
+      .select(col("fp"))
+    val posts = sk.join(rare, "fp")
+    posts.as("a")
+      .join(posts.as("b"), col("a.fp") === col("b.fp") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  private[graft] def winnowingOn(docs: DataFrame, k: Int = 4,
+      w: Int = 5): DataFrame = {
+    val sketch = winnowSketchOn(docs, k, w)
     sketch
       .groupBy(col("source"), col("fp"))
       .agg(countDistinct(col("doc_id")).as("n_docs_fp"),

@@ -367,6 +367,38 @@ private[graft] object DedupOracles {
            FROM tok l JOIN tok r ON l.tok = r.tok AND l.doc_id < r.doc_id
            GROUP BY l.doc_id, r.doc_id, l.n, r.n)
          WHERE jaccard >= 0.5 AND ((id_a % 10 = 7) <> (id_b % 10 = 7))
-         ORDER BY delta_id, base_id""")
+         ORDER BY delta_id, base_id"""),
+    // q217: the q205 winnowed sketch self-joined on fingerprints under
+    // the same effectiveDfCap clamp as the shingle postings — pairs
+    // sharing >= 2 selected fingerprints
+    "q217_winnow_matches" ->
+      """WITH d0 AS (
+           SELECT doc_id, string_split(
+             regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS w
+           FROM documents),
+         g AS (
+           SELECT doc_id, i AS pos,
+             md5(array_to_string(w[i:i+3], ' ')) AS h,
+             len(w) - 3 AS n_g
+           FROM d0, unnest(generate_series(1, len(w) - 3, 1)) AS u(i)
+           WHERE len(w) >= 4),
+         sel AS (
+           SELECT doc_id, pos, n_g,
+             min(h) OVER (PARTITION BY doc_id ORDER BY pos
+               ROWS BETWEEN CURRENT ROW AND 4 FOLLOWING) AS fp
+           FROM g),
+         sk AS (
+           SELECT DISTINCT doc_id, fp FROM sel
+           WHERE pos <= greatest(1, n_g - 4)),
+         rare AS (SELECT fp FROM sk GROUP BY fp HAVING count(*) <=
+           least(200, greatest(50,
+             CAST(ceil((SELECT count(*) FROM documents) * 0.02)
+               AS BIGINT)))),
+         p AS (SELECT doc_id, fp FROM sk JOIN rare USING (fp))
+         SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           count(*) AS n_shared
+         FROM p a JOIN p b ON a.fp = b.fp AND a.doc_id < b.doc_id
+         GROUP BY 1, 2 HAVING count(*) >= 2
+         ORDER BY id_a, id_b"""
   )
 }
