@@ -229,6 +229,12 @@ object ScalingBench {
       // the incremental path staying in the q29 scaling class
       Probe("q209_minhash_upsert", "documents",
         SparkEntry.queries("q209_minhash_upsert")),
+      // q217 winnow matches: capped fingerprint postings over the
+      // already-thinned winnowed sketch — the probe pins the self-join
+      // tracking the corpus, not its square (synth copies share zero
+      // grams, so match structure scales with per-copy structure)
+      Probe("q217_winnow_matches", "documents",
+        SparkEntry.queries("q217_winnow_matches")),
       // q210 bot burst: one user_id shuffle + per-user RANGE frames —
       // linear in events by construction
       Probe("q210_bot_burst", "events",

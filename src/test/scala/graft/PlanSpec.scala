@@ -439,6 +439,16 @@ class PlanSpec extends SparkSpecBase {
     assert(p215.contains("LeftOuter"), p215)
   }
 
+  test("q217: fingerprint postings join is capped, never cartesian") {
+    val plan = executed("q217_winnow_matches")
+    assert(!plan.contains("CartesianProduct"), plan)
+    // the df-cap comparison rides a broadcast single-row frame (the
+    // q29 BNLJ shape); the pair join itself is an fp equi-join
+    val bnlj = plan.linesIterator.filter(_.contains("BroadcastNestedLoopJoin")).toSeq
+    assert(bnlj.forall(l => l.contains("df#") && l.contains("<= cap#")),
+      bnlj.mkString("\n"))
+  }
+
   test("q213: dormancy is a physical anti join with the date filter pushed") {
     val plan = executed("q213_dormant_balance")
     assert(plan.contains("LeftAnti"), plan)
