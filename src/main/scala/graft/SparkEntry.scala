@@ -274,6 +274,7 @@ object SparkEntry {
     "q215_custdist"       -> (CoreQueries.q215CustDist _),
     "q216_big_orders"     -> ((s, d) => CoreQueries.q216BigOrders(s, d)),
     "q217_winnow_matches" -> ((s, d) => DedupOps.winnowMatches(s, d)),
+    "q218_mrr_label"      -> ((s, d) => SimilarityOps.mrrByLabel(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

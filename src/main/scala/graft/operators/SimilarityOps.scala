@@ -1602,6 +1602,42 @@ object SimilarityOps {
     * per-query top-10 window; the label marginals ride a broadcast
     * |labels|-row aggregate. Nothing after the scan is corpus-scale.
     */
+  /** Mean-reciprocal-rank inputs by label relevance (q218): per query,
+    * the rank of the FIRST relevant neighbor in the exact cosine
+    * ordering and its reciprocal in integer millionths (`1e6 div rank`
+    * — floor division, deterministic on any engine; 0 when no relevant
+    * neighbor exists, kept per the q101 report-your-failures rule).
+    * Completes the retrieval-eval triad: q101 recall@k (is it in the
+    * cut), q207 nDCG (is it HIGH), this (how deep is the first hit —
+    * the metric QA-style retrieval actually pages on).
+    *
+    * Scale shape: the q31 broadcast-query corpus scan into a per-query
+    * rank window; the first-relevant pick is a min() partial agg.
+    */
+  def mrrByLabel(spark: SparkSession, dir: String,
+      nQueries: Int = 8): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val queries = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+        col("label").as("qlabel"))
+    val scored = emb.join(broadcast(queries),
+        col("vec_id") =!= col("query_id"))
+      .withColumn("cos", round(Vectors.cosine(col("qv"), col("embedding")), 4))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    val firstRel = scored.withColumn("rk", row_number().over(w))
+      .filter(col("label") === col("qlabel"))
+      .groupBy(col("query_id"))
+      .agg(min(col("rk")).cast("long").as("first_rel_rank"))
+    queries.select(col("query_id"))
+      .join(broadcast(firstRel), Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("first_rel_rank"), lit(0L)).as("first_rel_rank"),
+        when(col("first_rel_rank").isNull, lit(0L))
+          .otherwise(expr("1000000 div first_rel_rank")).as("recip_e6"))
+      .orderBy(col("query_id"))
+  }
+
   def ndcgByLabel(spark: SparkSession, dir: String,
       nQueries: Int = 8, k: Int = 10): DataFrame = {
     require(k <= 10, "discount table covers ranks 1..10")

@@ -939,6 +939,31 @@ private[graft] object SimilarityOracles {
                 ELSE round(CAST(coalesce(dcg.dcg_e6, 0) AS DOUBLE) /
                   (SELECT cum FROM ic WHERE j = least(b.n_rel, 10)), 6)
            END AS ndcg
-         FROM base b LEFT JOIN dcg USING (query_id) ORDER BY query_id"""
+         FROM base b LEFT JOIN dcg USING (query_id) ORDER BY query_id""",
+    // q218: first-relevant rank + integer-millionths reciprocal (floor
+    // division — no FP); rank over the full exact ordering, 0 when no
+    // relevant neighbor exists
+    "q218_mrr_label" ->
+      """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v
+                    FROM embeddings),
+         q AS (SELECT vec_id AS query_id, v AS qv, label AS qlabel
+               FROM e WHERE vec_id < 8),
+         sc AS (SELECT q.query_id, q.qlabel, e.vec_id, e.label,
+             round(list_inner_product(q.qv, e.v) /
+               (sqrt(list_inner_product(q.qv, q.qv)) *
+                sqrt(list_inner_product(e.v, e.v))), 4) AS cos
+           FROM e CROSS JOIN q WHERE e.vec_id <> q.query_id),
+         rk AS (SELECT query_id, qlabel, label,
+             row_number() OVER (PARTITION BY query_id
+               ORDER BY cos DESC, vec_id) AS rnk
+           FROM sc),
+         fr AS (SELECT query_id, CAST(min(rnk) AS BIGINT)
+                  AS first_rel_rank
+                FROM rk WHERE label = qlabel GROUP BY 1)
+         SELECT q.query_id,
+           coalesce(fr.first_rel_rank, 0) AS first_rel_rank,
+           CASE WHEN fr.first_rel_rank IS NULL THEN 0
+                ELSE 1000000 // fr.first_rel_rank END AS recip_e6
+         FROM q LEFT JOIN fr USING (query_id) ORDER BY query_id"""
   )
 }
