@@ -275,6 +275,8 @@ object SparkEntry {
     "q216_big_orders"     -> ((s, d) => CoreQueries.q216BigOrders(s, d)),
     "q217_winnow_matches" -> ((s, d) => DedupOps.winnowMatches(s, d)),
     "q218_mrr_label"      -> ((s, d) => SimilarityOps.mrrByLabel(s, d)),
+    "q219_assortativity"  -> ((s, d) =>
+      graft.operators.GraphOps.degreeAssortativity(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -230,4 +230,59 @@ object GraphOps {
       .groupBy(col("item")).agg(count(lit(1)).as("core_degree"))
       .orderBy(col("item"))
   }
+
+  /** Degree assortativity (q219): Pearson correlation of endpoint
+    * degrees over the directed edge list (both orientations — the
+    * Newman formulation), on the capped co-occurrence graph — one
+    * number separating hub-to-hub graphs (r > 0, social networks) from
+    * hub-to-leaf graphs (r < 0, catalogs), the structure statistic
+    * behind sampling and partitioning choices for the q113/q153
+    * family.
+    *
+    * Parity (the q131 exact-OLS pattern): all five moments are exact
+    * integer sums; the only FP is the final covariance/σσ division
+    * (IEEE sqrt of integer-valued doubles — identical on any engine)
+    * rounded 6dp, with a zero-variance guard pinned to 0.0 (a regular
+    * graph has no degree correlation to report). At 100 TB the long
+    * moments would move to DECIMAL (the q198 HUGEINT rule); at any
+    * test scale they are far from overflow.
+    *
+    * Scale shape: edge build is the shared capped [[coPairsOn]]; the
+    * degree join touches edge-scale rows keyed by item, and the moment
+    * aggregate is map-side partial into one row.
+    */
+  def degreeAssortativity(spark: SparkSession, dir: String,
+      minSupport: Int = 5): DataFrame =
+    degreeAssortativityOn(Tables.events(spark, dir), minSupport)
+
+  private[graft] def degreeAssortativityOn(ev: DataFrame,
+      minSupport: Int = 5,
+      userItemCap: Int = EventOps.DefaultUserItemCap): DataFrame = {
+    val pairs = coPairsOn(ev, minSupport, userItemCap)
+      .select(col("i"), col("j")).persist()
+    val deg = pairs.select(col("i").as("item"))
+      .union(pairs.select(col("j").as("item")))
+      .groupBy(col("item")).agg(count(lit(1)).as("d"))
+    val dir2 = pairs.select(col("i").as("src"), col("j").as("dst"))
+      .union(pairs.select(col("j").as("src"), col("i").as("dst")))
+    val xy = dir2
+      .join(deg.select(col("item").as("src"), col("d").as("x")), "src")
+      .join(deg.select(col("item").as("dst"), col("d").as("y")), "dst")
+    val num = col("m") * col("sxy") - col("sx") * col("sy")
+    val vx = col("m") * col("sxx") - col("sx") * col("sx")
+    val vy = col("m") * col("syy") - col("sy") * col("sy")
+    val out = xy
+      .agg(count(lit(1)).as("m"), sum(col("x")).as("sx"),
+        sum(col("y")).as("sy"), sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"))
+      .select(col("m"),
+        when(vx === 0L || vy === 0L, lit(0.0)).otherwise(
+          round(num.cast("double") /
+            (sqrt(vx.cast("double")) * sqrt(vy.cast("double"))), 6))
+          .as("assortativity"))
+      .localCheckpoint(eager = true)
+    pairs.unpersist()
+    out
+  }
 }

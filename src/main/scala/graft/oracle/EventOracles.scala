@@ -444,5 +444,29 @@ private[graft] object EventOracles {
          SELECT user_id, make_timestamp(ws * 1000000) AS win_start,
            n_events
          FROM c ORDER BY n_events DESC, user_id, ws LIMIT 10""",
+    // q219: Newman degree assortativity over the capped co-occurrence
+    // graph — exact integer moments, one final sqrt division (zero-
+    // variance guard pinned to 0.0)
+    "q219_assortativity" ->
+      ("WITH " + coPairsCte + """,
+         dir2 AS (SELECT i AS src, j AS dst FROM cpairs
+                  UNION ALL SELECT j AS src, i AS dst FROM cpairs),
+         xy AS (SELECT a.degree AS x, b.degree AS y
+                FROM dir2 JOIN cdeg a ON dir2.src = a.item
+                          JOIN cdeg b ON dir2.dst = b.item),
+         s AS (SELECT count(*) AS m,
+                 CAST(sum(x) AS BIGINT) AS sx,
+                 CAST(sum(y) AS BIGINT) AS sy,
+                 CAST(sum(x * y) AS BIGINT) AS sxy,
+                 CAST(sum(x * x) AS BIGINT) AS sxx,
+                 CAST(sum(y * y) AS BIGINT) AS syy
+               FROM xy)
+         SELECT m,
+           CASE WHEN m * sxx - sx * sx = 0 OR m * syy - sy * sy = 0
+                THEN 0.0
+                ELSE round((m * sxy - sx * sy) /
+                  (sqrt(m * sxx - sx * sx) * sqrt(m * syy - sy * sy)), 6)
+           END AS assortativity
+         FROM s"""),
   )
 }
