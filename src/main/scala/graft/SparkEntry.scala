@@ -277,6 +277,7 @@ object SparkEntry {
     "q218_mrr_label"      -> ((s, d) => SimilarityOps.mrrByLabel(s, d)),
     "q219_assortativity"  -> ((s, d) =>
       graft.operators.GraphOps.degreeAssortativity(s, d)),
+    "q220_session_gaps"   -> ((s, d) => CoreQueries.q220SessionGaps(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -518,6 +518,32 @@ object CoreQueries {
         max(col("ts")).as("session_end"),
         count(lit(1)).as("n_events"))
 
+  /** Between-session gap distribution (q220): per user, the hours
+    * between one session's end and the next one's start, rolled into a
+    * day histogram — the RE-ENGAGEMENT latency (q174 profiles time
+    * inside sessions, q150 time between raw events; this is the return
+    * curve growth teams page on). Built on the SHARED [[sessionsOn]]
+    * assembly so the session definition cannot drift.
+    *
+    * Scale shape: sessions are already per-user relations; the lag
+    * rides ONE user-partitioned window over session-cardinality rows
+    * (never raw events), and the day rollup is histogram-sized.
+    * Integer microsecond diffs, floor division to days.
+    */
+  def q220SessionGaps(spark: SparkSession, dir: String,
+      gapMinutes: Int = 30): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("session_seq"))
+    sessionsOn(Tables.events(spark, dir), gapMinutes)
+      .withColumn("prev_end", lag(col("session_end"), 1).over(byUser))
+      .filter(col("prev_end").isNotNull)
+      .select(expr(
+        "(unix_micros(session_start) - unix_micros(prev_end)) div 86400000000")
+        .as("gap_days"))
+      .groupBy(col("gap_days"))
+      .agg(count(lit(1)).as("n_gaps"))
+      .orderBy(col("gap_days"))
+  }
+
   /** Per-event session assignment — the inner truth of the q58 gap
     * sessionization, shared by [[sessionsOn]]'s rollup and q201's
     * in-session conversion so the session definition cannot drift.

@@ -830,5 +830,18 @@ private[graft] object CoreOracles {
            JOIN customer ON o_custkey = c_custkey
            ORDER BY price_c DESC, o_orderkey LIMIT 10)
          ORDER BY price_c DESC, o_orderkey""",
+    // q220: between-session gaps on the shared q58 session assembly —
+    // integer microsecond diffs floored to days
+    "q220_session_gaps" ->
+      ("WITH " + sessionsCte + """,
+         g AS (SELECT user_id, session_seq, session_start,
+                 lag(session_end, 1) OVER (PARTITION BY user_id
+                   ORDER BY session_seq) AS prev_end
+               FROM sess)
+         SELECT (epoch_us(session_start) - epoch_us(prev_end))
+             // 86400000000 AS gap_days,
+           count(*) AS n_gaps
+         FROM g WHERE prev_end IS NOT NULL
+         GROUP BY 1 ORDER BY 1"""),
   )
 }
