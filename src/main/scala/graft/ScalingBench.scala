@@ -238,7 +238,16 @@ object ScalingBench {
       // q210 bot burst: one user_id shuffle + per-user RANGE frames —
       // linear in events by construction
       Probe("q210_bot_burst", "events",
-        SparkEntry.queries("q210_bot_burst")))
+        SparkEntry.queries("q210_bot_burst")),
+      // q219 assortativity: the capped pair build + an edge-scale
+      // degree join into a one-row moment aggregate — tracks the pair
+      // expansion like the rest of the graph family
+      Probe("q219_assortativity", "events",
+        SparkEntry.queries("q219_assortativity")),
+      // q220 session gaps: the q58 session shuffle + a lag over
+      // session-cardinality rows — linear in events
+      Probe("q220_session_gaps", "events",
+        SparkEntry.queries("q220_session_gaps")))
 
   /** Build k-times-scaled corpora from sf0.1 (documents AND embeddings).
     * Document copy c suffixes every token with a copy marker, so each

@@ -38,6 +38,21 @@ object BurstStream {
     slidingCounts(
       EventsStream.stagedEventsStream(spark, dir, "graft-burst-stream"))
 
+  /** Watermarked sliding counts: same frame, but the state store
+    * EVICTS windows once the watermark passes their end — the
+    * bounded-state production variant (active users × span/slide live
+    * windows, instead of every window ever seen). Late-data contract:
+    * rows behind the watermark are DROPPED — an evicted window's count
+    * is immutable, so a straggler can never retro-bump a burst cell
+    * (the OhlcStream/SketchStream rule applied to the sliding
+    * surface; BurstStreamSpec pins both dispositions).
+    */
+  def slidingCountsWatermarked(events: DataFrame,
+      delay: String = "1 hour", span: String = "10 minutes",
+      slide: String = "5 minutes"): DataFrame =
+    graft.operators.EventOps.slidingCountsOn(
+      events.withWatermark("ts", delay), span, slide)
+
   /** Drive synchronously over the staged file (complete mode). */
   def runOnce(spark: SparkSession, dir: String,
       queryName: String = "burst_windows"): DataFrame =
