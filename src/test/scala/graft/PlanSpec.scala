@@ -439,6 +439,14 @@ class PlanSpec extends SparkSpecBase {
     assert(p215.contains("LeftOuter"), p215)
   }
 
+  test("q219/q220: no cartesian in the moment build; gap windows user-partitioned") {
+    val p219 = executed("q219_assortativity")
+    assert(!p219.contains("CartesianProduct"), p219)
+    val p220 = executed("q220_session_gaps")
+    p220.linesIterator.filter(_.contains("windowspecdefinition"))
+      .foreach(l => assert(l.contains("user_id"), l))
+  }
+
   test("q217: fingerprint postings join is capped, never cartesian") {
     val plan = executed("q217_winnow_matches")
     assert(!plan.contains("CartesianProduct"), plan)
