@@ -278,6 +278,8 @@ object SparkEntry {
     "q219_assortativity"  -> ((s, d) =>
       graft.operators.GraphOps.degreeAssortativity(s, d)),
     "q220_session_gaps"   -> ((s, d) => CoreQueries.q220SessionGaps(s, d)),
+    "q221_bigram_entropy" -> ((s, d) => TextAnalysisOps.bigramEntropy(s, d)),
+    "q222_dup_quality"    -> ((s, d) => DedupOps.dupQuality(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -1061,6 +1061,37 @@ object DedupOps {
         (col("cluster_size") * col("n_clusters")).as("n_docs"))
       .orderBy(col("cluster_size"))
 
+  /** Duplication × quality interaction (q222): per quality band, the
+    * fraction of docs sitting in an exact-dup cluster — the curation
+    * diagnostic for "do low-quality docs duplicate more?" (they
+    * usually do: boilerplate is both low-entropy and mass-copied), the
+    * cross of q35's score with q27's clusters that decides whether
+    * dedup and quality filtering are redundant or complementary on a
+    * corpus.
+    *
+    * Scale shape: the q27 content-hash shuffle + the q35 quality pass,
+    * joined on doc_id and rolled to ≤5 band rows. The band comes from
+    * the INTEGER decimillipoint score (round(quality·10⁴) recovers it
+    * exactly), so banding has no FP boundary.
+    */
+  def dupQuality(spark: SparkSession, dir: String): DataFrame = {
+    val q = TextAnalysisOps.qualityScore(spark, dir)
+      .select(col("doc_id"), least(lit(4L),
+        expr("CAST(round(quality * 10000, 0) AS BIGINT) div 2000"))
+        .as("q_band"))
+    val fp = Tables.documents(spark, dir)
+      .select(col("doc_id"), Text.fingerprintMd5(col("text")).as("fp"))
+    val cl = fp.groupBy(col("fp")).agg(count(lit(1)).as("csize"))
+    fp.join(cl, "fp").join(q, "doc_id")
+      .groupBy(col("q_band"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("csize") >= 2L, 1L).otherwise(0L)).as("n_dup_docs"))
+      .select(col("q_band"), col("n_docs"), col("n_dup_docs"),
+        round(col("n_dup_docs").cast("double") /
+          col("n_docs").cast("double"), 6).as("dup_rate"))
+      .orderBy(col("q_band"))
+  }
+
   /** Winnowing fingerprint profile (q205): the MOSS local-fingerprint
     * scheme (Schleimer/Wilkerson/Aiken '03) — per doc, hash every
     * positional `k`-token gram, slide a `w`-hash window, keep each

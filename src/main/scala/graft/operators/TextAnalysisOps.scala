@@ -1085,6 +1085,40 @@ object TextAnalysisOps {
       .limit(k)
   }
 
+  /** Per-source bigram entropy (q221): Shannon entropy of each
+    * source's bigram DISTRIBUTION — the model-free compressibility
+    * proxy (low entropy = templated/repetitive text that an LM will
+    * memorize cheaply; q67 scores single docs on unigrams, this
+    * scores the SOURCE on its phrase structure — the
+    * which-source-is-boilerplate ranking next to q62/q183).
+    *
+    * Scale shape: one (source, bigram) count with map-side partials —
+    * the standard vocabulary shuffle — then per-source totals ride a
+    * broadcast |sources|-row join into the entropy rollup. Parity:
+    * integer counts; the entropy sum follows the q67/q200 contract
+    * (float terms, round AFTER summation, +0.0 for the signed-zero
+    * case).
+    */
+  def bigramEntropy(spark: SparkSession, dir: String): DataFrame =
+    bigramEntropyOn(Tables.documents(spark, dir))
+
+  private[graft] def bigramEntropyOn(docs: DataFrame): DataFrame = {
+    val c = docs
+      .select(col("source"),
+        explode(Text.tokenNgramsNative(Text.tokens(col("text")), 2))
+          .as("bg"))
+      .groupBy(col("source"), col("bg"))
+      .agg(count(lit(1)).as("c"))
+    val totals = c.groupBy(col("source")).agg(sum(col("c")).as("n"))
+    c.join(broadcast(totals), "source")
+      .groupBy(col("source"))
+      .agg(max(col("n")).as("n_bigrams"),
+        count(lit(1)).as("n_distinct"),
+        round(-sum((col("c") / col("n")) *
+          log(2.0, col("c") / col("n"))) + lit(0.0), 4).as("entropy_bits"))
+      .orderBy(col("source"))
+  }
+
   /** Code-vs-prose signal (q208): per (source, band), how much of the
     * corpus LOOKS like source code — the curation filter every
     * text-pretraining pipeline runs before language-ID (code crashes

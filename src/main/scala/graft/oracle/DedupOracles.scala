@@ -399,6 +399,27 @@ private[graft] object DedupOracles {
            count(*) AS n_shared
          FROM p a JOIN p b ON a.fp = b.fp AND a.doc_id < b.doc_id
          GROUP BY 1, 2 HAVING count(*) >= 2
-         ORDER BY id_a, id_b"""
+         ORDER BY id_a, id_b""",
+    // q222: exact-dup cluster membership crossed with the q35 quality
+    // band — the band comes from the integer decimillipoint score
+    // (round(quality*1e4) recovers it exactly), so no FP boundary
+    "q222_dup_quality" ->
+      ("WITH " + qualityDocCte + """,
+         f AS (SELECT doc_id, md5(regexp_replace(lower(trim(text)),
+             '\s+', ' ', 'g')) AS fp
+           FROM documents),
+         cl AS (SELECT fp, count(*) AS csize FROM f GROUP BY 1),
+         b AS (SELECT q.doc_id,
+             least(4, CAST(round(q.quality * 10000, 0) AS BIGINT) // 2000)
+               AS q_band,
+             c.csize
+           FROM qdoc q JOIN f ON q.doc_id = f.doc_id
+           JOIN cl c ON f.fp = c.fp)
+         SELECT q_band, count(*) AS n_docs,
+           CAST(sum(CASE WHEN csize >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dup_docs,
+           round(CAST(sum(CASE WHEN csize >= 2 THEN 1 ELSE 0 END)
+             AS DOUBLE) / count(*), 6) AS dup_rate
+         FROM b GROUP BY 1 ORDER BY 1""")
   )
 }

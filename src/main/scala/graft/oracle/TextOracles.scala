@@ -536,6 +536,24 @@ private[graft] object TextOracles {
            FROM t GROUP BY tok
            HAVING df_a >= 5 AND df_b >= 5)
          SELECT tok, df_a, df_b, (df_b * 1000000) // df_a AS ratio_e6
-         FROM d ORDER BY ratio_e6 DESC, tok LIMIT 10"""
+         FROM d ORDER BY ratio_e6 DESC, tok LIMIT 10""",
+    // q221: per-source bigram distribution entropy — integer counts,
+    // the q67/q200 sum-then-round contract with the +0.0 guard
+    "q221_bigram_entropy" ->
+      """WITH d0 AS (
+           SELECT source, string_split(
+             regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS w
+           FROM documents),
+         bg AS (SELECT source, unnest([w[i] || ' ' || w[i+1]
+             for i in range(1, greatest(len(w), 1))]) AS b
+           FROM d0 WHERE len(w) >= 2),
+         c AS (SELECT source, b, count(*) AS c FROM bg GROUP BY 1, 2),
+         t AS (SELECT source, CAST(sum(c) AS BIGINT) AS n
+               FROM c GROUP BY 1)
+         SELECT source, max(n) AS n_bigrams, count(*) AS n_distinct,
+           round(-sum((c * 1.0 / n) * log2(c * 1.0 / n)) + 0.0, 4)
+             AS entropy_bits
+         FROM c JOIN t USING (source)
+         GROUP BY source ORDER BY source"""
   )
 }
