@@ -39,7 +39,7 @@ object GraphOps {
     */
   def pageRank(spark: SparkSession, dir: String, iters: Int = 3,
       minSupport: Int = 5): DataFrame =
-    pageRankOn(Tables.events(spark, dir), iters, minSupport)
+    pageRankOnPairs(cachedCoPairs(spark, dir, minSupport), iters)
 
   private val Unit9 = 1000000000L
 
@@ -61,10 +61,40 @@ object GraphOps {
       .filter(col("n_ij") >= minSupport)
   }
 
+  private val pairsCache =
+    SessionCaches.newCache[(SparkSession, String, Int, Int)]()
+
+  /** The capped co-occurrence grid, session-cached and persisted: the
+    * whole graph family (q113 PageRank, q153 triangles, q154 degree
+    * histogram, q173 k-core, q219 assortativity) reads the SAME
+    * `(dir, minSupport, userItemCap)` edge relation, and the per-user
+    * pair expansion feeding it is the dominant build cost (~2 s at
+    * sf0.1) — round 9 measured five independent rebuilds as ~40% of the
+    * top-5 bench total. First caller pays the build; the rest reuse the
+    * persisted rows (the [[DedupOps.cachedDistinctShingles]] pattern;
+    * eviction via [[SessionCaches.clear]], exercised by ScalingBench so
+    * slope fits still measure the full pipeline). The
+    * DataFrame-parameterized `*On` spec entry points bypass the cache —
+    * an ad-hoc frame has no identity to key on.
+    */
+  private[graft] def cachedCoPairs(spark: SparkSession, dir: String,
+      minSupport: Int,
+      userItemCap: Int = EventOps.DefaultUserItemCap): DataFrame =
+    SessionCaches.cached(pairsCache, (spark, dir, minSupport, userItemCap))(
+      coPairsOn(Tables.events(spark, dir), minSupport, userItemCap)
+        .persist())
+
   private[graft] def pageRankOn(ev: DataFrame, iters: Int = 3,
       minSupport: Int = 5,
-      userItemCap: Int = EventOps.DefaultUserItemCap): DataFrame = {
-    val pairs = coPairsOn(ev, minSupport, userItemCap)
+      userItemCap: Int = EventOps.DefaultUserItemCap): DataFrame =
+    pageRankOnPairs(coPairsOn(ev, minSupport, userItemCap), iters)
+
+  /** Core over an already-built pair grid; `pairs` lifecycle is the
+    * caller's (the cached path hands in a session-persisted frame that
+    * must NOT be unpersisted here — evicting it would leave the cache
+    * map serving a silently-recomputing plan).
+    */
+  private def pageRankOnPairs(pairs: DataFrame, iters: Int): DataFrame = {
     val edges = pairs.select(col("i").as("src"), col("j").as("dst"))
       .union(pairs.select(col("j").as("src"), col("i").as("dst")))
     // the src out-degree rides ON the edge rows (one window over the
@@ -124,13 +154,22 @@ object GraphOps {
     */
   def triangleCount(spark: SparkSession, dir: String, k: Int = 20,
       minSupport: Int = 5): DataFrame =
-    triangleCountOn(Tables.events(spark, dir), k, minSupport)
+    triangleCountOnPairs(
+      cachedCoPairs(spark, dir, minSupport).select(col("i"), col("j")), k)
 
   private[graft] def triangleCountOn(ev: DataFrame, k: Int = 20,
       minSupport: Int = 5,
       userItemCap: Int = EventOps.DefaultUserItemCap): DataFrame = {
-    val pairs = coPairsOn(ev, minSupport, userItemCap)
+    // spec path: persist locally (the grid is read 4×), release after
+    // the eager checkpoint materializes the ≤k output rows
+    val p = coPairsOn(ev, minSupport, userItemCap)
       .select(col("i"), col("j")).persist()
+    val out = triangleCountOnPairs(p, k)
+    p.unpersist()
+    out
+  }
+
+  private def triangleCountOnPairs(pairs: DataFrame, k: Int): DataFrame = {
     val deg = pairs.select(col("i").as("item"))
       .union(pairs.select(col("j").as("item")))
       .groupBy(col("item")).agg(count(lit(1)).as("degree"))
@@ -162,7 +201,6 @@ object GraphOps {
       .orderBy(col("n_triangles").desc, col("item"))
       .limit(k)
       .localCheckpoint(eager = true)
-    pairs.unpersist()
     out
   }
 
@@ -173,11 +211,13 @@ object GraphOps {
     */
   def degreeHistogram(spark: SparkSession, dir: String,
       minSupport: Int = 5): DataFrame =
-    degreeHistogramOn(Tables.events(spark, dir), minSupport)
+    degreeHistogramOnPairs(cachedCoPairs(spark, dir, minSupport))
 
   private[graft] def degreeHistogramOn(ev: DataFrame, minSupport: Int = 5,
-      userItemCap: Int = EventOps.DefaultUserItemCap): DataFrame = {
-    val pairs = coPairsOn(ev, minSupport, userItemCap)
+      userItemCap: Int = EventOps.DefaultUserItemCap): DataFrame =
+    degreeHistogramOnPairs(coPairsOn(ev, minSupport, userItemCap))
+
+  private def degreeHistogramOnPairs(pairs: DataFrame): DataFrame = {
     pairs.select(col("i").as("item"))
       .union(pairs.select(col("j").as("item")))
       .groupBy(col("item")).agg(count(lit(1)).as("degree"))
@@ -208,12 +248,15 @@ object GraphOps {
     */
   def kCore(spark: SparkSession, dir: String, k: Int = 3, peels: Int = 4,
       minSupport: Int = 5): DataFrame =
-    kCoreOn(Tables.events(spark, dir), k, peels, minSupport)
+    kCoreOnPairs(cachedCoPairs(spark, dir, minSupport), k, peels)
 
   private[graft] def kCoreOn(ev: DataFrame, k: Int = 3, peels: Int = 4,
       minSupport: Int = 5,
-      userItemCap: Int = EventOps.DefaultUserItemCap): DataFrame = {
-    var edges = coPairsOn(ev, minSupport, userItemCap)
+      userItemCap: Int = EventOps.DefaultUserItemCap): DataFrame =
+    kCoreOnPairs(coPairsOn(ev, minSupport, userItemCap), k, peels)
+
+  private def kCoreOnPairs(pairs: DataFrame, k: Int, peels: Int): DataFrame = {
+    var edges = pairs
       .select(col("i"), col("j")).localCheckpoint(eager = true)
     (1 to peels).foreach { _ =>
       val keep = edges.select(col("i").as("node"))
@@ -253,13 +296,20 @@ object GraphOps {
     */
   def degreeAssortativity(spark: SparkSession, dir: String,
       minSupport: Int = 5): DataFrame =
-    degreeAssortativityOn(Tables.events(spark, dir), minSupport)
+    degreeAssortativityOnPairs(
+      cachedCoPairs(spark, dir, minSupport).select(col("i"), col("j")))
 
   private[graft] def degreeAssortativityOn(ev: DataFrame,
       minSupport: Int = 5,
       userItemCap: Int = EventOps.DefaultUserItemCap): DataFrame = {
-    val pairs = coPairsOn(ev, minSupport, userItemCap)
+    val p = coPairsOn(ev, minSupport, userItemCap)
       .select(col("i"), col("j")).persist()
+    val out = degreeAssortativityOnPairs(p)
+    p.unpersist()
+    out
+  }
+
+  private def degreeAssortativityOnPairs(pairs: DataFrame): DataFrame = {
     val deg = pairs.select(col("i").as("item"))
       .union(pairs.select(col("j").as("item")))
       .groupBy(col("item")).agg(count(lit(1)).as("d"))
@@ -282,7 +332,6 @@ object GraphOps {
             (sqrt(vx.cast("double")) * sqrt(vy.cast("double"))), 6))
           .as("assortativity"))
       .localCheckpoint(eager = true)
-    pairs.unpersist()
     out
   }
 }

@@ -1672,7 +1672,7 @@ object SimilarityOps {
         coalesce(col("dcg_e6"), lit(0L)).as("dcg_e6"),
         when(col("n_rel") <= 0L, lit(0.0)).otherwise(
           round(coalesce(col("dcg_e6"), lit(0L)).cast("double") /
-            element_at(idcgCum, least(col("n_rel"), lit(10L)).cast("int"))
+            element_at(idcgCum, least(col("n_rel"), lit(k.toLong)).cast("int"))
               .cast("double"), 6)).as("ndcg"))
       .orderBy(col("query_id"))
   }

@@ -453,7 +453,9 @@ class PlanSpec extends SparkSpecBase {
     // the df-cap comparison rides a broadcast single-row frame (the
     // q29 BNLJ shape); the pair join itself is an fp equi-join
     val bnlj = plan.linesIterator.filter(_.contains("BroadcastNestedLoopJoin")).toSeq
-    assert(bnlj.forall(l => l.contains("df#") && l.contains("<= cap#")),
+    // nonEmpty guards the forall from passing vacuously if the capped
+    // BNLJ shape ever disappears from the plan (ADVICE r9)
+    assert(bnlj.nonEmpty && bnlj.forall(l => l.contains("df#") && l.contains("<= cap#")),
       bnlj.mkString("\n"))
   }
 

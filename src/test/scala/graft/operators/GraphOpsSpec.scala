@@ -98,6 +98,28 @@ class GraphOpsSpec extends SparkSpecBase {
     assert(got === Seq((1, 4L, 2L, 3L)))
   }
 
+  test("graph family shares ONE session-cached pair grid across all five ops") {
+    // start from a clean registry so the delta is attributable
+    DedupOps.clearSessionCaches(spark)
+    val before = SessionCaches.entryCount(spark)
+    assert(GraphOps.pageRank(spark, sf0001).count() > 0)
+    // exactly one new registry entry: the (dir, minSupport, cap) pair grid
+    val afterFirst = SessionCaches.entryCount(spark)
+    assert(afterFirst === before + 1)
+    // the other four operators (and a repeat) ride the SAME entry — the
+    // round-9 audit measured five independent ~2 s edge rebuilds here
+    assert(GraphOps.triangleCount(spark, sf0001).count() > 0)
+    assert(GraphOps.degreeHistogram(spark, sf0001).count() > 0)
+    assert(GraphOps.kCore(spark, sf0001).count() >= 0)
+    assert(GraphOps.degreeAssortativity(spark, sf0001).count() === 1)
+    assert(GraphOps.pageRank(spark, sf0001).count() > 0)
+    assert(SessionCaches.entryCount(spark) === afterFirst)
+    // eviction releases it; the family still works after (cache rebuilds)
+    DedupOps.clearSessionCaches(spark)
+    assert(SessionCaches.entryCount(spark) === 0)
+    assert(GraphOps.degreeHistogram(spark, sf0001).count() > 0)
+  }
+
   test("pageRank on the real events table: structural invariants") {
     val out = GraphOps.pageRank(spark, sf0001).cache()
     assert(out.count() > 0)

@@ -10,6 +10,24 @@ import org.apache.spark.sql.functions._
   */
 class SimilarityKnobsSpec extends SparkSpecBase {
 
+  test("ndcgByLabel: IDCG truncates at k, so k=1 scores are exactly 0 or 1") {
+    // at k=1, DCG is either discount(1) (top-1 neighbor shares the
+    // query label) or 0, and IDCG must be idcgCum(min(n_rel, 1)) =
+    // discount(1) — so every query with n_rel >= 1 scores exactly 0.0
+    // or 1.0. The ADVICE-r9 bug (IDCG indexed min(n_rel, 10) regardless
+    // of k) made the hit branch fractional (~0.22 at n_rel >= 10).
+    // nQueries=12: queries 8 and 11 are the sf0.001 fixture's top-1
+    // label hits (DuckDB-probed), so the hit branch is exercised
+    val out = SimilarityOps.ndcgByLabel(spark, sf0001, nQueries = 12, k = 1)
+      .collect()
+      .map(r => (r.getAs[Long]("n_rel"), r.getAs[Double]("ndcg")))
+    out.filter(_._1 >= 1L).foreach { case (_, nd) =>
+      assert(nd === 0.0 || nd === 1.0, s"k=1 ndcg must be 0 or 1, got $nd")
+    }
+    // teeth: the fixture must exercise the hit branch
+    assert(out.exists(_._2 === 1.0), out.mkString(", "))
+  }
+
   test("planesFor: clamped to 62 at any corpus size (Long shift overflow guard)") {
     // the clamp binds where the raw log2 exceeds it (targetBucket = 1 ⇒
     // ceil(log2(2^63)) = 63 → 62); at the default targetBucket = 32 the
