@@ -280,6 +280,12 @@ object SparkEntry {
     "q220_session_gaps"   -> ((s, d) => CoreQueries.q220SessionGaps(s, d)),
     "q221_bigram_entropy" -> ((s, d) => TextAnalysisOps.bigramEntropy(s, d)),
     "q222_dup_quality"    -> ((s, d) => DedupOps.dupQuality(s, d)),
+    "q223_wait_suppliers" -> ((s, d) => CoreQueries.q223WaitSuppliers(s, d)),
+    "q224_disjunctive_revenue" -> ((s, d) =>
+      CoreQueries.q224DisjunctiveRevenue(s, d)),
+    "q227_order_priority" -> ((s, d) => CoreQueries.q227OrderPriority(s, d)),
+    "q228_priority_shipmix" -> ((s, d) =>
+      CoreQueries.q228PriorityShipmix(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

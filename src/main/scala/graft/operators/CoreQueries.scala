@@ -1465,6 +1465,158 @@ object CoreQueries {
         col("sum_qty"))
   }
 
+  /** Waiting suppliers (q223, the TPC-H Q21 shape, adapted): suppliers
+    * who were the ONLY late supplier on a finished multi-supplier order
+    * — the hardest canonical multi-exists plan: one EXISTS (another
+    * supplier shipped on the same order) and one NOT EXISTS (no OTHER
+    * supplier was late), both against lineitem on `l_orderkey`.
+    * The reference schema has no commit/receipt dates
+    * (TESTDATA.md), so "late" is shipped > `lateDays` after the order
+    * date — the flag is computed ONCE on a shared flagged relation and
+    * both the semi and the anti side are cheap filters over it.
+    *
+    * Scale shape: lineitem⋈orders shuffles once on the order key (the
+    * status filter pushed to the orders scan, only 3 lineitem columns
+    * read); the flagged relation is persisted and its orderkey
+    * partitioning is REUSED by both the left_semi and the left_anti
+    * (cached plans preserve outputPartitioning), so the multi-exists
+    * adds no new lineitem-scale shuffle. Supplier names ride a
+    * broadcast. Counting is pure integers; (n_wait DESC, s_suppkey)
+    * is a total order under LIMIT k.
+    */
+  private val flaggedLinesCache =
+    SessionCaches.newCache[(SparkSession, String, Int)]()
+
+  /** The shared late-flagged lineitem relation behind q223,
+    * session-cached: the multi-exists reads it three times (candidates,
+    * the EXISTS side, the NOT-EXISTS side), and caching is what makes
+    * "one orderkey shuffle" literal — all three consumers hit the same
+    * InMemoryTableScan instead of re-scanning and re-joining lineitem
+    * (PlanSpec pins this). Registry-tracked so ScalingBench eviction
+    * measures the full pipeline.
+    */
+  private def cachedFlaggedLines(spark: SparkSession, dir: String,
+      lateDays: Int): DataFrame =
+    SessionCaches.cached(flaggedLinesCache, (spark, dir, lateDays))(
+      Tables.lineitem(spark, dir)
+        .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
+        .join(Tables.orders(spark, dir)
+          .filter(col("o_orderstatus") === "F")
+          .select(col("o_orderkey"), col("o_orderdate")),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("l_orderkey"), col("l_suppkey"),
+          (col("l_shipdate") >
+            col("o_orderdate") + expr(s"INTERVAL $lateDays DAY")).as("late"))
+        .persist())
+
+  def q223WaitSuppliers(spark: SparkSession, dir: String,
+      lateDays: Int = 90, k: Int = 10): DataFrame = {
+    val flagged = cachedFlaggedLines(spark, dir, lateDays)
+    val waiting = flagged.filter(col("late"))
+    val others = flagged
+      .select(col("l_orderkey").as("x_orderkey"), col("l_suppkey").as("x_suppkey"))
+    val lateOthers = waiting
+      .select(col("l_orderkey").as("y_orderkey"), col("l_suppkey").as("y_suppkey"))
+    waiting
+      .join(others, col("l_orderkey") === col("x_orderkey") &&
+        col("l_suppkey") =!= col("x_suppkey"), "left_semi")
+      .join(lateOthers, col("l_orderkey") === col("y_orderkey") &&
+        col("l_suppkey") =!= col("y_suppkey"), "left_anti")
+      .groupBy(col("l_suppkey"))
+      .agg(count(lit(1)).as("n_wait"))
+      .join(broadcast(Tables.supplier(spark, dir)
+        .select(col("s_suppkey"), col("s_name"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("n_wait"))
+      .orderBy(col("n_wait").desc, col("s_suppkey"))
+      .limit(k)
+  }
+
+  /** Disjunctive-predicate revenue (q224, the TPC-H Q19 shape): total
+    * discounted revenue over lineitem⋈part under three OR'd
+    * brand/size/quantity blocks — the canonical test of whether a
+    * disjunction spanning both join sides stays PUSHED: Catalyst's
+    * PushExtraPredicateThroughJoin must extract the part-only
+    * approximation `(brand∧size) ∨ …` below the join so the part scan
+    * prunes before joining (PlanSpec pins the pushed filter).
+    *
+    * Scale shape: part prunes at its scan to the 3-brand union and
+    * broadcasts; lineitem reads 4 columns with the quantity bounds
+    * evaluated in the codegen'd filter. Revenue is the exact cents·pct
+    * integer grid, one map-side-partial row out.
+    */
+  def q224DisjunctiveRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_partkey"), revenueCentPct.as("rev_cp"),
+        round(col("l_quantity"), 0).cast("long").as("qty"))
+    val part = Tables.part(spark, dir)
+      .select(col("p_partkey"), col("p_brand"), col("p_size"))
+    def block(brand: String, sizeHi: Int, qLo: Long, qHi: Long) =
+      col("p_brand") === brand && col("p_size").between(1, sizeHi) &&
+        col("qty").between(qLo, qHi)
+    li.join(part, col("l_partkey") === col("p_partkey"))
+      .filter(block("Brand#12", 5, 1L, 11L) ||
+        block("Brand#23", 10, 10L, 20L) ||
+        block("Brand#34", 15, 20L, 30L))
+      .agg(count(lit(1)).as("n_lines"), sum(col("rev_cp")).as("rev_cp"))
+      .select(col("n_lines"),
+        round(col("rev_cp").cast("double") / 10000.0, 2).as("revenue"))
+  }
+
+  /** Order-priority check (q227, the TPC-H Q4 shape): orders placed in
+    * one quarter with at least one late line, counted by priority —
+    * the EXISTS-as-left_semi with a date window. The semi join carries
+    * a mixed condition (orderkey equality PLUS the cross-side lateness
+    * comparison), which Spark evaluates inside the one orderkey-keyed
+    * join — no second pass, no distinct.
+    *
+    * Scale shape: the quarter filter is pushed to the orders scan, so
+    * the semi join's left side is already quarter-sized; lineitem
+    * contributes two columns. Output is ≤5 rows.
+    */
+  def q227OrderPriority(spark: SparkSession, dir: String,
+      qStart: String = "1996-01-01", qEnd: String = "1996-04-01",
+      lateDays: Int = 30): DataFrame = {
+    val ord = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= lit(qStart) &&
+        col("o_orderdate") < lit(qEnd))
+      .select(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_shipdate"))
+    ord.join(li, col("o_orderkey") === col("l_orderkey") &&
+        col("l_shipdate") >
+          col("o_orderdate") + expr(s"INTERVAL $lateDays DAY"), "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  /** Priority shipping mix (q228, the TPC-H Q12 shape): per return
+    * flag, how many of the year's shipped lines belonged to
+    * high-priority orders vs not — the two-branch conditional
+    * aggregation over a fact⋈fact join (the reference schema has no
+    * l_shipmode, so the return flag is the 3-value group key).
+    *
+    * Scale shape: the ship-year filter is pushed to the lineitem scan
+    * BEFORE the orderkey join, so the join's big side is year-sized;
+    * both CASE branches ride one map-side-partial aggregate. Pure
+    * integer counts, 3 rows out.
+    */
+  def q228PriorityShipmix(spark: SparkSession, dir: String,
+      yStart: String = "1997-01-01", yEnd: String = "1998-01-01"): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit(yStart) && col("l_shipdate") < lit(yEnd))
+      .select(col("l_orderkey"), col("l_returnflag"))
+    val high = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    li.join(Tables.orders(spark, dir)
+        .select(col("o_orderkey"), col("o_orderpriority")),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_returnflag"))
+      .agg(sum(when(high, 1L).otherwise(0L)).as("high_line_count"),
+        sum(when(high, 0L).otherwise(1L)).as("low_line_count"))
+      .orderBy(col("l_returnflag"))
+  }
+
   def q214TopSupplier(spark: SparkSession, dir: String,
       qStart: String = "1996-01-01", qEnd: String = "1996-04-01"): DataFrame = {
     val rev = Tables.lineitem(spark, dir)

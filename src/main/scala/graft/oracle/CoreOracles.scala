@@ -843,5 +843,65 @@ private[graft] object CoreOracles {
            count(*) AS n_gaps
          FROM g WHERE prev_end IS NOT NULL
          GROUP BY 1 ORDER BY 1"""),
+    // q223: TPC-H Q21 shape — the only-late-supplier multi-exists over
+    // one shared flagged relation ("late" = shipped > 90 days after a
+    // finished order's date; the synthetic schema has no commit/receipt
+    // dates)
+    "q223_wait_suppliers" ->
+      """WITH L AS (
+           SELECT l_orderkey, l_suppkey,
+             (l_shipdate > o_orderdate + INTERVAL 90 DAY) AS late
+           FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+           WHERE o_orderstatus = 'F'),
+         w AS (SELECT * FROM L WHERE late),
+         c AS (
+           SELECT w.l_orderkey, w.l_suppkey FROM w
+           WHERE EXISTS (SELECT 1 FROM L l2
+                         WHERE l2.l_orderkey = w.l_orderkey
+                           AND l2.l_suppkey <> w.l_suppkey)
+             AND NOT EXISTS (SELECT 1 FROM w w2
+                             WHERE w2.l_orderkey = w.l_orderkey
+                               AND w2.l_suppkey <> w.l_suppkey))
+         SELECT s_suppkey, s_name, count(*) AS n_wait
+         FROM c JOIN supplier ON l_suppkey = s_suppkey
+         GROUP BY 1, 2
+         ORDER BY n_wait DESC, s_suppkey LIMIT 10""",
+    // q224: TPC-H Q19 shape — three OR'd brand/size/quantity blocks;
+    // revenue on the exact cents·pct grid
+    "q224_disjunctive_revenue" ->
+      """SELECT count(*) AS n_lines,
+           round(CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+             * (100 - CAST(round(l_discount * 100, 0) AS BIGINT)))
+             AS DOUBLE) / 10000.0, 2) AS revenue
+         FROM lineitem JOIN part ON l_partkey = p_partkey
+         WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+                AND CAST(round(l_quantity, 0) AS BIGINT) BETWEEN 1 AND 11)
+            OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+                AND CAST(round(l_quantity, 0) AS BIGINT) BETWEEN 10 AND 20)
+            OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
+                AND CAST(round(l_quantity, 0) AS BIGINT) BETWEEN 20 AND 30)""",
+    // q227: TPC-H Q4 shape — EXISTS with a date window ("late" = any
+    // line shipped > 30 days after the order date)
+    "q227_order_priority" ->
+      """SELECT o_orderpriority, count(*) AS n_orders
+         FROM orders o
+         WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+           AND o_orderdate < TIMESTAMP '1996-04-01'
+           AND EXISTS (SELECT 1 FROM lineitem l
+                       WHERE l.l_orderkey = o.o_orderkey
+                         AND l.l_shipdate > o.o_orderdate + INTERVAL 30 DAY)
+         GROUP BY 1 ORDER BY 1""",
+    // q228: TPC-H Q12 shape — two-branch conditional agg by return flag
+    // (the synthetic schema has no l_shipmode)
+    "q228_priority_shipmix" ->
+      """SELECT l_returnflag,
+           CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+               THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+               THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+           AND l_shipdate < TIMESTAMP '1998-01-01'
+         GROUP BY 1 ORDER BY 1""",
   )
 }

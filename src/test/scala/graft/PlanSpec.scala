@@ -467,6 +467,51 @@ class PlanSpec extends SparkSpecBase {
     assert(plan.contains("GreaterThanOrEqual(o_orderdate"), plan)
   }
 
+  test("q223: multi-exists is semi+anti over ONE cached flagged relation") {
+    val plan = executed("q223_wait_suppliers")
+    assert(!plan.contains("CartesianProduct"), plan)
+    // both EXISTS branches stay physical semi/anti joins
+    assert(plan.contains("LeftSemi") && plan.contains("LeftAnti"), plan)
+    // all three consumers (candidates, EXISTS side, NOT-EXISTS side)
+    // read the session-cached flagged relation — the lineitem⋈orders
+    // build runs once, so the multi-exists adds no lineitem re-shuffle
+    assert(plan.contains("InMemoryTableScan"), plan)
+    // the only hash exchange is the final per-supplier aggregate; an
+    // orderkey exchange would mean a consumer bypassed the cache
+    assert(plan.contains("Exchange hashpartitioning(l_suppkey"), plan)
+    assert(!plan.contains("Exchange hashpartitioning(l_orderkey"), plan)
+  }
+
+  test("q224: the disjunction's part-side approximation is pushed to the scan") {
+    val plan = executed("q224_disjunctive_revenue")
+    assert(!plan.contains("CartesianProduct"), plan)
+    // PushExtraPredicateThroughJoin must extract the part-only
+    // (brand ∧ size) ∨ … disjunction below the join, into PushedFilters
+    // — at 100 TB this is what prunes part before it broadcasts
+    assert(plan.contains("Or(Or(And(EqualTo(p_brand"), plan)
+    // and the lineitem side keeps its quantity-range disjunction as a
+    // pre-join filter (not pushable to parquet through the round/cast,
+    // but it must sit below the join, not above it)
+    val joinIdx = Seq(plan.indexOf("BroadcastHashJoin"),
+      plan.indexOf("Join Inner")).filter(_ >= 0)
+    val qtyIdx = plan.indexOf("round(l_quantity")
+    assert(joinIdx.nonEmpty && qtyIdx > joinIdx.min,
+      s"join=$joinIdx qty=$qtyIdx")
+  }
+
+  test("q227: EXISTS stays a semi join with the quarter pushed to orders") {
+    val plan = executed("q227_order_priority")
+    assert(plan.contains("LeftSemi"), plan)
+    assert(plan.contains("GreaterThanOrEqual(o_orderdate,1996-01-01"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("q228: ship-year filter reaches the lineitem scan below the join") {
+    val plan = executed("q228_priority_shipmix")
+    assert(plan.contains("GreaterThanOrEqual(l_shipdate,1997-01-01"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
   test("q207: nDCG is one broadcast-query corpus scan, no cartesian") {
     val plan = executed("q207_ndcg_label")
     assert(!plan.contains("CartesianProduct"), plan)

@@ -127,4 +127,88 @@ class TpchBreadthSpec extends SparkSpecBase {
     }
     assert(out.length === flagged.size)
   }
+
+  test("q223: semi/anti multi-exists matches the order-tally recompute") {
+    val out = CoreQueries.q223WaitSuppliers(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(2)))
+    // independent path: per-order supplier tallies (n_supp > 1 = another
+    // supplier exists; n_late = 1 = no OTHER late supplier) instead of
+    // the semi/anti joins
+    val flagged = graft.Tables.lineitem(spark, sf0001)
+      .join(graft.Tables.orders(spark, sf0001)
+        .filter(col("o_orderstatus") === "F"),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("l_orderkey"), col("l_suppkey"),
+        (col("l_shipdate") >
+          col("o_orderdate") + expr("INTERVAL 90 DAY")).as("late"))
+    val per = flagged.groupBy(col("l_orderkey").as("ok"))
+      .agg(countDistinct(col("l_suppkey")).as("n_supp"),
+        countDistinct(when(col("late"), col("l_suppkey"))).as("n_late"))
+    val expect = flagged.filter(col("late"))
+      .join(per, col("l_orderkey") === col("ok"))
+      .filter(col("n_supp") > 1 && col("n_late") === 1)
+      .groupBy(col("l_suppkey")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+      .sortBy { case (k, n) => (-n, k) }.take(10)
+    assert(out.nonEmpty)
+    assert(out.toSeq === expect.toSeq)
+  }
+
+  test("q224: disjunctive revenue equals a double-arithmetic recompute") {
+    // sf0.01: the three blocks are too selective for sf0.001's 200 parts
+    val sf001 = "/root/testdata/sf0.01"
+    val out = CoreQueries.q224DisjunctiveRevenue(spark, sf001).head()
+    assert(out.getLong(0) > 0L)
+    def blk(brand: String, sHi: Int, qLo: Double, qHi: Double) =
+      col("p_brand") === brand && col("p_size").between(1, sHi) &&
+        col("l_quantity").between(qLo, qHi)
+    val rows = graft.Tables.lineitem(spark, sf001)
+      .join(graft.Tables.part(spark, sf001),
+        col("l_partkey") === col("p_partkey"))
+      .filter(blk("Brand#12", 5, 1, 11) || blk("Brand#23", 10, 10, 20) ||
+        blk("Brand#34", 15, 20, 30))
+      .agg(count(lit(1)).as("n"),
+        sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("rev"))
+      .head()
+    assert(out.getLong(0) === rows.getLong(0))
+    assert(math.abs(out.getDouble(1) - rows.getDouble(1)) < 0.5)
+  }
+
+  test("q227: EXISTS counts match a join+distinct recompute") {
+    val out = CoreQueries.q227OrderPriority(spark, sf0001).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val expect = graft.Tables.orders(spark, sf0001)
+      .filter(col("o_orderdate") >= lit("1996-01-01") &&
+        col("o_orderdate") < lit("1996-04-01"))
+      .join(graft.Tables.lineitem(spark, sf0001),
+        col("o_orderkey") === col("l_orderkey") &&
+          col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 30 DAY"))
+      .select(col("o_orderkey"), col("o_orderpriority")).distinct()
+      .groupBy(col("o_orderpriority")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out.nonEmpty)
+    assert(out === expect)
+  }
+
+  test("q228: the two CASE branches partition the year's joined lines") {
+    val out = CoreQueries.q228PriorityShipmix(spark, sf0001).collect()
+    assert(out.nonEmpty)
+    val joined = graft.Tables.lineitem(spark, sf0001)
+      .filter(col("l_shipdate") >= lit("1997-01-01") &&
+        col("l_shipdate") < lit("1998-01-01"))
+      .join(graft.Tables.orders(spark, sf0001),
+        col("l_orderkey") === col("o_orderkey"))
+    val byFlag = joined.groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val high = joined
+      .filter(col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
+      .groupBy(col("l_returnflag")).agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    out.foreach { r =>
+      val f = r.getString(0)
+      assert(r.getLong(1) === high.getOrElse(f, 0L))
+      assert(r.getLong(1) + r.getLong(2) === byFlag(f))
+    }
+  }
 }
