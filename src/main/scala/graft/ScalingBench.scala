@@ -239,6 +239,13 @@ object ScalingBench {
       // linear in events by construction
       Probe("q210_bot_burst", "events",
         SparkEntry.queries("q210_bot_burst")),
+      // q225 iterated BPE: ONE corpus pass builds the word dict, then
+      // every merge round runs at vocabulary scale — the probe pins the
+      // per-round cost tracking corpus size ~linearly (Heaps-law vocab
+      // growth keeps the round cost sublinear in corpus rows; a slope
+      // near 1 would mean the rounds regressed to corpus scale)
+      Probe("q225_bpe_train", "documents",
+        SparkEntry.queries("q225_bpe_train")),
       // q219 assortativity: the capped pair build + an edge-scale
       // degree join into a one-row moment aggregate — tracks the pair
       // expansion like the rest of the graph family

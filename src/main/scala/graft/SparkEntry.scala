@@ -283,6 +283,8 @@ object SparkEntry {
     "q223_wait_suppliers" -> ((s, d) => CoreQueries.q223WaitSuppliers(s, d)),
     "q224_disjunctive_revenue" -> ((s, d) =>
       CoreQueries.q224DisjunctiveRevenue(s, d)),
+    "q225_bpe_train"      -> ((s, d) => TextAnalysisOps.bpeTrain(s, d)),
+    "q226_rrf_fusion"     -> ((s, d) => RetrievalOps.rrfFusion(s, d)),
     "q227_order_priority" -> ((s, d) => CoreQueries.q227OrderPriority(s, d)),
     "q228_priority_shipmix" -> ((s, d) =>
       CoreQueries.q228PriorityShipmix(s, d)),

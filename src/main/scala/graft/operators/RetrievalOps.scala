@@ -134,4 +134,48 @@ object RetrievalOps {
       .select(col("qid"), col("hit_id"), col("score"), col("rk"))
       .orderBy(col("qid"), col("rk"))
   }
+
+  /** Reciprocal-rank fusion (q226): hybrid retrieval — fuse the BM25
+    * lexical top-`kEach` ([[bm25TopK]]) with the dense cosine top-`kEach`
+    * ([[SimilarityOps.bruteForceTopK]], vec_id ≡ doc_id in the testdata
+    * star schema) via RRF = Σ_lists 1/(60 + rank), the standard
+    * score-free fusion for sparse+dense retrieval stacks. The missing
+    * step between the two retrieval families and the q101/q207/q218
+    * eval triad.
+    *
+    * Parity: ONLY ranks cross the fusion boundary — never either
+    * list's float scores — and each reciprocal is the exact integer
+    * `1000000 div (60 + rk)` (both engines' integer division; no
+    * discount table needed because unlike q207's log the divisor is
+    * already integral). Fused order (rrf_e6 DESC, hit_id) is total.
+    * Absent-from-list is rank 0 in the output (never a contribution).
+    *
+    * Scale shape: both input lists end per-query-bounded (≤ kEach rows
+    * per query), so the fusion full-outer join and re-rank run at
+    * query-batch scale — negligible next to the two retrieval passes,
+    * which keep their own documented 100 TB shapes.
+    */
+  def rrfFusion(spark: SparkSession, dir: String,
+      nQueries: Int = DefaultNQueries, kEach: Int = 25,
+      k: Int = 10): DataFrame = {
+    val sparse = bm25TopK(spark, dir, nQueries, DefaultNTerms, kEach)
+      .select(col("qid"), col("hit_id"), col("rk").as("rk_sparse"))
+    val dense = SimilarityOps.bruteForceTopK(spark, dir, nQueries, kEach)
+      .select(col("query_id").as("qid"), col("neighbor_id").as("hit_id"),
+        col("rk").as("rk_dense"))
+    val fused = sparse.join(dense, Seq("qid", "hit_id"), "full_outer")
+      .select(col("qid"), col("hit_id"),
+        coalesce(col("rk_sparse"), lit(0)).cast("int").as("rk_sparse"),
+        coalesce(col("rk_dense"), lit(0)).cast("int").as("rk_dense"))
+      .withColumn("rrf_e6",
+        coalesce(expr("1000000 div (60 + nullif(rk_sparse, 0))"), lit(0L)) +
+          coalesce(expr("1000000 div (60 + nullif(rk_dense, 0))"), lit(0L)))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("rrf_e6").desc, col("hit_id"))
+    fused.withColumn("rk", row_number().over(w).cast("int"))
+      .filter(col("rk") <= k)
+      .select(col("qid"), col("hit_id"), col("rk_sparse"), col("rk_dense"),
+        col("rrf_e6"), col("rk"))
+      .orderBy(col("qid"), col("rk"))
+  }
 }

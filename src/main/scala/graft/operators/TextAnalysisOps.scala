@@ -1152,4 +1152,66 @@ object TextAnalysisOps {
           col("n_chars").cast("double"), 6).as("codey_rate"))
       .orderBy(col("source"), col("band"))
   }
+
+  /** Iterated BPE trainer (q225): `rounds` fixed merge rounds over the
+    * corpus word-frequency dictionary — q98's count step turned into
+    * the actual vocabulary-trainer kernel. Per round: count adjacent
+    * symbol pairs weighted by word frequency, pick the argmax rule
+    * (count DESC, s1, s2 — a total order), APPLY it to every word's
+    * symbol sequence, recount. Output is the learned merge table.
+    *
+    * Merge application is a plain string `replace` over a FRAMED
+    * symbol encoding — symbols joined by two spaces, the whole string
+    * framed by one leading/trailing space — so the pattern
+    * `' s1  s2 '` can only match whole adjacent symbols (a naive
+    * single-space join would let `e r` match inside `[xe, r]`, the
+    * classic subword-boundary bug; the framed form is TRUE greedy
+    * left-to-right BPE, spec-pinned on a fixture built to trip the
+    * naive form). `replace` is left-to-right non-overlapping in Spark
+    * (UTF8String.replace) and DuckDB alike, so the oracle replays the
+    * identical semantics with N MATERIALIZED CTE rounds (the q173
+    * fixed-iteration rule).
+    *
+    * Scale shape: ONE corpus pass builds the word-frequency dict;
+    * every round after runs at VOCABULARY scale (distinct words), the
+    * same reduction a production BPE trainer makes. The per-round
+    * argmax is a map-side-partial aggregate over the ≤|Σ|²-keyed pair
+    * counts, broadcast back as a 1-row rule; `localCheckpoint` cuts
+    * the per-round lineage (the q173/k-core pattern). Pure integer
+    * counts — no FP anywhere.
+    */
+  def bpeTrain(spark: SparkSession, dir: String, rounds: Int = 3): DataFrame =
+    bpeTrainOn(Tables.documents(spark, dir), rounds)
+
+  private[graft] def bpeTrainOn(docs: DataFrame, rounds: Int): DataFrame = {
+    var words = docs
+      .select(explode(Text.tokens(col("text"))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("n"))
+      .select(concat(lit(" "), concat_ws("  ", split(col("w"), "")),
+        lit(" ")).as("syms"), col("n"))
+      .localCheckpoint(eager = true)
+    val rules = Seq.newBuilder[DataFrame]
+    for (r <- 1 to rounds) {
+      val top = words
+        .select(split(trim(col("syms")), "  ").as("a"), col("n"))
+        .filter(size(col("a")) >= 2)
+        .select(col("n"), explode(expr(
+          "transform(sequence(1, size(a) - 1), " +
+            "i -> struct(element_at(a, i) AS s1, element_at(a, i + 1) AS s2))"))
+          .as("p"))
+        .groupBy(col("p.s1").as("s1"), col("p.s2").as("s2"))
+        .agg(sum(col("n")).as("n_merge"))
+        .orderBy(col("n_merge").desc, col("s1"), col("s2"))
+        .limit(1)
+        .select(lit(r).as("merge_rank"), col("s1"), col("s2"), col("n_merge"))
+        .localCheckpoint(eager = true)
+      rules += top
+      words = words
+        .crossJoin(broadcast(top.select(col("s1").as("m1"), col("s2").as("m2"))))
+        .select(expr("replace(syms, concat(' ', m1, '  ', m2, ' '), " +
+          "concat(' ', m1, m2, ' '))").as("syms"), col("n"))
+        .localCheckpoint(eager = true)
+    }
+    rules.result().reduce(_.union(_)).orderBy(col("merge_rank"))
+  }
 }

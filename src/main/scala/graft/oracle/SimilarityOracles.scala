@@ -964,6 +964,83 @@ private[graft] object SimilarityOracles {
            coalesce(fr.first_rel_rank, 0) AS first_rel_rank,
            CASE WHEN fr.first_rel_rank IS NULL THEN 0
                 ELSE 1000000 // fr.first_rel_rank END AS recip_e6
-         FROM q LEFT JOIN fr USING (query_id) ORDER BY query_id"""
+         FROM q LEFT JOIN fr USING (query_id) ORDER BY query_id""",
+    // q226: reciprocal-rank fusion — BM25 top-25 (the q89 chain at
+    // k=25) fused with dense cosine top-25 (the q31 chain) via
+    // RRF = Σ 1000000 // (60 + rank): only integer RANKS cross the
+    // fusion boundary, never either list's float scores, so the fused
+    // order is exact on both engines
+    "q226_rrf_fusion" ->
+      raw"""WITH d0 AS (
+           SELECT doc_id, string_split(
+             regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS w
+           FROM documents),
+         post AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS dl,
+                    unnest(w) AS tok FROM d0),
+         tfp AS (SELECT doc_id, dl, tok, count(*) AS tf
+                 FROM post GROUP BY 1, 2, 3),
+         st AS (SELECT count(*) AS n_docs,
+                  sum(CAST(len(w) AS BIGINT)) AS sum_dl FROM d0),
+         qt AS (
+           SELECT doc_id AS qid, tok,
+             CAST(row_number() OVER (PARTITION BY doc_id
+               ORDER BY tf DESC, tok) AS INT) AS t_rank
+           FROM tfp WHERE doc_id < ${RetrievalOps.DefaultNQueries}
+           QUALIFY row_number() OVER (PARTITION BY doc_id
+             ORDER BY tf DESC, tok) <= ${RetrievalOps.DefaultNTerms}),
+         cand AS (SELECT qt.qid, qt.t_rank, tfp.doc_id, tfp.dl,
+                    tfp.tok, tfp.tf
+                  FROM tfp JOIN qt USING (tok)),
+         dfc AS (SELECT tok, count(*) AS df FROM
+                   (SELECT DISTINCT tok, doc_id FROM cand) GROUP BY 1),
+         contrib AS (
+           SELECT cand.qid, cand.doc_id, cand.t_rank,
+             round(
+               round(ln((CAST(st.n_docs AS DOUBLE) - CAST(dfc.df AS DOUBLE)
+                   + 0.5) / (CAST(dfc.df AS DOUBLE) + 0.5) + 1.0), 6)
+               * (CAST(cand.tf AS DOUBLE) * (1.2 + 1.0) /
+                  (CAST(cand.tf AS DOUBLE) + 1.2 * (1.0 - 0.75 + 0.75 *
+                    (CAST(cand.dl * st.n_docs AS DOUBLE) /
+                     CAST(st.sum_dl AS DOUBLE))))), 6) AS c
+           FROM cand JOIN dfc USING (tok) CROSS JOIN st),
+         bm AS (
+           SELECT qid, hit_id, rk FROM (
+             SELECT qid, doc_id AS hit_id,
+               CAST(row_number() OVER (PARTITION BY qid
+                 ORDER BY score DESC, doc_id) AS INT) AS rk
+             FROM (SELECT qid, doc_id,
+                     round(${RetrievalOps.oracleSlotSql(
+                       RetrievalOps.DefaultNTerms)},
+                       4) AS score
+                   FROM contrib GROUP BY 1, 2))
+           WHERE rk <= 25),
+         q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+               FROM embeddings
+               WHERE vec_id < ${RetrievalOps.DefaultNQueries}),
+         c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         dn AS (
+           SELECT query_id AS qid, vec_id AS hit_id, rk FROM (
+             SELECT query_id, vec_id,
+               CAST(row_number() OVER (PARTITION BY query_id
+                 ORDER BY cos DESC, vec_id) AS INT) AS rk
+             FROM (SELECT query_id, vec_id,
+                     round(list_inner_product(qv, v) /
+                       (sqrt(list_inner_product(qv, qv)) *
+                        sqrt(list_inner_product(v, v))), 4) AS cos
+                   FROM q CROSS JOIN c WHERE vec_id <> query_id))
+           WHERE rk <= 25),
+         u AS (
+           SELECT coalesce(bm.qid, dn.qid) AS qid,
+             coalesce(bm.hit_id, dn.hit_id) AS hit_id,
+             CAST(coalesce(bm.rk, 0) AS INT) AS rk_sparse,
+             CAST(coalesce(dn.rk, 0) AS INT) AS rk_dense,
+             CAST(coalesce(1000000 // (60 + bm.rk), 0) +
+                  coalesce(1000000 // (60 + dn.rk), 0) AS BIGINT) AS rrf_e6
+           FROM bm FULL OUTER JOIN dn
+             ON bm.qid = dn.qid AND bm.hit_id = dn.hit_id)
+         SELECT qid, hit_id, rk_sparse, rk_dense, rrf_e6, rk FROM (
+           SELECT u.*, CAST(row_number() OVER (PARTITION BY qid
+             ORDER BY rrf_e6 DESC, hit_id) AS INT) AS rk FROM u)
+         WHERE rk <= 10 ORDER BY qid, rk"""
   )
 }

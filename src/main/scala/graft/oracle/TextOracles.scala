@@ -554,6 +554,53 @@ private[graft] object TextOracles {
            round(-sum((c * 1.0 / n) * log2(c * 1.0 / n)) + 0.0, 4)
              AS entropy_bits
          FROM c JOIN t USING (source)
-         GROUP BY source ORDER BY source"""
+         GROUP BY source ORDER BY source""",
+    // q225: iterated BPE trainer — 3 MATERIALIZED merge rounds over the
+    // word-frequency dict (the q173 fixed-iteration replay rule).
+    // Symbols ride the framed two-space encoding so replace() merges
+    // whole adjacent symbols only; replace is left-to-right
+    // non-overlapping in both engines, so the rounds are semantics-
+    // identical. Argmax order (cnt DESC, s1, s2) is total.
+    "q225_bpe_train" ->
+      """WITH w0 AS MATERIALIZED (
+           SELECT ' ' || rtrim(regexp_replace(w, '(.)', '\1  ', 'g'))
+               || ' ' AS syms,
+             count(*) AS n
+           FROM (SELECT unnest(string_split(
+               regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS w
+             FROM documents)
+           GROUP BY 1),
+         p1 AS (SELECT a[i] AS s1, a[i+1] AS s2,
+             CAST(sum(n) AS BIGINT) AS cnt
+           FROM (SELECT string_split(trim(syms), '  ') AS a, n FROM w0) s,
+             unnest(generate_series(1, len(a) - 1)) AS u(i)
+           GROUP BY 1, 2),
+         t1 AS MATERIALIZED (
+           SELECT * FROM p1 ORDER BY cnt DESC, s1, s2 LIMIT 1),
+         w1 AS MATERIALIZED (
+           SELECT replace(syms, ' ' || s1 || '  ' || s2 || ' ',
+               ' ' || s1 || s2 || ' ') AS syms, n
+           FROM w0 CROSS JOIN t1),
+         p2 AS (SELECT a[i] AS s1, a[i+1] AS s2,
+             CAST(sum(n) AS BIGINT) AS cnt
+           FROM (SELECT string_split(trim(syms), '  ') AS a, n FROM w1) s,
+             unnest(generate_series(1, len(a) - 1)) AS u(i)
+           GROUP BY 1, 2),
+         t2 AS MATERIALIZED (
+           SELECT * FROM p2 ORDER BY cnt DESC, s1, s2 LIMIT 1),
+         w2 AS MATERIALIZED (
+           SELECT replace(syms, ' ' || s1 || '  ' || s2 || ' ',
+               ' ' || s1 || s2 || ' ') AS syms, n
+           FROM w1 CROSS JOIN t2),
+         p3 AS (SELECT a[i] AS s1, a[i+1] AS s2,
+             CAST(sum(n) AS BIGINT) AS cnt
+           FROM (SELECT string_split(trim(syms), '  ') AS a, n FROM w2) s,
+             unnest(generate_series(1, len(a) - 1)) AS u(i)
+           GROUP BY 1, 2),
+         t3 AS (SELECT * FROM p3 ORDER BY cnt DESC, s1, s2 LIMIT 1)
+         SELECT 1 AS merge_rank, s1, s2, cnt AS n_merge FROM t1
+         UNION ALL SELECT 2, s1, s2, cnt FROM t2
+         UNION ALL SELECT 3, s1, s2, cnt FROM t3
+         ORDER BY merge_rank"""
   )
 }

@@ -1,0 +1,84 @@
+package graft.operators
+
+import graft.SparkSpecBase
+import org.apache.spark.sql.functions._
+
+/** Round-10 operator batch: the iterated BPE trainer (q225). */
+class Round10OpsSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  /** Corpus engineered so round 1 creates a multi-char symbol (`xe`)
+    * whose TAIL (`e`) is the head of round 2's rule (`e`,`r`) while a
+    * word holds `[xe, r]` — the exact shape where a naive single-space
+    * string merge would match `e r` INSIDE the symbol boundary and
+    * corrupt the vocabulary. Hand-computed true-BPE trace:
+    *   round 1: (x,e) 13 = 10·"xe" + 3·"xer"   -> "xer" = [xe, r]
+    *   round 2: (e,r) 6  = 6·"er" ONLY          -> "er" = [er]
+    *   round 3: (xe,r) 3 = 3·"xer"
+    * A boundary-buggy merge would instead turn "xer" into [x, er] at
+    * round 2 and report (x, er) at round 3.
+    */
+  private def boundaryDocs =
+    (Seq.fill(10)("xe") ++ Seq.fill(6)("er") ++ Seq.fill(3)("xer"))
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+
+  test("bpeTrain: framed merge is true BPE — symbol boundaries respected") {
+    val got = TextAnalysisOps.bpeTrainOn(boundaryDocs, rounds = 3)
+      .collect().map(r =>
+        (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(got.toSeq === Seq(
+      (1, "x", "e", 13L), (2, "e", "r", 6L), (3, "xe", "r", 3L)))
+  }
+
+  test("bpeTrain: consecutive occurrences of the pair all merge greedily") {
+    // "erer" = [e,r,e,r] -> both (e,r) pairs merge in ONE round even
+    // though they share a separator boundary in the framed string
+    val docs = Seq.fill(5)("erer").zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val got = TextAnalysisOps.bpeTrainOn(docs, rounds = 2)
+      .collect().map(r =>
+        (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+    // round 1: (e,r) 10 (2 per word x5; ties (e,r)<(r,e) by s1)
+    // round 2: both merged -> [er, er] -> (er, er) 5
+    assert(got.toSeq === Seq((1, "e", "r", 10L), (2, "er", "er", 5L)))
+  }
+
+  test("rrfFusion: fused ranking recomputes from the two input lists") {
+    def recip(rk: Int): Long = if (rk == 0) 0L else 1000000L / (60L + rk)
+    val sparse = RetrievalOps.bm25TopK(spark, sf0001, 5, 3, 25).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(3)).toMap
+    val dense = SimilarityOps.bruteForceTopK(spark, sf0001, 5, 25).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(3)).toMap
+    assert(sparse.nonEmpty && dense.nonEmpty)
+    val expect = (sparse.keySet ++ dense.keySet).toSeq
+      .map { case k @ (qid, hit) =>
+        val (rs, rd) = (sparse.getOrElse(k, 0), dense.getOrElse(k, 0))
+        (qid, hit, rs, rd, recip(rs) + recip(rd))
+      }
+      .groupBy(_._1).toSeq.flatMap { case (_, rows) =>
+        rows.sortBy { case (_, hit, _, _, e6) => (-e6, hit) }.take(10)
+          .zipWithIndex.map { case ((q, h, rs, rd, e6), i) =>
+            (q, h, rs, rd, e6, i + 1) }
+      }.sortBy(t => (t._1, t._6))
+    val got = RetrievalOps.rrfFusion(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getInt(3),
+        r.getLong(4), r.getInt(5))).toSeq
+    assert(got === expect)
+    // a doc on BOTH lists must outrank docs with one equal-rank hit:
+    // at least one fused row carries two nonzero input ranks somewhere
+    // (the fixture's lexical and dense neighborhoods overlap)
+    assert(got.exists(t => t._3 > 0 && t._4 > 0), got.mkString(", "))
+  }
+
+  test("bpeTrain: overlapping self-pair merges left-to-right (aaa -> aa,a)") {
+    val docs = Seq.fill(4)("aaa").zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val got = TextAnalysisOps.bpeTrainOn(docs, rounds = 2)
+      .collect().map(r =>
+        (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+    // round 1: (a,a) 8 (two overlapping pairs per word, both counted);
+    // greedy apply -> [aa, a]; round 2: (aa, a) 4
+    assert(got.toSeq === Seq((1, "a", "a", 8L), (2, "aa", "a", 4L)))
+  }
+}
