@@ -64,11 +64,14 @@ object Bench {
 
   /** Render the stdout lines. Contract (spec-pinned): the compact
     * `"metric":"total_summary"` line is printed FIRST and LAST (identical
-    * bytes) around EXACTLY one `"metric":"total"` line carrying the warm
-    * per-query payload and one `"metric":"total_cold"` line carrying the
-    * rep-1 payload — the per-query map is split across two lines so each
-    * stays well inside the driver's stdout tail window (the single
-    * combined line was truncated mid-JSON in r2/r4/r6). Failed queries
+    * bytes) around EXACTLY one `"metric":"total_cold"` line carrying the
+    * rep-1 payload and then one `"metric":"total"` line carrying the warm
+    * per-query payload — the per-query map is split across two lines so
+    * each stays well inside the driver's stdout tail window (the single
+    * combined line was truncated mid-JSON in r2/r4/r6), and the WARM line
+    * sits nearest the end because the tail reads from there (the r9 tail
+    * captured the cold dict and its first-build times were misread as
+    * regressions). Failed queries
     * (no rep succeeded) appear as negative durations (never mistakable
     * for a measurement) and are excluded from the totals — a run with a
     * broken expensive query must not look FASTER. Queries that failed
@@ -99,9 +102,13 @@ object Bench {
     val loadJson = s"""{"start":${r3(load._1)},"end":${r3(load._2)}}"""
     val summary =
       s"""{"metric":"total_summary","value":$total,"unit":"sec","total_cold":$totalCold,"n_queries":${results.size},"n_failed":${failed.size},"n_flaky":${flaky.size},"n_suspect":${sus.size},"load":$loadJson,"sf":"${jsonStr(sf)}"}"""
+    // cold BEFORE warm: the driver's stdout tail reads from the END, so
+    // the line nearest the closing summary must be the WARM per-query
+    // map — round 9's tail captured the cold dict and its first-build
+    // times were misread as per-query regressions
     Seq(summary,
-      s"""{"metric":"total","value":$total,"unit":"sec","total_cold":$totalCold,"queries":${qmap(results)},"failed":${names(failed)},"flaky":${names(flaky)},"suspect":${names(sus)},"n_suspect":${sus.size},"load":$loadJson,"sf":"${jsonStr(sf)}"}""",
       s"""{"metric":"total_cold","value":$totalCold,"unit":"sec","queries_cold":${qmap(cold)},"sf":"${jsonStr(sf)}"}""",
+      s"""{"metric":"total","value":$total,"unit":"sec","total_cold":$totalCold,"queries":${qmap(results)},"failed":${names(failed)},"flaky":${names(flaky)},"suspect":${names(sus)},"n_suspect":${sus.size},"load":$loadJson,"sf":"${jsonStr(sf)}"}""",
       summary)
   }
 
@@ -174,9 +181,9 @@ object Bench {
     // the committed durable record stays ONE combined line per round
     // (warm + cold in one object, splicing the cold map into the warm
     // line) even though stdout splits them across two lines for the tail
-    val coldMap = lines(2).split("\"queries_cold\":", 2)(1)
+    val coldMap = lines(1).split("\"queries_cold\":", 2)(1)
       .split(",\"sf\":", 2)(0)
-    val big = lines(1).stripSuffix("}") + s""","queries_cold":$coldMap}"""
+    val big = lines(2).stripSuffix("}") + s""","queries_cold":$coldMap}"""
     // persist the full per-query history BEFORE printing: the driver's
     // stdout tail truncates the big line (r2, r4 lost 17 queries' times),
     // so the committed artifacts are the durable record

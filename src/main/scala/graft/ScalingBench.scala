@@ -445,6 +445,31 @@ object ScalingBench {
       val uncapped = timeCap(1000000)
       println(f"""{"metric":"hot_user_cap","hot_items":5000,"capped_sec":$capped%.2f,"uncapped_sec":$uncapped%.2f,"ratio":${uncapped / capped}%.1f}""")
     }
+    // salted-aggregation A/B (synth mode only): per-key distinct counts
+    // on a planted hot key (one key owns 75% of rows, all distinct
+    // values) — the naive size(collect_set) formulation funnels the hot
+    // set into ONE final-merge task; the salted two-phase spreads it
+    // over 32 value-space buckets (SkewUtils.saltedDistinctCount's
+    // additivity argument). Same protocol as the hot-user cap A/B.
+    if (args.headOption.contains("synth")) {
+      import org.apache.spark.sql.functions._
+      val n = 16000000L
+      val hot = (n * 3) / 4
+      val skewed = spark.range(n).select(
+        when(col("id") < hot, lit(0L))
+          .otherwise(pmod(col("id"), lit(100L)) + 1L).as("k"),
+        col("id").as("v"))
+      def time(f: => Unit): Double = Bench.median((1 to reps).map { _ =>
+        val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+      })
+      val naive = time(skewed.groupBy(col("k"))
+        .agg(size(collect_set(col("v"))).cast("long").as("n_distinct"))
+        .write.mode("overwrite").format("noop").save())
+      val salted = time(graft.operators.SkewUtils
+        .saltedDistinctCount(skewed, "k", "v", nSalts = 32)
+        .write.mode("overwrite").format("noop").save())
+      println(f"""{"metric":"salted_agg","n_rows":$n,"hot_rows":$hot,"naive_sec":$naive%.2f,"salted_sec":$salted%.2f,"ratio":${naive / salted}%.1f}""")
+    }
     spark.stop()
   }
 }

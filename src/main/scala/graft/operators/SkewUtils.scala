@@ -35,4 +35,36 @@ object SkewUtils {
       .drop(saltedDim(key))
       .drop(saltedFact("__salt")).drop(saltedDim("__salt"))
   }
+
+  /** Two-phase SALTED AGGREGATION — the groupBy-side counterpart of
+    * [[saltedJoin]]: exact per-key distinct counts with every hot key
+    * spread over `nSalts` partial groups.
+    *
+    * Spark's algebraic aggregates (sum/count/min/max) are already
+    * skew-proof — map-side partial aggregation collapses each
+    * partition's rows before the shuffle, so a hot key costs one
+    * merged row per partition. The shapes that stay hot-key-bound are
+    * the HOLISTIC ones, and the everyday offender is distinct-set
+    * work: `size(collect_set(v))` (ubiquitous user code for per-key
+    * distinct counts) funnels the hot key's ENTIRE value set into one
+    * final-merge task — one straggler, one OOM candidate, no matter
+    * how many executors exist (ScalingBench's planted-hot-key A/B
+    * measures the gap).
+    *
+    * The salted plan: phase 1 groups by `(key, xxhash64(value) mod
+    * nSalts)` — the salt partitions the VALUE SPACE, so per-(key,salt)
+    * distinct counts are disjoint and their phase-2 `sum` per key is
+    * EXACT, not approximate. The hot key becomes `nSalts` independent
+    * reduce groups; phase 2 merges `nSalts` integers per key. Same
+    * salt-partitions-the-work idea as [[saltedJoin]], with the
+    * additivity argument replacing the dim-side explode (aggregation
+    * needs no replication). Deterministic — no RNG salt.
+    */
+  def saltedDistinctCount(df: DataFrame, key: String, value: String,
+      nSalts: Int = 32): DataFrame = {
+    require(nSalts > 0)
+    df.groupBy(col(key), pmod(xxhash64(col(value)), lit(nSalts)).as("__salt"))
+      .agg(count_distinct(col(value)).as("__part"))
+      .groupBy(col(key)).agg(sum(col("__part")).as("n_distinct"))
+  }
 }

@@ -25,4 +25,22 @@ class SkewUtilsSpec extends SparkSpecBase {
     // the orphan key survives the left join with null name
     assert(saltedLeft.filter(col("n_key") === 9 && col("name").isNull).count() === 1)
   }
+
+  test("saltedDistinctCount ≡ countDistinct on skewed data, any salt width") {
+    import spark.implicits._
+    // hot key 0: 5000 rows over 700 distinct values (duplicates across
+    // salt buckets must not double-count); key 1 tiny; key 2 singleton
+    val rows = (1 to 5000).map(i => (0L, (i % 700).toLong)) ++
+      (1 to 50).map(i => (1L, (i % 7).toLong)) ++ Seq((2L, 42L))
+    val df = rows.toDF("k", "v")
+    val expect = df.groupBy(col("k"))
+      .agg(count_distinct(col("v")).as("n_distinct"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(expect === Map(0L -> 700L, 1L -> 7L, 2L -> 1L))
+    for (nSalts <- Seq(1, 8, 32)) {
+      val got = SkewUtils.saltedDistinctCount(df, "k", "v", nSalts)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got === expect, s"nSalts=$nSalts")
+    }
+  }
 }
