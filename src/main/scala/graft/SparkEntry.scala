@@ -288,6 +288,14 @@ object SparkEntry {
     "q227_order_priority" -> ((s, d) => CoreQueries.q227OrderPriority(s, d)),
     "q228_priority_shipmix" -> ((s, d) =>
       CoreQueries.q228PriorityShipmix(s, d)),
+    "q229_min_cost_supplier" -> ((s, d) =>
+      CoreQueries.q229MinCostSupplier(s, d)),
+    "q230_important_parts" -> ((s, d) => CoreQueries.q230ImportantParts(s, d)),
+    "q231_nation_volume"  -> ((s, d) => CoreQueries.q231NationVolume(s, d)),
+    "q232_salted_distinct" -> ((s, d) =>
+      graft.operators.SkewUtils.q232SaltedDistinct(s, d)),
+    "q233_interval_pairs" -> ((s, d) =>
+      graft.streaming.IntervalJoinStream.q233IntervalPairs(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

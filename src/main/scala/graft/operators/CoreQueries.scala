@@ -1475,14 +1475,14 @@ object CoreQueries {
     * date — the flag is computed ONCE on a shared flagged relation and
     * both the semi and the anti side are cheap filters over it.
     *
-    * Scale shape: lineitem⋈orders shuffles once on the order key (the
-    * status filter pushed to the orders scan, only 3 lineitem columns
-    * read); the flagged relation is persisted and its orderkey
-    * partitioning is REUSED by both the left_semi and the left_anti
-    * (cached plans preserve outputPartitioning), so the multi-exists
-    * adds no new lineitem-scale shuffle. Supplier names ride a
-    * broadcast. Counting is pure integers; (n_wait DESC, s_suppkey)
-    * is a total order under LIMIT k.
+    * Scale shape: the lineitem⋈orders build runs ONCE (status filter
+    * pushed to the orders scan, only 3 lineitem columns read) into the
+    * session-cached flagged relation; all three multi-exists consumers
+    * read that cache, so any exchange the semi/anti joins need moves
+    * the slim (orderkey, suppkey, late) projection — never a second
+    * lineitem scan or join. Supplier names ride a broadcast. Counting
+    * is pure integers; (n_wait DESC, s_suppkey) is a total order under
+    * LIMIT k.
     */
   private val flaggedLinesCache =
     SessionCaches.newCache[(SparkSession, String, Int)]()
@@ -1615,6 +1615,121 @@ object CoreQueries {
       .agg(sum(when(high, 1L).otherwise(0L)).as("high_line_count"),
         sum(when(high, 0L).otherwise(1L)).as("low_line_count"))
       .orderBy(col("l_returnflag"))
+  }
+
+  /** Min-cost supplier (q229, the TPC-H Q2 shape, adapted): for each
+    * small part, the supplier(s) achieving the minimum observed line
+    * price — the correlated-min-subquery plan: aggregate the supply
+    * relation per (part, supplier), take the per-part min, JOIN BACK on
+    * equality (ties kept — what makes the rejoin deterministic where a
+    * row_number would need an arbitrary tiebreak). The synthetic schema
+    * has no partsupp, so the supply relation derives from lineitem
+    * (min line total per part×supplier), preserving the plan shape.
+    *
+    * Scale shape: ONE lineitem shuffle on (partkey, suppkey) with
+    * map-side partials; the per-part min is a second aggregate over the
+    * ALREADY-AGGREGATED supply relation (|part×supp| rows ≪ lineitem);
+    * the rejoin keys on (partkey, cost) against that same relation, and
+    * part/supplier/nation dims broadcast. Integer cents everywhere.
+    */
+  def q229MinCostSupplier(spark: SparkSession, dir: String,
+      maxSize: Int = 10, k: Int = 25): DataFrame = {
+    val ps = Tables.lineitem(spark, dir)
+      .groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(min(round(col("l_extendedprice") * 100, 0).cast("long"))
+        .as("supply_cost_c"))
+    val minCost = ps.groupBy(col("l_partkey"))
+      .agg(min(col("supply_cost_c")).as("min_cost_c"))
+    ps.join(minCost, Seq("l_partkey"))
+      .filter(col("supply_cost_c") === col("min_cost_c"))
+      .join(broadcast(Tables.part(spark, dir)
+        .filter(col("p_size") <= maxSize)
+        .select(col("p_partkey"), col("p_size"))),
+        col("l_partkey") === col("p_partkey"))
+      .join(broadcast(Tables.supplier(spark, dir)
+        .select(col("s_suppkey"), col("s_name"), col("s_nationkey"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(Tables.nation(spark, dir)
+        .select(col("n_nationkey"), col("n_name"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("p_partkey"), col("s_suppkey"), col("s_name"),
+        col("n_name"),
+        // whole-cent division — boundary-free (PARITY rule 8)
+        (col("supply_cost_c").cast("double") / 100.0).as("supply_cost"))
+      .orderBy(col("p_partkey"), col("s_suppkey"))
+      .limit(k)
+  }
+
+  /** Important parts (q230, the TPC-H Q11 shape): parts whose total
+    * line value exceeds a multiple of the MEAN part value — the
+    * group-by-with-global-HAVING-threshold plan, the scalar entering
+    * as a broadcast 1-row frame and the comparison cross-multiplied
+    * onto the integer grid (`value_c · n_parts · den > total_c · num`
+    * — no FP threshold, and mean-relative so the SAME 3/2 multiple
+    * stays selective-but-nonempty at every SF, where Q11's absolute
+    * fraction would zero out as the part count grows).
+    *
+    * Scale shape: one lineitem shuffle on l_partkey with map-side
+    * partials; the total/count scalar is a second pass over the
+    * per-part AGGREGATE (never lineitem); qualifying parts are a small
+    * fraction. Total order (value desc, partkey) bounds the output.
+    */
+  def q230ImportantParts(spark: SparkSession, dir: String,
+      num: Int = 3, den: Int = 2, k: Int = 25): DataFrame = {
+    val perPart = Tables.lineitem(spark, dir)
+      .groupBy(col("l_partkey"))
+      .agg(sum(round(col("l_extendedprice") * 100, 0).cast("long"))
+        .as("value_c"))
+    val total = perPart.agg(sum(col("value_c")).as("total_c"),
+      count(lit(1)).as("n_parts"))
+    perPart.crossJoin(broadcast(total))
+      .filter(col("value_c") * col("n_parts") * lit(den.toLong) >
+        col("total_c") * lit(num.toLong))
+      .select(col("l_partkey"),
+        // whole-cent division (boundary-free — PARITY rule 8) and an
+        // exact integer floor for the share, never a rounded quotient
+        (col("value_c").cast("double") / 100.0).as("part_value"),
+        expr("(value_c * 10000) div total_c").as("share_bp"))
+      .orderBy(col("part_value").desc, col("l_partkey"))
+      .limit(k)
+  }
+
+  /** Nation-pair shipping volume (q231, the TPC-H Q7 shape): revenue
+    * between (supplier nation → customer nation) pairs by ship year —
+    * the two-dimension-join volume matrix behind trade-lane reports.
+    * Bounded to the first `nNations` nations on each side so the gate's
+    * dump stays small; cross-nation only (the Q7 n1 ≠ n2 condition).
+    *
+    * Scale shape: lineitem⋈orders is the one fact shuffle (ship-year
+    * filter pushed to the lineitem scan); customer and supplier key→
+    * nation maps broadcast; the rollup key space is nNations² × years.
+    * Revenue on the exact cents·pct grid.
+    */
+  def q231NationVolume(spark: SparkSession, dir: String,
+      yStart: String = "1996-01-01", yEnd: String = "1998-01-01",
+      nNations: Int = 5): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit(yStart) && col("l_shipdate") < lit(yEnd))
+      .select(col("l_orderkey"), col("l_suppkey"),
+        year(col("l_shipdate")).as("ship_year"), revenueCentPct.as("rev_cp"))
+    val cust = Tables.customer(spark, dir)
+      .filter(col("c_nationkey") < nNations)
+      .select(col("c_custkey"), col("c_nationkey").as("cust_nation"))
+    val supp = Tables.supplier(spark, dir)
+      .filter(col("s_nationkey") < nNations)
+      .select(col("s_suppkey"), col("s_nationkey").as("supp_nation"))
+    li.join(Tables.orders(spark, dir)
+        .select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .filter(col("supp_nation") =!= col("cust_nation"))
+      .groupBy(col("supp_nation"), col("cust_nation"), col("ship_year"))
+      .agg(count(lit(1)).as("n_lines"), sum(col("rev_cp")).as("rev_cp"))
+      .select(col("supp_nation"), col("cust_nation"), col("ship_year"),
+        col("n_lines"),
+        round(col("rev_cp").cast("double") / 10000.0, 2).as("revenue"))
+      .orderBy(col("supp_nation"), col("cust_nation"), col("ship_year"))
   }
 
   def q214TopSupplier(spark: SparkSession, dir: String,

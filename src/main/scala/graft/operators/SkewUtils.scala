@@ -67,4 +67,18 @@ object SkewUtils {
       .agg(count_distinct(col(value)).as("__part"))
       .groupBy(col(key)).agg(sum(col("__part")).as("n_distinct"))
   }
+
+  /** q232: [[saltedDistinctCount]] as an oracle-gated query — distinct
+    * props payloads per event type over the events table. The oracle is
+    * the plain `count(DISTINCT …)`, so the gate proves the salted
+    * two-phase is EXACT end-to-end, not only on the spec fixture.
+    * Event types are the natural low-cardinality/hot-key grouping
+    * (5 keys over the whole corpus — precisely the shape where the
+    * naive collect-set formulation funnels into 5 tasks at 100 TB).
+    */
+  def q232SaltedDistinct(spark: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame =
+    saltedDistinctCount(graft.Tables.events(spark, dir),
+        "event_type", "props")
+      .orderBy(col("event_type"))
 }

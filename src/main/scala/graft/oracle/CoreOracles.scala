@@ -903,5 +903,58 @@ private[graft] object CoreOracles {
          WHERE l_shipdate >= TIMESTAMP '1997-01-01'
            AND l_shipdate < TIMESTAMP '1998-01-01'
          GROUP BY 1 ORDER BY 1""",
+    // q229: TPC-H Q2 shape — correlated per-part min rejoined on
+    // equality (ties kept); supply relation derived from lineitem
+    // (no partsupp in the synthetic schema); whole-cent display
+    "q229_min_cost_supplier" ->
+      """WITH ps AS (
+           SELECT l_partkey, l_suppkey,
+             min(CAST(round(l_extendedprice * 100, 0) AS BIGINT))
+               AS supply_cost_c
+           FROM lineitem GROUP BY 1, 2),
+         mc AS (SELECT l_partkey, min(supply_cost_c) AS min_cost_c
+                FROM ps GROUP BY 1)
+         SELECT p_partkey, s_suppkey, s_name, n_name,
+           CAST(supply_cost_c AS DOUBLE) / 100.0 AS supply_cost
+         FROM ps JOIN mc USING (l_partkey)
+         JOIN part ON l_partkey = p_partkey AND p_size <= 10
+         JOIN supplier ON l_suppkey = s_suppkey
+         JOIN nation ON s_nationkey = n_nationkey
+         WHERE supply_cost_c = min_cost_c
+         ORDER BY p_partkey, s_suppkey LIMIT 25""",
+    // q230: TPC-H Q11 shape — per-part value vs 3/2× the mean part
+    // value, cross-multiplied on the integer grid (scale-free where an
+    // absolute fraction would zero out as part count grows); share
+    // reported as an exact integer floor, value as whole cents
+    "q230_important_parts" ->
+      """WITH pp AS (
+           SELECT l_partkey,
+             CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT))
+               AS BIGINT) AS value_c
+           FROM lineitem GROUP BY 1),
+         t AS (SELECT CAST(sum(value_c) AS BIGINT) AS total_c,
+                 count(*) AS n_parts FROM pp)
+         SELECT l_partkey, CAST(value_c AS DOUBLE) / 100.0 AS part_value,
+           CAST((value_c * 10000) // total_c AS BIGINT) AS share_bp
+         FROM pp CROSS JOIN t
+         WHERE value_c * n_parts * 2 > total_c * 3
+         ORDER BY part_value DESC, l_partkey LIMIT 25""",
+    // q231: TPC-H Q7 shape — supplier-nation × customer-nation revenue
+    // by ship year, cross-nation only, first-5 nations each side
+    "q231_nation_volume" ->
+      """SELECT s_nationkey AS supp_nation, c_nationkey AS cust_nation,
+           CAST(year(l_shipdate) AS INT) AS ship_year,
+           count(*) AS n_lines,
+           round(CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+             * (100 - CAST(round(l_discount * 100, 0) AS BIGINT)))
+             AS DOUBLE) / 10000.0, 2) AS revenue
+         FROM lineitem
+         JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey AND c_nationkey < 5
+         JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey < 5
+         WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+           AND l_shipdate < TIMESTAMP '1998-01-01'
+           AND s_nationkey <> c_nationkey
+         GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""",
   )
 }

@@ -468,5 +468,22 @@ private[graft] object EventOracles {
                   (sqrt(m * sxx - sx * sx) * sqrt(m * syy - sy * sy)), 6)
            END AS assortativity
          FROM s"""),
+    // q232: the salted two-phase distinct count gated against the plain
+    // count(DISTINCT) — proves the value-space salt is exact end-to-end
+    "q232_salted_distinct" ->
+      """SELECT event_type,
+           CAST(count(DISTINCT props) AS BIGINT) AS n_distinct
+         FROM events GROUP BY 1 ORDER BY 1""",
+    // q233: batch twin of the stream-stream interval join — every
+    // (purchase, prior click ≤ 6 h) pair, integer µs latency
+    "q233_interval_pairs" ->
+      """SELECT p.event_id AS purchase_id, p.user_id,
+           c.event_id AS click_id,
+           epoch_us(p.ts) - epoch_us(c.ts) AS latency_us
+         FROM events p JOIN events c
+           ON c.user_id = p.user_id
+           AND p.event_type = 'purchase' AND c.event_type = 'click'
+           AND c.ts >= p.ts - INTERVAL 6 HOUR AND c.ts < p.ts
+         ORDER BY purchase_id, click_id""",
   )
 }

@@ -56,11 +56,11 @@ object IntervalJoinStream {
     * exact integer µs difference (no FP anywhere).
     */
   def intervalJoined(clicks: DataFrame, purchases: DataFrame,
-      span: String = "6 hours"): DataFrame =
+      span: String = "6 hours", joinType: String = "inner"): DataFrame =
     purchases.join(clicks,
         col("c_user") === col("p_user") &&
           col("c_ts") >= col("p_ts") - expr(s"INTERVAL $span") &&
-          col("c_ts") < col("p_ts"))
+          col("c_ts") < col("p_ts"), joinType)
       .select(col("p_id").as("purchase_id"), col("p_user").as("user_id"),
         col("c_id").as("click_id"),
         (unix_micros(col("p_ts")) - unix_micros(col("c_ts")))
@@ -88,6 +88,23 @@ object IntervalJoinStream {
       typedSide(events, "purchase", "p").withWatermark("p_ts", delay),
       span)
 
+  /** LEFT OUTER variant: purchases with NO prior click also emit, with
+    * null click/latency — q106's batch contract ("null attribution
+    * kept — dropping click-less purchases would overstate attributed
+    * revenue") carried to the stream. The null row for a purchase can
+    * only emit once the CLICK watermark passes its event time (no
+    * earlier click can still arrive), so unmatched purchases surface
+    * with ~`delay` lag — the price of outer correctness; matched pairs
+    * still emit as soon as both sides arrive, exactly as the inner
+    * join. Same state bound as [[attributionJoin]].
+    */
+  def attributionJoinLeft(events: DataFrame, delay: String = "1 hour",
+      span: String = "6 hours"): DataFrame =
+    intervalJoined(
+      typedSide(events, "click", "c").withWatermark("c_ts", delay),
+      typedSide(events, "purchase", "p").withWatermark("p_ts", delay),
+      span, "left_outer")
+
   /** Live attribution pairs over the staged events landing zone. */
   def attributionStream(spark: SparkSession, dir: String,
       delay: String = "1 hour", span: String = "6 hours"): DataFrame =
@@ -102,4 +119,19 @@ object IntervalJoinStream {
       queryName: String = "attribution_pairs"): DataFrame =
     EventsStream.runToMemoryTable(spark, attributionStream(spark, dir),
       queryName, "append")
+
+  /** q233: the BATCH twin of the live join, oracle-gated — the same
+    * [[intervalJoined]] expression tree over the batch events table,
+    * so the streaming operator's semantics are pinned by the DuckDB
+    * hash gate (through this query) AND by the stream ≡ batch spec
+    * (through the staged-file run): the two could only diverge if the
+    * shared tree itself changed. (purchase_id, click_id) is a total
+    * order.
+    */
+  def q233IntervalPairs(spark: SparkSession, dir: String): DataFrame = {
+    val ev = graft.Tables.events(spark, dir)
+    intervalJoined(typedSide(ev, "click", "c"),
+        typedSide(ev, "purchase", "p"))
+      .orderBy(col("purchase_id"), col("click_id"))
+  }
 }

@@ -190,6 +190,77 @@ class TpchBreadthSpec extends SparkSpecBase {
     assert(out === expect)
   }
 
+  test("q229: min-cost rejoin matches a window-min recompute, ties kept") {
+    val out = CoreQueries.q229MinCostSupplier(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(out.nonEmpty)
+    // independent path: window min per part instead of aggregate-rejoin
+    import org.apache.spark.sql.expressions.Window
+    val ps = graft.Tables.lineitem(spark, sf0001)
+      .groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(min(round(col("l_extendedprice") * 100, 0).cast("long"))
+        .as("cost_c"))
+      .withColumn("mn", min(col("cost_c"))
+        .over(Window.partitionBy(col("l_partkey"))))
+    val expect = ps.filter(col("cost_c") === col("mn"))
+      .join(graft.Tables.part(spark, sf0001)
+        .filter(col("p_size") <= 10),
+        col("l_partkey") === col("p_partkey"))
+      .select(col("l_partkey"), col("l_suppkey"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .sortBy(identity).take(25).toSeq
+    assert(out === expect)
+  }
+
+  test("q230: threshold parts match a double-arithmetic recompute") {
+    val out = CoreQueries.q230ImportantParts(spark, sf0001).collect()
+    assert(out.nonEmpty)
+    val pp = graft.Tables.lineitem(spark, sf0001)
+      .groupBy(col("l_partkey"))
+      .agg(sum(round(col("l_extendedprice") * 100, 0).cast("long"))
+        .as("value_c"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val total = pp.values.map(BigInt(_)).sum
+    val expect = pp.filter { case (_, v) =>
+      BigInt(v) * pp.size * 2 > total * 3 }
+    out.foreach { r =>
+      val (k, v) = (r.getLong(0), expect.get(r.getLong(0)))
+      assert(v.isDefined, s"part $k not above threshold")
+      assert(r.getDouble(1) === v.get.toDouble / 100.0)
+      assert(r.getLong(2) === ((BigInt(v.get) * 10000) / total).toLong)
+    }
+    assert(out.length === math.min(expect.size, 25))
+  }
+
+  test("q231: one nation-pair cell recomputed in double arithmetic") {
+    val out = CoreQueries.q231NationVolume(spark, sf0001).collect()
+    assert(out.nonEmpty)
+    // rows are cross-nation, bounded nations, inside the ship window
+    out.foreach { r =>
+      assert(r.getInt(0) != r.getInt(1))
+      assert(r.getInt(0) < 5 && r.getInt(1) < 5)
+      assert(r.getInt(2) === 1996 || r.getInt(2) === 1997)
+    }
+    val h = out.head
+    val cust = graft.Tables.customer(spark, sf0001)
+      .filter(col("c_nationkey") === h.getInt(1))
+      .select(col("c_custkey"))
+    val supp = graft.Tables.supplier(spark, sf0001)
+      .filter(col("s_nationkey") === h.getInt(0))
+      .select(col("s_suppkey"))
+    val rev = graft.Tables.lineitem(spark, sf0001)
+      .filter(year(col("l_shipdate")) === h.getInt(2))
+      .join(graft.Tables.orders(spark, sf0001),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .join(supp, col("l_suppkey") === col("s_suppkey"))
+      .agg(count(lit(1)).cast("long").as("n"),
+        sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("r"))
+      .head()
+    assert(h.getLong(3) === rev.getLong(0))
+    assert(math.abs(h.getDouble(4) - rev.getDouble(1)) < 0.5)
+  }
+
   test("q228: the two CASE branches partition the year's joined lines") {
     val out = CoreQueries.q228PriorityShipmix(spark, sf0001).collect()
     assert(out.nonEmpty)

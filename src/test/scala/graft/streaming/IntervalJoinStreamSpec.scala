@@ -56,6 +56,36 @@ class IntervalJoinStreamSpec extends SparkSpecBase {
     assert(got.toSeq === Seq((100L, 1L, 7L, 1800000000L)))
   }
 
+  test("left outer: a click-less purchase emits its null row once the watermark clears it") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val input = MemoryStream[(Long, java.sql.Timestamp, String, Long)]
+    val events = input.toDF.toDF("user_id", "ts", "event_type", "event_id")
+    val q = IntervalJoinStream.attributionJoinLeft(events, delay = "1 hour")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("ij_outer").start()
+    // batch 1: a matched pair (u1) and a click-less purchase (u3)
+    input.addData((1L, t("2024-01-01 09:30:00"), "click", 7L),
+      (1L, t("2024-01-01 10:00:00"), "purchase", 100L),
+      (3L, t("2024-01-01 10:30:00"), "purchase", 200L))
+    q.processAllAvailable()
+    // batch 2: 23:00 traffic on both types (same-instant, joins
+    // nothing) pushes both watermarks to 22:00 — past u3's purchase,
+    // so no earlier click can still arrive and its null row must flush
+    input.addData((2L, t("2024-01-01 23:00:00"), "click", 998L),
+      (2L, t("2024-01-01 23:00:00"), "purchase", 999L))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("ij_outer").collect()
+      .map(r => (r.getLong(0),
+        if (r.isNullAt(2)) -1L else r.getLong(2))).toSet
+    // matched pair emitted eagerly; u3's null row after eviction; the
+    // 23:00 pusher purchase is still inside the watermark, NOT emitted
+    assert(got === Set((100L, 7L), (200L, -1L)), got.toString)
+  }
+
   test("a click behind BOTH watermarks is dropped — the evicted pair never appears") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
