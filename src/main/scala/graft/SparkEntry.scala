@@ -296,6 +296,9 @@ object SparkEntry {
       graft.operators.SkewUtils.q232SaltedDistinct(s, d)),
     "q233_interval_pairs" -> ((s, d) =>
       graft.streaming.IntervalJoinStream.q233IntervalPairs(s, d)),
+    "q234_bpe_encode"     -> ((s, d) => TextAnalysisOps.bpeEncode(s, d)),
+    "q235_zorder_cells"   -> ((s, d) =>
+      graft.operators.ZOrder.q235ZorderCells(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

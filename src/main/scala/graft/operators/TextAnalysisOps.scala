@@ -1214,4 +1214,57 @@ object TextAnalysisOps {
     }
     rules.result().reduce(_.union(_)).orderBy(col("merge_rank"))
   }
+
+  /** BPE encoder (q234): apply the [[bpeTrain]]-learned merge table to
+    * the WHOLE corpus and report per-source subword statistics — the
+    * encode step that turns the trainer into a tokenizer kernel
+    * (train on the dict, encode every occurrence). Rules apply in
+    * learned order, one pass each — the standard BPE encode, exact
+    * because round r's pattern can only be built from base symbols
+    * and earlier merges. The merge table rides a broadcast 1-row
+    * frame (NEVER collected to the driver); application is the same
+    * framed-encoding `replace` as the trainer, so trainer and encoder
+    * share one merge semantics by construction.
+    *
+    * Parity: counts are pure integers and the compression ratio is an
+    * exact integer floor (chars·1000 div subwords) — no FP. Scale
+    * shape: one corpus pass (explode + 3 row-local replaces + one
+    * partial-agg rollup to |sources| rows) AFTER the vocabulary-scale
+    * training rounds.
+    */
+  def bpeEncode(spark: SparkSession, dir: String,
+      rounds: Int = 3): DataFrame =
+    bpeEncodeOn(Tables.documents(spark, dir), rounds)
+
+  private[graft] def bpeEncodeOn(docs: DataFrame, rounds: Int): DataFrame = {
+    val rules = bpeTrainOn(docs, rounds)
+    val ruleCols = (1 to rounds).flatMap(r => Seq(
+      max(when(col("merge_rank") === r, col("s1"))).as(s"s1_$r"),
+      max(when(col("merge_rank") === r, col("s2"))).as(s"s2_$r")))
+    val ruleRow = rules.agg(ruleCols.head, ruleCols.tail: _*)
+    val toks = docs
+      .select(col("source"), explode(Text.tokens(col("text"))).as("w"))
+      .filter(length(col("w")) > 0)
+      .select(col("source"), col("w"),
+        concat(lit(" "), concat_ws("  ", split(col("w"), "")),
+          lit(" ")).as("syms"))
+      .crossJoin(broadcast(ruleRow))
+    val applied = (1 to rounds).foldLeft(toks) { (df, r) =>
+      // a degenerate corpus can learn fewer than `rounds` rules — a
+      // null pattern must no-op, not null the whole column
+      df.withColumn("syms", when(col(s"s1_$r").isNull, col("syms"))
+        .otherwise(expr(s"replace(syms, concat(' ', s1_$r, '  ', s2_$r, ' '), " +
+          s"concat(' ', s1_$r, s2_$r, ' '))")))
+    }
+    applied
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_words"),
+        sum(length(col("w"))).as("n_chars"),
+        sum(size(split(trim(col("syms")), "  ")).cast("long"))
+          .as("n_subwords"))
+      .select(col("source"), col("n_words"), col("n_chars"),
+        col("n_subwords"),
+        expr("(n_chars * 1000) div n_subwords").as("compression_milli"))
+      .orderBy(col("source"))
+  }
 }

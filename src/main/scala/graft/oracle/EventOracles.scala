@@ -474,6 +474,23 @@ private[graft] object EventOracles {
       """SELECT event_type,
            CAST(count(DISTINCT props) AS BIGINT) AS n_distinct
          FROM events GROUP BY 1 ORDER BY 1""",
+    // q235: z-cell occupancy — the SAME Morton bit-interleave formula
+    // as the engine (interpolated from ZOrder.zValueSql, so the two
+    // cannot drift), pure integer arithmetic
+    "q235_zorder_cells" ->
+      (s"""WITH g AS (
+           SELECT CAST(user_id % 256 AS BIGINT) AS ucell,
+             CAST(day(ts) AS BIGINT) AS dcell
+           FROM events),
+         zz AS (SELECT ucell, dcell,
+             CAST(${graft.operators.ZOrder.zValueSql("ucell", "dcell")}
+               AS BIGINT) AS z
+           FROM g)
+         SELECT CAST(z // 64 AS BIGINT) AS zcell, count(*) AS n_events,
+           CAST(count(DISTINCT ucell) AS BIGINT) AS n_users,
+           CAST(count(DISTINCT dcell) AS BIGINT) AS n_days,
+           min(z) AS min_z, max(z) AS max_z
+         FROM zz GROUP BY 1 ORDER BY 1"""),
     // q233: batch twin of the stream-stream interval join — every
     // (purchase, prior click ≤ 6 h) pair, integer µs latency
     "q233_interval_pairs" ->

@@ -7,6 +7,51 @@ import OracleCtes._
   * SparkEntry registry (round-9 reviewability split).
   */
 private[graft] object TextOracles {
+
+  /** The q225 training rounds (3 MATERIALIZED merge rounds over the
+    * word-frequency dict, framed two-space symbol encoding) — shared
+    * verbatim by the q225 trainer gate and the q234 encoder gate so
+    * the two oracles cannot drift on merge semantics.
+    */
+  private val bpeRoundsCte: String =
+    """w0 AS MATERIALIZED (
+           SELECT ' ' || rtrim(regexp_replace(w, '(.)', '\1  ', 'g'))
+               || ' ' AS syms,
+             count(*) AS n
+           FROM (SELECT unnest(string_split(
+               regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS w
+             FROM documents)
+           GROUP BY 1),
+         p1 AS (SELECT a[i] AS s1, a[i+1] AS s2,
+             CAST(sum(n) AS BIGINT) AS cnt
+           FROM (SELECT string_split(trim(syms), '  ') AS a, n FROM w0) s,
+             unnest(generate_series(1, len(a) - 1)) AS u(i)
+           GROUP BY 1, 2),
+         t1 AS MATERIALIZED (
+           SELECT * FROM p1 ORDER BY cnt DESC, s1, s2 LIMIT 1),
+         w1 AS MATERIALIZED (
+           SELECT replace(syms, ' ' || s1 || '  ' || s2 || ' ',
+               ' ' || s1 || s2 || ' ') AS syms, n
+           FROM w0 CROSS JOIN t1),
+         p2 AS (SELECT a[i] AS s1, a[i+1] AS s2,
+             CAST(sum(n) AS BIGINT) AS cnt
+           FROM (SELECT string_split(trim(syms), '  ') AS a, n FROM w1) s,
+             unnest(generate_series(1, len(a) - 1)) AS u(i)
+           GROUP BY 1, 2),
+         t2 AS MATERIALIZED (
+           SELECT * FROM p2 ORDER BY cnt DESC, s1, s2 LIMIT 1),
+         w2 AS MATERIALIZED (
+           SELECT replace(syms, ' ' || s1 || '  ' || s2 || ' ',
+               ' ' || s1 || s2 || ' ') AS syms, n
+           FROM w1 CROSS JOIN t2),
+         p3 AS (SELECT a[i] AS s1, a[i+1] AS s2,
+             CAST(sum(n) AS BIGINT) AS cnt
+           FROM (SELECT string_split(trim(syms), '  ') AS a, n FROM w2) s,
+             unnest(generate_series(1, len(a) - 1)) AS u(i)
+           GROUP BY 1, 2),
+         t3 AS MATERIALIZED (
+           SELECT * FROM p3 ORDER BY cnt DESC, s1, s2 LIMIT 1)"""
+
   val sql: Map[String, String] = Map(
     "q38_rolling_fp" ->
       """SELECT count(*) AS n_docs,
@@ -562,45 +607,40 @@ private[graft] object TextOracles {
     // non-overlapping in both engines, so the rounds are semantics-
     // identical. Argmax order (cnt DESC, s1, s2) is total.
     "q225_bpe_train" ->
-      """WITH w0 AS MATERIALIZED (
-           SELECT ' ' || rtrim(regexp_replace(w, '(.)', '\1  ', 'g'))
-               || ' ' AS syms,
-             count(*) AS n
-           FROM (SELECT unnest(string_split(
-               regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS w
-             FROM documents)
-           GROUP BY 1),
-         p1 AS (SELECT a[i] AS s1, a[i+1] AS s2,
-             CAST(sum(n) AS BIGINT) AS cnt
-           FROM (SELECT string_split(trim(syms), '  ') AS a, n FROM w0) s,
-             unnest(generate_series(1, len(a) - 1)) AS u(i)
-           GROUP BY 1, 2),
-         t1 AS MATERIALIZED (
-           SELECT * FROM p1 ORDER BY cnt DESC, s1, s2 LIMIT 1),
-         w1 AS MATERIALIZED (
-           SELECT replace(syms, ' ' || s1 || '  ' || s2 || ' ',
-               ' ' || s1 || s2 || ' ') AS syms, n
-           FROM w0 CROSS JOIN t1),
-         p2 AS (SELECT a[i] AS s1, a[i+1] AS s2,
-             CAST(sum(n) AS BIGINT) AS cnt
-           FROM (SELECT string_split(trim(syms), '  ') AS a, n FROM w1) s,
-             unnest(generate_series(1, len(a) - 1)) AS u(i)
-           GROUP BY 1, 2),
-         t2 AS MATERIALIZED (
-           SELECT * FROM p2 ORDER BY cnt DESC, s1, s2 LIMIT 1),
-         w2 AS MATERIALIZED (
-           SELECT replace(syms, ' ' || s1 || '  ' || s2 || ' ',
-               ' ' || s1 || s2 || ' ') AS syms, n
-           FROM w1 CROSS JOIN t2),
-         p3 AS (SELECT a[i] AS s1, a[i+1] AS s2,
-             CAST(sum(n) AS BIGINT) AS cnt
-           FROM (SELECT string_split(trim(syms), '  ') AS a, n FROM w2) s,
-             unnest(generate_series(1, len(a) - 1)) AS u(i)
-           GROUP BY 1, 2),
-         t3 AS (SELECT * FROM p3 ORDER BY cnt DESC, s1, s2 LIMIT 1)
+      ("WITH " + bpeRoundsCte + """
          SELECT 1 AS merge_rank, s1, s2, cnt AS n_merge FROM t1
          UNION ALL SELECT 2, s1, s2, cnt FROM t2
          UNION ALL SELECT 3, s1, s2, cnt FROM t3
-         ORDER BY merge_rank"""
+         ORDER BY merge_rank"""),
+    // q234: BPE encoder — replay the q225 training rounds, then apply
+    // the three learned rules IN ORDER to every word occurrence (the
+    // same framed-encoding replace), rolling up per-source subword
+    // stats; compression is an exact integer floor
+    "q234_bpe_encode" ->
+      ("WITH " + bpeRoundsCte + """,
+         tok AS (SELECT source, w FROM (
+             SELECT source, unnest(string_split(
+               regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' '))
+               AS w
+             FROM documents)
+           WHERE len(w) > 0),
+         enc AS (SELECT source, w,
+             replace(replace(replace(
+               ' ' || rtrim(regexp_replace(w, '(.)', '\1  ', 'g')) || ' ',
+               ' ' || t1.s1 || '  ' || t1.s2 || ' ',
+               ' ' || t1.s1 || t1.s2 || ' '),
+               ' ' || t2.s1 || '  ' || t2.s2 || ' ',
+               ' ' || t2.s1 || t2.s2 || ' '),
+               ' ' || t3.s1 || '  ' || t3.s2 || ' ',
+               ' ' || t3.s1 || t3.s2 || ' ') AS syms
+           FROM tok CROSS JOIN t1 CROSS JOIN t2 CROSS JOIN t3)
+         SELECT source, count(*) AS n_words,
+           CAST(sum(len(w)) AS BIGINT) AS n_chars,
+           CAST(sum(len(string_split(trim(syms), '  '))) AS BIGINT)
+             AS n_subwords,
+           CAST((CAST(sum(len(w)) AS BIGINT) * 1000) //
+             CAST(sum(len(string_split(trim(syms), '  '))) AS BIGINT)
+             AS BIGINT) AS compression_milli
+         FROM enc GROUP BY 1 ORDER BY 1""")
   )
 }

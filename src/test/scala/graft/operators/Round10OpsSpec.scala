@@ -44,6 +44,22 @@ class Round10OpsSpec extends SparkSpecBase {
     assert(got.toSeq === Seq((1, "e", "r", 10L), (2, "er", "er", 5L)))
   }
 
+  test("bpeEncode: learned rules applied in order, hand-traced subword counts") {
+    // the boundary fixture (see boundaryDocs): rules (x,e), (e,r), (xe,r)
+    // encode "xe"->[xe] (1), "er"->[er] (1), "xer"->[xer] (1 — rule 3
+    // merges the round-1 output [xe, r])
+    val docs = boundaryDocs.withColumn("source", lit("fix"))
+    val out = TextAnalysisOps.bpeEncodeOn(docs, rounds = 3).collect()
+    assert(out.length === 1)
+    val r = out.head
+    // 19 words: 10 "xe" (2 chars) + 6 "er" (2) + 3 "xer" (3) = 41 chars
+    assert(r.getLong(1) === 19L)
+    assert(r.getLong(2) === 41L)
+    // every word encodes to ONE subword under the three learned rules
+    assert(r.getLong(3) === 19L)
+    assert(r.getLong(4) === 41L * 1000L / 19L)
+  }
+
   test("rrfFusion: fused ranking recomputes from the two input lists") {
     def recip(rk: Int): Long = if (rk == 0) 0L else 1000000L / (60L + rk)
     val sparse = RetrievalOps.bm25TopK(spark, sf0001, 5, 3, 25).collect()

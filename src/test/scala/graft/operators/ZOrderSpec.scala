@@ -1,0 +1,69 @@
+package graft.operators
+
+import graft.SparkSpecBase
+import org.apache.spark.sql.functions._
+
+class ZOrderSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("zValue: hand-computed Morton interleaves") {
+    // z(a, b) interleaves a into even bits, b into odd bits
+    val rows = Seq((0, 0), (1, 0), (0, 1), (1, 1), (3, 0), (0, 3),
+      (255, 255), (170, 85)).toDF("a", "b")
+    val got = rows.select(ZOrder.zValue(col("a"), col("b")).as("z"))
+      .collect().map(_.getInt(0)).toSeq
+    // 170 = 10101010b -> even bits 0b0100010001000100_0? compute:
+    // a=170 contributes bits at even positions of its set bits (1,3,5,7)
+    // -> 2,6,10,14; b=85 (bits 0,2,4,6) -> odd positions 1,5,9,13
+    val z170_85 = Seq(2, 6, 10, 14).map(1 << _).sum +
+      Seq(1, 5, 9, 13).map(1 << _).sum
+    assert(got === Seq(0, 1, 2, 3, 5, 10, 65535, z170_85))
+  }
+
+  test("z-order layout prunes 2-D range queries better than either single dim") {
+    // the layout claim itself, measured with min/max pruning semantics
+    // on the real sf0.1 events grid (u = user mod 256, d = 6-minute-of
+    // -day, both ~256 wide — z-order needs both dims FINE; day-of-month
+    // alone is 30-coarse and a single-dim layout ties it): split the
+    // rows into 64 equal-count files by each sort key, record each
+    // file's (u, d) min/max box, and count files a query rectangle
+    // CANNOT prune. DuckDB-probed totals: z 261 vs u-layout 507 vs
+    // d-layout 682 — z nearly halves the better single dimension and
+    // wins the mixed-rectangle class outright (80 vs ~146).
+    val rows = graft.Tables.events(spark, "/root/testdata/sf0.1")
+      .select(pmod(col("user_id"), lit(256L)).cast("int").as("u"),
+        ((hour(col("ts")) * 60 + minute(col("ts"))) / 6).cast("int").as("d"))
+      .select(col("u"), col("d"),
+        ZOrder.zValue(col("u"), col("d")).as("z"))
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getInt(2)))
+    def boxes(key: ((Int, Int, Int)) => Int): Seq[(Int, Int, Int, Int)] =
+      rows.sortBy(key).grouped(math.ceil(rows.length / 64.0).toInt)
+        .map { p => (p.map(_._1).min, p.map(_._1).max,
+          p.map(_._2).min, p.map(_._2).max) }.toSeq
+    def touched(b: Seq[(Int, Int, Int, Int)], qu: (Int, Int),
+        qd: (Int, Int)): Int =
+      b.count { case (u0, u1, d0, d1) =>
+        !(u1 < qu._1 || u0 > qu._2 || d1 < qd._1 || d0 > qd._2) }
+    def total(b: Seq[(Int, Int, Int, Int)]): Int = {
+      val uBands = (0 until 256 by 32).map(a => touched(b, (a, a + 15), (0, 239))).sum
+      val dBands = (0 until 240 by 48).map(a => touched(b, (0, 255), (a, a + 15))).sum
+      val rects = (for (a <- 0 until 256 by 64; c <- 0 until 240 by 60)
+        yield touched(b, (a, a + 31), (c, c + 31))).sum
+      uBands + dBands + rects
+    }
+    val (zT, uT, dT) = (total(boxes(_._3)), total(boxes(_._1)), total(boxes(_._2)))
+    assert(zT * 3 < uT * 2 && zT * 3 < dT * 2,
+      s"z=$zT u=$uT d=$dT — z-order must beat both single dims by ≥1.5×")
+  }
+
+  test("q235 cells: zcell ranges nest and counts add up to the corpus") {
+    val out = ZOrder.q235ZorderCells(spark, sf0001).collect()
+    assert(out.nonEmpty)
+    val total = graft.Tables.events(spark, sf0001).count()
+    assert(out.map(_.getLong(1)).sum === total)
+    out.foreach { r =>
+      val (zc, mn, mx) = (r.getLong(0), r.getLong(4), r.getLong(5))
+      assert(mn >= zc * 64 && mx < (zc + 1) * 64 && mn <= mx)
+    }
+  }
+}
