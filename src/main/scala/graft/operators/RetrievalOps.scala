@@ -63,32 +63,54 @@ object RetrievalOps {
     * (k1 = 1.2, b = 0.75, idf = ln((N − df + ½)/(df + ½) + 1)) and the
     * top `k` hits per query are returned.
     */
-  def bm25TopK(spark: SparkSession, dir: String,
-      nQueries: Int = DefaultNQueries, nTerms: Int = DefaultNTerms,
-      k: Int = DefaultK): DataFrame =
-    bm25TopKOn(Tables.documents(spark, dir), nQueries, nTerms, k)
+  private val postingsCache =
+    SessionCaches.newCache[(SparkSession, String)]()
 
-  /** [[bm25TopK]] over an explicit `(doc_id, text)` frame — the spec
-    * surface for adversarial corpora with known ranking structure.
+  /** The corpus inverted index `(doc_id, dl, tok, tf)`, session-cached
+    * and persisted: the ONE corpus-scale shuffle of the retrieval
+    * stack, shared by the q89 BM25 gate and the q226 RRF fusion (which
+    * re-runs BM25 at k=25) — exactly the index a production deployment
+    * materializes once and reuses across query batches. Registry-
+    * tracked, so ScalingBench eviction still measures full pipelines.
     */
-  private[graft] def bm25TopKOn(docs0: DataFrame, nQueries: Int = 5,
-      nTerms: Int = 3, k: Int = 5): DataFrame = {
-    val docs = docs0
+  private def cachedPostings(spark: SparkSession, dir: String): DataFrame =
+    SessionCaches.cached(postingsCache, (spark, dir))(
+      postingsOf(Tables.documents(spark, dir)).persist())
+
+  /** postings build: dl rides the groupBy key (it is functionally
+    * dependent on doc_id) so no second corpus pass or join is needed
+    * to recover document length at scoring time.
+    */
+  private def postingsOf(docs0: DataFrame): DataFrame =
+    docs0
       .select(col("doc_id"), Text.tokens(col("text")).as("toks"))
       .select(col("doc_id"), size(col("toks")).cast("long").as("dl"),
         col("toks"))
-
-    // postings (doc_id, dl, tok, tf): dl rides the groupBy key (it is
-    // functionally dependent on doc_id) so no second corpus pass or join
-    // is needed to recover document length at scoring time
-    val postings = docs
       .select(col("doc_id"), col("dl"), explode(col("toks")).as("tok"))
       .groupBy(col("doc_id"), col("dl"), col("tok"))
       .agg(count(lit(1)).as("tf"))
 
-    // corpus stats: exact ints -> avgdl is one deterministic division
-    val stats = docs.agg(count(lit(1)).as("n_docs"),
-      sum(col("dl")).as("sum_dl"))
+  def bm25TopK(spark: SparkSession, dir: String,
+      nQueries: Int = DefaultNQueries, nTerms: Int = DefaultNTerms,
+      k: Int = DefaultK): DataFrame =
+    bm25OnPostings(cachedPostings(spark, dir), nQueries, nTerms, k)
+
+  /** [[bm25TopK]] over an explicit `(doc_id, text)` frame — the spec
+    * surface for adversarial corpora with known ranking structure
+    * (bypasses the cache: an ad-hoc frame has no identity to key on).
+    */
+  private[graft] def bm25TopKOn(docs0: DataFrame, nQueries: Int = 5,
+      nTerms: Int = 3, k: Int = 5): DataFrame =
+    bm25OnPostings(postingsOf(docs0), nQueries, nTerms, k)
+
+  private def bm25OnPostings(postings: DataFrame, nQueries: Int,
+      nTerms: Int, k: Int): DataFrame = {
+    // corpus stats from the index itself: one row per doc (dl is
+    // functionally dependent on doc_id, and every doc owns >= 1
+    // posting — an empty text still tokenizes to [""]), so these are
+    // the SAME exact integers the docs-level aggregate produced
+    val stats = postings.select(col("doc_id"), col("dl")).distinct()
+      .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
 
     // query terms: per query doc, top-nTerms tokens (tf desc, tok asc)
     val wq = Window.partitionBy(col("qid"))
