@@ -299,6 +299,8 @@ object SparkEntry {
     "q234_bpe_encode"     -> ((s, d) => TextAnalysisOps.bpeEncode(s, d)),
     "q235_zorder_cells"   -> ((s, d) =>
       graft.operators.ZOrder.q235ZorderCells(s, d)),
+    "q236_dominant_suppliers" -> ((s, d) =>
+      CoreQueries.q236DominantSuppliers(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

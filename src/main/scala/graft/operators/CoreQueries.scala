@@ -1732,6 +1732,48 @@ object CoreQueries {
       .orderBy(col("supp_nation"), col("cust_nation"), col("ship_year"))
   }
 
+  /** Dominant suppliers (q236, the TPC-H Q20 shape, adapted): suppliers
+    * who shipped the MAJORITY of a year's quantity for at least
+    * `minParts` name-filtered parts — the nested semi chain: part
+    * name-prefix filter ⋉ per-(part, supplier) year aggregate ⋈ its own
+    * per-part re-aggregate (the correlated half-of-total threshold,
+    * cross-multiplied integers) ⋉ supplier. The synthetic schema has no
+    * partsupp/availqty, so "excess stock" becomes "majority of the
+    * part's shipped quantity" — same chain, same threshold-against-
+    * correlated-sum plan.
+    *
+    * Scale shape: ONE lineitem shuffle on (partkey, suppkey) with the
+    * ship-year filter and the name-prefix semi (broadcast part keys)
+    * both applied BEFORE it; the per-part total re-aggregates the
+    * ALREADY-AGGREGATED relation, and Catalyst reuses the exchange for
+    * both branches of the self-join. Supplier names broadcast. Pure
+    * integer quantities; (s_suppkey) order is total.
+    */
+  def q236DominantSuppliers(spark: SparkSession, dir: String,
+      yStart: String = "1997-01-01", yEnd: String = "1998-01-01",
+      namePrefix: String = "small", minParts: Int = 2): DataFrame = {
+    val namedParts = Tables.part(spark, dir)
+      .filter(col("p_name").startsWith(namePrefix))
+      .select(col("p_partkey"))
+    val ps = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit(yStart) && col("l_shipdate") < lit(yEnd))
+      .join(broadcast(namedParts), col("l_partkey") === col("p_partkey"),
+        "left_semi")
+      .groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(sum(round(col("l_quantity"), 0).cast("long")).as("qty"))
+    val pt = ps.groupBy(col("l_partkey")).agg(sum(col("qty")).as("total"))
+    ps.join(pt, Seq("l_partkey"))
+      .filter(col("qty") * 2L > col("total"))
+      .groupBy(col("l_suppkey"))
+      .agg(count(lit(1)).as("n_dominated"))
+      .filter(col("n_dominated") >= minParts)
+      .join(broadcast(Tables.supplier(spark, dir)
+        .select(col("s_suppkey"), col("s_name"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("n_dominated"))
+      .orderBy(col("s_suppkey"))
+  }
+
   def q214TopSupplier(spark: SparkSession, dir: String,
       qStart: String = "1996-01-01", qEnd: String = "1996-04-01"): DataFrame = {
     val rev = Tables.lineitem(spark, dir)

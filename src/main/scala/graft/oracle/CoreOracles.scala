@@ -939,6 +939,29 @@ private[graft] object CoreOracles {
          FROM pp CROSS JOIN t
          WHERE value_c * n_parts * 2 > total_c * 3
          ORDER BY part_value DESC, l_partkey LIMIT 25""",
+    // q236: TPC-H Q20 shape — nested semi chain with the correlated
+    // half-of-total threshold cross-multiplied on the integer grid
+    "q236_dominant_suppliers" ->
+      """WITH sm AS (SELECT p_partkey FROM part
+                     WHERE p_name LIKE 'small%'),
+         ps AS (
+           SELECT l_partkey, l_suppkey,
+             CAST(sum(CAST(round(l_quantity, 0) AS BIGINT)) AS BIGINT)
+               AS qty
+           FROM lineitem JOIN sm ON l_partkey = p_partkey
+           WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+             AND l_shipdate < TIMESTAMP '1998-01-01'
+           GROUP BY 1, 2),
+         pt AS (SELECT l_partkey, CAST(sum(qty) AS BIGINT) AS total
+                FROM ps GROUP BY 1),
+         dom AS (SELECT ps.l_suppkey FROM ps JOIN pt USING (l_partkey)
+                 WHERE ps.qty * 2 > pt.total),
+         agg AS (SELECT l_suppkey, count(*) AS n_dominated
+                 FROM dom GROUP BY 1)
+         SELECT s_suppkey, s_name, n_dominated
+         FROM agg JOIN supplier ON l_suppkey = s_suppkey
+         WHERE n_dominated >= 2
+         ORDER BY s_suppkey""",
     // q231: TPC-H Q7 shape — supplier-nation × customer-nation revenue
     // by ship year, cross-nation only, first-5 nations each side
     "q231_nation_volume" ->

@@ -551,6 +551,16 @@ class PlanSpec extends SparkSpecBase {
     assert(plan.contains("EqualTo(event_type,click)"), plan)
   }
 
+  test("q236: name prefix pushed to the part scan; chain stays semi+joins") {
+    val plan = executed("q236_dominant_suppliers")
+    assert(!plan.contains("CartesianProduct"), plan)
+    // the prefix filter must reach the parquet part scan, so the semi
+    // build side is pruned keys, and the year filter the lineitem scan
+    assert(plan.contains("StringStartsWith(p_name,small"), plan)
+    assert(plan.contains("GreaterThanOrEqual(l_shipdate,1997-01-01"), plan)
+    assert(plan.contains("LeftSemi"), plan)
+  }
+
   test("q207: nDCG is one broadcast-query corpus scan, no cartesian") {
     val plan = executed("q207_ndcg_label")
     assert(!plan.contains("CartesianProduct"), plan)

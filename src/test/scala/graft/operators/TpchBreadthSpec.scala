@@ -261,6 +261,29 @@ class TpchBreadthSpec extends SparkSpecBase {
     assert(math.abs(h.getDouble(4) - rev.getDouble(1)) < 0.5)
   }
 
+  test("q236: dominance chain matches a window-total recompute") {
+    val out = CoreQueries.q236DominantSuppliers(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(out.nonEmpty)
+    // independent path: window total per part instead of agg-rejoin
+    import org.apache.spark.sql.expressions.Window
+    val expect = graft.Tables.lineitem(spark, sf0001)
+      .filter(col("l_shipdate") >= lit("1997-01-01") &&
+        col("l_shipdate") < lit("1998-01-01"))
+      .join(graft.Tables.part(spark, sf0001)
+        .filter(col("p_name").startsWith("small")),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(sum(round(col("l_quantity"), 0).cast("long")).as("qty"))
+      .withColumn("total",
+        sum(col("qty")).over(Window.partitionBy(col("l_partkey"))))
+      .filter(col("qty") * 2L > col("total"))
+      .groupBy(col("l_suppkey")).agg(count(lit(1)).as("n"))
+      .filter(col("n") >= 2L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out === expect)
+  }
+
   test("q228: the two CASE branches partition the year's joined lines") {
     val out = CoreQueries.q228PriorityShipmix(spark, sf0001).collect()
     assert(out.nonEmpty)
