@@ -301,6 +301,7 @@ object SparkEntry {
       graft.operators.ZOrder.q235ZorderCells(s, d)),
     "q236_dominant_suppliers" -> ((s, d) =>
       CoreQueries.q236DominantSuppliers(s, d)),
+    "q237_nation_profit"  -> ((s, d) => CoreQueries.q237NationProfit(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

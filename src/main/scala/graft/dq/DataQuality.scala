@@ -154,4 +154,35 @@ object DataQuality {
       .reduce(_.unionByName(_))
       .orderBy(col("edge"))
   }
+
+  /** ZERO-COST in-flight DQ counters via `Dataset.observe` — the
+    * production alternative to [[nullKeys]]' separate aggregate pass:
+    * the metrics ride the SAME job that writes/consumes the frame (one
+    * scan total), collected on the driver through the Observation
+    * accumulator when the action finishes. Attach before the terminal
+    * action; read after:
+    *
+    * {{{
+    * val (obs, framed) = DataQuality.observedNullCounts(df, Seq("k1"))
+    * framed.write.parquet(out)          // the ONLY pass over the data
+    * val rows = obs.get("rows"); val nulls = obs.get("null_k1")
+    * }}}
+    *
+    * The spec gates the observed values against the standalone
+    * [[nullKeys]] aggregate — the two paths must agree cell-for-cell
+    * — and the type-aware isnan rule is shared (the reference's
+    * crash-on-dates bug stays designed out on this path too).
+    */
+  def observedNullCounts(df: DataFrame,
+      cols: Seq[String]): (org.apache.spark.sql.Observation, DataFrame) = {
+    require(cols.nonEmpty, "observe at least one column")
+    val numeric = df.schema.fields
+      .filter(f => f.dataType.isInstanceOf[NumericType]).map(_.name).toSet
+    val obs = org.apache.spark.sql.Observation()
+    val metrics = count(lit(1)).as("rows") +: cols.map { c =>
+      val pred = if (numeric(c)) col(c).isNull || isnan(col(c)) else col(c).isNull
+      count(when(pred, lit(1))).as(s"null_$c")
+    }
+    (obs, df.observe(obs, metrics.head, metrics.tail: _*))
+  }
 }

@@ -1774,6 +1774,49 @@ object CoreQueries {
       .orderBy(col("s_suppkey"))
   }
 
+  /** Product-line profit (q237, the TPC-H Q9 shape, adapted): per
+    * supplier nation × order year, the margin on parts whose name
+    * contains a token — the many-join profit rollup (lineitem ⋈ part ⋈
+    * orders ⋈ supplier ⋈ nation). The synthetic schema has no
+    * ps_supplycost, so unit cost is the part's retail price — the same
+    * plan, an integer-exact margin: `rev_cp − qty · retail_c · 100`
+    * keeps everything on the cent·pct grid until the one display
+    * division.
+    *
+    * Scale shape: the fact join is lineitem⋈orders on the order key
+    * (the only corpus-scale shuffle); part (name filter PUSHED to its
+    * scan — PlanSpec pins the StringContains), supplier, and nation
+    * all broadcast. Output is |nations| × |years|.
+    */
+  def q237NationProfit(spark: SparkSession, dir: String,
+      nameToken: String = "red"): DataFrame = {
+    val parts = Tables.part(spark, dir)
+      .filter(col("p_name").contains(nameToken))
+      .select(col("p_partkey"),
+        round(col("p_retailprice") * 100, 0).cast("long").as("retail_c"))
+    Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+        revenueCentPct.as("rev_cp"),
+        round(col("l_quantity"), 0).cast("long").as("qty"))
+      .join(broadcast(parts), col("l_partkey") === col("p_partkey"))
+      .join(Tables.orders(spark, dir)
+        .select(col("o_orderkey"), year(col("o_orderdate")).as("o_year")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.supplier(spark, dir)
+        .select(col("s_suppkey"), col("s_nationkey"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(Tables.nation(spark, dir)
+        .select(col("n_nationkey"), col("n_name"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name").as("nation"), col("o_year"))
+      .agg(count(lit(1)).as("n_lines"),
+        sum(col("rev_cp") - col("qty") * col("retail_c") * lit(100L))
+          .as("profit_cp"))
+      .select(col("nation"), col("o_year"), col("n_lines"),
+        round(col("profit_cp").cast("double") / 10000.0, 2).as("profit"))
+      .orderBy(col("nation"), col("o_year").desc)
+  }
+
   def q214TopSupplier(spark: SparkSession, dir: String,
       qStart: String = "1996-01-01", qEnd: String = "1996-04-01"): DataFrame = {
     val rev = Tables.lineitem(spark, dir)

@@ -962,6 +962,23 @@ private[graft] object CoreOracles {
          FROM agg JOIN supplier ON l_suppkey = s_suppkey
          WHERE n_dominated >= 2
          ORDER BY s_suppkey""",
+    // q237: TPC-H Q9 shape — many-join margin rollup on the cent·pct
+    // grid (unit cost = retail price; no ps_supplycost in the schema)
+    "q237_nation_profit" ->
+      """SELECT n_name AS nation, CAST(year(o_orderdate) AS INT) AS o_year,
+           count(*) AS n_lines,
+           round(CAST(sum(
+             CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+               * (100 - CAST(round(l_discount * 100, 0) AS BIGINT))
+             - CAST(round(l_quantity, 0) AS BIGINT)
+               * CAST(round(p_retailprice * 100, 0) AS BIGINT) * 100
+           ) AS DOUBLE) / 10000.0, 2) AS profit
+         FROM lineitem
+         JOIN part ON l_partkey = p_partkey AND p_name LIKE '%red%'
+         JOIN orders ON l_orderkey = o_orderkey
+         JOIN supplier ON l_suppkey = s_suppkey
+         JOIN nation ON s_nationkey = n_nationkey
+         GROUP BY 1, 2 ORDER BY nation, o_year DESC""",
     // q231: TPC-H Q7 shape — supplier-nation × customer-nation revenue
     // by ship year, cross-nation only, first-5 nations each side
     "q231_nation_volume" ->

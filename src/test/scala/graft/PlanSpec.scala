@@ -561,6 +561,13 @@ class PlanSpec extends SparkSpecBase {
     assert(plan.contains("LeftSemi"), plan)
   }
 
+  test("q237: name token pushed to the part scan; dims broadcast") {
+    val plan = executed("q237_nation_profit")
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(plan.contains("StringContains(p_name,red"), plan)
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
   test("q207: nDCG is one broadcast-query corpus scan, no cartesian") {
     val plan = executed("q207_ndcg_label")
     assert(!plan.contains("CartesianProduct"), plan)

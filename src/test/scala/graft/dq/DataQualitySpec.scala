@@ -34,4 +34,23 @@ class DataQualitySpec extends SparkSpecBase {
     val rep = DataQuality.check("i94_trips", trips, Seq("custom_client_id", "admissions_number"))
     assert(rep.passed)
   }
+
+  test("observe: in-flight counters agree with the standalone nullKeys pass") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val df = Seq[(java.lang.Long, java.lang.Double, String)](
+      (1L, 1.5, "a"), (null, Double.NaN, null), (3L, null, "c"),
+      (4L, 2.5, null))
+      .toDF("k", "v", "s")
+    val (obs, framed) = DataQuality.observedNullCounts(df, Seq("k", "v", "s"))
+    // the metrics ride the terminal action itself — one scan total
+    framed.write.mode("overwrite").format("noop").save()
+    val m = obs.get
+    assert(m("rows") === 4L)
+    // type-aware: NaN counts for the numeric column, not the string
+    assert(m("null_k") === 1L && m("null_v") === 2L && m("null_s") === 2L)
+    val standalone = DataQuality.nullKeys(df, Seq("k", "v", "s"))
+      .map(r => s"null_${r.column}" -> r.nullCount).toMap
+    assert(standalone === m.view.filterKeys(_ != "rows").toMap)
+  }
 }

@@ -284,6 +284,37 @@ class TpchBreadthSpec extends SparkSpecBase {
     assert(out === expect)
   }
 
+  test("q237: one nation-year profit cell recomputed in double arithmetic") {
+    val out = CoreQueries.q237NationProfit(spark, sf0001).collect()
+    assert(out.nonEmpty)
+    // nation ascending, year descending within nation
+    out.sliding(2).foreach {
+      case Array(a, b) =>
+        val (na, nb) = (a.getString(0), b.getString(0))
+        assert(na < nb || (na == nb && a.getInt(1) > b.getInt(1)))
+      case _ =>
+    }
+    val h = out.head
+    val cell = graft.Tables.lineitem(spark, sf0001)
+      .join(graft.Tables.part(spark, sf0001)
+        .filter(col("p_name").contains("red")),
+        col("l_partkey") === col("p_partkey"))
+      .join(graft.Tables.orders(spark, sf0001)
+        .filter(year(col("o_orderdate")) === h.getInt(1)),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(graft.Tables.supplier(spark, sf0001),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(graft.Tables.nation(spark, sf0001)
+        .filter(col("n_name") === h.getString(0)),
+        col("s_nationkey") === col("n_nationkey"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("l_extendedprice") * (lit(1.0) - col("l_discount")) -
+          round(col("l_quantity"), 0) * col("p_retailprice")).as("p"))
+      .head()
+    assert(h.getLong(2) === cell.getLong(0))
+    assert(math.abs(h.getDouble(3) - cell.getDouble(1)) < 0.5)
+  }
+
   test("q228: the two CASE branches partition the year's joined lines") {
     val out = CoreQueries.q228PriorityShipmix(spark, sf0001).collect()
     assert(out.nonEmpty)
