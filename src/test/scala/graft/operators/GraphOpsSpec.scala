@@ -103,9 +103,10 @@ class GraphOpsSpec extends SparkSpecBase {
     DedupOps.clearSessionCaches(spark)
     val before = SessionCaches.entryCount(spark)
     assert(GraphOps.pageRank(spark, sf0001).count() > 0)
-    // exactly one new registry entry: the (dir, minSupport, cap) pair grid
+    // exactly two new registry entries: the (dir, minSupport, cap) pair
+    // grid plus PageRank's degree-annotated edge relation layered on it
     val afterFirst = SessionCaches.entryCount(spark)
-    assert(afterFirst === before + 1)
+    assert(afterFirst === before + 2)
     // the other four operators (and a repeat) ride the SAME entry — the
     // round-9 audit measured five independent ~2 s edge rebuilds here
     assert(GraphOps.triangleCount(spark, sf0001).count() > 0)
