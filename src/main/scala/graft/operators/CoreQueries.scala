@@ -817,10 +817,9 @@ object CoreQueries {
     * aliasing up to 2^31-1 and no sign-bit hazard).
     */
   def mortonCol(p: Column, s: Column): Column =
-    (0 until 31).map { i =>
-      shiftleft(shiftright(p, i).bitwiseAND(lit(1L)), 2 * i) +
-        shiftleft(shiftright(s, i).bitwiseAND(lit(1L)), 2 * i + 1)
-    }.reduce(_ + _)
+    // delegates to the shared Morton tree (bitwiseOR ≡ + on disjoint
+    // bit positions, so the q132 cells are bit-identical)
+    ZOrder.zValue(p, s, bits = 31)
 
   def q132ZorderLayout(spark: SparkSession, dir: String,
       rangeShift: Int = 14): DataFrame = {

@@ -20,13 +20,16 @@ object ZOrder {
   /** Morton interleave of two `bits`-bit non-negative cell coordinates
     * — a pure bitwise Catalyst expression tree (codegen'd; `>> & <<`
     * are engine-exact on non-negative integers, so the oracle replays
-    * the identical arithmetic).
+    * the identical arithmetic). LONG-typed throughout (2·31 = 62
+    * result bits fit). This is the ONE Morton implementation: q235's
+    * 8-bit event grid and q132's 31-bit lineitem layout
+    * ([[CoreQueries.mortonCol]]) both delegate here.
     */
   def zValue(a: Column, b: Column, bits: Int = 8): Column = {
-    require(bits >= 1 && bits <= 16, s"bits must be in [1,16], got $bits")
+    require(bits >= 1 && bits <= 31, s"bits must be in [1,31], got $bits")
     (0 until bits).map { i =>
-      shiftleft(shiftright(a, i).bitwiseAND(lit(1)), 2 * i)
-        .bitwiseOR(shiftleft(shiftright(b, i).bitwiseAND(lit(1)), 2 * i + 1))
+      shiftleft(shiftright(a, i).bitwiseAND(lit(1L)), 2 * i)
+        .bitwiseOR(shiftleft(shiftright(b, i).bitwiseAND(lit(1L)), 2 * i + 1))
     }.reduce(_ bitwiseOR _)
   }
 

@@ -11,13 +11,13 @@ class ZOrderSpec extends SparkSpecBase {
     val rows = Seq((0, 0), (1, 0), (0, 1), (1, 1), (3, 0), (0, 3),
       (255, 255), (170, 85)).toDF("a", "b")
     val got = rows.select(ZOrder.zValue(col("a"), col("b")).as("z"))
-      .collect().map(_.getInt(0)).toSeq
+      .collect().map(_.getLong(0)).toSeq
     // 170 = 10101010b -> even bits 0b0100010001000100_0? compute:
     // a=170 contributes bits at even positions of its set bits (1,3,5,7)
     // -> 2,6,10,14; b=85 (bits 0,2,4,6) -> odd positions 1,5,9,13
-    val z170_85 = Seq(2, 6, 10, 14).map(1 << _).sum +
-      Seq(1, 5, 9, 13).map(1 << _).sum
-    assert(got === Seq(0, 1, 2, 3, 5, 10, 65535, z170_85))
+    val z170_85 = (Seq(2, 6, 10, 14).map(1L << _).sum +
+      Seq(1, 5, 9, 13).map(1L << _).sum)
+    assert(got === Seq(0L, 1L, 2L, 3L, 5L, 10L, 65535L, z170_85))
   }
 
   test("z-order layout prunes 2-D range queries better than either single dim") {
@@ -35,8 +35,8 @@ class ZOrderSpec extends SparkSpecBase {
         ((hour(col("ts")) * 60 + minute(col("ts"))) / 6).cast("int").as("d"))
       .select(col("u"), col("d"),
         ZOrder.zValue(col("u"), col("d")).as("z"))
-      .collect().map(r => (r.getInt(0), r.getInt(1), r.getInt(2)))
-    def boxes(key: ((Int, Int, Int)) => Int): Seq[(Int, Int, Int, Int)] =
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2)))
+    def boxes(key: ((Int, Int, Long)) => Long): Seq[(Int, Int, Int, Int)] =
       rows.sortBy(key).grouped(math.ceil(rows.length / 64.0).toInt)
         .map { p => (p.map(_._1).min, p.map(_._1).max,
           p.map(_._2).min, p.map(_._2).max) }.toSeq
@@ -51,7 +51,7 @@ class ZOrderSpec extends SparkSpecBase {
         yield touched(b, (a, a + 31), (c, c + 31))).sum
       uBands + dBands + rects
     }
-    val (zT, uT, dT) = (total(boxes(_._3)), total(boxes(_._1)), total(boxes(_._2)))
+    val (zT, uT, dT) = (total(boxes(_._3)), total(boxes(_._1.toLong)), total(boxes(_._2.toLong)))
     assert(zT * 3 < uT * 2 && zT * 3 < dT * 2,
       s"z=$zT u=$uT d=$dT — z-order must beat both single dims by ≥1.5×")
   }
