@@ -302,6 +302,7 @@ object SparkEntry {
     "q236_dominant_suppliers" -> ((s, d) =>
       CoreQueries.q236DominantSuppliers(s, d)),
     "q237_nation_profit"  -> ((s, d) => CoreQueries.q237NationProfit(s, d)),
+    "q238_quality_keeplist" -> ((s, d) => DedupOps.qualityKeepList(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

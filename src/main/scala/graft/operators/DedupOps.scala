@@ -1256,4 +1256,41 @@ object DedupOps {
         round(col("n_docs_shared").cast("double") /
           col("n_docs").cast("double"), 6).as("shared_rate"))
       .orderBy(col("source"))
+
+  /** Quality-ranked keep-list (q238): for every near-dup cluster
+    * (q53's cached components), keep the member with the HIGHEST q35
+    * quality score (ties by doc_id) and roll up the drops per source —
+    * the curation rule production dedup actually wants: q59's
+    * lowest-id keeper is arbitrary, this one keeps the best copy. The
+    * spec pins that the two rules genuinely disagree on the corpus
+    * (quality upgrades exist), which is the whole point of ranking.
+    *
+    * Scale shape: cluster membership rides the session-cached q53
+    * relation; quality joins on doc_id; the keeper rank is a window
+    * over cluster_id (cluster-sized partitions — bounded by the dedup
+    * caps upstream); the drop set is |members − clusters| rows and
+    * broadcasts back onto documents for one rollup pass. Integer
+    * counts; the only FP (the quality score) is q35's own gated 4dp
+    * value, used here ONLY for ordering.
+    */
+  def qualityKeepList(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cluster_id"))
+      .orderBy(col("quality").desc, col("doc_id"))
+    val dropped = nearDupClusters(spark, dir)
+      .join(TextAnalysisOps.qualityScore(spark, dir)
+        .select(col("doc_id"), col("quality")), Seq("doc_id"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") > 1)
+      .select(col("doc_id").as("drop_id"))
+    Tables.documents(spark, dir)
+      .join(broadcast(dropped), col("doc_id") === col("drop_id"), "left")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        count(when(col("drop_id").isNull, 1)).as("n_kept"),
+        count(col("drop_id")).as("n_dropped"),
+        coalesce(sum(when(col("drop_id").isNotNull, col("n_chars"))),
+          lit(0L)).as("dropped_chars"))
+      .orderBy(col("source"))
+  }
 }

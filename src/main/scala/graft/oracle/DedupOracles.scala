@@ -420,6 +420,27 @@ private[graft] object DedupOracles {
              AS n_dup_docs,
            round(CAST(sum(CASE WHEN csize >= 2 THEN 1 ELSE 0 END)
              AS DOUBLE) / count(*), 6) AS dup_rate
-         FROM b GROUP BY 1 ORDER BY 1""")
+         FROM b GROUP BY 1 ORDER BY 1"""),
+    // q238: quality-ranked keep-list — the q53 component chain plus the
+    // q35 quality chain (both shared CTEs, so neither rule can drift),
+    // keeper = (quality DESC, doc_id) rank 1 per cluster
+    "q238_quality_keeplist" ->
+      (dedupCcCte + ",\n         " + qualityDocCte + """,
+         mem AS (SELECT id AS doc_id, min(label) AS cluster_id
+                 FROM cc GROUP BY id),
+         ranked AS (
+           SELECT m.doc_id,
+             row_number() OVER (PARTITION BY m.cluster_id
+               ORDER BY q.quality DESC, m.doc_id) AS rk
+           FROM mem m JOIN qdoc q USING (doc_id)),
+         dropped AS (SELECT doc_id FROM ranked WHERE rk > 1)
+         SELECT source, count(*) AS n_docs,
+           CAST(count(*) FILTER (doc_id NOT IN
+             (SELECT doc_id FROM dropped)) AS BIGINT) AS n_kept,
+           CAST(count(*) FILTER (doc_id IN
+             (SELECT doc_id FROM dropped)) AS BIGINT) AS n_dropped,
+           CAST(coalesce(sum(n_chars) FILTER (doc_id IN
+             (SELECT doc_id FROM dropped)), 0) AS BIGINT) AS dropped_chars
+         FROM documents GROUP BY 1 ORDER BY 1""")
   )
 }

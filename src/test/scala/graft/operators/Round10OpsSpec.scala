@@ -60,6 +60,29 @@ class Round10OpsSpec extends SparkSpecBase {
     assert(r.getLong(4) === 41L * 1000L / 19L)
   }
 
+  test("qualityKeepList: quality keeper disagrees with min-id somewhere, totals exact") {
+    val mem = DedupOps.nearDupClusters(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(mem.nonEmpty)
+    val q = TextAnalysisOps.qualityScore(spark, sf0001)
+      .select(col("doc_id"), col("quality")).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val byCluster = mem.groupBy(_._2).view.mapValues(_.map(_._1)).toMap
+    // maxBy (quality, -doc_id): highest quality, smallest id on ties —
+    // exactly the operator's (quality DESC, doc_id) rank-1
+    val upgrades = byCluster.values.count { ids =>
+      ids.maxBy(id => (q(id), -id)) != ids.min }
+    assert(upgrades > 0,
+      "quality ranking never disagrees with min-id — the ranking is dead weight")
+    val out = DedupOps.qualityKeepList(spark, sf0001).collect()
+    val totalDropped = out.map(_.getLong(3)).sum
+    assert(totalDropped === byCluster.values.map(_.length - 1).sum)
+    // every doc accounted for exactly once
+    val docs = graft.Tables.documents(spark, sf0001).count()
+    assert(out.map(_.getLong(1)).sum === docs)
+    out.foreach(r => assert(r.getLong(1) === r.getLong(2) + r.getLong(3)))
+  }
+
   test("rrfFusion: fused ranking recomputes from the two input lists") {
     def recip(rk: Int): Long = if (rk == 0) 0L else 1000000L / (60L + rk)
     val sparse = RetrievalOps.bm25TopK(spark, sf0001, 5, 3, 25).collect()
