@@ -303,6 +303,7 @@ object SparkEntry {
       CoreQueries.q236DominantSuppliers(s, d)),
     "q237_nation_profit"  -> ((s, d) => CoreQueries.q237NationProfit(s, d)),
     "q238_quality_keeplist" -> ((s, d) => DedupOps.qualityKeepList(s, d)),
+    "q239_daily_autocorr" -> ((s, d) => EventOps.dailyAutocorr(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -830,4 +830,46 @@ object EventOps {
         col("n_starts"), col("n_ends"))
       .orderBy(col("day"))
   }
+
+  /** Daily-load autocorrelation (q239): Pearson correlation of the
+    * daily event-count series against itself at lags 1..`maxLag` days
+    * — the periodicity screen (weekly seasonality shows as a bump at
+    * lag 7) run before capacity planning or anomaly thresholds are
+    * set. The q219/q131 exact-moment pattern: the lag alignment is a
+    * day-keyed equi self-join of the TINY daily series (≤ corpus-days
+    * rows — the series aggregation is the only corpus-scale pass), all
+    * five moments are exact integer sums, and FP appears solely in the
+    * final covariance/σσ division, rounded 6dp, with the zero-variance
+    * guard pinned to 0.0.
+    */
+  def dailyAutocorr(spark: SparkSession, dir: String,
+      maxLag: Int = 7): DataFrame =
+    dailyAutocorrOn(Tables.events(spark, dir), maxLag)
+
+  private[graft] def dailyAutocorrOn(ev: DataFrame, maxLag: Int): DataFrame = {
+    val daily = ev
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"))
+    val lagged = daily.select(col("day").as("lday"), col("n").as("y"))
+    val lags = ev.sparkSession.range(1, maxLag + 1)
+      .select(col("id").cast("int").as("lag"))
+    val pairs = daily
+      .crossJoin(broadcast(lags))
+      .join(lagged, expr("lday = date_add(day, -lag)"))
+    val num = col("m") * col("sxy") - col("sx") * col("sy")
+    val vx = col("m") * col("sxx") - col("sx") * col("sx")
+    val vy = col("m") * col("syy") - col("sy") * col("sy")
+    pairs
+      .groupBy(col("lag"))
+      .agg(count(lit(1)).as("m"), sum(col("n")).as("sx"),
+        sum(col("y")).as("sy"), sum(col("n") * col("y")).as("sxy"),
+        sum(col("n") * col("n")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"))
+      .select(col("lag"), col("m").as("n_pairs"),
+        when(vx === 0L || vy === 0L, lit(0.0)).otherwise(
+          round(num.cast("double") /
+            (sqrt(vx.cast("double")) * sqrt(vy.cast("double"))), 6))
+          .as("autocorr"))
+      .orderBy(col("lag"))
+  }
 }

@@ -474,6 +474,29 @@ private[graft] object EventOracles {
       """SELECT event_type,
            CAST(count(DISTINCT props) AS BIGINT) AS n_distinct
          FROM events GROUP BY 1 ORDER BY 1""",
+    // q239: daily-load autocorrelation at lags 1..7 — exact integer
+    // moments (the q219 pattern), FP only at the final division
+    "q239_daily_autocorr" ->
+      """WITH daily AS (SELECT CAST(ts AS DATE) AS day, count(*) AS n
+           FROM events GROUP BY 1),
+         lags AS (SELECT CAST(unnest(generate_series(1, 7)) AS INT)
+                    AS lag),
+         p AS (SELECT l.lag, d.n AS x, e.n AS y
+               FROM daily d CROSS JOIN lags l
+               JOIN daily e ON e.day = d.day - l.lag * INTERVAL 1 DAY),
+         s AS (SELECT lag, count(*) AS m,
+                 CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+                 CAST(sum(x * y) AS BIGINT) AS sxy,
+                 CAST(sum(x * x) AS BIGINT) AS sxx,
+                 CAST(sum(y * y) AS BIGINT) AS syy
+               FROM p GROUP BY 1)
+         SELECT lag, m AS n_pairs,
+           CASE WHEN m * sxx - sx * sx = 0 OR m * syy - sy * sy = 0
+                THEN 0.0
+                ELSE round((m * sxy - sx * sy) /
+                  (sqrt(m * sxx - sx * sx) * sqrt(m * syy - sy * sy)), 6)
+           END AS autocorr
+         FROM s ORDER BY lag""",
     // q235: z-cell occupancy — the SAME Morton bit-interleave formula
     // as the engine (interpolated from ZOrder.zValueSql, so the two
     // cannot drift), pure integer arithmetic

@@ -83,6 +83,21 @@ class Round10OpsSpec extends SparkSpecBase {
     out.foreach(r => assert(r.getLong(1) === r.getLong(2) + r.getLong(3)))
   }
 
+  test("dailyAutocorr: linear ramp correlates 1.0 at every lag; constant guards 0.0") {
+    def evAt(day: Int, k: Int) = (1 to k).map(i =>
+      (i.toLong, java.sql.Timestamp.valueOf(f"2024-01-$day%02d 10:00:00")))
+    // counts [1,2,3,4] over 4 days: every lag's aligned pair set is a
+    // perfect linear relation -> r = 1.0 exactly
+    val ramp = (1 to 4).flatMap(d => evAt(d, d)).toDF("user_id", "ts")
+    val got = EventOps.dailyAutocorrOn(ramp, maxLag = 2).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2)))
+    assert(got.toSeq === Seq((1, 3L, 1.0), (2, 2L, 1.0)))
+    // constant series: zero variance on both sides -> pinned 0.0
+    val const = (1 to 4).flatMap(d => evAt(d, 3)).toDF("user_id", "ts")
+    val g2 = EventOps.dailyAutocorrOn(const, maxLag = 1).collect()
+    assert(g2.map(_.getDouble(2)).toSeq === Seq(0.0))
+  }
+
   test("rrfFusion: fused ranking recomputes from the two input lists") {
     def recip(rk: Int): Long = if (rk == 0) 0L else 1000000L / (60L + rk)
     val sparse = RetrievalOps.bm25TopK(spark, sf0001, 5, 3, 25).collect()
