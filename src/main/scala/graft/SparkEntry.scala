@@ -304,6 +304,7 @@ object SparkEntry {
     "q237_nation_profit"  -> ((s, d) => CoreQueries.q237NationProfit(s, d)),
     "q238_quality_keeplist" -> ((s, d) => DedupOps.qualityKeepList(s, d)),
     "q239_daily_autocorr" -> ((s, d) => EventOps.dailyAutocorr(s, d)),
+    "q240_cross_corr"     -> ((s, d) => EventOps.crossCorr(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -872,4 +872,45 @@ object EventOps {
           .as("autocorr"))
       .orderBy(col("lag"))
   }
+
+  /** Daily lead-lag cross-correlation (q240): Pearson correlation of
+    * `typeX`'s daily counts at day t−lag against `typeY`'s at day t,
+    * for lags 0..`maxLag` — "do clicks lead purchases, and by how many
+    * days?", the funnel-latency diagnostic at series granularity
+    * (q106/q233 answer it per pair; this answers it per corpus).
+    * Same exact-integer-moment machinery as [[dailyAutocorr]]; pairs
+    * are the INNER alignment (days where both series observed — with
+    * daily-active event types every day qualifies; a sparse type
+    * would want zero-filling, a documented variant).
+    */
+  def crossCorr(spark: SparkSession, dir: String,
+      typeX: String = "click", typeY: String = "purchase",
+      maxLag: Int = 7): DataFrame =
+    crossCorrOn(Tables.events(spark, dir), typeX, typeY, maxLag)
+
+  private[graft] def crossCorrOn(ev: DataFrame, typeX: String,
+      typeY: String, maxLag: Int): DataFrame = {
+    def series(t: String) = ev.filter(col("event_type") === t)
+      .groupBy(to_date(col("ts")).as("day")).agg(count(lit(1)).as("n"))
+    val sx = series(typeX).select(col("day").as("xday"), col("n").as("x"))
+    val sy = series(typeY).select(col("day"), col("n").as("y"))
+    val lags = ev.sparkSession.range(0, maxLag + 1)
+      .select(col("id").cast("int").as("lag"))
+    val num = col("m") * col("sxy") - col("sx") * col("sy")
+    val vx = col("m") * col("sxx") - col("sx") * col("sx")
+    val vy = col("m") * col("syy") - col("sy") * col("sy")
+    sy.crossJoin(broadcast(lags))
+      .join(sx, expr("xday = date_add(day, -lag)"))
+      .groupBy(col("lag"))
+      .agg(count(lit(1)).as("m"), sum(col("x")).as("sx"),
+        sum(col("y")).as("sy"), sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"))
+      .select(col("lag"), col("m").as("n_pairs"),
+        when(vx === 0L || vy === 0L, lit(0.0)).otherwise(
+          round(num.cast("double") /
+            (sqrt(vx.cast("double")) * sqrt(vy.cast("double"))), 6))
+          .as("crosscorr"))
+      .orderBy(col("lag"))
+  }
 }

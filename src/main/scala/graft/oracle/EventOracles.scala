@@ -497,6 +497,31 @@ private[graft] object EventOracles {
                   (sqrt(m * sxx - sx * sx) * sqrt(m * syy - sy * sy)), 6)
            END AS autocorr
          FROM s ORDER BY lag""",
+    // q240: daily lead-lag cross-correlation, clicks at t−lag vs
+    // purchases at t — same exact-moment machinery as q239
+    "q240_cross_corr" ->
+      """WITH dx AS (SELECT CAST(ts AS DATE) AS day, count(*) AS n
+           FROM events WHERE event_type = 'click' GROUP BY 1),
+         dy AS (SELECT CAST(ts AS DATE) AS day, count(*) AS n
+           FROM events WHERE event_type = 'purchase' GROUP BY 1),
+         lags AS (SELECT CAST(unnest(generate_series(0, 7)) AS INT)
+                    AS lag),
+         p AS (SELECT l.lag, x.n AS x, y.n AS y
+               FROM dy y CROSS JOIN lags l
+               JOIN dx x ON x.day = y.day - l.lag * INTERVAL 1 DAY),
+         s AS (SELECT lag, count(*) AS m,
+                 CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+                 CAST(sum(x * y) AS BIGINT) AS sxy,
+                 CAST(sum(x * x) AS BIGINT) AS sxx,
+                 CAST(sum(y * y) AS BIGINT) AS syy
+               FROM p GROUP BY 1)
+         SELECT lag, m AS n_pairs,
+           CASE WHEN m * sxx - sx * sx = 0 OR m * syy - sy * sy = 0
+                THEN 0.0
+                ELSE round((m * sxy - sx * sy) /
+                  (sqrt(m * sxx - sx * sx) * sqrt(m * syy - sy * sy)), 6)
+           END AS crosscorr
+         FROM s ORDER BY lag""",
     // q235: z-cell occupancy — the SAME Morton bit-interleave formula
     // as the engine (interpolated from ZOrder.zValueSql, so the two
     // cannot drift), pure integer arithmetic

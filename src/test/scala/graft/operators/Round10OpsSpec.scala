@@ -98,6 +98,21 @@ class Round10OpsSpec extends SparkSpecBase {
     assert(g2.map(_.getDouble(2)).toSeq === Seq(0.0))
   }
 
+  test("crossCorr: a 2-day-shifted mirror series peaks at exactly lag 2") {
+    def rows(tpe: String, dayCounts: Seq[(Int, Int)]) =
+      dayCounts.flatMap { case (d, k) => (1 to k).map(i =>
+        (i.toLong, java.sql.Timestamp.valueOf(f"2024-01-$d%02d 10:00:00"), tpe)) }
+    // purchases replay the click counts shifted +2 days: the lag-2
+    // alignment is an exact copy -> r = 1.0, and no other lag is
+    val clicks = rows("click", Seq(1 -> 1, 2 -> 2, 3 -> 3, 4 -> 1, 5 -> 2, 6 -> 3))
+    val purchases = rows("purchase", Seq(3 -> 1, 4 -> 2, 5 -> 3, 6 -> 1, 7 -> 2, 8 -> 3))
+    val ev = (clicks ++ purchases).toDF("user_id", "ts", "event_type")
+    val got = EventOps.crossCorrOn(ev, "click", "purchase", maxLag = 4)
+      .collect().map(r => r.getInt(0) -> r.getDouble(2)).toMap
+    assert(got(2) === 1.0, got.toString)
+    got.filter(_._1 != 2).values.foreach(v => assert(v < 1.0, got.toString))
+  }
+
   test("rrfFusion: fused ranking recomputes from the two input lists") {
     def recip(rk: Int): Long = if (rk == 0) 0L else 1000000L / (60L + rk)
     val sparse = RetrievalOps.bm25TopK(spark, sf0001, 5, 3, 25).collect()
