@@ -305,6 +305,10 @@ object SparkEntry {
     "q238_quality_keeplist" -> ((s, d) => DedupOps.qualityKeepList(s, d)),
     "q239_daily_autocorr" -> ((s, d) => EventOps.dailyAutocorr(s, d)),
     "q240_cross_corr"     -> ((s, d) => EventOps.crossCorr(s, d)),
+    "q241_discount_revenue" -> ((s, d) =>
+      CoreQueries.q241DiscountRevenue(s, d)),
+    "q242_supplier_diversity" -> ((s, d) =>
+      CoreQueries.q242SupplierDiversity(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

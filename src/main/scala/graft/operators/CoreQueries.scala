@@ -1663,9 +1663,12 @@ object CoreQueries {
     * line value exceeds a multiple of the MEAN part value — the
     * group-by-with-global-HAVING-threshold plan, the scalar entering
     * as a broadcast 1-row frame and the comparison cross-multiplied
-    * onto the integer grid (`value_c · n_parts · den > total_c · num`
-    * — no FP threshold, and mean-relative so the SAME 3/2 multiple
-    * stays selective-but-nonempty at every SF, where Q11's absolute
+    * onto a 128-bit integer grid (`value_c · n_parts · den > total_c ·
+    * num` on decimal(38,0) here / HUGEINT in the oracle — Long would
+    * silently wrap in Spark while DuckDB raises once value_c·n_parts
+    * passes 2^63, well inside a 100 TB part count; no FP threshold,
+    * and mean-relative so the SAME 3/2 multiple stays
+    * selective-but-nonempty at every SF, where Q11's absolute
     * fraction would zero out as the part count grows).
     *
     * Scale shape: one lineitem shuffle on l_partkey with map-side
@@ -1682,8 +1685,9 @@ object CoreQueries {
     val total = perPart.agg(sum(col("value_c")).as("total_c"),
       count(lit(1)).as("n_parts"))
     perPart.crossJoin(broadcast(total))
-      .filter(col("value_c") * col("n_parts") * lit(den.toLong) >
-        col("total_c") * lit(num.toLong))
+      .filter(col("value_c").cast("decimal(38,0)") * col("n_parts") *
+          lit(den.toLong) >
+        col("total_c").cast("decimal(38,0)") * lit(num.toLong))
       .select(col("l_partkey"),
         // whole-cent division (boundary-free — PARITY rule 8) and an
         // exact integer floor for the share, never a rounded quotient
@@ -1831,5 +1835,69 @@ object CoreQueries {
       .select(col("s_suppkey"), col("s_name"),
         round(col("rev_cp").cast("double") / 10000.0, 2).as("revenue"))
       .orderBy(col("s_suppkey"))
+  }
+
+  /** Discount-band revenue delta (q241, the TPC-H Q6 shape): the
+    * what-if "revenue left on the table" scan — one year of lineitem,
+    * a discount band and a quantity cap, no join at all. The query
+    * class exists to prove the SCAN path: every predicate lands in the
+    * parquet scan as a pushed filter (date range on the l_shipdate
+    * stats, the discount/quantity bands evaluated pre-shuffle) and the
+    * aggregate is a single map-side-partial fold — zero shuffles of
+    * row data, one scalar out.
+    *
+    * Parity: the band predicates compare on the data's own 2dp integer
+    * grid (`round(x·100)` — never raw FP `BETWEEN 0.05 AND 0.07`), the
+    * revenue sum is exact BIGINT cents·pct, and the display division
+    * `/10⁴` is one deterministic IEEE op on identical integers — no
+    * round(·,2) boundary anywhere (PARITY rule 8).
+    */
+  def q241DiscountRevenue(spark: SparkSession, dir: String,
+      yStart: String = "1997-01-01", yEnd: String = "1998-01-01",
+      dLo: Long = 5L, dHi: Long = 7L, maxQty: Long = 24L): DataFrame =
+    Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit(yStart) &&
+        col("l_shipdate") < lit(yEnd))
+      .filter(round(col("l_discount") * 100, 0).cast("long")
+        .between(dLo, dHi))
+      .filter(round(col("l_quantity"), 0).cast("long") < maxQty)
+      .agg(count(lit(1)).as("n_lines"),
+        sum(round(col("l_extendedprice") * 100, 0).cast("long") *
+          round(col("l_discount") * 100, 0).cast("long")).as("rev_cp"))
+      .select(col("n_lines"),
+        (col("rev_cp").cast("double") / 10000.0).as("revenue"))
+
+  /** Supplier diversity per part attribute (q242, the TPC-H Q16
+    * shape): how many distinct suppliers ship each (brand, size)
+    * bucket, excluding a blocklisted supplier set — the NOT-IN +
+    * COUNT-DISTINCT rollup behind sourcing-risk reports (the schema
+    * has no ps_partsupp or s_comment, so supply lines come from
+    * lineitem and the blocklist is negative-balance suppliers).
+    *
+    * Scale shape: part's size/brand filter broadcasts onto lineitem
+    * (no fact shuffle for the join), the blocklist is a broadcast
+    * left_anti — NOT IN expressed as a join, never a collected set —
+    * and the one shuffle is the (brand, size) distinct-count rollup.
+    * At 100 TB the countDistinct's key space is suppliers-per-bucket
+    * (bounded), not lineitem.
+    */
+  def q242SupplierDiversity(spark: SparkSession, dir: String,
+      sizes: Seq[Int] = Seq(1, 5, 9, 13, 17, 21, 25, 29),
+      excludeBrand: String = "Brand#45"): DataFrame = {
+    val blocked = Tables.supplier(spark, dir)
+      .filter(round(col("s_acctbal") * 100, 0).cast("long") < 0L)
+      .select(col("s_suppkey"))
+    val pt = Tables.part(spark, dir)
+      .filter(col("p_size").isin(sizes: _*) &&
+        col("p_brand") =!= excludeBrand)
+      .select(col("p_partkey"), col("p_brand"), col("p_size"))
+    Tables.lineitem(spark, dir)
+      .select(col("l_partkey"), col("l_suppkey"))
+      .join(broadcast(pt), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(blocked), col("l_suppkey") === col("s_suppkey"),
+        "left_anti")
+      .groupBy(col("p_brand"), col("p_size"))
+      .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+      .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_size"))
   }
 }

@@ -79,11 +79,17 @@ object RetrievalOps {
 
   /** postings build: dl rides the groupBy key (it is functionally
     * dependent on doc_id) so no second corpus pass or join is needed
-    * to recover document length at scoring time.
+    * to recover document length at scoring time. Text is coalesced to
+    * '' FIRST, so a NULL text tokenizes to [""] exactly like an empty
+    * text — every document owns >= 1 posting by construction, and the
+    * corpus stats derived from the index (n_docs, sum_dl) equal the
+    * docs-level aggregate regardless of nulls in the data (the oracle
+    * applies the same coalesce).
     */
   private def postingsOf(docs0: DataFrame): DataFrame =
     docs0
-      .select(col("doc_id"), Text.tokens(col("text")).as("toks"))
+      .select(col("doc_id"),
+        Text.tokens(coalesce(col("text"), lit(""))).as("toks"))
       .select(col("doc_id"), size(col("toks")).cast("long").as("dl"),
         col("toks"))
       .select(col("doc_id"), col("dl"), explode(col("toks")).as("tok"))

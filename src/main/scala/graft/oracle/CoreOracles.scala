@@ -937,7 +937,8 @@ private[graft] object CoreOracles {
          SELECT l_partkey, CAST(value_c AS DOUBLE) / 100.0 AS part_value,
            CAST((value_c * 10000) // total_c AS BIGINT) AS share_bp
          FROM pp CROSS JOIN t
-         WHERE value_c * n_parts * 2 > total_c * 3
+         WHERE CAST(value_c AS HUGEINT) * n_parts * 2
+             > CAST(total_c AS HUGEINT) * 3
          ORDER BY part_value DESC, l_partkey LIMIT 25""",
     // q236: TPC-H Q20 shape — nested semi chain with the correlated
     // half-of-total threshold cross-multiplied on the integer grid
@@ -996,5 +997,31 @@ private[graft] object CoreOracles {
            AND l_shipdate < TIMESTAMP '1998-01-01'
            AND s_nationkey <> c_nationkey
          GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""",
+    // q241: TPC-H Q6 shape — discount-band what-if revenue; bands on
+    // the data's own 2dp integer grid, revenue exact cents·pct, the
+    // one display division left unrounded (boundary-free)
+    "q241_discount_revenue" ->
+      """SELECT count(*) AS n_lines,
+           CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+                  * CAST(round(l_discount * 100, 0) AS BIGINT)) AS DOUBLE)
+             / 10000.0 AS revenue
+         FROM lineitem
+         WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+           AND l_shipdate < TIMESTAMP '1998-01-01'
+           AND CAST(round(l_discount * 100, 0) AS BIGINT) BETWEEN 5 AND 7
+           AND CAST(round(l_quantity, 0) AS BIGINT) < 24""",
+    // q242: TPC-H Q16 shape — distinct-supplier rollup per (brand,
+    // size) with a NOT-IN blocklist (negative-balance suppliers; the
+    // schema has no partsupp/s_comment)
+    "q242_supplier_diversity" ->
+      """SELECT p_brand, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+         FROM lineitem JOIN part ON l_partkey = p_partkey
+         WHERE p_size IN (1, 5, 9, 13, 17, 21, 25, 29)
+           AND p_brand <> 'Brand#45'
+           AND l_suppkey NOT IN (
+             SELECT s_suppkey FROM supplier
+             WHERE CAST(round(s_acctbal * 100, 0) AS BIGINT) < 0)
+         GROUP BY 1, 2
+         ORDER BY supplier_cnt DESC, p_brand, p_size""",
   )
 }

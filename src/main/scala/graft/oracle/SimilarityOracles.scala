@@ -513,7 +513,8 @@ private[graft] object SimilarityOracles {
     "q89_bm25_topk" ->
       raw"""WITH d0 AS (
            SELECT doc_id, string_split(
-             regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS w
+             regexp_replace(lower(trim(coalesce(text, ''))), '\s+', ' ',
+               'g'), ' ') AS w
            FROM documents),
          post AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS dl,
                     unnest(w) AS tok FROM d0),
@@ -973,7 +974,8 @@ private[graft] object SimilarityOracles {
     "q226_rrf_fusion" ->
       raw"""WITH d0 AS (
            SELECT doc_id, string_split(
-             regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS w
+             regexp_replace(lower(trim(coalesce(text, ''))), '\s+', ' ',
+               'g'), ' ') AS w
            FROM documents),
          post AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS dl,
                     unnest(w) AS tok FROM d0),

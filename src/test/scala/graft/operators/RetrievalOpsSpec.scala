@@ -100,4 +100,28 @@ class RetrievalOpsSpec extends SparkSpecBase {
     out.unpersist()
   }
 
+  test("NULL text behaves exactly like empty text (corpus stats count every doc)") {
+    // the index-derived n_docs/sum_dl invariant must not depend on
+    // non-null data: a NULL-text doc tokenizes to [""] (dl = 1), stays
+    // in the postings, and so stays in the corpus stats. Scores over
+    // the non-null docs must be IDENTICAL whether the extra doc's text
+    // is NULL or '' — if the NULL row silently dropped out of the
+    // index, n_docs/sum_dl would shrink and every idf/norm would move.
+    val base = Seq[(Long, String)](
+      (0L, "rare common"),
+      (3L, "rare common filler filler"),
+      (4L, "common filler filler filler"))
+    val withEmpty = run(base :+ (9L -> ""), k = 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+      .toSet
+    val withNull = RetrievalOps.bm25TopKOn(
+        (base.map { case (i, t) => (i, Option(t)) } :+ (9L -> None))
+          .toDF("doc_id", "text"),
+        nQueries = 1, nTerms = 3, k = 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+      .toSet
+    assert(withEmpty === withNull)
+    assert(withEmpty.nonEmpty)
+  }
+
 }

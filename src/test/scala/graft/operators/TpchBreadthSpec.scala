@@ -336,4 +336,59 @@ class TpchBreadthSpec extends SparkSpecBase {
       assert(r.getLong(1) + r.getLong(2) === byFlag(f))
     }
   }
+
+  test("q241: scalar matches a double-arithmetic recompute; filters reach the scan") {
+    val out = CoreQueries.q241DiscountRevenue(spark, sf0001).collect()
+    assert(out.length === 1)
+    // independent recompute in raw double arithmetic over collected rows
+    val rows = graft.Tables.lineitem(spark, sf0001)
+      .select(col("l_shipdate").cast("date").cast("string"),
+        col("l_extendedprice"), col("l_discount"), col("l_quantity"))
+      .collect()
+      .filter { r =>
+        val d = r.getString(0)
+        d >= "1997-01-01" && d < "1998-01-01" &&
+          math.round(r.getDouble(2) * 100) >= 5 &&
+          math.round(r.getDouble(2) * 100) <= 7 &&
+          math.round(r.getDouble(3)) < 24
+      }
+    assert(out.head.getLong(0) === rows.length.toLong)
+    val rev = rows.map(r => math.round(r.getDouble(1) * 100) *
+      math.round(r.getDouble(2) * 100)).sum.toDouble / 10000.0
+    assert(math.abs(out.head.getDouble(1) - rev) < 1e-6)
+    // the Q6 contract is the scan path: the date range must be PUSHED
+    // into the parquet scan (min/max pruning at 100 TB), not post-filtered
+    val plan = CoreQueries.q241DiscountRevenue(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") &&
+      plan.contains("l_shipdate"), s"ship-date filter not pushed:\n$plan")
+  }
+
+  test("q242: distinct-supplier rollup matches a set-based recompute; blocklist excluded") {
+    val out = CoreQueries.q242SupplierDiversity(spark, sf0001).collect()
+    assert(out.nonEmpty)
+    val sizes = Set(1, 5, 9, 13, 17, 21, 25, 29)
+    val parts = graft.Tables.part(spark, sf0001)
+      .select(col("p_partkey"), col("p_brand"), col("p_size")).collect()
+      .filter(r => sizes(r.getInt(2)) && r.getString(1) != "Brand#45")
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getInt(2)))).toMap
+    val blocked = graft.Tables.supplier(spark, sf0001)
+      .select(col("s_suppkey"), col("s_acctbal")).collect()
+      .filter(r => math.round(r.getDouble(1) * 100) < 0)
+      .map(_.getLong(0)).toSet
+    val expect = graft.Tables.lineitem(spark, sf0001)
+      .select(col("l_partkey"), col("l_suppkey")).collect()
+      .flatMap { r =>
+        parts.get(r.getLong(0)).collect {
+          case grp if !blocked(r.getLong(1)) => grp -> r.getLong(1)
+        }
+      }
+      .groupBy(_._1).view.mapValues(_.map(_._2).distinct.length).toMap
+    val got = out.map(r =>
+      ((r.getString(0), r.getInt(1))) -> r.getLong(2).toInt).toMap
+    assert(got === expect)
+    // ranking column is the first sort key (desc)
+    val cnts = out.map(_.getLong(2))
+    assert(cnts.zip(cnts.tail).forall { case (a, b) => a >= b })
+  }
 }
