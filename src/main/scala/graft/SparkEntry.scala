@@ -309,6 +309,8 @@ object SparkEntry {
       CoreQueries.q241DiscountRevenue(s, d)),
     "q242_supplier_diversity" -> ((s, d) =>
       CoreQueries.q242SupplierDiversity(s, d)),
+    "q243_ks_drift"       -> ((s, d) => TextAnalysisOps.ksDrift(s, d)),
+    "q244_join_card_est"  -> ((s, d) => CoreQueries.q244JoinCardEst(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -1900,4 +1900,60 @@ object CoreQueries {
       .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
       .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_size"))
   }
+
+  /** Join-cardinality estimation (q244): predict |events ⋈ orders| on
+    * the user/customer key from per-side statistics WITHOUT running
+    * the join — the System-R primitive every cost-based planner runs
+    * before picking a join strategy, surfaced as a query so the
+    * estimate can be audited against ground truth. Two estimators:
+    * `global` is n_a·n_b / max(v_a, v_b) (containment-of-value-sets
+    * under uniformity), `bucketed` stratifies the key space into
+    * `nBuckets` arithmetic buckets (k mod B — NOT engine hash, which
+    * differs cross-engine) and sums the per-bucket System-R estimate,
+    * which is how a planner's equi-width histogram tightens the
+    * uniformity assumption. All arithmetic is exact BIGINT; the error
+    * is reported as an integer basis-point magnitude (abs before div —
+    * floor-vs-truncate on negatives differs between engines).
+    *
+    * Scale shape: both estimators read only per-side AGGREGATES (one
+    * map-side-partial pass per side; the bucketed pass groups on
+    * k mod B, bounded by B). The actual join here is the audit path —
+    * a production planner never executes it.
+    */
+  def q244JoinCardEst(spark: SparkSession, dir: String,
+      nBuckets: Int = 64): DataFrame =
+    joinCardEstOn(
+      Tables.events(spark, dir).select(col("user_id").as("k")),
+      Tables.orders(spark, dir).select(col("o_custkey").as("k")),
+      nBuckets)
+
+  /** [[q244JoinCardEst]] over explicit single-column key frames — the
+    * spec surface for fixtures with known estimator behavior.
+    */
+  private[graft] def joinCardEstOn(a: DataFrame, b: DataFrame,
+      nBuckets: Int): DataFrame = {
+    val sa = a.agg(count(lit(1)).as("n_a"),
+      countDistinct(col("k")).as("v_a"))
+    val sb = b.agg(count(lit(1)).as("n_b"),
+      countDistinct(col("k")).as("v_b"))
+    val actual = a.join(b, Seq("k")).agg(count(lit(1)).as("actual_rows"))
+    val globalEst = sa.crossJoin(sb)
+      .select(lit("global").as("method"),
+        expr("n_a * n_b div greatest(v_a, v_b)").as("est_rows"))
+    val ga = a.groupBy((col("k") % nBuckets).as("bk"))
+      .agg(count(lit(1)).as("n_ab"), countDistinct(col("k")).as("v_ab"))
+    val gb = b.groupBy((col("k") % nBuckets).as("bk"))
+      .agg(count(lit(1)).as("n_bb"), countDistinct(col("k")).as("v_bb"))
+    val bucketEst = ga.join(gb, Seq("bk"))
+      .agg(sum(expr("n_ab * n_bb div greatest(v_ab, v_bb)"))
+        .as("est_rows"))
+      .select(lit("bucketed").as("method"), col("est_rows"))
+    globalEst.unionByName(bucketEst)
+      .crossJoin(broadcast(actual))
+      .select(col("method"), col("est_rows"), col("actual_rows"),
+        (col("est_rows") - col("actual_rows")).as("diff_rows"),
+        expr("abs(est_rows - actual_rows) * 10000 div actual_rows")
+          .as("abs_err_bp"))
+      .orderBy(col("method"))
+  }
 }

@@ -3,6 +3,7 @@ package graft.operators
 import graft.Tables
 import graft.functions.Text
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators over `documents`: language-ID (stopword
@@ -1265,6 +1266,59 @@ object TextAnalysisOps {
       .select(col("source"), col("n_words"), col("n_chars"),
         col("n_subwords"),
         expr("(n_chars * 1000) div n_subwords").as("compression_milli"))
+      .orderBy(col("source"))
+  }
+
+  /** Per-source distribution drift (q243): the two-sample
+    * Kolmogorov–Smirnov statistic of each source's document-length
+    * distribution against the REST of the corpus — the standard
+    * "did this source's data change shape" monitor a training-data
+    * pipeline runs per ingest batch. D = max_x |F_s(x) − F_rest(x)| is
+    * computed entirely on the integer grid: the numerator
+    * |f_s·(n−n_s) − (f_t−f_s)·n_s| is exact BIGINT (cumulative counts
+    * cross-multiplied — no FP ECDF), the division happens ONCE at the
+    * display boundary, and the argmax location tie-breaks on min x.
+    *
+    * Scale shape: the one corpus-scale shuffle is the (x, source)
+    * count; everything after runs on the compact domain grid
+    * (distinct lengths × sources — bounded by max doc length, NOT
+    * corpus size), and the cumulative windows are PARTITIONED BY
+    * source, never a one-partition global sort.
+    */
+  def ksDrift(spark: SparkSession, dir: String): DataFrame =
+    ksDriftOn(Tables.documents(spark, dir))
+
+  private[graft] def ksDriftOn(docs: DataFrame): DataFrame = {
+    val counts = docs
+      .groupBy(col("n_chars").as("x"), col("source"))
+      .agg(count(lit(1)).as("c"))
+    val dom = counts.groupBy(col("x"))
+      .agg(sum(col("c")).as("c_tot"))
+    val srcs = counts.groupBy(col("source"))
+      .agg(sum(col("c")).as("n_s"))
+    val grid = srcs.crossJoin(dom)
+      .join(counts, Seq("source", "x"), "left")
+      .select(col("source"), col("n_s"), col("x"), col("c_tot"),
+        coalesce(col("c"), lit(0L)).as("c_s"))
+    val n = dom.agg(sum(col("c_tot")).as("n"))
+    val w = Window.partitionBy(col("source")).orderBy(col("x"))
+    val cum = grid
+      .withColumn("f_s", sum(col("c_s")).over(w))
+      .withColumn("f_t", sum(col("c_tot")).over(w))
+      .crossJoin(broadcast(n))
+      .select(col("source"), col("n_s"), col("x"), col("n"),
+        abs(col("f_s") * (col("n") - col("n_s")) -
+          (col("f_t") - col("f_s")) * col("n_s")).as("num"))
+    val rk = Window.partitionBy(col("source"))
+      .orderBy(col("num").desc, col("x"))
+    cum.withColumn("rk", row_number().over(rk))
+      .filter(col("rk") === 1)
+      .select(col("source"), col("n_s").as("n_docs"),
+        col("num").as("ks_num"),
+        (col("num").cast("double") /
+          (col("n_s").cast("double") *
+            (col("n") - col("n_s")).cast("double"))).as("ks"),
+        col("x").as("at_x"))
       .orderBy(col("source"))
   }
 }

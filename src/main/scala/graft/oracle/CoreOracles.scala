@@ -1023,5 +1023,33 @@ private[graft] object CoreOracles {
              WHERE CAST(round(s_acctbal * 100, 0) AS BIGINT) < 0)
          GROUP BY 1, 2
          ORDER BY supplier_cnt DESC, p_brand, p_size""",
+    // q244: System-R join-cardinality estimation (global + bucketed
+    // histogram) audited against the executed join — exact BIGINT,
+    // arithmetic key buckets (k mod B; engine hashes differ), error
+    // magnitude abs()'d BEFORE the integer division (floor-vs-truncate
+    // on negatives differs between engines)
+    "q244_join_card_est" ->
+      """WITH a AS (SELECT user_id AS k FROM events),
+           b AS (SELECT o_custkey AS k FROM orders),
+           sa AS (SELECT count(*) AS n_a, count(DISTINCT k) AS v_a FROM a),
+           sb AS (SELECT count(*) AS n_b, count(DISTINCT k) AS v_b FROM b),
+           act AS (SELECT count(*) AS actual_rows FROM a JOIN b USING (k)),
+           ga AS (SELECT k % 64 AS bk, count(*) AS n_ab,
+                    count(DISTINCT k) AS v_ab FROM a GROUP BY 1),
+           gb AS (SELECT k % 64 AS bk, count(*) AS n_bb,
+                    count(DISTINCT k) AS v_bb FROM b GROUP BY 1),
+           est AS (
+             SELECT 'global' AS method,
+               CAST(n_a * n_b // greatest(v_a, v_b) AS BIGINT) AS est_rows
+             FROM sa CROSS JOIN sb
+             UNION ALL
+             SELECT 'bucketed' AS method,
+               CAST(sum(n_ab * n_bb // greatest(v_ab, v_bb)) AS BIGINT)
+             FROM ga JOIN gb USING (bk))
+         SELECT method, est_rows, actual_rows,
+           est_rows - actual_rows AS diff_rows,
+           CAST(abs(est_rows - actual_rows) * 10000 // actual_rows
+             AS BIGINT) AS abs_err_bp
+         FROM est CROSS JOIN act ORDER BY method""",
   )
 }

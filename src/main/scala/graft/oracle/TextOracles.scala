@@ -641,6 +641,41 @@ private[graft] object TextOracles {
            CAST((CAST(sum(len(w)) AS BIGINT) * 1000) //
              CAST(sum(len(string_split(trim(syms), '  '))) AS BIGINT)
              AS BIGINT) AS compression_milli
-         FROM enc GROUP BY 1 ORDER BY 1""")
+         FROM enc GROUP BY 1 ORDER BY 1"""),
+    // q243: per-source two-sample KS drift vs rest-of-corpus — exact
+    // BIGINT cross-multiplied ECDF numerator, one display division,
+    // argmax location tie-broken on min x
+    ("q243_ks_drift" ->
+      """WITH counts AS (
+           SELECT n_chars AS x, source, count(*) AS c
+           FROM documents GROUP BY 1, 2),
+         dom AS (SELECT x, CAST(sum(c) AS BIGINT) AS c_tot
+                 FROM counts GROUP BY 1),
+         srcs AS (SELECT source, CAST(sum(c) AS BIGINT) AS n_s
+                  FROM counts GROUP BY 1),
+         grid AS (
+           SELECT s.source, s.n_s, d.x, d.c_tot,
+             CAST(coalesce(c.c, 0) AS BIGINT) AS c_s
+           FROM srcs s CROSS JOIN dom d
+           LEFT JOIN counts c ON c.source = s.source AND c.x = d.x),
+         tot AS (SELECT CAST(sum(c_tot) AS BIGINT) AS n FROM dom),
+         cum AS (
+           SELECT source, n_s, x,
+             CAST(sum(c_s) OVER (PARTITION BY source ORDER BY x)
+               AS BIGINT) AS f_s,
+             CAST(sum(c_tot) OVER (PARTITION BY source ORDER BY x)
+               AS BIGINT) AS f_t
+           FROM grid),
+         scored AS (
+           SELECT source, n_s, x, n,
+             abs(f_s * (n - n_s) - (f_t - f_s) * n_s) AS num
+           FROM cum CROSS JOIN tot)
+         SELECT source, n_s AS n_docs, num AS ks_num,
+           CAST(num AS DOUBLE)
+             / (CAST(n_s AS DOUBLE) * CAST(n - n_s AS DOUBLE)) AS ks,
+           x AS at_x
+         FROM (SELECT *, row_number() OVER (PARTITION BY source
+                 ORDER BY num DESC, x) AS rk FROM scored)
+         WHERE rk = 1 ORDER BY source""")
   )
 }

@@ -1,0 +1,113 @@
+package graft.operators
+
+import graft.SparkSpecBase
+import org.apache.spark.sql.functions._
+
+/** Round-11 operator batch: per-source KS drift (q243) and friends —
+  * each checked on constructed fixtures where the exact statistic is
+  * known in closed form, plus contract checks on the real testdata.
+  */
+class Round11OpsSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def docsOf(rows: Seq[(Long, String, Long)]) =
+    rows.toDF("doc_id", "source", "n_chars")
+
+  test("q243: identical per-source distributions have KS = 0") {
+    // two sources with the SAME length multiset — the ECDFs coincide
+    // at every x, so the exact integer numerator must be 0 everywhere
+    val docs = docsOf(Seq(
+      (1L, "a", 10L), (2L, "a", 20L), (3L, "a", 30L),
+      (4L, "b", 10L), (5L, "b", 20L), (6L, "b", 30L)))
+    val out = TextAnalysisOps.ksDriftOn(docs).collect()
+    assert(out.length === 2)
+    out.foreach { r =>
+      assert(r.getLong(2) === 0L, s"nonzero ks_num for ${r.getString(0)}")
+      assert(r.getDouble(3) === 0.0)
+    }
+  }
+
+  test("q243: disjoint supports give KS = 1 exactly, located at the lower support's max") {
+    // source a entirely below source b: F_a = 1, F_rest = 0 at x = 3
+    val docs = docsOf(Seq(
+      (1L, "a", 1L), (2L, "a", 2L), (3L, "a", 3L),
+      (4L, "b", 11L), (5L, "b", 12L)))
+    val out = TextAnalysisOps.ksDriftOn(docs).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getLong(4)))).toMap
+    // a vs rest(b): n_s=3, n_rest=2, num = |3*2 - 0*3| = 6, ks = 1.0
+    assert(out("a") === ((3L, 6L, 1.0, 3L)))
+    // b vs rest(a): same statistic by symmetry, located where |diff|
+    // first peaks (x = 3, the end of a's support — min-x tie-break)
+    assert(out("b")._3 === 1.0)
+    assert(out("b")._4 === 3L)
+  }
+
+  test("q243: a shifted source scores strictly higher than an identical one") {
+    val base = (1L to 20L).map(i => (i, "ref", 100L + (i % 10)))
+    val same = (21L to 40L).map(i => (i, "same", 100L + (i % 10)))
+    val shifted = (41L to 60L).map(i => (i, "shift", 200L + (i % 10)))
+    val out = TextAnalysisOps.ksDriftOn(docsOf(base ++ same ++ shifted))
+      .collect().map(r => r.getString(0) -> r.getDouble(3)).toMap
+    assert(out("shift") > out("same"))
+    assert(out.values.forall(v => v >= 0.0 && v <= 1.0))
+  }
+
+  test("q243: testdata contract — one row per source, ks in (0, 1], argmax inside the domain") {
+    val docs = graft.Tables.documents(spark, sf0001)
+    val out = TextAnalysisOps.ksDrift(spark, sf0001).collect()
+    val nSrc = docs.select(col("source")).distinct().count()
+    assert(out.length === nSrc)
+    val (lo, hi) = docs.agg(min(col("n_chars")), max(col("n_chars")))
+      .as[(Long, Long)].head()
+    out.foreach { r =>
+      assert(r.getDouble(3) > 0.0 && r.getDouble(3) <= 1.0)
+      assert(r.getLong(4) >= lo && r.getLong(4) <= hi)
+      // the reported ks IS the reported integer numerator divided once
+      val n = out.map(_.getLong(1)).sum
+      assert(r.getDouble(3) ===
+        r.getLong(2).toDouble / (r.getLong(1).toDouble * (n - r.getLong(1)).toDouble))
+    }
+  }
+
+  test("q244: both estimators are exact on a key-uniform many-to-many fixture") {
+    // every key appears exactly 3x in a and 2x in b: System-R with
+    // v_a = v_b = distinct keys gives n_a*n_b/v = 3*2*keys = actual,
+    // globally AND per bucket — both methods must land err 0
+    val keys = (0L until 40L)
+    val a = keys.flatMap(k => Seq(k, k, k)).toDF("k")
+    val b = keys.flatMap(k => Seq(k, k)).toDF("k")
+    val out = CoreQueries.joinCardEstOn(a, b, nBuckets = 8).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(out("global") === ((240L, 240L, 0L, 0L)))
+    assert(out("bucketed") === ((240L, 240L, 0L, 0L)))
+  }
+
+  test("q244: bucketing tightens the estimate when skew aligns with buckets") {
+    // hot bucket: key 0 dominates side a; global System-R smears the
+    // hot key's mass across all keys, the per-bucket estimate isolates
+    // it — bucketed |err| must be <= global |err| here
+    val a = (Seq.fill(100)(0L) ++ (1L until 20L)).toDF("k")
+    val b = (Seq.fill(50)(0L) ++ (1L until 20L)).toDF("k")
+    val out = CoreQueries.joinCardEstOn(a, b, nBuckets = 4).collect()
+      .map(r => r.getString(0) -> ((r.getLong(2), r.getLong(4)))).toMap
+    val actual = 100L * 50L + 19L
+    assert(out("global")._1 === actual && out("bucketed")._1 === actual)
+    assert(out("bucketed")._2 <= out("global")._2,
+      s"bucketed err ${out("bucketed")._2} worse than global ${out("global")._2}")
+  }
+
+  test("q244: testdata contract — 2 rows, estimates within 15% of ground truth") {
+    val out = CoreQueries.q244JoinCardEst(spark, sf0001).collect()
+    assert(out.length === 2)
+    out.foreach { r =>
+      assert(r.getLong(2) > 0L)
+      // sf0.001's 15-user event slice puts the global estimate ~12% off
+      // (the uniformity assumption at its worst); the bound is a
+      // sanity rail, not a precision claim
+      assert(r.getLong(4) <= 1500L,
+        s"${r.getString(0)} err ${r.getLong(4)}bp > 15%")
+    }
+  }
+}
