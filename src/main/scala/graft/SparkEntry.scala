@@ -311,6 +311,7 @@ object SparkEntry {
       CoreQueries.q242SupplierDiversity(s, d)),
     "q243_ks_drift"       -> ((s, d) => TextAnalysisOps.ksDrift(s, d)),
     "q244_join_card_est"  -> ((s, d) => CoreQueries.q244JoinCardEst(s, d)),
+    "q245_scd2_bands"     -> ((s, d) => EventOps.scd2Bands(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

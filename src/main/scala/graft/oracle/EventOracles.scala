@@ -550,5 +550,30 @@ private[graft] object EventOracles {
            AND p.event_type = 'purchase' AND c.event_type = 'click'
            AND c.ts >= p.ts - INTERVAL 6 HOUR AND c.ts < p.ts
          ORDER BY purchase_id, click_id""",
+    // q245: SCD Type-2 spend-band history — run-length-compressed
+    // validity ranges, integer-cent band thresholds, (ts, event_id)
+    // total order; is_current as INT (no boolean in the gate)
+    "q245_scd2_bands" ->
+      """WITH p AS (
+           SELECT user_id, ts, event_id,
+             CASE WHEN CAST(round(value * 100, 0) AS BIGINT) >= 10000
+                    THEN 'high'
+                  WHEN CAST(round(value * 100, 0) AS BIGINT) >= 2500
+                    THEN 'mid'
+                  ELSE 'low' END AS band
+           FROM events WHERE event_type = 'purchase'),
+         c AS (SELECT *, lag(band) OVER (PARTITION BY user_id
+                 ORDER BY ts, event_id) AS prev FROM p),
+         ch AS (SELECT user_id, ts, event_id, band FROM c
+                WHERE prev IS NULL OR band <> prev)
+         SELECT user_id, band, epoch_us(ts) AS valid_from_us,
+           epoch_us(lead(ts) OVER (PARTITION BY user_id
+             ORDER BY ts, event_id)) AS valid_to_us,
+           CAST(row_number() OVER (PARTITION BY user_id
+             ORDER BY ts, event_id) AS INT) AS version,
+           CASE WHEN lead(ts) OVER (PARTITION BY user_id
+             ORDER BY ts, event_id) IS NULL THEN 1 ELSE 0 END
+             AS is_current
+         FROM ch ORDER BY user_id, version""",
   )
 }

@@ -110,4 +110,46 @@ class Round11OpsSpec extends SparkSpecBase {
         s"${r.getString(0)} err ${r.getLong(4)}bp > 15%")
     }
   }
+
+  test("q245: known purchase stream folds to the expected compressed history") {
+    import java.sql.Timestamp
+    def t(s: String) = Timestamp.valueOf(s)
+    // user 1 bands: low(10) -> high(150) -> high(120) -> mid(30):
+    // the two consecutive highs compress into one validity range
+    val ev = Seq(
+      (1L, t("2024-01-01 00:00:00"), 1L, "purchase", 10.0),
+      (2L, t("2024-01-02 00:00:00"), 1L, "purchase", 150.0),
+      (3L, t("2024-01-03 00:00:00"), 1L, "purchase", 120.0),
+      (4L, t("2024-01-04 00:00:00"), 1L, "purchase", 30.0),
+      (5L, t("2024-01-05 00:00:00"), 1L, "click", 999.0) // ignored
+    ).toDF("event_id", "ts", "user_id", "event_type", "value")
+    val out = graft.operators.EventOps.scd2BandsOn(ev).collect()
+      .map(r => (r.getInt(4), r.getString(1), r.isNullAt(3), r.getInt(5)))
+    assert(out.toSeq === Seq(
+      (1, "low", false, 0), (2, "high", false, 0), (3, "mid", true, 1)))
+  }
+
+  test("q245: testdata invariants — contiguous ranges, dense versions, one live row per user") {
+    val out = graft.operators.EventOps.scd2Bands(spark, sf0001).collect()
+    assert(out.nonEmpty)
+    val byUser = out.groupBy(_.getLong(0))
+    byUser.foreach { case (u, rows) =>
+      val sorted = rows.sortBy(_.getInt(4))
+      // versions dense from 1
+      assert(sorted.map(_.getInt(4)).toSeq === (1 to rows.length))
+      // exactly one open-ended current row, and it is the last version
+      val current = sorted.filter(_.getInt(5) === 1)
+      assert(current.length === 1, s"user $u has ${current.length} current rows")
+      assert(current.head.getInt(4) === rows.length)
+      // ranges chain: valid_to(i) == valid_from(i+1), never overlapping
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(!a.isNullAt(3) && a.getLong(3) === b.getLong(2),
+            s"user $u history not contiguous at version ${a.getInt(4)}")
+          // consecutive rows always change band (run-length compressed)
+          assert(a.getString(1) != b.getString(1))
+        case _ =>
+      }
+    }
+  }
 }
