@@ -312,6 +312,7 @@ object SparkEntry {
     "q243_ks_drift"       -> ((s, d) => TextAnalysisOps.ksDrift(s, d)),
     "q244_join_card_est"  -> ((s, d) => CoreQueries.q244JoinCardEst(s, d)),
     "q245_scd2_bands"     -> ((s, d) => EventOps.scd2Bands(s, d)),
+    "q246_mmr_rerank"     -> ((s, d) => SimilarityOps.mmrRerank(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -1676,4 +1676,89 @@ object SimilarityOps {
               .cast("double"), 6)).as("ndcg"))
       .orderBy(col("query_id"))
   }
+
+  /** q246's operating point — shared by [[mmrRerank]] and the generated
+    * DuckDB oracle (SimilarityOracles interpolates these), so the
+    * greedy-round count and λ cannot silently diverge between engines.
+    */
+  private[graft] val MmrNQueries = 3
+  private[graft] val MmrNCand = 25
+  private[graft] val MmrK = 5
+  private[graft] val MmrLamX10 = 7L
+
+  /** Maximal-marginal-relevance rerank (q246): diversify each query's
+    * cosine top-`nCand` shortlist by greedily picking, `kSel` times,
+    * the candidate maximizing λ·sim(q,c) − (1−λ)·max_{s∈selected}
+    * sim(c,s) — the standard redundancy-suppressing rerank between
+    * retrieval and display (or between ANN recall and training-batch
+    * assembly). Every score lives on the integer ten-thousandths grid:
+    * similarities are 4dp-rounded AT the cosine stage boundary (the
+    * q31 contract) then scaled to BIGINT, λ enters as the integer pair
+    * (7, 3)/10 — so the argmax compares only integers, tie-broken on
+    * vec_id, and each greedy round is exactly reproducible in the
+    * oracle's materialized-CTE replay (the q173/q225 rule).
+    *
+    * Scale shape: the ONLY corpus-scale work is the candidate stage
+    * (one scan, broadcast queries — the q31 plan); the greedy rounds
+    * run on bounded frames (nQueries·nCand rows, nQueries·nCand²
+    * pairs), localCheckpointed per round so the iteration never grows
+    * a lineage. At 100 TB nothing here changes: MMR cost is set by k
+    * and the shortlist, not the corpus.
+    */
+  def mmrRerank(spark: SparkSession, dir: String): DataFrame =
+    mmrRerankOn(Tables.embeddings(spark, dir), MmrNQueries, MmrNCand,
+      MmrK, MmrLamX10)
+
+  private[graft] def mmrRerankOn(emb: DataFrame, nQueries: Int,
+      nCand: Int, kSel: Int, lamX10: Long): DataFrame = {
+    val lamC = 10L - lamX10
+    def gridM(a: Column, b: Column): Column =
+      round(round(Vectors.cosine(a, b), 4) * 10000, 0).cast("long")
+    val q = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val wq = Window.partitionBy(col("query_id"))
+      .orderBy(col("qm").desc, col("vec_id"))
+    val cand = emb.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .withColumn("qm", gridM(col("qv"), col("embedding")))
+      .withColumn("rk", row_number().over(wq))
+      .filter(col("rk") <= nCand)
+      .select(col("query_id"), col("vec_id"), col("embedding"), col("qm"))
+      .localCheckpoint()
+    val slim = cand.select(col("query_id"), col("vec_id"), col("embedding"))
+    val pair = slim.toDF("query_id", "ca", "va")
+      .join(slim.toDF("query_id", "cb", "vb"), Seq("query_id"))
+      .filter(col("ca") =!= col("cb"))
+      .withColumn("pm", gridM(col("va"), col("vb")))
+      .select(col("query_id"), col("ca"), col("cb"), col("pm"))
+      .localCheckpoint()
+    var selected = cand.withColumn("rn", row_number().over(wq))
+      .filter(col("rn") === 1)
+      .select(col("query_id"), col("vec_id"), col("qm"),
+        lit(0L).as("ms"), lit(1).as("mmr_rank"))
+      .localCheckpoint()
+    for (r <- 2 to kSel) {
+      val ms = pair
+        .join(selected.select(col("query_id"), col("vec_id").as("cb")),
+          Seq("query_id", "cb"))
+        .groupBy(col("query_id"), col("ca"))
+        .agg(max(col("pm")).as("ms"))
+        .withColumnRenamed("ca", "vec_id")
+      val wr = Window.partitionBy(col("query_id"))
+        .orderBy((lit(lamX10) * col("qm") - lit(lamC) * col("ms")).desc,
+          col("vec_id"))
+      val pick = cand
+        .join(selected.select(col("query_id"), col("vec_id")),
+          Seq("query_id", "vec_id"), "left_anti")
+        .join(ms, Seq("query_id", "vec_id"))
+        .withColumn("rn", row_number().over(wr))
+        .filter(col("rn") === 1)
+        .select(col("query_id"), col("vec_id"), col("qm"), col("ms"),
+          lit(r).as("mmr_rank"))
+      selected = selected.unionByName(pick).localCheckpoint()
+    }
+    selected.select(col("query_id"), col("vec_id"), col("mmr_rank"),
+      col("qm").as("relevance_m"), col("ms").as("penalty_m"),
+      (lit(lamX10) * col("qm") - lit(lamC) * col("ms")).as("mmr_m"))
+      .orderBy(col("query_id"), col("mmr_rank"))
+  }
 }

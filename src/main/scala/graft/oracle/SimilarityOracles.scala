@@ -1043,6 +1043,76 @@ private[graft] object SimilarityOracles {
          SELECT qid, hit_id, rk_sparse, rk_dense, rrf_e6, rk FROM (
            SELECT u.*, CAST(row_number() OVER (PARTITION BY qid
              ORDER BY rrf_e6 DESC, hit_id) AS INT) AS rk FROM u)
-         WHERE rk <= 10 ORDER BY qid, rk"""
+         WHERE rk <= 10 ORDER BY qid, rk""",
+    // q246: MMR diversified rerank — greedy rounds replayed as
+    // MATERIALIZED CTEs (the q173/q225 rule), every score an integer
+    // (4dp cosine scaled to ten-thousandths, λ as the 7/3 pair); the
+    // round chain is GENERATED from SimilarityOps' own operating point
+    // so the engines cannot diverge on k or λ
+    "q246_mmr_rerank" -> mmrSql
   )
+
+  /** Generated q246 oracle: one `s{r}`/`a{r}` CTE pair per greedy
+    * round, parameterized by [[graft.operators.SimilarityOps]]'
+    * q246 constants.
+    */
+  private def mmrSql: String = {
+    import graft.operators.SimilarityOps.{MmrK, MmrLamX10, MmrNCand, MmrNQueries}
+    val lamC = 10L - MmrLamX10
+    val cosSql = (a: String, b: String) =>
+      s"round(list_inner_product($a, $b) / " +
+        s"(sqrt(list_inner_product($a, $a)) * sqrt(list_inner_product($b, $b))), 4)"
+    val head =
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+            FROM embeddings WHERE vec_id < $MmrNQueries),
+          c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+          cand AS MATERIALIZED (
+            SELECT query_id, vec_id, v, qm FROM (
+              SELECT query_id, vec_id, v,
+                CAST(round(${cosSql("qv", "v")} * 10000, 0) AS BIGINT) AS qm,
+                row_number() OVER (PARTITION BY query_id
+                  ORDER BY ${cosSql("qv", "v")} DESC, vec_id) AS rk
+              FROM q CROSS JOIN c WHERE vec_id <> query_id)
+            WHERE rk <= $MmrNCand),
+          pair AS MATERIALIZED (
+            SELECT a.query_id, a.vec_id AS ca, b.vec_id AS cb,
+              CAST(round(${cosSql("a.v", "b.v")} * 10000, 0) AS BIGINT) AS pm
+            FROM cand a JOIN cand b
+              ON a.query_id = b.query_id AND a.vec_id <> b.vec_id),
+          s1 AS MATERIALIZED (
+            SELECT query_id, vec_id, qm, CAST(0 AS BIGINT) AS ms,
+              1 AS mmr_rank
+            FROM (SELECT query_id, vec_id, qm,
+                    row_number() OVER (PARTITION BY query_id
+                      ORDER BY qm DESC, vec_id) AS rn FROM cand)
+            WHERE rn = 1),
+          a1 AS (SELECT * FROM s1)"""
+    val rounds = (2 to MmrK).map { r =>
+      val p = r - 1
+      s""",
+          s$r AS MATERIALIZED (
+            SELECT query_id, vec_id, qm, ms, $r AS mmr_rank FROM (
+              SELECT c.query_id, c.vec_id, c.qm, m.ms,
+                row_number() OVER (PARTITION BY c.query_id
+                  ORDER BY $MmrLamX10 * c.qm - $lamC * m.ms DESC,
+                    c.vec_id) AS rn
+              FROM cand c
+              JOIN (SELECT p.query_id, p.ca AS vec_id, max(p.pm) AS ms
+                    FROM pair p JOIN a$p s
+                      ON p.query_id = s.query_id AND p.cb = s.vec_id
+                    GROUP BY 1, 2) m
+                ON c.query_id = m.query_id AND c.vec_id = m.vec_id
+              WHERE NOT EXISTS (SELECT 1 FROM a$p s
+                WHERE s.query_id = c.query_id AND s.vec_id = c.vec_id))
+            WHERE rn = 1),
+          a$r AS (SELECT * FROM a$p UNION ALL SELECT * FROM s$r)"""
+    }.mkString
+    val tail =
+      s"""
+          SELECT query_id, vec_id, mmr_rank, qm AS relevance_m,
+            ms AS penalty_m,
+            $MmrLamX10 * qm - $lamC * ms AS mmr_m
+          FROM a$MmrK ORDER BY query_id, mmr_rank"""
+    head + rounds + tail
+  }
 }

@@ -152,4 +152,51 @@ class Round11OpsSpec extends SparkSpecBase {
       }
     }
   }
+
+  private def embOf(rows: Seq[(Long, Array[Float])]) =
+    rows.toDF("vec_id", "embedding")
+
+  test("q246: λ = 1 (lamX10 = 10) degenerates to the pure cosine top-k order") {
+    val emb = embOf(Seq(
+      0L -> Array(1f, 0f),
+      1L -> Array(0.9f, 0.1f), 2L -> Array(0.8f, 0.3f),
+      3L -> Array(0.5f, 0.7f), 4L -> Array(0.1f, 0.9f)))
+    val mmr = SimilarityOps.mmrRerankOn(emb, 1, 4, 3, lamX10 = 10L)
+      .collect().map(r => (r.getInt(2), r.getLong(1)))
+    // with no diversity penalty the greedy picks ARE the top-k by qm
+    assert(mmr.toSeq === Seq((1, 1L), (2, 2L), (3, 3L)))
+  }
+
+  test("q246: a near-duplicate of the first pick is demoted below a diverse candidate") {
+    // c1 and c2 nearly identical (cos ~ 1), c3 well-separated but still
+    // relevant: pure relevance ranks c1, c2; at λ=0.7 the duplicate's
+    // 10000-grid penalty outweighs its relevance edge (hand-checked:
+    // c2 scores 7·9477−3·10000 = 36339 < c3's 7·8000−3·5744 = 38768)
+    val emb = embOf(Seq(
+      0L -> Array(1f, 0f),
+      1L -> Array(0.95f, 0.31f),
+      2L -> Array(0.95f, 0.32f),
+      3L -> Array(0.80f, -0.60f)))
+    val mmr = SimilarityOps.mmrRerankOn(emb, 1, 3, 3, lamX10 = 7L)
+      .collect().map(r => (r.getInt(2), r.getLong(1)))
+    assert(mmr.toSeq === Seq((1, 1L), (2, 3L), (3, 2L)))
+  }
+
+  test("q246: testdata contract — k rows per query, ranks dense, no repeats, penalties grow") {
+    val out = SimilarityOps.mmrRerank(spark, sf0001).collect()
+    val k = SimilarityOps.MmrK
+    val byQ = out.groupBy(_.getLong(0))
+    assert(byQ.size === SimilarityOps.MmrNQueries)
+    byQ.foreach { case (q, rows) =>
+      assert(rows.length === k)
+      assert(rows.map(_.getInt(2)).sorted.toSeq === (1 to k))
+      assert(rows.map(_.getLong(1)).distinct.length === k,
+        s"query $q repeated a pick")
+      // rank 1 has zero penalty; the reported score is the λ-fold
+      rows.foreach { r =>
+        if (r.getInt(2) === 1) assert(r.getLong(4) === 0L)
+        assert(r.getLong(5) === 7L * r.getLong(3) - 3L * r.getLong(4))
+      }
+    }
+  }
 }
