@@ -313,6 +313,8 @@ object SparkEntry {
     "q244_join_card_est"  -> ((s, d) => CoreQueries.q244JoinCardEst(s, d)),
     "q245_scd2_bands"     -> ((s, d) => EventOps.scd2Bands(s, d)),
     "q246_mmr_rerank"     -> ((s, d) => SimilarityOps.mmrRerank(s, d)),
+    "q247_tiered_rollup"  -> ((s, d) =>
+      graft.streaming.TieredAggStream.tieredBatch(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -575,5 +575,21 @@ private[graft] object EventOracles {
              ORDER BY ts, event_id) IS NULL THEN 1 ELSE 0 END
              AS is_current
          FROM ch ORDER BY user_id, version""",
+    // q247: tiered 15-min → hourly rollup (the chained-stateful
+    // streaming tree's batch twin) recomputed from raw events with
+    // pure integer epoch-floor buckets — engine-neutral origin (Spark
+    // windows and this floor both align to the 1970 epoch); proves the
+    // tiering is lossless (associative integer folds)
+    "q247_tiered_rollup" ->
+      """WITH b AS (
+           SELECT epoch_us(ts) // 3600000000 AS h,
+                  epoch_us(ts) // 900000000 AS q,
+                  event_type,
+                  CAST(round(value * 100, 0) AS BIGINT) AS vc
+           FROM events)
+         SELECT h * 3600000000 AS bucket_start_us, event_type,
+           count(*) AS cnt, CAST(sum(vc) AS BIGINT) AS value_c,
+           count(DISTINCT q) AS n_buckets
+         FROM b GROUP BY 1, 2 ORDER BY 1, 2""",
   )
 }
