@@ -315,6 +315,7 @@ object SparkEntry {
     "q246_mmr_rerank"     -> ((s, d) => SimilarityOps.mmrRerank(s, d)),
     "q247_tiered_rollup"  -> ((s, d) =>
       graft.streaming.TieredAggStream.tieredBatch(s, d)),
+    "q248_pit_band_mix"   -> ((s, d) => EventOps.pitBandMix(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -959,4 +959,44 @@ object EventOps {
         when(col("valid_to").isNull, 1).otherwise(0).as("is_current"))
       .orderBy(col("user_id"), col("version"))
   }
+
+  /** Point-in-time dimension join (q248): each click enriched with the
+    * spend band that was valid AT ITS TIMESTAMP in the [[scd2Bands]]
+    * history — the "dimension time travel" lookup every lakehouse
+    * feature store runs (joining facts to the dim row as-of the fact,
+    * never the current row, avoids label leakage). Clicks before the
+    * user's first band change roll up under 'none'.
+    *
+    * Scale shape: NOT an interval join — the band changes and the
+    * clicks are unioned and window-folded per user (the q49 as-of
+    * union trick): one user_id shuffle, last-non-null band carried
+    * forward, markers sorting before clicks on timestamp ties (a
+    * band takes effect AT its valid_from). An interval join would
+    * re-scan the history per click; this folds both in one pass.
+    */
+  def pitBandMix(spark: SparkSession, dir: String): DataFrame =
+    pitBandMixOn(Tables.events(spark, dir))
+
+  private[graft] def pitBandMixOn(ev: DataFrame): DataFrame = {
+    val dim = scd2BandsOn(ev)
+      .select(col("user_id"), col("band"), col("valid_from_us"),
+        col("version"))
+    val markers = dim.select(col("user_id"),
+      col("valid_from_us").as("t_us"), lit(0).as("kind"),
+      col("version"), col("band"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), unix_micros(col("ts")).as("t_us"),
+        lit(1).as("kind"), lit(Int.MaxValue).as("version"),
+        lit(null).cast("string").as("band"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("t_us"), col("kind"), col("version"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    markers.unionByName(clicks)
+      .withColumn("band_at", last(col("band"), ignoreNulls = true).over(w))
+      .filter(col("kind") === 1)
+      .groupBy(coalesce(col("band_at"), lit("none")).as("band"))
+      .agg(count(lit(1)).as("n_clicks"),
+        countDistinct(col("user_id")).as("n_users"))
+      .orderBy(col("band"))
+  }
 }

@@ -591,5 +591,34 @@ private[graft] object EventOracles {
            count(*) AS cnt, CAST(sum(vc) AS BIGINT) AS value_c,
            count(DISTINCT q) AS n_buckets
          FROM b GROUP BY 1, 2 ORDER BY 1, 2""",
+    // q248: point-in-time join of clicks against the q245 SCD2 history
+    // (same change CTE, event_id tiebreak) as a relational interval
+    // join — the Spark side folds it as-of style in one window pass;
+    // half-open [from, to) validity, pre-history clicks → 'none'
+    "q248_pit_band_mix" ->
+      """WITH p AS (
+           SELECT user_id, ts, event_id,
+             CASE WHEN CAST(round(value * 100, 0) AS BIGINT) >= 10000
+                    THEN 'high'
+                  WHEN CAST(round(value * 100, 0) AS BIGINT) >= 2500
+                    THEN 'mid'
+                  ELSE 'low' END AS band
+           FROM events WHERE event_type = 'purchase'),
+         c AS (SELECT *, lag(band) OVER (PARTITION BY user_id
+                 ORDER BY ts, event_id) AS prev FROM p),
+         ch AS (SELECT user_id, ts, event_id, band FROM c
+                WHERE prev IS NULL OR band <> prev),
+         dim AS (SELECT user_id, band, epoch_us(ts) AS f_us,
+                   epoch_us(lead(ts) OVER (PARTITION BY user_id
+                     ORDER BY ts, event_id)) AS t_us
+                 FROM ch),
+         clicks AS (SELECT user_id, epoch_us(ts) AS c_us FROM events
+                    WHERE event_type = 'click')
+         SELECT coalesce(d.band, 'none') AS band,
+           count(*) AS n_clicks, count(DISTINCT clicks.user_id) AS n_users
+         FROM clicks LEFT JOIN dim d
+           ON clicks.user_id = d.user_id AND clicks.c_us >= d.f_us
+           AND (d.t_us IS NULL OR clicks.c_us < d.t_us)
+         GROUP BY 1 ORDER BY 1""",
   )
 }

@@ -199,4 +199,33 @@ class Round11OpsSpec extends SparkSpecBase {
       }
     }
   }
+
+  test("q248: clicks pick up the band valid AT their timestamp, boundary inclusive") {
+    import java.sql.Timestamp
+    def t(s: String) = Timestamp.valueOf(s)
+    val ev = Seq(
+      // user 1 history: low from 10:00, high from 12:00
+      (1L, t("2024-01-01 10:00:00"), 1L, "purchase", 10.0),
+      (2L, t("2024-01-01 12:00:00"), 1L, "purchase", 150.0),
+      // clicks: before history -> none; AT a change -> the new band;
+      // mid-range -> the open band at that instant
+      (3L, t("2024-01-01 09:00:00"), 1L, "click", 0.0),
+      (4L, t("2024-01-01 10:00:00"), 1L, "click", 0.0), // boundary: low
+      (5L, t("2024-01-01 11:00:00"), 1L, "click", 0.0),
+      (6L, t("2024-01-01 12:30:00"), 1L, "click", 0.0)
+    ).toDF("event_id", "ts", "user_id", "event_type", "value")
+    val out = graft.operators.EventOps.pitBandMixOn(ev).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out === Map(
+      "none" -> ((1L, 1L)), "low" -> ((2L, 1L)), "high" -> ((1L, 1L))))
+  }
+
+  test("q248: testdata contract — every click lands in exactly one band bucket") {
+    val out = graft.operators.EventOps.pitBandMix(spark, sf0001).collect()
+    val totalClicks = graft.Tables.events(spark, sf0001)
+      .filter(col("event_type") === "click").count()
+    assert(out.map(_.getLong(1)).sum === totalClicks)
+    assert(out.map(_.getString(0)).toSet.subsetOf(
+      Set("none", "low", "mid", "high")))
+  }
 }
