@@ -316,6 +316,8 @@ object SparkEntry {
     "q247_tiered_rollup"  -> ((s, d) =>
       graft.streaming.TieredAggStream.tieredBatch(s, d)),
     "q248_pit_band_mix"   -> ((s, d) => EventOps.pitBandMix(s, d)),
+    "q249_ivm_join_delta" -> ((s, d) =>
+      graft.operators.IncrementalOps.ivmJoinDelta(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

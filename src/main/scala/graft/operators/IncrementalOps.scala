@@ -308,4 +308,57 @@ object IncrementalOps {
       .agg(count(lit(1)).as("n_rows"), expr("bit_xor(fp)").as("fingerprint"))
       .orderBy(col("l_returnflag"))
   }
+
+  /** Incremental JOIN-view maintenance (q249): the per-user
+    * click×purchase pair count maintained under a new arrival batch by
+    * the classic IVM delta rule ΔV = ΔA⋈B ∪ A⋈ΔB ∪ ΔA⋈ΔB — for a
+    * per-key counting join view that algebra collapses to
+    * Δv(u) = Δc·p + c·Δp + Δc·Δp on the per-user COUNTS, so the
+    * maintenance pass touches only aggregates, never re-joins the
+    * base facts. The batch is simulated as event_id ≡ `deltaMod`-class
+    * arrivals; the output carries BOTH the maintained total and an
+    * independent full recount plus their agreement flag, so the gate
+    * hash-pins the IVM algebra against ground truth in both engines.
+    *
+    * Scale shape: two per-user count aggregates (base pass runs once
+    * per view lifetime; the delta pass is delta-sized) and a
+    * coalesce-join of two small per-user panels. The full recount
+    * column is the audit path a production view skips.
+    */
+  def ivmJoinDelta(spark: SparkSession, dir: String,
+      deltaMod: Long = 10L, deltaRem: Long = 7L): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .filter(col("event_type").isin("click", "purchase"))
+      .select(col("user_id"), col("event_type"),
+        (pmod(col("event_id"), lit(deltaMod)) === deltaRem)
+          .as("is_delta"))
+    def counts(delta: Boolean, nm: String) = ev
+      .filter(col("is_delta") === delta)
+      .groupBy(col("user_id"))
+      .agg(
+        sum(when(col("event_type") === "click", 1L).otherwise(0L))
+          .as(s"c_$nm"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as(s"p_$nm"))
+    val base = counts(delta = false, "base")
+    val delta = counts(delta = true, "delta")
+    base.join(delta, Seq("user_id"), "full_outer")
+      .select(col("user_id"),
+        coalesce(col("c_base"), lit(0L)).as("cb"),
+        coalesce(col("p_base"), lit(0L)).as("pb"),
+        coalesce(col("c_delta"), lit(0L)).as("cd"),
+        coalesce(col("p_delta"), lit(0L)).as("pd"))
+      .select(col("user_id"),
+        (col("cb") * col("pb")).as("base_pairs"),
+        (col("cd") * col("pb") + col("cb") * col("pd") +
+          col("cd") * col("pd")).as("delta_pairs"),
+        ((col("cb") + col("cd")) * (col("pb") + col("pd")))
+          .as("recount_pairs"))
+      .select(col("user_id"), col("base_pairs"), col("delta_pairs"),
+        (col("base_pairs") + col("delta_pairs")).as("total_pairs"),
+        col("recount_pairs"),
+        (col("base_pairs") + col("delta_pairs") === col("recount_pairs"))
+          .cast("int").as("consistent"))
+      .orderBy(col("user_id"))
+  }
 }

@@ -577,5 +577,38 @@ private[graft] object PipelineOracles {
              * 10000.0 / CAST(sum(n_chars_t) AS DOUBLE), 6)
              AS hits_per_10k_chars
          FROM c GROUP BY source ORDER BY source""",
+    // q249: IVM join-view delta — the ΔA⋈B ∪ A⋈ΔB ∪ ΔA⋈ΔB rule on
+    // per-user counting aggregates, with the independent full recount
+    // and agreement flag hash-pinned alongside
+    "q249_ivm_join_delta" ->
+      """WITH ev AS (
+           SELECT user_id, event_type, (event_id % 10 = 7) AS is_delta
+           FROM events WHERE event_type IN ('click', 'purchase')),
+         base AS (
+           SELECT user_id,
+             CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+               AS BIGINT) AS cb,
+             CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+               AS BIGINT) AS pb
+           FROM ev WHERE NOT is_delta GROUP BY 1),
+         delta AS (
+           SELECT user_id,
+             CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+               AS BIGINT) AS cd,
+             CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+               AS BIGINT) AS pd
+           FROM ev WHERE is_delta GROUP BY 1),
+         j AS (
+           SELECT coalesce(base.user_id, delta.user_id) AS user_id,
+             coalesce(cb, 0) AS cb, coalesce(pb, 0) AS pb,
+             coalesce(cd, 0) AS cd, coalesce(pd, 0) AS pd
+           FROM base FULL OUTER JOIN delta ON base.user_id = delta.user_id)
+         SELECT user_id, cb * pb AS base_pairs,
+           cd * pb + cb * pd + cd * pd AS delta_pairs,
+           cb * pb + cd * pb + cb * pd + cd * pd AS total_pairs,
+           (cb + cd) * (pb + pd) AS recount_pairs,
+           CASE WHEN cb * pb + cd * pb + cb * pd + cd * pd
+                = (cb + cd) * (pb + pd) THEN 1 ELSE 0 END AS consistent
+         FROM j ORDER BY user_id""",
   )
 }
