@@ -318,6 +318,9 @@ object SparkEntry {
     "q248_pit_band_mix"   -> ((s, d) => EventOps.pitBandMix(s, d)),
     "q249_ivm_join_delta" -> ((s, d) =>
       graft.operators.IncrementalOps.ivmJoinDelta(s, d)),
+    "q250_delete_audit"   -> ((s, d) =>
+      graft.dq.DataQuality.deleteAudit(s, d)),
+    "q251_dup_attribution" -> ((s, d) => DedupOps.dupAttribution(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

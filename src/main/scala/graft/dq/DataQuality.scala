@@ -185,4 +185,47 @@ object DataQuality {
     }
     (obs, df.observe(obs, metrics.head, metrics.tail: _*))
   }
+
+  /** Deletion-propagation audit (q250): given a deletion cohort
+    * (modeled as negative-balance customers — the erasure-request
+    * list), count how many rows each downstream table still references
+    * — directly (orders by custkey, events by user id) and
+    * transitively (lineitem through the cohort's orders). This is the
+    * right-to-be-forgotten compliance scan a lakehouse runs BEFORE and
+    * AFTER a purge job; the per-table basis-point share sizes the
+    * rewrite each purge would trigger.
+    *
+    * Scale shape: the cohort is broadcast into left_semi probes — each
+    * table is scanned once, counted with map-side partials, never
+    * shuffled; the transitive hop first reduces orders to the cohort's
+    * order keys (cohort-sized) before probing lineitem. At 100 TB the
+    * scan is the floor for any audit; nothing here exceeds it.
+    */
+  def deleteAudit(spark: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame = {
+    val del = Tables.customer(spark, dir)
+      .filter(round(col("c_acctbal") * 100, 0).cast("long") < 0L)
+      .select(col("c_custkey"))
+    def panel(name: String, df: DataFrame, probe: DataFrame,
+        key: String, probeKey: String): DataFrame = {
+      val refs = df.join(broadcast(probe),
+        col(key) === probe(probeKey), "left_semi")
+        .agg(count(lit(1)).as("n_referencing"))
+      df.agg(count(lit(1)).as("n_rows")).crossJoin(refs)
+        .select(lit(name).as("table_name"), col("n_rows"),
+          col("n_referencing"),
+          expr("n_referencing * 10000 div n_rows").as("ref_bp"))
+    }
+    val delOrders = Tables.orders(spark, dir)
+      .join(broadcast(del), col("o_custkey") === col("c_custkey"),
+        "left_semi")
+      .select(col("o_orderkey"))
+    panel("orders", Tables.orders(spark, dir), del, "o_custkey",
+        "c_custkey")
+      .unionByName(panel("events", Tables.events(spark, dir), del,
+        "user_id", "c_custkey"))
+      .unionByName(panel("lineitem", Tables.lineitem(spark, dir),
+        delOrders, "l_orderkey", "o_orderkey"))
+      .orderBy(col("table_name"))
+  }
 }

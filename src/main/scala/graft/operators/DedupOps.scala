@@ -702,6 +702,32 @@ object DedupOps {
   def ngramJaccardPairsDF(docs: DataFrame, threshold: Double = 0.5): DataFrame =
     pairsFromToks(filteredShingleRows(docs), threshold)
 
+  /** Cross-source duplicate attribution (q251): the near-dup pairs of
+    * q28 rolled up by UNORDERED source pair — the "who copies whom"
+    * matrix a curation pipeline reads before deciding which source to
+    * drop from a mixture (a diagonal cell is within-source redundancy;
+    * an off-diagonal cell is syndication/mirroring between sources).
+    *
+    * Scale shape: rides the session-cached q28 pair relation (the
+    * df-capped postings self-join — no new corpus-scale work); the
+    * source lookup broadcasts; the rollup key space is |sources|².
+    */
+  def dupAttribution(spark: SparkSession, dir: String,
+      threshold: Double = 0.5): DataFrame = {
+    val src = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"))
+    ngramJaccardPairs(spark, dir, threshold)
+      .join(broadcast(src.toDF("doc_id", "source_a")),
+        col("id_a") === col("doc_id")).drop("doc_id")
+      .join(broadcast(src.toDF("doc_id", "source_b")),
+        col("id_b") === col("doc_id")).drop("doc_id")
+      .select(least(col("source_a"), col("source_b")).as("src_a"),
+        greatest(col("source_a"), col("source_b")).as("src_b"))
+      .groupBy(col("src_a"), col("src_b"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy(col("src_a"), col("src_b"))
+  }
+
   /** Duplication-inflation histogram (q100): exact-duplicate cluster
     * sizes (md5 content fingerprint) rolled up into (cluster_size →
     * n_clusters, n_docs, n_redundant) — the dedup-economics report a

@@ -1051,5 +1051,38 @@ private[graft] object CoreOracles {
            CAST(abs(est_rows - actual_rows) * 10000 // actual_rows
              AS BIGINT) AS abs_err_bp
          FROM est CROSS JOIN act ORDER BY method""",
+    // q250: right-to-be-forgotten propagation audit — per-table direct
+    // and transitive reference counts for the deletion cohort, with
+    // the integer basis-point purge share
+    "q250_delete_audit" ->
+      """WITH del AS (SELECT c_custkey FROM customer
+                      WHERE CAST(round(c_acctbal * 100, 0) AS BIGINT) < 0),
+         o AS (SELECT count(*) AS n_rows,
+                 CAST(sum(CASE WHEN o_custkey IN
+                   (SELECT c_custkey FROM del) THEN 1 ELSE 0 END)
+                   AS BIGINT) AS nr
+               FROM orders),
+         e AS (SELECT count(*) AS n_rows,
+                 CAST(sum(CASE WHEN user_id IN
+                   (SELECT c_custkey FROM del) THEN 1 ELSE 0 END)
+                   AS BIGINT) AS nr
+               FROM events),
+         delo AS (SELECT o_orderkey FROM orders
+                  WHERE o_custkey IN (SELECT c_custkey FROM del)),
+         l AS (SELECT count(*) AS n_rows,
+                 CAST(sum(CASE WHEN l_orderkey IN
+                   (SELECT o_orderkey FROM delo) THEN 1 ELSE 0 END)
+                   AS BIGINT) AS nr
+               FROM lineitem)
+         SELECT * FROM (
+           SELECT 'events' AS table_name, n_rows, nr AS n_referencing,
+             CAST(nr * 10000 // n_rows AS BIGINT) AS ref_bp FROM e
+           UNION ALL
+           SELECT 'lineitem', n_rows, nr,
+             CAST(nr * 10000 // n_rows AS BIGINT) FROM l
+           UNION ALL
+           SELECT 'orders', n_rows, nr,
+             CAST(nr * 10000 // n_rows AS BIGINT) FROM o)
+         ORDER BY table_name""",
   )
 }

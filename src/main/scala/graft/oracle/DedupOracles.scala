@@ -18,6 +18,23 @@ private[graft] object DedupOracles {
     // banding — a recall loss in candidate generation is a hard row-set
     // mismatch vs the exact oracle
     "q29_minhash_neardup" -> exactJaccardPairsSql,
+    // q251: q28's near-dup pairs attributed to unordered source pairs
+    "q251_dup_attribution" ->
+      ("WITH " + graft.oracle.OracleCtes.shinglePostingsCte + """,
+         pairs AS (
+           SELECT id_a, id_b FROM (
+             SELECT l.doc_id AS id_a, r.doc_id AS id_b,
+               count(*) * 1.0 / (l.n + r.n - count(*)) AS jaccard
+             FROM tok l JOIN tok r ON l.tok = r.tok AND l.doc_id < r.doc_id
+             GROUP BY l.doc_id, r.doc_id, l.n, r.n)
+           WHERE jaccard >= 0.5)
+         SELECT least(a.source, b.source) AS src_a,
+           greatest(a.source, b.source) AS src_b,
+           count(*) AS n_pairs
+         FROM pairs
+         JOIN documents a ON id_a = a.doc_id
+         JOIN documents b ON id_b = b.doc_id
+         GROUP BY 1, 2 ORDER BY 1, 2"""),
     // q30: SimHash hamming ≤ 3 only partially overlaps Jaccard ≥ 0.5
     // (see DedupOps.simhashNearDupDF), so the gate is a summary row:
     // DuckDB-exact pair count + subset-exactness + recall ≥ 0.5

@@ -253,4 +253,35 @@ class Round11OpsSpec extends SparkSpecBase {
     // terms are exercised, not vacuously zero)
     assert(out.exists(_.getLong(2) > 0L))
   }
+
+  test("q250: delete audit counts match direct semi-join recomputes") {
+    val out = graft.dq.DataQuality.deleteAudit(spark, sf0001).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out.keySet === Set("orders", "events", "lineitem"))
+    val del = graft.Tables.customer(spark, sf0001)
+      .filter(round(col("c_acctbal") * 100, 0).cast("long") < 0L)
+      .select(col("c_custkey")).collect().map(_.getLong(0)).toSet
+    val orders = graft.Tables.orders(spark, sf0001)
+      .select(col("o_orderkey"), col("o_custkey")).collect()
+    val delOrders = orders.filter(r => del(r.getLong(1))).map(_.getLong(0)).toSet
+    assert(out("orders")._2 === delOrders.size.toLong)
+    val evRef = graft.Tables.events(spark, sf0001)
+      .select(col("user_id")).collect().count(r => del(r.getLong(0)))
+    assert(out("events")._2 === evRef.toLong)
+    val liRef = graft.Tables.lineitem(spark, sf0001)
+      .select(col("l_orderkey")).collect().count(r => delOrders(r.getLong(0)))
+    assert(out("lineitem")._2 === liRef.toLong)
+    out.values.foreach { case (n, ref, bp) =>
+      assert(bp === ref * 10000L / n)
+    }
+  }
+
+  test("q251: attribution conserves the q28 pair count, keys are unordered") {
+    val out = DedupOps.dupAttribution(spark, sf0001).collect()
+    assert(out.nonEmpty)
+    out.foreach(r => assert(r.getString(0) <= r.getString(1)))
+    val nPairs = DedupOps.ngramJaccardPairs(spark, sf0001).count()
+    assert(out.map(_.getLong(2)).sum === nPairs)
+  }
 }
