@@ -321,6 +321,8 @@ object SparkEntry {
     "q250_delete_audit"   -> ((s, d) =>
       graft.dq.DataQuality.deleteAudit(s, d)),
     "q251_dup_attribution" -> ((s, d) => DedupOps.dupAttribution(s, d)),
+    "q252_quality_skyline" -> ((s, d) =>
+      TextAnalysisOps.qualitySkyline(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -1321,4 +1321,51 @@ object TextAnalysisOps {
         col("x").as("at_x"))
       .orderBy(col("source"))
   }
+
+  /** Curation skyline (q252): the Pareto frontier over (length,
+    * quality) — documents no other document beats-or-ties on BOTH
+    * axes while strictly beating on one. The preference-query operator
+    * a curation pipeline uses when two objectives shouldn't be
+    * collapsed into one weighted score prematurely.
+    *
+    * Scale shape: NOT the O(n²) domination self-join the relational
+    * formulation implies. Skylines are distributive (the global
+    * frontier is a subset of the union of partition frontiers), so
+    * phase 1 computes per-SOURCE skylines with source-partitioned
+    * range windows — `max(quality) over n_chars strictly greater` and
+    * `over n_chars equal` decide domination in one sorted pass — and
+    * phase 2 resolves the REDUCED union (bounded by sources ×
+    * frontier size, q182's bounded-rank rule) with a broadcast
+    * domination anti-join — never a partitionless window, so no
+    * single-partition sort exists anywhere in the plan. Both axes
+    * ride the integer grid (quality_m = the q35 score's own integer).
+    */
+  def qualitySkyline(spark: SparkSession, dir: String): DataFrame = {
+    val j = qualityScore(spark, dir)
+      .select(col("doc_id"),
+        round(col("quality") * 10000, 0).cast("long").as("quality_m"))
+      .join(Tables.documents(spark, dir)
+        .select(col("doc_id"), col("source"), col("n_chars")), "doc_id")
+    def frontier(df: DataFrame, part: Seq[Column]): DataFrame = {
+      val wGt = Window.partitionBy(part: _*).orderBy(col("n_chars"))
+        .rangeBetween(1L, Window.unboundedFollowing)
+      val wEq = Window.partitionBy((part :+ col("n_chars")): _*)
+      df.withColumn("mq_gt", max(col("quality_m")).over(wGt))
+        .withColumn("mq_eq", max(col("quality_m")).over(wEq))
+        .filter((col("mq_gt").isNull || col("mq_gt") < col("quality_m"))
+          && col("mq_eq") <= col("quality_m"))
+        .drop("mq_gt", "mq_eq")
+    }
+    val local = frontier(j, Seq(col("source")))
+    val dominators = local.select(col("n_chars").as("o_chars"),
+      col("quality_m").as("o_q"))
+    local.join(broadcast(dominators),
+        col("o_chars") >= col("n_chars") && col("o_q") >= col("quality_m")
+          && (col("o_chars") > col("n_chars") ||
+              col("o_q") > col("quality_m")),
+        "left_anti")
+      .select(col("doc_id"), col("source"), col("n_chars"),
+        col("quality_m"))
+      .orderBy(col("n_chars").desc, col("doc_id"))
+  }
 }

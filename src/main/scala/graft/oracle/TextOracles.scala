@@ -676,6 +676,19 @@ private[graft] object TextOracles {
            x AS at_x
          FROM (SELECT *, row_number() OVER (PARTITION BY source
                  ORDER BY num DESC, x) AS rk FROM scored)
-         WHERE rk = 1 ORDER BY source""")
+         WHERE rk = 1 ORDER BY source"""),
+    // q252: Pareto frontier over (n_chars, quality) — the relational
+    // NOT-EXISTS domination form; the Spark side computes it as
+    // distributive per-source frontiers + a merge pass (never O(n²))
+    "q252_quality_skyline" ->
+      ("WITH " + qualityDocCte + """,
+         j AS (SELECT q.doc_id, d.source, d.n_chars,
+                 CAST(round(q.quality * 10000, 0) AS BIGINT) AS quality_m
+               FROM qdoc q JOIN documents d ON q.doc_id = d.doc_id)
+         SELECT doc_id, source, n_chars, quality_m FROM j p
+         WHERE NOT EXISTS (SELECT 1 FROM j o
+           WHERE o.n_chars >= p.n_chars AND o.quality_m >= p.quality_m
+             AND (o.n_chars > p.n_chars OR o.quality_m > p.quality_m))
+         ORDER BY n_chars DESC, doc_id""")
   )
 }

@@ -284,4 +284,25 @@ class Round11OpsSpec extends SparkSpecBase {
     val nPairs = DedupOps.ngramJaccardPairs(spark, sf0001).count()
     assert(out.map(_.getLong(2)).sum === nPairs)
   }
+
+  test("q252: two-phase skyline equals the brute-force domination filter") {
+    val out = TextAnalysisOps.qualitySkyline(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3)))
+    assert(out.nonEmpty)
+    // brute force over the full (n_chars, quality_m) point set
+    val pts = TextAnalysisOps.qualityScore(spark, sf0001)
+      .select(col("doc_id"),
+        round(col("quality") * 10000, 0).cast("long").as("qm"))
+      .join(graft.Tables.documents(spark, sf0001)
+        .select(col("doc_id"), col("n_chars")), "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(1)))
+    def dominated(p: (Long, Long, Long)) = pts.exists(o =>
+      o._2 >= p._2 && o._3 >= p._3 && (o._2 > p._2 || o._3 > p._3))
+    val expect = pts.filterNot(dominated)
+      .sortBy(p => (-p._2, p._1))
+    assert(out.toSeq === expect.toSeq)
+    // and no skyline member dominates another (mutual non-domination)
+    out.foreach(p => assert(!out.exists(o => o != p &&
+      o._2 >= p._2 && o._3 >= p._3 && (o._2 > p._2 || o._3 > p._3))))
+  }
 }
