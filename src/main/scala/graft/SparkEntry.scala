@@ -323,6 +323,7 @@ object SparkEntry {
     "q251_dup_attribution" -> ((s, d) => DedupOps.dupAttribution(s, d)),
     "q252_quality_skyline" -> ((s, d) =>
       TextAnalysisOps.qualitySkyline(s, d)),
+    "q253_triplet_mine"   -> ((s, d) => SimilarityOps.tripletMine(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

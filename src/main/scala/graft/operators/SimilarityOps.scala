@@ -1761,4 +1761,51 @@ object SimilarityOps {
       (lit(lamX10) * col("qm") - lit(lamC) * col("ms")).as("mmr_m"))
       .orderBy(col("query_id"), col("mmr_rank"))
   }
+
+  /** Triplet mining (q253): for each anchor vector, the hardest
+    * positive-negative pair — nearest SAME-label neighbor (the
+    * positive) and nearest DIFFERENT-label neighbor (the hard
+    * negative), with the margin between them — the batch-assembly
+    * primitive behind contrastive/metric-learning training, and a
+    * label-separation diagnostic (a negative margin = this anchor's
+    * nearest neighbor crosses the label boundary).
+    *
+    * Scale shape: one corpus scan against broadcast anchors (the q31
+    * plan); both argmaxes are per-anchor row_number windows over the
+    * scored frame, partitioned by anchor — never a corpus self-join.
+    * Scores on the integer ten-thousandths grid (4dp cosine stage
+    * boundary), ties on min vec_id.
+    */
+  def tripletMine(spark: SparkSession, dir: String,
+      nAnchors: Int = 8): DataFrame =
+    tripletMineOn(Tables.embeddings(spark, dir), nAnchors)
+
+  private[graft] def tripletMineOn(emb: DataFrame,
+      nAnchors: Int): DataFrame = {
+    val anchors = emb.filter(col("vec_id") < nAnchors)
+      .select(col("vec_id").as("anchor_id"), col("label").as("a_label"),
+        col("embedding").as("av"))
+    val scored = emb.join(broadcast(anchors),
+        col("vec_id") =!= col("anchor_id"))
+      .select(col("anchor_id"), col("a_label"), col("vec_id"),
+        col("label"),
+        round(round(Vectors.cosine(col("av"), col("embedding")), 4)
+          * 10000, 0).cast("long").as("m"))
+    val w = Window.partitionBy(col("anchor_id"))
+      .orderBy(col("m").desc, col("vec_id"))
+    val pos = scored.filter(col("label") === col("a_label"))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("anchor_id"), col("a_label").as("label"),
+        col("vec_id").as("pos_id"), col("m").as("pos_m"))
+    val neg = scored.filter(col("label") =!= col("a_label"))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("anchor_id"), col("vec_id").as("neg_id"),
+        col("m").as("neg_m"))
+    pos.join(neg, Seq("anchor_id"))
+      .select(col("anchor_id"), col("label"), col("pos_id"),
+        col("pos_m"), col("neg_id"), col("neg_m"),
+        (col("pos_m") - col("neg_m")).as("margin_m"),
+        (col("pos_m") > col("neg_m")).cast("int").as("separated"))
+      .orderBy(col("anchor_id"))
+  }
 }

@@ -1049,7 +1049,36 @@ private[graft] object SimilarityOracles {
     // (4dp cosine scaled to ten-thousandths, λ as the 7/3 pair); the
     // round chain is GENERATED from SimilarityOps' own operating point
     // so the engines cannot diverge on k or λ
-    "q246_mmr_rerank" -> mmrSql
+    "q246_mmr_rerank" -> mmrSql,
+    // q253: hardest positive/negative per anchor on the 4dp→integer
+    // grid; min-vec_id ties; negative margins are the expected result
+    // on these structureless synthetic labels (the q207-family finding)
+    "q253_triplet_mine" ->
+      """WITH a AS (SELECT vec_id AS anchor_id, label AS a_label,
+                      embedding::DOUBLE[] AS av
+                    FROM embeddings WHERE vec_id < 8),
+         c AS (SELECT vec_id, label, embedding::DOUBLE[] AS v
+               FROM embeddings),
+         s AS (SELECT anchor_id, a_label, vec_id, label,
+                 CAST(round(round(list_inner_product(av, v) /
+                   (sqrt(list_inner_product(av, av)) *
+                    sqrt(list_inner_product(v, v))), 4) * 10000, 0)
+                   AS BIGINT) AS m
+               FROM a CROSS JOIN c WHERE vec_id <> anchor_id),
+         pos AS (SELECT anchor_id, a_label AS label, vec_id AS pos_id,
+                   m AS pos_m
+                 FROM (SELECT *, row_number() OVER (PARTITION BY anchor_id
+                         ORDER BY m DESC, vec_id) AS rn
+                       FROM s WHERE label = a_label) WHERE rn = 1),
+         neg AS (SELECT anchor_id, vec_id AS neg_id, m AS neg_m
+                 FROM (SELECT *, row_number() OVER (PARTITION BY anchor_id
+                         ORDER BY m DESC, vec_id) AS rn
+                       FROM s WHERE label <> a_label) WHERE rn = 1)
+         SELECT pos.anchor_id, label, pos_id, pos_m, neg_id, neg_m,
+           pos_m - neg_m AS margin_m,
+           CASE WHEN pos_m > neg_m THEN 1 ELSE 0 END AS separated
+         FROM pos JOIN neg ON pos.anchor_id = neg.anchor_id
+         ORDER BY pos.anchor_id"""
   )
 
   /** Generated q246 oracle: one `s{r}`/`a{r}` CTE pair per greedy

@@ -305,4 +305,34 @@ class Round11OpsSpec extends SparkSpecBase {
     out.foreach(p => assert(!out.exists(o => o != p &&
       o._2 >= p._2 && o._3 >= p._3 && (o._2 > p._2 || o._3 > p._3))))
   }
+
+  test("q253: triplets pick the hardest same/different-label neighbors") {
+    // anchor 0 (label 0): same-label 10 is closest overall -> separated;
+    // anchor 1 (label 1): the diff-label 20 hugs it tighter than its
+    // own positive 11 -> boundary violation, separated = 0
+    val emb = Seq(
+      (0L, Array(1f, 0f), 0),
+      (1L, Array(0f, 1f), 1),
+      (10L, Array(0.99f, 0.05f), 0),  // pos for 0, very close
+      (11L, Array(0.30f, 0.95f), 1),  // pos for 1, mediocre
+      (20L, Array(0.05f, 0.99f), 0)   // hard negative hugging anchor 1
+    ).toDF("vec_id", "embedding", "label")
+    val out = SimilarityOps.tripletMineOn(emb, nAnchors = 2).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(2), r.getLong(4), r.getInt(7)))).toMap
+    assert(out(0L)._1 === 10L)            // positive is the near twin
+    assert(out(0L)._3 === 1)              // margin positive
+    assert(out(1L) === ((11L, 20L, 0)))   // hard negative wins -> 0
+  }
+
+  test("q253: testdata contract — one triplet per anchor, margin arithmetic exact") {
+    val out = SimilarityOps.tripletMine(spark, sf0001).collect()
+    assert(out.length === 8)
+    out.foreach { r =>
+      assert(r.getLong(6) === r.getLong(3) - r.getLong(5))
+      assert(r.getInt(7) === (if (r.getLong(3) > r.getLong(5)) 1 else 0))
+      assert(r.getLong(2) !== r.getLong(0))
+      assert(r.getLong(4) !== r.getLong(0))
+    }
+  }
 }
