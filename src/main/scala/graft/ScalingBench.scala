@@ -254,7 +254,27 @@ object ScalingBench {
       // q220 session gaps: the q58 session shuffle + a lag over
       // session-cardinality rows — linear in events
       Probe("q220_session_gaps", "events",
-        SparkEntry.queries("q220_session_gaps")))
+        SparkEntry.queries("q220_session_gaps")),
+      // round-11 additions. q243 KS drift: the (length, source) count
+      // is the one corpus shuffle; the ECDF windows run on the compact
+      // domain grid (distinct lengths × sources), so the curve should
+      // track the count pass — a bending slope would mean the grid
+      // stopped being compact
+      Probe("q243_ks_drift", "documents",
+        SparkEntry.queries("q243_ks_drift")),
+      // q252 skyline: quality pass + per-source range windows + a
+      // frontier-sized merge anti-join — the probe pins the distributive
+      // two-phase shape tracking the quality pass, never the O(n²)
+      // domination join it replaces
+      Probe("q252_quality_skyline", "documents",
+        SparkEntry.queries("q252_quality_skyline")),
+      // q245 SCD2 + q248 PIT: one user_id shuffle each (three windows
+      // share it in q245; the as-of union fold in q248) — linear in
+      // events by construction
+      Probe("q245_scd2_bands", "events",
+        SparkEntry.queries("q245_scd2_bands")),
+      Probe("q248_pit_band_mix", "events",
+        SparkEntry.queries("q248_pit_band_mix")))
 
   /** Build k-times-scaled corpora from sf0.1 (documents AND embeddings).
     * Document copy c suffixes every token with a copy marker, so each
