@@ -324,6 +324,8 @@ object SparkEntry {
     "q252_quality_skyline" -> ((s, d) =>
       TextAnalysisOps.qualitySkyline(s, d)),
     "q253_triplet_mine"   -> ((s, d) => SimilarityOps.tripletMine(s, d)),
+    "q254_benford"        -> ((s, d) =>
+      graft.dq.DataQuality.benfordScreen(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -228,4 +228,43 @@ object DataQuality {
         delOrders, "l_orderkey", "o_orderkey"))
       .orderBy(col("table_name"))
   }
+
+  /** Benford first-digit screen (q254): the leading-digit distribution
+    * of order totals against Benford's law — the classic
+    * fabricated-amounts / unit-mixup tripwire in financial DQ (this
+    * synthetic data is NOT Benford-distributed, and the screen's job
+    * is exactly to say so, loudly, per digit).
+    *
+    * Parity: the first digit is pure integer machinery — cents BIGINT →
+    * decimal string → first char (BIGINT formatting is exact and
+    * identical cross-engine; a log10-based digit would flip at power-
+    * of-ten FP boundaries) — and the expectation enters as the literal
+    * milli-probability table (301, 176, …) on both engines (PARITY
+    * rule 9: never cross-engine transcendentals). One scan,
+    * 9-key rollup, LEFT join from the digit domain so absent digits
+    * report 0 rather than vanishing.
+    */
+  def benfordScreen(spark: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame = {
+    val expMilli = Seq(1 -> 301, 2 -> 176, 3 -> 125, 4 -> 97, 5 -> 79,
+      6 -> 67, 7 -> 58, 8 -> 51, 9 -> 46)
+    import spark.implicits._
+    val exp = expMilli.toDF("digit", "exp_milli")
+    val obs = Tables.orders(spark, dir)
+      .filter(col("o_totalprice") > 0)
+      .select(substring(round(col("o_totalprice") * 100, 0)
+        .cast("long").cast("string"), 1, 1).cast("int").as("digit"))
+      .groupBy(col("digit"))
+      .agg(count(lit(1)).as("n_obs"))
+    val tot = obs.agg(sum(col("n_obs")).as("n"))
+    exp.join(broadcast(obs), Seq("digit"), "left")
+      .crossJoin(broadcast(tot))
+      .select(col("digit"),
+        coalesce(col("n_obs"), lit(0L)).as("n_obs"),
+        expr("coalesce(n_obs, 0) * 10000 div n").as("share_bp"),
+        (col("exp_milli") * 10).cast("long").as("exp_bp"),
+        abs(expr("coalesce(n_obs, 0) * 10000 div n") -
+          col("exp_milli") * 10).cast("long").as("dev_bp"))
+      .orderBy(col("digit"))
+  }
 }

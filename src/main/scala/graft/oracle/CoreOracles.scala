@@ -1084,5 +1084,25 @@ private[graft] object CoreOracles {
            SELECT 'orders', n_rows, nr,
              CAST(nr * 10000 // n_rows AS BIGINT) FROM o)
          ORDER BY table_name""",
+    // q254: Benford first-digit screen — integer-exact digit (cents
+    // BIGINT → decimal string → first char), literal milli-probability
+    // table (PARITY rule 9), absent digits kept at 0 via the LEFT join
+    "q254_benford" ->
+      """WITH v AS (
+           SELECT CAST(substr(CAST(CAST(round(o_totalprice * 100, 0)
+             AS BIGINT) AS VARCHAR), 1, 1) AS INT) AS digit
+           FROM orders WHERE o_totalprice > 0),
+         exp AS (SELECT * FROM (VALUES (1, 301), (2, 176), (3, 125),
+           (4, 97), (5, 79), (6, 67), (7, 58), (8, 51), (9, 46))
+           AS t(digit, exp_milli)),
+         obs AS (SELECT digit, count(*) AS n_obs FROM v GROUP BY 1),
+         tot AS (SELECT CAST(sum(n_obs) AS BIGINT) AS n FROM obs)
+         SELECT e.digit, CAST(coalesce(n_obs, 0) AS BIGINT) AS n_obs,
+           CAST(coalesce(n_obs, 0) * 10000 // n AS BIGINT) AS share_bp,
+           CAST(e.exp_milli * 10 AS BIGINT) AS exp_bp,
+           CAST(abs(CAST(coalesce(n_obs, 0) * 10000 // n AS BIGINT)
+             - e.exp_milli * 10) AS BIGINT) AS dev_bp
+         FROM exp e LEFT JOIN obs ON e.digit = obs.digit CROSS JOIN tot
+         ORDER BY e.digit""",
   )
 }

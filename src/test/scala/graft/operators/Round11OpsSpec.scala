@@ -325,6 +325,25 @@ class Round11OpsSpec extends SparkSpecBase {
     assert(out(1L) === ((11L, 20L, 0)))   // hard negative wins -> 0
   }
 
+  test("q254: digit extraction is integer-exact and the panel is conservative") {
+    val out = graft.dq.DataQuality.benfordScreen(spark, sf0001).collect()
+    assert(out.length === 9)
+    assert(out.map(_.getInt(0)).toSeq === (1 to 9))
+    // shares cover the whole population (up to 9 units of div-floor loss)
+    val shares = out.map(_.getLong(2)).sum
+    assert(shares >= 10000L - 9 && shares <= 10000L)
+    // spot-check one digit against a driver-side recount
+    val prices = graft.Tables.orders(spark, sf0001)
+      .select(col("o_totalprice")).collect()
+      .map(r => math.round(r.getDouble(0) * 100))
+      .filter(_ > 0)
+    val ones = prices.count(_.toString.head == '1').toLong
+    assert(out.find(_.getInt(0) === 1).get.getLong(1) === ones)
+    // expectation column is the literal Benford table
+    assert(out.map(_.getLong(3)).toSeq ===
+      Seq(3010L, 1760L, 1250L, 970L, 790L, 670L, 580L, 510L, 460L))
+  }
+
   test("q253: testdata contract — one triplet per anchor, margin arithmetic exact") {
     val out = SimilarityOps.tripletMine(spark, sf0001).collect()
     assert(out.length === 8)
