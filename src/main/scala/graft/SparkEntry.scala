@@ -326,6 +326,8 @@ object SparkEntry {
     "q253_triplet_mine"   -> ((s, d) => SimilarityOps.tripletMine(s, d)),
     "q254_benford"        -> ((s, d) =>
       graft.dq.DataQuality.benfordScreen(s, d)),
+    "q255_item_novelty"   -> ((s, d) =>
+      graft.streaming.ItemNoveltyStream.firstSeenGate(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -620,5 +620,25 @@ private[graft] object EventOracles {
            ON clicks.user_id = d.user_id AND clicks.c_us >= d.f_us
            AND (d.t_us IS NULL OR clicks.c_us < d.t_us)
          GROUP BY 1 ORDER BY 1""",
+    // q255: per-user item first-seen feed (the MapState streaming
+    // tracker's batch twin, bounded to users < 20) — first occurrence
+    // per (user, item) then the per-user novelty ordinal, both on the
+    // (ts, event_id) total order; epoch-micros timestamps (rule 14)
+    "q255_item_novelty" ->
+      """WITH base AS (
+           SELECT user_id,
+             CAST(json_extract(props, '$.k') AS BIGINT) AS item,
+             epoch_us(ts) AS ts_us, event_id
+           FROM events WHERE json_extract(props, '$.k') IS NOT NULL),
+         firsts AS (
+           SELECT user_id, item, ts_us, event_id FROM (
+             SELECT *, row_number() OVER (PARTITION BY user_id, item
+               ORDER BY ts_us, event_id) AS rn FROM base)
+           WHERE rn = 1)
+         SELECT user_id, item, ts_us AS first_ts_us,
+           CAST(row_number() OVER (PARTITION BY user_id
+             ORDER BY ts_us, event_id) AS BIGINT) AS item_index
+         FROM firsts WHERE user_id < 20
+         ORDER BY user_id, item_index""",
   )
 }
