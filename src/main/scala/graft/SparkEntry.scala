@@ -328,6 +328,7 @@ object SparkEntry {
       graft.dq.DataQuality.benfordScreen(s, d)),
     "q255_item_novelty"   -> ((s, d) =>
       graft.streaming.ItemNoveltyStream.firstSeenGate(s, d)),
+    "q256_last_touch"     -> ((s, d) => EventOps.lastTouch(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -999,4 +999,55 @@ object EventOps {
         countDistinct(col("user_id")).as("n_users"))
       .orderBy(col("band"))
   }
+
+  /** Last-touch revenue attribution (q256): each purchase's value
+    * credited to the user's most recent NON-purchase event within the
+    * lookback window (else 'direct') — the marketing-attribution
+    * rollup every event warehouse ships first. Determinism: at equal
+    * timestamps a touch sorts before the purchase (a same-instant
+    * touch attributes) and the highest event_id wins among tied
+    * touches — both pinned against the oracle's `ts DESC,
+    * event_id DESC` pick.
+    *
+    * Scale shape: the q49/q248 as-of union fold — touches and
+    * purchases share ONE user_id shuffle and a single carry-forward
+    * window (the last-touch struct rides `last(_, ignoreNulls)`),
+    * with the lookback enforced AFTER the fold by comparing the
+    * carried timestamp. A per-purchase interval join would re-scan
+    * each user's history per purchase; this is one pass.
+    */
+  def lastTouch(spark: SparkSession, dir: String,
+      lookbackHours: Int = 6): DataFrame =
+    lastTouchOn(Tables.events(spark, dir), lookbackHours)
+
+  private[graft] def lastTouchOn(ev: DataFrame,
+      lookbackHours: Int): DataFrame = {
+    val base = ev.select(col("event_id"), col("user_id"),
+      unix_micros(col("ts")).as("t_us"), col("event_type"),
+      round(col("value") * 100, 0).cast("long").as("rev_c"))
+    val touches = base.filter(col("event_type") =!= "purchase")
+      .select(col("user_id"), col("t_us"), lit(0).as("kind"),
+        col("event_id"),
+        struct(col("t_us").as("m_us"), col("event_type").as("m_type"))
+          .as("touch"), lit(null).cast("long").as("rev_c"))
+    val purchases = base.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("t_us"), lit(1).as("kind"),
+        col("event_id"),
+        lit(null).cast("struct<m_us:bigint,m_type:string>").as("touch"),
+        col("rev_c"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("t_us"), col("kind"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val lookbackUs = lookbackHours * 3600L * 1000000L
+    touches.unionByName(purchases)
+      .withColumn("lt", last(col("touch"), ignoreNulls = true).over(w))
+      .filter(col("kind") === 1)
+      .select(col("rev_c"),
+        when(col("lt").isNotNull &&
+            col("lt.m_us") > col("t_us") - lookbackUs, col("lt.m_type"))
+          .otherwise("direct").as("channel"))
+      .groupBy(col("channel"))
+      .agg(count(lit(1)).as("n_purchases"), sum(col("rev_c")).as("revenue_c"))
+      .orderBy(col("channel"))
+  }
 }

@@ -640,5 +640,23 @@ private[graft] object EventOracles {
              ORDER BY ts_us, event_id) AS BIGINT) AS item_index
          FROM firsts WHERE user_id < 20
          ORDER BY user_id, item_index""",
+    // q256: last-touch revenue attribution — most recent non-purchase
+    // event within the 6 h lookback (ties: same-instant touch counts,
+    // max event_id wins), else 'direct'; integer-cent revenue
+    "q256_last_touch" ->
+      """WITH p AS (SELECT event_id, user_id, ts,
+                      CAST(round(value * 100, 0) AS BIGINT) AS rev_c
+                    FROM events WHERE event_type = 'purchase'),
+         t AS (SELECT p.event_id, e.event_type,
+                 row_number() OVER (PARTITION BY p.event_id
+                   ORDER BY e.ts DESC, e.event_id DESC) AS rn
+               FROM p JOIN events e
+                 ON e.user_id = p.user_id AND e.event_type <> 'purchase'
+                 AND e.ts <= p.ts AND e.ts > p.ts - INTERVAL 6 HOUR),
+         last AS (SELECT event_id, event_type FROM t WHERE rn = 1)
+         SELECT coalesce(last.event_type, 'direct') AS channel,
+           count(*) AS n_purchases, CAST(sum(rev_c) AS BIGINT) AS revenue_c
+         FROM p LEFT JOIN last USING (event_id)
+         GROUP BY 1 ORDER BY 1""",
   )
 }

@@ -344,6 +344,33 @@ class Round11OpsSpec extends SparkSpecBase {
       Seq(3010L, 1760L, 1250L, 970L, 790L, 670L, 580L, 510L, 460L))
   }
 
+  test("q256: last-touch picks the right channel at every boundary") {
+    import java.sql.Timestamp
+    def t(s: String) = Timestamp.valueOf(s)
+    val ev = Seq(
+      // p1: click 1 min before -> 'click'
+      (1L, t("2024-01-01 09:59:00"), 1L, "click", 0.0),
+      (2L, t("2024-01-01 10:00:00"), 1L, "purchase", 10.0),
+      // p2: only touch is outside the 6 h lookback -> 'direct'
+      (3L, t("2024-01-02 01:00:00"), 2L, "view", 0.0),
+      (4L, t("2024-01-02 08:00:00"), 2L, "purchase", 20.0),
+      // p3: same-instant touch attributes; among the two ties the
+      // higher event_id wins ('signup', id 6 > id 5)
+      (5L, t("2024-01-03 12:00:00"), 3L, "view", 0.0),
+      (6L, t("2024-01-03 12:00:00"), 3L, "signup", 0.0),
+      (7L, t("2024-01-03 12:00:00"), 3L, "purchase", 30.0),
+      // p4: touch at EXACTLY lookback edge (10:00 - 6h = 04:00) is
+      // excluded (strict >) -> 'direct'
+      (8L, t("2024-01-04 04:00:00"), 4L, "error", 0.0),
+      (9L, t("2024-01-04 10:00:00"), 4L, "purchase", 40.0)
+    ).toDF("event_id", "ts", "user_id", "event_type", "value")
+    val out = graft.operators.EventOps.lastTouchOn(ev, 6).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out === Map(
+      "click" -> ((1L, 1000L)), "signup" -> ((1L, 3000L)),
+      "direct" -> ((2L, 6000L))))
+  }
+
   test("q253: testdata contract — one triplet per anchor, margin arithmetic exact") {
     val out = SimilarityOps.tripletMine(spark, sf0001).collect()
     assert(out.length === 8)
