@@ -329,6 +329,7 @@ object SparkEntry {
     "q255_item_novelty"   -> ((s, d) =>
       graft.streaming.ItemNoveltyStream.firstSeenGate(s, d)),
     "q256_last_touch"     -> ((s, d) => EventOps.lastTouch(s, d)),
+    "q257_ab_test"        -> ((s, d) => EventOps.abTest(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -1050,4 +1050,52 @@ object EventOps {
       .agg(count(lit(1)).as("n_purchases"), sum(col("rev_c")).as("revenue_c"))
       .orderBy(col("channel"))
   }
+
+  /** A/B experiment readout (q257): users deterministically assigned
+    * to arms by `user_id mod 2` (the hash-bucket assignment every
+    * experimentation platform uses — reproducible, no RNG), conversion
+    * = at least one big-ticket purchase (≥ `thresholdC` integer
+    * cents), reported per arm with the exact integer rate and the
+    * pooled two-proportion z-score. The z is the ONE float in the
+    * panel: computed from exact integer counts through the SAME
+    * literal IEEE expression tree on both engines (the q89 rule —
+    * no pre-folded constants), rounded 6dp at the display boundary.
+    *
+    * Scale shape: one events pass to per-user conversion flags
+    * (map-side partial max), a 2-key rollup, and a broadcast 1-row
+    * scalar frame for the z — nothing here grows past |users|.
+    */
+  def abTest(spark: SparkSession, dir: String,
+      thresholdC: Long = 20000L): DataFrame =
+    abTestOn(Tables.events(spark, dir), thresholdC)
+
+  private[graft] def abTestOn(ev: DataFrame, thresholdC: Long): DataFrame = {
+    val arms = ev
+      .groupBy(col("user_id"), (col("user_id") % 2).as("arm"))
+      .agg(max(when(col("event_type") === "purchase" &&
+          round(col("value") * 100, 0).cast("long") >= thresholdC, 1)
+        .otherwise(0)).as("converted"))
+      .groupBy(col("arm"))
+      .agg(count(lit(1)).as("n_users"),
+        sum(col("converted")).cast("long").as("n_converted"))
+    val s = arms.agg(
+      max(when(col("arm") === 0, col("n_users"))).as("n0"),
+      max(when(col("arm") === 0, col("n_converted"))).as("c0"),
+      max(when(col("arm") === 1, col("n_users"))).as("n1"),
+      max(when(col("arm") === 1, col("n_converted"))).as("c1"))
+    val pbar = (col("c0") + col("c1")).cast("double") /
+      (col("n0") + col("n1")).cast("double")
+    val z = round(
+      (col("c1").cast("double") / col("n1").cast("double") -
+        col("c0").cast("double") / col("n0").cast("double")) /
+        sqrt(pbar * (lit(1.0) - pbar) *
+          (lit(1.0) / col("n0").cast("double") +
+            lit(1.0) / col("n1").cast("double"))), 6)
+    arms.crossJoin(broadcast(s.select(z.as("z_score"))))
+      .select(col("arm").cast("long").as("arm"), col("n_users"),
+        col("n_converted"),
+        expr("n_converted * 10000 div n_users").as("rate_bp"),
+        col("z_score"))
+      .orderBy(col("arm"))
+  }
 }

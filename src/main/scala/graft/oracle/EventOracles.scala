@@ -658,5 +658,38 @@ private[graft] object EventOracles {
            count(*) AS n_purchases, CAST(sum(rev_c) AS BIGINT) AS revenue_c
          FROM p LEFT JOIN last USING (event_id)
          GROUP BY 1 ORDER BY 1""",
+    // q257: A/B readout — mod-2 arm assignment, big-ticket conversion,
+    // exact integer rates; the pooled z is the one float, written as
+    // the SAME literal IEEE tree as the Spark side, rounded 6dp
+    "q257_ab_test" ->
+      """WITH u AS (SELECT user_id, user_id % 2 AS arm,
+                      max(CASE WHEN event_type = 'purchase'
+                            AND CAST(round(value * 100, 0) AS BIGINT)
+                              >= 20000
+                          THEN 1 ELSE 0 END) AS converted
+                    FROM events GROUP BY 1),
+         a AS (SELECT arm, count(*) AS n_users,
+                 CAST(sum(converted) AS BIGINT) AS n_converted
+               FROM u GROUP BY 1),
+         s AS (SELECT
+                 max(CASE WHEN arm = 0 THEN n_users END) AS n0,
+                 max(CASE WHEN arm = 0 THEN n_converted END) AS c0,
+                 max(CASE WHEN arm = 1 THEN n_users END) AS n1,
+                 max(CASE WHEN arm = 1 THEN n_converted END) AS c1
+               FROM a),
+         zc AS (SELECT round(
+                  (CAST(c1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+                   - CAST(c0 AS DOUBLE) / CAST(n0 AS DOUBLE))
+                  / sqrt((CAST(c0 + c1 AS DOUBLE)
+                            / CAST(n0 + n1 AS DOUBLE))
+                     * (1.0 - CAST(c0 + c1 AS DOUBLE)
+                            / CAST(n0 + n1 AS DOUBLE))
+                     * (1.0 / CAST(n0 AS DOUBLE)
+                        + 1.0 / CAST(n1 AS DOUBLE))), 6) AS z_score
+                FROM s)
+         SELECT arm, n_users, n_converted,
+           CAST(n_converted * 10000 // n_users AS BIGINT) AS rate_bp,
+           z_score
+         FROM a CROSS JOIN zc ORDER BY arm""",
   )
 }

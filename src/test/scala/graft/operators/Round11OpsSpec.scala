@@ -371,6 +371,28 @@ class Round11OpsSpec extends SparkSpecBase {
       "direct" -> ((2L, 6000L))))
   }
 
+  test("q257: z-score matches a driver-side recompute from the integer counts") {
+    val out = graft.operators.EventOps.abTest(spark, sf0001).collect()
+    assert(out.length === 2)
+    val byArm = out.map(r => r.getLong(0) ->
+      ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    val (n0, c0) = (byArm(0L)._1, byArm(0L)._2)
+    val (n1, c1) = (byArm(1L)._1, byArm(1L)._2)
+    // rate is the exact integer division
+    assert(byArm(0L)._3 === c0 * 10000L / n0)
+    assert(byArm(1L)._3 === c1 * 10000L / n1)
+    // z recomputed independently in driver doubles
+    val pbar = (c0 + c1).toDouble / (n0 + n1).toDouble
+    val z = (c1.toDouble / n1 - c0.toDouble / n0) /
+      math.sqrt(pbar * (1.0 - pbar) * (1.0 / n0 + 1.0 / n1))
+    assert(math.abs(byArm(0L)._4 - z) < 1e-6)
+    assert(byArm(0L)._4 === byArm(1L)._4) // one scalar, both rows
+    // arm assignment covers every user exactly once
+    val nUsers = graft.Tables.events(spark, sf0001)
+      .select(col("user_id")).distinct().count()
+    assert(n0 + n1 === nUsers)
+  }
+
   test("q253: testdata contract — one triplet per anchor, margin arithmetic exact") {
     val out = SimilarityOps.tripletMine(spark, sf0001).collect()
     assert(out.length === 8)
