@@ -330,6 +330,8 @@ object SparkEntry {
       graft.streaming.ItemNoveltyStream.firstSeenGate(s, d)),
     "q256_last_touch"     -> ((s, d) => EventOps.lastTouch(s, d)),
     "q257_ab_test"        -> ((s, d) => EventOps.abTest(s, d)),
+    "q258_position_attribution" -> ((s, d) =>
+      EventOps.positionAttribution(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

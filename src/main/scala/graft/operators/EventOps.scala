@@ -1098,4 +1098,65 @@ object EventOps {
         col("z_score"))
       .orderBy(col("arm"))
   }
+
+  /** Position-based (U-shaped) multi-touch attribution (q258): each
+    * purchase's credit split 40/20/40 across its first touch, middle
+    * touches, and last touch inside the lookback — the multi-touch
+    * counterpart of q256's last-touch rule. Credit lives on the
+    * integer MILLIONTHS grid with an exact conservation law: single
+    * touch takes 1e6, two touches split 5e5/5e5, n ≥ 3 gives first
+    * 4e5, each middle `2e5 div (n−2)`, and the LAST touch absorbs the
+    * division remainder — so every purchase's credits sum to exactly
+    * 1e6 (spec-pinned), and touchless purchases surface as 'direct'.
+    *
+    * Scale shape: one user-keyed join bounds pairs by
+    * touches-per-lookback-window (the q233 interval shape); the
+    * rank/count windows partition by purchase. Fully integer — no FP
+    * fractions to drift between engines.
+    */
+  def positionAttribution(spark: SparkSession, dir: String,
+      lookbackHours: Int = 6): DataFrame =
+    positionAttributionOn(Tables.events(spark, dir), lookbackHours)
+
+  private[graft] def positionAttributionOn(ev: DataFrame,
+      lookbackHours: Int): DataFrame = {
+    val lookbackUs = lookbackHours * 3600L * 1000000L
+    val base = ev.select(col("event_id"), col("user_id"),
+      unix_micros(col("ts")).as("t_us"), col("event_type"))
+    val p = base.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("user_id"),
+        col("t_us").as("p_us"))
+    val t = base.filter(col("event_type") =!= "purchase")
+      .select(col("user_id"), col("event_id").as("t_id"),
+        col("t_us"), col("event_type").as("channel"))
+    val pairs = p.join(t, Seq("user_id"))
+      .filter(col("t_us") <= col("p_us") &&
+        col("t_us") > col("p_us") - lookbackUs)
+    val wRk = Window.partitionBy(col("p_id"))
+      .orderBy(col("t_us"), col("t_id"))
+    val wN = Window.partitionBy(col("p_id"))
+    val midEach = expr("200000 div (n_t - 2)")
+    val credited = pairs
+      .withColumn("rk", row_number().over(wRk))
+      .withColumn("n_t", count(lit(1)).over(wN))
+      .withColumn("credit_e6",
+        when(col("n_t") === 1, lit(1000000L))
+          .when(col("n_t") === 2, lit(500000L))
+          .when(col("rk") === 1, lit(400000L))
+          .when(col("rk") === col("n_t"),
+            lit(400000L) + lit(200000L) - midEach * (col("n_t") - 2))
+          .otherwise(midEach))
+    val touched = credited.groupBy(col("channel"))
+      .agg(count(lit(1)).as("n_touch_rows"),
+        sum(col("credit_e6")).as("credit_e6"))
+    val direct = p.join(pairs.select(col("p_id")).distinct(),
+        Seq("p_id"), "left_anti")
+      .agg(count(lit(1)).as("n_touch_rows"),
+        (count(lit(1)) * 1000000L).as("credit_e6"))
+      .select(lit("direct").as("channel"), col("n_touch_rows"),
+        col("credit_e6"))
+    touched.unionByName(direct)
+      .filter(col("n_touch_rows") > 0)
+      .orderBy(col("channel"))
+  }
 }

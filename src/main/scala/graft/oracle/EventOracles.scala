@@ -691,5 +691,45 @@ private[graft] object EventOracles {
            CAST(n_converted * 10000 // n_users AS BIGINT) AS rate_bp,
            z_score
          FROM a CROSS JOIN zc ORDER BY arm""",
+    // q258: U-shaped multi-touch attribution on the integer millionths
+    // grid — last touch absorbs the middle-split remainder so credit
+    // per purchase sums to exactly 1e6; touchless purchases → 'direct'
+    "q258_position_attribution" ->
+      """WITH base AS (SELECT event_id, user_id, epoch_us(ts) AS t_us,
+                        event_type FROM events),
+         p AS (SELECT event_id AS p_id, user_id, t_us AS p_us
+               FROM base WHERE event_type = 'purchase'),
+         t AS (SELECT user_id, event_id AS t_id, t_us,
+                 event_type AS channel
+               FROM base WHERE event_type <> 'purchase'),
+         pairs AS (
+           SELECT p.p_id, t.t_id, t.t_us, t.channel
+           FROM p JOIN t USING (user_id)
+           WHERE t.t_us <= p.p_us AND t.t_us > p.p_us - 21600000000),
+         ranked AS (
+           SELECT *, row_number() OVER (PARTITION BY p_id
+               ORDER BY t_us, t_id) AS rk,
+             count(*) OVER (PARTITION BY p_id) AS n_t
+           FROM pairs),
+         credited AS (
+           SELECT channel,
+             CASE WHEN n_t = 1 THEN 1000000
+                  WHEN n_t = 2 THEN 500000
+                  WHEN rk = 1 THEN 400000
+                  WHEN rk = n_t THEN 400000 + 200000
+                    - (200000 // (n_t - 2)) * (n_t - 2)
+                  ELSE 200000 // (n_t - 2) END AS credit_e6
+           FROM ranked),
+         touched AS (
+           SELECT channel, count(*) AS n_touch_rows,
+             CAST(sum(credit_e6) AS BIGINT) AS credit_e6
+           FROM credited GROUP BY 1),
+         direct AS (
+           SELECT 'direct' AS channel, count(*) AS n_touch_rows,
+             CAST(count(*) * 1000000 AS BIGINT) AS credit_e6
+           FROM p WHERE p_id NOT IN (SELECT p_id FROM pairs))
+         SELECT * FROM (SELECT * FROM touched
+           UNION ALL SELECT * FROM direct WHERE n_touch_rows > 0)
+         ORDER BY channel""",
   )
 }

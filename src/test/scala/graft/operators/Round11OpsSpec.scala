@@ -393,6 +393,45 @@ class Round11OpsSpec extends SparkSpecBase {
     assert(n0 + n1 === nUsers)
   }
 
+  test("q258: U-shape credits are exact per position and conserve 1e6 per purchase") {
+    import java.sql.Timestamp
+    def t(s: String) = Timestamp.valueOf(s)
+    // purchase with 5 touches: first 4e5, three middles 200000 div 3 =
+    // 66666 each, last 4e5 + (200000 - 3*66666) = 400002
+    val ev = Seq(
+      (1L, t("2024-01-01 09:00:00"), 1L, "view"),
+      (2L, t("2024-01-01 09:10:00"), 1L, "click"),
+      (3L, t("2024-01-01 09:20:00"), 1L, "click"),
+      (4L, t("2024-01-01 09:30:00"), 1L, "click"),
+      (5L, t("2024-01-01 09:40:00"), 1L, "signup"),
+      (6L, t("2024-01-01 10:00:00"), 1L, "purchase"),
+      // two-touch purchase: 5e5 each
+      (7L, t("2024-01-02 09:00:00"), 2L, "view"),
+      (8L, t("2024-01-02 09:30:00"), 2L, "error"),
+      (9L, t("2024-01-02 10:00:00"), 2L, "purchase"),
+      // touchless purchase -> direct 1e6
+      (10L, t("2024-01-03 10:00:00"), 3L, "purchase")
+    ).map { case (id, ts, u, ty) => (id, ts, u, ty, 1.0) }
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val out = graft.operators.EventOps.positionAttributionOn(ev, 6)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out("view") === ((2L, 400000L + 500000L)))
+    assert(out("signup") === ((1L, 400002L)))
+    assert(out("click") === ((3L, 3L * 66666L)))
+    assert(out("error") === ((1L, 500000L)))
+    assert(out("direct") === ((1L, 1000000L)))
+    assert(out.values.map(_._2).sum === 3L * 1000000L)
+  }
+
+  test("q258: testdata conservation — total credit = purchases x 1e6") {
+    val out = graft.operators.EventOps.positionAttribution(spark, sf0001)
+      .collect()
+    val nP = graft.Tables.events(spark, sf0001)
+      .filter(col("event_type") === "purchase").count()
+    assert(out.map(_.getLong(2)).sum === nP * 1000000L)
+  }
+
   test("q253: testdata contract — one triplet per anchor, margin arithmetic exact") {
     val out = SimilarityOps.tripletMine(spark, sf0001).collect()
     assert(out.length === 8)
