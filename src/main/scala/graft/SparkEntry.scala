@@ -332,6 +332,7 @@ object SparkEntry {
     "q257_ab_test"        -> ((s, d) => EventOps.abTest(s, d)),
     "q258_position_attribution" -> ((s, d) =>
       EventOps.positionAttribution(s, d)),
+    "q259_theil_sen"      -> ((s, d) => EventOps.theilSen(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

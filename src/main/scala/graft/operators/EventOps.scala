@@ -1159,4 +1159,49 @@ object EventOps {
       .filter(col("n_touch_rows") > 0)
       .orderBy(col("channel"))
   }
+
+  /** Theil–Sen robust trend of daily load (q259): the median of all
+    * pairwise day-to-day slopes — the outlier-proof trend estimator
+    * (one corrupted day moves OLS, not the pairwise median), reported
+    * beside the exact-integer-moment OLS slope for the robust-vs-LS
+    * gap. Each pairwise slope is ONE double division of exact
+    * integers; the median picks rank values explicitly
+    * (`(n+1) div 2` / `(n+2) div 2`, averaged — commutative 2-term
+    * add) — never an engine-specific percentile.
+    *
+    * Scale shape: the corpus pass is the daily count; the pair frame
+    * is CALENDAR-bounded (≤ days², independent of event volume — a
+    * century is ~6.7e8 pairs), so the global rank window runs on a
+    * bounded frame by construction (the q182/q252 bounded-rank rule).
+    */
+  def theilSen(spark: SparkSession, dir: String): DataFrame =
+    theilSenOn(Tables.events(spark, dir))
+
+  private[graft] def theilSenOn(ev: DataFrame): DataFrame = {
+    val daily = ev
+      .groupBy(datediff(to_date(col("ts")), lit("1970-01-01")).as("x"))
+      .agg(count(lit(1)).as("y"))
+    val slopes = daily.toDF("xi", "yi")
+      .join(daily.toDF("xj", "yj"), col("xi") < col("xj"))
+      .select(col("xi"), col("xj"),
+        ((col("yj") - col("yi")).cast("double") /
+          (col("xj") - col("xi")).cast("double")).as("s"))
+    val n = slopes.agg(count(lit(1)).as("n_pairs"))
+    val ranked = slopes.withColumn("rn",
+      row_number().over(Window.orderBy(col("s"), col("xi"), col("xj"))))
+    val med = ranked.crossJoin(broadcast(n))
+      .filter(col("rn") === expr("(n_pairs + 1) div 2") ||
+        col("rn") === expr("(n_pairs + 2) div 2"))
+      .agg(round(avg(col("s")), 6).as("theil_sen"))
+    val m = daily.agg(count(lit(1)).as("n_days"),
+      sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+      sum(col("x") * col("y")).as("sxy"),
+      sum(col("x") * col("x")).as("sxx"))
+    m.crossJoin(broadcast(n)).crossJoin(broadcast(med))
+      .select(col("n_days"), col("n_pairs"), col("theil_sen"),
+        round((col("n_days") * col("sxy") - col("sx") * col("sy"))
+          .cast("double") /
+          (col("n_days") * col("sxx") - col("sx") * col("sx"))
+            .cast("double"), 6).as("ols_slope"))
+  }
 }

@@ -731,5 +731,33 @@ private[graft] object EventOracles {
          SELECT * FROM (SELECT * FROM touched
            UNION ALL SELECT * FROM direct WHERE n_touch_rows > 0)
          ORDER BY channel""",
+    // q259: Theil–Sen daily-load trend — median of pairwise slopes
+    // via explicit rank picks over the calendar-bounded pair frame,
+    // beside the exact-integer-moment OLS slope
+    "q259_theil_sen" ->
+      """WITH daily AS (
+           SELECT CAST(ts AS DATE) - DATE '1970-01-01' AS x,
+             CAST(count(*) AS BIGINT) AS y
+           FROM events GROUP BY 1),
+         slopes AS (
+           SELECT a.x AS xi, b.x AS xj,
+             CAST(b.y - a.y AS DOUBLE) / CAST(b.x - a.x AS DOUBLE) AS s
+           FROM daily a JOIN daily b ON a.x < b.x),
+         n AS (SELECT count(*) AS n_pairs FROM slopes),
+         ranked AS (SELECT s, row_number() OVER (ORDER BY s, xi, xj)
+                      AS rn FROM slopes),
+         med AS (SELECT round(avg(s), 6) AS theil_sen
+                 FROM ranked CROSS JOIN n
+                 WHERE rn IN ((n_pairs + 1) // 2, (n_pairs + 2) // 2)),
+         m AS (SELECT count(*) AS n_days, CAST(sum(x) AS BIGINT) AS sx,
+                 CAST(sum(y) AS BIGINT) AS sy,
+                 CAST(sum(x * y) AS BIGINT) AS sxy,
+                 CAST(sum(x * x) AS BIGINT) AS sxx
+               FROM daily)
+         SELECT n_days, (SELECT n_pairs FROM n) AS n_pairs,
+           (SELECT theil_sen FROM med) AS theil_sen,
+           round(CAST(n_days * sxy - sx * sy AS DOUBLE)
+             / CAST(n_days * sxx - sx * sx AS DOUBLE), 6) AS ols_slope
+         FROM m""",
   )
 }

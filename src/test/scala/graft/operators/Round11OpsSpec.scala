@@ -432,6 +432,28 @@ class Round11OpsSpec extends SparkSpecBase {
     assert(out.map(_.getLong(2)).sum === nP * 1000000L)
   }
 
+  test("q259: the pairwise median shrugs off an outlier day that drags OLS") {
+    import java.sql.Timestamp
+    // days 0..6 with y = 10, 12, 14, 16, 18, 20, then a corrupted day
+    // with y = 200: the true slope is 2/day; OLS gets pulled far above
+    val counts = Seq(10, 12, 14, 16, 18, 20, 200)
+    val ev = counts.zipWithIndex.flatMap { case (c, d) =>
+      (1 to c).map { i =>
+        ((d * 1000 + i).toLong,
+          Timestamp.valueOf(f"2024-01-${d + 1}%02d 12:00:00"),
+          1L, "click", 0.0)
+      }
+    }.toDF("event_id", "ts", "user_id", "event_type", "value")
+    val r = graft.operators.EventOps.theilSenOn(ev).head()
+    assert(r.getLong(0) === 7L)
+    assert(r.getLong(1) === 21L)
+    val ts = r.getDouble(2)
+    val ols = r.getDouble(3)
+    // robust estimate stays near the clean trend; OLS is dragged up
+    assert(ts >= 2.0 && ts <= 4.0, s"theil-sen $ts")
+    assert(ols > ts + 10.0, s"ols $ols should be far above $ts")
+  }
+
   test("q253: testdata contract — one triplet per anchor, margin arithmetic exact") {
     val out = SimilarityOps.tripletMine(spark, sf0001).collect()
     assert(out.length === 8)
