@@ -333,6 +333,8 @@ object SparkEntry {
     "q258_position_attribution" -> ((s, d) =>
       EventOps.positionAttribution(s, d)),
     "q259_theil_sen"      -> ((s, d) => EventOps.theilSen(s, d)),
+    "q260_perfect_orders" -> ((s, d) =>
+      CoreQueries.q260PerfectOrders(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

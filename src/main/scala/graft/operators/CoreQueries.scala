@@ -1956,4 +1956,39 @@ object CoreQueries {
           .as("abs_err_bp"))
       .orderBy(col("method"))
   }
+
+  /** Perfect-order rate (q260): per priority, the share of orders with
+    * NO returned line and NO line shipped more than `lateDays` after
+    * the order date — the all-or-nothing fulfillment KPI (one bad line
+    * fails the whole order, which is why it is an ORDER-level max-flag
+    * fold, not a line-level rate).
+    *
+    * Scale shape: one orderkey join-and-fold (map-side partial max on
+    * both violation flags), then a 5-key priority rollup — the flags
+    * collapse each order to two bits before anything aggregates
+    * order-level. Pure integer counts and one bp division.
+    */
+  def q260PerfectOrders(spark: SparkSession, dir: String,
+      lateDays: Int = 30): DataFrame = {
+    val flags = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_orderdate"),
+        col("o_orderpriority"))
+      .join(Tables.lineitem(spark, dir)
+        .select(col("l_orderkey"), col("l_returnflag"), col("l_shipdate")),
+        col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("o_orderkey"), col("o_orderpriority"))
+      .agg(
+        max(when(col("l_returnflag") === "R", 1).otherwise(0))
+          .as("any_return"),
+        max(when(col("l_shipdate") >
+            col("o_orderdate") + expr(s"INTERVAL $lateDays DAY"), 1)
+          .otherwise(0)).as("any_late"))
+    flags.groupBy(col("o_orderpriority").as("priority"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(when(col("any_return") === 0 && col("any_late") === 0, 1L)
+          .otherwise(0L)).as("n_perfect"))
+      .select(col("priority"), col("n_orders"), col("n_perfect"),
+        expr("n_perfect * 10000 div n_orders").as("perfect_bp"))
+      .orderBy(col("priority"))
+  }
 }

@@ -1104,5 +1104,23 @@ private[graft] object CoreOracles {
              - e.exp_milli * 10) AS BIGINT) AS dev_bp
          FROM exp e LEFT JOIN obs ON e.digit = obs.digit CROSS JOIN tot
          ORDER BY e.digit""",
+    // q260: perfect-order rate — order-level max-flag fold (one bad
+    // line fails the whole order), 5-key priority rollup, bp share
+    "q260_perfect_orders" ->
+      """WITH flags AS (
+           SELECT o_orderkey, o_orderpriority,
+             max(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+               AS any_return,
+             max(CASE WHEN l_shipdate > o_orderdate + INTERVAL 30 DAY
+                 THEN 1 ELSE 0 END) AS any_late
+           FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+           GROUP BY 1, 2)
+         SELECT o_orderpriority AS priority, count(*) AS n_orders,
+           CAST(sum(CASE WHEN any_return = 0 AND any_late = 0
+             THEN 1 ELSE 0 END) AS BIGINT) AS n_perfect,
+           CAST(sum(CASE WHEN any_return = 0 AND any_late = 0
+             THEN 1 ELSE 0 END) * 10000 // count(*) AS BIGINT)
+             AS perfect_bp
+         FROM flags GROUP BY 1 ORDER BY 1""",
   )
 }

@@ -454,6 +454,37 @@ class Round11OpsSpec extends SparkSpecBase {
     assert(ols > ts + 10.0, s"ols $ols should be far above $ts")
   }
 
+  test("q260: perfect flags match an independent per-order recompute") {
+    val out = CoreQueries.q260PerfectOrders(spark, sf0001).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out.nonEmpty)
+    // driver-side recompute of the all-or-nothing rule
+    val orders = graft.Tables.orders(spark, sf0001)
+      .select(col("o_orderkey"), col("o_orderpriority"),
+        col("o_orderdate").cast("date").cast("string")).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getString(2)))).toMap
+    val bad = scala.collection.mutable.Set[Long]()
+    val withLines = scala.collection.mutable.Set[Long]()
+    graft.Tables.lineitem(spark, sf0001)
+      .select(col("l_orderkey"), col("l_returnflag"),
+        col("l_shipdate").cast("date").cast("string")).collect()
+      .foreach { r =>
+        val ok = r.getLong(0)
+        withLines += ok
+        val late = java.time.LocalDate.parse(r.getString(2))
+          .isAfter(java.time.LocalDate.parse(orders(ok)._2).plusDays(30))
+        if (r.getString(1) == "R" || late) bad += ok
+      }
+    // line-less orders (the downsampled sf0.001 slice has some) have
+    // nothing to fulfill — the KPI scopes to orders with >= 1 line,
+    // exactly what the inner join expresses
+    val expect = orders.toSeq.filter(o => withLines(o._1))
+      .groupBy(_._2._1).map { case (p, os) =>
+        p -> ((os.size.toLong, os.count(o => !bad(o._1)).toLong))
+      }
+    assert(out === expect)
+  }
+
   test("q253: testdata contract — one triplet per anchor, margin arithmetic exact") {
     val out = SimilarityOps.tripletMine(spark, sf0001).collect()
     assert(out.length === 8)
