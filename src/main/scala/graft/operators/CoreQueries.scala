@@ -1937,15 +1937,22 @@ object CoreQueries {
     val sb = b.agg(count(lit(1)).as("n_b"),
       countDistinct(col("k")).as("v_b"))
     val actual = a.join(b, Seq("k")).agg(count(lit(1)).as("actual_rows"))
+    // n·n products ride decimal(38,0): two 10^12-row sides already put
+    // n_a·n_b at 10^24 ≫ 2^63 — Long would wrap silently where the
+    // oracle's HUGEINT keeps going (PARITY rule 13); the quotient
+    // narrows back to the gate's BIGINT (an estimate that itself
+    // exceeds 2^63 rows has left the reportable range anyway)
     val globalEst = sa.crossJoin(sb)
       .select(lit("global").as("method"),
-        expr("n_a * n_b div greatest(v_a, v_b)").as("est_rows"))
+        expr("cast(cast(n_a as decimal(38,0)) * n_b div " +
+          "greatest(v_a, v_b) as long)").as("est_rows"))
     val ga = a.groupBy((col("k") % nBuckets).as("bk"))
       .agg(count(lit(1)).as("n_ab"), countDistinct(col("k")).as("v_ab"))
     val gb = b.groupBy((col("k") % nBuckets).as("bk"))
       .agg(count(lit(1)).as("n_bb"), countDistinct(col("k")).as("v_bb"))
     val bucketEst = ga.join(gb, Seq("bk"))
-      .agg(sum(expr("n_ab * n_bb div greatest(v_ab, v_bb)"))
+      .agg(sum(expr("cast(cast(n_ab as decimal(38,0)) * n_bb div " +
+          "greatest(v_ab, v_bb) as long)"))
         .as("est_rows"))
       .select(lit("bucketed").as("method"), col("est_rows"))
     globalEst.unionByName(bucketEst)

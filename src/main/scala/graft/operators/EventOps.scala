@@ -1197,11 +1197,17 @@ object EventOps {
       sum(col("x")).as("sx"), sum(col("y")).as("sy"),
       sum(col("x") * col("y")).as("sxy"),
       sum(col("x") * col("x")).as("sxx"))
+    // OLS moment products on decimal(38,0): n·Σxy − Σx·Σy passes 2^63
+    // once daily volume × span does (a 10^12-event decade already) —
+    // Long wraps silently, the oracle's HUGEINT doesn't (PARITY rule
+    // 13); the slope itself is one double division of the exact values
     m.crossJoin(broadcast(n)).crossJoin(broadcast(med))
       .select(col("n_days"), col("n_pairs"), col("theil_sen"),
-        round((col("n_days") * col("sxy") - col("sx") * col("sy"))
+        round((col("n_days").cast("decimal(38,0)") * col("sxy") -
+            col("sx").cast("decimal(38,0)") * col("sy"))
           .cast("double") /
-          (col("n_days") * col("sxx") - col("sx") * col("sx"))
+          (col("n_days").cast("decimal(38,0)") * col("sxx") -
+            col("sx").cast("decimal(38,0)") * col("sx"))
             .cast("double"), 6).as("ols_slope"))
   }
 }

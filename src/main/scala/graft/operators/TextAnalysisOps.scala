@@ -1306,15 +1306,22 @@ object TextAnalysisOps {
       .withColumn("f_s", sum(col("c_s")).over(w))
       .withColumn("f_t", sum(col("c_tot")).over(w))
       .crossJoin(broadcast(n))
+      // the cross-multiplied numerator rides decimal(38,0): f_s·(n−n_s)
+      // passes 2^63 once source × complement passes ~9.2e18 doc-pairs
+      // (inside a 100 TB corpus) — Long would wrap silently while the
+      // oracle's HUGEINT keeps going (PARITY rule 13); the ranking and
+      // the ks division stay exact on the decimal, and only the
+      // REPORTED ks_num column narrows back to the gate's BIGINT
       .select(col("source"), col("n_s"), col("x"), col("n"),
-        abs(col("f_s") * (col("n") - col("n_s")) -
-          (col("f_t") - col("f_s")) * col("n_s")).as("num"))
+        abs(col("f_s").cast("decimal(38,0)") * (col("n") - col("n_s")) -
+          (col("f_t") - col("f_s")).cast("decimal(38,0)") * col("n_s"))
+          .as("num"))
     val rk = Window.partitionBy(col("source"))
       .orderBy(col("num").desc, col("x"))
     cum.withColumn("rk", row_number().over(rk))
       .filter(col("rk") === 1)
       .select(col("source"), col("n_s").as("n_docs"),
-        col("num").as("ks_num"),
+        col("num").cast("long").as("ks_num"),
         (col("num").cast("double") /
           (col("n_s").cast("double") *
             (col("n") - col("n_s")).cast("double"))).as("ks"),

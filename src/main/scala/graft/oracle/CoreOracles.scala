@@ -1040,11 +1040,13 @@ private[graft] object CoreOracles {
                     count(DISTINCT k) AS v_bb FROM b GROUP BY 1),
            est AS (
              SELECT 'global' AS method,
-               CAST(n_a * n_b // greatest(v_a, v_b) AS BIGINT) AS est_rows
+               CAST(CAST(n_a AS HUGEINT) * n_b // greatest(v_a, v_b)
+                 AS BIGINT) AS est_rows
              FROM sa CROSS JOIN sb
              UNION ALL
              SELECT 'bucketed' AS method,
-               CAST(sum(n_ab * n_bb // greatest(v_ab, v_bb)) AS BIGINT)
+               CAST(sum(CAST(n_ab AS HUGEINT) * n_bb
+                 // greatest(v_ab, v_bb)) AS BIGINT)
              FROM ga JOIN gb USING (bk))
          SELECT method, est_rows, actual_rows,
            est_rows - actual_rows AS diff_rows,

@@ -756,8 +756,10 @@ private[graft] object EventOracles {
                FROM daily)
          SELECT n_days, (SELECT n_pairs FROM n) AS n_pairs,
            (SELECT theil_sen FROM med) AS theil_sen,
-           round(CAST(n_days * sxy - sx * sy AS DOUBLE)
-             / CAST(n_days * sxx - sx * sx AS DOUBLE), 6) AS ols_slope
+           round(CAST(CAST(n_days AS HUGEINT) * sxy
+               - CAST(sx AS HUGEINT) * sy AS DOUBLE)
+             / CAST(CAST(n_days AS HUGEINT) * sxx
+               - CAST(sx AS HUGEINT) * sx AS DOUBLE), 6) AS ols_slope
          FROM m""",
   )
 }

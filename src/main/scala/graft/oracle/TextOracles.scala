@@ -668,9 +668,10 @@ private[graft] object TextOracles {
            FROM grid),
          scored AS (
            SELECT source, n_s, x, n,
-             abs(f_s * (n - n_s) - (f_t - f_s) * n_s) AS num
+             abs(CAST(f_s AS HUGEINT) * (n - n_s)
+               - CAST(f_t - f_s AS HUGEINT) * n_s) AS num
            FROM cum CROSS JOIN tot)
-         SELECT source, n_s AS n_docs, num AS ks_num,
+         SELECT source, n_s AS n_docs, CAST(num AS BIGINT) AS ks_num,
            CAST(num AS DOUBLE)
              / (CAST(n_s AS DOUBLE) * CAST(n - n_s AS DOUBLE)) AS ks,
            x AS at_x
