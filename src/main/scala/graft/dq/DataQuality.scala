@@ -206,9 +206,17 @@ object DataQuality {
     val del = Tables.customer(spark, dir)
       .filter(round(col("c_acctbal") * 100, 0).cast("long") < 0L)
       .select(col("c_custkey"))
+    // the DIRECT probes broadcast (an erasure-request cohort is
+    // bounded by definition); the TRANSITIVE key set (the cohort's
+    // order keys) grows as cohort × orders-per-customer, so its semi
+    // probe carries NO hint — AQE broadcasts while it fits and
+    // degrades to a shuffled semi join instead of OOMing on a forced
+    // hint (the q72 rule)
     def panel(name: String, df: DataFrame, probe: DataFrame,
-        key: String, probeKey: String): DataFrame = {
-      val refs = df.join(broadcast(probe),
+        key: String, probeKey: String,
+        hintBroadcast: Boolean): DataFrame = {
+      val probeSide = if (hintBroadcast) broadcast(probe) else probe
+      val refs = df.join(probeSide,
         col(key) === probe(probeKey), "left_semi")
         .agg(count(lit(1)).as("n_referencing"))
       df.agg(count(lit(1)).as("n_rows")).crossJoin(refs)
@@ -221,11 +229,11 @@ object DataQuality {
         "left_semi")
       .select(col("o_orderkey"))
     panel("orders", Tables.orders(spark, dir), del, "o_custkey",
-        "c_custkey")
+        "c_custkey", hintBroadcast = true)
       .unionByName(panel("events", Tables.events(spark, dir), del,
-        "user_id", "c_custkey"))
+        "user_id", "c_custkey", hintBroadcast = true))
       .unionByName(panel("lineitem", Tables.lineitem(spark, dir),
-        delOrders, "l_orderkey", "o_orderkey"))
+        delOrders, "l_orderkey", "o_orderkey", hintBroadcast = false))
       .orderBy(col("table_name"))
   }
 
