@@ -335,6 +335,9 @@ object SparkEntry {
     "q259_theil_sen"      -> ((s, d) => EventOps.theilSen(s, d)),
     "q260_perfect_orders" -> ((s, d) =>
       CoreQueries.q260PerfectOrders(s, d)),
+    "q261_conversion_latency" -> ((s, d) =>
+      EventOps.conversionLatency(s, d)),
+    "q262_abc_classes"    -> ((s, d) => CoreQueries.q262AbcClasses(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -1998,4 +1998,45 @@ object CoreQueries {
         expr("n_perfect * 10000 div n_orders").as("perfect_bp"))
       .orderBy(col("priority"))
   }
+
+  /** Per-brand ABC classification (q262): parts ranked by revenue
+    * within their brand and cut into Pareto classes — A while the
+    * running share stays ≤ 80%, B to 95%, C after — the
+    * inventory-prioritization rollup. The class boundary compares
+    * cross-multiplied integers (`cum·100 ≤ tot·80`), and both the
+    * cumulative and the brand total ride decimal(38,0) from the start
+    * (HUGEINT in the oracle, where DuckDB's BIGINT sum already
+    * promotes to 128-bit): a brand's cumulative cents·pct passes 2^63
+    * at 100 TB part counts (PARITY rule 13 — applied at design time,
+    * not on advice).
+    *
+    * Scale shape: one lineitem shuffle to per-part revenue (the grain
+    * everything else runs at), brand-partitioned cumulative windows
+    * (never global), and a |brands|×3 rollup.
+    */
+  def q262AbcClasses(spark: SparkSession, dir: String,
+      aPct: Int = 80, bPct: Int = 95): DataFrame = {
+    val pr = Tables.lineitem(spark, dir)
+      .join(broadcast(Tables.part(spark, dir)
+        .select(col("p_partkey"), col("p_brand"))),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"), col("l_partkey"))
+      .agg(sum(revenueCentPct).as("rev_cp"))
+    val wCum = Window.partitionBy(col("p_brand"))
+      .orderBy(col("rev_cp").desc, col("l_partkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wTot = Window.partitionBy(col("p_brand"))
+    val revDec = col("rev_cp").cast("decimal(38,0)")
+    pr.withColumn("cum_cp", sum(revDec).over(wCum))
+      .withColumn("tot_cp", sum(revDec).over(wTot))
+      .withColumn("abc_class",
+        when(col("cum_cp") * 100 <= col("tot_cp") * aPct, "A")
+          .when(col("cum_cp") * 100 <= col("tot_cp") * bPct, "B")
+          .otherwise("C"))
+      .groupBy(col("p_brand"), col("abc_class"))
+      .agg(count(lit(1)).as("n_parts"),
+        expr("cast(sum(cast(rev_cp as decimal(38,0))) * 10000 " +
+          "div max(tot_cp) as long)").as("share_bp"))
+      .orderBy(col("p_brand"), col("abc_class"))
+  }
 }

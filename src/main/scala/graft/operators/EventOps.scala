@@ -1160,6 +1160,58 @@ object EventOps {
       .orderBy(col("channel"))
   }
 
+  /** Daily conversion-latency quantiles (q261): per purchase day, the
+    * exact p50/p90 of the view→purchase latency (each purchase paired
+    * with the user's LAST view within 24 h via the as-of union fold —
+    * one user shuffle, no interval join). Quantiles are EXPLICIT rank
+    * picks over day-partitioned windows — `(n+1) div 2` lower median,
+    * `(9n+9) div 10` ceil-rank p90 — single selected values, never an
+    * interpolated or averaged float (the q175 selection rule), so the
+    * panel is integer-exact end to end.
+    *
+    * Scale shape: the fold shares one user_id shuffle; the quantile
+    * windows partition by day (conversions-per-day frames), and the
+    * final rollup reuses the day partitioning.
+    */
+  def conversionLatency(spark: SparkSession, dir: String,
+      maxLagHours: Int = 24): DataFrame =
+    conversionLatencyOn(Tables.events(spark, dir), maxLagHours)
+
+  private[graft] def conversionLatencyOn(ev: DataFrame,
+      maxLagHours: Int): DataFrame = {
+    val maxLagUs = maxLagHours * 3600L * 1000000L
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("user_id"), unix_micros(col("ts")).as("t_us"),
+        lit(0).as("kind"), col("event_id"),
+        unix_micros(col("ts")).as("v_us"),
+        lit(null).cast("string").as("p_day"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), unix_micros(col("ts")).as("t_us"),
+        lit(1).as("kind"), col("event_id"),
+        lit(null).cast("long").as("v_us"),
+        to_date(col("ts")).cast("string").as("p_day"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("t_us"), col("kind"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val lat = views.unionByName(purchases)
+      .withColumn("lv", last(col("v_us"), ignoreNulls = true).over(w))
+      .filter(col("kind") === 1 && col("lv").isNotNull &&
+        col("t_us") - col("lv") <= maxLagUs)
+      .select(col("p_day").as("day"),
+        (col("t_us") - col("lv")).as("latency_us"))
+    val wd = Window.partitionBy(col("day")).orderBy(col("latency_us"))
+    val wn = Window.partitionBy(col("day"))
+    lat.withColumn("rk", row_number().over(wd))
+      .withColumn("n", count(lit(1)).over(wn))
+      .groupBy(col("day"))
+      .agg(max(col("n")).as("n_conversions"),
+        max(when(col("rk") === expr("(n + 1) div 2"), col("latency_us")))
+          .as("p50_us"),
+        max(when(col("rk") === expr("(9 * n + 9) div 10"),
+          col("latency_us"))).as("p90_us"))
+      .orderBy(col("day"))
+  }
+
   /** Theil–Sen robust trend of daily load (q259): the median of all
     * pairwise day-to-day slopes — the outlier-proof trend estimator
     * (one corrupted day moves OLS, not the pairwise median), reported

@@ -1124,5 +1124,35 @@ private[graft] object CoreOracles {
              THEN 1 ELSE 0 END) * 10000 // count(*) AS BIGINT)
              AS perfect_bp
          FROM flags GROUP BY 1 ORDER BY 1""",
+    // q262: per-brand ABC Pareto classes — cross-multiplied integer
+    // boundaries, cumulative/total on HUGEINT (rule 13 at design time)
+    "q262_abc_classes" ->
+      """WITH pr AS (
+           SELECT p_brand, l_partkey,
+             CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+               * (100 - CAST(round(l_discount * 100, 0) AS BIGINT)))
+               AS BIGINT) AS rev_cp
+           FROM lineitem JOIN part ON l_partkey = p_partkey
+           GROUP BY 1, 2),
+         c AS (
+           SELECT p_brand, l_partkey, rev_cp,
+             CAST(sum(rev_cp) OVER (PARTITION BY p_brand
+               ORDER BY rev_cp DESC, l_partkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS HUGEINT) AS cum_cp,
+             CAST(sum(rev_cp) OVER (PARTITION BY p_brand) AS HUGEINT)
+               AS tot_cp
+           FROM pr),
+         cls AS (
+           SELECT p_brand, rev_cp,
+             CASE WHEN cum_cp * 100 <= tot_cp * 80 THEN 'A'
+                  WHEN cum_cp * 100 <= tot_cp * 95 THEN 'B'
+                  ELSE 'C' END AS abc_class,
+             tot_cp
+           FROM c)
+         SELECT p_brand, abc_class, count(*) AS n_parts,
+           CAST(CAST(sum(rev_cp) AS HUGEINT) * 10000 // max(tot_cp)
+             AS BIGINT) AS share_bp
+         FROM cls GROUP BY 1, 2 ORDER BY 1, 2""",
   )
 }

@@ -761,5 +761,39 @@ private[graft] object EventOracles {
              / CAST(CAST(n_days AS HUGEINT) * sxx
                - CAST(sx AS HUGEINT) * sx AS DOUBLE), 6) AS ols_slope
          FROM m""",
+    // q261: daily view→purchase latency p50/p90 — as-of union fold for
+    // the last view within 24 h, then EXPLICIT rank picks over
+    // day-partitioned windows (lower median, ceil-rank p90) — selected
+    // integer values, never interpolation
+    "q261_conversion_latency" ->
+      """WITH u AS (
+           SELECT user_id, epoch_us(ts) AS t_us, 0 AS kind, event_id,
+             epoch_us(ts) AS v_us, NULL AS p_day
+           FROM events WHERE event_type = 'view'
+           UNION ALL
+           SELECT user_id, epoch_us(ts) AS t_us, 1 AS kind, event_id,
+             NULL AS v_us, CAST(CAST(ts AS DATE) AS VARCHAR) AS p_day
+           FROM events WHERE event_type = 'purchase'),
+         f AS (
+           SELECT *, last_value(v_us IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY t_us, kind, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS lv
+           FROM u),
+         lat AS (
+           SELECT p_day AS day, t_us - lv AS latency_us FROM f
+           WHERE kind = 1 AND lv IS NOT NULL
+             AND t_us - lv <= 86400000000),
+         ranked AS (
+           SELECT day, latency_us,
+             row_number() OVER (PARTITION BY day
+               ORDER BY latency_us) AS rk,
+             count(*) OVER (PARTITION BY day) AS n
+           FROM lat)
+         SELECT day, CAST(max(n) AS BIGINT) AS n_conversions,
+           CAST(max(CASE WHEN rk = (n + 1) // 2 THEN latency_us END)
+             AS BIGINT) AS p50_us,
+           CAST(max(CASE WHEN rk = (9 * n + 9) // 10 THEN latency_us END)
+             AS BIGINT) AS p90_us
+         FROM ranked GROUP BY 1 ORDER BY 1""",
   )
 }

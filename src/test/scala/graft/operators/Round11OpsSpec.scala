@@ -485,6 +485,66 @@ class Round11OpsSpec extends SparkSpecBase {
     assert(out === expect)
   }
 
+  test("q261: rank picks select the exact lower median and ceil-rank p90") {
+    import java.sql.Timestamp
+    def t(s: String) = Timestamp.valueOf(s)
+    // one day, 4 conversions with latencies 1h, 2h, 3h, 10h:
+    // n=4 -> p50 rank (4+1) div 2 = 2 (2h), p90 rank (36+9) div 10 = 4 (10h)
+    val ev = Seq(
+      (1L, t("2024-01-01 08:00:00"), 1L, "view"),
+      (2L, t("2024-01-01 09:00:00"), 1L, "purchase"),
+      (3L, t("2024-01-01 08:00:00"), 2L, "view"),
+      (4L, t("2024-01-01 10:00:00"), 2L, "purchase"),
+      (5L, t("2024-01-01 08:00:00"), 3L, "view"),
+      (6L, t("2024-01-01 11:00:00"), 3L, "purchase"),
+      (7L, t("2024-01-01 01:00:00"), 4L, "view"),
+      (8L, t("2024-01-01 11:00:00"), 4L, "purchase"),
+      // a purchase with NO view inside 24h: excluded from the panel
+      (9L, t("2024-01-02 11:00:00"), 5L, "purchase")
+    ).map { case (id, ts, u, ty) => (id, ts, u, ty, 1.0) }
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val out = graft.operators.EventOps.conversionLatencyOn(ev, 24)
+      .collect()
+    assert(out.length === 1)
+    val r = out.head
+    assert(r.getString(0) === "2024-01-01")
+    assert(r.getLong(1) === 4L)
+    assert(r.getLong(2) === 2L * 3600L * 1000000L)
+    assert(r.getLong(3) === 10L * 3600L * 1000000L)
+  }
+
+  test("q262: classes partition each brand, shares sum to ~100%, A leads") {
+    val out = CoreQueries.q262AbcClasses(spark, sf0001).collect()
+    assert(out.nonEmpty)
+    val byBrand = out.groupBy(_.getString(0))
+    byBrand.foreach { case (b, rows) =>
+      val byClass = rows.map(r => r.getString(1) -> r).toMap
+      // shares sum to 10000 bp up to per-class floor loss
+      val shareSum = rows.map(_.getLong(3)).sum
+      assert(shareSum >= 10000L - rows.length && shareSum <= 10000L,
+        s"brand $b shares $shareSum")
+      // A's share dominates every other class present
+      byClass.get("A").foreach { a =>
+        rows.filter(_.getString(1) != "A").foreach { o =>
+          assert(a.getLong(3) >= o.getLong(3), s"brand $b: A not dominant")
+        }
+      }
+      // A class holds at most ~80% + one part's worth of share
+      byClass.get("A").foreach(a => assert(a.getLong(3) >= 5000L))
+    }
+    // part counts per brand match the brand's distinct traded parts
+    val traded = graft.Tables.lineitem(spark, sf0001)
+      .join(graft.Tables.part(spark, sf0001)
+        .select(col("p_partkey"), col("p_brand")),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"))
+      .agg(countDistinct(col("l_partkey")).as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    byBrand.foreach { case (b, rows) =>
+      assert(rows.map(_.getLong(2)).sum === traded(b))
+    }
+  }
+
   test("q253: testdata contract — one triplet per anchor, margin arithmetic exact") {
     val out = SimilarityOps.tripletMine(spark, sf0001).collect()
     assert(out.length === 8)
