@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{Bucketing, CoreQueries, DedupOps, EventOps, MultimodalOps, PipelineOps, RetrievalOps, SimilarityOps, TextAnalysisOps}
+import graft.operators.{Bucketing, CoreQueries, DedupOps, EventOps, GraphOps, IncrementalOps, MultimodalOps, PipelineOps, RetrievalOps, SimilarityOps, TextAnalysisOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -338,6 +338,20 @@ object SparkEntry {
     "q261_conversion_latency" -> ((s, d) =>
       EventOps.conversionLatency(s, d)),
     "q262_abc_classes"    -> ((s, d) => CoreQueries.q262AbcClasses(s, d)),
+    "q263_cusum_changepoint" -> ((s, d) =>
+      EventOps.cusumChangepoint(s, d)),
+    "q264_compaction_plan" -> ((s, d) =>
+      IncrementalOps.compactionPlan(s, d)),
+    "q265_item_recs"      -> ((s, d) => GraphOps.itemRecs(s, d)),
+    "q266_link_prediction" -> ((s, d) =>
+      GraphOps.coOrderLinkPred(s, d)),
+    "q267_calibration"    -> ((s, d) =>
+      EventOps.propensityCalibration(s, d)),
+    "q268_forecast_mase"  -> ((s, d) =>
+      EventOps.seasonalNaiveMase(s, d)),
+    "q269_proximity_search" -> ((s, d) =>
+      RetrievalOps.proximitySearch(s, d)),
+    "q270_fd_audit"       -> ((s, d) => graft.dq.DataQuality.fdAudit(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -1,7 +1,7 @@
 package graft.dq
 
 import graft.Tables
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.NumericType
 
@@ -274,5 +274,48 @@ object DataQuality {
         abs(expr("coalesce(n_obs, 0) * 10000 div n") -
           col("exp_milli") * 10).cast("long").as("dev_bp"))
       .orderBy(col("digit"))
+  }
+
+  /** Functional-dependency audit (q270): for a panel of candidate FDs
+    * over `documents` — `source→lang`, `lang→source`, and the key FD
+    * `doc_id→source` — count the left-hand values that map to more
+    * than one right-hand value and the minimum rows a repair would
+    * touch (rows outside each LHS's majority RHS). This is the
+    * profiling primitive behind constraint discovery and schema
+    * normalization checks (does this column determine that one?), and
+    * the exact-counting big sibling of the null/RI profiles (q16/q125).
+    *
+    * Scale shape: each FD is one `(fd, a, b)` count collapse (map-side
+    * partial) followed by an `(fd, a)`-keyed aggregate — the second
+    * shuffle's keys are the FIRST aggregate's output, already
+    * value-cardinality, not row-cardinality; the final rollup is
+    * #FDs rows. All counts exact BIGINT; the verdict is an INT 0/1
+    * (PARITY rule 15).
+    */
+  def fdAudit(spark: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame =
+    fdAuditOn(Tables.documents(spark, dir))
+
+  private[graft] def fdAuditOn(docs: DataFrame): DataFrame = {
+    def side(fd: String, a: Column, b: Column): DataFrame =
+      docs.select(lit(fd).as("fd"), a.cast("string").as("a"),
+        b.cast("string").as("b"))
+    val pairs = side("source->lang", col("source"), col("lang"))
+      .unionByName(side("lang->source", col("lang"), col("source")))
+      .unionByName(side("doc_id->source", col("doc_id"), col("source")))
+    val perA = pairs.groupBy(col("fd"), col("a"), col("b"))
+      .agg(count(lit(1)).as("cnt_b"))
+      .groupBy(col("fd"), col("a"))
+      .agg(sum(col("cnt_b")).as("n_rows"), count(lit(1)).as("n_b"),
+        max(col("cnt_b")).as("max_b"))
+    perA.groupBy(col("fd"))
+      .agg(count(lit(1)).as("n_lhs"),
+        sum(when(col("n_b") > 1, 1L).otherwise(0L)).as("viol_lhs"),
+        sum(col("n_rows")).as("total_rows"),
+        sum(col("n_rows") - col("max_b")).as("viol_rows"))
+      .select(col("fd"), col("n_lhs"), col("viol_lhs"), col("total_rows"),
+        col("viol_rows"),
+        (col("viol_lhs") === 0L).cast("int").as("holds"))
+      .orderBy(col("fd"))
   }
 }

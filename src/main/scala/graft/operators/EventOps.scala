@@ -1262,4 +1262,148 @@ object EventOps {
             col("sx").cast("decimal(38,0)") * col("sx"))
             .cast("double"), 6).as("ols_slope"))
   }
+
+  /** CUSUM mean-shift changepoint per event type (q263): the day at
+    * which the cumulative deviation from the series mean peaks — the
+    * classic single-changepoint detector behind pipeline-volume drift
+    * alarms. The statistic is cross-multiplied onto integers:
+    * `|n_days·cum_d − idx_d·total|` is the CUSUM `|Σ(x−x̄)|` scaled by
+    * the constant `n_days`, so argmax (and the reported peak) are
+    * integer-exact with no running float sum. Products sit on
+    * decimal(38,0)/HUGEINT — day volume × span passes 2^63 well inside
+    * a 100 TB year (PARITY rule 13) — and narrow to BIGINT only at the
+    * output boundary. Ties break to the earliest day.
+    *
+    * Scale shape: one corpus pass collapses to the (type, day) panel;
+    * the windows all share the per-type partitioning of that
+    * day-granularity frame (calendar-bounded, the q151/q259 rule).
+    */
+  def cusumChangepoint(spark: SparkSession, dir: String): DataFrame =
+    cusumChangepointOn(Tables.events(spark, dir))
+
+  private[graft] def cusumChangepointOn(ev: DataFrame): DataFrame = {
+    val daily = ev
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("cnt"))
+    val wOrd = Window.partitionBy(col("event_type")).orderBy(col("day"))
+    val wAll = Window.partitionBy(col("event_type"))
+    val dev = daily
+      .withColumn("idx", row_number().over(wOrd)
+        .cast("decimal(38,0)"))
+      .withColumn("cum", sum(col("cnt"))
+        .over(wOrd.rowsBetween(Window.unboundedPreceding,
+          Window.currentRow)).cast("decimal(38,0)"))
+      .withColumn("n_days", count(lit(1)).over(wAll))
+      .withColumn("total", sum(col("cnt")).over(wAll)
+        .cast("decimal(38,0)"))
+      .withColumn("adev", abs(col("n_days").cast("decimal(38,0)") *
+        col("cum") - col("idx") * col("total")))
+    dev
+      .withColumn("rk", row_number().over(Window
+        .partitionBy(col("event_type"))
+        .orderBy(col("adev").desc, col("day"))))
+      .filter(col("rk") === 1)
+      .select(col("event_type"), col("n_days").cast("long").as("n_days"),
+        col("day").as("cp_day"),
+        col("adev").cast("long").as("max_abs_dev_nd"))
+      .orderBy(col("event_type"))
+  }
+
+  /** Propensity-score calibration (q267): bucket users by a simple
+    * behavioral predictor — first-half-of-month click share, on the
+    * integer milli grid — and audit it against the second-half
+    * big-ticket-purchase outcome: the reliability table (mean predicted
+    * vs empirical rate per bucket) plus an exact per-bucket Brier score.
+    * This is the eval every learned quality/propensity model gets
+    * before its scores gate data (the q83/q123 scores are inputs to
+    * exactly this audit). All arithmetic is integer: p and y live on
+    * the milli grid, `(p−y)²` sums on decimal(38,0) — 1e6 per row ×
+    * 1e13 rows passes 2^63 (PARITY rule 13) — and every division is a
+    * floor div at the output boundary.
+    *
+    * Scale shape: both halves are one events scan each, collapsed to
+    * user-grain before the join; the bucket rollup is a ≤10-key
+    * aggregate. The month-split (2024-01-16) and big-ticket threshold
+    * (10000 cents) are fixture constants of the synthetic feed (the
+    * q257 convention).
+    */
+  def propensityCalibration(spark: SparkSession, dir: String,
+      thresholdC: Long = 10000L): DataFrame =
+    propensityCalibrationOn(Tables.events(spark, dir), thresholdC)
+
+  private[graft] def propensityCalibrationOn(ev: DataFrame,
+      thresholdC: Long): DataFrame = {
+    val split = lit("2024-01-16").cast("date")
+    val first = ev.filter(to_date(col("ts")) < split)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_ev"),
+        sum(when(col("event_type") === "click", 1L).otherwise(0L))
+          .as("n_click"))
+    val outcome = ev.filter(to_date(col("ts")) >= split &&
+        col("event_type") === "purchase" &&
+        round(col("value") * 100, 0).cast("long") >= thresholdC)
+      .select(col("user_id")).distinct()
+      .withColumn("hit", lit(1L))
+    val scored = first.join(outcome, Seq("user_id"), "left")
+      .select(expr("n_click * 1000 div n_ev").as("p_milli"),
+        (coalesce(col("hit"), lit(0L)) * 1000L).as("y_milli"))
+      .withColumn("bucket", least(expr("p_milli div 50"), lit(9L))
+        .cast("int"))
+    scored.groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_users"),
+        sum(when(col("y_milli") === 1000L, 1L).otherwise(0L))
+          .as("n_pos"),
+        expr("sum(p_milli) div count(1)").as("mean_pred_milli"),
+        expr("sum(CASE WHEN y_milli = 1000 THEN 1 ELSE 0 END) * 1000" +
+          " div count(1)").as("emp_rate_milli"),
+        sum(((col("p_milli") - col("y_milli")) *
+          (col("p_milli") - col("y_milli"))).cast("decimal(38,0)"))
+          .as("sq_sum"))
+      .select(col("bucket"), col("n_users"), col("n_pos"),
+        col("mean_pred_milli"), col("emp_rate_milli"),
+        expr("sq_sum div (n_users * 1000)").cast("long")
+          .as("brier_milli"))
+      .orderBy(col("bucket"))
+  }
+
+  /** Seasonal-naive forecast skill per event type (q268): MASE — the
+    * lag-7 (weekly-seasonal) forecast's MAE against the in-sample
+    * lag-1 naive MAE, the scale-free standard for "is this forecast
+    * better than persistence". Both MAE numerators stay integer sums;
+    * the single reported ratio is cross-multiplied on decimal(38,0)
+    * (`mae7·n1·1e6 div (mae1·n7)` — sum × count × 1e6 passes 2^63 at
+    * warehouse scale, PARITY rule 13) and floors onto the ppm grid;
+    * NULL when the naive MAE is zero (constant series).
+    *
+    * Scale shape: one corpus pass to the (type, day) panel; lags and
+    * sums ride one per-type window partitioning of the
+    * calendar-bounded frame.
+    */
+  def seasonalNaiveMase(spark: SparkSession, dir: String,
+      season: Int = 7): DataFrame =
+    seasonalNaiveMaseOn(Tables.events(spark, dir), season)
+
+  private[graft] def seasonalNaiveMaseOn(ev: DataFrame,
+      season: Int): DataFrame = {
+    val daily = ev
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+    daily
+      .withColumn("l7", lag(col("cnt"), season).over(w))
+      .withColumn("l1", lag(col("cnt"), 1).over(w))
+      .groupBy(col("event_type"))
+      .agg(count(col("l7")).as("n7"), count(col("l1")).as("n1"),
+        sum(when(col("l7").isNotNull, abs(col("cnt") - col("l7"))))
+          .as("mae7_sum"),
+        sum(when(col("l1").isNotNull, abs(col("cnt") - col("l1"))))
+          .as("mae1_sum"))
+      .select(col("event_type"), col("n7").as("n_eval_days"),
+        col("mae7_sum"), col("mae1_sum"),
+        when(col("mae1_sum") > 0,
+          expr("(CAST(mae7_sum AS decimal(38,0)) * n1 * 1000000) div " +
+            "(CAST(mae1_sum AS decimal(38,0)) * n7)"))
+          .cast("long").as("mase_ppm"))
+      .orderBy(col("event_type"))
+  }
 }

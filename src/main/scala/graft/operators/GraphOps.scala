@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -356,6 +357,126 @@ object GraphOps {
             (sqrt(vx.cast("double")) * sqrt(vy.cast("double"))), 6))
           .as("assortativity"))
       .localCheckpoint(eager = true)
+    out
+  }
+
+  /** Item-item collaborative-filtering recommendations (q265): for
+    * every item, the top-3 most-similar items by user-overlap cosine —
+    * "users who touched X also touched Y", the workhorse
+    * candidate-generation recommender. Similarity is ranked on
+    * cosine² in ppm: `n_ij²·1e6 div (n_i·n_j)` — a monotone transform
+    * of cosine that never takes a square root, so the score grid is
+    * integer-exact (the q31/q207 grid rule). The product `n_ij²·1e6`
+    * passes 2^63 once co-occurrence counts reach ~3e6 users, so it
+    * sits on decimal(38,0)/HUGEINT (PARITY rule 13) and narrows at the
+    * output.
+    *
+    * Scale shape: rides the session-cached capped co-occurrence grid
+    * ([[cachedCoPairs]] — the one corpus shuffle, per-user fan-out
+    * bounded at C(cap,2)); item marginals are item-cardinality and
+    * join by item key (AQE broadcasts them while they fit); the top-3
+    * is a per-item window over each item's neighbor list, bounded by
+    * the capped degree.
+    */
+  def itemRecs(spark: SparkSession, dir: String, k: Int = 3,
+      minSupport: Int = 5): DataFrame = {
+    val ui = EventOps.cappedUserItems(Tables.events(spark, dir))
+    itemRecsOnPairs(cachedCoPairs(spark, dir, minSupport),
+      ui.groupBy(col("item")).agg(count(lit(1)).as("n_i")), k)
+  }
+
+  private[graft] def itemRecsOnPairs(pairs: DataFrame, marginals: DataFrame,
+      k: Int): DataFrame = {
+    val sym = pairs.select(col("i").as("item"), col("j").as("nbr"),
+        col("n_ij"))
+      .unionByName(pairs.select(col("j").as("item"), col("i").as("nbr"),
+        col("n_ij")))
+    val scored = sym
+      .join(marginals.select(col("item"), col("n_i").as("d_item")),
+        Seq("item"))
+      .join(marginals.select(col("item").as("nbr"), col("n_i")
+        .as("d_nbr")), Seq("nbr"))
+      .select(col("item"), col("nbr"), col("n_ij"),
+        expr("(CAST(n_ij AS decimal(38,0)) * n_ij * 1000000) div " +
+          "(CAST(d_item AS decimal(38,0)) * d_nbr)").as("cos2_ppm"))
+    scored
+      .withColumn("rec_rank", row_number().over(Window
+        .partitionBy(col("item"))
+        .orderBy(col("cos2_ppm").desc, col("nbr"))))
+      .filter(col("rec_rank") <= k)
+      .select(col("item").cast("int").as("item"),
+        col("rec_rank").cast("int").as("rec_rank"),
+        col("nbr").cast("int").as("rec_item"),
+        col("n_ij").as("n_common_users"), col("cos2_ppm"))
+      .orderBy(col("item"), col("rec_rank"))
+  }
+
+  /** Common-neighbor link prediction on the part co-order graph
+    * (q266): part pairs NOT yet co-ordered together that share many
+    * co-order neighbors — ranked by neighborhood Jaccard in ppm
+    * (`cn·1e6 div (deg_i + deg_j − cn)`, integer rational) — the
+    * assortment-gap / "should be bundled" signal. The graph itself is
+    * the distinct (order, part) relation self-joined per order (order
+    * baskets are small, so per-order fan-out is naturally bounded —
+    * the cap the events graph needs from [[EventOps.cappedUserItems]]
+    * comes free here), kept at co-order support ≥ 2 (density on this
+    * schema shrinks as 1/SF, so the absolute support stays selective
+    * at every SF — unlike a fixed share threshold, the Q11 lesson does
+    * not bite).
+    *
+    * Scale shape: wedge enumeration runs over per-center neighbor
+    * lists capped at `nbrCap` by edge weight (deterministic hub
+    * suppression — C(cap,2) wedges per center, the q153 degree-order
+    * idea in cap form); existing edges leave via a left_anti on the
+    * edge key; the global top-`k` is a TakeOrdered, never a full sort.
+    */
+  def coOrderLinkPred(spark: SparkSession, dir: String, k: Int = 20,
+      nbrCap: Int = 50): DataFrame =
+    coOrderLinkPredOn(Tables.lineitem(spark, dir), k, nbrCap)
+
+  private[graft] def coOrderLinkPredOn(li: DataFrame, k: Int,
+      nbrCap: Int): DataFrame = {
+    val op = li.select(col("l_orderkey").as("ok"),
+      col("l_partkey").as("pk")).distinct()
+    val edges = op.as("a")
+      .join(op.as("b"), col("a.ok") === col("b.ok") &&
+        col("a.pk") < col("b.pk"))
+      .groupBy(col("a.pk").as("i"), col("b.pk").as("j"))
+      .agg(count(lit(1)).as("n_ij"))
+      .filter(col("n_ij") >= 2)
+      .persist()
+    val sym = edges.select(col("i").as("item"), col("j").as("nbr"),
+        col("n_ij"))
+      .unionByName(edges.select(col("j").as("item"), col("i").as("nbr"),
+        col("n_ij")))
+    val capped = sym
+      .withColumn("nrk", row_number().over(Window
+        .partitionBy(col("item"))
+        .orderBy(col("n_ij").desc, col("nbr"))))
+      .filter(col("nrk") <= nbrCap)
+      .select(col("item"), col("nbr"))
+      .persist()
+    val cdeg = capped.groupBy(col("item")).agg(count(lit(1)).as("deg"))
+    val wedges = capped.as("a")
+      .join(capped.as("b"), col("a.item") === col("b.item") &&
+        col("a.nbr") < col("b.nbr"))
+      .groupBy(col("a.nbr").as("i"), col("b.nbr").as("j"))
+      .agg(count(lit(1)).as("cn"))
+    val out = wedges
+      .join(edges.select(col("i"), col("j")), Seq("i", "j"), "left_anti")
+      .join(cdeg.select(col("item").as("i"), col("deg").as("deg_i")),
+        Seq("i"))
+      .join(cdeg.select(col("item").as("j"), col("deg").as("deg_j")),
+        Seq("j"))
+      .select(col("i").as("part_i"), col("j").as("part_j"),
+        col("cn").as("common_nbrs"),
+        expr("cn * 1000000 div (deg_i + deg_j - cn)").as("jac_ppm"))
+      .orderBy(col("jac_ppm").desc, col("common_nbrs").desc,
+        col("part_i"), col("part_j"))
+      .limit(k)
+      .localCheckpoint(eager = true)
+    edges.unpersist()
+    capped.unpersist()
     out
   }
 }

@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Incremental-processing operators: what a 100 TB corpus pipeline runs
@@ -360,5 +361,56 @@ object IncrementalOps {
         (col("base_pairs") + col("delta_pairs") === col("recount_pairs"))
           .cast("int").as("consistent"))
       .orderBy(col("user_id"))
+  }
+
+  /** Small-file compaction planner (q264) — the OPTIMIZE/bin-packing
+    * step every lakehouse table needs: per partition (source), pack the
+    * simulated file list (doc_id mod 64 buckets, sized by Σ n_chars)
+    * into target-sized compaction bins by a deterministic greedy rule —
+    * `bin = cum_bytes_before div target` in fixed file order — and
+    * report the before/after small-file picture per partition. The
+    * greedy cumulative cut is the same two-phase global-cut pattern as
+    * the shard packer (q45): one window pass assigns every file its
+    * bin with no driver loop, no collect.
+    *
+    * Scale shape: file metadata is MANIFEST-scale (files, not rows —
+    * the planner never touches data bytes), windows partition by the
+    * table partition, and the output is one row per partition. At
+    * 100 TB the input is the table's file listing (~1e6 rows), not the
+    * 1e13-row data — this is why OPTIMIZE planning is cheap even when
+    * the rewrite is not. All sizes are exact BIGINT sums.
+    */
+  def compactionPlan(spark: SparkSession, dir: String,
+      targetBytes: Long = 2048L): DataFrame =
+    compactionPlanOn(Tables.documents(spark, dir), targetBytes)
+
+  private[graft] def compactionPlanOn(docs: DataFrame,
+      targetBytes: Long): DataFrame = {
+    val small = targetBytes / 2
+    val files = docs
+      .groupBy(col("source"), pmod(col("doc_id"), lit(64L)).as("fid"))
+      .agg(sum(col("n_chars")).as("bytes"))
+    val w = Window.partitionBy(col("source")).orderBy(col("fid"))
+    val planned = files
+      .withColumn("cum_before", coalesce(sum(col("bytes"))
+        .over(w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("bin", expr(s"cum_before div $targetBytes"))
+    val bins = planned.groupBy(col("source"), col("bin"))
+      .agg(sum(col("bytes")).as("bin_bytes"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_bins"),
+        max(col("bin_bytes")).as("max_bin_bytes"),
+        sum(when(col("bin_bytes") < small, 1L).otherwise(0L))
+          .as("small_after"))
+    files.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_files"),
+        sum(col("bytes")).as("total_bytes"),
+        sum(when(col("bytes") < small, 1L).otherwise(0L))
+          .as("small_before"))
+      .join(bins, Seq("source"))
+      .select(col("source"), col("n_files"), col("total_bytes"),
+        col("small_before"), col("n_bins"), col("max_bin_bytes"),
+        col("small_after"))
+      .orderBy(col("source"))
   }
 }

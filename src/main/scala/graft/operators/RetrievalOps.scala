@@ -206,4 +206,51 @@ object RetrievalOps {
         col("rrf_e6"), col("rk"))
       .orderBy(col("qid"), col("rk"))
   }
+
+  /** Positional proximity search (q269): documents where `termA` occurs
+    * within `window` token positions of `termB`, with the pair-match
+    * count and the first matching position of `termA` — the NEAR/k
+    * operator of a full-text engine, and the one retrieval surface the
+    * BM25/RRF stack cannot express because it needs token POSITIONS,
+    * not bags. The index row is the positional posting
+    * `(doc, term, pos)` — what a production inverted index stores per
+    * occurrence — and the proximity test is a per-doc self-join of two
+    * term slices of it.
+    *
+    * Scale shape: the postings build is one corpus scan (posexplode),
+    * filtered to the two query terms BEFORE any shuffle, so the join
+    * input is occurrence-scale for two terms, not corpus-scale (in a
+    * deployment the postings are a bucketed table on term and this
+    * probe never rescans the corpus); the join keys on doc_id with a
+    * position-band predicate — per-doc occurrence lists are
+    * length-bounded, so the band join is quadratic only within one
+    * doc's two short lists. Counts are exact integers; the global
+    * top-`k` is a TakeOrdered on the (matches DESC, doc_id) total
+    * order.
+    */
+  def proximitySearch(spark: SparkSession, dir: String,
+      termA: String = "table", termB: String = "scan",
+      window: Int = 3, k: Int = 25): DataFrame =
+    proximitySearchOn(Tables.documents(spark, dir), termA, termB,
+      window, k)
+
+  private[graft] def proximitySearchOn(docs: DataFrame, termA: String,
+      termB: String, window: Int, k: Int): DataFrame = {
+    val pos = docs
+      .select(col("doc_id"), posexplode(Text.tokens(col("text")))
+        .as(Seq("p0", "term")))
+      .filter(col("term").isin(termA, termB))
+      .select(col("doc_id"), col("term"), (col("p0") + 1).as("p"))
+    val a = pos.filter(col("term") === termA)
+      .select(col("doc_id"), col("p").as("pa"))
+    val b = pos.filter(col("term") === termB)
+      .select(col("doc_id"), col("p").as("pb"))
+    a.join(b, Seq("doc_id"))
+      .filter(abs(col("pa") - col("pb")) <= window)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_matches"),
+        min(col("pa")).cast("long").as("first_pos"))
+      .orderBy(col("n_matches").desc, col("doc_id"))
+      .limit(k)
+  }
 }

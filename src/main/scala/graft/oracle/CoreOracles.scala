@@ -1106,6 +1106,31 @@ private[graft] object CoreOracles {
              - e.exp_milli * 10) AS BIGINT) AS dev_bp
          FROM exp e LEFT JOIN obs ON e.digit = obs.digit CROSS JOIN tot
          ORDER BY e.digit""",
+    // q270: functional-dependency audit over documents — LHS values
+    // with >1 RHS value + minimum repair rows (rows outside each LHS's
+    // majority RHS); verdict as INT 0/1 (DataQuality.fdAudit)
+    "q270_fd_audit" ->
+      """WITH pairs AS (
+           SELECT 'source->lang' AS fd, source AS a, lang AS b
+           FROM documents
+           UNION ALL SELECT 'lang->source', lang, source FROM documents
+           UNION ALL SELECT 'doc_id->source', CAST(doc_id AS VARCHAR),
+             source FROM documents),
+         per_a AS (
+           SELECT fd, a, CAST(sum(cnt_b) AS BIGINT) AS n_rows,
+             CAST(count(*) AS BIGINT) AS n_b,
+             CAST(max(cnt_b) AS BIGINT) AS max_b
+           FROM (SELECT fd, a, b, count(*) AS cnt_b FROM pairs
+             GROUP BY 1, 2, 3)
+           GROUP BY 1, 2)
+         SELECT fd, CAST(count(*) AS BIGINT) AS n_lhs,
+           CAST(sum(CASE WHEN n_b > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS viol_lhs,
+           CAST(sum(n_rows) AS BIGINT) AS total_rows,
+           CAST(sum(n_rows - max_b) AS BIGINT) AS viol_rows,
+           CAST(CASE WHEN sum(CASE WHEN n_b > 1 THEN 1 ELSE 0 END) = 0
+             THEN 1 ELSE 0 END AS INT) AS holds
+         FROM per_a GROUP BY fd ORDER BY fd""",
     // q260: perfect-order rate — order-level max-flag fold (one bad
     // line fails the whole order), 5-key priority rollup, bp share
     "q260_perfect_orders" ->

@@ -795,5 +795,204 @@ private[graft] object EventOracles {
            CAST(max(CASE WHEN rk = (9 * n + 9) // 10 THEN latency_us END)
              AS BIGINT) AS p90_us
          FROM ranked GROUP BY 1 ORDER BY 1""",
+    // q263: CUSUM mean-shift changepoint — the cross-multiplied
+    // |n·cum − idx·total| statistic on HUGEINT, argmax per type with
+    // earliest-day tiebreak (EventOps.cusumChangepointOn)
+    "q263_cusum_changepoint" ->
+      """WITH daily AS (
+           SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+             CAST(count(*) AS BIGINT) AS cnt
+           FROM events GROUP BY 1, 2),
+         cum AS (
+           SELECT event_type, day,
+             CAST(row_number() OVER (PARTITION BY event_type
+               ORDER BY day) AS HUGEINT) AS idx,
+             CAST(sum(cnt) OVER (PARTITION BY event_type ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS HUGEINT) AS cum_cnt,
+             CAST(count(*) OVER (PARTITION BY event_type) AS HUGEINT)
+               AS n_days,
+             CAST(sum(cnt) OVER (PARTITION BY event_type) AS HUGEINT)
+               AS total
+           FROM daily),
+         pick AS (
+           SELECT event_type, day, n_days,
+             abs(n_days * cum_cnt - idx * total) AS adev,
+             row_number() OVER (PARTITION BY event_type
+               ORDER BY abs(n_days * cum_cnt - idx * total) DESC, day)
+               AS rk
+           FROM cum)
+         SELECT event_type, CAST(n_days AS BIGINT) AS n_days,
+           day AS cp_day, CAST(adev AS BIGINT) AS max_abs_dev_nd
+         FROM pick WHERE rk = 1 ORDER BY event_type""",
+    // q264: compaction planner — greedy cum-bytes div target binning in
+    // fixed file order, per-source before/after small-file summary
+    // (IncrementalOps.compactionPlanOn, target 2048 / small 1024)
+    "q264_compaction_plan" ->
+      """WITH files AS (
+           SELECT source, doc_id % 64 AS fid,
+             CAST(sum(n_chars) AS BIGINT) AS bytes
+           FROM documents GROUP BY 1, 2),
+         planned AS (
+           SELECT source, fid, bytes,
+             CAST(coalesce(sum(bytes) OVER (PARTITION BY source
+               ORDER BY fid ROWS BETWEEN UNBOUNDED PRECEDING AND
+               1 PRECEDING), 0) AS BIGINT) // 2048 AS bin
+           FROM files),
+         bins AS (
+           SELECT source, bin, CAST(sum(bytes) AS BIGINT) AS bin_bytes
+           FROM planned GROUP BY 1, 2),
+         bsum AS (
+           SELECT source, CAST(count(*) AS BIGINT) AS n_bins,
+             CAST(max(bin_bytes) AS BIGINT) AS max_bin_bytes,
+             CAST(sum(CASE WHEN bin_bytes < 1024 THEN 1 ELSE 0 END)
+               AS BIGINT) AS small_after
+           FROM bins GROUP BY 1)
+         SELECT f.source, CAST(count(*) AS BIGINT) AS n_files,
+           CAST(sum(f.bytes) AS BIGINT) AS total_bytes,
+           CAST(sum(CASE WHEN f.bytes < 1024 THEN 1 ELSE 0 END)
+             AS BIGINT) AS small_before,
+           max(b.n_bins) AS n_bins, max(b.max_bin_bytes) AS max_bin_bytes,
+           max(b.small_after) AS small_after
+         FROM files f JOIN bsum b ON f.source = b.source
+         GROUP BY f.source ORDER BY f.source""",
+    // q265: item-item CF recommendations — cosine² ppm on the capped
+    // co-occurrence grid, top-3 per item (GraphOps.itemRecsOnPairs);
+    // replays the q107/q113 cap rule
+    "q265_item_recs" ->
+      """WITH grid AS (SELECT user_id,
+             CAST(json_extract_string(props, '$.k') AS INT) AS item,
+             count(*) AS n_ev
+           FROM events WHERE json_extract_string(props, '$.k') IS NOT NULL
+           GROUP BY 1, 2),
+         ui AS (SELECT user_id, item FROM (
+             SELECT user_id, item, row_number() OVER (PARTITION BY user_id
+               ORDER BY n_ev DESC, item) AS rk FROM grid)
+           WHERE rk <= 500),
+         ic AS (SELECT item, CAST(count(*) AS HUGEINT) AS n_i
+           FROM ui GROUP BY 1),
+         pairs AS (SELECT a.item AS i, b.item AS j,
+             CAST(count(*) AS HUGEINT) AS n_ij
+           FROM ui a JOIN ui b ON a.user_id = b.user_id
+             AND a.item < b.item
+           GROUP BY 1, 2 HAVING count(*) >= 5),
+         sym AS (SELECT i AS item, j AS nbr, n_ij FROM pairs
+           UNION ALL SELECT j, i, n_ij FROM pairs),
+         scored AS (
+           SELECT s.item, s.nbr, s.n_ij,
+             (s.n_ij * s.n_ij * 1000000) // (a.n_i * b.n_i) AS cos2_ppm
+           FROM sym s JOIN ic a ON s.item = a.item
+             JOIN ic b ON s.nbr = b.item),
+         ranked AS (
+           SELECT item, nbr, n_ij, cos2_ppm,
+             row_number() OVER (PARTITION BY item
+               ORDER BY cos2_ppm DESC, nbr ASC) AS rec_rank
+           FROM scored)
+         SELECT CAST(item AS INT) AS item, CAST(rec_rank AS INT)
+             AS rec_rank, CAST(nbr AS INT) AS rec_item,
+           CAST(n_ij AS BIGINT) AS n_common_users,
+           CAST(cos2_ppm AS BIGINT) AS cos2_ppm
+         FROM ranked WHERE rec_rank <= 3 ORDER BY item, rec_rank""",
+    // q266: common-neighbor link prediction on the part co-order graph
+    // — capped neighbor lists, wedge count, Jaccard ppm, top-20
+    // (GraphOps.coOrderLinkPredOn)
+    "q266_link_prediction" ->
+      """WITH op AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+           FROM lineitem),
+         edges AS (SELECT a.pk AS i, b.pk AS j,
+             CAST(count(*) AS BIGINT) AS n_ij
+           FROM op a JOIN op b ON a.ok = b.ok AND a.pk < b.pk
+           GROUP BY 1, 2 HAVING count(*) >= 2),
+         sym AS (SELECT i AS item, j AS nbr, n_ij FROM edges
+           UNION ALL SELECT j, i, n_ij FROM edges),
+         capped AS (SELECT item, nbr FROM (
+             SELECT item, nbr, row_number() OVER (PARTITION BY item
+               ORDER BY n_ij DESC, nbr ASC) AS nrk FROM sym)
+           WHERE nrk <= 50),
+         cdeg AS (SELECT item, CAST(count(*) AS BIGINT) AS deg
+           FROM capped GROUP BY 1),
+         wedges AS (SELECT a.nbr AS i, b.nbr AS j,
+             CAST(count(*) AS BIGINT) AS cn
+           FROM capped a JOIN capped b ON a.item = b.item
+             AND a.nbr < b.nbr
+           GROUP BY 1, 2),
+         cand AS (SELECT w.i, w.j, w.cn FROM wedges w
+           WHERE NOT EXISTS (SELECT 1 FROM edges e
+             WHERE e.i = w.i AND e.j = w.j))
+         SELECT CAST(c.i AS BIGINT) AS part_i,
+           CAST(c.j AS BIGINT) AS part_j,
+           CAST(c.cn AS BIGINT) AS common_nbrs,
+           CAST(c.cn * 1000000 // (da.deg + db.deg - c.cn) AS BIGINT)
+             AS jac_ppm
+         FROM cand c JOIN cdeg da ON c.i = da.item
+           JOIN cdeg db ON c.j = db.item
+         ORDER BY jac_ppm DESC, common_nbrs DESC, part_i, part_j
+         LIMIT 20""",
+    // q267: propensity calibration — first-half click share (milli)
+    // vs second-half big-ticket purchase; reliability panel + exact
+    // Brier (EventOps.propensityCalibrationOn, threshold 10000c)
+    "q267_calibration" ->
+      """WITH firsthalf AS (
+           SELECT user_id, CAST(count(*) AS BIGINT) AS n_ev,
+             CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_click
+           FROM events
+           WHERE CAST(date_trunc('day', ts) AS DATE) < DATE '2024-01-16'
+           GROUP BY 1),
+         outcome AS (
+           SELECT DISTINCT user_id FROM events
+           WHERE CAST(date_trunc('day', ts) AS DATE) >= DATE '2024-01-16'
+             AND event_type = 'purchase'
+             AND CAST(round(value * 100, 0) AS BIGINT) >= 10000),
+         scored AS (
+           SELECT f.user_id, f.n_click * 1000 // f.n_ev AS p_milli,
+             CASE WHEN o.user_id IS NOT NULL THEN 1000 ELSE 0 END
+               AS y_milli
+           FROM firsthalf f LEFT JOIN outcome o
+             ON f.user_id = o.user_id),
+         b AS (SELECT least(p_milli // 50, 9) AS bucket, p_milli,
+             y_milli FROM scored)
+         SELECT CAST(bucket AS INT) AS bucket,
+           count(*) AS n_users,
+           CAST(sum(CASE WHEN y_milli = 1000 THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_pos,
+           CAST(sum(p_milli) // count(*) AS BIGINT) AS mean_pred_milli,
+           CAST(sum(CASE WHEN y_milli = 1000 THEN 1 ELSE 0 END) * 1000
+             // count(*) AS BIGINT) AS emp_rate_milli,
+           CAST(sum(CAST((p_milli - y_milli) AS HUGEINT)
+             * (p_milli - y_milli)) // (count(*) * 1000) AS BIGINT)
+             AS brier_milli
+         FROM b GROUP BY 1 ORDER BY 1""",
+    // q268: seasonal-naive MASE per type — lag-7 MAE vs lag-1 naive
+    // MAE, cross-multiplied onto the ppm grid on HUGEINT
+    // (EventOps.seasonalNaiveMaseOn)
+    "q268_forecast_mase" ->
+      """WITH daily AS (
+           SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+             CAST(count(*) AS BIGINT) AS cnt
+           FROM events GROUP BY 1, 2),
+         lagd AS (
+           SELECT event_type, cnt,
+             lag(cnt, 7) OVER (PARTITION BY event_type ORDER BY day)
+               AS l7,
+             lag(cnt, 1) OVER (PARTITION BY event_type ORDER BY day)
+               AS l1
+           FROM daily),
+         m AS (
+           SELECT event_type,
+             CAST(sum(CASE WHEN l7 IS NOT NULL THEN abs(cnt - l7) END)
+               AS HUGEINT) AS mae7_sum,
+             CAST(count(l7) AS HUGEINT) AS n7,
+             CAST(sum(CASE WHEN l1 IS NOT NULL THEN abs(cnt - l1) END)
+               AS HUGEINT) AS mae1_sum,
+             CAST(count(l1) AS HUGEINT) AS n1
+           FROM lagd GROUP BY 1)
+         SELECT event_type, CAST(n7 AS BIGINT) AS n_eval_days,
+           CAST(mae7_sum AS BIGINT) AS mae7_sum,
+           CAST(mae1_sum AS BIGINT) AS mae1_sum,
+           CAST(CASE WHEN mae1_sum > 0
+             THEN mae7_sum * n1 * 1000000 // (mae1_sum * n7) END
+             AS BIGINT) AS mase_ppm
+         FROM m ORDER BY event_type""",
   )
 }

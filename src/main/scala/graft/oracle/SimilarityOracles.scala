@@ -9,6 +9,28 @@ import OracleCtes._
   */
 private[graft] object SimilarityOracles {
   val sql: Map[String, String] = Map(
+    // q269: positional proximity search (NEAR/3) — per-doc band join of
+    // the two query-term position slices (RetrievalOps.proximitySearch);
+    // positions are 1-based over the normalized whitespace tokens
+    "q269_proximity_search" ->
+      """WITH toks AS (
+           SELECT doc_id, string_split(regexp_replace(lower(trim(
+             coalesce(text, ''))), '\s+', ' ', 'g'), ' ') AS w
+           FROM documents),
+         pos AS (
+           SELECT doc_id, u.s.tok AS term, CAST(u.s.p AS BIGINT) AS p
+           FROM toks, unnest(list_transform(range(1, len(w) + 1),
+             i -> {'tok': w[i], 'p': i})) AS u(s)
+           WHERE u.s.tok IN ('table', 'scan')),
+         hits AS (
+           SELECT a.doc_id, count(*) AS n_matches,
+             CAST(min(a.p) AS BIGINT) AS first_pos
+           FROM pos a JOIN pos b ON a.doc_id = b.doc_id
+             AND a.term = 'table' AND b.term = 'scan'
+             AND abs(a.p - b.p) <= 3
+           GROUP BY 1)
+         SELECT doc_id, n_matches, first_pos FROM hits
+         ORDER BY n_matches DESC, doc_id LIMIT 25""",
     "q33_lsh_topk" ->
       """SELECT vec_id AS query_id, CAST(1 AS INT) AS recall_ok
          FROM embeddings WHERE vec_id < 8 ORDER BY query_id""",

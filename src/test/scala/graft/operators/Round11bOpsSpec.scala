@@ -1,0 +1,199 @@
+package graft.operators
+
+import graft.SparkSpecBase
+import org.apache.spark.sql.functions._
+
+/** Round-11 closing batch (q263–q270): each operator checked on a
+  * constructed fixture where the expected output is known in closed
+  * form, plus contract checks against the real testdata.
+  */
+class Round11bOpsSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def eventsOf(rows: Seq[(Long, String, Long, String, Double)]) =
+    rows.toDF("event_id", "s", "user_id", "event_type", "value")
+      .withColumn("ts", to_timestamp(col("s"))).drop("s")
+      .withColumn("props", lit("{}"))
+
+  // ---- q263 CUSUM changepoint -------------------------------------
+
+  test("q263: a clean level shift peaks exactly at the shift boundary") {
+    // counts per day: 10,10,10,20,20,20 — |n·cum − idx·total| is
+    // 30,60,90,60,30,0, so the argmax day is day 3 with dev 90
+    val rows = for {
+      (day, cnt) <- Seq(1 -> 10, 2 -> 10, 3 -> 10, 4 -> 20, 5 -> 20,
+        6 -> 20)
+      i <- 1 to cnt
+    } yield ((day * 1000 + i).toLong, f"2024-01-0$day%d 12:00:00",
+      1L, "x", 0.0)
+    val out = EventOps.cusumChangepointOn(eventsOf(rows)).collect()
+    assert(out.length === 1)
+    assert(out(0).getLong(1) === 6L)
+    assert(out(0).getDate(2).toString === "2024-01-03")
+    assert(out(0).getLong(3) === 90L)
+  }
+
+  test("q263: a constant series peaks at dev 0 on the earliest day") {
+    val rows = for {
+      day <- 1 to 4; i <- 1 to 5
+    } yield ((day * 100 + i).toLong, f"2024-01-0$day%d 12:00:00",
+      1L, "x", 0.0)
+    val out = EventOps.cusumChangepointOn(eventsOf(rows)).collect()
+    assert(out(0).getLong(3) === 0L)
+    assert(out(0).getDate(2).toString === "2024-01-01")
+  }
+
+  // ---- q264 compaction planner ------------------------------------
+
+  test("q264: greedy cum-div-target binning with a known file list") {
+    // files 1000,1000,1000,3000 at target 2048: cum-before is
+    // 0,1000,2000,3000 → bins {0,0,0,1}; three small files before,
+    // none after
+    val docs = Seq((0L, "s", 1000L), (1L, "s", 1000L), (2L, "s", 1000L),
+      (3L, "s", 3000L)).toDF("doc_id", "source", "n_chars")
+    val out = IncrementalOps.compactionPlanOn(docs, 2048L).collect()
+    assert(out.length === 1)
+    val r = out(0)
+    assert(r.getLong(1) === 4L)    // n_files
+    assert(r.getLong(2) === 6000L) // total_bytes
+    assert(r.getLong(3) === 3L)    // small_before
+    assert(r.getLong(4) === 2L)    // n_bins
+    assert(r.getLong(5) === 3000L) // max_bin_bytes
+    assert(r.getLong(6) === 0L)    // small_after
+  }
+
+  test("q264: planner is manifest-scale — bins cover all bytes") {
+    val out = IncrementalOps.compactionPlan(spark, sf0001).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getLong(4) >= 1L)
+      assert(r.getLong(5) <= r.getLong(2))
+      assert(r.getLong(6) <= r.getLong(4))
+    }
+  }
+
+  // ---- q265 item-item recommendations -----------------------------
+
+  test("q265: cosine² ppm ranks the tighter overlap first") {
+    // item 1 overlaps item 2 on 4 of 4/4 users (cos²=1e6) and item 3
+    // on 2 of 4/8 (cos²=4·1e6/32=125000)
+    val pairs = Seq((1, 2, 4L), (1, 3, 2L))
+      .toDF("i", "j", "n_ij")
+    val marg = Seq((1, 4L), (2, 4L), (3, 8L)).toDF("item", "n_i")
+    val out = GraphOps.itemRecsOnPairs(pairs, marg, k = 3)
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getInt(2),
+        r.getLong(4)))
+    assert(out.contains((1, 1, 2, 1000000L)))
+    assert(out.contains((1, 2, 3, 125000L)))
+    // symmetrized: 2 and 3 each see item 1 as their top rec
+    assert(out.contains((2, 1, 1, 1000000L)))
+    assert(out.contains((3, 1, 1, 125000L)))
+  }
+
+  // ---- q266 link prediction ---------------------------------------
+
+  test("q266: a shared neighbor predicts the missing third edge") {
+    // orders: {A,B}×2, {B,C}×2 — edges (A,B),(B,C); the only wedge is
+    // A–B–C, so the predicted link is (A,C) with cn=1 and
+    // jac = 1e6/(1+1−1) = 1e6
+    val li = Seq((1L, 10L), (1L, 20L), (2L, 10L), (2L, 20L),
+      (3L, 20L), (3L, 30L), (4L, 20L), (4L, 30L))
+      .toDF("l_orderkey", "l_partkey")
+    val out = GraphOps.coOrderLinkPredOn(li, k = 20, nbrCap = 50)
+      .collect()
+    assert(out.length === 1)
+    assert((out(0).getLong(0), out(0).getLong(1)) === ((10L, 30L)))
+    assert(out(0).getLong(2) === 1L)
+    assert(out(0).getLong(3) === 1000000L)
+  }
+
+  test("q266: existing edges never appear as predictions") {
+    val out = GraphOps.coOrderLinkPred(spark, sf0001)
+    val edges = graft.Tables.lineitem(spark, sf0001)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .distinct()
+    val e = edges.as("a").join(edges.as("b"),
+        col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+      .groupBy(col("a.pk").as("part_i"), col("b.pk").as("part_j"))
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") >= 2)
+      .select(col("part_i"), col("part_j"))
+    assert(out.join(e, Seq("part_i", "part_j"), "left_semi").count() === 0L)
+  }
+
+  // ---- q267 propensity calibration --------------------------------
+
+  test("q267: reliability panel and Brier agree with a hand computation") {
+    // u1: 1 click / 2 events (p=500), big-ticket in H2 (y=1000)
+    // u2: 0 clicks / 2 events (p=0), no H2 purchase (y=0)
+    val ev = eventsOf(Seq(
+      (1L, "2024-01-02 10:00:00", 1L, "click", 0.0),
+      (2L, "2024-01-03 10:00:00", 1L, "view", 0.0),
+      (3L, "2024-01-20 10:00:00", 1L, "purchase", 150.0),
+      (4L, "2024-01-02 10:00:00", 2L, "view", 0.0),
+      (5L, "2024-01-03 10:00:00", 2L, "view", 0.0),
+      (6L, "2024-01-20 10:00:00", 2L, "purchase", 10.0)))
+    val out = EventOps.propensityCalibrationOn(ev, 10000L)
+      .collect().map(r => r.getInt(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5)))).toMap
+    // u1 → bucket 9 (500 div 50 = 10, clamped): brier (500−1000)²/1000
+    assert(out(9) === ((1L, 1L, 500L, 1000L, 250L)))
+    // u2 → bucket 0: brier 0
+    assert(out(0) === ((1L, 0L, 0L, 0L, 0L)))
+  }
+
+  // ---- q268 seasonal-naive MASE -----------------------------------
+
+  test("q268: a perfectly weekly series has MASE 0; a constant one is NULL") {
+    // weekly: counts cycle with period 7 → lag-7 errors all 0 while
+    // lag-1 errors are not; constant: lag-1 MAE is 0 → NULL mase
+    val weekly = for {
+      day <- 1 to 21
+      i <- 1 to (if (day % 7 == 0) 5 else 2)
+    } yield ((day * 1000 + i).toLong, f"2024-01-$day%02d 12:00:00",
+      1L, "w", 0.0)
+    val const = for {
+      day <- 1 to 21; i <- 1 to 3
+    } yield ((100000L + day * 1000 + i), f"2024-01-$day%02d 12:00:00",
+      1L, "c", 0.0)
+    val out = EventOps.seasonalNaiveMaseOn(eventsOf(weekly ++ const), 7)
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(out("w").getLong(2) === 0L)        // mae7_sum
+    assert(out("w").getLong(4) === 0L)        // mase_ppm
+    assert(out("c").getLong(3) === 0L)        // mae1_sum
+    assert(out("c").isNullAt(4))              // mase undefined
+  }
+
+  // ---- q269 proximity search --------------------------------------
+
+  test("q269: NEAR/3 counts position pairs and takes the first A position") {
+    val docs = Seq(
+      (1L, "table x scan"),                  // dist 2 → 1 match
+      (2L, "table x y z scan"),              // dist 4 → no match
+      (3L, "table scan table"),              // pairs (1,2),(3,2) → 2
+      (4L, "scan y table")                   // dist 2 → 1 match
+    ).toDF("doc_id", "text")
+    val out = RetrievalOps.proximitySearchOn(docs, "table", "scan", 3, 25)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq === Seq((3L, 2L, 1L), (1L, 1L, 1L), (4L, 1L, 3L)))
+  }
+
+  // ---- q270 FD audit ----------------------------------------------
+
+  test("q270: violation counts equal the closed-form fixture") {
+    // source s1 maps to {en, en, fr} → 1 violating LHS, 1 repair row;
+    // s2 maps to {de} → clean
+    val docs = Seq((1L, "s1", "en"), (2L, "s1", "en"), (3L, "s1", "fr"),
+      (4L, "s2", "de")).toDF("doc_id", "source", "lang")
+    val out = graft.dq.DataQuality.fdAuditOn(docs)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getInt(5)))).toMap
+    assert(out("source->lang") === ((2L, 1L, 4L, 1L, 0)))
+    // doc_id is a key, so the key FD holds with zero repair rows
+    assert(out("doc_id->source") === ((4L, 0L, 4L, 0L, 1)))
+    // lang→source: en→{s1}, fr→{s1}, de→{s2} — holds
+    assert(out("lang->source") === ((3L, 0L, 4L, 0L, 1)))
+  }
+}
