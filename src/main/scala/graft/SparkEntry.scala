@@ -352,6 +352,13 @@ object SparkEntry {
     "q269_proximity_search" -> ((s, d) =>
       RetrievalOps.proximitySearch(s, d)),
     "q270_fd_audit"       -> ((s, d) => graft.dq.DataQuality.fdAudit(s, d)),
+    "q271_k_anonymity"    -> ((s, d) =>
+      graft.dq.DataQuality.kAnonymity(s, d)),
+    "q272_assoc_rules"    -> ((s, d) => GraphOps.assocRules(s, d)),
+    "q273_above_cust_avg" -> ((s, d) =>
+      CoreQueries.q273AboveCustomerAvg(s, d)),
+    "q274_seasonal_anomaly" -> ((s, d) =>
+      EventOps.seasonalAnomaly(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -318,4 +318,45 @@ object DataQuality {
         (col("viol_lhs") === 0L).cast("int").as("holds"))
       .orderBy(col("fd"))
   }
+
+  /** k-anonymity / l-diversity audit (q271): over the quasi-identifier
+    * pair (nation, market segment) on `customer`, with account-balance
+    * band as the sensitive attribute — the privacy screen a
+    * training-data release runs before shipping user-adjacent tables:
+    * k = the smallest QI-group size (any group below k re-identifies),
+    * l = the smallest count of distinct sensitive values within a
+    * group (a group with one sensitive value leaks it even at high k).
+    * Reported: both minima plus how many groups and rows sit below the
+    * k=5 / l=2 release thresholds. All counts exact.
+    *
+    * Scale shape: one scan, one (QI)-keyed aggregate with map-side
+    * partial distinct on the 3-value sensitive band, one single-row
+    * rollup — the same shape at any SF; no per-row output ever leaves
+    * the aggregate.
+    */
+  def kAnonymity(spark: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame =
+    kAnonymityOn(Tables.customer(spark, dir))
+
+  private[graft] def kAnonymityOn(cust: DataFrame): DataFrame = {
+    val qi = cust.select(col("c_nationkey").as("nation"),
+      col("c_mktsegment").as("seg"),
+      when(col("c_acctbal") < 0, "neg")
+        .when(col("c_acctbal") < 5000, "low")
+        .otherwise("high").as("sens"))
+    qi.groupBy(col("nation"), col("seg"))
+      .agg(count(lit(1)).as("k_size"),
+        countDistinct(col("sens")).as("l_div"))
+      .agg(count(lit(1)).as("n_groups"),
+        min(col("k_size")).as("k_anonymity"),
+        min(col("l_div")).as("l_diversity"),
+        sum(when(col("k_size") < 5, 1L).otherwise(0L))
+          .as("groups_below_k5"),
+        sum(when(col("k_size") < 5, col("k_size")).otherwise(0L))
+          .as("rows_at_risk_k5"),
+        sum(when(col("l_div") < 2, 1L).otherwise(0L))
+          .as("groups_below_l2"),
+        sum(when(col("l_div") < 2, col("k_size")).otherwise(0L))
+          .as("rows_at_risk_l2"))
+  }
 }

@@ -2039,4 +2039,44 @@ object CoreQueries {
           "div max(tot_cp) as long)").as("share_bp"))
       .orderBy(col("p_brand"), col("abc_class"))
   }
+
+  /** Correlated-subquery decorrelation shape (q273): customers' orders
+    * priced above their own customer-level average — the canonical
+    * `WHERE price > (SELECT avg(...) ... WHERE same customer)`
+    * correlated scalar subquery, which the oracle states exactly that
+    * way while this side writes the DECORRELATED plan every optimizer
+    * rewrites it to: one per-customer aggregate joined back on the
+    * key, with the average compared as the cross-multiplied integer
+    * `price_c·n_orders > tot_c` (no division, no FP mean — exact at
+    * the boundary where an order equals the mean). The per-customer
+    * sums sit on decimal(38,0)/HUGEINT (count × cents passes 2^63 at
+    * warehouse scale, PARITY rule 13).
+    *
+    * Scale shape: both sides of the join are the SAME `o_custkey`
+    * hash partitioning of one orders scan — the aggregate and the
+    * probe co-partition, so decorrelation costs one exchange total,
+    * which is the entire point of the rewrite at 100 TB (the naive
+    * correlated form is a per-row subquery).
+    */
+  def q273AboveCustomerAvg(spark: SparkSession, dir: String,
+      minAbove: Int = 3): DataFrame =
+    q273AboveCustomerAvgOn(Tables.orders(spark, dir), minAbove)
+
+  private[graft] def q273AboveCustomerAvgOn(orders: DataFrame,
+      minAbove: Int): DataFrame = {
+    val cents = round(col("o_totalprice") * 100, 0).cast("long")
+    val o = orders
+      .select(col("o_custkey"), cents.as("price_c"))
+    val ca = o.groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("price_c").cast("decimal(38,0)")).as("tot_c"))
+    o.join(ca, Seq("o_custkey"))
+      .filter(col("price_c").cast("decimal(38,0)") * col("n_orders") >
+        col("tot_c"))
+      .groupBy(col("o_custkey").as("custkey"))
+      .agg(count(lit(1)).as("n_above"),
+        max(col("price_c")).as("max_price_c"))
+      .filter(col("n_above") >= minAbove)
+      .orderBy(col("custkey"))
+  }
 }

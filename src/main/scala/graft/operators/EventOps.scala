@@ -1406,4 +1406,43 @@ object EventOps {
           .cast("long").as("mase_ppm"))
       .orderBy(col("event_type"))
   }
+
+  /** Seasonality-adjusted anomaly ranking (q274): the top-10 days
+    * whose volume deviates most from their own day-of-week mean —
+    * the q112 daily-anomaly idea with the weekly cycle removed first
+    * (a busy Monday is only anomalous relative to Mondays; q152's dow
+    * profile shows why the raw mean misleads). The deviation
+    * `|cnt·n_dow − sum_dow|·1000 div n_dow` is the milli-scaled
+    * distance from the dow mean, cross-multiplied so ranking and
+    * report are integer-exact; the weekday index is the engine-neutral
+    * `(epoch_days + 4) mod 7` (0 = Sunday, the q152 convention — both
+    * engines' native dayofweek disagree on the origin). Products ride
+    * decimal(38,0)/HUGEINT (PARITY rule 13).
+    *
+    * Scale shape: one corpus pass to the daily panel; the dow means
+    * are a 7-row broadcast back onto it; top-10 is a TakeOrdered on
+    * the calendar-bounded frame.
+    */
+  def seasonalAnomaly(spark: SparkSession, dir: String,
+      k: Int = 10): DataFrame =
+    seasonalAnomalyOn(Tables.events(spark, dir), k)
+
+  private[graft] def seasonalAnomalyOn(ev: DataFrame, k: Int): DataFrame = {
+    val daily = ev
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("day"),
+        pmod(datediff(col("day"), lit("1970-01-01").cast("date")) + 4,
+          lit(7)).cast("int").as("dow"), col("cnt"))
+    val dowm = daily.groupBy(col("dow"))
+      .agg(count(lit(1)).as("n_dow"),
+        sum(col("cnt").cast("decimal(38,0)")).as("sum_dow"))
+    daily.join(broadcast(dowm), Seq("dow"))
+      .select(col("day"), col("dow"), col("cnt"),
+        expr("(sum_dow * 1000) div n_dow").as("dow_mean_milli"),
+        expr("(abs(CAST(cnt AS decimal(38,0)) * n_dow - sum_dow) * 1000)" +
+          " div n_dow").as("dev_milli"))
+      .orderBy(col("dev_milli").desc, col("day"))
+      .limit(k)
+  }
 }

@@ -411,6 +411,54 @@ object GraphOps {
       .orderBy(col("item"), col("rec_rank"))
   }
 
+  /** Directional association rules (q272): ante → cons with
+    * confidence `n_both/n_ante` and lift
+    * `n_both·n_users/(n_ante·n_cons)`, both on the integer ppm grid —
+    * the market-basket rule miner on top of the same capped
+    * co-occurrence pairs q107's PMI and q265's cosine ride (one shared
+    * session-cached edge build serves all three scorings). Unlike the
+    * symmetric pair scores, each pair yields TWO rules with different
+    * confidences — the directional report is what a merchandising /
+    * query-suggestion consumer actually reads. Top-25 by
+    * (confidence, lift) on a total order.
+    *
+    * Scale shape: marginals and the user count are item-/1-cardinality
+    * against the cached pair grid; the lift numerator
+    * `n_ij·n_users·1e6` passes 2^63 at ~1e3 co-users × 1e9 users, so
+    * it sits on decimal(38,0)/HUGEINT (PARITY rule 13).
+    */
+  def assocRules(spark: SparkSession, dir: String, k: Int = 25,
+      minSupport: Int = 5): DataFrame = {
+    val ui = EventOps.cappedUserItems(Tables.events(spark, dir))
+    assocRulesOnPairs(cachedCoPairs(spark, dir, minSupport),
+      ui.groupBy(col("item")).agg(count(lit(1)).as("n_i")),
+      ui.select(col("user_id")).distinct()
+        .agg(count(lit(1)).as("n_users")), k)
+  }
+
+  private[graft] def assocRulesOnPairs(pairs: DataFrame,
+      marginals: DataFrame, userCount: DataFrame, k: Int): DataFrame = {
+    val rules = pairs.select(col("i").as("ante"), col("j").as("cons"),
+        col("n_ij"))
+      .unionByName(pairs.select(col("j").as("ante"), col("i").as("cons"),
+        col("n_ij")))
+    rules
+      .join(marginals.select(col("item").as("ante"), col("n_i")
+        .as("n_ante")), Seq("ante"))
+      .join(marginals.select(col("item").as("cons"), col("n_i")
+        .as("n_cons")), Seq("cons"))
+      .crossJoin(broadcast(userCount))
+      .select(col("ante").cast("int").as("ante"),
+        col("cons").cast("int").as("cons"),
+        col("n_ij").as("n_both"),
+        expr("n_ij * 1000000 div n_ante").as("conf_ppm"),
+        expr("(CAST(n_ij AS decimal(38,0)) * n_users * 1000000) div " +
+          "(CAST(n_ante AS decimal(38,0)) * n_cons)").as("lift_ppm"))
+      .orderBy(col("conf_ppm").desc, col("lift_ppm").desc, col("ante"),
+        col("cons"))
+      .limit(k)
+  }
+
   /** Common-neighbor link prediction on the part co-order graph
     * (q266): part pairs NOT yet co-ordered together that share many
     * co-order neighbors — ranked by neighborhood Jaccard in ppm

@@ -1131,6 +1131,51 @@ private[graft] object CoreOracles {
            CAST(CASE WHEN sum(CASE WHEN n_b > 1 THEN 1 ELSE 0 END) = 0
              THEN 1 ELSE 0 END AS INT) AS holds
          FROM per_a GROUP BY fd ORDER BY fd""",
+    // q271: k-anonymity / l-diversity audit on the (nation, segment)
+    // quasi-identifier with the acctbal band sensitive attribute
+    // (DataQuality.kAnonymityOn)
+    "q271_k_anonymity" ->
+      """WITH qi AS (
+           SELECT c_nationkey AS nation, c_mktsegment AS seg,
+             CASE WHEN c_acctbal < 0 THEN 'neg'
+                  WHEN c_acctbal < 5000 THEN 'low'
+                  ELSE 'high' END AS sens
+           FROM customer),
+         grp AS (
+           SELECT nation, seg, CAST(count(*) AS BIGINT) AS k_size,
+             CAST(count(DISTINCT sens) AS BIGINT) AS l_div
+           FROM qi GROUP BY 1, 2)
+         SELECT CAST(count(*) AS BIGINT) AS n_groups,
+           CAST(min(k_size) AS BIGINT) AS k_anonymity,
+           CAST(min(l_div) AS BIGINT) AS l_diversity,
+           CAST(sum(CASE WHEN k_size < 5 THEN 1 ELSE 0 END) AS BIGINT)
+             AS groups_below_k5,
+           CAST(sum(CASE WHEN k_size < 5 THEN k_size ELSE 0 END)
+             AS BIGINT) AS rows_at_risk_k5,
+           CAST(sum(CASE WHEN l_div < 2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS groups_below_l2,
+           CAST(sum(CASE WHEN l_div < 2 THEN k_size ELSE 0 END)
+             AS BIGINT) AS rows_at_risk_l2
+         FROM grp""",
+    // q273: the correlated scalar-subquery form — the oracle states
+    // the correlation; the Spark side ships the decorrelated
+    // one-exchange plan (CoreQueries.q273AboveCustomerAvg)
+    "q273_above_cust_avg" ->
+      """WITH o AS (
+           SELECT o_custkey,
+             CAST(round(o_totalprice * 100, 0) AS BIGINT) AS price_c
+           FROM orders)
+         SELECT o_custkey AS custkey, CAST(count(*) AS BIGINT) AS n_above,
+           CAST(max(price_c) AS BIGINT) AS max_price_c
+         FROM o
+         -- price > floor(mean) === price*n > sum for integers (proof:
+         -- write sum = q*n + r, 0 <= r < n; both sides reduce to
+         -- price > q), so the correlated floor-div form is EXACTLY the
+         -- Spark side's cross-multiplied comparison — no FP mean
+         WHERE CAST(price_c AS HUGEINT) >
+           (SELECT sum(CAST(o2.price_c AS HUGEINT)) // count(*)
+            FROM o o2 WHERE o2.o_custkey = o.o_custkey)
+         GROUP BY 1 HAVING count(*) >= 3 ORDER BY custkey""",
     // q260: perfect-order rate — order-level max-flag fold (one bad
     // line fails the whole order), 5-key priority rollup, bp share
     "q260_perfect_orders" ->

@@ -994,5 +994,62 @@ private[graft] object EventOracles {
              THEN mae7_sum * n1 * 1000000 // (mae1_sum * n7) END
              AS BIGINT) AS mase_ppm
          FROM m ORDER BY event_type""",
+    // q272: directional association rules on the capped pair grid —
+    // confidence and lift in ppm, top-25 (GraphOps.assocRulesOnPairs)
+    "q272_assoc_rules" ->
+      """WITH grid AS (SELECT user_id,
+             CAST(json_extract_string(props, '$.k') AS INT) AS item,
+             count(*) AS n_ev
+           FROM events WHERE json_extract_string(props, '$.k') IS NOT NULL
+           GROUP BY 1, 2),
+         ui AS (SELECT user_id, item FROM (
+             SELECT user_id, item, row_number() OVER (PARTITION BY user_id
+               ORDER BY n_ev DESC, item) AS rk FROM grid)
+           WHERE rk <= 500),
+         nu AS (SELECT CAST(count(DISTINCT user_id) AS HUGEINT) AS n_users
+           FROM ui),
+         ic AS (SELECT item, CAST(count(*) AS HUGEINT) AS n_i
+           FROM ui GROUP BY 1),
+         pairs AS (SELECT a.item AS i, b.item AS j,
+             CAST(count(*) AS HUGEINT) AS n_ij
+           FROM ui a JOIN ui b ON a.user_id = b.user_id
+             AND a.item < b.item
+           GROUP BY 1, 2 HAVING count(*) >= 5),
+         rules AS (SELECT i AS ante, j AS cons, n_ij FROM pairs
+           UNION ALL SELECT j, i, n_ij FROM pairs),
+         scored AS (
+           SELECT r.ante, r.cons, CAST(r.n_ij AS BIGINT) AS n_both,
+             CAST(r.n_ij * 1000000 // a.n_i AS BIGINT) AS conf_ppm,
+             CAST(r.n_ij * n_users * 1000000 // (a.n_i * c.n_i)
+               AS BIGINT) AS lift_ppm
+           FROM rules r JOIN ic a ON r.ante = a.item
+             JOIN ic c ON r.cons = c.item CROSS JOIN nu)
+         SELECT CAST(ante AS INT) AS ante, CAST(cons AS INT) AS cons,
+           n_both, conf_ppm, lift_ppm
+         FROM scored
+         ORDER BY conf_ppm DESC, lift_ppm DESC, ante, cons LIMIT 25""",
+    // q274: seasonality-adjusted anomaly top-10 — deviation from the
+    // own-dow mean, cross-multiplied milli grid, (epoch+4)%7 weekday
+    // (EventOps.seasonalAnomalyOn)
+    "q274_seasonal_anomaly" ->
+      """WITH daily AS (
+           SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+             CAST(count(*) AS BIGINT) AS cnt
+           FROM events GROUP BY 1),
+         dd AS (
+           SELECT day, CAST((datediff('day', DATE '1970-01-01', day)
+             + 4) % 7 AS INT) AS dow, cnt
+           FROM daily),
+         dowm AS (
+           SELECT dow, CAST(count(*) AS BIGINT) AS n_dow,
+             CAST(sum(cnt) AS HUGEINT) AS sum_dow
+           FROM dd GROUP BY 1)
+         SELECT d.day, d.dow, d.cnt,
+           CAST(m.sum_dow * 1000 // m.n_dow AS BIGINT)
+             AS dow_mean_milli,
+           CAST(abs(CAST(d.cnt AS HUGEINT) * m.n_dow - m.sum_dow)
+             * 1000 // m.n_dow AS BIGINT) AS dev_milli
+         FROM dd d JOIN dowm m ON d.dow = m.dow
+         ORDER BY dev_milli DESC, d.day LIMIT 10""",
   )
 }

@@ -179,6 +179,74 @@ class Round11bOpsSpec extends SparkSpecBase {
     assert(out.toSeq === Seq((3L, 2L, 1L), (1L, 1L, 1L), (4L, 1L, 3L)))
   }
 
+  // ---- q271 k-anonymity -------------------------------------------
+
+  test("q271: minima and at-risk counts match a constructed QI table") {
+    // group (1,A): 2 rows, sens {low, high} → k=2, l=2
+    // group (2,B): 6 rows, all 'low' → k=6, l=1 (fails l=2)
+    val cust = (Seq((1L, 1, 100.0, "A"), (2L, 1, 9000.0, "A")) ++
+      (3L to 8L).map(i => (i, 2, 100.0, "B")))
+      .toDF("c_custkey", "c_nationkey", "c_acctbal", "c_mktsegment")
+    val r = graft.dq.DataQuality.kAnonymityOn(cust).collect()(0)
+    assert(r.getLong(0) === 2L)  // n_groups
+    assert(r.getLong(1) === 2L)  // k_anonymity
+    assert(r.getLong(2) === 1L)  // l_diversity
+    assert(r.getLong(3) === 1L)  // groups_below_k5 (the pair group)
+    assert(r.getLong(4) === 2L)  // rows_at_risk_k5
+    assert(r.getLong(5) === 1L)  // groups_below_l2 (the uniform group)
+    assert(r.getLong(6) === 6L)  // rows_at_risk_l2
+  }
+
+  // ---- q272 association rules -------------------------------------
+
+  test("q272: the two directions of one pair carry different confidences") {
+    // pair (1,2) with n_both=4, n_1=4, n_2=8, 10 users:
+    //   1→2 conf = 1e6, lift = 4·10·1e6/32 = 1250000
+    //   2→1 conf = 500000, same lift
+    val pairs = Seq((1, 2, 4L)).toDF("i", "j", "n_ij")
+    val marg = Seq((1, 4L), (2, 8L)).toDF("item", "n_i")
+    val nu = Seq(Tuple1(10L)).toDF("n_users")
+    val out = GraphOps.assocRulesOnPairs(pairs, marg, nu, k = 25)
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(out.toSeq === Seq((1, 2, 4L, 1000000L, 1250000L),
+      (2, 1, 4L, 500000L, 1250000L)))
+  }
+
+  // ---- q273 decorrelated above-average ----------------------------
+
+  test("q273: the cross-multiplied compare is exact at the mean boundary") {
+    // customer 1: prices 10, 20, 30 — mean is exactly 20, so ONLY 30
+    // is above (the boundary order must not pass); customer 2: 10, 11
+    // — mean 10.5, 11 is above
+    val orders = Seq((1L, 0.10), (1L, 0.20), (1L, 0.30),
+      (2L, 0.10), (2L, 0.11))
+      .toDF("o_custkey", "o_totalprice")
+    val out = CoreQueries.q273AboveCustomerAvgOn(orders, minAbove = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq === Seq((1L, 1L, 30L), (2L, 1L, 11L)))
+  }
+
+  // ---- q274 seasonal anomaly --------------------------------------
+
+  test("q274: deviation is measured against the own-dow mean, not the global one") {
+    // Mondays (Jan 1, 8): 10 and 20 events → dow mean 15, dev 5000
+    // Tuesdays (Jan 2, 9): 2 and 2 → dev 0
+    val rows =
+      (1 to 10).map(i => (100L + i, "2024-01-01 10:00:00", 1L, "x", 0.0)) ++
+      (1 to 20).map(i => (200L + i, "2024-01-08 10:00:00", 1L, "x", 0.0)) ++
+      (1 to 2).map(i => (300L + i, "2024-01-02 10:00:00", 1L, "x", 0.0)) ++
+      (1 to 2).map(i => (400L + i, "2024-01-09 10:00:00", 1L, "x", 0.0))
+    val byName = EventOps.seasonalAnomalyOn(eventsOf(rows), 10)
+      .select("day", "dow", "cnt", "dow_mean_milli", "dev_milli")
+      .collect().map(r => (r.getDate(0).toString, r.getInt(1),
+        r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(byName.take(2).toSeq === Seq(
+      ("2024-01-01", 1, 10L, 15000L, 5000L),
+      ("2024-01-08", 1, 20L, 15000L, 5000L)))
+    assert(byName.drop(2).forall(_._5 === 0L))
+  }
+
   // ---- q270 FD audit ----------------------------------------------
 
   test("q270: violation counts equal the closed-form fixture") {
