@@ -2052,11 +2052,11 @@ object CoreQueries {
     * sums sit on decimal(38,0)/HUGEINT (count × cents passes 2^63 at
     * warehouse scale, PARITY rule 13).
     *
-    * Scale shape: both sides of the join are the SAME `o_custkey`
-    * hash partitioning of one orders scan — the aggregate and the
-    * probe co-partition, so decorrelation costs one exchange total,
-    * which is the entire point of the rewrite at 100 TB (the naive
-    * correlated form is a per-row subquery).
+    * Scale shape: decorrelation costs the probe rows one `o_custkey`
+    * shuffle plus the aggregate side's PARTIAL-combined shuffle
+    * (map-side combine collapses it to customer-cardinality before it
+    * moves — PlanSpec pins the partial agg), and the join then
+    * co-partitions — vs the naive correlated form's per-row subquery.
     */
   def q273AboveCustomerAvg(spark: SparkSession, dir: String,
       minAbove: Int = 3): DataFrame =

@@ -484,33 +484,57 @@ object GraphOps {
 
   private[graft] def coOrderLinkPredOn(li: DataFrame, k: Int,
       nbrCap: Int): DataFrame = {
+    val edges = edgesOfOrders(li).persist()
+    val capped = cappedNbrsOf(edges, nbrCap).persist()
+    val out = linkPredTree(edges, capped, k).localCheckpoint(eager = true)
+    edges.unpersist()
+    capped.unpersist()
+    out
+  }
+
+  /** The same tree with no persist/checkpoint — the PlanSpec probe
+    * surface (localCheckpoint collapses the executed plan to an RDD
+    * scan, hiding the joins the pin needs to see).
+    */
+  private[graft] def coOrderLinkPredTree(li: DataFrame, k: Int,
+      nbrCap: Int): DataFrame = {
+    val edges = edgesOfOrders(li)
+    linkPredTree(edges, cappedNbrsOf(edges, nbrCap), k)
+  }
+
+  private def edgesOfOrders(li: DataFrame): DataFrame = {
     val op = li.select(col("l_orderkey").as("ok"),
       col("l_partkey").as("pk")).distinct()
-    val edges = op.as("a")
+    op.as("a")
       .join(op.as("b"), col("a.ok") === col("b.ok") &&
         col("a.pk") < col("b.pk"))
       .groupBy(col("a.pk").as("i"), col("b.pk").as("j"))
       .agg(count(lit(1)).as("n_ij"))
       .filter(col("n_ij") >= 2)
-      .persist()
+  }
+
+  private def cappedNbrsOf(edges: DataFrame, nbrCap: Int): DataFrame = {
     val sym = edges.select(col("i").as("item"), col("j").as("nbr"),
         col("n_ij"))
       .unionByName(edges.select(col("j").as("item"), col("i").as("nbr"),
         col("n_ij")))
-    val capped = sym
+    sym
       .withColumn("nrk", row_number().over(Window
         .partitionBy(col("item"))
         .orderBy(col("n_ij").desc, col("nbr"))))
       .filter(col("nrk") <= nbrCap)
       .select(col("item"), col("nbr"))
-      .persist()
+  }
+
+  private def linkPredTree(edges: DataFrame, capped: DataFrame,
+      k: Int): DataFrame = {
     val cdeg = capped.groupBy(col("item")).agg(count(lit(1)).as("deg"))
     val wedges = capped.as("a")
       .join(capped.as("b"), col("a.item") === col("b.item") &&
         col("a.nbr") < col("b.nbr"))
       .groupBy(col("a.nbr").as("i"), col("b.nbr").as("j"))
       .agg(count(lit(1)).as("cn"))
-    val out = wedges
+    wedges
       .join(edges.select(col("i"), col("j")), Seq("i", "j"), "left_anti")
       .join(cdeg.select(col("item").as("i"), col("deg").as("deg_i")),
         Seq("i"))
@@ -522,9 +546,5 @@ object GraphOps {
       .orderBy(col("jac_ppm").desc, col("common_nbrs").desc,
         col("part_i"), col("part_j"))
       .limit(k)
-      .localCheckpoint(eager = true)
-    edges.unpersist()
-    capped.unpersist()
-    out
   }
 }

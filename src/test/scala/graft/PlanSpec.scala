@@ -574,6 +574,46 @@ class PlanSpec extends SparkSpecBase {
     assert(plan.contains("Broadcast"), plan)
   }
 
+  test("q266: wedge build never goes cartesian; existing edges leave via anti join") {
+    // probe the un-checkpointed tree (the production path collapses
+    // the executed plan to an RDD scan behind localCheckpoint)
+    val df = graft.operators.GraphOps.coOrderLinkPredTree(
+      Tables.lineitem(spark, sf0001), 20, 50)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(plan.contains("LeftAnti"), plan)
+    // the global top-20 is a TakeOrdered, never a full result sort
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
+
+  test("q269: the two-term filter cuts the postings BEFORE any exchange") {
+    val plan = executed("q269_proximity_search")
+    // the isin filter must sit below the first Exchange so only the
+    // two query terms' occurrences ever shuffle — the plan prints
+    // parents first, so the LAST Filter mentioning the terms must
+    // appear after (deeper than) every Exchange
+    val fIdx = plan.lastIndexOf("table")
+    val eIdx = plan.indexOf("Exchange")
+    assert(fIdx >= 0 && eIdx >= 0 && fIdx > eIdx,
+      s"term filter not below the shuffle (fIdx=$fIdx eIdx=$eIdx):\n$plan")
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("q273: decorrelation = probe shuffle + map-side-combined agg shuffle, nothing per-row") {
+    val plan = executed("q273_above_cust_avg")
+    // the decorrelated plan moves the probe rows once and the agg side
+    // as PARTIAL aggregates (map-side combine before its exchange) —
+    // never a per-row subquery, never a nested-loop
+    val exchanges = plan.linesIterator
+      .count(l => l.contains("Exchange hashpartitioning(o_custkey"))
+    assert(exchanges <= 2, s"extra custkey exchanges ($exchanges):\n$plan")
+    assert(plan.contains("partial_count") || plan.contains("partial"),
+      s"agg side not map-side combined:\n$plan")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
   test("q182: the rank window only ever sees the top-max(budget) frame") {
     val plan = executed("q182_vocab_budget")
     // the bounded TakeOrdered limit must sit BELOW the rank window (a
