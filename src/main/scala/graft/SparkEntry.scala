@@ -359,6 +359,13 @@ object SparkEntry {
       CoreQueries.q273AboveCustomerAvg(s, d)),
     "q274_seasonal_anomaly" -> ((s, d) =>
       EventOps.seasonalAnomaly(s, d)),
+    "q275_grouping_sets"  -> ((s, d) =>
+      CoreQueries.q275GroupingSets(s, d)),
+    "q276_apportionment"  -> ((s, d) =>
+      PipelineOps.apportionBudget(s, d)),
+    "q277_kwic"           -> ((s, d) => TextAnalysisOps.kwic(s, d)),
+    "q278_backlog_ledger" -> ((s, d) =>
+      CoreQueries.q278BacklogLedger(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

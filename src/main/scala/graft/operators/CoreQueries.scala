@@ -2058,6 +2058,68 @@ object CoreQueries {
     * moves — PlanSpec pins the partial agg), and the join then
     * co-partitions — vs the naive correlated form's per-row subquery.
     */
+  /** GROUPING SETS revenue panel (q275): the four-cut aggregate —
+    * by returnflag, by linestatus, by both, and the grand total — in
+    * ONE pass with per-column `grouping()` flags distinguishing "NULL
+    * because aggregated" from a data NULL. This is the multi-cut
+    * report rollup/cube (q54/q55) cannot shape exactly (the set list
+    * here is neither a prefix chain nor a full cross), and it runs as
+    * a single Expand + one aggregate — at 100 TB, one corpus scan
+    * serving four report granularities instead of four scans.
+    * Revenue rides the integer cents grid.
+    */
+  def q275GroupingSets(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupingSets(
+        Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus")),
+          Seq(col("l_returnflag"), col("l_linestatus")), Seq()),
+        col("l_returnflag"), col("l_linestatus"))
+      .agg(grouping(col("l_returnflag")).cast("int").as("g_flag"),
+        grouping(col("l_linestatus")).cast("int").as("g_status"),
+        count(lit(1)).as("n_lines"),
+        sum(round(col("l_extendedprice") * 100, 0).cast("long"))
+          .as("rev_c"))
+      .orderBy(col("g_flag"), col("g_status"), col("l_returnflag"),
+        col("l_linestatus"))
+
+  /** Daily order-backlog ledger (q278): open orders per day — the
+    * cumulative difference between orders opened (by order date) and
+    * orders completed (the day their LAST line ships; orders with no
+    * lines never close) — the operational WIP ledger behind
+    * fulfillment staffing. Exact integer counts; the running balance
+    * is one unpartitioned window over the CALENDAR-bounded day grid
+    * (seven TPC-H years ≈ 2.5k rows — the q259 bounded-frame rule),
+    * after both sides collapse to day-cardinality panels.
+    *
+    * Scale shape: two corpus-scale aggregates (orders by day; lines
+    * to per-order completion, order-key-partitioned) meeting in a
+    * day-grain full-outer join; nothing row-scale crosses the window.
+    */
+  def q278BacklogLedger(spark: SparkSession, dir: String): DataFrame =
+    q278BacklogLedgerOn(Tables.orders(spark, dir),
+      Tables.lineitem(spark, dir))
+
+  private[graft] def q278BacklogLedgerOn(orders: DataFrame,
+      lineitem: DataFrame): DataFrame = {
+    val opened = orders
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(count(lit(1)).as("n_opened"))
+    val closed = lineitem
+      .groupBy(col("l_orderkey"))
+      .agg(to_date(max(col("l_shipdate"))).as("day"))
+      .groupBy(col("day"))
+      .agg(count(lit(1)).as("n_closed"))
+    opened.join(closed, Seq("day"), "full_outer")
+      .select(col("day"),
+        coalesce(col("n_opened"), lit(0L)).as("n_opened"),
+        coalesce(col("n_closed"), lit(0L)).as("n_closed"))
+      .withColumn("backlog",
+        sum(col("n_opened") - col("n_closed")).over(
+          Window.orderBy(col("day"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .orderBy(col("day"))
+  }
+
   def q273AboveCustomerAvg(spark: SparkSession, dir: String,
       minAbove: Int = 3): DataFrame =
     q273AboveCustomerAvgOn(Tables.orders(spark, dir), minAbove)

@@ -665,4 +665,46 @@ object PipelineOps {
           col("total_tokens").cast("double"), 6).as("cum_token_frac"))
       .orderBy(col("quality").desc)
   }
+
+  /** Largest-remainder apportionment (q276): divide a fixed budget of
+    * `slots` (sampling quota, annotation budget, shard count) across
+    * sources proportionally to document count, with Hamilton's method
+    * making the integer allocation EXACT: each source gets
+    * `n_i·slots div total`, and the `slots − Σ quotas` leftover goes
+    * one-each to the largest remainders (`n_i·slots mod total`,
+    * source-id tiebreak). Σ alloc == slots always — the conservation
+    * property floor-only or round-based splits violate (the q258
+    * credit-conservation rule applied to budget splitting). All
+    * arithmetic integer; products on decimal(38,0)/HUGEINT.
+    *
+    * Scale shape: one corpus pass to source-cardinality counts; the
+    * remainder rank is a window over the #sources frame (bounded by
+    * the source catalog, the q182 rule).
+    */
+  def apportionBudget(spark: SparkSession, dir: String,
+      slots: Long = 1000L): DataFrame =
+    apportionBudgetOn(Tables.documents(spark, dir), slots)
+
+  private[graft] def apportionBudgetOn(docs: DataFrame,
+      slots: Long): DataFrame = {
+    val s = docs.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"))
+    val t = s.agg(sum(col("n_docs").cast("decimal(38,0)")).as("tot"))
+    val q = s.crossJoin(broadcast(t))
+      .select(col("source"), col("n_docs"),
+        expr(s"(CAST(n_docs AS decimal(38,0)) * $slots) div tot")
+          .as("quota"),
+        expr(s"(CAST(n_docs AS decimal(38,0)) * $slots) % tot")
+          .cast("long").as("rem"))
+    val leftover = q.agg((lit(slots) - sum(col("quota")))
+      .as("leftover"))
+    q.withColumn("rk", row_number().over(
+        Window.orderBy(col("rem").desc, col("source"))))
+      .crossJoin(broadcast(leftover))
+      .select(col("source"), col("n_docs"), col("quota"),
+        (col("rk") <= col("leftover")).cast("int").as("extra"),
+        (col("quota") + (col("rk") <= col("leftover")).cast("long"))
+          .as("alloc"))
+      .orderBy(col("source"))
+  }
 }

@@ -1375,4 +1375,39 @@ object TextAnalysisOps {
         col("quality_m"))
       .orderBy(col("n_chars").desc, col("doc_id"))
   }
+
+  /** Keyword-in-context extraction (q277): every occurrence of `term`
+    * with its ±`ctx`-token window rendered as a string — the KWIC
+    * concordance view an annotation/debugging UI shows around a match,
+    * and the raw material for context-sensitive filtering (is "spark"
+    * the engine or the verb?). Array-native: tokens stay one
+    * `posexplode`, the window is a `slice` on the original token
+    * array (no re-scan, no string surgery), positions are 1-based.
+    *
+    * Scale shape: the match filter lands right after the explode, so
+    * only occurrence rows (term frequency, not corpus size) survive
+    * the projection; the first `k` in (doc_id, pos) order is a
+    * TakeOrdered. Carrying the token array through the filter is
+    * row-local — no shuffle ever sees the full array column except
+    * the bounded top-k rows.
+    */
+  def kwic(spark: SparkSession, dir: String, term: String = "merge",
+      ctx: Int = 2, k: Int = 30): DataFrame =
+    kwicOn(graft.Tables.documents(spark, dir), term, ctx, k)
+
+  private[graft] def kwicOn(docs: DataFrame, term: String, ctx: Int,
+      k: Int): DataFrame =
+    docs
+      .select(col("doc_id"), Text.tokens(col("text")).as("w"))
+      .select(col("doc_id"), col("w"),
+        posexplode(col("w")).as(Seq("p0", "tok")))
+      .filter(col("tok") === term)
+      .select(col("doc_id"), (col("p0") + 1).cast("long").as("pos"),
+        array_join(slice(col("w"),
+          greatest(col("p0") + 1 - ctx, lit(1)),
+          least(col("p0") + 1 + ctx, size(col("w"))) -
+            greatest(col("p0") + 1 - ctx, lit(1)) + 1), " ")
+          .as("context"))
+      .orderBy(col("doc_id"), col("pos"))
+      .limit(k)
 }

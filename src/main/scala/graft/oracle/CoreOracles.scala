@@ -1131,6 +1131,42 @@ private[graft] object CoreOracles {
            CAST(CASE WHEN sum(CASE WHEN n_b > 1 THEN 1 ELSE 0 END) = 0
              THEN 1 ELSE 0 END AS INT) AS holds
          FROM per_a GROUP BY fd ORDER BY fd""",
+    // q275: GROUPING SETS four-cut revenue panel with per-column
+    // grouping flags (CoreQueries.q275GroupingSets)
+    "q275_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus,
+           CAST(GROUPING(l_returnflag) AS INT) AS g_flag,
+           CAST(GROUPING(l_linestatus) AS INT) AS g_status,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT))
+             AS BIGINT) AS rev_c
+         FROM lineitem
+         GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus),
+           (l_returnflag, l_linestatus), ())
+         ORDER BY g_flag, g_status, l_returnflag, l_linestatus""",
+    // q278: daily open-order backlog ledger — cumulative opened minus
+    // completed (last line shipped) over the calendar-bounded day grid
+    // (CoreQueries.q278BacklogLedger)
+    "q278_backlog_ledger" ->
+      """WITH opened AS (
+           SELECT CAST(o_orderdate AS DATE) AS day,
+             CAST(count(*) AS BIGINT) AS n_opened
+           FROM orders GROUP BY 1),
+         closed_d AS (
+           SELECT day, CAST(count(*) AS BIGINT) AS n_closed FROM (
+             SELECT CAST(max(CAST(l_shipdate AS DATE)) AS DATE) AS day
+             FROM lineitem GROUP BY l_orderkey)
+           GROUP BY 1),
+         grid AS (
+           SELECT coalesce(o.day, c.day) AS day,
+             coalesce(o.n_opened, 0) AS n_opened,
+             coalesce(c.n_closed, 0) AS n_closed
+           FROM opened o FULL OUTER JOIN closed_d c ON o.day = c.day)
+         SELECT day, n_opened, n_closed,
+           CAST(sum(n_opened - n_closed) OVER (ORDER BY day
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS BIGINT) AS backlog
+         FROM grid ORDER BY day""",
     // q271: k-anonymity / l-diversity audit on the (nation, segment)
     // quasi-identifier with the acctbal band sensitive attribute
     // (DataQuality.kAnonymityOn)

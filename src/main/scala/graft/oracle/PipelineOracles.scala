@@ -8,6 +8,30 @@ import OracleCtes._
   */
 private[graft] object PipelineOracles {
   val sql: Map[String, String] = Map(
+    // q276: largest-remainder (Hamilton) apportionment of 1000 slots
+    // by source doc count — Σ alloc == slots exactly
+    // (PipelineOps.apportionBudgetOn)
+    "q276_apportionment" ->
+      """WITH s AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+           FROM documents GROUP BY 1),
+         t AS (SELECT CAST(sum(n_docs) AS HUGEINT) AS tot FROM s),
+         q AS (SELECT source, n_docs,
+             CAST(CAST(n_docs AS HUGEINT) * 1000 // tot AS BIGINT)
+               AS quota,
+             CAST(CAST(n_docs AS HUGEINT) * 1000 % tot AS BIGINT)
+               AS rem
+           FROM s, t),
+         l AS (SELECT CAST(1000 - sum(quota) AS BIGINT) AS leftover
+           FROM q),
+         r AS (SELECT source, n_docs, quota, rem,
+             row_number() OVER (ORDER BY rem DESC, source) AS rk
+           FROM q)
+         SELECT r.source, r.n_docs, r.quota,
+           CAST(CASE WHEN r.rk <= l.leftover THEN 1 ELSE 0 END AS INT)
+             AS extra,
+           CAST(r.quota + CASE WHEN r.rk <= l.leftover THEN 1 ELSE 0 END
+             AS BIGINT) AS alloc
+         FROM r, l ORDER BY source""",
     "q40_media_features" ->
       """SELECT doc_id,
            CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,

@@ -53,6 +53,23 @@ private[graft] object TextOracles {
            SELECT * FROM p3 ORDER BY cnt DESC, s1, s2 LIMIT 1)"""
 
   val sql: Map[String, String] = Map(
+    // q277: keyword-in-context — ±2-token windows around each 'merge'
+    // occurrence, 1-based positions, first 30 in (doc, pos) order
+    // (TextAnalysisOps.kwicOn)
+    "q277_kwic" ->
+      """WITH toks AS (
+           SELECT doc_id, string_split(regexp_replace(lower(trim(
+             coalesce(text, ''))), '\s+', ' ', 'g'), ' ') AS w
+           FROM documents),
+         pos AS (
+           SELECT doc_id, CAST(u.s.p AS BIGINT) AS p, len(w) AS n, w
+           FROM toks, unnest(list_transform(range(1, len(w) + 1),
+             i -> {'tok': w[i], 'p': i})) AS u(s)
+           WHERE u.s.tok = 'merge')
+         SELECT doc_id, p AS pos,
+           array_to_string(w[greatest(p - 2, 1):least(p + 2, n)], ' ')
+             AS context
+         FROM pos ORDER BY doc_id, pos LIMIT 30""",
     "q38_rolling_fp" ->
       """SELECT count(*) AS n_docs,
            count(DISTINCT f) AS n_md5_classes,

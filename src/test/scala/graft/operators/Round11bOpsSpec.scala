@@ -247,6 +247,74 @@ class Round11bOpsSpec extends SparkSpecBase {
     assert(byName.drop(2).forall(_._5 === 0L))
   }
 
+  // ---- q275 grouping sets -----------------------------------------
+
+  test("q275: the four cuts cover the corpus — grand total equals the base sum") {
+    val out = CoreQueries.q275GroupingSets(spark, sf0001).collect()
+    val total = graft.Tables.lineitem(spark, sf0001).count()
+    val grand = out.filter(r => r.getInt(2) === 1 && r.getInt(3) === 1)
+    assert(grand.length === 1)
+    assert(grand(0).getLong(4) === total)
+    // each single-axis cut also partitions the corpus
+    Seq((1, 0), (0, 1), (0, 0)).foreach { case (gf, gs) =>
+      val cut = out.filter(r => r.getInt(2) === gf && r.getInt(3) === gs)
+      assert(cut.map(_.getLong(4)).sum === total, s"cut ($gf,$gs)")
+    }
+  }
+
+  // ---- q276 apportionment -----------------------------------------
+
+  test("q276: Hamilton allocation conserves the budget and breaks remainder ties by source") {
+    // counts 1,1,1 at 10 slots: quotas 3,3,3 (rem 1 each), leftover 1
+    // goes to the lexicographically first source
+    val docs = Seq((1L, "a"), (2L, "b"), (3L, "c"))
+      .toDF("doc_id", "source")
+    val out = PipelineOps.apportionBudgetOn(docs, 10L)
+      .collect().map(r => (r.getString(0), r.getLong(2), r.getInt(3),
+        r.getLong(4)))
+    assert(out.toSeq === Seq(("a", 3L, 1, 4L), ("b", 3L, 0, 3L),
+      ("c", 3L, 0, 3L)))
+    assert(out.map(_._4).sum === 10L)
+  }
+
+  test("q276: testdata contract — Σ alloc is exactly the budget at every skew") {
+    val out = PipelineOps.apportionBudget(spark, sf0001).collect()
+    assert(out.map(_.getLong(4)).sum === 1000L)
+  }
+
+  // ---- q277 KWIC --------------------------------------------------
+
+  test("q277: context windows clip at document edges") {
+    val docs = Seq((1L, "merge a b c"), (2L, "x y merge"),
+      (3L, "p q merge r s"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysisOps.kwicOn(docs, "merge", 2, 30)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(out.toSeq === Seq((1L, 1L, "merge a b"),
+      (2L, 3L, "x y merge"), (3L, 3L, "p q merge r s")))
+  }
+
+  // ---- q278 backlog ledger ----------------------------------------
+
+  test("q278: the ledger nets opened against last-line-shipped completions") {
+    val orders = Seq((1L, "2024-01-01 00:00:00"), (2L, "2024-01-01 00:00:00"),
+      (3L, "2024-01-02 00:00:00"))
+      .toDF("o_orderkey", "s")
+      .withColumn("o_orderdate", to_timestamp(col("s"))).drop("s")
+    // order 1 ships lines on Jan 2 and Jan 3 → completes Jan 3;
+    // order 2 completes Jan 2; order 3 never ships
+    val li = Seq((1L, "2024-01-02 00:00:00"), (1L, "2024-01-03 00:00:00"),
+      (2L, "2024-01-02 00:00:00"))
+      .toDF("l_orderkey", "s")
+      .withColumn("l_shipdate", to_timestamp(col("s"))).drop("s")
+    val out = CoreQueries.q278BacklogLedgerOn(orders, li)
+      .collect().map(r => (r.getDate(0).toString, r.getLong(1),
+        r.getLong(2), r.getLong(3)))
+    // running balance: 2, 2, 1 — order 3 stays open forever
+    assert(out.toSeq === Seq(("2024-01-01", 2L, 0L, 2L),
+      ("2024-01-02", 1L, 1L, 2L), ("2024-01-03", 0L, 1L, 1L)))
+  }
+
   // ---- q270 FD audit ----------------------------------------------
 
   test("q270: violation counts equal the closed-form fixture") {
