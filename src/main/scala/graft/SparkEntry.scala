@@ -366,6 +366,10 @@ object SparkEntry {
     "q277_kwic"           -> ((s, d) => TextAnalysisOps.kwic(s, d)),
     "q278_backlog_ledger" -> ((s, d) =>
       CoreQueries.q278BacklogLedger(s, d)),
+    "q279_prf_expansion"  -> ((s, d) =>
+      RetrievalOps.prfExpansion(s, d)),
+    "q280_split_drift"    -> ((s, d) =>
+      graft.operators.EmbedHealthOps.splitDrift(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -120,4 +120,52 @@ object EmbedHealthOps {
         sum(when(col("dp") < 0L, 1L).otherwise(0L)).as("n_neg"))
       .orderBy(col("label"))
   }
+
+  /** Embedding split drift (q280): per label, the cosine between the
+    * mean vectors of the even- and odd-id halves of the corpus — the
+    * "did my two batches/shards embed the same distribution" check run
+    * before mixing embedding batches into one ANN index (a model or
+    * preprocessing change shows up as drift_cos < 1 on every label at
+    * once). Uses the scale-invariance of cosine: cos(Σa/n, Σb/m) =
+    * cos(Σa, Σb), so the means are never divided — both operands stay
+    * EXACT integer sum vectors on the 2^10 grid, and the one float per
+    * row is the final cosine (integer-valued doubles through an
+    * identical literal tree both engines, 6dp, the q166 contract).
+    *
+    * Scale shape: one corpus pass to (label, half, dim) integer sums —
+    * (labels × 2 × 64) keys regardless of corpus size — then
+    * label-cardinality joins. Per-dim sums reach 512·n, so the dot of
+    * two sum vectors passes 2^63 around n ≈ 7e7 per (label, half);
+    * beyond that the dots move to decimal (the q198 HUGEINT rule —
+    * asserted far from the bound at any test SF).
+    */
+  def splitDrift(spark: SparkSession, dir: String): DataFrame =
+    splitDriftOn(Tables.embeddings(spark, dir))
+
+  private[graft] def splitDriftOn(emb: DataFrame): DataFrame = {
+    val q = quantized(emb)
+      .withColumn("half", pmod(col("vec_id"), lit(2L)).cast("int"))
+    val sums = q
+      .select(col("label"), col("half"), posexplode(col("q"))
+        .as(Seq("d", "x")))
+      .groupBy(col("label"), col("half"), col("d"))
+      .agg(sum(col("x")).as("s"))
+      .groupBy(col("label"), col("half"))
+      .agg(transform(array_sort(collect_list(struct(col("d"), col("s")))),
+        t => t.getField("s")).as("sv"))
+    val cnt = q.groupBy(col("label"), col("half"))
+      .agg(count(lit(1)).as("n"))
+    val halves = sums.join(cnt, Seq("label", "half"))
+    val a = halves.filter(col("half") === 0)
+      .select(col("label"), col("sv").as("sa"), col("n").as("n_even"))
+    val b = halves.filter(col("half") === 1)
+      .select(col("label"), col("sv").as("sb"), col("n").as("n_odd"))
+    a.join(b, Seq("label"))
+      .select(col("label"), col("n_even"), col("n_odd"),
+        round(dotL(col("sa"), col("sb")).cast("double") /
+          (sqrt(dotL(col("sa"), col("sa")).cast("double")) *
+            sqrt(dotL(col("sb"), col("sb")).cast("double"))), 6)
+          .as("drift_cos"))
+      .orderBy(col("label"))
+  }
 }

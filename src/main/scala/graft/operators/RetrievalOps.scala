@@ -207,6 +207,47 @@ object RetrievalOps {
       .orderBy(col("qid"), col("rk"))
   }
 
+  /** Pseudo-relevance-feedback query expansion (q279): for each query,
+    * the top-`expK` candidate expansion terms — the terms with the
+    * highest summed TF across the query's BM25 top-`fbDocs` feedback
+    * docs, excluding the query's own terms — the RM1-style first step
+    * of every classic relevance-feedback loop (and the lexical
+    * analogue of embedding-space query refinement). Term selection is
+    * pure integer TF arithmetic; the only floats live inside the
+    * already-parity-pinned BM25 ranking that picks the feedback set
+    * (q89's 4dp contract).
+    *
+    * Scale shape: rides the session-cached postings index; the
+    * feedback set is (queries × fbDocs) rows broadcast against the
+    * postings, so expansion mining touches only the feedback docs'
+    * posting rows; own-term exclusion is a broadcast left_anti.
+    */
+  def prfExpansion(spark: SparkSession, dir: String,
+      nQueries: Int = DefaultNQueries, nTerms: Int = DefaultNTerms,
+      fbDocs: Int = DefaultK, expK: Int = 3): DataFrame = {
+    val postings = cachedPostings(spark, dir)
+    val fbSet = bm25OnPostings(postings, nQueries, nTerms, fbDocs)
+      .select(col("qid"), col("hit_id").as("doc_id"))
+    val wq = Window.partitionBy(col("qid"))
+      .orderBy(col("tf").desc, col("tok"))
+    val ownTerms = postings.filter(col("doc_id") < nQueries)
+      .select(col("doc_id").as("qid"), col("tok"), col("tf"))
+      .withColumn("t_rank", row_number().over(wq))
+      .filter(col("t_rank") <= nTerms)
+      .select(col("qid"), col("tok"))
+    val fb = postings.join(broadcast(fbSet), Seq("doc_id"))
+      .groupBy(col("qid"), col("tok"))
+      .agg(sum(col("tf")).as("sum_tf"))
+      .join(broadcast(ownTerms), Seq("qid", "tok"), "left_anti")
+    fb.withColumn("exp_rank", row_number().over(Window
+        .partitionBy(col("qid"))
+        .orderBy(col("sum_tf").desc, col("tok"))))
+      .filter(col("exp_rank") <= expK)
+      .select(col("qid"), col("exp_rank").cast("int").as("exp_rank"),
+        col("tok").as("exp_term"), col("sum_tf"))
+      .orderBy(col("qid"), col("exp_rank"))
+  }
+
   /** Positional proximity search (q269): documents where `termA` occurs
     * within `window` token positions of `termB`, with the pair-match
     * count and the first matching position of `termA` — the NEAR/k

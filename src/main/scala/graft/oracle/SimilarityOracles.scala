@@ -8,6 +8,57 @@ import OracleCtes._
   * SparkEntry registry (round-9 reviewability split).
   */
 private[graft] object SimilarityOracles {
+  /** The BM25 chain (postings → query terms → candidate scoring) shared
+    * by the q89 gate and the q279 PRF expansion — one source of truth
+    * ending at `tfp`, `qt`, and `contrib`.
+    */
+  private val bm25CoreCtes: String =
+    raw"""d0 AS (
+           SELECT doc_id, string_split(
+             regexp_replace(lower(trim(coalesce(text, ''))), '\s+', ' ',
+               'g'), ' ') AS w
+           FROM documents),
+         post AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS dl,
+                    unnest(w) AS tok FROM d0),
+         tfp AS (SELECT doc_id, dl, tok, count(*) AS tf
+                 FROM post GROUP BY 1, 2, 3),
+         st AS (SELECT count(*) AS n_docs,
+                  sum(CAST(len(w) AS BIGINT)) AS sum_dl FROM d0),
+         qt AS (
+           SELECT doc_id AS qid, tok,
+             CAST(row_number() OVER (PARTITION BY doc_id
+               ORDER BY tf DESC, tok) AS INT) AS t_rank
+           FROM tfp WHERE doc_id < ${RetrievalOps.DefaultNQueries}
+           QUALIFY row_number() OVER (PARTITION BY doc_id
+             ORDER BY tf DESC, tok) <= ${RetrievalOps.DefaultNTerms}),
+         cand AS (SELECT qt.qid, qt.t_rank, tfp.doc_id, tfp.dl,
+                    tfp.tok, tfp.tf
+                  FROM tfp JOIN qt USING (tok)),
+         dfc AS (SELECT tok, count(*) AS df FROM
+                   (SELECT DISTINCT tok, doc_id FROM cand) GROUP BY 1),
+         contrib AS (
+           SELECT cand.qid, cand.doc_id, cand.t_rank,
+             round(
+               round(ln((CAST(st.n_docs AS DOUBLE) - CAST(dfc.df AS DOUBLE)
+                   + 0.5) / (CAST(dfc.df AS DOUBLE) + 0.5) + 1.0), 6)
+               * (CAST(cand.tf AS DOUBLE) * (1.2 + 1.0) /
+                  (CAST(cand.tf AS DOUBLE) + 1.2 * (1.0 - 0.75 + 0.75 *
+                    (CAST(cand.dl * st.n_docs AS DOUBLE) /
+                     CAST(st.sum_dl AS DOUBLE))))), 6) AS c
+           FROM cand JOIN dfc USING (tok) CROSS JOIN st)"""
+
+  /** The per-query ranked hit list over `contrib` (no trailing rank
+    * filter — callers bound `rk` themselves).
+    */
+  private val bm25RankedSql: String =
+    raw"""SELECT qid, doc_id AS hit_id, score,
+             CAST(row_number() OVER (PARTITION BY qid
+               ORDER BY score DESC, doc_id) AS INT) AS rk
+           FROM (SELECT qid, doc_id,
+                   round(${RetrievalOps.oracleSlotSql(RetrievalOps.DefaultNTerms)},
+                     4) AS score
+                 FROM contrib GROUP BY 1, 2)"""
+
   val sql: Map[String, String] = Map(
     // q269: positional proximity search (NEAR/3) — per-doc band join of
     // the two query-term position slices (RetrievalOps.proximitySearch);
@@ -31,6 +82,33 @@ private[graft] object SimilarityOracles {
            GROUP BY 1)
          SELECT doc_id, n_matches, first_pos FROM hits
          ORDER BY n_matches DESC, doc_id LIMIT 25""",
+    // q280: embedding split drift — cosine between the EXACT integer
+    // sum vectors of the even/odd halves per label (scale-invariance
+    // makes the mean division unnecessary); one 6dp float per row
+    // through the identical literal tree (EmbedHealthOps.splitDriftOn)
+    "q280_split_drift" ->
+      """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v
+           FROM embeddings),
+         xq AS (SELECT vec_id, label, vec_id % 2 AS half,
+           list_transform(v, x -> CAST(round(x * 1024) AS BIGINT)) AS q
+           FROM e),
+         sums AS (SELECT label, half, i.range AS d,
+             CAST(sum(q[i.range]) AS BIGINT) AS s
+           FROM xq, range(1, 65) i GROUP BY 1, 2, 3),
+         sv AS (SELECT label, half, list(s ORDER BY d) AS sv
+           FROM sums GROUP BY 1, 2),
+         cnt AS (SELECT label, half, CAST(count(*) AS BIGINT) AS n
+           FROM xq GROUP BY 1, 2),
+         h AS (SELECT s.label, s.half, s.sv, c.n
+           FROM sv s JOIN cnt c ON s.label = c.label AND s.half = c.half)
+         SELECT a.label, a.n AS n_even, b.n AS n_odd,
+           round(CAST(list_inner_product(a.sv, b.sv) AS DOUBLE) /
+             (sqrt(CAST(list_inner_product(a.sv, a.sv) AS DOUBLE)) *
+              sqrt(CAST(list_inner_product(b.sv, b.sv) AS DOUBLE))), 6)
+             AS drift_cos
+         FROM h a JOIN h b ON a.label = b.label
+           AND a.half = 0 AND b.half = 1
+         ORDER BY a.label""",
     "q33_lsh_topk" ->
       """SELECT vec_id AS query_id, CAST(1 AS INT) AS recall_ok
          FROM embeddings WHERE vec_id < 8 ORDER BY query_id""",
@@ -533,48 +611,28 @@ private[graft] object SimilarityOracles {
     // cannot silently diverge on nTerms (raw interpolator: \s must
     // survive verbatim).
     "q89_bm25_topk" ->
-      raw"""WITH d0 AS (
-           SELECT doc_id, string_split(
-             regexp_replace(lower(trim(coalesce(text, ''))), '\s+', ' ',
-               'g'), ' ') AS w
-           FROM documents),
-         post AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS dl,
-                    unnest(w) AS tok FROM d0),
-         tfp AS (SELECT doc_id, dl, tok, count(*) AS tf
-                 FROM post GROUP BY 1, 2, 3),
-         st AS (SELECT count(*) AS n_docs,
-                  sum(CAST(len(w) AS BIGINT)) AS sum_dl FROM d0),
-         qt AS (
-           SELECT doc_id AS qid, tok,
-             CAST(row_number() OVER (PARTITION BY doc_id
-               ORDER BY tf DESC, tok) AS INT) AS t_rank
-           FROM tfp WHERE doc_id < ${RetrievalOps.DefaultNQueries}
-           QUALIFY row_number() OVER (PARTITION BY doc_id
-             ORDER BY tf DESC, tok) <= ${RetrievalOps.DefaultNTerms}),
-         cand AS (SELECT qt.qid, qt.t_rank, tfp.doc_id, tfp.dl,
-                    tfp.tok, tfp.tf
-                  FROM tfp JOIN qt USING (tok)),
-         dfc AS (SELECT tok, count(*) AS df FROM
-                   (SELECT DISTINCT tok, doc_id FROM cand) GROUP BY 1),
-         contrib AS (
-           SELECT cand.qid, cand.doc_id, cand.t_rank,
-             round(
-               round(ln((CAST(st.n_docs AS DOUBLE) - CAST(dfc.df AS DOUBLE)
-                   + 0.5) / (CAST(dfc.df AS DOUBLE) + 0.5) + 1.0), 6)
-               * (CAST(cand.tf AS DOUBLE) * (1.2 + 1.0) /
-                  (CAST(cand.tf AS DOUBLE) + 1.2 * (1.0 - 0.75 + 0.75 *
-                    (CAST(cand.dl * st.n_docs AS DOUBLE) /
-                     CAST(st.sum_dl AS DOUBLE))))), 6) AS c
-           FROM cand JOIN dfc USING (tok) CROSS JOIN st)
-         SELECT qid, hit_id, score, rk FROM (
-           SELECT qid, doc_id AS hit_id, score,
+      (raw"""WITH """ + bm25CoreCtes + raw"""
+         SELECT qid, hit_id, score, rk FROM (""" + bm25RankedSql + raw""")
+         WHERE rk <= ${RetrievalOps.DefaultK} ORDER BY qid, rk"""),
+    // q279: pseudo-relevance-feedback expansion — top-3 summed-TF
+    // terms across each query's BM25 top-5 feedback docs, own terms
+    // excluded; shares the q89 CTE chain so the feedback ranking
+    // cannot drift from the gate (RetrievalOps.prfExpansion)
+    "q279_prf_expansion" ->
+      (raw"""WITH """ + bm25CoreCtes + raw""",
+         bm AS (SELECT qid, hit_id FROM (""" + bm25RankedSql + raw""")
+           WHERE rk <= ${RetrievalOps.DefaultK}),
+         fb AS (SELECT b.qid, t.tok, CAST(sum(t.tf) AS BIGINT) AS sum_tf
+                FROM tfp t JOIN bm b ON t.doc_id = b.hit_id
+                WHERE NOT EXISTS (SELECT 1 FROM qt
+                  WHERE qt.qid = b.qid AND qt.tok = t.tok)
+                GROUP BY 1, 2),
+         ranked AS (SELECT qid, tok, sum_tf,
              CAST(row_number() OVER (PARTITION BY qid
-               ORDER BY score DESC, doc_id) AS INT) AS rk
-           FROM (SELECT qid, doc_id,
-                   round(${RetrievalOps.oracleSlotSql(RetrievalOps.DefaultNTerms)},
-                     4) AS score
-                 FROM contrib GROUP BY 1, 2))
-         WHERE rk <= ${RetrievalOps.DefaultK} ORDER BY qid, rk""",
+               ORDER BY sum_tf DESC, tok) AS INT) AS exp_rank
+           FROM fb)
+         SELECT qid, exp_rank, tok AS exp_term, sum_tf
+         FROM ranked WHERE exp_rank <= 3 ORDER BY qid, exp_rank"""),
     // q92: IVF upsert — codebook trained on the base partition only,
     // batch assigned against the frozen codebook; min/max over the
     // 4dp-rounded assignment cosines are order-independent and growth is

@@ -315,6 +315,52 @@ class Round11bOpsSpec extends SparkSpecBase {
       ("2024-01-02", 1L, 1L, 2L), ("2024-01-03", 0L, 1L, 1L)))
   }
 
+  // ---- q279 PRF expansion -----------------------------------------
+
+  test("q279: expansion terms exclude the query's own terms and rank by feedback TF") {
+    val out = RetrievalOps.prfExpansion(spark, sf0001).collect()
+    assert(out.length === 15) // 5 queries x 3 expansion terms
+    // own-term exclusion: recompute each query's top-3 terms and
+    // assert the expansion never re-proposes them
+    val docs = graft.Tables.documents(spark, sf0001)
+    val ownTerms = docs.filter(col("doc_id") < 5)
+      .select(col("doc_id").as("qid"),
+        explode(graft.functions.Text.tokens(col("text"))).as("tok"))
+      .groupBy(col("qid"), col("tok")).agg(count(lit(1)).as("tf"))
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("qid"))
+          .orderBy(col("tf").desc, col("tok"))))
+      .filter(col("rk") <= 3)
+      .select(col("qid"), col("tok").as("exp_term"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    out.foreach { r =>
+      assert(!ownTerms.contains((r.getLong(0), r.getString(2))),
+        s"own term proposed: ${r.getLong(0)} ${r.getString(2)}")
+    }
+    // TF ranks are strictly ordered within each query
+    out.groupBy(_.getLong(0)).foreach { case (_, rows) =>
+      val tfs = rows.sortBy(_.getInt(1)).map(_.getLong(3))
+      assert(tfs.sameElements(tfs.sortBy(-_)))
+    }
+  }
+
+  // ---- q280 embedding split drift ---------------------------------
+
+  test("q280: identical halves drift at cosine 1; opposite halves at -1") {
+    // label 0: even and odd vectors identical → cos 1.0
+    // label 1: odd half is the negation → cos -1.0
+    val emb = Seq(
+      (0L, 0, Array(0.5f, 0.25f)), (1L, 0, Array(0.5f, 0.25f)),
+      (2L, 0, Array(0.5f, 0.25f)), (3L, 0, Array(0.5f, 0.25f)),
+      (10L, 1, Array(0.5f, 0.0f)), (11L, 1, Array(-0.5f, 0.0f)))
+      .toDF("vec_id", "label", "embedding")
+    val out = graft.operators.EmbedHealthOps.splitDriftOn(emb)
+      .collect().map(r => r.getInt(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(out(0) === ((2L, 2L, 1.0)))
+    assert(out(1) === ((1L, 1L, -1.0)))
+  }
+
   // ---- q270 FD audit ----------------------------------------------
 
   test("q270: violation counts equal the closed-form fixture") {
