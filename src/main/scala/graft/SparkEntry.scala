@@ -370,6 +370,13 @@ object SparkEntry {
       RetrievalOps.prfExpansion(s, d)),
     "q280_split_drift"    -> ((s, d) =>
       graft.operators.EmbedHealthOps.splitDrift(s, d)),
+    "q281_session_replay" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      graft.streaming.SessionReplayStream
+        .sessionsBatch(graft.Tables.events(s, d))
+        .filter(col("user_id") < 20)
+        .orderBy(col("user_id"), col("start_us"))
+    }),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -994,6 +994,22 @@ private[graft] object EventOracles {
              THEN mae7_sum * n1 * 1000000 // (mae1_sum * n7) END
              AS BIGINT) AS mase_ppm
          FROM m ORDER BY event_type""",
+    // q281: the SessionReplayStream batch twin — gap-session summaries
+    // with purchase rollups on the shared session CTE, bounded slice
+    // (SessionReplayStream.sessionsBatch; stream ≡ batch spec-pinned)
+    "q281_session_replay" ->
+      ("WITH " + sessionsCte + """
+         SELECT user_id,
+           CAST(min(epoch_us(ts)) AS BIGINT) AS start_us,
+           CAST(max(epoch_us(ts)) AS BIGINT) AS end_us,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_purchases,
+           CAST(sum(coalesce(CAST(round(value * 100, 0) AS BIGINT), 0))
+             AS BIGINT) AS total_c
+         FROM sessev WHERE user_id < 20
+         GROUP BY user_id, session_seq
+         ORDER BY user_id, start_us"""),
     // q272: directional association rules on the capped pair grid —
     // confidence and lift in ppm, top-25 (GraphOps.assocRulesOnPairs)
     "q272_assoc_rules" ->

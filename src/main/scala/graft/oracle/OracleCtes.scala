@@ -103,12 +103,12 @@ private[graft] object OracleCtes {
     */
   val sessionsCte: String =
     """sessev AS (
-         SELECT user_id, ts, event_type,
+         SELECT user_id, ts, event_type, value,
            sum(CASE WHEN prev_ts IS NULL
                      OR epoch_us(ts) - epoch_us(prev_ts) > 1800000000 THEN 1 ELSE 0 END)
              OVER (PARTITION BY user_id ORDER BY ts
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
-         FROM (SELECT user_id, ts, event_type,
+         FROM (SELECT user_id, ts, event_type, value,
                  lag(ts, 1) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts
                FROM events)),
        sess AS (SELECT user_id, session_seq,
