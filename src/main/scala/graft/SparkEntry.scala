@@ -377,6 +377,12 @@ object SparkEntry {
         .filter(col("user_id") < 20)
         .orderBy(col("user_id"), col("start_us"))
     }),
+    "q282_hash_sample"    -> ((s, d) =>
+      PipelineOps.stratifiedHashSample(s, d)),
+    "q283_conversion_hazard" -> ((s, d) =>
+      EventOps.conversionHazard(s, d)),
+    "q284_lorenz_deciles" -> ((s, d) =>
+      CoreQueries.q284LorenzDeciles(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

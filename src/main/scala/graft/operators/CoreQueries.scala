@@ -2040,6 +2040,41 @@ object CoreQueries {
       .orderBy(col("p_brand"), col("abc_class"))
   }
 
+  /** Customer-spend Lorenz deciles (q284): customers ranked by
+    * lifetime spend into exact-rank deciles (`((r−1)·10) div n`, the
+    * integer-grid decile that never splits ties across engines when
+    * the (spend, custkey) order is total), each decile reporting its
+    * spend share in basis points — the Lorenz curve behind q146's
+    * single-number Gini, and the whale-dependence report revenue
+    * teams act on. Shares are cross-multiplied on decimal(38,0)/
+    * HUGEINT and floor to bp (Σ ≤ 10000 by construction).
+    *
+    * Scale shape: one orders pass to customer grain; the rank is ONE
+    * global window over customer-cardinality rows — at 100 TB this
+    * would move to the two-phase bucket offset pattern (q130), noted
+    * here because customers are 1e9 at most, two orders below the
+    * row counts that forced q130's rewrite.
+    */
+  def q284LorenzDeciles(spark: SparkSession, dir: String): DataFrame = {
+    val cs = Tables.orders(spark, dir)
+      .groupBy(col("o_custkey"))
+      .agg(sum(round(col("o_totalprice") * 100, 0).cast("long"))
+        .as("spend_c"))
+    val n = cs.agg(count(lit(1)).as("n"),
+      sum(col("spend_c").cast("decimal(38,0)")).as("tot"))
+    cs.withColumn("r", row_number().over(
+        Window.orderBy(col("spend_c"), col("o_custkey"))))
+      .crossJoin(broadcast(n))
+      .withColumn("decile",
+        least(expr("((r - 1) * 10) div n"), lit(9L)).cast("int"))
+      .groupBy(col("decile"))
+      .agg(count(lit(1)).as("n_customers"),
+        sum(col("spend_c")).as("spend_c"),
+        expr("cast((sum(cast(spend_c as decimal(38,0))) * 10000)" +
+          " div max(tot) as long)").as("share_bp"))
+      .orderBy(col("decile"))
+  }
+
   /** Correlated-subquery decorrelation shape (q273): customers' orders
     * priced above their own customer-level average — the canonical
     * `WHERE price > (SELECT avg(...) ... WHERE same customer)`

@@ -1407,6 +1407,48 @@ object EventOps {
       .orderBy(col("event_type"))
   }
 
+  /** Time-to-first-purchase hazard table (q283): the discrete
+    * survival-analysis panel — per day-since-first-activity, how many
+    * users were still unconverted (`at_risk`), how many converted that
+    * day, how many ran out of observation window (censored at the
+    * dataset's last day, 2024-01-30 in this feed) — with the discrete
+    * hazard `converts·1e6 div at_risk` on the ppm grid. The panel is
+    * the exact-integer core of Kaplan–Meier; the survival-product
+    * chain (a float telescope) is deliberately left to the consumer,
+    * so the gate stays integer-exact (the q207 discount-table
+    * philosophy applied to survival).
+    *
+    * Scale shape: two user-grain aggregates meet in one user_id join;
+    * the day panel is calendar-bounded, and `at_risk` is a REVERSE
+    * cumulative sum over it — no per-user correlated scan.
+    */
+  def conversionHazard(spark: SparkSession, dir: String): DataFrame =
+    conversionHazardOn(Tables.events(spark, dir))
+
+  private[graft] def conversionHazardOn(ev: DataFrame): DataFrame = {
+    val firstEv = ev.groupBy(col("user_id"))
+      .agg(to_date(min(col("ts"))).as("d0"))
+    val firstP = ev.filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"))
+      .agg(to_date(min(col("ts"))).as("dp"))
+    val u = firstEv.join(firstP, Seq("user_id"), "left")
+      .select(datediff(coalesce(col("dp"),
+          lit("2024-01-30").cast("date")), col("d0")).as("t_day"),
+        col("dp").isNotNull.cast("int").as("converted"))
+    val byDay = u.groupBy(col("t_day"))
+      .agg(count(lit(1)).as("n_at_day"),
+        sum(col("converted").cast("long")).as("n_convert"),
+        sum((col("converted") === 0).cast("long")).as("n_censored"))
+    byDay
+      .withColumn("at_risk", sum(col("n_at_day")).over(
+        Window.orderBy(col("t_day").desc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select(col("t_day").cast("int").as("t_day"), col("at_risk"),
+        col("n_convert"), col("n_censored"),
+        expr("n_convert * 1000000 div at_risk").as("hazard_ppm"))
+      .orderBy(col("t_day"))
+  }
+
   /** Seasonality-adjusted anomaly ranking (q274): the top-10 days
     * whose volume deviates most from their own day-of-week mean —
     * the q112 daily-anomaly idea with the weekly cycle removed first

@@ -686,7 +686,13 @@ object PipelineOps {
     apportionBudgetOn(Tables.documents(spark, dir), slots)
 
   private[graft] def apportionBudgetOn(docs: DataFrame,
-      slots: Long): DataFrame = {
+      slots: Long): DataFrame =
+    allocOf(docs, slots).orderBy(col("source"))
+
+  /** The Hamilton allocation `(source, n_docs, quota, extra, alloc)` —
+    * shared by the q276 report and the q282 sampler that EXECUTES it.
+    */
+  private def allocOf(docs: DataFrame, slots: Long): DataFrame = {
     val s = docs.groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"))
     val t = s.agg(sum(col("n_docs").cast("decimal(38,0)")).as("tot"))
@@ -705,6 +711,41 @@ object PipelineOps {
         (col("rk") <= col("leftover")).cast("int").as("extra"),
         (col("quota") + (col("rk") <= col("leftover")).cast("long"))
           .as("alloc"))
+  }
+
+  /** Stratified hash-systematic sampler (q282): EXECUTE the q276
+    * Hamilton plan — per source, take the `alloc` documents with the
+    * lowest `md5(doc_id)` (a deterministic, uniform-in-expectation,
+    * engine-agnostic total order; the q37/q83 md5 contract), so the
+    * drawn sample hits every stratum quota EXACTLY and the same
+    * documents are drawn on any engine, any partitioning, any run.
+    * The report carries per-stratum checksums (min/max/sum of drawn
+    * ids) so the gate pins the sample MEMBERSHIP, not just its size.
+    *
+    * Scale shape: the rank is a per-source window ordered by a hash —
+    * at 100 TB this is the one corpus shuffle (by source), and the
+    * per-stratum rank never needs a global sort; the alloc frame is
+    * source-cardinality and broadcast into the filter join.
+    */
+  def stratifiedHashSample(spark: SparkSession, dir: String,
+      slots: Long = 100L): DataFrame =
+    stratifiedHashSampleOn(Tables.documents(spark, dir), slots)
+
+  private[graft] def stratifiedHashSampleOn(docs: DataFrame,
+      slots: Long): DataFrame = {
+    val alloc = allocOf(docs, slots)
+      .select(col("source"), col("alloc"))
+    val ranked = docs
+      .withColumn("srk", row_number().over(Window
+        .partitionBy(col("source"))
+        .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))))
+    ranked.join(broadcast(alloc), Seq("source"))
+      .filter(col("srk") <= col("alloc"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_sampled"),
+        min(col("doc_id")).as("min_doc"),
+        max(col("doc_id")).as("max_doc"),
+        sum(col("doc_id")).as("sum_doc"))
       .orderBy(col("source"))
   }
 }

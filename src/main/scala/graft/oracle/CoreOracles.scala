@@ -1131,6 +1131,28 @@ private[graft] object CoreOracles {
            CAST(CASE WHEN sum(CASE WHEN n_b > 1 THEN 1 ELSE 0 END) = 0
              THEN 1 ELSE 0 END AS INT) AS holds
          FROM per_a GROUP BY fd ORDER BY fd""",
+    // q284: customer-spend Lorenz deciles — exact-rank deciles over
+    // the (spend, custkey) total order, shares floored to bp on
+    // HUGEINT (CoreQueries.q284LorenzDeciles)
+    "q284_lorenz_deciles" ->
+      """WITH cs AS (SELECT o_custkey,
+             CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+               AS BIGINT) AS spend_c
+           FROM orders GROUP BY 1),
+         rk AS (SELECT spend_c,
+             row_number() OVER (ORDER BY spend_c, o_custkey) AS r,
+             (SELECT CAST(count(*) AS BIGINT) FROM cs) AS n,
+             (SELECT CAST(sum(CAST(spend_c AS HUGEINT)) AS HUGEINT)
+               FROM cs) AS tot
+           FROM cs),
+         d AS (SELECT least(((r - 1) * 10) // n, 9) AS decile,
+             spend_c, tot FROM rk)
+         SELECT CAST(decile AS INT) AS decile,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           CAST(sum(spend_c) AS BIGINT) AS spend_c,
+           CAST(CAST(sum(CAST(spend_c AS HUGEINT)) * 10000 AS HUGEINT)
+             // max(tot) AS BIGINT) AS share_bp
+         FROM d GROUP BY 1 ORDER BY 1""",
     // q275: GROUPING SETS four-cut revenue panel with per-column
     // grouping flags (CoreQueries.q275GroupingSets)
     "q275_grouping_sets" ->

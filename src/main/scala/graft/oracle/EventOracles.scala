@@ -1010,6 +1010,37 @@ private[graft] object EventOracles {
          FROM sessev WHERE user_id < 20
          GROUP BY user_id, session_seq
          ORDER BY user_id, start_us"""),
+    // q283: time-to-first-purchase hazard table — at-risk / converted /
+    // censored per day-since-first-activity, hazard on the ppm grid
+    // (EventOps.conversionHazardOn; censor day = dataset last day)
+    "q283_conversion_hazard" ->
+      """WITH first_ev AS (
+           SELECT user_id, CAST(min(date_trunc('day', ts)) AS DATE) AS d0
+           FROM events GROUP BY 1),
+         first_p AS (
+           SELECT user_id, CAST(min(date_trunc('day', ts)) AS DATE) AS dp
+           FROM events WHERE event_type = 'purchase' GROUP BY 1),
+         u AS (
+           SELECT datediff('day', f.d0,
+               coalesce(p.dp, DATE '2024-01-30')) AS t_day,
+             CASE WHEN p.dp IS NOT NULL THEN 1 ELSE 0 END AS converted
+           FROM first_ev f LEFT JOIN first_p p
+             ON f.user_id = p.user_id),
+         byday AS (
+           SELECT t_day, CAST(count(*) AS BIGINT) AS n_at_day,
+             CAST(sum(converted) AS BIGINT) AS n_convert,
+             CAST(sum(1 - converted) AS BIGINT) AS n_censored
+           FROM u GROUP BY 1)
+         SELECT CAST(t_day AS INT) AS t_day,
+           CAST(sum(n_at_day) OVER (ORDER BY t_day DESC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS BIGINT) AS at_risk,
+           n_convert, n_censored,
+           CAST(n_convert * 1000000 // sum(n_at_day) OVER (
+             ORDER BY t_day DESC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS BIGINT) AS hazard_ppm
+         FROM byday ORDER BY t_day""",
     // q272: directional association rules on the capped pair grid —
     // confidence and lift in ppm, top-25 (GraphOps.assocRulesOnPairs)
     "q272_assoc_rules" ->

@@ -32,6 +32,39 @@ private[graft] object PipelineOracles {
            CAST(r.quota + CASE WHEN r.rk <= l.leftover THEN 1 ELSE 0 END
              AS BIGINT) AS alloc
          FROM r, l ORDER BY source""",
+    // q282: stratified hash-systematic sample EXECUTING the q276
+    // Hamilton plan — per source the alloc lowest-md5(doc_id) docs;
+    // membership pinned via id checksums
+    // (PipelineOps.stratifiedHashSampleOn)
+    "q282_hash_sample" ->
+      """WITH s AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+           FROM documents GROUP BY 1),
+         t AS (SELECT CAST(sum(n_docs) AS HUGEINT) AS tot FROM s),
+         q AS (SELECT source, n_docs,
+             CAST(CAST(n_docs AS HUGEINT) * 100 // tot AS BIGINT)
+               AS quota,
+             CAST(CAST(n_docs AS HUGEINT) * 100 % tot AS BIGINT) AS rem
+           FROM s, t),
+         l AS (SELECT CAST(100 - sum(quota) AS BIGINT) AS leftover
+           FROM q),
+         r AS (SELECT source, quota,
+             row_number() OVER (ORDER BY rem DESC, source) AS rk FROM q),
+         alloc AS (SELECT r.source,
+             CAST(r.quota + CASE WHEN r.rk <= l.leftover
+               THEN 1 ELSE 0 END AS BIGINT) AS alloc
+           FROM r, l),
+         ranked AS (SELECT source, doc_id,
+             row_number() OVER (PARTITION BY source
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS srk
+           FROM documents),
+         sampled AS (SELECT ranked.source, ranked.doc_id
+           FROM ranked JOIN alloc ON ranked.source = alloc.source
+           WHERE ranked.srk <= alloc.alloc)
+         SELECT source, CAST(count(*) AS BIGINT) AS n_sampled,
+           CAST(min(doc_id) AS BIGINT) AS min_doc,
+           CAST(max(doc_id) AS BIGINT) AS max_doc,
+           CAST(sum(doc_id) AS BIGINT) AS sum_doc
+         FROM sampled GROUP BY 1 ORDER BY 1""",
     "q40_media_features" ->
       """SELECT doc_id,
            CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,

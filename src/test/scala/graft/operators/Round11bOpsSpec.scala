@@ -361,6 +361,68 @@ class Round11bOpsSpec extends SparkSpecBase {
     assert(out(1) === ((1L, 1L, -1.0)))
   }
 
+  // ---- q282 stratified hash sample --------------------------------
+
+  test("q282: the drawn sample hits every Hamilton quota exactly") {
+    val out = PipelineOps.stratifiedHashSample(spark, sf0001).collect()
+    val alloc = PipelineOps.apportionBudget(spark, sf0001, 100L)
+      .collect().map(r => r.getString(0) -> r.getLong(4)).toMap
+    assert(out.map(_.getLong(1)).sum === 100L)
+    out.foreach { r =>
+      assert(r.getLong(1) === alloc(r.getString(0)),
+        s"${r.getString(0)} quota missed")
+    }
+  }
+
+  test("q282: membership is the md5 order, not the id order") {
+    // 4 docs in one source, budget 2: the two LOWEST md5(doc_id)
+    // win, whatever their numeric ids are
+    val docs = (1L to 4L).map(i => (i, "s")).toDF("doc_id", "source")
+    val expect = (1L to 4L)
+      .sortBy(i => org.apache.commons.codec.digest.DigestUtils
+        .md5Hex(i.toString))
+      .take(2)
+    val out = PipelineOps.stratifiedHashSampleOn(docs, 2L).collect()(0)
+    assert(out.getLong(1) === 2L)
+    assert(out.getLong(4) === expect.sum) // sum_doc pins membership
+  }
+
+  // ---- q283 conversion hazard -------------------------------------
+
+  test("q283: at-risk counts telescope and censored users never convert") {
+    // u1 converts day 0, u2 day 2, u3 never (censored at the window
+    // edge, day 29 from Jan 1)
+    val ev = eventsOf(Seq(
+      (1L, "2024-01-01 08:00:00", 1L, "view", 0.0),
+      (2L, "2024-01-01 09:00:00", 1L, "purchase", 5.0),
+      (3L, "2024-01-01 08:00:00", 2L, "view", 0.0),
+      (4L, "2024-01-03 09:00:00", 2L, "purchase", 5.0),
+      (5L, "2024-01-01 08:00:00", 3L, "view", 0.0)))
+    val out = EventOps.conversionHazardOn(ev)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(out.toSeq === Seq(
+      (0, 3L, 1L, 0L, 333333L),
+      (2, 2L, 1L, 0L, 500000L),
+      (29, 1L, 0L, 1L, 0L)))
+  }
+
+  // ---- q284 Lorenz deciles ----------------------------------------
+
+  test("q284: deciles partition customers and shares telescope to ≤10000 bp") {
+    val out = CoreQueries.q284LorenzDeciles(spark, sf0001).collect()
+    val nCust = graft.Tables.orders(spark, sf0001)
+      .select(col("o_custkey")).distinct().count()
+    assert(out.map(_.getLong(1)).sum === nCust)
+    val shares = out.map(_.getLong(3))
+    assert(shares.sum <= 10000L && shares.sum > 9900L)
+    // Lorenz monotonicity: mean spend per customer is nondecreasing
+    // across deciles (cross-multiplied — decile sizes can differ ±1)
+    val ds = out.map(r => (r.getLong(2), r.getLong(1)))
+    assert(ds.zip(ds.tail).forall { case ((s1, n1), (s2, n2)) =>
+      BigInt(s1) * n2 <= BigInt(s2) * n1 })
+  }
+
   // ---- q270 FD audit ----------------------------------------------
 
   test("q270: violation counts equal the closed-form fixture") {
