@@ -274,7 +274,24 @@ object ScalingBench {
       Probe("q245_scd2_bands", "events",
         SparkEntry.queries("q245_scd2_bands")),
       Probe("q248_pit_band_mix", "events",
-        SparkEntry.queries("q248_pit_band_mix")))
+        SparkEntry.queries("q248_pit_band_mix")),
+      // round-11b additions. q265 CF recs: the cached capped pair grid
+      // + item-cardinality marginal joins + per-item bounded top-3 —
+      // should track the pair expansion (the q113/q219 class); a
+      // superlinear bend would mean the marginal join went corpus-scale
+      Probe("q265_item_recs", "events",
+        SparkEntry.queries("q265_item_recs")),
+      // q286 stationary chain: ONE corpus window builds transitions,
+      // then 8 rounds on state-cardinality frames — the probe pins the
+      // iteration cost staying flat while the corpus grows
+      Probe("q286_markov_stationary", "events",
+        SparkEntry.queries("q286_markov_stationary")),
+      // q279 PRF: the cached postings build is the corpus stage; the
+      // feedback mining joins broadcast (queries × fbDocs) rows against
+      // it — the probe pins expansion mining tracking the index build,
+      // never re-scanning per query
+      Probe("q279_prf_expansion", "documents",
+        SparkEntry.queries("q279_prf_expansion")))
 
   /** Build k-times-scaled corpora from sf0.1 (documents AND embeddings).
     * Document copy c suffixes every token with a copy marker, so each

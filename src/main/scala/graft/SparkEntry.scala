@@ -383,6 +383,12 @@ object SparkEntry {
       EventOps.conversionHazard(s, d)),
     "q284_lorenz_deciles" -> ((s, d) =>
       CoreQueries.q284LorenzDeciles(s, d)),
+    "q285_top_supplier"   -> ((s, d) =>
+      CoreQueries.q285TopSupplier(s, d)),
+    "q286_markov_stationary" -> ((s, d) =>
+      EventOps.markovStationary(s, d)),
+    "q287_wilson_interval" -> ((s, d) =>
+      EventOps.wilsonIntervals(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

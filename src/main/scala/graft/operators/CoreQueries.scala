@@ -2075,6 +2075,36 @@ object CoreQueries {
       .orderBy(col("decile"))
   }
 
+  /** Argmax-by-struct top supplier per nation (q285): the
+    * map-side-combinable argmax — `max(struct(rev, suppkey))` folds the
+    * winner inside partial aggregation, so the per-nation champion
+    * costs ONE agg with combiners and never materializes a rank
+    * window (the window formulation shuffles every supplier row to
+    * rank it; this moves one struct per nation per partition). The
+    * struct's field order makes the comparison total (revenue, then
+    * suppkey), so ties are deterministic on both engines. Revenue on
+    * the exact cent·pct grid ([[revenueCentPct]]).
+    */
+  def q285TopSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val sr = Tables.lineitem(spark, dir)
+      .join(Tables.supplier(spark, dir)
+        .select(col("s_suppkey"), col("s_nationkey")),
+        col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("s_nationkey").as("nationkey"),
+        col("l_suppkey").as("suppkey"))
+      .agg(sum(revenueCentPct).as("rev_cp"))
+    sr.groupBy(col("nationkey"))
+      .agg(max(struct(col("rev_cp"), col("suppkey"))).as("top"),
+        count(lit(1)).as("n_suppliers"))
+      .join(broadcast(Tables.nation(spark, dir)
+        .select(col("n_nationkey"), col("n_name"))),
+        col("nationkey") === col("n_nationkey"))
+      .select(col("n_name").as("nation"),
+        col("top.suppkey").as("top_suppkey"),
+        col("top.rev_cp").as("top_rev_cp"), col("n_suppliers"))
+      .orderBy(col("nation"))
+  }
+
   /** Correlated-subquery decorrelation shape (q273): customers' orders
     * priced above their own customer-level average — the canonical
     * `WHERE price > (SELECT avg(...) ... WHERE same customer)`

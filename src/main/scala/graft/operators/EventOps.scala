@@ -1449,6 +1449,90 @@ object EventOps {
       .orderBy(col("t_day"))
   }
 
+  /** Markov stationary distribution of the event-type chain (q286):
+    * where a user's event stream settles in steady state — `iters`
+    * exact power iterations of the per-user transition matrix (q126's
+    * relation) on the integer ppm grid, the q113 fixed-point playbook
+    * applied to a behavior model: each step is one join + one
+    * aggregate over (states × states) rows, per-term floor division
+    * (`m·c div tot` on decimal(38,0)/HUGEINT — PARITY rule 13), a
+    * fixed iteration count, localCheckpoint per round, no driver
+    * convergence loop. Floors shed ≤1 ppm per matrix cell per round
+    * (deterministic, documented) for a cell-exact gate; the oracle
+    * replays the identical rounds as MATERIALIZED CTEs (the q173
+    * rule).
+    *
+    * Scale shape: ONE corpus-scale window builds the transition
+    * counts; every iteration after that runs on state-cardinality
+    * frames (5 rows here; bounded by the event-type vocabulary).
+    */
+  def markovStationary(spark: SparkSession, dir: String,
+      iters: Int = 8): DataFrame =
+    markovStationaryOn(Tables.events(spark, dir), iters)
+
+  private[graft] def markovStationaryOn(ev: DataFrame,
+      iters: Int): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val tr = ev
+      .select(col("event_type"), lag(col("event_type"), 1).over(w)
+        .as("prev_t"))
+      .filter(col("prev_t").isNotNull)
+      .groupBy(col("prev_t").as("i"), col("event_type").as("j"))
+      .agg(count(lit(1)).as("c"))
+    val rt = tr.groupBy(col("i")).agg(sum(col("c")).as("tot"))
+    val trd = tr.join(rt, Seq("i")).persist()
+    var v = ev.select(col("event_type").as("t")).distinct()
+      .withColumn("m", lit(200000L))
+      .localCheckpoint(eager = true)
+    (1 to iters).foreach { _ =>
+      v = v.join(trd, col("t") === col("i"))
+        .groupBy(col("j"))
+        .agg(sum(expr("CAST(m AS decimal(38,0)) * c div tot")).as("m"))
+        .select(col("j").as("t"), col("m"))
+        .localCheckpoint(eager = true)
+    }
+    trd.unpersist()
+    v.select(col("t").as("event_type"), col("m").as("stationary_ppm"))
+      .orderBy(col("event_type"))
+  }
+
+  /** Wilson 95% confidence intervals per experiment arm (q287): the
+    * interval the q257 z-readout should be quoted with — Wilson's
+    * score bounds behave at small n and extreme rates where the
+    * normal interval fails. Counts are exact integers; the two bounds
+    * are the ONLY floats, computed through the IDENTICAL literal
+    * expression tree on both engines (the q257 one-float rule:
+    * z = 1.96 appears only as the literal, never pre-folded) and
+    * rounded 6dp at the boundary.
+    */
+  def wilsonIntervals(spark: SparkSession, dir: String,
+      thresholdC: Long = 10000L): DataFrame =
+    wilsonIntervalsOn(Tables.events(spark, dir), thresholdC)
+
+  private[graft] def wilsonIntervalsOn(ev: DataFrame,
+      thresholdC: Long): DataFrame = {
+    val u = ev.groupBy(col("user_id"))
+      .agg(max(when(col("event_type") === "purchase" &&
+        round(col("value") * 100, 0).cast("long") >= thresholdC, 1L)
+        .otherwise(0L)).as("converted"))
+      .select(pmod(col("user_id"), lit(2L)).cast("int").as("arm"),
+        col("converted"))
+    val a = u.groupBy(col("arm"))
+      .agg(count(lit(1)).as("n_users"),
+        sum(col("converted")).as("n_converted"))
+    val nD = col("n_users").cast("double")
+    val p = col("n_converted").cast("double") / nD
+    val center = p + lit(1.96) * lit(1.96) / (lit(2.0) * nD)
+    val rad = sqrt(p * (lit(1.0) - p) / nD +
+      lit(1.96) * lit(1.96) / (lit(4.0) * nD * nD))
+    val denom = lit(1.0) + lit(1.96) * lit(1.96) / nD
+    a.select(col("arm"), col("n_users"), col("n_converted"),
+        round((center - lit(1.96) * rad) / denom, 6).as("wilson_lo"),
+        round((center + lit(1.96) * rad) / denom, 6).as("wilson_hi"))
+      .orderBy(col("arm"))
+  }
+
   /** Seasonality-adjusted anomaly ranking (q274): the top-10 days
     * whose volume deviates most from their own day-of-week mean —
     * the q112 daily-anomaly idea with the weekly cycle removed first

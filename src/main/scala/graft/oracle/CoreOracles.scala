@@ -1131,6 +1131,27 @@ private[graft] object CoreOracles {
            CAST(CASE WHEN sum(CASE WHEN n_b > 1 THEN 1 ELSE 0 END) = 0
              THEN 1 ELSE 0 END AS INT) AS holds
          FROM per_a GROUP BY fd ORDER BY fd""",
+    // q285: argmax-by-struct top supplier per nation — max over the
+    // (rev, suppkey) total order, cent·pct revenue grid
+    // (CoreQueries.q285TopSupplier)
+    "q285_top_supplier" ->
+      """WITH sr AS (
+           SELECT s.s_nationkey AS nationkey, l.l_suppkey AS suppkey,
+             CAST(sum(CAST(round(l.l_extendedprice * 100, 0) AS BIGINT)
+               * (100 - CAST(round(l.l_discount * 100, 0) AS BIGINT)))
+               AS BIGINT) AS rev_cp
+           FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+           GROUP BY 1, 2),
+         am AS (
+           SELECT nationkey,
+             max({'rev_cp': rev_cp, 'suppkey': suppkey}) AS top,
+             CAST(count(*) AS BIGINT) AS n_suppliers
+           FROM sr GROUP BY 1)
+         SELECT n.n_name AS nation,
+           CAST(am.top.suppkey AS BIGINT) AS top_suppkey,
+           CAST(am.top.rev_cp AS BIGINT) AS top_rev_cp, am.n_suppliers
+         FROM am JOIN nation n ON am.nationkey = n.n_nationkey
+         ORDER BY 1""",
     // q284: customer-spend Lorenz deciles — exact-rank deciles over
     // the (spend, custkey) total order, shares floored to bp on
     // HUGEINT (CoreQueries.q284LorenzDeciles)

@@ -7,6 +7,40 @@ import OracleCtes._
   * SparkEntry registry (round-9 reviewability split).
   */
 private[graft] object EventOracles {
+
+  /** The q286 power iteration as `iters` generated MATERIALIZED CTE
+    * rounds (the q173 rule — rounds cannot be hand-mistyped), each
+    * applying the identical per-term floor `(m·c) // tot` on HUGEINT
+    * that the Spark side takes on decimal(38,0).
+    */
+  private def markovStationarySql(iters: Int): String = {
+    val head = """WITH tr AS MATERIALIZED (
+           SELECT prev_t AS i, event_type AS j,
+             CAST(count(*) AS BIGINT) AS c
+           FROM (SELECT event_type,
+                   lag(event_type) OVER (PARTITION BY user_id
+                     ORDER BY ts, event_id) AS prev_t
+                 FROM events)
+           WHERE prev_t IS NOT NULL GROUP BY 1, 2),
+         rt AS MATERIALIZED (SELECT i, CAST(sum(c) AS BIGINT) AS tot
+           FROM tr GROUP BY 1),
+         v0 AS (SELECT DISTINCT event_type AS t,
+           CAST(200000 AS BIGINT) AS m FROM events)"""
+    val rounds = (1 to iters).map { r =>
+      s""",
+         v$r AS MATERIALIZED (
+           SELECT tr.j AS t,
+             CAST(sum((CAST(v${r - 1}.m AS HUGEINT) * tr.c) // rt.tot)
+               AS BIGINT) AS m
+           FROM v${r - 1} JOIN tr ON v${r - 1}.t = tr.i
+             JOIN rt ON tr.i = rt.i
+           GROUP BY 1)"""
+    }.mkString
+    head + rounds + s"""
+         SELECT t AS event_type, m AS stationary_ppm FROM v$iters
+         ORDER BY t"""
+  }
+
   val sql: Map[String, String] = Map(
     // q103: ordered conversion funnel — stage n = earliest stage-n event
     // strictly after the user's stage-(n-1) time; integer counts, one
@@ -1010,6 +1044,46 @@ private[graft] object EventOracles {
          FROM sessev WHERE user_id < 20
          GROUP BY user_id, session_seq
          ORDER BY user_id, start_us"""),
+    // q286: Markov stationary distribution — 8 generated power-
+    // iteration rounds (the q173 MATERIALIZED-rounds rule), per-term
+    // floor division on HUGEINT (EventOps.markovStationaryOn)
+    "q286_markov_stationary" -> markovStationarySql(8),
+    // q287: Wilson 95% bounds per A/B arm — exact counts, the two
+    // bounds are the only floats, identical literal tree both engines
+    // (EventOps.wilsonIntervalsOn)
+    "q287_wilson_interval" ->
+      """WITH u AS (SELECT user_id, user_id % 2 AS arm,
+             max(CASE WHEN event_type = 'purchase'
+                   AND CAST(round(value * 100, 0) AS BIGINT) >= 10000
+                 THEN 1 ELSE 0 END) AS converted
+           FROM events GROUP BY 1),
+         a AS (SELECT arm, CAST(count(*) AS BIGINT) AS n_users,
+             CAST(sum(converted) AS BIGINT) AS n_converted
+           FROM u GROUP BY 1)
+         SELECT CAST(arm AS INT) AS arm, n_users, n_converted,
+           round(((CAST(n_converted AS DOUBLE) / CAST(n_users AS DOUBLE))
+              + 1.96 * 1.96 / (2.0 * CAST(n_users AS DOUBLE))
+              - 1.96 * sqrt((CAST(n_converted AS DOUBLE)
+                   / CAST(n_users AS DOUBLE))
+                 * (1.0 - CAST(n_converted AS DOUBLE)
+                   / CAST(n_users AS DOUBLE))
+                 / CAST(n_users AS DOUBLE)
+                 + 1.96 * 1.96 / (4.0 * CAST(n_users AS DOUBLE)
+                   * CAST(n_users AS DOUBLE))))
+            / (1.0 + 1.96 * 1.96 / CAST(n_users AS DOUBLE)), 6)
+             AS wilson_lo,
+           round(((CAST(n_converted AS DOUBLE) / CAST(n_users AS DOUBLE))
+              + 1.96 * 1.96 / (2.0 * CAST(n_users AS DOUBLE))
+              + 1.96 * sqrt((CAST(n_converted AS DOUBLE)
+                   / CAST(n_users AS DOUBLE))
+                 * (1.0 - CAST(n_converted AS DOUBLE)
+                   / CAST(n_users AS DOUBLE))
+                 / CAST(n_users AS DOUBLE)
+                 + 1.96 * 1.96 / (4.0 * CAST(n_users AS DOUBLE)
+                   * CAST(n_users AS DOUBLE))))
+            / (1.0 + 1.96 * 1.96 / CAST(n_users AS DOUBLE)), 6)
+             AS wilson_hi
+         FROM a ORDER BY arm""",
     // q283: time-to-first-purchase hazard table — at-risk / converted /
     // censored per day-since-first-activity, hazard on the ppm grid
     // (EventOps.conversionHazardOn; censor day = dataset last day)

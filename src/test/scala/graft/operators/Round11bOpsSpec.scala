@@ -423,6 +423,71 @@ class Round11bOpsSpec extends SparkSpecBase {
       BigInt(s1) * n2 <= BigInt(s2) * n1 })
   }
 
+  // ---- q285 argmax top supplier -----------------------------------
+
+  test("q285: the struct argmax equals the window-rank champion everywhere") {
+    val out = CoreQueries.q285TopSupplier(spark, sf0001)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    // independent formulation: window rank over the same revenue grid
+    val li = graft.Tables.lineitem(spark, sf0001)
+    val sup = graft.Tables.supplier(spark, sf0001)
+    val sr = li.join(sup, col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("s_nationkey"), col("l_suppkey"))
+      .agg(sum(round(col("l_extendedprice") * 100, 0).cast("long") *
+        (lit(100L) - round(col("l_discount") * 100, 0).cast("long")))
+        .as("rev_cp"))
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("s_nationkey"))
+          .orderBy(col("rev_cp").desc, col("l_suppkey").desc)))
+      .filter(col("rk") === 1)
+    val nations = graft.Tables.nation(spark, sf0001)
+      .select(col("n_nationkey"), col("n_name"))
+    val expect = sr.join(nations,
+        col("s_nationkey") === col("n_nationkey"))
+      .collect().map(r => (r.getString(5),
+        (r.getLong(1), r.getLong(2)))).toMap
+    assert(out === expect)
+  }
+
+  // ---- q286 Markov stationary -------------------------------------
+
+  test("q286: a deterministic 2-state cycle settles at its exact split") {
+    // chain a→b→a→b…: transition matrix is a swap, so each iteration
+    // swaps the masses; 8 (even) iterations return the start vector
+    val rows = (0 until 10).map { i =>
+      ((i + 1).toLong, f"2024-01-01 10:${i}%02d:00", 1L,
+        if (i % 2 == 0) "a" else "b", 0.0)
+    }
+    val out = EventOps.markovStationaryOn(eventsOf(rows), 8)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out === Map("a" -> 200000L, "b" -> 200000L))
+    // odd iterations also preserve the uniform split on a pure swap
+    val odd = EventOps.markovStationaryOn(eventsOf(rows), 7)
+      .collect().map(r => r.getLong(1)).sum
+    assert(odd === 400000L)
+  }
+
+  test("q286: mass never grows (per-term floors only shed)") {
+    val out = EventOps.markovStationary(spark, sf0001).collect()
+    val total = out.map(_.getLong(1)).sum
+    assert(total <= 5L * 200000L && total > 5L * 199000L)
+  }
+
+  // ---- q287 Wilson intervals --------------------------------------
+
+  test("q287: bounds bracket the point rate and tighten with n") {
+    val out = EventOps.wilsonIntervals(spark, sf0001).collect()
+    assert(out.length === 2)
+    out.foreach { r =>
+      val (n, c) = (r.getLong(1), r.getLong(2))
+      val p = c.toDouble / n
+      assert(r.getDouble(3) <= p && p <= r.getDouble(4))
+      assert(r.getDouble(3) >= 0.0 && r.getDouble(4) <= 1.0)
+    }
+  }
+
   // ---- q270 FD audit ----------------------------------------------
 
   test("q270: violation counts equal the closed-form fixture") {
