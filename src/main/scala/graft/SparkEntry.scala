@@ -389,6 +389,11 @@ object SparkEntry {
       EventOps.markovStationary(s, d)),
     "q287_wilson_interval" -> ((s, d) =>
       EventOps.wilsonIntervals(s, d)),
+    "q288_langid_prf"     -> ((s, d) => TextAnalysisOps.langIdPrf(s, d)),
+    "q289_month_seasonality" -> ((s, d) =>
+      CoreQueries.q289MonthSeasonality(s, d)),
+    "q290_cohort_ltv"     -> ((s, d) => EventOps.cohortLtv(s, d)),
+    "q291_abc_xyz"        -> ((s, d) => CoreQueries.q291AbcXyz(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -2075,6 +2075,77 @@ object CoreQueries {
       .orderBy(col("decile"))
   }
 
+  /** Month-of-year seasonality profile (q289): order counts and
+    * revenue shares per calendar month over the seven-year orders
+    * history — the seasonal fingerprint behind inventory and staffing
+    * plans (and the input a seasonal-naive forecaster like q268 keys
+    * on). Shares floored to bp on HUGEINT; one scan, a 12-key rollup.
+    */
+  def q289MonthSeasonality(spark: SparkSession, dir: String): DataFrame = {
+    val m = Tables.orders(spark, dir)
+      .groupBy(month(to_date(col("o_orderdate"))).as("moy"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(round(col("o_totalprice") * 100, 0).cast("long")).as("rev_c"))
+    val t = m.agg(sum(col("n_orders").cast("decimal(38,0)")).as("tot_n"),
+      sum(col("rev_c").cast("decimal(38,0)")).as("tot_r"))
+    m.crossJoin(broadcast(t))
+      .select(col("moy"), col("n_orders"), col("rev_c"),
+        expr("(CAST(n_orders AS decimal(38,0)) * 10000) div tot_n")
+          .as("order_share_bp"),
+        expr("(CAST(rev_c AS decimal(38,0)) * 10000) div tot_r")
+          .as("rev_share_bp"))
+      .orderBy(col("moy"))
+  }
+
+  /** ABC × XYZ planning matrix (q291): every part classified on two
+    * axes — revenue importance (the q262 Pareto cut: A to 80%, B to
+    * 95%, C the tail, cross-multiplied integer boundaries over the
+    * (rev DESC, pk) total order) and demand variability (X/Y/Z by the
+    * squared coefficient of variation of monthly shipped quantity,
+    * decided as `(n·Σq² − (Σq)²)·4 ≤ (Σq)²` and `… ≤ (Σq)²` — exact
+    * integer moments on HUGEINT, never a float CV) — the classic
+    * inventory-policy grid (AX = automate, CZ = review manually).
+    *
+    * Scale shape: two lineitem passes collapse to part grain; the
+    * Pareto rank is one global window over part-cardinality rows
+    * (the q284 note: two orders below the counts that force the
+    * two-phase rewrite); the matrix is a 9-key rollup.
+    */
+  def q291AbcXyz(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val stats = li
+      .groupBy(col("l_partkey").as("pk"),
+        trunc(to_date(col("l_shipdate")), "month").as("mth"))
+      .agg(sum(col("l_quantity").cast("long")).as("q"))
+      .groupBy(col("pk"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("q").cast("decimal(38,0)")).as("s1"),
+        sum((col("q").cast("decimal(38,0)") * col("q"))).as("s2"))
+    val rev = li.groupBy(col("l_partkey").as("pk"))
+      .agg(sum(round(col("l_extendedprice") * 100, 0).cast("long"))
+        .as("rev_c"))
+    val tot = rev.agg(sum(col("rev_c").cast("decimal(38,0)")).as("tot_c"))
+    val abc = rev
+      .withColumn("cum_c", sum(col("rev_c").cast("decimal(38,0)"))
+        .over(Window.orderBy(col("rev_c").desc, col("pk"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .crossJoin(broadcast(tot))
+      .select(col("pk"),
+        when(col("cum_c") * 10 <= col("tot_c") * 8, "A")
+          .when(col("cum_c") * 100 <= col("tot_c") * 95, "B")
+          .otherwise("C").as("abc_class"))
+    val xyz = stats.select(col("pk"),
+      when((col("n") * col("s2") - col("s1") * col("s1")) * 4 <=
+        col("s1") * col("s1"), "X")
+        .when(col("n") * col("s2") - col("s1") * col("s1") <=
+          col("s1") * col("s1"), "Y")
+        .otherwise("Z").as("xyz_class"))
+    abc.join(xyz, Seq("pk"))
+      .groupBy(col("abc_class"), col("xyz_class"))
+      .agg(count(lit(1)).as("n_parts"))
+      .orderBy(col("abc_class"), col("xyz_class"))
+  }
+
   /** Argmax-by-struct top supplier per nation (q285): the
     * map-side-combinable argmax — `max(struct(rev, suppkey))` folds the
     * winner inside partial aggregation, so the per-nation champion

@@ -1497,6 +1497,50 @@ object EventOps {
       .orderBy(col("event_type"))
   }
 
+  /** Weekly-cohort cumulative LTV curve (q290): users bucketed by
+    * first-activity week, purchase revenue accumulated by
+    * weeks-since-cohort — the lifetime-value curve finance reads next
+    * to q104's retention matrix (retention says who stays, LTV says
+    * what staying is worth). Cents exact; the per-user LTV is one
+    * floor division at the boundary; week index = `days-from-epoch-
+    * anchor div 7` on both engines (the q152 arithmetic-calendar
+    * rule).
+    *
+    * Scale shape: user-grain first-touch aggregate joined back on
+    * user_id (the q103 partitioning), cohort×week cells are
+    * calendar-bounded, and the cumulative window runs per cohort on
+    * that bounded panel.
+    */
+  def cohortLtv(spark: SparkSession, dir: String): DataFrame =
+    cohortLtvOn(Tables.events(spark, dir))
+
+  private[graft] def cohortLtvOn(ev: DataFrame): DataFrame = {
+    val firstW = ev.groupBy(col("user_id"))
+      .agg(to_date(min(col("ts"))).as("d0"))
+      .select(col("user_id"),
+        expr("datediff(d0, DATE '2024-01-01') div 7").cast("int")
+          .as("cohort_w"))
+    val sz = firstW.groupBy(col("cohort_w"))
+      .agg(count(lit(1)).as("n_users"))
+    val cell = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), to_date(col("ts")).as("d"),
+        round(col("value") * 100, 0).cast("long").as("v_c"))
+      .join(firstW, Seq("user_id"))
+      .select(col("cohort_w"),
+        (expr("datediff(d, DATE '2024-01-01') div 7").cast("int") -
+          col("cohort_w")).as("w_since"), col("v_c"))
+      .groupBy(col("cohort_w"), col("w_since"))
+      .agg(sum(col("v_c")).as("rev_c"))
+    cell.join(broadcast(sz), Seq("cohort_w"))
+      .withColumn("cum_rev_c", sum(col("rev_c")).over(
+        Window.partitionBy(col("cohort_w")).orderBy(col("w_since"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select(col("cohort_w"), col("w_since"), col("n_users"),
+        col("cum_rev_c"),
+        expr("cum_rev_c div n_users").as("ltv_c_per_user"))
+      .orderBy(col("cohort_w"), col("w_since"))
+  }
+
   /** Wilson 95% confidence intervals per experiment arm (q287): the
     * interval the q257 z-readout should be quoted with — Wilson's
     * score bounds behave at small n and extreme rates where the

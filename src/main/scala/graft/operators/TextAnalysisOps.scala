@@ -1376,6 +1376,55 @@ object TextAnalysisOps {
       .orderBy(col("n_chars").desc, col("doc_id"))
   }
 
+  /** Per-class precision / recall / F1 of the lang-id predictor
+    * (q288): the metric panel q155's confusion matrix is usually read
+    * THROUGH — tp/fp/fn per class (classes = union of true and
+    * predicted labels, so a never-predicted class still reports its
+    * recall 0 and a spurious prediction class its precision 0), with
+    * precision `tp·1e6 div (tp+fp)`, recall `tp·1e6 div (tp+fn)`, and
+    * F1 as the ppm-exact harmonic `2·tp·1e6 div (2·tp+fp+fn)` — the
+    * algebraic form that never divides twice, so the whole panel is
+    * integer-exact (NULL where the denominator is empty).
+    *
+    * Scale shape: one corpus pass to the |classes|² confusion matrix;
+    * everything after runs on class-cardinality frames.
+    */
+  def langIdPrf(spark: SparkSession, dir: String): DataFrame =
+    langIdPrfOn(graft.Tables.documents(spark, dir))
+
+  private[graft] def langIdPrfOn(docs: DataFrame): DataFrame = {
+    val cm = docs
+      .select(col("lang"), langIdExpr(col("text")).as("lang_pred"))
+      .groupBy(col("lang"), col("lang_pred"))
+      .agg(count(lit(1)).as("n"))
+    val classes = cm.select(col("lang").as("label"))
+      .unionByName(cm.select(col("lang_pred").as("label"))).distinct()
+    val tp = cm.filter(col("lang") === col("lang_pred"))
+      .select(col("lang").as("label"), col("n").as("tp"))
+    val byPred = cm.groupBy(col("lang_pred").as("label"))
+      .agg(sum(col("n")).as("n_pred"))
+    val byTrue = cm.groupBy(col("lang").as("label"))
+      .agg(sum(col("n")).as("n_true"))
+    classes
+      .join(tp, Seq("label"), "left")
+      .join(byPred, Seq("label"), "left")
+      .join(byTrue, Seq("label"), "left")
+      .select(col("label"),
+        coalesce(col("tp"), lit(0L)).as("tp"),
+        (coalesce(col("n_pred"), lit(0L)) - coalesce(col("tp"), lit(0L)))
+          .as("fp"),
+        (coalesce(col("n_true"), lit(0L)) - coalesce(col("tp"), lit(0L)))
+          .as("fn"))
+      .select(col("label"), col("tp"), col("fp"), col("fn"),
+        when(col("tp") + col("fp") > 0,
+          expr("tp * 1000000 div (tp + fp)")).as("precision_ppm"),
+        when(col("tp") + col("fn") > 0,
+          expr("tp * 1000000 div (tp + fn)")).as("recall_ppm"),
+        when(lit(2L) * col("tp") + col("fp") + col("fn") > 0,
+          expr("2 * tp * 1000000 div (2 * tp + fp + fn)")).as("f1_ppm"))
+      .orderBy(col("label"))
+  }
+
   /** Keyword-in-context extraction (q277): every occurrence of `term`
     * with its ±`ctx`-token window rendered as a string — the KWIC
     * concordance view an annotation/debugging UI shows around a match,

@@ -1131,6 +1131,59 @@ private[graft] object CoreOracles {
            CAST(CASE WHEN sum(CASE WHEN n_b > 1 THEN 1 ELSE 0 END) = 0
              THEN 1 ELSE 0 END AS INT) AS holds
          FROM per_a GROUP BY fd ORDER BY fd""",
+    // q289: month-of-year seasonality over the 7-year orders history
+    // — shares floored to bp on HUGEINT (CoreQueries.q289MonthSeasonality)
+    "q289_month_seasonality" ->
+      """WITH m AS (SELECT CAST(month(CAST(o_orderdate AS DATE)) AS INT)
+             AS moy,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+             AS BIGINT) AS rev_c
+           FROM orders GROUP BY 1),
+         t AS (SELECT CAST(sum(n_orders) AS HUGEINT) AS tot_n,
+             CAST(sum(CAST(rev_c AS HUGEINT)) AS HUGEINT) AS tot_r
+           FROM m)
+         SELECT moy, n_orders, rev_c,
+           CAST(CAST(n_orders AS HUGEINT) * 10000 // tot_n AS BIGINT)
+             AS order_share_bp,
+           CAST(CAST(rev_c AS HUGEINT) * 10000 // tot_r AS BIGINT)
+             AS rev_share_bp
+         FROM m, t ORDER BY moy""",
+    // q291: ABC × XYZ planning matrix — Pareto revenue cut × integer
+    // CV² variability cut on exact monthly-demand moments
+    // (CoreQueries.q291AbcXyz)
+    "q291_abc_xyz" ->
+      """WITH d AS (SELECT l_partkey AS pk,
+             CAST(date_trunc('month', l_shipdate) AS DATE) AS mth,
+             CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS q
+           FROM lineitem GROUP BY 1, 2),
+         stats AS (SELECT pk, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(q) AS HUGEINT) AS s1,
+             CAST(sum(CAST(q AS HUGEINT) * q) AS HUGEINT) AS s2
+           FROM d GROUP BY 1),
+         rev AS (SELECT l_partkey AS pk,
+             CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT))
+               AS BIGINT) AS rev_c
+           FROM lineitem GROUP BY 1),
+         rk AS (SELECT pk, rev_c,
+             CAST(sum(CAST(rev_c AS HUGEINT)) OVER (
+               ORDER BY rev_c DESC, pk
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS HUGEINT) AS cum_c,
+             (SELECT CAST(sum(CAST(rev_c AS HUGEINT)) AS HUGEINT)
+               FROM rev) AS tot_c
+           FROM rev),
+         abc AS (SELECT pk, CASE WHEN cum_c * 10 <= tot_c * 8 THEN 'A'
+             WHEN cum_c * 100 <= tot_c * 95 THEN 'B' ELSE 'C' END
+             AS abc_class FROM rk),
+         xyz AS (SELECT pk, CASE
+             WHEN (n * s2 - s1 * s1) * 4 <= s1 * s1 THEN 'X'
+             WHEN n * s2 - s1 * s1 <= s1 * s1 THEN 'Y' ELSE 'Z' END
+             AS xyz_class FROM stats)
+         SELECT abc.abc_class, xyz.xyz_class,
+           CAST(count(*) AS BIGINT) AS n_parts
+         FROM abc JOIN xyz ON abc.pk = xyz.pk
+         GROUP BY 1, 2 ORDER BY 1, 2""",
     // q285: argmax-by-struct top supplier per nation — max over the
     // (rev, suppkey) total order, cent·pct revenue grid
     // (CoreQueries.q285TopSupplier)

@@ -1044,6 +1044,35 @@ private[graft] object EventOracles {
          FROM sessev WHERE user_id < 20
          GROUP BY user_id, session_seq
          ORDER BY user_id, start_us"""),
+    // q290: weekly-cohort cumulative LTV — cents exact, per-user LTV
+    // one floor division, arithmetic week index both engines
+    // (EventOps.cohortLtvOn)
+    "q290_cohort_ltv" ->
+      """WITH first_w AS (SELECT user_id,
+             CAST(datediff('day', DATE '2024-01-01',
+               CAST(min(ts) AS DATE)) // 7 AS INT) AS cohort_w
+           FROM events GROUP BY 1),
+         cell AS (SELECT f.cohort_w,
+             CAST(datediff('day', DATE '2024-01-01',
+               CAST(e.ts AS DATE)) // 7 AS INT) - f.cohort_w AS w_since,
+             CAST(sum(CAST(round(e.value * 100, 0) AS BIGINT))
+               AS BIGINT) AS rev_c
+           FROM events e JOIN first_w f ON e.user_id = f.user_id
+           WHERE e.event_type = 'purchase' GROUP BY 1, 2),
+         sz AS (SELECT cohort_w, CAST(count(*) AS BIGINT) AS n_users
+           FROM first_w GROUP BY 1)
+         SELECT c.cohort_w, CAST(c.w_since AS INT) AS w_since,
+           s.n_users,
+           CAST(sum(c.rev_c) OVER (PARTITION BY c.cohort_w
+             ORDER BY c.w_since
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS BIGINT) AS cum_rev_c,
+           CAST(sum(c.rev_c) OVER (PARTITION BY c.cohort_w
+             ORDER BY c.w_since
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             // s.n_users AS BIGINT) AS ltv_c_per_user
+         FROM cell c JOIN sz s ON c.cohort_w = s.cohort_w
+         ORDER BY c.cohort_w, c.w_since""",
     // q286: Markov stationary distribution — 8 generated power-
     // iteration rounds (the q173 MATERIALIZED-rounds rule), per-term
     // floor division on HUGEINT (EventOps.markovStationaryOn)

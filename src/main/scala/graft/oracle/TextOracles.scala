@@ -70,6 +70,31 @@ private[graft] object TextOracles {
            array_to_string(w[greatest(p - 2, 1):least(p + 2, n)], ' ')
              AS context
          FROM pos ORDER BY doc_id, pos LIMIT 30""",
+    // q288: per-class precision/recall/F1 of the lang-id predictor —
+    // tp/fp/fn from the q155 prediction CTE, ppm-exact harmonic F1
+    // (TextAnalysisOps.langIdPrfOn)
+    "q288_langid_prf" ->
+      ("WITH " + langPredCte + """,
+         cls AS (SELECT lang AS label FROM p
+           UNION SELECT lang_pred FROM p),
+         m AS (SELECT label,
+             (SELECT CAST(count(*) AS BIGINT) FROM p
+              WHERE lang = label AND lang_pred = label) AS tp,
+             (SELECT CAST(count(*) AS BIGINT) FROM p
+              WHERE lang <> label AND lang_pred = label) AS fp,
+             (SELECT CAST(count(*) AS BIGINT) FROM p
+              WHERE lang = label AND lang_pred <> label) AS fn
+           FROM cls)
+         SELECT label, tp, fp, fn,
+           CAST(CASE WHEN tp + fp > 0
+             THEN tp * 1000000 // (tp + fp) END AS BIGINT)
+             AS precision_ppm,
+           CAST(CASE WHEN tp + fn > 0
+             THEN tp * 1000000 // (tp + fn) END AS BIGINT) AS recall_ppm,
+           CAST(CASE WHEN 2 * tp + fp + fn > 0
+             THEN 2 * tp * 1000000 // (2 * tp + fp + fn) END AS BIGINT)
+             AS f1_ppm
+         FROM m ORDER BY label"""),
     "q38_rolling_fp" ->
       """SELECT count(*) AS n_docs,
            count(DISTINCT f) AS n_md5_classes,

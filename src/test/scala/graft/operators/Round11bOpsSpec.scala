@@ -488,6 +488,58 @@ class Round11bOpsSpec extends SparkSpecBase {
     }
   }
 
+  // ---- q288 per-class P/R/F1 --------------------------------------
+
+  test("q288: tp/fp/fn and the ppm-harmonic F1 match a hand-built confusion") {
+    // 'the the' → en (correct); 'la la' → es vs true fr (fp for es,
+    // fn for fr); 'zz zz' → und vs true en (fn for en, fp for und)
+    val docs = Seq((1L, "the the", "en"), (2L, "la la", "fr"),
+      (3L, "zz zz", "en"))
+      .toDF("doc_id", "text", "lang")
+    val out = TextAnalysisOps.langIdPrfOn(docs)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out("en") === ((1L, 0L, 1L)))  // tp=1, fn the 'zz' doc
+    assert(out("es") === ((0L, 1L, 0L)))  // predicted but never true
+    assert(out("fr") === ((0L, 0L, 1L)))  // true but never predicted
+    assert(out("und") === ((0L, 1L, 0L)))
+    // F1 for en: 2·1·1e6 / (2+0+1) = 666666 (floored harmonic)
+    val f1 = TextAnalysisOps.langIdPrfOn(docs)
+      .collect().map(r => r.getString(0) -> r.get(6)).toMap
+    assert(f1("en") === 666666L)
+  }
+
+  // ---- q290 cohort LTV --------------------------------------------
+
+  test("q290: revenue accrues to the user's FIRST-activity cohort, cumulatively") {
+    // u1 first active week 0, purchases in weeks 0 and 2;
+    // u2 first active week 2 (its purchase lands in ITS week 0)
+    val ev = eventsOf(Seq(
+      (1L, "2024-01-02 10:00:00", 1L, "view", 0.0),
+      (2L, "2024-01-03 10:00:00", 1L, "purchase", 10.0),
+      (3L, "2024-01-16 10:00:00", 1L, "purchase", 20.0),
+      (4L, "2024-01-17 10:00:00", 2L, "purchase", 5.0)))
+    val out = EventOps.cohortLtvOn(ev)
+      .collect().map(r => ((r.getInt(0), r.getInt(1)),
+        (r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(out((0, 0)) === ((1L, 1000L, 1000L)))
+    assert(out((0, 2)) === ((1L, 3000L, 3000L)))  // cumulative
+    assert(out((2, 0)) === ((1L, 500L, 500L)))
+  }
+
+  // ---- q291 ABC x XYZ ---------------------------------------------
+
+  test("q291: the matrix covers every part exactly once") {
+    val out = CoreQueries.q291AbcXyz(spark, sf0001).collect()
+    val nParts = graft.Tables.lineitem(spark, sf0001)
+      .select(col("l_partkey")).distinct().count()
+    assert(out.map(_.getLong(2)).sum === nParts)
+    val classes = out.map(r => (r.getString(0), r.getString(1)))
+    assert(classes.distinct.length === classes.length)
+    assert(classes.forall { case (a, x) =>
+      Seq("A", "B", "C").contains(a) && Seq("X", "Y", "Z").contains(x) })
+  }
+
   // ---- q270 FD audit ----------------------------------------------
 
   test("q270: violation counts equal the closed-form fixture") {
