@@ -394,6 +394,11 @@ object SparkEntry {
       CoreQueries.q289MonthSeasonality(s, d)),
     "q290_cohort_ltv"     -> ((s, d) => EventOps.cohortLtv(s, d)),
     "q291_abc_xyz"        -> ((s, d) => CoreQueries.q291AbcXyz(s, d)),
+    "q292_drawdown"       -> ((s, d) => EventOps.drawdownPanel(s, d)),
+    "q293_conversion_paths" -> ((s, d) =>
+      EventOps.conversionPaths(s, d)),
+    "q294_velocity_screen" -> ((s, d) =>
+      graft.dq.DataQuality.velocityScreen(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -319,6 +319,27 @@ object DataQuality {
       .orderBy(col("fd"))
   }
 
+  /** Purchase-velocity screen (q294): (user, day) cells with `minN`
+    * or more purchases — the velocity tripwire fraud/abuse review
+    * queues run on transaction feeds (a burst of small purchases in
+    * one day is the classic stolen-card pattern; q210's bot-burst is
+    * the click-side sibling). One corpus pass, one (user, day)
+    * aggregate with the threshold applied post-combine; exact counts
+    * and cents.
+    */
+  def velocityScreen(spark: org.apache.spark.sql.SparkSession,
+      dir: String, minN: Long = 3L): DataFrame =
+    velocityScreenOn(Tables.events(spark, dir), minN)
+
+  private[graft] def velocityScreenOn(ev: DataFrame,
+      minN: Long): DataFrame =
+    ev.filter(col("event_type") === "purchase")
+      .groupBy(to_date(col("ts")).as("day"), col("user_id"))
+      .agg(count(lit(1)).as("n_purchases"),
+        sum(round(col("value") * 100, 0).cast("long")).as("total_c"))
+      .filter(col("n_purchases") >= minN)
+      .orderBy(col("day"), col("user_id"))
+
   /** k-anonymity / l-diversity audit (q271): over the quasi-identifier
     * pair (nation, market segment) on `customer`, with account-balance
     * band as the sensitive attribute — the privacy screen a

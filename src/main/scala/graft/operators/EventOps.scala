@@ -1541,6 +1541,66 @@ object EventOps {
       .orderBy(col("cohort_w"), col("w_since"))
   }
 
+  /** Daily net-position drawdown panel (q292): cumulative net value
+    * (purchase revenue minus a fixed per-error penalty), its running
+    * peak, and the drawdown below that peak — the max-drawdown ledger
+    * risk/ops teams track, built from three STACKED windows over the
+    * calendar-bounded day panel (cumsum → running max → difference),
+    * all on exact integer cents. The window composition is the point:
+    * each layer reuses the same day ordering, so the whole panel is
+    * one bounded-frame pass.
+    */
+  def drawdownPanel(spark: SparkSession, dir: String,
+      errPenaltyC: Long = 5000L): DataFrame =
+    drawdownPanelOn(Tables.events(spark, dir), errPenaltyC)
+
+  private[graft] def drawdownPanelOn(ev: DataFrame,
+      errPenaltyC: Long): DataFrame = {
+    val daily = ev
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(sum(when(col("event_type") === "purchase",
+        round(col("value") * 100, 0).cast("long")).otherwise(0L))
+        .as("rev_c"),
+        sum(when(col("event_type") === "error", 1L).otherwise(0L))
+          .as("n_err"))
+      .select(col("day"),
+        (col("rev_c") - col("n_err") * errPenaltyC).as("net_c"))
+    val wc = Window.orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    daily
+      .withColumn("cum_c", sum(col("net_c")).over(wc))
+      .withColumn("peak_c", max(col("cum_c")).over(wc))
+      .select(col("day"), col("net_c"), col("cum_c"), col("peak_c"),
+        (col("peak_c") - col("cum_c")).as("drawdown_c"))
+      .orderBy(col("day"))
+  }
+
+  /** Conversion path trigrams (q293): the two event types immediately
+    * preceding each purchase in the user's (ts, event_id)-ordered
+    * stream, counted — "what do the last two steps before buying look
+    * like", the k=3 sequence-mining cut above q126's bigram
+    * transitions. One user-partitioned window (two lags share it),
+    * then a vocabulary²-key rollup; top-15 on a total order.
+    */
+  def conversionPaths(spark: SparkSession, dir: String,
+      k: Int = 15): DataFrame =
+    conversionPathsOn(Tables.events(spark, dir), k)
+
+  private[graft] def conversionPathsOn(ev: DataFrame, k: Int): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    ev
+      .select(col("event_type"),
+        lag(col("event_type"), 1).over(w).as("p1"),
+        lag(col("event_type"), 2).over(w).as("p2"))
+      .filter(col("event_type") === "purchase" &&
+        col("p1").isNotNull && col("p2").isNotNull)
+      .groupBy(col("p2"), col("p1"))
+      .agg(count(lit(1)).as("n_paths"))
+      .orderBy(col("n_paths").desc, col("p2"), col("p1"))
+      .limit(k)
+  }
+
   /** Wilson 95% confidence intervals per experiment arm (q287): the
     * interval the q257 z-readout should be quoted with — Wilson's
     * score bounds behave at small n and extreme rates where the

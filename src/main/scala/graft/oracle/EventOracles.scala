@@ -1044,6 +1044,52 @@ private[graft] object EventOracles {
          FROM sessev WHERE user_id < 20
          GROUP BY user_id, session_seq
          ORDER BY user_id, start_us"""),
+    // q292: daily net drawdown panel — cumsum → running max →
+    // difference, exact cents (EventOps.drawdownPanelOn)
+    "q292_drawdown" ->
+      """WITH daily AS (
+           SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+             CAST(sum(CASE WHEN event_type = 'purchase'
+               THEN CAST(round(value * 100, 0) AS BIGINT) ELSE 0 END)
+               AS BIGINT)
+             - CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0
+               END) AS BIGINT) * 5000 AS net_c
+           FROM events GROUP BY 1),
+         cum AS (SELECT day, net_c,
+             CAST(sum(net_c) OVER (ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS cum_c
+           FROM daily),
+         dd AS (SELECT day, net_c, cum_c,
+             CAST(max(cum_c) OVER (ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS peak_c
+           FROM cum)
+         SELECT day, net_c, cum_c, peak_c,
+           CAST(peak_c - cum_c AS BIGINT) AS drawdown_c
+         FROM dd ORDER BY day""",
+    // q293: conversion path trigrams — the two event types preceding
+    // each purchase, top-15 (EventOps.conversionPathsOn)
+    "q293_conversion_paths" ->
+      """WITH seq AS (SELECT event_type,
+             lag(event_type, 1) OVER (PARTITION BY user_id
+               ORDER BY ts, event_id) AS p1,
+             lag(event_type, 2) OVER (PARTITION BY user_id
+               ORDER BY ts, event_id) AS p2
+           FROM events)
+         SELECT p2, p1, CAST(count(*) AS BIGINT) AS n_paths
+         FROM seq WHERE event_type = 'purchase'
+           AND p1 IS NOT NULL AND p2 IS NOT NULL
+         GROUP BY 1, 2 ORDER BY n_paths DESC, p2, p1 LIMIT 15""",
+    // q294: purchase-velocity screen — (user, day) cells at >= 3
+    // purchases (DataQuality.velocityScreenOn)
+    "q294_velocity_screen" ->
+      """SELECT CAST(date_trunc('day', ts) AS DATE) AS day, user_id,
+           CAST(count(*) AS BIGINT) AS n_purchases,
+           CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
+             AS total_c
+         FROM events WHERE event_type = 'purchase'
+         GROUP BY 1, 2 HAVING count(*) >= 3 ORDER BY day, user_id""",
     // q290: weekly-cohort cumulative LTV — cents exact, per-user LTV
     // one floor division, arithmetic week index both engines
     // (EventOps.cohortLtvOn)

@@ -540,6 +540,61 @@ class Round11bOpsSpec extends SparkSpecBase {
       Seq("A", "B", "C").contains(a) && Seq("X", "Y", "Z").contains(x) })
   }
 
+  // ---- q292 drawdown panel ----------------------------------------
+
+  test("q292: drawdown measures the dip below the running peak exactly") {
+    // nets: +100, -30, +10, -90 → cum 100, 70, 80, -10; peak 100
+    // throughout → drawdowns 0, 30, 20, 110 (in cents: values below)
+    val ev = eventsOf(Seq(
+      (1L, "2024-01-01 10:00:00", 1L, "purchase", 1.00),
+      (2L, "2024-01-02 10:00:00", 1L, "purchase", 0.20),
+      (3L, "2024-01-02 10:00:01", 1L, "error", 0.0),
+      (4L, "2024-01-03 10:00:00", 1L, "purchase", 0.10),
+      (5L, "2024-01-04 10:00:00", 1L, "error", 0.0),
+      (6L, "2024-01-04 10:00:01", 1L, "error", 0.0)))
+    // penalty 50c per error: day nets = 100, -30, 10, -100
+    val out = EventOps.drawdownPanelOn(ev, 50L)
+      .collect().map(r => (r.getDate(0).toString, r.getLong(1),
+        r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(out.toSeq === Seq(
+      ("2024-01-01", 100L, 100L, 100L, 0L),
+      ("2024-01-02", -30L, 70L, 100L, 30L),
+      ("2024-01-03", 10L, 80L, 100L, 20L),
+      ("2024-01-04", -100L, -20L, 100L, 120L)))
+  }
+
+  // ---- q293 conversion paths --------------------------------------
+
+  test("q293: paths read the two events strictly before each purchase, per user") {
+    val ev = eventsOf(Seq(
+      (1L, "2024-01-01 10:00:00", 1L, "view", 0.0),
+      (2L, "2024-01-01 10:01:00", 1L, "click", 0.0),
+      (3L, "2024-01-01 10:02:00", 1L, "purchase", 1.0),
+      // u2's purchase has only ONE prior event → excluded
+      (4L, "2024-01-01 10:00:00", 2L, "view", 0.0),
+      (5L, "2024-01-01 10:01:00", 2L, "purchase", 1.0)))
+    val out = EventOps.conversionPathsOn(ev, 15)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(out.toSeq === Seq(("view", "click", 1L)))
+  }
+
+  // ---- q294 velocity screen ---------------------------------------
+
+  test("q294: only same-day bursts at the threshold fire") {
+    val ev = eventsOf(Seq(
+      (1L, "2024-01-01 09:00:00", 1L, "purchase", 1.0),
+      (2L, "2024-01-01 12:00:00", 1L, "purchase", 2.0),
+      (3L, "2024-01-01 18:00:00", 1L, "purchase", 3.0),
+      // u2: three purchases across DIFFERENT days → silent
+      (4L, "2024-01-01 09:00:00", 2L, "purchase", 1.0),
+      (5L, "2024-01-02 09:00:00", 2L, "purchase", 1.0),
+      (6L, "2024-01-03 09:00:00", 2L, "purchase", 1.0)))
+    val out = graft.dq.DataQuality.velocityScreenOn(ev, 3L)
+      .collect().map(r => (r.getDate(0).toString, r.getLong(1),
+        r.getLong(2), r.getLong(3)))
+    assert(out.toSeq === Seq(("2024-01-01", 1L, 3L, 600L)))
+  }
+
   // ---- q270 FD audit ----------------------------------------------
 
   test("q270: violation counts equal the closed-form fixture") {
