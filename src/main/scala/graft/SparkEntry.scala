@@ -399,6 +399,13 @@ object SparkEntry {
       EventOps.conversionPaths(s, d)),
     "q294_velocity_screen" -> ((s, d) =>
       graft.dq.DataQuality.velocityScreen(s, d)),
+    "q295_region_share"   -> ((s, d) =>
+      CoreQueries.q295RegionNationShare(s, d)),
+    "q296_lateness_pareto" -> ((s, d) =>
+      CoreQueries.q296LatenessPareto(s, d)),
+    "q297_twonn_ratio"    -> ((s, d) =>
+      graft.operators.EmbedHealthOps.twoNnRatio(s, d)),
+    "q298_exact_auc"      -> ((s, d) => EventOps.exactAuc(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

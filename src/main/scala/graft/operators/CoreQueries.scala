@@ -2075,6 +2075,74 @@ object CoreQueries {
       .orderBy(col("decile"))
   }
 
+  /** Hierarchy share-of-parent rollup (q295): nation revenue with its
+    * share of the parent region AND of the grand total — the two-level
+    * drill report every BI hierarchy renders. Region subtotals and the
+    * grand total are broadcast-scale aggregates crossed back in;
+    * shares floored to bp on HUGEINT.
+    */
+  def q295RegionNationShare(spark: SparkSession, dir: String): DataFrame = {
+    val nr = Tables.orders(spark, dir)
+      .join(Tables.customer(spark, dir)
+        .select(col("c_custkey"), col("c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(spark, dir)
+        .select(col("n_nationkey"), col("n_regionkey"), col("n_name"))),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_regionkey").as("rk"), col("n_name").as("nation"))
+      .agg(sum(round(col("o_totalprice") * 100, 0).cast("long"))
+        .as("rev_c"))
+    val rr = nr.groupBy(col("rk"))
+      .agg(sum(col("rev_c").cast("decimal(38,0)")).as("region_c"))
+    val tt = nr.agg(sum(col("rev_c").cast("decimal(38,0)")).as("total_c"))
+    nr.join(broadcast(rr), Seq("rk"))
+      .crossJoin(broadcast(tt))
+      .join(broadcast(Tables.region(spark, dir)
+        .select(col("r_regionkey"), col("r_name"))),
+        col("rk") === col("r_regionkey"))
+      .select(col("r_name").as("region"), col("nation"), col("rev_c"),
+        expr("(CAST(rev_c AS decimal(38,0)) * 10000) div region_c")
+          .as("share_of_region_bp"),
+        expr("(CAST(rev_c AS decimal(38,0)) * 10000) div total_c")
+          .as("share_of_total_bp"))
+      .orderBy(col("region"), col("nation"))
+  }
+
+  /** Supplier-lateness Pareto (q296): suppliers ranked by their count
+    * of severely late lines (shipped > 90 days after the order date),
+    * with the cumulative share of all lateness and an 80%-band flag —
+    * the q262 Pareto cut pointed at an OPS offender list instead of
+    * revenue (who do we escalate first). The rank window runs over
+    * supplier-cardinality rows; shares on HUGEINT; top-25 total order.
+    */
+  def q296LatenessPareto(spark: SparkSession, dir: String,
+      lateDays: Int = 90, k: Int = 25): DataFrame = {
+    val late = Tables.lineitem(spark, dir)
+      .join(Tables.orders(spark, dir)
+        .select(col("o_orderkey"), col("o_orderdate")),
+        col("l_orderkey") === col("o_orderkey"))
+      .filter(datediff(to_date(col("l_shipdate")),
+        to_date(col("o_orderdate"))) > lateDays)
+      .groupBy(col("l_suppkey").as("suppkey"))
+      .agg(count(lit(1)).as("n_late"))
+    val tot = late.agg(sum(col("n_late").cast("decimal(38,0)"))
+      .as("tot"), count(lit(1)).as("n_sup"))
+    late
+      .withColumn("cum", sum(col("n_late").cast("decimal(38,0)"))
+        .over(Window.orderBy(col("n_late").desc, col("suppkey"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("r", row_number().over(
+        Window.orderBy(col("n_late").desc, col("suppkey"))))
+      .crossJoin(broadcast(tot))
+      .select(col("suppkey"), col("n_late"),
+        expr("(cum * 10000) div tot").cast("long").as("cum_share_bp"),
+        expr("(CAST(r AS decimal(38,0)) * 10000) div n_sup")
+          .cast("long").as("supplier_pctl_bp"),
+        (col("cum") * 10 <= col("tot") * 8).cast("int").as("in_top80"))
+      .orderBy(col("n_late").desc, col("suppkey"))
+      .limit(k)
+  }
+
   /** Month-of-year seasonality profile (q289): order counts and
     * revenue shares per calendar month over the seven-year orders
     * history — the seasonal fingerprint behind inventory and staffing

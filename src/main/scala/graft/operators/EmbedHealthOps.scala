@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.Tables
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Embedding-space health reports over `embeddings`: inter-label
@@ -119,6 +120,59 @@ object EmbedHealthOps {
           .otherwise(0L)).as("n_close"),
         sum(when(col("dp") < 0L, 1L).otherwise(0L)).as("n_neg"))
       .orderBy(col("label"))
+  }
+
+  /** TwoNN intrinsic-dimension ratio panel (q297): for a bounded probe
+    * set (the 32 lowest-id vectors), the ratio of second- to
+    * first-nearest-neighbor SQUARED distance on the integer grid —
+    * the statistic behind the TwoNN intrinsic-dimension estimator
+    * (ratios near 1 ⇒ high intrinsic dimension; the final
+    * `d/ln(ratio)` transform is left to the consumer so the gate
+    * stays integer-exact, the q283 philosophy). Both NNs come from
+    * two argmin STRUCT aggregates (min(struct(d², id)), then the same
+    * excluding the winner) — partial-aggregable, no per-probe rank
+    * window ever sees the corpus. Median/min/max of the 32 ratios via
+    * explicit rank picks.
+    *
+    * Scale shape: probes are a broadcast constant set; the distance
+    * frame is probes × corpus (one corpus scan — the q31 bounded-probe
+    * contract); everything downstream is probe-cardinality.
+    */
+  def twoNnRatio(spark: SparkSession, dir: String,
+      nProbes: Int = 32): DataFrame =
+    twoNnRatioOn(Tables.embeddings(spark, dir), nProbes)
+
+  private[graft] def twoNnRatioOn(emb: DataFrame,
+      nProbes: Int): DataFrame = {
+    val q = quantized(emb).select(col("vec_id"), col("q"))
+    val probes = q.filter(col("vec_id") < nProbes)
+      .select(col("vec_id").as("pid"), col("q").as("pq"))
+    val d = q.join(broadcast(probes), col("pid") =!= col("vec_id"))
+      .select(col("pid"), col("vec_id").as("cid"),
+        aggregate(zip_with(col("pq"), col("q"),
+          (a, b) => (a - b) * (a - b)), lit(0L), (acc, x) => acc + x)
+          .as("d2"))
+    val n1 = d.groupBy(col("pid"))
+      .agg(min(struct(col("d2"), col("cid"))).as("n1"))
+    val n2 = d.join(n1, Seq("pid"))
+      .filter(col("cid") =!= col("n1.cid"))
+      .groupBy(col("pid"))
+      .agg(min(struct(col("d2"), col("cid"))).as("n2"),
+        first(col("n1"), ignoreNulls = true).as("n1k"))
+    val ratio = n2.filter(col("n1k.d2") > 0)
+      .select(col("pid"),
+        expr("n2.d2 * 1000000 div n1k.d2").as("ratio2_ppm"))
+    val med = ratio
+      .withColumn("r", row_number().over(
+        Window.orderBy(col("ratio2_ppm"), col("pid"))))
+      .crossJoin(broadcast(ratio.agg(count(lit(1)).as("n"))))
+    med.agg(max(col("n")).as("n_probes"),
+        max(when(col("r") === expr("(n + 1) div 2"),
+          col("ratio2_ppm"))).as("median_ratio2_ppm"),
+        min(col("ratio2_ppm")).as("min_ratio2_ppm"),
+        max(col("ratio2_ppm")).as("max_ratio2_ppm"))
+      .select(col("n_probes"), col("median_ratio2_ppm"),
+        col("min_ratio2_ppm"), col("max_ratio2_ppm"))
   }
 
   /** Embedding split drift (q280): per label, the cosine between the

@@ -1331,7 +1331,11 @@ object EventOps {
       thresholdC: Long = 10000L): DataFrame =
     propensityCalibrationOn(Tables.events(spark, dir), thresholdC)
 
-  private[graft] def propensityCalibrationOn(ev: DataFrame,
+  /** The (p_milli, y_milli) scored-user frame shared by the q267
+    * calibration panel and the q298 exact AUC — one predictor/outcome
+    * definition, two audits.
+    */
+  private[graft] def propensityScoredOn(ev: DataFrame,
       thresholdC: Long): DataFrame = {
     val split = lit("2024-01-16").cast("date")
     val first = ev.filter(to_date(col("ts")) < split)
@@ -1344,9 +1348,14 @@ object EventOps {
         round(col("value") * 100, 0).cast("long") >= thresholdC)
       .select(col("user_id")).distinct()
       .withColumn("hit", lit(1L))
-    val scored = first.join(outcome, Seq("user_id"), "left")
+    first.join(outcome, Seq("user_id"), "left")
       .select(expr("n_click * 1000 div n_ev").as("p_milli"),
         (coalesce(col("hit"), lit(0L)) * 1000L).as("y_milli"))
+  }
+
+  private[graft] def propensityCalibrationOn(ev: DataFrame,
+      thresholdC: Long): DataFrame = {
+    val scored = propensityScoredOn(ev, thresholdC)
       .withColumn("bucket", least(expr("p_milli div 50"), lit(9L))
         .cast("int"))
     scored.groupBy(col("bucket"))
@@ -1539,6 +1548,46 @@ object EventOps {
         col("cum_rev_c"),
         expr("cum_rev_c div n_users").as("ltv_c_per_user"))
       .orderBy(col("cohort_w"), col("w_since"))
+  }
+
+  /** Exact AUC of the propensity score (q298): the Mann–Whitney
+    * rank-sum AUC of q267's predictor against its outcome, computed
+    * ENTIRELY in integers — ties handled with midranks on the DOUBLED
+    * grid (a tied group spanning ranks lo..hi has 2·midrank =
+    * 2·below + n + 1, an integer), so
+    * `AUC = (Σ_pos 2·midrank − n_pos(n_pos+1)) / (2·n_pos·n_neg)`
+    * floors once onto the ppm grid. The exact complement to q267's
+    * bucketed reliability panel: calibration says the scores are
+    * honest, AUC says they discriminate.
+    *
+    * Scale shape: one user-grain pass collapses to the ≤1001-key
+    * score grid; the cumulative-below window runs on that bounded
+    * grid, and the result is one row. Products ride decimal(38,0)/
+    * HUGEINT (rank sums reach n² — PARITY rule 13).
+    */
+  def exactAuc(spark: SparkSession, dir: String,
+      thresholdC: Long = 10000L): DataFrame =
+    exactAucOn(Tables.events(spark, dir), thresholdC)
+
+  private[graft] def exactAucOn(ev: DataFrame,
+      thresholdC: Long): DataFrame = {
+    val g = propensityScoredOn(ev, thresholdC)
+      .groupBy(col("p_milli").as("p"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("y_milli") === 1000L, 1L).otherwise(0L))
+          .as("n_pos"))
+    val b = g.withColumn("below", coalesce(sum(col("n")).over(
+        Window.orderBy(col("p"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    b.agg(
+        sum((col("n_pos") * (lit(2L) * col("below") + col("n") + 1L))
+          .cast("decimal(38,0)")).as("sum2r_pos"),
+        sum(col("n_pos").cast("decimal(38,0)")).as("npos"),
+        sum((col("n") - col("n_pos")).cast("decimal(38,0)")).as("nneg"))
+      .select(col("npos").cast("long").as("n_pos"),
+        col("nneg").cast("long").as("n_neg"),
+        expr("(sum2r_pos - npos * (npos + 1)) * 1000000 div " +
+          "(2 * npos * nneg)").cast("long").as("auc_ppm"))
   }
 
   /** Daily net-position drawdown panel (q292): cumulative net value

@@ -1131,6 +1131,54 @@ private[graft] object CoreOracles {
            CAST(CASE WHEN sum(CASE WHEN n_b > 1 THEN 1 ELSE 0 END) = 0
              THEN 1 ELSE 0 END AS INT) AS holds
          FROM per_a GROUP BY fd ORDER BY fd""",
+    // q295: nation revenue with share-of-region and share-of-total
+    // (CoreQueries.q295RegionNationShare)
+    "q295_region_share" ->
+      """WITH nr AS (
+           SELECT n.n_regionkey AS rk, n.n_name AS nation,
+             CAST(sum(CAST(round(o.o_totalprice * 100, 0) AS BIGINT))
+               AS BIGINT) AS rev_c
+           FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+           JOIN nation n ON c.c_nationkey = n.n_nationkey
+           GROUP BY 1, 2),
+         rr AS (SELECT rk, CAST(sum(CAST(rev_c AS HUGEINT)) AS HUGEINT)
+             AS region_c FROM nr GROUP BY 1),
+         tt AS (SELECT CAST(sum(CAST(rev_c AS HUGEINT)) AS HUGEINT)
+             AS total_c FROM nr)
+         SELECT r.r_name AS region, nr.nation, nr.rev_c,
+           CAST(CAST(nr.rev_c AS HUGEINT) * 10000 // rr.region_c
+             AS BIGINT) AS share_of_region_bp,
+           CAST(CAST(nr.rev_c AS HUGEINT) * 10000 // tt.total_c
+             AS BIGINT) AS share_of_total_bp
+         FROM nr JOIN rr ON nr.rk = rr.rk
+         JOIN region r ON nr.rk = r.r_regionkey, tt
+         ORDER BY region, nation""",
+    // q296: supplier-lateness Pareto — cum share of >90-day-late lines
+    // with the 80%-band flag (CoreQueries.q296LatenessPareto)
+    "q296_lateness_pareto" ->
+      """WITH late AS (
+           SELECT l.l_suppkey AS sk, CAST(count(*) AS BIGINT) AS n_late
+           FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+           WHERE datediff('day', CAST(o.o_orderdate AS DATE),
+             CAST(l.l_shipdate AS DATE)) > 90
+           GROUP BY 1),
+         rk AS (SELECT sk, n_late,
+             CAST(sum(CAST(n_late AS HUGEINT)) OVER (
+               ORDER BY n_late DESC, sk
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS HUGEINT) AS cum,
+             row_number() OVER (ORDER BY n_late DESC, sk) AS r,
+             (SELECT CAST(sum(CAST(n_late AS HUGEINT)) AS HUGEINT)
+               FROM late) AS tot,
+             (SELECT CAST(count(*) AS BIGINT) FROM late) AS n_sup
+           FROM late)
+         SELECT CAST(sk AS BIGINT) AS suppkey, n_late,
+           CAST(cum * 10000 // tot AS BIGINT) AS cum_share_bp,
+           CAST(CAST(r AS HUGEINT) * 10000 // n_sup AS BIGINT)
+             AS supplier_pctl_bp,
+           CAST(CASE WHEN cum * 10 <= tot * 8 THEN 1 ELSE 0 END AS INT)
+             AS in_top80
+         FROM rk ORDER BY n_late DESC, suppkey LIMIT 25""",
     // q289: month-of-year seasonality over the 7-year orders history
     // — shares floored to bp on HUGEINT (CoreQueries.q289MonthSeasonality)
     "q289_month_seasonality" ->

@@ -1044,6 +1044,44 @@ private[graft] object EventOracles {
          FROM sessev WHERE user_id < 20
          GROUP BY user_id, session_seq
          ORDER BY user_id, start_us"""),
+    // q298: exact Mann–Whitney AUC of the q267 propensity score —
+    // doubled-grid midranks, one ppm floor (EventOps.exactAucOn)
+    "q298_exact_auc" ->
+      """WITH firsthalf AS (
+           SELECT user_id, CAST(count(*) AS BIGINT) AS n_ev,
+             CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_click
+           FROM events
+           WHERE CAST(date_trunc('day', ts) AS DATE) < DATE '2024-01-16'
+           GROUP BY 1),
+         outcome AS (
+           SELECT DISTINCT user_id FROM events
+           WHERE CAST(date_trunc('day', ts) AS DATE) >= DATE '2024-01-16'
+             AND event_type = 'purchase'
+             AND CAST(round(value * 100, 0) AS BIGINT) >= 10000),
+         scored AS (
+           SELECT f.n_click * 1000 // f.n_ev AS p,
+             CASE WHEN o.user_id IS NOT NULL THEN 1 ELSE 0 END AS y
+           FROM firsthalf f LEFT JOIN outcome o
+             ON f.user_id = o.user_id),
+         g AS (SELECT p, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(y) AS BIGINT) AS n_pos FROM scored GROUP BY 1),
+         b AS (SELECT p, n, n_pos,
+             CAST(coalesce(sum(n) OVER (ORDER BY p
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS below
+           FROM g),
+         agg AS (SELECT
+             CAST(sum(n_pos * (2 * below + n + 1)) AS HUGEINT)
+               AS sum2r_pos,
+             CAST(sum(n_pos) AS HUGEINT) AS npos,
+             CAST(sum(n - n_pos) AS HUGEINT) AS nneg
+           FROM b)
+         SELECT CAST(npos AS BIGINT) AS n_pos,
+           CAST(nneg AS BIGINT) AS n_neg,
+           CAST((sum2r_pos - npos * (npos + 1)) * 1000000
+             // (2 * npos * nneg) AS BIGINT) AS auc_ppm
+         FROM agg""",
     // q292: daily net drawdown panel — cumsum → running max →
     // difference, exact cents (EventOps.drawdownPanelOn)
     "q292_drawdown" ->

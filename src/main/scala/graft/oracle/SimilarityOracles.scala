@@ -82,6 +82,38 @@ private[graft] object SimilarityOracles {
            GROUP BY 1)
          SELECT doc_id, n_matches, first_pos FROM hits
          ORDER BY n_matches DESC, doc_id LIMIT 25""",
+    // q297: TwoNN intrinsic-dimension ratio panel — 2nd/1st NN squared
+    // distance ratio ppm for 32 probes, rank-pick median
+    // (EmbedHealthOps.twoNnRatioOn)
+    "q297_twonn_ratio" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding::DOUBLE[],
+             x -> CAST(round(x * 1024) AS BIGINT)) AS q
+           FROM embeddings),
+         probes AS (SELECT vec_id AS pid, q AS pq FROM e
+           WHERE vec_id < 32),
+         d AS (SELECT p.pid, c.vec_id AS cid,
+             CAST(list_sum(list_transform(range(1, len(p.pq) + 1),
+               i -> (p.pq[i] - c.q[i]) * (p.pq[i] - c.q[i])))
+               AS HUGEINT) AS d2
+           FROM probes p JOIN e c ON p.pid <> c.vec_id),
+         nn AS (SELECT pid, d2, row_number() OVER (PARTITION BY pid
+             ORDER BY d2, cid) AS rnk FROM d),
+         pair AS (SELECT pid,
+             max(CASE WHEN rnk = 1 THEN d2 END) AS d1,
+             max(CASE WHEN rnk = 2 THEN d2 END) AS d2n
+           FROM nn WHERE rnk <= 2 GROUP BY pid),
+         ratio AS (SELECT pid, CAST(d2n * 1000000 // d1 AS BIGINT)
+             AS ratio2_ppm
+           FROM pair WHERE d1 > 0),
+         med AS (SELECT pid, ratio2_ppm,
+             row_number() OVER (ORDER BY ratio2_ppm, pid) AS r,
+             (SELECT count(*) FROM ratio) AS n FROM ratio)
+         SELECT CAST(count(*) AS BIGINT) AS n_probes,
+           CAST(max(CASE WHEN r = (n + 1) // 2 THEN ratio2_ppm END)
+             AS BIGINT) AS median_ratio2_ppm,
+           CAST(min(ratio2_ppm) AS BIGINT) AS min_ratio2_ppm,
+           CAST(max(ratio2_ppm) AS BIGINT) AS max_ratio2_ppm
+         FROM med""",
     // q280: embedding split drift — cosine between the EXACT integer
     // sum vectors of the even/odd halves per label (scale-invariance
     // makes the mean division unnecessary); one 6dp float per row

@@ -595,6 +595,75 @@ class Round11bOpsSpec extends SparkSpecBase {
     assert(out.toSeq === Seq(("2024-01-01", 1L, 3L, 600L)))
   }
 
+  // ---- q295 hierarchy shares --------------------------------------
+
+  test("q295: shares telescope — nations sum to their region and to the total") {
+    val out = CoreQueries.q295RegionNationShare(spark, sf0001).collect()
+    out.groupBy(_.getString(0)).foreach { case (_, rows) =>
+      val bp = rows.map(_.getLong(3)).sum
+      assert(bp <= 10000L && bp > 10000L - rows.length,
+        s"region shares $bp") // floors shed < 1 bp per nation
+    }
+    val tbp = out.map(_.getLong(4)).sum
+    assert(tbp <= 10000L && tbp > 10000L - out.length)
+  }
+
+  // ---- q296 lateness Pareto ---------------------------------------
+
+  test("q296: cumulative shares are nondecreasing and the 80-band flag flips once") {
+    val out = CoreQueries.q296LatenessPareto(spark, sf0001).collect()
+    assert(out.nonEmpty)
+    val cums = out.map(_.getLong(2))
+    assert(cums.zip(cums.tail).forall { case (a, b) => a <= b })
+    val flags = out.map(_.getInt(4))
+    assert(flags.zip(flags.tail).forall { case (a, b) => a >= b })
+  }
+
+  // ---- q297 TwoNN ratio -------------------------------------------
+
+  test("q297: a planted second neighbor at 2x distance gives ratio 4e6") {
+    // probe at origin-ish, NN at distance d, second NN at 2d (squared
+    // ratio 4); extra far point must not matter
+    val emb = Seq(
+      (0L, 0, Array(0.0f, 0.0f)),
+      (100L, 0, Array(0.125f, 0.0f)),   // q = 128 → d² = 16384
+      (101L, 0, Array(0.25f, 0.0f)),    // q = 256 → d² = 65536
+      (102L, 0, Array(0.9f, 0.9f)))
+    val out = graft.operators.EmbedHealthOps
+      .twoNnRatioOn(emb.toDF("vec_id", "label", "embedding"), 1)
+      .collect()(0)
+    assert(out.getLong(0) === 1L)
+    assert(out.getLong(1) === 4000000L)
+  }
+
+  // ---- q298 exact AUC ---------------------------------------------
+
+  test("q298: AUC is 1e6 on perfect separation and 500000 on pure ties") {
+    import org.apache.spark.sql.DataFrame
+    def aucOf(rows: Seq[(Long, Long)]): DataFrame = {
+      // build a minimal events frame realizing (p_milli, y) per user:
+      // p = n_click*1000 div n_ev over 2 first-half events; y via a
+      // big second-half purchase
+      val ev = rows.zipWithIndex.flatMap { case ((clicks, y), i) =>
+        val u = i.toLong + 1
+        Seq((u * 10 + 1, "2024-01-02 10:00:00", u,
+          if (clicks >= 1) "click" else "view", 0.0),
+          (u * 10 + 2, "2024-01-03 10:00:00", u,
+            if (clicks >= 2) "click" else "view", 0.0)) ++
+          (if (y == 1) Seq((u * 10 + 3, "2024-01-20 10:00:00", u,
+            "purchase", 150.0)) else Nil)
+      }
+      EventOps.exactAucOn(eventsOf(ev), 10000L)
+    }
+    // perfect: positives all score 1000, negatives 0
+    val perfect = aucOf(Seq((2L, 1L), (2L, 1L), (0L, 0L), (0L, 0L)))
+      .collect()(0)
+    assert(perfect.getLong(2) === 1000000L)
+    // uninformative: same score both classes → 0.5 exactly
+    val ties = aucOf(Seq((1L, 1L), (1L, 0L))).collect()(0)
+    assert(ties.getLong(2) === 500000L)
+  }
+
   // ---- q270 FD audit ----------------------------------------------
 
   test("q270: violation counts equal the closed-form fixture") {
