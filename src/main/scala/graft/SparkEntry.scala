@@ -406,6 +406,14 @@ object SparkEntry {
     "q297_twonn_ratio"    -> ((s, d) =>
       graft.operators.EmbedHealthOps.twoNnRatio(s, d)),
     "q298_exact_auc"      -> ((s, d) => EventOps.exactAuc(s, d)),
+    "q299_silhouette"     -> ((s, d) =>
+      graft.operators.EmbedHealthOps.silhouetteLite(s, d)),
+    "q300_bounce_rate"    -> ((s, d) =>
+      CoreQueries.q300BounceRate(s, d)),
+    "q301_demand_spikes"  -> ((s, d) =>
+      CoreQueries.q301DemandSpikes(s, d)),
+    "q302_aging_report"   -> ((s, d) =>
+      CoreQueries.q302AgingReport(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -2075,6 +2075,79 @@ object CoreQueries {
       .orderBy(col("decile"))
   }
 
+  /** Daily bounce rate (q300): sessions that never got a second event,
+    * as a share of the day's sessions — the engagement-quality KPI on
+    * top of the SHARED q58 session assembly ([[sessionsOn]]), so the
+    * session definition cannot drift from the other five consumers.
+    * Counts exact; the share floors to bp.
+    */
+  def q300BounceRate(spark: SparkSession, dir: String,
+      gapMinutes: Int = 30): DataFrame =
+    sessionsOn(Tables.events(spark, dir), gapMinutes)
+      .groupBy(to_date(col("session_start")).as("day"))
+      .agg(count(lit(1)).as("n_sessions"),
+        sum(when(col("n_events") === 1L, 1L).otherwise(0L))
+          .as("n_bounces"))
+      .select(col("day"), col("n_sessions"), col("n_bounces"),
+        expr("n_bounces * 10000 div n_sessions").as("bounce_bp"))
+      .orderBy(col("day"))
+
+  /** Demand-spike screen (q301): parts whose PEAK monthly shipped
+    * quantity exceeds twice their own monthly mean — decided on the
+    * cross-multiplied integers `max·n > 2·Σ` (never a float mean), the
+    * q291 exact-moment pattern pointed at spike detection; spikiness
+    * reported as `max·n·1e6 div Σ` on the ppm grid. Top-25 on a total
+    * order; products on HUGEINT.
+    */
+  def q301DemandSpikes(spark: SparkSession, dir: String,
+      minMonths: Int = 6, k: Int = 25): DataFrame = {
+    val s = Tables.lineitem(spark, dir)
+      .groupBy(col("l_partkey").as("partkey"),
+        trunc(to_date(col("l_shipdate")), "month").as("mth"))
+      .agg(sum(col("l_quantity").cast("long")).as("q"))
+      .groupBy(col("partkey"))
+      .agg(count(lit(1)).as("n_months"),
+        sum(col("q").cast("decimal(38,0)")).as("sq"),
+        max(col("q")).as("maxq"))
+    s.filter(col("n_months") >= minMonths &&
+        col("maxq").cast("decimal(38,0)") * col("n_months") >
+          col("sq") * 2)
+      .select(col("partkey"), col("n_months"),
+        col("sq").cast("long").as("total_qty"), col("maxq"),
+        expr("(CAST(maxq AS decimal(38,0)) * n_months * 1000000) div sq")
+          .as("peak_over_mean_ppm"))
+      .orderBy(col("peak_over_mean_ppm").desc, col("partkey"))
+      .limit(k)
+  }
+
+  /** Unshipped-order aging report (q302): orders with NO shipped line
+    * at the dataset's last ship date, bucketed by age and priority
+    * with their open value — the AR-aging twin of q278's backlog
+    * ledger (the ledger counts, this one triages). The open set is a
+    * left_anti against the shipped order keys; the snapshot date is a
+    * broadcast scalar.
+    */
+  def q302AgingReport(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val snap = li.agg(to_date(max(col("l_shipdate"))).as("asof"))
+    val shipped = li.select(col("l_orderkey")).distinct()
+    Tables.orders(spark, dir)
+      .join(shipped, col("o_orderkey") === col("l_orderkey"), "left_anti")
+      .crossJoin(broadcast(snap))
+      .select(col("o_orderpriority"),
+        datediff(col("asof"), to_date(col("o_orderdate"))).as("age_d"),
+        round(col("o_totalprice") * 100, 0).cast("long").as("price_c"))
+      .select(col("o_orderpriority"),
+        when(col("age_d") <= 30, "0-30")
+          .when(col("age_d") <= 90, "31-90")
+          .when(col("age_d") <= 365, "91-365")
+          .otherwise("365+").as("age_bucket"), col("price_c"))
+      .groupBy(col("o_orderpriority"), col("age_bucket"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("price_c")).as("open_value_c"))
+      .orderBy(col("o_orderpriority"), col("age_bucket"))
+  }
+
   /** Hierarchy share-of-parent rollup (q295): nation revenue with its
     * share of the parent region AND of the grand total — the two-level
     * drill report every BI hierarchy renders. Region subtotals and the

@@ -175,6 +175,49 @@ object EmbedHealthOps {
         col("min_ratio2_ppm"), col("max_ratio2_ppm"))
   }
 
+  /** Silhouette-lite label quality (q299): per vector, the exact
+    * integer silhouette analogue `(b² − a²)·1e6 div max(a², b²)`
+    * where a² is the squared distance to the OWN label centroid and
+    * b² the minimum to any other — the clustering-quality score the
+    * k-means family (q57/q76/q81) ships without. The numerator is
+    * SIGNED — verified (and spec-pinned) that BOTH engines truncate
+    * integer division toward zero (Spark `div` ≡ DuckDB integer `//`,
+    * probed at −7/2 = −3 on each), so the row score is one plain
+    * integral division. Per label the report is the exact SUM of row
+    * scores plus the negative count.
+    *
+    * Scale shape: centroids are (labels × dims) broadcast; the
+    * distance pass is one corpus scan against the broadcast centroid
+    * list; the rollup is label-cardinality.
+    */
+  def silhouetteLite(spark: SparkSession, dir: String): DataFrame =
+    silhouetteLiteOn(Tables.embeddings(spark, dir))
+
+  private[graft] def silhouetteLiteOn(emb: DataFrame): DataFrame = {
+    val q = quantized(emb)
+    val c = centroids(q)
+    val dist = q.crossJoin(broadcast(c.select(col("label").as("clabel"),
+        col("cq"))))
+      .select(col("vec_id"), col("label"), col("clabel"),
+        dotL(zipDiff(col("q"), col("cq")),
+          zipDiff(col("q"), col("cq"))).as("d2"))
+    val ab = dist.groupBy(col("vec_id"), col("label"))
+      .agg(max(when(col("label") === col("clabel"), col("d2"))).as("a2"),
+        min(when(col("label") =!= col("clabel"), col("d2"))).as("b2"))
+    val s = ab.filter(greatest(col("a2"), col("b2")) > 0)
+      .select(col("label"),
+        expr("((b2 - a2) * 1000000) div greatest(a2, b2)")
+          .as("sil_ppm"))
+    s.groupBy(col("label"))
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(col("sil_ppm")).as("sum_sil_ppm"),
+        sum(when(col("sil_ppm") < 0, 1L).otherwise(0L)).as("n_negative"))
+      .orderBy(col("label"))
+  }
+
+  private def zipDiff(a: Column, b: Column): Column =
+    zip_with(a, b, (x, y) => x - y)
+
   /** Embedding split drift (q280): per label, the cosine between the
     * mean vectors of the even- and odd-id halves of the corpus — the
     * "did my two batches/shards embed the same distribution" check run

@@ -1131,6 +1131,60 @@ private[graft] object CoreOracles {
            CAST(CASE WHEN sum(CASE WHEN n_b > 1 THEN 1 ELSE 0 END) = 0
              THEN 1 ELSE 0 END AS INT) AS holds
          FROM per_a GROUP BY fd ORDER BY fd""",
+    // q300: daily bounce rate on the shared session CTE
+    // (CoreQueries.q300BounceRate)
+    "q300_bounce_rate" ->
+      ("WITH " + sessionsCte + """
+         SELECT CAST(date_trunc('day', session_start) AS DATE) AS day,
+           CAST(count(*) AS BIGINT) AS n_sessions,
+           CAST(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_bounces,
+           CAST(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) * 10000
+             // count(*) AS BIGINT) AS bounce_bp
+         FROM sess GROUP BY 1 ORDER BY 1"""),
+    // q301: demand-spike screen — peak monthly quantity > 2× own mean
+    // on cross-multiplied integers (CoreQueries.q301DemandSpikes)
+    "q301_demand_spikes" ->
+      """WITH d AS (SELECT l_partkey AS pk,
+             CAST(date_trunc('month', l_shipdate) AS DATE) AS mth,
+             CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS q
+           FROM lineitem GROUP BY 1, 2),
+         s AS (SELECT pk, CAST(count(*) AS BIGINT) AS n_months,
+             CAST(sum(q) AS HUGEINT) AS sq, CAST(max(q) AS BIGINT)
+               AS maxq
+           FROM d GROUP BY 1)
+         SELECT CAST(pk AS BIGINT) AS partkey, n_months,
+           CAST(sq AS BIGINT) AS total_qty, maxq,
+           CAST(CAST(maxq AS HUGEINT) * n_months * 1000000 // sq
+             AS BIGINT) AS peak_over_mean_ppm
+         FROM s WHERE n_months >= 6
+           AND CAST(maxq AS HUGEINT) * n_months > 2 * sq
+         ORDER BY peak_over_mean_ppm DESC, partkey LIMIT 25""",
+    // q302: unshipped-order aging report — left_anti the shipped keys,
+    // age buckets at the last-ship-date snapshot
+    // (CoreQueries.q302AgingReport)
+    "q302_aging_report" ->
+      """WITH snap AS (SELECT CAST(max(CAST(l_shipdate AS DATE))
+             AS DATE) AS asof FROM lineitem),
+         shipped AS (SELECT DISTINCT l_orderkey AS ok FROM lineitem),
+         open_orders AS (
+           SELECT o.o_orderpriority,
+             CAST(round(o.o_totalprice * 100, 0) AS BIGINT) AS price_c,
+             datediff('day', CAST(o.o_orderdate AS DATE), s.asof)
+               AS age_d
+           FROM orders o CROSS JOIN snap s
+           WHERE NOT EXISTS (SELECT 1 FROM shipped
+             WHERE shipped.ok = o.o_orderkey)),
+         b AS (SELECT o_orderpriority,
+             CASE WHEN age_d <= 30 THEN '0-30'
+                  WHEN age_d <= 90 THEN '31-90'
+                  WHEN age_d <= 365 THEN '91-365'
+                  ELSE '365+' END AS age_bucket,
+             price_c FROM open_orders)
+         SELECT o_orderpriority, age_bucket,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(price_c) AS BIGINT) AS open_value_c
+         FROM b GROUP BY 1, 2 ORDER BY 1, 2""",
     // q295: nation revenue with share-of-region and share-of-total
     // (CoreQueries.q295RegionNationShare)
     "q295_region_share" ->

@@ -82,6 +82,37 @@ private[graft] object SimilarityOracles {
            GROUP BY 1)
          SELECT doc_id, n_matches, first_pos FROM hits
          ORDER BY n_matches DESC, doc_id LIMIT 25""",
+    // q299: silhouette-lite per label — exact sums of the floor-div
+    // row score (Spark side floors explicitly via pmod; `//` here)
+    // (EmbedHealthOps.silhouetteLiteOn)
+    "q299_silhouette" ->
+      """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v
+           FROM embeddings),
+         xq AS (SELECT vec_id, label, list_transform(v,
+             x -> CAST(round(x * 1024) AS BIGINT)) AS q FROM e),
+         mud AS (SELECT label, i.range AS d,
+             CAST(round(avg(q[i.range])) AS BIGINT) AS mu
+           FROM xq, range(1, 65) i GROUP BY 1, 2),
+         cent AS (SELECT label AS clabel, list(mu ORDER BY d) AS cq
+           FROM mud GROUP BY 1),
+         dist AS (SELECT x.vec_id, x.label, c.clabel,
+             CAST(list_sum(list_transform(range(1, 65),
+               i -> (x.q[i] - c.cq[i]) * (x.q[i] - c.cq[i])))
+               AS HUGEINT) AS d2
+           FROM xq x CROSS JOIN cent c),
+         ab AS (SELECT vec_id, label,
+             max(CASE WHEN label = clabel THEN d2 END) AS a2,
+             min(CASE WHEN label <> clabel THEN d2 END) AS b2
+           FROM dist GROUP BY 1, 2),
+         s AS (SELECT vec_id, label,
+             CAST((b2 - a2) * 1000000 // greatest(a2, b2) AS BIGINT)
+               AS sil_ppm
+           FROM ab WHERE greatest(a2, b2) > 0)
+         SELECT label, CAST(count(*) AS BIGINT) AS n_vecs,
+           CAST(sum(sil_ppm) AS BIGINT) AS sum_sil_ppm,
+           CAST(sum(CASE WHEN sil_ppm < 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_negative
+         FROM s GROUP BY 1 ORDER BY 1""",
     // q297: TwoNN intrinsic-dimension ratio panel — 2nd/1st NN squared
     // distance ratio ppm for 32 probes, rank-pick median
     // (EmbedHealthOps.twoNnRatioOn)

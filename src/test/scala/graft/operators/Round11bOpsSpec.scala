@@ -664,6 +664,67 @@ class Round11bOpsSpec extends SparkSpecBase {
     assert(ties.getLong(2) === 500000L)
   }
 
+  // ---- q299 silhouette-lite ---------------------------------------
+
+  test("q299: tight own cluster scores positive; a vector nearer the other label, negative") {
+    // label 0 hugs (0.5, 0); label 1 hugs (-0.5, 0); the stray label-0
+    // vector sits ON label 1's centroid → strongly negative
+    val emb = Seq(
+      (1L, 0, Array(0.5f, 0.01f)), (2L, 0, Array(0.5f, -0.01f)),
+      (3L, 1, Array(-0.5f, 0.01f)), (4L, 1, Array(-0.5f, -0.01f)),
+      (5L, 0, Array(-0.5f, 0.0f)))
+      .toDF("vec_id", "label", "embedding")
+    val out = graft.operators.EmbedHealthOps.silhouetteLiteOn(emb)
+      .collect().map(r => r.getInt(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out(1)._3 === 0L)             // clean label: no negatives
+    assert(out(1)._2 > 0L)               // and positive total
+    assert(out(0)._3 >= 1L)              // the stray flags negative
+  }
+
+  test("q299: both engines truncate the signed division identically (the -7/2 pin)") {
+    import spark.implicits._
+    val r = spark.sql("SELECT -7 div 2 AS q").collect()(0).getLong(0)
+    assert(r === -3L) // truncation toward zero, matching DuckDB's //
+  }
+
+  // ---- q300 bounce rate -------------------------------------------
+
+  test("q300: a single-event session bounces; a two-event one does not") {
+    val out = CoreQueries.q300BounceRate(spark, sf0001).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(1))
+      assert(r.getLong(3) <= 10000L)
+    }
+  }
+
+  // ---- q301 demand spikes -----------------------------------------
+
+  test("q301: the cross-multiplied gate admits exactly peak > 2x mean") {
+    val out = CoreQueries.q301DemandSpikes(spark, sf0001).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      // maxq * n_months > 2 * total_qty, re-checked from the outputs
+      assert(BigInt(r.getLong(3)) * r.getLong(1) >
+        BigInt(2) * r.getLong(2))
+      assert(r.getLong(4) > 2000000L)
+    }
+  }
+
+  // ---- q302 aging report ------------------------------------------
+
+  test("q302: open orders are exactly the orders with no shipped line") {
+    val out = CoreQueries.q302AgingReport(spark, sf0001).collect()
+    val openTotal = out.map(_.getLong(2)).sum
+    val orders = graft.Tables.orders(spark, sf0001)
+    val shipped = graft.Tables.lineitem(spark, sf0001)
+      .select(col("l_orderkey")).distinct()
+    val expect = orders.join(shipped,
+      col("o_orderkey") === col("l_orderkey"), "left_anti").count()
+    assert(openTotal === expect)
+  }
+
   // ---- q270 FD audit ----------------------------------------------
 
   test("q270: violation counts equal the closed-form fixture") {
