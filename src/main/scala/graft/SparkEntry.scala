@@ -414,6 +414,12 @@ object SparkEntry {
       CoreQueries.q301DemandSpikes(s, d)),
     "q302_aging_report"   -> ((s, d) =>
       CoreQueries.q302AgingReport(s, d)),
+    "q303_whale_trend"    -> ((s, d) =>
+      CoreQueries.q303WhaleShareTrend(s, d)),
+    "q304_frequent_triples" -> ((s, d) =>
+      GraphOps.frequentTriples(s, d)),
+    "q305_stage_gaps"     -> ((s, d) =>
+      EventOps.stageGapQuantiles(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -2075,6 +2075,38 @@ object CoreQueries {
       .orderBy(col("decile"))
   }
 
+  /** Whale-dependence trend (q303): monthly revenue share coming from
+    * the lifetime top-decile spenders — the q284 Lorenz cut turned
+    * into a TREND (is the business concentrating?). The whale set is
+    * one exact-rank cut over customer-cardinality rows
+    * (`r·10 ≤ n`), broadcast back into the month rollup; shares
+    * floored to bp on HUGEINT.
+    */
+  def q303WhaleShareTrend(spark: SparkSession, dir: String): DataFrame = {
+    val cents = round(col("o_totalprice") * 100, 0).cast("long")
+    val orders = Tables.orders(spark, dir)
+    val cs = orders.groupBy(col("o_custkey"))
+      .agg(sum(cents).as("spend_c"))
+    val whales = cs
+      .withColumn("r", row_number().over(
+        Window.orderBy(col("spend_c").desc, col("o_custkey"))))
+      .crossJoin(broadcast(cs.agg(count(lit(1)).as("n"))))
+      .filter(col("r") * 10 <= col("n"))
+      .select(col("o_custkey")).withColumn("is_whale", lit(1L))
+    // the whale set is customer-decile-sized — at 100 TB that is NOT
+    // broadcastable, so the join strategy stays AQE's call (q250 rule)
+    orders
+      .join(whales, Seq("o_custkey"), "left")
+      .groupBy(trunc(to_date(col("o_orderdate")), "month").as("mth"))
+      .agg(sum(cents).as("rev_c"),
+        sum(when(col("is_whale") === 1L, cents).otherwise(0L))
+          .as("whale_c"))
+      .select(col("mth"), col("rev_c"), col("whale_c"),
+        expr("(CAST(whale_c AS decimal(38,0)) * 10000) div rev_c")
+          .cast("long").as("whale_share_bp"))
+      .orderBy(col("mth"))
+  }
+
   /** Daily bounce rate (q300): sessions that never got a second event,
     * as a share of the day's sessions — the engagement-quality KPI on
     * top of the SHARED q58 session assembly ([[sessionsOn]]), so the

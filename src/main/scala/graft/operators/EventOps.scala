@@ -1590,6 +1590,39 @@ object EventOps {
           "(2 * npos * nneg)").cast("long").as("auc_ppm"))
   }
 
+  /** Funnel stage-gap quantile matrix (q305): for each consecutive
+    * stage pair of the q103 ordered funnel (built on the SHARED
+    * [[funnelStageTimes]] so the stage semantics cannot drift), the
+    * exact p50/p90 of the time users took to advance — the "where does
+    * the funnel stall" panel next to q103's "where does it leak".
+    * Quantiles are explicit rank picks (the q261 selection rule) on
+    * integer µs gaps; windows partition per stage.
+    */
+  def stageGapQuantiles(spark: SparkSession, dir: String): DataFrame =
+    stageGapQuantilesOn(Tables.events(spark, dir))
+
+  private[graft] def stageGapQuantilesOn(ev: DataFrame): DataFrame = {
+    val stages = funnelStageTimes(ev)
+    val gaps = stages.zip(stages.tail).map { case ((s1, a), (s2, b)) =>
+      a.select(col("user_id"), col("t").as("ta"))
+        .join(b.select(col("user_id"), col("t").as("tb")), Seq("user_id"))
+        .select(lit(s"$s1->$s2").as("stage"),
+          (unix_micros(col("tb")) - unix_micros(col("ta")))
+            .as("gap_us"))
+    }.reduce(_.unionByName(_))
+    val wr = Window.partitionBy(col("stage")).orderBy(col("gap_us"))
+    val wn = Window.partitionBy(col("stage"))
+    gaps.withColumn("r", row_number().over(wr))
+      .withColumn("n", count(lit(1)).over(wn))
+      .groupBy(col("stage"))
+      .agg(max(col("n")).as("n_users"),
+        max(when(col("r") === expr("(n + 1) div 2"), col("gap_us")))
+          .as("p50_gap_us"),
+        max(when(col("r") === expr("(9 * n + 9) div 10"),
+          col("gap_us"))).as("p90_gap_us"))
+      .orderBy(col("stage"))
+  }
+
   /** Daily net-position drawdown panel (q292): cumulative net value
     * (purchase revenue minus a fixed per-error penalty), its running
     * peak, and the drawdown below that peak — the max-drawdown ledger

@@ -459,6 +459,41 @@ object GraphOps {
       .limit(k)
   }
 
+  /** Frequent item TRIPLES (q304): the k=3 itemset cut above the pair
+    * grid — items co-touched by the same users, top-25 triples by
+    * co-user support. The per-user cap is TIGHTER than the pair
+    * family's (12 vs 500): triple fan-out is C(cap,3), so the cap is
+    * the knob that keeps the expansion ~220 rows per user instead of
+    * ~2×10⁷ — the Apriori-style bound a production itemset miner
+    * enforces before going to k=3. Support ≥ `minSupport` is a
+    * pre-filter; the report is the top-25 TakeOrdered either way.
+    */
+  def frequentTriples(spark: SparkSession, dir: String, k: Int = 25,
+      minSupport: Int = 2, userItemCap: Int = 12): DataFrame =
+    frequentTriplesOn(Tables.events(spark, dir), k, minSupport,
+      userItemCap)
+
+  private[graft] def frequentTriplesOn(ev: DataFrame, k: Int,
+      minSupport: Int, userItemCap: Int): DataFrame = {
+    val ui = EventOps.cappedUserItems(ev, userItemCap).persist()
+    val out = ui.as("a")
+      .join(ui.as("b"), col("a.user_id") === col("b.user_id") &&
+        col("a.item") < col("b.item"))
+      .join(ui.as("c"), col("b.user_id") === col("c.user_id") &&
+        col("b.item") < col("c.item"))
+      .groupBy(col("a.item").as("i"), col("b.item").as("j"),
+        col("c.item").as("k"))
+      .agg(count(lit(1)).as("n_ijk"))
+      .filter(col("n_ijk") >= minSupport)
+      .select(col("i").cast("int").as("i"), col("j").cast("int").as("j"),
+        col("k").cast("int").as("k"), col("n_ijk"))
+      .orderBy(col("n_ijk").desc, col("i"), col("j"), col("k"))
+      .limit(k)
+      .localCheckpoint(eager = true)
+    ui.unpersist()
+    out
+  }
+
   /** Common-neighbor link prediction on the part co-order graph
     * (q266): part pairs NOT yet co-ordered together that share many
     * co-order neighbors — ranked by neighborhood Jaccard in ppm

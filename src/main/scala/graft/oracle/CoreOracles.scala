@@ -1131,6 +1131,31 @@ private[graft] object CoreOracles {
            CAST(CASE WHEN sum(CASE WHEN n_b > 1 THEN 1 ELSE 0 END) = 0
              THEN 1 ELSE 0 END AS INT) AS holds
          FROM per_a GROUP BY fd ORDER BY fd""",
+    // q303: whale-dependence trend — monthly revenue share from the
+    // lifetime top-decile spenders (CoreQueries.q303WhaleShareTrend)
+    "q303_whale_trend" ->
+      """WITH cs AS (SELECT o_custkey,
+             CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+               AS BIGINT) AS spend_c
+           FROM orders GROUP BY 1),
+         rk AS (SELECT o_custkey,
+             row_number() OVER (ORDER BY spend_c DESC, o_custkey) AS r,
+             (SELECT CAST(count(*) AS BIGINT) FROM cs) AS n FROM cs),
+         whales AS (SELECT o_custkey FROM rk WHERE r * 10 <= n),
+         m AS (SELECT CAST(date_trunc('month', o.o_orderdate) AS DATE)
+               AS mth,
+             CAST(sum(CAST(round(o.o_totalprice * 100, 0) AS BIGINT))
+               AS BIGINT) AS rev_c,
+             CAST(sum(CASE WHEN w.o_custkey IS NOT NULL
+               THEN CAST(round(o.o_totalprice * 100, 0) AS BIGINT)
+               ELSE 0 END) AS BIGINT) AS whale_c
+           FROM orders o LEFT JOIN whales w
+             ON o.o_custkey = w.o_custkey
+           GROUP BY 1)
+         SELECT mth, rev_c, whale_c,
+           CAST(CAST(whale_c AS HUGEINT) * 10000 // rev_c AS BIGINT)
+             AS whale_share_bp
+         FROM m ORDER BY mth""",
     // q300: daily bounce rate on the shared session CTE
     // (CoreQueries.q300BounceRate)
     "q300_bounce_rate" ->

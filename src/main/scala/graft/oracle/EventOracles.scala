@@ -1082,6 +1082,61 @@ private[graft] object EventOracles {
            CAST((sum2r_pos - npos * (npos + 1)) * 1000000
              // (2 * npos * nneg) AS BIGINT) AS auc_ppm
          FROM agg""",
+    // q304: frequent item triples — per-user cap 12 (C(cap,3) bound),
+    // support ≥ 2 pre-filter, top-25 (GraphOps.frequentTriplesOn)
+    "q304_frequent_triples" ->
+      """WITH grid AS (SELECT user_id,
+             CAST(json_extract_string(props, '$.k') AS INT) AS item,
+             count(*) AS n_ev
+           FROM events WHERE json_extract_string(props, '$.k') IS NOT NULL
+           GROUP BY 1, 2),
+         ui AS (SELECT user_id, item FROM (
+             SELECT user_id, item, row_number() OVER (PARTITION BY user_id
+               ORDER BY n_ev DESC, item) AS rk FROM grid)
+           WHERE rk <= 12),
+         t AS (SELECT a.item AS i, b.item AS j, c.item AS k,
+             CAST(count(*) AS BIGINT) AS n_ijk
+           FROM ui a JOIN ui b ON a.user_id = b.user_id
+             AND a.item < b.item
+           JOIN ui c ON b.user_id = c.user_id AND b.item < c.item
+           GROUP BY 1, 2, 3 HAVING count(*) >= 2)
+         SELECT CAST(i AS INT) AS i, CAST(j AS INT) AS j,
+           CAST(k AS INT) AS k, n_ijk
+         FROM t ORDER BY n_ijk DESC, i, j, k LIMIT 25""",
+    // q305: funnel stage-gap p50/p90 matrix on the shared ordered
+    // funnel stage times (EventOps.stageGapQuantilesOn)
+    "q305_stage_gaps" ->
+      """WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events
+           WHERE event_type = 'signup' GROUP BY 1),
+         s2 AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e
+           JOIN s1 ON e.user_id = s1.user_id
+           WHERE e.event_type = 'view' AND e.ts > s1.t1 GROUP BY 1),
+         s3 AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e
+           JOIN s2 ON e.user_id = s2.user_id
+           WHERE e.event_type = 'click' AND e.ts > s2.t2 GROUP BY 1),
+         s4 AS (SELECT e.user_id, min(e.ts) AS t4 FROM events e
+           JOIN s3 ON e.user_id = s3.user_id
+           WHERE e.event_type = 'purchase' AND e.ts > s3.t3 GROUP BY 1),
+         gaps AS (
+           SELECT 'signup->view' AS stage,
+             epoch_us(s2.t2) - epoch_us(s1.t1) AS gap_us
+           FROM s1 JOIN s2 ON s1.user_id = s2.user_id
+           UNION ALL SELECT 'view->click',
+             epoch_us(s3.t3) - epoch_us(s2.t2)
+           FROM s2 JOIN s3 ON s2.user_id = s3.user_id
+           UNION ALL SELECT 'click->purchase',
+             epoch_us(s4.t4) - epoch_us(s3.t3)
+           FROM s3 JOIN s4 ON s3.user_id = s4.user_id),
+         rk AS (SELECT stage, gap_us,
+             row_number() OVER (PARTITION BY stage ORDER BY gap_us)
+               AS r,
+             count(*) OVER (PARTITION BY stage) AS n FROM gaps)
+         SELECT stage, CAST(max(n) AS BIGINT) AS n_users,
+           CAST(max(CASE WHEN r = (n + 1) // 2 THEN gap_us END)
+             AS BIGINT) AS p50_gap_us,
+           CAST(max(CASE WHEN r = (9 * n + 9) // 10 THEN gap_us END)
+             AS BIGINT) AS p90_gap_us
+         FROM rk GROUP BY stage ORDER BY stage""",
     // q292: daily net drawdown panel — cumsum → running max →
     // difference, exact cents (EventOps.drawdownPanelOn)
     "q292_drawdown" ->

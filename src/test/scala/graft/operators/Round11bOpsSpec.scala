@@ -725,6 +725,53 @@ class Round11bOpsSpec extends SparkSpecBase {
     assert(openTotal === expect)
   }
 
+  // ---- q303 whale trend -------------------------------------------
+
+  test("q303: whale share is bounded by the month total and the cut is a strict decile") {
+    val out = CoreQueries.q303WhaleShareTrend(spark, sf0001).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(1))
+      assert(r.getLong(3) <= 10000L)
+    }
+  }
+
+  // ---- q304 frequent triples --------------------------------------
+
+  test("q304: a planted common triple outranks the rest") {
+    // three users share items {1,2,3}; one extra pair-only user
+    val rows = for {
+      (u, items) <- Seq((1L, Seq(1, 2, 3)), (2L, Seq(1, 2, 3)),
+        (3L, Seq(1, 2, 3)), (4L, Seq(1, 2)))
+      it <- items
+    } yield ((u * 100 + it).toLong, "2024-01-01 10:00:00", u, "view", 0.0)
+    val ev = rows.toDF("event_id", "s", "user_id", "event_type", "value")
+      .withColumn("ts", to_timestamp(col("s"))).drop("s")
+      .withColumn("props", format_string("""{"k": %d}""",
+        pmod(col("event_id"), lit(100L))))
+    val out = GraphOps.frequentTriplesOn(ev, 25, 2, 12).collect()
+    assert(out.length === 1)
+    assert((out(0).getInt(0), out(0).getInt(1), out(0).getInt(2),
+      out(0).getLong(3)) === ((1, 2, 3, 3L)))
+  }
+
+  // ---- q305 stage gaps --------------------------------------------
+
+  test("q305: gaps measure consecutive ordered-funnel stage times") {
+    // one user advancing through all four stages at known times
+    val ev = eventsOf(Seq(
+      (1L, "2024-01-01 10:00:00", 1L, "signup", 0.0),
+      (2L, "2024-01-01 10:10:00", 1L, "view", 0.0),
+      (3L, "2024-01-01 10:40:00", 1L, "click", 0.0),
+      (4L, "2024-01-01 11:40:00", 1L, "purchase", 0.0)))
+    val out = EventOps.stageGapQuantilesOn(ev)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    assert(out("signup->view") === ((1L, 600000000L)))
+    assert(out("view->click") === ((1L, 1800000000L)))
+    assert(out("click->purchase") === ((1L, 3600000000L)))
+  }
+
   // ---- q270 FD audit ----------------------------------------------
 
   test("q270: violation counts equal the closed-form fixture") {
