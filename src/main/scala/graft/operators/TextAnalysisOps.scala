@@ -1415,13 +1415,19 @@ object TextAnalysisOps {
           .as("fp"),
         (coalesce(col("n_true"), lit(0L)) - coalesce(col("tp"), lit(0L)))
           .as("fn"))
+      // tp·1e6 passes 2^63 once a class holds ~9e12 docs — inside a
+      // 100 TB corpus — so the products ride decimal(38,0)/HUGEINT
+      // (PARITY rule 13) and narrow at the boundary
       .select(col("label"), col("tp"), col("fp"), col("fn"),
         when(col("tp") + col("fp") > 0,
-          expr("tp * 1000000 div (tp + fp)")).as("precision_ppm"),
+          expr("(CAST(tp AS decimal(38,0)) * 1000000) div (tp + fp)"))
+          .cast("long").as("precision_ppm"),
         when(col("tp") + col("fn") > 0,
-          expr("tp * 1000000 div (tp + fn)")).as("recall_ppm"),
+          expr("(CAST(tp AS decimal(38,0)) * 1000000) div (tp + fn)"))
+          .cast("long").as("recall_ppm"),
         when(lit(2L) * col("tp") + col("fp") + col("fn") > 0,
-          expr("2 * tp * 1000000 div (2 * tp + fp + fn)")).as("f1_ppm"))
+          expr("(CAST(tp AS decimal(38,0)) * 2000000) div " +
+            "(2 * tp + fp + fn)")).cast("long").as("f1_ppm"))
       .orderBy(col("label"))
   }
 

@@ -87,13 +87,14 @@ private[graft] object TextOracles {
            FROM cls)
          SELECT label, tp, fp, fn,
            CAST(CASE WHEN tp + fp > 0
-             THEN tp * 1000000 // (tp + fp) END AS BIGINT)
-             AS precision_ppm,
+             THEN CAST(tp AS HUGEINT) * 1000000 // (tp + fp) END
+             AS BIGINT) AS precision_ppm,
            CAST(CASE WHEN tp + fn > 0
-             THEN tp * 1000000 // (tp + fn) END AS BIGINT) AS recall_ppm,
+             THEN CAST(tp AS HUGEINT) * 1000000 // (tp + fn) END
+             AS BIGINT) AS recall_ppm,
            CAST(CASE WHEN 2 * tp + fp + fn > 0
-             THEN 2 * tp * 1000000 // (2 * tp + fp + fn) END AS BIGINT)
-             AS f1_ppm
+             THEN CAST(tp AS HUGEINT) * 2000000 // (2 * tp + fp + fn)
+             END AS BIGINT) AS f1_ppm
          FROM m ORDER BY label"""),
     "q38_rolling_fp" ->
       """SELECT count(*) AS n_docs,
