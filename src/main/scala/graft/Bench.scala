@@ -62,37 +62,46 @@ object Bench {
         .getOperatingSystemMXBean.getSystemLoadAverage
     }
 
+  /** How many slowest-warm queries ride the stdout `"metric":"total"`
+    * line. Sized so the WHOLE stdout payload (summary + top line +
+    * summary) stays under the driver's 2000-char stdout tail window at
+    * any registry size: r11's 305-query full warm dict (~8 KB) pushed
+    * the tail to start mid-JSON, making BENCH_r11.json unparseable on
+    * its own. 20 entries ≈ 600 chars.
+    */
+  val TopK = 20
+
   /** Render the stdout lines. Contract (spec-pinned): the compact
     * `"metric":"total_summary"` line is printed FIRST and LAST (identical
-    * bytes) around EXACTLY one `"metric":"total_cold"` line carrying the
-    * rep-1 payload and then one `"metric":"total"` line carrying the warm
-    * per-query payload — the per-query map is split across two lines so
-    * each stays well inside the driver's stdout tail window (the single
-    * combined line was truncated mid-JSON in r2/r4/r6), and the WARM line
-    * sits nearest the end because the tail reads from there (the r9 tail
-    * captured the cold dict and its first-build times were misread as
-    * regressions). Failed queries
-    * (no rep succeeded) appear as negative durations (never mistakable
-    * for a measurement) and are excluded from the totals — a run with a
-    * broken expensive query must not look FASTER. Queries that failed
-    * SOME reps report the median of their successful reps but are listed
-    * in `flaky` — intermittent breakage must stay visible in the durable
-    * record, not only on stderr. `suspect` lists warm≫cold inversions
-    * (see [[suspects]]); `load` carries the 1-min load average at run
-    * start/end (see [[loadAvg]]).
-    *
-    * `cold` is the rep-1 per-query map: rep 1 is the pass that pays every
-    * session-cache build, so its times are the cold-session cost the warm
-    * medians deliberately exclude (the r5 lesson: with medians alone, a
-    * regression in a cached query's BUILD cost moved no committed
-    * number). `total_cold` rides every line shape.
+    * bytes) around EXACTLY one `"metric":"total"` line whose `queries`
+    * map carries only the [[TopK]] SLOWEST warm medians (plus every
+    * failed query's negative sentinel) and a `"full"` pointer at the
+    * committed artifacts holding the complete per-query maps
+    * (BENCH_LOCAL.json / bench_history.jsonl, written by [[fullLine]]).
+    * The driver captures a 2000-char stdout tail: r2/r4/r6 truncated a
+    * single combined line mid-JSON, r9's two-line split captured the
+    * wrong (cold) dict, and r11's 305-query warm dict overflowed the
+    * window again — the durable fix is that stdout NEVER carries an
+    * unbounded per-query map; the tail now contains every stdout line
+    * complete. Failed queries (no rep succeeded) appear as negative
+    * durations (never mistakable for a measurement) and are excluded
+    * from the totals — a run with a broken expensive query must not
+    * look FASTER. Queries that failed SOME reps report the median of
+    * their successful reps but are listed in `flaky`. `suspect` lists
+    * warm≫cold inversions (see [[suspects]]); `load` carries the 1-min
+    * load average at run start/end (see [[loadAvg]]); `total_cold` is
+    * the rep-1 total (the pass that pays every session-cache build).
     */
   def renderLines(results: Map[String, Double], failed: Seq[String],
       sf: String, flaky: Seq[String] = Nil,
       cold: Map[String, Double] = Map.empty,
       load: (Double, Double) = (-1.0, -1.0)): Seq[String] = {
-    def qmap(m: Map[String, Double]) = m.toSeq.sortBy(_._1)
-      .map { case (k, v) => s"\"" + k + "\":" + r3(v) }
+    // slowest first so the audit-relevant entries survive any further
+    // truncation; failed sentinels always ride along (they are the
+    // first thing a reader must see)
+    val top = (results.toSeq.filter(_._2 < 0) ++
+        results.toSeq.filter(_._2 >= 0).sortBy(-_._2).take(TopK))
+      .map { case (k, v) => s"\"" + jsonStr(k) + "\":" + r3(v) }
       .mkString("{", ",", "}")
     val total = r3(results.values.filter(_ >= 0).sum)
     val totalCold = r3(cold.values.filter(_ >= 0).sum)
@@ -102,14 +111,31 @@ object Bench {
     val loadJson = s"""{"start":${r3(load._1)},"end":${r3(load._2)}}"""
     val summary =
       s"""{"metric":"total_summary","value":$total,"unit":"sec","total_cold":$totalCold,"n_queries":${results.size},"n_failed":${failed.size},"n_flaky":${flaky.size},"n_suspect":${sus.size},"load":$loadJson,"sf":"${jsonStr(sf)}"}"""
-    // cold BEFORE warm: the driver's stdout tail reads from the END, so
-    // the line nearest the closing summary must be the WARM per-query
-    // map — round 9's tail captured the cold dict and its first-build
-    // times were misread as per-query regressions
     Seq(summary,
-      s"""{"metric":"total_cold","value":$totalCold,"unit":"sec","queries_cold":${qmap(cold)},"sf":"${jsonStr(sf)}"}""",
-      s"""{"metric":"total","value":$total,"unit":"sec","total_cold":$totalCold,"queries":${qmap(results)},"failed":${names(failed)},"flaky":${names(flaky)},"suspect":${names(sus)},"n_suspect":${sus.size},"load":$loadJson,"sf":"${jsonStr(sf)}"}""",
+      s"""{"metric":"total","value":$total,"unit":"sec","total_cold":$totalCold,"queries":$top,"n_top":${math.min(TopK, results.count(_._2 >= 0))},"full":"bench_history.jsonl","failed":${names(failed)},"flaky":${names(flaky)},"suspect":${names(sus)},"n_suspect":${sus.size},"load":$loadJson,"sf":"${jsonStr(sf)}"}""",
       summary)
+  }
+
+  /** The complete per-query record — warm medians AND rep-1 cold times
+    * in one JSON object — written to BENCH_LOCAL.json and appended to
+    * bench_history.jsonl. This is the durable artifact the stdout
+    * `"full"` pointer names; stdout itself never carries the unbounded
+    * maps (see [[renderLines]]).
+    */
+  def fullLine(results: Map[String, Double], failed: Seq[String],
+      sf: String, flaky: Seq[String] = Nil,
+      cold: Map[String, Double] = Map.empty,
+      load: (Double, Double) = (-1.0, -1.0)): String = {
+    def qmap(m: Map[String, Double]) = m.toSeq.sortBy(_._1)
+      .map { case (k, v) => s"\"" + jsonStr(k) + "\":" + r3(v) }
+      .mkString("{", ",", "}")
+    val total = r3(results.values.filter(_ >= 0).sum)
+    val totalCold = r3(cold.values.filter(_ >= 0).sum)
+    def names(xs: Seq[String]) =
+      xs.sorted.map("\"" + jsonStr(_) + "\"").mkString("[", ",", "]")
+    val sus = suspects(results, cold)
+    val loadJson = s"""{"start":${r3(load._1)},"end":${r3(load._2)}}"""
+    s"""{"metric":"total","value":$total,"unit":"sec","total_cold":$totalCold,"queries":${qmap(results)},"failed":${names(failed)},"flaky":${names(flaky)},"suspect":${names(sus)},"n_suspect":${sus.size},"load":$loadJson,"sf":"${jsonStr(sf)}","queries_cold":${qmap(cold)}}"""
   }
 
   def main(args: Array[String]): Unit = {
@@ -176,14 +202,14 @@ object Bench {
     }.toMap
     // rep 1 pays every session-cache build — its per-query times are the
     // cold-session cost the warm medians exclude
+    val loadEnd = loadAvg()
     val lines = renderLines(results, failed.toSeq, sfDir, flaky.toSeq,
-      cold = passes.head, load = (loadStart, loadAvg()))
-    // the committed durable record stays ONE combined line per round
-    // (warm + cold in one object, splicing the cold map into the warm
-    // line) even though stdout splits them across two lines for the tail
-    val coldMap = lines(1).split("\"queries_cold\":", 2)(1)
-      .split(",\"sf\":", 2)(0)
-    val big = lines(2).stripSuffix("}") + s""","queries_cold":$coldMap}"""
+      cold = passes.head, load = (loadStart, loadEnd))
+    // the committed durable record is ONE combined line per round
+    // (full warm + cold maps in one object); stdout only ever carries
+    // the bounded top-K view of it
+    val big = fullLine(results, failed.toSeq, sfDir, flaky.toSeq,
+      cold = passes.head, load = (loadStart, loadEnd))
     // persist the full per-query history BEFORE printing: the driver's
     // stdout tail truncates the big line (r2, r4 lost 17 queries' times),
     // so the committed artifacts are the durable record

@@ -2,68 +2,97 @@ package graft
 
 import org.scalatest.funsuite.AnyFunSuite
 
-/** Pins Bench's output contract without spinning up a session: the
-  * compact `"metric":"total_summary"` line printed FIRST and LAST
-  * (identical — the driver captures a stdout window and has truncated
-  * the big line mid-JSON from either edge), exactly one rep-1 line keyed
-  * `"metric":"total_cold"` and then one warm per-query line keyed
-  * `"metric":"total"` between them (split so each stays inside the
-  * tail window; warm LAST so the driver's end-anchored tail reads the
-  * warm medians, not the r9 cold-dict misread), cold totals next to the warm medians, failed queries
-  * negative and excluded from the totals, warm≫cold load-spike
-  * inversions flagged as `suspect`, the run's start/end load average,
-  * 3dp durations, and the median statistic itself.
+/** Pins Bench's output contract without spinning up a session: stdout
+  * must fit COMPLETELY inside the driver's 2000-char tail window at any
+  * registry size — the compact `"metric":"total_summary"` line printed
+  * FIRST and LAST (identical bytes) around exactly one
+  * `"metric":"total"` line whose `queries` map is capped at the TopK
+  * slowest warm medians plus failed sentinels, with a `"full"` pointer
+  * at the committed artifacts (BENCH_LOCAL.json / bench_history.jsonl)
+  * that carry the complete warm+cold maps via [[Bench.fullLine]].
+  * r2/r4/r6 truncated one combined line mid-JSON, r9's split captured
+  * the wrong dict, r11's 305-query warm dict overflowed the window
+  * again — the invariant is now "no unbounded map ever reaches stdout".
   */
 class BenchSpec extends AnyFunSuite {
 
-  test("renderLines: summary first AND last, cold then warm between") {
+  test("renderLines: summary first AND last, capped total line between") {
     val lines = Bench.renderLines(
       Map("q1" -> 1.5, "q2" -> 2.5), Nil, "/root/testdata/sf0.1",
       cold = Map("q1" -> 2.0, "q2" -> 3.0))
-    assert(lines.size === 4)
+    assert(lines.size === 3)
     assert(lines.count(_.contains("\"metric\":\"total\"")) === 1)
-    assert(lines.count(_.contains("\"metric\":\"total_cold\"")) === 1)
     assert(lines.count(_.contains("\"metric\":\"total_summary\"")) === 2)
     assert(lines.head === lines.last) // identical bytes at both edges
-    assert(lines(2).contains("\"metric\":\"total\""))
-    assert(lines(2).contains("\"queries\":{\"q1\":1.5,\"q2\":2.5}"))
-    // per-query cold times ride their OWN line, not the warm line
-    assert(!lines(2).contains("\"queries_cold\""))
-    assert(lines(1).contains("\"metric\":\"total_cold\""))
-    assert(lines(1).contains("\"queries_cold\":{\"q1\":2.0,\"q2\":3.0}"))
-    assert(lines(2).contains("\"value\":4.0"))
+    assert(lines(1).contains("\"metric\":\"total\""))
+    // small registries ride whole; slowest first
+    assert(lines(1).contains("\"queries\":{\"q2\":2.5,\"q1\":1.5}"))
+    assert(lines(1).contains("\"full\":\"bench_history.jsonl\""))
+    // per-query cold times live ONLY in the committed artifacts
+    assert(!lines(1).contains("\"queries_cold\""))
+    assert(lines(1).contains("\"value\":4.0"))
     assert(lines.head.contains("\"total_cold\":5.0"))
-    assert(lines(2).contains("\"total_cold\":5.0"))
-    assert(lines(1).contains("\"value\":5.0"))
+    assert(lines(1).contains("\"total_cold\":5.0"))
     assert(lines.last.contains("\"n_queries\":2"))
     assert(lines.last.contains("\"n_failed\":0"))
   }
 
-  test("renderLines: failed queries are negative markers, excluded from both totals") {
-    val lines = Bench.renderLines(
-      Map("ok" -> 2.0, "broken" -> -3.0), Seq("broken"), "sf",
-      cold = Map("ok" -> 4.0, "broken" -> -3.0))
-    assert(lines(2).contains("\"broken\":-3.0"))
-    assert(lines(2).contains("\"value\":2.0")) // not shrunk, not inflated
-    assert(lines(2).contains("\"total_cold\":4.0"))
-    assert(lines(2).contains("\"failed\":[\"broken\"]"))
+  test("renderLines: stdout payload stays inside the 2000-char driver tail at 1000 queries") {
+    val results = (1 to 1000).map(i => f"q$i%03d_some_longish_name" -> i / 100.0).toMap
+    val cold = results.map { case (k, v) => k -> v * 1.5 }
+    val lines = Bench.renderLines(results, Nil, "/root/testdata/sf0.1",
+      cold = cold, load = (31.25, 28.5))
+    val payload = lines.mkString("\n") + "\n"
+    assert(payload.length < 2000,
+      s"stdout payload ${payload.length} chars overflows the 2000-char tail")
+    // the capped map carries exactly TopK entries, the slowest ones
+    assert(lines(1).contains("\"n_top\":" + Bench.TopK))
+    assert(lines(1).contains("\"q1000_some_longish_name\":10.0"))
+    assert(!lines(1).contains("\"q001_some_longish_name\""))
+  }
+
+  test("renderLines: failed sentinels always ride the capped line and totals exclude them") {
+    // 30 slow successes would fill TopK; the failed query must STILL be
+    // visible in stdout with its negative marker
+    val ok = (1 to 30).map(i => s"ok$i" -> (10.0 + i)).toMap
+    val results = ok + ("broken" -> -0.2)
+    val lines = Bench.renderLines(results, Seq("broken"), "sf",
+      cold = results)
+    assert(lines(1).contains("\"broken\":-0.2"))
+    assert(lines(1).contains("\"failed\":[\"broken\"]"))
     assert(lines.last.contains("\"n_failed\":1"))
+    val total = ok.values.sum
+    assert(lines(1).contains(s"\"value\":$total")) // not shrunk, not inflated
+  }
+
+  test("fullLine: complete warm AND cold maps in one parseable object") {
+    val big = Bench.fullLine(
+      Map("q1" -> 1.5, "q2" -> -2.5), Seq("q2"), "sf",
+      flaky = Seq("q1"), cold = Map("q1" -> 2.0, "q2" -> -2.5),
+      load = (1.0, 2.0))
+    assert(big.contains("\"queries\":{\"q1\":1.5,\"q2\":-2.5}"))
+    assert(big.contains("\"queries_cold\":{\"q1\":2.0,\"q2\":-2.5}"))
+    assert(big.contains("\"value\":1.5"))
+    assert(big.contains("\"total_cold\":2.0"))
+    assert(big.contains("\"failed\":[\"q2\"]"))
+    assert(big.contains("\"flaky\":[\"q1\"]"))
+    assert(big.endsWith("}") && big.startsWith("{"))
   }
 
   test("renderLines: partially-failed queries surface in flaky, not just stderr") {
     val lines = Bench.renderLines(Map("q" -> 1.0), Nil, "sf", flaky = Seq("q"))
-    assert(lines(2).contains("\"flaky\":[\"q\"]"))
+    assert(lines(1).contains("\"flaky\":[\"q\"]"))
     assert(lines.last.contains("\"n_flaky\":1"))
     // absent when clean
     val clean = Bench.renderLines(Map("q" -> 1.0), Nil, "sf")
-    assert(clean(2).contains("\"flaky\":[]"))
+    assert(clean(1).contains("\"flaky\":[]"))
   }
 
-  test("renderLines: load average rides summary and warm lines") {
+  test("renderLines: load average rides summary and total lines") {
     val lines = Bench.renderLines(Map("q" -> 1.0), Nil, "sf",
       cold = Map("q" -> 1.0), load = (3.25, 12.5))
     assert(lines.head.contains("\"load\":{\"start\":3.25,\"end\":12.5}"))
-    assert(lines(2).contains("\"load\":{\"start\":3.25,\"end\":12.5}"))
+    assert(lines(1).contains("\"load\":{\"start\":3.25,\"end\":12.5}"))
   }
 
   test("suspects: warm median > 2x successful cold rep flags a load-spike inversion") {
@@ -76,7 +105,7 @@ class BenchSpec extends AnyFunSuite {
     // (negative) can never flag its query
     assert(Bench.suspects(results, cold) === Seq("q65"))
     val lines = Bench.renderLines(results, Nil, "sf", cold = cold)
-    assert(lines(2).contains("\"suspect\":[\"q65\"]"))
+    assert(lines(1).contains("\"suspect\":[\"q65\"]"))
     assert(lines.head.contains("\"n_suspect\":1"))
   }
 
@@ -90,14 +119,16 @@ class BenchSpec extends AnyFunSuite {
     assert(Bench.r3(-0.0004) === -0.001) // failure sign must survive
     val lines = Bench.renderLines(
       Map("q" -> 1.23456789), Nil, "sf", cold = Map("q" -> 1.98765432))
-    assert(lines(2).contains("\"q\":1.235"))
-    assert(lines(1).contains("\"queries_cold\":{\"q\":1.988}"))
+    assert(lines(1).contains("\"q\":1.235"))
+    val big = Bench.fullLine(
+      Map("q" -> 1.23456789), Nil, "sf", cold = Map("q" -> 1.98765432))
+    assert(big.contains("\"queries_cold\":{\"q\":1.988}"))
   }
 
   test("jsonStr: quotes and backslashes in interpolated values cannot corrupt the line") {
     assert(Bench.jsonStr("""r5 "final" \x""") === """r5 \"final\" \\x""")
     val lines = Bench.renderLines(Map("q" -> 1.0), Nil, "sf\"dir")
-    assert(lines(2).contains("\"sf\":\"sf\\\"dir\""))
+    assert(lines(1).contains("\"sf\":\"sf\\\"dir\""))
   }
 
   test("median: odd and even samples, order-insensitive") {
