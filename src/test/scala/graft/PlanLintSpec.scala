@@ -1,0 +1,145 @@
+package graft
+
+/** Registry-WIDE plan lint: walks the pre-AQE physical plan of every
+  * `SparkEntry.queries` entry on sf0.001 and bans the scale-killer
+  * shapes outside explicit, rationale-carrying allowlists. Round 11
+  * proved per-query pins don't prevent re-introduction at 305-query
+  * scale (q284/q296/q303 brought the single-partition global window
+  * back two rounds after it was eliminated; this round's first scan
+  * also caught q291) — a registry invariant does, because every NEW
+  * query is linted the moment it registers (VERDICT r11 item 2).
+  *
+  * Shapes and rules:
+  *   - partitionless `WindowExec`/`WindowGroupLimitExec`: moves the
+  *     whole frame through ONE task — allowed only over frames that
+  *     are provably bounded by a CONSTANT, the CALENDAR, or an
+  *     enumerable key set, never by data cardinality. The allowlist
+  *     names the query AND the window's lead order column, so a new
+  *     global window in an allowlisted query still fails.
+  *   - `CartesianProductExec`: never (all-pairs with no broadcast).
+  *   - `BroadcastNestedLoopJoinExec`: only in queries that document
+  *     the broadcast side as bounded by construction (1-row cap/stat
+  *     aggregates crossed in, constant probe/query sets, codebooks,
+  *     calendar pair frames). Membership is exact — a new BNLJ query
+  *     must consciously join the list.
+  *   - `ScalaUDF`/`PythonUDF`: never (codegen-opaque; the library's
+  *     contract is native expressions only).
+  *
+  * The allowlists are STRICT both ways: an entry whose query no longer
+  * exhibits the shape fails too, so the lists cannot rot into blanket
+  * permissions. Allowlist rationale is kept next to each entry; the
+  * same inventory is documented in PARITY.md.
+  */
+class PlanLintSpec extends SparkSpecBase {
+
+  /** query -> lead ORDER BY column names of its sanctioned
+    * partitionless windows, each with the bound that justifies it.
+    */
+  private val globalWindowAllow: Map[String, Set[String]] = Map(
+    // calendar-bounded day panels (≤ days rows; a century is ~37k)
+    "q112_daily_anomaly"   -> Set("day"),
+    "q180_peak_concurrency" -> Set("day"),
+    "q187_rolling_revenue" -> Set("day_num"),
+    "q278_backlog_ledger"  -> Set("day"),
+    "q283_conversion_hazard" -> Set("t_day"),
+    "q292_drawdown"        -> Set("day"),
+    // calendar² pair frame (≤ days² slopes, volume-independent)
+    "q259_theil_sen"       -> Set("s"),
+    // two-phase bucket-offset frames: ≤ nBuckets rows by construction
+    // (TwoPhaseRank for q284/q291/q296/q303; q130's inline form)
+    "q130_dense_ids"       -> Set("bucket"),
+    "q284_lorenz_deciles"  -> Set("_bkt"),
+    "q291_abc_xyz"         -> Set("_bkt"),
+    "q296_lateness_pareto" -> Set("_bkt"),
+    "q303_whale_trend"     -> Set("_bkt"),
+    // constant-sized grids: budget/threshold stacks, probe sets,
+    // score grids, top-constant vocab cuts
+    "q140_budget_select"   -> Set("k"),   // #budgets × stack rows
+    "q171_quality_curve"   -> Set("k"),   // constant threshold grid
+    "q182_vocab_budget"    -> Set("cnt"), // top-max(budgets) via limit
+    "q297_twonn_ratio"     -> Set("ratio2_ppm"), // 32-probe panel
+    "q298_exact_auc"       -> Set("p"),   // ≤1001-key score grid
+    // enumerable key sets (metadata-cardinality, not row-cardinality)
+    "q146_source_gini"     -> Set("x"),   // documents.source enum
+    "q276_apportionment"   -> Set("rem"), // class frame
+    "q282_hash_sample"     -> Set("rem"), // class frame
+    // filtered-to-bounded order keys
+    "q21_row_number"       -> Set("o_orderkey"), // 1-day order slice
+    // bounded ANN frames: histogram/codebook/query-set cardinality
+    "q80_ivf_sized_topk"   -> Set("h"),
+    "q88_ivfpq_topk"       -> Set("qv_id", "clabel"))
+
+  /** Queries whose BroadcastNestedLoopJoins are sanctioned: every BNLJ
+    * here crosses in a frame bounded by construction — 1-row cap/stat
+    * aggregates (`df <= cap`, Benford/skyline/threshold scalars),
+    * constant probe/query sets (`NOT (vec_id = query_id)` brute-force
+    * baselines), codebooks/label grids, budget stacks, or calendar
+    * pair frames. Per-query PlanSpec pins tighten several of these
+    * further (q29/q70/q72/q75/q77).
+    */
+  private val bnljAllow: Set[String] = Set(
+    "q101_ann_recall", "q102_hamming_topk", "q103_funnel",
+    "q105_importance_weights", "q107_item_pmi", "q115_hard_negatives",
+    "q125_ri_profile", "q139_kn_bigram", "q141_drift_report",
+    "q145_rank_corr", "q147_dedup_savings", "q149_rfm_segments",
+    "q157_collocations", "q166_centroid_dists", "q171_quality_curve",
+    "q179_selfjoin_sketch", "q182_vocab_budget", "q190_probe_curve",
+    "q194_ivf_balance", "q197_basket_lift", "q198_pca_variance",
+    "q200_journey_entropy", "q207_ndcg_label", "q209_minhash_upsert",
+    "q213_dormant_balance", "q217_winnow_matches", "q218_mrr_label",
+    "q226_rrf_fusion", "q230_important_parts", "q234_bpe_encode",
+    "q239_daily_autocorr", "q240_cross_corr", "q243_ks_drift",
+    "q244_join_card_est", "q250_delete_audit", "q252_quality_skyline",
+    "q253_triplet_mine", "q254_benford", "q257_ab_test",
+    "q259_theil_sen", "q272_assoc_rules", "q276_apportionment",
+    "q279_prf_expansion", "q282_hash_sample", "q284_lorenz_deciles",
+    "q289_month_seasonality", "q291_abc_xyz", "q295_region_share",
+    "q296_lateness_pareto", "q297_twonn_ratio", "q299_silhouette",
+    "q29_minhash_neardup", "q302_aging_report", "q303_whale_trend",
+    "q30_simhash_neardup", "q31_cosine_topk", "q32_cosine_neardup",
+    "q33_lsh_topk", "q42_approx_distinct", "q43_topk_aggregator",
+    "q52_key_skew", "q57_centroid_assign", "q64_lsh_neardup",
+    "q68_split_leakage", "q70_ivf_topk", "q72_bloom_novelty",
+    "q73_lm_perplexity", "q75_semantic_dedup", "q76_kmeans_refine",
+    "q79_random_projection", "q80_ivf_sized_topk", "q81_kmeans_sized",
+    "q82_sq_topk", "q86_pq_fused", "q88_ivfpq_topk", "q89_bm25_topk",
+    "q90_cms_profile", "q92_ivf_upsert", "q94_prefix_rerank",
+    "q95_pca_power", "q96_abtt_removal", "q97_mix_weights",
+    "q99_tfidf_terms")
+
+  test("registry-wide: no scale-killer plan shapes outside the documented allowlists") {
+    val violations = Seq.newBuilder[String]
+    val usedWin = Set.newBuilder[String]
+    val usedBnlj = Set.newBuilder[String]
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      val p = PlanLint.physical(fn(spark, sf0001))
+      val wins = PlanLint.partitionlessWindows(p)
+      if (wins.nonEmpty) {
+        usedWin += name
+        val allowed = globalWindowAllow.getOrElse(name, Set.empty[String])
+        wins.filterNot { case (_, c) => allowed.contains(c) }
+          .foreach { case (k, c) =>
+            violations += s"$name: partitionless $k over order=$c" }
+      }
+      PlanLint.cartesians(p)
+        .foreach(c => violations += s"$name: CartesianProduct ($c)")
+      val bnlj = PlanLint.nestedLoopJoins(p)
+      if (bnlj.nonEmpty) {
+        usedBnlj += name
+        if (!bnljAllow.contains(name))
+          violations += s"$name: unsanctioned BNLJ ${bnlj.mkString("; ")}"
+      }
+      PlanLint.udfs(p).foreach(u => violations += s"$name: UDF node $u")
+    }
+    val v = violations.result()
+    assert(v.isEmpty, s"${v.size} plan-lint violations:\n${v.mkString("\n")}")
+    // strict both ways: allowlist entries must still be exercised, so
+    // the lists cannot rot into blanket permissions
+    val staleWin = globalWindowAllow.keySet -- usedWin.result()
+    assert(staleWin.isEmpty,
+      s"stale globalWindowAllow entries (shape gone — remove): $staleWin")
+    val staleBnlj = bnljAllow -- usedBnlj.result()
+    assert(staleBnlj.isEmpty,
+      s"stale bnljAllow entries (shape gone — remove): $staleBnlj")
+  }
+}

@@ -627,4 +627,26 @@ class PlanSpec extends SparkSpecBase {
     // totals ride in as a broadcast 1-row scalar, not a second window pass
     assert(plan.contains("BroadcastNestedLoopJoin"), plan)
   }
+
+  test("q284/q291/q296/q303: data-cardinality ranks are bucket-partitioned; " +
+      "the only partitionless window is the ≤nBuckets offsets cumsum") {
+    // the VERDICT r11 `weak` trio (plus q291, caught by this round's
+    // LintScan) rewritten on TwoPhaseRank: the customer/supplier/part
+    // frame must rank inside a window PARTITIONED by _bkt, and every
+    // partitionless window left must order by _bkt — i.e. run over the
+    // bucket-COUNT frame, bounded by the nBuckets constant, never by
+    // the data
+    for (q <- Seq("q284_lorenz_deciles", "q291_abc_xyz",
+        "q296_lateness_pareto", "q303_whale_trend")) {
+      val df = SparkEntry.queries(q)(spark, sf0001)
+      val p = PlanLint.physical(df)
+      val global = PlanLint.partitionlessWindows(p)
+      assert(global.nonEmpty && global.forall(_._2 == "_bkt"),
+        s"$q: partitionless windows not confined to the bucket frame: $global")
+      // the rank window over the data frame is partitioned by _bkt
+      val plan = p.toString
+      assert(plan.contains("windowspecdefinition(_bkt#"),
+        s"$q: no _bkt-partitioned rank window:\n$plan")
+    }
+  }
 }

@@ -1,0 +1,68 @@
+package graft.operators
+
+import graft.SparkSpecBase
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** TwoPhaseRank ≡ the naive global window, proven on fixtures that
+  * exercise the hazards: ties in the value column (must share a bucket
+  * and break on the tie column), descending order, a running sum, the
+  * min==max degenerate range, and nBuckets=1 (everything in one
+  * bucket — the naive window itself).
+  */
+class TwoPhaseRankSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  // 40 rows, heavy ties (values mod 7), deterministic
+  private def fixture = (1 to 40)
+    .map(i => ((i * 13) % 7 * 100L, i.toLong))
+    .toDF("v", "id")
+
+  private def naive(desc: Boolean) = {
+    val ord = if (desc) Seq($"v".desc, $"id".asc) else Seq($"v".asc, $"id".asc)
+    val w = Window.orderBy(ord: _*)
+    fixture
+      .withColumn("r", row_number().over(w).cast("long"))
+      .withColumn("cum", sum($"v".cast("decimal(38,0)")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("decimal(38,0)"))
+      .select("v", "id", "r", "cum")
+  }
+
+  private def check(desc: Boolean, nBuckets: Int): Unit = {
+    val got = TwoPhaseRank.rankBy(fixture, "v", "id",
+      descending = desc, cumCol = Some("v"), nBuckets = nBuckets)
+      .select("v", "id", "r", "cum")
+    assert(got.exceptAll(naive(desc)).isEmpty &&
+      naive(desc).exceptAll(got).isEmpty,
+      s"desc=$desc nBuckets=$nBuckets diverges from the naive window")
+  }
+
+  test("ascending rank + cumsum ≡ naive window (ties on value)") {
+    check(desc = false, nBuckets = 16)
+  }
+
+  test("descending rank + cumsum ≡ naive window (ties on value)") {
+    check(desc = true, nBuckets = 16)
+  }
+
+  test("nBuckets=1 degenerates to the naive window") {
+    check(desc = false, nBuckets = 1)
+  }
+
+  test("more buckets than distinct values still exact") {
+    check(desc = true, nBuckets = 4096)
+  }
+
+  test("min==max (all-equal values): one bucket, rank = tie order") {
+    val df = Seq((5L, 3L), (5L, 1L), (5L, 2L)).toDF("v", "id")
+    val got = TwoPhaseRank.rankBy(df, "v", "id").orderBy("r")
+      .select($"id", $"r").as[(Long, Long)].collect().toSeq
+    assert(got === Seq((1L, 1L), (2L, 2L), (3L, 3L)))
+  }
+
+  test("rank without cumCol attaches only r") {
+    val cols = TwoPhaseRank.rankBy(fixture, "v", "id").columns.toSeq
+    assert(cols === Seq("v", "id", "r"))
+  }
+}
