@@ -420,6 +420,8 @@ object SparkEntry {
       GraphOps.frequentTriples(s, d)),
     "q305_stage_gaps"     -> ((s, d) =>
       EventOps.stageGapQuantiles(s, d)),
+    "q306_merge_into"     -> ((s, d) =>
+      IncrementalOps.q306MergeInto(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

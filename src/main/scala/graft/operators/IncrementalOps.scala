@@ -413,4 +413,103 @@ object IncrementalOps {
         col("small_after"))
       .orderBy(col("source"))
   }
+
+  /** Batch MERGE INTO (q306, VERDICT r11 item 3): apply a mixed
+    * changeset to a target table with the three classic arms —
+    * `op='D'` delete-when-matched, `op='U'` update-when-matched /
+    * insert-when-not (upsert), `op='I'` insert-when-not-matched
+    * (a matched `I` is a no-op, never an overwrite). This is the
+    * primitive the reference's `mode('append')` writers
+    * (Capstone/scripts/etl.py:444-449) are the ancestor of: q91/q93/
+    * q111 ship the read side (diff / incremental refresh / SCD2
+    * delta); this APPLIES a changeset. The write side composes with
+    * [[graft.etl.Sinks.mergeInto]], which scopes the rewrite to
+    * affected partitions per WRITE_CONTRACT.md §1.
+    *
+    * Semantics notes: `changes` must be unique per key (the SQL MERGE
+    * cardinality rule — Sinks.mergeInto enforces it; here the q306
+    * fixture is unique by construction). A `D` for an absent key and
+    * an `I` for a present key are both no-ops, matching `WHEN
+    * MATCHED THEN DELETE` / `WHEN NOT MATCHED THEN INSERT` — the
+    * idempotence that makes re-applying a changeset safe
+    * (AcidWriteSpec proves it at the table level).
+    *
+    * Scale shape: ONE full-outer shuffle join on the key; the
+    * changeset side is delta-sized and the join strategy stays AQE's
+    * call (the q250 rule — at 100 TB the target side is the corpus
+    * and must never broadcast). Everything else is row-local CASE
+    * arms, fully codegen'd.
+    */
+  def mergeChangeset(target: DataFrame, changes: DataFrame,
+      keys: Seq[String], opCol: String = "op"): DataFrame = {
+    val payload = target.columns.filterNot(keys.contains).toSeq
+    require(keys.nonEmpty && keys.forall(target.columns.contains),
+      s"merge keys $keys must exist in the target")
+    require(changes.columns.contains(opCol) &&
+      payload.forall(changes.columns.contains),
+      s"changeset must carry '$opCol' plus the target payload $payload")
+    val c = payload.foldLeft(changes.withColumn("_c_present", lit(1)))(
+      (d, p) => d.withColumnRenamed(p, "_c_" + p))
+    target.withColumn("_t_present", lit(1))
+      .join(c, keys, "full_outer")
+      // D drops the matched row (the full-outer row IS the target row)
+      // and is a no-op for an absent key
+      .filter(col(opCol).isNull || col(opCol) =!= "D")
+      .select(keys.map(col) ++ payload.map { p =>
+        when(col("_t_present").isNull ||
+            (col("_c_present").isNotNull && col(opCol) === "U"),
+          col("_c_" + p)).otherwise(col(p)).as(p)
+      }: _*)
+  }
+
+  /** The deterministic q306 changeset over `documents`: deletes
+    * (`%13`), matched updates (`%10`, text gains " [merged]"),
+    * upsert-inserts (`%17` re-keyed +1e7, " [new]"), plain inserts
+    * (`%11` re-keyed +2e7), and matched-`I` no-ops (`%19`, payload
+    * "SHOULD NOT APPLY" — if it ever applies, the fingerprint gate
+    * catches it). One op per key by construction.
+    */
+  private[graft] def q306Changeset(base: DataFrame): DataFrame = {
+    val dels = base.filter(col("doc_id") % 13 === 0)
+      .select(col("doc_id"), lit("D").as("op"),
+        lit(null).cast("string").as("text"),
+        lit(null).cast("string").as("source"))
+    val upd = base.filter(col("doc_id") % 13 =!= 0 && col("doc_id") % 10 === 0)
+      .select(col("doc_id"), lit("U").as("op"),
+        concat(col("text"), lit(" [merged]")).as("text"), col("source"))
+    val ups = base.filter(col("doc_id") % 17 === 0)
+      .select((col("doc_id") + 10000000L).as("doc_id"), lit("U").as("op"),
+        concat(col("text"), lit(" [new]")).as("text"), col("source"))
+    val ins = base.filter(col("doc_id") % 11 === 0)
+      .select((col("doc_id") + 20000000L).as("doc_id"), lit("I").as("op"),
+        col("text"), col("source"))
+    val noop = base.filter(col("doc_id") % 19 === 0 &&
+        col("doc_id") % 13 =!= 0 && col("doc_id") % 10 =!= 0)
+      .select(col("doc_id"), lit("I").as("op"),
+        lit("SHOULD NOT APPLY").as("text"), lit("zz").as("source"))
+    dels.unionByName(upd).unionByName(ups).unionByName(ins)
+      .unionByName(noop)
+  }
+
+  /** MERGE INTO gate (q306): apply [[q306Changeset]] via
+    * [[mergeChangeset]] and profile the post-merge table per source —
+    * count, char mass, and the q118 order-independent XOR fingerprint
+    * of (doc_id, text) — while the oracle REPLAYS the same changeset
+    * as the classic UPDATE/DELETE/INSERT decomposition (matched-kept
+    * ∪ inserted). Any wrong arm (a dropped no-op, an applied
+    * matched-I, a surviving delete) flips a fingerprint.
+    */
+  def q306MergeInto(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"), col("source"))
+    mergeChangeset(base, q306Changeset(base), Seq("doc_id"))
+      .select(col("source"), length(col("text")).cast("long").as("len"),
+        conv(substring(md5(concat_ws("|", col("doc_id"), col("text"))),
+          18, 15), 16, 10).cast("long").as("fp"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("len")).as("total_chars"),
+        expr("bit_xor(fp)").as("fingerprint"))
+      .orderBy(col("source"))
+  }
 }

@@ -667,5 +667,48 @@ private[graft] object PipelineOracles {
            CASE WHEN cb * pb + cd * pb + cb * pd + cd * pd
                 = (cb + cd) * (pb + pd) THEN 1 ELSE 0 END AS consistent
          FROM j ORDER BY user_id""",
+    // q306: MERGE INTO replayed as the classic decomposition — kept
+    // (matched, non-D) with U payloads applied, UNION ALL the inserted
+    // (unmatched, non-D) — then the q118 XOR fingerprint per source.
+    // A wrong arm (applied matched-I, surviving delete, dropped no-op)
+    // flips a fingerprint.
+    "q306_merge_into" ->
+      """WITH base AS (SELECT doc_id, text, source FROM documents),
+         changes AS (
+           SELECT doc_id, 'D' AS op, CAST(NULL AS VARCHAR) AS text,
+                  CAST(NULL AS VARCHAR) AS source FROM base
+             WHERE doc_id % 13 = 0
+           UNION ALL SELECT doc_id, 'U', text || ' [merged]', source
+             FROM base WHERE doc_id % 13 <> 0 AND doc_id % 10 = 0
+           UNION ALL SELECT doc_id + 10000000, 'U', text || ' [new]',
+             source FROM base WHERE doc_id % 17 = 0
+           UNION ALL SELECT doc_id + 20000000, 'I', text, source
+             FROM base WHERE doc_id % 11 = 0
+           UNION ALL SELECT doc_id, 'I', 'SHOULD NOT APPLY', 'zz'
+             FROM base WHERE doc_id % 19 = 0 AND doc_id % 13 <> 0
+               AND doc_id % 10 <> 0),
+         merged AS (
+           SELECT t.doc_id,
+             CASE WHEN c.doc_id IS NOT NULL AND c.op = 'U' THEN c.text
+                  ELSE t.text END AS text,
+             CASE WHEN c.doc_id IS NOT NULL AND c.op = 'U' THEN c.source
+                  ELSE t.source END AS source
+           FROM base t LEFT JOIN changes c USING (doc_id)
+           WHERE c.doc_id IS NULL OR c.op <> 'D'
+           UNION ALL
+           SELECT c.doc_id, c.text, c.source
+           FROM changes c LEFT JOIN base t USING (doc_id)
+           WHERE t.doc_id IS NULL AND c.op <> 'D'),
+         h AS (SELECT source, length(text)::BIGINT AS len,
+                 md5(concat_ws('|', doc_id, text)) AS hh FROM merged),
+         f AS (SELECT source, len,
+                 list_sum([(strpos('0123456789abcdef', hh[17+i]) - 1)::BIGINT
+                            * (1::BIGINT << (4*(15-i))) for i in range(1, 16)])
+                   AS fp
+               FROM h)
+         SELECT source, count(*) AS n_docs,
+           CAST(sum(len) AS BIGINT) AS total_chars,
+           CAST(bit_xor(fp) AS BIGINT) AS fingerprint
+         FROM f GROUP BY source ORDER BY source""",
   )
 }

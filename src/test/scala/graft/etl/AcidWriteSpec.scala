@@ -44,6 +44,69 @@ class AcidWriteSpec extends SparkSpecBase {
       .as[Long].collect().toSeq === Seq(3L))
   }
 
+  test("mergeInto: three arms apply, untouched partitions stay byte-identical, re-application is idempotent") {
+    val out = Files.createTempDirectory("graft-merge").toString
+    val mspec = Sinks.TableSpec("merge_t", Sinks.Parquet, Seq("src"))
+    def rows(t: (Long, String, String)*) = t.toSeq.toDF("id", "v", "src")
+    Sinks.write(rows((1L, "a1", "a"), (2L, "a2", "a"), (3L, "a3", "a"),
+      (4L, "b4", "b"), (5L, "b5", "b"), (6L, "c6", "c")), mspec, out)
+
+    def table() = spark.read.parquet(s"$out/${mspec.name}")
+    def fileState(part: String) = {
+      val d = new java.io.File(s"$out/${mspec.name}/src=$part")
+      d.listFiles().filter(_.getName.endsWith(".parquet"))
+        .map(f => (f.getName, f.length, f.lastModified)).toSeq.sorted
+    }
+    val cBefore = fileState("c")
+
+    // D id=2 (a) · U id=4 (b, update) · U id=7 (b, upsert-insert) ·
+    // I id=8 (b, insert) · I id=6 (c… but matched ⇒ NO-OP, and since
+    // nothing else touches c, partition c's files must not be rewritten)
+    val changes = Seq(
+      (2L, "D", null.asInstanceOf[String], "a"),
+      (4L, "U", "b4'", "b"),
+      (7L, "U", "b7", "b"),
+      (8L, "I", "b8", "b"),
+      (6L, "I", "SHOULD NOT APPLY", "c")).toDF("id", "op", "v", "src")
+
+    val n1 = Sinks.mergeInto(spark, changes, Seq("id"), mspec, out)
+    val expected = Set((1L, "a1", "a"), (3L, "a3", "a"), (4L, "b4'", "b"),
+      (5L, "b5", "b"), (6L, "c6", "c"), (7L, "b7", "b"), (8L, "b8", "b"))
+    assert(table().as[(Long, String, String)].collect().toSet === expected)
+    // the matched-I no-op is the ONLY change touching c, so c is not an
+    // affected partition: files stay byte-identical, not just row-equal
+    assert(fileState("c") === cBefore, "untouched partition was rewritten")
+    assert(n1 === 2L, s"expected 2 affected partitions, got $n1")
+
+    // idempotent re-application: D unmatched ⇒ no-op, U now-matched ⇒
+    // same payload, I now-matched ⇒ no-op — same rows after
+    Sinks.mergeInto(spark, changes, Seq("id"), mspec, out)
+    assert(table().as[(Long, String, String)].collect().toSet === expected)
+    assert(fileState("c") === cBefore)
+  }
+
+  test("mergeInto: a partition-moving update rewrites both old and new partitions") {
+    val out = Files.createTempDirectory("graft-merge-move").toString
+    val mspec = Sinks.TableSpec("move_t", Sinks.Parquet, Seq("src"))
+    Sinks.write(Seq((1L, "a1", "a"), (2L, "a2", "a"), (3L, "b3", "b"))
+      .toDF("id", "v", "src"), mspec, out)
+    // two rows for one key — the MERGE cardinality rule must reject it
+    intercept[IllegalArgumentException] {
+      Sinks.mergeInto(spark, Seq((2L, "D", null.asInstanceOf[String], "a"),
+        (2L, "I", "x", "b")).toDF("id", "op", "v", "src"),
+        Seq("id"), mspec, out)
+    }
+    // a single U carrying a NEW partition value moves the row: the old
+    // partition is rewritten without it, the new partition with it
+    val n = Sinks.mergeInto(spark,
+      Seq((2L, "U", "a2", "b")).toDF("id", "op", "v", "src"),
+      Seq("id"), mspec, out)
+    assert(n === 2L, s"move must touch exactly old+new partitions, got $n")
+    assert(spark.read.parquet(s"$out/${mspec.name}")
+      .as[(Long, String, String)].collect().toSet ===
+      Set((1L, "a1", "a"), (2L, "a2", "b"), (3L, "b3", "b")))
+  }
+
   test("partition overwrite refuses unpartitioned specs") {
     intercept[IllegalArgumentException] {
       Sinks.overwritePartitions(month(4, Seq(1L -> "a")),
