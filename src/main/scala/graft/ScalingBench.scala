@@ -44,7 +44,12 @@ object ScalingBench {
       // q116 is two linear passes onto a V-bounded vocab — the probes
       // verify neither hides a super-linear stage (an unbounded vocab
       // broadcast would bend q116's curve)
-      "q114_doc_chunks", "q116_vocab_coverage")
+      "q114_doc_chunks", "q116_vocab_coverage",
+      // round-12 tokenizer/retrieval additions: q307's decode rounds
+      // run at vocabulary scale (per-round cost linear in corpus size
+      // is the claim the probe checks); q309 rides the shared postings
+      // index with a broadcast query side
+      "q307_unigram_lm", "q309_qlm_topk")
       .map(q => Probe(q, "documents", SparkEntry.queries(q))) ++ Seq(
       // span family: exact (oracle-gated) keys and the hashed-key 100 TB
       // variant (xxhash64 span keys on both span shuffles)
@@ -506,6 +511,64 @@ object ScalingBench {
         .saltedDistinctCount(skewed, "k", "v", nSalts = 32)
         .write.mode("overwrite").format("noop").save())
       println(f"""{"metric":"salted_agg","n_rows":$n,"hot_rows":$hot,"naive_sec":$naive%.2f,"salted_sec":$salted%.2f,"ratio":${naive / salted}%.1f}""")
+    }
+    // skewed FACT⋈FACT join A/B (synth mode only, VERDICT r11 item 5):
+    // one planted bot key owns 75% of fact A; fact B is too wide to
+    // broadcast (forced off) with bounded hot multiplicity (6 rows) —
+    // the canonical clicks⋈purchases shape. Measured three ways: plain
+    // SMJ with AQE off (the hot partition sorts 6M rows and emits 36M
+    // join rows in ONE task), AQE's runtime skew split (thresholds
+    // lowered to probe scale — production defaults are 256 MB), and
+    // the explicit SkewUtils.saltedFactJoin (AQE off, 16 salts).
+    // Checksums must agree across all three (result equality at
+    // fixture scale is SkewUtilsSpec's exceptAll pin).
+    if (args.headOption.contains("synth")) {
+      import org.apache.spark.sql.functions._
+      val nA = 8000000L; val hotA = 6000000L; val nB = 200000L
+      val a = spark.range(nA).select(
+        when(col("id") < hotA, lit(0L))
+          .otherwise(pmod(col("id"), lit(nB - 1)) + 1L).as("k"),
+        col("id").as("av"))
+      val b = spark.range(nB).select(
+        when(col("id") < 6, lit(0L)).otherwise(col("id")).as("k"),
+        col("id").as("bv"))
+      def checksum(df: org.apache.spark.sql.DataFrame): (Long, Long) = {
+        val r = df.agg(count(lit(1)), sum(col("av") + col("bv"))
+          .cast("decimal(38,0)")).collect()(0)
+        (r.getLong(0), r.getDecimal(1).longValueExact())
+      }
+      def time(f: => Unit): Double = Bench.median((1 to reps).map { _ =>
+        val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+      })
+      val conf = spark.conf
+      val saved = Seq("spark.sql.adaptive.enabled",
+        "spark.sql.autoBroadcastJoinThreshold").map(k => k -> conf.get(k))
+      try {
+        conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        conf.set("spark.sql.adaptive.enabled", "false")
+        val plainDf = a.join(b, Seq("k"))
+        val cs0 = checksum(plainDf)
+        val tOff = time(plainDf.write.mode("overwrite").format("noop").save())
+        conf.set("spark.sql.adaptive.enabled", "true")
+        conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+        conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "8MB")
+        conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8MB")
+        val cs1 = checksum(plainDf)
+        val tSkew = time(plainDf.write.mode("overwrite").format("noop").save())
+        conf.set("spark.sql.adaptive.enabled", "false")
+        val saltedDf = graft.operators.SkewUtils.saltedFactJoin(a, b, "k",
+          nSalts = 16,
+          hotKeys = graft.operators.SkewUtils.detectHotKeys(a, "k", 1000000L))
+        val cs2 = checksum(saltedDf)
+        val tSalt = time(saltedDf.write.mode("overwrite").format("noop").save())
+        require(cs0 == cs1 && cs0 == cs2,
+          s"skew_join checksums diverged: off=$cs0 skew=$cs1 salted=$cs2")
+        println(f"""{"metric":"skew_join","n_a":$nA,"hot_a":$hotA,"n_b":$nB,"aqe_off_sec":$tOff%.2f,"aqe_skew_sec":$tSkew%.2f,"salted_sec":$tSalt%.2f,"checksums_equal":true}""")
+      } finally {
+        saved.foreach { case (k, v) => conf.set(k, v) }
+        conf.unset("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes")
+        conf.unset("spark.sql.adaptive.advisoryPartitionSizeInBytes")
+      }
     }
     spark.stop()
   }

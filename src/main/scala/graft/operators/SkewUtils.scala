@@ -36,6 +36,52 @@ object SkewUtils {
       .drop(saltedFact("__salt")).drop(saltedDim("__salt"))
   }
 
+  /** The hot keys of `df.key` by exact count threshold — the one-pass
+    * detection feeding [[saltedFactJoin]]. Hot keys are FEW by
+    * definition (a key set that is mostly hot is not skew, it is
+    * volume), so the result broadcasts; map-side partial counting
+    * makes the pass itself skew-proof.
+    */
+  def detectHotKeys(df: DataFrame, key: String, minCount: Long): DataFrame =
+    df.groupBy(col(key)).agg(count(lit(1)).as("__cnt"))
+      .filter(col("__cnt") >= minCount).select(col(key))
+
+  /** Hot-key-partial salted FACT⋈FACT equi-join — the explicit
+    * counterpart of AQE's runtime skew-join split (ScalingBench's
+    * `skew_join` A/B measures all three ways). [[saltedJoin]] replicates
+    * the whole dim side `nSalts`×, which is wrong when BOTH sides are
+    * facts; here only the HOT slice is treated: hot keys (a broadcast
+    * frame from [[detectHotKeys]]) split each side by semi/anti join,
+    * the hot-A rows take a deterministic row-hash salt, ONLY the hot-B
+    * rows replicate `nSalts`×, and the cold mass joins untouched. The
+    * union is result-identical to the plain inner join (spec-pinned
+    * exactAll both ways).
+    *
+    * When to prefer which: AQE's split is free and handles unknown
+    * skew at runtime, but it only splits the STREAM side of a
+    * sort-merge partition and leaves the build-side hot rows sorted in
+    * one task; explicit salting pre-spreads both sides at plan time —
+    * the tool when the hot keys are KNOWN (null-heavy FKs, bot users,
+    * mega-city codes) and the job runs nightly at 100 TB where one
+    * straggler task is the whole SLA. Inner joins only: replicated
+    * B-rows would emit unmatched outer rows once per salt.
+    */
+  def saltedFactJoin(a: DataFrame, b: DataFrame, key: String,
+      nSalts: Int, hotKeys: DataFrame): DataFrame = {
+    require(nSalts > 0)
+    val hk = broadcast(hotKeys.select(col(key)))
+    val aHot = a.join(hk, Seq(key), "left_semi")
+      .withColumn("__salt", pmod(xxhash64(a.columns.map(col).toSeq: _*),
+        lit(nSalts)))
+    val bHot = b.join(hk, Seq(key), "left_semi")
+      .withColumn("__salt",
+        explode(sequence(lit(0L), lit(nSalts - 1L))))
+    val hot = aHot.join(bHot, Seq(key, "__salt"), "inner").drop("__salt")
+    val cold = a.join(hk, Seq(key), "left_anti")
+      .join(b.join(hk, Seq(key), "left_anti"), Seq(key), "inner")
+    hot.unionByName(cold)
+  }
+
   /** Two-phase SALTED AGGREGATION — the groupBy-side counterpart of
     * [[saltedJoin]]: exact per-key distinct counts with every hot key
     * spread over `nSalts` partial groups.

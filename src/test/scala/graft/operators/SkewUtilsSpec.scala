@@ -26,6 +26,34 @@ class SkewUtilsSpec extends SparkSpecBase {
     assert(saltedLeft.filter(col("n_key") === 9 && col("name").isNull).count() === 1)
   }
 
+  test("saltedFactJoin ≡ plain inner join on a planted hot key, any salt width") {
+    import spark.implicits._
+    // fact A: key 0 owns 2000 rows; fact B: key 0 has 7 rows (the
+    // bounded-multiplicity fact⋈fact shape), cold keys on both sides,
+    // plus keys that exist on only one side (must vanish, inner)
+    val a = ((1 to 2000).map(i => (0L, s"a$i")) ++
+      (1 to 40).map(i => (i.toLong % 5 + 1, s"c$i")) ++
+      Seq((90L, "aOnly"))).toDF("k", "av")
+    val b = ((1 to 7).map(i => (0L, s"b$i")) ++
+      (1 to 10).map(i => (i.toLong % 5 + 1, s"d$i")) ++
+      Seq((91L, "bOnly"))).toDF("k", "bv")
+    val plain = a.join(b, Seq("k")).select("k", "av", "bv")
+    val hot = SkewUtils.detectHotKeys(a, "k", minCount = 100)
+    assert(hot.as[Long].collect().toSeq === Seq(0L))
+    for (nSalts <- Seq(1, 4, 16)) {
+      val salted = SkewUtils.saltedFactJoin(a, b, "k", nSalts, hot)
+        .select("k", "av", "bv")
+      assert(salted.count() === plain.count(), s"nSalts=$nSalts")
+      assert(salted.exceptAll(plain).isEmpty &&
+        plain.exceptAll(salted).isEmpty, s"nSalts=$nSalts")
+    }
+    // an empty hot set degenerates to the plain join
+    val noneHot = SkewUtils.saltedFactJoin(a, b, "k", 4,
+      SkewUtils.detectHotKeys(a, "k", minCount = 1000000))
+      .select("k", "av", "bv")
+    assert(noneHot.exceptAll(plain).isEmpty && plain.exceptAll(noneHot).isEmpty)
+  }
+
   test("saltedDistinctCount ≡ countDistinct on skewed data, any salt width") {
     import spark.implicits._
     // hot key 0: 5000 rows over 700 distinct values (duplicates across
