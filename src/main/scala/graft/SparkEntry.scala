@@ -422,6 +422,15 @@ object SparkEntry {
       EventOps.stageGapQuantiles(s, d)),
     "q306_merge_into"     -> ((s, d) =>
       IncrementalOps.q306MergeInto(s, d)),
+    "q307_unigram_lm"     -> ((s, d) =>
+      TextAnalysisOps.unigramLmEm(s, d)),
+    "q308_unigram_encode" -> ((s, d) =>
+      TextAnalysisOps.unigramEncode(s, d)),
+    "q309_qlm_topk"       -> ((s, d) => RetrievalOps.qlmTopK(s, d)),
+    "q310_cdc_compaction" -> ((s, d) =>
+      IncrementalOps.q310CdcCompaction(s, d)),
+    "q311_write_amplification" -> ((s, d) =>
+      IncrementalOps.q311WriteAmplification(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -491,6 +491,120 @@ object IncrementalOps {
       .unionByName(noop)
   }
 
+  /** CDC log compaction (q310): collapse an insert/update/delete
+    * change-data-capture LOG to latest state per key with
+    * last-writer-wins — the EVENT-LOG twin of the keyed-changeset
+    * MERGE (q306): MERGE applies a deduplicated changeset, compaction
+    * RESOLVES a raw log that may carry many writes per key. The events
+    * table stands in as the CDC feed: key = (user_id, props.k),
+    * `error` events are tombstones, everything else upserts the cent
+    * value; write order is the total (ts, event_id).
+    *
+    * The winner per key rides ONE map-side-combinable argmax —
+    * `max(struct(us, event_id, is_del, v_c))` (the q285 rule: a
+    * window formulation would shuffle every log row to rank it;
+    * the struct max folds inside partial aggregation, so a key with
+    * a million writes costs one struct per partition). Output rolls
+    * up to the bounded item grid: live keys, tombstoned keys, live
+    * cent mass per item.
+    */
+  def q310CdcCompaction(spark: SparkSession, dir: String): DataFrame =
+    cdcCompactionOn(Tables.events(spark, dir))
+
+  private[graft] def cdcCompactionOn(ev: DataFrame): DataFrame = {
+    val log = ev
+      .filter(get_json_object(col("props"), "$.k").isNotNull)
+      .select(col("user_id"),
+        get_json_object(col("props"), "$.k").cast("int").as("k"),
+        unix_micros(col("ts")).as("us"), col("event_id"),
+        when(col("event_type") === "error", 1L).otherwise(0L).as("is_del"),
+        round(col("value") * 100, 0).cast("long").as("v_c"))
+    log.groupBy(col("user_id"), col("k"))
+      .agg(max(struct(col("us"), col("event_id"), col("is_del"),
+        col("v_c"))).as("last"))
+      .select(col("k"), col("last.is_del").as("is_del"),
+        col("last.v_c").as("v_c"))
+      .groupBy(col("k"))
+      .agg(count(lit(1)).as("n_keys"),
+        sum(lit(1L) - col("is_del")).as("n_live"),
+        sum(col("is_del")).as("n_tombstoned"),
+        sum(when(col("is_del") === 0L, col("v_c")).otherwise(0L))
+          .as("live_value_c"))
+      .orderBy(col("k"))
+  }
+
+  /** Write-amplification planner (q311): for ONE ingest-batch-sized
+    * changeset (the q306 op mix confined to batch 1 of a
+    * `doc_id div 100` batch layout), the rows each write strategy
+    * rewrites — full-table rewrite, the partition-scoped MERGE
+    * ([[graft.etl.Sinks.mergeInto]]'s affected-partition rule,
+    * replayed declaratively), and SCD2 append (closes + opens,
+    * q111's delta rule) — with shares in bp of the full rewrite.
+    * This is the planning query behind choosing a table's write
+    * strategy: at sf0.001 the scoped merge writes ~21% of the table,
+    * at sf0.1 ~2% — the O(delta·partition) story made measurable,
+    * while SCD2 stays O(delta) flat.
+    *
+    * Scale shape: the changeset side is batch-sized; affected
+    * partitions come from the same semi/anti joins the real
+    * mergeInto runs; counts are map-side partial. Output is 3 rows.
+    */
+  def q311WriteAmplification(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"),
+        expr("doc_id div 100").as("batch"))
+    val b1 = base.filter(col("batch") === 1L)
+    val dels = b1.filter(col("doc_id") % 13 === 0)
+      .select(col("doc_id"), lit("D").as("op"),
+        lit(null).cast("string").as("text"),
+        lit(null).cast("long").as("batch"))
+    val upd = b1.filter(col("doc_id") % 13 =!= 0 && col("doc_id") % 10 === 0)
+      .select(col("doc_id"), lit("U").as("op"),
+        concat(col("text"), lit(" [merged]")).as("text"), col("batch"))
+    val ups = b1.filter(col("doc_id") % 17 === 0)
+      .select((col("doc_id") + 10000000L).as("doc_id"), lit("U").as("op"),
+        concat(col("text"), lit(" [new]")).as("text"),
+        expr("(doc_id + 10000000) div 100").as("batch"))
+    val ins = b1.filter(col("doc_id") % 11 === 0)
+      .select((col("doc_id") + 20000000L).as("doc_id"), lit("I").as("op"),
+        col("text"), expr("(doc_id + 20000000) div 100").as("batch"))
+    val noop = b1.filter(col("doc_id") % 19 === 0 &&
+        col("doc_id") % 13 =!= 0 && col("doc_id") % 10 =!= 0)
+      .select(col("doc_id"), lit("I").as("op"),
+        lit("SHOULD NOT APPLY").as("text"), col("batch"))
+    val changes = dels.unionByName(upd).unionByName(ups)
+      .unionByName(ins).unionByName(noop)
+    val tKeys = base.select(col("doc_id"))
+    val matchedDU = changes.filter(col("op") =!= "I")
+      .join(tKeys, Seq("doc_id"), "left_semi")
+    val inserts = changes.filter(col("op") =!= "D")
+      .join(tKeys, Seq("doc_id"), "left_anti")
+    val parts = base.join(matchedDU.select(col("doc_id")),
+        Seq("doc_id"), "left_semi").select(col("batch"))
+      .union(inserts.select(col("batch")))
+      .union(matchedDU.filter(col("op") === "U").select(col("batch")))
+      .distinct()
+    val merged = mergeChangeset(base.select(col("doc_id"), col("batch")),
+      changes.select(col("doc_id"), col("op"), col("batch")),
+      Seq("doc_id"))
+    val fullN = merged.agg(count(lit(1)).as("n"))
+    val scopedN = merged.join(broadcast(parts), Seq("batch"), "left_semi")
+      .agg(count(lit(1)).as("n"))
+    val scd2N = matchedDU
+      .agg((sum(when(col("op") === "U", 2L).otherwise(1L))).as("n0"))
+      .crossJoin(broadcast(inserts.agg(count(lit(1)).as("ni"))))
+      .select((coalesce(col("n0"), lit(0L)) + col("ni")).as("n"))
+    def strat(name: String, n: DataFrame): DataFrame =
+      n.crossJoin(broadcast(fullN.select(col("n").as("full_n"))))
+        .select(lit(name).as("strategy"), col("n").as("rows_written"),
+          expr("CAST(CAST(n AS decimal(38,0)) * 10000 DIV full_n" +
+            " AS BIGINT)").as("share_bp"))
+    strat("full_rewrite", fullN)
+      .unionByName(strat("merge_partition_scoped", scopedN))
+      .unionByName(strat("scd2_append", scd2N))
+      .orderBy(col("strategy"))
+  }
+
   /** MERGE INTO gate (q306): apply [[q306Changeset]] via
     * [[mergeChangeset]] and profile the post-merge table per source —
     * count, char mass, and the q118 order-independent XOR fingerprint

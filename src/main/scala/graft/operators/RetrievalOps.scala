@@ -294,4 +294,84 @@ object RetrievalOps {
       .orderBy(col("n_matches").desc, col("doc_id"))
       .limit(k)
   }
+
+  /** Dirichlet-smoothed query-likelihood retrieval (q309): the OTHER
+    * classical lexical scoring family next to BM25 —
+    * `p(t|d) = (tf + μ·p(t|C)) / (dl + μ)`, ranked by the query-term
+    * product. Where the q89 BM25 gate tames floats with fixed-order
+    * folds, QLM here is INTEGER end-to-end: the collection model
+    * enters as `cfppm = cf·1e6 div Σdl`, each per-term ratio floors
+    * to ppb (`(tf·1e6 + μ·cfppm)·1e9 div ((dl+μ)·1e6)` ≤ 1e9 — the
+    * numerator is ≤ the denominator by construction), and the score
+    * is the exact ppb PRODUCT over the `nTerms` term-rank slots on
+    * DECIMAL(38,0)/HUGEINT (≤1e27 for 3 terms; a missing slot — a
+    * query with fewer distinct tokens — multiplies the neutral 1e9 ≙
+    * ratio 1.0). Ranking on the full product; the reported column
+    * floors to `score_e18 = s div 1e9` so it rides a BIGINT.
+    *
+    * Dirichlet smoothing is also why the candidate grid differs from
+    * BM25's: a doc missing a query term still scores (the smoothed
+    * collection mass), so the grid is (docs containing ≥1 term) ×
+    * (that query's terms), with tf left-joined and coalesced to 0 —
+    * bounded by Σdf · nTerms, built on the SAME session-cached
+    * postings index as q89/q226/q279 (one corpus shuffle for the
+    * whole retrieval stack).
+    */
+  def qlmTopK(spark: SparkSession, dir: String,
+      nQueries: Int = DefaultNQueries, nTerms: Int = DefaultNTerms,
+      k: Int = DefaultK, mu: Long = 1000L): DataFrame =
+    qlmOnPostings(cachedPostings(spark, dir), nQueries, nTerms, k, mu)
+
+  private[graft] def qlmTopKOn(docs0: DataFrame, nQueries: Int = 5,
+      nTerms: Int = 3, k: Int = 5, mu: Long = 1000L): DataFrame =
+    qlmOnPostings(postingsOf(docs0), nQueries, nTerms, k, mu)
+
+  private def qlmOnPostings(postings: DataFrame, nQueries: Int,
+      nTerms: Int, k: Int, mu: Long): DataFrame = {
+    val sumDl = postings.select(col("doc_id"), col("dl")).distinct()
+      .agg(sum(col("dl")).as("sum_dl"))
+    val wq = Window.partitionBy(col("qid"))
+      .orderBy(col("tf").desc, col("tok"))
+    val queryTerms = postings.filter(col("doc_id") < nQueries)
+      .select(col("doc_id").as("qid"), col("tok"), col("tf"))
+      .withColumn("t_rank", row_number().over(wq))
+      .filter(col("t_rank") <= nTerms)
+      .select(col("qid"), col("tok"), col("t_rank"))
+    // collection model in ppm — term totals over the WHOLE index
+    val cfppm = postings.groupBy(col("tok"))
+      .agg(sum(col("tf")).as("cf"))
+      .join(broadcast(queryTerms.select(col("tok")).distinct()),
+        Seq("tok"), "left_semi")
+      .crossJoin(broadcast(sumDl))
+      .select(col("tok"),
+        expr("CAST(CAST(cf AS decimal(38,0)) * 1000000 DIV sum_dl" +
+          " AS BIGINT)").as("cfppm"))
+    // candidate docs (≥1 term) × that query's terms, tf coalesced
+    val candDocs = postings.join(broadcast(queryTerms), Seq("tok"))
+      .select(col("qid"), col("doc_id"), col("dl")).distinct()
+    val cells = candDocs
+      .join(broadcast(queryTerms), Seq("qid"))
+      .join(broadcast(cfppm), Seq("tok"))
+      .join(postings.select(col("doc_id"), col("tok"), col("tf")),
+        Seq("doc_id", "tok"), "left")
+      .select(col("qid"), col("doc_id"), col("t_rank"),
+        expr(s"CAST((CAST(coalesce(tf, 0) AS decimal(38,0)) * 1000000" +
+          s" + $mu * cfppm) * 1000000000" +
+          s" DIV (CAST(dl + $mu AS decimal(38,0)) * 1000000) AS BIGINT)")
+          .as("r"))
+    val slots = (1 to nTerms).map(i =>
+      coalesce(max(when(col("t_rank") === i, col("r"))), lit(1000000000L))
+        .cast("decimal(38,0)"))
+    val wk = Window.partitionBy(col("qid"))
+      .orderBy(col("s").desc, col("hit_id"))
+    cells.groupBy(col("qid"), col("doc_id"))
+      .agg(slots.reduceLeft(_ * _).as("s"))
+      .withColumnRenamed("doc_id", "hit_id")
+      .withColumn("rk", row_number().over(wk))
+      .filter(col("rk") <= k)
+      .select(col("qid"), col("hit_id"),
+        expr("CAST(s DIV 1000000000 AS BIGINT)").as("score_e18"),
+        col("rk"))
+      .orderBy(col("qid"), col("rk"))
+  }
 }

@@ -1340,5 +1340,25 @@ private[graft] object EventOracles {
              * 1000 // m.n_dow AS BIGINT) AS dev_milli
          FROM dd d JOIN dowm m ON d.dow = m.dow
          ORDER BY dev_milli DESC, d.day LIMIT 10""",
+    // q310: CDC log compaction — last-writer-wins per (user, k) on the
+    // (ts, event_id) total order via row_number DESC (Spark rides the
+    // map-side argmax struct instead); errors are tombstones; rollup
+    // to the bounded item grid
+    "q310_cdc_compaction" ->
+      """WITH cdc AS (SELECT
+           CAST(json_extract_string(props, '$.k') AS INT) AS k, user_id,
+           CASE WHEN event_type = 'error' THEN 1 ELSE 0 END AS is_del,
+           CAST(round(value * 100, 0) AS BIGINT) AS v_c,
+           epoch_us(ts) AS us, event_id
+         FROM events WHERE json_extract_string(props, '$.k') IS NOT NULL),
+         latest AS (SELECT * FROM cdc
+           QUALIFY row_number() OVER (PARTITION BY user_id, k
+             ORDER BY us DESC, event_id DESC) = 1)
+         SELECT k, count(*)::BIGINT AS n_keys,
+           CAST(sum(1 - is_del) AS BIGINT) AS n_live,
+           CAST(sum(is_del) AS BIGINT) AS n_tombstoned,
+           CAST(sum(CASE WHEN is_del = 0 THEN v_c ELSE 0 END) AS BIGINT)
+             AS live_value_c
+         FROM latest GROUP BY k ORDER BY k""",
   )
 }

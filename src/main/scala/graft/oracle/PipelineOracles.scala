@@ -710,5 +710,63 @@ private[graft] object PipelineOracles {
            CAST(sum(len) AS BIGINT) AS total_chars,
            CAST(bit_xor(fp) AS BIGINT) AS fingerprint
          FROM f GROUP BY source ORDER BY source""",
+    // q311: write-amplification planner — one batch-1-confined
+    // changeset replayed against three write strategies; affected
+    // partitions per the Sinks.mergeInto rule (matched D/U target
+    // batches ∪ insert batches ∪ matched-U change batches)
+    "q311_write_amplification" ->
+      """WITH base AS (SELECT doc_id, text, doc_id // 100 AS batch
+           FROM documents),
+         b1 AS (SELECT * FROM base WHERE batch = 1),
+         changes AS (
+           SELECT doc_id, 'D' AS op, CAST(NULL AS VARCHAR) AS text,
+                  CAST(NULL AS BIGINT) AS batch FROM b1
+             WHERE doc_id % 13 = 0
+           UNION ALL SELECT doc_id, 'U', text || ' [merged]', batch
+             FROM b1 WHERE doc_id % 13 <> 0 AND doc_id % 10 = 0
+           UNION ALL SELECT doc_id + 10000000, 'U', text || ' [new]',
+             (doc_id + 10000000) // 100 FROM b1 WHERE doc_id % 17 = 0
+           UNION ALL SELECT doc_id + 20000000, 'I', text,
+             (doc_id + 20000000) // 100 FROM b1 WHERE doc_id % 11 = 0
+           UNION ALL SELECT doc_id, 'I', 'SHOULD NOT APPLY', batch
+             FROM b1 WHERE doc_id % 19 = 0 AND doc_id % 13 <> 0
+               AND doc_id % 10 <> 0),
+         matched_du AS (SELECT c.doc_id, c.op, c.batch AS c_batch,
+             t.batch AS t_batch
+           FROM changes c JOIN base t USING (doc_id) WHERE c.op <> 'I'),
+         inserts AS (SELECT c.doc_id, c.op, c.batch
+           FROM changes c LEFT JOIN base t USING (doc_id)
+           WHERE t.doc_id IS NULL AND c.op <> 'D'),
+         parts AS (SELECT t_batch AS batch FROM matched_du
+           UNION SELECT batch FROM inserts
+           UNION SELECT c_batch FROM matched_du WHERE op = 'U'),
+         merged AS (
+           SELECT t.doc_id,
+             CASE WHEN c.doc_id IS NOT NULL AND c.op = 'U' THEN c.batch
+                  ELSE t.batch END AS batch
+           FROM base t LEFT JOIN changes c USING (doc_id)
+           WHERE c.doc_id IS NULL OR c.op <> 'D'
+           UNION ALL
+           SELECT c.doc_id, c.batch
+           FROM changes c LEFT JOIN base t USING (doc_id)
+           WHERE t.doc_id IS NULL AND c.op <> 'D'),
+         fullr AS (SELECT count(*)::BIGINT AS n FROM merged),
+         scoped AS (SELECT count(*)::BIGINT AS n FROM merged
+           WHERE batch IN (SELECT batch FROM parts)),
+         scd2 AS (SELECT (coalesce(sum(CASE WHEN op = 'U' THEN 2
+               ELSE 1 END), 0))::BIGINT
+             + (SELECT count(*) FROM inserts)::BIGINT AS n
+           FROM matched_du)
+         SELECT * FROM (
+           SELECT 'full_rewrite' AS strategy, n AS rows_written,
+             CAST(n::HUGEINT * 10000 // (SELECT n FROM fullr) AS BIGINT)
+               AS share_bp FROM fullr
+           UNION ALL SELECT 'merge_partition_scoped', n,
+             CAST(n::HUGEINT * 10000 // (SELECT n FROM fullr) AS BIGINT)
+             FROM scoped
+           UNION ALL SELECT 'scd2_append', n,
+             CAST(n::HUGEINT * 10000 // (SELECT n FROM fullr) AS BIGINT)
+             FROM scd2)
+         ORDER BY strategy""",
   )
 }

@@ -60,6 +60,60 @@ private[graft] object SimilarityOracles {
                  FROM contrib GROUP BY 1, 2)"""
 
   val sql: Map[String, String] = Map(
+    // q309: Dirichlet query-likelihood top-k — integer end-to-end:
+    // collection model in ppm, per-term ratios floored to ppb, score =
+    // exact HUGEINT product over term-rank slots (neutral 1e9 for a
+    // missing slot), reported floored to score_e18; rank on the full
+    // product with doc_id tie-break
+    "q309_qlm_topk" ->
+      raw"""WITH d0 AS (
+           SELECT doc_id, string_split(
+             regexp_replace(lower(trim(coalesce(text, ''))), '\s+', ' ',
+               'g'), ' ') AS w
+           FROM documents),
+         post AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS dl,
+                    unnest(w) AS tok FROM d0),
+         tfp AS (SELECT doc_id, dl, tok, count(*) AS tf
+                 FROM post GROUP BY 1, 2, 3),
+         st AS (SELECT sum(CAST(len(w) AS BIGINT)) AS sum_dl FROM d0),
+         qt AS (
+           SELECT doc_id AS qid, tok,
+             CAST(row_number() OVER (PARTITION BY doc_id
+               ORDER BY tf DESC, tok) AS INT) AS t_rank
+           FROM tfp WHERE doc_id < ${RetrievalOps.DefaultNQueries}
+           QUALIFY row_number() OVER (PARTITION BY doc_id
+             ORDER BY tf DESC, tok) <= ${RetrievalOps.DefaultNTerms}),
+         cfp AS (SELECT tok,
+             CAST(sum(tf)::HUGEINT * 1000000 // (SELECT sum_dl FROM st)
+               AS BIGINT) AS cfppm
+           FROM tfp WHERE tok IN (SELECT tok FROM qt) GROUP BY tok),
+         cdocs AS (SELECT DISTINCT qt.qid, tfp.doc_id, tfp.dl
+           FROM tfp JOIN qt USING (tok)),
+         grid AS (SELECT c.qid, c.doc_id, c.dl, q.tok, q.t_rank
+           FROM cdocs c JOIN qt q ON q.qid = c.qid),
+         cells AS (SELECT g.qid, g.doc_id, g.t_rank,
+             CAST(((coalesce(tfp.tf, 0)::HUGEINT * 1000000
+               + 1000 * cfp.cfppm) * 1000000000)
+               // ((g.dl + 1000)::HUGEINT * 1000000) AS BIGINT) AS r
+           FROM grid g
+           JOIN cfp ON cfp.tok = g.tok
+           LEFT JOIN tfp ON tfp.doc_id = g.doc_id AND tfp.tok = g.tok),
+         scored AS (SELECT qid, doc_id,
+             coalesce(max(CASE WHEN t_rank = 1 THEN r END),
+               1000000000)::HUGEINT
+           * coalesce(max(CASE WHEN t_rank = 2 THEN r END),
+               1000000000)::HUGEINT
+           * coalesce(max(CASE WHEN t_rank = 3 THEN r END),
+               1000000000)::HUGEINT AS s
+           FROM cells GROUP BY 1, 2)
+         SELECT qid, doc_id AS hit_id,
+           CAST(s // 1000000000 AS BIGINT) AS score_e18,
+           CAST(row_number() OVER (PARTITION BY qid
+             ORDER BY s DESC, doc_id) AS INT) AS rk
+         FROM scored
+         QUALIFY row_number() OVER (PARTITION BY qid
+           ORDER BY s DESC, doc_id) <= ${RetrievalOps.DefaultK}
+         ORDER BY qid, rk""",
     // q269: positional proximity search (NEAR/3) — per-doc band join of
     // the two query-term position slices (RetrievalOps.proximitySearch);
     // positions are 1-based over the normalized whitespace tokens

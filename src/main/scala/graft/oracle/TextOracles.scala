@@ -733,6 +733,81 @@ private[graft] object TextOracles {
          WHERE NOT EXISTS (SELECT 1 FROM j o
            WHERE o.n_chars >= p.n_chars AND o.quality_m >= p.quality_m
              AND (o.n_chars > p.n_chars OR o.quality_m > p.quality_m))
-         ORDER BY n_chars DESC, doc_id""")
+         ORDER BY n_chars DESC, doc_id"""),
+    // q307: unigram-LM hard-EM count step — seed substring likelihoods
+    // on the ppm grid, 12 MATERIALIZED MaxMatch decode rounds (longest
+    // candidate first, p0 then piece as tie-breaks — mirroring Spark's
+    // max(struct(l, p0_ppm, piece))), then the M-step re-estimate.
+    // Integer throughout; HUGEINT for the cross-multiplied ppm.
+    "q307_unigram_lm" -> ("WITH " + unigramCoreCtes + """,
+         picks AS (""" +
+      (1 to 12).map(r => s"SELECT piece, n FROM s$r")
+        .mkString(" UNION ALL ") + """),
+         counts AS MATERIALIZED (SELECT piece, CAST(sum(n) AS BIGINT) AS cnt
+           FROM picks GROUP BY piece)
+         SELECT c.piece, cnt, ca.p0_ppm,
+           CAST(cnt::HUGEINT * 1000000 // tot1 AS BIGINT) AS p1_ppm
+         FROM counts c
+         JOIN cands ca ON ca.piece = c.piece,
+              (SELECT sum(cnt)::HUGEINT AS tot1 FROM counts) t
+         ORDER BY cnt DESC, c.piece LIMIT 30"""),
+    // q308: the q307 decode applied to every word OCCURRENCE —
+    // per-source fertility rollup, integer-floor compression (q234
+    // convention); words past the 12-char cap excluded on both sides
+    "q308_unigram_encode" -> ("WITH " + unigramCoreCtes + """,
+         wp AS (SELECT w, count(*)::BIGINT AS n_pieces FROM (""" +
+      (1 to 12).map(r => s"SELECT w FROM s$r")
+        .mkString(" UNION ALL ") + """) GROUP BY w),
+         stok AS (SELECT source, w FROM tok WHERE len(w) BETWEEN 1 AND 12)
+         SELECT source, count(*)::BIGINT AS n_words,
+           CAST(sum(len(w)) AS BIGINT) AS n_chars,
+           CAST(sum(n_pieces) AS BIGINT) AS n_subwords,
+           CAST(sum(len(w))::HUGEINT * 1000 // sum(n_pieces) AS BIGINT)
+             AS chars_per_ksubword
+         FROM stok JOIN wp USING (w)
+         GROUP BY source ORDER BY source""")
   )
+
+  /** The q307/q308 shared chain: tokenizer → word dict (≤12 chars) →
+    * substring candidates with ppm seed likelihoods → 12 MaxMatch
+    * decode rounds ([[unigramRoundsCte]]). ONE source of truth ending
+    * at `tok`, `words`, `cands`, and `s1..s12`.
+    */
+  private def unigramCoreCtes: String = """
+         tok AS (SELECT source, unnest(string_split(
+             regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS w
+           FROM documents),
+         words AS MATERIALIZED (SELECT w, count(*)::BIGINT AS n FROM tok
+           WHERE len(w) BETWEEN 1 AND 12 GROUP BY w),
+         sub AS (SELECT substring(w, ps.p, ls.l) AS piece, n
+           FROM words, (SELECT unnest(range(1, 13)) AS p) ps,
+                (SELECT unnest(range(1, 5)) AS l) ls
+           WHERE ps.p <= len(w) AND ps.p + ls.l - 1 <= len(w)),
+         cfreq AS MATERIALIZED (SELECT piece, CAST(sum(n) AS BIGINT) AS freq
+           FROM sub GROUP BY piece HAVING sum(n) >= 5 OR len(piece) = 1),
+         cands AS MATERIALIZED (SELECT piece, freq,
+             CAST(freq::HUGEINT * 1000000 // tot0 AS BIGINT) AS p0_ppm
+           FROM cfreq, (SELECT sum(freq)::HUGEINT AS tot0 FROM cfreq) t),
+         s0 AS (SELECT w, n, 1 AS pos FROM words),""" + unigramRoundsCte
+
+  /** The 12 q307 MaxMatch decode rounds, one MATERIALIZED CTE each
+    * (the q173/q225 fixed-iteration replay rule): candidates explode
+    * per active (word, pos) as ≤4 substrings and EQUI-join the piece
+    * table; the pick order (l DESC, p0 DESC, piece DESC) is the total
+    * order Spark's struct max implements.
+    */
+  private def unigramRoundsCte: String = (1 to 12).map { r =>
+    val prev = if (r == 1) "s0" else s"n${r - 1}"
+    s"""
+         ax$r AS (SELECT a.w, a.n, a.pos,
+             substring(a.w, a.pos, ls.l) AS piece, ls.l
+           FROM (SELECT w, n, pos FROM $prev WHERE pos <= len(w)) a,
+                (SELECT unnest(range(1, 5)) AS l) ls
+           WHERE a.pos + ls.l - 1 <= len(a.w)),
+         s$r AS MATERIALIZED (SELECT w, n, pos, piece, l FROM (
+             SELECT ax$r.*, row_number() OVER (PARTITION BY w, pos
+               ORDER BY ax$r.l DESC, c.p0_ppm DESC, ax$r.piece DESC) AS rk
+             FROM ax$r JOIN cands c USING (piece)) t WHERE rk = 1),
+         n$r AS (SELECT w, n, pos + l AS pos FROM s$r)"""
+  }.mkString(",")
 }
