@@ -74,6 +74,16 @@ object Sinks {
     * byte-identical (AcidWriteSpec pins this plus idempotent
     * re-application).
     *
+    * Emptied partitions are deleted explicitly: dynamic
+    * partition-overwrite only replaces partitions PRESENT in the output
+    * frame, so an affected partition whose every row is deleted (or
+    * whose sole row moves away) writes nothing — without the explicit
+    * delete its stale files would survive and deleted rows silently
+    * resurface on the next read. The emptied set is `affected −
+    * written` (both delta-bounded); the collect is an FS-manifest-sized
+    * list driving directory deletes, the same class of driver-side FS
+    * work as [[compact]]'s renames.
+    *
     * Enforces the SQL MERGE cardinality rule (≤1 change row per key —
     * a delta-sized aggregate). Non-delete change rows must carry
     * non-null partition values: they decide where inserts land.
@@ -134,6 +144,24 @@ object Sinks {
     val merged = graft.operators.IncrementalOps
       .mergeChangeset(scoped, eff, keys, opCol).localCheckpoint()
     overwritePartitions(merged, spec, outputDir)
+    // affected partitions the merge wrote NOTHING for (all rows deleted,
+    // or a move took the last row away): dynamic overwrite never touched
+    // them, so their stale files must be removed here
+    val emptied = parts.join(
+      merged.select(pCols.map(col): _*).distinct(), pCols, "left_anti")
+      .collect()
+    if (emptied.nonEmpty) {
+      val root = new org.apache.hadoop.fs.Path(path)
+      val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      emptied.foreach { row =>
+        val rel = pCols.indices.map { i =>
+          val v = if (row.isNullAt(i)) null else String.valueOf(row.get(i))
+          org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+            .getPartitionPathString(pCols(i), v)
+        }.mkString("/")
+        fs.delete(new org.apache.hadoop.fs.Path(root, rel), true)
+      }
+    }
     nParts
   }
 

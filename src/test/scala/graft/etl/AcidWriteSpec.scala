@@ -107,6 +107,54 @@ class AcidWriteSpec extends SparkSpecBase {
       Set((1L, "a1", "a"), (2L, "a2", "b"), (3L, "b3", "b")))
   }
 
+  test("mergeInto: deleting every row of a partition removes its directory (no resurrection)") {
+    val out = Files.createTempDirectory("graft-merge-empty").toString
+    val mspec = Sinks.TableSpec("empty_t", Sinks.Parquet, Seq("src"))
+    Sinks.write(Seq((1L, "a1", "a"), (2L, "a2", "a"), (3L, "b3", "b"))
+      .toDF("id", "v", "src"), mspec, out)
+    val bBefore = {
+      val d = new java.io.File(s"$out/${mspec.name}/src=b")
+      d.listFiles().filter(_.getName.endsWith(".parquet"))
+        .map(f => (f.getName, f.length, f.lastModified)).toSeq.sorted
+    }
+    // delete BOTH rows of partition a: dynamic overwrite writes nothing
+    // for a, so without the explicit delete its old files would survive
+    val n = Sinks.mergeInto(spark,
+      Seq((1L, "D", null.asInstanceOf[String], null.asInstanceOf[String]),
+        (2L, "D", null.asInstanceOf[String], null.asInstanceOf[String]))
+        .toDF("id", "op", "v", "src"),
+      Seq("id"), mspec, out)
+    assert(n === 1L)
+    assert(!new java.io.File(s"$out/${mspec.name}/src=a").exists(),
+      "emptied partition directory must be deleted")
+    val after = spark.read.parquet(s"$out/${mspec.name}")
+    assert(after.as[(Long, String, String)].collect().toSet ===
+      Set((3L, "b3", "b")))
+    // the untouched partition is still byte-identical
+    assert({
+      val d = new java.io.File(s"$out/${mspec.name}/src=b")
+      d.listFiles().filter(_.getName.endsWith(".parquet"))
+        .map(f => (f.getName, f.length, f.lastModified)).toSeq.sorted
+    } === bBefore)
+  }
+
+  test("mergeInto: moving a partition's sole row away deletes the source partition (no duplication)") {
+    val out = Files.createTempDirectory("graft-merge-solemove").toString
+    val mspec = Sinks.TableSpec("solemove_t", Sinks.Parquet, Seq("src"))
+    Sinks.write(Seq((1L, "a1", "a"), (2L, "b2", "b"))
+      .toDF("id", "v", "src"), mspec, out)
+    val n = Sinks.mergeInto(spark,
+      Seq((2L, "U", "b2", "a")).toDF("id", "op", "v", "src"),
+      Seq("id"), mspec, out)
+    assert(n === 2L, s"move touches old+new partitions, got $n")
+    assert(!new java.io.File(s"$out/${mspec.name}/src=b").exists(),
+      "source partition emptied by the move must be deleted")
+    // the moved row exists ONCE, in its new partition only
+    assert(spark.read.parquet(s"$out/${mspec.name}")
+      .as[(Long, String, String)].collect().toSet ===
+      Set((1L, "a1", "a"), (2L, "b2", "a")))
+  }
+
   test("partition overwrite refuses unpartitioned specs") {
     intercept[IllegalArgumentException] {
       Sinks.overwritePartitions(month(4, Seq(1L -> "a")),
