@@ -62,6 +62,27 @@ object Bench {
         .getOperatingSystemMXBean.getSystemLoadAverage
     }
 
+  /** Block until the 1-min load average drops to `maxLoad`, polling
+    * every `pollSec` seconds, giving up after `maxWaitSec` (VERDICT r12
+    * item 2: r12's +9% common-set drift began under load 4.7 vs r11's
+    * 2.76 and could not be told apart from a real regression — a
+    * measurement that STARTS under ambient load is noise by
+    * construction). The bench waits for quiet rather than refusing: a
+    * driver round must still produce a number, but one that either
+    * started quiet or says how long it waited. Returns seconds waited.
+    */
+  def waitForLoad(maxLoad: Double, maxWaitSec: Int, pollSec: Int = 15): Int = {
+    var waited = 0
+    var l = loadAvg()
+    while (l > maxLoad && waited < maxWaitSec) {
+      System.err.println(f"BENCH LOAD GATE: 1-min load $l%.2f > $maxLoad%.2f, waiting ($waited/${maxWaitSec}s)")
+      Thread.sleep(pollSec * 1000L)
+      waited += pollSec
+      l = loadAvg()
+    }
+    waited
+  }
+
   /** How many slowest-warm queries ride the stdout `"metric":"total"`
     * line. Sized so the WHOLE stdout payload (summary + top line +
     * summary) stays under the driver's 2000-char stdout tail window at
@@ -95,25 +116,54 @@ object Bench {
   def renderLines(results: Map[String, Double], failed: Seq[String],
       sf: String, flaky: Seq[String] = Nil,
       cold: Map[String, Double] = Map.empty,
-      load: (Double, Double) = (-1.0, -1.0)): Seq[String] = {
-    // slowest first so the audit-relevant entries survive any further
-    // truncation; failed sentinels always ride along (they are the
-    // first thing a reader must see)
-    val top = (results.toSeq.filter(_._2 < 0) ++
-        results.toSeq.filter(_._2 >= 0).sortBy(-_._2).take(TopK))
-      .map { case (k, v) => s"\"" + jsonStr(k) + "\":" + r3(v) }
-      .mkString("{", ",", "}")
+      load: (Double, Double) = (-1.0, -1.0),
+      loadWaitedSec: Int = 0): Seq[String] = {
     val total = r3(results.values.filter(_ >= 0).sum)
     val totalCold = r3(cold.values.filter(_ >= 0).sum)
-    def names(xs: Seq[String]) =
-      xs.sorted.map("\"" + jsonStr(_) + "\"").mkString("[", ",", "]")
     val sus = suspects(results, cold)
-    val loadJson = s"""{"start":${r3(load._1)},"end":${r3(load._2)}}"""
+    val loadJson =
+      if (loadWaitedSec > 0)
+        s"""{"start":${r3(load._1)},"end":${r3(load._2)},"waited":$loadWaitedSec}"""
+      else s"""{"start":${r3(load._1)},"end":${r3(load._2)}}"""
     val summary =
       s"""{"metric":"total_summary","value":$total,"unit":"sec","total_cold":$totalCold,"n_queries":${results.size},"n_failed":${failed.size},"n_flaky":${flaky.size},"n_suspect":${sus.size},"load":$loadJson,"sf":"${jsonStr(sf)}"}"""
-    Seq(summary,
-      s"""{"metric":"total","value":$total,"unit":"sec","total_cold":$totalCold,"queries":$top,"n_top":${math.min(TopK, results.count(_._2 >= 0))},"full":"bench_history.jsonl","failed":${names(failed)},"flaky":${names(flaky)},"suspect":${names(sus)},"n_suspect":${sus.size},"load":$loadJson,"sf":"${jsonStr(sf)}"}""",
-      summary)
+    // slowest first so the audit-relevant entries survive any further
+    // truncation; failed sentinels ride along (they are the first thing
+    // a reader must see) but are THEMSELVES capped — a mass-failure run
+    // must not blow the 2000-char tail either (the 1000-query success
+    // test missed that path until r13); name arrays are capped with an
+    // explicit overflow marker, and the n_* summary counts always carry
+    // the true magnitudes
+    def render(capQ: Int, capN: Int): Seq[String] = {
+      val kept = results.toSeq.filter(_._2 >= 0).sortBy(-_._2).take(capQ)
+      val top = (results.toSeq.filter(_._2 < 0).sortBy(_._1).take(capQ) ++
+          kept)
+        .map { case (k, v) => s"\"" + jsonStr(k) + "\":" + r3(v) }
+        .mkString("{", ",", "}")
+      def names(xs: Seq[String]) = {
+        val s = xs.sorted
+        val h = s.take(capN).map("\"" + jsonStr(_) + "\"")
+        val marked = if (s.size > capN)
+          h :+ ("\"+" + (s.size - capN) + " more\"") else h
+        marked.mkString("[", ",", "]")
+      }
+      Seq(summary,
+        s"""{"metric":"total","value":$total,"unit":"sec","total_cold":$totalCold,"queries":$top,"n_top":${kept.size},"full":"bench_history.jsonl","failed":${names(failed)},"flaky":${names(flaky)},"suspect":${names(sus)},"n_suspect":${sus.size},"load":$loadJson,"sf":"${jsonStr(sf)}"}""",
+        summary)
+    }
+    // shrink-to-fit: halve the caps until the WHOLE payload fits the
+    // driver's 2000-char tail — the durable invariant, independent of
+    // name lengths or failure counts (the full maps live in the
+    // committed artifacts regardless)
+    var capQ = TopK
+    var capN = TopK
+    var lines = render(capQ, capN)
+    while (lines.mkString("\n").length + 1 >= 1950 && (capQ > 2 || capN > 1)) {
+      capQ = math.max(2, capQ / 2)
+      capN = math.max(1, capN / 2)
+      lines = render(capQ, capN)
+    }
+    lines
   }
 
   /** The complete per-query record — warm medians AND rep-1 cold times
@@ -143,6 +193,12 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
     require(reps >= 1, s"SPARK_GRAFT_BENCH_REPS must be >= 1, got $reps")
+    // load gate (VERDICT r12 item 2): wait for ambient quiet before
+    // measuring, bounded so a driver round always completes; a run that
+    // had to wait records it in the load JSON
+    val maxLoad = sys.env.getOrElse("SPARK_GRAFT_MAX_LOAD", "4.0").toDouble
+    val maxWait = sys.env.getOrElse("SPARK_GRAFT_LOAD_WAIT_SEC", "300").toInt
+    val waited = waitForLoad(maxLoad, maxWait)
     val loadStart = loadAvg()
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -204,7 +260,8 @@ object Bench {
     // cold-session cost the warm medians exclude
     val loadEnd = loadAvg()
     val lines = renderLines(results, failed.toSeq, sfDir, flaky.toSeq,
-      cold = passes.head, load = (loadStart, loadEnd))
+      cold = passes.head, load = (loadStart, loadEnd),
+      loadWaitedSec = waited)
     // the committed durable record is ONE combined line per round
     // (full warm + cold maps in one object); stdout only ever carries
     // the bounded top-K view of it

@@ -469,7 +469,20 @@ object IncrementalOps {
     * "SHOULD NOT APPLY" — if it ever applies, the fingerprint gate
     * catches it). One op per key by construction.
     */
+  /** The +1e7/+2e7 re-keying shifts in [[q306Changeset]]/[[q311WriteAmplification]]
+    * are unique-by-construction ONLY while every existing doc_id sits
+    * below the first shift — at a larger fixture a shifted key could
+    * collide with a real one and silently break the one-op-per-key
+    * invariant BOTH engines replay (the oracle agrees with the
+    * breakage, so the hash gate cannot catch it). Fail loudly instead:
+    * one pushdown-filtered limit-1 probe per build.
+    */
+  private def requireKeysBelowShift(base: DataFrame): Unit =
+    require(base.filter(col("doc_id") >= 10000000L).limit(1).count() == 0,
+      "changeset re-keying assumes doc_id < 1e7; the fixture violates it")
+
   private[graft] def q306Changeset(base: DataFrame): DataFrame = {
+    requireKeysBelowShift(base)
     val dels = base.filter(col("doc_id") % 13 === 0)
       .select(col("doc_id"), lit("D").as("op"),
         lit(null).cast("string").as("text"),
@@ -553,6 +566,7 @@ object IncrementalOps {
     val base = Tables.documents(spark, dir)
       .select(col("doc_id"), col("text"),
         expr("doc_id div 100").as("batch"))
+    requireKeysBelowShift(base)
     val b1 = base.filter(col("batch") === 1L)
     val dels = b1.filter(col("doc_id") % 13 === 0)
       .select(col("doc_id"), lit("D").as("op"),

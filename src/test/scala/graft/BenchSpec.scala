@@ -113,6 +113,36 @@ class BenchSpec extends AnyFunSuite {
     assert(Bench.loadAvg() >= 0.0)
   }
 
+  test("renderLines: a mass-failure run still fits the 2000-char tail (sentinels and name lists capped)") {
+    val results = (1 to 900).map(i => f"q$i%03d_some_longish_name" -> -(i / 100.0)).toMap ++
+      (1 to 100).map(i => f"ok$i%03d_some_longish_name" -> (i / 100.0)).toMap
+    val failed = results.keys.filter(_.startsWith("q")).toSeq
+    val flaky = (1 to 100).map(i => f"ok$i%03d_some_longish_name")
+    val lines = Bench.renderLines(results, failed, "sf", flaky = flaky,
+      cold = results, load = (31.25, 28.5))
+    val payload = lines.mkString("\n") + "\n"
+    assert(payload.length < 2000,
+      s"mass-failure stdout payload ${payload.length} chars overflows the tail")
+    // explicit truncation markers + true magnitudes in the summary
+    assert(""""\+\d+ more"""".r.findFirstIn(lines(1)).isDefined)
+    assert(lines.head.contains("\"n_failed\":900"))
+    assert(lines.head.contains("\"n_flaky\":100"))
+  }
+
+  test("renderLines: a load-gated run records how long it waited") {
+    val waited = Bench.renderLines(Map("q" -> 1.0), Nil, "sf",
+      cold = Map("q" -> 1.0), load = (3.0, 3.5), loadWaitedSec = 45)
+    assert(waited.head.contains("\"load\":{\"start\":3.0,\"end\":3.5,\"waited\":45}"))
+    // absent when the gate never triggered (keeps the r12 line shape)
+    val clean = Bench.renderLines(Map("q" -> 1.0), Nil, "sf",
+      cold = Map("q" -> 1.0), load = (3.0, 3.5))
+    assert(clean.head.contains("\"load\":{\"start\":3.0,\"end\":3.5}"))
+  }
+
+  test("waitForLoad: returns immediately when load is already below the gate") {
+    assert(Bench.waitForLoad(maxLoad = 1e9, maxWaitSec = 60) === 0)
+  }
+
   test("r3: 3dp durations; a fast failure keeps its negative sentinel") {
     assert(Bench.r3(52.46395232399998) === 52.464)
     assert(Bench.r3(0.0004) === 0.0)    // sub-ms success rounds to zero
