@@ -54,6 +54,37 @@ class SkewUtilsSpec extends SparkSpecBase {
     assert(noneHot.exceptAll(plain).isEmpty && plain.exceptAll(noneHot).isEmpty)
   }
 
+  test("byte-identical duplicate rows spread across salts (VERDICT r12: whole-row-hash collapse)") {
+    import spark.implicits._
+    // the degenerate input salting most targets: a hot key whose rows
+    // are IDENTICAL (null-FK flood with a constant payload) — the r11
+    // whole-row-hash salt put all of these in ONE bucket
+    val nSalts = 8
+    val fact = Seq.fill(4000)((0, "constant")).toDF("n_key", "payload")
+    val spread = fact.withColumn("__salt", SkewUtils.rowSalt(nSalts))
+      .groupBy("__salt").count().collect()
+    assert(spread.length >= nSalts / 2,
+      s"identical rows collapsed to ${spread.length} salt buckets")
+    // round-robin is near-uniform, not merely non-degenerate
+    val counts = spread.map(_.getLong(1))
+    assert(counts.max <= 2 * (4000 / nSalts),
+      s"worst salt bucket ${counts.max} rows exceeds 2x the mean")
+
+    // result identity is preserved through BOTH salted join shapes
+    val dim = Seq((0, "ZERO"), (1, "ONE")).toDF("n_key", "name")
+    val plain = fact.join(dim, Seq("n_key")).select("n_key", "payload", "name")
+    val salted = SkewUtils.saltedJoin(fact, dim, "n_key", nSalts)
+      .select("n_key", "payload", "name")
+    assert(salted.exceptAll(plain).isEmpty && plain.exceptAll(salted).isEmpty)
+
+    val b = (Seq.fill(5)((0L, "b")) ++ Seq((1L, "x"))).toDF("k", "bv")
+    val a2 = fact.select(col("n_key").cast("long").as("k"), col("payload").as("av"))
+    val plain2 = a2.join(b, Seq("k")).select("k", "av", "bv")
+    val salted2 = SkewUtils.saltedFactJoin(a2, b, "k", nSalts,
+      SkewUtils.detectHotKeys(a2, "k", 100)).select("k", "av", "bv")
+    assert(salted2.exceptAll(plain2).isEmpty && plain2.exceptAll(salted2).isEmpty)
+  }
+
   test("saltedDistinctCount ≡ countDistinct on skewed data, any salt width") {
     import spark.implicits._
     // hot key 0: 5000 rows over 700 distinct values (duplicates across
