@@ -1350,7 +1350,7 @@ private[graft] object EventOracles {
            CASE WHEN event_type = 'error' THEN 1 ELSE 0 END AS is_del,
            CAST(round(value * 100, 0) AS BIGINT) AS v_c,
            epoch_us(ts) AS us, event_id
-         FROM events WHERE json_extract_string(props, '$.k') IS NOT NULL),
+         FROM events),
          latest AS (SELECT * FROM cdc
            QUALIFY row_number() OVER (PARTITION BY user_id, k
              ORDER BY us DESC, event_id DESC) = 1)

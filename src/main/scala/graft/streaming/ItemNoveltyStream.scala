@@ -79,7 +79,6 @@ object ItemNoveltyStream {
       .select(col("user_id"),
         get_json_object(col("props"), "$.k").cast("long").as("item"),
         unix_micros(col("ts")).as("ts_us"), col("event_id"))
-      .filter(col("item").isNotNull)
       .as[(Long, Long, Long, Long)]
       .groupByKey(_._1)
       .transformWithState(new NoveltyProcessor, TimeMode.None(),
@@ -106,7 +105,6 @@ object ItemNoveltyStream {
       .select(col("user_id"),
         get_json_object(col("props"), "$.k").cast("long").as("item"),
         unix_micros(col("ts")).as("ts_us"), col("event_id"))
-      .filter(col("item").isNotNull)
     val wFirst = Window.partitionBy(col("user_id"), col("item"))
       .orderBy(col("ts_us"), col("event_id"))
     val wOrd = Window.partitionBy(col("user_id"))
