@@ -13,35 +13,74 @@ import org.apache.spark.sql.functions._
   * frame through ONE window partition — the canonical 100 TB
   * scale-killer that rounds 9–10 eliminated and round 11 re-introduced
   * on three aggregate-grain frames (VERDICT r11: q284/q296/q303).
-  * Two-phase instead:
   *
-  *   1. value-range buckets `((v − min) · nb) div (max − min + 1)` —
-  *      monotone in `v`, so bucket order concatenated with in-bucket
-  *      order reproduces the global total order exactly (ties in `v`
-  *      land in one bucket and break on `tieCol`, same as the naive
-  *      window's total order);
+  * Since r13 the buckets come from sampled range partitioning on the
+  * COMPOUND key `(v [DESC], tie ASC)` — Spark's own global-sort
+  * machinery (`repartitionByRange` = Exchange rangepartitioning) —
+  * rather than the r12 equi-width arithmetic buckets over `v` alone.
+  * That closes the documented tie-skew hole (VERDICT r12 item 1): under
+  * value-only bucketing all rows EQUAL in `v` had to share a bucket
+  * (correctness — the bucket function had to be monotone in the total
+  * order), so a frame dominated by one value re-created the single-task
+  * bottleneck. Range boundaries on the compound key are free to land
+  * BETWEEN ties of `v` at `tie` cut points, so a 90%-one-value frame
+  * still splits into ~equal buckets (TwoPhaseRankSpec plants exactly
+  * that and asserts no bucket exceeds 2× the mean). Equi-depth is by
+  * construction (sampled), not by hoping the value range is uniform.
+  * Note the hash-sub-bucket extension sketched in r12 would NOT have
+  * been sound: a bucket holding several distinct values ordered by
+  * `(value bucket, hash(tie) bucket)` breaks the lexicographic
+  * concatenation order — boundaries must come from the compound key
+  * itself.
+  *
+  * Phases:
+  *   1. range-partition by `(v, tie)` into `nBuckets` tasks; stamp
+  *      `_bkt = spark_partition_id()` and localCheckpoint — the
+  *      checkpoint FREEZES the sampled boundaries so the two
+  *      consumers below (per-bucket windows, bucket totals) read one
+  *      consistent assignment instead of re-instantiating the sampled
+  *      exchange, and ranks stay deterministic run-to-run because any
+  *      boundary placement yields the same global order (the input is
+  *      also checkpointed first so the sampling pass and the shuffle
+  *      pass don't each recompute the upstream aggregate);
   *   2. per-bucket streaming rank / cumsum (window PARTITIONED by
-  *      bucket — data-cardinality rows never share one partition);
+  *      `_bkt` — data-cardinality rows never share one partition);
   *   3. bucket offsets from a cumulative sum over the bucket-COUNT
-  *      frame — the only partitionless window left runs over ≤ nb rows
-  *      (PlanLintSpec's allowlisted bounded shape), then broadcasts
-  *      back.
+  *      frame — the only partitionless window left runs over
+  *      ≤ nBuckets rows (PlanLintSpec's allowlisted bounded shape),
+  *      then broadcasts back.
   *
   * `r = offset + intra` equals the naive global `row_number` exactly;
   * `cum = sumOffset + intraCum` equals the naive running sum under the
-  * same total order — the DuckDB oracles keep computing the naive form.
+  * same total order — the DuckDB oracles keep computing the naive
+  * form. Rows identical in the FULL compound key are interchangeable
+  * (same as the naive window), so `tieCol` should be a per-row unique
+  * key wherever row-grain determinism matters — every current rider
+  * passes an entity key.
   *
-  * Bounds are data-derived via one scalar aggregate crossed in by
-  * broadcast (no collect); min==max degenerates to one bucket safely.
-  * Value ranges here are lifetime cents / lateness counts — they grow
-  * with entity size, not row count, so `(v−min)·nb` stays far below
-  * DECIMAL(38,0) overflow at any SF. Tie skew: rows equal in `v` must
-  * share a bucket (correctness), so a frame dominated by ONE value
-  * still bottlenecks — the extension is compound bucketing on
-  * `(v, hash(tieCol) range)`, not needed while values are sums of
-  * per-entity activity.
+  * Scale shape: the input frames are entity-grain aggregates (spend
+  * per customer, lateness per supplier), so the two localCheckpoint
+  * materializations are far below corpus scale; the range exchange
+  * adds one sampling pass + one shuffle — the same price
+  * `ORDER BY`-writes pay, bought here without any single-task sort.
   */
 object TwoPhaseRank {
+
+  /** The range-bucketed frame: input rows plus `_bkt`, where bucket
+    * order concatenated with in-bucket `(v, tie)` order IS the global
+    * total order. Exposed package-private so the tie-skew spec can
+    * assert the bucket-size distribution directly.
+    */
+  private[graft] def bucketize(df: DataFrame, valueCol: String,
+      tieCol: String, descending: Boolean, nBuckets: Int): DataFrame = {
+    val ord: Seq[Column] =
+      if (descending) Seq(col(valueCol).desc, col(tieCol).asc)
+      else Seq(col(valueCol).asc, col(tieCol).asc)
+    df.localCheckpoint()
+      .repartitionByRange(nBuckets, ord: _*)
+      .withColumn("_bkt", spark_partition_id())
+      .localCheckpoint()
+  }
 
   /** Attach `r` (global 1-based row_number, LONG) and — when `cumCol`
     * is set — `cum` (global running sum of `cumCol` as DECIMAL(38,0),
@@ -52,14 +91,7 @@ object TwoPhaseRank {
       descending: Boolean = false, cumCol: Option[String] = None,
       nBuckets: Int = 1024): DataFrame = {
     require(nBuckets > 0, s"nBuckets must be positive, got $nBuckets")
-    val bounds = df.agg(
-      min(col(valueCol)).cast("decimal(38,0)").as("_mn"),
-      max(col(valueCol)).cast("decimal(38,0)").as("_mx"))
-    val bucketed = df.crossJoin(broadcast(bounds))
-      .withColumn("_bkt", expr(
-        s"CAST(((CAST($valueCol AS decimal(38,0)) - _mn) * $nBuckets)" +
-          s" DIV (_mx - _mn + 1) AS INT)"))
-      .drop("_mn", "_mx")
+    val bucketed = bucketize(df, valueCol, tieCol, descending, nBuckets)
     val ord: Seq[Column] =
       if (descending) Seq(col(valueCol).desc, col(tieCol).asc)
       else Seq(col(valueCol).asc, col(tieCol).asc)
@@ -74,9 +106,10 @@ object TwoPhaseRank {
       cumCol.map(c => sum(col(c).cast("decimal(38,0)")).as("_bsum"))
     val byBucket = bucketed.groupBy(col("_bkt")).agg(aggs.head, aggs.tail: _*)
     // the ONE partitionless window: a cumsum over the ≤ nBuckets-row
-    // bucket-count frame (bounded by construction, never by the data)
-    val wOff = Window
-      .orderBy(if (descending) col("_bkt").desc else col("_bkt").asc)
+    // bucket-count frame (bounded by construction, never by the data).
+    // `_bkt` ascends WITH the requested order — range partition 0 holds
+    // the first rows of the global order in both directions.
+    val wOff = Window.orderBy(col("_bkt").asc)
       .rowsBetween(Window.unboundedPreceding, -1)
     val offsets = cumCol.foldLeft(
       byBucket.withColumn("_roff", coalesce(sum(col("_cnt")).over(wOff), lit(0L)))
