@@ -570,6 +570,75 @@ object ScalingBench {
         conf.unset("spark.sql.adaptive.advisoryPartitionSizeInBytes")
       }
     }
+    // runtime Bloom-filter join pushdown A/B (synth mode only, VERDICT
+    // r12 item 3): fact⋈dim shuffle join with a selective dim filter —
+    // with injection ON, Catalyst builds a Bloom filter over the
+    // filtered dim's join keys and applies `might_contain` on the FACT
+    // side BELOW its shuffle, pruning fact rows before they are hashed,
+    // serialized, and shuffled (the read-side complement of the skew
+    // work; at 100 TB the fact shuffle is the dominant cost and the
+    // bloom build is dim-sized). The synthetic fact amplifies sf0.1
+    // lineitem 8× so the shuffle is big enough to measure; the
+    // injection thresholds are lowered to probe scale (the
+    // application-side default is 10 GB — production fires exactly
+    // where the story holds). Result checksums must agree; the ON plan
+    // must actually carry the filter (BloomFilterJoinSpec pins the
+    // same shape at fixture scale).
+    if (args.headOption.contains("synth")) {
+      import org.apache.spark.sql.functions._
+      val li0 = Tables.lineitem(spark, "/root/testdata/sf0.1")
+        .select(col("l_orderkey"), col("l_quantity"), col("l_returnflag"))
+      val fact = (0 until 8).map(c =>
+        li0.withColumn("l_orderkey", col("l_orderkey") + lit(c * 10000000L)))
+        .reduce(_ unionByName _).localCheckpoint()
+      val dim = (0 until 8).map(c =>
+        Tables.orders(spark, "/root/testdata/sf0.1")
+          .select(col("o_orderkey"), col("o_orderpriority"))
+          .withColumn("o_orderkey", col("o_orderkey") + lit(c * 10000000L)))
+        .reduce(_ unionByName _).localCheckpoint()
+      def shape() = fact.join(
+          dim.filter(col("o_orderpriority") === "1-URGENT"),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast("long")).as("qty"))
+      def checksum(df: org.apache.spark.sql.DataFrame): Seq[(String, Long, Long)] =
+        df.orderBy("l_returnflag").collect()
+          .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+      def time(f: => Unit): Double = Bench.median((1 to reps).map { _ =>
+        val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+      })
+      val conf = spark.conf
+      val savedB = conf.getOption("spark.sql.autoBroadcastJoinThreshold")
+      val factRows = fact.count()
+      try {
+        conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+        conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+        conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+        val dfOn = shape()
+        require(dfOn.queryExecution.optimizedPlan.toString.contains("might_contain"),
+          "bloom_filter A/B: injection did not fire in the ON arm")
+        val csOn = checksum(dfOn)
+        val tOn = time(shape().write.mode("overwrite").format("noop").save())
+        conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "false")
+        val dfOff = shape()
+        require(!dfOff.queryExecution.optimizedPlan.toString.contains("might_contain"))
+        val csOff = checksum(dfOff)
+        val tOff = time(shape().write.mode("overwrite").format("noop").save())
+        require(csOn == csOff,
+          s"bloom_filter A/B checksums diverged: on=$csOn off=$csOff")
+        println(f"""{"metric":"bloom_filter","fact_rows":$factRows,"dim_selectivity":"o_orderpriority=1-URGENT","bloom_on_sec":$tOn%.2f,"bloom_off_sec":$tOff%.2f,"ratio_off_over_on":${tOff / tOn}%.2f,"checksums_equal":true}""")
+      } finally {
+        savedB match {
+          case Some(v) => conf.set("spark.sql.autoBroadcastJoinThreshold", v)
+          case None    => conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        }
+        conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+        conf.unset("spark.sql.optimizer.runtime.bloomFilter.enabled")
+        conf.unset("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold")
+      }
+    }
     spark.stop()
   }
 }
