@@ -296,7 +296,24 @@ object ScalingBench {
       // it — the probe pins expansion mining tracking the index build,
       // never re-scanning per query
       Probe("q279_prf_expansion", "documents",
-        SparkEntry.queries("q279_prf_expansion")))
+        SparkEntry.queries("q279_prf_expansion")),
+      // round-13 additions (VERDICT r12 item 8): the MERGE/CDC/write-amp
+      // trio's O(delta)/O(affected-partition) claims, measured. q306's
+      // changeset is a fixed modulo fraction of the corpus, so the merge
+      // (one full-outer shuffle on the key, delta-sized change side)
+      // should track the corpus ~linearly; q310's winner-per-key is ONE
+      // map-side-combinable struct-max over the events log (linear by
+      // construction — a bend would mean the argmax regressed to a
+      // window); q311 replays the affected-partition arithmetic, whose
+      // TIME tracks the corpus scan while the scoped-merge SHARE falls
+      // with scale (the separate write_amp_share probe below records
+      // the shares themselves)
+      Probe("q306_merge_into", "documents",
+        SparkEntry.queries("q306_merge_into")),
+      Probe("q310_cdc_compaction", "events",
+        SparkEntry.queries("q310_cdc_compaction")),
+      Probe("q311_write_amplification", "documents",
+        SparkEntry.queries("q311_write_amplification")))
 
   /** Build k-times-scaled corpora from sf0.1 (documents AND embeddings).
     * Document copy c suffixes every token with a copy marker, so each
@@ -588,10 +605,10 @@ object ScalingBench {
       import org.apache.spark.sql.functions._
       val li0 = Tables.lineitem(spark, "/root/testdata/sf0.1")
         .select(col("l_orderkey"), col("l_quantity"), col("l_returnflag"))
-      val fact = (0 until 8).map(c =>
+      val fact = (0 until 24).map(c =>
         li0.withColumn("l_orderkey", col("l_orderkey") + lit(c * 10000000L)))
         .reduce(_ unionByName _).localCheckpoint()
-      val dim = (0 until 8).map(c =>
+      val dim = (0 until 24).map(c =>
         Tables.orders(spark, "/root/testdata/sf0.1")
           .select(col("o_orderkey"), col("o_orderpriority"))
           .withColumn("o_orderkey", col("o_orderkey") + lit(c * 10000000L)))
@@ -616,6 +633,11 @@ object ScalingBench {
         conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
         conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
         conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+        // the amplified dim's ESTIMATE exceeds the 10MB default creation
+        // cap (production tables carry real stats; this one is a
+        // checkpointed RDD) — lift it so the probe measures the filter,
+        // not the estimator
+        conf.set("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "512MB")
         val dfOn = shape()
         require(dfOn.queryExecution.optimizedPlan.toString.contains("might_contain"),
           "bloom_filter A/B: injection did not fire in the ON arm")
@@ -637,7 +659,23 @@ object ScalingBench {
         conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
         conf.unset("spark.sql.optimizer.runtime.bloomFilter.enabled")
         conf.unset("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold")
+        conf.unset("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold")
       }
+    }
+    // write-amplification SHARE vs scale (synth mode only, VERDICT r12
+    // item 8): q311's changeset is confined to ONE ingest batch
+    // (batch 1 of the doc_id div 100 layout — a fixed key slice), so as
+    // the table grows the partition-scoped merge's rewrite share must
+    // FALL (the O(delta·partition) story made measurable) while the
+    // full rewrite stays 10000 bp and SCD2 stays O(delta) flat.
+    if (args.headOption.contains("synth")) {
+      val shares = allDirs.map { d =>
+        val m = graft.operators.IncrementalOps
+          .q311WriteAmplification(spark, d)
+          .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+        s""""$d":{"docs":${nRows(d -> "documents").toLong},"merge_scoped_bp":${m("merge_partition_scoped")},"scd2_bp":${m("scd2_append")}}"""
+      }.mkString("{", ",", "}")
+      println(s"""{"metric":"write_amp_share","shares":$shares}""")
     }
     spark.stop()
   }
