@@ -431,6 +431,8 @@ object SparkEntry {
       IncrementalOps.q310CdcCompaction(s, d)),
     "q311_write_amplification" -> ((s, d) =>
       IncrementalOps.q311WriteAmplification(s, d)),
+    "q312_unigram_prune"  -> ((s, d) =>
+      TextAnalysisOps.unigramPrune(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -1641,6 +1641,74 @@ object TextAnalysisOps {
       unigramPicksOn(words, unigramScoredOn(words, 4, 5), 4, 12))
   }
 
+  /** Unigram-LM pruning round (q312, VERDICT r12 item 6): the step the
+    * q307 trainer stopped short of — real SentencePiece ALTERNATES
+    * re-estimation with dropping the lowest-likelihood pieces until a
+    * target vocabulary. One prune: from the q307 EM round's usage
+    * counts, multi-char pieces whose re-estimated mass falls below
+    * `minLikPpm` (50 ppm — mean-relative, so the rule is SF-stable;
+    * PARITY rule on fixed absolute thresholds) are dropped, single
+    * chars always survive (the coverage guarantee that keeps MaxMatch
+    * total), and the corpus word dict is RE-DECODED under the pruned
+    * vocabulary with the re-estimated likelihoods as tie-breaks.
+    * Report: per piece length, candidates before vs kept after, and
+    * the re-decode's usage/mass — the vocab-size + coverage delta a
+    * trainer inspects between prune rounds.
+    *
+    * Scale shape: rides the q307 session caches (seed + round-1
+    * decode); the prune filter and survivor table are vocab-bounded;
+    * the re-decode is the same 12 vocabulary-scale equi-join rounds as
+    * q307 (ScalingBench's q307 probe covers the class). No ranking
+    * window anywhere — the prune rule is a relational ppm threshold,
+    * not a global percentile sort.
+    */
+  def unigramPrune(spark: SparkSession, dir: String): DataFrame =
+    unigramPruneFrom(unigramWords(Tables.documents(spark, dir), 12),
+      cachedUnigramScored(spark, dir), cachedUnigramPicks(spark, dir))
+
+  private[graft] def unigramPruneOn(docs: DataFrame): DataFrame = {
+    val words = unigramWords(docs, 12)
+    val scored = unigramScoredOn(words, 4, 5)
+    unigramPruneFrom(words, scored, unigramPicksOn(words, scored, 4, 12))
+  }
+
+  private def unigramPruneFrom(words: DataFrame, scored: DataFrame,
+      picks: DataFrame, minLikPpm: Long = 50L): DataFrame = {
+    val counts = picks.groupBy(col("piece")).agg(sum(col("n")).as("cnt"))
+    val surv = scored.select(col("piece"))
+      .join(counts, Seq("piece"), "left")
+      .crossJoin(broadcast(counts.agg(
+        sum(col("cnt").cast("decimal(38,0)")).as("tot1"))))
+      .select(col("piece"), coalesce(
+        expr("CAST(CAST(cnt AS decimal(38,0)) * 1000000 DIV tot1 AS BIGINT)"),
+        lit(0L)).as("lik"))
+      .filter(length(col("piece")) === 1 || col("lik") >= minLikPpm)
+      .localCheckpoint(eager = true)
+    // re-decode under the pruned vocabulary; the re-estimated ppm mass
+    // is the pick likelihood (the kernel's tie-break column)
+    val picks2 = unigramPicksOn(words,
+      surv.select(col("piece"), col("lik").as("p0_ppm")), 4, 12)
+    val c2 = picks2.groupBy(col("piece")).agg(sum(col("n")).as("cnt2"))
+    val byCand = scored.groupBy(length(col("piece")).as("piece_len"))
+      .agg(count(lit(1)).as("n_cand"))
+    val byKept = surv.groupBy(length(col("piece")).as("piece_len"))
+      .agg(count(lit(1)).as("n_kept"))
+    val byPicks = c2.groupBy(length(col("piece")).as("piece_len"))
+      .agg(sum(col("cnt2")).as("picks"))
+    byCand
+      .join(byKept, Seq("piece_len"), "left")
+      .join(byPicks, Seq("piece_len"), "left")
+      .crossJoin(broadcast(c2.agg(
+        sum(col("cnt2").cast("decimal(38,0)")).as("tot2"))))
+      .select(col("piece_len"), col("n_cand"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("picks"), lit(0L)).as("picks"),
+        coalesce(expr(
+          "CAST(CAST(picks AS decimal(38,0)) * 1000000 DIV tot2 AS BIGINT)"),
+          lit(0L)).as("mass_ppm"))
+      .orderBy(col("piece_len"))
+  }
+
   private def unigramEncodeFrom(docs: DataFrame,
       picks: DataFrame): DataFrame = {
     val wp = picks.groupBy(col("w")).agg(count(lit(1)).as("n_pieces"))

@@ -765,7 +765,49 @@ private[graft] object TextOracles {
            CAST(sum(len(w))::HUGEINT * 1000 // sum(n_pieces) AS BIGINT)
              AS chars_per_ksubword
          FROM stok JOIN wp USING (w)
-         GROUP BY source ORDER BY source""")
+         GROUP BY source ORDER BY source"""),
+    // q312: one unigram-LM pruning round — multi-char pieces below
+    // 50 ppm of the q307 round's re-estimated mass drop (single chars
+    // always survive: coverage), the word dict re-decodes under the
+    // pruned vocabulary with the re-estimated mass as the pick
+    // likelihood, and the report rolls up per piece length. The pruned
+    // rounds are the SAME MaxMatch replay (p1..p12 MATERIALIZED) over
+    // `surv` instead of `cands`.
+    "q312_unigram_prune" -> ("WITH " + unigramCoreCtes + """,
+         picks AS (""" +
+      (1 to 12).map(r => s"SELECT piece, n FROM s$r")
+        .mkString(" UNION ALL ") + """),
+         p1c AS MATERIALIZED (SELECT piece, CAST(sum(n) AS BIGINT) AS cnt
+           FROM picks GROUP BY piece),
+         t1 AS (SELECT sum(cnt)::HUGEINT AS tot1 FROM p1c),
+         surv AS MATERIALIZED (SELECT c.piece,
+             COALESCE(CAST(p.cnt::HUGEINT * 1000000 // t.tot1 AS BIGINT), 0) AS lik
+           FROM cands c LEFT JOIN p1c p USING (piece), t1 t
+           WHERE len(c.piece) = 1
+              OR COALESCE(CAST(p.cnt::HUGEINT * 1000000 // t.tot1 AS BIGINT), 0) >= 50),
+         q0 AS (SELECT w, n, 1 AS pos FROM words),""" +
+      prunedRoundsCte + """,
+         pick2 AS (""" +
+      (1 to 12).map(r => s"SELECT piece, n FROM p$r")
+        .mkString(" UNION ALL ") + """),
+         c2 AS MATERIALIZED (SELECT piece, CAST(sum(n) AS BIGINT) AS cnt
+           FROM pick2 GROUP BY piece),
+         t2 AS (SELECT sum(cnt)::HUGEINT AS tot2 FROM c2)
+         SELECT cl.piece_len, cl.n_cand,
+           COALESCE(kl.n_kept, 0) AS n_kept,
+           COALESCE(pl.picks, 0) AS picks,
+           COALESCE(CAST(pl.picks::HUGEINT * 1000000 // t2.tot2 AS BIGINT), 0)
+             AS mass_ppm
+         FROM (SELECT CAST(len(piece) AS INT) AS piece_len,
+                 count(*)::BIGINT AS n_cand FROM cands GROUP BY 1) cl
+         LEFT JOIN (SELECT CAST(len(piece) AS INT) AS piece_len,
+                 count(*)::BIGINT AS n_kept FROM surv GROUP BY 1) kl
+           USING (piece_len)
+         LEFT JOIN (SELECT CAST(len(piece) AS INT) AS piece_len,
+                 CAST(sum(cnt) AS BIGINT) AS picks FROM c2 GROUP BY 1) pl
+           USING (piece_len),
+              t2
+         ORDER BY cl.piece_len""")
   )
 
   /** The q307/q308 shared chain: tokenizer → word dict (≤12 chars) →
@@ -809,5 +851,25 @@ private[graft] object TextOracles {
                ORDER BY ax$r.l DESC, c.p0_ppm DESC, ax$r.piece DESC) AS rk
              FROM ax$r JOIN cands c USING (piece)) t WHERE rk = 1),
          n$r AS (SELECT w, n, pos + l AS pos FROM s$r)"""
+  }.mkString(",")
+
+  /** The q312 re-decode rounds: identical MaxMatch replay shape to
+    * [[unigramRoundsCte]] but over the PRUNED `surv(piece, lik)`
+    * vocabulary with the re-estimated mass as the likelihood tie-break
+    * — mirroring Spark's `max(struct(l, lik, piece))`.
+    */
+  private def prunedRoundsCte: String = (1 to 12).map { r =>
+    val prev = if (r == 1) "q0" else s"m${r - 1}"
+    s"""
+         bx$r AS (SELECT a.w, a.n, a.pos,
+             substring(a.w, a.pos, ls.l) AS piece, ls.l
+           FROM (SELECT w, n, pos FROM $prev WHERE pos <= len(w)) a,
+                (SELECT unnest(range(1, 5)) AS l) ls
+           WHERE a.pos + ls.l - 1 <= len(a.w)),
+         p$r AS MATERIALIZED (SELECT w, n, pos, piece, l FROM (
+             SELECT bx$r.*, row_number() OVER (PARTITION BY w, pos
+               ORDER BY bx$r.l DESC, c.lik DESC, bx$r.piece DESC) AS rk
+             FROM bx$r JOIN surv c USING (piece)) t WHERE rk = 1),
+         m$r AS (SELECT w, n, pos + l AS pos FROM p$r)"""
   }.mkString(",")
 }

@@ -40,4 +40,27 @@ class Round13OpsSpec extends SparkSpecBase {
       assert(n <= 1, s"$name: expected at most 1 JSON parse, found $n")
     }
   }
+
+  test("q312 prune: single chars always survive, unused multi-char pieces drop, decode stays total") {
+    import spark.implicits._
+    val docs = (1 to 20).map(i => (i.toLong, "the cat sat"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysisOps.unigramPruneOn(docs)
+      .collect().map(r => r.getInt(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    // coverage guarantee: every single-char candidate survives the prune
+    val (cand1, kept1, _, _) = out(1)
+    assert(cand1 === kept1, s"single chars pruned: $cand1 vs $kept1")
+    // pruning actually happened: 2-char substrings (th, he, ca, ...) are
+    // never PICKED by MaxMatch here (the full words win), so their
+    // re-estimated mass is 0 ppm and they must drop
+    val (cand2, kept2, picks2, _) = out(2)
+    assert(cand2 > 0 && kept2 === 0L && picks2 === 0L,
+      s"unused 2-char pieces survived: $out")
+    // the 3-char words carry all the mass; decode remains total
+    assert(out(3)._3 === 60L)
+    assert(out.values.map(_._4).sum >= 999996L &&
+      out.values.map(_._4).sum <= 1000000L,
+      s"mass must telescope to 1e6 - rounding: $out")
+  }
 }
