@@ -433,6 +433,12 @@ object SparkEntry {
       IncrementalOps.q311WriteAmplification(s, d)),
     "q312_unigram_prune"  -> ((s, d) =>
       TextAnalysisOps.unigramPrune(s, d)),
+    "q313_cohens_kappa"   -> ((s, d) =>
+      TextAnalysisOps.cohensKappa(s, d)),
+    "q314_rank_sum"       -> ((s, d) =>
+      TextAnalysisOps.rankSumDrift(s, d)),
+    "q315_decayed_popularity" -> ((s, d) =>
+      EventOps.decayedPopularity(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

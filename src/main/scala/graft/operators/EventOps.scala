@@ -463,6 +463,39 @@ object EventOps {
       .orderBy(col("age_weeks"))
   }
 
+  /** Time-decayed item popularity (q315): per-item cent mass under an
+    * exponential half-life — the recency weighting a recommendation /
+    * curation pipeline applies so last quarter's fad doesn't outrank
+    * this week's signal. EXACT on integers: the decay is a binary
+    * shift `v_c >> (age_days div half_life)` — halving per elapsed
+    * half-life with integer truncation — so both engines compute
+    * identical cell values with no float in sight (a float `exp`
+    * decay can straddle rounding boundaries between engines; the
+    * shift cannot). Anchor date fixed; `retained_ppm` is the
+    * decayed/raw mass ratio on the ppm grid.
+    *
+    * Scale shape: one projection (single JSON parse — the r13 rule) +
+    * one map-side-combinable aggregate to the bounded item grid. The
+    * shift folds inside partial aggregation, so a hot item costs one
+    * partial row per partition.
+    */
+  def decayedPopularity(spark: SparkSession, dir: String): DataFrame =
+    decayedPopularityOn(Tables.events(spark, dir))
+
+  private[graft] def decayedPopularityOn(ev: DataFrame): DataFrame =
+    ev.select(get_json_object(col("props"), "$.k").cast("int").as("k"),
+        round(col("value") * 100, 0).cast("long").as("v_c"),
+        datediff(lit(java.sql.Date.valueOf("2024-02-15")),
+          col("ts").cast("date")).as("age"))
+      .select(col("k"), col("v_c"),
+        expr("shiftright(v_c, CAST(age div 7 AS INT))").as("dv"))
+      .groupBy(col("k"))
+      .agg(sum(col("v_c")).as("raw_c"), sum(col("dv")).as("decayed_c"))
+      .select(col("k"), col("raw_c"), col("decayed_c"),
+        expr("CAST(CAST(decayed_c AS decimal(38,0)) * 1000000 DIV raw_c" +
+          " AS BIGINT)").as("retained_ppm"))
+      .orderBy(col("k"))
+
   /** Journey-diversity entropy (q200): Shannon entropy of the full
     * user-path distribution — one number separating "everyone walks the
     * same funnel" (≈0 bits) from "every user is unique" (log₂ n bits),

@@ -1709,6 +1709,98 @@ object TextAnalysisOps {
       .orderBy(col("piece_len"))
   }
 
+  /** Cohen's kappa between two heuristic quality classifiers (q313):
+    * chance-corrected agreement between the length rule (doc at or
+    * above corpus-mean chars) and the stopword-density rule (doc at or
+    * above corpus-mean stopword rate) — the statistic a labeling
+    * pipeline reports before trusting one cheap classifier as a proxy
+    * for another. Both thresholds are mean-RELATIVE and
+    * cross-multiplied on integers (a fixed absolute cutoff zeroes out
+    * as the corpus grows — the Q11 lesson), and kappa is computed from
+    * the ROUNDED ppm observed/expected agreement so both engines walk
+    * the identical integer grid: `kappa = (po − pe)·1e6 div (1e6 −
+    * pe)`, truncation toward zero on both (PARITY rule 4).
+    *
+    * Scale shape: one corpus pass to per-doc counts, a 1-row stat
+    * aggregate crossed in broadcast (the house BNLJ pattern), one
+    * map-side-combinable cell aggregate. Products ride decimal(38,0)
+    * (`n_stop·tot_toks` passes 2^63 long before 100 TB — PARITY 13).
+    */
+  def cohensKappa(spark: SparkSession, dir: String): DataFrame =
+    cohensKappaOn(Tables.documents(spark, dir))
+
+  private[graft] def cohensKappaOn(docs: DataFrame): DataFrame = {
+    val toks = Text.tokens(col("text"))
+    val base = docs.select(col("n_chars"),
+      size(toks).cast("long").as("n_toks"),
+      size(filter(toks, t => t.isin(Text.stopwords.map(lit(_)): _*)))
+        .cast("long").as("n_stop"))
+    val tot = base.agg(count(lit(1)).as("n"),
+      sum(col("n_chars").cast("decimal(38,0)")).as("tot_chars"),
+      sum(col("n_toks").cast("decimal(38,0)")).as("tot_toks"),
+      sum(col("n_stop").cast("decimal(38,0)")).as("tot_stop"))
+    val flags = base.crossJoin(broadcast(tot)).select(
+      when(expr("CAST(n_chars AS decimal(38,0)) * n >= tot_chars"), 1L)
+        .otherwise(0L).as("a"),
+      when(col("n_toks") > 0 && expr(
+        "CAST(n_stop AS decimal(38,0)) * tot_toks >= " +
+          "tot_stop * CAST(n_toks AS decimal(38,0))"), 1L)
+        .otherwise(0L).as("b"))
+    flags.agg(count(lit(1)).as("n"),
+        sum(col("a") * col("b")).as("n11"),
+        sum(col("a") * (lit(1L) - col("b"))).as("n10"),
+        sum((lit(1L) - col("a")) * col("b")).as("n01"),
+        sum((lit(1L) - col("a")) * (lit(1L) - col("b"))).as("n00"))
+      .select(col("n"), col("n11"), col("n10"), col("n01"), col("n00"),
+        expr("CAST(CAST(n11 + n00 AS decimal(38,0)) * 1000000 DIV n" +
+          " AS BIGINT)").as("po_ppm"),
+        expr("CAST((CAST(n11 + n10 AS decimal(38,0)) * (n11 + n01) + " +
+          "CAST(n01 + n00 AS decimal(38,0)) * (n10 + n00)) * 1000000 " +
+          "DIV (CAST(n AS decimal(38,0)) * n) AS BIGINT)").as("pe_ppm"))
+      .select(col("*"),
+        expr("CAST(CAST(po_ppm - pe_ppm AS decimal(38,0)) * 1000000 " +
+          "DIV (1000000 - pe_ppm) AS BIGINT)").as("kappa_ppm"))
+  }
+
+  /** Mann–Whitney rank-sum drift (q314): does one language's document
+    * length distribution stochastically dominate another's — the
+    * nonparametric two-sample test a corpus monitor runs where a mean
+    * comparison would be skew-blind. Exact, tie-aware, and integer:
+    * `u2 = 2·#{(a,b): a > b} + #ties` folds over the merged
+    * length-count grid as `Σ ca·(2·cumB(<len) + cB(len))`, and
+    * `auc_ppm = u2·1e6 div (2·nA·nB)` is the probability-of-
+    * superiority on the ppm grid (500000 = no drift).
+    *
+    * Scale shape: two map-side-combinable count grids, a full-outer
+    * grid merge, ONE window over the merged grid — bounded by the
+    * length VALUE DOMAIN, not row count (the q243 ECDF class,
+    * PlanLint-allowlisted) — and a 1-row aggregate. `u2` itself is
+    * emitted BIGINT (exact to ~2e9 docs per group; the fold runs on
+    * decimal(38,0) and narrows only at the boundary, PARITY 13).
+    */
+  def rankSumDrift(spark: SparkSession, dir: String): DataFrame =
+    rankSumDriftOn(Tables.documents(spark, dir))
+
+  private[graft] def rankSumDriftOn(docs: DataFrame,
+      langA: String = "en", langB: String = "zh"): DataFrame = {
+    val ga = docs.filter(col("lang") === langA)
+      .groupBy(col("n_chars").as("len")).agg(count(lit(1)).as("ca"))
+    val gb = docs.filter(col("lang") === langB)
+      .groupBy(col("n_chars").as("len")).agg(count(lit(1)).as("cb"))
+    val grid = ga.join(gb, Seq("len"), "full_outer")
+      .select(col("len"), coalesce(col("ca"), lit(0L)).as("ca"),
+        coalesce(col("cb"), lit(0L)).as("cb"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("len"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    grid.withColumn("cumb", coalesce(sum(col("cb")).over(w), lit(0L)))
+      .agg(sum(col("ca")).as("n_a"), sum(col("cb")).as("n_b"),
+        sum(expr("CAST(ca AS decimal(38,0)) * (2 * cumb + cb)")).as("u2d"))
+      .select(col("n_a"), col("n_b"),
+        col("u2d").cast("long").as("u2"),
+        expr("CAST(u2d * 1000000 DIV " +
+          "(2 * CAST(n_a AS decimal(38,0)) * n_b) AS BIGINT)").as("auc_ppm"))
+  }
+
   private def unigramEncodeFrom(docs: DataFrame,
       picks: DataFrame): DataFrame = {
     val wp = picks.groupBy(col("w")).agg(count(lit(1)).as("n_pieces"))

@@ -1360,5 +1360,19 @@ private[graft] object EventOracles {
            CAST(sum(CASE WHEN is_del = 0 THEN v_c ELSE 0 END) AS BIGINT)
              AS live_value_c
          FROM latest GROUP BY k ORDER BY k""",
+    // q315: time-decayed item popularity — exponential half-life as a
+    // binary shift (integer-exact halving per 7 elapsed days, fixed
+    // anchor), so no float decay can straddle a rounding boundary
+    "q315_decayed_popularity" ->
+      """WITH log AS (SELECT
+           CAST(json_extract_string(props, '$.k') AS INT) AS k,
+           CAST(round(value * 100, 0) AS BIGINT) AS v_c,
+           datediff('day', CAST(ts AS DATE), DATE '2024-02-15') AS age
+         FROM events)
+         SELECT k, CAST(sum(v_c) AS BIGINT) AS raw_c,
+           CAST(sum(v_c >> (age // 7)) AS BIGINT) AS decayed_c,
+           CAST(sum(v_c >> (age // 7))::HUGEINT * 1000000 // sum(v_c)
+             AS BIGINT) AS retained_ppm
+         FROM log GROUP BY k ORDER BY k""",
   )
 }

@@ -807,7 +807,56 @@ private[graft] object TextOracles {
                  CAST(sum(cnt) AS BIGINT) AS picks FROM c2 GROUP BY 1) pl
            USING (piece_len),
               t2
-         ORDER BY cl.piece_len""")
+         ORDER BY cl.piece_len"""),
+    // q313: Cohen's kappa between the length and stopword-density
+    // classifiers — mean-relative cross-multiplied thresholds, kappa
+    // from the ROUNDED ppm po/pe (both engines walk one integer grid)
+    "q313_cohens_kappa" ->
+      """WITH base AS (SELECT n_chars,
+           len(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS n_toks,
+           len(list_filter(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' '),
+             x -> x IN ('the','a','an','of','to','in','and','is','it','that'))) AS n_stop
+         FROM documents),
+         tot AS (SELECT count(*)::BIGINT AS n, sum(n_chars)::HUGEINT AS tot_chars,
+           sum(n_toks)::HUGEINT AS tot_toks, sum(n_stop)::HUGEINT AS tot_stop FROM base),
+         flags AS (SELECT
+           CASE WHEN n_chars::HUGEINT * t.n >= t.tot_chars THEN 1 ELSE 0 END AS a,
+           CASE WHEN n_toks > 0 AND n_stop::HUGEINT * t.tot_toks >= t.tot_stop * n_toks
+             THEN 1 ELSE 0 END AS b
+           FROM base, tot t),
+         cells AS (SELECT count(*)::BIGINT AS n,
+           CAST(sum(a*b) AS BIGINT) AS n11, CAST(sum(a*(1-b)) AS BIGINT) AS n10,
+           CAST(sum((1-a)*b) AS BIGINT) AS n01, CAST(sum((1-a)*(1-b)) AS BIGINT) AS n00
+           FROM flags),
+         ppm AS (SELECT n, n11, n10, n01, n00,
+           CAST((n11+n00)::HUGEINT * 1000000 // n AS BIGINT) AS po_ppm,
+           CAST(((n11+n10)::HUGEINT*(n11+n01) + ((n01+n00)::HUGEINT*(n10+n00)))
+             * 1000000 // (n::HUGEINT * n) AS BIGINT) AS pe_ppm
+           FROM cells)
+         SELECT n, n11, n10, n01, n00, po_ppm, pe_ppm,
+           CAST((po_ppm - pe_ppm)::HUGEINT * 1000000 // (1000000 - pe_ppm)
+             AS BIGINT) AS kappa_ppm
+         FROM ppm""",
+    // q314: Mann-Whitney rank-sum drift (en vs zh doc lengths) — the
+    // tie-aware 2U fold over the merged length-count grid; window is
+    // value-domain-bounded (the q243 ECDF class)
+    "q314_rank_sum" ->
+      """WITH ga AS (SELECT n_chars AS len, count(*)::BIGINT AS ca
+           FROM documents WHERE lang = 'en' GROUP BY 1),
+         gb AS (SELECT n_chars AS len, count(*)::BIGINT AS cb
+           FROM documents WHERE lang = 'zh' GROUP BY 1),
+         grid AS (SELECT COALESCE(ga.len, gb.len) AS len,
+             COALESCE(ca, 0) AS ca, COALESCE(cb, 0) AS cb
+           FROM ga FULL OUTER JOIN gb ON ga.len = gb.len),
+         cum AS (SELECT len, ca, cb,
+             COALESCE(sum(cb) OVER (ORDER BY len
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cumb
+           FROM grid)
+         SELECT CAST(sum(ca) AS BIGINT) AS n_a, CAST(sum(cb) AS BIGINT) AS n_b,
+           CAST(sum(ca::HUGEINT * (2*cumb + cb)) AS BIGINT) AS u2,
+           CAST(sum(ca::HUGEINT * (2*cumb + cb)) * 1000000
+             // (2::HUGEINT * sum(ca) * sum(cb)) AS BIGINT) AS auc_ppm
+         FROM cum"""
   )
 
   /** The q307/q308 shared chain: tokenizer → word dict (≤12 chars) →

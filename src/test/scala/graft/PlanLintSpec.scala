@@ -67,7 +67,11 @@ class PlanLintSpec extends SparkSpecBase {
     "q21_row_number"       -> Set("o_orderkey"), // 1-day order slice
     // bounded ANN frames: histogram/codebook/query-set cardinality
     "q80_ivf_sized_topk"   -> Set("h"),
-    "q88_ivfpq_topk"       -> Set("qv_id", "clabel"))
+    "q88_ivfpq_topk"       -> Set("qv_id", "clabel"),
+    // value-domain-bounded grids (the q243 ECDF class): the rank-sum
+    // fold windows over the merged LENGTH-count grid — rows bounded by
+    // distinct n_chars values, never document cardinality
+    "q314_rank_sum"        -> Set("len"))
 
   /** Queries whose BroadcastNestedLoopJoins are sanctioned: every BNLJ
     * here crosses in a frame bounded by construction — 1-row cap/stat
@@ -97,6 +101,7 @@ class PlanLintSpec extends SparkSpecBase {
     "q296_lateness_pareto", "q297_twonn_ratio", "q299_silhouette",
     "q29_minhash_neardup", "q302_aging_report", "q303_whale_trend",
     "q307_unigram_lm", "q309_qlm_topk", "q311_write_amplification",
+    "q312_unigram_prune", "q313_cohens_kappa",
     "q30_simhash_neardup", "q31_cosine_topk", "q32_cosine_neardup",
     "q33_lsh_topk", "q42_approx_distinct", "q43_topk_aggregator",
     "q52_key_skew", "q57_centroid_assign", "q64_lsh_neardup",
