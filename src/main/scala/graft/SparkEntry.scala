@@ -439,6 +439,10 @@ object SparkEntry {
       TextAnalysisOps.rankSumDrift(s, d)),
     "q315_decayed_popularity" -> ((s, d) =>
       EventOps.decayedPopularity(s, d)),
+    "q316_bpe_roundtrip"  -> ((s, d) =>
+      TextAnalysisOps.bpeRoundtrip(s, d)),
+    "q317_dedup_delay_panel" -> ((s, d) =>
+      EventOps.dedupDelayPanel(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -496,6 +496,49 @@ object EventOps {
           " AS BIGINT)").as("retained_ppm"))
       .orderBy(col("k"))
 
+  /** Watermark-delay tuning panel (q317): for each candidate delay,
+    * the share of REPEAT-key events arriving within that delay of the
+    * key's previous write — the measurement that sizes
+    * `dropDuplicatesWithinWatermark`'s delay (streaming op 18) and the
+    * watermarked aggs' state budget: `within_ppm` at delay d IS the
+    * duplicate-catch rate the bounded-state dedup achieves with delay
+    * d, and its complement is the re-admission rate the batch q27
+    * backstop must absorb. State cost grows linearly with d (the
+    * StreamStateSizeSpec invariant), so this panel is the
+    * cost/coverage curve read before choosing.
+    *
+    * Scale shape: one projection (single JSON parse), one
+    * (user, key)-partitioned lag window — per-key frames, never a
+    * global sort — one 1-row conditional aggregate, unpivoted over
+    * the constant 4-delay grid.
+    */
+  def dedupDelayPanel(spark: SparkSession, dir: String): DataFrame =
+    dedupDelayPanelOn(Tables.events(spark, dir))
+
+  private[graft] def dedupDelayPanelOn(ev: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id"), col("k"))
+      .orderBy(col("us"), col("event_id"))
+    val gaps = ev
+      .select(col("user_id"),
+        get_json_object(col("props"), "$.k").cast("int").as("k"),
+        unix_micros(col("ts")).as("us"), col("event_id"))
+      .withColumn("prev_us", lag(col("us"), 1).over(w))
+      .filter(col("prev_us").isNotNull)
+      .select(expr("(us - prev_us) div 1000000").as("gap_s"))
+    gaps.agg(count(lit(1)).as("n_repeats"),
+        sum(when(col("gap_s") <= 3600L, 1L).otherwise(0L)).as("w1"),
+        sum(when(col("gap_s") <= 86400L, 1L).otherwise(0L)).as("w2"),
+        sum(when(col("gap_s") <= 259200L, 1L).otherwise(0L)).as("w3"),
+        sum(when(col("gap_s") <= 604800L, 1L).otherwise(0L)).as("w4"))
+      .select(expr("stack(4, 3600L, w1, 86400L, w2, 259200L, w3, " +
+        "604800L, w4) AS (delay_s, n_within)"), col("n_repeats"))
+      .select(col("delay_s"), col("n_repeats"), col("n_within"),
+        when(col("n_repeats") > 0, expr(
+          "CAST(CAST(n_within AS decimal(38,0)) * 1000000 DIV n_repeats" +
+            " AS BIGINT)")).otherwise(lit(0L)).as("within_ppm"))
+      .orderBy(col("delay_s"))
+  }
+
   /** Journey-diversity entropy (q200): Shannon entropy of the full
     * user-path distribution — one number separating "everyone walks the
     * same funnel" (≈0 bits) from "every user is unique" (log₂ n bits),

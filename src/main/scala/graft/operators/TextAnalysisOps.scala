@@ -1269,6 +1269,64 @@ object TextAnalysisOps {
       .orderBy(col("source"))
   }
 
+  /** BPE round-trip integrity audit (q316): encode every word
+    * occurrence with the q225-learned merge table, UNDO the merges in
+    * reverse order, and count exact reconstructions — the tokenizer
+    * self-audit a pipeline runs before trusting encode/decode as
+    * lossless. Invertibility is not free in general: two rules whose
+    * CONCATENATIONS collide (`(a,bc)` and `(ab,c)` both yielding
+    * `abc`) make the reverse pass ambiguous, so this query MEASURES
+    * the round-trip rather than assuming it (n_bad > 0 is a real
+    * finding, not a bug). The undo replace is exact on the framed
+    * encoding: symbols contain no spaces, so `' s1s2 '` matches only
+    * whole merged symbols.
+    *
+    * Scale shape: vocabulary-scale training rounds (shared kernel with
+    * q225/q234), then ONE corpus pass of row-local replaces — 3
+    * forward + 3 reverse — and a per-source rollup. The merge table
+    * rides a broadcast 1-row frame (the q234 rule-row pattern, never
+    * a driver collect).
+    */
+  def bpeRoundtrip(spark: SparkSession, dir: String,
+      rounds: Int = 3): DataFrame =
+    bpeRoundtripOn(Tables.documents(spark, dir), rounds)
+
+  private[graft] def bpeRoundtripOn(docs: DataFrame,
+      rounds: Int): DataFrame = {
+    val rules = bpeTrainOn(docs, rounds)
+    val ruleCols = (1 to rounds).flatMap(r => Seq(
+      max(when(col("merge_rank") === r, col("s1"))).as(s"s1_$r"),
+      max(when(col("merge_rank") === r, col("s2"))).as(s"s2_$r")))
+    val ruleRow = rules.agg(ruleCols.head, ruleCols.tail: _*)
+    val toks = docs
+      .select(col("source"), explode(Text.tokens(col("text"))).as("w"))
+      .filter(length(col("w")) > 0)
+      .select(col("source"),
+        concat(lit(" "), concat_ws("  ", split(col("w"), "")),
+          lit(" ")).as("orig"))
+      .crossJoin(broadcast(ruleRow))
+    val enc = (1 to rounds).foldLeft(toks.withColumn("syms", col("orig"))) {
+      (df, r) =>
+        df.withColumn("syms", when(col(s"s1_$r").isNull, col("syms"))
+          .otherwise(expr(s"replace(syms, concat(' ', s1_$r, '  ', s2_$r, ' '), " +
+            s"concat(' ', s1_$r, s2_$r, ' '))")))
+    }
+    val dec = (rounds to 1 by -1).foldLeft(enc.withColumn("back", col("syms"))) {
+      (df, r) =>
+        df.withColumn("back", when(col(s"s1_$r").isNull, col("back"))
+          .otherwise(expr(s"replace(back, concat(' ', s1_$r, s2_$r, ' '), " +
+            s"concat(' ', s1_$r, '  ', s2_$r, ' '))")))
+    }
+    dec.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_words"),
+        sum(when(col("back") === col("orig"), 1L).otherwise(0L)).as("n_ok"))
+      .select(col("source"), col("n_words"), col("n_ok"),
+        (col("n_words") - col("n_ok")).as("n_bad"),
+        expr("CAST(CAST(n_ok AS decimal(38,0)) * 1000000 DIV n_words" +
+          " AS BIGINT)").as("ok_ppm"))
+      .orderBy(col("source"))
+  }
+
   /** Per-source distribution drift (q243): the two-sample
     * Kolmogorov–Smirnov statistic of each source's document-length
     * distribution against the REST of the corpus — the standard

@@ -86,12 +86,24 @@ object TwoPhaseRank {
     * is set — `cum` (global running sum of `cumCol` as DECIMAL(38,0),
     * rows-between unbounded-preceding..current) under the total order
     * `(valueCol [DESC], tieCol ASC)`. All input columns pass through.
+    *
+    * `nBuckets <= 0` (the default) auto-sizes to 4× the session's
+    * default parallelism, clamped to [32, 4096]: bucket count must
+    * scale with the CLUSTER (a 1000-executor window stage needs
+    * thousands of buckets to spread), while a fixed 1024 at local
+    * bench scale paid ~3 s/call in pure task overhead (r13 measured —
+    * 1024 sample+shuffle+checkpoint tasks over entity-grain frames of
+    * a few thousand rows). Ranks are invariant to the bucket count,
+    * so the knob is purely operational.
     */
   def rankBy(df: DataFrame, valueCol: String, tieCol: String,
       descending: Boolean = false, cumCol: Option[String] = None,
-      nBuckets: Int = 1024): DataFrame = {
-    require(nBuckets > 0, s"nBuckets must be positive, got $nBuckets")
-    val bucketed = bucketize(df, valueCol, tieCol, descending, nBuckets)
+      nBuckets: Int = -1): DataFrame = {
+    val nb =
+      if (nBuckets > 0) nBuckets
+      else math.min(4096, math.max(32,
+        4 * df.sparkSession.sparkContext.defaultParallelism))
+    val bucketed = bucketize(df, valueCol, tieCol, descending, nb)
     val ord: Seq[Column] =
       if (descending) Seq(col(valueCol).desc, col(tieCol).asc)
       else Seq(col(valueCol).asc, col(tieCol).asc)

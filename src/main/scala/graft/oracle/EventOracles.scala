@@ -1374,5 +1374,31 @@ private[graft] object EventOracles {
            CAST(sum(v_c >> (age // 7))::HUGEINT * 1000000 // sum(v_c)
              AS BIGINT) AS retained_ppm
          FROM log GROUP BY k ORDER BY k""",
+    // q317: watermark-delay tuning panel — repeat-key inter-arrival
+    // CDF at the candidate delay grid; within_ppm at delay d is the
+    // duplicate-catch rate dropDuplicatesWithinWatermark(d) achieves
+    "q317_dedup_delay_panel" ->
+      """WITH log AS (SELECT user_id,
+           CAST(json_extract_string(props, '$.k') AS INT) AS k,
+           epoch_us(ts) AS us, event_id FROM events),
+         gaps AS (SELECT (us - lag(us) OVER (PARTITION BY user_id, k
+             ORDER BY us, event_id)) // 1000000 AS gap_s FROM log),
+         rep AS (SELECT gap_s FROM gaps WHERE gap_s IS NOT NULL),
+         agg AS (SELECT count(*)::BIGINT AS n_repeats,
+           CAST(sum(CASE WHEN gap_s <= 3600 THEN 1 ELSE 0 END) AS BIGINT) AS w1,
+           CAST(sum(CASE WHEN gap_s <= 86400 THEN 1 ELSE 0 END) AS BIGINT) AS w2,
+           CAST(sum(CASE WHEN gap_s <= 259200 THEN 1 ELSE 0 END) AS BIGINT) AS w3,
+           CAST(sum(CASE WHEN gap_s <= 604800 THEN 1 ELSE 0 END) AS BIGINT) AS w4
+         FROM rep),
+         panel AS (
+           SELECT CAST(3600 AS BIGINT) AS delay_s, n_repeats, w1 AS n_within FROM agg
+           UNION ALL SELECT 86400, n_repeats, w2 FROM agg
+           UNION ALL SELECT 259200, n_repeats, w3 FROM agg
+           UNION ALL SELECT 604800, n_repeats, w4 FROM agg)
+         SELECT delay_s, n_repeats, n_within,
+           CASE WHEN n_repeats > 0 THEN
+             CAST(n_within::HUGEINT * 1000000 // n_repeats AS BIGINT)
+           ELSE 0 END AS within_ppm
+         FROM panel ORDER BY delay_s""",
   )
 }

@@ -856,7 +856,47 @@ private[graft] object TextOracles {
            CAST(sum(ca::HUGEINT * (2*cumb + cb)) AS BIGINT) AS u2,
            CAST(sum(ca::HUGEINT * (2*cumb + cb)) * 1000000
              // (2::HUGEINT * sum(ca) * sum(cb)) AS BIGINT) AS auc_ppm
-         FROM cum"""
+         FROM cum""",
+    // q316: BPE round-trip audit — replay the q225 rounds, encode every
+    // word occurrence, UNDO the merges in reverse order, count exact
+    // reconstructions per source (the tokenizer losslessness audit)
+    "q316_bpe_roundtrip" ->
+      ("WITH " + bpeRoundsCte + """,
+         tok AS (SELECT source, w FROM (
+             SELECT source, unnest(string_split(
+               regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' '))
+               AS w
+             FROM documents)
+           WHERE len(w) > 0),
+         enc AS (SELECT source,
+             ' ' || rtrim(regexp_replace(w, '(.)', '\1  ', 'g')) || ' '
+               AS orig,
+             replace(replace(replace(
+               ' ' || rtrim(regexp_replace(w, '(.)', '\1  ', 'g')) || ' ',
+               ' ' || t1.s1 || '  ' || t1.s2 || ' ',
+               ' ' || t1.s1 || t1.s2 || ' '),
+               ' ' || t2.s1 || '  ' || t2.s2 || ' ',
+               ' ' || t2.s1 || t2.s2 || ' '),
+               ' ' || t3.s1 || '  ' || t3.s2 || ' ',
+               ' ' || t3.s1 || t3.s2 || ' ') AS syms
+           FROM tok CROSS JOIN t1 CROSS JOIN t2 CROSS JOIN t3),
+         dec AS (SELECT source, orig,
+             replace(replace(replace(syms,
+               ' ' || t3.s1 || t3.s2 || ' ',
+               ' ' || t3.s1 || '  ' || t3.s2 || ' '),
+               ' ' || t2.s1 || t2.s2 || ' ',
+               ' ' || t2.s1 || '  ' || t2.s2 || ' '),
+               ' ' || t1.s1 || t1.s2 || ' ',
+               ' ' || t1.s1 || '  ' || t1.s2 || ' ') AS back
+           FROM enc CROSS JOIN t1 CROSS JOIN t2 CROSS JOIN t3)
+         SELECT source, count(*)::BIGINT AS n_words,
+           CAST(sum(CASE WHEN back = orig THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_ok,
+           CAST(count(*) - sum(CASE WHEN back = orig THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_bad,
+           CAST(sum(CASE WHEN back = orig THEN 1 ELSE 0 END)::HUGEINT
+             * 1000000 // count(*) AS BIGINT) AS ok_ppm
+         FROM dec GROUP BY 1 ORDER BY 1""")
   )
 
   /** The q307/q308 shared chain: tokenizer → word dict (≤12 chars) →
