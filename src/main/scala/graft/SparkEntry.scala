@@ -443,6 +443,10 @@ object SparkEntry {
       TextAnalysisOps.bpeRoundtrip(s, d)),
     "q317_dedup_delay_panel" -> ((s, d) =>
       EventOps.dedupDelayPanel(s, d)),
+    "q318_trainer_overlap" -> ((s, d) =>
+      TextAnalysisOps.trainerVocabOverlap(s, d)),
+    "q319_value_magnitude" -> ((s, d) =>
+      EventOps.valueMagnitudeProfile(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -539,6 +539,37 @@ object EventOps {
       .orderBy(col("delay_s"))
   }
 
+  /** Value order-of-magnitude histogram (q319): per event type, event
+    * counts and cent mass by `floor(log2(cents))` bucket — the
+    * monitoring grid that catches magnitude drift (a payments feed
+    * suddenly carrying 10× values, a unit-confusion bug) that a mean
+    * or a fixed-band histogram blurs. The bucket is integer-exact on
+    * both engines as `length(bin(v)) − 1` — never a float log that
+    * could straddle a power-of-two boundary.
+    *
+    * Scale shape: one map-side-combinable aggregate to the
+    * (type × ~64 buckets) grid, one grid-sized equi-join for the
+    * per-type mass shares.
+    */
+  def valueMagnitudeProfile(spark: SparkSession, dir: String): DataFrame =
+    valueMagnitudeProfileOn(Tables.events(spark, dir))
+
+  private[graft] def valueMagnitudeProfileOn(ev: DataFrame): DataFrame = {
+    val log = ev.select(col("event_type"),
+      round(col("value") * 100, 0).cast("long").as("v_c"))
+    val tot = log.groupBy(col("event_type"))
+      .agg(sum(col("v_c").cast("decimal(38,0)")).as("tot_c"))
+    log.groupBy(col("event_type"),
+        (length(bin(col("v_c"))) - 1).cast("int").as("log2_bucket"))
+      .agg(count(lit(1)).as("n_events"), sum(col("v_c")).as("cents"))
+      .join(tot, Seq("event_type"))
+      .select(col("event_type"), col("log2_bucket"), col("n_events"),
+        col("cents"),
+        expr("CAST(CAST(cents AS decimal(38,0)) * 1000000 DIV tot_c" +
+          " AS BIGINT)").as("mass_ppm"))
+      .orderBy(col("event_type"), col("log2_bucket"))
+  }
+
   /** Journey-diversity entropy (q200): Shannon entropy of the full
     * user-path distribution — one number separating "everyone walks the
     * same funnel" (≈0 bits) from "every user is unique" (log₂ n bits),

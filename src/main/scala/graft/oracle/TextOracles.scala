@@ -52,6 +52,37 @@ private[graft] object TextOracles {
          t3 AS MATERIALIZED (
            SELECT * FROM p3 ORDER BY cnt DESC, s1, s2 LIMIT 1)"""
 
+  /** N-round BPE training chain with `b`-prefixed CTE names (b0, bpR,
+    * btR, bR) — same semantics as [[bpeRoundsCte]] (which stays the
+    * verbatim 3-round chain for q225/q234), generated so the q318
+    * 8-round overlap audit can coexist with the unigram chain in one
+    * query without name collisions.
+    */
+  private def bpeRoundsCteN(rounds: Int): String = {
+    val seed = """b0 AS MATERIALIZED (
+           SELECT ' ' || rtrim(regexp_replace(w, '(.)', '\1  ', 'g'))
+               || ' ' AS syms,
+             count(*) AS n
+           FROM (SELECT unnest(string_split(
+               regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS w
+             FROM documents)
+           GROUP BY 1)"""
+    val per = (1 to rounds).map { r =>
+      s"""bp$r AS (SELECT a[i] AS s1, a[i+1] AS s2,
+             CAST(sum(n) AS BIGINT) AS cnt
+           FROM (SELECT string_split(trim(syms), '  ') AS a, n FROM b${r - 1}) s,
+             unnest(generate_series(1, len(a) - 1)) AS u(i)
+           GROUP BY 1, 2),
+         bt$r AS MATERIALIZED (
+           SELECT * FROM bp$r ORDER BY cnt DESC, s1, s2 LIMIT 1),
+         b$r AS MATERIALIZED (
+           SELECT replace(syms, ' ' || s1 || '  ' || s2 || ' ',
+               ' ' || s1 || s2 || ' ') AS syms, n
+           FROM b${r - 1} CROSS JOIN bt$r)"""
+    }
+    (seed +: per).mkString(",\n         ")
+  }
+
   val sql: Map[String, String] = Map(
     // q277: keyword-in-context — ±2-token windows around each 'merge'
     // occurrence, 1-based positions, first 30 in (doc, pos) order
@@ -896,7 +927,36 @@ private[graft] object TextOracles {
              AS BIGINT) AS n_bad,
            CAST(sum(CASE WHEN back = orig THEN 1 ELSE 0 END)::HUGEINT
              * 1000000 // count(*) AS BIGINT) AS ok_ppm
-         FROM dec GROUP BY 1 ORDER BY 1""")
+         FROM dec GROUP BY 1 ORDER BY 1"""),
+    // q318: trainer vocabulary overlap — 8-round BPE merge
+    // concatenations vs the q312 unigram multi-char survivors,
+    // Jaccard on the ppm grid
+    "q318_trainer_overlap" -> ("WITH " + bpeRoundsCteN(8) + """,
+         """ + unigramCoreCtes + """,
+         upicks AS (""" +
+      (1 to 12).map(r => s"SELECT piece, n FROM s$r")
+        .mkString(" UNION ALL ") + """),
+         uc1 AS MATERIALIZED (SELECT piece, CAST(sum(n) AS BIGINT) AS cnt
+           FROM upicks GROUP BY piece),
+         ut1 AS (SELECT sum(cnt)::HUGEINT AS tot1 FROM uc1),
+         usurv AS (SELECT c.piece
+           FROM cands c LEFT JOIN uc1 p USING (piece), ut1 t
+           WHERE len(c.piece) >= 2
+             AND COALESCE(CAST(p.cnt::HUGEINT * 1000000 // t.tot1
+               AS BIGINT), 0) >= 50),
+         bvocab AS (""" +
+      (1 to 8).map(r => s"SELECT s1 || s2 AS piece FROM bt$r")
+        .mkString(" UNION ") + """),
+         j AS (SELECT
+             CASE WHEN b.piece IS NULL THEN 0 ELSE 1 END AS b,
+             CASE WHEN u.piece IS NULL THEN 0 ELSE 1 END AS u
+           FROM bvocab b FULL OUTER JOIN usurv u ON b.piece = u.piece)
+         SELECT CAST(sum(b) AS BIGINT) AS n_bpe,
+           CAST(sum(u) AS BIGINT) AS n_uni,
+           CAST(sum(b*u) AS BIGINT) AS n_common,
+           CAST(sum(b*u)::HUGEINT * 1000000
+             // (sum(b) + sum(u) - sum(b*u)) AS BIGINT) AS jaccard_ppm
+         FROM j""")
   )
 
   /** The q307/q308 shared chain: tokenizer → word dict (≤12 chars) →
