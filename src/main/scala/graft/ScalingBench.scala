@@ -313,7 +313,16 @@ object ScalingBench {
       Probe("q310_cdc_compaction", "events",
         SparkEntry.queries("q310_cdc_compaction")),
       Probe("q311_write_amplification", "documents",
-        SparkEntry.queries("q311_write_amplification")))
+        SparkEntry.queries("q311_write_amplification")),
+      // q312 re-decodes the corpus dict under the pruned vocab — the
+      // probe pins the prune+re-decode staying in q307's class (the
+      // session caches are cleared per rep, so each rep pays seed +
+      // both decode passes); q316 is a corpus pass of row-local
+      // replaces after vocabulary-scale training
+      Probe("q312_unigram_prune", "documents",
+        SparkEntry.queries("q312_unigram_prune")),
+      Probe("q316_bpe_roundtrip", "documents",
+        SparkEntry.queries("q316_bpe_roundtrip")))
 
   /** Build k-times-scaled corpora from sf0.1 (documents AND embeddings).
     * Document copy c suffixes every token with a copy marker, so each
@@ -661,6 +670,44 @@ object ScalingBench {
         conf.unset("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold")
         conf.unset("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold")
       }
+    }
+    // two-phase rank A/B (synth mode only): the TwoPhaseRank design
+    // claim, measured — an 8M-row entity frame with a planted dominant
+    // value (75% of rows share v, the r12 tie-skew case) ranked by the
+    // naive `row_number/sum OVER (ORDER BY v, tid)` (one window task
+    // sorts and streams all 8M rows) vs the compound-key sampled range
+    // buckets. Checksums (count + Σ r·(tid mod 997) + Σ cum mod) must
+    // agree: both plans realize the SAME total order.
+    if (args.headOption.contains("synth")) {
+      import org.apache.spark.sql.functions._
+      val n = 8000000L
+      val frame = spark.range(n).select(
+        when(col("id") < 6000000L, lit(100000L))
+          .otherwise(pmod(col("id") * 2654435761L, lit(100000L))).as("v"),
+        col("id").as("tid")).localCheckpoint()
+      def checksum(df: org.apache.spark.sql.DataFrame): (Long, Long) = {
+        val r = df.agg(count(lit(1)),
+          sum(col("r") * (pmod(col("tid"), lit(997L)) + 1L))
+            .cast("decimal(38,0)")).collect()(0)
+        (r.getLong(0), r.getDecimal(1).remainder(
+          new java.math.BigDecimal(1000000007L)).longValueExact())
+      }
+      def time(f: => Unit): Double = Bench.median((1 to reps).map { _ =>
+        val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+      })
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("v").asc, col("tid").asc)
+      val naiveDf = frame.withColumn("r",
+        row_number().over(w).cast("long"))
+      val twoPhaseDf = graft.operators.TwoPhaseRank
+        .rankBy(frame, "v", "tid")
+      val cs0 = checksum(naiveDf)
+      val cs1 = checksum(twoPhaseDf)
+      require(cs0 == cs1,
+        s"two_phase_rank checksums diverged: naive=$cs0 twophase=$cs1")
+      val tNaive = time(naiveDf.write.mode("overwrite").format("noop").save())
+      val tTwo = time(twoPhaseDf.write.mode("overwrite").format("noop").save())
+      println(f"""{"metric":"two_phase_rank","n_rows":$n,"dominant_share":0.75,"naive_sec":$tNaive%.2f,"two_phase_sec":$tTwo%.2f,"ratio":${tNaive / tTwo}%.2f,"checksums_equal":true}""")
     }
     // write-amplification SHARE vs scale (synth mode only, VERDICT r12
     // item 8): q311's changeset is confined to ONE ingest batch
