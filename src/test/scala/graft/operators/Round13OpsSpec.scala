@@ -41,6 +41,96 @@ class Round13OpsSpec extends SparkSpecBase {
     }
   }
 
+  test("q313 kappa: hand-computed 2x2 on a constructed frame") {
+    import spark.implicits._
+    // 4 docs engineered so the classifiers agree on 3 of 4:
+    // mean chars = 25; corpus stopword rate = 4/12 = 1/3
+    //   doc1: 40 chars, stop-rate 2/3  -> a=1 b=1
+    //   doc2: 30 chars, stop-rate 0    -> a=1 b=0   (the disagreement)
+    //   doc3: 20 chars, stop-rate 1/3  -> a=0 b=1   (ties count as >=)
+    //   doc4: 10 chars, stop-rate 0    -> a=0 b=0
+    val docs = Seq(
+      (1L, "the of is", 40L), (2L, "xx yy zz", 30L),
+      (3L, "the xx yy", 20L), (4L, "aa bb cc", 10L))
+      .toDF("doc_id", "text", "n_chars")
+    val r = TextAnalysisOps.cohensKappaOn(docs).collect()(0)
+    // cells: n11=1 n10=1 n01=1 n00=1 -> po=500000;
+    // pe = (2*2 + 2*2)*1e6 div 16 = 500000 -> kappa = 0
+    assert((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)) ===
+      ((1L, 1L, 1L, 1L)))
+    assert(r.getLong(5) === 500000L)
+    assert(r.getLong(6) === 500000L)
+    assert(r.getLong(7) === 0L)
+  }
+
+  test("q314 rank sum: hand-computed U on a constructed frame (ties included)") {
+    import spark.implicits._
+    // en lengths {1, 3, 3}; zh lengths {2, 3}
+    // pairs a>b: (3,2)x2 = 2; ties a=b: (3,3)x2 = 2 -> u2 = 2*2+2 = 6
+    // auc = 6 / (2*3*2) = 0.5 -> 500000 ppm
+    val docs = Seq((1L, "en", 1L), (2L, "en", 3L), (3L, "en", 3L),
+      (4L, "zh", 2L), (5L, "zh", 3L), (6L, "de", 9L))
+      .toDF("doc_id", "lang", "n_chars")
+    val r = TextAnalysisOps.rankSumDriftOn(docs).collect()(0)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ===
+      ((3L, 2L, 6L, 500000L)))
+  }
+
+  test("q315 decay: binary-shift halving at exact half-life boundaries") {
+    import spark.implicits._
+    // anchor 2024-02-15; half-life 7 days: age 3 -> shift 0 (full),
+    // age 7 -> shift 1 (half), age 21 -> shift 3 (1/8, floor)
+    def ev(id: Long, day: String, v: Double) =
+      (id, java.sql.Timestamp.valueOf(s"$day 12:00:00"), 1L, "view",
+        v, """{"k": 5}""")
+    val df = Seq(ev(1, "2024-02-12", 8.00), ev(2, "2024-02-08", 8.00),
+      ev(3, "2024-01-25", 8.01))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val r = EventOps.decayedPopularityOn(df).collect()(0)
+    // raw = 800+800+801 = 2401; decayed = 800 + 400 + (801>>3 = 100)
+    assert((r.getInt(0), r.getLong(1), r.getLong(2)) === ((5, 2401L, 1300L)))
+    assert(r.getLong(3) === 1300L * 1000000L / 2401L)
+  }
+
+  test("q317 delay panel: constructed repeat gaps land in the right delay cells") {
+    import spark.implicits._
+    def ev(id: Long, ts: String, u: Long, k: Int) =
+      (id, java.sql.Timestamp.valueOf(ts), u, "view", 1.0, s"""{"k": $k}""")
+    // user 1 key 5: gaps of 30min and 2d; user 2 key 5: gap of 6d;
+    // user 2 key 6: single write (no repeat)
+    val df = Seq(
+      ev(1, "2024-01-01 10:00:00", 1, 5),
+      ev(2, "2024-01-01 10:30:00", 1, 5),
+      ev(3, "2024-01-03 10:30:00", 1, 5),
+      ev(4, "2024-01-01 00:00:00", 2, 5),
+      ev(5, "2024-01-07 00:00:00", 2, 5),
+      ev(6, "2024-01-01 00:00:00", 2, 6))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val got = EventOps.dedupDelayPanelOn(df).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    // 3 repeats total; within 1h: 1; within 1d: 1; within 3d: 2; 1w: 3
+    assert(got(3600L) === ((3L, 1L, 333333L)))
+    assert(got(86400L) === ((3L, 1L, 333333L)))
+    assert(got(259200L) === ((3L, 2L, 666666L)))
+    assert(got(604800L) === ((3L, 3L, 1000000L)))
+  }
+
+  test("q319 magnitude: log2 buckets are integer-exact at power-of-two boundaries") {
+    import spark.implicits._
+    def ev(id: Long, v: Double) =
+      (id, java.sql.Timestamp.valueOf("2024-01-01 10:00:00"), 1L, "view",
+        v, """{"k": 1}""")
+    // cents: 1 -> bucket 0; 2,3 -> bucket 1; 4 -> bucket 2; 1024 -> 10
+    val df = Seq(ev(1, 0.01), ev(2, 0.02), ev(3, 0.03), ev(4, 0.04),
+      ev(5, 10.24))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val got = EventOps.valueMagnitudeProfileOn(df).collect()
+      .map(r => r.getInt(1) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(got === Map(0 -> ((1L, 1L)), 1 -> ((2L, 5L)),
+      2 -> ((1L, 4L)), 10 -> ((1L, 1024L))))
+  }
+
   test("q312 prune: single chars always survive, unused multi-char pieces drop, decode stays total") {
     import spark.implicits._
     val docs = (1 to 20).map(i => (i.toLong, "the cat sat"))
