@@ -447,6 +447,10 @@ object SparkEntry {
       TextAnalysisOps.trainerVocabOverlap(s, d)),
     "q319_value_magnitude" -> ((s, d) =>
       EventOps.valueMagnitudeProfile(s, d)),
+    "q320_session_gap_panel" -> ((s, d) =>
+      EventOps.sessionGapPanel(s, d)),
+    "q321_share_shift"    -> ((s, d) =>
+      EventOps.shareShift(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

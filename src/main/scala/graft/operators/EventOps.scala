@@ -570,6 +570,78 @@ object EventOps {
       .orderBy(col("event_type"), col("log2_bucket"))
   }
 
+  /** Sessionization gap tuning panel (q320): session counts and
+    * density under candidate inactivity gaps — the measurement behind
+    * the 30-minute constant every session consumer (q58/q174/q201 and
+    * the streaming sessionizers) hard-codes. A session count that
+    * swings hard between adjacent gaps means the threshold sits inside
+    * the natural inter-event rhythm (sessions are an artifact); a
+    * plateau means it separates real visits. `n_sessions(g) =
+    * n_users + #gaps > g` — first events open sessions, and a user's
+    * first event is exactly the row whose lag is NULL, so the whole
+    * panel is ONE user-partitioned lag window + one conditional
+    * aggregate unpivoted over the constant gap grid.
+    */
+  def sessionGapPanel(spark: SparkSession, dir: String): DataFrame =
+    sessionGapPanelOn(Tables.events(spark, dir))
+
+  private[graft] def sessionGapPanelOn(ev: DataFrame): DataFrame = {
+    // order by the projected epoch micros — monotone-identical to ts
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("us"), col("event_id"))
+    val gaps = ev
+      .select(col("user_id"), unix_micros(col("ts")).as("us"),
+        col("event_id"))
+      .withColumn("prev_us", lag(col("us"), 1).over(w))
+      .select(expr("(us - prev_us) div 1000000").as("gap_s"))
+    gaps.agg(
+        sum(when(col("gap_s").isNull, 1L).otherwise(0L)).as("n_users"),
+        count(lit(1)).as("n_events"),
+        sum(when(col("gap_s") > 600L, 1L).otherwise(0L)).as("b1"),
+        sum(when(col("gap_s") > 1800L, 1L).otherwise(0L)).as("b2"),
+        sum(when(col("gap_s") > 3600L, 1L).otherwise(0L)).as("b3"))
+      .select(expr("stack(3, 600L, n_users + b1, 1800L, n_users + b2, " +
+        "3600L, n_users + b3) AS (gap_s, n_sessions)"), col("n_events"))
+      .select(col("gap_s"), col("n_sessions"),
+        expr("CAST(CAST(n_events AS decimal(38,0)) * 1000 DIV n_sessions" +
+          " AS BIGINT)").as("events_per_ksession"))
+      .orderBy(col("gap_s"))
+  }
+
+  /** Half-period share-shift screen (q321): each item's cent-mass
+    * share in the first vs second half of the observation window and
+    * the signed ppm shift — the drift screen that catches an item
+    * whose RELATIVE importance moved even while every absolute total
+    * grew (shares are zero-sum, so shifts point at each other). All
+    * integer: per-half cents are conditional sums on the bounded item
+    * grid, shares divide once onto the ppm grid, and the shift is a
+    * difference of the ROUNDED shares so both engines subtract the
+    * same integers.
+    */
+  def shareShift(spark: SparkSession, dir: String): DataFrame =
+    shareShiftOn(Tables.events(spark, dir))
+
+  private[graft] def shareShiftOn(ev: DataFrame): DataFrame = {
+    val log = ev.select(
+      get_json_object(col("props"), "$.k").cast("int").as("k"),
+      round(col("value") * 100, 0).cast("long").as("v_c"),
+      when(col("ts").cast("date") <=
+        lit(java.sql.Date.valueOf("2024-01-15")), 0).otherwise(1).as("h"))
+    val per = log.groupBy(col("k")).agg(
+      sum(when(col("h") === 0, col("v_c")).otherwise(0L)).as("c1"),
+      sum(when(col("h") === 1, col("v_c")).otherwise(0L)).as("c2"))
+    per.crossJoin(broadcast(per.agg(
+        sum(col("c1").cast("decimal(38,0)")).as("t1"),
+        sum(col("c2").cast("decimal(38,0)")).as("t2"))))
+      .select(col("k"), col("c1"), col("c2"),
+        expr("CAST(CAST(c1 AS decimal(38,0)) * 1000000 DIV t1 AS BIGINT)")
+          .as("share1_ppm"),
+        expr("CAST(CAST(c2 AS decimal(38,0)) * 1000000 DIV t2 AS BIGINT)")
+          .as("share2_ppm"))
+      .withColumn("shift_ppm", col("share2_ppm") - col("share1_ppm"))
+      .orderBy(col("k"))
+  }
+
   /** Journey-diversity entropy (q200): Shannon entropy of the full
     * user-path distribution — one number separating "everyone walks the
     * same funnel" (≈0 bits) from "every user is unique" (log₂ n bits),

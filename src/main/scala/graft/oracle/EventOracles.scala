@@ -1416,5 +1416,49 @@ private[graft] object EventOracles {
              AS mass_ppm
          FROM log l JOIN tot t USING (event_type)
          GROUP BY 1, 2, t.tot_c ORDER BY 1, 2""",
+    // q320: sessionization gap tuning panel — session counts under the
+    // candidate gap grid; first events are exactly the NULL-lag rows
+    "q320_session_gap_panel" ->
+      """WITH g AS (SELECT
+           (epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id
+              ORDER BY ts, event_id)) // 1000000 AS gap_s FROM events),
+         agg AS (SELECT
+           CAST(sum(CASE WHEN gap_s IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_users,
+           count(*)::BIGINT AS n_events,
+           CAST(sum(CASE WHEN gap_s > 600 THEN 1 ELSE 0 END) AS BIGINT) AS b1,
+           CAST(sum(CASE WHEN gap_s > 1800 THEN 1 ELSE 0 END) AS BIGINT) AS b2,
+           CAST(sum(CASE WHEN gap_s > 3600 THEN 1 ELSE 0 END) AS BIGINT) AS b3
+         FROM g),
+         panel AS (
+           SELECT CAST(600 AS BIGINT) AS gap_s,
+             CAST(n_users + b1 AS BIGINT) AS n_sessions, n_events FROM agg
+           UNION ALL SELECT 1800, n_users + b2, n_events FROM agg
+           UNION ALL SELECT 3600, n_users + b3, n_events FROM agg)
+         SELECT gap_s, n_sessions,
+           CAST(n_events::HUGEINT * 1000 // n_sessions AS BIGINT)
+             AS events_per_ksession
+         FROM panel ORDER BY gap_s""",
+    // q321: half-period share shift — per-item ppm mass share in each
+    // half of the window, shift as a difference of ROUNDED shares
+    "q321_share_shift" ->
+      """WITH log AS (SELECT
+           CAST(json_extract_string(props, '$.k') AS INT) AS k,
+           CAST(round(value * 100, 0) AS BIGINT) AS v_c,
+           CASE WHEN CAST(ts AS DATE) <= DATE '2024-01-15'
+             THEN 0 ELSE 1 END AS h
+         FROM events),
+         per AS (SELECT k,
+           CAST(sum(CASE WHEN h = 0 THEN v_c ELSE 0 END) AS BIGINT) AS c1,
+           CAST(sum(CASE WHEN h = 1 THEN v_c ELSE 0 END) AS BIGINT) AS c2
+         FROM log GROUP BY k),
+         tot AS (SELECT sum(c1)::HUGEINT AS t1, sum(c2)::HUGEINT AS t2
+           FROM per)
+         SELECT k, c1, c2,
+           CAST(c1::HUGEINT * 1000000 // t.t1 AS BIGINT) AS share1_ppm,
+           CAST(c2::HUGEINT * 1000000 // t.t2 AS BIGINT) AS share2_ppm,
+           CAST(c2::HUGEINT * 1000000 // t.t2 AS BIGINT)
+             - CAST(c1::HUGEINT * 1000000 // t.t1 AS BIGINT) AS shift_ppm
+         FROM per, tot t ORDER BY k""",
   )
 }
