@@ -451,6 +451,8 @@ object SparkEntry {
       EventOps.sessionGapPanel(s, d)),
     "q321_share_shift"    -> ((s, d) =>
       EventOps.shareShift(s, d)),
+    "q322_corpus_card"    -> ((s, d) =>
+      TextAnalysisOps.corpusCard(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

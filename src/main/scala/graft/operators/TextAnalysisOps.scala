@@ -1360,6 +1360,43 @@ object TextAnalysisOps {
           "(n_bpe + n_uni - n_common) AS BIGINT)").as("jaccard_ppm"))
   }
 
+  /** Corpus data card (q322): the one-row fingerprint panel a
+    * training-data pipeline publishes with every corpus snapshot —
+    * volume (docs/chars/tokens), vocabulary, source and language
+    * breadth, exact-duplicate rate, and language concentration. The
+    * numbers a reader checks FIRST before any deeper audit: a dup_ppm
+    * jump flags an ingest replay, a top-lang share drift flags a
+    * crawler bias.
+    *
+    * Scale shape: three independent aggregates (docs, token explode,
+    * lang grid), each map-side combinable, crossed into one row by
+    * broadcast. The distinct-text count dedups md5 FINGERPRINTS, not
+    * full texts — the q27 rule: 32-byte hashes shuffle, documents
+    * never do.
+    */
+  def corpusCard(spark: SparkSession, dir: String): DataFrame =
+    corpusCardOn(Tables.documents(spark, dir))
+
+  private[graft] def corpusCardOn(docs: DataFrame): DataFrame = {
+    val vocab = docs.select(explode(Text.tokens(col("text"))).as("w"))
+      .agg(count(lit(1)).as("n_tokens"),
+        count_distinct(col("w")).as("n_distinct_words"))
+    val langTop = docs.groupBy(col("lang")).agg(count(lit(1)).as("c"))
+      .agg(count(lit(1)).as("n_langs"), max(col("c")).as("top_c"))
+    docs.agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("n_chars"),
+        count_distinct(md5(col("text"))).as("n_distinct_text"),
+        count_distinct(col("source")).as("n_sources"))
+      .crossJoin(broadcast(vocab))
+      .crossJoin(broadcast(langTop))
+      .select(col("n_docs"), col("n_chars"), col("n_tokens"),
+        col("n_distinct_words"), col("n_sources"), col("n_langs"),
+        expr("CAST(CAST(n_docs - n_distinct_text AS decimal(38,0)) " +
+          "* 1000000 DIV n_docs AS BIGINT)").as("exact_dup_ppm"),
+        expr("CAST(CAST(top_c AS decimal(38,0)) * 1000000 DIV n_docs" +
+          " AS BIGINT)").as("top_lang_share_ppm"))
+  }
+
   /** Per-source distribution drift (q243): the two-sample
     * Kolmogorov–Smirnov statistic of each source's document-length
     * distribution against the REST of the corpus — the standard

@@ -956,7 +956,29 @@ private[graft] object TextOracles {
            CAST(sum(b*u) AS BIGINT) AS n_common,
            CAST(sum(b*u)::HUGEINT * 1000000
              // (sum(b) + sum(u) - sum(b*u)) AS BIGINT) AS jaccard_ppm
-         FROM j""")
+         FROM j"""),
+    // q322: corpus data card — one-row snapshot fingerprint; dedup on
+    // md5 fingerprints (the q27 rule), shares once onto the ppm grid
+    "q322_corpus_card" ->
+      """WITH base AS (SELECT count(*)::BIGINT AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS n_chars,
+           count(DISTINCT md5(text))::BIGINT AS n_distinct_text,
+           count(DISTINCT source)::BIGINT AS n_sources FROM documents),
+         tok AS (SELECT unnest(string_split(
+           regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS w
+           FROM documents),
+         v AS (SELECT count(*)::BIGINT AS n_tokens,
+           count(DISTINCT w)::BIGINT AS n_distinct_words FROM tok),
+         lt AS (SELECT count(*)::BIGINT AS n_langs,
+           CAST(max(c) AS BIGINT) AS top_c
+           FROM (SELECT lang, count(*) AS c FROM documents GROUP BY 1))
+         SELECT n_docs, n_chars, n_tokens, n_distinct_words, n_sources,
+           n_langs,
+           CAST((n_docs - n_distinct_text)::HUGEINT * 1000000 // n_docs
+             AS BIGINT) AS exact_dup_ppm,
+           CAST(top_c::HUGEINT * 1000000 // n_docs AS BIGINT)
+             AS top_lang_share_ppm
+         FROM base, v, lt"""
   )
 
   /** The q307/q308 shared chain: tokenizer → word dict (≤12 chars) →
