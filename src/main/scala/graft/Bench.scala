@@ -212,6 +212,12 @@ object Bench {
       .config("spark.sql.adaptive.enabled", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // silence the expected WindowExec single-partition WARNs (see
+    // Verify.scala — the plan lint polices the window shape; the spam
+    // buries real warnings in the driver's tail)
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.sql.execution.window.WindowExec",
+      org.apache.logging.log4j.Level.ERROR)
     // untimed warm-up: JIT/codegen + parquet footer reads, so the first
     // timed query doesn't absorb JVM startup
     try {

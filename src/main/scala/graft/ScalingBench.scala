@@ -584,7 +584,8 @@ object ScalingBench {
         conf.set("spark.sql.adaptive.enabled", "false")
         val saltedDf = graft.operators.SkewUtils.saltedFactJoin(a, b, "k",
           nSalts = 16,
-          hotKeys = graft.operators.SkewUtils.detectHotKeys(a, "k", 1000000L))
+          hotKeys = graft.operators.SkewUtils.detectHotKeys(a, "k", 1000000L),
+          uniqueCols = Seq("av"))
         val cs2 = checksum(saltedDf)
         val tSalt = time(saltedDf.write.mode("overwrite").format("noop").save())
         require(cs0 == cs1 && cs0 == cs2,

@@ -23,6 +23,15 @@ object Verify {
       .config("spark.sql.adaptive.enabled", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // the allowlisted bounded partitionless windows (≤nBuckets /
+    // calendar / value-domain frames) each WARN "No Partition Defined…
+    // moving all data to a single partition"; at 322 queries that
+    // floods the driver's stderr tail and buries any REAL new warning
+    // (VERDICT r13). The plan lint polices the window shape properly —
+    // silence only this logger, not WARN at large.
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.sql.execution.window.WindowExec",
+      org.apache.logging.log4j.Level.ERROR)
     new java.io.File(outDir).mkdirs()
     // dev-only focused runs (tools/check_oracle.py pre-flight): unset —
     // the driver's path — dumps every query

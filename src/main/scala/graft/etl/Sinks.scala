@@ -139,16 +139,30 @@ object Sinks {
     // the scoped read prunes to affected partitions; the merge output
     // is localCheckpointed so the overwrite never reads the files it
     // replaces (Spark's self-overwrite rule). Both working frames are
-    // delta/affected-partition-sized, never the table.
-    val scoped = target.join(broadcast(parts), pCols, "left_semi")
+    // delta/affected-partition-sized, never the table. NULL-SAFE (<=>)
+    // like the emptied-set anti-join below: a plain equi semi-join
+    // would never scope in a null-valued target partition
+    // (__HIVE_DEFAULT_PARTITION__), silently dropping its surviving
+    // rows from the rewrite (ADVICE r13)
+    val partsB = broadcast(parts).as("pt")
+    val scoped = target.as("t").join(partsB,
+      pCols.map(c => col(s"t.$c") <=> col(s"pt.$c")).reduce(_ && _),
+      "left_semi")
     val merged = graft.operators.IncrementalOps
       .mergeChangeset(scoped, eff, keys, opCol).localCheckpoint()
     overwritePartitions(merged, spec, outputDir)
     // affected partitions the merge wrote NOTHING for (all rows deleted,
     // or a move took the last row away): dynamic overwrite never touched
-    // them, so their stale files must be removed here
-    val emptied = parts.join(
-      merged.select(pCols.map(col): _*).distinct(), pCols, "left_anti")
+    // them, so their stale files must be removed here. The anti-join is
+    // NULL-SAFE (<=> per partition column): a rewritten
+    // __HIVE_DEFAULT_PARTITION__ (null partition value in the TARGET —
+    // legal even though change rows must carry non-null values) would
+    // never equi-match and its freshly written files would be deleted
+    // as "emptied" (ADVICE r13)
+    val mergedParts = merged.select(pCols.map(col): _*).distinct().as("m")
+    val emptied = parts.as("p").join(mergedParts,
+        pCols.map(c => col(s"p.$c") <=> col(s"m.$c")).reduce(_ && _),
+        "left_anti")
       .collect()
     if (emptied.nonEmpty) {
       val root = new org.apache.hadoop.fs.Path(path)

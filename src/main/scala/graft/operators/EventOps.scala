@@ -474,6 +474,16 @@ object EventOps {
     * shift cannot). Anchor date fixed; `retained_ppm` is the
     * decayed/raw mass ratio on the ppm grid.
     *
+    * Totality guards (ADVICE r13): the shift count is clamped to
+    * [0, 62] on BOTH sides — Spark's `shiftright` masks the count to
+    * the low 6 bits (Java `>>`) while DuckDB's `>>` does not, so an
+    * unclamped count diverges silently for events newer than the
+    * anchor (negative age → no decay under the clamp) or older than
+    * 62 half-lives (fully decayed). Negative cents shift on the
+    * magnitude with the sign reapplied (truncation toward zero on
+    * both engines, PARITY rule 4), and the ratio guards raw_c = 0
+    * (Spark DIV → null vs DuckDB // → error).
+    *
     * Scale shape: one projection (single JSON parse — the r13 rule) +
     * one map-side-combinable aggregate to the bounded item grid. The
     * shift folds inside partial aggregation, so a hot item costs one
@@ -488,12 +498,16 @@ object EventOps {
         datediff(lit(java.sql.Date.valueOf("2024-02-15")),
           col("ts").cast("date")).as("age"))
       .select(col("k"), col("v_c"),
-        expr("shiftright(v_c, CAST(age div 7 AS INT))").as("dv"))
+        expr("CAST(greatest(0L, least(62L, age div 7)) AS INT)").as("sh"))
+      .select(col("k"), col("v_c"),
+        expr("CASE WHEN v_c >= 0 THEN shiftright(v_c, sh)" +
+          " ELSE -shiftright(-v_c, sh) END").as("dv"))
       .groupBy(col("k"))
       .agg(sum(col("v_c")).as("raw_c"), sum(col("dv")).as("decayed_c"))
       .select(col("k"), col("raw_c"), col("decayed_c"),
-        expr("CAST(CAST(decayed_c AS decimal(38,0)) * 1000000 DIV raw_c" +
-          " AS BIGINT)").as("retained_ppm"))
+        when(col("raw_c") =!= 0L,
+          expr("CAST(CAST(decayed_c AS decimal(38,0)) * 1000000 DIV raw_c" +
+            " AS BIGINT)")).otherwise(lit(0L)).as("retained_ppm"))
       .orderBy(col("k"))
 
   /** Watermark-delay tuning panel (q317): for each candidate delay,
@@ -547,6 +561,14 @@ object EventOps {
     * both engines as `length(bin(v)) − 1` — never a float log that
     * could straddle a power-of-two boundary.
     *
+    * Totality guards (ADVICE r13): the bucket is computed on
+    * `abs(v_c)` with an explicit `sgn` grouping column — Spark's
+    * `bin()` formats a negative long as the 64-char two's-complement
+    * string while DuckDB formats it differently, so a raw negative
+    * cent value would both land in a meaningless bucket and diverge
+    * between engines. The mass share guards `tot_c = 0` (possible
+    * under mixed signs; Spark DIV → null vs DuckDB // → error).
+    *
     * Scale shape: one map-side-combinable aggregate to the
     * (type × ~64 buckets) grid, one grid-sized equi-join for the
     * per-type mass shares.
@@ -560,14 +582,16 @@ object EventOps {
     val tot = log.groupBy(col("event_type"))
       .agg(sum(col("v_c").cast("decimal(38,0)")).as("tot_c"))
     log.groupBy(col("event_type"),
-        (length(bin(col("v_c"))) - 1).cast("int").as("log2_bucket"))
+        when(col("v_c") < 0, -1).otherwise(1).cast("int").as("sgn"),
+        (length(bin(abs(col("v_c")))) - 1).cast("int").as("log2_bucket"))
       .agg(count(lit(1)).as("n_events"), sum(col("v_c")).as("cents"))
       .join(tot, Seq("event_type"))
-      .select(col("event_type"), col("log2_bucket"), col("n_events"),
-        col("cents"),
-        expr("CAST(CAST(cents AS decimal(38,0)) * 1000000 DIV tot_c" +
-          " AS BIGINT)").as("mass_ppm"))
-      .orderBy(col("event_type"), col("log2_bucket"))
+      .select(col("event_type"), col("sgn"), col("log2_bucket"),
+        col("n_events"), col("cents"),
+        when(col("tot_c") =!= 0,
+          expr("CAST(CAST(cents AS decimal(38,0)) * 1000000 DIV tot_c" +
+            " AS BIGINT)")).otherwise(lit(0L)).as("mass_ppm"))
+      .orderBy(col("event_type"), col("sgn"), col("log2_bucket"))
   }
 
   /** Sessionization gap tuning panel (q320): session counts and

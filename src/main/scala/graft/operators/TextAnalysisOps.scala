@@ -1897,8 +1897,13 @@ object TextAnalysisOps {
           "CAST(n01 + n00 AS decimal(38,0)) * (n10 + n00)) * 1000000 " +
           "DIV (CAST(n AS decimal(38,0)) * n) AS BIGINT)").as("pe_ppm"))
       .select(col("*"),
-        expr("CAST(CAST(po_ppm - pe_ppm AS decimal(38,0)) * 1000000 " +
-          "DIV (1000000 - pe_ppm) AS BIGINT)").as("kappa_ppm"))
+        // degenerate-corpus guard (ADVICE r13): pe can round to exactly
+        // 1e6 ppm (all docs in one cell), where Spark's DIV yields null
+        // but DuckDB's // raises — report kappa 0 on both engines
+        when(col("pe_ppm") < 1000000L,
+          expr("CAST(CAST(po_ppm - pe_ppm AS decimal(38,0)) * 1000000 " +
+            "DIV (1000000 - pe_ppm) AS BIGINT)"))
+          .otherwise(lit(0L)).as("kappa_ppm"))
   }
 
   /** Mann–Whitney rank-sum drift (q314): does one language's document

@@ -1367,13 +1367,19 @@ private[graft] object EventOracles {
       """WITH log AS (SELECT
            CAST(json_extract_string(props, '$.k') AS INT) AS k,
            CAST(round(value * 100, 0) AS BIGINT) AS v_c,
-           datediff('day', CAST(ts AS DATE), DATE '2024-02-15') AS age
-         FROM events)
+           greatest(0, least(62,
+             datediff('day', CAST(ts AS DATE), DATE '2024-02-15') // 7))
+             AS sh
+         FROM events),
+         dec AS (SELECT k, v_c,
+           CASE WHEN v_c >= 0 THEN v_c >> sh ELSE -((-v_c) >> sh) END AS dv
+         FROM log)
          SELECT k, CAST(sum(v_c) AS BIGINT) AS raw_c,
-           CAST(sum(v_c >> (age // 7)) AS BIGINT) AS decayed_c,
-           CAST(sum(v_c >> (age // 7))::HUGEINT * 1000000 // sum(v_c)
-             AS BIGINT) AS retained_ppm
-         FROM log GROUP BY k ORDER BY k""",
+           CAST(sum(dv) AS BIGINT) AS decayed_c,
+           CASE WHEN sum(v_c) <> 0 THEN
+             CAST(sum(dv)::HUGEINT * 1000000 // sum(v_c) AS BIGINT)
+           ELSE 0 END AS retained_ppm
+         FROM dec GROUP BY k ORDER BY k""",
     // q317: watermark-delay tuning panel — repeat-key inter-arrival
     // CDF at the candidate delay grid; within_ppm at delay d is the
     // duplicate-catch rate dropDuplicatesWithinWatermark(d) achieves
@@ -1409,13 +1415,15 @@ private[graft] object EventOracles {
          tot AS (SELECT event_type, sum(v_c)::HUGEINT AS tot_c
            FROM log GROUP BY 1)
          SELECT l.event_type,
-           CAST(length(bin(l.v_c)) - 1 AS INT) AS log2_bucket,
+           CAST(CASE WHEN l.v_c < 0 THEN -1 ELSE 1 END AS INT) AS sgn,
+           CAST(length(bin(abs(l.v_c))) - 1 AS INT) AS log2_bucket,
            count(*)::BIGINT AS n_events,
            CAST(sum(l.v_c) AS BIGINT) AS cents,
-           CAST(sum(l.v_c)::HUGEINT * 1000000 // t.tot_c AS BIGINT)
-             AS mass_ppm
+           CASE WHEN t.tot_c <> 0 THEN
+             CAST(sum(l.v_c)::HUGEINT * 1000000 // t.tot_c AS BIGINT)
+           ELSE 0 END AS mass_ppm
          FROM log l JOIN tot t USING (event_type)
-         GROUP BY 1, 2, t.tot_c ORDER BY 1, 2""",
+         GROUP BY 1, 2, 3, t.tot_c ORDER BY 1, 2, 3""",
     // q320: sessionization gap tuning panel — session counts under the
     // candidate gap grid; first events are exactly the NULL-lag rows
     "q320_session_gap_panel" ->

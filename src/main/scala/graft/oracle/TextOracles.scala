@@ -865,8 +865,10 @@ private[graft] object TextOracles {
              * 1000000 // (n::HUGEINT * n) AS BIGINT) AS pe_ppm
            FROM cells)
          SELECT n, n11, n10, n01, n00, po_ppm, pe_ppm,
-           CAST((po_ppm - pe_ppm)::HUGEINT * 1000000 // (1000000 - pe_ppm)
-             AS BIGINT) AS kappa_ppm
+           CASE WHEN pe_ppm < 1000000 THEN
+             CAST((po_ppm - pe_ppm)::HUGEINT * 1000000 // (1000000 - pe_ppm)
+               AS BIGINT)
+           ELSE 0 END AS kappa_ppm
          FROM ppm""",
     // q314: Mann-Whitney rank-sum drift (en vs zh doc lengths) — the
     // tie-aware 2U fold over the merged length-count grid; window is

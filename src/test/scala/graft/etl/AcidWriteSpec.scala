@@ -138,6 +138,40 @@ class AcidWriteSpec extends SparkSpecBase {
     } === bBefore)
   }
 
+  test("mergeInto: a rewritten null partition (__HIVE_DEFAULT_PARTITION__) is not misclassified as emptied") {
+    // ADVICE r13: the emptied-set anti-join must be NULL-SAFE — under a
+    // plain equi-join a null partition value never matches itself, so a
+    // rewritten default partition would be classified emptied and its
+    // FRESH files deleted (silent data loss)
+    val out = Files.createTempDirectory("graft-merge-nullpart").toString
+    val mspec = Sinks.TableSpec("nullpart_t", Sinks.Parquet, Seq("src"))
+    Sinks.write(Seq((1L, "a1", "a"), (2L, "n2", null), (3L, "n3", null))
+      .toDF("id", "v", "src"), mspec, out)
+    // delete ONE of the two null-partition rows: the partition is
+    // rewritten (row 3 survives) — it must NOT be deleted as emptied
+    val n = Sinks.mergeInto(spark,
+      Seq((2L, "D", null.asInstanceOf[String], null.asInstanceOf[String]))
+        .toDF("id", "op", "v", "src"),
+      Seq("id"), mspec, out)
+    assert(n === 1L)
+    assert(spark.read.parquet(s"$out/${mspec.name}")
+      .as[(Long, String, String)].collect().toSet ===
+      Set((1L, "a1", "a"), (3L, "n3", null)))
+
+    // deleting the LAST null-partition row genuinely empties it: the
+    // default-partition directory itself must go (null delete path)
+    Sinks.mergeInto(spark,
+      Seq((3L, "D", null.asInstanceOf[String], null.asInstanceOf[String]))
+        .toDF("id", "op", "v", "src"),
+      Seq("id"), mspec, out)
+    assert(!new java.io.File(
+      s"$out/${mspec.name}/src=__HIVE_DEFAULT_PARTITION__").exists(),
+      "emptied default partition directory must be deleted")
+    assert(spark.read.parquet(s"$out/${mspec.name}")
+      .as[(Long, String, String)].collect().toSet ===
+      Set((1L, "a1", "a")))
+  }
+
   test("mergeInto: moving a partition's sole row away deletes the source partition (no duplication)") {
     val out = Files.createTempDirectory("graft-merge-solemove").toString
     val mspec = Sinks.TableSpec("solemove_t", Sinks.Parquet, Seq("src"))

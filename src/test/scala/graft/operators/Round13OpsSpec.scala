@@ -61,6 +61,15 @@ class Round13OpsSpec extends SparkSpecBase {
     assert(r.getLong(5) === 500000L)
     assert(r.getLong(6) === 500000L)
     assert(r.getLong(7) === 0L)
+
+    // degenerate corpus (ADVICE r13): identical docs put every row in
+    // n11, so pe rounds to exactly 1e6 ppm — the guarded kappa reports
+    // 0 instead of Spark-null-vs-DuckDB-error on the zero denominator
+    val same = (1 to 4).map(i => (i.toLong, "the of is", 10L))
+      .toDF("doc_id", "text", "n_chars")
+    val rd = TextAnalysisOps.cohensKappaOn(same).collect()(0)
+    assert(rd.getLong(6) === 1000000L)
+    assert(rd.getLong(7) === 0L)
   }
 
   test("q314 rank sum: hand-computed U on a constructed frame (ties included)") {
@@ -90,6 +99,16 @@ class Round13OpsSpec extends SparkSpecBase {
     // raw = 800+800+801 = 2401; decayed = 800 + 400 + (801>>3 = 100)
     assert((r.getInt(0), r.getLong(1), r.getLong(2)) === ((5, 2401L, 1300L)))
     assert(r.getLong(3) === 1300L * 1000000L / 2401L)
+
+    // totality guards (ADVICE r13): an event AFTER the anchor has
+    // negative age — the clamp pins its shift to 0 (no decay) instead
+    // of Java's masked shiftright silently diverging from DuckDB; a
+    // negative value decays on its magnitude, truncating toward zero
+    val df2 = Seq(ev(4, "2024-03-01", 8.00), ev(5, "2024-02-08", -0.03))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val r2 = EventOps.decayedPopularityOn(df2).collect()(0)
+    // raw = 800 - 3 = 797; decayed = 800 (shift 0) + -(3>>1) = 800 - 1
+    assert((r2.getLong(1), r2.getLong(2)) === ((797L, 799L)))
   }
 
   test("q317 delay panel: constructed repeat gaps land in the right delay cells") {
@@ -121,14 +140,24 @@ class Round13OpsSpec extends SparkSpecBase {
     def ev(id: Long, v: Double) =
       (id, java.sql.Timestamp.valueOf("2024-01-01 10:00:00"), 1L, "view",
         v, """{"k": 1}""")
-    // cents: 1 -> bucket 0; 2,3 -> bucket 1; 4 -> bucket 2; 1024 -> 10
+    // cents: 1 -> bucket 0; 2,3 -> bucket 1; 4 -> bucket 2; 1024 -> 10;
+    // -3 -> sgn -1, bucket 1 (magnitude bucketing, ADVICE r13)
     val df = Seq(ev(1, 0.01), ev(2, 0.02), ev(3, 0.03), ev(4, 0.04),
-      ev(5, 10.24))
+      ev(5, 10.24), ev(6, -0.03))
       .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
     val got = EventOps.valueMagnitudeProfileOn(df).collect()
-      .map(r => r.getInt(1) -> (r.getLong(2), r.getLong(3))).toMap
-    assert(got === Map(0 -> ((1L, 1L)), 1 -> ((2L, 5L)),
-      2 -> ((1L, 4L)), 10 -> ((1L, 1024L))))
+      .map(r => (r.getInt(1), r.getInt(2)) -> (r.getLong(3), r.getLong(4)))
+      .toMap
+    assert(got === Map((1, 0) -> ((1L, 1L)), (1, 1) -> ((2L, 5L)),
+      (1, 2) -> ((1L, 4L)), (1, 10) -> ((1L, 1024L)),
+      (-1, 1) -> ((1L, -3L))))
+    // tot_c = 1031: mass shares truncate toward zero on both engines,
+    // the negative bucket carries a negative share
+    assert(EventOps.valueMagnitudeProfileOn(df).collect()
+      .map(_.getLong(5)).toSet ===
+      Set(1L * 1000000L / 1031L, 5L * 1000000L / 1031L,
+        4L * 1000000L / 1031L, 1024L * 1000000L / 1031L,
+        -3L * 1000000L / 1031L))
   }
 
   test("q312 prune: single chars always survive, unused multi-char pieces drop, decode stays total") {

@@ -85,6 +85,45 @@ class SkewUtilsSpec extends SparkSpecBase {
     assert(salted2.exceptAll(plain2).isEmpty && plain2.exceptAll(salted2).isEmpty)
   }
 
+  test("deterministic salt from a unique id: retry-stable, spreads hot keys, result-identical") {
+    import spark.implicits._
+    // hot key 0 with a unique row id: the deterministic mode must
+    // spread it (ids differ even when payloads don't) and assign each
+    // row the SAME salt on every evaluation — the retry-safety the
+    // positional fallback lacks over shuffle-produced inputs (ADVICE r13)
+    val nSalts = 8
+    val fact = (1 to 4000).map(i => (0, i.toLong, "constant"))
+      .toDF("n_key", "rid", "payload")
+    val saltCol = SkewUtils.rowSalt(nSalts, Seq(col("rid")))
+    val spread = fact.withColumn("__salt", saltCol)
+      .groupBy("__salt").count().collect()
+    assert(spread.length >= nSalts / 2,
+      s"unique-id salt collapsed to ${spread.length} buckets")
+    // pure function of row content: two independent evaluations agree
+    // per rid (a positional salt over a reshuffled input would not)
+    val e1 = fact.orderBy(col("rid")).withColumn("__salt", saltCol)
+      .select("rid", "__salt")
+    val e2 = fact.orderBy(col("rid").desc).withColumn("__salt", saltCol)
+      .select("rid", "__salt")
+    assert(e1.exceptAll(e2).isEmpty && e2.exceptAll(e1).isEmpty)
+
+    val dim = Seq((0, "ZERO"), (1, "ONE")).toDF("n_key", "name")
+    val plain = fact.join(dim, Seq("n_key")).select("n_key", "rid", "name")
+    val salted = SkewUtils.saltedJoin(fact, dim, "n_key", nSalts,
+        uniqueCols = Seq("rid"))
+      .select("n_key", "rid", "name")
+    assert(salted.exceptAll(plain).isEmpty && plain.exceptAll(salted).isEmpty)
+
+    val a2 = fact.select(col("n_key").cast("long").as("k"),
+      col("rid").as("av"))
+    val b2 = (Seq.fill(5)((0L, "b")) ++ Seq((1L, "x"))).toDF("k", "bv")
+    val plain2 = a2.join(b2, Seq("k")).select("k", "av", "bv")
+    val salted2 = SkewUtils.saltedFactJoin(a2, b2, "k", nSalts,
+        SkewUtils.detectHotKeys(a2, "k", 100), uniqueCols = Seq("av"))
+      .select("k", "av", "bv")
+    assert(salted2.exceptAll(plain2).isEmpty && plain2.exceptAll(salted2).isEmpty)
+  }
+
   test("saltedDistinctCount ≡ countDistinct on skewed data, any salt width") {
     import spark.implicits._
     // hot key 0: 5000 rows over 700 distinct values (duplicates across
