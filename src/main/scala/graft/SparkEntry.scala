@@ -453,6 +453,8 @@ object SparkEntry {
       EventOps.shareShift(s, d)),
     "q322_corpus_card"    -> ((s, d) =>
       TextAnalysisOps.corpusCard(s, d)),
+    "q323_schema_evolution" -> ((s, d) =>
+      IncrementalOps.q323SchemaEvolution(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

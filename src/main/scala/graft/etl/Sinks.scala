@@ -61,6 +61,48 @@ object Sinks {
     }
   }
 
+  /** The read path for tables that may have EVOLVED (WRITE_CONTRACT.md
+    * §4): schema = the union across every file's footer. Add-column
+    * evolution rewrites only the affected partitions, so untouched
+    * partitions keep files on the OLD schema — a plain
+    * `spark.read.parquet` picks one file's footer and may or may not
+    * see the new column depending on file order; the mergeSchema read
+    * resolves the union deterministically and fills the column with
+    * null where a file lacks it. Footer merging is a parallel
+    * footer-only job — O(number of files), never O(bytes) — the
+    * documented cost of reading an evolved 100 TB table.
+    */
+  def readTable(spark: org.apache.spark.sql.SparkSession, spec: TableSpec,
+      outputDir: String): DataFrame = {
+    val path = s"$outputDir/${spec.name}"
+    spec.format match {
+      case Parquet => spark.read.option("mergeSchema", "true").parquet(path)
+      case Csv     => spark.read.option("header", "true").csv(path)
+    }
+  }
+
+  /** Schema-compatibility verdict between a table and an incoming
+    * frame: (new columns, type-changed columns, missing columns).
+    * Shared-name columns must match types EXACTLY — parquet files
+    * holding the old physical type cannot be re-read under a new one,
+    * so a type change is never an evolution, it is a rewrite.
+    */
+  private def schemaDelta(table: org.apache.spark.sql.types.StructType,
+      incoming: org.apache.spark.sql.types.StructType,
+      ignore: Set[String]): (Seq[org.apache.spark.sql.types.StructField],
+      Seq[String], Seq[String]) = {
+    val newCols = incoming.filter(f =>
+      !ignore(f.name) && !table.exists(_.name == f.name))
+    val typeChanged = table.flatMap { f =>
+      incoming.find(_.name == f.name).filter(_.dataType != f.dataType)
+        .map(c => s"${f.name} (table ${f.dataType.simpleString} vs " +
+          s"incoming ${c.dataType.simpleString})")
+    }
+    val missing = table.map(_.name)
+      .filterNot(n => incoming.exists(_.name == n))
+    (newCols.toSeq, typeChanged.toSeq, missing.toSeq)
+  }
+
   /** Batch MERGE INTO a partitioned parquet table (WRITE_CONTRACT.md §1,
     * VERDICT r11 item 3): apply a changeset (`op` ∈ D/U/I — see
     * [[graft.operators.IncrementalOps.mergeChangeset]] for the arm
@@ -97,16 +139,46 @@ object Sinks {
     * twice and never rewritten — the O(delta·partition) bound that
     * makes a changeset apply viable nightly at 100 TB.
     *
+    * Schema contract (WRITE_CONTRACT.md §4): shared-name columns must
+    * match types exactly and the changeset must carry the full target
+    * payload — violations fail loudly, never silently coerce. A
+    * changeset carrying NEW columns is rejected unless
+    * `evolveSchema = true`, in which case the table evolves by
+    * ADD COLUMN: affected partitions rewrite on the union schema
+    * (pre-existing rows null-filled unless a `U` overwrote them),
+    * untouched partitions keep their old-schema files, and
+    * [[readTable]]'s mergeSchema read is the contract for seeing the
+    * union afterwards. The target is always read with mergeSchema so
+    * repeated merges against an already-evolved table see the union.
+    *
     * Returns the number of partitions rewritten.
     */
   def mergeInto(spark: org.apache.spark.sql.SparkSession,
       changes: DataFrame, keys: Seq[String], spec: TableSpec,
-      outputDir: String, opCol: String = "op"): Long = {
+      outputDir: String, opCol: String = "op",
+      evolveSchema: Boolean = false): Long = {
     import org.apache.spark.sql.functions._
     require(spec.format == Parquet && spec.partitionCols.nonEmpty,
       s"${spec.name}: mergeInto needs a partitioned parquet table")
     val path = s"$outputDir/${spec.name}"
-    val target = spark.read.parquet(path)
+    val target = spark.read.option("mergeSchema", "true").parquet(path)
+    // schema gate BEFORE any work: fail loudly, never let Spark's
+    // column resolution decide what a drifted changeset means
+    val (newCols, typeChanged, missingCols) =
+      schemaDelta(target.schema, changes.schema, Set(opCol))
+    require(typeChanged.isEmpty,
+      s"${spec.name}: changeset changes column TYPE(s): " +
+        s"${typeChanged.mkString("; ")} — rejected. Old partitions hold " +
+        "the old physical type; backfill into a NEW column instead")
+    require(missingCols.isEmpty,
+      s"${spec.name}: changeset is missing target column(s) " +
+        s"${missingCols.mkString(", ")} — a merge changeset must carry " +
+        "the full row payload")
+    require(newCols.isEmpty || evolveSchema,
+      s"${spec.name}: changeset carries NEW column(s) " +
+        s"${newCols.map(_.name).mkString(", ")} — pass evolveSchema=true " +
+        "to ADD COLUMN (existing rows read back null via readTable's " +
+        "mergeSchema) or drop them from the changeset")
     val dup = changes.groupBy(keys.map(col): _*)
       .count().filter(col("count") > 1).limit(1).count()
     require(dup == 0,
@@ -145,9 +217,14 @@ object Sinks {
     // (__HIVE_DEFAULT_PARTITION__), silently dropping its surviving
     // rows from the rewrite (ADVICE r13)
     val partsB = broadcast(parts).as("pt")
-    val scoped = target.as("t").join(partsB,
+    val scoped0 = target.as("t").join(partsB,
       pCols.map(c => col(s"t.$c") <=> col(s"pt.$c")).reduce(_ && _),
       "left_semi")
+    // ADD COLUMN evolution: align the scoped target onto the union
+    // schema (new columns null) so the merge join lines up; only the
+    // affected partitions rewrite on the new schema
+    val scoped = newCols.foldLeft(scoped0)((d, f) =>
+      d.withColumn(f.name, lit(null).cast(f.dataType)))
     val merged = graft.operators.IncrementalOps
       .mergeChangeset(scoped, eff, keys, opCol).localCheckpoint()
     overwritePartitions(merged, spec, outputDir)
@@ -208,12 +285,34 @@ object Sinks {
 
   def write(df: DataFrame, spec: TableSpec, outputDir: String): Unit = {
     val mode = if (spec.overwrite) "overwrite" else "append"
+    val path0 = s"$outputDir/${spec.name}"
+    // append-mode schema gate (WRITE_CONTRACT.md §4): parquet append
+    // with a drifted schema succeeds file-by-file and the table then
+    // reads back whatever one footer happens to say — fail loudly
+    // instead. Schema evolution goes through mergeInto(evolveSchema).
+    // Footer-only check: O(files), no data read.
+    if (mode == "append" && spec.format == Parquet) {
+      val p = new org.apache.hadoop.fs.Path(path0)
+      val fs = p.getFileSystem(
+        df.sparkSession.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) {
+        val existing = df.sparkSession.read
+          .option("mergeSchema", "true").parquet(path0).schema
+        val (newCols, typeChanged, missing) =
+          schemaDelta(existing, df.schema, Set.empty)
+        require(newCols.isEmpty && typeChanged.isEmpty && missing.isEmpty,
+          s"${spec.name}: append schema drift — new " +
+            s"[${newCols.map(_.name).mkString(", ")}], type-changed " +
+            s"[${typeChanged.mkString("; ")}], missing " +
+            s"[${missing.mkString(", ")}]. Appends must match the table " +
+            "schema exactly; evolve via mergeInto(evolveSchema = true)")
+      }
+    }
     val w0 = df.write.option("header", "true").mode(mode)
     val w = if (spec.partitionCols.nonEmpty) w0.partitionBy(spec.partitionCols: _*) else w0
-    val path = s"$outputDir/${spec.name}"
     spec.format match {
-      case Parquet => w.parquet(path)
-      case Csv     => w.csv(path)
+      case Parquet => w.parquet(path0)
+      case Csv     => w.csv(path0)
     }
   }
 }

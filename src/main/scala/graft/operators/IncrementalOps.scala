@@ -650,4 +650,55 @@ object IncrementalOps {
         expr("bit_xor(fp)").as("fingerprint"))
       .orderBy(col("source"))
   }
+
+  /** Schema-evolution MERGE gate (q323, VERDICT r13 item 1): a REAL
+    * write→evolve→read-back cycle through the Sinks write path — base
+    * documents written partitioned by `source`, an add-column
+    * changeset (new `quality_bp`) merged with `evolveSchema = true`,
+    * the evolved table read back via [[graft.etl.Sinks.readTable]]'s
+    * mergeSchema union — while the oracle replays the same evolution
+    * relationally (pre-existing rows null, U/I rows scored).
+    *
+    * The fixture's `source = 'src' || (doc_id mod 20)`, so the update
+    * arm (`mod 10 = 0`) lands only in src0/src10 and the insert arm
+    * (`mod 23 = 0 ∧ mod 20 = 3`) only in src3: 17 of 20 partitions
+    * keep OLD-schema files on disk and the per-source aggregate
+    * proves the union read path null-fills THEM correctly — not just
+    * the rewritten partitions. The staging table is dropped after an
+    * eager localCheckpoint of the grid-sized result, so repeated
+    * Verify/Bench invocations leave nothing behind.
+    */
+  def q323SchemaEvolution(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"), col("source"))
+    requireKeysBelowShift(base)
+    val out = java.nio.file.Files.createTempDirectory("graft-q323").toString
+    val spec = graft.etl.Sinks.TableSpec("evolved_docs",
+      graft.etl.Sinks.Parquet, Seq("source"))
+    graft.etl.Sinks.write(base, spec, out)
+    val changes = base.filter(col("doc_id") % 10 === 0)
+      .select(col("doc_id"), lit("U").as("op"),
+        concat(col("text"), lit(" [v2]")).as("text"), col("source"),
+        (col("doc_id") % 10000).as("quality_bp"))
+      .unionByName(base
+        .filter(col("doc_id") % 23 === 0 && col("doc_id") % 20 === 3)
+        .select((col("doc_id") + 20000000L).as("doc_id"), lit("I").as("op"),
+          col("text"), col("source"),
+          ((col("doc_id") + 20000000L) % 10000).as("quality_bp")))
+    graft.etl.Sinks.mergeInto(spark, changes, Seq("doc_id"), spec, out,
+      evolveSchema = true)
+    val res = graft.etl.Sinks.readTable(spark, spec, out)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("quality_bp").isNotNull, 1L).otherwise(0L))
+          .as("n_scored"),
+        sum(coalesce(col("quality_bp"), lit(0L))).as("sum_quality_bp"),
+        sum(length(col("text")).cast("long")).as("total_chars"))
+      .orderBy(col("source"))
+      .localCheckpoint()
+    val root = new org.apache.hadoop.fs.Path(out)
+    root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .delete(root, true)
+    res
+  }
 }

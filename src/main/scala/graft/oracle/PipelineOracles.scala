@@ -768,5 +768,39 @@ private[graft] object PipelineOracles {
              CAST(n::HUGEINT * 10000 // (SELECT n FROM fullr) AS BIGINT)
              FROM scd2)
          ORDER BY strategy""",
+    // q323: schema-evolution MERGE — the engine runs a REAL
+    // write→evolve(add quality_bp)→mergeSchema-read-back cycle through
+    // Sinks; the oracle replays the evolution relationally: kept rows
+    // NULL-scored, U/I rows carry the new column. Any wrong null-fill
+    // on an untouched old-schema partition breaks n_scored/sum.
+    "q323_schema_evolution" ->
+      """WITH base AS (SELECT doc_id, text, source FROM documents),
+         changes AS (
+           SELECT doc_id, 'U' AS op, text || ' [v2]' AS text, source,
+                  doc_id % 10000 AS quality_bp
+           FROM base WHERE doc_id % 10 = 0
+           UNION ALL
+           SELECT doc_id + 20000000, 'I', text, source,
+                  (doc_id + 20000000) % 10000
+           FROM base WHERE doc_id % 23 = 0 AND doc_id % 20 = 3),
+         merged AS (
+           SELECT t.doc_id,
+             CASE WHEN c.doc_id IS NOT NULL AND c.op = 'U' THEN c.text
+                  ELSE t.text END AS text,
+             CASE WHEN c.doc_id IS NOT NULL AND c.op = 'U' THEN c.source
+                  ELSE t.source END AS source,
+             CASE WHEN c.doc_id IS NOT NULL AND c.op = 'U'
+                  THEN c.quality_bp ELSE NULL END AS quality_bp
+           FROM base t LEFT JOIN changes c USING (doc_id)
+           UNION ALL
+           SELECT c.doc_id, c.text, c.source, c.quality_bp
+           FROM changes c LEFT JOIN base t USING (doc_id)
+           WHERE t.doc_id IS NULL AND c.op <> 'D')
+         SELECT source, count(*)::BIGINT AS n_docs,
+           CAST(sum(CASE WHEN quality_bp IS NOT NULL THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_scored,
+           CAST(sum(COALESCE(quality_bp, 0)) AS BIGINT) AS sum_quality_bp,
+           CAST(sum(length(text)) AS BIGINT) AS total_chars
+         FROM merged GROUP BY source ORDER BY source""",
   )
 }

@@ -189,6 +189,99 @@ class AcidWriteSpec extends SparkSpecBase {
       Set((1L, "a1", "a"), (2L, "b2", "a")))
   }
 
+  test("mergeInto schema evolution: add-column upsert evolves, untouched partitions keep the old schema yet read back null-filled") {
+    val out = Files.createTempDirectory("graft-merge-evolve").toString
+    val mspec = Sinks.TableSpec("evolve_t", Sinks.Parquet, Seq("src"))
+    Sinks.write(Seq((1L, "a1", "a"), (2L, "a2", "a"), (3L, "b3", "b"))
+      .toDF("id", "v", "src"), mspec, out)
+    def bFiles() = {
+      val d = new java.io.File(s"$out/${mspec.name}/src=b")
+      d.listFiles().filter(_.getName.endsWith(".parquet"))
+        .map(f => (f.getName, f.length, f.lastModified)).toSeq.sorted
+    }
+    val bBefore = bFiles()
+    // a changeset carrying a NEW column without opting in: loud failure
+    val withScore = Seq((1L, "U", "a1x", "a", 7L), (10L, "I", "a10", "a", 9L))
+      .toDF("id", "op", "v", "src", "score")
+    val e = intercept[IllegalArgumentException] {
+      Sinks.mergeInto(spark, withScore, Seq("id"), mspec, out)
+    }
+    assert(e.getMessage.contains("NEW column") &&
+      e.getMessage.contains("score"), e.getMessage)
+
+    // opted in: partition a rewrites on the union schema; partition b
+    // files stay byte-identical on the OLD schema
+    val n = Sinks.mergeInto(spark, withScore, Seq("id"), mspec, out,
+      evolveSchema = true)
+    assert(n === 1L)
+    assert(bFiles() === bBefore, "untouched partition must not rewrite")
+    // the untouched partition's files physically lack the new column
+    val bSchema = spark.read
+      .parquet(s"$out/${mspec.name}/src=b").schema.fieldNames.toSet
+    assert(!bSchema.contains("score"), s"old-schema files gained a column: $bSchema")
+    // the evolved READ path resolves the union and null-fills
+    val got = Sinks.readTable(spark, mspec, out)
+      .select("id", "v", "src", "score")
+      .as[(Long, String, String, Option[Long])].collect().toSet
+    assert(got === Set((1L, "a1x", "a", Some(7L)), (2L, "a2", "a", None),
+      (3L, "b3", "b", None), (10L, "a10", "a", Some(9L))))
+
+    // a SECOND merge on the evolved table (now touching the old-schema
+    // partition) needs no flag: the mergeSchema target read sees the
+    // union, and partition b rewrites onto it
+    Sinks.mergeInto(spark,
+      Seq((3L, "U", "b3x", "b", 5L)).toDF("id", "op", "v", "src", "score"),
+      Seq("id"), mspec, out)
+    val got2 = Sinks.readTable(spark, mspec, out)
+      .select("id", "v", "src", "score")
+      .as[(Long, String, String, Option[Long])].collect().toSet
+    assert(got2 === Set((1L, "a1x", "a", Some(7L)), (2L, "a2", "a", None),
+      (3L, "b3x", "b", Some(5L)), (10L, "a10", "a", Some(9L))))
+  }
+
+  test("mergeInto schema gate: type changes and missing payload columns fail loudly") {
+    val out = Files.createTempDirectory("graft-merge-drift").toString
+    val mspec = Sinks.TableSpec("drift_t", Sinks.Parquet, Seq("src"))
+    Sinks.write(Seq((1L, "a1", "a")).toDF("id", "v", "src"), mspec, out)
+    // type CHANGE on a shared column is never an evolution
+    val te = intercept[IllegalArgumentException] {
+      Sinks.mergeInto(spark,
+        Seq((1L, "U", 99L, "a")).toDF("id", "op", "v", "src"),
+        Seq("id"), mspec, out, evolveSchema = true)
+    }
+    assert(te.getMessage.contains("TYPE") && te.getMessage.contains("v"),
+      te.getMessage)
+    // a changeset missing part of the payload cannot merge
+    val me = intercept[IllegalArgumentException] {
+      Sinks.mergeInto(spark,
+        Seq((1L, "U", "a")).toDF("id", "op", "src"),
+        Seq("id"), mspec, out)
+    }
+    assert(me.getMessage.contains("missing target column"), me.getMessage)
+    // the gates fire before any write: the table is untouched
+    assert(Sinks.readTable(spark, mspec, out)
+      .as[(Long, String, String)].collect().toSet === Set((1L, "a1", "a")))
+  }
+
+  test("write append: schema drift is rejected before any file lands") {
+    val out = Files.createTempDirectory("graft-append-drift").toString
+    val aspec = Sinks.TableSpec("app_t", Sinks.Parquet, overwrite = false)
+    Sinks.write(Seq((1L, "x")).toDF("id", "v"), aspec, out)
+    Sinks.write(Seq((2L, "y")).toDF("id", "v"), aspec, out)
+    assert(spark.read.parquet(s"$out/${aspec.name}").count() === 2)
+    val e = intercept[IllegalArgumentException] {
+      Sinks.write(Seq((3L, "z", 1L)).toDF("id", "v", "extra"), aspec, out)
+    }
+    assert(e.getMessage.contains("append schema drift") &&
+      e.getMessage.contains("extra"), e.getMessage)
+    val e2 = intercept[IllegalArgumentException] {
+      Sinks.write(Seq((3L, 9L)).toDF("id", "v"), aspec, out)
+    }
+    assert(e2.getMessage.contains("append schema drift"), e2.getMessage)
+    assert(spark.read.parquet(s"$out/${aspec.name}").count() === 2,
+      "rejected appends must not have written files")
+  }
+
   test("partition overwrite refuses unpartitioned specs") {
     intercept[IllegalArgumentException] {
       Sinks.overwritePartitions(month(4, Seq(1L -> "a")),
