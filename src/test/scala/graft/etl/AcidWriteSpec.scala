@@ -289,6 +289,69 @@ class AcidWriteSpec extends SparkSpecBase {
     }
   }
 
+  test("compaction crash recovery: a kill between the two renames restores the live table") {
+    // crash window 2 (VERDICT r13 item 1): rename(dst, __precompact)
+    // succeeded, rename(__compacting, dst) never ran — NO live table.
+    // Injected by performing rename 1 by hand.
+    val out = Files.createTempDirectory("graft-compact-crash").toString
+    val path = s"$out/t"
+    (1L to 100L).toDF("id").write.parquet(path)
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // the staged compacted copy exists (the write completed pre-crash)
+    spark.read.parquet(path).coalesce(1).write.parquet(s"$out/t__compacting")
+    require(fs.rename(new org.apache.hadoop.fs.Path(path),
+      new org.apache.hadoop.fs.Path(s"$out/t__precompact")))
+    assert(!new java.io.File(path).exists(), "crash injected: no live table")
+
+    // recovery restores the ORIGINAL copy
+    assert(Sinks.recoverCompact(spark, path))
+    assert(spark.read.parquet(path).count() === 100)
+    assert(!new java.io.File(s"$out/t__precompact").exists())
+    // idempotent when nothing is wrong
+    assert(!Sinks.recoverCompact(spark, path))
+
+    // a RERUN of compact (no manual recovery) also self-heals: inject
+    // the same crash again, then just run compact
+    require(fs.rename(new org.apache.hadoop.fs.Path(path),
+      new org.apache.hadoop.fs.Path(s"$out/t__precompact")))
+    val n = Sinks.compact(spark, path, targetFiles = 1)
+    assert(n === 100)
+    assert(spark.read.parquet(path).count() === 100)
+    assert(!new java.io.File(s"$out/t__precompact").exists() &&
+      !new java.io.File(s"$out/t__compacting").exists(),
+      "compact rerun must leave no staging dirs")
+  }
+
+  test("vacuum: removes aged orphaned staging dirs, spares fresh in-progress ones and recovery sources") {
+    val out = Files.createTempDirectory("graft-vacuum").toString
+    val path = s"$out/t"
+    (1L to 10L).toDF("id").write.parquet(path)
+    // orphans from crash windows 1 and 3
+    (1L to 10L).toDF("id").write.parquet(s"$out/t__compacting")
+    (1L to 10L).toDF("id").write.parquet(s"$out/t__precompact")
+    // a fresh (in-progress) staging dir must survive an age-gated sweep
+    assert(Sinks.vacuum(spark, path, olderThanMs = 3600L * 1000).isEmpty)
+    assert(new java.io.File(s"$out/t__compacting").exists() &&
+      new java.io.File(s"$out/t__precompact").exists())
+    // aged out (olderThan 0): both orphans go, the live table stays
+    val deleted = Sinks.vacuum(spark, path, olderThanMs = 0)
+    assert(deleted.size === 2)
+    assert(!new java.io.File(s"$out/t__compacting").exists() &&
+      !new java.io.File(s"$out/t__precompact").exists())
+    assert(spark.read.parquet(path).count() === 10)
+
+    // vacuum on a crashed table RECOVERS first — __precompact is live
+    // data there, never garbage
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.rename(new org.apache.hadoop.fs.Path(path),
+      new org.apache.hadoop.fs.Path(s"$out/t__precompact")))
+    Sinks.vacuum(spark, path, olderThanMs = 0)
+    assert(spark.read.parquet(path).count() === 10,
+      "vacuum must restore, not delete, the precompact survivor")
+  }
+
   test("compaction: staged swap preserves rows, hits target file count, leaves no staging dirs") {
     val out = Files.createTempDirectory("graft-acid-compact").toString
     val path = s"$out/events_compact"
