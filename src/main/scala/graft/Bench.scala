@@ -226,7 +226,15 @@ object Bench {
       SparkEntry.queries.get("q02_top_nations")
         .foreach(_(spark, sfDir).write.mode("overwrite").format("noop").save())
     } catch { case _: Throwable => () }
+    // dev-only focused A/B runs (unset — the driver's path — benches all)
+    val only = sys.env.get("SPARK_GRAFT_BENCH_QUERIES")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    only.foreach { o =>
+      val unknown = o -- SparkEntry.queries.keySet
+      require(unknown.isEmpty, s"unknown bench queries: $unknown")
+    }
     val names = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => only.forall(_(n)))
     // `reps` full passes in sorted order in ONE JVM; per-query median.
     // Session caches are NOT cleared between passes on purpose: the
     // per-round number measures the engine as a user sees it in a warm
@@ -279,11 +287,14 @@ object Bench {
     try {
       import java.nio.file.{Files, Paths, StandardOpenOption => O}
       import java.nio.charset.StandardCharsets.UTF_8
-      Files.write(Paths.get("BENCH_LOCAL.json"), (big + "\n").getBytes(UTF_8))
-      val round = jsonStr(sys.env.getOrElse("SPARK_GRAFT_ROUND", "local"))
-      Files.write(Paths.get("bench_history.jsonl"),
-        (s"""{"round":"$round",${big.stripPrefix("{")}""" + "\n").getBytes(UTF_8),
-        O.CREATE, O.APPEND)
+      // a focused A/B subset must not clobber the full-run record
+      if (only.isEmpty) {
+        Files.write(Paths.get("BENCH_LOCAL.json"), (big + "\n").getBytes(UTF_8))
+        val round = jsonStr(sys.env.getOrElse("SPARK_GRAFT_ROUND", "local"))
+        Files.write(Paths.get("bench_history.jsonl"),
+          (s"""{"round":"$round",${big.stripPrefix("{")}""" + "\n").getBytes(UTF_8),
+          O.CREATE, O.APPEND)
+      }
     } catch { case e: Throwable =>
       System.err.println(s"BENCH HISTORY WRITE FAIL: ${e.getMessage}")
     }

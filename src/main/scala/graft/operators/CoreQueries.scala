@@ -2056,10 +2056,15 @@ object CoreQueries {
     * (the VERDICT r11 `weak` fix; PlanLintSpec pins the shape).
     */
   def q284LorenzDeciles(spark: SparkSession, dir: String): DataFrame = {
+    // checkpoint the entity-grain aggregate ONCE: the totals aggregate
+    // below and rankBy's range sampling + shuffle all read this
+    // materialization instead of re-running the orders pass (the r14
+    // checkpoint diet — rankBy skips its internal pre-shuffle copy)
     val cs = Tables.orders(spark, dir)
       .groupBy(col("o_custkey"))
       .agg(sum(round(col("o_totalprice") * 100, 0).cast("long"))
         .as("spend_c"))
+      .localCheckpoint()
     val n = cs.agg(count(lit(1)).as("n"),
       sum(col("spend_c").cast("decimal(38,0)")).as("tot"))
     TwoPhaseRank.rankBy(cs, "spend_c", "o_custkey")
@@ -2086,8 +2091,10 @@ object CoreQueries {
   def q303WhaleShareTrend(spark: SparkSession, dir: String): DataFrame = {
     val cents = round(col("o_totalprice") * 100, 0).cast("long")
     val orders = Tables.orders(spark, dir)
+    // one checkpoint serves the count aggregate AND rankBy (r14 diet)
     val cs = orders.groupBy(col("o_custkey"))
       .agg(sum(cents).as("spend_c"))
+      .localCheckpoint()
     val whales = TwoPhaseRank.rankBy(cs, "spend_c", "o_custkey",
         descending = true)
       .crossJoin(broadcast(cs.agg(count(lit(1)).as("n"))))
@@ -2233,6 +2240,8 @@ object CoreQueries {
         to_date(col("o_orderdate"))) > lateDays)
       .groupBy(col("l_suppkey").as("suppkey"))
       .agg(count(lit(1)).as("n_late"))
+      // one checkpoint serves the totals aggregate AND rankBy (r14 diet)
+      .localCheckpoint()
     val tot = late.agg(sum(col("n_late").cast("decimal(38,0)"))
       .as("tot"), count(lit(1)).as("n_sup"))
     TwoPhaseRank.rankBy(late, "n_late", "suppkey",
@@ -2295,9 +2304,14 @@ object CoreQueries {
       .agg(count(lit(1)).as("n"),
         sum(col("q").cast("decimal(38,0)")).as("s1"),
         sum((col("q").cast("decimal(38,0)") * col("q"))).as("s2"))
+    // one checkpoint serves the totals aggregate AND rankBy (r14 diet;
+    // a shared (pk, mth) grid for stats+rev was measured SLOWER — the
+    // grid sits near line grain at bench SF, so materializing it costs
+    // a full extra write)
     val rev = li.groupBy(col("l_partkey").as("pk"))
       .agg(sum(round(col("l_extendedprice") * 100, 0).cast("long"))
         .as("rev_c"))
+      .localCheckpoint()
     val tot = rev.agg(sum(col("rev_c").cast("decimal(38,0)")).as("tot_c"))
     val abc = TwoPhaseRank
       .rankBy(rev, "rev_c", "pk", descending = true, cumCol = Some("rev_c"))

@@ -66,17 +66,38 @@ import org.apache.spark.sql.functions._
   */
 object TwoPhaseRank {
 
+  /** True when `df` is already materialized — session-cached at any
+    * storage level, or itself a (local)checkpoint (`LogicalRDD` plan) —
+    * so [[bucketize]]'s pre-shuffle materialization would be pure
+    * overhead: the range-sampling pass and the shuffle both re-read
+    * the existing materialization instead of recomputing the upstream
+    * plan (VERDICT r13 item 2, the checkpoint diet).
+    */
+  private[graft] def isMaterialized(df: DataFrame): Boolean =
+    df.storageLevel != org.apache.spark.storage.StorageLevel.NONE ||
+      df.queryExecution.logical
+        .isInstanceOf[org.apache.spark.sql.execution.LogicalRDD]
+
   /** The range-bucketed frame: input rows plus `_bkt`, where bucket
     * order concatenated with in-bucket `(v, tie)` order IS the global
     * total order. Exposed package-private so the tie-skew spec can
     * assert the bucket-size distribution directly.
+    *
+    * The pre-shuffle localCheckpoint is skipped when the input is
+    * already materialized (callers that also aggregate totals off the
+    * same frame should checkpoint it ONCE themselves and reuse it —
+    * the q284/q291/q296/q303 pattern); the post-shuffle checkpoint is
+    * never skippable — it freezes ONE sampled boundary assignment for
+    * both consumers (two plan instantiations of a range exchange
+    * sample independently and need not agree).
     */
   private[graft] def bucketize(df: DataFrame, valueCol: String,
       tieCol: String, descending: Boolean, nBuckets: Int): DataFrame = {
     val ord: Seq[Column] =
       if (descending) Seq(col(valueCol).desc, col(tieCol).asc)
       else Seq(col(valueCol).asc, col(tieCol).asc)
-    df.localCheckpoint()
+    val base = if (isMaterialized(df)) df else df.localCheckpoint()
+    base
       .repartitionByRange(nBuckets, ord: _*)
       .withColumn("_bkt", spark_partition_id())
       .localCheckpoint()
@@ -99,11 +120,26 @@ object TwoPhaseRank {
   def rankBy(df: DataFrame, valueCol: String, tieCol: String,
       descending: Boolean = false, cumCol: Option[String] = None,
       nBuckets: Int = -1): DataFrame = {
+    // materialize first (or adopt the caller's materialization): the
+    // sampling pass, the shuffle, AND the auto-size row count below
+    // all read one frozen copy instead of recomputing the upstream
+    val base = if (isMaterialized(df)) df else df.localCheckpoint()
     val nb =
       if (nBuckets > 0) nBuckets
-      else math.min(4096, math.max(32,
-        4 * df.sparkSession.sparkContext.defaultParallelism))
-    val bucketed = bucketize(df, valueCol, tieCol, descending, nb)
+      else {
+        // bucket count must scale with the CLUSTER (4× parallelism,
+        // so a 1000-executor window stage spreads) but never beyond
+        // what the DATA fills: a ~100k-row entity frame was paying
+        // 128-task overhead across four stages for buckets holding
+        // <1k rows each (the r13 rider tax). One row-count job over
+        // the materialized input is ~free; ranks are invariant to
+        // the bucket count, so the knob stays purely operational.
+        val byData = math.max(base.count() / 10000L, 1L)
+        val byCluster =
+          4L * df.sparkSession.sparkContext.defaultParallelism
+        math.min(4096L, math.max(32L, math.min(byCluster, byData))).toInt
+      }
+    val bucketed = bucketize(base, valueCol, tieCol, descending, nb)
     val ord: Seq[Column] =
       if (descending) Seq(col(valueCol).desc, col(tieCol).asc)
       else Seq(col(valueCol).asc, col(tieCol).asc)
