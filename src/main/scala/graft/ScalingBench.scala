@@ -416,6 +416,100 @@ object ScalingBench {
     dir
   }
 
+  /** Streaming throughput + state-store probe (mode `stream`, VERDICT
+    * r13 item 3): drive the three heaviest stateful operators over
+    * 1×/2×/4×/8× staged corpora and record wall, rows/sec, max
+    * micro-batch duration, and peak state rows, A/B'd between the
+    * HDFS-backed and RocksDB state store providers. Corpus scaling
+    * grows the STATE, not just the volume: event copies shift
+    * user_id (replay keyspace) and ts by 90 days per copy (tiered
+    * window count); doc copies shift doc_id and append a copy marker
+    * to the text so the dedup fingerprint space scales too.
+    * SessionReplayStream uses `transformWithState`, which Spark 4
+    * supports only on RocksDB — it gets RocksDB rows only; the other
+    * two run both providers.
+    */
+  private def streamProbe(spark: SparkSession, dir: String): Unit = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.streaming.Trigger
+    val events = Tables.events(spark, dir).localCheckpoint()
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text")).localCheckpoint()
+    def scaledEvents(k: Int): DataFrame =
+      (0 until k).map(i => events
+        .withColumn("user_id", col("user_id") + lit(i.toLong * 1000000000L))
+        .withColumn("event_id", col("event_id") + lit(i.toLong * 1000000000L))
+        .withColumn("ts", col("ts") + expr(s"INTERVAL ${i * 90} DAYS")))
+        .reduce(_ unionByName _)
+    def scaledDocs(k: Int): DataFrame =
+      (0 until k).map(i => docs
+        .withColumn("doc_id", col("doc_id") + lit(i.toLong * 1000000000L))
+        .withColumn("text", concat(col("text"), lit(s" #v$i"))))
+        .reduce(_ unionByName _)
+        .withColumn("ts", timestamp_seconds(lit(1700000000L) +
+          pmod(col("doc_id"), lit(1000000L))))
+    val providers = Map(
+      "hdfs" -> ("org.apache.spark.sql.execution.streaming.state." +
+        "HDFSBackedStateStoreProvider"),
+      "rocksdb" -> ("org.apache.spark.sql.execution.streaming.state." +
+        "RocksDBStateStoreProvider"))
+    def drive(op: String, store: String, scale: Int, input: DataFrame,
+        build: DataFrame => DataFrame): String = {
+      val stage = java.nio.file.Files
+        .createTempDirectory(s"graft-sprobe-$op-$store-$scale")
+      val stageDir = stage.toString
+      input.write.mode("overwrite").parquet(stageDir)
+      val rows = spark.read.parquet(stageDir).count()
+      val src = spark.readStream
+        .schema(spark.read.parquet(stageDir).schema).parquet(stageDir)
+      spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+        providers(store))
+      val name = s"sprobe_${op}_${store}_$scale"
+      val t0 = System.nanoTime()
+      val q = build(src).writeStream.outputMode("append").format("memory")
+        .queryName(name).trigger(Trigger.AvailableNow()).start()
+      q.processAllAvailable()
+      val wall = (System.nanoTime() - t0) / 1e9
+      val progress = q.recentProgress
+      val batchMs =
+        if (progress.isEmpty) 0L else progress.map(_.batchDuration).max
+      val stateRows = if (progress.isEmpty) 0L
+        else progress.map(_.stateOperators.map(_.numRowsTotal).sum).max
+      q.stop()
+      val outRows = spark.table(name).count()
+      spark.sql(s"DROP TABLE IF EXISTS $name")
+      val root = new org.apache.hadoop.fs.Path(stageDir)
+      root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .delete(root, true)
+      f"""{"op":"$op","store":"$store","scale":$scale,"rows":$rows,""" +
+        f""""wall_sec":$wall%.2f,"rows_per_sec":${rows / wall}%.0f,""" +
+        f""""batch_ms":$batchMs,"state_rows":$stateRows,"out_rows":$outRows}"""
+    }
+    val prior = spark.conf.getOption(
+      "spark.sql.streaming.stateStore.providerClass")
+    val runs = scala.collection.mutable.ArrayBuffer.empty[String]
+    try {
+      for (scale <- Seq(1, 2, 4, 8); store <- Seq("hdfs", "rocksdb")) {
+        runs += drive("tiered_agg", store, scale, scaledEvents(scale),
+          src => graft.streaming.TieredAggStream.tieredTree(src))
+        runs += drive("wm_dedup", store, scale, scaledDocs(scale),
+          src => graft.streaming.WatermarkDedupStream.admitted(src))
+      }
+      for (scale <- Seq(1, 2, 4, 8))
+        runs += drive("session_replay", "rocksdb", scale,
+          scaledEvents(scale),
+          src => graft.streaming.SessionReplayStream.sessions(src).toDF())
+    } finally {
+      prior match {
+        case Some(v) => spark.conf.set(
+          "spark.sql.streaming.stateStore.providerClass", v)
+        case None => spark.conf.unset(
+          "spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+    println(s"""{"metric":"stream_throughput","sf_dir":"$dir","runs":[${runs.mkString(",")}]}""")
+  }
+
   def main(args: Array[String]): Unit = {
     val dirs = if (args.nonEmpty && args.head != "synth") args.toSeq
       else Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1")
@@ -431,6 +525,13 @@ object ScalingBench {
       .config("spark.sql.ansi.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    // streaming throughput probe is its own mode: `stream [sfDir]`
+    if (args.headOption.contains("stream")) {
+      streamProbe(spark,
+        args.drop(1).headOption.getOrElse("/root/testdata/sf0.01"))
+      spark.stop()
+      return
+    }
     val allDirs =
       if (args.headOption.contains("synth"))
         Seq("/root/testdata/sf0.1") ++ synthDirs(spark, "/tmp/graft-scale")
