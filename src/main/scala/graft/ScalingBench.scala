@@ -78,6 +78,11 @@ object ScalingBench {
       // don't hide anything super-linear
       Probe("q70_ivf_topk", "embeddings",
         SparkEntry.queries("q70_ivf_topk")),
+      // k-means|| init A/B: rounds × (corpus × O(k)-candidate broadcast
+      // BNLJ + map-side min) — linear in corpus by construction; the
+      // probe verifies the candidate set stays codebook-scale as n grows
+      Probe("q324_init_compare", "embeddings",
+        SparkEntry.queries("q324_init_compare")),
       // SemDeDup: the fixed label codebook is the honest negative — at a
       // fixed list count the within-list pairwise is Σ|list|² = n²/k, so
       // its slope should approach 2 as the pair stage outgrows fixed

@@ -455,6 +455,8 @@ object SparkEntry {
       TextAnalysisOps.corpusCard(s, d)),
     "q323_schema_evolution" -> ((s, d) =>
       IncrementalOps.q323SchemaEvolution(s, d)),
+    "q324_init_compare"   -> ((s, d) =>
+      SimilarityOps.q324InitCompare(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

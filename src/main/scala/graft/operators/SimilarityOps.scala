@@ -1808,4 +1808,116 @@ object SimilarityOps {
         (col("pos_m") > col("neg_m")).cast("int").as("separated"))
       .orderBy(col("anchor_id"))
   }
+
+  /** Deterministic k-means|| over-sampling initialization (q324,
+    * VERDICT r13 item 5). The published scale init (Bahmani et al.,
+    * "Scalable k-means++", VLDB 2012): start from one seed, run a
+    * constant number of rounds where every point joins the candidate
+    * set with probability `min(1, l·d²(x,C)/φ(C))` (l = 2k
+    * oversampling), then weight each candidate by the population it
+    * attracts and reduce to k. Re-expressed on the deterministic
+    * integer grid so DuckDB replays it cell-exact:
+    *
+    *  - distances ride the 4dp cosine grid: `d2 = (10000 − cos_bp)²`
+    *    with `cos_bp = CAST(round(cos·10⁴, 0) AS BIGINT)` — spherical
+    *    k-means distance, integer once the grid is fixed;
+    *  - the per-(point, round) Bernoulli coin is md5-derived:
+    *    `u_ppm ∈ [0, 10⁶)` from the first 5 hex chars;
+    *  - the draw `u_ppm/10⁶ < l·d2/φ` cross-multiplies to
+    *    `u_ppm·φ < l·d2·10⁶` on decimal(38,0) (no float division —
+    *    `φ = Σ d2` passes 2^63 long before 100 TB, PARITY 13);
+    *  - the weighted reduction takes the k HEAVIEST candidates
+    *    (weight desc, vec_id asc) — deterministic and SQL-replayable
+    *    where the paper's weighted k-means++ would be a sequential
+    *    driver-side loop over the candidate set.
+    *
+    * Scale shape: `rounds` corpus passes, each a broadcast-BNLJ
+    * against the candidate set (O(rounds·l) rows — codebook scale,
+    * never corpus) + one map-side-combinable min; φ is a 1-row
+    * aggregate; the final vote is one more broadcast pass. The only
+    * partitionless window runs over the candidate frame. Candidates
+    * are localCheckpointed per round: each round's set feeds both the
+    * next round's distances and the final vote.
+    */
+  private[operators] def kMeansParallelInit(emb: DataFrame, k: Int,
+      rounds: Int = 3, seed: Long = 7L): DataFrame = {
+    val e = emb.select(col("vec_id"),
+      col("embedding").cast("array<double>").as("v"))
+    var cand = e
+      .withColumn("h", md5(concat(col("vec_id").cast("string"),
+        lit(s"_kpp_$seed"))))
+      .orderBy(col("h"), col("vec_id")).limit(1)
+      .select(col("vec_id").as("cid"), col("v").as("cv"))
+      .localCheckpoint()
+    for (r <- 1 to rounds) {
+      val d2 = e.crossJoin(broadcast(cand))
+        .withColumn("dbp", lit(10000L) -
+          round(Vectors.cosine(col("v"), col("cv")) * 10000, 0)
+            .cast("long"))
+        .groupBy(col("vec_id"), col("v"))
+        .agg(min(col("dbp") * col("dbp")).as("d2"))
+      val phi = d2.agg(sum(col("d2").cast("decimal(38,0)")).as("phi"))
+      val sampled = d2.crossJoin(broadcast(phi))
+        .withColumn("u_ppm", pmod(
+          conv(substring(md5(concat(col("vec_id").cast("string"),
+            lit(s"_r${r}_$seed"))), 1, 5), 16, 10).cast("long"),
+          lit(1000000L)))
+        .filter(col("u_ppm").cast("decimal(38,0)") * col("phi") <
+          lit(2L * k).cast("decimal(38,0)") * col("d2") * lit(1000000L))
+        .select(col("vec_id").as("cid"), col("v").as("cv"))
+      cand = cand.unionByName(sampled).dropDuplicates("cid")
+        .localCheckpoint()
+    }
+    val votes = e.crossJoin(broadcast(cand))
+      .withColumn("cos_bp",
+        round(Vectors.cosine(col("v"), col("cv")) * 10000, 0).cast("long"))
+      .withColumn("crk", row_number().over(Window.partitionBy(col("vec_id"))
+        .orderBy(col("cos_bp").desc, col("cid"))))
+      .filter(col("crk") === 1)
+      .groupBy(col("cid")).agg(count(lit(1)).as("wt"))
+    val picked = cand.join(broadcast(votes), Seq("cid"), "left")
+      .withColumn("wt0", coalesce(col("wt"), lit(0L)))
+    val wPick = Window.orderBy(col("wt0").desc, col("cid"))
+    picked.withColumn("clabel", row_number().over(wPick).cast("long"))
+      .filter(col("clabel") <= k)
+      .select(col("clabel"), col("cv"))
+  }
+
+  /** Codebook-init A/B (q324): the [[kMeansParallelInit]] codebook vs
+    * the md5-uniform [[sampledCentroids]] codebook, both profiled on
+    * the two metrics an IVF deployment actually watches — the q194
+    * list-balance ratio (1000·max/mean member count: the hot-list
+    * probe-latency bound) and the q101 recall protocol (hits of the
+    * nProbe=2 probed top-5 against exact brute force over the 8-query
+    * panel). Both halves replay in DuckDB CTE-for-CTE. Measured on the
+    * fixture: ||-init trades a few recall hits for a visibly flatter
+    * list histogram — exactly the d²-spreading the paper promises, and
+    * the reason the init matters BEFORE Lloyd refinement (q76/q81)
+    * polishes locally.
+    */
+  def q324InitCompare(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val k = kFor(emb.count(), 100L)
+    val bf = bruteForceTopK(spark, dir, 8, 5)
+      .select(col("query_id"), col("neighbor_id")).localCheckpoint()
+    def profile(name: String, cvec0: DataFrame): DataFrame = {
+      // two consumers (balance assignment, probe chain) — freeze once
+      val cvec = cvec0.localCheckpoint()
+      val bal = ivfAssign(emb, cvec)
+        .groupBy(col("ivf_list")).agg(count(lit(1)).as("sz"))
+        .agg(count(lit(1)).as("n_lists"), sum(col("sz")).as("n_vecs"),
+          max(col("sz")).as("max_size"))
+        .select(lit(name).as("init"), col("n_lists"), col("n_vecs"),
+          col("max_size"),
+          expr("(max_size * n_lists * 1000) div n_vecs")
+            .as("imbalance_x1000"))
+      val hits = ivfTopKOn(emb, cvec, 8, 5, 2)
+        .join(broadcast(bf), Seq("query_id", "neighbor_id"), "left_semi")
+        .agg(count(lit(1)).as("sum_hits"))
+      bal.crossJoin(broadcast(hits))
+    }
+    profile("kmeans_par", kMeansParallelInit(emb, k))
+      .unionByName(profile("sampled", sampledCentroids(emb, k)))
+      .orderBy(col("init"))
+  }
 }

@@ -1064,6 +1064,11 @@ private[graft] object SimilarityOracles {
            SELECT 4, CAST(count(*) AS BIGINT)
            FROM iv4 JOIN bf USING (query_id, vec_id))
          ORDER BY nprobe"""),
+    // q324: k-means|| init vs md5-uniform sample — the full ||-chain
+    // (seed, 3 d²-sampling rounds on the integer grid, weighted top-k
+    // reduction) unrolled CTE-for-CTE, then each codebook profiled on
+    // the q194 balance ratio and the q101 recall protocol
+    "q324_init_compare" -> kppCompareSql,
     // q194: IVF inverted-list balance from the shared assignment chain;
     // integer imbalance = 1000·max/mean
     "q194_ivf_balance" ->
@@ -1341,4 +1346,117 @@ private[graft] object SimilarityOracles {
           FROM a$MmrK ORDER BY query_id, mmr_rank"""
     head + rounds + tail
   }
+
+  /** The 4dp-grid cosine (scaled to the 10⁴ integer grid) — shared by
+    * every q324 CTE so the distance/ordering grid cannot drift within
+    * the chain.
+    */
+  private def kCos(a: String, b: String): String =
+    s"round(list_inner_product($a, $b) / (sqrt(list_inner_product($a, $a))" +
+      s" * sqrt(list_inner_product($b, $b))) * 10000, 0)"
+
+  /** One k-means|| round: min-d² per vector against `prev`, φ, the
+    * cross-multiplied md5-coin Bernoulli sample, candidate union
+    * (dedup by cid). Mirrors SimilarityOps.kMeansParallelInit round r.
+    */
+  private def kppRoundCte(r: Int, prev: String): String =
+    s"""
+ a$r AS (SELECT vec_id, v, min(dbp * dbp) AS d2 FROM (
+     SELECT e.vec_id, e.v,
+       10000 - CAST(${kCos("e.v", "c.cv")} AS BIGINT) AS dbp
+     FROM e CROSS JOIN $prev c)
+   GROUP BY vec_id, v),
+ p$r AS (SELECT sum(d2)::HUGEINT AS phi FROM a$r),
+ s$r AS (SELECT vec_id AS cid, v AS cv FROM a$r, p$r, kk
+   WHERE (CAST(list_sum([(strpos('0123456789abcdef',
+              substr(md5(vec_id || '_r${r}_7'), i, 1)) - 1)::BIGINT
+            * (1::BIGINT << (4*(5-i))) for i in range(1, 6)]) AS BIGINT)
+          % 1000000)::HUGEINT * phi
+     < (2 * k)::HUGEINT * d2 * 1000000),
+ c$r AS (SELECT cid, cv FROM (
+     SELECT cid, cv, row_number() OVER (PARTITION BY cid ORDER BY cid) AS rn
+     FROM (SELECT * FROM $prev UNION ALL SELECT * FROM s$r)) WHERE rn = 1)"""
+
+  /** Argmax-cosine assignment of the corpus to codebook `cent`. */
+  private def kppAsgCte(name: String, cent: String): String =
+    s"""
+ $name AS (SELECT vec_id, clabel AS ivf_list FROM (
+     SELECT e.vec_id, $cent.clabel,
+       row_number() OVER (PARTITION BY e.vec_id ORDER BY
+         ${kCos("e.v", cent + ".cv")} DESC, $cent.clabel) AS crk
+     FROM e CROSS JOIN $cent) WHERE crk = 1)"""
+
+  /** q194-style balance rollup over an assignment. */
+  private def kppBalCte(name: String, asg: String): String =
+    s"""
+ $name AS (SELECT count(*)::BIGINT AS n_lists,
+     CAST(sum(sz) AS BIGINT) AS n_vecs, CAST(max(sz) AS BIGINT) AS max_size,
+     CAST((max(sz) * count(*) * 1000) // sum(sz) AS BIGINT)
+       AS imbalance_x1000
+   FROM (SELECT ivf_list, count(*) AS sz FROM $asg GROUP BY 1))"""
+
+  /** q101-protocol recall: nProbe=2 probe lists, probed top-5, summed
+    * hits against the shared brute-force panel `bf`.
+    */
+  private def kppRecallCte(tag: String, cent: String, asg: String): String =
+    s"""
+ probes$tag AS (SELECT query_id, qv, clabel AS ivf_list FROM (
+     SELECT e.vec_id AS query_id, e.v AS qv, $cent.clabel,
+       row_number() OVER (PARTITION BY e.vec_id ORDER BY
+         ${kCos("e.v", cent + ".cv")} DESC, $cent.clabel) AS crk
+     FROM e CROSS JOIN $cent WHERE e.vec_id < 8) WHERE crk <= 2),
+ iv$tag AS (SELECT query_id, vec_id FROM (
+     SELECT p.query_id, a.vec_id,
+       row_number() OVER (PARTITION BY p.query_id ORDER BY
+         ${kCos("p.qv", "ev.v")} DESC, a.vec_id) AS rk
+     FROM $asg a JOIN e ev USING (vec_id) JOIN probes$tag p USING (ivf_list)
+     WHERE a.vec_id <> p.query_id) WHERE rk <= 5),
+ hits$tag AS (SELECT CAST(coalesce(sum(n), 0) AS BIGINT) AS sum_hits FROM (
+     SELECT count(*) AS n FROM iv$tag JOIN bf USING (query_id, vec_id)
+     GROUP BY query_id))"""
+
+  /** The full q324 oracle: sampled codebook (q80's scent chain),
+    * ||-init codebook (seed + 3 rounds + weighted top-k), both
+    * balance- and recall-profiled.
+    */
+  private def kppCompareSql: String =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+ kk AS (SELECT greatest(2, least(1048576,
+     CAST(ceil(count(*) / 100.0) AS BIGINT))) AS k FROM e),
+ hs AS (SELECT vec_id, v, md5(vec_id || '_' || 7) AS h FROM e),
+ scent AS (SELECT CAST(row_number() OVER (ORDER BY h, vec_id) AS BIGINT)
+       AS clabel, v AS cv
+   FROM hs QUALIFY row_number() OVER (ORDER BY h, vec_id)
+     <= (SELECT k FROM kk)),
+ c0 AS (SELECT vec_id AS cid, v AS cv FROM (
+     SELECT vec_id, v, md5(vec_id || '_kpp_7') AS h FROM e
+     ORDER BY h, vec_id LIMIT 1)),
+${kppRoundCte(1, "c0")},${kppRoundCte(2, "c1")},${kppRoundCte(3, "c2")},
+ wasg AS (SELECT cid FROM (
+     SELECT e.vec_id, c.cid,
+       row_number() OVER (PARTITION BY e.vec_id ORDER BY
+         ${kCos("e.v", "c.cv")} DESC, c.cid) AS crk
+     FROM e CROSS JOIN c3 c) WHERE crk = 1),
+ votes AS (SELECT cid, count(*)::BIGINT AS wt FROM wasg GROUP BY 1),
+ pcent AS (SELECT CAST(row_number() OVER (ORDER BY coalesce(wt, 0) DESC,
+       cid) AS BIGINT) AS clabel, cv
+   FROM c3 LEFT JOIN votes USING (cid)
+   QUALIFY row_number() OVER (ORDER BY coalesce(wt, 0) DESC, cid)
+     <= (SELECT k FROM kk)),
+${kppAsgCte("asgS", "scent")},${kppAsgCte("asgP", "pcent")},
+${kppBalCte("balS", "asgS")},${kppBalCte("balP", "asgP")},
+ q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 8),
+ bf AS (SELECT query_id, vec_id FROM (
+     SELECT q.query_id, e.vec_id,
+       row_number() OVER (PARTITION BY q.query_id ORDER BY
+         ${kCos("q.qv", "e.v")} DESC, e.vec_id) AS rk
+     FROM q CROSS JOIN e WHERE e.vec_id <> q.query_id) WHERE rk <= 5),
+${kppRecallCte("S", "scent", "asgS")},${kppRecallCte("P", "pcent", "asgP")}
+ SELECT 'kmeans_par' AS init, n_lists, n_vecs, max_size, imbalance_x1000,
+     sum_hits
+   FROM balP, hitsP
+ UNION ALL
+ SELECT 'sampled', n_lists, n_vecs, max_size, imbalance_x1000, sum_hits
+   FROM balS, hitsS
+ ORDER BY init"""
 }

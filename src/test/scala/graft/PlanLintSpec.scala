@@ -68,6 +68,9 @@ class PlanLintSpec extends SparkSpecBase {
     // bounded ANN frames: histogram/codebook/query-set cardinality
     "q80_ivf_sized_topk"   -> Set("h"),
     "q88_ivfpq_topk"       -> Set("qv_id", "clabel"),
+    // (q324's candidate-frame windows — O(rounds·2k) rows — run inside
+    // the init builders' eager localCheckpoints and never reach the
+    // final executed plan, so no entry is needed here)
     // value-domain-bounded grids (the q243 ECDF class): the rank-sum
     // fold windows over the merged LENGTH-count grid — rows bounded by
     // distinct n_chars values, never document cardinality
@@ -102,7 +105,7 @@ class PlanLintSpec extends SparkSpecBase {
     "q29_minhash_neardup", "q302_aging_report", "q303_whale_trend",
     "q307_unigram_lm", "q309_qlm_topk", "q311_write_amplification",
     "q312_unigram_prune", "q313_cohens_kappa", "q316_bpe_roundtrip",
-    "q321_share_shift", "q322_corpus_card",
+    "q321_share_shift", "q322_corpus_card", "q324_init_compare",
     "q30_simhash_neardup", "q31_cosine_topk", "q32_cosine_neardup",
     "q33_lsh_topk", "q42_approx_distinct", "q43_topk_aggregator",
     "q52_key_skew", "q57_centroid_assign", "q64_lsh_neardup",
