@@ -457,6 +457,8 @@ object SparkEntry {
       IncrementalOps.q323SchemaEvolution(s, d)),
     "q324_init_compare"   -> ((s, d) =>
       SimilarityOps.q324InitCompare(s, d)),
+    "q325_media_neardup"  -> ((s, d) =>
+      MultimodalOps.mediaNearDup(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

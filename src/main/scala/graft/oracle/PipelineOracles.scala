@@ -467,6 +467,43 @@ private[graft] object PipelineOracles {
            CAST(sum(n_copies) AS BIGINT) AS n_total,
            CAST(sum((n_copies - 1) * n_bytes) AS BIGINT) AS wasted_bytes
          FROM g GROUP BY format ORDER BY format""",
+    // q325: dHash-style perceptual media near-dup — 63 strided-byte
+    // gradient bits (hex-pair byte decode, integer compares, shifted
+    // sum), 16-bit Hamming bands for candidates, XOR+popcount verify
+    // at <=6; the planted one-byte-variant pair must surface with
+    // hamming 2 (md5/q135 cannot see it)
+    "q325_media_neardup" ->
+      """WITH m AS (
+           SELECT doc_id, encode(text) AS media FROM documents
+           UNION ALL SELECT 9000001, encode(repeat('abcdefgh', 32))
+           UNION ALL SELECT 9000002,
+             encode(substr(repeat('abcdefgh', 32), 1, 129) || 'z'
+               || substr(repeat('abcdefgh', 32), 131))),
+         hx AS (SELECT doc_id, octet_length(media)::BIGINT AS n,
+             hex(media) AS h FROM m),
+         coded AS (SELECT doc_id,
+             CAST(list_sum([CASE WHEN
+                 (16*(strpos('0123456789ABCDEF', substr(h,
+                     CAST((i*(n-1)) // 63 AS BIGINT)*2 + 1, 1)) - 1)
+                  + strpos('0123456789ABCDEF', substr(h,
+                     CAST((i*(n-1)) // 63 AS BIGINT)*2 + 2, 1)) - 1)
+               > (16*(strpos('0123456789ABCDEF', substr(h,
+                     CAST(((i+1)*(n-1)) // 63 AS BIGINT)*2 + 1, 1)) - 1)
+                  + strpos('0123456789ABCDEF', substr(h,
+                     CAST(((i+1)*(n-1)) // 63 AS BIGINT)*2 + 2, 1)) - 1)
+               THEN (1::BIGINT << i) ELSE 0::BIGINT END
+               for i in range(0, 63)]) AS BIGINT) AS code
+           FROM hx WHERE n >= 2),
+         bands AS (SELECT doc_id, code, b.range AS b,
+             (code >> CAST(b.range * 16 AS INT)) & 65535 AS band
+           FROM coded, range(0, 4) b),
+         pairs AS (SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b,
+             x.code AS ca, y.code AS cb
+           FROM bands x JOIN bands y ON x.b = y.b AND x.band = y.band
+             AND x.doc_id < y.doc_id)
+         SELECT id_a, id_b, CAST(bit_count(xor(ca, cb)) AS INT) AS hamming
+         FROM pairs WHERE bit_count(xor(ca, cb)) <= 6
+         ORDER BY id_a, id_b""",
     // q136: the oracle profiles v1/v2 DIRECTLY — a hash match proves the
     // Spark side's SCD2-history reconstruction equals the materialized
     // snapshots

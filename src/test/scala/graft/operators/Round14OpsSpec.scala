@@ -44,6 +44,47 @@ class Round14OpsSpec extends SparkSpecBase {
     assert(cb1.find(_._1 == 1L).get._2.zipWithIndex.maxBy(_._1)._2 === 0)
   }
 
+  test("q325 dHash: one-byte edit at a sampled position flips exactly the touching gradient bits") {
+    import spark.implicits._
+    def codeOf(texts: Seq[(Long, String)]): Map[Long, Long] =
+      texts.toDF("doc_id", "text")
+        .select(col("doc_id"),
+          octet_length(encode(col("text"), "UTF-8")).cast("long").as("n"),
+          hex(encode(col("text"), "UTF-8")).as("h"))
+        .select(col("doc_id"), expr(MultimodalOps.dhashExpr).as("code"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+    val base = "abcdefgh" * 32 // 256 bytes; sample s_32 = byte index 129
+    val oneByte = base.substring(0, 129) + "z" + base.substring(130)
+    val codes = codeOf(Seq((1L, base), (2L, oneByte), (3L, base)))
+    // identical payloads -> identical codes
+    assert(codes(1L) === codes(3L))
+    // the one-byte variant differs in EXACTLY the two gradient bits
+    // whose comparisons touch sample 32 (bits 31 and 32)
+    val x = codes(1L) ^ codes(2L)
+    assert(java.lang.Long.bitCount(x) === 2, s"hamming = ${java.lang.Long.bitCount(x)}")
+    assert(x === ((1L << 31) | (1L << 32)), s"flipped bits = ${x.toBinaryString}")
+
+    // end-to-end: the planted pair surfaces from the banded join with
+    // hamming 2 at sf0.001 (md5 exact-dedup cannot see this pair)
+    val got = MultimodalOps.mediaNearDup(spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(got.contains((9000001L, 9000002L, 2)), got.mkString(", "))
+
+    // no payload bytes cross a shuffle: every exchange in the executed
+    // plan carries only id/code/band-width columns (the fingerprint is
+    // computed at scan; binary columns never leave the scan stage)
+    val plan = MultimodalOps.mediaNearDup(spark, "/root/testdata/sf0.001")
+      .queryExecution.executedPlan
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val exchanges = plan.collect { case e: ShuffleExchangeExec => e }
+    exchanges.foreach { e =>
+      assert(!e.child.output.exists(
+        _.dataType == org.apache.spark.sql.types.BinaryType),
+        s"binary payload crosses a shuffle: ${e.child.output}")
+    }
+  }
+
   test("q324 profile halves agree with their own operators on the same codebook") {
     // the comparison query's balance half must equal q194's formula on
     // the identical assignment (internal consistency, not oracle parity)
