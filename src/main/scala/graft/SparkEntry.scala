@@ -459,6 +459,12 @@ object SparkEntry {
       SimilarityOps.q324InitCompare(s, d)),
     "q325_media_neardup"  -> ((s, d) =>
       MultimodalOps.mediaNearDup(s, d)),
+    "q326_reservoir_sample" -> ((s, d) =>
+      PipelineOps.reservoirSample(s, d)),
+    "q327_quantile_sketch" -> ((s, d) =>
+      EventOps.quantileSketchMerge(s, d)),
+    "q328_cluster_contamination" -> ((s, d) =>
+      DedupOps.clusterContamination(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -1344,4 +1344,26 @@ object DedupOps {
           lit(0L)).as("dropped_chars"))
       .orderBy(col("source"))
   }
+
+  /** Cluster-grain cross-source contamination matrix (q328): for every
+    * unordered source pair, how many q53 near-dup CLUSTERS contain
+    * documents of both — the cluster-level view q251's pairwise doc
+    * attribution blurs (one 5-source boilerplate cluster is ONE shared
+    * template, not 10 independent pairwise leaks). Rides the cached
+    * cluster assignment; on top sit one grid-sized distinct and a
+    * self-join of the (cluster, source) grid — cluster-count scale,
+    * never corpus scale.
+    */
+  def clusterContamination(spark: SparkSession, dir: String): DataFrame = {
+    val cs = nearDupClusters(spark, dir)
+      .join(Tables.documents(spark, dir).select(col("doc_id"), col("source")),
+        "doc_id")
+      .select(col("cluster_id"), col("source")).distinct()
+    cs.as("a").join(cs.as("b"),
+        col("a.cluster_id") === col("b.cluster_id") &&
+          col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
+      .agg(count(lit(1)).as("n_clusters"))
+      .orderBy(col("src_a"), col("src_b"))
+  }
 }

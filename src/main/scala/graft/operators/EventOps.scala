@@ -1970,4 +1970,74 @@ object EventOps {
       .orderBy(col("dev_milli").desc, col("day"))
       .limit(k)
   }
+
+  /** Mergeable rank-strided quantile sketch (q327): the distributed
+    * GK/KLL story q74 only gestures at, demonstrated end to end with
+    * the merge law and the error bound both VISIBLE in the output.
+    * Per logical shard (event_id mod 16 — deterministic, not the
+    * physical partitioning), the sketch keeps every t-th element of
+    * the shard's (v_c, event_id) order with weight min(t, remaining)
+    * — a weighted coreset whose per-shard weighted rank is within t of
+    * the true shard rank. Merge = weighted union (no re-ranking of raw
+    * rows), query = smallest value whose cumulative merged weight
+    * reaches the target rank; the absolute rank error is bounded by
+    * Σ_shards t. The stride adapts to shard size (t = max(100,
+    * sn div 1000)) so the SKETCH stays O(shards · 1000) rows however
+    * large the corpus — the bound the partitionless merge window rides.
+    *
+    * Output per percentile {50, 90, 99}: the exact value (from the
+    * value-domain ECDF grid, the q243 class), the sketch estimate, the
+    * measured |rank(estimate) − target|, and the Σt bound the math
+    * promises — the gate fails if the sketch ever leaves its envelope.
+    */
+  def quantileSketchMerge(spark: SparkSession, dir: String): DataFrame =
+    quantileSketchMergeOn(Tables.events(spark, dir))
+
+  private[graft] def quantileSketchMergeOn(ev: DataFrame): DataFrame = {
+    val base = ev.select(col("event_id"),
+      round(col("value") * 100, 0).cast("long").as("v_c"),
+      pmod(col("event_id"), lit(16L)).as("shard"))
+    val wSh = Window.partitionBy(col("shard"))
+      .orderBy(col("v_c"), col("event_id"))
+    val ranked = base
+      .withColumn("rn", row_number().over(wSh).cast("long"))
+      .withColumn("sn",
+        count(lit(1)).over(Window.partitionBy(col("shard"))))
+      .withColumn("t", greatest(lit(100L), expr("sn div 1000")))
+    val kept = ranked.filter(expr("(rn - 1) % t = 0"))
+      .select(col("shard"), col("v_c"), col("rn"),
+        least(col("t"), col("sn") - col("rn") + 1).cast("long").as("w"))
+    // the merged sketch: O(shards * 1000) rows by construction — the
+    // one partitionless window runs over the SKETCH, never the data
+    val merged = kept.withColumn("cw",
+      sum(col("w")).over(Window.orderBy(col("v_c"), col("shard"), col("rn"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val grid = base.groupBy(col("v_c")).agg(count(lit(1)).as("c"))
+    val ecdf = grid.withColumn("cum",
+      sum(col("c")).over(Window.orderBy(col("v_c"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val tot = base.agg(count(lit(1)).as("n"))
+    val bound = ranked.select(col("shard"), col("t")).distinct()
+      .agg(sum(col("t")).as("err_bound"))
+    val tgt = tot.select(expr("stack(3, 50, 90, 99) AS p"), col("n"))
+      .withColumn("target_rank", expr("(p * n + 99) div 100"))
+      .select(col("p"), col("target_rank")).localCheckpoint()
+    val exact = broadcast(tgt).join(ecdf, col("cum") >= col("target_rank"))
+      .groupBy(col("p"), col("target_rank"))
+      .agg(min(col("v_c")).as("exact_v_c"))
+    val est = broadcast(tgt).join(merged, col("cw") >= col("target_rank"))
+      .groupBy(col("p"), col("target_rank"))
+      .agg(min(col("v_c")).as("sketch_v_c"))
+    val estRank = broadcast(est)
+      .join(ecdf, col("v_c") <= col("sketch_v_c"), "left")
+      .groupBy(col("p"), col("target_rank"), col("sketch_v_c"))
+      .agg(coalesce(max(col("cum")), lit(0L)).as("sketch_rank"))
+    exact.join(estRank, Seq("p", "target_rank"))
+      .crossJoin(broadcast(bound))
+      .select(col("p"), col("target_rank"), col("exact_v_c"),
+        col("sketch_v_c"),
+        abs(col("sketch_rank") - col("target_rank")).as("rank_err"),
+        col("err_bound"))
+      .orderBy(col("p"))
+  }
 }

@@ -748,4 +748,47 @@ object PipelineOps {
         sum(col("doc_id")).as("sum_doc"))
       .orderBy(col("source"))
   }
+
+  /** Priority reservoir sample with the merge law made visible (q326,
+    * the q282 hash-sampler's streaming/distributed twin): each row gets
+    * a deterministic md5 priority and the sample is the k SMALLEST
+    * priorities. min-k-by-priority is a commutative, idempotent monoid
+    * — merge(sampleOf(A), sampleOf(B)) = sampleOf(A ∪ B) — which is
+    * exactly what makes it the sampler a streaming pipeline or a
+    * 1000-executor scan can maintain: every shard keeps its own k-heap,
+    * merge is min-k of the union, no coordination, no rescan on
+    * repartition. The query computes the sample BOTH ways (one global
+    * top-k; 8 per-shard top-ks merged) and emits both profiles — the
+    * oracle gate, and any reader, sees the merge law as row equality.
+    *
+    * Scale shape: global top-k is TakeOrdered (per-partition heaps +
+    * driver merge of k·partitions rows — never a global sort); the
+    * sharded half is one partitioned window. Priorities are md5 hex —
+    * uniform, deterministic, engine-identical.
+    */
+  def reservoirSample(spark: SparkSession, dir: String,
+      k: Int = 100): DataFrame = {
+    val base = Tables.events(spark, dir).select(
+      col("event_id"), col("event_type"),
+      round(col("value") * 100, 0).cast("long").as("v_c"),
+      md5(concat(col("event_id").cast("string"), lit("_rs7"))).as("pri"),
+      pmod(col("event_id"), lit(8L)).as("shard"))
+    val global = base.orderBy(col("pri"), col("event_id")).limit(k)
+    val wSh = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard")).orderBy(col("pri"), col("event_id"))
+    val perShard = base
+      .withColumn("rn", row_number().over(wSh))
+      .filter(col("rn") <= k).drop("rn")
+    val mergedSample = perShard.orderBy(col("pri"), col("event_id")).limit(k)
+    def profile(name: String, df: DataFrame): DataFrame =
+      df.agg(count(lit(1)).as("n"),
+          count_distinct(col("event_type")).as("n_types"),
+          sum(col("v_c")).as("sum_c"),
+          expr("bit_xor(event_id)").as("id_fp"))
+        .select(lit(name).as("method"), col("n"), col("n_types"),
+          col("sum_c"), col("id_fp"))
+    profile("global", global)
+      .unionByName(profile("sharded_merge", mergedSample))
+      .orderBy(col("method"))
+  }
 }

@@ -458,6 +458,20 @@ private[graft] object DedupOracles {
              (SELECT doc_id FROM dropped)) AS BIGINT) AS n_dropped,
            CAST(coalesce(sum(n_chars) FILTER (doc_id IN
              (SELECT doc_id FROM dropped)), 0) AS BIGINT) AS dropped_chars
-         FROM documents GROUP BY 1 ORDER BY 1""")
+         FROM documents GROUP BY 1 ORDER BY 1"""),
+    // q328: cluster-grain cross-source contamination — q53 clusters
+    // spanning source pairs (the cluster-level view q251's pairwise
+    // attribution blurs)
+    "q328_cluster_contamination" ->
+      (dedupCcCte + """,
+         mem AS (SELECT id AS doc_id, CAST(min(label) AS BIGINT)
+             AS cluster_id FROM cc GROUP BY id),
+         cs AS (SELECT DISTINCT m.cluster_id, d.source
+           FROM mem m JOIN documents d ON d.doc_id = m.doc_id),
+         px AS (SELECT a.source AS src_a, b.source AS src_b
+           FROM cs a JOIN cs b ON a.cluster_id = b.cluster_id
+             AND a.source < b.source)
+         SELECT src_a, src_b, count(*)::BIGINT AS n_clusters
+         FROM px GROUP BY 1, 2 ORDER BY 1, 2"""),
   )
 }

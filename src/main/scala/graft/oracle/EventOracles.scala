@@ -1468,5 +1468,71 @@ private[graft] object EventOracles {
            CAST(c2::HUGEINT * 1000000 // t.t2 AS BIGINT)
              - CAST(c1::HUGEINT * 1000000 // t.t1 AS BIGINT) AS shift_ppm
          FROM per, tot t ORDER BY k""",
+    // q326: priority reservoir sample + the min-k merge law — the
+    // global top-k and the merged 8-shard top-ks must emit IDENTICAL
+    // profiles (commutative idempotent monoid; the gate sees it as
+    // row equality)
+    "q326_reservoir_sample" ->
+      """WITH base AS (SELECT event_id, event_type,
+           CAST(round(value * 100, 0) AS BIGINT) AS v_c,
+           md5(event_id || '_rs7') AS pri,
+           event_id % 8 AS shard
+         FROM events),
+         g AS (SELECT * FROM base QUALIFY
+             row_number() OVER (ORDER BY pri, event_id) <= 100),
+         persh AS (SELECT * FROM base QUALIFY
+             row_number() OVER (PARTITION BY shard
+               ORDER BY pri, event_id) <= 100),
+         m AS (SELECT * FROM persh QUALIFY
+             row_number() OVER (ORDER BY pri, event_id) <= 100),
+         ga AS (SELECT 'global' AS method, count(*)::BIGINT AS n,
+             count(DISTINCT event_type)::BIGINT AS n_types,
+             CAST(sum(v_c) AS BIGINT) AS sum_c,
+             CAST(bit_xor(event_id) AS BIGINT) AS id_fp FROM g),
+         ma AS (SELECT 'sharded_merge', count(*)::BIGINT,
+             count(DISTINCT event_type)::BIGINT,
+             CAST(sum(v_c) AS BIGINT), CAST(bit_xor(event_id) AS BIGINT)
+           FROM m)
+         SELECT * FROM ga UNION ALL SELECT * FROM ma ORDER BY method""",
+    // q327: mergeable rank-strided quantile sketch — per-shard weighted
+    // coreset, weighted-union merge, rank lookup; the measured rank
+    // error must sit inside the sum-of-strides bound
+    "q327_quantile_sketch" ->
+      """WITH base AS (SELECT event_id,
+           CAST(round(value * 100, 0) AS BIGINT) AS v_c,
+           event_id % 16 AS shard
+         FROM events),
+         tot AS (SELECT count(*)::BIGINT AS n FROM base),
+         ranked AS (SELECT v_c, shard, event_id,
+             row_number() OVER (PARTITION BY shard
+               ORDER BY v_c, event_id) AS rn,
+             count(*) OVER (PARTITION BY shard) AS sn
+           FROM base),
+         rt AS (SELECT *, greatest(100, sn // 1000) AS t FROM ranked),
+         kept AS (SELECT shard, v_c, rn,
+             CAST(least(t, sn - rn + 1) AS BIGINT) AS w
+           FROM rt WHERE (rn - 1) % t = 0),
+         merged AS (SELECT v_c, w,
+             sum(w) OVER (ORDER BY v_c, shard, rn) AS cw
+           FROM kept),
+         grid AS (SELECT v_c, count(*)::BIGINT AS c FROM base GROUP BY 1),
+         ecdf AS (SELECT v_c, sum(c) OVER (ORDER BY v_c) AS cum FROM grid),
+         bound AS (SELECT CAST(sum(t) AS BIGINT) AS err_bound FROM
+           (SELECT DISTINCT shard, t FROM rt)),
+         ps AS (SELECT unnest([50, 90, 99]) AS p),
+         tgt AS (SELECT p, (p * n + 99) // 100 AS target_rank FROM ps, tot),
+         exact AS (SELECT p, target_rank, min(v_c) AS exact_v_c
+           FROM tgt JOIN ecdf ON ecdf.cum >= tgt.target_rank GROUP BY 1, 2),
+         est AS (SELECT p, target_rank, min(v_c) AS sketch_v_c
+           FROM tgt JOIN merged ON merged.cw >= tgt.target_rank
+           GROUP BY 1, 2),
+         estr AS (SELECT e.p, e.target_rank, e.sketch_v_c,
+             coalesce(max(ec.cum), 0) AS sketch_rank
+           FROM est e LEFT JOIN ecdf ec ON ec.v_c <= e.sketch_v_c
+           GROUP BY 1, 2, 3)
+         SELECT x.p, x.target_rank, x.exact_v_c, r.sketch_v_c,
+           CAST(abs(r.sketch_rank - x.target_rank) AS BIGINT) AS rank_err,
+           (SELECT err_bound FROM bound) AS err_bound
+         FROM exact x JOIN estr r USING (p, target_rank) ORDER BY p""",
   )
 }

@@ -74,7 +74,11 @@ class PlanLintSpec extends SparkSpecBase {
     // value-domain-bounded grids (the q243 ECDF class): the rank-sum
     // fold windows over the merged LENGTH-count grid — rows bounded by
     // distinct n_chars values, never document cardinality
-    "q314_rank_sum"        -> Set("len"))
+    "q314_rank_sum"        -> Set("len"),
+    // q327's partitionless windows run over the SKETCH (adaptive
+    // stride caps it at shards × ~1000 weighted rows, whatever the
+    // corpus) and the v_c value-domain ECDF grid (q243 class)
+    "q327_quantile_sketch" -> Set("v_c"))
 
   /** Queries whose BroadcastNestedLoopJoins are sanctioned: every BNLJ
     * here crosses in a frame bounded by construction — 1-row cap/stat
@@ -106,6 +110,7 @@ class PlanLintSpec extends SparkSpecBase {
     "q307_unigram_lm", "q309_qlm_topk", "q311_write_amplification",
     "q312_unigram_prune", "q313_cohens_kappa", "q316_bpe_roundtrip",
     "q321_share_shift", "q322_corpus_card", "q324_init_compare",
+    "q327_quantile_sketch",
     "q30_simhash_neardup", "q31_cosine_topk", "q32_cosine_neardup",
     "q33_lsh_topk", "q42_approx_distinct", "q43_topk_aggregator",
     "q52_key_skew", "q57_centroid_assign", "q64_lsh_neardup",

@@ -85,6 +85,57 @@ class Round14OpsSpec extends SparkSpecBase {
     }
   }
 
+  test("q326 reservoir: the merge law holds — global min-k equals merged shard min-ks") {
+    val rows = PipelineOps.reservoirSample(spark, "/root/testdata/sf0.01")
+      .collect()
+    assert(rows.length === 2)
+    val byMethod = rows.map(r => r.getString(0) ->
+      (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(byMethod.keySet === Set("global", "sharded_merge"))
+    // the whole point: identical profiles (same n, types, mass, id set)
+    assert(byMethod("global") === byMethod("sharded_merge"))
+    assert(byMethod("global")._1 === 100L)
+  }
+
+  test("q327 sketch: rank error within the sum-of-strides bound, exact half is exact") {
+    import spark.implicits._
+    val out = EventOps.quantileSketchMerge(spark, "/root/testdata/sf0.01")
+      .collect()
+    assert(out.length === 3)
+    out.foreach { r =>
+      val (p, target, rankErr, bound) =
+        (r.getInt(0), r.getLong(1), r.getLong(4), r.getLong(5))
+      assert(rankErr <= bound, s"p$p: rank error $rankErr exceeds bound $bound")
+      assert(target >= 1L)
+    }
+    // hand-checkable fixture: 200 events, v_c = event_id cents, one
+    // shard grid of 16; stride 100 -> per-shard coresets; exact p50 of
+    // 1..200 at target rank ceil(50*200/100)=100 -> value 100
+    def ev(id: Long) = (id,
+      java.sql.Timestamp.valueOf("2024-01-01 10:00:00"), 1L, "view",
+      id / 100.0, """{"k": 1}""")
+    val df = (1L to 200L).map(ev)
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val got = EventOps.quantileSketchMergeOn(df).collect()
+      .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2), r.getLong(4)))
+      .toMap
+    assert(got(50)._1 === 100L)
+    assert(got(50)._2 === 100L) // exact half: value == rank on this grid
+    assert(got(99)._2 === 198L)
+  }
+
+  test("q328 contamination: a planted cross-source dup pair produces exactly its cluster cell") {
+    // engine-side sanity at fixture scale (the oracle gate covers the
+    // corpus): the matrix is symmetric-upper (src_a < src_b) and counts
+    // clusters once however many docs each side contributes
+    val m = DedupOps.clusterContamination(spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    m.foreach { case (a, b, n) =>
+      assert(a < b, s"matrix must be upper-triangular: ($a, $b)")
+      assert(n >= 1L)
+    }
+  }
+
   test("q324 profile halves agree with their own operators on the same codebook") {
     // the comparison query's balance half must equal q194's formula on
     // the identical assignment (internal consistency, not oracle parity)
