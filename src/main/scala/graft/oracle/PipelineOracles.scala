@@ -839,5 +839,46 @@ private[graft] object PipelineOracles {
            CAST(sum(COALESCE(quality_bp, 0)) AS BIGINT) AS sum_quality_bp,
            CAST(sum(length(text)) AS BIGINT) AS total_chars
          FROM merged GROUP BY source ORDER BY source""",
+    // q329: bin-packing v2 audit — next-fit-in-id-order vs
+    // largest-first round-robin over exactly lower-bound-many bins,
+    // both vs the LP bound; naive global windows replay the two-phase
+    // ranks (the established rider contract)
+    "q329_bin_packing" ->
+      """WITH d AS (SELECT doc_id,
+           CAST(len(string_split(regexp_replace(lower(trim(text)),
+             '\s+', ' ', 'g'), ' ')) AS BIGINT) AS n_tokens
+         FROM documents),
+         tot AS (SELECT CAST((sum(n_tokens) + 4999) // 5000 AS BIGINT)
+             AS lb FROM d),
+         nf AS (SELECT (cum - 1) // 5000 AS bin, n_tokens FROM (
+             SELECT n_tokens, CAST(sum(n_tokens) OVER (ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS cum FROM d)),
+         lpt AS (SELECT (r - 1) % (SELECT lb FROM tot) AS bin, n_tokens
+           FROM (SELECT n_tokens, CAST(row_number() OVER (
+               ORDER BY n_tokens DESC, doc_id) AS BIGINT) AS r FROM d)),
+         nfb AS (SELECT bin, CAST(sum(n_tokens) AS BIGINT) AS fill
+           FROM nf GROUP BY 1),
+         lptb AS (SELECT bin, CAST(sum(n_tokens) AS BIGINT) AS fill
+           FROM lpt GROUP BY 1),
+         prof AS (
+           SELECT 'nextfit_id' AS packer, count(*)::BIGINT AS n_bins,
+             CAST(max(fill) AS BIGINT) AS max_tokens,
+             CAST(min(fill) AS BIGINT) AS min_tokens,
+             CAST(sum(CASE WHEN fill > 5000 THEN 1 ELSE 0 END) AS BIGINT)
+               AS overflow_bins,
+             CAST((max(fill) - min(fill))::HUGEINT * count(*) * 1000000
+               // sum(fill) AS BIGINT) AS spread_ppm
+           FROM nfb
+           UNION ALL
+           SELECT 'lpt_roundrobin', count(*)::BIGINT,
+             CAST(max(fill) AS BIGINT), CAST(min(fill) AS BIGINT),
+             CAST(sum(CASE WHEN fill > 5000 THEN 1 ELSE 0 END) AS BIGINT),
+             CAST((max(fill) - min(fill))::HUGEINT * count(*) * 1000000
+               // sum(fill) AS BIGINT)
+           FROM lptb)
+         SELECT packer, n_bins, (SELECT lb FROM tot) AS lower_bound_bins,
+           max_tokens, min_tokens, overflow_bins, spread_ppm
+         FROM prof ORDER BY packer""",
   )
 }

@@ -32,6 +32,15 @@ object MergeStreamSink {
 
   /** Merge ONE changeset batch; returns partitions touched (0 for an
     * empty batch — a tick with no data must not read the target).
+    *
+    * The `isEmpty` guard is one extra Spark job per micro-batch
+    * (limit-1 over the batch) — negligible under AvailableNow catch-up
+    * runs (VERDICT r13 cosmetic note). If this sink is ever driven by
+    * a high-frequency processing-time trigger, localCheckpoint the
+    * batch first (foreachBatch hands over an un-materialized frame, so
+    * the merge's own dup-check/semi-joins re-plan it anyway) and gate
+    * on the checkpointed frame's emptiness instead of paying a
+    * separate probe plan.
     */
   def applyBatch(batch: DataFrame, keys: Seq[String],
       spec: Sinks.TableSpec, outputDir: String): Long =
