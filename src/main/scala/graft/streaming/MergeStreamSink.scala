@@ -43,20 +43,29 @@ object MergeStreamSink {
     * separate probe plan.
     */
   def applyBatch(batch: DataFrame, keys: Seq[String],
-      spec: Sinks.TableSpec, outputDir: String): Long =
+      spec: Sinks.TableSpec, outputDir: String,
+      evolveSchema: Boolean = false): Long =
     if (batch.isEmpty) 0L
-    else Sinks.mergeInto(batch.sparkSession, batch, keys, spec, outputDir)
+    else Sinks.mergeInto(batch.sparkSession, batch, keys, spec, outputDir,
+      evolveSchema = evolveSchema)
 
   /** Drive an AvailableNow catch-up run of `changes` (a streaming
-    * changeset frame) into the table, synchronously.
+    * changeset frame) into the table, synchronously. `evolveSchema`
+    * passes through to [[graft.etl.Sinks.mergeInto]]'s schema gate: a
+    * long-lived CDC FEED is exactly where a new column eventually
+    * appears mid-stream — with the flag the first carrying micro-batch
+    * ADD-COLUMNs the table (WRITE_CONTRACT §3) and later batches merge
+    * against the union schema; without it the query fails loudly at
+    * that batch instead of letting column resolution guess.
     */
   def run(changes: DataFrame, keys: Seq[String], spec: Sinks.TableSpec,
-      outputDir: String, checkpointDir: String): Unit = {
+      outputDir: String, checkpointDir: String,
+      evolveSchema: Boolean = false): Unit = {
     val q = changes.writeStream
       .trigger(Trigger.AvailableNow())
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (b: Dataset[Row], _: Long) =>
-        applyBatch(b.toDF(), keys, spec, outputDir); ()
+        applyBatch(b.toDF(), keys, spec, outputDir, evolveSchema); ()
       }
       .start()
     q.processAllAvailable()

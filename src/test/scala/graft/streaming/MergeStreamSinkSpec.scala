@@ -71,6 +71,45 @@ class MergeStreamSinkSpec extends SparkSpecBase {
     assert(table() === Set((1L, "a1'", "a"), (2L, "a2", "a")))
   }
 
+  test("a CDC feed carrying a NEW column evolves the table only when opted in") {
+    val base = Files.createTempDirectory("graft-merge-stream-evolve")
+    val watch = Files.createDirectory(base.resolve("landing"))
+    val out = base.resolve("out").toString
+    val spec = Sinks.TableSpec("cdc_ev_t", Sinks.Parquet, Seq("src"))
+    Sinks.write(Seq((1L, "a1", "a"), (2L, "b2", "b"))
+      .toDF("id", "v", "src"), spec, out)
+    val rows = Seq((1L, "U", "a1x", "a", 7L))
+    val tmp = Files.createTempDirectory("cdcevstage").toString
+    rows.toDF("id", "op", "v", "src", "score").coalesce(1)
+      .write.mode("overwrite").parquet(tmp)
+    val part = new java.io.File(tmp).listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    Files.copy(Paths.get(part.toString), watch.resolve("e1.parquet"))
+    def src() = spark.readStream
+      .schema("id LONG, op STRING, v STRING, src STRING, score LONG")
+      .parquet(watch.toString)
+
+    // default: the carrying micro-batch fails LOUDLY (the streaming
+    // query surfaces the schema-gate rejection, the table is untouched)
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      MergeStreamSink.run(src(), Seq("id"), spec, out,
+        base.resolve("chk1").toString)
+    }
+    assert(e.getCause.getMessage.contains("NEW column"), e.getCause.getMessage)
+    assert(spark.read.parquet(s"$out/${spec.name}")
+      .as[(Long, String, String)].collect().toSet ===
+      Set((1L, "a1", "a"), (2L, "b2", "b")))
+
+    // opted in: the batch ADD-COLUMNs the table; the untouched
+    // partition reads back null through the evolved read path
+    MergeStreamSink.run(src(), Seq("id"), spec, out,
+      base.resolve("chk2").toString, evolveSchema = true)
+    assert(Sinks.readTable(spark, spec, out)
+      .select("id", "v", "src", "score")
+      .as[(Long, String, String, Option[Long])].collect().toSet ===
+      Set((1L, "a1x", "a", Some(7L)), (2L, "b2", "b", None)))
+  }
+
   test("an empty batch never touches the target") {
     val out = Files.createTempDirectory("graft-merge-empty-batch").toString
     val spec = Sinks.TableSpec("cdc_e", Sinks.Parquet, Seq("src"))
