@@ -1910,11 +1910,16 @@ object SimilarityOps {
     val bf = bruteForceTopK(spark, dir, 8, 5)
       .select(col("query_id"), col("neighbor_id")).localCheckpoint()
     def profile(name: String, cvec0: => DataFrame): DataFrame = {
-      // two consumers (balance assignment, probe chain) — persist once
-      // per session; the builders' own localCheckpoints freeze their
-      // internal rounds
+      // two consumers (balance assignment, probe chain) — materialize
+      // once per session. localCheckpoint, NOT persist: a persisted
+      // sampled codebook registers its logical plan in the session
+      // CacheManager, and q80's plan contains the IDENTICAL scent
+      // subtree — plan-match substitution would swap q80's window into
+      // an InMemoryRelation whenever this cache is warm, making its
+      // executed plan (and the strict plan-lint allowlist) depend on
+      // suite ordering. The checkpoint's LogicalRDD matches nothing.
       val cvec = SessionCaches.cached(
-        kppCodebookCache, (spark, dir, k, name))(cvec0.persist())
+        kppCodebookCache, (spark, dir, k, name))(cvec0.localCheckpoint())
       val bal = ivfAssign(emb, cvec)
         .groupBy(col("ivf_list")).agg(count(lit(1)).as("sz"))
         .agg(count(lit(1)).as("n_lists"), sum(col("sz")).as("n_vecs"),
