@@ -467,6 +467,10 @@ object SparkEntry {
       DedupOps.clusterContamination(s, d)),
     "q329_bin_packing"    -> ((s, d) =>
       PipelineOps.binPackingReport(s, d)),
+    "q330_dq_suite"       -> ((s, d) =>
+      graft.dq.DqSuite.dqSuite(s, d)),
+    "q331_label_prop"     -> ((s, d) =>
+      GraphOps.labelPropagation(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

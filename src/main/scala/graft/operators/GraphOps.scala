@@ -582,4 +582,56 @@ object GraphOps {
         col("part_i"), col("part_j"))
       .limit(k)
   }
+
+  /** Synchronous label propagation with a convergence trace (q331):
+    * every node starts as its own label; each round every node adopts
+    * its neighbors' MODE label (count desc, label asc — deterministic,
+    * no RNG "async" order like the original heuristic). The output is
+    * the per-round trace — distinct labels, largest community, and a
+    * sum fingerprint of the assignment — which is both the community
+    * readout AND a structural measurement: the round where labels
+    * collapse bounds the graph's effective diameter (the capped
+    * co-occurrence grid at bench SF collapses 100 → 2 → 1 in two
+    * rounds — a near-complete graph, which is WHY q113's PageRank
+    * spreads so fast on it). On a modular graph the trace plateaus at
+    * the community count instead.
+    *
+    * Scale shape: one edge shuffle per round (join on dst, mode
+    * aggregate, per-node argmax window partitioned BY NODE), rounds a
+    * fixed constant, per-round localCheckpoint (the k-core/PageRank
+    * pattern — keeps the unrolled lineage from re-instantiating).
+    */
+  def labelPropagation(spark: SparkSession, dir: String,
+      rounds: Int = 4, minSupport: Int = 5): DataFrame =
+    lpOn(cachedCoPairs(spark, dir, minSupport), rounds)
+
+  private[graft] def lpOn(pairs: DataFrame, rounds: Int): DataFrame = {
+    val sym = pairs.select(col("i").as("src"), col("j").as("dst"))
+      .unionByName(pairs.select(col("j").as("src"), col("i").as("dst")))
+      .localCheckpoint()
+    def trace(r: Int, lab: DataFrame): DataFrame =
+      lab.groupBy(col("label")).agg(count(lit(1)).as("sz"),
+          sum(col("node") * col("label")).as("fp"))
+        .agg(count(lit(1)).as("n_labels"), max(col("sz"))
+          .as("largest_community"), sum(col("fp")).as("assign_fp"))
+        .select(lit(r).as("round"), col("n_labels"),
+          col("largest_community").cast("long").as("largest_community"),
+          col("assign_fp").cast("long").as("assign_fp"))
+    var lab = sym.select(col("src").as("node")).distinct()
+      .withColumn("label", col("node")).localCheckpoint()
+    val wMode = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("node")).orderBy(col("c").desc, col("label"))
+    var out = trace(0, lab)
+    for (r <- 1 to rounds) {
+      lab = sym.join(lab.withColumnRenamed("node", "dst"), "dst")
+        .groupBy(col("src").as("node"), col("label"))
+        .agg(count(lit(1)).as("c"))
+        .withColumn("rn", row_number().over(wMode))
+        .filter(col("rn") === 1)
+        .select(col("node"), col("label"))
+        .localCheckpoint()
+      out = out.unionByName(trace(r, lab))
+    }
+    out.orderBy(col("round"))
+  }
 }

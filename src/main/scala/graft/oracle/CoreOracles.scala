@@ -1483,5 +1483,77 @@ private[graft] object CoreOracles {
            CAST(CAST(sum(rev_cp) AS HUGEINT) * 10000 // max(tot_cp)
              AS BIGINT) AS share_bp
          FROM cls GROUP BY 1, 2 ORDER BY 1, 2""",
+    // q330: declarative DQ expectation panel — one row per check
+    // (not-null / enum / range via conditional aggregates, uniqueness
+    // via surplus copies, FK via orphan counts); the lineitem
+    // uniqueness expectation genuinely fails on the synthetic data
+    "q330_dq_suite" ->
+      """WITH rows_o AS (
+           SELECT count(*)::BIGINT AS n,
+             CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END)
+               AS BIGINT) AS nn,
+             CAST(sum(CASE WHEN o_orderstatus NOT IN ('F','O','P')
+                            OR o_orderstatus IS NULL THEN 1 ELSE 0 END)
+               AS BIGINT) AS en,
+             CAST(sum(CASE WHEN o_totalprice <= 0.0
+                            OR o_totalprice > 1000000.0
+                      THEN 1 ELSE 0 END) AS BIGINT) AS rg
+           FROM orders),
+         rows_l AS (
+           SELECT count(*)::BIGINT AS n,
+             CAST(sum(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END)
+               AS BIGINT) AS nn,
+             CAST(sum(CASE WHEN l_quantity < 1.0 OR l_quantity > 50.0
+                      THEN 1 ELSE 0 END) AS BIGINT) AS rg
+           FROM lineitem),
+         rows_e AS (
+           SELECT count(*)::BIGINT AS n,
+             CAST(sum(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END)
+               AS BIGINT) AS nn,
+             CAST(sum(CASE WHEN event_type NOT IN
+                       ('click','error','purchase','signup','view')
+                            OR event_type IS NULL THEN 1 ELSE 0 END)
+               AS BIGINT) AS en
+           FROM events),
+         uq_o AS (SELECT count(*)::BIGINT AS n,
+             CAST(sum(c - 1) AS BIGINT) AS v FROM
+           (SELECT count(*) AS c FROM orders GROUP BY o_orderkey)),
+         uq_l AS (SELECT count(*)::BIGINT AS n,
+             CAST(sum(c - 1) AS BIGINT) AS v FROM
+           (SELECT count(*) AS c FROM lineitem
+            GROUP BY l_orderkey, l_linenumber)),
+         uq_e AS (SELECT count(*)::BIGINT AS n,
+             CAST(sum(c - 1) AS BIGINT) AS v FROM
+           (SELECT count(*) AS c FROM events GROUP BY event_id)),
+         fk_o AS (SELECT (SELECT count(*) FROM orders)::BIGINT AS n,
+           (SELECT count(*) FROM orders o LEFT JOIN customer c
+              ON o.o_custkey = c.c_custkey
+            WHERE c.c_custkey IS NULL)::BIGINT AS v),
+         fk_l AS (SELECT (SELECT count(*) FROM lineitem)::BIGINT AS n,
+           (SELECT count(*) FROM lineitem l LEFT JOIN
+              (SELECT DISTINCT o_orderkey FROM orders) o
+              ON l.l_orderkey = o.o_orderkey
+            WHERE o.o_orderkey IS NULL)::BIGINT AS v),
+         panel AS (
+           SELECT 'orders' AS tbl, 'not_null_o_orderkey' AS chk,
+             n AS n_checked, nn AS n_violations FROM rows_o
+           UNION ALL SELECT 'orders', 'enum_o_orderstatus', n, en FROM rows_o
+           UNION ALL SELECT 'orders', 'range_o_totalprice', n, rg FROM rows_o
+           UNION ALL SELECT 'orders', 'unique_o_orderkey', n, v FROM uq_o
+           UNION ALL SELECT 'orders', 'fk_o_custkey_to_c_custkey', n, v
+             FROM fk_o
+           UNION ALL SELECT 'lineitem', 'not_null_l_orderkey', n, nn
+             FROM rows_l
+           UNION ALL SELECT 'lineitem', 'range_l_quantity', n, rg FROM rows_l
+           UNION ALL SELECT 'lineitem', 'unique_l_orderkey_l_linenumber',
+             n, v FROM uq_l
+           UNION ALL SELECT 'lineitem', 'fk_l_orderkey_to_o_orderkey', n, v
+             FROM fk_l
+           UNION ALL SELECT 'events', 'not_null_event_id', n, nn FROM rows_e
+           UNION ALL SELECT 'events', 'enum_event_type', n, en FROM rows_e
+           UNION ALL SELECT 'events', 'unique_event_id', n, v FROM uq_e)
+         SELECT tbl, chk, n_checked, n_violations,
+           CAST(n_violations = 0 AS INT) AS pass
+         FROM panel ORDER BY tbl, chk""",
   )
 }

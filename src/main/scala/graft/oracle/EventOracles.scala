@@ -1534,5 +1534,33 @@ private[graft] object EventOracles {
            CAST(abs(r.sketch_rank - x.target_rank) AS BIGINT) AS rank_err,
            (SELECT err_bound FROM bound) AS err_bound
          FROM exact x JOIN estr r USING (p, target_rank) ORDER BY p""",
+    // q331: synchronous label propagation, 4 unrolled mode-label rounds
+    // over the capped co-occurrence graph; the trace (labels, largest
+    // community, sum fingerprint) doubles as an effective-diameter
+    // measurement
+    "q331_label_prop" -> {
+      def rnd(r: Int) =
+        s"""l$r AS MATERIALIZED (SELECT node, label FROM (
+             SELECT s.src AS node, p.label, count(*) AS c
+             FROM sym s JOIN l${r - 1} p ON s.dst = p.node GROUP BY 1, 2)
+           QUALIFY row_number() OVER (PARTITION BY node
+             ORDER BY c DESC, label) = 1)"""
+      def trace(r: Int) =
+        s"""SELECT $r AS round, count(*)::BIGINT AS n_labels,
+             CAST(max(sz) AS BIGINT) AS largest_community,
+             CAST(sum(fp) AS BIGINT) AS assign_fp
+           FROM (SELECT label, count(*) AS sz, sum(node * label) AS fp
+                 FROM l$r GROUP BY 1)"""
+      "WITH " + coPairsCte + s""",
+         sym AS (SELECT i AS src, j AS dst FROM cpairs
+           UNION ALL SELECT j, i FROM cpairs),
+         l0 AS (SELECT DISTINCT src AS node, src AS label FROM sym),
+         ${rnd(1)},
+         ${rnd(2)},
+         ${rnd(3)},
+         ${rnd(4)}
+         ${trace(0)} UNION ALL ${trace(1)} UNION ALL ${trace(2)}
+         UNION ALL ${trace(3)} UNION ALL ${trace(4)} ORDER BY round"""
+    },
   )
 }

@@ -111,7 +111,7 @@ class PlanLintSpec extends SparkSpecBase {
     "q307_unigram_lm", "q309_qlm_topk", "q311_write_amplification",
     "q312_unigram_prune", "q313_cohens_kappa", "q316_bpe_roundtrip",
     "q321_share_shift", "q322_corpus_card", "q324_init_compare",
-    "q327_quantile_sketch", "q329_bin_packing",
+    "q327_quantile_sketch", "q329_bin_packing", "q330_dq_suite",
     "q30_simhash_neardup", "q31_cosine_topk", "q32_cosine_neardup",
     "q33_lsh_topk", "q42_approx_distinct", "q43_topk_aggregator",
     "q52_key_skew", "q57_centroid_assign", "q64_lsh_neardup",

@@ -136,6 +136,24 @@ class Round14OpsSpec extends SparkSpecBase {
     }
   }
 
+  test("q331 label propagation: a planted two-community graph plateaus at 2 labels") {
+    import spark.implicits._
+    // two 4-cliques bridged by ONE edge: LP must collapse each clique
+    // to its min label and the plateau must be exactly 2 communities
+    // (the bridge's single vote never outnumbers the clique mode)
+    def clique(ids: Seq[Long]) =
+      for (a <- ids; b <- ids if a < b) yield (a, b)
+    val pairs = (clique(Seq(1L, 2L, 3L, 4L)) ++
+      clique(Seq(10L, 11L, 12L, 13L)) ++ Seq((4L, 10L)))
+      .toDF("i", "j")
+    val got = GraphOps.lpOn(pairs, rounds = 4)
+      .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    assert(got(0) === ((8L, 1L)))
+    assert(got(3) === ((2L, 4L)) && got(4) === ((2L, 4L)),
+      s"expected a 2-community plateau, got $got")
+  }
+
   test("q324 profile halves agree with their own operators on the same codebook") {
     // the comparison query's balance half must equal q194's formula on
     // the identical assignment (internal consistency, not oracle parity)
