@@ -471,6 +471,8 @@ object SparkEntry {
       graft.dq.DqSuite.dqSuite(s, d)),
     "q331_label_prop"     -> ((s, d) =>
       GraphOps.labelPropagation(s, d)),
+    "q332_hits_scores"    -> ((s, d) =>
+      GraphOps.hitsScores(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -634,4 +634,84 @@ object GraphOps {
     }
     out.orderBy(col("round"))
   }
+
+  /** HITS hubs & authorities (q332) over the bipartite customer→part
+    * purchase graph — the second classic link-analysis kernel next to
+    * q113's PageRank, on a graph PageRank never touches (the purchase
+    * bipartite rather than the event co-occurrence grid). Kleinberg's
+    * mutual recursion, integer-exact: auth(p) = Σ hub(c) over buying
+    * customers, hub(c) = Σ auth(p) over bought parts, each half-round
+    * max-normalized to ppm by floor division (`x * 1e6 div max`) — the
+    * q113 fixed-point device, so every cell is exact BIGINT under any
+    * shuffle order and replays cell-identically in DuckDB. Rounds are
+    * a FIXED constant (power iteration on AᵀA converges geometrically;
+    * 3 rounds separate the score ladder on this graph).
+    *
+    * Scale shape: the edge relation (distinct cust–part, built once per
+    * session) is the big side; each half-round is one edges⋈scores
+    * hash join on the score key plus a map-side-combinable sum — the
+    * PageRank shuffle pattern with node-scale score frames. The two
+    * 1-row max normalizers ride the house crossJoin(broadcast) scalar.
+    * Output: top-`topK` per side (auth = most-endorsed parts, hub =
+    * widest-reaching customers), rank ties broken by node id.
+    */
+  def hitsScores(spark: SparkSession, dir: String, rounds: Int = 3,
+      topK: Int = 15): DataFrame =
+    hitsOn(cachedPurchaseEdges(spark, dir), rounds, topK)
+
+  private val purchaseEdgesCache =
+    SessionCaches.newCache[(SparkSession, String)]()
+
+  /** Distinct (cust, part) purchase edges, session-cached: one
+    * orders⋈lineitem join keyed on the order id, then the distinct
+    * pair grid — both shuffles are the unavoidable minimum and every
+    * bench rep after the first reads the persisted frame.
+    */
+  private def cachedPurchaseEdges(spark: SparkSession,
+      dir: String): DataFrame =
+    SessionCaches.cached(purchaseEdgesCache, (spark, dir))(
+      Tables.orders(spark, dir)
+        .select(col("o_orderkey").as("okey"), col("o_custkey").as("cust"))
+        .join(Tables.lineitem(spark, dir)
+          .select(col("l_orderkey").as("okey"), col("l_partkey").as("part")),
+          Seq("okey"))
+        .select(col("cust"), col("part"))
+        .distinct()
+        .persist())
+
+  private[graft] def hitsOn(edges: DataFrame, rounds: Int,
+      topK: Int): DataFrame = {
+    val Unit6 = 1000000L
+    // normalize a raw score frame to ppm of its max (floor division —
+    // exact, order-independent; max ≥ 1 because raw sums ≥ 1 ppm unit)
+    def normed(raw: DataFrame, key: String, out: String): DataFrame =
+      raw.crossJoin(broadcast(raw.agg(max(col("raw")).as("mx"))))
+        .select(col(key), expr(s"raw * ${Unit6}L div mx").as(out))
+    var hub = edges.select(col("cust")).distinct()
+      .withColumn("hub", lit(Unit6)).localCheckpoint()
+    var auth: DataFrame = null
+    for (_ <- 1 to rounds) {
+      auth = normed(
+        edges.join(hub, Seq("cust"))
+          .groupBy(col("part")).agg(sum(col("hub")).as("raw")),
+        "part", "auth").localCheckpoint()
+      hub = normed(
+        edges.join(auth, Seq("part"))
+          .groupBy(col("cust")).agg(sum(col("auth")).as("raw")),
+        "cust", "hub").localCheckpoint()
+    }
+    val topAuth = auth
+      .select(lit("auth").as("side"), col("part").as("node_id"),
+        col("auth").as("score_ppm"))
+      .orderBy(col("score_ppm").desc, col("node_id")).limit(topK)
+    val topHub = hub
+      .select(lit("hub").as("side"), col("cust").as("node_id"),
+        col("hub").as("score_ppm"))
+      .orderBy(col("score_ppm").desc, col("node_id")).limit(topK)
+    val wSide = Window.partitionBy(col("side"))
+      .orderBy(col("score_ppm").desc, col("node_id"))
+    topAuth.unionByName(topHub)
+      .withColumn("rk", row_number().over(wSide).cast("long"))
+      .orderBy(col("side"), col("rk"))
+  }
 }

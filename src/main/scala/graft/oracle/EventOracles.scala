@@ -1562,5 +1562,40 @@ private[graft] object EventOracles {
          ${trace(0)} UNION ALL ${trace(1)} UNION ALL ${trace(2)}
          UNION ALL ${trace(3)} UNION ALL ${trace(4)} ORDER BY round"""
     },
+    // q332: HITS hubs & authorities on the bipartite customer→part
+    // purchase graph — 3 unrolled mutual-recursion rounds, each
+    // half-round max-normalized to ppm by floor division (the q113
+    // fixed-point device); top-15 per side, ties → node id
+    "q332_hits_scores" -> {
+      def half(prev: String, cur: String, inKey: String, outKey: String,
+          inCol: String, outCol: String) =
+        s"""${cur}r AS MATERIALIZED (SELECT $outKey,
+             CAST(sum($inCol) AS HUGEINT) AS raw
+           FROM edges JOIN $prev USING ($inKey) GROUP BY 1),
+         $cur AS MATERIALIZED (SELECT $outKey,
+             CAST(raw * 1000000 // (SELECT max(raw) FROM ${cur}r)
+               AS BIGINT) AS $outCol
+           FROM ${cur}r)"""
+      def round(r: Int) =
+        half(s"h${r - 1}", s"a$r", "cust", "part", "hub", "auth") + ",\n" +
+          half(s"a$r", s"h$r", "part", "cust", "auth", "hub")
+      s"""WITH edges AS MATERIALIZED (
+           SELECT DISTINCT o.o_custkey AS cust, l.l_partkey AS part
+           FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+         h0 AS (SELECT DISTINCT cust, CAST(1000000 AS BIGINT) AS hub
+           FROM edges),
+         ${round(1)},
+         ${round(2)},
+         ${round(3)},
+         ta AS (SELECT 'auth' AS side, part AS node_id, auth AS score_ppm
+           FROM a3 ORDER BY auth DESC, part LIMIT 15),
+         th AS (SELECT 'hub' AS side, cust AS node_id, hub AS score_ppm
+           FROM h3 ORDER BY hub DESC, cust LIMIT 15),
+         u AS (SELECT * FROM ta UNION ALL SELECT * FROM th)
+         SELECT side, node_id, score_ppm,
+           row_number() OVER (PARTITION BY side
+             ORDER BY score_ppm DESC, node_id) AS rk
+         FROM u ORDER BY side, rk"""
+    },
   )
 }

@@ -112,6 +112,10 @@ class PlanLintSpec extends SparkSpecBase {
     "q312_unigram_prune", "q313_cohens_kappa", "q316_bpe_roundtrip",
     "q321_share_shift", "q322_corpus_card", "q324_init_compare",
     "q327_quantile_sketch", "q329_bin_packing", "q330_dq_suite",
+    // (q332's 1-row max normalizers cross inside each half-round's
+    // localCheckpoint materialization and never reach the final
+    // executed plan — same situation as q324's candidate windows)
+
     "q30_simhash_neardup", "q31_cosine_topk", "q32_cosine_neardup",
     "q33_lsh_topk", "q42_approx_distinct", "q43_topk_aggregator",
     "q52_key_skew", "q57_centroid_assign", "q64_lsh_neardup",
