@@ -473,6 +473,8 @@ object SparkEntry {
       GraphOps.labelPropagation(s, d)),
     "q332_hits_scores"    -> ((s, d) =>
       GraphOps.hitsScores(s, d)),
+    "q333_bradley_terry"  -> ((s, d) =>
+      PipelineOps.bradleyTerry(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

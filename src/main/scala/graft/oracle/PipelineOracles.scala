@@ -880,5 +880,52 @@ private[graft] object PipelineOracles {
          SELECT packer, n_bins, (SELECT lb FROM tot) AS lower_bound_bins,
            max_tokens, min_tokens, overflow_bins, spread_ppm
          FROM prof ORDER BY packer""",
+    // q333: Bradley-Terry source preference ranking — deterministic
+    // duel table (per (lang, rank) the source pair's docs duel, longer
+    // wins, ties void), then 4 unrolled minorization rounds of
+    // p_i <- W_i / sum_j n_ij/(p_i+p_j) on 1e12/ppm floor-division
+    // grids, max-normalized per round (the q332 device)
+    "q333_bradley_terry" -> {
+      def round(r: Int) =
+        s"""den$r AS (SELECT m.si AS source,
+             CAST(sum(m.n_ij * 1000000000000
+               // greatest(pi.p + pj.p, 1)) AS BIGINT) AS den
+           FROM mat m JOIN p${r - 1} pi ON m.si = pi.source
+             JOIN p${r - 1} pj ON m.sj = pj.source GROUP BY 1),
+         raw$r AS MATERIALIZED (SELECT w.source,
+             CASE WHEN d.den > 0
+               THEN CAST(w.wins * 1000000000000 // d.den AS BIGINT)
+               ELSE 0 END AS raw
+           FROM wins w JOIN den$r d USING (source)),
+         p$r AS MATERIALIZED (SELECT source,
+             CAST(raw * 1000000 // greatest(
+               (SELECT max(raw) FROM raw$r), 1) AS BIGINT) AS p
+           FROM raw$r)"""
+      s"""WITH ranked AS (SELECT lang, source, n_chars, doc_id,
+             row_number() OVER (PARTITION BY source, lang
+               ORDER BY n_chars DESC, doc_id) AS rk
+           FROM documents),
+         mat AS MATERIALIZED (
+           SELECT a.source AS si, b.source AS sj,
+             CAST(count(*) AS BIGINT) AS n_ij,
+             CAST(sum(CASE WHEN a.n_chars > b.n_chars THEN 1 ELSE 0 END)
+               AS BIGINT) AS w_ij
+           FROM ranked a JOIN ranked b
+             ON a.lang = b.lang AND a.rk = b.rk
+               AND a.source <> b.source AND a.n_chars <> b.n_chars
+           GROUP BY 1, 2),
+         wins AS MATERIALIZED (SELECT si AS source,
+             CAST(sum(w_ij) AS BIGINT) AS wins,
+             CAST(sum(n_ij) AS BIGINT) AS duels
+           FROM mat GROUP BY 1),
+         p0 AS (SELECT source, CAST(1000000 AS BIGINT) AS p FROM wins),
+         ${round(1)},
+         ${round(2)},
+         ${round(3)},
+         ${round(4)}
+         SELECT w.source, w.duels, w.wins, p.p AS bt_ppm
+         FROM wins w JOIN p4 p USING (source)
+         ORDER BY bt_ppm DESC, source"""
+    },
   )
 }

@@ -32,4 +32,31 @@ class Round14bOpsSpec extends SparkSpecBase {
         r.getLong(3)))
     assert(out.toSeq === again.toSeq)
   }
+
+  test("q333 Bradley-Terry: a planted dominance chain orders strengths A > B > C > D, never-wins floors to 0") {
+    import spark.implicits._
+    // one lang, 4 sources x 3 ranks; lengths arranged so at every rank
+    // srcA > srcB > srcC > srcD — a strict dominance chain (D never
+    // wins a duel)
+    val docs = (for {
+      (src, base) <- Seq(("srcA", 400L), ("srcB", 300L),
+        ("srcC", 200L), ("srcD", 100L))
+      r <- 0 until 3
+    } yield (base * 10 + r, "x", "en", src, base - r))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = PipelineOps.bradleyTerryOn(docs, rounds = 4)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3)))
+    assert(out.map(_._1).toSeq === Seq("srcA", "srcB", "srcC", "srcD"))
+    // strengths strictly decrease down the chain; the winner holds the
+    // ppm normalization cap and the never-wins source floors to 0
+    assert(out.head._4 === 1000000L && out.last._4 === 0L)
+    assert(out.map(_._4).toSeq === out.map(_._4).toSeq.sorted.reverse)
+    assert(out.sliding(2).forall(p => p(0)._4 > p(1)._4))
+    // every source dueled every other at all 3 ranks (each unordered
+    // duel counts once in its own row of the ordered matrix)
+    assert(out.forall(_._2 === 9L))
+    // A wins all 9 of its duels; D wins none
+    assert(out.head._3 === 9L && out.last._3 === 0L)
+  }
 }
