@@ -475,6 +475,8 @@ object SparkEntry {
       GraphOps.hitsScores(s, d)),
     "q333_bradley_terry"  -> ((s, d) =>
       PipelineOps.bradleyTerry(s, d)),
+    "q334_greedy_coverage" -> ((s, d) =>
+      DedupOps.greedyCoverage(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -1366,4 +1366,63 @@ object DedupOps {
       .agg(count(lit(1)).as("n_clusters"))
       .orderBy(col("src_a"), col("src_b"))
   }
+
+  /** Greedy max-coverage data selection (q334): pick `k` documents that
+    * together cover the most distinct rare shingles — the
+    * facility-location/submodular-coreset selection a training-data
+    * pipeline runs to build a small, maximally-diverse seed set (the
+    * greedy algorithm carries the classic 1−1/e guarantee). Each round
+    * selects the doc with the largest MARGINAL gain (distinct df-capped
+    * shingles not yet covered; ties → smaller doc_id), then folds its
+    * new shingles into the covered set. The output trace is the
+    * selection order with per-round gain and the cumulative coverage
+    * curve — the duplicate-aware "how fast does coverage saturate"
+    * readout (a corpus of near-identical docs flatlines after round 1).
+    *
+    * Scale shape: `k` fixed rounds, each ONE corpus-scale pass over the
+    * shared df-capped postings (two anti-joins + a doc-keyed count) and
+    * a top-1 TakeOrdered — no driver-side loop over data, no collect;
+    * the covered set grows by at most one doc's shingles per round and
+    * is itself shuffle-joined (never broadcast-assumed). At 100 TB the
+    * documented knob is stochastic-greedy: each round samples a
+    * candidate pool (hash-deterministic) instead of scoring every doc —
+    * same guarantee in expectation, k× cheaper.
+    */
+  def greedyCoverage(spark: SparkSession, dir: String,
+      k: Int = 8): DataFrame =
+    greedyCoverageOn(
+      cachedShingleRows(spark, dir).select(col("doc_id"), col("tok")), k)
+
+  /** Core over an already-built distinct `(doc_id, tok)` postings
+    * relation (spec entry point; tok is any long key space).
+    */
+  private[graft] def greedyCoverageOn(post: DataFrame,
+      k: Int): DataFrame = {
+    val spark0 = post.sparkSession
+    var covered = spark0.range(0).select(col("id").as("tok"))
+    var selected = spark0.range(0).select(col("id").as("doc_id"))
+    val picks = Seq.newBuilder[DataFrame]
+    for (r <- 1 to k) {
+      val pick = post
+        .join(selected, Seq("doc_id"), "left_anti")
+        .join(covered, Seq("tok"), "left_anti")
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("gain"))
+        .orderBy(col("gain").desc, col("doc_id")).limit(1)
+        .select(lit(r).as("round"), col("doc_id"), col("gain"))
+        .localCheckpoint()
+      picks += pick
+      selected = selected
+        .unionByName(pick.select(col("doc_id"))).localCheckpoint()
+      covered = covered.unionByName(
+        post.join(pick.select(col("doc_id")), Seq("doc_id"), "left_semi")
+          .join(covered, Seq("tok"), "left_anti")
+          .select(col("tok"))).localCheckpoint()
+    }
+    // cumulative coverage over the ≤k-row trace (bounded by
+    // construction — the constant-grid window class)
+    picks.result().reduce(_ unionByName _)
+      .withColumn("covered_total",
+        sum(col("gain")).over(Window.orderBy(col("round"))))
+      .orderBy(col("round"))
+  }
 }

@@ -473,5 +473,42 @@ private[graft] object DedupOracles {
              AND a.source < b.source)
          SELECT src_a, src_b, count(*)::BIGINT AS n_clusters
          FROM px GROUP BY 1, 2 ORDER BY 1, 2"""),
+    // q334: greedy max-coverage selection — k unrolled rounds, each
+    // picking the doc with the largest marginal distinct-shingle gain
+    // (ties -> smaller doc_id) over the shared df-capped postings,
+    // then folding its new shingles into the covered set
+    "q334_greedy_coverage" -> {
+      val k = 8
+      def selSoFar(r: Int) =
+        (1 until r).map(i => s"SELECT doc_id FROM s$i").mkString(" UNION ALL ")
+      def round(r: Int): String = {
+        val base =
+          if (r == 1) "p"
+          else s"""(SELECT p.doc_id, p.tok FROM p
+             ANTI JOIN c${r - 1} USING (tok)
+             WHERE p.doc_id NOT IN (${selSoFar(r)}))"""
+        val cov =
+          if (r == 1)
+            s"""c1 AS MATERIALIZED (SELECT DISTINCT tok
+               FROM p SEMI JOIN s1 USING (doc_id))"""
+          else
+            s"""c$r AS MATERIALIZED (SELECT tok FROM c${r - 1}
+               UNION SELECT tok FROM p SEMI JOIN s$r USING (doc_id))"""
+        s"""s$r AS MATERIALIZED (
+             SELECT $r AS round, doc_id, CAST(count(*) AS BIGINT) AS gain
+             FROM $base t GROUP BY 2
+             ORDER BY gain DESC, doc_id LIMIT 1),
+           $cov"""
+      }
+      "WITH " + shinglePostingsCte + s""",
+         p AS MATERIALIZED (SELECT doc_id, tok FROM tok),
+         ${(1 to k).map(round).mkString(",\n         ")},
+         sel AS (${(1 to k).map(i => s"SELECT * FROM s$i")
+        .mkString(" UNION ALL ")})
+         SELECT round, doc_id, gain,
+           CAST(sum(gain) OVER (ORDER BY round) AS BIGINT)
+             AS covered_total
+         FROM sel ORDER BY round"""
+    },
   )
 }

@@ -79,7 +79,10 @@ class PlanLintSpec extends SparkSpecBase {
     // q327's partitionless windows run over the SKETCH (adaptive
     // stride caps it at shards × ~1000 weighted rows, whatever the
     // corpus) and the v_c value-domain ECDF grid (q243 class)
-    "q327_quantile_sketch" -> Set("v_c"))
+    "q327_quantile_sketch" -> Set("v_c"),
+    // q334's cumulative-coverage fold runs over the ≤k-round selection
+    // trace (k = 8 by construction — the constant-grid class)
+    "q334_greedy_coverage" -> Set("round"))
 
   /** Queries whose BroadcastNestedLoopJoins are sanctioned: every BNLJ
     * here crosses in a frame bounded by construction — 1-row cap/stat

@@ -59,4 +59,24 @@ class Round14bOpsSpec extends SparkSpecBase {
     // A wins all 9 of its duels; D wins none
     assert(out.head._3 === 9L && out.last._3 === 0L)
   }
+
+  test("q334 greedy coverage: marginal gains beat raw size and the coverage curve is cumulative") {
+    import spark.implicits._
+    // doc 1 covers {1..10}; doc 2 covers {1..8, 100, 101} (10 shingles
+    // but only 2 NEW after doc 1); doc 3 covers {200..205} (6 disjoint).
+    // Greedy must pick 1 (gain 10), then 3 (gain 6 > doc 2's marginal
+    // 2), then 2 (gain 2) — pure size order would pick 2 second.
+    val post = ((1L to 10L).map(t => (1L, t)) ++
+      ((1L to 8L) ++ Seq(100L, 101L)).map(t => (2L, t)) ++
+      (200L to 205L).map(t => (3L, t))).toDF("doc_id", "tok")
+    val out = DedupOps.greedyCoverageOn(post, k = 3)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2),
+        r.getLong(3)))
+    assert(out.toSeq === Seq((1, 1L, 10L, 10L), (2, 3L, 6L, 16L),
+      (3, 2L, 2L, 18L)))
+    // exhausting the corpus: a 4th round has no candidate left and the
+    // trace stays at 3 rows on both engines
+    val out4 = DedupOps.greedyCoverageOn(post, k = 4).collect()
+    assert(out4.length === 3)
+  }
 }
