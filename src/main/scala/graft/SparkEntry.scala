@@ -477,6 +477,8 @@ object SparkEntry {
       PipelineOps.bradleyTerry(s, d)),
     "q334_greedy_coverage" -> ((s, d) =>
       DedupOps.greedyCoverage(s, d)),
+    "q335_dbscan_clusters" -> ((s, d) =>
+      SimilarityOps.dbscanClusters(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -1482,6 +1482,74 @@ object SimilarityOps {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** DBSCAN density clustering (q335) in cosine space: core points are
+    * vectors with ≥ `minPts` eps-neighbors (cosine ≥ `threshold`, 4dp),
+    * clusters are connected components of the core-core eps-graph
+    * (label = component-min core id, the q53 device), border points
+    * attach to the smallest cluster label among their core neighbors
+    * (the deterministic replacement for scan-order assignment in the
+    * original algorithm), everything else is noise. The output is the
+    * per-cluster census plus one `cluster_id = -1` noise row — the
+    * density readout that kmeans/IVF partitioning (q76/q81) cannot
+    * give: DBSCAN finds arbitrarily-shaped dense regions and REFUSES
+    * to assign outliers, which is exactly the embedding-space health
+    * question ("is this batch dense blobs + junk, or uniform mush?").
+    *
+    * Scale shape: the eps-graph rides the SAME complete-recall
+    * multi-table LSH bucketing as q64 (never the all-pairs product),
+    * widened for the lower threshold — at cos 0.30 with 96 tables × 3
+    * planes the per-pair miss is (1−q³)⁹⁶ ≈ 1e-10, so the candidate
+    * set equals the exact pair set on this data and the oracle replays
+    * the exact join. Degree/core/border are one aggregation each on
+    * the pair relation; the CC runs on the core-core subgraph in
+    * O(log n) large-star/small-star rounds. At 100 TB: raise nPlanes
+    * with corpus size (bucket economics), shard the CC as-is, and the
+    * `maxId` diagnostic bound falls away — nothing downstream of the
+    * bucketing is quadratic.
+    */
+  def dbscanClusters(spark: SparkSession, dir: String,
+      threshold: Double = 0.30, minPts: Int = 3, maxId: Long = 200,
+      nPlanes: Int = 3, nTables: Int = 96): DataFrame =
+    dbscanOn(Tables.embeddings(spark, dir).filter(col("vec_id") < maxId),
+      threshold, minPts, nPlanes, nTables)
+
+  private[graft] def dbscanOn(emb0: DataFrame, threshold: Double,
+      minPts: Int, nPlanes: Int, nTables: Int): DataFrame = {
+    val emb = emb0.select(col("vec_id"), col("embedding"))
+    // read by degree, core-edge, and border passes — materialize once
+    val pairs = lshNearDupDF(emb, threshold, nPlanes, nTables)
+      .select(col("id_a"), col("id_b")).localCheckpoint()
+    val sym = pairs.select(col("id_a").as("v"), col("id_b").as("n"))
+      .unionByName(pairs.select(col("id_b").as("v"), col("id_a").as("n")))
+    val core = sym.groupBy(col("v")).agg(count(lit(1)).as("deg"))
+      .filter(col("deg") >= minPts).select(col("v")).localCheckpoint()
+    val coreEdges = pairs
+      .join(core.withColumnRenamed("v", "id_a"), Seq("id_a"), "left_semi")
+      .join(core.withColumnRenamed("v", "id_b"), Seq("id_b"), "left_semi")
+    // a core point with no core neighbor still seeds its own cluster
+    val coreLab = core
+      .join(DedupOps.connectedComponents(coreEdges)
+        .withColumnRenamed("id", "v"), Seq("v"), "left")
+      .select(col("v"), coalesce(col("label"), col("v")).as("cluster_id"),
+        lit(1L).as("is_core"))
+    val borderLab = sym
+      .join(coreLab.select(col("v").as("n"), col("cluster_id")), Seq("n"))
+      .join(core, Seq("v"), "left_anti")
+      .groupBy(col("v")).agg(min(col("cluster_id")).as("cluster_id"))
+      .select(col("v"), col("cluster_id"), lit(0L).as("is_core"))
+    val assigned = coreLab.unionByName(borderLab).localCheckpoint()
+    val clusters = assigned.groupBy(col("cluster_id"))
+      .agg(sum(col("is_core")).as("n_core"),
+        (count(lit(1)) - sum(col("is_core"))).as("n_border"),
+        count(lit(1)).as("n_total"))
+    val noise = emb.agg(count(lit(1)).as("n_all"))
+      .crossJoin(broadcast(assigned.agg(count(lit(1)).as("n_asg"))))
+      .select(lit(-1L).as("cluster_id"), lit(0L).as("n_core"),
+        lit(0L).as("n_border"),
+        (col("n_all") - col("n_asg")).as("n_total"))
+    clusters.unionByName(noise).orderBy(col("cluster_id"))
+  }
+
   /** IVF index maintenance (q92): upsert a new vector batch into an
     * EXISTING index without retraining — the operation a 100 TB ANN
     * deployment runs on every ingest cycle (retraining the coarse

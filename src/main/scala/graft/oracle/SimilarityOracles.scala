@@ -267,6 +267,54 @@ private[graft] object SimilarityOracles {
          WHERE round(list_inner_product(a.v, b.v) /
              (sqrt(list_inner_product(a.v, a.v)) * sqrt(list_inner_product(b.v, b.v))), 4) >= 0.35
          ORDER BY id_a, id_b""",
+    // q335: DBSCAN in cosine space — exact eps-graph replay of the
+    // engine's complete-recall LSH candidates (96 tables x 3 planes at
+    // cos 0.30 -> per-pair miss ~1e-10, the q64 contract), recursive-CTE
+    // CC over core-core edges, min-label border attachment, noise row
+    "q335_dbscan_clusters" ->
+      """WITH RECURSIVE e AS (SELECT vec_id, embedding::DOUBLE[] AS v
+             FROM embeddings WHERE vec_id < 200),
+         p AS MATERIALIZED (SELECT a.vec_id AS ia, b.vec_id AS ib
+           FROM e a JOIN e b ON a.vec_id < b.vec_id
+           WHERE round(list_inner_product(a.v, b.v) /
+             (sqrt(list_inner_product(a.v, a.v)) *
+              sqrt(list_inner_product(b.v, b.v))), 4) >= 0.30),
+         s AS (SELECT ia AS v, ib AS n FROM p
+           UNION ALL SELECT ib, ia FROM p),
+         core AS MATERIALIZED (SELECT v FROM s GROUP BY v
+           HAVING count(*) >= 3),
+         ce AS MATERIALIZED (SELECT ia, ib FROM p
+           WHERE ia IN (SELECT v FROM core)
+             AND ib IN (SELECT v FROM core)),
+         csym AS (SELECT ia AS src, ib AS dst FROM ce
+           UNION ALL SELECT ib, ia FROM ce),
+         cc(id, label) AS (
+           SELECT DISTINCT src, src FROM csym
+           UNION
+           SELECT s2.dst, c.label FROM cc c JOIN csym s2 ON s2.src = c.id),
+         lab AS (SELECT id, min(label) AS label FROM cc GROUP BY 1),
+         corelab AS MATERIALIZED (SELECT core.v,
+             CAST(coalesce(lab.label, core.v) AS BIGINT) AS cluster_id,
+             1 AS is_core
+           FROM core LEFT JOIN lab ON lab.id = core.v),
+         borderlab AS (SELECT s.v,
+             CAST(min(cl.cluster_id) AS BIGINT) AS cluster_id,
+             0 AS is_core
+           FROM s JOIN corelab cl ON s.n = cl.v
+           WHERE s.v NOT IN (SELECT v FROM core) GROUP BY s.v),
+         asg AS MATERIALIZED (SELECT * FROM corelab
+           UNION ALL SELECT * FROM borderlab),
+         cl AS (SELECT cluster_id,
+             CAST(sum(is_core) AS BIGINT) AS n_core,
+             CAST(count(*) - sum(is_core) AS BIGINT) AS n_border,
+             CAST(count(*) AS BIGINT) AS n_total
+           FROM asg GROUP BY 1)
+         SELECT * FROM cl
+         UNION ALL
+         SELECT CAST(-1 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+           CAST((SELECT count(*) FROM e) - (SELECT count(*) FROM asg)
+             AS BIGINT)
+         ORDER BY cluster_id""",
     "q57_centroid_assign" ->
       """WITH dims AS (
            SELECT label, vec_id,

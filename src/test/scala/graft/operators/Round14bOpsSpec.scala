@@ -79,4 +79,30 @@ class Round14bOpsSpec extends SparkSpecBase {
     val out4 = DedupOps.greedyCoverageOn(post, k = 4).collect()
     assert(out4.length === 3)
   }
+
+  test("q335 DBSCAN: planted angular geometry yields two clusters, one border, one noise point") {
+    import spark.implicits._
+    // unit vectors in the xy-plane at chosen angles; threshold 0.5
+    // (60 deg). Cluster A at 0/10/20 deg (ids 1-3), cluster B at
+    // 120/130/140 deg (ids 4-6), border id 10 at -55 deg (within 60 of
+    // A's 0-deg member ONLY -> degree 1 < minPts 2, one core
+    // neighbor), noise id 20 at -120 deg (no neighbor at all)
+    def v(deg: Double) = {
+      val r = math.toRadians(deg)
+      Seq(math.cos(r).toFloat, math.sin(r).toFloat, 0.0f, 0.0f)
+    }
+    val emb = Seq(
+      (1L, v(0)), (2L, v(10)), (3L, v(20)),
+      (4L, v(120)), (5L, v(130)), (6L, v(140)),
+      (10L, v(-55)), (20L, v(-120))).toDF("vec_id", "embedding")
+    val out = SimilarityOps
+      .dbscanOn(emb, threshold = 0.5, minPts = 2, nPlanes = 3,
+        nTables = 96)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3)))
+    assert(out.toSeq === Seq(
+      (-1L, 0L, 0L, 1L),   // the -120 deg point is noise
+      (1L, 3L, 1L, 4L),    // cluster A: 3 cores + the -55 deg border
+      (4L, 3L, 0L, 3L)))   // cluster B: 3 cores
+  }
 }
