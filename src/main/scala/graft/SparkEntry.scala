@@ -479,6 +479,8 @@ object SparkEntry {
       DedupOps.greedyCoverage(s, d)),
     "q335_dbscan_clusters" -> ((s, d) =>
       SimilarityOps.dbscanClusters(s, d)),
+    "q336_personalized_pagerank" -> ((s, d) =>
+      GraphOps.personalizedPageRank(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

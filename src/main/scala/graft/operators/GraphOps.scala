@@ -714,4 +714,64 @@ object GraphOps {
       .withColumn("rk", row_number().over(wSide).cast("long"))
       .orderBy(col("side"), col("rk"))
   }
+
+  /** Personalized PageRank from hub seeds (q336): q113's fixed-point
+    * integer kernel with the teleport mass restricted to a seed set —
+    * the "expand from what I trust" primitive of training-data
+    * selection (seed benchmark-adjacent items, harvest the
+    * neighborhood by PPR mass) and of related-item retrieval. Seeds
+    * are the `nSeeds` highest-degree items of the co-occurrence grid
+    * (ties → smaller id) — deterministic, data-derived, and the
+    * interesting case (hub-seeded mass spreads fastest). All
+    * arithmetic in integer billionths with floor division (the q113
+    * device): init = U/|S| on seeds, per round each node keeps 15% of
+    * its teleport share (seeds only) + 85% of neighbor contributions.
+    * Non-seed ranks measure PROXIMITY to the seed set; items never
+    * reached stay at exactly 0.
+    *
+    * Scale shape: identical to q113 — one ranks⋈edges join per round
+    * on the session-cached degreed edge relation, node-scale rank
+    * frames, fixed round count, no collect. The seed pick is one
+    * degree-frame TakeOrdered.
+    */
+  def personalizedPageRank(spark: SparkSession, dir: String,
+      iters: Int = 3, nSeeds: Int = 4, minSupport: Int = 5,
+      topK: Int = 20): DataFrame =
+    pprOnEdges(cachedDegreedEdges(spark, dir, minSupport), iters, nSeeds,
+      topK)
+
+  private[graft] def pprOnEdges(edgesD: DataFrame, iters: Int,
+      nSeeds: Int, topK: Int): DataFrame = {
+    val nodes = edgesD.select(col("src").as("item")).distinct()
+    val seeds = edgesD.select(col("src"), col("d")).distinct()
+      .orderBy(col("d").desc, col("src"))
+      .limit(nSeeds).select(col("src").as("item"))
+      .localCheckpoint(eager = true)
+    val seeded = nodes.join(seeds.withColumn("is_seed", lit(1)),
+        Seq("item"), "left")
+      .select(col("item"),
+        coalesce(col("is_seed"), lit(0)).as("is_seed"))
+    val teleport = expr(
+      s"CASE WHEN is_seed = 1 THEN $Unit9 div $nSeeds ELSE 0L END")
+    val init = seeded.select(col("item"), col("is_seed"),
+      teleport.as("r"))
+    val ranks = (1 to iters).foldLeft(init) { (r, _) =>
+      val contrib = edgesD
+        .join(r.select(col("item").as("src"), col("r")), Seq("src"))
+        .groupBy(col("dst"))
+        .agg(sum(expr("r div d")).as("c"))
+      seeded
+        .join(contrib, col("item") === col("dst"), "left")
+        .select(col("item"), col("is_seed"),
+          (expr(s"(15 * CASE WHEN is_seed = 1 THEN $Unit9 div $nSeeds" +
+            " ELSE 0L END) div 100") +
+            expr("(85 * coalesce(c, 0L)) div 100")).as("r"))
+    }
+    ranks
+      .select(col("item"), col("is_seed"), col("r").as("ppr_q"),
+        round(col("r").cast("double") / lit(Unit9.toDouble), 6)
+          .as("ppr"))
+      .orderBy(col("ppr_q").desc, col("item"))
+      .limit(topK)
+  }
 }

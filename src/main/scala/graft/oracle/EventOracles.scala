@@ -1597,5 +1597,42 @@ private[graft] object EventOracles {
              ORDER BY score_ppm DESC, node_id) AS rk
          FROM u ORDER BY side, rk"""
     },
+    // q336: personalized PageRank — q113's fixed-point integer kernel
+    // with teleport mass restricted to the 4 highest-degree seeds;
+    // 3 unrolled rounds on the billionths grid, top-20
+    "q336_personalized_pagerank" -> {
+      def iter(prev: String, cur: String) =
+        s"""$cur AS (SELECT n.item, n.is_seed,
+             CAST((15 * (CASE WHEN n.is_seed = 1
+                 THEN CAST(1000000000 AS BIGINT) // 4 ELSE 0 END)) // 100
+               + (85 * coalesce(s.c, 0)) // 100 AS BIGINT) AS r
+           FROM sn n LEFT JOIN (
+             SELECT e.dst AS item,
+               CAST(sum($prev.r // deg.d) AS BIGINT) AS c
+             FROM edges e JOIN $prev ON e.src = $prev.item
+             JOIN deg ON e.src = deg.src GROUP BY 1) s
+           ON n.item = s.item)"""
+      "WITH " + coPairsCte + s""",
+         edges AS (SELECT i AS src, j AS dst FROM cpairs
+           UNION ALL SELECT j, i FROM cpairs),
+         deg AS (SELECT src, count(*) AS d FROM edges GROUP BY 1),
+         nodes AS (SELECT DISTINCT src AS item FROM edges),
+         seeds AS (SELECT src AS item FROM deg
+           ORDER BY d DESC, src LIMIT 4),
+         sn AS (SELECT n.item,
+             CASE WHEN s.item IS NULL THEN 0 ELSE 1 END AS is_seed
+           FROM nodes n LEFT JOIN seeds s ON n.item = s.item),
+         p0 AS (SELECT item, is_seed,
+             CAST(CASE WHEN is_seed = 1
+                 THEN CAST(1000000000 AS BIGINT) // 4 ELSE 0 END
+               AS BIGINT) AS r
+           FROM sn),
+         ${iter("p0", "p1")},
+         ${iter("p1", "p2")},
+         ${iter("p2", "p3")}
+         SELECT item, is_seed, r AS ppr_q,
+           round(CAST(r AS DOUBLE) / 1000000000.0, 6) AS ppr
+         FROM p3 ORDER BY ppr_q DESC, item LIMIT 20"""
+    },
   )
 }

@@ -105,4 +105,31 @@ class Round14bOpsSpec extends SparkSpecBase {
       (1L, 3L, 1L, 4L),    // cluster A: 3 cores + the -55 deg border
       (4L, 3L, 0L, 3L)))   // cluster B: 3 cores
   }
+
+  test("q336 PPR: mass stays in the seed's component and orders by proximity") {
+    import spark.implicits._
+    // hub 1 touches 2..5; chain 5-6; disconnected pair 10-11. With
+    // nSeeds = 1 the seed is the hub (degree 4) and teleport mass
+    // exists ONLY there.
+    val pairs = Seq((1L, 2L), (1L, 3L), (1L, 4L), (1L, 5L), (5L, 6L),
+      (10L, 11L)).toDF("i", "j")
+    val sym = pairs.select(col("i").as("src"), col("j").as("dst"))
+      .unionByName(pairs.select(col("j").as("src"), col("i").as("dst")))
+    val edgesD = sym.withColumn("d", count(lit(1)).over(
+      org.apache.spark.sql.expressions.Window.partitionBy(col("src"))))
+    val out = GraphOps.pprOnEdges(edgesD, iters = 3, nSeeds = 1,
+        topK = 10)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    // seed first with the dominant rank; its direct neighbors next
+    assert(out.head._1 === 1L && out.head._2 === 1)
+    val rank = out.map(t => t._1 -> t._3).toMap
+    assert(rank(2L) === rank(3L) && rank(3L) === rank(4L))
+    // the two-hop leaf trails its one-hop parent but is reached
+    // (6 gets 5's shed mass a round late)
+    assert(rank(6L) < rank(5L) && rank(6L) > 0L)
+    // the disconnected component never receives a single unit
+    assert(rank(10L) === 0L && rank(11L) === 0L)
+    // only the seed carries the flag
+    assert(out.count(_._2 == 1) === 1)
+  }
 }
