@@ -481,6 +481,8 @@ object SparkEntry {
       SimilarityOps.dbscanClusters(s, d)),
     "q336_personalized_pagerank" -> ((s, d) =>
       GraphOps.personalizedPageRank(s, d)),
+    "q337_sketch_overlap" -> ((s, d) =>
+      DedupOps.sketchOverlap(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -1425,4 +1425,61 @@ object DedupOps {
         sum(col("gain")).over(Window.orderBy(col("round"))))
       .orderBy(col("round"))
   }
+
+  /** Cross-source distinct-shingle overlap via HLL sketch algebra
+    * (q337): for every source pair, the exact distinct-token overlap
+    * and Jaccard next to a `union_within_bound` gate on the SKETCH
+    * path — |A∩B| estimated as est(A) + est(B) − est(A∪B) with ONE
+    * DataSketches HLL per source and pairwise `hll_union` at the
+    * 20-row sketch grid. This is the sketch-algebra pattern a 100 TB
+    * dedup planner actually runs: per-source sketches are built in one
+    * corpus pass (mergeable, map-side partial), and every pairwise
+    * union/intersection after that is METADATA-scale — no pairwise
+    * corpus joins. The exact side (token-keyed join, per-token fan-out
+    * bounded by the source enum²) is the test-scale referee the q42
+    * contract requires; at production scale only the sketch path runs
+    * and the exact columns become a sampled audit.
+    *
+    * Gate: |sketch∩ − exact∩| ≤ 5% of (|A|+|B|) + 1 — three stacked
+    * ~1.6%-rsd estimates (lgK = 12) sit far inside it on any split.
+    */
+  def sketchOverlap(spark: SparkSession, dir: String): DataFrame =
+    sketchOverlapOn(cachedDistinctShingles(spark, dir)
+      .join(Tables.documents(spark, dir)
+        .select(col("doc_id"), col("source")), "doc_id")
+      .select(col("source"), col("tok")))
+
+  /** Core over any `(source, tok)` relation (spec entry point). */
+  private[graft] def sketchOverlapOn(st0: DataFrame): DataFrame = {
+    val st = st0.distinct().localCheckpoint()
+    val per = st.groupBy(col("source"))
+      .agg(count(lit(1)).as("nd"), hll_sketch_agg(col("tok")).as("sk"))
+      .localCheckpoint()
+    val ov = st.select(col("source").as("src_a"), col("tok"))
+      .join(st.select(col("source").as("src_b"), col("tok")), Seq("tok"))
+      .filter(col("src_a") < col("src_b"))
+      .groupBy(col("src_a"), col("src_b"))
+      .agg(count(lit(1)).as("overlap"))
+    val grid = per.select(col("source").as("src_a"),
+        col("nd").as("exact_a"), col("sk").as("ska"))
+      .join(broadcast(per.select(col("source").as("src_b"),
+        col("nd").as("exact_b"), col("sk").as("skb"))),
+        col("src_a") < col("src_b"))
+    grid.join(ov, Seq("src_a", "src_b"), "left")
+      .select(col("src_a"), col("src_b"), col("exact_a"), col("exact_b"),
+        coalesce(col("overlap"), lit(0L)).as("overlap"),
+        hll_sketch_estimate(col("ska")).as("ea"),
+        hll_sketch_estimate(col("skb")).as("eb"),
+        hll_sketch_estimate(hll_union(col("ska"), col("skb"))).as("eu"))
+      .select(col("src_a"), col("src_b"), col("exact_a"), col("exact_b"),
+        col("overlap"),
+        expr("overlap * 1000000 div (exact_a + exact_b - overlap)")
+          .as("jaccard_ppm"),
+        (abs(col("ea") + col("eb") - col("eu") - col("overlap"))
+          .cast("double") <=
+          lit(0.05) * (col("exact_a") + col("exact_b")).cast("double")
+            + lit(1.0))
+          .cast("int").as("union_within_bound"))
+      .orderBy(col("src_a"), col("src_b"))
+  }
 }

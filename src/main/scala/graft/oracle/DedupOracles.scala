@@ -510,5 +510,31 @@ private[graft] object DedupOracles {
              AS covered_total
          FROM sel ORDER BY round"""
     },
+    // q337: cross-source distinct-shingle overlap — exact counts and
+    // Jaccard replayed relationally; the HLL-union sketch path is the
+    // engine's and gates as a literal (the q42 contract). Rides the
+    // UNCAPPED t0 relation of the shared shingle CTE.
+    "q337_sketch_overlap" ->
+      ("WITH " + graft.oracle.OracleCtes.shinglePostingsCte + """,
+         st AS MATERIALIZED (SELECT DISTINCT d.source, t.tok
+           FROM t0 t JOIN documents d USING (doc_id)),
+         per AS MATERIALIZED (SELECT source,
+             CAST(count(*) AS BIGINT) AS nd
+           FROM st GROUP BY 1),
+         ov AS MATERIALIZED (SELECT a.source AS src_a, b.source AS src_b,
+             CAST(count(*) AS BIGINT) AS overlap
+           FROM st a JOIN st b ON a.tok = b.tok AND a.source < b.source
+           GROUP BY 1, 2),
+         grid AS (SELECT a.source AS src_a, b.source AS src_b,
+             a.nd AS exact_a, b.nd AS exact_b
+           FROM per a JOIN per b ON a.source < b.source)
+         SELECT g.src_a, g.src_b, g.exact_a, g.exact_b,
+           coalesce(o.overlap, 0) AS overlap,
+           CAST(coalesce(o.overlap, 0) * 1000000
+             // (g.exact_a + g.exact_b - coalesce(o.overlap, 0))
+             AS BIGINT) AS jaccard_ppm,
+           CAST(1 AS INT) AS union_within_bound
+         FROM grid g LEFT JOIN ov o USING (src_a, src_b)
+         ORDER BY src_a, src_b"""),
   )
 }

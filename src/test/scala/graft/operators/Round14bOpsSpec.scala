@@ -132,4 +132,25 @@ class Round14bOpsSpec extends SparkSpecBase {
     // only the seed carries the flag
     assert(out.count(_._2 == 1) === 1)
   }
+
+  test("q337 sketch overlap: planted token sets report exact overlaps and the sketch path stays in bound") {
+    import spark.implicits._
+    // A = {t1..t10}, B = {t6..t15} (overlap 5), C = {u1..u5} (disjoint)
+    val st = ((1 to 10).map(i => ("srcA", s"t$i")) ++
+      (6 to 15).map(i => ("srcB", s"t$i")) ++
+      (1 to 5).map(i => ("srcC", s"u$i"))).toDF("source", "tok")
+    val out = DedupOps.sketchOverlapOn(st)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getInt(6)))
+    assert(out.map(t => (t._1, t._2)).toSeq ===
+      Seq(("srcA", "srcB"), ("srcA", "srcC"), ("srcB", "srcC")))
+    val ab = out(0)
+    // exact overlap 5 of 15 union -> Jaccard 333333 ppm
+    assert(ab._3 === 10L && ab._4 === 10L && ab._5 === 5L &&
+      ab._6 === 333333L)
+    // zero-overlap pairs still appear, at exactly 0
+    assert(out(1)._5 === 0L && out(1)._6 === 0L)
+    // at these cardinalities the HLL path is exact -> every gate green
+    assert(out.forall(_._7 === 1))
+  }
 }
