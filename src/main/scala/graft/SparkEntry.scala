@@ -483,6 +483,8 @@ object SparkEntry {
       GraphOps.personalizedPageRank(s, d)),
     "q337_sketch_overlap" -> ((s, d) =>
       DedupOps.sketchOverlap(s, d)),
+    "q338_bootstrap_ci"   -> ((s, d) =>
+      PipelineOps.bootstrapCi(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

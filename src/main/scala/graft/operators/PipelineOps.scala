@@ -927,4 +927,78 @@ object PipelineOps {
         col("p").as("bt_ppm"))
       .orderBy(col("bt_ppm").desc, col("source"))
   }
+
+  /** Poisson-bootstrap confidence intervals (q338): per-source mean
+    * document length with a deterministic 64-replica bootstrap CI —
+    * the uncertainty quantification a corpus report should carry next
+    * to every point estimate (q322's data card reports means; this
+    * says how much to trust them). The classic multinomial bootstrap
+    * is sequential (it needs n known and a global resample); the
+    * POISSON bootstrap — each row enters each replica w ~ Poisson(1)
+    * times — is the distributed form: one pass, per-row independent
+    * draws, map-side partial aggregation, which is why it is the
+    * variant used over massive datasets. Draws are md5-ppm coins cut
+    * at the Poisson(1) CDF (w ∈ 0..4, P(w>4) ≈ 0.4% folded into w=4),
+    * so both engines replay the same replicas bit-for-bit.
+    *
+    * CI = exact rank picks at ceil(0.05·L)/ceil(0.95·L) over the L
+    * live replica means (integer-milli means via floor division;
+    * replica ties broken by replica id) — the house discrete-quantile
+    * device, never an interpolated percentile. Scale shape: the
+    * corpus-scale work is ONE pass over documents × R (row-local
+    * coins, (source, replica)-keyed partial sums); everything after is
+    * |sources|×R-bounded. The per-source rank window runs over ≤R
+    * rows.
+    */
+  def bootstrapCi(spark: SparkSession, dir: String,
+      replicas: Int = 64): DataFrame =
+    bootstrapCiOn(Tables.documents(spark, dir), replicas)
+
+  private[graft] def bootstrapCiOn(docs: DataFrame,
+      replicas: Int): DataFrame = {
+    val base = docs.select(col("doc_id"), col("source"),
+      col("n_chars").cast("long").as("x"))
+    val full = base.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        expr("sum(x) * 1000 div count(1)").as("mean_milli"))
+    // Poisson(1) CDF cut points in ppm: P(0)=.367879, P(≤1)=.735759,
+    // P(≤2)=.919699, P(≤3)=.981012; the tail folds into w=4
+    val rep = base
+      .select(col("doc_id"), col("source"), col("x"),
+        explode(expr(s"sequence(1, $replicas)")).as("r"))
+      .withColumn("u", pmod(
+        conv(substring(md5(concat(col("doc_id").cast("string"),
+          lit("_bs"), col("r").cast("string"))), 1, 5), 16, 10)
+          .cast("long"), lit(1000000L)))
+      .withColumn("w",
+        when(col("u") < 367879L, 0L).when(col("u") < 735759L, 1L)
+          .when(col("u") < 919699L, 2L).when(col("u") < 981012L, 3L)
+          .otherwise(4L))
+      .groupBy(col("source"), col("r"))
+      .agg(sum(col("w")).as("sw"), sum(col("w") * col("x")).as("swx"))
+      .filter(col("sw") > 0)
+      .select(col("source"), col("r"),
+        expr("swx * 1000 div sw").as("m"))
+      .localCheckpoint() // read by both the rank pass and the live count
+    val ranked = rep.withColumn("rk", row_number().over(
+      Window.partitionBy(col("source"))
+        .orderBy(col("m"), col("r"))))
+    // rank targets need n_live first; two-step: counts, then picks
+    val live = rep.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_live"))
+      .select(col("source"), col("n_live"),
+        expr("(n_live * 5 + 99) div 100").as("lo_rk"),
+        expr("(n_live * 95 + 99) div 100").as("hi_rk"))
+    val picks = ranked.join(live, Seq("source"))
+      .groupBy(col("source"))
+      .agg(max(when(col("rk") === col("lo_rk"), col("m")))
+          .as("ci_lo_milli"),
+        max(when(col("rk") === col("hi_rk"), col("m")))
+          .as("ci_hi_milli"),
+        max(col("n_live")).as("n_live"))
+    full.join(picks, Seq("source"))
+      .select(col("source"), col("n_docs"), col("mean_milli"),
+        col("n_live"), col("ci_lo_milli"), col("ci_hi_milli"))
+      .orderBy(col("source"))
+  }
 }

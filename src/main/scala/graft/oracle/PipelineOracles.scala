@@ -927,5 +927,50 @@ private[graft] object PipelineOracles {
          FROM wins w JOIN p4 p USING (source)
          ORDER BY bt_ppm DESC, source"""
     },
+    // q338: Poisson-bootstrap CI — 64 deterministic replicas (md5-ppm
+    // coins cut at the Poisson(1) CDF), integer-milli replica means,
+    // exact rank picks at ceil(.05 L)/ceil(.95 L) of the live replicas
+    "q338_bootstrap_ci" ->
+      """WITH base AS (SELECT doc_id, source,
+             CAST(n_chars AS BIGINT) AS x
+           FROM documents),
+         full_m AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(x) * 1000 // count(*) AS BIGINT) AS mean_milli
+           FROM base GROUP BY 1),
+         draws AS (SELECT b.source, b.x, r.range AS r,
+             (CAST(list_sum([(strpos('0123456789abcdef',
+                  substr(md5(b.doc_id || '_bs' || r.range), i, 1))
+                - 1)::BIGINT * (1::BIGINT << (4*(5-i)))
+                for i in range(1, 6)]) AS BIGINT) % 1000000) AS u
+           FROM base b, range(1, 65) r),
+         rep AS MATERIALIZED (SELECT source, r,
+             CAST(sum(w) AS BIGINT) AS sw,
+             CAST(sum(w * x) AS BIGINT) AS swx
+           FROM (SELECT source, x, r,
+               CASE WHEN u < 367879 THEN 0 WHEN u < 735759 THEN 1
+                 WHEN u < 919699 THEN 2 WHEN u < 981012 THEN 3
+                 ELSE 4 END AS w
+             FROM draws)
+           GROUP BY 1, 2),
+         repm AS MATERIALIZED (SELECT source, r,
+             CAST(swx * 1000 // sw AS BIGINT) AS m
+           FROM rep WHERE sw > 0),
+         ranked AS (SELECT source, r, m,
+             row_number() OVER (PARTITION BY source ORDER BY m, r) AS rk
+           FROM repm),
+         live AS (SELECT source, CAST(count(*) AS BIGINT) AS n_live,
+             (count(*) * 5 + 99) // 100 AS lo_rk,
+             (count(*) * 95 + 99) // 100 AS hi_rk
+           FROM repm GROUP BY 1),
+         picks AS (SELECT ra.source,
+             max(CASE WHEN ra.rk = l.lo_rk THEN ra.m END)
+               AS ci_lo_milli,
+             max(CASE WHEN ra.rk = l.hi_rk THEN ra.m END)
+               AS ci_hi_milli,
+             max(l.n_live) AS n_live
+           FROM ranked ra JOIN live l USING (source) GROUP BY 1)
+         SELECT f.source, f.n_docs, f.mean_milli, p.n_live,
+           p.ci_lo_milli, p.ci_hi_milli
+         FROM full_m f JOIN picks p USING (source) ORDER BY source""",
   )
 }

@@ -153,4 +153,30 @@ class Round14bOpsSpec extends SparkSpecBase {
     // at these cardinalities the HLL path is exact -> every gate green
     assert(out.forall(_._7 === 1))
   }
+
+  test("q338 bootstrap: constant data collapses the CI to the mean; CI is ordered and deterministic") {
+    import spark.implicits._
+    // srcK: constant length 100 -> every live replica mean is exactly
+    // 100000 milli, so lo = hi = mean. srcV: two distinct lengths.
+    val docs = ((1L to 12L).map(i => (i, "en", "srcK", 100L)) ++
+      (101L to 112L).map(i =>
+        (i, "en", "srcV", if (i % 2 == 0) 50L else 150L)))
+      .toDF("doc_id", "lang", "source", "n_chars")
+    val out = PipelineOps.bootstrapCiOn(docs, replicas = 64)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+    val k = out.find(_._1 == "srcK").get
+    assert(k._2 === 12L && k._3 === 100000L &&
+      k._5 === 100000L && k._6 === 100000L)
+    val v = out.find(_._1 == "srcV").get
+    // ordered CI straddling the point estimate's neighborhood, every
+    // replica live at this corpus size
+    assert(v._5 <= v._3 && v._3 <= v._6 && v._5 < v._6)
+    assert(out.forall(t => t._4 > 0 && t._4 <= 64))
+    // pure function of the input
+    val again = PipelineOps.bootstrapCiOn(docs, replicas = 64)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(out.toSeq === again.toSeq)
+  }
 }
