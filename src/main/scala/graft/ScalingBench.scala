@@ -49,7 +49,15 @@ object ScalingBench {
       // run at vocabulary scale (per-round cost linear in corpus size
       // is the claim the probe checks); q309 rides the shared postings
       // index with a broadcast query side
-      "q307_unigram_lm", "q309_qlm_topk")
+      "q307_unigram_lm", "q309_qlm_topk",
+      // round-14b: q333's duel matrix is one rank window + a
+      // source-enum-bounded self-join (BT rounds are metadata-scale);
+      // q334 is k fixed corpus passes (the greedy-coverage claim: each
+      // round linear, never quadratic); q337 is one sketch pass + a
+      // token join with enum²-bounded fan-out; q338 is one R×-fanout
+      // pass onto (source × replica) partial sums
+      "q333_bradley_terry", "q334_greedy_coverage",
+      "q337_sketch_overlap", "q338_bootstrap_ci")
       .map(q => Probe(q, "documents", SparkEntry.queries(q))) ++ Seq(
       // span family: exact (oracle-gated) keys and the hashed-key 100 TB
       // variant (xxhash64 span keys on both span shuffles)
@@ -72,6 +80,15 @@ object ScalingBench {
       Probe("q64_lsh_neardup_full", "embeddings", (s, d) =>
         SimilarityOps.lshNearDupDF(Tables.embeddings(s, d),
           nPlanes = SimilarityOps.planesFor(embCount(s, d)))),
+      // q335 over the FULL embedding table with planesFor-scaled
+      // buckets (the production configuration — the maxId diagnostic
+      // bound falls away; the probe checks the eps-graph + CC chain
+      // stays near-linear as the corpus grows)
+      Probe("q335_dbscan_full", "embeddings", (s, d) =>
+        SimilarityOps.dbscanOn(Tables.embeddings(s, d),
+          threshold = 0.30, minPts = 3,
+          nPlanes = SimilarityOps.planesFor(embCount(s, d)),
+          nTables = 96)),
       // IVF probes a fixed nProbe/#lists corpus fraction, so its cost is
       // linear in corpus size by construction — the probe verifies the
       // codebook/assignment stages (posexplode + crossJoin-broadcast)
