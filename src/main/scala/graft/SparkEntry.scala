@@ -485,6 +485,8 @@ object SparkEntry {
       DedupOps.sketchOverlap(s, d)),
     "q338_bootstrap_ci"   -> ((s, d) =>
       PipelineOps.bootstrapCi(s, d)),
+    "q339_reshard_plan"   -> ((s, d) =>
+      IncrementalOps.reshardPlan(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

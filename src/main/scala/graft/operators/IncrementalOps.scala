@@ -701,4 +701,65 @@ object IncrementalOps {
       .delete(root, true)
     res
   }
+
+  /** Consistent-hash reshard planner (q339): the movement plan for
+    * growing a doc-sharded store from `nBefore` to `nBefore+1` shards
+    * on a virtual-node hash ring — the resharding-cost estimate a
+    * 100 TB store runs BEFORE committing to a topology change. Docs
+    * and vnodes hash onto a 60-bit md5 ring (`vnodes` per shard); a
+    * doc lives on the shard owning its clockwise successor vnode.
+    * The consistent-hashing contract is then MEASURED, not assumed:
+    * every moved doc lands on the NEW shard (old→old moves are
+    * structurally impossible — only arcs captured by new vnodes
+    * change owner), and the moved share sits near vnode-share
+    * expectation (≈ 1/(n+1)). The output is the per-(from, to) move
+    * matrix plus a `*` total row carrying moved ppm — modulo-sharding
+    * by contrast would move ~n/(n+1) of all keys.
+    *
+    * Scale shape: both ring assignments are ONE map-side pass each —
+    * the ring is a broadcast (nShards × vnodes)-row grid (128/144 rows
+    * here), the successor pick a struct-min aggregate per doc. At
+    * 100 TB the documented knob replaces the grid expansion with a
+    * sorted-ring binary-search expression (same broadcast, O(log V)
+    * per row); nothing else changes.
+    */
+  def reshardPlan(spark: SparkSession, dir: String, nBefore: Int = 8,
+      vnodes: Int = 16): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val docs = graft.Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10)
+          .cast("long").as("pos"))
+    def ring(n: Int) = spark.range(n)
+      .select(concat(lit("s"), col("id")).as("shard"),
+        explode(expr(s"sequence(0, ${vnodes - 1})")).as("v"))
+      .select(col("shard"),
+        conv(substring(md5(concat(col("shard"), lit("_v"),
+          col("v").cast("string"))), 1, 15), 16, 10)
+          .cast("long").as("vpos"))
+    def assign(r: org.apache.spark.sql.DataFrame, out: String) =
+      docs.crossJoin(broadcast(r))
+        .groupBy(col("doc_id"), col("pos"))
+        .agg(min(when(col("vpos") >= col("pos"),
+            struct(col("vpos"), col("shard")))).as("succ"),
+          min(struct(col("vpos"), col("shard"))).as("wrap"))
+        .select(col("doc_id"),
+          coalesce(col("succ"), col("wrap")).getField("shard").as(out))
+    val plan = assign(ring(nBefore), "from_shard")
+      .join(assign(ring(nBefore + 1), "to_shard"), Seq("doc_id"))
+      .localCheckpoint()
+    val moves = plan.filter(col("from_shard") =!= col("to_shard"))
+      .groupBy(col("from_shard"), col("to_shard"))
+      .agg(count(lit(1)).as("n_docs"))
+    val total = plan.agg(count(lit(1)).as("n_all"),
+      sum(when(col("from_shard") =!= col("to_shard"), 1L)
+        .otherwise(0L)).as("n_moved"))
+    moves.crossJoin(broadcast(total))
+      .select(col("from_shard"), col("to_shard"), col("n_docs"),
+        expr("n_docs * 1000000 div n_all").as("share_ppm"))
+      .unionByName(total.select(lit("*").as("from_shard"),
+        lit("*").as("to_shard"), col("n_moved").as("n_docs"),
+        expr("n_moved * 1000000 div n_all").as("share_ppm")))
+      .orderBy(col("from_shard"), col("to_shard"))
+  }
 }

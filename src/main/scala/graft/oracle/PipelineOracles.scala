@@ -972,5 +972,50 @@ private[graft] object PipelineOracles {
          SELECT f.source, f.n_docs, f.mean_milli, p.n_live,
            p.ci_lo_milli, p.ci_hi_milli
          FROM full_m f JOIN picks p USING (source) ORDER BY source""",
+    // q339: consistent-hash reshard plan — 60-bit md5 ring, 16 vnodes
+    // per shard, successor-vnode ownership; move matrix for 8 -> 9
+    // shards plus the '*' total row. Every moved doc must land on the
+    // NEW shard (the minimal-movement contract, measured).
+    "q339_reshard_plan" -> {
+      def hx(arg: String) =
+        s"""(CAST(list_sum([(strpos('0123456789abcdef',
+              substr(md5($arg), i, 1)) - 1)::BIGINT
+            * (1::BIGINT << (4*(15-i))) for i in range(1, 16)])
+          AS BIGINT))"""
+      def ring(name: String, n: Int) =
+        s"""$name AS MATERIALIZED (SELECT 's' || s.range AS shard,
+             ${hx("'s' || s.range || '_v' || v.range")} AS vpos
+           FROM range(0, $n) s, range(0, 16) v)"""
+      def asg(name: String, ringName: String, out: String) =
+        s"""$name AS MATERIALIZED (SELECT doc_id, shard AS $out FROM (
+             SELECT d.doc_id, r.shard,
+               row_number() OVER (PARTITION BY d.doc_id
+                 ORDER BY (r.vpos < d.pos), r.vpos, r.shard) AS rn
+             FROM docs d CROSS JOIN $ringName r) WHERE rn = 1)"""
+      s"""WITH docs AS MATERIALIZED (SELECT doc_id,
+             ${hx("doc_id::VARCHAR")} AS pos
+           FROM documents),
+         ${ring("ring8", 8)},
+         ${ring("ring9", 9)},
+         ${asg("asgb", "ring8", "from_shard")},
+         ${asg("asga", "ring9", "to_shard")},
+         plan AS MATERIALIZED (SELECT b.doc_id, b.from_shard, a.to_shard
+           FROM asgb b JOIN asga a USING (doc_id)),
+         tot AS (SELECT CAST(count(*) AS BIGINT) AS n_all,
+             CAST(sum(CASE WHEN from_shard <> to_shard THEN 1 ELSE 0
+               END) AS BIGINT) AS n_moved
+           FROM plan),
+         moves AS (SELECT from_shard, to_shard,
+             CAST(count(*) AS BIGINT) AS n_docs
+           FROM plan WHERE from_shard <> to_shard GROUP BY 1, 2)
+         SELECT m.from_shard, m.to_shard, m.n_docs,
+           CAST(m.n_docs * 1000000 // t.n_all AS BIGINT) AS share_ppm
+         FROM moves m, tot t
+         UNION ALL
+         SELECT '*', '*', n_moved,
+           CAST(n_moved * 1000000 // n_all AS BIGINT)
+         FROM tot
+         ORDER BY from_shard, to_shard"""
+    },
   )
 }

@@ -179,4 +179,22 @@ class Round14bOpsSpec extends SparkSpecBase {
         r.getLong(3), r.getLong(4), r.getLong(5)))
     assert(out.toSeq === again.toSeq)
   }
+
+  test("q339 reshard plan: every move lands on the new shard and the moved share stays near 1/(n+1)") {
+    val out = IncrementalOps.reshardPlan(spark, sf0001)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3)))
+    val (total, moves) = out.partition(_._1 == "*")
+    // the consistent-hashing contract, measured: old->old moves are
+    // structurally impossible — only arcs captured by s8's new vnodes
+    // change owner
+    assert(moves.nonEmpty && moves.forall(_._2 === "s8"))
+    assert(total.length === 1)
+    // moved share in the consistent-hash regime (vnode-share ~111k ppm
+    // with 16-vnode variance), nowhere near modulo-sharding's ~889k
+    val ppm = total.head._4
+    assert(ppm > 20000L && ppm < 400000L, s"moved_ppm $ppm")
+    // the move matrix reconciles with the total
+    assert(moves.map(_._3).sum === total.head._3)
+  }
 }
