@@ -487,6 +487,8 @@ object SparkEntry {
       PipelineOps.bootstrapCi(s, d)),
     "q339_reshard_plan"   -> ((s, d) =>
       IncrementalOps.reshardPlan(s, d)),
+    "q340_eps_percolation" -> ((s, d) =>
+      SimilarityOps.epsPercolation(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

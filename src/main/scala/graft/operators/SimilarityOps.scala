@@ -1550,6 +1550,58 @@ object SimilarityOps {
     clusters.unionByName(noise).orderBy(col("cluster_id"))
   }
 
+  /** Epsilon-percolation sweep (q340): component structure of the
+    * cosine eps-graph at a THRESHOLD GRID — edges, covered nodes,
+    * component count, and giant-component share per cut. This is the
+    * percolation diagnostic that SIZES similarity thresholds: set the
+    * dedup/clustering cut below the percolation point and everything
+    * fuses into one giant cluster (q335's first parameterization
+    * measured exactly that — one component at 0.25); above it, the
+    * graph shatters into singletons. The q184 threshold sweep answers
+    * this for text Jaccard; this is the embedding-space twin.
+    *
+    * Scale shape: ONE complete-recall LSH candidate build at the
+    * loosest threshold (the q335/q64 contract), cos retained on the
+    * pair rows; each grid point is a filter + the O(log n)
+    * large-star/small-star CC on the shrinking edge set. Grid size is
+    * a constant; the corpus contributes one bucketed candidate pass.
+    */
+  def epsPercolation(spark: SparkSession, dir: String,
+      thresholds: Seq[Double] = Seq(0.30, 0.33, 0.35, 0.40),
+      maxId: Long = 200, nPlanes: Int = 3, nTables: Int = 96)
+      : DataFrame =
+    epsPercolationOn(
+      Tables.embeddings(spark, dir).filter(col("vec_id") < maxId),
+      thresholds, nPlanes, nTables)
+
+  private[graft] def epsPercolationOn(emb0: DataFrame,
+      thresholds: Seq[Double], nPlanes: Int, nTables: Int): DataFrame = {
+    val emb = emb0.select(col("vec_id"), col("embedding"))
+    val pairs = lshNearDupDF(emb, thresholds.min, nPlanes, nTables)
+      .localCheckpoint()
+    val nAll = emb.agg(count(lit(1)).as("n_all"))
+    val perT = thresholds.sorted.map { t =>
+      val tp = pairs.filter(col("cos") >= t)
+        .select(col("id_a"), col("id_b"))
+      val comp = DedupOps.connectedComponents(tp)
+        .groupBy(col("label")).agg(count(lit(1)).as("sz"))
+      tp.agg(count(lit(1)).as("n_edges"))
+        .crossJoin(broadcast(comp.agg(
+          count(lit(1)).as("n_components"),
+          coalesce(sum(col("sz")), lit(0L)).as("n_nodes"),
+          coalesce(max(col("sz")), lit(0L)).as("giant"))))
+        .select(lit(math.round(t * 10000).toInt).as("t_bp"),
+          col("n_edges"), col("n_nodes"), col("n_components"),
+          col("giant"))
+    }
+    perT.reduce(_ unionByName _)
+      .crossJoin(broadcast(nAll))
+      .select(col("t_bp"), col("n_edges"), col("n_nodes"),
+        col("n_components"),
+        expr("giant * 1000000 div n_all").as("giant_ppm"))
+      .orderBy(col("t_bp"))
+  }
+
   /** IVF index maintenance (q92): upsert a new vector batch into an
     * EXISTING index without retraining — the operation a 100 TB ANN
     * deployment runs on every ingest cycle (retraining the coarse

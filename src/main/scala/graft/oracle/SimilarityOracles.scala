@@ -315,6 +315,46 @@ private[graft] object SimilarityOracles {
            CAST((SELECT count(*) FROM e) - (SELECT count(*) FROM asg)
              AS BIGINT)
          ORDER BY cluster_id""",
+    // q340: epsilon-percolation sweep — exact eps-graph at each grid
+    // threshold (one pair CTE at the loosest cut, cos retained), one
+    // recursive CC per cut, giant-component share vs all 200 vectors
+    "q340_eps_percolation" -> {
+      val grid = Seq(3000, 3300, 3500, 4000)
+      def block(bp: Int) =
+        s"""p$bp AS MATERIALIZED (SELECT ia, ib FROM p
+             WHERE c >= ${bp / 10000.0}),
+         s$bp AS (SELECT ia AS src, ib AS dst FROM p$bp
+           UNION ALL SELECT ib, ia FROM p$bp),
+         cc$bp(id, label) AS (
+           SELECT DISTINCT src, src FROM s$bp
+           UNION
+           SELECT s2.dst, c.label FROM cc$bp c
+             JOIN s$bp s2 ON s2.src = c.id),
+         lab$bp AS MATERIALIZED (SELECT id, min(label) AS label
+           FROM cc$bp GROUP BY 1),
+         comp$bp AS (SELECT label, count(*) AS sz FROM lab$bp
+           GROUP BY 1)"""
+      def row(bp: Int) =
+        s"""SELECT $bp AS t_bp,
+           (SELECT count(*) FROM p$bp)::BIGINT AS n_edges,
+           (SELECT count(*) FROM lab$bp)::BIGINT AS n_nodes,
+           (SELECT count(*) FROM comp$bp)::BIGINT AS n_components,
+           CAST(coalesce((SELECT max(sz) FROM comp$bp), 0) * 1000000
+             // (SELECT count(*) FROM e) AS BIGINT) AS giant_ppm"""
+      s"""WITH RECURSIVE e AS (SELECT vec_id, embedding::DOUBLE[] AS v
+             FROM embeddings WHERE vec_id < 200),
+         p AS MATERIALIZED (SELECT a.vec_id AS ia, b.vec_id AS ib,
+             round(list_inner_product(a.v, b.v) /
+               (sqrt(list_inner_product(a.v, a.v)) *
+                sqrt(list_inner_product(b.v, b.v))), 4) AS c
+           FROM e a JOIN e b ON a.vec_id < b.vec_id
+           WHERE round(list_inner_product(a.v, b.v) /
+             (sqrt(list_inner_product(a.v, a.v)) *
+              sqrt(list_inner_product(b.v, b.v))), 4) >= 0.30),
+         ${grid.map(block).mkString(",\n         ")}
+         ${grid.map(row).mkString(" UNION ALL ")}
+         ORDER BY t_bp"""
+    },
     "q57_centroid_assign" ->
       """WITH dims AS (
            SELECT label, vec_id,

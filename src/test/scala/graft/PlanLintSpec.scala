@@ -122,6 +122,7 @@ class PlanLintSpec extends SparkSpecBase {
     "q335_dbscan_clusters", // two 1-row stat aggs crossed for the noise row
     "q337_sketch_overlap", // source-enum² sketch grid (20-row sides)
     "q339_reshard_plan", // broadcast vnode ring grid + 1-row total
+    "q340_eps_percolation", // 1-row stat aggs per constant grid point
     "q30_simhash_neardup", "q31_cosine_topk", "q32_cosine_neardup",
     "q33_lsh_topk", "q42_approx_distinct", "q43_topk_aggregator",
     "q52_key_skew", "q57_centroid_assign", "q64_lsh_neardup",

@@ -197,4 +197,27 @@ class Round14bOpsSpec extends SparkSpecBase {
     // the move matrix reconciles with the total
     assert(moves.map(_._3).sum === total.head._3)
   }
+
+  test("q340 percolation: a sparse bridge fuses the graph at the loose cut and dissolves at the tight one") {
+    import spark.implicits._
+    def v(deg: Double) = {
+      val r = math.toRadians(deg)
+      Seq(math.cos(r).toFloat, math.sin(r).toFloat, 0.0f, 0.0f)
+    }
+    // two tight pairs (0/10 and 120/130 deg) + a bridge at 64 deg:
+    // at t=0.5 the bridge links everything (one 5-node component);
+    // at t=0.8 only the tight pairs survive (2 components, giant 2/5)
+    val emb = Seq((1L, v(0)), (2L, v(10)), (3L, v(64)), (4L, v(120)),
+      (5L, v(130))).toDF("vec_id", "embedding")
+    val out = SimilarityOps.epsPercolationOn(emb,
+        thresholds = Seq(0.5, 0.8), nPlanes = 3, nTables = 96)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(out.length === 2)
+    val (loose, tight) = (out(0), out(1))
+    assert(loose._1 === 5000 && loose._4 === 1L &&
+      loose._5 === 1000000L && loose._3 === 5L)
+    assert(tight._1 === 8000 && tight._4 === 2L && tight._3 === 4L &&
+      tight._5 === 400000L)
+  }
 }
