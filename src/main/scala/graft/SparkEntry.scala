@@ -489,6 +489,8 @@ object SparkEntry {
       IncrementalOps.reshardPlan(s, d)),
     "q340_eps_percolation" -> ((s, d) =>
       SimilarityOps.epsPercolation(s, d)),
+    "q341_sort_pruning"   -> ((s, d) =>
+      IncrementalOps.sortKeyPruning(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -762,4 +762,63 @@ object IncrementalOps {
         expr("n_moved * 1000000 div n_all").as("share_ppm")))
       .orderBy(col("from_shard"), col("to_shard"))
   }
+
+  /** Sort-key pruning planner (q341): MEASURE, per candidate sort key,
+    * how many simulated files a representative predicate workload
+    * would scan under min/max (zone-map) pruning — the decision panel
+    * for "what do we ORDER BY before writing" that complements the
+    * Z-order pair (q143 measures the 2-D interleave; this ranks the
+    * LINEAR orders). Rows are laid into `rowsPerFile`-row files under
+    * each candidate's total order (global ranks via [[TwoPhaseRank]] —
+    * no single-partition window), per-file min/max of every predicate
+    * column form the zone map, and each workload interval counts the
+    * files it overlaps. The sorted-by column prunes to the interval's
+    * row share; unsorted columns degrade toward scan-everything —
+    * the panel shows exactly how much.
+    *
+    * Scale shape: one materialized scan + 3 rankBy passes (each the
+    * documented two-phase shape) + file-grain aggregates; the workload
+    * grid is a constant. At 100 TB files become real row groups and
+    * the same panel runs on the manifest instead of ranks.
+    */
+  def sortKeyPruning(spark: SparkSession, dir: String,
+      rowsPerFile: Long = 4000L): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val li = graft.Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_partkey"), col("l_shipdate"),
+        (col("l_orderkey") * 10 + col("l_linenumber")).as("tie"))
+      .localCheckpoint()
+    def filesFor(key: String) =
+      graft.operators.TwoPhaseRank.rankBy(li, key, "tie")
+        .withColumn("file_id", expr(s"(r - 1) div ${rowsPerFile}L"))
+        .groupBy(col("file_id"))
+        .agg(min(col("l_shipdate")).as("min_ship"),
+          max(col("l_shipdate")).as("max_ship"),
+          min(col("l_partkey")).as("min_part"),
+          max(col("l_partkey")).as("max_part"),
+          min(col("l_orderkey")).as("min_ord"),
+          max(col("l_orderkey")).as("max_ord"))
+        .withColumn("sort_key", lit(key))
+    val stats = Seq("l_shipdate", "l_partkey", "l_orderkey")
+      .map(filesFor).reduce(_ unionByName _)
+    val scans = stats.groupBy(col("sort_key"))
+      .agg(count(lit(1)).as("n_files"),
+        sum(when(col("min_ship") <= lit("1995-06-30").cast("timestamp")
+          && col("max_ship") >= lit("1995-03-01").cast("timestamp"),
+          1L).otherwise(0L)).as("s_ship"),
+        sum(when(col("min_part") <= 199L && col("max_part") >= 100L,
+          1L).otherwise(0L)).as("s_part"),
+        sum(when(col("min_ord") <= 3999L && col("max_ord") >= 1000L,
+          1L).otherwise(0L)).as("s_ord"))
+    scans.select(col("sort_key"), col("n_files"),
+        explode(map(
+          lit("ship_window"), col("s_ship"),
+          lit("part_range"), col("s_part"),
+          lit("order_range"), col("s_ord")))
+          .as(Seq("workload", "files_scanned")))
+      .select(col("sort_key"), col("workload"), col("n_files"),
+        col("files_scanned"),
+        expr("files_scanned * 1000000 div n_files").as("scan_ppm"))
+      .orderBy(col("sort_key"), col("workload"))
+  }
 }

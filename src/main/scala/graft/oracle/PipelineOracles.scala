@@ -1017,5 +1017,50 @@ private[graft] object PipelineOracles {
          FROM tot
          ORDER BY from_shard, to_shard"""
     },
+    // q341: sort-key pruning planner — rows laid into 4000-row files
+    // under each candidate total order, per-file min/max zone maps,
+    // files-scanned per workload interval
+    "q341_sort_pruning" -> {
+      def files(tag: String, key: String) =
+        s"""f$tag AS MATERIALIZED (SELECT
+             ((row_number() OVER (ORDER BY $key, tie)) - 1) // 4000
+               AS file_id,
+             l_shipdate, l_partkey, l_orderkey
+           FROM li),
+         st$tag AS (SELECT '$key' AS sort_key, file_id,
+             min(l_shipdate) AS min_ship, max(l_shipdate) AS max_ship,
+             min(l_partkey) AS min_part, max(l_partkey) AS max_part,
+             min(l_orderkey) AS min_ord, max(l_orderkey) AS max_ord
+           FROM f$tag GROUP BY 2)"""
+      s"""WITH li AS (SELECT l_orderkey, l_partkey, l_shipdate,
+             l_orderkey * 10 + l_linenumber AS tie
+           FROM lineitem),
+         ${files("a", "l_shipdate")},
+         ${files("b", "l_partkey")},
+         ${files("c", "l_orderkey")},
+         stats AS (SELECT * FROM sta UNION ALL SELECT * FROM stb
+           UNION ALL SELECT * FROM stc),
+         scans AS (SELECT sort_key,
+             CAST(count(*) AS BIGINT) AS n_files,
+             CAST(sum(CASE WHEN min_ship <= TIMESTAMP '1995-06-30'
+               AND max_ship >= TIMESTAMP '1995-03-01' THEN 1 ELSE 0
+               END) AS BIGINT) AS s_ship,
+             CAST(sum(CASE WHEN min_part <= 199 AND max_part >= 100
+               THEN 1 ELSE 0 END) AS BIGINT) AS s_part,
+             CAST(sum(CASE WHEN min_ord <= 3999 AND max_ord >= 1000
+               THEN 1 ELSE 0 END) AS BIGINT) AS s_ord
+           FROM stats GROUP BY 1),
+         up AS (
+           SELECT sort_key, 'ship_window' AS workload, n_files,
+             s_ship AS files_scanned FROM scans
+           UNION ALL
+           SELECT sort_key, 'part_range', n_files, s_part FROM scans
+           UNION ALL
+           SELECT sort_key, 'order_range', n_files, s_ord FROM scans)
+         SELECT sort_key, workload, n_files, files_scanned,
+           CAST(files_scanned * 1000000 // n_files AS BIGINT)
+             AS scan_ppm
+         FROM up ORDER BY sort_key, workload"""
+    },
   )
 }

@@ -53,6 +53,7 @@ class PlanLintSpec extends SparkSpecBase {
     "q296_lateness_pareto" -> Set("_bkt"),
     "q303_whale_trend"     -> Set("_bkt"),
     "q329_bin_packing"     -> Set("_bkt"), // two rankBy rides
+    "q341_sort_pruning"    -> Set("_bkt"), // three rankBy layouts
     // constant-sized grids: budget/threshold stacks, probe sets,
     // score grids, top-constant vocab cuts
     "q140_budget_select"   -> Set("k"),   // #budgets × stack rows

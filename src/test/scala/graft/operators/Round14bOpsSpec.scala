@@ -220,4 +220,23 @@ class Round14bOpsSpec extends SparkSpecBase {
     assert(tight._1 === 8000 && tight._4 === 2L && tight._3 === 4L &&
       tight._5 === 400000L)
   }
+
+  test("q341 sort-key panel: the matching key never scans more files than a mismatched one") {
+    val out = IncrementalOps.sortKeyPruning(spark, sf0001)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(out.length === 9)
+    val matching = Map("ship_window" -> "l_shipdate",
+      "part_range" -> "l_partkey", "order_range" -> "l_orderkey")
+    matching.foreach { case (w, k) =>
+      val own = out.find(t => t._1 == k && t._2 == w).get._5
+      out.filter(t => t._2 == w && t._1 != k).foreach { other =>
+        assert(own <= other._5, s"$k should prune $w at least as well " +
+          s"as ${other._1} ($own vs ${other._5})")
+      }
+    }
+    // every panel cell is a valid share and file counts agree per key
+    assert(out.forall(t => t._4 <= t._3 && t._5 <= 1000000L))
+    assert(out.groupBy(_._1).values.forall(_.map(_._3).distinct.size == 1))
+  }
 }
