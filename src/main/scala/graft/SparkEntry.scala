@@ -491,6 +491,8 @@ object SparkEntry {
       SimilarityOps.epsPercolation(s, d)),
     "q341_sort_pruning"   -> ((s, d) =>
       IncrementalOps.sortKeyPruning(s, d)),
+    "q342_gap_fill"       -> (CoreQueries.q342GapFill(_, _)),
+    "q343_interval_islands" -> (CoreQueries.q343IntervalIslands _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

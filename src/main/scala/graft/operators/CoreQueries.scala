@@ -2464,4 +2464,113 @@ object CoreQueries {
       .filter(col("n_above") >= minAbove)
       .orderBy(col("custkey"))
   }
+
+  /** Calendar densification + forward fill (q342): per top-3 brand, a
+    * DENSE daily mean-price series — missing days materialized from a
+    * per-brand calendar and filled with the last observed value
+    * (LOCF), then rolled monthly (observed/filled day counts, month-end
+    * and mean of the filled series). Gap-filling is the time-series
+    * feature-prep step every forecasting/drift consumer upstream of
+    * this engine assumes has happened (q268's seasonal-naive MASE
+    * reads a dense series; this is the op that makes one honest). All
+    * values integer cents; the fill is `last(_, ignoreNulls)` over the
+    * per-brand day order — no leading nulls by construction (each
+    * calendar starts at its brand's first observed day).
+    *
+    * Scale shape: one (brand, day)-grain aggregate off the fact scan,
+    * a 3-row calendar spine exploded to brand-days (key-bounded, never
+    * fact-bounded), one per-brand ordered window for the fill, one
+    * monthly rollup. The brand top-3 pick is an enum-bounded
+    * TakeOrdered.
+    */
+  def q342GapFill(spark: SparkSession, dir: String,
+      topBrands: Int = 3): DataFrame = {
+    val daily = Tables.lineitem(spark, dir)
+      .select(col("l_partkey"), col("l_shipdate").cast("date").as("day"),
+        round(col("l_extendedprice") * 100, 0).cast("long").as("cents"))
+      .join(Tables.part(spark, dir)
+        .select(col("p_partkey").as("l_partkey"), col("p_brand")),
+        Seq("l_partkey"))
+      .groupBy(col("p_brand").as("brand"), col("day"))
+      .agg(expr("sum(cents) div count(1)").as("price_c"))
+      .localCheckpoint()
+    gapFillOn(daily, topBrands)
+  }
+
+  /** Core over a `(brand, day, price_c)` daily frame (spec entry). */
+  private[graft] def gapFillOn(daily: DataFrame,
+      topBrands: Int): DataFrame = {
+    val top = daily.groupBy(col("brand"))
+      .agg(sum(col("price_c")).as("tot"), min(col("day")).as("d0"),
+        max(col("day")).as("d1"))
+      .orderBy(col("tot").desc, col("brand")).limit(topBrands)
+    val cal = top.select(col("brand"),
+      explode(expr("sequence(d0, d1, interval 1 day)")).as("day"))
+    val filled = cal.join(daily, Seq("brand", "day"), "left")
+      .withColumn("obs", when(col("price_c").isNotNull, 1L)
+        .otherwise(0L))
+      .withColumn("fill_c", last(col("price_c"), ignoreNulls = true)
+        .over(Window.partitionBy(col("brand")).orderBy(col("day"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    filled.groupBy(col("brand"), trunc(col("day"), "month").as("month"))
+      .agg(count(lit(1)).as("n_days"), sum(col("obs")).as("n_obs"),
+        (count(lit(1)) - sum(col("obs"))).as("n_filled"),
+        max(struct(col("day"), col("fill_c"))).getField("fill_c")
+          .as("eom_price_c"),
+        expr("sum(fill_c) div count(1)").as("mean_price_c"))
+      .orderBy(col("brand"), col("month"))
+  }
+
+  /** Interval-island merge (q343): per supplier, fuse overlapping
+    * [order, ship] fulfillment spans into maximal islands (the classic
+    * gaps-and-islands sweep — ordered scan, running-max end, new
+    * island when a span starts past everything seen) and report
+    * interval count, island count, total covered days, and the
+    * longest island. The union-of-intervals primitive behind SLA
+    * coverage, machine-utilization, and outage-merge reports — q180's
+    * sweep counts CONCURRENCY at a point; this measures the merged
+    * COVERAGE of the timeline.
+    *
+    * Scale shape: two windows over the per-supplier span order (the
+    * running-max island detector and the island-id running sum) plus
+    * two keyed aggregates — all partitioned BY SUPPLIER, no global
+    * window, no self-join (the naive interval-overlap join is O(n²)
+    * per key; the sweep is O(n log n) via the shuffle sort).
+    */
+  def q343IntervalIslands(spark: SparkSession, dir: String): DataFrame = {
+    val iv = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_suppkey").as("suppkey"),
+        col("l_shipdate").cast("date").as("e"),
+        (col("l_orderkey") * 10 + col("l_linenumber")).as("tie"))
+      .join(Tables.orders(spark, dir)
+        .select(col("o_orderkey").as("l_orderkey"),
+          col("o_orderdate").cast("date").as("s")),
+        Seq("l_orderkey"))
+    intervalIslandsOn(iv)
+  }
+
+  /** Core over a `(suppkey, s, e, tie)` interval frame (spec entry). */
+  private[graft] def intervalIslandsOn(iv: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("suppkey"))
+      .orderBy(col("s"), col("e"), col("tie"))
+    val flagged = iv
+      .withColumn("prev_max_e",
+        max(col("e")).over(w.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("new_island",
+        when(col("prev_max_e").isNull || col("s") > col("prev_max_e"),
+          1L).otherwise(0L))
+      .withColumn("island", sum(col("new_island"))
+        .over(w.rowsBetween(Window.unboundedPreceding,
+          Window.currentRow)))
+    val islands = flagged.groupBy(col("suppkey"), col("island"))
+      .agg(count(lit(1)).as("n_iv"),
+        (datediff(max(col("e")), min(col("s"))) + 1).cast("long")
+          .as("days"))
+    islands.groupBy(col("suppkey"))
+      .agg(sum(col("n_iv")).as("n_intervals"),
+        count(lit(1)).as("n_islands"),
+        sum(col("days")).as("covered_days"),
+        max(col("days")).as("max_island_days"))
+      .orderBy(col("suppkey"))
+  }
 }

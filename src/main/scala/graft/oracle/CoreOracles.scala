@@ -1555,5 +1555,72 @@ private[graft] object CoreOracles {
          SELECT tbl, chk, n_checked, n_violations,
            CAST(n_violations = 0 AS INT) AS pass
          FROM panel ORDER BY tbl, chk""",
+    // q342: calendar densification + LOCF forward fill — dense per-brand
+    // daily mean-price series (per-brand calendar spine, last-observed
+    // fill), monthly rollup with observed/filled counts
+    "q342_gap_fill" ->
+      """WITH daily AS MATERIALIZED (
+           SELECT p.p_brand AS brand, CAST(l.l_shipdate AS DATE) AS day,
+             CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT))
+               // count(*) AS BIGINT) AS price_c
+           FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+           GROUP BY 1, 2),
+         top3 AS (SELECT brand, min(day) AS d0, max(day) AS d1
+           FROM daily GROUP BY 1
+           ORDER BY sum(price_c) DESC, brand LIMIT 3),
+         cal AS (SELECT brand,
+             CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY))
+               AS DATE) AS day
+           FROM top3),
+         filled AS (SELECT c.brand, c.day,
+             CASE WHEN d.price_c IS NOT NULL THEN 1 ELSE 0 END AS obs,
+             last_value(d.price_c IGNORE NULLS) OVER (
+               PARTITION BY c.brand ORDER BY c.day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS fill_c
+           FROM cal c LEFT JOIN daily d USING (brand, day))
+         SELECT brand, date_trunc('month', day) AS month,
+           CAST(count(*) AS BIGINT) AS n_days,
+           CAST(sum(obs) AS BIGINT) AS n_obs,
+           CAST(count(*) - sum(obs) AS BIGINT) AS n_filled,
+           max_by(fill_c, day) AS eom_price_c,
+           CAST(sum(fill_c) // count(*) AS BIGINT) AS mean_price_c
+         FROM filled GROUP BY 1, 2 ORDER BY 1, 2""",
+    // q343: gaps-and-islands interval merge — per-supplier ordered
+    // sweep (running-max end, new-island flag, island-id running sum),
+    // then island and supplier rollups
+    "q343_interval_islands" ->
+      """WITH iv AS (SELECT l.l_suppkey AS suppkey,
+             CAST(o.o_orderdate AS DATE) AS s,
+             CAST(l.l_shipdate AS DATE) AS e,
+             l.l_orderkey * 10 + l.l_linenumber AS tie
+           FROM lineitem l JOIN orders o
+             ON l.l_orderkey = o.o_orderkey),
+         flagged AS (SELECT suppkey, s, e,
+             CASE WHEN max(e) OVER (PARTITION BY suppkey
+                 ORDER BY s, e, tie
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               IS NULL OR s > max(e) OVER (PARTITION BY suppkey
+                 ORDER BY s, e, tie
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               THEN 1 ELSE 0 END AS new_island,
+             tie
+           FROM iv),
+         isl AS (SELECT suppkey, s, e,
+             sum(new_island) OVER (PARTITION BY suppkey
+               ORDER BY s, e, tie
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS island
+           FROM flagged),
+         per_isl AS (SELECT suppkey, island,
+             CAST(count(*) AS BIGINT) AS n_iv,
+             CAST(date_diff('day', min(s), max(e)) + 1 AS BIGINT)
+               AS days
+           FROM isl GROUP BY 1, 2)
+         SELECT suppkey, CAST(sum(n_iv) AS BIGINT) AS n_intervals,
+           CAST(count(*) AS BIGINT) AS n_islands,
+           CAST(sum(days) AS BIGINT) AS covered_days,
+           CAST(max(days) AS BIGINT) AS max_island_days
+         FROM per_isl GROUP BY 1 ORDER BY 1""",
   )
 }

@@ -239,4 +239,42 @@ class Round14bOpsSpec extends SparkSpecBase {
     assert(out.forall(t => t._4 <= t._3 && t._5 <= 1000000L))
     assert(out.groupBy(_._1).values.forall(_.map(_._3).distinct.size == 1))
   }
+
+  test("q342 gap fill: missing days materialize with the last observed price") {
+    import spark.implicits._
+    import java.sql.Date
+    // brand A observed on day 1 (100c) and day 4 (200c): days 2-3 must
+    // materialize at 100c; the month mean is (100+100+100+200)/4
+    val daily = Seq(
+      ("BrandA", Date.valueOf("2020-01-01"), 100L),
+      ("BrandA", Date.valueOf("2020-01-04"), 200L))
+      .toDF("brand", "day", "price_c")
+    val out = CoreQueries.gapFillOn(daily, topBrands = 3)
+      .collect().map(r => (r.getString(0), r.getDate(1).toString,
+        r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+        r.getLong(6)))
+    assert(out.toSeq ===
+      Seq(("BrandA", "2020-01-01", 4L, 2L, 2L, 200L, 125L)))
+  }
+
+  test("q343 islands: overlapping and touching spans fuse, disjoint spans split") {
+    import spark.implicits._
+    import java.sql.Date
+    def d(s: String) = Date.valueOf(s)
+    // supplier 1: [1,5]+[3,8] overlap, [8,9] touches (s == running max
+    // end -> SAME island), [11,12] is disjoint
+    val iv = Seq(
+      (1L, d("2020-01-01"), d("2020-01-05"), 1L),
+      (1L, d("2020-01-03"), d("2020-01-08"), 2L),
+      (1L, d("2020-01-08"), d("2020-01-09"), 3L),
+      (1L, d("2020-01-11"), d("2020-01-12"), 4L),
+      (2L, d("2020-02-01"), d("2020-02-01"), 5L))
+      .toDF("suppkey", "s", "e", "tie")
+    val out = CoreQueries.intervalIslandsOn(iv)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(out.toSeq === Seq(
+      (1L, 4L, 2L, 11L, 9L), // [1,9] = 9 days + [11,12] = 2 days
+      (2L, 1L, 1L, 1L, 1L))) // a point interval covers one day
+  }
 }
