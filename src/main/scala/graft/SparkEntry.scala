@@ -493,6 +493,8 @@ object SparkEntry {
       IncrementalOps.sortKeyPruning(s, d)),
     "q342_gap_fill"       -> (CoreQueries.q342GapFill(_, _)),
     "q343_interval_islands" -> (CoreQueries.q343IntervalIslands _),
+    "q344_removal_attribution" -> ((s, d) =>
+      EventOps.removalAttribution(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

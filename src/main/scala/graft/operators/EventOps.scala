@@ -2040,4 +2040,110 @@ object EventOps {
         col("err_bound"))
       .orderBy(col("p"))
   }
+
+  /** Markov removal-effect attribution (q344): data-driven channel
+    * credit from an absorbing-chain model of user journeys — the
+    * principled alternative to the positional heuristics (q106 last
+    * touch, q258 U-shaped): START → channel transitions absorb at CONV
+    * (first purchase) or NULL (journey end), and each channel's credit
+    * is its REMOVAL EFFECT — how much absorption probability the chain
+    * loses when that channel's inbound edges are redirected to NULL
+    * (paths needing it fail). Absorption probabilities run `iters`
+    * fixed ppm rounds of p ← T_chan·p div 1e6 + T_conv (floor once per
+    * round AFTER the sum — mirrored exactly in the oracle); effects
+    * are clamped at 0 (floor-division noise could otherwise produce a
+    * −1-ppm artifact where the true effect is 0) and normalized to
+    * attribution shares.
+    *
+    * Scale shape: ONE corpus pass builds journeys (per-user window,
+    * truncate at first purchase) and the transition counts; every
+    * scenario after that — base + one per channel — iterates
+    * (channels+1)²-bounded frames. 100 TB changes only the first pass.
+    */
+  def removalAttribution(spark: SparkSession, dir: String,
+      iters: Int = 10): DataFrame =
+    removalAttributionOn(Tables.events(spark, dir), iters)
+
+  private[graft] def removalAttributionOn(ev: DataFrame,
+      iters: Int): DataFrame = {
+    val spark = ev.sparkSession
+    val wU = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val seq0 = ev.select(col("user_id"), col("event_type"), col("ts"),
+        col("event_id"))
+      .withColumn("rn", row_number().over(wU))
+    val fp = seq0.filter(col("event_type") === "purchase")
+      .groupBy(col("user_id")).agg(min(col("rn")).as("fp_rn"))
+    val kept = seq0.join(fp, Seq("user_id"), "left")
+      .filter(col("fp_rn").isNull || col("rn") <= col("fp_rn"))
+      .withColumn("dst0", when(col("event_type") === "purchase",
+        lit("CONV")).otherwise(col("event_type")))
+      .withColumn("src", coalesce(lag(col("dst0"), 1).over(wU),
+        lit("START")))
+      .withColumn("last_rn", max(col("rn")).over(
+        Window.partitionBy(col("user_id"))))
+    // observed hops + the NULL-absorption hop for non-converting users
+    val hops = kept.select(col("src"), col("dst0").as("dst"))
+      .unionByName(kept
+        .filter(col("fp_rn").isNull && col("rn") === col("last_rn"))
+        .select(col("dst0").as("src"), lit("NULL").as("dst")))
+      .filter(col("src") =!= lit("CONV"))
+    val counts = hops.groupBy(col("src"), col("dst"))
+      .agg(count(lit(1)).as("c")).localCheckpoint()
+    val channels = counts.select(col("src")).distinct()
+      .filter(col("src") =!= "START")
+      .collectAsList() // enum-bounded: the event-type vocabulary
+    import scala.jdk.CollectionConverters._
+    val chanNames = channels.asScala.map(_.getString(0)).sorted.toSeq
+    def absorb(removed: Option[String]): DataFrame = {
+      val redirected = counts
+        .filter(removed.map(r => col("src") =!= r).getOrElse(lit(true)))
+        .withColumn("dst2", removed.map(r =>
+          when(col("dst") === r, lit("NULL")).otherwise(col("dst")))
+          .getOrElse(col("dst")))
+        .groupBy(col("src"), col("dst2").as("dst"))
+        .agg(sum(col("c")).as("c"))
+      val tot = redirected.groupBy(col("src"))
+        .agg(sum(col("c")).as("tot"))
+      val t = redirected.join(tot, Seq("src"))
+        .select(col("src"), col("dst"),
+          expr("c * 1000000 div tot").as("ppm"))
+        .localCheckpoint()
+      val conv = t.filter(col("dst") === "CONV")
+        .select(col("src"), col("ppm").as("conv_ppm"))
+      val chan = t.filter(col("dst") =!= "CONV" && col("dst") =!= "NULL")
+      val states = t.select(col("src")).distinct()
+      var p = states.withColumn("p", lit(0L))
+      for (_ <- 1 to iters) {
+        val acc = chan
+          .join(p.select(col("src").as("dst"), col("p")), Seq("dst"))
+          .groupBy(col("src"))
+          .agg(expr("sum(ppm * p) div 1000000").as("acc"))
+        p = states
+          .join(conv, Seq("src"), "left")
+          .join(acc, Seq("src"), "left")
+          .select(col("src"), (coalesce(col("conv_ppm"), lit(0L)) +
+            coalesce(col("acc"), lit(0L))).as("p"))
+      }
+      p.filter(col("src") === "START")
+        .select(col("p").as(removed.fold("base_ppm")(_ => "removed_ppm")))
+        .localCheckpoint()
+    }
+    val base = absorb(None)
+    val effects = chanNames.map { c =>
+      absorb(Some(c)).crossJoin(broadcast(base))
+        .select(lit(c).as("channel"), col("base_ppm"),
+          col("removed_ppm"),
+          greatest(col("base_ppm") - col("removed_ppm"), lit(0L))
+            .as("effect_ppm"))
+    }.reduce(_ unionByName _).localCheckpoint()
+    val totEff = effects.agg(sum(col("effect_ppm")).as("sum_eff"))
+    effects.crossJoin(broadcast(totEff))
+      .select(col("channel"), col("base_ppm"), col("removed_ppm"),
+        col("effect_ppm"),
+        when(col("sum_eff") > 0,
+          expr("effect_ppm * 1000000 div sum_eff")).otherwise(lit(0L))
+          .as("share_ppm"))
+      .orderBy(col("channel"))
+  }
 }

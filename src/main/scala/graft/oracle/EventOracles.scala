@@ -1634,5 +1634,94 @@ private[graft] object EventOracles {
            round(CAST(r AS DOUBLE) / 1000000000.0, 6) AS ppr
          FROM p3 ORDER BY ppr_q DESC, item LIMIT 20"""
     },
+    // q344: Markov removal-effect attribution — absorbing-chain
+    // journeys (START -> channels -> CONV/NULL), 10 unrolled ppm
+    // absorption rounds per scenario (base + one per channel with the
+    // channel's inbound edges redirected to NULL), effects clamped at
+    // 0 and normalized to shares
+    "q344_removal_attribution" -> {
+      val chans = Seq("click", "error", "signup", "view")
+      val iters = 10
+      def scen(tag: String, removed: Option[String]): String = {
+        val red = removed match {
+          case Some(r) =>
+            s"""red$tag AS (SELECT src,
+                 CASE WHEN dst = '$r' THEN 'NULL' ELSE dst END AS dst,
+                 CAST(sum(c) AS BIGINT) AS c
+               FROM counts WHERE src <> '$r' GROUP BY 1, 2)"""
+          case None =>
+            s"red$tag AS (SELECT src, dst, c FROM counts)"
+        }
+        val rounds = (1 to iters).map { k =>
+          s"""p$tag$k AS (SELECT st.src,
+               CAST(coalesce(cv.conv_ppm, 0) + coalesce(j.acc, 0)
+                 AS BIGINT) AS p
+             FROM states$tag st
+             LEFT JOIN conv$tag cv ON cv.src = st.src
+             LEFT JOIN (SELECT t.src,
+                 CAST(sum(t.ppm * pp.p) // 1000000 AS BIGINT) AS acc
+               FROM chan$tag t JOIN p$tag${k - 1} pp ON t.dst = pp.src
+               GROUP BY 1) j ON j.src = st.src)"""
+        }.mkString(",\n         ")
+        s"""$red,
+         tot$tag AS (SELECT src, CAST(sum(c) AS BIGINT) AS tot
+           FROM red$tag GROUP BY 1),
+         t$tag AS MATERIALIZED (SELECT r.src, r.dst,
+             CAST(r.c * 1000000 // t.tot AS BIGINT) AS ppm
+           FROM red$tag r JOIN tot$tag t ON r.src = t.src),
+         conv$tag AS (SELECT src, ppm AS conv_ppm FROM t$tag
+           WHERE dst = 'CONV'),
+         chan$tag AS (SELECT src, dst, ppm FROM t$tag
+           WHERE dst <> 'CONV' AND dst <> 'NULL'),
+         states$tag AS (SELECT DISTINCT src FROM t$tag),
+         p${tag}0 AS (SELECT src, CAST(0 AS BIGINT) AS p
+           FROM states$tag),
+         $rounds,
+         r$tag AS (SELECT p FROM p$tag$iters WHERE src = 'START')"""
+      }
+      val scens = scen("b", None) + ",\n         " +
+        chans.zipWithIndex.map { case (c, i) =>
+          scen(s"x$i", Some(c))
+        }.mkString(",\n         ")
+      val effRows = chans.zipWithIndex.map { case (c, i) =>
+        s"""SELECT '$c' AS channel, (SELECT p FROM rb) AS base_ppm,
+           (SELECT p FROM rx$i) AS removed_ppm"""
+      }.mkString(" UNION ALL ")
+      s"""WITH seq0 AS (SELECT user_id, event_type,
+             row_number() OVER (PARTITION BY user_id
+               ORDER BY ts, event_id) AS rn
+           FROM events),
+         fp AS (SELECT user_id, min(rn) AS fp_rn FROM seq0
+           WHERE event_type = 'purchase' GROUP BY 1),
+         k0 AS (SELECT s.user_id, s.rn, s.event_type, f.fp_rn
+           FROM seq0 s LEFT JOIN fp f USING (user_id)
+           WHERE f.fp_rn IS NULL OR s.rn <= f.fp_rn),
+         k1 AS (SELECT user_id, rn, fp_rn,
+             CASE WHEN event_type = 'purchase' THEN 'CONV'
+               ELSE event_type END AS dst0,
+             coalesce(lag(CASE WHEN event_type = 'purchase' THEN 'CONV'
+               ELSE event_type END) OVER (PARTITION BY user_id
+               ORDER BY rn), 'START') AS src,
+             max(rn) OVER (PARTITION BY user_id) AS last_rn
+           FROM k0),
+         hops AS (SELECT src, dst0 AS dst FROM k1 WHERE src <> 'CONV'
+           UNION ALL
+           SELECT dst0, 'NULL' FROM k1
+           WHERE fp_rn IS NULL AND rn = last_rn),
+         counts AS MATERIALIZED (SELECT src, dst,
+             CAST(count(*) AS BIGINT) AS c
+           FROM hops GROUP BY 1, 2),
+         $scens,
+         eff AS (SELECT channel, base_ppm, removed_ppm,
+             greatest(base_ppm - removed_ppm, 0) AS effect_ppm
+           FROM ($effRows)),
+         se AS (SELECT CAST(sum(effect_ppm) AS BIGINT) AS sum_eff
+           FROM eff)
+         SELECT e.channel, e.base_ppm, e.removed_ppm, e.effect_ppm,
+           CASE WHEN s.sum_eff > 0
+             THEN CAST(e.effect_ppm * 1000000 // s.sum_eff AS BIGINT)
+             ELSE 0 END AS share_ppm
+         FROM eff e, se s ORDER BY channel"""
+    },
   )
 }

@@ -124,6 +124,7 @@ class PlanLintSpec extends SparkSpecBase {
     "q337_sketch_overlap", // source-enum² sketch grid (20-row sides)
     "q339_reshard_plan", // broadcast vnode ring grid + 1-row total
     "q340_eps_percolation", // 1-row stat aggs per constant grid point
+    "q344_removal_attribution", // 1-row effect-sum normalizer
     "q30_simhash_neardup", "q31_cosine_topk", "q32_cosine_neardup",
     "q33_lsh_topk", "q42_approx_distinct", "q43_topk_aggregator",
     "q52_key_skew", "q57_centroid_assign", "q64_lsh_neardup",

@@ -277,4 +277,28 @@ class Round14bOpsSpec extends SparkSpecBase {
       (1L, 4L, 2L, 11L, 9L), // [1,9] = 9 days + [11,12] = 2 days
       (2L, 1L, 1L, 1L, 1L))) // a point interval covers one day
   }
+
+  test("q344 removal attribution: the gateway channel takes all credit, a dead-end channel none") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def t(m: Int) = Timestamp.valueOf(f"2020-01-01 00:$m%02d:00")
+    // users 1-2 convert THROUGH click; user 3 views and leaves: click
+    // is the gateway (removal kills every conversion), view a dead end
+    val ev = Seq(
+      (1L, 1L, "click", t(1)), (2L, 1L, "purchase", t(2)),
+      (3L, 2L, "click", t(1)), (4L, 2L, "purchase", t(2)),
+      (5L, 3L, "view", t(1)))
+      .toDF("event_id", "user_id", "event_type", "ts")
+    val out = EventOps.removalAttributionOn(ev, iters = 10)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    val click = out.find(_._1 == "click").get
+    val view = out.find(_._1 == "view").get
+    // base absorption: 2 of 3 journeys convert -> 666666 ppm (floor)
+    assert(click._2 === 666666L && view._2 === 666666L)
+    // removing the gateway kills every conversion; the dead end none
+    assert(click._3 === 0L && click._4 === 666666L &&
+      click._5 === 1000000L)
+    assert(view._3 === 666666L && view._4 === 0L && view._5 === 0L)
+  }
 }
