@@ -476,7 +476,8 @@ object ScalingBench {
       "rocksdb" -> ("org.apache.spark.sql.execution.streaming.state." +
         "RocksDBStateStoreProvider"))
     def drive(op: String, store: String, scale: Int, input: DataFrame,
-        build: DataFrame => DataFrame): String = {
+        build: DataFrame => DataFrame,
+        outputMode: String = "append"): String = {
       val stage = java.nio.file.Files
         .createTempDirectory(s"graft-sprobe-$op-$store-$scale")
       val stageDir = stage.toString
@@ -488,7 +489,7 @@ object ScalingBench {
         providers(store))
       val name = s"sprobe_${op}_${store}_$scale"
       val t0 = System.nanoTime()
-      val q = build(src).writeStream.outputMode("append").format("memory")
+      val q = build(src).writeStream.outputMode(outputMode).format("memory")
         .queryName(name).trigger(Trigger.AvailableNow()).start()
       q.processAllAvailable()
       val wall = (System.nanoTime() - t0) / 1e9
@@ -497,6 +498,8 @@ object ScalingBench {
         if (progress.isEmpty) 0L else progress.map(_.batchDuration).max
       val stateRows = if (progress.isEmpty) 0L
         else progress.map(_.stateOperators.map(_.numRowsTotal).sum).max
+      val stateBytes = if (progress.isEmpty) 0L
+        else progress.map(_.stateOperators.map(_.memoryUsedBytes).sum).max
       q.stop()
       val outRows = spark.table(name).count()
       spark.sql(s"DROP TABLE IF EXISTS $name")
@@ -505,7 +508,8 @@ object ScalingBench {
         .delete(root, true)
       f"""{"op":"$op","store":"$store","scale":$scale,"rows":$rows,""" +
         f""""wall_sec":$wall%.2f,"rows_per_sec":${rows / wall}%.0f,""" +
-        f""""batch_ms":$batchMs,"state_rows":$stateRows,"out_rows":$outRows}"""
+        f""""batch_ms":$batchMs,"state_rows":$stateRows,""" +
+        f""""state_bytes":$stateBytes,"out_rows":$outRows}"""
     }
     val prior = spark.conf.getOption(
       "spark.sql.streaming.stateStore.providerClass")
@@ -516,6 +520,13 @@ object ScalingBench {
           src => graft.streaming.TieredAggStream.tieredTree(src))
         runs += drive("wm_dedup", store, scale, scaledDocs(scale),
           src => graft.streaming.WatermarkDedupStream.admitted(src))
+        // op 21: the HLL panel's state is O(groups x registers)
+        // REGARDLESS of user cardinality — the probe measures the
+        // claim (state rows pinned at the type enum, bytes flat,
+        // while distinct users grow 8x)
+        runs += drive("hll_distinct", store, scale, scaledEvents(scale),
+          src => graft.streaming.DistinctStream.distinctPanel(src),
+          outputMode = "complete")
       }
       for (scale <- Seq(1, 2, 4, 8))
         runs += drive("session_replay", "rocksdb", scale,

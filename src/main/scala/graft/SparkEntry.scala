@@ -495,6 +495,10 @@ object SparkEntry {
     "q343_interval_islands" -> (CoreQueries.q343IntervalIslands _),
     "q344_removal_attribution" -> ((s, d) =>
       EventOps.removalAttribution(s, d)),
+    "q345_neyman_alloc"   -> ((s, d) =>
+      PipelineOps.neymanAllocation(s, d)),
+    "q346_chapman_estimate" -> ((s, d) =>
+      DedupOps.chapmanEstimate(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

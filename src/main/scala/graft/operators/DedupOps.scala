@@ -1449,6 +1449,55 @@ object DedupOps {
         .select(col("doc_id"), col("source")), "doc_id")
       .select(col("source"), col("tok")))
 
+  /** Capture-recapture vocabulary estimate (q346): treat each source
+    * pair's distinct-shingle sets as two CAPTURES of one underlying
+    * vocabulary and apply the Chapman estimator
+    * N̂ = (n_a+1)(n_b+1) div (m+1) − 1 — the ecology kernel a corpus
+    * team uses to ask "how much vocabulary exists that NO source has
+    * shown us yet". `est_ratio_ppm` = N̂·10⁶ div T against the
+    * observed global distinct count T: pairs of near-independent
+    * sources land near 10⁶+ (the estimator sees past both), heavily
+    * overlapping pairs undershoot (captures are correlated — the
+    * classic violation, visible per pair). Kept non-negative so floor
+    * division stays cross-engine total (PARITY 21).
+    *
+    * Scale shape: same economics as q337 — one pass to per-source
+    * distincts, a token-keyed overlap join with enum²-bounded
+    * fan-out, and a source-enum² output grid; T is one distinct count.
+    */
+  def chapmanEstimate(spark: SparkSession, dir: String): DataFrame =
+    chapmanOn(cachedDistinctShingles(spark, dir)
+      .join(Tables.documents(spark, dir)
+        .select(col("doc_id"), col("source")), "doc_id")
+      .select(col("source"), col("tok")))
+
+  private[graft] def chapmanOn(st0: DataFrame): DataFrame = {
+    val st = st0.distinct().localCheckpoint()
+    val per = st.groupBy(col("source")).agg(count(lit(1)).as("nd"))
+      .localCheckpoint()
+    val ov = st.select(col("source").as("src_a"), col("tok"))
+      .join(st.select(col("source").as("src_b"), col("tok")), Seq("tok"))
+      .filter(col("src_a") < col("src_b"))
+      .groupBy(col("src_a"), col("src_b"))
+      .agg(count(lit(1)).as("overlap"))
+    val tot = st.select(col("tok")).distinct()
+      .agg(count(lit(1)).as("t_all"))
+    val grid = per.select(col("source").as("src_a"), col("nd").as("n_a"))
+      .join(broadcast(per.select(col("source").as("src_b"),
+        col("nd").as("n_b"))), col("src_a") < col("src_b"))
+    grid.join(ov, Seq("src_a", "src_b"), "left")
+      .crossJoin(broadcast(tot))
+      .select(col("src_a"), col("src_b"), col("n_a"), col("n_b"),
+        coalesce(col("overlap"), lit(0L)).as("overlap"), col("t_all"))
+      .select(col("src_a"), col("src_b"), col("n_a"), col("n_b"),
+        col("overlap"),
+        expr("(n_a + 1) * (n_b + 1) div (overlap + 1) - 1")
+          .as("chapman_est"), col("t_all"))
+      .withColumn("est_ratio_ppm",
+        expr("chapman_est * 1000000 div t_all"))
+      .orderBy(col("src_a"), col("src_b"))
+  }
+
   /** Core over any `(source, tok)` relation (spec entry point). */
   private[graft] def sketchOverlapOn(st0: DataFrame): DataFrame = {
     val st = st0.distinct().localCheckpoint()

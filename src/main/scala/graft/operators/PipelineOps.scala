@@ -928,6 +928,76 @@ object PipelineOps {
       .orderBy(col("bt_ppm").desc, col("source"))
   }
 
+  /** Hamilton largest-remainder allocation over an arbitrary
+    * non-negative weight frame `(source, w)` — [[allocOf]] generalized
+    * so q345 can run the same integer machinery on Neyman weights.
+    * `greatest(tot, 1)` keeps the all-zero-weight corner total on both
+    * engines (Spark decimal div-by-0 nulls, DuckDB raises).
+    */
+  private def hamiltonOnWeights(wdf: DataFrame, slots: Long,
+      outCol: String): DataFrame = {
+    val t = wdf.agg(sum(col("w").cast("decimal(38,0)")).as("tot0"))
+      .select(greatest(col("tot0"), lit(1)).as("tot"))
+    val q = wdf.crossJoin(broadcast(t))
+      .select(col("source"),
+        expr(s"(CAST(w AS decimal(38,0)) * $slots) div tot").as("quota"),
+        expr(s"(CAST(w AS decimal(38,0)) * $slots) % tot")
+          .cast("long").as("rem"))
+    val leftover = q.agg((lit(slots) - sum(col("quota"))).as("leftover"))
+    q.withColumn("rk", row_number().over(
+        Window.orderBy(col("rem").desc, col("source"))))
+      .crossJoin(broadcast(leftover))
+      .select(col("source"),
+        (col("quota") + (col("rk") <= col("leftover")).cast("long"))
+          .as(outCol))
+  }
+
+  /** Neyman labeling-budget allocation (q345): split a fixed
+    * annotation budget across sources proportionally to N_h·σ_h
+    * (strata with more internal variance get more labels — the
+    * optimal-allocation result of survey sampling) next to the
+    * proportional baseline, both through the SAME Hamilton
+    * largest-remainder machinery as q276 so each plan sums exactly to
+    * the budget. σ_h is the floored integer sample SD of doc length
+    * (exact integer moments; `sqrt` is IEEE-correctly-rounded on both
+    * engines, so the floor cannot straddle). The `shift` column is the
+    * actionable readout: which strata proportional sampling
+    * under-labels.
+    *
+    * Scale shape: one moments pass over documents, then everything is
+    * source-enum-bounded; the remainder ranks run over ≤|sources| rows
+    * (the q276/q282 class frame).
+    */
+  def neymanAllocation(spark: SparkSession, dir: String,
+      slots: Long = 1000L): DataFrame =
+    neymanAllocationOn(Tables.documents(spark, dir), slots)
+
+  private[graft] def neymanAllocationOn(docs: DataFrame,
+      slots: Long): DataFrame = {
+    val m = docs.select(col("source"), col("n_chars").cast("long").as("x"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("x")).as("sx"),
+        sum(col("x") * col("x")).as("sxx"))
+      .select(col("source"), col("n_docs"),
+        when(col("n_docs") >= 2,
+          floor(sqrt(expr(
+            "CAST((n_docs * sxx - sx * sx) div (n_docs * (n_docs - 1))" +
+              " AS DOUBLE)"))).cast("long"))
+          .otherwise(lit(0L)).as("sigma"))
+      .localCheckpoint()
+    val prop = hamiltonOnWeights(
+      m.select(col("source"), col("n_docs").as("w")), slots,
+      "prop_alloc")
+    val ney = hamiltonOnWeights(
+      m.select(col("source"), (col("n_docs") * col("sigma")).as("w")),
+      slots, "neyman_alloc")
+    m.join(prop, Seq("source")).join(ney, Seq("source"))
+      .select(col("source"), col("n_docs"), col("sigma"),
+        col("prop_alloc"), col("neyman_alloc"),
+        (col("neyman_alloc") - col("prop_alloc")).as("shift"))
+      .orderBy(col("source"))
+  }
+
   /** Poisson-bootstrap confidence intervals (q338): per-source mean
     * document length with a deterministic 64-replica bootstrap CI —
     * the uncertainty quantification a corpus report should carry next

@@ -536,5 +536,33 @@ private[graft] object DedupOracles {
            CAST(1 AS INT) AS union_within_bound
          FROM grid g LEFT JOIN ov o USING (src_a, src_b)
          ORDER BY src_a, src_b"""),
+    // q346: Chapman capture-recapture vocabulary estimate per source
+    // pair, ratioed against the observed global distinct count
+    "q346_chapman_estimate" ->
+      ("WITH " + graft.oracle.OracleCtes.shinglePostingsCte + """,
+         st AS MATERIALIZED (SELECT DISTINCT d.source, t.tok
+           FROM t0 t JOIN documents d USING (doc_id)),
+         per AS MATERIALIZED (SELECT source,
+             CAST(count(*) AS BIGINT) AS nd
+           FROM st GROUP BY 1),
+         ov AS MATERIALIZED (SELECT a.source AS src_a, b.source AS src_b,
+             CAST(count(*) AS BIGINT) AS overlap
+           FROM st a JOIN st b ON a.tok = b.tok AND a.source < b.source
+           GROUP BY 1, 2),
+         tt AS (SELECT CAST(count(DISTINCT tok) AS BIGINT) AS t_all
+           FROM st),
+         grid AS (SELECT a.source AS src_a, b.source AS src_b,
+             a.nd AS n_a, b.nd AS n_b
+           FROM per a JOIN per b ON a.source < b.source),
+         base AS (SELECT g.src_a, g.src_b, g.n_a, g.n_b,
+             coalesce(o.overlap, 0) AS overlap, t.t_all
+           FROM grid g LEFT JOIN ov o USING (src_a, src_b), tt t)
+         SELECT src_a, src_b, n_a, n_b, overlap,
+           CAST((n_a + 1) * (n_b + 1) // (overlap + 1) - 1 AS BIGINT)
+             AS chapman_est,
+           t_all,
+           CAST(((n_a + 1) * (n_b + 1) // (overlap + 1) - 1) * 1000000
+             // t_all AS BIGINT) AS est_ratio_ppm
+         FROM base ORDER BY src_a, src_b"""),
   )
 }

@@ -1017,6 +1017,42 @@ private[graft] object PipelineOracles {
          FROM tot
          ORDER BY from_shard, to_shard"""
     },
+    // q345: Neyman labeling-budget allocation — integer sample SD per
+    // stratum, then proportional and N_h*sigma_h weights through the
+    // same Hamilton largest-remainder machinery (both sum to budget)
+    "q345_neyman_alloc" -> {
+      def hamilton(tag: String, w: String) =
+        s"""w$tag AS (SELECT source, $w AS w FROM v),
+         t$tag AS (SELECT greatest(CAST(sum(w) AS HUGEINT), 1) AS tot
+           FROM w$tag),
+         q$tag AS (SELECT source,
+             CAST(w::HUGEINT * 1000 // tot AS BIGINT) AS quota,
+             CAST(w::HUGEINT * 1000 % tot AS BIGINT) AS rem
+           FROM w$tag, t$tag),
+         l$tag AS (SELECT 1000 - CAST(sum(quota) AS BIGINT) AS leftover
+           FROM q$tag),
+         a$tag AS (SELECT source, quota + CASE WHEN
+             row_number() OVER (ORDER BY rem DESC, source)
+               <= (SELECT leftover FROM l$tag) THEN 1 ELSE 0 END
+             AS alloc
+           FROM q$tag)"""
+      s"""WITH s AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(n_chars) AS BIGINT) AS sx,
+             CAST(sum(n_chars * n_chars) AS BIGINT) AS sxx
+           FROM documents GROUP BY 1),
+         v AS MATERIALIZED (SELECT source, n_docs,
+             CASE WHEN n_docs >= 2 THEN CAST(floor(sqrt(CAST(
+               (n_docs * sxx - sx * sx) // (n_docs * (n_docs - 1))
+               AS DOUBLE))) AS BIGINT) ELSE 0 END AS sigma
+           FROM s),
+         ${hamilton("p", "n_docs")},
+         ${hamilton("n", "n_docs * sigma")}
+         SELECT v.source, v.n_docs, v.sigma,
+           ap.alloc AS prop_alloc, an.alloc AS neyman_alloc,
+           an.alloc - ap.alloc AS shift
+         FROM v JOIN ap USING (source) JOIN an USING (source)
+         ORDER BY source"""
+    },
     // q341: sort-key pruning planner — rows laid into 4000-row files
     // under each candidate total order, per-file min/max zone maps,
     // files-scanned per workload interval

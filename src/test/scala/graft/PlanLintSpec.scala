@@ -65,6 +65,7 @@ class PlanLintSpec extends SparkSpecBase {
     "q146_source_gini"     -> Set("x"),   // documents.source enum
     "q276_apportionment"   -> Set("rem"), // class frame
     "q282_hash_sample"     -> Set("rem"), // class frame
+    "q345_neyman_alloc"    -> Set("rem"), // two class frames
     // filtered-to-bounded order keys
     "q21_row_number"       -> Set("o_orderkey"), // 1-day order slice
     // bounded ANN frames: histogram/codebook/query-set cardinality
@@ -125,6 +126,8 @@ class PlanLintSpec extends SparkSpecBase {
     "q339_reshard_plan", // broadcast vnode ring grid + 1-row total
     "q340_eps_percolation", // 1-row stat aggs per constant grid point
     "q344_removal_attribution", // 1-row effect-sum normalizer
+    "q345_neyman_alloc", // 1-row budget totals (two Hamilton runs)
+    "q346_chapman_estimate", // sketch grid + 1-row global distinct
     "q30_simhash_neardup", "q31_cosine_topk", "q32_cosine_neardup",
     "q33_lsh_topk", "q42_approx_distinct", "q43_topk_aggregator",
     "q52_key_skew", "q57_centroid_assign", "q64_lsh_neardup",

@@ -301,4 +301,41 @@ class Round14bOpsSpec extends SparkSpecBase {
       click._5 === 1000000L)
     assert(view._3 === 666666L && view._4 === 0L && view._5 === 0L)
   }
+
+  test("q345 Neyman: a zero-variance stratum loses its whole proportional share to the noisy one") {
+    import spark.implicits._
+    // srcFlat: 10 docs all length 200 (sigma 0); srcNoisy: 10 docs
+    // alternating 100/300. Proportional splits 500/500; Neyman weight
+    // N*sigma sends the WHOLE budget to the noisy stratum.
+    val docs = ((1L to 10L).map(i => (i, "en", "srcFlat", 200L)) ++
+      (11L to 20L).map(i =>
+        (i, "en", "srcNoisy", if (i % 2 == 0) 100L else 300L)))
+      .toDF("doc_id", "lang", "source", "n_chars")
+    val out = PipelineOps.neymanAllocationOn(docs, slots = 1000L)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+    val flat = out.find(_._1 == "srcFlat").get
+    val noisy = out.find(_._1 == "srcNoisy").get
+    assert(flat._3 === 0L && noisy._3 > 0L)
+    assert(flat._4 === 500L && noisy._4 === 500L)
+    assert(flat._5 === 0L && noisy._5 === 1000L)
+    assert(flat._6 === -500L && noisy._6 === 500L)
+    // both plans exhaust the budget exactly
+    assert(out.map(_._4).sum === 1000L && out.map(_._5).sum === 1000L)
+  }
+
+  test("q346 Chapman: planted half-overlapping captures reproduce the textbook estimate") {
+    import spark.implicits._
+    // A = {t1..t50}, B = {t26..t75}: overlap 25, union 75;
+    // Chapman = 51*51 div 26 - 1 = 99
+    val st = ((1 to 50).map(i => ("srcA", s"t$i")) ++
+      (26 to 75).map(i => ("srcB", s"t$i"))).toDF("source", "tok")
+    val out = DedupOps.chapmanOn(st)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6),
+        r.getLong(7)))
+    assert(out.length === 1)
+    val r = out.head
+    assert(r === ("srcA", "srcB", 50L, 50L, 25L, 99L, 75L, 1320000L))
+  }
 }
