@@ -499,6 +499,8 @@ object SparkEntry {
       PipelineOps.neymanAllocation(s, d)),
     "q346_chapman_estimate" -> ((s, d) =>
       DedupOps.chapmanEstimate(s, d)),
+    "q347_label_model"    -> ((s, d) =>
+      TextAnalysisOps.labelModel(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

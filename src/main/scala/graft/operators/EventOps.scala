@@ -2088,62 +2088,57 @@ object EventOps {
         .filter(col("fp_rn").isNull && col("rn") === col("last_rn"))
         .select(col("dst0").as("src"), lit("NULL").as("dst")))
       .filter(col("src") =!= lit("CONV"))
-    val counts = hops.groupBy(col("src"), col("dst"))
-      .agg(count(lit(1)).as("c")).localCheckpoint()
-    val channels = counts.select(col("src")).distinct()
-      .filter(col("src") =!= "START")
-      .collectAsList() // enum-bounded: the event-type vocabulary
-    import scala.jdk.CollectionConverters._
-    val chanNames = channels.asScala.map(_.getString(0)).sorted.toSeq
-    def absorb(removed: Option[String]): DataFrame = {
-      val redirected = counts
-        .filter(removed.map(r => col("src") =!= r).getOrElse(lit(true)))
-        .withColumn("dst2", removed.map(r =>
-          when(col("dst") === r, lit("NULL")).otherwise(col("dst")))
-          .getOrElse(col("dst")))
-        .groupBy(col("src"), col("dst2").as("dst"))
-        .agg(sum(col("c")).as("c"))
-      val tot = redirected.groupBy(col("src"))
-        .agg(sum(col("c")).as("tot"))
-      val t = redirected.join(tot, Seq("src"))
-        .select(col("src"), col("dst"),
-          expr("c * 1000000 div tot").as("ppm"))
-        .localCheckpoint()
-      val conv = t.filter(col("dst") === "CONV")
-        .select(col("src"), col("ppm").as("conv_ppm"))
-      val chan = t.filter(col("dst") =!= "CONV" && col("dst") =!= "NULL")
-      val states = t.select(col("src")).distinct()
-      var p = states.withColumn("p", lit(0L))
+    // ONE corpus-scale aggregation; everything below runs on the
+    // collected (channels+2)²-bounded matrix — enum-grain math belongs
+    // on the driver, not in 50 micro-shuffle stages (the first cut
+    // iterated 6-row frames through Spark jobs and benched 11.4 s of
+    // pure scheduler overhead at sf0.1; this form is one job)
+    val mat: Map[(String, String), Long] = hops
+      .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("c"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    val chanNames = mat.keys.map(_._1).filter(_ != "START").toSeq
+      .distinct.sorted
+    // absorption probability at START after `iters` ppm rounds of
+    // p <- T_chan·p div 1e6 + T_conv (floor once per round AFTER the
+    // sum — the exact arithmetic the oracle unrolls)
+    def absorb(removed: Option[String]): Long = {
+      val red = mat.toSeq
+        .filter { case ((s, _), _) => !removed.contains(s) }
+        .map { case ((s, d), c) =>
+          (s, if (removed.contains(d)) "NULL" else d) -> c }
+        .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).sum }
+      val tot = red.groupBy(_._1._1).map { case (s, v) =>
+        s -> v.values.sum }
+      // BigInt for the count scale-up: enum-grain COUNTS are corpus-
+      // scale magnitudes (PARITY 24 — c·1e6 would overflow long near
+      // 1e13 hops); the resulting ppm is always < 1e6
+      val ppm = red.map { case ((s, d), c) =>
+        (s, d) -> (BigInt(c) * 1000000 / BigInt(tot(s))).toLong }
+      val states = tot.keys.toSeq
+      var p = states.map(_ -> 0L).toMap
       for (_ <- 1 to iters) {
-        val acc = chan
-          .join(p.select(col("src").as("dst"), col("p")), Seq("dst"))
-          .groupBy(col("src"))
-          .agg(expr("sum(ppm * p) div 1000000").as("acc"))
-        p = states
-          .join(conv, Seq("src"), "left")
-          .join(acc, Seq("src"), "left")
-          .select(col("src"), (coalesce(col("conv_ppm"), lit(0L)) +
-            coalesce(col("acc"), lit(0L))).as("p"))
+        p = states.map { s =>
+          val acc = ppm.collect {
+            case ((`s`, d), t) if d != "CONV" && d != "NULL" =>
+              t * p.getOrElse(d, 0L)
+          }.sum / 1000000L
+          s -> (ppm.getOrElse((s, "CONV"), 0L) + acc)
+        }.toMap
       }
-      p.filter(col("src") === "START")
-        .select(col("p").as(removed.fold("base_ppm")(_ => "removed_ppm")))
-        .localCheckpoint()
+      p.getOrElse("START", 0L)
     }
     val base = absorb(None)
     val effects = chanNames.map { c =>
-      absorb(Some(c)).crossJoin(broadcast(base))
-        .select(lit(c).as("channel"), col("base_ppm"),
-          col("removed_ppm"),
-          greatest(col("base_ppm") - col("removed_ppm"), lit(0L))
-            .as("effect_ppm"))
-    }.reduce(_ unionByName _).localCheckpoint()
-    val totEff = effects.agg(sum(col("effect_ppm")).as("sum_eff"))
-    effects.crossJoin(broadcast(totEff))
-      .select(col("channel"), col("base_ppm"), col("removed_ppm"),
-        col("effect_ppm"),
-        when(col("sum_eff") > 0,
-          expr("effect_ppm * 1000000 div sum_eff")).otherwise(lit(0L))
-          .as("share_ppm"))
+      val removed = absorb(Some(c))
+      (c, base, removed, math.max(base - removed, 0L))
+    }
+    val sumEff = effects.map(_._4).sum
+    import spark.implicits._
+    effects.map { case (c, b, r, e) =>
+      (c, b, r, e, if (sumEff > 0) e * 1000000L / sumEff else 0L)
+    }.toDF("channel", "base_ppm", "removed_ppm", "effect_ppm",
+      "share_ppm")
       .orderBy(col("channel"))
   }
 }

@@ -1962,4 +1962,79 @@ object TextAnalysisOps {
           " AS BIGINT)").as("chars_per_ksubword"))
       .orderBy(col("source"))
   }
+
+  /** Dawid–Skene-lite weak-supervision label model (q347): three
+    * deterministic weak labelers vote "high quality" per document
+    * (length band / diversity ≥ 2400 / stopword-share band — all
+    * integer signals from one tokenize pass), and `rounds` EM
+    * iterations jointly estimate per-labeler ACCURACY and per-item
+    * posteriors — the Snorkel/Dawid-Skene kernel that turns noisy
+    * heuristic votes into calibrated labels without ground truth. The
+    * output is the convergence trace: per (round, labeler) the
+    * accuracy estimate plus the round's positive-item count — a
+    * labeler the model learns to distrust is visible as a falling
+    * acc_ppm.
+    *
+    * Integer-total EM: posteriors and accuracies live on the ppm grid;
+    * the M-step likelihood products Π aⱼ / (10⁶−aⱼ) over 3 labelers
+    * peak at 10¹⁸ (inside BIGINT, PARITY 24 budget documented);
+    * accuracies clamp to [1, 999999] so no product can collapse to a
+    * 0/0 posterior on either engine. One corpus pass builds votes;
+    * each round is one item-grain recompute against a broadcast 1-row
+    * accuracy frame plus three 1-row aggregates.
+    */
+  def labelModel(spark: SparkSession, dir: String,
+      rounds: Int = 3): DataFrame =
+    labelModelOn(Tables.documents(spark, dir), rounds)
+
+  private[graft] def labelModelOn(docs: DataFrame,
+      rounds: Int): DataFrame = {
+    val m = docs
+      .select(col("doc_id"), explode(Text.tokens(col("text"))).as("tok"))
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_tok"), count(lit(1)).as("n_distinct"),
+        sum(when(col("tok").isin(Text.stopwords: _*), col("c"))
+          .otherwise(lit(0L))).as("n_stop"))
+    var items = m.select(col("doc_id"),
+        when(col("n_tok").between(20, 1000), 1L).otherwise(0L).as("v1"),
+        when(expr("n_distinct * 3000 div n_tok") >= 2400, 1L)
+          .otherwise(0L).as("v2"),
+        when(col("n_stop") * 100 >= col("n_tok") &&
+          col("n_stop") * 10 <= col("n_tok") * 6, 1L).otherwise(0L)
+          .as("v3"))
+      .withColumn("post", expr("(v1 + v2 + v3) * 1000000 div 3"))
+      .localCheckpoint()
+    val trace = Seq.newBuilder[DataFrame]
+    for (r <- 1 to rounds) {
+      def accOf(v: String) = greatest(least(
+        expr(s"sum(CASE WHEN $v = 1 THEN post ELSE 1000000 - post END)" +
+          " div count(1)"), lit(999999L)), lit(1L))
+      val acc = items.agg(accOf("v1").as("a1"), accOf("v2").as("a2"),
+        accOf("v3").as("a3")).localCheckpoint()
+      items = items.crossJoin(broadcast(acc))
+        .withColumn("n1", expr(
+          "(CASE WHEN v1 = 1 THEN a1 ELSE 1000000 - a1 END) * " +
+          "(CASE WHEN v2 = 1 THEN a2 ELSE 1000000 - a2 END) * " +
+          "(CASE WHEN v3 = 1 THEN a3 ELSE 1000000 - a3 END)"))
+        .withColumn("n0", expr(
+          "(CASE WHEN v1 = 1 THEN 1000000 - a1 ELSE a1 END) * " +
+          "(CASE WHEN v2 = 1 THEN 1000000 - a2 ELSE a2 END) * " +
+          "(CASE WHEN v3 = 1 THEN 1000000 - a3 ELSE a3 END)"))
+        .select(col("doc_id"), col("v1"), col("v2"), col("v3"),
+          expr("CAST(CAST(n1 AS decimal(38,0)) * 1000000" +
+            " div (n1 + n0) AS BIGINT)").as("post"))
+        .localCheckpoint()
+      val nPos = items.agg(
+        sum(when(col("post") >= 500000L, 1L).otherwise(0L)).as("n_pos"))
+      trace += acc.crossJoin(broadcast(nPos))
+        .select(lit(r).as("round"), explode(map(
+          lit("len_band"), col("a1"), lit("diversity"), col("a2"),
+          lit("stopword"), col("a3"))).as(Seq("labeler", "acc_ppm")),
+          col("n_pos"))
+    }
+    trace.result().reduce(_ unionByName _)
+      .select(col("round"), col("labeler"), col("acc_ppm"), col("n_pos"))
+      .orderBy(col("round"), col("labeler"))
+  }
 }

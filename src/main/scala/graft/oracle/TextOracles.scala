@@ -138,6 +138,69 @@ private[graft] object TextOracles {
       ("WITH " + langPredCte + """
          SELECT lang_pred, count(*) AS n_docs FROM p
          GROUP BY lang_pred ORDER BY lang_pred"""),
+    // q347: Dawid-Skene-lite label model — three integer weak voters
+    // from one tokenize pass, 3 unrolled EM rounds on the ppm grid
+    // (accuracies clamped to [1, 999999]; likelihood products <= 1e18)
+    "q347_label_model" -> {
+      val rounds = 3
+      def round(r: Int) = {
+        def accOf(v: String) =
+          s"""greatest(least(CAST(sum(CASE WHEN $v = 1 THEN post
+               ELSE 1000000 - post END) // count(*) AS BIGINT),
+             999999), 1)"""
+        s"""a$r AS MATERIALIZED (SELECT ${accOf("v1")} AS a1,
+             ${accOf("v2")} AS a2, ${accOf("v3")} AS a3
+           FROM p${r - 1}),
+         p$r AS MATERIALIZED (SELECT doc_id, v1, v2, v3,
+             CAST(CAST(n1 AS HUGEINT) * 1000000 // (n1 + n0)
+               AS BIGINT) AS post
+           FROM (SELECT p.doc_id, p.v1, p.v2, p.v3,
+               (CASE WHEN p.v1 = 1 THEN a.a1 ELSE 1000000 - a.a1 END)
+               * (CASE WHEN p.v2 = 1 THEN a.a2 ELSE 1000000 - a.a2 END)
+               * (CASE WHEN p.v3 = 1 THEN a.a3 ELSE 1000000 - a.a3 END)
+                 AS n1,
+               (CASE WHEN p.v1 = 1 THEN 1000000 - a.a1 ELSE a.a1 END)
+               * (CASE WHEN p.v2 = 1 THEN 1000000 - a.a2 ELSE a.a2 END)
+               * (CASE WHEN p.v3 = 1 THEN 1000000 - a.a3 ELSE a.a3 END)
+                 AS n0
+             FROM p${r - 1} p, a$r a))"""
+      }
+      def tr(r: Int) =
+        s"""SELECT $r AS round, 'len_band' AS labeler,
+             (SELECT a1 FROM a$r) AS acc_ppm, np$r.n_pos
+           FROM np$r
+           UNION ALL SELECT $r, 'diversity', (SELECT a2 FROM a$r),
+             np$r.n_pos FROM np$r
+           UNION ALL SELECT $r, 'stopword', (SELECT a3 FROM a$r),
+             np$r.n_pos FROM np$r"""
+      def np(r: Int) =
+        s"""np$r AS (SELECT CAST(count(*) FILTER (post >= 500000)
+             AS BIGINT) AS n_pos FROM p$r)"""
+      s"""WITH t AS (SELECT doc_id, string_split(
+             regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')
+             AS toks
+           FROM documents),
+         m AS (SELECT doc_id, len(toks) AS n_tok,
+             len(list_distinct(toks)) AS n_distinct,
+             len(list_filter(toks, x -> x IN ('the','a','an','of','to',
+               'in','and','is','it','that'))) AS n_stop
+           FROM t),
+         v AS MATERIALIZED (SELECT doc_id,
+             CASE WHEN n_tok BETWEEN 20 AND 1000 THEN 1 ELSE 0 END
+               AS v1,
+             CASE WHEN n_distinct * 3000 // n_tok >= 2400 THEN 1 ELSE 0
+               END AS v2,
+             CASE WHEN n_stop * 100 >= n_tok AND n_stop * 10 <= n_tok * 6
+               THEN 1 ELSE 0 END AS v3
+           FROM m),
+         p0 AS (SELECT doc_id, v1, v2, v3,
+             CAST((v1 + v2 + v3) * 1000000 // 3 AS BIGINT) AS post
+           FROM v),
+         ${(1 to rounds).map(round).mkString(",\n         ")},
+         ${(1 to rounds).map(np).mkString(",\n         ")}
+         ${(1 to rounds).map(tr).mkString(" UNION ALL ")}
+         ORDER BY round, labeler"""
+    },
     "q35_quality_score" ->
       ("WITH " + qualityDocCte + """
          SELECT doc_id, n_tokens, quality FROM qdoc ORDER BY doc_id"""),

@@ -125,9 +125,11 @@ class PlanLintSpec extends SparkSpecBase {
     "q337_sketch_overlap", // source-enum² sketch grid (20-row sides)
     "q339_reshard_plan", // broadcast vnode ring grid + 1-row total
     "q340_eps_percolation", // 1-row stat aggs per constant grid point
-    "q344_removal_attribution", // 1-row effect-sum normalizer
+    // (q344's fixed point runs on the collected enum² matrix — its
+    // executed plan is the one corpus aggregation, no BNLJ)
     "q345_neyman_alloc", // 1-row budget totals (two Hamilton runs)
     "q346_chapman_estimate", // sketch grid + 1-row global distinct
+    "q347_label_model", // 1-row accuracy/positives frames per EM round
     "q30_simhash_neardup", "q31_cosine_topk", "q32_cosine_neardup",
     "q33_lsh_topk", "q42_approx_distinct", "q43_topk_aggregator",
     "q52_key_skew", "q57_centroid_assign", "q64_lsh_neardup",

@@ -338,4 +338,25 @@ class Round14bOpsSpec extends SparkSpecBase {
     val r = out.head
     assert(r === ("srcA", "srcB", 50L, 50L, 25L, 99L, 75L, 1320000L))
   }
+
+  test("q347 label model: EM learns to trust aligned voters and collapse the anti-correlated one") {
+    import spark.implicits._
+    // positives: length+stopword voters fire, diversity voter does
+    // NOT (repetitive text); negatives: ONLY the diversity voter
+    // fires. v2 is thus perfectly anti-correlated with the v1=v3
+    // consensus — EM must drive its accuracy toward the low clamp
+    // while the aligned voters approach the high clamp.
+    val pos = "the " * 10 + "x y z " * 7           // 31 toks, 4 distinct
+    val neg = "q w e r t y u i o p"                // 10 toks, no stops
+    val docs = ((1L to 30L).map(i => (i, pos)) ++
+      (31L to 50L).map(i => (i, neg))).toDF("doc_id", "text")
+    val out = TextAnalysisOps.labelModelOn(docs, rounds = 3)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2),
+        r.getLong(3)))
+    val r3 = out.filter(_._1 == 3).map(t => t._2 -> t._3).toMap
+    assert(r3("len_band") > 900000L && r3("stopword") > 900000L)
+    assert(r3("diversity") < 100000L)
+    // the 30 planted positives stay positive through every round
+    assert(out.forall(_._4 === 30L))
+  }
 }
