@@ -501,6 +501,8 @@ object SparkEntry {
       DedupOps.chapmanEstimate(s, d)),
     "q347_label_model"    -> ((s, d) =>
       TextAnalysisOps.labelModel(s, d)),
+    "q348_randomization_test" -> ((s, d) =>
+      PipelineOps.randomizationTest(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

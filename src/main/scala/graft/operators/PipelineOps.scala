@@ -998,6 +998,83 @@ object PipelineOps {
       .orderBy(col("source"))
   }
 
+  /** Deterministic randomization test (q348): per source, is its mean
+    * doc length different from the rest of the corpus, with a
+    * Monte-Carlo p-value from `replicas` md5-coin random relabelings —
+    * the hypothesis-testing complement to q338's bootstrap CI (one
+    * estimates uncertainty, this one tests a difference). Each
+    * replicate reassigns every doc to "this source" with the observed
+    * marginal probability (the random-allocation form of the
+    * permutation test — per-row independent coins, so it distributes
+    * as one pass where the exact permutation would need a global
+    * without-replacement shuffle per replicate); the statistic is the
+    * integer-milli mean difference, and p = (#extreme + 1)/(R + 1)
+    * with the standard add-one (never a p of exactly 0).
+    *
+    * Scale shape: one generated docs × sources × R fan-out (row-local
+    * coins) onto (source, replicate)-keyed partial sums — map-side
+    * combinable, ~R·|sources|× the fact bytes in generated rows but
+    * nothing quadratic; the replicate grid is a constant. All
+    * arithmetic integer (PARITY 21-total: zero-count groups guard to
+    * a 0 mean).
+    */
+  def randomizationTest(spark: SparkSession, dir: String,
+      replicas: Int = 64): DataFrame =
+    randomizationTestOn(Tables.documents(spark, dir), replicas)
+
+  private[graft] def randomizationTestOn(docs: DataFrame,
+      replicas: Int): DataFrame = {
+    val base = docs.select(col("doc_id"), col("source"),
+      col("n_chars").cast("long").as("x")).localCheckpoint()
+    val tot = base.agg(count(lit(1)).as("n_all"), sum(col("x")).as("sx"))
+    val obs = base.groupBy(col("source"))
+      .agg(count(lit(1)).as("na"), sum(col("x")).as("sa"))
+      .crossJoin(broadcast(tot))
+      .select(col("source"), col("na").as("n_docs"),
+        expr("CASE WHEN na > 0 AND n_all - na > 0 THEN" +
+          " sa * 1000 div na - (sx - sa) * 1000 div (n_all - na)" +
+          " ELSE 0L END").as("obs_diff_milli"),
+        col("na"), col("n_all"))
+      .localCheckpoint()
+    // replicate fan-out: fresh coins per (doc, source-scenario, r);
+    // assign to the scenario group with the observed marginal
+    val rep = base
+      .crossJoin(broadcast(obs.select(col("source").as("scen"),
+        col("na"), col("n_all"))))
+      .select(col("doc_id"), col("scen"), col("x"), col("na"),
+        col("n_all"),
+        explode(expr(s"sequence(1, $replicas)")).as("r"))
+      .withColumn("u", pmod(
+        conv(substring(md5(concat(col("doc_id").cast("string"),
+          lit("_rt_"), col("scen"), lit("_"),
+          col("r").cast("string"))), 1, 5), 16, 10).cast("long"),
+        lit(1000000L)))
+      .withColumn("in_a",
+        (col("u") * col("n_all") < col("na") * lit(1000000L))
+          .cast("long"))
+      .groupBy(col("scen"), col("r"))
+      .agg(sum(col("in_a")).as("pna"),
+        sum(col("in_a") * col("x")).as("psa"),
+        count(lit(1)).as("pn"), sum(col("x")).as("ps"))
+      .select(col("scen"),
+        expr("CASE WHEN pna > 0 AND pn - pna > 0 THEN" +
+          " abs(psa * 1000 div pna - (ps - psa) * 1000 div (pn - pna))" +
+          " ELSE 0L END").as("ad"))
+    val extreme = rep
+      .join(obs.select(col("source").as("scen"),
+        abs(col("obs_diff_milli")).as("aod")), Seq("scen"))
+      .groupBy(col("scen").as("source"))
+      .agg(sum(when(col("ad") >= col("aod"), 1L).otherwise(0L))
+        .as("n_extreme"))
+    obs.select(col("source"), col("n_docs"), col("obs_diff_milli"))
+      .join(extreme, Seq("source"))
+      .select(col("source"), col("n_docs"), col("obs_diff_milli"),
+        col("n_extreme"),
+        expr(s"(n_extreme + 1) * 1000000 div ${replicas + 1}")
+          .as("p_ppm"))
+      .orderBy(col("source"))
+  }
+
   /** Poisson-bootstrap confidence intervals (q338): per-source mean
     * document length with a deterministic 64-replica bootstrap CI —
     * the uncertainty quantification a corpus report should carry next

@@ -1017,6 +1017,51 @@ private[graft] object PipelineOracles {
          FROM tot
          ORDER BY from_shard, to_shard"""
     },
+    // q348: deterministic randomization test — per source vs rest,
+    // 64 md5-coin random relabelings at the observed marginal,
+    // integer-milli mean-difference statistic, add-one p-value
+    "q348_randomization_test" ->
+      """WITH base AS (SELECT doc_id, source,
+             CAST(n_chars AS BIGINT) AS x
+           FROM documents),
+         tot AS (SELECT CAST(count(*) AS BIGINT) AS n_all,
+             CAST(sum(x) AS BIGINT) AS sx
+           FROM base),
+         obs AS (SELECT b.source, CAST(count(*) AS BIGINT) AS na,
+             CAST(sum(x) AS BIGINT) AS sa, t.n_all, t.sx
+           FROM base b, tot t GROUP BY 1, 4, 5),
+         obsd AS MATERIALIZED (SELECT source, na AS n_docs, na, n_all,
+             CASE WHEN na > 0 AND n_all - na > 0
+               THEN CAST(sa * 1000 // na
+                 - (sx - sa) * 1000 // (n_all - na) AS BIGINT)
+               ELSE 0 END AS obs_diff_milli
+           FROM obs),
+         draws AS (SELECT o.source AS scen, b.x, r.range AS r,
+             CASE WHEN (CAST(list_sum([(strpos('0123456789abcdef',
+                    substr(md5(b.doc_id || '_rt_' || o.source || '_'
+                      || r.range), i, 1)) - 1)::BIGINT
+                  * (1::BIGINT << (4*(5-i))) for i in range(1, 6)])
+                AS BIGINT) % 1000000) * o.n_all < o.na * 1000000
+               THEN 1 ELSE 0 END AS in_a
+           FROM base b CROSS JOIN obsd o, range(1, 65) r),
+         rep AS MATERIALIZED (SELECT scen, r,
+             CAST(sum(in_a) AS BIGINT) AS pna,
+             CAST(sum(in_a * x) AS BIGINT) AS psa,
+             CAST(count(*) AS BIGINT) AS pn,
+             CAST(sum(x) AS BIGINT) AS ps
+           FROM draws GROUP BY 1, 2),
+         ad AS (SELECT scen, CASE WHEN pna > 0 AND pn - pna > 0
+               THEN CAST(abs(psa * 1000 // pna
+                 - (ps - psa) * 1000 // (pn - pna)) AS BIGINT)
+               ELSE 0 END AS ad
+           FROM rep),
+         ex AS (SELECT o.source, CAST(sum(CASE WHEN a.ad >=
+               abs(o.obs_diff_milli) THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_extreme
+           FROM ad a JOIN obsd o ON a.scen = o.source GROUP BY 1)
+         SELECT o.source, o.n_docs, o.obs_diff_milli, e.n_extreme,
+           CAST((e.n_extreme + 1) * 1000000 // 65 AS BIGINT) AS p_ppm
+         FROM obsd o JOIN ex e USING (source) ORDER BY source""",
     // q345: Neyman labeling-budget allocation — integer sample SD per
     // stratum, then proportional and N_h*sigma_h weights through the
     // same Hamilton largest-remainder machinery (both sum to budget)

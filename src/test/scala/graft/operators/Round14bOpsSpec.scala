@@ -359,4 +359,27 @@ class Round14bOpsSpec extends SparkSpecBase {
     // the 30 planted positives stay positive through every round
     assert(out.forall(_._4 === 30L))
   }
+
+  test("q348 randomization test: a planted giant effect bottoms out at 1/(R+1); a null source does not") {
+    import spark.implicits._
+    // effect fixture: srcBig's docs are 10x longer than the rest
+    val eff = ((1L to 10L).map(i => (i, "en", "srcBig", 1000L)) ++
+      (11L to 40L).map(i => (i, "en", "srcRest", 100L)))
+      .toDF("doc_id", "lang", "source", "n_chars")
+    val big = PipelineOps.randomizationTestOn(eff, replicas = 64)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+      .find(_._1 == "srcBig").get
+    // the real effect: +900 mean chars, no relabeling reaches it,
+    // p = (0+1)/65 exactly
+    assert(big._3 === 900000L && big._4 === 0L && big._5 === 15384L)
+    // null fixture: two identical strata — observed diff 0, every
+    // replicate at least as extreme -> p = 1 for both
+    val nul = ((1L to 15L).map(i => (i, "en", "srcN1", 100L)) ++
+      (16L to 30L).map(i => (i, "en", "srcN2", 100L)))
+      .toDF("doc_id", "lang", "source", "n_chars")
+    val nout = PipelineOps.randomizationTestOn(nul, replicas = 64)
+      .collect().map(r => (r.getString(0), r.getLong(2), r.getLong(4)))
+    assert(nout.forall(t => t._2 === 0L && t._3 === 1000000L))
+  }
 }
