@@ -503,6 +503,8 @@ object SparkEntry {
       TextAnalysisOps.labelModel(s, d)),
     "q348_randomization_test" -> ((s, d) =>
       PipelineOps.randomizationTest(s, d)),
+    "q349_good_turing"    -> ((s, d) =>
+      TextAnalysisOps.goodTuring(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -1963,6 +1963,45 @@ object TextAnalysisOps {
       .orderBy(col("source"))
   }
 
+  /** Good–Turing frequency-of-frequencies ladder (q349): per source,
+    * the n_r counts (types seen exactly r times), the Good–Turing
+    * unseen-probability mass p₀ = n₁/N, and the Turing-discounted
+    * counts r* = (r+1)·n_{r+1}/n_r for r = 1..3 — the smoothing
+    * statistics behind Katz/SGT language models and the "how much
+    * probability belongs to words we have never seen" readout that
+    * complements q346's Chapman (type-count universe) and q165's hapax
+    * share (vocabulary composition). A source whose r* ladder sits far
+    * below r is heavy-tailed (most low-count types are sampling
+    * noise); r* ≈ r means counts are trustworthy. All integer: p₀ in
+    * ppm, r* in milli, n_r = 0 rungs guard to 0 (PARITY 21).
+    *
+    * Scale shape: one (source, token) count pass (the q165 shuffle),
+    * then a source-grain conditional rollup — nothing beyond the
+    * token aggregation touches the corpus.
+    */
+  def goodTuring(spark: SparkSession, dir: String): DataFrame =
+    goodTuringOn(Tables.documents(spark, dir))
+
+  private[graft] def goodTuringOn(docs: DataFrame): DataFrame = {
+    def nr(r: Int) =
+      sum(when(col("n_occ") === r.toLong, 1L).otherwise(0L)).as(s"n$r")
+    def rstar(r: Int) = when(col(s"n$r") > 0,
+      expr(s"${r + 1} * n${r + 1} * 1000 div n$r")).otherwise(lit(0L))
+      .as(s"rstar${r}_milli")
+    docs
+      .select(col("source"), explode(Text.tokens(col("text"))).as("tok"))
+      .groupBy(col("source"), col("tok"))
+      .agg(count(lit(1)).as("n_occ"))
+      .groupBy(col("source"))
+      .agg(sum(col("n_occ")).as("n_tokens"),
+        count(lit(1)).as("n_vocab"), nr(1), nr(2), nr(3), nr(4))
+      .select(col("source"), col("n_tokens"), col("n_vocab"),
+        col("n1"), col("n2"), col("n3"),
+        expr("n1 * 1000000 div n_tokens").as("p0_ppm"),
+        rstar(1), rstar(2), rstar(3))
+      .orderBy(col("source"))
+  }
+
   /** Dawid–Skene-lite weak-supervision label model (q347): three
     * deterministic weak labelers vote "high quality" per document
     * (length band / diversity ≥ 2400 / stopword-share band — all

@@ -138,6 +138,34 @@ private[graft] object TextOracles {
       ("WITH " + langPredCte + """
          SELECT lang_pred, count(*) AS n_docs FROM p
          GROUP BY lang_pred ORDER BY lang_pred"""),
+    // q349: Good-Turing ladder — per-source frequency-of-frequencies,
+    // unseen mass n1/N in ppm, Turing-discounted r* in milli
+    "q349_good_turing" ->
+      """WITH t AS (SELECT source, unnest(string_split(regexp_replace(
+             lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS tok
+           FROM documents),
+         c AS (SELECT source, tok, count(*) AS n_occ FROM t
+           GROUP BY 1, 2),
+         g AS (SELECT source, CAST(sum(n_occ) AS BIGINT) AS n_tokens,
+             CAST(count(*) AS BIGINT) AS n_vocab,
+             CAST(sum(CASE WHEN n_occ = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n1,
+             CAST(sum(CASE WHEN n_occ = 2 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n2,
+             CAST(sum(CASE WHEN n_occ = 3 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n3,
+             CAST(sum(CASE WHEN n_occ = 4 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n4
+           FROM c GROUP BY 1)
+         SELECT source, n_tokens, n_vocab, n1, n2, n3,
+           CAST(n1 * 1000000 // n_tokens AS BIGINT) AS p0_ppm,
+           CASE WHEN n1 > 0 THEN CAST(2 * n2 * 1000 // n1 AS BIGINT)
+             ELSE 0 END AS rstar1_milli,
+           CASE WHEN n2 > 0 THEN CAST(3 * n3 * 1000 // n2 AS BIGINT)
+             ELSE 0 END AS rstar2_milli,
+           CASE WHEN n3 > 0 THEN CAST(4 * n4 * 1000 // n3 AS BIGINT)
+             ELSE 0 END AS rstar3_milli
+         FROM g ORDER BY source""",
     // q347: Dawid-Skene-lite label model — three integer weak voters
     // from one tokenize pass, 3 unrolled EM rounds on the ppm grid
     // (accuracies clamped to [1, 999999]; likelihood products <= 1e18)

@@ -382,4 +382,20 @@ class Round14bOpsSpec extends SparkSpecBase {
       .collect().map(r => (r.getString(0), r.getLong(2), r.getLong(4)))
     assert(nout.forall(t => t._2 === 0L && t._3 === 1000000L))
   }
+
+  test("q349 Good-Turing: a hand-built frequency ladder reproduces p0 and the r* discounts") {
+    import spark.implicits._
+    // corpus: a a a b b c d e -> N=8, V=5, n1=3 (c,d,e), n2=1 (b),
+    // n3=1 (a): p0 = 3/8 = 375000 ppm, r*1 = 2*1/3 = 666 milli,
+    // r*2 = 3*1/1 = 3000 milli, r*3 = 4*0/1 = 0
+    val docs = Seq((1L, "a a a b b c d e", "en", "srcX", 15L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = TextAnalysisOps.goodTuringOn(docs).collect()
+    assert(out.length === 1)
+    val r = out.head
+    assert((r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7),
+      r.getLong(8), r.getLong(9)) ===
+      ("srcX", 8L, 5L, 3L, 1L, 1L, 375000L, 666L, 3000L, 0L))
+  }
 }
