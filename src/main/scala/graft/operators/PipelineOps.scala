@@ -1036,19 +1036,22 @@ object PipelineOps {
           " ELSE 0L END").as("obs_diff_milli"),
         col("na"), col("n_all"))
       .localCheckpoint()
-    // replicate fan-out: fresh coins per (doc, source-scenario, r);
-    // assign to the scenario group with the observed marginal
-    val rep = base
-      .crossJoin(broadcast(obs.select(col("source").as("scen"),
-        col("na"), col("n_all"))))
-      .select(col("doc_id"), col("scen"), col("x"), col("na"),
-        col("n_all"),
+    // ONE coin per (doc, replicate), shared across scenarios: each
+    // scenario's test reads only its own threshold of the coin, so
+    // cross-scenario correlation cannot touch any single test's
+    // validity — and the md5 work drops by |sources|× (5.6 s -> the
+    // coin pass at sf0.1)
+    val coins = base
+      .select(col("doc_id"), col("x"),
         explode(expr(s"sequence(1, $replicas)")).as("r"))
       .withColumn("u", pmod(
         conv(substring(md5(concat(col("doc_id").cast("string"),
-          lit("_rt_"), col("scen"), lit("_"),
-          col("r").cast("string"))), 1, 5), 16, 10).cast("long"),
-        lit(1000000L)))
+          lit("_rt_"), col("r").cast("string"))), 1, 5), 16, 10)
+          .cast("long"), lit(1000000L)))
+      .localCheckpoint()
+    val rep = coins
+      .crossJoin(broadcast(obs.select(col("source").as("scen"),
+        col("na"), col("n_all"))))
       .withColumn("in_a",
         (col("u") * col("n_all") < col("na") * lit(1000000L))
           .cast("long"))

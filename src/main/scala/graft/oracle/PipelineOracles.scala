@@ -1036,14 +1036,16 @@ private[graft] object PipelineOracles {
                  - (sx - sa) * 1000 // (n_all - na) AS BIGINT)
                ELSE 0 END AS obs_diff_milli
            FROM obs),
-         draws AS (SELECT o.source AS scen, b.x, r.range AS r,
-             CASE WHEN (CAST(list_sum([(strpos('0123456789abcdef',
-                    substr(md5(b.doc_id || '_rt_' || o.source || '_'
-                      || r.range), i, 1)) - 1)::BIGINT
-                  * (1::BIGINT << (4*(5-i))) for i in range(1, 6)])
-                AS BIGINT) % 1000000) * o.n_all < o.na * 1000000
+         coins AS MATERIALIZED (SELECT b.doc_id, b.x, r.range AS r,
+             (CAST(list_sum([(strpos('0123456789abcdef',
+                  substr(md5(b.doc_id || '_rt_' || r.range), i, 1))
+                - 1)::BIGINT * (1::BIGINT << (4*(5-i)))
+                for i in range(1, 6)]) AS BIGINT) % 1000000) AS u
+           FROM base b, range(1, 65) r),
+         draws AS (SELECT o.source AS scen, c.x, c.r,
+             CASE WHEN c.u * o.n_all < o.na * 1000000
                THEN 1 ELSE 0 END AS in_a
-           FROM base b CROSS JOIN obsd o, range(1, 65) r),
+           FROM coins c CROSS JOIN obsd o),
          rep AS MATERIALIZED (SELECT scen, r,
              CAST(sum(in_a) AS BIGINT) AS pna,
              CAST(sum(in_a * x) AS BIGINT) AS psa,
