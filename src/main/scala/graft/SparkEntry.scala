@@ -505,6 +505,8 @@ object SparkEntry {
       PipelineOps.randomizationTest(s, d)),
     "q349_good_turing"    -> ((s, d) =>
       TextAnalysisOps.goodTuring(s, d)),
+    "q350_column_entropy" -> ((s, d) =>
+      graft.dq.DataQuality.columnEntropy(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

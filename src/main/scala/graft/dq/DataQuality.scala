@@ -380,4 +380,47 @@ object DataQuality {
         sum(when(col("l_div") < 2, col("k_size")).otherwise(0L))
           .as("rows_at_risk_l2"))
   }
+
+  /** Column-entropy storage panel (q350): per candidate lineitem
+    * column, the Shannon entropy of its value distribution next to
+    * the uniform bound log₂(distinct) — the encoding-choice
+    * diagnostic a columnar writer reads: entropy_bits is the
+    * theoretical dictionary+entropy-coded bits/value, uniform_bits
+    * the plain dictionary width, and the gap between them the win
+    * from frequency-aware encoding (RLE/bit-packing candidates are
+    * the low-entropy rows — flags at ~2 bits vs partkey near its
+    * uniform bound). Values are stringified through engine-stable
+    * casts only (dates via DATE, quantities via BIGINT — float
+    * formatting is NOT cross-engine and never touches this panel);
+    * entropy rides the q67 float-log device (4dp round swallows
+    * summation-order ULPs; +0.0 normalizes −0.0).
+    *
+    * Scale shape: one scan with a 5-way stack (constant fan-out),
+    * one (column, value) count, column-grain rollups.
+    */
+  def columnEntropy(spark: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val u = graft.Tables.lineitem(spark, dir).select(expr(
+      "stack(5, " +
+        "'linestatus', CAST(l_linestatus AS STRING), " +
+        "'partkey', CAST(l_partkey AS STRING), " +
+        "'quantity', CAST(CAST(l_quantity AS BIGINT) AS STRING), " +
+        "'returnflag', CAST(l_returnflag AS STRING), " +
+        "'shipdate', CAST(CAST(l_shipdate AS DATE) AS STRING)" +
+        ") AS (col_name, v)"))
+    val c = u.groupBy(col("col_name"), col("v"))
+      .agg(count(lit(1)).as("c"))
+    val n = c.groupBy(col("col_name")).agg(sum(col("c")).as("n"))
+    c.join(n, "col_name")
+      .groupBy(col("col_name"))
+      .agg(max(col("n")).as("n_values"),
+        count(lit(1)).as("n_distinct"),
+        round(-sum((col("c") / col("n")) *
+          log(2.0, col("c") / col("n"))) + lit(0.0), 4)
+          .as("entropy_bits"),
+        round(log(2.0, count(lit(1)).cast("double")), 4)
+          .as("uniform_bits"))
+      .orderBy(col("col_name"))
+  }
 }

@@ -1586,6 +1586,29 @@ private[graft] object CoreOracles {
            max_by(fill_c, day) AS eom_price_c,
            CAST(sum(fill_c) // count(*) AS BIGINT) AS mean_price_c
          FROM filled GROUP BY 1, 2 ORDER BY 1, 2""",
+    // q350: column-entropy storage panel — value-distribution Shannon
+    // entropy vs the uniform dictionary bound per candidate column,
+    // engine-stable casts only (q67 float-log device, 4dp)
+    "q350_column_entropy" ->
+      """WITH u AS (
+           SELECT 'linestatus' AS col_name, l_linestatus AS v
+             FROM lineitem
+           UNION ALL SELECT 'partkey', CAST(l_partkey AS VARCHAR)
+             FROM lineitem
+           UNION ALL SELECT 'quantity',
+             CAST(CAST(l_quantity AS BIGINT) AS VARCHAR) FROM lineitem
+           UNION ALL SELECT 'returnflag', l_returnflag FROM lineitem
+           UNION ALL SELECT 'shipdate',
+             CAST(CAST(l_shipdate AS DATE) AS VARCHAR) FROM lineitem),
+         c AS (SELECT col_name, v, count(*) AS c FROM u GROUP BY 1, 2),
+         n AS (SELECT col_name, CAST(sum(c) AS BIGINT) AS n FROM c
+           GROUP BY 1)
+         SELECT c.col_name, max(n.n) AS n_values,
+           CAST(count(*) AS BIGINT) AS n_distinct,
+           round(-sum((c.c * 1.0 / n.n) * log2(c.c * 1.0 / n.n))
+             + 0.0, 4) AS entropy_bits,
+           round(log2(count(*)), 4) AS uniform_bits
+         FROM c JOIN n USING (col_name) GROUP BY 1 ORDER BY 1""",
     // q343: gaps-and-islands interval merge — per-supplier ordered
     // sweep (running-max end, new-island flag, island-id running sum),
     // then island and supplier rollups

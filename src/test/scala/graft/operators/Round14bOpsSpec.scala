@@ -398,4 +398,19 @@ class Round14bOpsSpec extends SparkSpecBase {
       r.getLong(8), r.getLong(9)) ===
       ("srcX", 8L, 5L, 3L, 1L, 1L, 375000L, 666L, 3000L, 0L))
   }
+
+  test("q350 column entropy: entropy never exceeds the uniform bound and flags sit near it") {
+    val out = graft.dq.DataQuality.columnEntropy(spark, sf0001)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4)))
+    assert(out.length === 5)
+    // Shannon: H <= log2(distinct), with equality only at uniform
+    assert(out.forall(t => t._4 <= t._5 + 1e-9))
+    // the low-cardinality flag columns are the RLE/bit-pack story
+    val ls = out.find(_._1 == "linestatus").get
+    assert(ls._3 === 2L && ls._4 <= 1.0)
+    // keys approach their uniform dictionary bound (near-unique use)
+    val pk = out.find(_._1 == "partkey").get
+    assert(pk._4 > pk._5 * 0.95)
+  }
 }
