@@ -15,6 +15,15 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
+  /** The events generator's event_type enum (TESTDATA.md). Single
+    * source of truth for every consumer that enumerates the domain —
+    * DqSuite's enum expectation, the q344 oracle's channel list — so a
+    * generator enum change fails loudly in one place instead of
+    * silently diverging engine vs oracle.
+    */
+  val EventTypes: Seq[String] =
+    Seq("click", "error", "purchase", "signup", "view")
+
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
     normalizeNtz(spark.read.parquet(s"$dir/$name.parquet"))
 

@@ -105,8 +105,7 @@ object DqSuite {
       rowChecks("events", events, Seq(
         "not_null_event_id" -> col("event_id").isNull,
         "enum_event_type" -> (col("event_type").isNull ||
-          !col("event_type")
-            .isin("click", "error", "purchase", "signup", "view")))),
+          !col("event_type").isin(Tables.EventTypes: _*)))),
       uniqueCheck("events", events, Seq("event_id")))
     panels.reduce(_ unionByName _).orderBy(col("tbl"), col("chk"))
   }

@@ -681,6 +681,15 @@ object GraphOps {
 
   private[graft] def hitsOn(edges: DataFrame, rounds: Int,
       topK: Int): DataFrame = {
+    require(rounds >= 1, s"hitsOn needs rounds >= 1, got $rounds")
+    // Magnitude budget (PARITY rule 24): each half-round sums ppm scores
+    // (≤ 1e6) over a node's neighbors, so raw ≤ degree × 1e6 and the
+    // normalizer cross-product raw * 1e6 ≤ degree × 1e12. Long overflow
+    // needs degree > ~9.2e6 — the purchase bipartite's max degree is
+    // orders-per-customer × parts-per-order (≪ 1e4 even at 100 TB
+    // because it's bounded by a single customer's purchase history).
+    // If a grid with unbounded degree ever reuses this kernel, cap or
+    // rescale raw before the * 1e6 step.
     val Unit6 = 1000000L
     // normalize a raw score frame to ppm of its max (floor division —
     // exact, order-independent; max ≥ 1 because raw sums ≥ 1 ppm unit)

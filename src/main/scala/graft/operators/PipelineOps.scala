@@ -1046,7 +1046,7 @@ object PipelineOps {
         explode(expr(s"sequence(1, $replicas)")).as("r"))
       .withColumn("u", pmod(
         conv(substring(md5(concat(col("doc_id").cast("string"),
-          lit("_rt_"), col("r").cast("string"))), 1, 5), 16, 10)
+          lit("_rt_"), col("r").cast("string"))), 1, 12), 16, 10)
           .cast("long"), lit(1000000L)))
       .localCheckpoint()
     val rep = coins
@@ -1118,7 +1118,7 @@ object PipelineOps {
         explode(expr(s"sequence(1, $replicas)")).as("r"))
       .withColumn("u", pmod(
         conv(substring(md5(concat(col("doc_id").cast("string"),
-          lit("_bs"), col("r").cast("string"))), 1, 5), 16, 10)
+          lit("_bs"), col("r").cast("string"))), 1, 12), 16, 10)
           .cast("long"), lit(1000000L)))
       .withColumn("w",
         when(col("u") < 367879L, 0L).when(col("u") < 735759L, 1L)

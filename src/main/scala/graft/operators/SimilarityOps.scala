@@ -1483,7 +1483,9 @@ object SimilarityOps {
   }
 
   /** DBSCAN density clustering (q335) in cosine space: core points are
-    * vectors with ≥ `minPts` eps-neighbors (cosine ≥ `threshold`, 4dp),
+    * vectors whose eps-neighborhood — INCLUDING the point itself, the
+    * textbook/sklearn convention, so minPts values port unchanged —
+    * has ≥ `minPts` members (cosine ≥ `threshold`, 4dp),
     * clusters are connected components of the core-core eps-graph
     * (label = component-min core id, the q53 device), border points
     * attach to the smallest cluster label among their core neighbors
@@ -1521,8 +1523,11 @@ object SimilarityOps {
       .select(col("id_a"), col("id_b")).localCheckpoint()
     val sym = pairs.select(col("id_a").as("v"), col("id_b").as("n"))
       .unionByName(pairs.select(col("id_b").as("v"), col("id_a").as("n")))
+    // textbook core definition: |N_eps(p)| INCLUDES p itself, so a
+    // point with deg eps-neighbors is core iff deg + 1 >= minPts —
+    // minPts values port unchanged from sklearn/ELKI
     val core = sym.groupBy(col("v")).agg(count(lit(1)).as("deg"))
-      .filter(col("deg") >= minPts).select(col("v")).localCheckpoint()
+      .filter(col("deg") + 1 >= minPts).select(col("v")).localCheckpoint()
     val coreEdges = pairs
       .join(core.withColumnRenamed("v", "id_a"), Seq("id_a"), "left_semi")
       .join(core.withColumnRenamed("v", "id_b"), Seq("id_b"), "left_semi")

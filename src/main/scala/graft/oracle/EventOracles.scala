@@ -1640,7 +1640,11 @@ private[graft] object EventOracles {
     // channel's inbound edges redirected to NULL), effects clamped at
     // 0 and normalized to shares
     "q344_removal_attribution" -> {
-      val chans = Seq("click", "error", "signup", "view")
+      // channels = every generator event type except the absorbing
+      // conversion event; sourced from the shared enum so a generator
+      // change diverges HERE (compile-visible) instead of silently
+      // emitting a different row set than the engine's data-derived set
+      val chans = graft.Tables.EventTypes.filterNot(_ == "purchase")
       val iters = 10
       def scen(tag: String, removed: Option[String]): String = {
         val red = removed match {

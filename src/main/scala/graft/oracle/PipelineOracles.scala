@@ -940,8 +940,8 @@ private[graft] object PipelineOracles {
          draws AS (SELECT b.source, b.x, r.range AS r,
              (CAST(list_sum([(strpos('0123456789abcdef',
                   substr(md5(b.doc_id || '_bs' || r.range), i, 1))
-                - 1)::BIGINT * (1::BIGINT << (4*(5-i)))
-                for i in range(1, 6)]) AS BIGINT) % 1000000) AS u
+                - 1)::BIGINT * (1::BIGINT << (4*(12-i)))
+                for i in range(1, 13)]) AS BIGINT) % 1000000) AS u
            FROM base b, range(1, 65) r),
          rep AS MATERIALIZED (SELECT source, r,
              CAST(sum(w) AS BIGINT) AS sw,
@@ -1039,8 +1039,8 @@ private[graft] object PipelineOracles {
          coins AS MATERIALIZED (SELECT b.doc_id, b.x, r.range AS r,
              (CAST(list_sum([(strpos('0123456789abcdef',
                   substr(md5(b.doc_id || '_rt_' || r.range), i, 1))
-                - 1)::BIGINT * (1::BIGINT << (4*(5-i)))
-                for i in range(1, 6)]) AS BIGINT) % 1000000) AS u
+                - 1)::BIGINT * (1::BIGINT << (4*(12-i)))
+                for i in range(1, 13)]) AS BIGINT) % 1000000) AS u
            FROM base b, range(1, 65) r),
          draws AS (SELECT o.source AS scen, c.x, c.r,
              CASE WHEN c.u * o.n_all < o.na * 1000000

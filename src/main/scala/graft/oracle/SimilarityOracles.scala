@@ -282,7 +282,7 @@ private[graft] object SimilarityOracles {
          s AS (SELECT ia AS v, ib AS n FROM p
            UNION ALL SELECT ib, ia FROM p),
          core AS MATERIALIZED (SELECT v FROM s GROUP BY v
-           HAVING count(*) >= 3),
+           HAVING count(*) + 1 >= 3),
          ce AS MATERIALIZED (SELECT ia, ib FROM p
            WHERE ia IN (SELECT v FROM core)
              AND ib IN (SELECT v FROM core)),

@@ -85,8 +85,9 @@ class Round14bOpsSpec extends SparkSpecBase {
     // unit vectors in the xy-plane at chosen angles; threshold 0.5
     // (60 deg). Cluster A at 0/10/20 deg (ids 1-3), cluster B at
     // 120/130/140 deg (ids 4-6), border id 10 at -55 deg (within 60 of
-    // A's 0-deg member ONLY -> degree 1 < minPts 2, one core
-    // neighbor), noise id 20 at -120 deg (no neighbor at all)
+    // A's 0-deg member ONLY -> |N_eps| = 2 incl. itself < minPts 3,
+    // one core neighbor), noise id 20 at -120 deg (no neighbor at all).
+    // minPts counts the point ITSELF (textbook/sklearn convention).
     def v(deg: Double) = {
       val r = math.toRadians(deg)
       Seq(math.cos(r).toFloat, math.sin(r).toFloat, 0.0f, 0.0f)
@@ -96,7 +97,7 @@ class Round14bOpsSpec extends SparkSpecBase {
       (4L, v(120)), (5L, v(130)), (6L, v(140)),
       (10L, v(-55)), (20L, v(-120))).toDF("vec_id", "embedding")
     val out = SimilarityOps
-      .dbscanOn(emb, threshold = 0.5, minPts = 2, nPlanes = 3,
+      .dbscanOn(emb, threshold = 0.5, minPts = 3, nPlanes = 3,
         nTables = 96)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
         r.getLong(3)))
