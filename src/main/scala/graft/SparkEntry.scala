@@ -507,6 +507,8 @@ object SparkEntry {
       TextAnalysisOps.goodTuring(s, d)),
     "q350_column_entropy" -> ((s, d) =>
       graft.dq.DataQuality.columnEntropy(s, d)),
+    "q351_layout_pruning" -> ((s, d) =>
+      IncrementalOps.layoutPruning(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

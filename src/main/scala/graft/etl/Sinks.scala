@@ -14,8 +14,55 @@ object Sinks {
   case object Parquet extends Format
   case object Csv extends Format
 
+  /** `sortCols` / `zorderCols` are the WITHIN-FILE layout (WRITE_CONTRACT
+    * §5): applied at write time so real parquet row-group min/max
+    * statistics (zone maps) prune selective scans — the physical
+    * realization of what q341/q143 previously only simulated.
+    * `sortCols` = linear clustering (range-partition + sort) for
+    * single-key workloads; `zorderCols` = exactly two bounded
+    * non-negative integer cell columns, clustered by [[graft.operators.ZOrder.zValue]]
+    * so BOTH dimensions prune. `layoutFiles > 0` additionally
+    * range-repartitions to that many files (global clustering);
+    * `layoutFiles = 0` keeps the caller's partitioning and only sorts
+    * within it.
+    */
   case class TableSpec(name: String, format: Format,
-      partitionCols: Seq[String] = Nil, overwrite: Boolean = true)
+      partitionCols: Seq[String] = Nil, overwrite: Boolean = true,
+      sortCols: Seq[String] = Nil, zorderCols: Seq[String] = Nil,
+      layoutFiles: Int = 0) {
+    require(sortCols.isEmpty || zorderCols.isEmpty,
+      s"$name: sortCols and zorderCols are mutually exclusive layouts")
+    require(zorderCols.isEmpty || zorderCols.size == 2,
+      s"$name: zorderCols needs exactly 2 cell columns, got $zorderCols")
+  }
+
+  /** Apply the spec's physical layout before writing. Clustering keys
+    * lead with the hive partition columns so each partition's data is
+    * contiguous in the range-shuffle (one file per partition per task,
+    * not one per task per partition), then the sort/z key. The z value
+    * is sorted as an EXPRESSION — it never lands in the written
+    * schema. Cost model at 100 TB: `layoutFiles > 0` is one extra
+    * range shuffle over the write set (the same price Delta's
+    * OPTIMIZE ZORDER pays); `layoutFiles = 0` is a free per-task sort.
+    */
+  private[graft] def applyLayout(df: DataFrame, spec: TableSpec): DataFrame = {
+    import org.apache.spark.sql.Column
+    import org.apache.spark.sql.functions.col
+    val layoutKeys: Seq[Column] =
+      if (spec.zorderCols.nonEmpty)
+        Seq(graft.operators.ZOrder
+          .zValue(col(spec.zorderCols.head), col(spec.zorderCols(1)))
+          .cast("long"))
+      else spec.sortCols.map(col)
+    if (layoutKeys.isEmpty) df
+    else {
+      val keys = spec.partitionCols.map(col) ++ layoutKeys
+      val ranged =
+        if (spec.layoutFiles > 0) df.repartitionByRange(spec.layoutFiles, keys: _*)
+        else df
+      ranged.sortWithinPartitions(keys: _*)
+    }
+  }
 
   /** The 13-table routing (etl.py:754-841): big SAS-derived tables →
     * partitioned parquet; flights + CSV-derived + dictionary dims →
@@ -49,7 +96,7 @@ object Sinks {
   def overwritePartitions(df: DataFrame, spec: TableSpec, outputDir: String): Unit = {
     require(spec.partitionCols.nonEmpty,
       s"${spec.name} is unpartitioned — partition-scoped overwrite needs partition columns")
-    val w = df.write
+    val w = applyLayout(df, spec).write
       .option("partitionOverwriteMode", "dynamic")
       .option("header", "true")
       .mode("overwrite")
@@ -368,7 +415,7 @@ object Sinks {
             "schema exactly; evolve via mergeInto(evolveSchema = true)")
       }
     }
-    val w0 = df.write.option("header", "true").mode(mode)
+    val w0 = applyLayout(df, spec).write.option("header", "true").mode(mode)
     val w = if (spec.partitionCols.nonEmpty) w0.partitionBy(spec.partitionCols: _*) else w0
     spec.format match {
       case Parquet => w.parquet(path0)

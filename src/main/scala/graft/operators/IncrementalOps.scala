@@ -821,4 +821,84 @@ object IncrementalOps {
         expr("files_scanned * 1000000 div n_files").as("scan_ppm"))
       .orderBy(col("sort_key"), col("workload"))
   }
+
+  /** REAL layout pruning gate (q351, VERDICT r14 item 1): q341
+    * simulates what a sort layout WOULD prune; this writes the sorted
+    * layout through the production write path
+    * ([[graft.etl.Sinks.write]] with `sortCols`) and measures pruning
+    * from the PHYSICAL parquet footers
+    * ([[graft.etl.ParquetZoneMaps]]), so "the zone maps exist and
+    * match the plan" is a gated fact, not an assumption. lineitem is
+    * ranked by (ship_day, tie) — q341's exact grain, `rowsPerFile`
+    * 4000 — into explicit `file_id` partitions, written sorted, and
+    * the footer min/max per partition drives three workloads (the
+    * q341 window, a week, a point). The oracle replays the layout
+    * RELATIONALLY (rank → partition ranges); any divergence between
+    * the physical footers and the planned ranges — a write that
+    * didn't sort, a partition that leaked rows — flips
+    * `parts_scanned`/`rows_scanned` and fails the gate. By
+    * construction the ship-window row equals q341's
+    * `l_shipdate/ship_window` simulation row, closing the
+    * simulation-vs-reality loop.
+    *
+    * Scale shape: one rank (TwoPhaseRank — sample-ranged, never a
+    * global window), one layout shuffle + write, one footer-only
+    * metadata job (O(files)), one conditional-aggregate corpus pass
+    * for the true match counts. The staging table is deleted after an
+    * eager checkpoint of the 3-row result.
+    */
+  def layoutPruning(spark: SparkSession, dir: String,
+      rowsPerFile: Long = 4000L): DataFrame = {
+    val epoch = lit("1992-01-01").cast("date")
+    val li = Tables.lineitem(spark, dir)
+      .select(datediff(col("l_shipdate").cast("date"), epoch)
+          .cast("long").as("ship_day"),
+        (col("l_orderkey") * 10 + col("l_linenumber")).as("tie"))
+      .localCheckpoint()
+    val assigned = TwoPhaseRank.rankBy(li, "ship_day", "tie")
+      .withColumn("file_id", expr(s"(r - 1) div ${rowsPerFile}L"))
+      .select(col("file_id"), col("ship_day"))
+    val out = java.nio.file.Files
+      .createTempDirectory("graft-q351").toString
+    val spec = graft.etl.Sinks.TableSpec("layout_probe",
+      graft.etl.Sinks.Parquet, partitionCols = Seq("file_id"),
+      sortCols = Seq("ship_day"))
+    graft.etl.Sinks.write(assigned.repartition(32, col("file_id")),
+      spec, out)
+    val zone = graft.etl.ParquetZoneMaps
+      .partitionStats(spark, s"$out/layout_probe", "ship_day", "file_id")
+      .localCheckpoint()
+    def d(s: String) = datediff(lit(s).cast("date"), epoch).cast("long")
+    val wl = spark.range(1).select(explode(array(
+        struct(lit("ship_point").as("workload"),
+          d("1995-06-15").as("lo"), d("1995-06-15").as("hi")),
+        struct(lit("ship_week").as("workload"),
+          d("1995-06-01").as("lo"), d("1995-06-07").as("hi")),
+        struct(lit("ship_window").as("workload"),
+          d("1995-03-01").as("lo"), d("1995-06-30").as("hi"))))
+        .as("w"))
+      .select(col("w.workload").as("workload"), col("w.lo").as("lo"),
+        col("w.hi").as("hi"))
+    val scans = zone.crossJoin(broadcast(wl))
+      .groupBy(col("workload"))
+      .agg(count(lit(1)).as("n_parts"),
+        sum(when(col("min_v") <= col("hi") && col("max_v") >= col("lo"),
+          1L).otherwise(0L)).as("parts_scanned"),
+        sum(when(col("min_v") <= col("hi") && col("max_v") >= col("lo"),
+          col("n_rows")).otherwise(0L)).as("rows_scanned"))
+    val truth = li.crossJoin(broadcast(wl))
+      .groupBy(col("workload"))
+      .agg(sum(when(col("ship_day").between(col("lo"), col("hi")), 1L)
+        .otherwise(0L)).as("rows_matching"))
+    val res = scans.join(truth, Seq("workload"))
+      .select(col("workload"), col("n_parts"), col("parts_scanned"),
+        col("rows_scanned"), col("rows_matching"),
+        expr("parts_scanned * 1000000 div n_parts").as("scan_ppm"))
+      .orderBy(col("workload"))
+      .localCheckpoint()
+    val root = new org.apache.hadoop.fs.Path(out)
+    root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .delete(root, true)
+    res
+  }
 }

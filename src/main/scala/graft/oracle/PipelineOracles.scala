@@ -1145,5 +1145,51 @@ private[graft] object PipelineOracles {
              AS scan_ppm
          FROM up ORDER BY sort_key, workload"""
     },
+    // q351: REAL layout pruning — the engine writes lineitem sorted by
+    // ship_day into explicit 4000-row file_id partitions and measures
+    // pruning from the physical parquet footers; the oracle replays
+    // the layout relationally (rank -> partition ranges). Divergence
+    // means the write path did not produce the planned zone maps.
+    "q351_layout_pruning" ->
+      """WITH li AS (SELECT
+             datediff('day', DATE '1992-01-01',
+               CAST(l_shipdate AS DATE))::BIGINT AS ship_day,
+             l_orderkey * 10 + l_linenumber AS tie
+           FROM lineitem),
+         f AS MATERIALIZED (SELECT
+             ((row_number() OVER (ORDER BY ship_day, tie)) - 1) // 4000
+               AS part_id,
+             ship_day
+           FROM li),
+         z AS (SELECT part_id, CAST(count(*) AS BIGINT) AS n_rows,
+             min(ship_day) AS mn, max(ship_day) AS mx
+           FROM f GROUP BY 1),
+         wl(workload, lo, hi) AS (VALUES
+           ('ship_point',
+             datediff('day', DATE '1992-01-01', DATE '1995-06-15'),
+             datediff('day', DATE '1992-01-01', DATE '1995-06-15')),
+           ('ship_week',
+             datediff('day', DATE '1992-01-01', DATE '1995-06-01'),
+             datediff('day', DATE '1992-01-01', DATE '1995-06-07')),
+           ('ship_window',
+             datediff('day', DATE '1992-01-01', DATE '1995-03-01'),
+             datediff('day', DATE '1992-01-01', DATE '1995-06-30'))),
+         scans AS (SELECT w.workload,
+             CAST(count(*) AS BIGINT) AS n_parts,
+             CAST(sum(CASE WHEN z.mn <= w.hi AND z.mx >= w.lo
+               THEN 1 ELSE 0 END) AS BIGINT) AS parts_scanned,
+             CAST(sum(CASE WHEN z.mn <= w.hi AND z.mx >= w.lo
+               THEN z.n_rows ELSE 0 END) AS BIGINT) AS rows_scanned
+           FROM wl w CROSS JOIN z GROUP BY 1),
+         truth AS (SELECT w.workload,
+             CAST(sum(CASE WHEN l.ship_day BETWEEN w.lo AND w.hi
+               THEN 1 ELSE 0 END) AS BIGINT) AS rows_matching
+           FROM wl w CROSS JOIN li l GROUP BY 1)
+         SELECT s.workload, s.n_parts, s.parts_scanned, s.rows_scanned,
+           t.rows_matching,
+           CAST(s.parts_scanned * 1000000 // s.n_parts AS BIGINT)
+             AS scan_ppm
+         FROM scans s JOIN truth t USING (workload)
+         ORDER BY workload""",
   )
 }

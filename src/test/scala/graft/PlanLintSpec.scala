@@ -54,6 +54,8 @@ class PlanLintSpec extends SparkSpecBase {
     "q303_whale_trend"     -> Set("_bkt"),
     "q329_bin_packing"     -> Set("_bkt"), // two rankBy rides
     "q341_sort_pruning"    -> Set("_bkt"), // three rankBy layouts
+    // (q351's rankBy windows and 3-row workload BNLJ all execute
+    // before its localCheckpoint — the returned plan is a bare scan)
     // constant-sized grids: budget/threshold stacks, probe sets,
     // score grids, top-constant vocab cuts
     "q140_budget_select"   -> Set("k"),   // #budgets × stack rows

@@ -368,4 +368,92 @@ class AcidWriteSpec extends SparkSpecBase {
     // data equivalent, readable through the same path
     assert(spark.read.parquet(path).agg(sum("id")).as[Long].head() === 500500L)
   }
+
+  /** Count (rowgroups scanned, rowgroups total, rows in scanned groups)
+    * for a [lo, hi] predicate on `key` from the REAL parquet footers.
+    */
+  private def rgScan(path: String, key: String, lo: Long, hi: Long) = {
+    val st = ParquetZoneMaps.rowGroupStats(spark, path, key).collect()
+    val hit = st.filter(r => r.min_v <= hi && r.max_v >= lo)
+    (hit.length, st.length, hit.map(_.n_rows).sum, st.map(_.n_rows).sum)
+  }
+
+  test("layout sortCols: the sorted write's zone maps prune a selective predicate's row groups; an unsorted write's do not") {
+    val out = Files.createTempDirectory("graft-layout-sort").toString
+    // pseudo-shuffled key so arrival order carries no accidental sort
+    val data = spark.range(40000)
+      .select((col("id") * 48271 % 40000).as("k"), col("id").as("payload"))
+    Sinks.write(data, Sinks.TableSpec("sorted_t", Sinks.Parquet,
+      sortCols = Seq("k"), layoutFiles = 16), out)
+    Sinks.write(data.repartition(16), Sinks.TableSpec("plain_t",
+      Sinks.Parquet), out)
+
+    // 2.5%-selective predicate k in [1000, 2000]
+    val (sHit, sTot, sRows, sAll) = rgScan(s"$out/sorted_t", "k", 1000, 2000)
+    val (pHit, pTot, _, pAll) = rgScan(s"$out/plain_t", "k", 1000, 2000)
+    assert(sAll === 40000L && pAll === 40000L)
+    assert(sTot >= 16 && pTot >= 16)
+    // sorted: the range lives in at most 2 of 16+ range-partitioned
+    // files; unsorted: every file's [min,max] spans the whole domain
+    assert(sHit <= 2, s"sorted layout scanned $sHit of $sTot rowgroups")
+    assert(pHit === pTot, s"unsorted layout should scan everything")
+    assert(sRows < 6000L, s"sorted layout reads $sRows rows of 40000")
+
+    // the REAL reader benefits: Spark's parquet scan skips the pruned
+    // rowgroups, so the scan emits far fewer rows pre-filter
+    def scanRows(p: String): Long = {
+      val q = spark.read.parquet(p).filter(col("k").between(1000, 2000))
+      q.collect()
+      val scans = q.queryExecution.executedPlan.collect {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+      }
+      scans.map(_.metrics("numOutputRows").value).sum
+    }
+    val sorted = scanRows(s"$out/sorted_t")
+    val plain = scanRows(s"$out/plain_t")
+    assert(spark.read.parquet(s"$out/sorted_t")
+      .filter(col("k").between(1000, 2000)).count() ===
+      spark.read.parquet(s"$out/plain_t")
+        .filter(col("k").between(1000, 2000)).count())
+    assert(sorted * 4 < plain,
+      s"scan metric: sorted layout emitted $sorted rows vs plain $plain")
+  }
+
+  test("layout zorderCols: the z-ordered write prunes BOTH dimensions where a linear sort prunes one") {
+    val out = Files.createTempDirectory("graft-layout-z").toString
+    // the full 128x128 cell grid, pseudo-shuffled arrival order
+    val grid = spark.range(16384)
+      .select((col("id") * 48271 % 16384).as("c"))
+      .select((col("c") % 128).as("x"), expr("c div 128").as("y"))
+    Sinks.write(grid, Sinks.TableSpec("z_t", Sinks.Parquet,
+      zorderCols = Seq("x", "y"), layoutFiles = 16), out)
+    Sinks.write(grid, Sinks.TableSpec("x_t", Sinks.Parquet,
+      sortCols = Seq("x"), layoutFiles = 16), out)
+
+    // 2-D scan: join each rowgroup's x and y zone maps
+    def boxScan(path: String, xr: (Long, Long), yr: (Long, Long)) = {
+      val xs = ParquetZoneMaps.rowGroupStats(spark, path, "x").collect()
+        .map(r => (r.file, r.rowgroup) -> r).toMap
+      val ys = ParquetZoneMaps.rowGroupStats(spark, path, "y").collect()
+      (ys.count { r =>
+        val xr0 = xs((r.file, r.rowgroup))
+        xr0.min_v <= xr._2 && xr0.max_v >= xr._1 &&
+          r.min_v <= yr._2 && r.max_v >= yr._1
+      }, ys.length)
+    }
+    val box = ((0L, 31L), (0L, 31L)) // 1/16 of the grid area
+    val (zBox, zTot) = boxScan(s"$out/z_t", box._1, box._2)
+    val (xBox, xTot) = boxScan(s"$out/x_t", box._1, box._2)
+    // z-order: the box is one ~32x32 Morton block -> ~1 of 16 files;
+    // x-sort: 4 x-stripes intersect the box but y never prunes
+    assert(zBox <= 3, s"z layout scanned $zBox of $zTot for the box")
+    assert(xBox >= 3, s"x layout scanned $xBox of $xTot for the box")
+    assert(zBox < xBox || xBox <= 2)
+
+    // y-only predicate: the linear x-sort cannot prune AT ALL
+    val (zY, _) = boxScan(s"$out/z_t", (0L, 127L), (0L, 31L))
+    val (xY, xTotY) = boxScan(s"$out/x_t", (0L, 127L), (0L, 31L))
+    assert(xY === xTotY, "x-sorted layout must scan everything for a y predicate")
+    assert(zY * 2 <= zTot, s"z layout scanned $zY of $zTot for y-only")
+  }
 }
