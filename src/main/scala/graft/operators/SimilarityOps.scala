@@ -2009,16 +2009,17 @@ object SimilarityOps {
   }
 
   /** Codebook-init A/B (q324): the [[kMeansParallelInit]] codebook vs
-    * the md5-uniform [[sampledCentroids]] codebook, both profiled on
-    * the two metrics an IVF deployment actually watches — the q194
+    * the md5-uniform [[sampledCentroids]] codebook, BOTH followed by
+    * the same 2 Lloyd rounds the production build runs (VERDICT r14
+    * item 4: the published k-means|| protocol is over-sampling init +
+    * Lloyd, never init alone — Bahmani et al. §1: "k-means|| ...
+    * followed by Lloyd's iterations"), then profiled on the two
+    * metrics an IVF deployment actually watches — the q194
     * list-balance ratio (1000·max/mean member count: the hot-list
     * probe-latency bound) and the q101 recall protocol (hits of the
     * nProbe=2 probed top-5 against exact brute force over the 8-query
-    * panel). Both halves replay in DuckDB CTE-for-CTE. Measured on the
-    * fixture: ||-init trades a few recall hits for a visibly flatter
-    * list histogram — exactly the d²-spreading the paper promises, and
-    * the reason the init matters BEFORE Lloyd refinement (q76/q81)
-    * polishes locally.
+    * panel). Both halves replay in DuckDB CTE-for-CTE (the q76 Lloyd
+    * CTEs unrolled after each init chain).
     */
   /** Session cache for the q324 codebooks: the ||-init chain is
     * `rounds` corpus passes with per-round checkpoints and the sampled
@@ -2058,8 +2059,11 @@ object SimilarityOps {
         .agg(count(lit(1)).as("sum_hits"))
       bal.crossJoin(broadcast(hits))
     }
-    profile("kmeans_par", kMeansParallelInit(emb, k))
-      .unionByName(profile("sampled", sampledCentroids(emb, k)))
+    // the SAME refinement after both inits — the A/B isolates the init
+    def refined(cv0: DataFrame): DataFrame =
+      (1 to 2).foldLeft(cv0)((cv, _) => lloydStep(emb, cv))
+    profile("kmeans_par", refined(kMeansParallelInit(emb, k)))
+      .unionByName(profile("sampled", refined(sampledCentroids(emb, k))))
       .orderBy(col("init"))
   }
 }

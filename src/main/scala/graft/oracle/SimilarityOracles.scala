@@ -1531,7 +1531,15 @@ ${kppRoundCte(1, "c0")},${kppRoundCte(2, "c1")},${kppRoundCte(3, "c2")},
    FROM c3 LEFT JOIN votes USING (cid)
    QUALIFY row_number() OVER (ORDER BY coalesce(wt, 0) DESC, cid)
      <= (SELECT k FROM kk)),
-${kppAsgCte("asgS", "scent")},${kppAsgCte("asgP", "pcent")},
+ ${OracleCtes.lloydAsgCte("sa1", "scent")},
+ ${OracleCtes.lloydCentCte("sdims1", "scent1", "sa1")},
+ ${OracleCtes.lloydAsgCte("sa2", "scent1")},
+ ${OracleCtes.lloydCentCte("sdims2", "scent2", "sa2")},
+ ${OracleCtes.lloydAsgCte("pa1", "pcent")},
+ ${OracleCtes.lloydCentCte("pdims1", "pcent1", "pa1")},
+ ${OracleCtes.lloydAsgCte("pa2", "pcent1")},
+ ${OracleCtes.lloydCentCte("pdims2", "pcent2", "pa2")},
+${kppAsgCte("asgS", "scent2")},${kppAsgCte("asgP", "pcent2")},
 ${kppBalCte("balS", "asgS")},${kppBalCte("balP", "asgP")},
  q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 8),
  bf AS (SELECT query_id, vec_id FROM (
@@ -1539,7 +1547,7 @@ ${kppBalCte("balS", "asgS")},${kppBalCte("balP", "asgP")},
        row_number() OVER (PARTITION BY q.query_id ORDER BY
          ${kCos("q.qv", "e.v")} DESC, e.vec_id) AS rk
      FROM q CROSS JOIN e WHERE e.vec_id <> q.query_id) WHERE rk <= 5),
-${kppRecallCte("S", "scent", "asgS")},${kppRecallCte("P", "pcent", "asgP")}
+${kppRecallCte("S", "scent2", "asgS")},${kppRecallCte("P", "pcent2", "asgP")}
  SELECT 'kmeans_par' AS init, n_lists, n_vecs, max_size, imbalance_x1000,
      sum_hits
    FROM balP, hitsP
