@@ -117,14 +117,21 @@ object Bench {
       sf: String, flaky: Seq[String] = Nil,
       cold: Map[String, Double] = Map.empty,
       load: (Double, Double) = (-1.0, -1.0),
-      loadWaitedSec: Int = 0): Seq[String] = {
+      loadWaitedSec: Int = 0,
+      loadExceeded: Boolean = false): Seq[String] = {
     val total = r3(results.values.filter(_ >= 0).sum)
     val totalCold = r3(cold.values.filter(_ >= 0).sum)
     val sus = suspects(results, cold)
+    // load_exceeded is the machine-readable poison flag (VERDICT r14
+    // item 1): the gate gave up still above maxLoad, so this run's
+    // numbers are ambient-load-inflated and must not be read as a
+    // regression. It rides the SUMMARY line, which prints first —
+    // the first thing the driver's stdout tail shows.
+    val exceededJson = if (loadExceeded) ""","load_exceeded":true""" else ""
     val loadJson =
       if (loadWaitedSec > 0)
-        s"""{"start":${r3(load._1)},"end":${r3(load._2)},"waited":$loadWaitedSec}"""
-      else s"""{"start":${r3(load._1)},"end":${r3(load._2)}}"""
+        s"""{"start":${r3(load._1)},"end":${r3(load._2)},"waited":$loadWaitedSec$exceededJson}"""
+      else s"""{"start":${r3(load._1)},"end":${r3(load._2)}$exceededJson}"""
     val summary =
       s"""{"metric":"total_summary","value":$total,"unit":"sec","total_cold":$totalCold,"n_queries":${results.size},"n_failed":${failed.size},"n_flaky":${flaky.size},"n_suspect":${sus.size},"load":$loadJson,"sf":"${jsonStr(sf)}"}"""
     // slowest first so the audit-relevant entries survive any further
@@ -175,7 +182,8 @@ object Bench {
   def fullLine(results: Map[String, Double], failed: Seq[String],
       sf: String, flaky: Seq[String] = Nil,
       cold: Map[String, Double] = Map.empty,
-      load: (Double, Double) = (-1.0, -1.0)): String = {
+      load: (Double, Double) = (-1.0, -1.0),
+      loadExceeded: Boolean = false): String = {
     def qmap(m: Map[String, Double]) = m.toSeq.sortBy(_._1)
       .map { case (k, v) => s"\"" + jsonStr(k) + "\":" + r3(v) }
       .mkString("{", ",", "}")
@@ -184,7 +192,9 @@ object Bench {
     def names(xs: Seq[String]) =
       xs.sorted.map("\"" + jsonStr(_) + "\"").mkString("[", ",", "]")
     val sus = suspects(results, cold)
-    val loadJson = s"""{"start":${r3(load._1)},"end":${r3(load._2)}}"""
+    val exceededJson = if (loadExceeded) ""","load_exceeded":true""" else ""
+    val loadJson =
+      s"""{"start":${r3(load._1)},"end":${r3(load._2)}$exceededJson}"""
     s"""{"metric":"total","value":$total,"unit":"sec","total_cold":$totalCold,"queries":${qmap(results)},"failed":${names(failed)},"flaky":${names(flaky)},"suspect":${names(sus)},"n_suspect":${sus.size},"load":$loadJson,"sf":"${jsonStr(sf)}","queries_cold":${qmap(cold)}}"""
   }
 
@@ -200,6 +210,13 @@ object Bench {
     val maxWait = sys.env.getOrElse("SPARK_GRAFT_LOAD_WAIT_SEC", "300").toInt
     val waited = waitForLoad(maxLoad, maxWait)
     val loadStart = loadAvg()
+    // the gate gave up still above the threshold: stamp the payload so
+    // a poisoned run self-identifies instead of reading as a regression
+    val loadExceeded = loadStart > maxLoad
+    if (loadExceeded)
+      System.err.println(f"BENCH LOAD GATE EXCEEDED: starting at " +
+        f"$loadStart%.2f > $maxLoad%.2f after ${waited}s — numbers are " +
+        "ambient-load-inflated (load_exceeded:true in the payload)")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -275,12 +292,13 @@ object Bench {
     val loadEnd = loadAvg()
     val lines = renderLines(results, failed.toSeq, sfDir, flaky.toSeq,
       cold = passes.head, load = (loadStart, loadEnd),
-      loadWaitedSec = waited)
+      loadWaitedSec = waited, loadExceeded = loadExceeded)
     // the committed durable record is ONE combined line per round
     // (full warm + cold maps in one object); stdout only ever carries
     // the bounded top-K view of it
     val big = fullLine(results, failed.toSeq, sfDir, flaky.toSeq,
-      cold = passes.head, load = (loadStart, loadEnd))
+      cold = passes.head, load = (loadStart, loadEnd),
+      loadExceeded = loadExceeded)
     // persist the full per-query history BEFORE printing: the driver's
     // stdout tail truncates the big line (r2, r4 lost 17 queries' times),
     // so the committed artifacts are the durable record

@@ -37,6 +37,24 @@ class BenchSpec extends AnyFunSuite {
     assert(lines.last.contains("\"n_failed\":0"))
   }
 
+  test("renderLines/fullLine: a run that started above the load gate carries load_exceeded on every payload") {
+    val lines = Bench.renderLines(
+      Map("q1" -> 1.5), Nil, "sf", load = (7.13, 6.5),
+      loadWaitedSec = 300, loadExceeded = true)
+    // the flag rides the SUMMARY line — the first thing the driver's
+    // stdout tail shows — and the waited seconds stay alongside
+    assert(lines.head.contains("\"load_exceeded\":true"))
+    assert(lines.head.contains("\"waited\":300"))
+    assert(lines(1).contains("\"load_exceeded\":true"))
+    val big = Bench.fullLine(Map("q1" -> 1.5), Nil, "sf",
+      load = (7.13, 6.5), loadExceeded = true)
+    assert(big.contains("\"load_exceeded\":true"))
+    // a clean run never carries the flag
+    val clean = Bench.renderLines(Map("q1" -> 1.5), Nil, "sf",
+      load = (0.5, 0.6))
+    assert(!clean.mkString.contains("load_exceeded"))
+  }
+
   test("renderLines: stdout payload stays inside the 2000-char driver tail at 1000 queries") {
     val results = (1 to 1000).map(i => f"q$i%03d_some_longish_name" -> i / 100.0).toMap
     val cold = results.map { case (k, v) => k -> v * 1.5 }
