@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{Bucketing, CoreQueries, DedupOps, EventOps, GraphOps, IncrementalOps, MultimodalOps, PipelineOps, RetrievalOps, SimilarityOps, TextAnalysisOps}
+import graft.operators.{Bucketing, CoreQueries, DedupOps, EventOps, GraphOps, IncrementalOps, KnobAdvisor, MultimodalOps, PipelineOps, RetrievalOps, SimilarityOps, TextAnalysisOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -509,6 +509,10 @@ object SparkEntry {
       graft.dq.DataQuality.columnEntropy(s, d)),
     "q351_layout_pruning" -> ((s, d) =>
       IncrementalOps.layoutPruning(s, d)),
+    "q352_knob_advisor"   -> ((s, d) =>
+      KnobAdvisor.knobAdvisor(s, d)),
+    "q353_keeper_matrix"  -> ((s, d) =>
+      DedupOps.keeperMatrix(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -55,6 +55,29 @@ object DqSuite {
         col("n_checked"), col("n_violations"),
         (col("n_violations") === 0L).cast("int").as("pass"))
 
+  /** Freshness: per-`groupCol` staleness against the table's own max
+    * timestamp as the now-proxy (deterministic — a wall clock would
+    * break replay and flap with ingest timing; the proxy asks the
+    * OPERATIONAL question "did one channel stall while others kept
+    * flowing", which is how a stuck upstream actually presents).
+    * Violations = groups whose max(ts) lags the global max by more
+    * than `maxLagHours`. One aggregate pass + a broadcast 1-row max.
+    */
+  private[dq] def freshnessCheck(tbl: String, df: DataFrame,
+      tsCol: String, groupCol: String, maxLagHours: Int): DataFrame = {
+    val grp = df.groupBy(col(groupCol))
+      .agg(max(col(tsCol)).as("mx"))
+    val lagUs = maxLagHours * 3600L * 1000000L
+    grp.crossJoin(broadcast(grp.agg(max(col("mx")).as("gmx"))))
+      .agg(count(lit(1)).as("n_checked"),
+        sum(when(unix_micros(col("gmx")) - unix_micros(col("mx")) > lagUs,
+          1L).otherwise(0L)).as("n_violations"))
+      .select(lit(tbl).as("tbl"),
+        lit(s"fresh_${groupCol}_$tsCol").as("chk"),
+        col("n_checked"), col("n_violations"),
+        (col("n_violations") === 0L).cast("int").as("pass"))
+  }
+
   /** Referential integrity: violations = child rows whose key has no
     * parent (null-keyed rows count as orphans — a null FK fails RI
     * here; add an explicit not-null check for the distinct signal).
@@ -98,6 +121,8 @@ object DqSuite {
       fkCheck("orders", orders, "o_custkey", customer, "c_custkey"),
       rowChecks("lineitem", lineitem, Seq(
         "not_null_l_orderkey" -> col("l_orderkey").isNull,
+        "accepted_l_returnflag" -> (col("l_returnflag").isNull ||
+          !col("l_returnflag").isin("A", "N", "R")),
         "range_l_quantity" ->
           (col("l_quantity") < 1.0 || col("l_quantity") > 50.0))),
       uniqueCheck("lineitem", lineitem, Seq("l_orderkey", "l_linenumber")),
@@ -106,7 +131,40 @@ object DqSuite {
         "not_null_event_id" -> col("event_id").isNull,
         "enum_event_type" -> (col("event_type").isNull ||
           !col("event_type").isin(Tables.EventTypes: _*)))),
-      uniqueCheck("events", events, Seq("event_id")))
+      uniqueCheck("events", events, Seq("event_id")),
+      freshnessCheck("events", events, "ts", "event_type",
+        maxLagHours = 24))
     panels.reduce(_ unionByName _).orderBy(col("tbl"), col("chk"))
+  }
+
+  /** Quarantine write path (VERDICT r14 item 8): split a frame on the
+    * suite's row-local violation predicates — clean rows land through
+    * the normal [[graft.etl.Sinks.write]] route, each failing row
+    * lands under `<table>/__quarantine/` partitioned by the FIRST
+    * check it failed. The underscore prefix makes the quarantine
+    * INVISIBLE to readers of the table (Spark's file index skips `_`
+    * paths — the `_SUCCESS` rule), while a direct read of the
+    * quarantine path recovers every failing row with its `__failed_chk`
+    * partition column for triage/replay. Returns (clean, quarantined)
+    * counts so the caller can gate. One corpus pass, checkpointed once
+    * for its two write consumers.
+    */
+  def quarantineWrite(df: DataFrame, checks: Seq[(String, Column)],
+      spec: graft.etl.Sinks.TableSpec, outputDir: String): (Long, Long) = {
+    require(checks.nonEmpty, "quarantineWrite needs at least one check")
+    val viol = coalesce(
+      checks.map { case (n, c) => when(c, lit(n)) }: _*)
+    val marked = df.withColumn("__failed_chk", viol).localCheckpoint()
+    val clean = marked.filter(col("__failed_chk").isNull)
+      .drop("__failed_chk")
+    val bad = marked.filter(col("__failed_chk").isNotNull)
+    graft.etl.Sinks.write(clean, spec, outputDir)
+    val nBad = bad.count()
+    if (nBad > 0)
+      graft.etl.Sinks.write(bad,
+        graft.etl.Sinks.TableSpec(s"${spec.name}/__quarantine",
+          graft.etl.Sinks.Parquet, partitionCols = Seq("__failed_chk")),
+        outputDir)
+    (marked.count() - nBad, nBad)
   }
 }

@@ -1345,6 +1345,44 @@ object DedupOps {
       .orderBy(col("source"))
   }
 
+  /** Source-collision keeper matrix (q353): q238's quality keeper
+    * composed at q328's cluster grain — for every near-dup cluster,
+    * the keeper's source "wins" and every other member's source
+    * "loses"; the matrix counts dropped docs and distinct clusters per
+    * (keep_source, drop_source) cell, diagonal included (within-source
+    * dedup). This is the source-level BIAS readout of a quality-ranked
+    * dedup pass: a crawl source that systematically loses collisions
+    * to a curated source is being (correctly or not) erased by the
+    * keeper rule, and that decision should be visible as a matrix, not
+    * buried in per-doc drops.
+    *
+    * Scale shape: rides the session-cached q53 cluster relation and
+    * the q35 quality frame; the keeper rank is a window over
+    * cluster-sized partitions (bounded by the dedup caps upstream);
+    * the matrix is one |sources|²-bounded aggregate.
+    */
+  def keeperMatrix(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cluster_id"))
+      .orderBy(col("quality").desc, col("doc_id"))
+    val ranked = nearDupClusters(spark, dir)
+      .join(Tables.documents(spark, dir)
+        .select(col("doc_id"), col("source")), Seq("doc_id"))
+      .join(TextAnalysisOps.qualityScore(spark, dir)
+        .select(col("doc_id"), col("quality")), Seq("doc_id"))
+      .withColumn("rk", row_number().over(w))
+      .localCheckpoint() // read by both the keeper and the drop side
+    val keep = ranked.filter(col("rk") === 1)
+      .select(col("cluster_id"), col("source").as("keep_source"))
+    val drop = ranked.filter(col("rk") > 1)
+      .select(col("cluster_id"), col("source").as("drop_source"))
+    drop.join(keep, Seq("cluster_id"))
+      .groupBy(col("keep_source"), col("drop_source"))
+      .agg(count(lit(1)).as("n_dropped"),
+        count_distinct(col("cluster_id")).as("n_clusters"))
+      .orderBy(col("keep_source"), col("drop_source"))
+  }
+
   /** Cluster-grain cross-source contamination matrix (q328): for every
     * unordered source pair, how many q53 near-dup CLUSTERS contain
     * documents of both — the cluster-level view q251's pairwise doc

@@ -1,0 +1,102 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Knob auto-sizing advisor (q352, VERDICT r14 item 7): reads the
+  * corpus stats the documented 100 TB formulas key on and emits the
+  * recommended setting for every scale knob NEXT TO the stat that
+  * drives it — the calculator that turns "the knob moves with the
+  * corpus" guidance (SCALING.md df-cap guide, [[SimilarityOps.planesFor]]
+  * scaladoc) into a runnable panel. Every entry point already takes
+  * its knob as a parameter (`lshNearDup(nPlanes = …)`,
+  * `semanticDedup(targetList = …)`, `SkewUtils.saltedJoin(nSalts =
+  * …)`, `DedupOps` pipelines via `bucketCap`), so the advisor's
+  * output column feeds them directly.
+  *
+  * All formulas are INTEGER math (`ceil(a/b)` as `(a+b-1) div b`,
+  * `ceil(log2 m)` as `length(bin(m-1))` — exact on non-negative
+  * longs), so DuckDB replays the panel cell-exact; KnobAdvisorSpec
+  * additionally pins the integer forms to the shipped float-form
+  * knobs ([[SimilarityOps.planesFor]]/[[SimilarityOps.kFor]]/
+  * [[DedupOps.effectiveDfCap]]) across a size grid — the two are
+  * provably equal (ceil∘log2 is constant on each (2^{k-1}, 2^k]
+  * interval and ceil never leaves it), and the spec keeps it that way.
+  *
+  * Scale shape: three 1-row corpus aggregates (documents count,
+  * embeddings count, the events user-frequency profile) crossed into
+  * one stats row; the knob grid is a constant-width explode over it.
+  * At 100 TB this panel costs three scans — run it once per ingest
+  * and every dedup/ANN/skew job reads its settings from the output.
+  */
+object KnobAdvisor {
+
+  def knobAdvisor(spark: SparkSession, dir: String): DataFrame =
+    knobAdvisorOn(Tables.documents(spark, dir),
+      Tables.embeddings(spark, dir), Tables.events(spark, dir))
+
+  private[graft] def knobAdvisorOn(docs: DataFrame, emb: DataFrame,
+      ev: DataFrame): DataFrame = {
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val nVecs = emb.agg(count(lit(1)).as("n_vecs"))
+    val users = ev.groupBy(col("user_id")).agg(count(lit(1)).as("c"))
+      .agg(max(col("c")).as("max_user_rows"),
+        count(lit(1)).as("n_users"), sum(col("c")).as("n_events"))
+    val stats = nDocs.crossJoin(broadcast(nVecs))
+      .crossJoin(broadcast(users))
+      // integer ceil(log2(ceil(n_vecs / 32))): the bucket-count planes
+      // target ([[SimilarityOps.planesFor]], targetBucket = 32)
+      .withColumn("planes_m", expr("(n_vecs + 31) div 32"))
+      .withColumn("planes_raw", expr(
+        "CASE WHEN planes_m <= 1 THEN 0" +
+          " ELSE length(bin(planes_m - 1)) END"))
+      .withColumn("rec_planes",
+        expr("greatest(4, least(62, planes_raw))"))
+    stats.select(explode(array(
+        // DedupOps.effectiveDfCap: clamp(ceil(0.02 n_docs), 50, 200).
+        // This one knob stays on the FLOAT formula the engine ships —
+        // ceil(n·0.02) and (2n+99) div 100 disagree where the double
+        // product lands an ulp above an integer (n = 1150 → 23.0…04 →
+        // 24), and the advisor must recommend the cap the pipelines
+        // ACTUALLY apply; both engines compute the identical IEEE
+        // product, so parity holds (the dedup oracle precedent)
+        struct(lit("dedup_df_cap").as("knob"),
+          lit("n_docs").as("input_stat"), col("n_docs").as("stat_value"),
+          expr(s"least(${DedupOps.DfCapCeil}L," +
+            s" greatest(${DedupOps.DfCapFloor}L," +
+            s" CAST(ceil(n_docs * ${DedupOps.DfCapFrac}) AS BIGINT)))")
+            .as("recommended")),
+        // SimilarityOps.planesFor: hold LSH bucket population near 32
+        struct(lit("lsh_n_planes").as("knob"),
+          lit("n_vecs").as("input_stat"), col("n_vecs").as("stat_value"),
+          col("rec_planes").cast("long").as("recommended")),
+        // SimilarityOps.bucketCapFrame at the recommended plane count:
+        // max(32, ceil(4 n / 2^planes)) — integer because 4n div 2^p
+        // rides a left shift
+        struct(lit("lsh_bucket_cap").as("knob"),
+          lit("n_vecs").as("input_stat"), col("n_vecs").as("stat_value"),
+          expr("greatest(32L, (n_vecs * 4 + (1L << rec_planes) - 1)" +
+            " div (1L << rec_planes))").as("recommended")),
+        // SimilarityOps.kFor: codebook sized to ~1000-member lists
+        struct(lit("ivf_k_lists").as("knob"),
+          lit("n_vecs").as("input_stat"), col("n_vecs").as("stat_value"),
+          expr("least(1048576L, greatest(2L," +
+            " (n_vecs + 999) div 1000))").as("recommended")),
+        // SkewUtils salting: replicate the dim side by the hot key's
+        // excess over the mean key population, clamped to [1, 64] —
+        // salts beyond the skew ratio only add replication cost
+        struct(lit("skew_n_salts").as("knob"),
+          lit("max_user_rows").as("input_stat"),
+          col("max_user_rows").as("stat_value"),
+          expr("least(64L, greatest(1L," +
+            " (max_user_rows * n_users + n_events - 1) div n_events))")
+            .as("recommended"))))
+        .as("r"))
+      .select(col("r.knob").as("knob"),
+        col("r.input_stat").as("input_stat"),
+        col("r.stat_value").as("stat_value"),
+        col("r.recommended").as("recommended"))
+      .orderBy(col("knob"))
+  }
+}

@@ -1503,6 +1503,9 @@ private[graft] object CoreOracles {
            SELECT count(*)::BIGINT AS n,
              CAST(sum(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END)
                AS BIGINT) AS nn,
+             CAST(sum(CASE WHEN l_returnflag NOT IN ('A','N','R')
+                            OR l_returnflag IS NULL THEN 1 ELSE 0 END)
+               AS BIGINT) AS av,
              CAST(sum(CASE WHEN l_quantity < 1.0 OR l_quantity > 50.0
                       THEN 1 ELSE 0 END) AS BIGINT) AS rg
            FROM lineitem),
@@ -1525,6 +1528,13 @@ private[graft] object CoreOracles {
          uq_e AS (SELECT count(*)::BIGINT AS n,
              CAST(sum(c - 1) AS BIGINT) AS v FROM
            (SELECT count(*) AS c FROM events GROUP BY event_id)),
+         fr_e AS (SELECT count(*)::BIGINT AS n,
+             CAST(sum(CASE WHEN
+                 epoch_us((SELECT max(ts) FROM events)) - epoch_us(mx)
+                   > 24 * 3600 * 1000000::BIGINT
+               THEN 1 ELSE 0 END) AS BIGINT) AS v
+           FROM (SELECT event_type, max(ts) AS mx FROM events
+                 GROUP BY 1)),
          fk_o AS (SELECT (SELECT count(*) FROM orders)::BIGINT AS n,
            (SELECT count(*) FROM orders o LEFT JOIN customer c
               ON o.o_custkey = c.c_custkey
@@ -1544,6 +1554,8 @@ private[graft] object CoreOracles {
              FROM fk_o
            UNION ALL SELECT 'lineitem', 'not_null_l_orderkey', n, nn
              FROM rows_l
+           UNION ALL SELECT 'lineitem', 'accepted_l_returnflag', n, av
+             FROM rows_l
            UNION ALL SELECT 'lineitem', 'range_l_quantity', n, rg FROM rows_l
            UNION ALL SELECT 'lineitem', 'unique_l_orderkey_l_linenumber',
              n, v FROM uq_l
@@ -1551,7 +1563,9 @@ private[graft] object CoreOracles {
              FROM fk_l
            UNION ALL SELECT 'events', 'not_null_event_id', n, nn FROM rows_e
            UNION ALL SELECT 'events', 'enum_event_type', n, en FROM rows_e
-           UNION ALL SELECT 'events', 'unique_event_id', n, v FROM uq_e)
+           UNION ALL SELECT 'events', 'unique_event_id', n, v FROM uq_e
+           UNION ALL SELECT 'events', 'fresh_event_type_ts', n, v
+             FROM fr_e)
          SELECT tbl, chk, n_checked, n_violations,
            CAST(n_violations = 0 AS INT) AS pass
          FROM panel ORDER BY tbl, chk""",

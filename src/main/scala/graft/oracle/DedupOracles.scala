@@ -459,6 +459,28 @@ private[graft] object DedupOracles {
            CAST(coalesce(sum(n_chars) FILTER (doc_id IN
              (SELECT doc_id FROM dropped)), 0) AS BIGINT) AS dropped_chars
          FROM documents GROUP BY 1 ORDER BY 1"""),
+    // q353: source-collision keeper matrix — the q238 keeper rule at
+    // the q328 cluster grain: per (keep_source, drop_source) cell,
+    // dropped docs and distinct clusters, diagonal included
+    "q353_keeper_matrix" ->
+      (dedupCcCte + ",\n         " + qualityDocCte + """,
+         mem AS (SELECT id AS doc_id, CAST(min(label) AS BIGINT)
+             AS cluster_id FROM cc GROUP BY id),
+         ranked AS (
+           SELECT m.doc_id, m.cluster_id, d.source,
+             row_number() OVER (PARTITION BY m.cluster_id
+               ORDER BY q.quality DESC, m.doc_id) AS rk
+           FROM mem m JOIN qdoc q USING (doc_id)
+           JOIN documents d USING (doc_id)),
+         keepr AS (SELECT cluster_id, source AS keep_source
+           FROM ranked WHERE rk = 1),
+         droppr AS (SELECT cluster_id, source AS drop_source
+           FROM ranked WHERE rk > 1)
+         SELECT k.keep_source, dr.drop_source,
+           count(*)::BIGINT AS n_dropped,
+           count(DISTINCT dr.cluster_id)::BIGINT AS n_clusters
+         FROM droppr dr JOIN keepr k USING (cluster_id)
+         GROUP BY 1, 2 ORDER BY 1, 2"""),
     // q328: cluster-grain cross-source contamination — q53 clusters
     // spanning source pairs (the cluster-level view q251's pairwise
     // attribution blurs)

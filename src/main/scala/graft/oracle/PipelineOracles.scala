@@ -1191,5 +1191,48 @@ private[graft] object PipelineOracles {
              AS scan_ppm
          FROM scans s JOIN truth t USING (workload)
          ORDER BY workload""",
+    // q352: knob auto-sizing advisor — the documented 100 TB formulas
+    // (df cap, LSH planes/bucket cap, IVF k, skew salts) replayed in
+    // pure integer math over the same three corpus aggregates
+    "q352_knob_advisor" ->
+      """WITH nd AS (SELECT CAST(count(*) AS BIGINT) AS n_docs
+             FROM documents),
+         nv AS (SELECT CAST(count(*) AS BIGINT) AS n_vecs
+             FROM embeddings),
+         us AS (SELECT CAST(max(c) AS BIGINT) AS max_user_rows,
+             CAST(count(*) AS BIGINT) AS n_users,
+             CAST(sum(c) AS BIGINT) AS n_events
+           FROM (SELECT user_id, count(*) AS c FROM events GROUP BY 1)),
+         s AS (SELECT *,
+             CASE WHEN (n_vecs + 31) // 32 <= 1 THEN 0
+               ELSE length(bin((n_vecs + 31) // 32 - 1)) END AS praw
+           FROM nd, nv, us),
+         s2 AS (SELECT *,
+             greatest(4, least(62, praw))::BIGINT AS rec_planes FROM s)
+         SELECT knob, input_stat, stat_value, recommended FROM (
+           SELECT 'dedup_df_cap' AS knob, 'n_docs' AS input_stat,
+             n_docs AS stat_value,
+             least(200, greatest(50,
+               CAST(ceil(n_docs * 0.02::DOUBLE) AS BIGINT)))::BIGINT
+               AS recommended
+           FROM s2
+           UNION ALL
+           SELECT 'lsh_n_planes', 'n_vecs', n_vecs, rec_planes FROM s2
+           UNION ALL
+           SELECT 'lsh_bucket_cap', 'n_vecs', n_vecs,
+             greatest(32, (n_vecs * 4 + (1::BIGINT << rec_planes) - 1)
+               // (1::BIGINT << rec_planes))::BIGINT
+           FROM s2
+           UNION ALL
+           SELECT 'ivf_k_lists', 'n_vecs', n_vecs,
+             least(1048576, greatest(2, (n_vecs + 999) // 1000))::BIGINT
+           FROM s2
+           UNION ALL
+           SELECT 'skew_n_salts', 'max_user_rows', max_user_rows,
+             least(64, greatest(1,
+               (max_user_rows * n_users + n_events - 1)
+                 // n_events))::BIGINT
+           FROM s2)
+         ORDER BY knob""",
   )
 }

@@ -133,6 +133,7 @@ class PlanLintSpec extends SparkSpecBase {
     "q346_chapman_estimate", // sketch grid + 1-row global distinct
     "q347_label_model", // 1-row accuracy/positives frames per EM round
     "q348_randomization_test", // source-enum scenario fan-out + 1-row totals
+    "q352_knob_advisor", // three 1-row corpus aggregates crossed into one stats row
     "q30_simhash_neardup", "q31_cosine_topk", "q32_cosine_neardup",
     "q33_lsh_topk", "q42_approx_distinct", "q43_topk_aggregator",
     "q52_key_skew", "q57_centroid_assign", "q64_lsh_neardup",
