@@ -26,8 +26,18 @@ object ParquetZoneMaps {
     * fail loudly — a layout gate reading absent zone maps would
     * otherwise report 100% pruning of nothing.
     */
+  def rowGroupStats(spark: SparkSession, path: String, column: String)
+      : Dataset[ZoneMapRow] = rowGroupStats(spark, path, column,
+    requireStats = true)
+
+  /** `requireStats = false` SKIPS row groups whose column chunk has no
+    * non-null min/max (an all-null chunk — legal for nullable sort
+    * keys, whose nulls range-cluster into the leading files) instead
+    * of failing; a cross-engine gate should stay strict, a layout
+    * inspection of nullable keys goes lenient.
+    */
   def rowGroupStats(spark: SparkSession, path: String,
-      column: String): Dataset[ZoneMapRow] = {
+      column: String, requireStats: Boolean): Dataset[ZoneMapRow] = {
     import spark.implicits._
     val hconf = spark.sparkContext.hadoopConfiguration
     val root = new org.apache.hadoop.fs.Path(path)
@@ -55,7 +65,7 @@ object ParquetZoneMaps {
         val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
         try {
           val blocks = reader.getFooter.getBlocks
-          (0 until blocks.size()).map { i =>
+          (0 until blocks.size()).flatMap { i =>
             val b = blocks.get(i)
             val chunk = (0 until b.getColumns.size())
               .map(b.getColumns.get)
@@ -63,9 +73,11 @@ object ParquetZoneMaps {
               .getOrElse(throw new IllegalArgumentException(
                 s"$f rowgroup $i: no column chunk named '$column'"))
             val st = chunk.getStatistics
-            require(st != null && !st.isEmpty && st.hasNonNullValue,
+            val usable = st != null && !st.isEmpty && st.hasNonNullValue
+            require(usable || !requireStats,
               s"$f rowgroup $i: column '$column' carries no min/max " +
                 "statistics — the layout gate cannot measure pruning")
+            if (!usable) None else Some {
             val (mn, mx) = st match {
               case s: org.apache.parquet.column.statistics.IntStatistics =>
                 (s.getMin.toLong, s.getMax.toLong)
@@ -76,7 +88,7 @@ object ParquetZoneMaps {
                   " — zone-map gate supports INT32/INT64 keys")
             }
             ZoneMapRow(f, i, b.getRowCount, mn, mx)
-          }
+          }}
         } finally reader.close()
       }
   }

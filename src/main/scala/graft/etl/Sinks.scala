@@ -70,7 +70,15 @@ object Sinks {
     */
   val registry: Seq[TableSpec] = Seq(
     TableSpec("i94_immigrations", Parquet, Seq("i94_year", "i94_month")),
-    TableSpec("i94_trips", Parquet, Seq("i94_year", "i94_month")),
+    // the fact table gets the WITHIN-partition layout (WRITE_CONTRACT
+    // §5): range-clustered + sorted by arrival_date inside the
+    // (year, month) dirs, so date-window scans prune files/row groups
+    // by REAL footer min/max — the 2-D completion of the reference's
+    // own partitionBy(i94_year, i94_month) (etl.py:440). layoutFiles
+    // is the test-scale setting; at 100 TB size it to the write
+    // volume (one range shuffle — the OPTIMIZE price, paid at write).
+    TableSpec("i94_trips", Parquet, Seq("i94_year", "i94_month"),
+      sortCols = Seq("arrival_date"), layoutFiles = 8),
     TableSpec("i94_visitors", Parquet, Seq("i94_year", "i94_month")),
     TableSpec("i94_dates", Parquet, Seq("i94_year", "i94_month")),
     TableSpec("i94_flights", Csv),

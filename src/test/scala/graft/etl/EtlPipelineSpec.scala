@@ -26,6 +26,22 @@ class EtlPipelineSpec extends SparkSpecBase {
     val pruned = spark.read.parquet(s"$out/i94_trips")
       .filter(org.apache.spark.sql.functions.col("i94_month") === 4)
     assert(pruned.count() === res.rowCounts("i94_trips"))
+    // the fact table's layout is PHYSICAL (WRITE_CONTRACT section 5):
+    // arrival_date is range-clustered across files, so per-file zone
+    // maps are mutually non-overlapping and a date window scans a
+    // file subset (lenient stats read: the nullable key's all-null
+    // leading chunk carries no min/max)
+    val zm = ParquetZoneMaps.rowGroupStats(spark, s"$out/i94_trips",
+      "arrival_date", requireStats = false).collect()
+    assert(zm.nonEmpty)
+    val ranges = zm.groupBy(_.file).values
+      .map(rs => (rs.map(_.min_v).min, rs.map(_.max_v).max))
+      .toSeq.sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Seq(a, b) =>
+        assert(a._2 <= b._1, s"overlapping file date ranges $a vs $b")
+      case _ => ()
+    }
   }
 
   test("union-by-name concat tolerates column order differences") {
