@@ -513,6 +513,8 @@ object SparkEntry {
       KnobAdvisor.knobAdvisor(s, d)),
     "q353_keeper_matrix"  -> ((s, d) =>
       DedupOps.keeperMatrix(s, d)),
+    "q354_suffix_lcp"     -> ((s, d) =>
+      DedupOps.suffixLcp(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

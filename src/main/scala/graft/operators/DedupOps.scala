@@ -1308,6 +1308,64 @@ object DedupOps {
           col("n_docs").cast("double"), 6).as("shared_rate"))
       .orderBy(col("source"))
 
+  /** Suffix-order LCP panel (q354): the EXACT referee for q206's
+    * fixed-prefix heuristic — the classic suffix-array device
+    * (adjacent-suffix longest-common-prefix) re-expressed as a
+    * partitioned window. Every token position opens a suffix
+    * (truncated at `maxLcp` tokens — repeated phrases longer than the
+    * cap saturate at the cap, the standard engineering trade); sorting
+    * suffixes and taking the LCP of ADJACENT entries finds every
+    * repeated phrase of length ≥ `minLcp` ANYWHERE in the corpus, not
+    * just at document heads, with cross-document pairs split out —
+    * the boilerplate-mass histogram (cookie banners, license
+    * preambles, templated footers) that decides whether span-scrubbing
+    * (q87) is worth running.
+    *
+    * Scale shape: suffix rows = total corpus tokens (×maxLcp payload —
+    * the truncation knob bounds the blowup); the sort/adjacency window
+    * is PARTITIONED by the suffix's first token, never global —
+    * cross-partition adjacent pairs share LCP 0 by construction, so
+    * partitioning loses nothing above minLcp ≥ 1. At 100 TB the
+    * documented knob widens the partition key to the first two tokens
+    * (the 'the'-partition skew cap); everything else is one window +
+    * one enum-sized aggregate.
+    */
+  def suffixLcp(spark: SparkSession, dir: String, maxLcp: Int = 12,
+      minLcp: Int = 3): DataFrame =
+    suffixLcpOn(Tables.documents(spark, dir), maxLcp, minLcp)
+
+  private[graft] def suffixLcpOn(docs: DataFrame, maxLcp: Int,
+      minLcp: Int): DataFrame = {
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("t1"))
+      .orderBy(col("k"), col("doc_id"), col("pos"))
+    val sfx = docs
+      .select(col("doc_id"), Text.tokens(col("text")).as("w"))
+      .select(col("doc_id"), col("w"),
+        posexplode(col("w")).as(Seq("pos", "t1")))
+      .select(col("doc_id"), col("pos"), col("t1"),
+        slice(col("w"), col("pos") + 1, lit(maxLcp)).as("s"))
+      .withColumn("k", concat_ws(" ", col("s")))
+    val adj = sfx
+      .withColumn("nd", lead(col("doc_id"), 1).over(win))
+      .withColumn("ns", lead(col("s"), 1).over(win))
+      .filter(col("nd").isNotNull)
+      // first mismatch position in the zipped pair; 0 = no mismatch
+      // (equal through the shorter side) -> LCP = min length
+      .withColumn("p0", array_position(
+        zip_with(col("s"), col("ns"),
+          (x, y) => coalesce(x === y, lit(false))), false))
+      .withColumn("lcp",
+        when(col("p0") === 0, least(size(col("s")), size(col("ns"))))
+          .otherwise(col("p0") - 1).cast("long"))
+    adj.filter(col("lcp") >= minLcp)
+      .groupBy(col("lcp"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(when(col("doc_id") =!= col("nd"), 1L).otherwise(0L))
+          .as("n_cross_pairs"))
+      .orderBy(col("lcp"))
+  }
+
   /** Quality-ranked keep-list (q238): for every near-dup cluster
     * (q53's cached components), keep the member with the HIGHEST q35
     * quality score (ties by doc_id) and roll up the drops per source —

@@ -459,6 +459,39 @@ private[graft] object DedupOracles {
            CAST(coalesce(sum(n_chars) FILTER (doc_id IN
              (SELECT doc_id FROM dropped)), 0) AS BIGINT) AS dropped_chars
          FROM documents GROUP BY 1 ORDER BY 1"""),
+    // q354: suffix-order LCP panel — every token position opens a
+    // 12-token-truncated suffix; adjacent suffixes in (first-token
+    // partitioned) sorted order yield the repeated-phrase histogram
+    // with cross-doc pairs split out. Mirrors the engine's window
+    // construction exactly (same truncation, same tie order)
+    "q354_suffix_lcp" ->
+      """WITH d0 AS (SELECT doc_id, string_split(
+             regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')
+             AS w
+           FROM documents),
+         sfx AS (SELECT doc_id, pos, w[pos + 1] AS t1,
+             w[pos + 1 : pos + 12] AS s,
+             array_to_string(w[pos + 1 : pos + 12], ' ') AS k
+           FROM (SELECT doc_id, w, unnest(generate_series(
+               CAST(0 AS BIGINT), CAST(len(w) AS BIGINT) - 1)) AS pos
+             FROM d0)),
+         adj AS (SELECT doc_id, s,
+             lead(doc_id) OVER win AS nd, lead(s) OVER win AS ns
+           FROM sfx
+           WINDOW win AS (PARTITION BY t1 ORDER BY k, doc_id, pos)),
+         lcps AS (SELECT doc_id, nd,
+             -- list_position returns 0 (not NULL) when absent in this
+             -- DuckDB — nullif maps "no mismatch" to the full min-length
+             CAST(coalesce(nullif(list_position(
+                 [coalesce(s[i] = ns[i], false)
+                  for i in range(1, least(len(s), len(ns)) + 1)],
+                 false), 0) - 1,
+               least(len(s), len(ns))) AS BIGINT) AS lcp
+           FROM adj WHERE nd IS NOT NULL)
+         SELECT lcp, count(*)::BIGINT AS n_pairs,
+           CAST(sum(CASE WHEN doc_id <> nd THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_cross_pairs
+         FROM lcps WHERE lcp >= 3 GROUP BY 1 ORDER BY 1""",
     // q353: source-collision keeper matrix — the q238 keeper rule at
     // the q328 cluster grain: per (keep_source, drop_source) cell,
     // dropped docs and distinct clusters, diagonal included
