@@ -57,7 +57,14 @@ object ScalingBench {
       // token join with enum²-bounded fan-out; q338 is one R×-fanout
       // pass onto (source × replica) partial sums
       "q333_bradley_terry", "q334_greedy_coverage",
-      "q337_sketch_overlap", "q338_bootstrap_ci")
+      "q337_sketch_overlap", "q338_bootstrap_ci",
+      // round-15: q353 rides the q53 clusters + q35 quality (both
+      // linear) with a cluster-bounded keeper window and a |sources|²
+      // matrix; q354 is one token-position explode (×maxLcp payload)
+      // + a first-token-partitioned sort window + an enum-sized agg —
+      // the probe checks the suffix blowup stays the documented
+      // constant factor, never a bend
+      "q353_keeper_matrix", "q354_suffix_lcp")
       .map(q => Probe(q, "documents", SparkEntry.queries(q))) ++ Seq(
       // span family: exact (oracle-gated) keys and the hashed-key 100 TB
       // variant (xxhash64 span keys on both span shuffles)
