@@ -515,6 +515,8 @@ object SparkEntry {
       DedupOps.keeperMatrix(s, d)),
     "q354_suffix_lcp"     -> ((s, d) =>
       DedupOps.suffixLcp(s, d)),
+    "q355_quarantine_audit" -> ((s, d) =>
+      graft.dq.DqSuite.quarantineAudit(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -149,6 +149,51 @@ object DqSuite {
     * counts so the caller can gate. One corpus pass, checkpointed once
     * for its two write consumers.
     */
+  /** Quarantine round-trip gate (q355): run [[quarantineWrite]] on the
+    * documents table with two genuinely-splitting expectations
+    * (short-text floor, a held-out language), READ THE PHYSICAL FILES
+    * BACK — the clean table and the underscore-hidden quarantine — and
+    * report per-bucket count, char mass, and a doc_id XOR fingerprint,
+    * while the oracle replays the first-failing-check split
+    * relationally. A row landing in the wrong bucket, double-written,
+    * or lost by the write path flips a fingerprint; this is the write
+    * contract of the quarantine path, oracle-gated (the q323 device).
+    * Staging dir deleted after an eager checkpoint of the 3-row panel.
+    */
+  def quarantineAudit(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"), col("lang"), col("source"),
+        col("n_chars"))
+    val out = java.nio.file.Files
+      .createTempDirectory("graft-q355").toString
+    val spec = graft.etl.Sinks.TableSpec("audited_docs",
+      graft.etl.Sinks.Parquet)
+    quarantineWrite(docs, Seq(
+      "short_text" -> (col("n_chars") < 200),
+      "lang_zh_holdout" -> (col("lang") === "zh")), spec, out)
+    val kept = spark.read.parquet(s"$out/audited_docs")
+      .select(lit("kept").as("bucket"), col("doc_id"),
+        col("n_chars").cast("long").as("nc"))
+    val qPath = new org.apache.hadoop.fs.Path(s"$out/audited_docs/__quarantine")
+    val fs = qPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val quar =
+      if (fs.exists(qPath))
+        spark.read.parquet(qPath.toString)
+          .select(col("__failed_chk").as("bucket"), col("doc_id"),
+            col("n_chars").cast("long").as("nc"))
+      else kept.limit(0)
+    val res = kept.unionByName(quar)
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("nc")).as("total_chars"),
+        expr("bit_xor(doc_id)").as("id_xor"))
+      .orderBy(col("bucket"))
+      .localCheckpoint()
+    val root = new org.apache.hadoop.fs.Path(out)
+    root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .delete(root, true)
+    res
+  }
+
   def quarantineWrite(df: DataFrame, checks: Seq[(String, Column)],
       spec: graft.etl.Sinks.TableSpec, outputDir: String): (Long, Long) = {
     require(checks.nonEmpty, "quarantineWrite needs at least one check")

@@ -1569,6 +1569,20 @@ private[graft] object CoreOracles {
          SELECT tbl, chk, n_checked, n_violations,
            CAST(n_violations = 0 AS INT) AS pass
          FROM panel ORDER BY tbl, chk""",
+    // q355: quarantine round-trip — the engine WRITES the clean table
+    // + the __quarantine partition through Sinks and reads the files
+    // back; the oracle replays the first-failing-check split
+    // relationally. Any misrouted/doubled/lost row flips the XOR
+    "q355_quarantine_audit" ->
+      """WITH m AS (SELECT doc_id, CAST(n_chars AS BIGINT) AS nc,
+             CASE WHEN n_chars < 200 THEN 'short_text'
+                  WHEN lang = 'zh' THEN 'lang_zh_holdout'
+                  ELSE 'kept' END AS bucket
+           FROM documents)
+         SELECT bucket, count(*)::BIGINT AS n_docs,
+           CAST(sum(nc) AS BIGINT) AS total_chars,
+           CAST(bit_xor(doc_id) AS BIGINT) AS id_xor
+         FROM m GROUP BY 1 ORDER BY 1""",
     // q342: calendar densification + LOCF forward fill — dense per-brand
     // daily mean-price series (per-brand calendar spine, last-observed
     // fill), monthly rollup with observed/filled counts
