@@ -751,6 +751,59 @@ object ScalingBench {
         .write.mode("overwrite").format("noop").save())
       println(f"""{"metric":"salted_agg","n_rows":$n,"hot_rows":$hot,"naive_sec":$naive%.2f,"salted_sec":$salted%.2f,"ratio":${naive / salted}%.1f}""")
     }
+    // planted-Zipf suffix-window skew A/B (synth mode only, VERDICT r15
+    // item 1): a corpus where ONE token ('the') opens ~5% of all
+    // suffixes — the Zipfian head a real crawl corpus has and the sf
+    // testdata is too flat to show. Under q354's old 1-token partition
+    // key that 5% lands in ONE window partition (a single task sorting
+    // a multi-TB slice at 100 TB); the 2-token key caps the worst
+    // partition at the 2-gram ceiling (~p('the')² plus noise). The
+    // probe measures BOTH the structural share drop (max partition
+    // share, ppm, straight from the key histogram) and the wall-clock
+    // A/B, and pins the two panels equal (the losslessness contract
+    // SuffixLcpSpec proves on the real corpus).
+    if (args.headOption.contains("synth")) {
+      import org.apache.spark.sql.functions._
+      val nDocs = 10000L
+      val docLen = 200
+      val zipf = spark.range(nDocs).select(
+        col("id").as("doc_id"),
+        array_join(expr(
+          s"""transform(sequence(1, $docLen), i ->
+              CASE WHEN pmod(id * 131 + i * 17, 20) = 0 THEN 'the'
+              ELSE concat('w', pmod(id * 31 + i * 7, 5000)) END)"""),
+          " ").as("text"),
+        lit("en").as("lang"), lit("synth").as("source"),
+        lit(docLen.toLong * 6).as("n_chars")).localCheckpoint()
+      // window-partition share histogram, straight from the key defs:
+      // (t1) = the suffix's first token, (t1, t2) = first two (t2 = ''
+      // for the doc-final suffix) — exactly suffixLcpOn's two keys
+      val total = nDocs * docLen
+      val sfxKeys = zipf.select(col("doc_id"),
+          split(col("text"), " ").as("w"))
+        .select(posexplode(col("w")).as(Seq("pos", "t1")),
+          coalesce(element_at(col("w"), col("pos") + 2), lit(""))
+            .as("t2"))
+      def share(cols: Seq[String]): Long =
+        sfxKeys.groupBy(cols.map(col): _*).agg(count(lit(1)).as("n"))
+          .agg(max(col("n"))).collect()(0).getLong(0) * 1000000L / total
+      val top1 = share(Seq("t1"))
+      val top2 = share(Seq("t1", "t2"))
+      def timeKey(kt: Int): (Double, Seq[Seq[Any]]) = {
+        var out: Seq[Seq[Any]] = Nil
+        val t = Bench.median((1 to reps).map { _ =>
+          val t0 = System.nanoTime()
+          out = DedupOps.suffixLcpOn(zipf, 12, 2, keyTokens = kt)
+            .collect().map(_.toSeq).toSeq
+          (System.nanoTime() - t0) / 1e9
+        })
+        (t, out)
+      }
+      val (t1s, p1) = timeKey(1)
+      val (t2s, p2) = timeKey(2)
+      require(p1 == p2, "suffix_skew panels diverged between key widths")
+      println(f"""{"metric":"suffix_skew","n_suffixes":$total,"top1_share_ppm":$top1,"top2_share_ppm":$top2,"one_tok_sec":$t1s%.2f,"two_tok_sec":$t2s%.2f,"panels_equal":true}""")
+    }
     // skewed FACT⋈FACT join A/B (synth mode only, VERDICT r11 item 5):
     // one planted bot key owns 75% of fact A; fact B is too wide to
     // broadcast (forced off) with bounded hot multiplicity (6 rows) —

@@ -1323,21 +1323,48 @@ object DedupOps {
     *
     * Scale shape: suffix rows = total corpus tokens (×maxLcp payload —
     * the truncation knob bounds the blowup); the sort/adjacency window
-    * is PARTITIONED by the suffix's first token, never global —
-    * cross-partition adjacent pairs share LCP 0 by construction, so
-    * partitioning loses nothing above minLcp ≥ 1. At 100 TB the
-    * documented knob widens the partition key to the first two tokens
-    * (the 'the'-partition skew cap); everything else is one window +
-    * one enum-sized aggregate.
+    * is PARTITIONED by the suffix's first `keyTokens` tokens, never
+    * global. Partitioning by a k-token prefix is EXACTLY lossless for
+    * `minLcp ≥ k`: tokens contain no characters that sort below space,
+    * so the set of suffixes sharing a k-token prefix is a CONTIGUOUS
+    * range of the global (k, doc_id, pos) sort — within-range adjacency
+    * equals global adjacency, and the only dropped pairs are the range
+    * boundaries, whose LCP is < k by definition of the range. The
+    * default is therefore the widest lossless key: 2 tokens when
+    * `minLcp ≥ 2` (the 'the'-partition Zipf-skew cap — the top token of
+    * a Zipfian corpus opens ~5-7% of ALL suffixes, which a 1-token key
+    * lands in ONE window partition; the 2-gram ceiling is ~1%,
+    * ScalingBench's planted-Zipf probe measures the drop), 1 token
+    * otherwise; SuffixLcpSpec pins the two keys hash-identical on both
+    * fixtures and the real corpus. Everything else is one window + one
+    * enum-sized aggregate.
     */
   def suffixLcp(spark: SparkSession, dir: String, maxLcp: Int = 12,
       minLcp: Int = 3): DataFrame =
     suffixLcpOn(Tables.documents(spark, dir), maxLcp, minLcp)
 
   private[graft] def suffixLcpOn(docs: DataFrame, maxLcp: Int,
-      minLcp: Int): DataFrame = {
+      minLcp: Int): DataFrame =
+    suffixLcpOn(docs, maxLcp, minLcp,
+      keyTokens = if (minLcp >= 2) 2 else 1)
+
+  private[graft] def suffixLcpOn(docs: DataFrame, maxLcp: Int,
+      minLcp: Int, keyTokens: Int): DataFrame = {
+    require(keyTokens == 1 || keyTokens == 2,
+      s"suffix window key width must be 1 or 2 tokens, got $keyTokens")
+    require(keyTokens <= minLcp,
+      s"a $keyTokens-token partition key drops boundary pairs with " +
+        s"LCP < $keyTokens — lossless only when minLcp >= keyTokens " +
+        s"(got minLcp=$minLcp)")
+    // the 2nd suffix token ('' for the doc-final 1-token suffix, whose
+    // pairs all have LCP <= 1 and are filtered by minLcp >= 2 anyway;
+    // real tokens are never empty, so the sentinel cannot collide)
+    val keyCols =
+      if (keyTokens == 2)
+        Seq(col("t1"), coalesce(element_at(col("s"), 2), lit("")))
+      else Seq(col("t1"))
     val win = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("t1"))
+      .partitionBy(keyCols: _*)
       .orderBy(col("k"), col("doc_id"), col("pos"))
     val sfx = docs
       .select(col("doc_id"), Text.tokens(col("text")).as("w"))

@@ -460,16 +460,18 @@ private[graft] object DedupOracles {
              (SELECT doc_id FROM dropped)), 0) AS BIGINT) AS dropped_chars
          FROM documents GROUP BY 1 ORDER BY 1"""),
     // q354: suffix-order LCP panel — every token position opens a
-    // 12-token-truncated suffix; adjacent suffixes in (first-token
-    // partitioned) sorted order yield the repeated-phrase histogram
-    // with cross-doc pairs split out. Mirrors the engine's window
-    // construction exactly (same truncation, same tie order)
+    // 12-token-truncated suffix; adjacent suffixes in (first-TWO-token
+    // partitioned — the Zipf-skew-capped key, lossless for minLcp >= 2)
+    // sorted order yield the repeated-phrase histogram with cross-doc
+    // pairs split out. Mirrors the engine's window construction exactly
+    // (same truncation, same key width, same tie order)
     "q354_suffix_lcp" ->
       """WITH d0 AS (SELECT doc_id, string_split(
              regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')
              AS w
            FROM documents),
          sfx AS (SELECT doc_id, pos, w[pos + 1] AS t1,
+             coalesce(w[pos + 2], '') AS t2,
              w[pos + 1 : pos + 12] AS s,
              array_to_string(w[pos + 1 : pos + 12], ' ') AS k
            FROM (SELECT doc_id, w, unnest(generate_series(
@@ -478,7 +480,7 @@ private[graft] object DedupOracles {
          adj AS (SELECT doc_id, s,
              lead(doc_id) OVER win AS nd, lead(s) OVER win AS ns
            FROM sfx
-           WINDOW win AS (PARTITION BY t1 ORDER BY k, doc_id, pos)),
+           WINDOW win AS (PARTITION BY t1, t2 ORDER BY k, doc_id, pos)),
          lcps AS (SELECT doc_id, nd,
              -- list_position returns 0 (not NULL) when absent in this
              -- DuckDB — nullif maps "no mismatch" to the full min-length

@@ -41,4 +41,44 @@ class SuffixLcpSpec extends SparkSpecBase {
     val out = run(Seq((1L, "a b c d"), (2L, "e f g h")))
     assert(out.isEmpty)
   }
+
+  private def docsDf(rows: Seq[(Long, String)]) =
+    rows.map { case (id, t) => (id, t, "en", "src", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+
+  test("two-token key is lossless: hash-identical to one-token on fixtures AND the real corpus") {
+    // the de-skew contract (VERDICT r15 item 1): for minLcp >= 2 the
+    // 2-token partition key must change NOTHING — a k-token prefix
+    // range is contiguous in the global sort, so only LCP < k boundary
+    // pairs differ, all below the filter
+    val fixtures = Seq(
+      Seq((1L, "a1 b1 p q r s t c1 d1"), (2L, "a2 p q r s t b2 c2")),
+      // Zipf-flavoured: 'the' opens many suffixes, incl. doc-final
+      // 1-token suffixes (the t2 = '' sentinel partition)
+      Seq((1L, "the cat sat on the mat near the dog and the"),
+        (2L, "a dog saw the cat sat on the mat and fled the"),
+        (3L, "the the the cat sat on the mat the")))
+    for (rows <- fixtures; minLcp <- Seq(2, 3)) {
+      val df = docsDf(rows)
+      val one = DedupOps.suffixLcpOn(df, 12, minLcp, keyTokens = 1)
+        .collect().map(_.toSeq).toSeq
+      val two = DedupOps.suffixLcpOn(df, 12, minLcp, keyTokens = 2)
+        .collect().map(_.toSeq).toSeq
+      assert(one === two, s"key widths diverge at minLcp=$minLcp")
+    }
+    val docs = graft.Tables.documents(spark, sf0001)
+    val one = DedupOps.suffixLcpOn(docs, 12, 3, keyTokens = 1)
+      .collect().map(_.toSeq).toSeq
+    val two = DedupOps.suffixLcpOn(docs, 12, 3, keyTokens = 2)
+      .collect().map(_.toSeq).toSeq
+    assert(one === two && one.nonEmpty,
+      "real-corpus panels diverge between key widths")
+  }
+
+  test("a key wider than minLcp is rejected (it would drop LCP < keyTokens pairs)") {
+    val df = docsDf(Seq((1L, "a b c")))
+    val e = intercept[IllegalArgumentException](
+      DedupOps.suffixLcpOn(df, 12, minLcp = 1, keyTokens = 2))
+    assert(e.getMessage.contains("lossless"))
+  }
 }
