@@ -20,6 +20,57 @@ private[operators] object SessionCaches {
   private val registry =
     new java.util.concurrent.CopyOnWriteArrayList[Cache[_ <: Product]]
 
+  /** Byte budget for the session-persisted relations (VERDICT r15 item
+    * 2): without one, the registry bench degrades as O(components) —
+    * every query family's caches stay persisted for the whole session,
+    * and the 356th component's shingle riders/edge grids/codebooks tax
+    * the 355 before it through GC/eviction pressure (q113_pagerank's
+    * measured +1.1 s composition tax at r15). The budget is measured
+    * against the context's REAL cached bytes (`getRDDStorageInfo` —
+    * memory + disk), not plan-size estimates (which are join-product
+    * inflated without CBO), and enforced by LRU unpersist in
+    * [[cached]]: when the total exceeds the budget, least-recently-USED
+    * entries are unpersisted and forgotten (next access rebuilds and
+    * re-persists — correctness is untouched, the entry just pays its
+    * build again). Default: a quarter of the JVM heap — under Spark's
+    * default on-heap storage fraction (~30% of heap), so the budget
+    * trips BEFORE the MemoryStore starts thrashing block eviction.
+    * `SPARK_GRAFT_CACHE_BUDGET_MB` overrides (tests pin tiny budgets;
+    * a 1000-executor cluster would size it to executor storage).
+    */
+  @volatile private[graft] var budgetBytes: Long =
+    sys.env.get("SPARK_GRAFT_CACHE_BUDGET_MB")
+      .map(_.toLong * 1024L * 1024L)
+      .getOrElse(Runtime.getRuntime.maxMemory / 4)
+
+  /** Thread-scoped budget override (tests): suites share one JVM and
+    * may run in parallel, so a spec that pins a 1-byte budget must not
+    * leak it into concurrently-running suites' cached() calls.
+    */
+  private[graft] val budgetOverride = new ThreadLocal[java.lang.Long]
+
+  private def effectiveBudget: Long = {
+    val o = budgetOverride.get
+    if (o != null) o.longValue else budgetBytes
+  }
+
+  /** LRU order over every live entry (access-ordered LinkedHashMap),
+    * keyed by (owning map IDENTITY, key) — two empty cache maps are
+    * `equals` by content, so the owner must compare by reference. All
+    * access synchronized on the map itself.
+    */
+  private final class EntryId(val owner: Cache[_ <: Product],
+      val key: Product) {
+    override def equals(o: Any): Boolean = o match {
+      case e: EntryId => (e.owner eq owner) && e.key == key
+      case _ => false
+    }
+    override def hashCode: Int =
+      System.identityHashCode(owner) * 31 + key.hashCode
+  }
+  private val lru =
+    new java.util.LinkedHashMap[EntryId, Unit](16, 0.75f, true)
+
   /** Create and enroll a session-keyed cache map. */
   def newCache[K <: Product](): Cache[K] = {
     val m = new java.util.concurrent.ConcurrentHashMap[K, DataFrame]
@@ -27,15 +78,59 @@ private[operators] object SessionCaches {
     m
   }
 
+  /** The context's real cached footprint — what the budget meters. */
+  private def cachedBytes(spark: SparkSession): Long =
+    spark.sparkContext.getRDDStorageInfo
+      .map(i => i.memSize + i.diskSize).sum
+
+  /** Unpersist + forget least-recently-used entries until the session's
+    * cached bytes fit the budget (or only `keep` remains). `keep` — the
+    * entry the current call is about to return — is never evicted:
+    * evicting it would hand the caller a frame that silently recomputes
+    * on every read. Entries of OTHER live sessions are skipped (their
+    * bytes live in their own context). Unpersist is plan-matched, so an
+    * evicted entry that shares a deterministic plan with a survivor in
+    * another family also drops the survivor's data — a rebuild-cost
+    * hazard only, never a correctness one (the survivor's next read
+    * recomputes).
+    */
+  private def evictOverBudget(spark: SparkSession, keep: EntryId): Unit =
+    lru.synchronized {
+      if (spark.sparkContext.isStopped) return
+      val budget = effectiveBudget
+      var total = cachedBytes(spark)
+      if (total <= budget) return
+      val it = lru.entrySet.iterator
+      while (total > budget && it.hasNext) {
+        val id = it.next().getKey
+        val sameSession = id.key.productElement(0)
+          .asInstanceOf[SparkSession] eq spark
+        if (!(id == keep) && sameSession) {
+          val df = id.owner.asInstanceOf[Cache[Product]].get(id.key)
+          id.owner.asInstanceOf[Cache[Product]].remove(id.key)
+          it.remove()
+          if (df != null) {
+            df.unpersist(blocking = true)
+            total = cachedBytes(spark)
+          }
+        }
+      }
+    }
+
   /** Drop entries whose session has been stopped — a module-level map
     * would otherwise strongly reference dead sessions and their plans
     * forever in a long-lived JVM that cycles sessions.
     */
-  private def purgeStopped(): Unit =
+  private def purgeStopped(): Unit = {
     registry.forEach { m =>
       m.keySet.removeIf(k =>
         k.productElement(0).asInstanceOf[SparkSession].sparkContext.isStopped)
     }
+    lru.synchronized {
+      lru.keySet.removeIf(id => id.key.productElement(0)
+        .asInstanceOf[SparkSession].sparkContext.isStopped)
+    }
+  }
 
   /** get-then-putIfAbsent, NOT computeIfAbsent: the build functions of one
     * cache read the other caches (clusters → pairs → postings) and run the
@@ -52,13 +147,21 @@ private[operators] object SessionCaches {
     */
   def cached[K <: Product](m: Cache[K], k: K)(build: => DataFrame): DataFrame = {
     purgeStopped()
+    val spark = k.productElement(0).asInstanceOf[SparkSession]
+    val id = new EntryId(m, k)
     val existing = m.get(k)
-    if (existing != null) existing
-    else {
-      val v = build
-      val prev = m.putIfAbsent(k, v)
-      if (prev != null) prev else v
-    }
+    val result =
+      if (existing != null) existing
+      else {
+        val v = build
+        val prev = m.putIfAbsent(k, v)
+        if (prev != null) prev else v
+      }
+    // LRU touch + budget check on EVERY access (hits too — recency is
+    // usage, not creation); the entry being returned is never evicted
+    lru.synchronized { lru.put(id, ()) }
+    evictOverBudget(spark, id)
+    result
   }
 
   /** Live entry count owned by `spark` across every registered cache —
@@ -101,6 +204,10 @@ private[operators] object SessionCaches {
           it.remove()
         }
       }
+    }
+    lru.synchronized {
+      lru.keySet.removeIf(id =>
+        id.key.productElement(0).asInstanceOf[SparkSession] eq spark)
     }
     spark.catalog.clearCache()
   }
