@@ -23,6 +23,20 @@ object I94Analytics {
       .agg(count(lit(1)).as("n_trips"))
       .orderBy(col("i94_year"), col("i94_month"))
 
+  /** Q1b — daily arrival counts inside a date window. Built to consume
+    * [[graft.etl.ZoneMapReader.readRange]]'s pruned i94_trips frame:
+    * the fact table's physical layout (Sinks.TableSpec sortCols =
+    * arrival_date) range-clusters dates across files, so the window
+    * read schedules only the overlapping files — the read-side
+    * completion of the write-side zone maps. Semantics are identical
+    * over a full-table filtered read (ZoneMapReaderSpec pins both).
+    */
+  def dailyArrivals(trips: DataFrame): DataFrame =
+    trips.filter(col("arrival_date").isNotNull)
+      .groupBy(col("arrival_date"))
+      .agg(count(lit(1)).as("n_arrivals"))
+      .orderBy(col("arrival_date"))
+
   /** Q2 — countries sending the most visitors: trips ⋈ countries. */
   def topCountries(trips: DataFrame, countries: DataFrame, k: Int = 10): DataFrame =
     trips.join(broadcast(countries),

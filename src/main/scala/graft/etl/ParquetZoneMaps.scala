@@ -20,6 +20,23 @@ case class ZoneMapRow(file: String, rowgroup: Int, n_rows: Long,
   */
 object ParquetZoneMaps {
 
+  /** Recursive data-file listing under `path` (parquet parts only; no
+    * `_SUCCESS`/hidden paths) — the same O(files) driver-side walk
+    * Spark's own InMemoryFileIndex performs. Shared by the footer jobs
+    * and [[ZoneMapReader]]'s kept-vs-total accounting.
+    */
+  private[etl] def listDataFiles(spark: SparkSession, path: String): Seq[String] = {
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(hconf)
+    val it = fs.listFiles(root, true)
+    Iterator.continually(it)
+      .takeWhile(_.hasNext).map(_.next().getPath.toString)
+      .filter(f => f.endsWith(".parquet") || f.contains("part-"))
+      .filterNot(f => f.contains("_SUCCESS") || f.contains("/."))
+      .toSeq.sorted
+  }
+
   /** Per-row-group (file, rowgroup, rows, min, max) for `column`,
     * which must be a physical INT32 or INT64 parquet column (dates
     * land as INT32 days). Files with no statistics for the column
@@ -40,14 +57,7 @@ object ParquetZoneMaps {
       column: String, requireStats: Boolean): Dataset[ZoneMapRow] = {
     import spark.implicits._
     val hconf = spark.sparkContext.hadoopConfiguration
-    val root = new org.apache.hadoop.fs.Path(path)
-    val fs = root.getFileSystem(hconf)
-    val it = fs.listFiles(root, true)
-    val files = Iterator.continually(it)
-      .takeWhile(_.hasNext).map(_.next().getPath.toString)
-      .filter(f => f.endsWith(".parquet") || f.contains("part-"))
-      .filterNot(f => f.contains("_SUCCESS") || f.contains("/."))
-      .toSeq.sorted
+    val files = listDataFiles(spark, path)
     // serializable copies for the executor-side footer reads
     val confMap = {
       val m = scala.collection.mutable.Map[String, String]()
