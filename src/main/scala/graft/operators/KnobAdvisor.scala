@@ -17,12 +17,13 @@ import org.apache.spark.sql.functions._
   *
   * All formulas are INTEGER math (`ceil(a/b)` as `(a+b-1) div b`,
   * `ceil(log2 m)` as `length(bin(m-1))` — exact on non-negative
-  * longs), so DuckDB replays the panel cell-exact; KnobAdvisorSpec
-  * additionally pins the integer forms to the shipped float-form
-  * knobs ([[SimilarityOps.planesFor]]/[[SimilarityOps.kFor]]/
-  * [[DedupOps.effectiveDfCap]]) across a size grid — the two are
-  * provably equal (ceil∘log2 is constant on each (2^{k-1}, 2^k]
-  * interval and ceil never leaves it), and the spec keeps it that way.
+  * longs), so DuckDB replays the panel cell-exact; the df-cap row is
+  * the engine's own integer expression ([[DedupOps.effectiveDfCap]]),
+  * and KnobAdvisorSpec pins the remaining integer forms to the shipped
+  * knobs ([[SimilarityOps.planesFor]]/[[SimilarityOps.kFor]]) across a
+  * size grid — the two are provably equal (ceil∘log2 is constant on
+  * each (2^{k-1}, 2^k] interval and ceil never leaves it), and the
+  * spec keeps it that way.
   *
   * Scale shape: three 1-row corpus aggregates (documents count,
   * embeddings count, the events user-frequency profile) crossed into
@@ -54,18 +55,16 @@ object KnobAdvisor {
       .withColumn("rec_planes",
         expr("greatest(4, least(62, planes_raw))"))
     stats.select(explode(array(
-        // DedupOps.effectiveDfCap: clamp(ceil(0.02 n_docs), 50, 200).
-        // This one knob stays on the FLOAT formula the engine ships —
-        // ceil(n·0.02) and (2n+99) div 100 disagree where the double
-        // product lands an ulp above an integer (n = 1150 → 23.0…04 →
-        // 24), and the advisor must recommend the cap the pipelines
-        // ACTUALLY apply; both engines compute the identical IEEE
-        // product, so parity holds (the dedup oracle precedent)
+        // DedupOps.effectiveDfCap: clamp(ceil(2% n_docs), 50, 200) in
+        // the engine's own exact integer form — (2n+99) div 100, the
+        // identical expression the pipelines apply, so advisor and
+        // engine can never drift by a float ulp (VERDICT r15 item 5
+        // closed the n=1150 carve-out by moving BOTH to integer math)
         struct(lit("dedup_df_cap").as("knob"),
           lit("n_docs").as("input_stat"), col("n_docs").as("stat_value"),
           expr(s"least(${DedupOps.DfCapCeil}L," +
             s" greatest(${DedupOps.DfCapFloor}L," +
-            s" CAST(ceil(n_docs * ${DedupOps.DfCapFrac}) AS BIGINT)))")
+            s" (n_docs * 2 + 99) div 100))")
             .as("recommended")),
         // SimilarityOps.planesFor: hold LSH bucket population near 32
         struct(lit("lsh_n_planes").as("knob"),

@@ -409,8 +409,7 @@ private[graft] object DedupOracles {
            WHERE pos <= greatest(1, n_g - 4)),
          rare AS (SELECT fp FROM sk GROUP BY fp HAVING count(*) <=
            least(200, greatest(50,
-             CAST(ceil((SELECT count(*) FROM documents) * 0.02)
-               AS BIGINT)))),
+             ((SELECT count(*) FROM documents) * 2 + 99) // 100))),
          p AS (SELECT doc_id, fp FROM sk JOIN rare USING (fp))
          SELECT a.doc_id AS id_a, b.doc_id AS id_b,
            count(*) AS n_shared

@@ -215,7 +215,7 @@ private[graft] object OracleCtes {
        t0 AS (SELECT doc_id, unnest(toks) AS tok FROM docs),
        rare AS (SELECT tok FROM t0 GROUP BY tok HAVING count(*) <=
          least(200, greatest(50,
-           CAST(ceil((SELECT count(*) FROM documents) * 0.02) AS BIGINT)))),
+           ((SELECT count(*) FROM documents) * 2 + 99) // 100))),
        t1 AS (SELECT doc_id, tok FROM t0 JOIN rare USING (tok)),
        tok AS (SELECT doc_id, tok,
                  count(*) OVER (PARTITION BY doc_id) AS n FROM t1)"""

@@ -1213,7 +1213,7 @@ private[graft] object PipelineOracles {
            SELECT 'dedup_df_cap' AS knob, 'n_docs' AS input_stat,
              n_docs AS stat_value,
              least(200, greatest(50,
-               CAST(ceil(n_docs * 0.02::DOUBLE) AS BIGINT)))::BIGINT
+               (n_docs * 2 + 99) // 100))::BIGINT
                AS recommended
            FROM s2
            UNION ALL

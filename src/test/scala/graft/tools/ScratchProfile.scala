@@ -35,8 +35,8 @@ object ScratchProfile {
         .select(col("doc_id"), concat_ws(" ", col("tok"), col("t1"), col("t2")).as("tok"))
         .dropDuplicates("doc_id", "tok")
     }
-    val capDf = docs.agg(least(lit(200L), greatest(lit(50L),
-      ceil(count(lit(1)) * lit(0.02)).cast("long"))).as("cap"))
+    val capDf = docs.agg(expr(
+      "least(200L, greatest(50L, (count(1) * 2 + 99) div 100)) AS cap"))
     def postings(raw: DataFrame, doPersist: Boolean): DataFrame = {
       val keyed = raw.select(col("doc_id"), xxhash64(col("tok")).as("tok"))
       val rare = keyed.groupBy(col("tok")).agg(count(lit(1)).as("df"))
