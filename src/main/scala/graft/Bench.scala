@@ -83,6 +83,72 @@ object Bench {
     waited
   }
 
+  /** Round-over-round self-comparison (VERDICT r15 item 7): the
+    * common-set delta vs a prior run that SCALING.md and the judge kept
+    * computing by hand, now machine-produced on every run. Over the
+    * queries present in BOTH runs with a successful time in both
+    * (failed sentinels and registry growth excluded), it carries the
+    * count, both sums, the sum ratio, and the median per-query ratio —
+    * the composition-vs-regression readout: a registry that grew but
+    * whose common set got faster shows sum_ratio/median_ratio < 1 even
+    * when the headline total rose.
+    */
+  case class CommonDelta(baseline: String, n: Int, sumBase: Double,
+      sumNow: Double, medianRatio: Double) {
+    def json: String =
+      s"""{"base":"${jsonStr(baseline)}","n":$n,"sum_base":${r3(sumBase)},"sum_now":${r3(sumNow)},"sum_ratio":${r3(if (sumBase > 0) sumNow / sumBase else -1.0)},"median_ratio":${r3(medianRatio)}}"""
+  }
+
+  def commonDelta(now: Map[String, Double], base: Map[String, Double],
+      label: String): Option[CommonDelta] = {
+    val common = (now.keySet intersect base.keySet).toSeq
+      .filter(k => now(k) >= 0 && base(k) > 0)
+    if (common.isEmpty) None
+    else Some(CommonDelta(label, common.size,
+      common.map(base).sum, common.map(now).sum,
+      median(common.map(k => now(k) / base(k)))))
+  }
+
+  /** The (round, warm-median map) of the LAST bench_history.jsonl line
+    * whose round label matches `want` (or the last line when `want` is
+    * empty). Failure-tolerant by design: a missing/corrupt history must
+    * never fail a bench run — it just runs without a baseline.
+    */
+  def historyBaseline(path: String,
+      want: Option[String]): Option[(String, Map[String, Double])] =
+    try {
+      import org.json4s._
+      import org.json4s.jackson.JsonMethods
+      val f = new java.io.File(path)
+      if (!f.exists) None
+      else {
+        val src = scala.io.Source.fromFile(f)
+        val lines = try src.getLines().toList finally src.close()
+        val parsed = lines.flatMap { l =>
+          try {
+            val j = JsonMethods.parse(l)
+            val round = j \ "round" match {
+              case JString(s) => s
+              case _ => ""
+            }
+            val qs = j \ "queries" match {
+              case JObject(fields) => fields.collect {
+                case (k, JDouble(v)) => k -> v
+                case (k, JInt(v)) => k -> v.toDouble
+                case (k, JDecimal(v)) => k -> v.toDouble
+              }.toMap
+              case _ => Map.empty[String, Double]
+            }
+            if (round.nonEmpty && qs.nonEmpty) Some(round -> qs) else None
+          } catch { case _: Throwable => None }
+        }
+        (want match {
+          case Some(w) => parsed.filter(_._1 == w)
+          case None => parsed
+        }).lastOption
+      }
+    } catch { case _: Throwable => None }
+
   /** How many slowest-warm queries ride the stdout `"metric":"total"`
     * line. Sized so the WHOLE stdout payload (summary + top line +
     * summary) stays under the driver's 2000-char stdout tail window at
@@ -118,7 +184,8 @@ object Bench {
       cold: Map[String, Double] = Map.empty,
       load: (Double, Double) = (-1.0, -1.0),
       loadWaitedSec: Int = 0,
-      loadExceeded: Boolean = false): Seq[String] = {
+      loadExceeded: Boolean = false,
+      common: Option[CommonDelta] = None): Seq[String] = {
     val total = r3(results.values.filter(_ >= 0).sum)
     val totalCold = r3(cold.values.filter(_ >= 0).sum)
     val sus = suspects(results, cold)
@@ -132,8 +199,9 @@ object Bench {
       if (loadWaitedSec > 0)
         s"""{"start":${r3(load._1)},"end":${r3(load._2)},"waited":$loadWaitedSec$exceededJson}"""
       else s"""{"start":${r3(load._1)},"end":${r3(load._2)}$exceededJson}"""
+    val commonJson = common.map(d => s""","common_set":${d.json}""").getOrElse("")
     val summary =
-      s"""{"metric":"total_summary","value":$total,"unit":"sec","total_cold":$totalCold,"n_queries":${results.size},"n_failed":${failed.size},"n_flaky":${flaky.size},"n_suspect":${sus.size},"load":$loadJson,"sf":"${jsonStr(sf)}"}"""
+      s"""{"metric":"total_summary","value":$total,"unit":"sec","total_cold":$totalCold,"n_queries":${results.size},"n_failed":${failed.size},"n_flaky":${flaky.size},"n_suspect":${sus.size},"load":$loadJson$commonJson,"sf":"${jsonStr(sf)}"}"""
     // slowest first so the audit-relevant entries survive any further
     // truncation; failed sentinels ride along (they are the first thing
     // a reader must see) but are THEMSELVES capped — a mass-failure run
@@ -155,7 +223,7 @@ object Bench {
         marked.mkString("[", ",", "]")
       }
       Seq(summary,
-        s"""{"metric":"total","value":$total,"unit":"sec","total_cold":$totalCold,"queries":$top,"n_top":${kept.size},"full":"bench_history.jsonl","failed":${names(failed)},"flaky":${names(flaky)},"suspect":${names(sus)},"n_suspect":${sus.size},"load":$loadJson,"sf":"${jsonStr(sf)}"}""",
+        s"""{"metric":"total","value":$total,"unit":"sec","total_cold":$totalCold,"queries":$top,"n_top":${kept.size},"full":"bench_history.jsonl","failed":${names(failed)},"flaky":${names(flaky)},"suspect":${names(sus)},"n_suspect":${sus.size},"load":$loadJson$commonJson,"sf":"${jsonStr(sf)}"}""",
         summary)
     }
     // shrink-to-fit: halve the caps until the WHOLE payload fits the
@@ -183,7 +251,8 @@ object Bench {
       sf: String, flaky: Seq[String] = Nil,
       cold: Map[String, Double] = Map.empty,
       load: (Double, Double) = (-1.0, -1.0),
-      loadExceeded: Boolean = false): String = {
+      loadExceeded: Boolean = false,
+      common: Option[CommonDelta] = None): String = {
     def qmap(m: Map[String, Double]) = m.toSeq.sortBy(_._1)
       .map { case (k, v) => s"\"" + jsonStr(k) + "\":" + r3(v) }
       .mkString("{", ",", "}")
@@ -195,7 +264,8 @@ object Bench {
     val exceededJson = if (loadExceeded) ""","load_exceeded":true""" else ""
     val loadJson =
       s"""{"start":${r3(load._1)},"end":${r3(load._2)}$exceededJson}"""
-    s"""{"metric":"total","value":$total,"unit":"sec","total_cold":$totalCold,"queries":${qmap(results)},"failed":${names(failed)},"flaky":${names(flaky)},"suspect":${names(sus)},"n_suspect":${sus.size},"load":$loadJson,"sf":"${jsonStr(sf)}","queries_cold":${qmap(cold)}}"""
+    val commonJson = common.map(d => s""","common_set":${d.json}""").getOrElse("")
+    s"""{"metric":"total","value":$total,"unit":"sec","total_cold":$totalCold,"queries":${qmap(results)},"failed":${names(failed)},"flaky":${names(flaky)},"suspect":${names(sus)},"n_suspect":${sus.size},"load":$loadJson$commonJson,"sf":"${jsonStr(sf)}","queries_cold":${qmap(cold)}}"""
   }
 
   def main(args: Array[String]): Unit = {
@@ -290,15 +360,22 @@ object Bench {
     // rep 1 pays every session-cache build — its per-query times are the
     // cold-session cost the warm medians exclude
     val loadEnd = loadAvg()
+    // common-set delta vs a prior full run, computed BEFORE this run's
+    // history line is appended (SPARK_GRAFT_BENCH_BASELINE names a
+    // round label; default = the most recent history entry)
+    val delta = historyBaseline("bench_history.jsonl",
+        sys.env.get("SPARK_GRAFT_BENCH_BASELINE"))
+      .flatMap { case (r, qs) => commonDelta(results, qs, r) }
     val lines = renderLines(results, failed.toSeq, sfDir, flaky.toSeq,
       cold = passes.head, load = (loadStart, loadEnd),
-      loadWaitedSec = waited, loadExceeded = loadExceeded)
+      loadWaitedSec = waited, loadExceeded = loadExceeded,
+      common = delta)
     // the committed durable record is ONE combined line per round
     // (full warm + cold maps in one object); stdout only ever carries
     // the bounded top-K view of it
     val big = fullLine(results, failed.toSeq, sfDir, flaky.toSeq,
       cold = passes.head, load = (loadStart, loadEnd),
-      loadExceeded = loadExceeded)
+      loadExceeded = loadExceeded, common = delta)
     // persist the full per-query history BEFORE printing: the driver's
     // stdout tail truncates the big line (r2, r4 lost 17 queries' times),
     // so the committed artifacts are the durable record

@@ -164,8 +164,7 @@ object DqSuite {
     val docs = Tables.documents(spark, dir)
       .select(col("doc_id"), col("text"), col("lang"), col("source"),
         col("n_chars"))
-    val out = java.nio.file.Files
-      .createTempDirectory("graft-q355").toString
+    graft.etl.HadoopIo.withStagingDir(spark, "graft-q355") { out =>
     val spec = graft.etl.Sinks.TableSpec("audited_docs",
       graft.etl.Sinks.Parquet)
     quarantineWrite(docs, Seq(
@@ -188,10 +187,8 @@ object DqSuite {
         expr("bit_xor(doc_id)").as("id_xor"))
       .orderBy(col("bucket"))
       .localCheckpoint()
-    val root = new org.apache.hadoop.fs.Path(out)
-    root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      .delete(root, true)
     res
+    }
   }
 
   def quarantineWrite(df: DataFrame, checks: Seq[(String, Column)],

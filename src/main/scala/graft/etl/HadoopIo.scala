@@ -31,4 +31,21 @@ object HadoopIo {
     val p = new Path(path)
     p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
   }
+
+  /** Run `body` against a fresh staging directory and delete the
+    * directory EVEN WHEN the body throws (ADVICE r15: the write-gated
+    * queries q323/q351/q355 deleted their staging copy only on the
+    * success path, leaking a full table copy under /tmp per failed
+    * run). The body must eagerly materialize anything it returns
+    * (localCheckpoint/collect) — the files are gone on return.
+    */
+  def withStagingDir[A](spark: SparkSession, prefix: String)(body: String => A): A = {
+    val out = java.nio.file.Files.createTempDirectory(prefix).toString
+    try body(out)
+    finally {
+      val root = new Path(out)
+      root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .delete(root, true)
+    }
+  }
 }

@@ -672,7 +672,7 @@ object IncrementalOps {
     val base = Tables.documents(spark, dir)
       .select(col("doc_id"), col("text"), col("source"))
     requireKeysBelowShift(base)
-    val out = java.nio.file.Files.createTempDirectory("graft-q323").toString
+    graft.etl.HadoopIo.withStagingDir(spark, "graft-q323") { out =>
     val spec = graft.etl.Sinks.TableSpec("evolved_docs",
       graft.etl.Sinks.Parquet, Seq("source"))
     graft.etl.Sinks.write(base, spec, out)
@@ -696,10 +696,8 @@ object IncrementalOps {
         sum(length(col("text")).cast("long")).as("total_chars"))
       .orderBy(col("source"))
       .localCheckpoint()
-    val root = new org.apache.hadoop.fs.Path(out)
-    root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      .delete(root, true)
     res
+    }
   }
 
   /** Consistent-hash reshard planner (q339): the movement plan for
@@ -858,8 +856,7 @@ object IncrementalOps {
     val assigned = TwoPhaseRank.rankBy(li, "ship_day", "tie")
       .withColumn("file_id", expr(s"(r - 1) div ${rowsPerFile}L"))
       .select(col("file_id"), col("ship_day"))
-    val out = java.nio.file.Files
-      .createTempDirectory("graft-q351").toString
+    graft.etl.HadoopIo.withStagingDir(spark, "graft-q351") { out =>
     val spec = graft.etl.Sinks.TableSpec("layout_probe",
       graft.etl.Sinks.Parquet, partitionCols = Seq("file_id"),
       sortCols = Seq("ship_day"))
@@ -896,9 +893,7 @@ object IncrementalOps {
         expr("parts_scanned * 1000000 div n_parts").as("scan_ppm"))
       .orderBy(col("workload"))
       .localCheckpoint()
-    val root = new org.apache.hadoop.fs.Path(out)
-    root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      .delete(root, true)
     res
+    }
   }
 }

@@ -27,11 +27,16 @@ import org.apache.spark.sql.functions._
   */
 object KllQuantiles {
 
-  /** Merged KLL sketch of `valueCol` (double). */
+  /** Merged KLL sketch of `valueCol` (double). NULLs are skipped — the
+    * standard sketch convention (a NULL carries no rank information);
+    * without the filter a null row would NPE inside mapPartitions'
+    * Double decode instead of being handled.
+    */
   def sketch(df: DataFrame, valueCol: String, k: Int = 200): KllDoublesSketch = {
     val spark = df.sparkSession
     import spark.implicits._
-    val blobs = df.select(col(valueCol).cast("double")).as[Double]
+    val blobs = df.filter(col(valueCol).isNotNull)
+      .select(col(valueCol).cast("double")).as[Double]
       .mapPartitions { it =>
         val sk = KllDoublesSketch.newHeapInstance(k)
         it.foreach(sk.update)

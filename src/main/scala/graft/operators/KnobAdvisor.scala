@@ -84,13 +84,18 @@ object KnobAdvisor {
             " (n_vecs + 999) div 1000))").as("recommended")),
         // SkewUtils salting: replicate the dim side by the hot key's
         // excess over the mean key population, clamped to [1, 64] —
-        // salts beyond the skew ratio only add replication cost
+        // salts beyond the skew ratio only add replication cost. An
+        // EMPTY events table has no skew to measure: the aggregates
+        // come back NULL/0 and the unguarded ratio would emit a silent
+        // NULL knob (ADVICE r15) — the sentinel is the no-op 1 salt,
+        // with stat_value pinned to 0 so the degenerate row is visible
         struct(lit("skew_n_salts").as("knob"),
           lit("max_user_rows").as("input_stat"),
-          col("max_user_rows").as("stat_value"),
-          expr("least(64L, greatest(1L," +
-            " (max_user_rows * n_users + n_events - 1) div n_events))")
-            .as("recommended"))))
+          coalesce(col("max_user_rows"), lit(0L)).as("stat_value"),
+          expr("CASE WHEN n_events IS NULL OR n_events = 0 THEN 1L" +
+            " ELSE least(64L, greatest(1L," +
+            " (max_user_rows * n_users + n_events - 1) div n_events))" +
+            " END").as("recommended"))))
         .as("r"))
       .select(col("r.knob").as("knob"),
         col("r.input_stat").as("input_stat"),

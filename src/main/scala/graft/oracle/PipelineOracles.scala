@@ -1228,10 +1228,12 @@ private[graft] object PipelineOracles {
              least(1048576, greatest(2, (n_vecs + 999) // 1000))::BIGINT
            FROM s2
            UNION ALL
-           SELECT 'skew_n_salts', 'max_user_rows', max_user_rows,
-             least(64, greatest(1,
-               (max_user_rows * n_users + n_events - 1)
-                 // n_events))::BIGINT
+           SELECT 'skew_n_salts', 'max_user_rows',
+             coalesce(max_user_rows, 0),
+             (CASE WHEN n_events IS NULL OR n_events = 0 THEN 1
+               ELSE least(64, greatest(1,
+                 (max_user_rows * n_users + n_events - 1)
+                   // n_events)) END)::BIGINT
            FROM s2)
          ORDER BY knob""",
   )

@@ -187,4 +187,50 @@ class BenchSpec extends AnyFunSuite {
     assert(Bench.median(Seq(4.0, 1.0)) === 1.0)
     intercept[IllegalArgumentException](Bench.median(Nil))
   }
+
+  test("commonDelta: intersects on successful times only; sums and median ratio are over the common set") {
+    val now = Map("a" -> 2.0, "b" -> 1.0, "c" -> -0.5, "new" -> 9.0)
+    val base = Map("a" -> 1.0, "b" -> 2.0, "c" -> 1.0, "gone" -> 5.0)
+    // common successful set = {a, b}: c failed NOW, "new"/"gone" are
+    // registry growth/shrink — neither may pollute the comparison
+    val d = Bench.commonDelta(now, base, "r15").get
+    assert(d.n === 2)
+    assert(d.sumBase === 3.0 && d.sumNow === 3.0)
+    // ratios {2.0, 0.5} -> lower-middle median 0.5
+    assert(d.medianRatio === 0.5)
+    assert(d.json.contains("\"base\":\"r15\"") &&
+      d.json.contains("\"sum_ratio\":1.0") &&
+      d.json.contains("\"median_ratio\":0.5"))
+    // zero overlap -> no delta, never a division by nothing
+    assert(Bench.commonDelta(Map("x" -> 1.0), base, "r15").isEmpty)
+  }
+
+  test("historyBaseline: last line wins by default, round filter selects, corrupt lines are skipped") {
+    val f = java.nio.file.Files.createTempFile("bench-hist", ".jsonl")
+    java.nio.file.Files.write(f, java.util.Arrays.asList(
+      """{"round":"r14","metric":"total","queries":{"q1":1.0,"q2":2.0}}""",
+      """not json at all""",
+      """{"round":"r15","metric":"total","queries":{"q1":1.5}}"""),
+      java.nio.charset.StandardCharsets.UTF_8)
+    val last = Bench.historyBaseline(f.toString, None).get
+    assert(last._1 === "r15" && last._2 === Map("q1" -> 1.5))
+    val picked = Bench.historyBaseline(f.toString, Some("r14")).get
+    assert(picked._1 === "r14" && picked._2 === Map("q1" -> 1.0, "q2" -> 2.0))
+    assert(Bench.historyBaseline(f.toString, Some("r99")).isEmpty)
+    assert(Bench.historyBaseline("/nonexistent/hist.jsonl", None).isEmpty)
+  }
+
+  test("common_set rides the summary, total, and durable payload lines when a baseline exists") {
+    val d = Bench.commonDelta(Map("q1" -> 1.0), Map("q1" -> 2.0), "r15")
+    val lines = Bench.renderLines(Map("q1" -> 1.0), Nil, "sf", common = d)
+    assert(lines.head.contains("\"common_set\":{\"base\":\"r15\",\"n\":1"))
+    assert(lines(1).contains("\"common_set\""))
+    assert(lines.head === lines.last)
+    val big = Bench.fullLine(Map("q1" -> 1.0), Nil, "sf", common = d)
+    assert(big.contains("\"common_set\"") &&
+      big.contains("\"median_ratio\":0.5"))
+    // no baseline -> the field is absent, not null/empty
+    assert(!Bench.renderLines(Map("q1" -> 1.0), Nil, "sf")
+      .mkString.contains("common_set"))
+  }
 }

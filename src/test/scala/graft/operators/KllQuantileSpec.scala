@@ -58,4 +58,14 @@ class KllQuantileSpec extends SparkSpecBase {
         s"single p$p=${q1(p)} far from $tgt")
     }
   }
+
+  test("NULLs in the value column are skipped, not an executor NPE") {
+    val withNulls = spark.range(1000)
+      .select(org.apache.spark.sql.functions.when(
+        org.apache.spark.sql.functions.col("id") % 10 === 0, null)
+        .otherwise(org.apache.spark.sql.functions.col("id"))
+        .cast("double").as("v"))
+    val sk = KllQuantiles.sketch(withNulls, "v")
+    assert(sk.getN === 900L, "exactly the non-null rows must be sketched")
+  }
 }

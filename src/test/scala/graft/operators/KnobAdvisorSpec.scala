@@ -62,4 +62,18 @@ class KnobAdvisorSpec extends SparkSpecBase {
     assert(got("lsh_bucket_cap") === cap)
     assert(got("skew_n_salts") >= 1L && got("skew_n_salts") <= 64L)
   }
+
+  test("empty events: skew_n_salts is the explicit 1-salt sentinel, never a silent NULL") {
+    val docs = spark.range(10L).select(col("id").as("doc_id"),
+      lit("t").as("text"), lit("en").as("lang"), lit("s").as("source"),
+      lit(1L).as("n_chars"))
+    val emb = Seq((1L, Seq(1.0f))).toDF("vec_id", "embedding")
+    val ev = Seq.empty[(Long, Long)].toDF("user_id", "event_id")
+    val row = KnobAdvisor.knobAdvisorOn(docs, emb, ev)
+      .filter(col("knob") === "skew_n_salts").head()
+    assert(!row.isNullAt(2) && !row.isNullAt(3),
+      "degenerate corpus must not emit NULL cells")
+    assert(row.getLong(2) === 0L) // the visible "no data" stat
+    assert(row.getLong(3) === 1L) // the no-op salting recommendation
+  }
 }
