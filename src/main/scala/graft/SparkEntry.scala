@@ -517,6 +517,8 @@ object SparkEntry {
       DedupOps.suffixLcp(s, d)),
     "q355_quarantine_audit" -> ((s, d) =>
       graft.dq.DqSuite.quarantineAudit(s, d)),
+    "q356_boilerplate_divergence" -> ((s, d) =>
+      DedupOps.boilerplateDivergence(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

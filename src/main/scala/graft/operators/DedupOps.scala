@@ -1400,6 +1400,52 @@ object DedupOps {
       .orderBy(col("lcp"))
   }
 
+  /** Boilerplate-divergence report (q356): the q354 referee's verdict
+    * — repeated phrases live MID-document, not just at heads — turned
+    * into an actionable per-source readout by composing three shipped
+    * operators: q206's head-prefix grouping marks docs whose first
+    * `p` tokens are shared within their source (the cheap heuristic a
+    * crawl pipeline runs first), q87's span scrub ACTUALLY removes the
+    * cross-document duplicated spans, and the report splits the
+    * scrubbed docs into head-shared vs BODY-ONLY — the class the
+    * prefix heuristic would have missed entirely, i.e. the measured
+    * divergence between q206 and the suffix-LCP referee. A source
+    * whose `n_body_only` ≈ `n_scrubbed` (the testdata shape) needs the
+    * full scrub; a source where head-sharing dominates can run the
+    * O(1)-per-doc prefix dedup instead.
+    *
+    * Scale shape: the prefix mark is one row-local hash + one
+    * (source, prefix)-grain count window (group sizes bounded by the
+    * per-source corpus); the scrub rides q87's codegen span pipeline
+    * unchanged (shuffles on the span string, never all-pairs); the
+    * report is one doc-grain join + one |sources| aggregate.
+    */
+  def boilerplateDivergence(spark: SparkSession, dir: String,
+      p: Int = 16, spanLen: Int = 10): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val w = Window.partitionBy(col("source"), col("pfx"))
+    val marked = docs
+      .select(col("doc_id"), col("source"),
+        md5(concat_ws(" ", slice(Text.tokens(col("text")), 1, p)))
+          .as("pfx"))
+      .withColumn("head_shared",
+        count(lit(1)).over(w) >= 2)
+      .select(col("doc_id"), col("source"), col("head_shared"))
+    val scrub = spanScrubDF(docs, spanLen)
+      .select(col("doc_id"), col("n_tokens"), col("n_kept"))
+    marked.join(scrub, Seq("doc_id"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("head_shared"), 1L).otherwise(0L))
+          .as("n_head_shared"),
+        sum(when(col("n_kept") < col("n_tokens"), 1L).otherwise(0L))
+          .as("n_scrubbed"),
+        sum(when(col("n_kept") < col("n_tokens") && !col("head_shared"),
+          1L).otherwise(0L)).as("n_body_only"),
+        sum(col("n_tokens") - col("n_kept")).as("tokens_scrubbed"))
+      .orderBy(col("source"))
+  }
+
   /** Quality-ranked keep-list (q238): for every near-dup cluster
     * (q53's cached components), keep the member with the HIGHEST q35
     * quality score (ties by doc_id) and roll up the drops per source —

@@ -493,6 +493,57 @@ private[graft] object DedupOracles {
            CAST(sum(CASE WHEN doc_id <> nd THEN 1 ELSE 0 END)
              AS BIGINT) AS n_cross_pairs
          FROM lcps WHERE lcp >= 3 GROUP BY 1 ORDER BY 1""",
+    // q356: boilerplate-divergence report — q206's head-prefix groups
+    // joined against q87's span scrub at doc grain, split per source
+    // into head-shared vs body-only scrubbed docs (the class the
+    // prefix heuristic misses — the q354 referee's verdict as a
+    // per-source action readout). Same tokenization, same 16-token
+    // prefix, same 10-token span CTEs as the parent oracles
+    "q356_boilerplate_divergence" ->
+      """WITH d AS (SELECT doc_id, string_split(
+             regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')
+             AS toks
+           FROM documents),
+         op AS (SELECT doc_id, toks, unnest(generate_series(
+                  CAST(0 AS BIGINT), CAST(len(toks) AS BIGINT) - 10)) AS pos
+                FROM d WHERE len(toks) >= 10),
+         occ AS (SELECT doc_id, pos,
+                   array_to_string(toks[pos + 1 : pos + 10], ' ') AS span
+                 FROM op),
+         own AS (SELECT span, min(doc_id) AS owner FROM occ
+                 GROUP BY span HAVING count(DISTINCT doc_id) >= 2),
+         cov AS (SELECT DISTINCT doc_id, pos FROM (
+                   SELECT o.doc_id,
+                     unnest(generate_series(o.pos, o.pos + 9)) AS pos
+                   FROM occ o JOIN own ON o.span = own.span
+                   WHERE o.doc_id <> own.owner)),
+         scr AS (SELECT d.doc_id, CAST(len(d.toks) AS BIGINT) AS n_tokens,
+                   CAST(len(d.toks) AS BIGINT) - coalesce(c.n_cov, 0)
+                     AS n_kept
+                 FROM d LEFT JOIN (SELECT doc_id, count(*) AS n_cov
+                                   FROM cov GROUP BY 1) c USING (doc_id)),
+         pfx AS (SELECT dd.doc_id, dd.source,
+                   md5(array_to_string(d.toks[1:16], ' ')) AS pfx
+                 FROM documents dd JOIN d USING (doc_id)),
+         shared AS (SELECT source, pfx FROM pfx
+                    GROUP BY source, pfx HAVING count(*) >= 2),
+         marked AS (SELECT p.doc_id, p.source,
+                     (s.pfx IS NOT NULL) AS head_shared
+                   FROM pfx p LEFT JOIN shared s
+                     ON p.source = s.source AND p.pfx = s.pfx)
+         SELECT m.source,
+           count(*)::BIGINT AS n_docs,
+           CAST(sum(CASE WHEN m.head_shared THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_head_shared,
+           CAST(sum(CASE WHEN scr.n_kept < scr.n_tokens THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_scrubbed,
+           CAST(sum(CASE WHEN scr.n_kept < scr.n_tokens
+             AND NOT m.head_shared THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_body_only,
+           CAST(sum(scr.n_tokens - scr.n_kept) AS BIGINT)
+             AS tokens_scrubbed
+         FROM marked m JOIN scr USING (doc_id)
+         GROUP BY 1 ORDER BY 1""",
     // q353: source-collision keeper matrix — the q238 keeper rule at
     // the q328 cluster grain: per (keep_source, drop_source) cell,
     // dropped docs and distinct clusters, diagonal included
