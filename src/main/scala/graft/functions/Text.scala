@@ -69,6 +69,17 @@ object Text {
       ColumnBridge.expression(toksCol), n))
   }
 
+  /** Token-array longest common prefix (codegen'd): leading positions
+    * where both arrays carry equal non-null elements. The q354
+    * suffix-LCP kernel — see [[graft.functions.expressions.TokenLcp]]
+    * for why not the zip_with/array_position HOF form.
+    */
+  def tokenLcpNative(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(graft.functions.expressions.TokenLcp(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
+  }
+
   /** Content fingerprint: md5 of the canonical form — engine-portable
     * (identical in any md5 implementation), the exact-dedup key.
     */

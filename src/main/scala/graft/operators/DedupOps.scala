@@ -1384,14 +1384,11 @@ object DedupOps {
       .withColumn("nd", lead(col("doc_id"), 1).over(win))
       .withColumn("ns", lead(col("s"), 1).over(win))
       .filter(col("nd").isNotNull)
-      // first mismatch position in the zipped pair; 0 = no mismatch
-      // (equal through the shorter side) -> LCP = min length
-      .withColumn("p0", array_position(
-        zip_with(col("s"), col("ns"),
-          (x, y) => coalesce(x === y, lit(false))), false))
-      .withColumn("lcp",
-        when(col("p0") === 0, least(size(col("s")), size(col("ns"))))
-          .otherwise(col("p0") - 1).cast("long"))
+      // fused codegen LCP loop (TokenLcp) — the zip_with/array_position
+      // HOF form is interpreted and allocates a boolean array per
+      // suffix row; ExpressionsSpec pins the two ≡ on the real corpus
+      .withColumn("lcp", graft.functions.Text
+        .tokenLcpNative(col("s"), col("ns")))
     adj.filter(col("lcp") >= minLcp)
       .groupBy(col("lcp"))
       .agg(count(lit(1)).as("n_pairs"),

@@ -183,6 +183,54 @@ class ExpressionsSpec extends SparkSpecBase {
     assert(bi === Map(0 -> "a b", 1 -> "b c"))
   }
 
+  test("tokenLcp: ≡ zip_with/array_position HOF on real adjacent suffixes; edge cases") {
+    // the q354 kernel parity: the fused loop must equal the HOF form on
+    // the exact pair population it replaced — adjacent 12-token
+    // suffixes of the real corpus
+    val maxLcp = 12
+    val sfx = graft.Tables.documents(spark, sf0001).limit(100)
+      .select(col("doc_id"), Text.tokens(col("text")).as("w"))
+      .select(col("doc_id"), posexplode(col("w")).as(Seq("pos", "t1")),
+        col("w"))
+      .select(col("doc_id"), col("pos"), col("t1"),
+        slice(col("w"), col("pos") + 1, lit(maxLcp)).as("s"))
+      .withColumn("k", concat_ws(" ", col("s")))
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("t1")).orderBy(col("k"), col("doc_id"), col("pos"))
+    val adj = sfx.withColumn("ns", lead(col("s"), 1).over(win))
+      .filter(col("ns").isNotNull)
+    val hof = {
+      val p0 = array_position(zip_with(col("s"), col("ns"),
+        (x, y) => coalesce(x === y, lit(false))), false)
+      when(p0 === 0, least(size(col("s")), size(col("ns"))))
+        .otherwise(p0 - 1).cast("long")
+    }
+    val diff = adj.select(Text.tokenLcpNative(col("s"), col("ns")).as("fast"),
+        hof.as("ref"))
+      .filter(col("fast") =!= col("ref"))
+    assert(diff.count() === 0)
+    // edges: equal arrays -> full length; prefix relation -> shorter
+    // length; null element stops the scan; empty -> 0; null array -> null
+    val tiny = Seq(
+      (1L, Seq("a", "b"), Seq("a", "b")),
+      (2L, Seq("a", "b"), Seq("a", "b", "c")),
+      (3L, Seq("a", "x"), Seq("a", "y")),
+      (4L, Seq.empty[String], Seq("a"))).toDF("id", "a", "b")
+    val out = tiny.select(col("id"),
+        Text.tokenLcpNative(col("a"), col("b")).as("l")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out === Map(1L -> 2L, 2L -> 2L, 3L -> 1L, 4L -> 0L))
+    val withNullElem = Seq((1L, Seq("a", null, "c"), Seq("a", null, "c")))
+      .toDF("id", "a", "b")
+      .select(Text.tokenLcpNative(col("a"), col("b")).as("l")).collect()
+    assert(withNullElem.head.getLong(0) === 1L,
+      "a null element is a mismatch (the coalesce(x=y,false) contract)")
+    val nullArr = Seq((1L, Seq("a"))).toDF("id", "a")
+      .select(Text.tokenLcpNative(col("a"), lit(null).cast("array<string>"))
+        .as("l")).collect()
+    assert(nullArr.head.isNullAt(0))
+  }
+
   test("q43 aggregator top-k ≡ q31 window top-k") {
     val a = graft.operators.SimilarityOps.topKViaAggregator(spark, sf0001).collect()
     val b = graft.operators.SimilarityOps.bruteForceTopK(spark, sf0001).collect()
