@@ -64,7 +64,12 @@ object ScalingBench {
       // + a first-token-partitioned sort window + an enum-sized agg —
       // the probe checks the suffix blowup stays the documented
       // constant factor, never a bend
-      "q353_keeper_matrix", "q354_suffix_lcp")
+      "q353_keeper_matrix", "q354_suffix_lcp",
+      // round-16: q356 composes q206's row-local prefix hash (one
+      // (source, prefix)-grain window) with q87's codegen span-scrub
+      // pipeline + a |sources| rollup — the probe checks the composed
+      // shape inherits q87's slope, never a bend from the join
+      "q356_boilerplate_divergence")
       .map(q => Probe(q, "documents", SparkEntry.queries(q))) ++ Seq(
       // span family: exact (oracle-gated) keys and the hashed-key 100 TB
       // variant (xxhash64 span keys on both span shuffles)
