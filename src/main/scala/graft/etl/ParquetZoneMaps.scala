@@ -77,12 +77,18 @@ object ParquetZoneMaps {
           val blocks = reader.getFooter.getBlocks
           (0 until blocks.size()).flatMap { i =>
             val b = blocks.get(i)
-            val chunk = (0 until b.getColumns.size())
+            // a file written BEFORE an add-column evolution carries no
+            // chunk for the column at all; its rows read back null
+            // under mergeSchema, and null never matches a range
+            // predicate — so the lenient mode treats the missing chunk
+            // exactly like an all-null chunk (skip), while the strict
+            // gates keep failing loudly
+            val chunkOpt = (0 until b.getColumns.size())
               .map(b.getColumns.get)
               .find(_.getPath.toDotString == column)
-              .getOrElse(throw new IllegalArgumentException(
-                s"$f rowgroup $i: no column chunk named '$column'"))
-            val st = chunk.getStatistics
+            require(chunkOpt.nonEmpty || !requireStats,
+              s"$f rowgroup $i: no column chunk named '$column'")
+            val st = chunkOpt.map(_.getStatistics).orNull
             val usable = st != null && !st.isEmpty && st.hasNonNullValue
             require(usable || !requireStats,
               s"$f rowgroup $i: column '$column' carries no min/max " +

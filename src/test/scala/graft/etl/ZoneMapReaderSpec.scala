@@ -82,6 +82,29 @@ class ZoneMapReaderSpec extends SparkSpecBase {
     assert(a === b && a.nonEmpty)
   }
 
+  test("schema-evolved table: files written before the layout column existed are skipped, not a crash") {
+    val out = Files.createTempDirectory("graft-zmr-evo").toString
+    // partition p=0 written BEFORE the column 'k' existed (no chunk at
+    // all); p=1 after — the add-column evolution shape Sinks.mergeInto
+    // leaves behind
+    spark.range(100).select(lit(0L).as("p"), col("id").as("payload"))
+      .write.partitionBy("p").parquet(s"$out/evo_t")
+    spark.range(100).select(lit(1L).as("p"), col("id").as("payload"),
+        (col("id") * 2).as("k"))
+      .write.mode("append").partitionBy("p").parquet(s"$out/evo_t")
+    val spec = Sinks.TableSpec("evo_t", Sinks.Parquet, Seq("p"))
+    val pr = ZoneMapReader.readRange(spark, spec, out, "k", 0L, 50L)
+    // old files skipped (their rows are null under mergeSchema — null
+    // never matches a range predicate), new files pruned normally
+    assert(pr.filesKept < pr.filesTotal)
+    val expect = Sinks.readTable(spark, spec, out)
+      .filter(col("k").between(0L, 50L))
+    assert(pr.df.count() === expect.count() && expect.count() === 26L)
+    // the strict gate keeps failing loudly on the missing chunk
+    intercept[Exception](ParquetZoneMaps
+      .rowGroupStats(spark, s"$out/evo_t", "k").collect())
+  }
+
   test("a window no file overlaps returns the empty frame on the full schema") {
     val out = Files.createTempDirectory("graft-zmr-empty").toString
     val spec = Sinks.TableSpec("zr_e", Sinks.Parquet,
