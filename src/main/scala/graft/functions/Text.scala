@@ -13,7 +13,19 @@ object Text {
   def normText(c: Column): Column =
     regexp_replace(lower(trim(c)), "\\s+", " ")
 
-  /** Whitespace tokens of the normalized text. */
+  /** Whitespace tokens of the normalized text.
+    *
+    * Tokenizer contract (load-bearing for q354's k-token suffix
+    * windowing): the prefix-range contiguity proof assumes no token
+    * CHARACTER sorts below space (0x20). This tokenizer only collapses
+    * `\s+`, so control characters like `` can survive inside
+    * tokens; on such a corpus the 1- vs 2-token partition keys may
+    * order suffixes differently (different adjacency, hence different
+    * q354 panels) — engine/oracle parity still holds because both
+    * sides use the same key. Corpora with embedded control characters
+    * should be span-scrubbed (q87-style) before suffix windowing; see
+    * [[graft.operators.DedupOps.suffixLcpOn]].
+    */
   def tokens(c: Column): Column = split(normText(c), " ")
 
   /** Whitespace token count. */

@@ -1332,8 +1332,14 @@ object DedupOps {
     * the truncation knob bounds the blowup); the sort/adjacency window
     * is PARTITIONED by the suffix's first `keyTokens` tokens, never
     * global. Partitioning by a k-token prefix is EXACTLY lossless for
-    * `minLcp ≥ k`: tokens contain no characters that sort below space,
-    * so the set of suffixes sharing a k-token prefix is a CONTIGUOUS
+    * `minLcp ≥ k` UNDER THE TOKENIZER CONTRACT
+    * ([[graft.functions.Text.tokens]]): no token character sorts below
+    * space (0x20) — Text.tokens only collapses `\s+`, so raw control
+    * bytes inside tokens would break prefix-range contiguity and the
+    * k=1 vs k=2 panels could differ on such a corpus (engine ≡ oracle
+    * either way — both sides use the same key; scrub control bytes
+    * q87-style upstream when in doubt). Given the contract, the set of
+    * suffixes sharing a k-token prefix is a CONTIGUOUS
     * range of the global (k, doc_id, pos) sort — within-range adjacency
     * equals global adjacency, and the only dropped pairs are the range
     * boundaries, whose LCP is < k by definition of the range. The

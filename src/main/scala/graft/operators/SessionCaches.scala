@@ -13,7 +13,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * invalidation = session end (the testdata tables are immutable inputs
   * by contract).
   */
-private[operators] object SessionCaches {
+private[graft] object SessionCaches {
 
   type Cache[K <: Product] = java.util.concurrent.ConcurrentHashMap[K, DataFrame]
 
@@ -26,9 +26,10 @@ private[operators] object SessionCaches {
     * and the 356th component's shingle riders/edge grids/codebooks tax
     * the 355 before it through GC/eviction pressure (q113_pagerank's
     * measured +1.1 s composition tax at r15). The budget is measured
-    * against the context's REAL cached bytes (`getRDDStorageInfo` —
-    * memory + disk), not plan-size estimates (which are join-product
-    * inflated without CBO), and enforced by LRU unpersist in
+    * against the REGISTRY-OWNED real cached bytes (each entry's
+    * cache-buffer RDD size from storage info — see [[storageSizes]];
+    * never plan-size estimates, which are join-product inflated
+    * without CBO), and enforced by LRU unpersist in
     * [[cached]]: when the total exceeds the budget, least-recently-USED
     * entries are unpersisted and forgotten (next access rebuilds and
     * re-persists — correctness is untouched, the entry just pays its
@@ -78,44 +79,119 @@ private[operators] object SessionCaches {
     m
   }
 
-  /** The context's real cached footprint — what the budget meters. */
-  private def cachedBytes(spark: SparkSession): Long =
+  /** Eviction telemetry (VERDICT r16 "what's missing" 4): cumulative
+    * counts the bench rides on its durable payload so cache-pressure
+    * triage ("did q340 drift because evictions forced rebuilds?") is
+    * machine-produced instead of a manual A/B. `admissions` = builds
+    * run inside [[cached]]; `evictions` = entries the budget
+    * unpersisted; `rebuilds` = admissions whose key had previously
+    * been evicted (the budget's actual composition cost — an
+    * admission that is NOT a rebuild is first-touch work any session
+    * pays once).
+    */
+  case class Telemetry(admissions: Long, evictions: Long, rebuilds: Long) {
+    def -(o: Telemetry): Telemetry = Telemetry(admissions - o.admissions,
+      evictions - o.evictions, rebuilds - o.rebuilds)
+  }
+  private val admissionCount = new java.util.concurrent.atomic.AtomicLong
+  private val evictionCount = new java.util.concurrent.atomic.AtomicLong
+  private val rebuildCount = new java.util.concurrent.atomic.AtomicLong
+  private val evictedKeys =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[EntryId]()
+  def telemetry: Telemetry =
+    Telemetry(admissionCount.get, evictionCount.get, rebuildCount.get)
+
+  /** Bytes the budget meters: storage-info sizes of REGISTRY-OWNED
+    * cache-buffer RDDs only. The context-wide `getRDDStorageInfo` sum
+    * (the r16 form) also counts localCheckpoint RDDs and other
+    * sessions' caches — residency eviction cannot remove; once that
+    * remainder alone exceeded the budget, every cached() call evicted
+    * ALL registry entries except the one returned, permanent rebuild
+    * thrash (ADVICE r16). Metering only owned bytes bounds what the
+    * registry holds and leaves foreign residency to Spark's own
+    * MemoryStore policy.
+    */
+  private def storageSizes(spark: SparkSession): Map[Int, Long] =
     spark.sparkContext.getRDDStorageInfo
-      .map(i => i.memSize + i.diskSize).sum
+      .map(i => i.id -> (i.memSize + i.diskSize)).toMap
+
+  private def entryBytes(df: DataFrame, sizes: Map[Int, Long]): Long =
+    try org.apache.spark.sql.graftbridge.CacheBridge.cachedRddId(df)
+      .flatMap(sizes.get).getOrElse(0L)
+    catch { case _: Throwable => 0L }
 
   /** Unpersist + forget least-recently-used entries until the session's
-    * cached bytes fit the budget (or only `keep` remains). `keep` — the
-    * entry the current call is about to return — is never evicted:
-    * evicting it would hand the caller a frame that silently recomputes
-    * on every read. Entries of OTHER live sessions are skipped (their
-    * bytes live in their own context). Unpersist is plan-matched, so an
-    * evicted entry that shares a deterministic plan with a survivor in
-    * another family also drops the survivor's data — a rebuild-cost
-    * hazard only, never a correctness one (the survivor's next read
-    * recomputes).
+    * REGISTRY-OWNED cached bytes fit the budget (or only `keep`
+    * remains). `keep` — the entry the current call is about to return —
+    * is never evicted: evicting it would hand the caller a frame that
+    * silently recomputes on every read. Entries of OTHER live sessions
+    * are skipped (their bytes live in their own storage entries).
+    * Unpersist is plan-matched, so an evicted entry that shares a
+    * deterministic plan with a survivor in another family also drops
+    * the survivor's data — a rebuild-cost hazard only, never a
+    * correctness one (the survivor's next read recomputes).
+    *
+    * Lock discipline (ADVICE r16): the `lru` monitor is held only for
+    * map reads/writes — the LRU-order snapshot and the
+    * validate-and-forget of the chosen victims. Byte attribution
+    * (cache-manager lookups + one storage-status snapshot) and the
+    * blocking unpersists run OUTSIDE it, so a slow unpersist can no
+    * longer serialize every concurrent cached() access in the JVM. A
+    * victim that raced (rebuilt or already forgotten between snapshot
+    * and removal) is skipped at validation, never double-unpersisted.
     */
-  private def evictOverBudget(spark: SparkSession, keep: EntryId): Unit =
-    lru.synchronized {
-      if (spark.sparkContext.isStopped) return
-      val budget = effectiveBudget
-      var total = cachedBytes(spark)
-      if (total <= budget) return
+  private def evictOverBudget(spark: SparkSession, keep: EntryId): Unit = {
+    if (spark.sparkContext.isStopped) return
+    val budget = effectiveBudget
+    // phase 1 (locked, cheap): LRU-ordered snapshot of this session's
+    // live entries
+    val snapshot: Seq[(EntryId, DataFrame)] = lru.synchronized {
+      val b = Seq.newBuilder[(EntryId, DataFrame)]
       val it = lru.entrySet.iterator
-      while (total > budget && it.hasNext) {
+      while (it.hasNext) {
         val id = it.next().getKey
-        val sameSession = id.key.productElement(0)
-          .asInstanceOf[SparkSession] eq spark
-        if (!(id == keep) && sameSession) {
+        if (id.key.productElement(0).asInstanceOf[SparkSession] eq spark) {
           val df = id.owner.asInstanceOf[Cache[Product]].get(id.key)
-          id.owner.asInstanceOf[Cache[Product]].remove(id.key)
-          it.remove()
-          if (df != null) {
-            df.unpersist(blocking = true)
-            total = cachedBytes(spark)
-          }
+          if (df != null) b += ((id, df))
         }
       }
+      b.result()
     }
+    if (snapshot.isEmpty) return
+    // phase 2 (unlocked): attribute bytes to owned entries, pick LRU
+    // victims. 0-byte entries (not yet materialized, or storage already
+    // dropped) are never victims — evicting them frees nothing and
+    // costs a rebuild.
+    val sizes = storageSizes(spark)
+    val withBytes = snapshot.map { case (id, df) =>
+      (id, df, entryBytes(df, sizes))
+    }
+    var total = withBytes.map(_._3).sum
+    if (total <= budget) return
+    val chosen = scala.collection.mutable.ArrayBuffer.empty[(EntryId, DataFrame)]
+    val it = withBytes.iterator
+    while (total > budget && it.hasNext) {
+      val (id, df, bytes) = it.next()
+      if (!(id == keep) && bytes > 0) { chosen += ((id, df)); total -= bytes }
+    }
+    // phase 3 (locked, cheap): validate each victim is STILL the frame
+    // we measured, forget it; phase 4 (unlocked): blocking unpersist
+    val confirmed = lru.synchronized {
+      chosen.filter { case (id, df) =>
+        val still = id.owner.asInstanceOf[Cache[Product]].get(id.key)
+        if (still != null && (still eq df)) {
+          id.owner.asInstanceOf[Cache[Product]].remove(id.key)
+          lru.remove(id)
+          true
+        } else false
+      }
+    }
+    confirmed.foreach { case (id, df) =>
+      try df.unpersist(blocking = true) catch { case _: Throwable => () }
+      evictedKeys.add(id)
+    }
+    evictionCount.addAndGet(confirmed.size.toLong)
+  }
 
   /** Drop entries whose session has been stopped — a module-level map
     * would otherwise strongly reference dead sessions and their plans
@@ -130,6 +206,8 @@ private[operators] object SessionCaches {
       lru.keySet.removeIf(id => id.key.productElement(0)
         .asInstanceOf[SparkSession].sparkContext.isStopped)
     }
+    evictedKeys.removeIf(id => id.key.productElement(0)
+      .asInstanceOf[SparkSession].sparkContext.isStopped)
   }
 
   /** get-then-putIfAbsent, NOT computeIfAbsent: the build functions of one
@@ -154,6 +232,8 @@ private[operators] object SessionCaches {
       if (existing != null) existing
       else {
         val v = build
+        admissionCount.incrementAndGet()
+        if (evictedKeys.remove(id)) rebuildCount.incrementAndGet()
         val prev = m.putIfAbsent(k, v)
         if (prev != null) prev else v
       }

@@ -82,6 +82,57 @@ class SessionCacheBudgetSpec extends SparkSpecBase {
     }
   }
 
+  test("non-registry storage over budget never thrashes registry entries (ADVICE r16: meter owned bytes only)") {
+    val s = spark.newSession()
+    val m = SessionCaches.newCache[(org.apache.spark.sql.SparkSession, String)]()
+    val builds = scala.collection.mutable.Map.empty[String, Int]
+    // foreign residency the registry cannot evict: a localCheckpoint RDD
+    // far over the budget (1M longs ≈ 8 MB; budget 1 MB)
+    val ckpt = s.range(1000000).toDF("id").localCheckpoint()
+    assert(ckpt.count() === 1000000L)
+    SessionCaches.budgetOverride.set(1024L * 1024)
+    try {
+      // two tiny entries: owned bytes are KBs, far under the budget —
+      // under context-wide metering (the r16 bug) the checkpoint alone
+      // would force every access to evict ALL other registry entries
+      val a = SessionCaches.cached(m, (s, "a"))(mkBuild(s, "a", 2, builds))
+      val b = SessionCaches.cached(m, (s, "b"))(mkBuild(s, "b", 3, builds))
+      (1 to 3).foreach { _ =>
+        SessionCaches.cached(m, (s, "a"))(mkBuild(s, "a", 2, builds))
+        SessionCaches.cached(m, (s, "b"))(mkBuild(s, "b", 3, builds))
+      }
+      assert(SessionCaches.entryCount(s) === 2,
+        "foreign storage must not evict registry entries")
+      assert(builds === Map("a" -> 1, "b" -> 1),
+        "no rebuild thrash under foreign residency")
+      assert(a.storageLevel !== StorageLevel.NONE)
+      assert(b.storageLevel !== StorageLevel.NONE)
+    } finally {
+      SessionCaches.budgetOverride.remove()
+      SessionCaches.clear(s)
+    }
+  }
+
+  test("telemetry counts admissions, evictions and rebuilds") {
+    val s = spark.newSession()
+    val m = SessionCaches.newCache[(org.apache.spark.sql.SparkSession, String)]()
+    val builds = scala.collection.mutable.Map.empty[String, Int]
+    SessionCaches.budgetOverride.set(1L)
+    try {
+      val t0 = SessionCaches.telemetry
+      SessionCaches.cached(m, (s, "a"))(mkBuild(s, "a", 2, builds))
+      SessionCaches.cached(m, (s, "b"))(mkBuild(s, "b", 3, builds)) // evicts a
+      SessionCaches.cached(m, (s, "a"))(mkBuild(s, "a", 2, builds)) // REBUILD of a
+      val d = SessionCaches.telemetry - t0
+      assert(d.admissions === 3, s"3 builds ran: $d")
+      assert(d.evictions >= 2, s"a then b evicted under budget 1: $d")
+      assert(d.rebuilds === 1, s"only a's second build is a rebuild: $d")
+    } finally {
+      SessionCaches.budgetOverride.remove()
+      SessionCaches.clear(s)
+    }
+  }
+
   test("eviction never touches another session's entries") {
     val s1 = spark.newSession()
     val s2 = spark.newSession()
