@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{Bucketing, CoreQueries, DedupOps, EventOps, GraphOps, IncrementalOps, KnobAdvisor, MultimodalOps, PipelineOps, RetrievalOps, SimilarityOps, TextAnalysisOps}
+import graft.operators.{Bucketing, CoreQueries, CrawlOps, DedupOps, EventOps, GraphOps, IncrementalOps, KnobAdvisor, MultimodalOps, PipelineOps, RetrievalOps, SimilarityOps, TextAnalysisOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -519,6 +519,14 @@ object SparkEntry {
       graft.dq.DqSuite.quarantineAudit(s, d)),
     "q356_boilerplate_divergence" -> ((s, d) =>
       DedupOps.boilerplateDivergence(s, d)),
+    "q357_zorder_box_read" -> ((s, d) =>
+      IncrementalOps.zorderBoxRead(s, d)),
+    "q358_host_sorted_read" -> ((s, d) =>
+      CrawlOps.hostSortedRead(s, d)),
+    "q359_host_canonicalize" -> ((s, d) =>
+      CrawlOps.hostCanonicalize(s, d)),
+    "q360_incremental_zonemap" -> ((s, d) =>
+      IncrementalOps.incrementalZoneMap(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -10,17 +10,23 @@ import org.apache.spark.sql.SparkSession
   * path — the driver-auditable proof that the whole reference pipeline
   * runs, with per-table rows/bytes/files/partitions and wall-clock.
   *
-  *   runMain graft.etl.ManifestRun [sfDir] [manifestOut]
+  *   runMain graft.etl.ManifestRun [sfDir] [manifestOut] [amplify]
+  *
+  * `amplify` (default 1) stretches the raw volume by replicating each
+  * order into that many distinct trips — `sf0.1 × 10` ≈ 1.65 M raw /
+  * 1.5 M deduped trips, the reference's real monthly-file volume
+  * (3–4 M rows at two months' worth; `Capstone/README.md:10`).
   */
 object ManifestRun {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
     val manifestOut = args.lift(1).getOrElse("ETL_RUN.json")
+    val amplify = args.lift(2).map(_.toInt).getOrElse(1)
     val spark = EtlMain.session()
     spark.sparkContext.setLogLevel("WARN")
     val base = java.nio.file.Files.createTempDirectory("graft-manifest").toString
     val data = s"$base/data"
-    SyntheticI94.raw(spark, sfDir).write.mode("overwrite")
+    SyntheticI94.raw(spark, sfDir, amplify).write.mode("overwrite")
       .parquet(s"$data/raw_2016.parquet")
     SyntheticI94.airports(spark).write.mode("overwrite")
       .option("header", "true").csv(s"$data/airports.csv")
@@ -28,7 +34,8 @@ object ManifestRun {
       .options(Map("header" -> "true", "delimiter" -> ";"))
       .csv(s"$data/demographics.csv")
     HadoopIo.writeUtf8(spark, s"$data/dict.sas", SyntheticI94.dictionary)
-    val sfLabel = sfDir.split('/').last
+    val sfLabel = sfDir.split('/').last +
+      (if (amplify > 1) s"x$amplify" else "")
     val cfg =
       s"""[PATHS]
          |base_dir = $base

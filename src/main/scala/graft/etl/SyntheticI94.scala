@@ -17,9 +17,26 @@ object SyntheticI94 {
   /** orders → pseudo-I94: every column derived from order fields; four
     * months, 10% planted exact duplicates, ~9% junk dtadfile, ~14% 'D/S'
     * dtaddto, nulls in arrdate/depdate/fltno.
+    *
+    * `amplify` replicates each order into `amplify` distinct trips
+    * (orderkey-space stretched by the factor, so cicid/admnum stay
+    * unique and the planted-duplicate rate stays exactly 10%) —
+    * the reference's REAL monthly file is 3–4 M rows
+    * (`Capstone/README.md:10`), an order of magnitude past sf0.1's
+    * 150 k orders, and the volume run (ETL_RUN_sf1.json, VERDICT r16
+    * next-round 6) must exercise the pipeline at that shape, not
+    * extrapolate it.
     */
-  def raw(spark: SparkSession, sfDir: String): DataFrame = {
-    val o = graft.Tables.orders(spark, sfDir)
+  def raw(spark: SparkSession, sfDir: String, amplify: Int = 1): DataFrame = {
+    require(amplify >= 1, s"amplify must be >= 1, got $amplify")
+    val o0 = graft.Tables.orders(spark, sfDir)
+    val o = if (amplify == 1) o0
+      else o0
+        .withColumn("_i",
+          explode(sequence(lit(0L), lit(amplify - 1L))))
+        .withColumn("o_orderkey",
+          col("o_orderkey") * amplify + col("_i"))
+        .drop("_i")
     val base = o.select(
       col("o_orderkey").cast("double").as("cicid"),
       lit(2016.0).as("i94yr"),

@@ -671,5 +671,53 @@ private[graft] object DedupOracles {
            CAST(((n_a + 1) * (n_b + 1) // (overlap + 1) - 1) * 1000000
              // t_all AS BIGINT) AS est_ratio_ppm
          FROM base ORDER BY src_a, src_b"""),
+    // q359: URL canonicalization + host-grain dedup rollup — the messy
+    // URLs are constructed deterministically from (source, doc_id) in
+    // both engines; the canonical form strips fragment/scheme/default
+    // port/www./trailing slash, lowercases the host, drops utm_*
+    // params and sorts the survivors. Docs 4m/4m+1 canonicalize
+    // together (the planted dup class); 4m+2/4m+3 stay distinct.
+    ("q359_host_canonicalize",
+      """WITH d AS (SELECT source, doc_id,
+             CASE WHEN (doc_id // 20) % 4 = 0
+                 THEN 'HTTPS://WWW.' || source ||
+                 '.EXAMPLE.COM:443/d/' || (doc_id // 40) ||
+                 '?utm_source=feed#sec2'
+               WHEN (doc_id // 20) % 4 = 1 THEN 'http://' || source ||
+                 '.example.com:80/d/' || (doc_id // 40)
+               WHEN (doc_id // 20) % 4 = 2 THEN 'https://' || source ||
+                 '.Example.Com/d/' || (doc_id // 40) || '/'
+               ELSE 'https://' || source || '.example.com/d/' ||
+                 (doc_id // 40) || '?b=2&utm_medium=m&a=1' END AS url
+           FROM documents),
+         s1 AS (SELECT *, regexp_replace(
+             regexp_replace(url, '#.*$', ''), '^[A-Za-z]+://', '')
+             AS bare FROM d),
+         s2 AS (SELECT *, regexp_extract(bare, '^([^/]*)', 1)
+               AS hostport,
+             substr(bare,
+               length(regexp_extract(bare, '^([^/]*)', 1)) + 1)
+               AS rest FROM s1),
+         s3 AS (SELECT *, regexp_replace(regexp_replace(
+               lower(hostport), '^www\.', ''), ':(80|443)$', '')
+               AS host,
+             regexp_replace(regexp_extract(rest, '^([^?]*)', 1),
+               '/$', '') AS path,
+             CASE WHEN instr(rest, '?') = 0 THEN ''
+               ELSE substr(rest, instr(rest, '?') + 1) END AS query
+           FROM s2),
+         s4 AS (SELECT *, coalesce(array_to_string(list_sort(
+             list_filter(string_split(query, '&'),
+               x -> x <> '' AND NOT starts_with(x, 'utm_'))), '&'), '')
+             AS cq FROM s3),
+         s5 AS (SELECT host, host || path ||
+             (CASE WHEN cq = '' THEN '' ELSE '?' || cq END)
+             AS canonical FROM s4)
+         SELECT host, CAST(count(*) AS BIGINT) AS n_urls,
+           CAST(count(DISTINCT canonical) AS BIGINT) AS n_canonical,
+           CAST(count(*) - count(DISTINCT canonical) AS BIGINT)
+             AS n_dup,
+           min(canonical) AS first_canonical
+         FROM s5 GROUP BY host ORDER BY host"""),
   )
 }

@@ -1236,5 +1236,113 @@ private[graft] object PipelineOracles {
                    // n_events)) END)::BIGINT
            FROM s2)
          ORDER BY knob""",
+    // q357: executed z-order box read — the engine writes lineitem
+    // Morton-ordered into block-ALIGNED z-range partitions (each is
+    // exactly one 128x128 square of the (a, b) grid, and z div 2^14
+    // is a bijection of (a//128, b//128), so the oracle replays
+    // partition membership by grouping on the square — no bit math),
+    // measures pruning from the physical footers at partition grain,
+    // and serves rows/checksums through the PRUNED reads. Divergence
+    // means the reader dropped a needed file or the layout leaked.
+    "q357_zorder_box_read" ->
+      """WITH li AS (SELECT (l_partkey * 48271) % 1024 AS a,
+             (l_suppkey * 69621) % 1024 AS b,
+             l_orderkey * 10 + l_linenumber AS payload FROM lineitem),
+         sq AS (SELECT a // 128 AS sa, b // 128 AS sb,
+             CAST(count(*) AS BIGINT) AS n_rows,
+             min(a) AS mna, max(a) AS mxa,
+             min(b) AS mnb, max(b) AS mxb
+           FROM li GROUP BY 1, 2),
+         wl(workload, loa, hia, lob, hib) AS (VALUES
+           ('box', 100, 160, 200, 260),
+           ('a_slab', 100, 160, 0, 1023),
+           ('b_slab', 0, 1023, 200, 260)),
+         scans AS (SELECT w.workload,
+             CAST(count(*) AS BIGINT) AS n_parts,
+             CAST(sum(CASE WHEN mna <= hia AND mxa >= loa
+                 AND mnb <= hib AND mxb >= lob
+               THEN 1 ELSE 0 END) AS BIGINT) AS parts_scanned,
+             CAST(sum(CASE WHEN mna <= hia AND mxa >= loa
+                 AND mnb <= hib AND mxb >= lob
+               THEN n_rows ELSE 0 END) AS BIGINT) AS rows_scanned
+           FROM wl w CROSS JOIN sq GROUP BY 1),
+         truth AS (SELECT w.workload,
+             CAST(sum(CASE WHEN a BETWEEN loa AND hia
+                 AND b BETWEEN lob AND hib
+               THEN 1 ELSE 0 END) AS BIGINT) AS rows_matching,
+             CAST(sum(CASE WHEN a BETWEEN loa AND hia
+                 AND b BETWEEN lob AND hib
+               THEN payload END) AS BIGINT) AS sum_payload
+           FROM wl w CROSS JOIN li GROUP BY 1)
+         SELECT s.workload, s.n_parts, s.parts_scanned, s.rows_scanned,
+           t.rows_matching, t.sum_payload,
+           CAST(s.parts_scanned * 1000000 // s.n_parts AS BIGINT)
+             AS scan_ppm
+         FROM scans s JOIN truth t USING (workload)
+         ORDER BY workload""",
+    // q358: host-sorted string-key pruned read — documents laid out
+    // sorted by reversed host into 50-row file_id partitions (q351's
+    // rank -> partition device); the oracle replays the layout
+    // relationally and the string hulls/windows compare bytewise in
+    // both engines (DuckDB binary collation == Spark UTF8 order).
+    "q358_host_sorted_read" ->
+      """WITH d AS (SELECT 'com.example.' || source AS rhost,
+             doc_id AS tie, n_chars FROM documents),
+         f AS MATERIALIZED (SELECT
+             ((row_number() OVER (ORDER BY rhost, tie)) - 1) // 50
+               AS part_id,
+             rhost, n_chars FROM d),
+         z AS (SELECT part_id, CAST(count(*) AS BIGINT) AS n_rows,
+             min(rhost) AS mn, max(rhost) AS mx FROM f GROUP BY 1),
+         wl(workload, lo, hi) AS (VALUES
+           ('host_point', 'com.example.src3', 'com.example.src3'),
+           ('host_prefix', 'com.example.src1', 'com.example.src1zzz'),
+           ('host_range', 'com.example.src0', 'com.example.src2zzz')),
+         scans AS (SELECT w.workload,
+             CAST(count(*) AS BIGINT) AS n_parts,
+             CAST(sum(CASE WHEN z.mn <= w.hi AND z.mx >= w.lo
+               THEN 1 ELSE 0 END) AS BIGINT) AS parts_scanned,
+             CAST(sum(CASE WHEN z.mn <= w.hi AND z.mx >= w.lo
+               THEN z.n_rows ELSE 0 END) AS BIGINT) AS rows_scanned
+           FROM wl w CROSS JOIN z GROUP BY 1),
+         truth AS (SELECT w.workload,
+             CAST(sum(CASE WHEN d.rhost BETWEEN w.lo AND w.hi
+               THEN 1 ELSE 0 END) AS BIGINT) AS rows_matching,
+             CAST(sum(CASE WHEN d.rhost BETWEEN w.lo AND w.hi
+               THEN d.n_chars END) AS BIGINT) AS sum_chars
+           FROM wl w CROSS JOIN d GROUP BY 1)
+         SELECT s.workload, s.n_parts, s.parts_scanned, s.rows_scanned,
+           t.rows_matching, t.sum_chars,
+           CAST(s.parts_scanned * 1000000 // s.n_parts AS BIGINT)
+             AS scan_ppm
+         FROM scans s JOIN truth t USING (workload)
+         ORDER BY workload""",
+    // q360: incremental zone-map maintenance — base build writes the
+    // first floor(4/5 * nFiles) rank partitions, the rest append, and
+    // ONLY the new files' footers are probed into the manifest. The
+    // oracle replays the whole layout relationally; a missed delta
+    // file, a double-probed base file, or a phase leak flips
+    // rows/hulls.
+    "q360_incremental_zonemap" ->
+      """WITH li AS (SELECT
+             datediff('day', DATE '1992-01-01',
+               CAST(l_shipdate AS DATE))::BIGINT AS ship_day,
+             l_orderkey * 10 + l_linenumber AS tie
+           FROM lineitem),
+         n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM li),
+         p AS (SELECT (((n + 3999) // 4000) * 4 // 5)::BIGINT
+             AS base_files FROM n),
+         f AS MATERIALIZED (SELECT
+             ((row_number() OVER (ORDER BY ship_day, tie)) - 1) // 4000
+               AS part_id,
+             ship_day FROM li)
+         SELECT f.part_id,
+           CASE WHEN f.part_id < p.base_files THEN 'base'
+             ELSE 'delta' END AS phase,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           min(f.ship_day) AS min_day, max(f.ship_day) AS max_day
+         FROM f CROSS JOIN p
+         GROUP BY 1, 2
+         ORDER BY 1""",
   )
 }

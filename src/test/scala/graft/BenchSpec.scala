@@ -233,4 +233,46 @@ class BenchSpec extends AnyFunSuite {
     assert(!Bench.renderLines(Map("q1" -> 1.0), Nil, "sf")
       .mkString.contains("common_set"))
   }
+
+  test("ambient_inflated stamps a uniformly-inflated run and stays absent on clean or genuinely-mixed runs") {
+    // r16's polluted headline: median common-set ratio 1.103 with zero
+    // code delta — the flag the payload must carry
+    val hot = Bench.commonDelta(
+      Map("a" -> 1.12, "b" -> 1.10, "c" -> 1.15),
+      Map("a" -> 1.0, "b" -> 1.0, "c" -> 1.0), "r16")
+    assert(Bench.ambientInflated(hot, loadExceeded = false))
+    // one real per-query regression moves SOME ratios, not the median
+    val mixed = Bench.commonDelta(
+      Map("a" -> 3.0, "b" -> 1.0, "c" -> 1.0),
+      Map("a" -> 1.0, "b" -> 1.0, "c" -> 1.0), "r16")
+    assert(!Bench.ambientInflated(mixed, loadExceeded = false))
+    // the load gate giving up poisons the run regardless of the delta
+    assert(Bench.ambientInflated(None, loadExceeded = true))
+    assert(!Bench.ambientInflated(None, loadExceeded = false))
+    val lines = Bench.renderLines(Map("q1" -> 1.0), Nil, "sf",
+      common = hot, ambient = true)
+    assert(lines.head.contains("\"ambient_inflated\":true"))
+    assert(lines(1).contains("\"ambient_inflated\":true"))
+    assert(Bench.fullLine(Map("q1" -> 1.0), Nil, "sf", ambient = true)
+      .contains("\"ambient_inflated\":true"))
+    assert(!Bench.renderLines(Map("q1" -> 1.0), Nil, "sf")
+      .mkString.contains("ambient_inflated"))
+  }
+
+  test("cache telemetry rides the payloads: compact totals on stdout, per-query rebuilds on the durable line") {
+    val cs = Bench.CacheStats(12, 5, 3,
+      Map("q340_eps" -> 2L, "q113_pr" -> 1L, "q01" -> 0L))
+    val lines = Bench.renderLines(Map("q1" -> 1.0), Nil, "sf",
+      cache = Some(cs))
+    assert(lines.head.contains(
+      "\"cache\":{\"admissions\":12,\"evictions\":5,\"rebuilds\":3}"))
+    // stdout stays bounded: the per-query map never rides it
+    assert(!lines.mkString.contains("rebuilds_by_query"))
+    val big = Bench.fullLine(Map("q1" -> 1.0), Nil, "sf",
+      cache = Some(cs))
+    // zero-rebuild queries are dropped; survivors sort by name
+    assert(big.contains("\"rebuilds_by_query\":{\"q113_pr\":1,\"q340_eps\":2}"))
+    assert(!Bench.renderLines(Map("q1" -> 1.0), Nil, "sf")
+      .mkString.contains("\"cache\""))
+  }
 }

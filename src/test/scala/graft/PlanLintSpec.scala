@@ -146,6 +146,12 @@ class PlanLintSpec extends SparkSpecBase {
     "q99_tfidf_terms")
 
   test("registry-wide: no scale-killer plan shapes outside the documented allowlists") {
+    // cold-cache the lint: a registry frame session-cached by an EARLIER
+    // suite in the same JVM (QueriesSpec/PlanSpec execute queries)
+    // appears as an InMemoryTableScan and swallows the subtree whose
+    // shape this walks — q194's sanctioned BNLJ then looks "gone" and
+    // the stale-allowlist assert fires on suite ORDER, not on code
+    graft.operators.SessionCaches.clear(spark)
     val violations = Seq.newBuilder[String]
     val usedWin = Set.newBuilder[String]
     val usedBnlj = Set.newBuilder[String]

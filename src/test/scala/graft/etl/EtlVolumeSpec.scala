@@ -54,4 +54,27 @@ class EtlVolumeSpec extends SparkSpecBase {
       Seq("custom_client_id", "admissions_number"))
     assert(rep.passed)
   }
+
+  test("amplified volume (x10, ~150k raw): row conservation holds — trips = amplify * base distinct, dup rate stays 10%") {
+    val out = Files.createTempDirectory("graft-etl-vol10").toString
+    val amp = SyntheticI94.raw(spark, "/root/testdata/sf0.01", amplify = 10)
+    val raw = spark.createDataFrame(amp.rdd, Schemas.rawI94)
+    val nRaw = raw.count()
+    val baseDistinct = syntheticRaw.dropDuplicates().count()
+    // amplification stretches the orderkey space bijectively: every
+    // amplified copy is a DISTINCT trip and the planted 10% duplicate
+    // rate is unchanged, so conservation is exact, not approximate
+    val nDistinct = raw.dropDuplicates().count()
+    assert(nDistinct === baseDistinct * 10,
+      s"amplified distinct $nDistinct != 10 * base $baseDistinct")
+    assert(nRaw === (nDistinct * 11) / 10,
+      s"planted dup rate drifted: raw $nRaw vs distinct $nDistinct")
+    val res = EtlPipeline.runAll(spark, Seq(raw),
+      Fixtures.airports(spark), Fixtures.demographics(spark),
+      Fixtures.dictionary, out)
+    assert(res.rowCounts("i94_trips") === nDistinct)
+    assert(res.rowCounts("i94_immigrations") === nDistinct)
+    // the written table conserves rows through the partitioned sink
+    assert(spark.read.parquet(s"$out/i94_trips").count() === nDistinct)
+  }
 }
