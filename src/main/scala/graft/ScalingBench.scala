@@ -69,7 +69,15 @@ object ScalingBench {
       // (source, prefix)-grain window) with q87's codegen span-scrub
       // pipeline + a |sources| rollup — the probe checks the composed
       // shape inherits q87's slope, never a bend from the join
-      "q356_boilerplate_divergence")
+      "q356_boilerplate_divergence",
+      // round-17 crawl layer: q359 is all row-local string expressions
+      // + one host-grain (value-domain) rollup — the flattest shape in
+      // the registry, the probe pins it; q358 is one sample-ranged
+      // rank + a layout write + ONE O(files) footer metadata job +
+      // three pruned reads — linear in rows with metadata-scale file
+      // work (the probe checks the footer job never degrades to a
+      // per-row cost as files multiply)
+      "q359_host_canonicalize", "q358_host_sorted_read")
       .map(q => Probe(q, "documents", SparkEntry.queries(q))) ++ Seq(
       // span family: exact (oracle-gated) keys and the hashed-key 100 TB
       // variant (xxhash64 span keys on both span shuffles)

@@ -201,9 +201,16 @@ object ParquetZoneMaps {
     * the writer, so footer bounds always enclose the true values.
     */
   def rowGroupStatsBinary(spark: SparkSession, path: String,
-      column: String): Dataset[BinZoneRow] = {
+      column: String): Dataset[BinZoneRow] =
+    rowGroupStatsBinaryForFiles(spark, listDataFiles(spark, path), column)
+
+  /** [[rowGroupStatsBinary]] over an explicit file list — lets a
+    * multi-window reader ([[ZoneMapReader]] table handles) pay the
+    * directory listing once. */
+  def rowGroupStatsBinaryForFiles(spark: SparkSession,
+      files: Seq[String], column: String): Dataset[BinZoneRow] = {
     import spark.implicits._
-    footerWalk[BinZoneRow](spark, path) { (f, i, b) =>
+    footerWalkFiles[BinZoneRow](spark, files) { (f, i, b) =>
       classifyChunk(b, column, f, i, requireStats = false,
           wantBinary = true) match {
         case ChunkBinRange(mn, mx) => Some(BinZoneRow(f, i, b.getRowCount, mn, mx, exact = true))
@@ -242,9 +249,15 @@ object ParquetZoneMaps {
     * no row of which can match ANY predicate on that column.
     */
   def rowGroupStats2(spark: SparkSession, path: String,
+      colA: String, colB: String): Dataset[ZoneMapRow2] =
+    rowGroupStats2ForFiles(spark, listDataFiles(spark, path), colA, colB)
+
+  /** [[rowGroupStats2]] over an explicit file list (one listing per
+    * table handle, not per window). */
+  def rowGroupStats2ForFiles(spark: SparkSession, files: Seq[String],
       colA: String, colB: String): Dataset[ZoneMapRow2] = {
     import spark.implicits._
-    footerWalk[ZoneMapRow2](spark, path) { (f, i, b) =>
+    footerWalkFiles[ZoneMapRow2](spark, files) { (f, i, b) =>
       def leg(c: String): (Boolean, Long, Long) =
         classifyChunk(b, c, f, i, requireStats = false,
             wantBinary = false) match {

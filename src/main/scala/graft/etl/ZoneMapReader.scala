@@ -1,6 +1,6 @@
 package graft.etl
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -28,6 +28,14 @@ import org.apache.spark.sql.types._
   * crawl layouts, honoring parquet's truncation semantics), and
   * [[readBox]] (2-D z-ordered layouts — BOTH columns' footer intervals
   * prune, chunk-grain conjunction).
+  *
+  * Serving SEVERAL windows over one table goes through [[open]]: the
+  * handle pays the directory listing, the full-schema resolution, and
+  * each column's footer walk ONCE and memoizes them, so a 3-window
+  * query runs one metadata job, not three (r17: q358's per-window
+  * re-walks made it the slowest query in the registry; on a 100k-file
+  * production table, per-window re-listing is the difference between
+  * a metadata job and a metadata storm).
   */
 object ZoneMapReader {
 
@@ -36,6 +44,53 @@ object ZoneMapReader {
     * own `numFiles` metric == the relational zone-map prediction).
     */
   case class PrunedRead(df: DataFrame, filesKept: Int, filesTotal: Int)
+
+  /** Memoizing per-table metadata handle — see [[open]]. NOT
+    * thread-safe (a handle serves one query's windows); holds
+    * driver-side stats arrays, O(rowgroups) each, the same order as
+    * the file listing every read already pays.
+    */
+  final class TableHandle private[ZoneMapReader] (
+      val spark: SparkSession, val spec: Sinks.TableSpec,
+      val outputDir: String) {
+    require(spec.format == Sinks.Parquet,
+      s"${spec.name}: zone-map pruning needs parquet footers")
+    val path: String = s"$outputDir/${spec.name}"
+    /** Listed once per handle. */
+    lazy val files: IndexedSeq[String] =
+      ParquetZoneMaps.listDataFiles(spark, path).toIndexedSeq
+    /** Full (mergeSchema-union) table schema, resolved once. */
+    lazy val schema: StructType =
+      Sinks.readTable(spark, spec, outputDir).schema
+
+    private val longStats =
+      scala.collection.mutable.Map.empty[String, Array[ZoneMapRow]]
+    private val binStats =
+      scala.collection.mutable.Map.empty[String, Array[BinZoneRow]]
+    private val pairStats = scala.collection.mutable
+      .Map.empty[(String, String), Array[ZoneMapRow2]]
+
+    /** Row-group integer zone maps of `column`, one footer walk per
+      * column per handle (lenient mode — see [[ParquetZoneMaps]]). */
+    def statsLong(column: String): Array[ZoneMapRow] =
+      longStats.getOrElseUpdate(column, ParquetZoneMaps
+        .rowGroupStatsForFiles(spark, files, column).collect())
+
+    /** Row-group BINARY/UTF8 zone maps of `column` (raw footer bytes). */
+    def statsBinary(column: String): Array[BinZoneRow] =
+      binStats.getOrElseUpdate(column, ParquetZoneMaps
+        .rowGroupStatsBinaryForFiles(spark, files, column).collect())
+
+    /** Two columns' zone maps from ONE footer walk. */
+    def statsPair(colA: String, colB: String): Array[ZoneMapRow2] =
+      pairStats.getOrElseUpdate((colA, colB), ParquetZoneMaps
+        .rowGroupStats2ForFiles(spark, files, colA, colB).collect())
+  }
+
+  /** Open a table for (possibly several) zone-map-pruned window reads. */
+  def open(spark: SparkSession, spec: Sinks.TableSpec,
+      outputDir: String): TableHandle =
+    new TableHandle(spark, spec, outputDir)
 
   /** File-grain zone maps of `column`: (file, n_rows, min_v, max_v),
     * the aggregate of the row-group stats (a partition value's rows may
@@ -57,14 +112,12 @@ object ZoneMapReader {
     * nulls where a file lacks a column. Empty kept list → empty frame
     * on the same schema.
     */
-  private def readKept(spark: SparkSession, spec: Sinks.TableSpec,
-      outputDir: String, kept: Seq[String]): DataFrame = {
-    val path = s"$outputDir/${spec.name}"
-    val full = Sinks.readTable(spark, spec, outputDir)
-    if (kept.isEmpty) full.filter(lit(false))
-    else spark.read.schema(full.schema).option("basePath", path)
+  private def readKept(h: TableHandle, kept: Seq[String]): DataFrame =
+    if (kept.isEmpty)
+      h.spark.createDataFrame(
+        java.util.Collections.emptyList[Row](), h.schema)
+    else h.spark.read.schema(h.schema).option("basePath", h.path)
       .parquet(kept: _*)
-  }
 
   /** The residual range filter in the column's physical integer domain
     * (zone maps prune a SUPERSET — a kept file can hold non-matching
@@ -85,26 +138,27 @@ object ZoneMapReader {
           "integer and date layout keys (strings via readRangeStr)")
     }
 
-  /** Read `spec`'s table restricted to `statsCol BETWEEN lo AND hi`
-    * (lo/hi in the column's PHYSICAL integer domain — epoch days for
-    * DATE columns), with the file list pre-pruned by the footer zone
-    * maps. Hive partition columns survive via `basePath`; the range
-    * filter is still applied to the kept rows. A window no file
-    * overlaps returns the empty frame on the table's full schema.
+  /** Read the table restricted to `statsCol BETWEEN lo AND hi` (lo/hi
+    * in the column's PHYSICAL integer domain — epoch days for DATE
+    * columns), with the file list pre-pruned by the footer zone maps.
+    * Hive partition columns survive via `basePath`; the range filter
+    * is still applied to the kept rows. A window no file overlaps
+    * returns the empty frame on the table's full schema.
     */
-  def readRange(spark: SparkSession, spec: Sinks.TableSpec,
-      outputDir: String, statsCol: String, lo: Long, hi: Long): PrunedRead = {
-    require(spec.format == Sinks.Parquet,
-      s"${spec.name}: zone-map pruning needs parquet footers")
-    val path = s"$outputDir/${spec.name}"
-    val total = ParquetZoneMaps.listDataFiles(spark, path).size
-    val kept = fileStats(spark, path, statsCol)
-      .filter(col("min_v") <= hi && col("max_v") >= lo)
-      .select(col("file")).collect().map(_.getString(0)).sorted.toIndexedSeq
-    val df = readKept(spark, spec, outputDir, kept)
-    PrunedRead(df.filter(boundCol(df, statsCol, lo, hi, spec.name)),
-      kept.length, total)
+  def readRange(h: TableHandle, statsCol: String, lo: Long,
+      hi: Long): PrunedRead = {
+    val kept = h.statsLong(statsCol)
+      .filter(r => r.min_v <= hi && r.max_v >= lo)
+      .map(_.file).distinct.sorted.toIndexedSeq
+    val df = readKept(h, kept)
+    PrunedRead(df.filter(boundCol(df, statsCol, lo, hi, h.spec.name)),
+      kept.length, h.files.size)
   }
+
+  /** One-shot [[readRange]] (opens a throwaway handle). */
+  def readRange(spark: SparkSession, spec: Sinks.TableSpec,
+      outputDir: String, statsCol: String, lo: Long, hi: Long): PrunedRead =
+    readRange(open(spark, spec, outputDir), statsCol, lo, hi)
 
   /** Unsigned lexicographic byte order — parquet's UTF8 sort order for
     * BINARY statistics and byte-identical to Spark's UTF8String
@@ -121,29 +175,29 @@ object ZoneMapReader {
     * (truncated statistics stay valid bounds — parquet truncates min
     * DOWN and rounds max UP), stats-absent chunks unconditionally.
     */
-  def readRangeStr(spark: SparkSession, spec: Sinks.TableSpec,
-      outputDir: String, statsCol: String, lo: String, hi: String)
-      : PrunedRead = {
-    require(spec.format == Sinks.Parquet,
-      s"${spec.name}: zone-map pruning needs parquet footers")
-    val path = s"$outputDir/${spec.name}"
-    val total = ParquetZoneMaps.listDataFiles(spark, path).size
+  def readRangeStr(h: TableHandle, statsCol: String, lo: String,
+      hi: String): PrunedRead = {
     val loB = lo.getBytes(java.nio.charset.StandardCharsets.UTF_8)
     val hiB = hi.getBytes(java.nio.charset.StandardCharsets.UTF_8)
     // chunk-grain decision collected at file grain: O(rowgroups) driver
     // rows — same order as the file listing every read pays
-    val kept = ParquetZoneMaps.rowGroupStatsBinary(spark, path, statsCol)
-      .collect()
+    val kept = h.statsBinary(statsCol)
       .filter(r => !r.exact ||
         (cmpU(r.min_b, hiB) <= 0 && cmpU(r.max_b, loB) >= 0))
       .map(_.file).distinct.sorted.toIndexedSeq
-    val df = readKept(spark, spec, outputDir, kept)
+    val df = readKept(h, kept)
     require(df.schema(statsCol).dataType == StringType,
-      s"${spec.name}.$statsCol is ${df.schema(statsCol).dataType} — " +
+      s"${h.spec.name}.$statsCol is ${df.schema(statsCol).dataType} — " +
         "readRangeStr needs a string layout key")
     PrunedRead(df.filter(col(statsCol).between(lit(lo), lit(hi))),
-      kept.length, total)
+      kept.length, h.files.size)
   }
+
+  /** One-shot [[readRangeStr]]. */
+  def readRangeStr(spark: SparkSession, spec: Sinks.TableSpec,
+      outputDir: String, statsCol: String, lo: String, hi: String)
+      : PrunedRead =
+    readRangeStr(open(spark, spec, outputDir), statsCol, lo, hi)
 
   /** 2-predicate box read over a z-ordered layout (VERDICT r16 item 1
     * — the executed form of q143's interval-intersection simulation):
@@ -155,24 +209,25 @@ object ZoneMapReader {
     * (a, b) key space, so a selective predicate on EITHER column — or
     * both — prunes most files; a 1-D sort layout can only prune on its
     * sort column. One footer pass reads both columns' statistics
-    * ([[ParquetZoneMaps.rowGroupStats2]]).
+    * ([[ParquetZoneMaps.rowGroupStats2]]), shared across a handle's
+    * windows.
     */
+  def readBox(h: TableHandle, colA: String, loA: Long, hiA: Long,
+      colB: String, loB: Long, hiB: Long): PrunedRead = {
+    val kept = h.statsPair(colA, colB)
+      .filter(r => r.a_ok && r.b_ok &&
+        r.min_a <= hiA && r.max_a >= loA &&
+        r.min_b <= hiB && r.max_b >= loB)
+      .map(_.file).distinct.sorted.toIndexedSeq
+    val df = readKept(h, kept)
+    PrunedRead(df.filter(boundCol(df, colA, loA, hiA, h.spec.name) &&
+        boundCol(df, colB, loB, hiB, h.spec.name)),
+      kept.length, h.files.size)
+  }
+
+  /** One-shot [[readBox]]. */
   def readBox(spark: SparkSession, spec: Sinks.TableSpec,
       outputDir: String, colA: String, loA: Long, hiA: Long,
-      colB: String, loB: Long, hiB: Long): PrunedRead = {
-    require(spec.format == Sinks.Parquet,
-      s"${spec.name}: zone-map pruning needs parquet footers")
-    val path = s"$outputDir/${spec.name}"
-    val total = ParquetZoneMaps.listDataFiles(spark, path).size
-    val kept = ParquetZoneMaps.rowGroupStats2(spark, path, colA, colB)
-      .filter(col("a_ok") && col("b_ok") &&
-        col("min_a") <= hiA && col("max_a") >= loA &&
-        col("min_b") <= hiB && col("max_b") >= loB)
-      .select(col("file")).distinct()
-      .collect().map(_.getString(0)).sorted.toIndexedSeq
-    val df = readKept(spark, spec, outputDir, kept)
-    PrunedRead(df.filter(boundCol(df, colA, loA, hiA, spec.name) &&
-        boundCol(df, colB, loB, hiB, spec.name)),
-      kept.length, total)
-  }
+      colB: String, loB: Long, hiB: Long): PrunedRead =
+    readBox(open(spark, spec, outputDir), colA, loA, hiA, colB, loB, hiB)
 }

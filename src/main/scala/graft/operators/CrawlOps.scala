@@ -18,7 +18,7 @@ object CrawlOps {
     * missing" 2): documents are laid out sorted by REVERSED host
     * (`com.example.src7` — the classic crawl layout, clustering a
     * site's pages and its subdomains contiguously) into explicit
-    * 50-row `file_id` partitions (q351's rank→partition device, so
+    * 150-row `file_id` partitions (q351's rank→partition device, so
     * the oracle can replay the layout relationally), and three
     * workloads — a point host, a host prefix, a host range — are
     * served through [[graft.etl.ZoneMapReader.readRangeStr]], the
@@ -38,7 +38,7 @@ object CrawlOps {
     * corpus.
     */
   def hostSortedRead(spark: SparkSession, dir: String,
-      rowsPerFile: Long = 50L): DataFrame = {
+      rowsPerFile: Long = 150L): DataFrame = {
     val docs = Tables.documents(spark, dir)
       .select(concat(lit("com.example."), col("source")).as("rhost"),
         col("doc_id").as("tie"), col("n_chars"))
@@ -52,12 +52,15 @@ object CrawlOps {
         sortCols = Seq("rhost"))
       graft.etl.Sinks.write(assigned.repartition(32, col("file_id")),
         spec, out)
-      val path = s"$out/host_probe"
-      // one footer pass; partition-grain string hulls (raw UTF8 bytes
-      // decoded — both orders are unsigned-lexicographic, so the hull
-      // comparison below is exactly the footer test readRangeStr runs)
-      val hulls = graft.etl.ParquetZoneMaps
-        .rowGroupStatsBinary(spark, path, "rhost").toDF()
+      // ONE metadata handle for all three windows: listing, schema and
+      // the binary footer walk are paid once and shared (r17: the
+      // per-window re-walks made q358 the slowest registry query)
+      val handle = graft.etl.ZoneMapReader.open(spark, spec, out)
+      // partition-grain string hulls (raw UTF8 bytes decoded — both
+      // orders are unsigned-lexicographic, so the hull comparison
+      // below is exactly the footer test readRangeStr runs)
+      val hulls = spark.createDataFrame(
+          handle.statsBinary("rhost").toIndexedSeq)
         .withColumn("part", regexp_extract(col("file"),
           "file_id=(\\d+)", 1).cast("long"))
         .groupBy(col("part"))
@@ -83,7 +86,7 @@ object CrawlOps {
           sum(when(hit, col("n_rows")).otherwise(0L)).as("rows_scanned"))
       val matches = wls.map { case (w, lo, hi) =>
         graft.etl.ZoneMapReader
-          .readRangeStr(spark, spec, out, "rhost", lo, hi).df
+          .readRangeStr(handle, "rhost", lo, hi).df
           .agg(count(lit(1)).as("rows_matching"),
             sum(col("n_chars")).as("sum_chars"))
           .select(lit(w).as("workload"), col("rows_matching"),

@@ -945,11 +945,14 @@ object IncrementalOps {
           .withColumn("zrange", expr("z div 16384")).drop("z")
           .repartition(col("zrange")),
         spec, out)
-      val path = s"$out/zbox_probe"
-      // one footer pass, partition-grain hulls (zrange parsed from the
-      // hive dir — the writer's own partitioning expression)
-      val hulls = graft.etl.ParquetZoneMaps
-        .rowGroupStats2(spark, path, "a", "b").toDF()
+      // ONE metadata handle for all three windows: the listing, the
+      // schema resolution, and the 2-column footer walk run once and
+      // are shared (r17: per-window re-walks tripled the metadata work)
+      val handle = graft.etl.ZoneMapReader.open(spark, spec, out)
+      // partition-grain hulls from the handle's stats (zrange parsed
+      // from the hive dir — the writer's own partitioning expression)
+      val hulls = spark.createDataFrame(
+          handle.statsPair("a", "b").toIndexedSeq)
         .withColumn("part", regexp_extract(col("file"),
           "zrange=(\\d+)", 1).cast("long"))
         .groupBy(col("part"))
@@ -978,7 +981,7 @@ object IncrementalOps {
       // ZoneMapReader actually planned over the kept file list
       val matches = wls.map { case (w, la, ha, lb, hb) =>
         graft.etl.ZoneMapReader
-          .readBox(spark, spec, out, "a", la, ha, "b", lb, hb).df
+          .readBox(handle, "a", la, ha, "b", lb, hb).df
           .agg(count(lit(1)).as("rows_matching"),
             sum(col("payload")).as("sum_payload"))
           .select(lit(w).as("workload"), col("rows_matching"),

@@ -1281,7 +1281,7 @@ private[graft] object PipelineOracles {
          FROM scans s JOIN truth t USING (workload)
          ORDER BY workload""",
     // q358: host-sorted string-key pruned read — documents laid out
-    // sorted by reversed host into 50-row file_id partitions (q351's
+    // sorted by reversed host into 150-row file_id partitions (q351's
     // rank -> partition device); the oracle replays the layout
     // relationally and the string hulls/windows compare bytewise in
     // both engines (DuckDB binary collation == Spark UTF8 order).
@@ -1289,7 +1289,7 @@ private[graft] object PipelineOracles {
       """WITH d AS (SELECT 'com.example.' || source AS rhost,
              doc_id AS tie, n_chars FROM documents),
          f AS MATERIALIZED (SELECT
-             ((row_number() OVER (ORDER BY rhost, tie)) - 1) // 50
+             ((row_number() OVER (ORDER BY rhost, tie)) - 1) // 150
                AS part_id,
              rhost, n_chars FROM d),
          z AS (SELECT part_id, CAST(count(*) AS BIGINT) AS n_rows,
