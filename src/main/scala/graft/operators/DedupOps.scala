@@ -298,7 +298,11 @@ object DedupOps {
       .select(col("doc_id"), col("bb.band"), col("bb.bucket"))
     // hot-bucket guard: one window pass on the same (band, bucket) shuffle
     // key the self-join uses anyway; the cap is a broadcast 1-row frame
-    // (BNLJ against a single row — same pinned shape as the df cap)
+    // (BNLJ against a single row — same pinned shape as the df cap).
+    // NOT materialized: the round-17 A/B measured a lazy checkpoint
+    // here SLOWER (q29 1.02 → 1.46 s) — AQE exchange reuse already
+    // shares the one (band, bucket) exchange between both self-join
+    // sides, so the checkpoint only added a materialization barrier.
     val bounded = banded
       .withColumn("pop", count(lit(1)).over(Window.partitionBy(col("band"), col("bucket"))))
       .join(broadcast(capDf), col("pop") <= col("cap"))
@@ -391,11 +395,16 @@ object DedupOps {
       (0 to 3).map(i => struct(lit(i).as("chunk_no"),
         shiftright(col("sh"), 16 * i).bitwiseAND(lit(0xFFFFL)).as("chunk"))): _*)).as("c"))
       .select(col("doc_id"), col("sh"), col("c.chunk_no"), col("c.chunk"))
-    // hot-chunk guard, mirroring the band-bucket cap
+    // hot-chunk guard, mirroring the band-bucket cap. Materialized (lazy
+    // checkpoint) for the same reason as the minhash band relation: the
+    // self-join reads it twice, and each un-materialized read re-runs
+    // the full 64-bit signature aggregation over the token rows. Rows
+    // are (doc_id, sh, chunk_no, chunk) — metadata-scale.
     val bounded = chunks
       .withColumn("pop", count(lit(1)).over(Window.partitionBy(col("chunk_no"), col("chunk"))))
       .join(broadcast(capFrame(docs, bucketCap)), col("pop") <= col("cap"))
       .drop("pop", "cap")
+      .localCheckpoint(eager = false)
     val l = bounded.alias("l")
     val r = bounded.alias("r")
     l.join(r, col("l.chunk_no") === col("r.chunk_no") &&
@@ -418,8 +427,11 @@ object DedupOps {
     */
   def simhashRecallGate(spark: SparkSession, dir: String,
       minRecall: Double = 0.5): DataFrame = {
-    val exact = ngramJaccardPairs(spark, dir)
-    val found = simhashNearDup(spark, dir)
+    // both pair relations feed TWO consumers (their count + the subset
+    // anti-join); materialized so each near-dup pipeline runs once per
+    // action, not twice — pair lists are metadata-scale
+    val exact = ngramJaccardPairs(spark, dir).localCheckpoint(eager = false)
+    val found = simhashNearDup(spark, dir).localCheckpoint(eager = false)
     val nExact = exact.agg(count(lit(1)).as("n_exact_pairs"))
     val nFound = found.agg(count(lit(1)).as("n_found"))
     val nExtra = found.join(exact, Seq("id_a", "id_b", "jaccard"), "left_anti")
@@ -867,15 +879,29 @@ object DedupOps {
     val ranked = sh.join(dfreq, "h")
       .withColumn("rk", row_number().over(wDoc))
       .withColumn("n", count(lit(1)).over(Window.partitionBy(col("doc_id"))))
+    // pref feeds both self-join sides — materialize so the df join +
+    // rank/size windows run once per action (rows are the rare-first
+    // prefixes: metadata-scale)
     val pref = ranked
       .filter(col("rk") <= col("n") - expr(s"($p * n + ${q - 1}) div $q") + 1)
       .select(col("doc_id"), col("h"))
+      .localCheckpoint(eager = false)
     val cand = pref.as("a").join(pref.as("b"),
         col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
       .distinct()
-    val sets = sh.groupBy(col("doc_id"))
+      .localCheckpoint(eager = false)
+    // verification arrays only exist for docs that appear in a
+    // candidate pair: semi-join first (a superset of each side's need —
+    // join results unchanged), then materialize ONE candidate-bounded
+    // relation instead of running the corpus-wide collect_set shuffle
+    // once per side
+    val candIds = cand.select(col("id_a").as("doc_id"))
+      .unionByName(cand.select(col("id_b").as("doc_id"))).distinct()
+    val sets = sh.join(candIds, Seq("doc_id"), "left_semi")
+      .groupBy(col("doc_id"))
       .agg(sort_array(collect_set(col("h"))).as("s"), count(lit(1)).as("n"))
+      .localCheckpoint(eager = false)
     val sa = sets.select(col("doc_id").as("id_a"), col("s").as("sa"),
       col("n").as("na"))
     val sb = sets.select(col("doc_id").as("id_b"), col("s").as("sb"),
@@ -986,10 +1012,24 @@ object DedupOps {
     * integers; one division + 4dp round per pair.
     */
   def weightedJaccard(spark: SparkSession, dir: String): DataFrame = {
+    // the candidate pair list feeds both rescoring sides — materialize
+    // it so the whole q121 prefix-join pipeline runs once per action
     val pairs = prefixJaccardJoin(spark, dir).select(col("id_a"), col("id_b"))
+      .localCheckpoint(eager = false)
+    // token counts were evaluated once PER SIDE (two full tokenize +
+    // aggregate corpus passes) with the candidate restriction applied
+    // only by the later join; restrict to candidate doc ids first
+    // (left_semi — a superset of each side's need, so join results are
+    // unchanged) and materialize the candidate-bounded relation: one
+    // corpus pass, and the checkpointed rows are pair-bounded, never
+    // corpus-bounded
+    val candIds = pairs.select(col("id_a").as("doc_id"))
+      .unionByName(pairs.select(col("id_b").as("doc_id"))).distinct()
     val counts = Tables.documents(spark, dir)
+      .join(candIds, Seq("doc_id"), "left_semi")
       .select(col("doc_id"), explode(Text.tokens(col("text"))).as("tok"))
       .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("c"))
+      .localCheckpoint(eager = false)
     val ca = counts.select(col("doc_id").as("id_a"), col("tok"),
       col("c").as("ca"))
     val cb = counts.select(col("doc_id").as("id_b"), col("tok"),
@@ -1577,25 +1617,35 @@ object DedupOps {
     */
   private[graft] def greedyCoverageOn(post: DataFrame,
       k: Int): DataFrame = {
-    val spark0 = post.sparkSession
-    var covered = spark0.range(0).select(col("id").as("tok"))
-    var selected = spark0.range(0).select(col("id").as("doc_id"))
+    // Shrinking-RESIDUAL formulation (round-17 optimization). The
+    // former loop kept `selected`/`covered` accumulators and re-derived
+    // each round's gains as post ⟕̸ selected ⟕̸ covered — the covered
+    // anti-join SHUFFLES the full postings relation against a GROWING
+    // token list every round (k shuffles of corpus-scale rows by the
+    // last round). Equivalent by induction: residual_r ≡ post minus
+    // selected docs' rows minus covered tokens, so each round's gain
+    // aggregate is unchanged (same counts, same (gain DESC, doc_id)
+    // tie-break). The residual update removes ONE doc's rows and ONE
+    // doc's residual tokens — both broadcast-sized at any corpus scale
+    // — so the per-round anti-joins are map-side, never a shuffle, and
+    // the relation the next round aggregates only shrinks.
+    var residual = post
     val picks = Seq.newBuilder[DataFrame]
     for (r <- 1 to k) {
-      val pick = post
-        .join(selected, Seq("doc_id"), "left_anti")
-        .join(covered, Seq("tok"), "left_anti")
+      val pick = residual
         .groupBy(col("doc_id")).agg(count(lit(1)).as("gain"))
         .orderBy(col("gain").desc, col("doc_id")).limit(1)
         .select(lit(r).as("round"), col("doc_id"), col("gain"))
         .localCheckpoint()
       picks += pick
-      selected = selected
-        .unionByName(pick.select(col("doc_id"))).localCheckpoint()
-      covered = covered.unionByName(
-        post.join(pick.select(col("doc_id")), Seq("doc_id"), "left_semi")
-          .join(covered, Seq("tok"), "left_anti")
-          .select(col("tok"))).localCheckpoint()
+      val newCovered = residual
+        .join(pick.select(col("doc_id")), Seq("doc_id"), "left_semi")
+        .select(col("tok"))
+      residual = residual
+        .join(broadcast(pick.select(col("doc_id"))), Seq("doc_id"),
+          "left_anti")
+        .join(broadcast(newCovered), Seq("tok"), "left_anti")
+        .localCheckpoint()
     }
     // cumulative coverage over the ≤k-row trace (bounded by
     // construction — the constant-grid window class)

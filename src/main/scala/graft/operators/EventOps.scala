@@ -239,7 +239,13 @@ object EventOps {
   private[graft] def itemCooccurrenceOn(ev: DataFrame, k: Int = 25,
       minSupport: Int = 5,
       userItemCap: Int = DefaultUserItemCap): DataFrame = {
-    val ui = cappedUserItems(ev, userItemCap)
+    // the capped (user, item) grid feeds FOUR consumers (both self-join
+    // sides, the marginals, the user count); un-materialized, each one
+    // re-runs the full events scan + JSON parse + grid aggregation +
+    // cap window — 4 corpus passes for one query. Materialize the grid
+    // once (lazy checkpoint): it is the small decision relation, never
+    // the event payload.
+    val ui = cappedUserItems(ev, userItemCap).localCheckpoint(eager = false)
     val pairs = ui.as("a")
       .join(ui.as("b"), col("a.user_id") === col("b.user_id") &&
         col("a.item") < col("b.item"))

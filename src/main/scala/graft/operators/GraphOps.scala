@@ -138,7 +138,13 @@ object GraphOps {
     // init: U/N each; teleport term: (15·(U/N)) div 100, both floor
     val init = nNodes.select(col("item"), col("n_nodes"),
       expr(s"CAST($Unit9 div n_nodes AS BIGINT)").as("r"))
-    val ranks = (1 to iters).foldLeft(init) { (r, _) =>
+    val ranks = (1 to iters).foldLeft(init) { (r0, _) =>
+      // each round reads the previous rank frame TWICE (contribution
+      // join + teleport spine); lazy checkpoint makes that one
+      // evaluation and cuts the per-round lineage (the q331/q336
+      // iteration shape — without it the 3-round plan nests 2^iters
+      // copies of the init subtree)
+      val r = r0.localCheckpoint(eager = false)
       val contrib = edgesD
         .join(r.select(col("item").as("src"), col("r")), Seq("src"))
         .groupBy(col("dst"))
@@ -692,10 +698,16 @@ object GraphOps {
     // rescale raw before the * 1e6 step.
     val Unit6 = 1000000L
     // normalize a raw score frame to ppm of its max (floor division —
-    // exact, order-independent; max ≥ 1 because raw sums ≥ 1 ppm unit)
-    def normed(raw: DataFrame, key: String, out: String): DataFrame =
+    // exact, order-independent; max ≥ 1 because raw sums ≥ 1 ppm unit).
+    // raw feeds two consumers (the max aggregate and the scored rows):
+    // materialize it once per half-round or the edge join + aggregation
+    // behind it runs twice (round-17 A/B: 12 → 6 edge-join evaluations
+    // across the 3 rounds)
+    def normed(raw0: DataFrame, key: String, out: String): DataFrame = {
+      val raw = raw0.localCheckpoint(eager = false)
       raw.crossJoin(broadcast(raw.agg(max(col("raw")).as("mx"))))
         .select(col(key), expr(s"raw * ${Unit6}L div mx").as(out))
+    }
     var hub = edges.select(col("cust")).distinct()
       .withColumn("hub", lit(Unit6)).localCheckpoint()
     var auth: DataFrame = null
@@ -756,10 +768,17 @@ object GraphOps {
       .orderBy(col("d").desc, col("src"))
       .limit(nSeeds).select(col("src").as("item"))
       .localCheckpoint(eager = true)
+    // seeded is read by init + every round (iters+1 consumers); un-
+    // materialized each read re-runs the node-distinct + seed join.
+    // Lazy checkpoint also truncates the per-round plan the way q331's
+    // label-prop loop does — without it the 3-round plan re-plans the
+    // whole chain per action (the round-17 executed-plan audit measured
+    // this query's plan at ~86 scan nodes).
     val seeded = nodes.join(seeds.withColumn("is_seed", lit(1)),
         Seq("item"), "left")
       .select(col("item"),
         coalesce(col("is_seed"), lit(0)).as("is_seed"))
+      .localCheckpoint(eager = false)
     val teleport = expr(
       s"CASE WHEN is_seed = 1 THEN $Unit9 div $nSeeds ELSE 0L END")
     val init = seeded.select(col("item"), col("is_seed"),
@@ -775,6 +794,7 @@ object GraphOps {
           (expr(s"(15 * CASE WHEN is_seed = 1 THEN $Unit9 div $nSeeds" +
             " ELSE 0L END) div 100") +
             expr("(85 * coalesce(c, 0L)) div 100")).as("r"))
+        .localCheckpoint(eager = false) // per-round lineage cut (q331 shape)
     }
     ranks
       .select(col("item"), col("is_seed"), col("r").as("ppr_q"),

@@ -633,7 +633,12 @@ object SimilarityOps {
       .select(col("query_id"), col("neighbor_id"), col("rk").as("ra"))
     val b = binaryHammingTopK(spark, dir, nQueries, k)
       .select(col("query_id"), col("neighbor_id"), col("rk").as("rb"))
+    // common feeds THREE consumers (both self-join sides + the n_common
+    // denominator); un-materialized, each one re-runs BOTH top-k
+    // pipelines (exact + Hamming) — 3 corpus passes each. nQueries·k
+    // rows at most.
     val common = a.join(b, Seq("query_id", "neighbor_id"))
+      .localCheckpoint(eager = false)
     val p = common.as("x").join(common.as("y"),
         col("x.query_id") === col("y.query_id") &&
           col("x.neighbor_id") < col("y.neighbor_id"))
@@ -1456,7 +1461,11 @@ object SimilarityOps {
     val capDf =
       if (bucketCap == DedupOps.CapFromDf) bucketCapFrame(emb, nPlanes)
       else emb.sparkSession.range(1).select(lit(bucketCap).as("cap"))
-    val bounded = popCapped(banded, capDf)
+    // materialized (lazy checkpoint): the self-join reads the capped
+    // band relation twice, and each un-materialized read re-hashes the
+    // corpus through all nTables hyperplane sets + the population
+    // window. Rows are (vec_id, tbl, bucket) — metadata-scale.
+    val bounded = popCapped(banded, capDf).localCheckpoint(eager = false)
     bounded.select(col("vec_id").as("id_a"), col("tbl"), col("bucket"))
       .join(bounded.select(col("vec_id").as("id_b"), col("tbl"), col("bucket")),
         Seq("tbl", "bucket"))

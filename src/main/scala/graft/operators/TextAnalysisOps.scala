@@ -1042,8 +1042,13 @@ object TextAnalysisOps {
     val sg = docs
       .select(col("source"), explode(Text.wordShingles(col("text"), n)).as("g"))
       .distinct()
-    val gs = sg.groupBy(col("g")).agg(count(lit(1)).as("n_sources"))
-    sg.join(gs, "g")
+    // per-gram source count via a window over the SAME key the distinct
+    // already shuffled on — the former agg-then-join-back shape
+    // evaluated the corpus shingle pass twice and shuffled three times
+    // for the identical result (guide: share one exchange between
+    // same-keyed operations)
+    sg.withColumn("n_sources",
+        count(lit(1)).over(Window.partitionBy(col("g"))))
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_grams"),
         sum(when(col("n_sources") === 1L, 1L).otherwise(0L)).as("n_unique"))
