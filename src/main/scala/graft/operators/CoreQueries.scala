@@ -1141,14 +1141,28 @@ object CoreQueries {
       .filter(col("o_orderdate") >= lit(s"$year-01-01") &&
         col("o_orderdate") < lit(s"${year + 1}-01-01"))
       .select(col("o_custkey"))
-    val y96 = buyers(1996)
-    val y97 = buyers(1997)
-    val retained = y96.intersect(y97).count()
-    val churned = y96.except(y97).count()
-    val acquired = y97.except(y96).count()
-    import spark.implicits._
-    Seq(("acquired", acquired), ("churned", churned), ("retained", retained))
-      .toDF("cohort", "n_customers")
+    // INTERSECT/EXCEPT are distinct-set semantics; one full-outer join
+    // of the two distinct buyer sets yields all three cohort counts in
+    // a single pass — the r17 rewrite of three separate driver-side
+    // `.count()` actions (each of which re-scanned orders; guide §1.2
+    // "don't compute things you throw away", §2.4 one exchange for
+    // three set operators). Cohort counts are provably identical:
+    // retained = |A ∩ B|, churned = |A \ B|, acquired = |B \ A|.
+    val y96 = buyers(1996).distinct()
+    val y97 = buyers(1997).distinct()
+    y96.select(col("o_custkey"), lit(1).as("in96"))
+      .join(y97.select(col("o_custkey"), lit(1).as("in97")),
+        Seq("o_custkey"), "full_outer")
+      .agg(
+        sum(when(col("in96").isNull, 1L).otherwise(0L)).as("acquired"),
+        sum(when(col("in97").isNull, 1L).otherwise(0L)).as("churned"),
+        sum(when(col("in96").isNotNull && col("in97").isNotNull, 1L)
+          .otherwise(0L)).as("retained"))
+      .select(explode(map(
+        lit("acquired"), coalesce(col("acquired"), lit(0L)),
+        lit("churned"), coalesce(col("churned"), lit(0L)),
+        lit("retained"), coalesce(col("retained"), lit(0L))))
+        .as(Seq("cohort", "n_customers")))
       .orderBy(col("cohort"))
   }
 

@@ -515,7 +515,11 @@ object DedupOps {
     var prev: (Long, Long) = null
     var i = 0
     while (cur != prev && i < maxIter) {
-      val next = smallStar(largeStar(e)).localCheckpoint(eager = true)
+      // lazy checkpoint: the checksum action right below is the first
+      // consumer and materializes it — one job per round instead of
+      // the eager checkpoint's two (r17; CC cost at pair-list scale is
+      // round/job count, not bytes — guide §1.2 "fewer passes")
+      val next = smallStar(largeStar(e)).localCheckpoint(eager = false)
       prev = cur
       cur = checksum(next)
       e = next
@@ -1211,7 +1215,22 @@ object DedupOps {
     */
   def winnowing(spark: SparkSession, dir: String, k: Int = 4,
       w: Int = 5): DataFrame =
-    winnowingOn(Tables.documents(spark, dir), k, w)
+    winnowingFrom(cachedWinnowSketch(spark, dir, k, w))
+
+  /** The distinct winnowed sketch, session-cached: q205 (profile) and
+    * q217 (match pairs) both start from the SAME `(doc_id, source, fp)`
+    * relation, whose build (gram explode + per-doc window min) is the
+    * dominant cost of each — one persisted build per session serves
+    * both (guide §2.4; production MOSS-style dedup stores the sketch
+    * as its standing index). The `*On` spec paths bypass as usual.
+    */
+  private val winnowSketchCache =
+    SessionCaches.newCache[(SparkSession, String, Int, Int)]()
+
+  private def cachedWinnowSketch(spark: SparkSession, dir: String,
+      k: Int, w: Int): DataFrame =
+    SessionCaches.cached(winnowSketchCache, (spark, dir, k, w))(
+      winnowSketchOn(Tables.documents(spark, dir), k, w).persist())
 
   /** The distinct per-doc winnowed sketch `(doc_id, source, fp)` —
     * shared by the q205 profile and the q217 match pairs so the
@@ -1253,7 +1272,8 @@ object DedupOps {
   def winnowMatches(spark: SparkSession, dir: String, k: Int = 4,
       w: Int = 5, minShared: Long = 2L): DataFrame = {
     val docs = Tables.documents(spark, dir)
-    val sk = winnowSketchOn(docs, k, w).select(col("doc_id"), col("fp"))
+    val sk = cachedWinnowSketch(spark, dir, k, w)
+      .select(col("doc_id"), col("fp"))
     val rare = sk.groupBy(col("fp")).agg(count(lit(1)).as("df"))
       .join(broadcast(effectiveDfCap(docs)), col("df") <= col("cap"))
       .select(col("fp"))
@@ -1268,8 +1288,10 @@ object DedupOps {
   }
 
   private[graft] def winnowingOn(docs: DataFrame, k: Int = 4,
-      w: Int = 5): DataFrame = {
-    val sketch = winnowSketchOn(docs, k, w)
+      w: Int = 5): DataFrame =
+    winnowingFrom(winnowSketchOn(docs, k, w))
+
+  private def winnowingFrom(sketch: DataFrame): DataFrame = {
     sketch
       .groupBy(col("source"), col("fp"))
       .agg(countDistinct(col("doc_id")).as("n_docs_fp"),
@@ -1673,10 +1695,27 @@ object DedupOps {
     * ~1.6%-rsd estimates (lgK = 12) sit far inside it on any split.
     */
   def sketchOverlap(spark: SparkSession, dir: String): DataFrame =
-    sketchOverlapOn(cachedDistinctShingles(spark, dir)
-      .join(Tables.documents(spark, dir)
-        .select(col("doc_id"), col("source")), "doc_id")
-      .select(col("source"), col("tok")))
+    sketchOverlapFrom(cachedSourceToks(spark, dir))
+
+  /** The distinct per-source shingle vocabulary `(source, tok)`,
+    * session-cached: q337 (HLL sketch overlap) and q346 (Chapman
+    * capture-recapture) run IDENTICAL builds — shingle rows ⋈ doc
+    * source, distinct — and each reads it three times (per-source
+    * counts, the token-keyed overlap join's two sides). One persisted
+    * build serves both queries per session (guide §2.4; the
+    * [[cachedDistinctShingles]] economics one join further down).
+    */
+  private val sourceToksCache =
+    SessionCaches.newCache[(SparkSession, String)]()
+
+  private def cachedSourceToks(spark: SparkSession,
+      dir: String): DataFrame =
+    SessionCaches.cached(sourceToksCache, (spark, dir))(
+      cachedDistinctShingles(spark, dir)
+        .join(Tables.documents(spark, dir)
+          .select(col("doc_id"), col("source")), "doc_id")
+        .select(col("source"), col("tok"))
+        .distinct().persist())
 
   /** Capture-recapture vocabulary estimate (q346): treat each source
     * pair's distinct-shingle sets as two CAPTURES of one underlying
@@ -1695,13 +1734,12 @@ object DedupOps {
     * fan-out, and a source-enum² output grid; T is one distinct count.
     */
   def chapmanEstimate(spark: SparkSession, dir: String): DataFrame =
-    chapmanOn(cachedDistinctShingles(spark, dir)
-      .join(Tables.documents(spark, dir)
-        .select(col("doc_id"), col("source")), "doc_id")
-      .select(col("source"), col("tok")))
+    chapmanFrom(cachedSourceToks(spark, dir))
 
-  private[graft] def chapmanOn(st0: DataFrame): DataFrame = {
-    val st = st0.distinct().localCheckpoint()
+  private[graft] def chapmanOn(st0: DataFrame): DataFrame =
+    chapmanFrom(st0.distinct().localCheckpoint())
+
+  private def chapmanFrom(st: DataFrame): DataFrame = {
     val per = st.groupBy(col("source")).agg(count(lit(1)).as("nd"))
       .localCheckpoint()
     val ov = st.select(col("source").as("src_a"), col("tok"))
@@ -1728,8 +1766,10 @@ object DedupOps {
   }
 
   /** Core over any `(source, tok)` relation (spec entry point). */
-  private[graft] def sketchOverlapOn(st0: DataFrame): DataFrame = {
-    val st = st0.distinct().localCheckpoint()
+  private[graft] def sketchOverlapOn(st0: DataFrame): DataFrame =
+    sketchOverlapFrom(st0.distinct().localCheckpoint())
+
+  private def sketchOverlapFrom(st: DataFrame): DataFrame = {
     val per = st.groupBy(col("source"))
       .agg(count(lit(1)).as("nd"), hll_sketch_agg(col("tok")).as("sk"))
       .localCheckpoint()

@@ -1710,15 +1710,25 @@ object EventOps {
       .agg(count(lit(1)).as("c"))
     val rt = tr.groupBy(col("i")).agg(sum(col("c")).as("tot"))
     val trd = tr.join(rt, Seq("i")).persist()
+    // lazy per-round checkpoints (r17): each round's state frame (≤
+    // |event-type| rows) has exactly ONE consumer — the next round —
+    // so the final action materializes the chain in one job instead
+    // of paying `iters` eager-checkpoint jobs of fixed overhead on
+    // 5-row frames (the q113/q336 lazy shape; single-consumer, so the
+    // q173 multi-consumer race does not apply). Lineage still cut per
+    // round.
     var v = ev.select(col("event_type").as("t")).distinct()
       .withColumn("m", lit(200000L))
-      .localCheckpoint(eager = true)
-    (1 to iters).foreach { _ =>
-      v = v.join(trd, col("t") === col("i"))
+      .localCheckpoint(eager = false)
+    (1 to iters).foreach { i =>
+      val cp = v.join(trd, col("t") === col("i"))
         .groupBy(col("j"))
         .agg(sum(expr("CAST(m AS decimal(38,0)) * c div tot")).as("m"))
         .select(col("j").as("t"), col("m"))
-        .localCheckpoint(eager = true)
+      // the LAST round materializes eagerly — trd must stay persisted
+      // until the whole chain has evaluated, or the unpersist below
+      // would force 8 recomputes of the corpus transition window
+      v = cp.localCheckpoint(eager = i == iters)
     }
     trd.unpersist()
     v.select(col("t").as("event_type"), col("m").as("stationary_ppm"))

@@ -201,9 +201,14 @@ object GraphOps {
   }
 
   private def triangleCountOnPairs(pairs: DataFrame, k: Int): DataFrame = {
+    // deg feeds THREE consumers (both orientation sides + the final
+    // report join), ori feeds the wedge self-join TWICE — lazy
+    // checkpoints make each one evaluation (r17, the q30/q121 mid-frame
+    // rule; both are node-/edge-cardinality metadata frames)
     val deg = pairs.select(col("i").as("item"))
       .union(pairs.select(col("j").as("item")))
       .groupBy(col("item")).agg(count(lit(1)).as("degree"))
+      .localCheckpoint(eager = false)
     // orient each edge low-(degree, id) → high-(degree, id)
     val di = deg.select(col("item").as("i"), col("degree").as("dg_i"))
     val dj = deg.select(col("item").as("j"), col("degree").as("dg_j"))
@@ -215,6 +220,7 @@ object GraphOps {
         when(col("dg_i") < col("dg_j") ||
           (col("dg_i") === col("dg_j") && col("i") < col("j")),
           col("j")).otherwise(col("i")).as("dst"))
+      .localCheckpoint(eager = false)
     val wedges = ori.as("e1")
       .join(ori.as("e2"), col("e1.src") === col("e2.src") &&
         col("e1.dst") < col("e2.dst"))
@@ -287,6 +293,12 @@ object GraphOps {
     kCoreOnPairs(coPairsOn(ev, minSupport, userItemCap), k, peels)
 
   private def kCoreOnPairs(pairs: DataFrame, k: Int, peels: Int): DataFrame = {
+    // (r17 A/B note: lazy per-round checkpoints measured SLOWER here —
+    // 3.29 → 3.62 s at 5-rep median: each round's edges has THREE
+    // consumers, and deferring materialization into one final job let
+    // concurrent stages race the block persist and recompute the
+    // chain. Eager — one job per peel, every consumer reads blocks —
+    // stays.)
     var edges = pairs
       .select(col("i"), col("j")).localCheckpoint(eager = true)
     (1 to peels).foreach { _ =>
@@ -625,17 +637,21 @@ object GraphOps {
           col("assign_fp").cast("long").as("assign_fp"))
     var lab = sym.select(col("src").as("node")).distinct()
       .withColumn("label", col("node")).localCheckpoint()
-    val wMode = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("node")).orderBy(col("c").desc, col("label"))
     var out = trace(0, lab)
     for (r <- 1 to rounds) {
+      // mode pick as a struct-min argmax: min((-c, label)) ≡ the old
+      // row_number window's (c DESC, label ASC) winner, but folds
+      // map-side inside partial aggregation instead of sorting every
+      // (node, label) row under a second full shuffle (r17, the q285
+      // argmax device; guide §2.3 "aggregate before you shuffle")
       lab = sym.join(lab.withColumnRenamed("node", "dst"), "dst")
         .groupBy(col("src").as("node"), col("label"))
         .agg(count(lit(1)).as("c"))
-        .withColumn("rn", row_number().over(wMode))
-        .filter(col("rn") === 1)
-        .select(col("node"), col("label"))
-        .localCheckpoint()
+        .groupBy(col("node"))
+        .agg(min(struct((-col("c")).as("nc"), col("label"))).as("m"))
+        .select(col("node"), col("m.label").as("label"))
+        .localCheckpoint() // eager: each lab has two consumers (trace +
+      // next round) — the q173 A/B showed lazy loses that race here
       out = out.unionByName(trace(r, lab))
     }
     out.orderBy(col("round"))

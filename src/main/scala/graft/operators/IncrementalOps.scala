@@ -735,6 +735,11 @@ object IncrementalOps {
         conv(substring(md5(concat(col("shard"), lit("_v"),
           col("v").cast("string"))), 1, 15), 16, 10)
           .cast("long").as("vpos"))
+    // (r17 A/B note: fusing both ring assignments into one tagged
+    // crossJoin + conditional-min aggregate measured SLOWER — 1.88 →
+    // 2.37 s at 5-rep median — the four conditional struct-mins per
+    // row cost more than the saved doc_id join; reverted to the
+    // two-pass form.)
     def assign(r: org.apache.spark.sql.DataFrame, out: String) =
       docs.crossJoin(broadcast(r))
         .groupBy(col("doc_id"), col("pos"))
@@ -845,15 +850,36 @@ object IncrementalOps {
     * for the true match counts. The staging table is deleted after an
     * eager checkpoint of the 3-row result.
     */
+  /** lineitem ranked by (ship_day, tie) — the layout spine q351 and
+    * q360 both lay files over (IDENTICAL projection, rank key, and
+    * rowsPerFile grain), session-cached so the corpus scan + checkpoint
+    * + TwoPhaseRank pass runs once per session instead of once per
+    * query (r17; guide §2.4 — the write/footer phases stay per-query,
+    * only the shared decision-pass input is reused).
+    */
+  private val shipRankCache =
+    SessionCaches.newCache[(SparkSession, String)]()
+
+  private def cachedShipDayRank(spark: SparkSession,
+      dir: String): DataFrame =
+    SessionCaches.cached(shipRankCache, (spark, dir))({
+      val epoch = lit("1992-01-01").cast("date")
+      val li = Tables.lineitem(spark, dir)
+        .select(datediff(col("l_shipdate").cast("date"), epoch)
+            .cast("long").as("ship_day"),
+          (col("l_orderkey") * 10 + col("l_linenumber")).as("tie"))
+        .localCheckpoint()
+      TwoPhaseRank.rankBy(li, "ship_day", "tie").persist()
+    })
+
   def layoutPruning(spark: SparkSession, dir: String,
       rowsPerFile: Long = 4000L): DataFrame = {
     val epoch = lit("1992-01-01").cast("date")
-    val li = Tables.lineitem(spark, dir)
-      .select(datediff(col("l_shipdate").cast("date"), epoch)
-          .cast("long").as("ship_day"),
-        (col("l_orderkey") * 10 + col("l_linenumber")).as("tie"))
-      .localCheckpoint()
-    val assigned = TwoPhaseRank.rankBy(li, "ship_day", "tie")
+    val ranked = cachedShipDayRank(spark, dir)
+    // the truth pass needs only ship_day — read it off the cached rank
+    // spine instead of a second lineitem scan
+    val li = ranked.select(col("ship_day"))
+    val assigned = ranked
       .withColumn("file_id", expr(s"(r - 1) div ${rowsPerFile}L"))
       .select(col("file_id"), col("ship_day"))
     graft.etl.HadoopIo.withStagingDir(spark, "graft-q351") { out =>
@@ -1018,23 +1044,20 @@ object IncrementalOps {
     */
   def incrementalZoneMap(spark: SparkSession, dir: String,
       rowsPerFile: Long = 4000L): DataFrame = {
-    val epoch = lit("1992-01-01").cast("date")
-    val li = Tables.lineitem(spark, dir)
-      .select(datediff(col("l_shipdate").cast("date"), epoch)
-          .cast("long").as("ship_day"),
-        (col("l_orderkey") * 10 + col("l_linenumber")).as("tie"))
-      .localCheckpoint()
-    val n = li.count()
+    // the rank spine is shared with q351 (identical projection + rank;
+    // see cachedShipDayRank) — the count and both phase writes read the
+    // one persisted copy
+    val ranked = cachedShipDayRank(spark, dir)
+    val n = ranked.count()
     val nFiles = (n + rowsPerFile - 1) / rowsPerFile
     val baseFiles = nFiles * 4 / 5
     // INT partition key: hive partition-value inference reads small
     // integer dirs back as INT, and the append-mode schema gate
     // rightly refuses a BIGINT delta against an INT table
-    val assigned = TwoPhaseRank.rankBy(li, "ship_day", "tie")
+    val assigned = ranked
       .withColumn("file_id",
         expr(s"(r - 1) div ${rowsPerFile}L").cast("int"))
       .select(col("file_id"), col("ship_day"))
-      .localCheckpoint()
     graft.etl.HadoopIo.withStagingDir(spark, "graft-q360") { out =>
       val spec = graft.etl.Sinks.TableSpec("zmap_inc",
         graft.etl.Sinks.Parquet, partitionCols = Seq("file_id"),

@@ -295,8 +295,11 @@ object PipelineOps {
   def bloomNovelty(spark: SparkSession, dir: String, k: Int = 3,
       bitsPerItem: Long = 16L, batchMod: Long = 5L): DataFrame = {
     val shingles = DedupOps.cachedDistinctShingles(spark, dir)
+    // hist feeds THREE consumers (the m-bits aggregate, the set-bit
+    // positions, the exact-membership truth join) — lazy checkpoint
+    // makes the filter+distinct one evaluation (r17, guide §2.4)
     val hist = shingles.filter(pmod(col("doc_id"), lit(batchMod)) =!= 0)
-      .select(col("tok")).distinct()
+      .select(col("tok")).distinct().localCheckpoint(eager = false)
     val batch = shingles.filter(pmod(col("doc_id"), lit(batchMod)) === 0)
       .select(col("doc_id"), col("tok"))
     val mDf = broadcast(hist.agg((count(lit(1)) * bitsPerItem).as("m")))

@@ -99,7 +99,26 @@ object RetrievalOps {
   def bm25TopK(spark: SparkSession, dir: String,
       nQueries: Int = DefaultNQueries, nTerms: Int = DefaultNTerms,
       k: Int = DefaultK): DataFrame =
-    bm25OnPostings(cachedPostings(spark, dir), nQueries, nTerms, k)
+    bm25Ranked(cachedBm25Scored(spark, dir, nQueries, nTerms), k)
+
+  /** The full per-(query, candidate) BM25 score frame, session-cached:
+    * `k` only changes the final top-k filter, so q89 (k=5), q226's
+    * sparse list (k=25), and q279's feedback set (k=5) all rank the
+    * SAME scored relation — previously each re-ran the whole scoring
+    * pipeline (query-term pick, df, idf·tf contribution, slot fold)
+    * over the postings per action. Candidate-set-bounded rows
+    * (Σ df(term) per query). Guide §2.4 exchange-sharing economics;
+    * the production analogue scores a query batch once and serves
+    * every consumer from the scored run.
+    */
+  private val bm25ScoredCache =
+    SessionCaches.newCache[(SparkSession, String, Int, Int)]()
+
+  private def cachedBm25Scored(spark: SparkSession, dir: String,
+      nQueries: Int, nTerms: Int): DataFrame =
+    SessionCaches.cached(bm25ScoredCache, (spark, dir, nQueries, nTerms))(
+      bm25ScoredOnPostings(cachedPostings(spark, dir), nQueries, nTerms)
+        .persist())
 
   /** [[bm25TopK]] over an explicit `(doc_id, text)` frame — the spec
     * surface for adversarial corpora with known ranking structure
@@ -110,7 +129,23 @@ object RetrievalOps {
     bm25OnPostings(postingsOf(docs0), nQueries, nTerms, k)
 
   private def bm25OnPostings(postings: DataFrame, nQueries: Int,
-      nTerms: Int, k: Int): DataFrame = {
+      nTerms: Int, k: Int): DataFrame =
+    bm25Ranked(bm25ScoredOnPostings(postings, nQueries, nTerms), k)
+
+  /** Rank/filter stage over a scored `(qid, hit_id, score)` frame. */
+  private def bm25Ranked(scored: DataFrame, k: Int): DataFrame = {
+    val wk = Window.partitionBy(col("qid"))
+      .orderBy(col("score").desc, col("hit_id"))
+    scored
+      .withColumn("rk", row_number().over(wk))
+      .filter(col("rk") <= k)
+      .select(col("qid"), col("hit_id"), col("score"), col("rk"))
+      .orderBy(col("qid"), col("rk"))
+  }
+
+  /** Scoring stage: everything up to (but not including) the top-k. */
+  private def bm25ScoredOnPostings(postings: DataFrame, nQueries: Int,
+      nTerms: Int): DataFrame = {
     // corpus stats from the index itself: one row per doc (dl is
     // functionally dependent on doc_id, and every doc owns >= 1
     // posting — an empty text still tokenizes to [""]), so these are
@@ -152,15 +187,9 @@ object RetrievalOps {
     // the written order on both engines — no shuffled float sum
     val slots = (1 to nTerms).map(i =>
       coalesce(max(when(col("t_rank") === i, col("c"))), lit(0.0)))
-    val wk = Window.partitionBy(col("qid"))
-      .orderBy(col("score").desc, col("hit_id"))
     contrib.groupBy(col("qid"), col("doc_id"))
       .agg(round(slots.reduceLeft(_ + _), 4).as("score"))
       .withColumnRenamed("doc_id", "hit_id")
-      .withColumn("rk", row_number().over(wk))
-      .filter(col("rk") <= k)
-      .select(col("qid"), col("hit_id"), col("score"), col("rk"))
-      .orderBy(col("qid"), col("rk"))
   }
 
   /** Reciprocal-rank fusion (q226): hybrid retrieval — fuse the BM25
@@ -226,7 +255,8 @@ object RetrievalOps {
       nQueries: Int = DefaultNQueries, nTerms: Int = DefaultNTerms,
       fbDocs: Int = DefaultK, expK: Int = 3): DataFrame = {
     val postings = cachedPostings(spark, dir)
-    val fbSet = bm25OnPostings(postings, nQueries, nTerms, fbDocs)
+    val fbSet = bm25Ranked(
+        cachedBm25Scored(spark, dir, nQueries, nTerms), fbDocs)
       .select(col("qid"), col("hit_id").as("doc_id"))
     val wq = Window.partitionBy(col("qid"))
       .orderBy(col("tf").desc, col("tok"))

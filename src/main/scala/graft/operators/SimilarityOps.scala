@@ -114,11 +114,7 @@ object SimilarityOps {
     */
   def bruteForceTopK(spark: SparkSession, dir: String,
       nQueries: Int = 8, k: Int = 5): DataFrame = {
-    val emb = Tables.embeddings(spark, dir)
-    val queries = emb.filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
-    val scored = emb.join(broadcast(queries), col("vec_id") =!= col("query_id"))
-      .withColumn("cos", round(Vectors.cosine(col("qv"), col("embedding")), 4))
+    val scored = cachedBfScored(spark, dir, nQueries)
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("vec_id"))
     scored.withColumn("rk", row_number().over(w))
@@ -127,6 +123,31 @@ object SimilarityOps {
         col("rk"))
       .orderBy(col("query_id"), col("rk"))
   }
+
+  /** The exact query×corpus cosine grid `(query_id, vec_id, cos)`,
+    * session-cached: `k` only moves the top-k cut, so the brute-force
+    * baseline that SEVEN registry queries re-derive (q31 itself, q33's
+    * exact side, q101/q190's recall referees, q145's rank-A side at
+    * k=20, q115's negative band, q226's dense list) shuffles this one
+    * persisted nQueries·|corpus|-row relation instead of re-scanning
+    * the corpus through the fused cosine per action (guide §2.4). The
+    * embedding columns are dropped before persisting — the grid is
+    * 3 narrow columns, never vector payloads (guide §2.3).
+    */
+  private val bfScoredCache =
+    SessionCaches.newCache[(SparkSession, String, Int)]()
+
+  private def cachedBfScored(spark: SparkSession, dir: String,
+      nQueries: Int): DataFrame =
+    SessionCaches.cached(bfScoredCache, (spark, dir, nQueries))({
+      val emb = Tables.embeddings(spark, dir)
+      val queries = emb.filter(col("vec_id") < nQueries)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+      emb.join(broadcast(queries), col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id"),
+          round(Vectors.cosine(col("qv"), col("embedding")), 4).as("cos"))
+        .persist()
+    })
 
   /** Hard-negative mining (q115): for each query vector, the top-k
     * candidates whose cosine falls in the [lo, hi) band — similar enough
@@ -143,8 +164,19 @@ object SimilarityOps {
     * mining composes with whatever index already exists.
     */
   def hardNegatives(spark: SparkSession, dir: String, nQueries: Int = 8,
-      k: Int = 5, lo: Double = 0.20, hi: Double = 0.45): DataFrame =
-    hardNegativesOn(Tables.embeddings(spark, dir), nQueries, k, lo, hi)
+      k: Int = 5, lo: Double = 0.20, hi: Double = 0.45): DataFrame = {
+    // the band is a filter over the same session-cached cosine grid the
+    // brute-force family ranks (q115 shares q31's scan, guide §2.4)
+    val scored = cachedBfScored(spark, dir, nQueries)
+      .filter(col("cos") >= lo && col("cos") < hi)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("cos"),
+        col("rk"))
+      .orderBy(col("query_id"), col("rk"))
+  }
 
   private[graft] def hardNegativesOn(emb: DataFrame, nQueries: Int,
       k: Int, lo: Double, hi: Double): DataFrame = {
@@ -1522,14 +1554,45 @@ object SimilarityOps {
       threshold: Double = 0.30, minPts: Int = 3, maxId: Long = 200,
       nPlanes: Int = 3, nTables: Int = 96): DataFrame =
     dbscanOn(Tables.embeddings(spark, dir).filter(col("vec_id") < maxId),
-      threshold, minPts, nPlanes, nTables)
+      threshold, minPts, nPlanes, nTables,
+      pairs0 = Some(cachedEpsPairs(spark, dir, threshold, nPlanes,
+        nTables, maxId)))
+
+  /** The verified eps-graph pair list `(id_a, id_b, cos ≥ threshold)`
+    * over the bounded id range, session-cached: q335 (DBSCAN) and q340
+    * (percolation sweep) run on the SAME graph — identical threshold
+    * floor, plane/table config, and id bound — so the multi-table LSH
+    * candidate build + exact verification (the dominant cost of both)
+    * runs once per session instead of once per query (guide §2.4: the
+    * [[GraphOps]] cachedCoPairs economics applied to the eps-graph;
+    * a production deployment stores this pair relation as the standing
+    * near-dup index). Keyed on every parameter that shapes the rows
+    * (threshold in basis points — Double keys and hash-equality don't
+    * mix). The `*On` spec entry points bypass the cache as usual.
+    */
+  private val epsPairsCache =
+    SessionCaches.newCache[(SparkSession, String, Int, Int, Int, Long)]()
+
+  private def cachedEpsPairs(spark: SparkSession, dir: String,
+      threshold: Double, nPlanes: Int, nTables: Int,
+      maxId: Long): DataFrame =
+    SessionCaches.cached(epsPairsCache,
+      (spark, dir, math.round(threshold * 10000).toInt, nPlanes, nTables,
+        maxId))(
+      lshNearDupDF(
+        Tables.embeddings(spark, dir).filter(col("vec_id") < maxId),
+        threshold, nPlanes, nTables).persist())
 
   private[graft] def dbscanOn(emb0: DataFrame, threshold: Double,
-      minPts: Int, nPlanes: Int, nTables: Int): DataFrame = {
+      minPts: Int, nPlanes: Int, nTables: Int,
+      pairs0: Option[DataFrame] = None): DataFrame = {
     val emb = emb0.select(col("vec_id"), col("embedding"))
     // read by degree, core-edge, and border passes — materialize once
-    val pairs = lshNearDupDF(emb, threshold, nPlanes, nTables)
-      .select(col("id_a"), col("id_b")).localCheckpoint()
+    // (or reuse the session-cached pair relation when the dir path
+    // hands one in; the persisted frame serves all three consumers)
+    val pairs = pairs0.getOrElse(
+      lshNearDupDF(emb, threshold, nPlanes, nTables).localCheckpoint())
+      .select(col("id_a"), col("id_b"))
     val sym = pairs.select(col("id_a").as("v"), col("id_b").as("n"))
       .unionByName(pairs.select(col("id_b").as("v"), col("id_a").as("n")))
     // textbook core definition: |N_eps(p)| INCLUDES p itself, so a
@@ -1586,13 +1649,17 @@ object SimilarityOps {
       : DataFrame =
     epsPercolationOn(
       Tables.embeddings(spark, dir).filter(col("vec_id") < maxId),
-      thresholds, nPlanes, nTables)
+      thresholds, nPlanes, nTables,
+      pairs0 = Some(cachedEpsPairs(spark, dir, thresholds.min, nPlanes,
+        nTables, maxId)))
 
   private[graft] def epsPercolationOn(emb0: DataFrame,
-      thresholds: Seq[Double], nPlanes: Int, nTables: Int): DataFrame = {
+      thresholds: Seq[Double], nPlanes: Int, nTables: Int,
+      pairs0: Option[DataFrame] = None): DataFrame = {
     val emb = emb0.select(col("vec_id"), col("embedding"))
-    val pairs = lshNearDupDF(emb, thresholds.min, nPlanes, nTables)
-      .localCheckpoint()
+    val pairs = pairs0.getOrElse(
+      lshNearDupDF(emb, thresholds.min, nPlanes, nTables)
+        .localCheckpoint())
     val nAll = emb.agg(count(lit(1)).as("n_all"))
     // ONE CC fixpoint for the whole monotone grid (VERDICT r14 item
     // 5): the grid previously ran one serial large-star/small-star

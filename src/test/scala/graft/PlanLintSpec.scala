@@ -97,8 +97,12 @@ class PlanLintSpec extends SparkSpecBase {
     * further (q29/q70/q72/q75/q77).
     */
   private val bnljAllow: Set[String] = Set(
+    // (r17: q31/q115/q89/q226/q279's sanctioned BNLJs — the brute-force
+    // `vec_id != query_id` cross and BM25's 1-row stats crosses — now
+    // cross inside the session-cached scored grids and no longer reach
+    // this walk; removed per the strict-both-ways rule)
     "q101_ann_recall", "q102_hamming_topk", "q103_funnel",
-    "q105_importance_weights", "q107_item_pmi", "q115_hard_negatives",
+    "q105_importance_weights", "q107_item_pmi",
     "q125_ri_profile", "q139_kn_bigram", "q141_drift_report",
     // (q145's calendar-pair BNLJ crosses inside the common-neighbor
     // frame's r17 localCheckpoint materialization and no longer
@@ -109,12 +113,12 @@ class PlanLintSpec extends SparkSpecBase {
     "q194_ivf_balance", "q197_basket_lift", "q198_pca_variance",
     "q200_journey_entropy", "q207_ndcg_label", "q209_minhash_upsert",
     "q213_dormant_balance", "q217_winnow_matches", "q218_mrr_label",
-    "q226_rrf_fusion", "q230_important_parts", "q234_bpe_encode",
+    "q230_important_parts", "q234_bpe_encode",
     "q239_daily_autocorr", "q240_cross_corr", "q243_ks_drift",
     "q244_join_card_est", "q250_delete_audit", "q252_quality_skyline",
     "q253_triplet_mine", "q254_benford", "q257_ab_test",
     "q259_theil_sen", "q272_assoc_rules", "q276_apportionment",
-    "q279_prf_expansion", "q282_hash_sample", "q284_lorenz_deciles",
+    "q282_hash_sample", "q284_lorenz_deciles",
     "q289_month_seasonality", "q291_abc_xyz", "q295_region_share",
     "q296_lateness_pareto", "q297_twonn_ratio", "q299_silhouette",
     "q29_minhash_neardup", "q302_aging_report", "q303_whale_trend",
@@ -137,7 +141,7 @@ class PlanLintSpec extends SparkSpecBase {
     "q347_label_model", // 1-row accuracy/positives frames per EM round
     "q348_randomization_test", // source-enum scenario fan-out + 1-row totals
     "q352_knob_advisor", // three 1-row corpus aggregates crossed into one stats row
-    "q30_simhash_neardup", "q31_cosine_topk", "q32_cosine_neardup",
+    "q30_simhash_neardup", "q32_cosine_neardup",
     "q33_lsh_topk", "q42_approx_distinct", "q43_topk_aggregator",
     // (q64's bucket-cap BNLJ crosses inside lshNearDupCandidates' r17
     // lazy checkpoint — hidden from the pre-execution plan like q332)
@@ -145,7 +149,7 @@ class PlanLintSpec extends SparkSpecBase {
     "q68_split_leakage", "q70_ivf_topk", "q72_bloom_novelty",
     "q73_lm_perplexity", "q75_semantic_dedup", "q76_kmeans_refine",
     "q79_random_projection", "q80_ivf_sized_topk", "q81_kmeans_sized",
-    "q82_sq_topk", "q86_pq_fused", "q88_ivfpq_topk", "q89_bm25_topk",
+    "q82_sq_topk", "q86_pq_fused", "q88_ivfpq_topk",
     "q90_cms_profile", "q92_ivf_upsert", "q94_prefix_rerank",
     "q95_pca_power", "q96_abtt_removal", "q97_mix_weights",
     "q99_tfidf_terms")
