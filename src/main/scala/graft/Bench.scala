@@ -144,9 +144,16 @@ object Bench {
   }
 
   /** The (round, warm-median map) of the LAST bench_history.jsonl line
-    * whose round label matches `want` (or the last line when `want` is
-    * empty). Failure-tolerant by design: a missing/corrupt history must
-    * never fail a bench run — it just runs without a baseline.
+    * whose round label matches `want` — or, when `want` is empty, the
+    * last CLEAN line: one that did not stamp itself `ambient_inflated`
+    * or `load_exceeded` (VERDICT r17 item 2: r17's polluted c32
+    * headline sailed under the ambient threshold because its baseline
+    * was the most recent line, which was ITSELF ambient-inflated — a
+    * polluted baseline masks a polluted run; anchoring to the last
+    * clean line breaks the chain). Falls back to the last line of any
+    * kind when no clean line exists. Failure-tolerant by design: a
+    * missing/corrupt history must never fail a bench run — it just
+    * runs without a baseline.
     */
   def historyBaseline(path: String,
       want: Option[String]): Option[(String, Map[String, Double])] =
@@ -173,13 +180,18 @@ object Bench {
               }.toMap
               case _ => Map.empty[String, Double]
             }
-            if (round.nonEmpty && qs.nonEmpty) Some(round -> qs) else None
+            val polluted = (j \ "ambient_inflated" == JBool(true)) ||
+              (j \ "load" \ "load_exceeded" == JBool(true))
+            if (round.nonEmpty && qs.nonEmpty) Some((round, qs, polluted))
+            else None
           } catch { case _: Throwable => None }
         }
         (want match {
           case Some(w) => parsed.filter(_._1 == w)
-          case None => parsed
-        }).lastOption
+          case None =>
+            val clean = parsed.filterNot(_._3)
+            if (clean.nonEmpty) clean else parsed
+        }).lastOption.map { case (r, qs, _) => (r, qs) }
       }
     } catch { case _: Throwable => None }
 
@@ -213,6 +225,20 @@ object Bench {
     * load average at run start/end (see [[loadAvg]]); `total_cold` is
     * the rep-1 total (the pass that pays every session-cache build).
     */
+  /** Block-store pressure census (VERDICT r17 item 4): peak and final
+    * stored-RDD bytes/counts, sampled between queries (untimed). The
+    * r17 warm>cold inversions were dead MEMORY_AND_DISK checkpoint
+    * blocks accumulating between GCs and evicting live working sets —
+    * invisible to the cache telemetry because those blocks are not
+    * registry-owned. With the peak on every payload, "did block churn
+    * poison this run" is readable from the artifact.
+    */
+  case class StorageStats(peakMemMb: Long, peakRdds: Int,
+      endMemMb: Long, endRdds: Int) {
+    def json: String =
+      s"""{"peak_mem_mb":$peakMemMb,"peak_rdds":$peakRdds,"end_mem_mb":$endMemMb,"end_rdds":$endRdds}"""
+  }
+
   def renderLines(results: Map[String, Double], failed: Seq[String],
       sf: String, flaky: Seq[String] = Nil,
       cold: Map[String, Double] = Map.empty,
@@ -221,7 +247,9 @@ object Bench {
       loadExceeded: Boolean = false,
       common: Option[CommonDelta] = None,
       ambient: Boolean = false,
-      cache: Option[CacheStats] = None): Seq[String] = {
+      cache: Option[CacheStats] = None,
+      storage: Option[StorageStats] = None,
+      standalone: Map[String, Double] = Map.empty): Seq[String] = {
     val total = r3(results.values.filter(_ >= 0).sum)
     val totalCold = r3(cold.values.filter(_ >= 0).sum)
     val sus = suspects(results, cold)
@@ -241,8 +269,13 @@ object Bench {
     // shows, not after a human reads bench_history (VERDICT r16 item 1)
     val ambientJson = if (ambient) ""","ambient_inflated":true""" else ""
     val cacheJson = cache.map(c => s""","cache":${c.compactJson}""").getOrElse("")
+    val storageJson = storage.map(s => s""","storage":${s.json}""").getOrElse("")
+    // standalone (caches-cleared) per-query times: stdout carries only
+    // the count + total (bounded); the full map rides the durable line
+    val saJson = if (standalone.isEmpty) "" else
+      s""","standalone":{"n":${standalone.size},"total":${r3(standalone.values.filter(_ >= 0).sum)}}"""
     val summary =
-      s"""{"metric":"total_summary","value":$total,"unit":"sec","total_cold":$totalCold,"n_queries":${results.size},"n_failed":${failed.size},"n_flaky":${flaky.size},"n_suspect":${sus.size},"load":$loadJson$ambientJson$cacheJson$commonJson,"sf":"${jsonStr(sf)}"}"""
+      s"""{"metric":"total_summary","value":$total,"unit":"sec","total_cold":$totalCold,"n_queries":${results.size},"n_failed":${failed.size},"n_flaky":${flaky.size},"n_suspect":${sus.size},"load":$loadJson$ambientJson$cacheJson$storageJson$saJson$commonJson,"sf":"${jsonStr(sf)}"}"""
     // slowest first so the audit-relevant entries survive any further
     // truncation; failed sentinels ride along (they are the first thing
     // a reader must see) but are THEMSELVES capped — a mass-failure run
@@ -264,7 +297,7 @@ object Bench {
         marked.mkString("[", ",", "]")
       }
       Seq(summary,
-        s"""{"metric":"total","value":$total,"unit":"sec","total_cold":$totalCold,"queries":$top,"n_top":${kept.size},"full":"bench_history.jsonl","failed":${names(failed)},"flaky":${names(flaky)},"suspect":${names(sus)},"n_suspect":${sus.size},"load":$loadJson$ambientJson$cacheJson$commonJson,"sf":"${jsonStr(sf)}"}""",
+        s"""{"metric":"total","value":$total,"unit":"sec","total_cold":$totalCold,"queries":$top,"n_top":${kept.size},"full":"bench_history.jsonl","failed":${names(failed)},"flaky":${names(flaky)},"suspect":${names(sus)},"n_suspect":${sus.size},"load":$loadJson$ambientJson$cacheJson$storageJson$saJson$commonJson,"sf":"${jsonStr(sf)}"}""",
         summary)
     }
     // shrink-to-fit: halve the caps until the WHOLE payload fits the
@@ -295,7 +328,9 @@ object Bench {
       loadExceeded: Boolean = false,
       common: Option[CommonDelta] = None,
       ambient: Boolean = false,
-      cache: Option[CacheStats] = None): String = {
+      cache: Option[CacheStats] = None,
+      storage: Option[StorageStats] = None,
+      standalone: Map[String, Double] = Map.empty): String = {
     def qmap(m: Map[String, Double]) = m.toSeq.sortBy(_._1)
       .map { case (k, v) => s"\"" + jsonStr(k) + "\":" + r3(v) }
       .mkString("{", ",", "}")
@@ -312,7 +347,14 @@ object Bench {
     // the durable line carries the FULL cache record (per-query rebuild
     // counts included) — stdout only ever gets the compact totals
     val cacheJson = cache.map(c => s""","cache":${c.json}""").getOrElse("")
-    s"""{"metric":"total","value":$total,"unit":"sec","total_cold":$totalCold,"queries":${qmap(results)},"failed":${names(failed)},"flaky":${names(flaky)},"suspect":${names(sus)},"n_suspect":${sus.size},"load":$loadJson$ambientJson$cacheJson$commonJson,"sf":"${jsonStr(sf)}","queries_cold":${qmap(cold)}}"""
+    val storageJson = storage.map(s => s""","storage":${s.json}""").getOrElse("")
+    // the FULL standalone (caches-cleared-per-query) map — VERDICT r17
+    // item 2: per-query numbers whose work is attributable to THAT
+    // query alone, so the warm headline's memo-read entries (q225 at
+    // 0.04 s) stay comparable without judge-side reconstruction
+    val saJson = if (standalone.isEmpty) ""
+      else s""","queries_standalone":${qmap(standalone)}"""
+    s"""{"metric":"total","value":$total,"unit":"sec","total_cold":$totalCold,"queries":${qmap(results)},"failed":${names(failed)},"flaky":${names(flaky)},"suspect":${names(sus)},"n_suspect":${sus.size},"load":$loadJson$ambientJson$cacheJson$storageJson$commonJson,"sf":"${jsonStr(sf)}","queries_cold":${qmap(cold)}$saJson}"""
   }
 
   def main(args: Array[String]): Unit = {
@@ -344,6 +386,17 @@ object Bench {
       .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .config("spark.sql.ansi.enabled", "false")
       .config("spark.sql.adaptive.enabled", "true")
+      // r18 (guide §5, measured with tools/PhaseProbe): operator-internal
+      // localCheckpoints become unreachable garbage the moment a query's
+      // action completes, but their MEMORY_AND_DISK blocks are only
+      // dropped when the ContextCleaner sees the RDD collected — on an
+      // 8 GB driver that can lag a full bench pass, accumulating GBs of
+      // dead blocks (~250 MB per rep from the rankBy riders alone) whose
+      // eviction churn degraded every later query (the r17 warm>cold
+      // inversions). A 45 s periodic GC bounds the garbage window; the
+      // same setting matters on any long-lived session running thousands
+      // of queries, cluster or local.
+      .config("spark.cleaner.periodicGC.interval", "45s")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // silence the expected WindowExec single-partition WARNs (see
@@ -380,8 +433,23 @@ object Bench {
     // paid, readable from the durable payload instead of a manual A/B
     val rebuildsByQuery =
       scala.collection.mutable.Map.empty[String, Long].withDefaultValue(0L)
+    // queries that ADMITTED a session cache in rep 1 — the first-toucher
+    // set whose warm medians read memos and whose colds carry builds;
+    // they get a standalone (caches-cleared) re-measure below
+    val buildersRep1 = scala.collection.mutable.Set.empty[String]
+    // block-store census, sampled between queries (untimed — after the
+    // clock stops); peak vs end tells churn from residency
+    var peakMem = 0L
+    var peakRdds = 0
+    def sampleStorage(): Unit =
+      try {
+        val infos = spark.sparkContext.getRDDStorageInfo
+        val m = infos.map(i => i.memSize + i.diskSize).sum
+        if (m > peakMem) peakMem = m
+        if (infos.length > peakRdds) peakRdds = infos.length
+      } catch { case _: Throwable => () }
     val cacheT0 = graft.operators.SessionCaches.telemetry
-    val passes: Seq[Map[String, Double]] = (1 to reps).map { _ =>
+    val passes: Seq[Map[String, Double]] = (1 to reps).map { rep =>
       names.map { name =>
         val fn = SparkEntry.queries(name)
         val c0 = graft.operators.SessionCaches.telemetry
@@ -395,14 +463,40 @@ object Bench {
             false
           }
         val dt = (System.nanoTime() - t0) / 1e9
-        rebuildsByQuery(name) +=
-          (graft.operators.SessionCaches.telemetry - c0).rebuilds
+        val delta = graft.operators.SessionCaches.telemetry - c0
+        rebuildsByQuery(name) += delta.rebuilds
+        if (rep == 1 && delta.admissions > 0) buildersRep1 += name
+        sampleStorage()
         name -> (if (ok) dt else -dt)
       }.toMap
     }
     val cacheDelta = graft.operators.SessionCaches.telemetry - cacheT0
     val cacheStats = CacheStats(cacheDelta.admissions,
       cacheDelta.evictions, cacheDelta.rebuilds, rebuildsByQuery.toMap)
+    // standalone pass (VERDICT r17 item 2): for every cache-building
+    // first-toucher, clear ALL session caches and run the query once —
+    // a per-query time whose work is entirely its own, alongside the
+    // warm-session medians. Runs AFTER telemetry capture so the reps'
+    // cache counters stay clean; ~the builders' own build costs, which
+    // the cold pass already pays once. SPARK_GRAFT_BENCH_STANDALONE=0
+    // skips (dev loops).
+    val standalone: Map[String, Double] =
+      if (sys.env.get("SPARK_GRAFT_BENCH_STANDALONE").contains("0")) Map.empty
+      else buildersRep1.toSeq.sorted.map { name =>
+        graft.operators.SessionCaches.clear(spark)
+        val fn = SparkEntry.queries(name)
+        val t0 = System.nanoTime()
+        val ok =
+          try { fn(spark, sfDir).write.mode("overwrite").format("noop").save(); true }
+          catch { case _: Throwable => false }
+        val dt = (System.nanoTime() - t0) / 1e9
+        name -> (if (ok) dt else -dt)
+      }.toMap
+    val endInfos =
+      try spark.sparkContext.getRDDStorageInfo catch { case _: Throwable => Array.empty[org.apache.spark.storage.RDDInfo] }
+    val storageStats = StorageStats(peakMem / (1024 * 1024), peakRdds,
+      endInfos.map(i => i.memSize + i.diskSize).sum / (1024 * 1024),
+      endInfos.length)
     val failed = scala.collection.mutable.ArrayBuffer.empty[String]
     val flaky = scala.collection.mutable.ArrayBuffer.empty[String]
     val results = names.map { name =>
@@ -437,14 +531,16 @@ object Bench {
     val lines = renderLines(results, failed.toSeq, sfDir, flaky.toSeq,
       cold = passes.head, load = (loadStart, loadEnd),
       loadWaitedSec = waited, loadExceeded = loadExceeded,
-      common = delta, ambient = ambient, cache = Some(cacheStats))
+      common = delta, ambient = ambient, cache = Some(cacheStats),
+      storage = Some(storageStats), standalone = standalone)
     // the committed durable record is ONE combined line per round
     // (full warm + cold maps in one object); stdout only ever carries
     // the bounded top-K view of it
     val big = fullLine(results, failed.toSeq, sfDir, flaky.toSeq,
       cold = passes.head, load = (loadStart, loadEnd),
       loadExceeded = loadExceeded, common = delta,
-      ambient = ambient, cache = Some(cacheStats))
+      ambient = ambient, cache = Some(cacheStats),
+      storage = Some(storageStats), standalone = standalone)
     // persist the full per-query history BEFORE printing: the driver's
     // stdout tail truncates the big line (r2, r4 lost 17 queries' times),
     // so the committed artifacts are the durable record

@@ -641,6 +641,8 @@ object ScalingBench {
       // FAIR so the concurrent probe's per-thread pools share task slots
       // round-robin; serial probes are unaffected (one job at a time)
       .config("spark.scheduler.mode", "FAIR")
+      // prompt cleanup of dead checkpoint blocks (see Bench.scala, r18)
+      .config("spark.cleaner.periodicGC.interval", "45s")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     // streaming throughput probe is its own mode: `stream [sfDir]`

@@ -21,6 +21,9 @@ object Verify {
       // timestamps without INT96 legacy handling
       .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
       .config("spark.sql.adaptive.enabled", "true")
+      // prompt cleanup of dead checkpoint blocks (see Bench.scala — the
+      // r18 block-churn fix; Verify runs the same 360 pipelines)
+      .config("spark.cleaner.periodicGC.interval", "45s")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // the allowlisted bounded partitionless windows (≤nBuckets /

@@ -228,19 +228,24 @@ private[graft] object SessionCaches {
     val spark = k.productElement(0).asInstanceOf[SparkSession]
     val id = new EntryId(m, k)
     val existing = m.get(k)
-    val result =
-      if (existing != null) existing
+    val (result, admitted) =
+      if (existing != null) (existing, false)
       else {
         val v = build
         admissionCount.incrementAndGet()
         if (evictedKeys.remove(id)) rebuildCount.incrementAndGet()
         val prev = m.putIfAbsent(k, v)
-        if (prev != null) prev else v
+        (if (prev != null) prev else v, true)
       }
-    // LRU touch + budget check on EVERY access (hits too — recency is
-    // usage, not creation); the entry being returned is never evicted
+    // LRU touch on EVERY access (recency is usage, not creation); the
+    // budget check only on ADMISSION (r18): owned bytes only grow when
+    // an entry is added, while the check itself walks the context-wide
+    // RDD storage table — on the hit path that walk taxed every warm
+    // consumer of every cache with O(live blocks) driver work for a
+    // budget that could not have changed. An admitted-lazy entry whose
+    // bytes land at its first action is caught at the next admission.
     lru.synchronized { lru.put(id, ()) }
-    evictOverBudget(spark, id)
+    if (admitted) evictOverBudget(spark, id)
     result
   }
 

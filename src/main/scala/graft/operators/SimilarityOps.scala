@@ -465,13 +465,15 @@ object SimilarityOps {
   def centroidAssign(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(spark, dir)
     val cvec = labelCentroidsCached(spark, dir)
-    val w = Window.partitionBy(col("vec_id"))
-      .orderBy(col("cos").desc, col("clabel"))
+    // struct-min argmax (r18, the ivfAssign rewrite): collapse the k
+    // candidates per vector map-side instead of shuffling corpus×k
+    // rows into a rank-1 window
     e.crossJoin(broadcast(cvec))
       .withColumn("cos", round(Vectors.cosine(col("embedding"), col("cv")), 4))
-      .withColumn("rk", row_number().over(w))
-      .filter(col("rk") === 1)
-      .groupBy(col("label"), col("clabel").as("assigned_label"))
+      .groupBy(col("vec_id"), col("label"))
+      .agg(min_by(col("clabel"),
+        struct((-col("cos")).as("nc"), col("clabel"))).as("assigned_label"))
+      .groupBy(col("label"), col("assigned_label"))
       .agg(count(lit(1)).as("n"))
       .orderBy(col("label"), col("assigned_label"))
   }
@@ -503,15 +505,27 @@ object SimilarityOps {
     * broadcast codebook, one row per vector — shared by [[ivfTopK]] and
     * the SemDeDup-style [[semanticDedup]].
     */
-  private[operators] def ivfAssign(emb: DataFrame, cvec: DataFrame): DataFrame = {
-    val wAssign = Window.partitionBy(col("vec_id"))
-      .orderBy(col("ccos").desc, col("clabel"))
+  /** r18 (guide §2.3 "aggregate before you shuffle"): the argmax used
+    * to be a rank-1 window over the corpus×k crossJoin — shuffling
+    * k·|corpus| rows (embedding payload included) by vec_id and
+    * sorting each group just to keep one row. `min_by` over
+    * `struct(-ccos, clabel)` is the same winner — negation is an exact
+    * order-reversing bijection on rounded doubles (Double.compare
+    * treats −0.0 < 0.0 consistently on both sides of the negation),
+    * ties fall to the smaller clabel exactly like the old
+    * `(ccos DESC, clabel ASC)` rank — but it is a DeclarativeAggregate:
+    * map-side partial aggregation collapses each vector's k candidate
+    * rows inside the scan partition, so the one shuffle moves |corpus|
+    * rows, ÷k bytes, and the per-group sort disappears entirely.
+    */
+  private[operators] def ivfAssign(emb: DataFrame, cvec: DataFrame): DataFrame =
     emb.crossJoin(broadcast(cvec))
       .withColumn("ccos", round(Vectors.cosine(col("embedding"), col("cv")), 4))
-      .withColumn("crk", row_number().over(wAssign))
-      .filter(col("crk") === 1)
-      .select(col("vec_id"), col("embedding"), col("clabel").as("ivf_list"))
-  }
+      .groupBy(col("vec_id"))
+      .agg(min_by(struct(col("embedding"), col("clabel")),
+        struct((-col("ccos")).as("nc"), col("clabel"))).as("m"))
+      .select(col("vec_id"), col("m.embedding").as("embedding"),
+        col("m.clabel").as("ivf_list"))
 
   /** IVF list-balance report (q194): list count, corpus size, min/max
     * list sizes and the integer imbalance ratio (max·lists·1000 div
@@ -1265,15 +1279,18 @@ object SimilarityOps {
       nQueries: Int, k: Int): DataFrame = {
     // encode: argmin L2 per (vec, subspace), expanded-form distance so the
     // oracle's float path is identical term by term; 6dp + code tiebreak
-    val wEnc = Window.partitionBy(col("vec_id"), col("s"))
-      .orderBy(col("dist"), col("code"))
+    // struct-min argmin (r18, the ivfAssign rewrite): the (dist ASC,
+    // code ASC) winner per (vec, subspace) via a map-side-combinable
+    // min_by instead of shuffling the codes-fanout into a rank window
     val codes = subs.join(broadcast(cb), Seq("s"))
       .withColumn("dist", round(
         Vectors.dotNative(col("sv"), col("sv")) - lit(2.0) * Vectors.dotNative(col("sv"), col("cv"))
           + col("cnorm2"), 6))
-      .withColumn("rk", row_number().over(wEnc))
-      .filter(col("rk") === 1)
-      .select(col("vec_id"), col("s"), col("code"), col("cnorm2"))
+      .groupBy(col("vec_id"), col("s"))
+      .agg(min_by(struct(col("code"), col("cnorm2")),
+        struct(col("dist"), col("code"))).as("m"))
+      .select(col("vec_id"), col("s"), col("m.code").as("code"),
+        col("m.cnorm2").as("cnorm2"))
     // ADC lookup table: query subvector × every codebook centroid
     // (nQueries · m · codes rows — broadcast-sized by construction)
     val lut = subs.filter(col("vec_id") < nQueries)
@@ -1744,14 +1761,17 @@ object SimilarityOps {
     // across separate broadcasts — same rationale as labelCentroidsCached
     val cvec = SessionCaches.cached(upsertCodebookCache,
       (spark, dir, batchMod))(labelCentroids(base).persist())
-    val wAssign = Window.partitionBy(col("vec_id"))
-      .orderBy(col("ccos").desc, col("clabel"))
+    // struct-min argmax, not a rank-1 window (r18 — the ivfAssign
+    // rewrite, same equivalence argument): map-side partial agg
+    // collapses the k candidates per vector before the one shuffle
     val newAsg = batch.crossJoin(broadcast(cvec))
       .withColumn("ccos",
         round(Vectors.cosine(col("embedding"), col("cv")), 4))
-      .withColumn("crk", row_number().over(wAssign))
-      .filter(col("crk") === 1)
-      .select(col("vec_id"), col("clabel").as("ivf_list"), col("ccos"))
+      .groupBy(col("vec_id"))
+      .agg(min_by(struct(col("clabel"), col("ccos")),
+        struct((-col("ccos")).as("nc"), col("clabel"))).as("m"))
+      .select(col("vec_id"), col("m.clabel").as("ivf_list"),
+        col("m.ccos").as("ccos"))
     val baseCounts = ivfAssign(base, cvec)
       .groupBy(col("ivf_list")).agg(count(lit(1)).as("n_base"))
     val newStats = newAsg.groupBy(col("ivf_list"))
@@ -2095,12 +2115,15 @@ object SimilarityOps {
       cand = cand.unionByName(sampled).dropDuplicates("cid")
         .localCheckpoint()
     }
+    // struct-min argmax, not a rank-1 window (r18 — the ivfAssign
+    // rewrite): the nearest-candidate vote per vector collapses
+    // map-side; only |corpus| (vec, winner) rows shuffle
     val votes = e.crossJoin(broadcast(cand))
       .withColumn("cos_bp",
         round(Vectors.cosine(col("v"), col("cv")) * 10000, 0).cast("long"))
-      .withColumn("crk", row_number().over(Window.partitionBy(col("vec_id"))
-        .orderBy(col("cos_bp").desc, col("cid"))))
-      .filter(col("crk") === 1)
+      .groupBy(col("vec_id"))
+      .agg(min_by(col("cid"),
+        struct((-col("cos_bp")).as("nc"), col("cid"))).as("cid"))
       .groupBy(col("cid")).agg(count(lit(1)).as("wt"))
     val picked = cand.join(broadcast(votes), Seq("cid"), "left")
       .withColumn("wt0", coalesce(col("wt"), lit(0L)))

@@ -88,8 +88,21 @@ object TwoPhaseRank {
     * same frame should checkpoint it ONCE themselves and reuse it —
     * the q284/q291/q296/q303 pattern); the post-shuffle checkpoint is
     * never skippable — it freezes ONE sampled boundary assignment for
-    * both consumers (two plan instantiations of a range exchange
-    * sample independently and need not agree).
+    * both consumers. (r18 tried dropping it in favor of exchange
+    * reuse: column pruning narrows the offsets branch's copy of the
+    * exchange to `(v, tie)` while the rank branch keeps every payload
+    * column, the canonical forms diverge, reuse does NOT fire, the two
+    * exchanges sample independently — and the sf0.01 oracle flipped
+    * q341 immediately, 16 files vs 15. The materialization is
+    * load-bearing.) What r18 DID change: the checkpoint now stores
+    * SERIALIZED (`MEMORY_AND_DISK_SER`) — the bucketized frames were
+    * the registry's largest block-store churn source (the r18 probe
+    * measured the rankBy riders leaking ~250 MB of deserialized
+    * object-graph blocks per bench rep until the next full GC,
+    * degrading every query that followed), and a serialized block is
+    * a single byte array: ~4–6× smaller here, near-free for the GC to
+    * hold, at the price of one deserialization per read (two reads:
+    * the rank branch and the offsets branch) — guide §5.
     */
   private[graft] def bucketize(df: DataFrame, valueCol: String,
       tieCol: String, descending: Boolean, nBuckets: Int): DataFrame = {
@@ -100,7 +113,8 @@ object TwoPhaseRank {
     base
       .repartitionByRange(nBuckets, ord: _*)
       .withColumn("_bkt", spark_partition_id())
-      .localCheckpoint()
+      .localCheckpoint(eager = true,
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
   }
 
   /** Attach `r` (global 1-based row_number, LONG) and — when `cumCol`
@@ -143,12 +157,31 @@ object TwoPhaseRank {
     val ord: Seq[Column] =
       if (descending) Seq(col(valueCol).desc, col(tieCol).asc)
       else Seq(col(valueCol).asc, col(tieCol).asc)
-    val wIntra = Window.partitionBy(col("_bkt")).orderBy(ord: _*)
-    val perBucket = cumCol.foldLeft(
-      bucketed.withColumn("_ir", row_number().over(wIntra).cast("long"))
-    ) { (d, c) =>
-      d.withColumn("_ic", sum(col(c).cast("decimal(38,0)")).over(
-        wIntra.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    // Intra-bucket positions. Plain ranks (no cumsum) don't need a
+    // window at all (r18): the checkpointed bucketized frame holds
+    // each bucket in exactly one physical partition (the `_bkt` stamp
+    // IS its partition index), so an in-partition sort +
+    // `monotonically_increasing_id` (= partitionId·2³³ + row index in
+    // iterator order, i.e. the sorted order) yields the 1-based intra
+    // rank with NO second exchange and NO window pass — the window
+    // form hash-repartitioned every row a second time just to number
+    // rows that were already grouped. Rows equal in the full compound
+    // key stay interchangeable, same as the window form. The 2³³
+    // per-bucket index capacity is ~8.6 B rows — far above any bucket
+    // the sizing above can produce. The cumsum variant keeps the
+    // window (a running DECIMAL sum has no id-arithmetic equivalent).
+    val perBucket = cumCol match {
+      case None =>
+        bucketed.sortWithinPartitions(ord: _*)
+          .withColumn("_mid", monotonically_increasing_id())
+          .withColumn("_ir",
+            (col("_mid").bitwiseAND(lit((1L << 33) - 1)) + 1L))
+          .drop("_mid")
+      case Some(c) =>
+        val wIntra = Window.partitionBy(col("_bkt")).orderBy(ord: _*)
+        bucketed.withColumn("_ir", row_number().over(wIntra).cast("long"))
+          .withColumn("_ic", sum(col(c).cast("decimal(38,0)")).over(
+            wIntra.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
     }
     val aggs = Seq(count(lit(1)).as("_cnt")) ++
       cumCol.map(c => sum(col(c).cast("decimal(38,0)")).as("_bsum"))

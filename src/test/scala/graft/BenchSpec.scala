@@ -220,6 +220,29 @@ class BenchSpec extends AnyFunSuite {
     assert(Bench.historyBaseline("/nonexistent/hist.jsonl", None).isEmpty)
   }
 
+  test("historyBaseline anchors to the last CLEAN line: ambient/load-poisoned lines are skipped by default but selectable by round") {
+    // VERDICT r17 item 2: the c32 headline compared against the most
+    // recent line, which was itself ambient-stamped — a polluted
+    // baseline masks a polluted run. Default must skip BOTH poison
+    // stamps; an explicit round filter may still pick them.
+    val f = java.nio.file.Files.createTempFile("bench-hist2", ".jsonl")
+    java.nio.file.Files.write(f, java.util.Arrays.asList(
+      """{"round":"clean1","metric":"total","queries":{"q1":1.0}}""",
+      """{"round":"amb","metric":"total","queries":{"q1":9.0},"ambient_inflated":true}""",
+      """{"round":"hot","metric":"total","queries":{"q1":8.0},"load":{"start":9.0,"end":9.0,"load_exceeded":true}}"""),
+      java.nio.charset.StandardCharsets.UTF_8)
+    val d = Bench.historyBaseline(f.toString, None).get
+    assert(d._1 === "clean1" && d._2 === Map("q1" -> 1.0))
+    assert(Bench.historyBaseline(f.toString, Some("amb")).get._2 === Map("q1" -> 9.0))
+    // ALL lines polluted -> fall back to the last one rather than none
+    val f2 = java.nio.file.Files.createTempFile("bench-hist3", ".jsonl")
+    java.nio.file.Files.write(f2, java.util.Arrays.asList(
+      """{"round":"amb1","metric":"total","queries":{"q1":9.0},"ambient_inflated":true}""",
+      """{"round":"amb2","metric":"total","queries":{"q1":8.0},"ambient_inflated":true}"""),
+      java.nio.charset.StandardCharsets.UTF_8)
+    assert(Bench.historyBaseline(f2.toString, None).get._1 === "amb2")
+  }
+
   test("common_set rides the summary, total, and durable payload lines when a baseline exists") {
     val d = Bench.commonDelta(Map("q1" -> 1.0), Map("q1" -> 2.0), "r15")
     val lines = Bench.renderLines(Map("q1" -> 1.0), Nil, "sf", common = d)
