@@ -386,6 +386,13 @@ object Bench {
       .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .config("spark.sql.ansi.enabled", "false")
       .config("spark.sql.adaptive.enabled", "true")
+      // r18: the default 100-entry codegen cache cannot hold a 360-query
+      // registry — every bench rep re-ran Janino compilation for every
+      // query (q101 spent ~3 s/rep compiling; back-to-back reps with a
+      // warm cache ran the same query in 0.6 s). A warm session keeps
+      // its compiled code; entries are weak-referenced classes, ~tens
+      // of KB each. Static conf — must be set before session start.
+      .config("spark.sql.codegen.cache.maxEntries", "5000")
       // r18 (guide §5, measured with tools/PhaseProbe): operator-internal
       // localCheckpoints become unreachable garbage the moment a query's
       // action completes, but their MEMORY_AND_DISK blocks are only
@@ -467,6 +474,11 @@ object Bench {
         rebuildsByQuery(name) += delta.rebuilds
         if (rep == 1 && delta.admissions > 0) buildersRep1 += name
         sampleStorage()
+        // dev-only per-rep trace for full-registry-context diagnosis
+        // (focused A/Bs cannot reproduce session-state effects)
+        if (sys.env.get("SPARK_GRAFT_BENCH_TRACE")
+            .exists(_.split(",").contains(name)))
+          System.err.println(f"BENCH TRACE $name rep=$rep $dt%.3f s")
         name -> (if (ok) dt else -dt)
       }.toMap
     }

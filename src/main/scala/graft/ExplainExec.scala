@@ -27,6 +27,13 @@ object ExplainExec {
       .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .config("spark.sql.ansi.enabled", "false")
       .config("spark.sql.adaptive.enabled", "true")
+      // r18: the default 100-entry codegen cache cannot hold a 360-query
+      // registry — every bench rep re-ran Janino compilation for every
+      // query (q101 spent ~3 s/rep compiling; back-to-back reps with a
+      // warm cache ran the same query in 0.6 s). A warm session keeps
+      // its compiled code; entries are weak-referenced classes, ~tens
+      // of KB each. Static conf — must be set before session start.
+      .config("spark.sql.codegen.cache.maxEntries", "5000")
       .config("spark.ui.enabled", "false")
       .config("spark.cleaner.periodicGC.interval", "45s")
       .getOrCreate()

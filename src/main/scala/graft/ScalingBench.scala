@@ -641,6 +641,8 @@ object ScalingBench {
       // FAIR so the concurrent probe's per-thread pools share task slots
       // round-robin; serial probes are unaffected (one job at a time)
       .config("spark.scheduler.mode", "FAIR")
+      // r18: codegen-cache sized to the workload (see Bench.scala)
+      .config("spark.sql.codegen.cache.maxEntries", "5000")
       // prompt cleanup of dead checkpoint blocks (see Bench.scala, r18)
       .config("spark.cleaner.periodicGC.interval", "45s")
       .getOrCreate()

@@ -21,6 +21,13 @@ object Verify {
       // timestamps without INT96 legacy handling
       .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
       .config("spark.sql.adaptive.enabled", "true")
+      // r18: the default 100-entry codegen cache cannot hold a 360-query
+      // registry — every bench rep re-ran Janino compilation for every
+      // query (q101 spent ~3 s/rep compiling; back-to-back reps with a
+      // warm cache ran the same query in 0.6 s). A warm session keeps
+      // its compiled code; entries are weak-referenced classes, ~tens
+      // of KB each. Static conf — must be set before session start.
+      .config("spark.sql.codegen.cache.maxEntries", "5000")
       // prompt cleanup of dead checkpoint blocks (see Bench.scala — the
       // r18 block-churn fix; Verify runs the same 360 pipelines)
       .config("spark.cleaner.periodicGC.interval", "45s")

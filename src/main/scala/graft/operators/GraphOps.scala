@@ -1,5 +1,6 @@
 package graft.operators
 
+import MidFrames._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -144,7 +145,7 @@ object GraphOps {
       // evaluation and cuts the per-round lineage (the q331/q336
       // iteration shape — without it the 3-round plan nests 2^iters
       // copies of the init subtree)
-      val r = r0.localCheckpoint(eager = false)
+      val r = r0.midCp(eager = false)
       val contrib = edgesD
         .join(r.select(col("item").as("src"), col("r")), Seq("src"))
         .groupBy(col("dst"))
@@ -159,7 +160,7 @@ object GraphOps {
       .select(col("item"), col("r").as("rank_q"),
         round(col("r").cast("double") / lit(Unit9.toDouble), 6).as("rank"))
       .orderBy(col("rank_q").desc, col("item"))
-      .localCheckpoint(eager = true)
+      .midCp()
     out
   }
 
@@ -208,7 +209,7 @@ object GraphOps {
     val deg = pairs.select(col("i").as("item"))
       .union(pairs.select(col("j").as("item")))
       .groupBy(col("item")).agg(count(lit(1)).as("degree"))
-      .localCheckpoint(eager = false)
+      .midCp(eager = false)
     // orient each edge low-(degree, id) → high-(degree, id)
     val di = deg.select(col("item").as("i"), col("degree").as("dg_i"))
     val dj = deg.select(col("item").as("j"), col("degree").as("dg_j"))
@@ -220,7 +221,7 @@ object GraphOps {
         when(col("dg_i") < col("dg_j") ||
           (col("dg_i") === col("dg_j") && col("i") < col("j")),
           col("j")).otherwise(col("i")).as("dst"))
-      .localCheckpoint(eager = false)
+      .midCp(eager = false)
     val wedges = ori.as("e1")
       .join(ori.as("e2"), col("e1.src") === col("e2.src") &&
         col("e1.dst") < col("e2.dst"))
@@ -237,7 +238,7 @@ object GraphOps {
         coalesce(col("n_triangles"), lit(0L)).as("n_triangles"))
       .orderBy(col("n_triangles").desc, col("item"))
       .limit(k)
-      .localCheckpoint(eager = true)
+      .midCp()
     out
   }
 
@@ -300,7 +301,7 @@ object GraphOps {
     // chain. Eager — one job per peel, every consumer reads blocks —
     // stays.)
     var edges = pairs
-      .select(col("i"), col("j")).localCheckpoint(eager = true)
+      .select(col("i"), col("j")).midCp()
     (1 to peels).foreach { _ =>
       val keep = edges.select(col("i").as("node"))
         .union(edges.select(col("j").as("node")))
@@ -309,7 +310,7 @@ object GraphOps {
       edges = edges
         .join(keep.select(col("node").as("i")), Seq("i"), "left_semi")
         .join(keep.select(col("node").as("j")), Seq("j"), "left_semi")
-        .localCheckpoint(eager = true)
+        .midCp()
     }
     edges.select(col("i").as("item"))
       .union(edges.select(col("j").as("item")))
@@ -374,7 +375,7 @@ object GraphOps {
           round(num.cast("double") /
             (sqrt(vx.cast("double")) * sqrt(vy.cast("double"))), 6))
           .as("assortativity"))
-      .localCheckpoint(eager = true)
+      .midCp()
     out
   }
 
@@ -507,7 +508,7 @@ object GraphOps {
         col("k").cast("int").as("k"), col("n_ijk"))
       .orderBy(col("n_ijk").desc, col("i"), col("j"), col("k"))
       .limit(k)
-      .localCheckpoint(eager = true)
+      .midCp()
     ui.unpersist()
     out
   }
@@ -539,7 +540,7 @@ object GraphOps {
       nbrCap: Int): DataFrame = {
     val edges = edgesOfOrders(li).persist()
     val capped = cappedNbrsOf(edges, nbrCap).persist()
-    val out = linkPredTree(edges, capped, k).localCheckpoint(eager = true)
+    val out = linkPredTree(edges, capped, k).midCp()
     edges.unpersist()
     capped.unpersist()
     out
@@ -626,7 +627,7 @@ object GraphOps {
   private[graft] def lpOn(pairs: DataFrame, rounds: Int): DataFrame = {
     val sym = pairs.select(col("i").as("src"), col("j").as("dst"))
       .unionByName(pairs.select(col("j").as("src"), col("i").as("dst")))
-      .localCheckpoint()
+      .midCp()
     def trace(r: Int, lab: DataFrame): DataFrame =
       lab.groupBy(col("label")).agg(count(lit(1)).as("sz"),
           sum(col("node") * col("label")).as("fp"))
@@ -636,7 +637,7 @@ object GraphOps {
           col("largest_community").cast("long").as("largest_community"),
           col("assign_fp").cast("long").as("assign_fp"))
     var lab = sym.select(col("src").as("node")).distinct()
-      .withColumn("label", col("node")).localCheckpoint()
+      .withColumn("label", col("node")).midCp()
     var out = trace(0, lab)
     for (r <- 1 to rounds) {
       // mode pick as a struct-min argmax: min((-c, label)) ≡ the old
@@ -650,7 +651,7 @@ object GraphOps {
         .groupBy(col("node"))
         .agg(min(struct((-col("c")).as("nc"), col("label"))).as("m"))
         .select(col("node"), col("m.label").as("label"))
-        .localCheckpoint() // eager: each lab has two consumers (trace +
+        .midCp() // eager: each lab has two consumers (trace +
       // next round) — the q173 A/B showed lazy loses that race here
       out = out.unionByName(trace(r, lab))
     }
@@ -720,22 +721,28 @@ object GraphOps {
     // behind it runs twice (round-17 A/B: 12 → 6 edge-join evaluations
     // across the 3 rounds)
     def normed(raw0: DataFrame, key: String, out: String): DataFrame = {
-      val raw = raw0.localCheckpoint(eager = false)
+      val raw = raw0.midCp(eager = false)
       raw.crossJoin(broadcast(raw.agg(max(col("raw")).as("mx"))))
         .select(col(key), expr(s"raw * ${Unit6}L div mx").as(out))
     }
+    // lazy round checkpoints (r18, the q113/q336 iteration shape): the
+    // half-rounds consume each other STRICTLY sequentially (each
+    // normed's broadcast normalizer must complete before its join
+    // stage runs), so deferring materialization into the final action
+    // turns 7 synchronous per-rep checkpoint jobs into one job
+    // cascade; lineage still truncates at every round
     var hub = edges.select(col("cust")).distinct()
-      .withColumn("hub", lit(Unit6)).localCheckpoint()
+      .withColumn("hub", lit(Unit6)).midCp(eager = false)
     var auth: DataFrame = null
     for (_ <- 1 to rounds) {
       auth = normed(
         edges.join(hub, Seq("cust"))
           .groupBy(col("part")).agg(sum(col("hub")).as("raw")),
-        "part", "auth").localCheckpoint()
+        "part", "auth").midCp(eager = false)
       hub = normed(
         edges.join(auth, Seq("part"))
           .groupBy(col("cust")).agg(sum(col("auth")).as("raw")),
-        "cust", "hub").localCheckpoint()
+        "cust", "hub").midCp(eager = false)
     }
     val topAuth = auth
       .select(lit("auth").as("side"), col("part").as("node_id"),
@@ -783,7 +790,7 @@ object GraphOps {
     val seeds = edgesD.select(col("src"), col("d")).distinct()
       .orderBy(col("d").desc, col("src"))
       .limit(nSeeds).select(col("src").as("item"))
-      .localCheckpoint(eager = true)
+      .midCp()
     // seeded is read by init + every round (iters+1 consumers); un-
     // materialized each read re-runs the node-distinct + seed join.
     // Lazy checkpoint also truncates the per-round plan the way q331's
@@ -794,7 +801,7 @@ object GraphOps {
         Seq("item"), "left")
       .select(col("item"),
         coalesce(col("is_seed"), lit(0)).as("is_seed"))
-      .localCheckpoint(eager = false)
+      .midCp(eager = false)
     val teleport = expr(
       s"CASE WHEN is_seed = 1 THEN $Unit9 div $nSeeds ELSE 0L END")
     val init = seeded.select(col("item"), col("is_seed"),
@@ -810,7 +817,7 @@ object GraphOps {
           (expr(s"(15 * CASE WHEN is_seed = 1 THEN $Unit9 div $nSeeds" +
             " ELSE 0L END) div 100") +
             expr("(85 * coalesce(c, 0L)) div 100")).as("r"))
-        .localCheckpoint(eager = false) // per-round lineage cut (q331 shape)
+        .midCp(eager = false) // per-round lineage cut (q331 shape)
     }
     ranks
       .select(col("item"), col("is_seed"), col("r").as("ppr_q"),

@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.Tables
+import MidFrames._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -695,7 +696,7 @@ object IncrementalOps {
         sum(coalesce(col("quality_bp"), lit(0L))).as("sum_quality_bp"),
         sum(length(col("text")).cast("long")).as("total_chars"))
       .orderBy(col("source"))
-      .localCheckpoint()
+      .midCp()
     res
     }
   }
@@ -750,7 +751,7 @@ object IncrementalOps {
           coalesce(col("succ"), col("wrap")).getField("shard").as(out))
     val plan = assign(ring(nBefore), "from_shard")
       .join(assign(ring(nBefore + 1), "to_shard"), Seq("doc_id"))
-      .localCheckpoint()
+      .midCp()
     val moves = plan.filter(col("from_shard") =!= col("to_shard"))
       .groupBy(col("from_shard"), col("to_shard"))
       .agg(count(lit(1)).as("n_docs"))
@@ -790,7 +791,10 @@ object IncrementalOps {
     val li = graft.Tables.lineitem(spark, dir)
       .select(col("l_orderkey"), col("l_partkey"), col("l_shipdate"),
         (col("l_orderkey") * 10 + col("l_linenumber")).as("tie"))
-      .localCheckpoint()
+      // serialized: read 9× (3 rankBys × count/sample/shuffle) but held
+      // as one byte array per block instead of a row object graph —
+      // the r18 block-churn diet (see TwoPhaseRank.bucketize)
+      .midCpSer()
     def filesFor(key: String) =
       graft.operators.TwoPhaseRank.rankBy(li, key, "tie")
         .withColumn("file_id", expr(s"(r - 1) div ${rowsPerFile}L"))
@@ -868,7 +872,7 @@ object IncrementalOps {
         .select(datediff(col("l_shipdate").cast("date"), epoch)
             .cast("long").as("ship_day"),
           (col("l_orderkey") * 10 + col("l_linenumber")).as("tie"))
-        .localCheckpoint()
+        .midCp()
       TwoPhaseRank.rankBy(li, "ship_day", "tie").persist()
     })
 
@@ -890,7 +894,7 @@ object IncrementalOps {
       spec, out)
     val zone = graft.etl.ParquetZoneMaps
       .partitionStats(spark, s"$out/layout_probe", "ship_day", "file_id")
-      .localCheckpoint()
+      .midCp()
     def d(s: String) = datediff(lit(s).cast("date"), epoch).cast("long")
     val wl = spark.range(1).select(explode(array(
         struct(lit("ship_point").as("workload"),
@@ -918,7 +922,7 @@ object IncrementalOps {
         col("rows_scanned"), col("rows_matching"),
         expr("parts_scanned * 1000000 div n_parts").as("scan_ppm"))
       .orderBy(col("workload"))
-      .localCheckpoint()
+      .midCp()
     res
     }
   }
@@ -985,7 +989,7 @@ object IncrementalOps {
         .agg(sum(col("n_rows")).as("n_rows"),
           min(col("min_a")).as("mna"), max(col("max_a")).as("mxa"),
           min(col("min_b")).as("mnb"), max(col("max_b")).as("mxb"))
-        .localCheckpoint()
+        .midCp()
       val wls = Seq(
         ("box", 100L, 160L, 200L, 260L),
         ("a_slab", 100L, 160L, 0L, 1023L),
@@ -1018,7 +1022,7 @@ object IncrementalOps {
           col("rows_scanned"), col("rows_matching"), col("sum_payload"),
           expr("parts_scanned * 1000000 div n_parts").as("scan_ppm"))
         .orderBy(col("workload"))
-        .localCheckpoint()
+        .midCp()
       res
     }
   }
@@ -1069,7 +1073,7 @@ object IncrementalOps {
       // the standing manifest: file-grain rows from the base build
       val manifest0 = graft.etl.ParquetZoneMaps
         .rowGroupStats(spark, path, "ship_day", requireStats = false)
-        .toDF().localCheckpoint()
+        .toDF().midCp()
       // the append lands; ONLY files absent from the manifest are probed
       graft.etl.Sinks.write(
         assigned.filter(col("file_id") >= baseFiles)
@@ -1090,7 +1094,7 @@ object IncrementalOps {
         .agg(sum(col("n_rows")).as("n_rows"),
           min(col("min_v")).as("min_day"), max(col("max_v")).as("max_day"))
         .orderBy(col("part_id"))
-        .localCheckpoint()
+        .midCp()
       res
     }
   }

@@ -232,6 +232,13 @@ private[graft] object SessionCaches {
       if (existing != null) (existing, false)
       else {
         val v = build
+        // lint observation (r18, VERDICT r17 item 3): a session-cached
+        // frame appears as an InMemoryTableScan to every consumer, so
+        // the shapes inside its BUILD escaped the registry-wide plan
+        // lint; PlanLintSpec sets this observer to walk build plans at
+        // admission (same device as MidFrames.observer)
+        val obs = MidFrames.observer.get
+        if (obs != null) obs(v)
         admissionCount.incrementAndGet()
         if (evictedKeys.remove(id)) rebuildCount.incrementAndGet()
         val prev = m.putIfAbsent(k, v)

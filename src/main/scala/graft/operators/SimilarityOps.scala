@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.Tables
 import graft.functions.Vectors
+import MidFrames._
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
@@ -684,7 +685,7 @@ object SimilarityOps {
     // pipelines (exact + Hamming) — 3 corpus passes each. nQueries·k
     // rows at most.
     val common = a.join(b, Seq("query_id", "neighbor_id"))
-      .localCheckpoint(eager = false)
+      .midCp(eager = false)
     val p = common.as("x").join(common.as("y"),
         col("x.query_id") === col("y.query_id") &&
           col("x.neighbor_id") < col("y.neighbor_id"))
@@ -1514,7 +1515,7 @@ object SimilarityOps {
     // band relation twice, and each un-materialized read re-hashes the
     // corpus through all nTables hyperplane sets + the population
     // window. Rows are (vec_id, tbl, bucket) — metadata-scale.
-    val bounded = popCapped(banded, capDf).localCheckpoint(eager = false)
+    val bounded = popCapped(banded, capDf).midCp(eager = false)
     bounded.select(col("vec_id").as("id_a"), col("tbl"), col("bucket"))
       .join(bounded.select(col("vec_id").as("id_b"), col("tbl"), col("bucket")),
         Seq("tbl", "bucket"))
@@ -1608,7 +1609,7 @@ object SimilarityOps {
     // (or reuse the session-cached pair relation when the dir path
     // hands one in; the persisted frame serves all three consumers)
     val pairs = pairs0.getOrElse(
-      lshNearDupDF(emb, threshold, nPlanes, nTables).localCheckpoint())
+      lshNearDupDF(emb, threshold, nPlanes, nTables).midCp())
       .select(col("id_a"), col("id_b"))
     val sym = pairs.select(col("id_a").as("v"), col("id_b").as("n"))
       .unionByName(pairs.select(col("id_b").as("v"), col("id_a").as("n")))
@@ -1616,7 +1617,7 @@ object SimilarityOps {
     // point with deg eps-neighbors is core iff deg + 1 >= minPts —
     // minPts values port unchanged from sklearn/ELKI
     val core = sym.groupBy(col("v")).agg(count(lit(1)).as("deg"))
-      .filter(col("deg") + 1 >= minPts).select(col("v")).localCheckpoint()
+      .filter(col("deg") + 1 >= minPts).select(col("v")).midCp()
     val coreEdges = pairs
       .join(core.withColumnRenamed("v", "id_a"), Seq("id_a"), "left_semi")
       .join(core.withColumnRenamed("v", "id_b"), Seq("id_b"), "left_semi")
@@ -1631,7 +1632,7 @@ object SimilarityOps {
       .join(core, Seq("v"), "left_anti")
       .groupBy(col("v")).agg(min(col("cluster_id")).as("cluster_id"))
       .select(col("v"), col("cluster_id"), lit(0L).as("is_core"))
-    val assigned = coreLab.unionByName(borderLab).localCheckpoint()
+    val assigned = coreLab.unionByName(borderLab).midCp()
     val clusters = assigned.groupBy(col("cluster_id"))
       .agg(sum(col("is_core")).as("n_core"),
         (count(lit(1)) - sum(col("is_core"))).as("n_border"),
@@ -1676,7 +1677,7 @@ object SimilarityOps {
     val emb = emb0.select(col("vec_id"), col("embedding"))
     val pairs = pairs0.getOrElse(
       lshNearDupDF(emb, thresholds.min, nPlanes, nTables)
-        .localCheckpoint())
+        .midCp())
     val nAll = emb.agg(count(lit(1)).as("n_all"))
     // ONE CC fixpoint for the whole monotone grid (VERDICT r14 item
     // 5): the grid previously ran one serial large-star/small-star
@@ -1703,7 +1704,7 @@ object SimilarityOps {
       .toDF("k", "t", "t_bp")
     val tagged = pairs.crossJoin(broadcast(tiers))
       .filter(col("cos") >= col("t"))
-      .localCheckpoint() // read by the CC seed and the edge census
+      .midCp() // read by the CC seed and the edge census
     val lab = DedupOps.connectedComponents(tagged
       .select((col("id_a") * nT + col("k")).as("id_a"),
         (col("id_b") * nT + col("k")).as("id_b")))
@@ -1970,19 +1971,19 @@ object SimilarityOps {
       .withColumn("rk", row_number().over(wq))
       .filter(col("rk") <= nCand)
       .select(col("query_id"), col("vec_id"), col("embedding"), col("qm"))
-      .localCheckpoint()
+      .midCp()
     val slim = cand.select(col("query_id"), col("vec_id"), col("embedding"))
     val pair = slim.toDF("query_id", "ca", "va")
       .join(slim.toDF("query_id", "cb", "vb"), Seq("query_id"))
       .filter(col("ca") =!= col("cb"))
       .withColumn("pm", gridM(col("va"), col("vb")))
       .select(col("query_id"), col("ca"), col("cb"), col("pm"))
-      .localCheckpoint()
+      .midCp()
     var selected = cand.withColumn("rn", row_number().over(wq))
       .filter(col("rn") === 1)
       .select(col("query_id"), col("vec_id"), col("qm"),
         lit(0L).as("ms"), lit(1).as("mmr_rank"))
-      .localCheckpoint()
+      .midCp()
     for (r <- 2 to kSel) {
       val ms = pair
         .join(selected.select(col("query_id"), col("vec_id").as("cb")),
@@ -2001,7 +2002,7 @@ object SimilarityOps {
         .filter(col("rn") === 1)
         .select(col("query_id"), col("vec_id"), col("qm"), col("ms"),
           lit(r).as("mmr_rank"))
-      selected = selected.unionByName(pick).localCheckpoint()
+      selected = selected.unionByName(pick).midCp()
     }
     selected.select(col("query_id"), col("vec_id"), col("mmr_rank"),
       col("qm").as("relevance_m"), col("ms").as("penalty_m"),
@@ -2095,7 +2096,7 @@ object SimilarityOps {
         lit(s"_kpp_$seed"))))
       .orderBy(col("h"), col("vec_id")).limit(1)
       .select(col("vec_id").as("cid"), col("v").as("cv"))
-      .localCheckpoint()
+      .midCp()
     for (r <- 1 to rounds) {
       val d2 = e.crossJoin(broadcast(cand))
         .withColumn("dbp", lit(10000L) -
@@ -2113,7 +2114,7 @@ object SimilarityOps {
           lit(2L * k).cast("decimal(38,0)") * col("d2") * lit(1000000L))
         .select(col("vec_id").as("cid"), col("v").as("cv"))
       cand = cand.unionByName(sampled).dropDuplicates("cid")
-        .localCheckpoint()
+        .midCp()
     }
     // struct-min argmax, not a rank-1 window (r18 — the ivfAssign
     // rewrite): the nearest-candidate vote per vector collapses
@@ -2159,7 +2160,7 @@ object SimilarityOps {
     val emb = Tables.embeddings(spark, dir)
     val k = kFor(emb.count(), 100L)
     val bf = bruteForceTopK(spark, dir, 8, 5)
-      .select(col("query_id"), col("neighbor_id")).localCheckpoint()
+      .select(col("query_id"), col("neighbor_id")).midCp()
     def profile(name: String, cvec0: => DataFrame): DataFrame = {
       // two consumers (balance assignment, probe chain) — materialize
       // once per session. localCheckpoint, NOT persist: a persisted
@@ -2170,7 +2171,7 @@ object SimilarityOps {
       // executed plan (and the strict plan-lint allowlist) depend on
       // suite ordering. The checkpoint's LogicalRDD matches nothing.
       val cvec = SessionCaches.cached(
-        kppCodebookCache, (spark, dir, k, name))(cvec0.localCheckpoint())
+        kppCodebookCache, (spark, dir, k, name))(cvec0.midCp())
       val bal = ivfAssign(emb, cvec)
         .groupBy(col("ivf_list")).agg(count(lit(1)).as("sz"))
         .agg(count(lit(1)).as("n_lists"), sum(col("sz")).as("n_vecs"),

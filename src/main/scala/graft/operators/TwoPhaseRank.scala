@@ -1,5 +1,6 @@
 package graft.operators
 
+import MidFrames._
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -109,12 +110,11 @@ object TwoPhaseRank {
     val ord: Seq[Column] =
       if (descending) Seq(col(valueCol).desc, col(tieCol).asc)
       else Seq(col(valueCol).asc, col(tieCol).asc)
-    val base = if (isMaterialized(df)) df else df.localCheckpoint()
+    val base = if (isMaterialized(df)) df else df.midCp()
     base
       .repartitionByRange(nBuckets, ord: _*)
       .withColumn("_bkt", spark_partition_id())
-      .localCheckpoint(eager = true,
-        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+      .midCpSer()
   }
 
   /** Attach `r` (global 1-based row_number, LONG) and — when `cumCol`
@@ -137,7 +137,7 @@ object TwoPhaseRank {
     // materialize first (or adopt the caller's materialization): the
     // sampling pass, the shuffle, AND the auto-size row count below
     // all read one frozen copy instead of recomputing the upstream
-    val base = if (isMaterialized(df)) df else df.localCheckpoint()
+    val base = if (isMaterialized(df)) df else df.midCp()
     val nb =
       if (nBuckets > 0) nBuckets
       else {

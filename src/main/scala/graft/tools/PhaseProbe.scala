@@ -32,6 +32,13 @@ object PhaseProbe {
       .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .config("spark.sql.ansi.enabled", "false")
       .config("spark.sql.adaptive.enabled", "true")
+      // r18: the default 100-entry codegen cache cannot hold a 360-query
+      // registry — every bench rep re-ran Janino compilation for every
+      // query (q101 spent ~3 s/rep compiling; back-to-back reps with a
+      // warm cache ran the same query in 0.6 s). A warm session keeps
+      // its compiled code; entries are weak-referenced classes, ~tens
+      // of KB each. Static conf — must be set before session start.
+      .config("spark.sql.codegen.cache.maxEntries", "5000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -69,6 +76,10 @@ object PhaseProbe {
         .toSeq.sorted.mkString(" ")
       println(f"PROBE $name rep=$rep build=$tBuild%.3f exec=$tExec%.3f " +
         f"total=${tBuild + tExec}%.3f phases[$phases]")
+      if (sys.env.get("PROBE_DUMP_PLAN").exists(_.split(",").contains(name))
+          && rep == 3)
+        println(df.queryExecution.explainString(
+          org.apache.spark.sql.execution.ExplainMode.fromString("formatted")))
     }
 
     // untimed JIT warmup, mirroring Bench

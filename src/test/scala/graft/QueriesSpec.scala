@@ -23,12 +23,40 @@ class QueriesSpec extends SparkSpecBase {
     assert(unorcled.isEmpty, s"queries without oracleSql: $unorcled")
   }
 
-  SparkEntry.queries.foreach { case (name, fn) =>
+  /** Both evaluations of every query, computed ONCE on a small driver
+    * thread pool when the first per-query test runs (r18, VERDICT r17
+    * item on the test budget): the 2 × 360 sequential sf0.001
+    * executions were ~9 of the suite's 25 minutes, almost all of it
+    * per-query fixed cost that parallelizes cleanly — Spark's driver
+    * and the session caches are thread-safe, and overlapping
+    * independent jobs is the guide §2.6 device. Failures surface in
+    * the owning per-query test (an execution error is rethrown there),
+    * so granularity of reporting is unchanged.
+    */
+  private lazy val evals: Map[String, util.Try[(Seq[org.apache.spark.sql.Row],
+      Seq[org.apache.spark.sql.Row])]] = {
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+    try {
+      implicit val ec: concurrent.ExecutionContext =
+        concurrent.ExecutionContext.fromExecutorService(pool)
+      val futs = SparkEntry.queries.toSeq.map { case (name, fn) =>
+        name -> concurrent.Future(util.Try {
+          val a = fn(spark, sf0001).collect().toSeq
+          val b = fn(spark, sf0001).collect().toSeq
+          (a, b)
+        })
+      }
+      futs.map { case (n, f) =>
+        n -> concurrent.Await.result(f, concurrent.duration.Duration.Inf)
+      }.toMap
+    } finally pool.shutdown()
+  }
+
+  SparkEntry.queries.keys.foreach { name =>
     test(s"$name: non-empty + deterministic on sf0.001") {
-      val a = fn(spark, sf0001).collect()
+      val (a, b) = evals(name).get // rethrows the query's own failure
       assert(a.nonEmpty, s"$name returned 0 rows")
-      val b = fn(spark, sf0001).collect()
-      assert(a.toSeq === b.toSeq, s"$name is non-deterministic")
+      assert(a === b, s"$name is non-deterministic")
     }
   }
 }
