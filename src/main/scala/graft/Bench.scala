@@ -393,6 +393,11 @@ object Bench {
       // its compiled code; entries are weak-referenced classes, ~tens
       // of KB each. Static conf — must be set before session start.
       .config("spark.sql.codegen.cache.maxEntries", "5000")
+      // dev A/B knob (r18): AQE coalescing with parallelismFirst=false
+      // sizes post-shuffle partitions by bytes (guide §2.2) instead of
+      // inflating the count to idle cores
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst",
+        sys.env.getOrElse("SPARK_GRAFT_PARALLELISM_FIRST", "true"))
       // r18 (guide §5, measured with tools/PhaseProbe): operator-internal
       // localCheckpoints become unreachable garbage the moment a query's
       // action completes, but their MEMORY_AND_DISK blocks are only
